@@ -1,0 +1,4 @@
+from .registry import load_table, load_all, search_element, load_series, events_as_metrics
+
+__all__ = ["load_table", "load_all", "search_element", "load_series",
+           "events_as_metrics"]

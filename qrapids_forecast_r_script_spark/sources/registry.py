@@ -1,0 +1,121 @@
+"""Sources: parquet scans shaped like the reference's data access.
+
+The reference's only scan is ``searchElement``
+(``TimeSeriesFunctions_GPL_0.5.1.R:23-40``): an Elasticsearch query-string
+search with a 2-field projection, ascending date sort, and a 10,000-doc cap.
+Here the same operator is a declarative DataFrame chain — Catalyst pushes the
+name predicate and the 2-column projection into the parquet scan
+(PushedFilters / ReadSchema), which is the distributed analog of the
+reference's hand-coded source pushdown (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window
+
+from .. import schemas
+
+# Reference cap: ES ``size = 10000`` (R:28).  Silently truncates longer
+# series in the reference (quirk 7); we keep the cap but log when it binds.
+MAX_SERIES_LENGTH = 10_000
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table. Explicit schema → no inference pass at scale.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` (set in
+    session.py) it arrives as long nanoseconds and is converted here
+    (ns → µs truncation, matching DuckDB's read of the same file).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        raw = schemas.EVENTS_RAW_NS
+        df = spark.read.schema(raw).parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select([f.name for f in schemas.EVENTS.fields])
+    schema = schemas.TABLES.get(name)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver table and register temp views for spark.sql use."""
+    out = {}
+    for name in schemas.TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def _field_for_index(index: str) -> str:
+    """Index-name substring dispatch (R:25-26): the index name selects which
+    element-name field the query targets."""
+    if "metrics" in index:
+        return "metric"
+    if "factors" in index:
+        return "factor"
+    return "strategic_indicator"
+
+
+def search_element(metrics: DataFrame, name: str, index: str,
+                   limit: int = MAX_SERIES_LENGTH) -> DataFrame:
+    """The reference's scan (R:23-40) over a qr_metrics-shaped DataFrame.
+
+    Equivalent chain: filter by element name + index, project the two
+    source fields (R:28), sort ascending by evaluationDate (R:27), cap at
+    10,000 rows (R:28).  All four steps push into the parquet scan or fold
+    into one stage under Catalyst.
+    """
+    return (metrics
+            .where((F.col("name") == name) & (F.col("index") == index))
+            .select("name", "index", "evaluationDate", "value")
+            .orderBy(F.col("evaluationDate").asc())
+            .limit(limit))
+
+
+def load_series(metrics: DataFrame, name: str | None = None,
+                index: str | None = None) -> DataFrame:
+    """Positional series (SURVEY §1.2): Spark form of ``ts(v, f, start=0)``
+    (R:32).  Dates are discarded into a 0-based positional index ``t`` in
+    date order; calendar gaps are NOT filled (reference quirk 6).
+
+    With no name/index this is the batch form: every series at once, one
+    window partition per (name, index) — embarrassingly parallel at scale.
+    The per-series 10k cap (R:28) becomes a windowed row_number filter.
+    """
+    df = metrics
+    if name is not None:
+        df = df.where(F.col("name") == name)
+    if index is not None:
+        df = df.where(F.col("index") == index)
+    w = Window.partitionBy("name", "index").orderBy(
+        F.col("evaluationDate").asc(), F.col("value").asc())
+    return (df
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= MAX_SERIES_LENGTH)
+            .select("name", "index",
+                    (F.col("rn") - F.lit(1)).cast("long").alias("t"),
+                    F.col("value").cast("double").alias("y")))
+
+
+def events_as_metrics(events: DataFrame) -> DataFrame:
+    """Derive a qr_metrics-shaped frame from the driver's ``events`` table
+    (FIXTURES.md §3): daily sum of ``value`` per event_type.
+
+    ``name := event_type``, ``index := 'test.metrics.events'`` so the
+    metric-prefix dispatch branch (R:25-26) is exercised.
+    """
+    return (events
+            .groupBy(F.col("event_type").alias("name"),
+                     F.to_date("ts").alias("evaluationDate"))
+            .agg(F.round(F.sum("value"), 6).alias("value"))
+            .select("name",
+                    F.lit("test.metrics.events").alias("index"),
+                    "evaluationDate", "value"))

@@ -1,0 +1,42 @@
+"""Every queries() entry with an oracle must match DuckDB at sf0.001.
+
+This is a local pre-flight of the driver's t2 correctness gate (which runs
+the same comparison at sf0.01).
+"""
+
+import pytest
+
+from tests.oracle_compare import compare, duckdb_run
+
+
+def _registry():
+    import __spark_entry__ as entry
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    return qs, oracles
+
+
+def pytest_generate_tests(metafunc):
+    if "query_name" in metafunc.fixturenames:
+        qs, oracles = _registry()
+        names = [n for n in qs if n in oracles]
+        metafunc.parametrize("query_name", names)
+
+
+def test_oracle_parity(spark, sf_dir, query_name):
+    qs, oracles = _registry()
+    sdf = qs[query_name](spark, sf_dir)
+    odf = duckdb_run(oracles[query_name], sf_dir)
+    problems = compare(sdf, odf)
+    assert not problems, f"{query_name}: " + "; ".join(problems)
+
+
+def test_all_queries_run(spark, sf_dir):
+    """Queries without oracles must still execute and return a schema."""
+    qs, oracles = _registry()
+    for name, fn in qs.items():
+        if name in oracles:
+            continue
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+        assert df.count() >= 0, name
