@@ -1,0 +1,105 @@
+"""Forecast API: grouped-UDF batch mode + cache-orchestrated single series.
+
+The reference processes one series per call (SURVEY §2A.4); the engine
+generalizes to ``forecast_batch``: ``groupBy(name, index).applyInPandas``
+— one pandas group == one reference invocation, fanned out across
+executors.  At 100 TB this is the whole point: millions of independent
+series become embarrassingly parallel tasks; the only shuffle is the hash
+partition on the series key, and Arrow batches the transfer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import schemas
+from .dispatch import fit_method, forecast_fitted
+
+_FORECAST_KEYS = ["lower1", "lower2", "mean", "upper1", "upper2"]
+
+
+def forecast_rows(name: str, index: str, method: str, bands: dict) -> pd.DataFrame:
+    """The shared 5-vector → long-rows constructor (R:97-102 and clones)."""
+    horizon = len(bands["mean"])
+    return pd.DataFrame({
+        "name": name, "index": index, "method": method,
+        "step": np.arange(1, horizon + 1, dtype=np.int32),
+        **{k: np.asarray(bands[k], dtype=float) for k in _FORECAST_KEYS},
+    })[["name", "index", "method", "step"] + _FORECAST_KEYS]
+
+
+def fit_and_forecast_pdf(pdf: pd.DataFrame, method: str, frequency: int,
+                         horizon: int) -> pd.DataFrame:
+    """One series group → forecast rows.  Runs in the executor's Python
+    worker via Arrow; sorts by date and applies the reference's 10k cap
+    (R:28) inside the group."""
+    pdf = pdf.sort_values("evaluationDate").head(10_000)
+    name = str(pdf["name"].iloc[0])
+    index = str(pdf["index"].iloc[0])
+    y = pdf["value"].to_numpy(dtype=float)
+    ds = pd.to_datetime(pdf["evaluationDate"]).values.astype("datetime64[D]")
+    ds_days = ds.astype(int)
+    seed_key = (name, index, method)
+    try:
+        model = fit_method(method, y, frequency, ds_days=ds_days,
+                           horizon=horizon, seed_key=seed_key)
+        bands = forecast_fitted(model, horizon, seed_key=seed_key)
+    except Exception:
+        # degenerate series: emit NaN bands rather than killing the job
+        nan = np.full(horizon, np.nan)
+        bands = {k: nan for k in _FORECAST_KEYS}
+    return forecast_rows(name, index, method, bands)
+
+
+def forecast_batch(spark: SparkSession, metrics: DataFrame, method: str,
+                   frequency: int = 7, horizon: int = 14) -> DataFrame:
+    """Every (name, index) series in one job.
+
+    Scale notes: one shuffle (hash partition by series key); each task
+    fits exactly one series (≤10k points — bounded memory by the
+    reference's own cap, R:28); skewed numbers of series per executor are
+    handled by AQE partition coalescing.
+    """
+    method_u = method.upper()
+    freq, hor = int(frequency), int(horizon)
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fit_and_forecast_pdf(pdf, method_u, freq, hor)
+
+    return (metrics
+            .repartition("name", "index")
+            .groupBy("name", "index")
+            .applyInPandas(apply_fn, schema=schemas.FORECAST))
+
+
+def forecast_one(engine, name: str, index: str, method: str,
+                 frequency: int = 7, horizon: int = 14,
+                 force_seasonality: bool = False) -> DataFrame:
+    """Single-series path with the reference's wrapper orchestration
+    (§2A.6) when the engine has an artifact_dir, else a direct fit."""
+    method_u = method.upper()
+    if method_u == "ARIMA" and force_seasonality:
+        # ifelse(forceSeasonality, 'ARIMA_FORCE_SEASONALITY', 'ARIMA') (R:105)
+        method_u = "ARIMA_FORCE_SEASONALITY"
+    from .cache import ForecastStore
+    store = ForecastStore(engine.artifact_dir) if engine.artifact_dir else None
+    from ..sources import search_element
+    spark = engine.spark
+
+    def compute_series():
+        pdf = (search_element(engine.metrics, name, index)
+               .toPandas())
+        if pdf.empty:
+            raise ValueError(f"no data for series ({name!r}, {index!r})")
+        return pdf
+
+    if store is None:
+        pdf = compute_series()
+        rows = fit_and_forecast_pdf(pdf, method_u, frequency, horizon)
+        return spark.createDataFrame(rows, schema=schemas.FORECAST)
+    rows = store.forecast_with_cache(name, index, method_u, frequency,
+                                     horizon, compute_series)
+    return spark.createDataFrame(rows, schema=schemas.FORECAST)

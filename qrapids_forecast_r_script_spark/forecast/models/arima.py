@@ -1,0 +1,350 @@
+"""Auto-ARIMA — exhaustive order search + CSS fit, pure numpy.
+
+Reproduces the semantics of the reference's ARIMA path
+(``TimeSeriesFunctions_GPL_0.5.1.R:84-102``):
+``auto.arima(ts, D=NA, stepwise=FALSE, approximation=FALSE)`` — an
+exhaustive (non-stepwise) order search selected by AICc, with ``D=1``
+forced when ``forceSeasonality`` (ARIMA_FORCE_SEASONALITY, R:87-88).
+
+numpy-only implementation choices:
+- d via KPSS unit-root test (auto.arima's default test), D via the
+  seasonal-strength heuristic (auto.arima's 'seas' measure).
+- ARMA coefficients by conditional-sum-of-squares (CSS) minimized with
+  Nelder-Mead; model selection by AICc over the full grid.
+- search bounds max p=q=3, P=Q=1 (auto.arima defaults are 5/2; tightened
+  for Python-worker speed — documented deviation, the grid is still
+  exhaustive within bounds, not stepwise).
+- forecast variance via psi-weights of the full (differenced) lag
+  polynomial — the standard ARIMA PI construction.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+
+from .common import aicc, bands_from_sigma, nelder_mead
+
+
+# ---------------------------------------------------------------------------
+# differencing order selection
+# ---------------------------------------------------------------------------
+
+def kpss_stat(y: np.ndarray) -> float:
+    """KPSS level-stationarity statistic with Bartlett/Newey-West long-run
+    variance (lags = trunc(3*sqrt(n)/13), matching urca/forecast)."""
+    y = np.asarray(y, float)
+    n = len(y)
+    e = y - y.mean()
+    s = np.cumsum(e)
+    lags = int(np.trunc(3 * np.sqrt(n) / 13))
+    gamma0 = float(e @ e) / n
+    lrv = gamma0
+    for k in range(1, lags + 1):
+        w = 1 - k / (lags + 1)
+        lrv += 2 * w * float(e[k:] @ e[:-k]) / n
+    if lrv <= 0:
+        lrv = gamma0 if gamma0 > 0 else 1e-12
+    return float(np.sum(s ** 2) / (n ** 2 * lrv))
+
+
+KPSS_CRIT_5PCT = 0.463
+
+
+def ndiffs(y: np.ndarray, max_d: int = 2) -> int:
+    d = 0
+    y = np.asarray(y, float)
+    while d < max_d and len(y) > 8 and kpss_stat(y) > KPSS_CRIT_5PCT:
+        y = np.diff(y)
+        d += 1
+    return d
+
+
+def seasonal_strength(y: np.ndarray, m: int) -> float:
+    """Wang-Smith-Hyndman seasonal strength on a classical decomposition:
+    1 - Var(remainder)/Var(detrended)."""
+    n = len(y)
+    if m <= 1 or n < 2 * m + 1:
+        return 0.0
+    # centered moving-average trend
+    k = m // 2
+    w = np.ones(m) / m
+    if m % 2 == 0:
+        w = np.concatenate([[0.5], np.ones(m - 1), [0.5]]) / m
+    trend = np.convolve(y, w, mode="valid")
+    pad = (n - len(trend)) // 2
+    detr = y[pad:pad + len(trend)] - trend
+    if len(detr) < m:
+        return 0.0
+    idx = np.arange(len(detr)) % m
+    seas = np.array([detr[idx == i].mean() for i in range(m)])
+    rem = detr - seas[idx]
+    v_detr = float(np.var(detr))
+    if v_detr <= 0:
+        return 0.0
+    return max(0.0, 1.0 - float(np.var(rem)) / v_detr)
+
+
+def nsdiffs(y: np.ndarray, m: int) -> int:
+    return 1 if seasonal_strength(y, m) > 0.64 else 0
+
+
+# ---------------------------------------------------------------------------
+# CSS ARMA fit
+# ---------------------------------------------------------------------------
+
+def _css_residuals(w, phi, theta, Phi, Theta, m, c):
+    """Conditional-SS residuals of a (seasonal) ARMA on the differenced
+    series w; expands the seasonal polynomials into full lag polynomials."""
+    # full AR polynomial coefficients (on lags 1..)
+    p, q = len(phi), len(theta)
+    P, Q = len(Phi), len(Theta)
+    # (1 - φB..)(1 - ΦB^m..): multiply polynomials in B
+    a = np.zeros(p + 1); a[0] = 1.0; a[1:] = -np.asarray(phi)
+    A = np.zeros(P * m + 1); A[0] = 1.0
+    for i, ph in enumerate(Phi):
+        A[(i + 1) * m] = -ph
+    arpoly = np.convolve(a, A)           # coefficients of B^0..B^{p+Pm}
+    b = np.zeros(q + 1); b[0] = 1.0; b[1:] = np.asarray(theta)
+    B = np.zeros(Q * m + 1); B[0] = 1.0
+    for i, th in enumerate(Theta):
+        B[(i + 1) * m] = th
+    mapoly = np.convolve(b, B)
+    n = len(w)
+    pfull = len(arpoly) - 1
+    qfull = len(mapoly) - 1
+    e = np.zeros(n)
+    for t in range(n):
+        # AR part: arpoly[0]*w_t + sum arpoly[j]*w_{t-j}
+        acc = c
+        for j in range(1, min(pfull, t) + 1):
+            acc -= arpoly[j] * w[t - j]
+        ar_resid = w[t] - acc
+        # MA part
+        macc = 0.0
+        for j in range(1, min(qfull, t) + 1):
+            macc += mapoly[j] * e[t - j]
+        e[t] = ar_resid - macc
+    return e, arpoly, mapoly
+
+
+class ArimaModel:
+    """Fitted (seasonal) ARIMA state — picklable for the model store."""
+
+    def __init__(self, y, m, order, seasonal_order, params, c, sigma2,
+                 aicc_val, w_resid, arpoly, mapoly):
+        self.y = np.asarray(y, float)
+        self.m = m
+        self.order = order                    # (p, d, q)
+        self.seasonal_order = seasonal_order  # (P, D, Q)
+        self.params = params                  # (phi, theta, Phi, Theta)
+        self.c = c
+        self.sigma2 = sigma2
+        self.aicc = aicc_val
+        self.resid = w_resid
+        self.arpoly = arpoly                  # on differenced series
+        self.mapoly = mapoly
+
+    @property
+    def method(self) -> str:
+        p, d, q = self.order
+        P, D, Q = self.seasonal_order
+        s = f"ARIMA({p},{d},{q})"
+        if self.m > 1 and (P or D or Q):
+            s += f"({P},{D},{Q})[{self.m}]"
+        return s
+
+    def forecast(self, horizon: int) -> dict:
+        p, d, q = self.order
+        P, D, Q = self.seasonal_order
+        m = self.m
+        y = self.y
+        # difference history
+        w = y.copy()
+        for _ in range(d):
+            w = np.diff(w)
+        for _ in range(D):
+            w = w[m:] - w[:-m]
+        phi_b = self.arpoly
+        th_b = self.mapoly
+        pfull = len(phi_b) - 1
+        qfull = len(th_b) - 1
+        e = np.zeros(len(w))
+        for t in range(len(w)):
+            acc = self.c
+            for j in range(1, min(pfull, t) + 1):
+                acc -= phi_b[j] * w[t - j]
+            macc = 0.0
+            for j in range(1, min(qfull, t) + 1):
+                macc += th_b[j] * e[t - j]
+            e[t] = w[t] - acc - macc
+        # recursive point forecasts of w
+        wext = list(w)
+        eext = list(e)
+        for h in range(horizon):
+            t = len(wext)
+            acc = self.c
+            for j in range(1, pfull + 1):
+                acc -= phi_b[j] * wext[t - j] if t - j >= 0 else 0.0
+            macc = 0.0
+            for j in range(1, qfull + 1):
+                if 0 <= t - j:
+                    macc += th_b[j] * eext[t - j]  # appended future shocks are 0
+            wext.append(acc + macc)
+            eext.append(0.0)
+        wf = np.array(wext[len(w):])
+        mean = _integrate(y, wf, d, D, m)
+        # psi weights on the fully-differenced scale, then cumulate through
+        # the integration polynomial for the variance
+        full_ar = phi_b
+        # integration polynomial: (1-B)^d (1-B^m)^D
+        integ = np.array([1.0])
+        for _ in range(d):
+            integ = np.convolve(integ, np.array([1.0, -1.0]))
+        for _ in range(D):
+            zz = np.zeros(m + 1); zz[0] = 1.0; zz[m] = -1.0
+            integ = np.convolve(integ, zz)
+        ar_total = np.convolve(full_ar, integ)
+        psi = _psi_weights(ar_total, th_b, horizon)
+        var_h = self.sigma2 * np.cumsum(psi ** 2)
+        return bands_from_sigma(mean, np.sqrt(var_h))
+
+
+def _integrate(y, wf, d, D, m):
+    """Invert the differencing operators on forecasts wf given history y."""
+    # build the chain of histories at each differencing stage
+    stages = [np.asarray(y, float)]
+    cur = np.asarray(y, float)
+    for _ in range(d):
+        cur = np.diff(cur)
+        stages.append(cur)
+    for _ in range(D):
+        cur = cur[m:] - cur[:-m]
+        stages.append(cur)
+    fc = np.asarray(wf, float)
+    # undo seasonal differences first (inverse order of application)
+    for level in range(D):
+        hist = stages[d + D - 1 - level]
+        out = np.empty_like(fc)
+        buf = list(hist[-m:]) if len(hist) >= m else [0.0] * m
+        for h in range(len(fc)):
+            val = fc[h] + buf[h % m]
+            buf[h % m] = val
+            out[h] = val
+        fc = out
+    for level in range(d):
+        hist = stages[d - 1 - level]
+        last = hist[-1]
+        out = np.empty_like(fc)
+        acc = last
+        for h in range(len(fc)):
+            acc = acc + fc[h]
+            out[h] = acc
+        fc = out
+    return fc
+
+
+def _psi_weights(arpoly, mapoly, horizon):
+    """MA(∞) weights ψ_j, j=0..horizon-1 from φ(B)ψ(B)=θ(B)."""
+    psi = np.zeros(horizon)
+    psi[0] = 1.0
+    p = len(arpoly) - 1
+    q = len(mapoly) - 1
+    for j in range(1, horizon):
+        val = mapoly[j] if j <= q else 0.0
+        for i in range(1, min(j, p) + 1):
+            val -= arpoly[i] * psi[j - i]
+        psi[j] = val
+    return psi
+
+
+def fit_arima(y: np.ndarray, frequency: int, force_seasonality: bool = False,
+              max_p: int = 3, max_q: int = 3, max_P: int = 1, max_Q: int = 1,
+              max_order: int = 5) -> ArimaModel:
+    """Exhaustive auto-ARIMA (stepwise=FALSE semantics, R:90)."""
+    y = np.asarray(y, float)
+    n = len(y)
+    m = max(1, int(frequency))
+    seasonal = m > 1 and n >= 2 * m + 2
+    d = ndiffs(y)
+    if seasonal:
+        D = 1 if force_seasonality else nsdiffs(y, m)  # D=NA→estimated; D=1 forced (R:87-88)
+    else:
+        D = 0
+    # differenced series
+    w = y.copy()
+    for _ in range(d):
+        w = np.diff(w)
+    for _ in range(D):
+        w = w[m:] - w[:-m]
+    nw = len(w)
+    if nw < 5:
+        # too short: white-noise model
+        c = float(np.mean(w)) if nw else 0.0
+        sigma2 = float(np.var(w)) if nw > 1 else 1e-8
+        return ArimaModel(y, m, (0, d, 0), (0, D, 0), ((), (), (), ()), c,
+                          sigma2, np.inf, w - c, np.array([1.0]), np.array([1.0]))
+    include_const = (d + D) < 2
+    best = None
+    Ps = range(max_P + 1) if seasonal else [0]
+    Qs = range(max_Q + 1) if seasonal else [0]
+    for p, q, P, Q in itertools.product(range(max_p + 1), range(max_q + 1), Ps, Qs):
+        if p + q + P + Q > max_order:
+            continue
+        if p + q + P + Q == 0 and not include_const:
+            # pure noise handled above via best=None fallback below
+            pass
+        k = p + q + P + Q
+        if nw <= k + 2:
+            continue
+
+        def objective(x, p=p, q=q, P=P, Q=Q):
+            phi = x[:p]
+            theta = x[p:p + q]
+            Phi = x[p + q:p + q + P]
+            Theta = x[p + q + P:p + q + P + Q]
+            c = x[-1] if include_const else 0.0
+            if np.any(np.abs(phi) > 5) or np.any(np.abs(theta) > 5):
+                return 1e12
+            # stationarity/invertibility guard on full polynomials
+            e, arpoly, mapoly = _css_residuals(w, phi, theta, Phi, Theta, m, c)
+            if not _roots_ok(arpoly) or not _roots_ok(mapoly):
+                return 1e12
+            sse = float(e @ e)
+            return sse if np.isfinite(sse) else 1e12
+
+        nx = k + (1 if include_const else 0)
+        if nx == 0:
+            e = w.copy()
+            sse = float(e @ e)
+            xfit = np.array([])
+        else:
+            x0 = np.concatenate([np.full(k, 0.1),
+                                 [np.mean(w)] if include_const else []])
+            xfit, sse = nelder_mead(objective, x0, max_iter=200 + 60 * k)
+        sigma2 = sse / nw if nw else 1e-8
+        if sigma2 <= 0:
+            sigma2 = 1e-12
+        ll = nw * np.log(sigma2)
+        crit = aicc(ll, nx, nw)
+        if best is None or crit < best[0]:
+            best = (crit, p, q, P, Q, xfit, sigma2)
+    crit, p, q, P, Q, x, sigma2 = best
+    phi = tuple(x[:p]); theta = tuple(x[p:p + q])
+    Phi = tuple(x[p + q:p + q + P]); Theta = tuple(x[p + q + P:p + q + P + Q])
+    c = float(x[-1]) if include_const and len(x) else 0.0
+    e, arpoly, mapoly = _css_residuals(w, phi, theta, Phi, Theta, m, c)
+    return ArimaModel(y, m, (p, d, q), (P, D, Q), (phi, theta, Phi, Theta),
+                      c, sigma2, crit, e, arpoly, mapoly)
+
+
+def _roots_ok(poly, eps: float = 0.001) -> bool:
+    """All roots of 1 + c1 B + ... outside unit circle."""
+    if len(poly) <= 1:
+        return True
+    coeffs = poly[::-1]  # numpy.roots wants highest degree first
+    if np.all(np.abs(poly[1:]) < 1e-12):
+        return True
+    r = np.roots(coeffs)
+    return bool(np.all(np.abs(r) > 1 + eps))

@@ -1,0 +1,153 @@
+"""PROPHET — date-aware additive model (piecewise trend + Fourier season).
+
+Reproduces the semantics of the reference's Prophet path
+(``TimeSeriesFunctions_GPL_0.5.1.R:368-384``): the ONE method that keeps
+calendar dates (data.frame(ds, y), R:35-38); ``prophet(df,
+daily.seasonality='auto', weekly.seasonality='auto')``, future frame at
+``freq='day'`` regardless of the passed frequency (quirk 4, R:369/379),
+``include_history=FALSE`` (R:379), and a SINGLE interval band duplicated
+into both pairs (quirk 2, R:381-382 — Prophet's default
+``interval_width=0.80``).
+
+The container has no Stan, so this is the MAP skeleton of Prophet's
+model fitted by ridge regression: piecewise-linear trend with 25
+changepoints over the first 80% of history (Prophet defaults), weekly
+Fourier order 3 + yearly order 10 (when the span supports them), and
+uncertainty from residual sigma + simulated future trend changepoints
+(Prophet's interval mechanism, deterministic seeded generator).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .common import seeded_rng
+
+_INTERVAL_Z = 1.2815515655446004  # 80% interval (Prophet default width)
+
+
+class ProphetLikeModel:
+    def __init__(self, ds, y, coef, changepoints, deltas, sigma, k, b0,
+                 t_scale, y_scale, season_spec):
+        self.ds = ds                    # int days since epoch, ascending
+        self.y = np.asarray(y, float)
+        self.coef = coef                # seasonal+trend ridge coefficients
+        self.changepoints = changepoints
+        self.deltas = deltas
+        self.sigma = sigma
+        self.k = k
+        self.b0 = b0
+        self.t_scale = t_scale
+        self.y_scale = y_scale
+        self.season_spec = season_spec  # [(period_days, order), ...]
+
+    @property
+    def method(self) -> str:
+        return "ProphetLike"
+
+    def _design(self, t_days: np.ndarray) -> np.ndarray:
+        cols = []
+        for period, order in self.season_spec:
+            for i in range(1, order + 1):
+                arg = 2 * np.pi * i * t_days / period
+                cols.append(np.sin(arg))
+                cols.append(np.cos(arg))
+        if not cols:
+            return np.zeros((len(t_days), 0))
+        return np.column_stack(cols)
+
+    def _trend(self, t_norm: np.ndarray) -> np.ndarray:
+        out = self.b0 + self.k * t_norm
+        for cp, delta in zip(self.changepoints, self.deltas):
+            out = out + delta * np.clip(t_norm - cp, 0, None)
+        return out
+
+    def forecast(self, horizon: int, seed_key=("prophet",)) -> dict:
+        last = self.ds[-1]
+        fut_days = np.arange(last + 1, last + 1 + horizon, dtype=float)
+        t_norm = (fut_days - self.ds[0]) / self.t_scale
+        X = self._design(fut_days)
+        seasonal = X @ self.coef if X.shape[1] else np.zeros(horizon)
+        mean = (self._trend(t_norm) + seasonal) * self.y_scale
+        # uncertainty: residual noise + future changepoint simulation
+        rng = seeded_rng(*seed_key, "prophet-sim")
+        n_sims = 1000
+        lam = np.mean(np.abs(self.deltas)) if len(self.deltas) else 0.0
+        n_cp = max(1, len(self.changepoints))
+        sims = np.empty((n_sims, horizon))
+        for s in range(n_sims):
+            trend = self._trend(t_norm)
+            if lam > 0:
+                # future changepoints arrive at the historical rate
+                p_change = n_cp / max(1, len(self.ds))
+                draws = rng.random(horizon) < p_change
+                deltas = rng.laplace(0, lam, size=horizon) * draws
+                # each delta changes the slope from its arrival day onward:
+                # cumulative slope × one day per step (normalized time)
+                extra = np.cumsum(np.cumsum(deltas)) / self.t_scale
+                trend = trend + extra
+            noise = rng.normal(0, self.sigma, size=horizon)
+            sims[s] = (trend + seasonal) * self.y_scale + noise * self.y_scale
+        lower = np.quantile(sims, 0.10, axis=0)
+        upper = np.quantile(sims, 0.90, axis=0)
+        # single 80% band duplicated into both pairs (R:381-382)
+        return {"mean": mean, "lower1": lower, "lower2": lower,
+                "upper1": upper, "upper2": upper}
+
+
+def fit_prophet_like(ds_days: np.ndarray, y: np.ndarray) -> ProphetLikeModel:
+    """``ds_days``: integer days-since-epoch (the reference's ds column,
+    R:35-38); gaps allowed — Prophet is calendar-aware."""
+    ds = np.asarray(ds_days, float)
+    order = np.argsort(ds)
+    ds = ds[order]
+    y = np.asarray(y, float)[order]
+    n = len(y)
+    if n == 0:
+        raise ValueError("empty series")
+    y_scale = float(np.max(np.abs(y))) or 1.0
+    ys = y / y_scale
+    t_scale = max(1.0, ds[-1] - ds[0])
+    t_norm = (ds - ds[0]) / t_scale
+    span_days = ds[-1] - ds[0]
+    # seasonality auto rules (Prophet): weekly if span >= 2 weeks,
+    # yearly if span >= 2 years; sub-daily data doesn't occur here
+    season_spec = []
+    if span_days >= 14 and n >= 14:
+        season_spec.append((7.0, 3))
+    if span_days >= 730:
+        season_spec.append((365.25, 10))
+    # changepoints: 25 over first 80% (Prophet defaults), on observed points
+    n_cp = min(25, max(0, n // 3))
+    cp_idx = np.linspace(1, int(0.8 * (n - 1)), n_cp).astype(int) if n_cp else []
+    changepoints = np.unique(t_norm[cp_idx]) if n_cp else np.array([])
+
+    # design: [1, t, hinge(t-cp)..., fourier...] with ridge on hinges+fourier
+    cols = [np.ones(n), t_norm]
+    for cp in changepoints:
+        cols.append(np.clip(t_norm - cp, 0, None))
+    X_season_full = []
+    for period, order_ in season_spec:
+        for i in range(1, order_ + 1):
+            arg = 2 * np.pi * i * ds / period
+            X_season_full.append(np.sin(arg))
+            X_season_full.append(np.cos(arg))
+    A = np.column_stack(cols + X_season_full) if X_season_full else np.column_stack(cols)
+    # ridge penalties: none on intercept/slope, tau on hinges (sparse
+    # changepoints, Laplace-prior stand-in), light on seasonality
+    pen = np.zeros(A.shape[1])
+    pen[2:2 + len(changepoints)] = 1.0 / 0.05   # changepoint_prior_scale=0.05
+    if X_season_full:
+        pen[2 + len(changepoints):] = 1.0 / 10.0  # seasonality_prior_scale=10
+    AtA = A.T @ A + np.diag(pen)
+    coef_all = np.linalg.solve(AtA, A.T @ ys)
+    b0, k = float(coef_all[0]), float(coef_all[1])
+    deltas = coef_all[2:2 + len(changepoints)]
+    coef_season = coef_all[2 + len(changepoints):]
+    fitted = A @ coef_all
+    resid = ys - fitted
+    sigma = float(np.std(resid, ddof=1)) if n > 2 else 0.0
+    model = ProphetLikeModel(ds.astype(int), y, coef_season, changepoints,
+                             np.asarray(deltas), sigma, k, b0, t_scale,
+                             y_scale, season_spec)
+    return model

@@ -1,0 +1,165 @@
+"""Driver-facing forecast queries.
+
+Two tiers:
+- the four closed-form forecasters (MEAN/NAIVE/SNAIVE/DRIFT) have FULL
+  DuckDB oracles — point forecasts and 80/95 bands are exact SQL, so the
+  driver hash-checks the whole forecast pipeline (scan → series build →
+  grouped UDF → 5-band rows) end-to-end;
+- the reference's 10 methods (R:6-7) are iterative model fits, not
+  SQL-expressible → rows-only entries (the driver records the weaker
+  check; tests/test_forecast_golden.py adds tolerance-based goldens).
+
+All run on the events-derived metric series (5 series × 30 daily points,
+frequency 7, horizon 14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import events_as_metrics, load_table
+from .api import forecast_batch
+
+Z80 = "1.2815515655446004"
+Z95 = "1.959963984540054"
+
+_ROUND = 6
+
+
+def _metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_as_metrics(load_table(spark, sf_dir, "events"))
+
+
+def _batch(spark, sf_dir, method, horizon=14):
+    out = forecast_batch(spark, _metrics(spark, sf_dir), method,
+                         frequency=7, horizon=horizon)
+    cols = ["lower1", "lower2", "mean", "upper1", "upper2"]
+    out = out.select(
+        "name", "index", "method", F.col("step").cast("long").alias("step"),
+        *[F.round(c, _ROUND).alias(c) for c in cols])
+    return out
+
+
+def _make(method):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _batch(spark, sf_dir, method)
+    q.__name__ = f"forecast_{method.lower()}_events"
+    return q
+
+
+QUERIES = {
+    # oracle-backed closed forms
+    "forecast_mean_events": _make("MEAN"),
+    "forecast_naive_events": _make("NAIVE"),
+    "forecast_snaive_events": _make("SNAIVE"),
+    "forecast_drift_events": _make("DRIFT"),
+    # the reference's method registry (rows-only driver check)
+    "forecast_ets_events": _make("ETS"),
+    "forecast_etsdamped_events": _make("ETSDAMPED"),
+    "forecast_theta_events": _make("THETA"),
+    "forecast_stl_events": _make("STL"),
+    "forecast_arima_events": _make("ARIMA"),
+    "forecast_arima_force_seasonality_events": _make("ARIMA_FORCE_SEASONALITY"),
+    "forecast_nn_events": _make("NN"),
+    "forecast_baggedets_events": _make("BAGGEDETS"),
+    "forecast_prophet_events": _make("PROPHET"),
+    "forecast_hybrid_events": _make("HYBRID"),
+}
+
+# ---------------------------------------------------------------------------
+# Oracles.  Shared scaffolding: the daily series per event_type with a
+# positional index, then per-method closed-form forecast math over a
+# 14-step horizon (steps via generate_series).
+# ---------------------------------------------------------------------------
+
+_SERIES_CTE = """
+WITH metrics AS (
+    SELECT event_type AS name,
+           'test.metrics.events' AS index,
+           CAST(ts AS DATE) AS evaluationDate,
+           round(sum(value), 6) AS value
+    FROM events GROUP BY 1, 2, 3
+), series AS (
+    SELECT name, index,
+           row_number() OVER (PARTITION BY name, index
+                              ORDER BY evaluationDate ASC, value ASC) - 1 AS t,
+           CAST(value AS DOUBLE) AS y
+    FROM metrics
+), stats AS (
+    SELECT name, index, count(*) AS n, avg(y) AS ybar,
+           stddev_samp(y) AS sd_y,
+           max(CASE WHEN rev = 0 THEN y END) AS y_last,
+           max(CASE WHEN rev = CAST(cnt - 1 AS BIGINT) THEN y END) AS y_first
+    FROM (SELECT *, count(*) OVER (PARTITION BY name, index) AS cnt,
+                 CAST(cnt - t - 1 AS BIGINT) AS rev
+          FROM series)
+    GROUP BY name, index
+), diffs AS (
+    SELECT name, index, stddev_samp(d) AS sd_diff
+    FROM (SELECT name, index, y - lag(y) OVER (PARTITION BY name, index ORDER BY t) AS d
+          FROM series)
+    WHERE d IS NOT NULL
+    GROUP BY name, index
+), sdiffs AS (
+    SELECT name, index, stddev_samp(d) AS sd_sdiff
+    FROM (SELECT name, index, y - lag(y, 7) OVER (PARTITION BY name, index ORDER BY t) AS d
+          FROM series)
+    WHERE d IS NOT NULL
+    GROUP BY name, index
+), steps AS (
+    SELECT CAST(h AS BIGINT) AS step FROM generate_series(1, 14) AS g(h)
+)
+"""
+
+
+def _oracle(select_body: str) -> str:
+    return _SERIES_CTE + select_body
+
+
+ORACLES = {
+    "forecast_mean_events": _oracle(f"""
+        SELECT s.name, s.index, 'MEAN' AS method, st.step,
+               round(ybar - {Z80} * sd_y * sqrt(1 + 1.0/n), {_ROUND}) AS lower1,
+               round(ybar - {Z95} * sd_y * sqrt(1 + 1.0/n), {_ROUND}) AS lower2,
+               round(ybar, {_ROUND}) AS mean,
+               round(ybar + {Z80} * sd_y * sqrt(1 + 1.0/n), {_ROUND}) AS upper1,
+               round(ybar + {Z95} * sd_y * sqrt(1 + 1.0/n), {_ROUND}) AS upper2
+        FROM stats s CROSS JOIN steps st
+    """),
+    "forecast_naive_events": _oracle(f"""
+        SELECT s.name, s.index, 'NAIVE' AS method, st.step,
+               round(y_last - {Z80} * sd_diff * sqrt(st.step), {_ROUND}) AS lower1,
+               round(y_last - {Z95} * sd_diff * sqrt(st.step), {_ROUND}) AS lower2,
+               round(y_last, {_ROUND}) AS mean,
+               round(y_last + {Z80} * sd_diff * sqrt(st.step), {_ROUND}) AS upper1,
+               round(y_last + {Z95} * sd_diff * sqrt(st.step), {_ROUND}) AS upper2
+        FROM stats s
+        JOIN diffs d ON s.name = d.name AND s.index = d.index
+        CROSS JOIN steps st
+    """),
+    "forecast_snaive_events": _oracle(f"""
+        SELECT s.name, s.index, 'SNAIVE' AS method, st.step,
+               round(sv.y - {Z80} * sd_sdiff * sqrt(floor((st.step - 1) / 7) + 1), {_ROUND}) AS lower1,
+               round(sv.y - {Z95} * sd_sdiff * sqrt(floor((st.step - 1) / 7) + 1), {_ROUND}) AS lower2,
+               round(sv.y, {_ROUND}) AS mean,
+               round(sv.y + {Z80} * sd_sdiff * sqrt(floor((st.step - 1) / 7) + 1), {_ROUND}) AS upper1,
+               round(sv.y + {Z95} * sd_sdiff * sqrt(floor((st.step - 1) / 7) + 1), {_ROUND}) AS upper2
+        FROM stats s
+        JOIN sdiffs sd2 ON s.name = sd2.name AND s.index = sd2.index
+        CROSS JOIN steps st
+        JOIN series sv
+          ON sv.name = s.name AND sv.index = s.index
+         AND sv.t = s.n - 7 + ((st.step - 1) % 7)
+    """),
+    "forecast_drift_events": _oracle(f"""
+        SELECT s.name, s.index, 'DRIFT' AS method, st.step,
+               round(y_last + st.step * b - {Z80} * sd_diff * sqrt(st.step * (1 + st.step / (n - 1.0))), {_ROUND}) AS lower1,
+               round(y_last + st.step * b - {Z95} * sd_diff * sqrt(st.step * (1 + st.step / (n - 1.0))), {_ROUND}) AS lower2,
+               round(y_last + st.step * b, {_ROUND}) AS mean,
+               round(y_last + st.step * b + {Z80} * sd_diff * sqrt(st.step * (1 + st.step / (n - 1.0))), {_ROUND}) AS upper1,
+               round(y_last + st.step * b + {Z95} * sd_diff * sqrt(st.step * (1 + st.step / (n - 1.0))), {_ROUND}) AS upper2
+        FROM (SELECT *, (y_last - y_first) / (n - 1.0) AS b FROM stats) s
+        JOIN diffs d ON s.name = d.name AND s.index = d.index
+        CROSS JOIN steps st
+    """),
+}

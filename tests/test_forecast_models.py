@@ -1,0 +1,82 @@
+"""Model-level tests (no Spark): band ordering, reference quirks, edges."""
+
+import numpy as np
+import pytest
+
+from qrapids_forecast_r_script_spark.forecast.dispatch import (
+    EXTRA_METHODS, METHODS, fit_method, forecast_fitted)
+
+RNG = np.random.default_rng(42)
+N = 60
+T = np.arange(N)
+Y = 100 + 0.5 * T + 10 * np.sin(2 * np.pi * T / 7) + RNG.normal(0, 3, N)
+DS = 19000 + T
+
+FAST = [m for m in METHODS + EXTRA_METHODS if m not in ("HYBRID",)]
+
+
+@pytest.mark.parametrize("method", FAST)
+def test_bands_ordered(method):
+    model = fit_method(method, Y, 7, ds_days=DS, horizon=14,
+                       seed_key=("t", "i", method))
+    b = forecast_fitted(model, 14, seed_key=("t", "i", method))
+    eps = 1e-9
+    assert np.all(b["lower2"] <= b["lower1"] + eps)
+    assert np.all(b["lower1"] <= b["mean"] + eps)
+    assert np.all(b["mean"] <= b["upper1"] + eps)
+    assert np.all(b["upper1"] <= b["upper2"] + eps)
+    assert len(b["mean"]) == 14
+
+
+@pytest.mark.parametrize("method", ["BAGGEDETS", "PROPHET"])
+def test_single_band_duplicated(method):
+    """Reference quirk 2 (R:216-217, R:381-382): lower1==lower2,
+    upper1==upper2 for the single-band methods."""
+    model = fit_method(method, Y, 7, ds_days=DS, seed_key=("t", "i", method))
+    b = forecast_fitted(model, 10, seed_key=("t", "i", method))
+    np.testing.assert_array_equal(b["lower1"], b["lower2"])
+    np.testing.assert_array_equal(b["upper1"], b["upper2"])
+
+
+def test_forecast_deterministic():
+    """Same seed key → identical simulated bands (stability across runs
+    and partitionings — required for the driver's hash checks)."""
+    for method in ("NN", "BAGGEDETS", "PROPHET"):
+        b1 = forecast_fitted(fit_method(method, Y, 7, ds_days=DS,
+                                        seed_key=("a", "b", method)), 7,
+                             seed_key=("a", "b", method))
+        b2 = forecast_fitted(fit_method(method, Y, 7, ds_days=DS,
+                                        seed_key=("a", "b", method)), 7,
+                             seed_key=("a", "b", method))
+        np.testing.assert_allclose(b1["lower1"], b2["lower1"])
+        np.testing.assert_allclose(b1["upper2"], b2["upper2"])
+
+
+@pytest.mark.parametrize("method", ["ETS", "ARIMA", "THETA", "STL", "MEAN"])
+@pytest.mark.parametrize("y", [np.ones(12), np.array([5.0, 6.0, 4.0]),
+                               -np.abs(RNG.normal(0, 1, 40))],
+                         ids=["constant", "tiny", "negative"])
+def test_edge_series(method, y):
+    model = fit_method(method, y, 7, seed_key=("e", "i", method))
+    b = forecast_fitted(model, 5, seed_key=("e", "i", method))
+    assert np.all(np.isfinite(b["mean"]))
+
+
+def test_accuracy_on_signal():
+    """Point forecasts should track a clean trend+seasonal signal."""
+    y_clean = 100 + 0.5 * T + 10 * np.sin(2 * np.pi * T / 7)
+    truth = 100 + 0.5 * (N + np.arange(14)) + \
+        10 * np.sin(2 * np.pi * (N + np.arange(14)) / 7)
+    for method in ("ETS", "THETA", "STL", "SNAIVE"):
+        model = fit_method(method, y_clean, 7, seed_key=("a", "i", method))
+        b = forecast_fitted(model, 14, seed_key=("a", "i", method))
+        rmse = float(np.sqrt(np.mean((b["mean"] - truth) ** 2)))
+        assert rmse < 8.0, f"{method} rmse={rmse}"
+
+
+def test_hybrid_weights_and_bands():
+    model = fit_method("HYBRID", Y, 7, horizon=7, seed_key=("h", "i", "HYBRID"))
+    assert abs(sum(model.weights.values()) - 1.0) < 1e-9
+    assert set(model.models) <= set("aefns")
+    b = forecast_fitted(model, 7, seed_key=("h", "i", "HYBRID"))
+    assert np.all(b["lower2"] <= b["mean"]) and np.all(b["mean"] <= b["upper2"])
