@@ -47,6 +47,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        from qrapids_forecast_r_script_spark.operators import multimodal
+        regs.append((multimodal.QUERIES, multimodal.ORACLES))
+    except ImportError:
+        pass
+    try:
         from qrapids_forecast_r_script_spark.forecast import queries as fq
         regs.append((fq.QUERIES, fq.ORACLES))
     except ImportError:

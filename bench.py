@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+The headline set covers every engine layer: TPC-H-style relational
+(scan/agg/join/window/as-of), the forecast core (batch ETS over all
+series + an oracle-checked closed form), dedup (exact + MinHash-LSH),
+similarity (brute-force cosine top-k), text analysis, and streaming
+(sessionization).  Each runs to completion (count) with AQE on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "events_daily_rolling",
+    "events_asof_last_error",
+    "user_sessions",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "cosine_topk_bruteforce",
+    "text_stats",
+    "forecast_snaive_events",
+    "forecast_ets_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    import __spark_entry__ as entrymod
+    from qrapids_forecast_r_script_spark.session import get_spark
+
+    spark = get_spark("qrapids-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    # warm the JVM + parquet footers with a trivial action
+    qs["part_filter_projection"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

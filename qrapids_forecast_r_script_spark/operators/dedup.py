@@ -1,0 +1,336 @@
+"""Deduplication operators over ``documents`` (north-star extension).
+
+Four tiers, each the idiomatic at-scale Spark shape:
+
+- exact: md5-hash groupBy — one shuffle on the hash, keeps min doc_id.
+- n-gram Jaccard: shingle-explode + shared-shingle join + count ratio —
+  the exact pairwise method (quadratic only within shingle buckets).
+- MinHash + LSH: k=16 universal-hash minhashes over md5-derived shingle
+  hashes, banded 4×4; candidate pairs from band-bucket joins, similarity
+  estimated as matching-minhash fraction.  Every step is deterministic
+  integer arithmetic on md5 — reproducible in ANSI SQL, so even the LSH
+  path has a full DuckDB oracle.
+- SimHash: 32-bit sign-aggregated token hashes per doc (rows checkable
+  the same way).
+
+At 100 TB: exact dedup is a single hash shuffle; MinHash/LSH replaces the
+quadratic join with band-bucket joins whose fan-out is controlled by band
+count; the shingle explode is map-side and never materializes cross
+products outside buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..sources import load_table
+
+# fixed universal-hash parameters: h_i(x) = (a_i*x + b_i) mod p, p prime
+# > 2^32.  All a_i < 2^30 so a*h stays below 2^62 — Spark 4 runs ANSI mode
+# (overflow errors) and DuckDB BIGINT would overflow the same way.
+_P = 4294967311
+_HASH_PARAMS = [
+    (1103515245, 12345), (214013, 2531011), (22695477, 1),
+    (1664525, 1013904223), (69069, 1234567), (48271, 100001),
+    (16807, 7), (134775813, 1), (747796405, 2891336453 % 4294967311),
+    (997142417, 11), (993319303, 101), (374761393, 668265263),
+    (268435399, 13), (536870909, 17), (805306457, 19),
+    (1073741789, 23), ]
+_N_HASH = len(_HASH_PARAMS)
+_BANDS = 4
+_ROWS_PER_BAND = _N_HASH // _BANDS
+
+
+def shingle_table(docs: DataFrame, distinct: bool = False) -> DataFrame:
+    """(doc_id, shingle) word-bigram rows via posexplode + lead window.
+
+    Deliberately NOT a nested higher-order-function array expression:
+    lambdas that close over ``split(text)`` re-evaluate the split per
+    element access (measured ~100 µs/shingle — 70 s at sf0.1).  The
+    explode + window form keeps every step in whole-stage codegen with a
+    single shuffle on doc_id, which downstream aggregations share.
+    """
+    from pyspark.sql.window import Window
+    toks = (docs
+            .select("doc_id", F.posexplode(F.split("text", " "))
+                    .alias("pos", "tok")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (toks
+          .withColumn("nxt", F.lead("tok", 1).over(w))
+          .where(F.col("nxt").isNotNull())
+          .select("doc_id",
+                  F.concat_ws(" ", F.col("tok"), F.col("nxt")).alias("shingle")))
+    return sh.distinct() if distinct else sh
+
+
+def shingle_hash_col() -> Column:
+    """32-bit md5-derived integer hash of the shingle column."""
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10) \
+        .cast("long")
+
+
+def _minhash_sig_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<long>[16]) via explode + 16 min-aggregates.
+
+    Deliberately NOT a nested array expression (array_min(transform(...))
+    × 16): each reference of such a tree re-materializes the md5 shingle
+    chain — measured ~80 ms/doc interpreted.  Exploding once and taking
+    16 ``min((h*a+b) % p)`` aggregates keeps the md5 per shingle single
+    and the arithmetic in whole-stage codegen; the one shuffle on doc_id
+    is the same shuffle the downstream band join needs anyway.
+    """
+    sh = shingle_table(docs).select("doc_id", shingle_hash_col().alias("h"))
+    aggs = [F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P))
+            .alias(f"mh_{i}") for i, (a, b) in enumerate(_HASH_PARAMS)]
+    per = sh.groupBy("doc_id").agg(*aggs)
+    return per.select(
+        "doc_id",
+        F.array(*[F.col(f"mh_{i}") for i in range(_N_HASH)]).alias("sig"))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one representative (min doc_id) per
+    distinct text + the duplicate count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs
+            .groupBy(F.md5("text").alias("content_hash"))
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .where(F.col("n_copies") >= 1))
+
+
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after normalization (lowercase + whitespace collapse) —
+    the usual first pass before near-dup methods."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (docs
+            .groupBy(norm.alias("content_hash"))
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: explode distinct word-bigram
+    shingles, join docs sharing a shingle, Jaccard = |∩| / (|A|+|B|-|∩|).
+    Emits pairs with J >= 0.15 (doc_a < doc_b)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # distinct shingles per doc; counts come from a separate small
+    # aggregate broadcast back onto the pair table (carrying a per-doc
+    # count through the explode re-evaluates the array per row)
+    sh = shingle_table(docs, distinct=True)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (a.join(b, "shingle")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    ca = F.broadcast(counts.select(F.col("doc_id").alias("doc_a"),
+                                   F.col("n_sh").alias("n_a")))
+    cb = F.broadcast(counts.select(F.col("doc_id").alias("doc_b"),
+                                   F.col("n_sh").alias("n_b")))
+    return (pairs.join(ca, "doc_a").join(cb, "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_common")
+                                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+            .where(F.col("jaccard") >= 0.15)
+            .select("doc_a", "doc_b", "n_common", "jaccard"))
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature summary (k=16 universal hashes over
+    md5-derived shingle hashes): deterministic, hash-checkable columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (_minhash_sig_table(docs)
+            .select("doc_id",
+                    F.element_at("sig", 1).alias("minhash_0"),
+                    F.element_at("sig", _N_HASH).alias(f"minhash_{_N_HASH - 1}"),
+                    F.aggregate("sig", F.lit(0).cast("long"),
+                                lambda acc, x: acc + x).alias("sig_sum"),
+                    F.array_min("sig").alias("sig_min")))
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 4 bands × 4 rows; docs sharing a band
+    signature become candidates; est. Jaccard = matching minhash fraction.
+    Fully deterministic → oracled in SQL.  At scale: the self-join is on
+    (band_id, band_sig) buckets only."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_sig = _minhash_sig_table(docs)
+    bands = with_sig.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band_id"),
+                     F.concat_ws("_", *[
+                         F.element_at("sig", bi * _ROWS_PER_BAND + r + 1)
+                         for r in range(_ROWS_PER_BAND)]).alias("band_sig"))
+            for bi in range(_BANDS)])).alias("band")
+    ).select("doc_id", "sig", "band.band_id", "band.band_sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (a.join(b, ["band_id", "band_sig"])
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.sig").alias("sig_a"),
+                     F.col("b.sig").alias("sig_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    match_cnt = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    return (pairs
+            .withColumn("n_matching", match_cnt)
+            .withColumn("est_jaccard", F.round(F.col("n_matching") / _N_HASH, 6))
+            .select("doc_a", "doc_b", "n_matching", "est_jaccard"))
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: sign-sum of per-token md5 bits.
+
+    Declarative form: for each bit position, count tokens with that bit
+    set vs total; bit set in the simhash when majority.  Deterministic →
+    SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    th = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    n = F.size(th)
+    def _bit_counter(mask: int):
+        def step(acc, h):
+            return acc + (h.bitwiseAND(F.lit(mask)) != 0).cast("int")
+        return step
+
+    bits = []
+    for bit in range(32):
+        mask = 1 << bit
+        cnt = F.aggregate(th, F.lit(0), _bit_counter(mask))
+        bits.append(F.when(cnt * 2 >= n, F.lit(mask)).otherwise(F.lit(0)))
+    simhash = bits[0]
+    for b in bits[1:]:
+        simhash = simhash + b
+    return docs.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLE_HASH_CTE = """
+WITH sh AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 1),
+               i -> ('0x' || substr(md5(string_split(text, ' ')[i]
+                         || ' ' || string_split(text, ' ')[i + 1]), 1, 8))::BIGINT)
+               AS hashes
+    FROM documents
+), sig AS (
+    SELECT doc_id,
+           [{minhash_exprs}] AS sig
+    FROM sh
+)
+"""
+
+_MINHASH_EXPRS = ", ".join(
+    f"list_min(list_transform(hashes, h -> (h * {a} + {b}) % {_P}))"
+    for a, b in _HASH_PARAMS)
+
+_SIG_CTE = _SHINGLE_HASH_CTE.format(minhash_exprs=_MINHASH_EXPRS)
+
+def _band_select(bi: int) -> str:
+    sig_concat = " || '_' || ".join(
+        f"CAST(sig[{bi * _ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+        for r in range(_ROWS_PER_BAND))
+    return (f"SELECT doc_id, sig, {bi} AS band_id, {sig_concat} AS band_sig "
+            "FROM sig")
+
+
+_BANDS_UNION = " UNION ALL ".join(_band_select(bi) for bi in range(_BANDS))
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+        HAVING count(*) >= 1
+    """,
+    "dedup_exact_normalized": """
+        SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "ngram_jaccard_pairs": """
+        WITH doc_sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' '
+                            || string_split(text, ' ')[i + 1])) AS shingles
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh
+            FROM doc_sh
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_common,
+               round(count(*) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6)
+                   AS jaccard
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        HAVING round(count(*) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.15
+    """,
+    "minhash_signatures": _SIG_CTE + f"""
+        SELECT doc_id,
+               sig[1] AS minhash_0,
+               sig[{_N_HASH}] AS minhash_{_N_HASH - 1},
+               CAST(list_sum(sig) AS BIGINT) AS sig_sum,
+               list_min(sig) AS sig_min
+        FROM sig
+    """,
+    "minhash_lsh_pairs": _SIG_CTE + f"""
+        , bands AS ({_BANDS_UNION}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               len(list_filter(generate_series(1, {_N_HASH}),
+                               i -> sa.sig[i] = sb.sig[i])) AS n_matching,
+               round(len(list_filter(generate_series(1, {_N_HASH}),
+                               i -> sa.sig[i] = sb.sig[i])) / {_N_HASH}.0, 6)
+                   AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+    """,
+    "simhash_docs": """
+        WITH th AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hashes,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST({simhash_sum} AS BIGINT) AS simhash
+        FROM th
+    """.format(simhash_sum=" + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hashes, h -> (h & {1 << bit}) != 0)) >= n "
+        f"THEN {1 << bit} ELSE 0 END)" for bit in range(32))),
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_normalized": dedup_exact_normalized,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_docs": simhash_docs,
+}

@@ -1,0 +1,205 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+extension: the text layer of a large-scale training-data pipeline).
+
+All pure Catalyst expressions — no UDFs — so they stay in whole-stage
+codegen and scale linearly with document count; every operator has an
+exact DuckDB oracle.  Design notes per operator cover the 100 TB shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import load_table
+
+# shared stopword list for language scoring / quality ratios
+_EN_STOP = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def _count_token(toks, word: str):
+    """Single-arg lambda via closure factory — a default-argument capture
+    (lambda t, w=w: ...) would make PySpark treat it as a 2-arg
+    (value, index) lambda and bind the word to the index column."""
+    def pred(t):
+        return t == F.lit(word)
+    return F.size(F.filter(toks, pred))
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: token count (whitespace), char count, average
+    token length, distinct-token ratio.  Scale: narrow projection +
+    per-row expressions — embarrassingly parallel, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (docs
+            .select("doc_id",
+                    F.length("text").alias("n_chars_measured"),
+                    F.size(toks).alias("n_tokens"),
+                    F.size(F.array_distinct(toks)).alias("n_distinct_tokens"))
+            .withColumn("avg_token_len",
+                        F.round((F.col("n_chars_measured")
+                                 - (F.col("n_tokens") - 1))
+                                / F.col("n_tokens"), 6))
+            .withColumn("distinct_ratio",
+                        F.round(F.col("n_distinct_tokens")
+                                / F.col("n_tokens"), 6)))
+
+
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: words and non-space punctuation counted
+    separately via regexp (the pre-tokenizer split GPT-style BPE uses)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs
+            .select("doc_id", "source",
+                    F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]+"))
+                     .alias("n_word_tokens"),
+                    F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"))
+                     .alias("n_punct_tokens"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_word_tokens").alias("total_word_tokens"),
+                 F.sum("n_punct_tokens").alias("total_punct_tokens"),
+                 F.round(F.avg("n_word_tokens"), 4).alias("avg_word_tokens")))
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length band + stopword ratio + repetition
+    (Gopher/C4-style filters).  Emits per-doc score components and a
+    keep/drop verdict — at 100 TB this is a map-only filter stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_hits = sum(_count_token(toks, w) for w in _EN_STOP)
+    df = (docs
+          .select("doc_id", "lang",
+                  F.size(toks).alias("n_tokens"),
+                  stop_hits.alias("n_stopword_tokens"),
+                  F.size(F.array_distinct(toks)).alias("n_distinct")))
+    df = (df
+          .withColumn("stopword_ratio",
+                      F.round(F.col("n_stopword_tokens") / F.col("n_tokens"), 6))
+          .withColumn("repetition_ratio",
+                      F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6))
+          .withColumn("keep",
+                      (F.col("n_tokens") >= 20)
+                      & (F.col("n_tokens") <= 1000)
+                      & (F.col("stopword_ratio") >= 0.01)
+                      & (F.col("repetition_ratio") <= 0.9)))
+    return df.select("doc_id", "lang", "n_tokens", "n_stopword_tokens",
+                     "stopword_ratio", "repetition_ratio", "keep")
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language ID heuristic: score = English stopword
+    share; predict 'en' above threshold, 'unknown' otherwise, and compare
+    with the labeled ``lang``.  (Container has no langid model — this is
+    the classic stopword-profile method, fully declarative.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_hits = sum(_count_token(toks, w) for w in _EN_STOP)
+    scored = (docs
+              .select("doc_id", "lang",
+                      F.round(stop_hits / F.size(toks), 6).alias("en_score")))
+    pred = F.when(F.col("en_score") >= F.lit(0.05), F.lit("en")) \
+        .otherwise(F.lit("unknown"))
+    return (scored
+            .withColumn("pred_lang", pred)
+            .groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("en_score"), 6).alias("avg_en_score")))
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash of word-bigram shingle hashes
+    (winnowing-style rolling fingerprint).  The fingerprint is the minimum
+    32-bit md5-derived shingle hash — identical arithmetic on the oracle
+    side, so exact-checkable; at scale this is a map + per-doc min."""
+    from .dedup import shingle_table, shingle_hash_col
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs).select("doc_id", shingle_hash_col().alias("h"))
+    return (sh.groupBy("doc_id")
+            .agg(F.min("h").alias("fingerprint"),
+                 F.max("h").alias("max_shingle_hash"),
+                 F.count(F.lit(1)).alias("n_shingles")))
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "token_count_regex": token_count_regex,
+    "quality_score": quality_score,
+    "lang_id_heuristic": lang_id_heuristic,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+_STOP_SQL_HITS = " + ".join(
+    f"len(list_filter(string_split(text, ' '), t -> t = '{w}'))"
+    for w in _EN_STOP)
+
+ORACLES = {
+    "text_stats": """
+        SELECT doc_id,
+               length(text) AS n_chars_measured,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+               round((length(text) - (len(string_split(text, ' ')) - 1))
+                     / len(string_split(text, ' ')), 6) AS avg_token_len,
+               round(len(list_distinct(string_split(text, ' ')))
+                     / len(string_split(text, ' ')), 6) AS distinct_ratio
+        FROM documents
+    """,
+    "token_count_regex": """
+        SELECT source,
+               count(*) AS n_docs,
+               sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS total_word_tokens,
+               sum(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))) AS total_punct_tokens,
+               round(avg(len(regexp_extract_all(text, '[A-Za-z0-9]+'))), 4) AS avg_word_tokens
+        FROM documents
+        GROUP BY source
+    """,
+    "quality_score": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   {_STOP_SQL_HITS} AS n_stopword_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct
+            FROM documents
+        )
+        SELECT doc_id, lang, n_tokens, n_stopword_tokens,
+               round(n_stopword_tokens / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+               round(1 - n_distinct / CAST(n_tokens AS DOUBLE), 6) AS repetition_ratio,
+               (n_tokens >= 20 AND n_tokens <= 1000
+                AND round(n_stopword_tokens / CAST(n_tokens AS DOUBLE), 6) >= 0.01
+                AND round(1 - n_distinct / CAST(n_tokens AS DOUBLE), 6) <= 0.9) AS keep
+        FROM scored
+    """,
+    "lang_id_heuristic": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   round(({_STOP_SQL_HITS})
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+                       AS en_score
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN en_score >= 0.05 THEN 'en' ELSE 'unknown' END AS pred_lang,
+               count(*) AS n_docs,
+               round(avg(en_score), 6) AS avg_en_score
+        FROM scored
+        GROUP BY 1, 2
+    """,
+    "doc_fingerprint": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> ('0x' || substr(md5(string_split(text, ' ')[i]
+                                 || ' ' || string_split(text, ' ')[i + 1]),
+                                 1, 8))::BIGINT) AS hashes
+            FROM documents
+        )
+        SELECT doc_id,
+               list_min(hashes) AS fingerprint,
+               list_max(hashes) AS max_shingle_hash,
+               len(hashes) AS n_shingles
+        FROM sh
+    """,
+}

@@ -1,0 +1,167 @@
+"""Structured Streaming surface over ``events`` (north-star extension —
+the reference is batch-pull only, SURVEY §2B.10).
+
+- ``events_stream_tumbling_1h``: a REAL streaming query — ``readStream``
+  over the events parquet, ``withWatermark`` + 1-hour tumbling window
+  aggregation, ``trigger(availableNow)`` into a memory sink.  Because the
+  watermark only drops data that arrives later than the watermark delay
+  and availableNow replays the files deterministically, the result equals
+  the batch aggregation — so this streaming query has a full DuckDB
+  oracle (epoch-aligned tumbling windows == date_trunc('hour')).
+- ``events_sliding_1h_30m``: sliding windows (each event in 2 windows),
+  expressed batch-side with the same ``window()`` function and oracled by
+  a UNION ALL of the two window starts.
+- ``user_sessions``: gap-based sessionization (30-min inactivity), the
+  batch gaps-and-islands form — the stateful-streaming analog would use
+  ``applyInPandasWithState``; the batch form is SQL-expressible and
+  oracle-checked.
+
+At 100 TB: the tumbling agg is a streaming shuffle keyed by (window,
+event_type) with watermark-bounded state; sessionization shuffles once on
+user_id and windows within partitions.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .. import schemas
+from ..sources import load_table
+
+
+def _tumbling_agg(df: DataFrame) -> DataFrame:
+    return (df
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "total_value"))
+
+
+def events_stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Structured Streaming run: parquet file stream → watermark →
+    tumbling window agg → availableNow trigger → memory sink."""
+    raw = (spark.readStream
+           .schema(schemas.EVENTS_RAW_NS)
+           # file streams take a directory; select just events.parquet
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = _tumbling_agg(events)
+    name = "events_stream_tumbling_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (agg.writeStream
+             .format("memory")
+             .queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour window every 30 minutes (each event counted
+    in exactly 2 windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                     F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "total_value"))
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after > 30 min of
+    user inactivity.  One shuffle on user_id; session ids via windowed
+    cumulative sum (gaps-and-islands)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional-second epoch on BOTH sides (DuckDB epoch() is fractional;
+    # unix_timestamp truncates and would disagree on gaps near 1800s)
+    gap = (F.col("ts").cast("double")
+           - F.lag(F.col("ts").cast("double"), 1).over(w))
+    sess = (ev
+            .withColumn("new_session",
+                        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .withColumn("session_id",
+                        F.sum("new_session").over(
+                            w.rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow))))
+    return (sess
+            .groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.round(F.sum("value"), 4).alias("session_value")))
+
+
+QUERIES = {
+    "events_stream_tumbling_1h": events_stream_tumbling_1h,
+    "events_sliding_1h_30m": events_sliding_1h_30m,
+    "user_sessions": user_sessions,
+}
+
+_TUMBLING_SQL = """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+ORACLES = {
+    "events_stream_tumbling_1h": _TUMBLING_SQL,
+    "events_sliding_1h_30m": """
+        WITH starts AS (
+            SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) AS s1, *
+            FROM events
+        ), expanded AS (
+            SELECT s1 AS window_start, * FROM starts
+            UNION ALL
+            SELECT s1 - INTERVAL 30 MINUTE AS window_start, * FROM starts
+        )
+        SELECT window_start,
+               window_start + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM expanded
+        GROUP BY 1, 2, 3
+    """,
+    "user_sessions": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               round(sum(value), 4) AS session_value
+        FROM numbered
+        GROUP BY 1, 2
+    """,
+}
