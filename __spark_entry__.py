@@ -32,6 +32,16 @@ def _registries():
     from qrapids_forecast_r_script_spark.operators import relational
     regs = [(relational.QUERIES, relational.ORACLES)]
     try:
+        from qrapids_forecast_r_script_spark.operators import relational_ext
+        regs.append((relational_ext.QUERIES, relational_ext.ORACLES))
+    except ImportError:
+        pass
+    try:
+        from qrapids_forecast_r_script_spark.streaming import stateful
+        regs.append((stateful.QUERIES, stateful.ORACLES))
+    except ImportError:
+        pass
+    try:
         from qrapids_forecast_r_script_spark.operators import dedup
         regs.append((dedup.QUERIES, dedup.ORACLES))
     except ImportError:

@@ -1,0 +1,106 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+Running per-event-type anomaly counters: for each event_type the operator
+keeps (count, mean, M2) Welford state across micro-batches and emits, per
+batch, the number of events whose value exceeds mean + 3·sd at the time
+of processing.  This is the engine's template for arbitrary keyed
+streaming state (the reference has no streaming at all — SURVEY §2B.10
+extension).
+
+Scale: state is O(1) per key; the stream shuffles once on event_type;
+watermark bounds are not needed because state never grows with input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from .. import schemas
+
+STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("mean", DoubleType()),
+    StructField("m2", DoubleType()),
+])
+OUTPUT_SCHEMA = StructType([
+    StructField("event_type", StringType()),
+    StructField("batch_events", LongType()),
+    StructField("running_count", LongType()),
+    StructField("running_mean", DoubleType()),
+    StructField("n_anomalies", LongType()),
+])
+
+
+def anomaly_counter(key, pdfs: Iterable[pd.DataFrame],
+                    state: GroupState) -> Iterable[pd.DataFrame]:
+    (event_type,) = key
+    if state.exists:
+        n, mean, m2 = state.get
+    else:
+        n, mean, m2 = 0, 0.0, 0.0
+    batch_events = 0
+    anomalies = 0
+    for pdf in pdfs:
+        for v in pdf["value"].to_numpy():
+            batch_events += 1
+            if n >= 8:
+                sd = (m2 / (n - 1)) ** 0.5 if n > 1 else 0.0
+                if v > mean + 3 * sd:
+                    anomalies += 1
+            n += 1
+            delta = v - mean
+            mean += delta / n
+            m2 += delta * (v - mean)
+    state.update((n, mean, m2))
+    yield pd.DataFrame([{
+        "event_type": event_type, "batch_events": batch_events,
+        "running_count": n, "running_mean": round(mean, 6),
+        "n_anomalies": anomalies,
+    }])
+
+
+def events_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful operator over the events file stream with an
+    availableNow trigger; returns the per-type final snapshot."""
+    import tempfile
+    raw = (spark.readStream
+           .schema(schemas.EVENTS_RAW_NS)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    events = (raw
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+              .select("event_type", "value"))
+    out = (events
+           .groupBy("event_type")
+           .applyInPandasWithState(
+               anomaly_counter, OUTPUT_SCHEMA, STATE_SCHEMA,
+               "append", GroupStateTimeout.NoTimeout))
+    name = "events_stateful_anomalies_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+    # one snapshot row per (event_type, micro-batch); keep the last per key
+    snap = spark.table(name)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("event_type").orderBy(F.col("running_count").desc())
+    return (snap.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("event_type", "running_count", "running_mean",
+                    "n_anomalies"))
+
+
+QUERIES = {"events_stateful_anomalies": events_stateful_anomalies}
+ORACLES: dict[str, str] = {}   # sequential Welford state: not SQL-expressible
