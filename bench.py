@@ -35,6 +35,7 @@ HEADLINE = [
     "text_stats",
     "forecast_snaive_events",
     "forecast_ets_events",
+    "forecast_ets_user_series",
 ]
 
 

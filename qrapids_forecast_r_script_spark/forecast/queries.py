@@ -47,6 +47,42 @@ def _make(method):
     return q
 
 
+def _user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-series frame: one metric series per (event_type, user bucket)
+    — the batch-mode scale story (50 independent series at sf0.1; at
+    100 TB this is millions of series fanned out one-per-task)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev
+            .groupBy(F.concat_ws("_u", "event_type",
+                                 (F.col("user_id") % 10).cast("string"))
+                     .alias("name"),
+                     F.to_date("ts").alias("evaluationDate"))
+            .agg(F.round(F.sum("value"), 6).alias("value"))
+            .select("name", F.lit("test.metrics.users").alias("index"),
+                    "evaluationDate", "value"))
+
+
+def _make_user_series(method):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+        metrics = _user_metrics(spark, sf_dir)
+        # keep series with >= 2 full seasonal cycles: sparse buckets (tiny
+        # SFs) hit the short-series fallback, which the SQL oracle's
+        # closed form deliberately does not model
+        n_obs = F.count(F.lit(1)).over(Window.partitionBy("name", "index"))
+        metrics = (metrics.withColumn("n_obs", n_obs)
+                   .where(F.col("n_obs") >= 14).drop("n_obs"))
+        out = forecast_batch(spark, metrics, method,
+                             frequency=7, horizon=14)
+        cols = ["lower1", "lower2", "mean", "upper1", "upper2"]
+        return out.select(
+            "name", "index", "method",
+            F.col("step").cast("long").alias("step"),
+            *[F.round(c, _ROUND).alias(c) for c in cols])
+    q.__name__ = f"forecast_{method.lower()}_user_series"
+    return q
+
+
 QUERIES = {
     # oracle-backed closed forms
     "forecast_mean_events": _make("MEAN"),
@@ -64,6 +100,9 @@ QUERIES = {
     "forecast_baggedets_events": _make("BAGGEDETS"),
     "forecast_prophet_events": _make("PROPHET"),
     "forecast_hybrid_events": _make("HYBRID"),
+    # many-series batch mode (SURVEY §2A.4): 50 series in one grouped job
+    "forecast_snaive_user_series": _make_user_series("SNAIVE"),
+    "forecast_ets_user_series": _make_user_series("ETS"),
 }
 
 # ---------------------------------------------------------------------------
@@ -72,14 +111,24 @@ QUERIES = {
 # 14-step horizon (steps via generate_series).
 # ---------------------------------------------------------------------------
 
-_SERIES_CTE = """
-WITH metrics AS (
+_METRICS_EVENTS = """
     SELECT event_type AS name,
            'test.metrics.events' AS index,
            CAST(ts AS DATE) AS evaluationDate,
            round(sum(value), 6) AS value
     FROM events GROUP BY 1, 2, 3
-), series AS (
+"""
+
+_METRICS_USERS = """
+    SELECT event_type || '_u' || CAST(user_id % 10 AS VARCHAR) AS name,
+           'test.metrics.users' AS index,
+           CAST(ts AS DATE) AS evaluationDate,
+           round(sum(value), 6) AS value
+    FROM events GROUP BY 1, 2, 3
+"""
+
+_SERIES_CTE = """
+WITH metrics AS ({metrics_sql}), series AS (
     SELECT name, index,
            row_number() OVER (PARTITION BY name, index
                               ORDER BY evaluationDate ASC, value ASC) - 1 AS t,
@@ -112,11 +161,29 @@ WITH metrics AS (
 """
 
 
-def _oracle(select_body: str) -> str:
-    return _SERIES_CTE + select_body
+_SNAIVE_SELECT = f"""
+        SELECT s.name, s.index, 'SNAIVE' AS method, st.step,
+               round(sv.y - {Z80} * sd_sdiff * sqrt(floor((st.step - 1) / 7) + 1), {_ROUND}) AS lower1,
+               round(sv.y - {Z95} * sd_sdiff * sqrt(floor((st.step - 1) / 7) + 1), {_ROUND}) AS lower2,
+               round(sv.y, {_ROUND}) AS mean,
+               round(sv.y + {Z80} * sd_sdiff * sqrt(floor((st.step - 1) / 7) + 1), {_ROUND}) AS upper1,
+               round(sv.y + {Z95} * sd_sdiff * sqrt(floor((st.step - 1) / 7) + 1), {_ROUND}) AS upper2
+        FROM stats s
+        JOIN sdiffs sd2 ON s.name = sd2.name AND s.index = sd2.index
+        CROSS JOIN steps st
+        JOIN series sv
+          ON sv.name = s.name AND sv.index = s.index
+         AND sv.t = s.n - 7 + ((st.step - 1) % 7)
+"""
+
+
+def _oracle(select_body: str, metrics_sql: str = _METRICS_EVENTS) -> str:
+    return _SERIES_CTE.format(metrics_sql=metrics_sql) + select_body
 
 
 ORACLES = {
+    "forecast_snaive_user_series": _oracle(
+        _SNAIVE_SELECT + " WHERE s.n >= 14", _METRICS_USERS),
     "forecast_mean_events": _oracle(f"""
         SELECT s.name, s.index, 'MEAN' AS method, st.step,
                round(ybar - {Z80} * sd_y * sqrt(1 + 1.0/n), {_ROUND}) AS lower1,
@@ -137,20 +204,7 @@ ORACLES = {
         JOIN diffs d ON s.name = d.name AND s.index = d.index
         CROSS JOIN steps st
     """),
-    "forecast_snaive_events": _oracle(f"""
-        SELECT s.name, s.index, 'SNAIVE' AS method, st.step,
-               round(sv.y - {Z80} * sd_sdiff * sqrt(floor((st.step - 1) / 7) + 1), {_ROUND}) AS lower1,
-               round(sv.y - {Z95} * sd_sdiff * sqrt(floor((st.step - 1) / 7) + 1), {_ROUND}) AS lower2,
-               round(sv.y, {_ROUND}) AS mean,
-               round(sv.y + {Z80} * sd_sdiff * sqrt(floor((st.step - 1) / 7) + 1), {_ROUND}) AS upper1,
-               round(sv.y + {Z95} * sd_sdiff * sqrt(floor((st.step - 1) / 7) + 1), {_ROUND}) AS upper2
-        FROM stats s
-        JOIN sdiffs sd2 ON s.name = sd2.name AND s.index = sd2.index
-        CROSS JOIN steps st
-        JOIN series sv
-          ON sv.name = s.name AND sv.index = s.index
-         AND sv.t = s.n - 7 + ((st.step - 1) % 7)
-    """),
+    "forecast_snaive_events": _oracle(_SNAIVE_SELECT),
     "forecast_drift_events": _oracle(f"""
         SELECT s.name, s.index, 'DRIFT' AS method, st.step,
                round(y_last + st.step * b - {Z80} * sd_diff * sqrt(st.step * (1 + st.step / (n - 1.0))), {_ROUND}) AS lower1,

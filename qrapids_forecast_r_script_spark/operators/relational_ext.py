@@ -88,7 +88,55 @@ def snaive_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("abs_err"), 6).alias("mae")))
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join + aggregate (orders with at least
+    one late lineitem, counted per priority)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.where(F.col("l_linestatus") == "O").select("l_orderkey")
+    return (orders
+            .where((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                   & (F.col("o_orderdate") < F.lit("1997-01-01")))
+            .join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + CASE-conditional aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1) \
+        .otherwise(0)
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .where(F.col("l_shipdate") >= F.lit("1996-01-01"))
+            .where(F.col("l_shipdate") < F.lit("1997-01-01"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(high).alias("high_line_count"),
+                 F.sum(1 - high).alias("low_line_count"))
+            .orderBy("l_returnflag"))
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: join + conditional-ratio aggregate (share of
+    revenue from promo parts)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("SMALL"), rev).otherwise(F.lit(0.0))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .where(F.col("l_shipdate") >= F.lit("1996-03-01"))
+            .where(F.col("l_shipdate") < F.lit("1996-04-01"))
+            .agg(F.round(F.sum(promo) * 100.0 / F.sum(rev), 4)
+                  .alias("promo_revenue_pct"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
 QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "q14_promo_effect": q14_promo_effect,
     "q6_revenue_delta": q6_revenue_delta,
     "customers_above_nation_avg": customers_above_nation_avg,
     "order_rank_windows": order_rank_windows,
@@ -96,6 +144,40 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_linestatus = 'O')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q12_shipmode_priority": """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "q14_promo_effect": """
+        SELECT round(sum(CASE WHEN p_type LIKE 'SMALL%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END) * 100.0
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS promo_revenue_pct,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
     "q6_revenue_delta": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
                count(*) AS n_lines
