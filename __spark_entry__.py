@@ -37,6 +37,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        from qrapids_forecast_r_script_spark.operators import tpch_full
+        regs.append((tpch_full.QUERIES, tpch_full.ORACLES))
+    except ImportError:
+        pass
+    try:
         from qrapids_forecast_r_script_spark.streaming import stateful
         regs.append((stateful.QUERIES, stateful.ORACLES))
     except ImportError:

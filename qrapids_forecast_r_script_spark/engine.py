@@ -54,6 +54,12 @@ class Engine:
         from .sources import search_element
         return search_element(self.metrics, name, index)
 
+    def sql(self, query: str) -> DataFrame:
+        """Raw Spark SQL over the registered views (``metrics`` plus any
+        tables registered via sources.load_all)."""
+        self.metrics.createOrReplaceTempView("metrics")
+        return self.spark.sql(query)
+
     def forecast(self, name: str, index: str, method: str,
                  frequency: int = 7, horizon: int = 14,
                  force_seasonality: bool = False) -> DataFrame:

@@ -55,17 +55,20 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective fact-fact join + top-k.
 
     Scale: orders⋈lineitem is a shuffle join on l_orderkey (both sides
-    filtered first — Catalyst pushes the predicates below the join);
-    customer side is broadcast at dimension size.  Top-10 is a global
-    sort-limit: Spark takes per-partition top-10 then merges on the driver,
-    never a full sort of the joined set.
+    filtered first — Catalyst pushes the predicates below the join).
+    The customer side is NOT force-broadcast: at TPC-H proportions
+    customer grows with the fact tables, so the right call at 100 TB is
+    to let AQE pick broadcast vs shuffle from the post-filter runtime
+    size (the segment filter keeps ~1/5 of customers).  Top-10 is a
+    global sort-limit: per-partition top-10 merged on the driver, never a
+    full sort of the joined set.
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (li
             .join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            .join(cust.where(F.col("c_mktsegment") == "BUILDING"),
                   orders.o_custkey == F.col("c_custkey"))
             .where(F.col("o_orderdate") < F.lit("1998-03-15"))
             .where(F.col("l_shipdate") > F.lit("1998-03-15"))
@@ -79,9 +82,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: star join across 6 tables.
 
-    Scale: region/nation/supplier/customer are broadcast dims; the only
-    shuffle joins are the two fact joins; the region predicate prunes the
-    broadcast chain before it ever reaches the facts.
+    Scale: region (5 rows) and nation (25 rows) are CONSTANT-size dims —
+    always force-broadcast.  customer/supplier scale with the facts
+    (TPC-H proportions), so their join strategy is left to AQE's runtime
+    statistics: broadcast at test SFs, shuffle at 100 TB — forcing
+    broadcast here would OOM executors at scale.  The region predicate
+    prunes through nation→supplier before reaching the facts.
     """
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
@@ -91,8 +97,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (li
             .join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-            .join(F.broadcast(supp),
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp,
                   (li.l_suppkey == supp.s_suppkey)
                   & (cust.c_nationkey == supp.s_nationkey))
             .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)

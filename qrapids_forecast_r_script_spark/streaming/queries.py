@@ -107,10 +107,29 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("session_value")))
 
 
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows: ``F.session_window(ts, '30 minutes')`` per
+    user — Spark's built-in gap-based session operator (the streaming form
+    takes the same expression).  Semantically equal to the
+    gaps-and-islands form in :func:`user_sessions`, which serves as its
+    SQL oracle (session boundaries at >30 min inactivity)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev
+            .groupBy("user_id",
+                     F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.round(F.sum("value"), 4).alias("session_value"))
+            .select("user_id", "n_events", "session_start", "session_end",
+                    "session_value"))
+
+
 QUERIES = {
     "events_stream_tumbling_1h": events_stream_tumbling_1h,
     "events_sliding_1h_30m": events_sliding_1h_30m,
     "user_sessions": user_sessions,
+    "events_session_windows": events_session_windows,
 }
 
 _TUMBLING_SQL = """
@@ -141,6 +160,28 @@ ORACLES = {
                round(sum(value), 4) AS total_value
         FROM expanded
         GROUP BY 1, 2, 3
+    """,
+    "events_session_windows": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               count(*) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               round(sum(value), 4) AS session_value
+        FROM numbered
+        GROUP BY user_id, session_id
     """,
     "user_sessions": """
         WITH flagged AS (

@@ -80,3 +80,21 @@ def test_hybrid_weights_and_bands():
     assert set(model.models) <= set("aefns")
     b = forecast_fitted(model, 7, seed_key=("h", "i", "HYBRID"))
     assert np.all(b["lower2"] <= b["mean"]) and np.all(b["mean"] <= b["upper2"])
+
+
+def test_prophet_calendar_aware_with_gaps():
+    """PROPHET is the one date-aware path (R:35-38): with a 10-day hole in
+    the calendar the future frame still steps daily from the last date
+    (freq='day', quirk 4) and weekly seasonality stays phase-locked."""
+    from qrapids_forecast_r_script_spark.forecast.models.prophet_like import (
+        fit_prophet_like)
+    t = np.concatenate([np.arange(0, 40), np.arange(50, 90)])
+    ds = 19000 + t
+    y = 100 + 0.5 * t + 10 * np.sin(2 * np.pi * t / 7)
+    model = fit_prophet_like(ds, y)
+    b = model.forecast(14, seed_key=("gap",))
+    truth = 100 + 0.5 * (90 + np.arange(14)) \
+        + 10 * np.sin(2 * np.pi * (90 + np.arange(14)) / 7)
+    rmse = float(np.sqrt(np.mean((b["mean"] - truth) ** 2)))
+    assert rmse < 6.0, rmse
+    np.testing.assert_array_equal(b["lower1"], b["lower2"])  # quirk 2
