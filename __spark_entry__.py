@@ -42,6 +42,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        from qrapids_forecast_r_script_spark.operators import relational_more
+        regs.append((relational_more.QUERIES, relational_more.ORACLES))
+    except ImportError:
+        pass
+    try:
         from qrapids_forecast_r_script_spark.streaming import stateful
         regs.append((stateful.QUERIES, stateful.ORACLES))
     except ImportError:

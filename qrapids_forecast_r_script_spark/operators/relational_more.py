@@ -1,0 +1,185 @@
+"""Fourth relational tranche: GROUPING SETS, pivot/unpivot, exact +
+approximate percentiles, and an interval self-join executed with the
+bin-and-refine pattern — the remaining SURVEY §2B checklist surfaces.
+
+Scale notes per query in the docstrings; everything stays JVM-side
+(no Python UDFs anywhere in this module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_RANGE_SECONDS = 300   # ±5 min window for the range join
+
+
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status, priority), (status), ()) with
+    per-column GROUPING() markers — the general form of which rollup and
+    cube (covered elsewhere) are special cases.  One shuffle: Spark
+    expands the sets map-side then aggregates once."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs_v")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus)  AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders_gs_v
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """)
+
+
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per day, one column per event type (explicit value
+    list → no extra distinct-scan job, and a stable schema — mandatory at
+    scale, where an implicit pivot would first shuffle to enumerate
+    types)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.withColumn("day", F.to_date("ts"))
+            .groupBy("day")
+            .pivot("event_type", EVENT_TYPES)
+            .agg(F.round(F.sum("value"), 4))
+            .orderBy("day"))
+
+
+def events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the wide daily frame back to long form — Spark's
+    built-in ``unpivot`` (UNION-ALL expansion under the hood, map-side
+    only).  Null cells (day × type with no events) are dropped to match
+    the direct long-form aggregate."""
+    wide = events_pivot_daily(spark, sf_dir)
+    return (wide.unpivot("day", EVENT_TYPES, "event_type", "total_value")
+            .where(F.col("total_value").isNotNull()))
+
+
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p90 / p99) of event value per type —
+    Spark's ``percentile`` with linear interpolation, the same definition
+    as SQL ``quantile_cont``.  Exact percentile requires a per-group sort;
+    fine per-type, see the approx variant for the 100 TB path."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+                 F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+                 F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"))
+            .orderBy("event_type"))
+
+
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for percentiles: ``approx_percentile`` (KLL-style
+    mergeable sketch, accuracy 1/10000) — no per-group sort, partial
+    aggregation map-side, constant memory per group.  Sketch results are
+    engine-specific → rows-only driver check; accuracy vs the exact
+    form is asserted in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.approx_percentile(
+                     "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                     F.lit(10000))[0], 4).alias("p50"),
+                 F.round(F.approx_percentile(
+                     "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                     F.lit(10000))[1], 4).alias("p90"),
+                 F.round(F.approx_percentile(
+                     "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                     F.lit(10000))[2], 4).alias("p99"))
+            .orderBy("event_type"))
+
+
+def events_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: for each error event, count same-user events of
+    other types within ±5 minutes.
+
+    Naive form is an inequality join — O(n²) per user, a broadcast
+    nested-loop at scale.  Executed here with bin-and-refine: both sides
+    get a 300 s time bucket, each probe row explodes to its bucket ±1
+    (bounded 3× blow-up), the join is a plain equi-join on
+    (user_id, bucket), and the exact |Δt| ≤ 300 predicate refines the
+    candidates.  Equi-join → shuffle-hash/sort-merge partitioned by
+    (user, bucket) — this is THE scalable range-join pattern when one
+    side can't be broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    bucket = F.floor(sec / _RANGE_SECONDS)
+    errors = (ev.where(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("error_id"),
+                      F.col("user_id"), sec.alias("err_sec"),
+                      F.explode(F.array(bucket - 1, bucket, bucket + 1))
+                       .alias("bucket")))
+    others = (ev.where(F.col("event_type") != "error")
+              .select(F.col("user_id"), sec.alias("other_sec"),
+                      bucket.alias("bucket")))
+    return (errors.join(others, ["user_id", "bucket"])
+            .where(F.abs(F.col("other_sec") - F.col("err_sec"))
+                   <= _RANGE_SECONDS)
+            .groupBy("error_id")
+            .agg(F.count(F.lit(1)).alias("n_nearby"))
+            .orderBy("error_id"))
+
+
+QUERIES = {
+    "orders_grouping_sets": orders_grouping_sets,
+    "events_pivot_daily": events_pivot_daily,
+    "events_unpivot_daily": events_unpivot_daily,
+    "value_percentiles_by_type": value_percentiles_by_type,
+    "value_percentiles_approx": value_percentiles_approx,   # rows-only: sketch
+    "events_range_join_binned": events_range_join_binned,
+}
+
+_PIVOT_SQL = """
+    SELECT CAST(ts AS DATE) AS day,
+           round(sum(value) FILTER (event_type = 'click'), 4)    AS click,
+           round(sum(value) FILTER (event_type = 'error'), 4)    AS error,
+           round(sum(value) FILTER (event_type = 'purchase'), 4) AS purchase,
+           round(sum(value) FILTER (event_type = 'signup'), 4)   AS signup,
+           round(sum(value) FILTER (event_type = 'view'), 4)     AS view
+    FROM events
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES = {
+    "orders_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus)  AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """,
+    "events_pivot_daily": _PIVOT_SQL,
+    "events_unpivot_daily": """
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               round(sum(value), 4) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "value_percentiles_by_type": """
+        SELECT event_type, count(*) AS n,
+               round(CAST(quantile_cont(value, 0.5)  AS DOUBLE), 4) AS p50,
+               round(CAST(quantile_cont(value, 0.9)  AS DOUBLE), 4) AS p90,
+               round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "events_range_join_binned": f"""
+        SELECT e.event_id AS error_id, count(*) AS n_nearby
+        FROM events e
+        JOIN events o ON o.user_id = e.user_id
+                     AND o.event_type <> 'error'
+                     AND abs(epoch(o.ts) - epoch(e.ts)) <= {_RANGE_SECONDS}
+        WHERE e.event_type = 'error'
+        GROUP BY 1 ORDER BY 1
+    """,
+}

@@ -134,10 +134,58 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_planes: int = 8,
             .select("query_id", "rank", "neighbor_id", "cosine"))
 
 
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the second scale path besides LSH.
+
+    Coarse quantization: centroids are the vectors with ``vec_id % 50 ==
+    0`` (deterministic, ~N/50 cells — a stand-in for k-means that keeps
+    the query SQL-expressible); every vector is assigned to its
+    highest-cosine centroid (rounded, centroid-id tiebreak).  Search
+    visits only the query's own cell (nprobe=1) and re-ranks exactly.
+
+    Scale shape: assignment is a broadcast of the centroid set + one
+    map-side argmin per vector (no shuffle); search is an equi-join on
+    cell id — the brute-force crossJoin's Q·N candidate set shrinks to
+    the cell population, and the cell id is a perfect partitioning key
+    for a 100 TB corpus.  Recall loss vs brute force comes only from
+    nprobe=1, measured in tests.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _as_double("embedding").alias("vec"))
+    cents = (vecs.where(F.col("vec_id") % 50 == 0)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("vec").alias("cvec")))
+    csim = F.round(_dot(F.col("vec"), F.col("cvec"))
+                   / (_norm(F.col("vec")) * _norm(F.col("cvec"))), 6)
+    wassign = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc())
+    cell = (vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "vec", "centroid_id", csim.alias("csim"))
+            .withColumn("rn", F.row_number().over(wassign))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "vec", "centroid_id"))
+    queries = (cell.where(F.col("vec_id") < _N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("vec").alias("qvec"), "centroid_id"))
+    sim = F.round(_dot(F.col("qvec"), F.col("vec"))
+                  / (_norm(F.col("qvec")) * _norm(F.col("vec"))), 6)
+    scored = (cell.join(F.broadcast(queries), "centroid_id")
+              .where(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      sim.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "rank", "neighbor_id", "cosine"))
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,        # rows-only (seeded planes not SQL)
+    "ivf_topk": ivf_topk,
 }
 
 _COSINE = ("list_dot_product(a.emb, b.emb) "
@@ -158,6 +206,37 @@ ORACLES = {
                             * sqrt(list_dot_product(v.emb, v.emb))), 6) AS cosine
             FROM queries q CROSS JOIN vecs v
             WHERE q.query_id != v.vec_id
+        )
+        SELECT query_id, rank, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        WHERE rank <= {_TOP_K}
+    """,
+    "ivf_topk": f"""
+        WITH vecs AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS centroid_id, emb AS cemb FROM vecs
+            WHERE vec_id % 50 = 0
+        ), assigned AS (
+            SELECT vec_id, emb, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY
+                       round(list_dot_product(emb, cemb)
+                             / (sqrt(list_dot_product(emb, emb))
+                                * sqrt(list_dot_product(cemb, cemb))), 6) DESC,
+                       centroid_id ASC) AS rn
+            FROM vecs CROSS JOIN cents
+        ), cell AS (
+            SELECT vec_id, emb, centroid_id FROM assigned WHERE rn = 1
+        ), scored AS (
+            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                   round(list_dot_product(q.emb, v.emb)
+                         / (sqrt(list_dot_product(q.emb, q.emb))
+                            * sqrt(list_dot_product(v.emb, v.emb))), 6) AS cosine
+            FROM cell q JOIN cell v ON q.centroid_id = v.centroid_id
+            WHERE q.vec_id < {_N_QUERIES} AND q.vec_id != v.vec_id
         )
         SELECT query_id, rank, neighbor_id, cosine FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id

@@ -62,3 +62,50 @@ def test_es_source_degrades_clearly(spark):
     from qrapids_forecast_r_script_spark.sources.elastic import search_element_es
     with pytest.raises(RuntimeError, match="connector"):
         search_element_es(spark, "localhost", "m", "proj.metrics")
+
+
+def test_ivf_topk_consistent_with_bruteforce(spark, sf_dir):
+    """IVF (nprobe=1) results carry exact cosines: every returned
+    neighbor's cosine matches the brute-force value, and each query's
+    top-1 within its own cell ranks first."""
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        cosine_topk_bruteforce, ivf_topk)
+    bf = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+          for r in cosine_topk_bruteforce(spark, sf_dir).collect()}
+    ivf = ivf_topk(spark, sf_dir).collect()
+    assert len(ivf) > 0
+    ranks = {}
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert abs(bf[key] - r["cosine"]) < 1e-9
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
+    for q, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """approx_percentile's guarantee is on RANK, not value: at accuracy
+    10000 the returned element's quantile level must lie within ±1/n of
+    the requested level (exact interpolation can land between elements,
+    so compare against the exact percentiles at q ± 1/n)."""
+    from pyspark.sql import functions as F
+    from qrapids_forecast_r_script_spark.operators.relational_more import (
+        value_percentiles_approx)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    ev = load_table(spark, sf_dir, "events")
+    approx = {r["event_type"]: r
+              for r in value_percentiles_approx(spark, sf_dir).collect()}
+    counts = {r["event_type"]: r["n"]
+              for r in ev.groupBy("event_type").count()
+              .withColumnRenamed("count", "n").collect()}
+    for etype, row in approx.items():
+        n = counts[etype]
+        for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            lo_q, hi_q = max(0.0, q - 1.5 / n), min(1.0, q + 1.5 / n)
+            bounds = (ev.where(F.col("event_type") == etype)
+                      .agg(F.percentile("value", F.lit(lo_q)).alias("lo"),
+                           F.percentile("value", F.lit(hi_q)).alias("hi"))
+                      .first())
+            assert bounds["lo"] - 1e-4 <= row[col] <= bounds["hi"] + 1e-4, \
+                (etype, col, row[col], bounds["lo"], bounds["hi"])
