@@ -185,6 +185,50 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "n_matching", "est_jaccard"))
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str,
+                   max_iter: int = 20) -> DataFrame:
+    """Near-dup CLUSTERS from the MinHash-LSH candidate pairs: connected
+    components via iterative min-label propagation — every doc gets the
+    smallest doc_id reachable through the pair graph (singletons keep
+    their own id).  This is the step that turns pairwise dedup into
+    actionable keep/drop groups.
+
+    Iterative Spark algorithm (the reference has nothing like it): each
+    round joins labels to the symmetric edge list, takes the min neighbor
+    label, and stops when no label changed.  Rounds = graph diameter —
+    near-dup clusters are shallow, so this converges in 2-3 rounds;
+    ``localCheckpoint`` cuts the exploding join lineage each round.  At
+    100 TB-scale graphs the same loop holds (it is the textbook
+    label-propagation CC); skewed mega-components would switch to
+    large-star/small-star.  Oracle: recursive-CTE transitive closure over
+    the identical pair SQL — fully hash-checked.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst"))))
+    edges = edges.localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iter):
+        nb = (edges.join(labels, edges.dst == labels.doc_id)
+              .groupBy("src").agg(F.min("cluster_id").alias("nb_min")))
+        new = (labels.join(nb, labels.doc_id == nb.src, "left")
+               .select(labels.doc_id,
+                       F.least(F.col("cluster_id"),
+                               F.coalesce(F.col("nb_min"), F.col("cluster_id")))
+                        .alias("cluster_id"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: sign-sum of per-token md5 bits.
 
@@ -310,6 +354,30 @@ ORACLES = {
         JOIN sig sa ON sa.doc_id = p.doc_a
         JOIN sig sb ON sb.doc_id = p.doc_b
     """,
+    "dedup_clusters": _SIG_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1) + f"""
+        , bands AS ({_BANDS_UNION}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                        AND a.doc_id < b.doc_id
+        ),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        )
+        SELECT d.doc_id,
+               CAST(least(d.doc_id,
+                          coalesce((SELECT min(b) FROM reach
+                                    WHERE a = d.doc_id), d.doc_id))
+                    AS BIGINT) AS cluster_id
+        FROM documents d
+    """,
     "simhash_docs": """
         WITH th AS (
             SELECT doc_id,
@@ -332,5 +400,6 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_clusters": dedup_clusters,
     "simhash_docs": simhash_docs,
 }

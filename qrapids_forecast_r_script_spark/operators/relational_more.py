@@ -9,6 +9,7 @@ Scale notes per query in the docstrings; everything stays JVM-side
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..sources import load_table
 
@@ -126,8 +127,37 @@ def events_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("error_id"))
 
 
+def user_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densify + forward fill for per-user daily series (146 of
+    150 sf0.01 user series have date holes): per user, generate the full
+    min→max date range (``sequence`` + ``explode``, map-side), left-join
+    the actuals back, and forward-fill with ``last(value, ignorenulls)``.
+
+    The reference deliberately does NOT gap-fill (SURVEY quirk 6 — its
+    ts is positional), so this is engine-extension surface: the
+    regularization step a calendar-aware pipeline needs.  Scale: the
+    explode is proportional to span×users, the join and window both
+    partition by user_id — one shuffle total.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id", F.to_date("ts").alias("d"))
+             .agg(F.round(F.sum("value"), 6).alias("value")))
+    cal = (daily.groupBy("user_id")
+           .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+           .select("user_id",
+                   F.explode(F.sequence("d0", "d1")).alias("d")))
+    w = (Window.partitionBy("user_id").orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (cal.join(daily, ["user_id", "d"], "left")
+            .select("user_id", "d",
+                    F.col("value").isNull().alias("was_gap"),
+                    F.last("value", ignorenulls=True).over(w)
+                     .alias("value_filled")))
+
+
 QUERIES = {
     "orders_grouping_sets": orders_grouping_sets,
+    "user_series_gapfill": user_series_gapfill,
     "events_pivot_daily": events_pivot_daily,
     "events_unpivot_daily": events_unpivot_daily,
     "value_percentiles_by_type": value_percentiles_by_type,
@@ -172,6 +202,25 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "user_series_gapfill": """
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS d,
+                   round(sum(value), 6) AS value
+            FROM events GROUP BY 1, 2
+        ), cal AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(min(d), max(d),
+                                               INTERVAL 1 DAY)) AS DATE) AS d
+            FROM daily GROUP BY user_id
+        )
+        SELECT c.user_id, c.d,
+               dl.value IS NULL AS was_gap,
+               last_value(dl.value IGNORE NULLS) OVER (
+                   PARTITION BY c.user_id ORDER BY c.d
+                   ROWS UNBOUNDED PRECEDING) AS value_filled
+        FROM cal c LEFT JOIN daily dl
+          ON dl.user_id = c.user_id AND dl.d = c.d
     """,
     "events_range_join_binned": f"""
         SELECT e.event_id AS error_id, count(*) AS n_nearby

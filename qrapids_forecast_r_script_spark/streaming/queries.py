@@ -125,11 +125,50 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "session_value"))
 
 
+def events_stream_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming dedup: ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type, hour) over the event-time watermark — the
+    streaming form of exact dedup, with state evicted one watermark past
+    each hour.
+
+    Deterministic (hence fully oracled against batch DISTINCT) because
+    the source file is time-ordered and a key's occurrences all fall
+    inside its own hour: a key can never reappear after its state was
+    evicted, so each distinct key is emitted exactly once.  At scale the
+    state store is bounded by (active hours × keys/hour), not stream
+    length.
+    """
+    raw = (spark.readStream
+           .schema(schemas.EVENTS_RAW_NS)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = (events
+               .withColumn("hour", F.date_trunc("hour", "ts"))
+               .withWatermark("ts", "1 hour")
+               .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour"])
+               .select("user_id", "event_type", "hour"))
+    name = "events_stream_dedup_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (deduped.writeStream
+             .format("memory")
+             .queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 QUERIES = {
     "events_stream_tumbling_1h": events_stream_tumbling_1h,
     "events_sliding_1h_30m": events_sliding_1h_30m,
     "user_sessions": user_sessions,
     "events_session_windows": events_session_windows,
+    "events_stream_dedup_hourly": events_stream_dedup_hourly,
 }
 
 _TUMBLING_SQL = """
@@ -160,6 +199,11 @@ ORACLES = {
                round(sum(value), 4) AS total_value
         FROM expanded
         GROUP BY 1, 2, 3
+    """,
+    "events_stream_dedup_hourly": """
+        SELECT DISTINCT user_id, event_type,
+               date_trunc('hour', ts) AS hour
+        FROM events
     """,
     "events_session_windows": """
         WITH flagged AS (

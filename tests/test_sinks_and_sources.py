@@ -109,3 +109,30 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
                       .first())
             assert bounds["lo"] - 1e-4 <= row[col] <= bounds["hi"] + 1e-4, \
                 (etype, col, row[col], bounds["lo"], bounds["hi"])
+
+
+def test_dedup_clusters_match_union_find(spark, sf_dir):
+    """Label-propagation components must equal a driver-side union-find
+    over the same candidate pairs (min doc_id as representative)."""
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        dedup_clusters, minhash_lsh_pairs)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in minhash_lsh_pairs(spark, sf_dir).collect():
+        union(r["doc_a"], r["doc_b"])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(spark, sf_dir).collect()}
+    assert len(got) > 0
+    for doc_id, cluster in got.items():
+        assert cluster == find(doc_id), (doc_id, cluster, find(doc_id))
