@@ -36,6 +36,12 @@ HEADLINE = [
     "forecast_snaive_events",
     "forecast_ets_events",
     "forecast_ets_user_series",
+    # round-1 widening: TPC-H sweep + range join + ANN + dedup clustering
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "events_range_join_binned",
+    "ivf_topk",
+    "dedup_clusters",
 ]
 
 

@@ -213,17 +213,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     for _ in range(max_iter):
         nb = (edges.join(labels, edges.dst == labels.doc_id)
               .groupBy("src").agg(F.min("cluster_id").alias("nb_min")))
-        new = (labels.join(nb, labels.doc_id == nb.src, "left")
-               .select(labels.doc_id,
-                       F.least(F.col("cluster_id"),
-                               F.coalesce(F.col("nb_min"), F.col("cluster_id")))
-                        .alias("cluster_id"))
-               .localCheckpoint())
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                   .count())
-        labels = new
+        # one materialization per round: the convergence count and the
+        # next label frame both derive from it without a second job
+        joined = (labels.join(nb, labels.doc_id == nb.src, "left")
+                  .select(labels.doc_id, "cluster_id", "nb_min")
+                  .localCheckpoint())
+        changed = joined.where(F.col("nb_min") < F.col("cluster_id")).count()
+        labels = joined.select(
+            "doc_id",
+            F.least(F.col("cluster_id"),
+                    F.coalesce(F.col("nb_min"), F.col("cluster_id")))
+             .alias("cluster_id"))
         if changed == 0:
             break
     return labels.select("doc_id", "cluster_id")

@@ -65,3 +65,42 @@ def test_forecast_batch_single_shuffle(spark, sf_dir):
     metrics = events_as_metrics(load_table(spark, sf_dir, "events"))
     plan = _plan(forecast_batch(spark, metrics, "SNAIVE", 7, 7))
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_q19_or_blocks_push_to_scan(spark, sf_dir):
+    """The OR-of-conjunctions must reach BOTH parquet scans as pushed
+    disjunctive filters — not evaluated post-join."""
+    from qrapids_forecast_r_script_spark.operators.tpch_full import (
+        q19_discounted_revenue)
+    plan = _plan(q19_discounted_revenue(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    pushed = [seg[:400] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("Or(" in seg for seg in pushed), pushed
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The bin-and-refine rewrite must produce a hash-based equi-join on
+    (user_id, bucket) — never a nested-loop/cartesian inequality join."""
+    from qrapids_forecast_r_script_spark.operators.relational_more import (
+        events_range_join_binned)
+    plan = _plan(events_range_join_binned(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_q21_no_self_join_explosion(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS pair is rewritten to windows: the lineitem
+    table must be scanned once (no O(n^2) self-joins on the fact)."""
+    from qrapids_forecast_r_script_spark.operators.tpch_full import (
+        q21_waiting_suppliers)
+    plan = _plan(q21_waiting_suppliers(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_assignment_broadcasts_centroids(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.similarity import ivf_topk
+    plan = _plan(ivf_topk(spark, sf_dir))
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
