@@ -72,6 +72,21 @@ def _registries():
     except ImportError:
         pass
     try:
+        from qrapids_forecast_r_script_spark.operators import scale_patterns
+        regs.append((scale_patterns.QUERIES, scale_patterns.ORACLES))
+    except ImportError:
+        pass
+    try:
+        from qrapids_forecast_r_script_spark.operators import pipeline
+        regs.append((pipeline.QUERIES, pipeline.ORACLES))
+    except ImportError:
+        pass
+    try:
+        from qrapids_forecast_r_script_spark.sources import formats
+        regs.append((formats.QUERIES, formats.ORACLES))
+    except ImportError:
+        pass
+    try:
         from qrapids_forecast_r_script_spark.forecast import queries as fq
         regs.append((fq.QUERIES, fq.ORACLES))
     except ImportError:

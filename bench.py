@@ -42,6 +42,9 @@ HEADLINE = [
     "events_range_join_binned",
     "ivf_topk",
     "dedup_clusters",
+    # scale patterns: skew salting + bucketed co-located join
+    "salted_skew_join",
+    "bucketed_orders_join",
 ]
 
 

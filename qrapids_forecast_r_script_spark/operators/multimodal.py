@@ -101,7 +101,88 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("f0"), 6).alias("avg_f0")))
 
 
+_FRAME_BYTES = 16      # chars per fake "frame"
+_FRAME_STRIDE = 4      # sample every 4th frame
+
+FRAME_SAMPLE = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_frames", LongType()),
+    StructField("n_sampled", LongType()),
+    StructField("checksum", LongType()),
+])
+
+
+def frame_sample_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for frame sampling: split the payload into
+    fixed-size frames, keep every ``_FRAME_STRIDE``-th, emit per-media
+    frame counts plus a checksum of the sampled frames (codepoint of each
+    sampled frame's first char — a stand-in for a real frame decode)."""
+    for pdf in batches:
+        rows = []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            s = bytes(payload).decode("utf-8")
+            if not s:
+                continue
+            n_frames = (len(s) - 1) // _FRAME_BYTES + 1
+            sampled = range(0, n_frames, _FRAME_STRIDE)
+            rows.append((media_id, n_frames, len(sampled),
+                         sum(ord(s[i * _FRAME_BYTES]) for i in sampled)))
+        yield pd.DataFrame(rows, columns=["media_id", "n_frames",
+                                          "n_sampled", "checksum"])
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (the video-style access
+    pattern): every k-th fixed-size frame is "decoded" (stub: first-char
+    codepoint) via mapInPandas.  Per-media row output — the driver
+    hash-checks every document's frame count and checksum, so the byte
+    slicing, utf-8 round-trip, and Arrow batching must all be exact.
+
+    At 100 TB: frame sampling is the canonical payload-bound mapInPandas
+    stage — Arrow streams bounded batches of blobs per task and the
+    output is tiny (4 longs per media), so the stage is read-bound."""
+    media = documents_as_media(spark, sf_dir)
+    return (media.mapInPandas(frame_sample_udf, schema=FRAME_SAMPLE)
+            .orderBy("media_id"))
+
+
 QUERIES = {
-    "media_feature_extract": media_feature_extract,  # rows-only: md5-float
-}                                                    # math not in SQL
-ORACLES: dict[str, str] = {}
+    "media_feature_extract": media_feature_extract,
+    "media_frame_sample": media_frame_sample,
+}
+
+# The deterministic fake extractor IS SQL-expressible (f0 = little-endian
+# first 2 md5 bytes / 65536), so even the mapInPandas path is exactly
+# oracle-checked: schema, batching, and the Arrow round-trip all have to
+# be right for the hash to match.
+ORACLES = {
+    "media_feature_extract": """
+        SELECT 'text' AS kind,
+               count(*) AS n_media,
+               sum(octet_length(encode(text))) AS total_bytes,
+               round(avg((('0x' || substr(md5(text), 3, 2)
+                                || substr(md5(text), 1, 2))::INTEGER)
+                         / 65536.0), 6) AS avg_f0
+        FROM documents
+    """,
+    # Frame math reproduced relationally: frame i starts at char i*16+1;
+    # sampled i = 0, 4, 8, … ≤ (len-1)//16.  Lateral generate_series per
+    # document mirrors the Python range().
+    "media_frame_sample": f"""
+        WITH idx AS (
+            SELECT doc_id, text, length(text) AS n,
+                   unnest(generate_series(
+                       0, (length(text) - 1) // {_FRAME_BYTES},
+                       {_FRAME_STRIDE})) AS i
+            FROM documents WHERE length(text) > 0
+        )
+        SELECT doc_id AS media_id,
+               (n - 1) // {_FRAME_BYTES} + 1 AS n_frames,
+               count(*) AS n_sampled,
+               sum(ord(substr(text, CAST(i AS INTEGER) * {_FRAME_BYTES} + 1,
+                              1))) AS checksum
+        FROM idx
+        GROUP BY 1, 2
+        ORDER BY 1
+    """,
+}

@@ -1,0 +1,172 @@
+"""Composite pipeline operators (north-star extension): the end-to-end
+shapes a training-data platform actually runs — a multi-stage corpus
+cleaning pass, and relational embedding analytics — each as ONE
+declarative Catalyst plan with an exact DuckDB oracle.
+
+Individual stages (quality scoring, dedup, text stats) are oracled
+separately in operators/text.py and operators/dedup.py; these queries
+verify that the *composition* holds together — filters feeding dedup
+feeding aggregation in a single job, the way a 100 TB cleaning pass
+would run it (one scan, no intermediate materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .text import _EN_STOP, _count_token
+
+
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style cleaning pass per source: quality filter (length
+    band + stopword + repetition) → exact dedup (md5(text), keep lowest
+    doc_id) → per-source funnel stats.
+
+    One scan of ``documents``; the quality stage is map-only, dedup is
+    one shuffle on the text hash, the funnel aggregates are two partial
+    aggs joined on the (tiny) source key.  At 100 TB the md5 shuffle is
+    the only wide stage and partitions evenly (hash of content).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_hits = sum(_count_token(toks, w) for w in _EN_STOP)
+    flagged = (docs
+               .select("doc_id", "source", "text",
+                       F.size(toks).alias("n_tokens"),
+                       stop_hits.alias("n_stop"),
+                       F.size(F.array_distinct(toks)).alias("n_distinct"))
+               .withColumn("keep",
+                           (F.col("n_tokens") >= 20)
+                           & (F.col("n_tokens") <= 1000)
+                           & (F.round(F.col("n_stop") / F.col("n_tokens"), 6)
+                              >= 0.01)
+                           & (F.round(1 - F.col("n_distinct")
+                                      / F.col("n_tokens"), 6) <= 0.9)))
+    kept = (flagged.where("keep")
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id"))))
+    agg_all = (flagged.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.when(F.col("keep"), 0).otherwise(1))
+                     .alias("n_dropped_quality")))
+    agg_kept = (kept.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_kept"),
+                     F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+                      .alias("n_final"),
+                     F.round(F.avg(F.when(F.col("rn") == 1,
+                                          F.col("n_tokens"))), 4)
+                      .alias("avg_tokens_final")))
+    return (agg_all.join(agg_kept, "source", "left")
+            .select("source", "n_docs", "n_dropped_quality",
+                    (F.coalesce(F.col("n_kept"), F.lit(0))
+                     - F.coalesce(F.col("n_final"), F.lit(0)))
+                    .alias("n_dropped_dup"),
+                    F.coalesce(F.col("n_final"), F.lit(0)).alias("n_final"),
+                    "avg_tokens_final")
+            .orderBy("source"))
+
+
+def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding analytics fully relationally: per-label centroid, then
+    each vector's cosine to its label centroid, averaged per label — the
+    cluster-cohesion statistic, with zero UDFs.
+
+    Vectors are posexploded to (vec_id, label, pos, v); the centroid is a
+    plain avg per (label, pos); dot products and norms are sums per
+    vector after an equi-join on (label, pos).  At scale: explode is
+    map-side (rows × dim), both aggregations partial-agg before their
+    shuffle, and the centroid side of the join is dims × labels — tiny,
+    broadcast.  This is the pattern that keeps embedding math inside
+    whole-stage codegen instead of a Python UDF per row.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("pos", "v_raw")
+    ).select("vec_id", "label", "pos",
+             F.col("v_raw").cast("double").alias("v"))
+    cent = (expl.groupBy("label", "pos")
+            .agg(F.avg("v").alias("c")))
+    per_vec = (expl.join(F.broadcast(cent), ["label", "pos"])
+               .groupBy("vec_id", "label")
+               .agg(F.sum(F.col("v") * F.col("c")).alias("dot"),
+                    F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"),
+                    F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc")))
+    return (per_vec
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.avg(F.col("dot") / (F.col("nv") * F.col("nc"))), 6)
+                  .alias("avg_cos_to_centroid"))
+            .orderBy("label"))
+
+
+QUERIES = {
+    "corpus_clean_pipeline": corpus_clean_pipeline,
+    "label_centroid_cosine": label_centroid_cosine,
+}
+
+_STOP_SQL_HITS = " + ".join(
+    f"len(list_filter(string_split(text, ' '), t -> t = '{w}'))"
+    for w in _EN_STOP)
+
+ORACLES = {
+    "corpus_clean_pipeline": f"""
+        WITH flagged AS (
+            SELECT doc_id, source, text,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   ({_STOP_SQL_HITS}) AS n_stop,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct
+            FROM documents
+        ), verdict AS (
+            SELECT *,
+                   (n_tokens >= 20 AND n_tokens <= 1000
+                    AND round(n_stop / CAST(n_tokens AS DOUBLE), 6) >= 0.01
+                    AND round(1 - n_distinct / CAST(n_tokens AS DOUBLE), 6)
+                        <= 0.9) AS keep
+            FROM flagged
+        ), kept AS (
+            SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn
+            FROM verdict WHERE keep
+        ), agg_all AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped_quality
+            FROM verdict GROUP BY source
+        ), agg_kept AS (
+            SELECT source, count(*) AS n_kept,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_final,
+                   round(avg(CASE WHEN rn = 1 THEN n_tokens END), 4)
+                       AS avg_tokens_final
+            FROM kept GROUP BY source
+        )
+        SELECT a.source, a.n_docs, a.n_dropped_quality,
+               coalesce(k.n_kept, 0) - coalesce(k.n_final, 0) AS n_dropped_dup,
+               coalesce(k.n_final, 0) AS n_final,
+               k.avg_tokens_final
+        FROM agg_all a LEFT JOIN agg_kept k USING (source)
+        ORDER BY a.source
+    """,
+    "label_centroid_cosine": """
+        WITH expl AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ), cent AS (
+            SELECT label, pos, avg(v) AS c FROM expl GROUP BY 1, 2
+        ), per_vec AS (
+            SELECT e.vec_id, e.label,
+                   sum(e.v * c.c) AS dot,
+                   sqrt(sum(e.v * e.v)) AS nv,
+                   sqrt(sum(c.c * c.c)) AS nc
+            FROM expl e JOIN cent c USING (label, pos)
+            GROUP BY 1, 2
+        )
+        SELECT label, count(*) AS n_vecs,
+               round(avg(dot / (nv * nc)), 6) AS avg_cos_to_centroid
+        FROM per_vec
+        GROUP BY label ORDER BY label
+    """,
+}

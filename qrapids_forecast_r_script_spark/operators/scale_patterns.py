@@ -1,0 +1,130 @@
+"""Scale-pattern operators: the two join strategies a 100 TB cluster job
+reaches for when broadcast is off the table — key salting for skew, and
+bucketed co-located joins for shuffle elimination — each exercised as a
+driver query with an exact DuckDB oracle (the rewrites are
+result-preserving by construction, so the oracle is the naive form).
+
+The reference never joins (SURVEY §2B: joins ABSENT); this is pure
+engine-extension surface for the training-data-pipeline north star.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import load_table
+
+_SALT_BUCKETS = 16
+_N_BUCKETS = 8
+
+
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⋈dim join via key salting: weighted event value per
+    event_type.
+
+    ``event_type`` has 5 values with a heavily skewed distribution — the
+    canonical Zipf key.  A plain shuffle join on it puts each hot key on
+    ONE reducer (5 partitions do all the work regardless of cluster
+    size).  The salting rewrite: the fact side gets a deterministic salt
+    ``xxhash64(event_id) mod 16``, the dim side is exploded ×16 (bounded
+    blow-up of the SMALL side only), and the join key becomes
+    (event_type, salt) — 80 evenly-spread partitions instead of 5 hot
+    ones.  The ``shuffle_hash`` hint keeps the demo honest (Catalyst
+    would otherwise broadcast the 5-row dim, which is the right call at
+    THIS size but unavailable when the dim is tens of GB).  The final
+    re-aggregation by event_type is safe because map-side partial
+    aggregation collapses each partition before the second (tiny)
+    shuffle — the standard two-stage skew-agg pattern.
+
+    Result is salt-invariant, so the oracle is the naive join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # 5-row dim derived in closed form so the oracle can reproduce it.
+    dim = (ev.select("event_type").distinct()
+           .withColumn("weight", F.length("event_type") * F.lit(0.1)))
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)])))
+    fact = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_SALT_BUCKETS)))
+    return (fact.join(salted_dim.hint("shuffle_hash"),
+                      ["event_type", "salt"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value") * F.col("weight")), 4)
+                  .alias("weighted_value"))
+            .orderBy("event_type"))
+
+
+def _bucketed_table(spark: SparkSession, df: DataFrame, table: str,
+                    bucket_col: str, path: str) -> DataFrame:
+    """saveAsTable with bucketBy once per (session, path); reuse after."""
+    if not spark.catalog.tableExists(table):
+        (df.write.bucketBy(_N_BUCKETS, bucket_col).sortBy(bucket_col)
+         .mode("overwrite").option("path", path)
+         .format("parquet").saveAsTable(table))
+    return spark.table(table)
+
+
+def bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join: orders ⋈ customer over bucketed
+    tables, aggregated to market segment.
+
+    Both sides are written ``bucketBy(8, <join key>)`` — Spark's
+    persistent hash-clustering (one file group per bucket).  Because the
+    bucket counts and keys match, the sort-merge join consumes the
+    bucketed layout directly: NO Exchange on either join input
+    (asserted in tests/test_plan_shapes.py).  At 100 TB this is the
+    fact-to-fact strategy: pay the partitioning once at write time,
+    amortize it over every subsequent join on that key.  The ``merge``
+    hint disables the broadcast Catalyst would pick at test scale —
+    bucketing targets the both-sides-huge regime.
+
+    Bucketed copies land under /tmp keyed by scale factor; bucketing is
+    layout-only, so the naive join is an exact oracle.
+    """
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/qrapids_bucketed/{tag}"
+    cust = _bucketed_table(
+        spark, load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment"),
+        f"bkt_customer_{tag}", "c_custkey", f"{base}/customer")
+    orders = _bucketed_table(
+        spark, load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice"),
+        f"bkt_orders_{tag}", "o_custkey", f"{base}/orders")
+    return (cust.hint("merge")
+            .join(orders, cust.c_custkey == orders.o_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+            .orderBy("c_mktsegment"))
+
+
+QUERIES = {
+    "salted_skew_join": salted_skew_join,
+    "bucketed_orders_join": bucketed_orders_join,
+}
+
+ORACLES = {
+    "salted_skew_join": """
+        SELECT e.event_type,
+               count(*) AS n_events,
+               round(sum(e.value * d.weight), 4) AS weighted_value
+        FROM events e
+        JOIN (SELECT DISTINCT event_type,
+                     length(event_type) * 0.1 AS weight
+              FROM events) d USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    "bucketed_orders_join": """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+}

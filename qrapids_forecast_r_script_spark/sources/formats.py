@@ -1,0 +1,111 @@
+"""Multi-format sources/sinks: CSV, JSON-lines, and ORC, round-tripped.
+
+The reference reads exactly one source (Elasticsearch HTTP, R:27-28) and
+writes exactly one sink (RDS files, R:47).  A general engine needs the
+standard lake formats; each is exercised end-to-end as write→read→query
+with the SAME explicit StructTypes as the parquet path (schemas.py) —
+no inference pass, which at 100 TB would mean an extra full scan (CSV/
+JSON inference reads the data once just to guess types).
+
+Each round-trip query's oracle runs on the original parquet, so the
+driver hash-checks serializer fidelity (dates, timestamps, doubles,
+nulls) through the text/columnar codecs — not just "it parses".
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import schemas
+from .registry import load_table
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, table: str,
+               fmt: str, **read_opts) -> DataFrame:
+    """Write <table> in <fmt> under /tmp once per scale dir, read it back
+    with the explicit schema.  Timestamps travel as microsecond-precision
+    strings in the text formats (Spark's default writer pattern keeps
+    them round-trippable)."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"/tmp/qrapids_formats/{tag}/{table}.{fmt}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, table).write.mode("overwrite") \
+            .format(fmt).options(**read_opts).save(path)
+    return (spark.read.schema(schemas.TABLES[table])
+            .format(fmt).options(**read_opts).load(path))
+
+
+def orders_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV (header, explicit schema both ways) → monthly revenue.
+    Exercises timestamp and double text serialization; doubles survive
+    because Spark writes shortest-round-trip decimal strings."""
+    orders = _roundtrip(spark, sf_dir, "orders", "csv", header="true")
+    return (orders.groupBy(F.trunc("o_orderdate", "month").alias("month"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .orderBy("month"))
+
+
+def events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON lines → per-type stats.  The ``props`` column is a
+    JSON *string inside* JSON — the escape/unescape path is part of what
+    the oracle hash checks (distinct props counted post-roundtrip)."""
+    ev = _roundtrip(spark, sf_dir, "events", "json")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count_distinct("props").alias("n_distinct_props"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .orderBy("event_type"))
+
+
+def lineitem_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC → Q1-shaped rollup.  ORC is the other columnar
+    format with predicate pushdown + pruning; same explicit schema, no
+    inference."""
+    li = _roundtrip(spark, sf_dir, "lineitem", "orc")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+QUERIES = {
+    "orders_csv_roundtrip": orders_csv_roundtrip,
+    "events_json_roundtrip": events_json_roundtrip,
+    "lineitem_orc_roundtrip": lineitem_orc_roundtrip,
+}
+
+ORACLES = {
+    "orders_csv_roundtrip": """
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+    """,
+    "events_json_roundtrip": """
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT props) AS n_distinct_props,
+               round(sum(value), 4) AS total_value
+        FROM events
+        GROUP BY 1 ORDER BY 1
+    """,
+    "lineitem_orc_roundtrip": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS sum_disc_price
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+}

@@ -163,12 +163,101 @@ def events_stream_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real watermarked stream-stream inner join: error events joined to
+    same-user purchase events within ±30 minutes.
+
+    Both sides read as file streams with 1-hour watermarks; the join
+    condition carries the time-range predicate, so Spark bounds each
+    side's state to watermark + range (the canonical interval-join state
+    contract).  With availableNow replay the full match set is emitted —
+    deterministic, so the batch time-predicate join is an exact oracle.
+    At 100 TB/day the same query holds: state is (rate × 1.5 h) per
+    side, keyed and co-partitioned by user_id.
+    """
+    def _side(alias: str, etype: str):
+        raw = (spark.readStream
+               .schema(schemas.EVENTS_RAW_NS)
+               .option("pathGlobFilter", "events.parquet")
+               .parquet(sf_dir))
+        return (raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                .where(F.col("event_type") == etype)
+                .select(F.col("event_id").alias(f"{alias}_id"),
+                        F.col("user_id").alias(f"{alias}_user"),
+                        F.col("ts").alias(f"{alias}_ts"))
+                .withWatermark(f"{alias}_ts", "1 hour"))
+
+    err, pur = _side("err", "error"), _side("pur", "purchase")
+    joined = (err.join(
+        pur,
+        (F.col("err_user") == F.col("pur_user"))
+        & (F.col("pur_ts") >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("pur_ts") <= F.col("err_ts") + F.expr("INTERVAL 30 MINUTES")))
+        .select(F.col("err_user").alias("user_id"), "err_id", "pur_id"))
+    name = "events_stream_stream_join_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (joined.writeStream
+             .format("memory")
+             .queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(180)
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: streaming events joined to a
+    batch-computed per-user cohort dimension, aggregated to cohort-month
+    × event-type counts.
+
+    The static side is a plain DataFrame — Spark re-plans it per
+    micro-batch and (being small) broadcasts it, so the stream side
+    needs NO join state at all: this is the scalable way to decorate a
+    100 TB/day event stream with dimension attributes (vs stream-stream,
+    which keeps watermark-bounded state on both sides).  The non-windowed
+    aggregate runs in complete mode; with availableNow replay the result
+    equals the batch join, giving an exact oracle.
+    """
+    cohort = (load_table(spark, sf_dir, "events")
+              .groupBy("user_id")
+              .agg(F.trunc(F.min(F.to_date("ts")), "month")
+                   .alias("cohort_month")))
+    raw = (spark.readStream
+           .schema(schemas.EVENTS_RAW_NS)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    stream = (raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+              .select("user_id", "event_type"))
+    agg = (stream.join(F.broadcast(cohort), "user_id")
+           .groupBy("cohort_month", "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    name = "events_stream_static_join_sink"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (agg.writeStream
+             .format("memory")
+             .queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 QUERIES = {
     "events_stream_tumbling_1h": events_stream_tumbling_1h,
     "events_sliding_1h_30m": events_sliding_1h_30m,
     "user_sessions": user_sessions,
     "events_session_windows": events_session_windows,
     "events_stream_dedup_hourly": events_stream_dedup_hourly,
+    "events_stream_stream_join": events_stream_stream_join,
+    "events_stream_static_join": events_stream_static_join,
 }
 
 _TUMBLING_SQL = """
@@ -199,6 +288,26 @@ ORACLES = {
                round(sum(value), 4) AS total_value
         FROM expanded
         GROUP BY 1, 2, 3
+    """,
+    "events_stream_static_join": """
+        WITH cohort AS (
+            SELECT user_id,
+                   CAST(date_trunc('month', min(CAST(ts AS DATE))) AS DATE)
+                       AS cohort_month
+            FROM events GROUP BY 1
+        )
+        SELECT c.cohort_month, e.event_type, count(*) AS n_events
+        FROM events e JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "events_stream_stream_join": """
+        SELECT e.user_id, e.event_id AS err_id, p.event_id AS pur_id
+        FROM events e
+        JOIN events p ON p.user_id = e.user_id
+                     AND p.event_type = 'purchase'
+                     AND p.ts >= e.ts - INTERVAL 30 MINUTE
+                     AND p.ts <= e.ts + INTERVAL 30 MINUTE
+        WHERE e.event_type = 'error'
     """,
     "events_stream_dedup_hourly": """
         SELECT DISTINCT user_id, event_type,

@@ -5,9 +5,12 @@ dimension joins broadcast, no accidental cartesian products.
 
 import pytest
 
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from qrapids_forecast_r_script_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    executed_plan as _plan,
+    plan_report,
+)
 
 
 def test_filter_and_projection_pushdown(spark, sf_dir):
@@ -104,3 +107,47 @@ def test_ivf_assignment_broadcasts_centroids(spark, sf_dir):
     plan = _plan(ivf_topk(spark, sf_dir))
     assert "Broadcast" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
+    """The skew rewrite must hold: no broadcast (the demo's premise is a
+    non-broadcastable dim), a hash join whose key includes the salt, and
+    no cartesian fallback."""
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        salted_skew_join)
+    df = salted_skew_join(spark, sf_dir)
+    plan = _plan(df)
+    assert broadcast_join_count(df, plan) == 0, plan
+    assert "ShuffledHashJoin" in plan
+    assert "salt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_no_shuffle_on_join_key(spark, sf_dir):
+    """Bucketed co-located join: the sort-merge join must consume the
+    bucketed layout directly — no Exchange on either join key.  (The
+    later segment aggregate + orderBy may still shuffle; only the join
+    inputs are asserted.)"""
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        bucketed_orders_join)
+    df = bucketed_orders_join(spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning(c_custkey" not in plan, plan
+    assert "hashpartitioning(o_custkey" not in plan, plan
+
+
+def test_relational_queries_have_no_python_ops(spark, sf_dir):
+    """Budget: the Python boundary exists ONLY in forecast fitting and
+    multimodal extraction; every relational headline stays JVM-side."""
+    from qrapids_forecast_r_script_spark.operators.relational import (
+        q1_pricing_summary, q5_local_supplier)
+    for fn in (q1_pricing_summary, q5_local_supplier):
+        df = fn(spark, sf_dir)
+        # collect() (not count(), which compiles a separate plan) executes
+        # THIS plan, finalizing AQE so codegen stages are marked
+        df.collect()
+        rep = plan_report(df)
+        assert rep["python_ops"] == 0, (fn.__name__, rep)
+        assert not rep["cartesian"], fn.__name__
+        assert rep["codegen_spans"] >= 1, (fn.__name__, rep)

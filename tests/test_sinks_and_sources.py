@@ -111,6 +111,23 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
                 (etype, col, row[col], bounds["lo"], bounds["hi"])
 
 
+def test_hll_distinct_close_to_exact(spark, sf_dir):
+    """approx_count_distinct at rsd 1% must land within ±5% of the exact
+    per-type distinct user count."""
+    from pyspark.sql import functions as F
+    from qrapids_forecast_r_script_spark.operators.relational_more import (
+        distinct_users_hll)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
+    for row in distinct_users_hll(spark, sf_dir).collect():
+        n = exact[row["event_type"]]
+        assert abs(row["approx_users"] - n) <= max(1, 0.05 * n), \
+            (row["event_type"], row["approx_users"], n)
+
+
 def test_dedup_clusters_match_union_find(spark, sf_dir):
     """Label-propagation components must equal a driver-side union-find
     over the same candidate pairs (min doc_id as representative)."""
