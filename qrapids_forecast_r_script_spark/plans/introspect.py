@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame
 
 
 def executed_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Physical plan text.  After execution, AQE's toString prints BOTH
+    '== Final Plan ==' and '== Initial Plan ==' sections — keep only the
+    final one so counts aren't doubled."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
 
 
 def pushed_filters(df: DataFrame, plan: str | None = None) -> list[str]:
