@@ -137,6 +137,29 @@ def test_bucketed_join_no_shuffle_on_join_key(spark, sf_dir):
     assert "hashpartitioning(o_custkey" not in plan, plan
 
 
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A fact table partitioned by day, joined to a filtered dim on the
+    partition column, must get a runtime ``dynamicpruning`` partition
+    filter — at 100 TB this is what turns a full scan into reading only
+    the joined days' directories."""
+    from pyspark.sql import functions as F
+    from qrapids_forecast_r_script_spark.sources import load_table
+    fact_path = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(fact_path)
+    dim_path = str(tmp_path / "day_dim")
+    ev.select("day").distinct().write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    # NB the dim filter must be a comparison — Spark's DPP heuristic
+    # (isLikelySelective) ignores bare boolean-column predicates
+    dim = spark.read.parquet(dim_path).where(F.dayofmonth("day") <= 2)
+    joined = (fact.join(dim, "day")
+              .groupBy("day").agg(F.round(F.sum("value"), 4).alias("total")))
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan, plan
+
+
 def test_relational_queries_have_no_python_ops(spark, sf_dir):
     """Budget: the Python boundary exists ONLY in forecast fitting and
     multimodal extraction; every relational headline stays JVM-side."""

@@ -19,6 +19,36 @@ def test_stateful_anomaly_counter_state_math(spark, sf_dir):
         assert 0 <= row["n_anomalies"] < len(grp)
 
 
+def test_stream_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
+    """File-sink coverage: readStream → filter → writeStream parquet with
+    checkpoint (exactly-once via the sink's commit log) → read back; row
+    set must equal the batch filter.  This is the production sink shape
+    (the memory sink in the driver queries is test-only)."""
+    from pyspark.sql import functions as F
+    from qrapids_forecast_r_script_spark import schemas
+    from qrapids_forecast_r_script_spark.sources import load_table
+    raw = (spark.readStream
+           .schema(schemas.EVENTS_RAW_NS)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    purchases = (raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                 .where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "value"))
+    out = str(tmp_path / "purchases_sink")
+    q = (purchases.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    want = (load_table(spark, sf_dir, "events")
+            .where(F.col("event_type") == "purchase"))
+    assert got.count() == want.count()
+    assert got.select(F.sum("event_id")).first()[0] == \
+        want.select(F.sum("event_id")).first()[0]
+
+
 def test_series_cap_at_10k(spark):
     """The reference's size=10000 cap (R:28, quirk 7): longer series are
     truncated to their earliest 10k observations."""
