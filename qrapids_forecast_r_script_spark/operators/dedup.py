@@ -394,6 +394,44 @@ ORACLES = {
         f"THEN {1 << bit} ELSE 0 END)" for bit in range(32))),
 }
 
+_SIMHASH_BANDS = 4          # 4 bands × 8 bits
+_HAMMING_MAX = 3            # pigeonhole: d ≤ 3 ⇒ ≥1 of 4 bands identical
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: hamming distance ≤ 3 over the 32-bit
+    signatures, found by band blocking.
+
+    Pigeonhole principle: if two signatures differ in ≤ 3 bits, at least
+    one of the 4 disjoint 8-bit bands is identical — so candidates come
+    from an EQUI-join on (band_id, band_value), never an all-pairs scan,
+    then the exact ``bit_count(xor) ≤ 3`` refine.  At 100 TB the band
+    join shuffles (docs × 4) rows on evenly-hashed 8-bit band values;
+    the oracle runs the O(n²) definition directly, verifying the
+    blocking loses nothing.
+    """
+    sh = simhash_docs(spark, sf_dir)
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(0xFF))
+                      .alias("band_val"))
+            for b in range(_SIMHASH_BANDS)])).alias("band"))
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("sim_a"), "band.*")
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("sim_b"), "band.*")
+    return (a.join(b, ["band_id", "band_val"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+                     .alias("hamming"))
+            .where(F.col("hamming") <= _HAMMING_MAX)
+            .distinct()
+            .orderBy("doc_a", "doc_b"))
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
@@ -402,4 +440,16 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,
     "simhash_docs": simhash_docs,
+    "simhash_neardup_pairs": simhash_neardup_pairs,
 }
+
+# the oracle runs the O(n²) hamming definition — no banding — so the
+# equi-join blocking is verified lossless against first principles
+ORACLES["simhash_neardup_pairs"] = f"""
+    WITH sh AS ({ORACLES["simhash_docs"]})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    ORDER BY 1, 2
+"""

@@ -111,6 +111,70 @@ def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def orders_decimal_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal aggregation: order totals cast to DECIMAL(12,2) and
+    summed per status — the money path.  Float sums drift with partition
+    count / add order (a real hazard when re-partitioning at scale);
+    decimal sums are exact and associative, so the result is identical
+    on any cluster layout.  Cast back to double only for the final
+    comparison surface."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return (orders.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(dec).cast("double").alias("exact_total"))
+            .orderBy("o_orderstatus"))
+
+
+def events_user_30min_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval RANGE window frame: per user and event, how many of that
+    user's events fall in the trailing 30 minutes (inclusive).  Unlike
+    ROWS frames (fixed row counts), RANGE frames are value-based — the
+    correct semantics for time windows over irregular event streams.
+    One shuffle on user_id; the frame scan is per-partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-1800, 0))
+    return (ev.select("event_id", "user_id",
+                      F.count(F.lit(1)).over(w).alias("n_last_30min"))
+            .orderBy("event_id"))
+
+
+def deterministic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample of orders via content hashing (md5 of the
+    key, mod 10), aggregated per order status.
+
+    At scale, sampling MUST be hash-based, never ``rand()``: task retries
+    and AQE re-execution re-roll random numbers (silent row drift),
+    while a key hash picks the same rows on every run, executor, and
+    engine — which is also why this query is exactly oracle-checkable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(F.substring(
+        F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10) \
+        .cast("long") % 10
+    return (orders.where(bucket == 0)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sampled_price"))
+            .orderBy("o_orderstatus"))
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type (bin width 10).
+    Binning is a map-side expression + one hash agg on (type, bin) — the
+    constant-memory way to profile a 100 TB column, vs exact percentiles
+    which need per-group sorts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.select("event_type",
+                      F.floor(F.col("value") / 10).cast("long").alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("bin_lo", (F.col("bin") * 10).cast("double"))
+            .orderBy("event_type", "bin"))
+
+
 def events_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval self-join: for each error event, count same-user events of
     other types within ±5 minutes.
@@ -179,6 +243,10 @@ QUERIES = {
     "value_percentiles_by_type": value_percentiles_by_type,
     "value_percentiles_approx": value_percentiles_approx,   # rows-only: sketch
     "distinct_users_hll": distinct_users_hll,               # rows-only: sketch
+    "orders_decimal_totals": orders_decimal_totals,
+    "events_user_30min_rolling": events_user_30min_rolling,
+    "deterministic_sample_orders": deterministic_sample_orders,
+    "events_value_histogram": events_value_histogram,
     "events_range_join_binned": events_range_join_binned,
 }
 
@@ -238,6 +306,40 @@ ORACLES = {
                    ROWS UNBOUNDED PRECEDING) AS value_filled
         FROM cal c LEFT JOIN daily dl
           ON dl.user_id = c.user_id AND dl.d = c.d
+    """,
+    "orders_decimal_totals": """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS exact_total
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+    """,
+    "events_user_30min_rolling": """
+        SELECT event_id, user_id,
+               count(*) OVER (PARTITION BY user_id
+                              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                              RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+                   AS n_last_30min
+        FROM events
+        ORDER BY event_id
+    """,
+    "deterministic_sample_orders": """
+        SELECT o_orderstatus,
+               count(*) AS n_sampled,
+               round(sum(o_totalprice), 2) AS sampled_price
+        FROM orders
+        WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+              % 10 = 0
+        GROUP BY 1 ORDER BY 1
+    """,
+    "events_value_histogram": """
+        SELECT event_type,
+               CAST(floor(value / 10) AS BIGINT) AS bin,
+               count(*) AS n,
+               CAST(floor(value / 10) AS BIGINT) * 10.0 AS bin_lo
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "events_range_join_binned": f"""
         SELECT e.event_id AS error_id, count(*) AS n_nearby
