@@ -209,7 +209,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
              .union(pairs.select(F.col("doc_b").alias("src"),
                                  F.col("doc_a").alias("dst"))))
     edges = edges.localCheckpoint()
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # iterate ONLY over edge-touched nodes: singletons can never change
+    # label, and at corpus scale dup-pair endpoints are a small fraction
+    # of all docs — the per-round joins shrink accordingly.  Singletons
+    # rejoin (label = own id) after convergence.
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("cluster_id", F.col("doc_id"))
+              .localCheckpoint())
     for _ in range(max_iter):
         nb = (edges.join(labels, edges.dst == labels.doc_id)
               .groupBy("src").agg(F.min("cluster_id").alias("nb_min")))
@@ -226,7 +232,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
              .alias("cluster_id"))
         if changed == 0:
             break
-    return labels.select("doc_id", "cluster_id")
+    return (docs.join(labels, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster_id", "doc_id").alias("cluster_id")))
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
