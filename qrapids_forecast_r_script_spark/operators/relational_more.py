@@ -111,6 +111,27 @@ def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch anomaly detection: per event type, count events whose value
+    lies beyond ±3σ of that type's mean (population stddev).  Two passes
+    expressed as one plan: the per-type moments aggregate (tiny) is
+    broadcast-joined back onto the stream of rows — no window over the
+    full table, so nothing is sorted and both stages partial-aggregate.
+    The streaming analog (running Welford state) is
+    ``streaming/stateful.py``; this is its exact batch oracle shape."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = (ev.groupBy("event_type")
+             .agg(F.avg("value").alias("mu"),
+                  F.stddev_pop("value").alias("sigma")))
+    return (ev.join(F.broadcast(stats), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum((F.abs(F.col("value") - F.col("mu"))
+                        > 3 * F.col("sigma")).cast("int"))
+                  .alias("n_outliers"))
+            .orderBy("event_type"))
+
+
 def orders_decimal_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact decimal aggregation: order totals cast to DECIMAL(12,2) and
     summed per status — the money path.  Float sums drift with partition
@@ -243,6 +264,7 @@ QUERIES = {
     "value_percentiles_by_type": value_percentiles_by_type,
     "value_percentiles_approx": value_percentiles_approx,   # rows-only: sketch
     "distinct_users_hll": distinct_users_hll,               # rows-only: sketch
+    "events_zscore_outliers": events_zscore_outliers,
     "orders_decimal_totals": orders_decimal_totals,
     "events_user_30min_rolling": events_user_30min_rolling,
     "deterministic_sample_orders": deterministic_sample_orders,
@@ -306,6 +328,18 @@ ORACLES = {
                    ROWS UNBOUNDED PRECEDING) AS value_filled
         FROM cal c LEFT JOIN daily dl
           ON dl.user_id = c.user_id AND dl.d = c.d
+    """,
+    "events_zscore_outliers": """
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_type,
+               count(*) AS n_events,
+               sum(CASE WHEN abs(e.value - s.mu) > 3 * s.sigma
+                        THEN 1 ELSE 0 END) AS n_outliers
+        FROM events e JOIN stats s USING (event_type)
+        GROUP BY 1 ORDER BY 1
     """,
     "orders_decimal_totals": """
         SELECT o_orderstatus,

@@ -122,12 +122,63 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_shingles")))
 
 
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality score, fully relationally: a
+    unigram LM is fit on the corpus itself (token count / corpus size),
+    then each document is scored by its mean token negative log-prob.
+    Low = fluent/common text, high = gibberish or rare-vocabulary — the
+    classic perplexity-bucket filter for training-data curation.
+
+    Shape at scale: one explode (map-side), one vocab aggregate, one
+    (token) equi-join back, one per-doc aggregate.  The vocab join key
+    is Zipf-skewed, which Spark's AQE skew-join handles; the vocab table
+    itself is usually broadcastable after the aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = toks.count()
+    scored = (toks.join(vocab, "token")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.round(F.avg(-F.log(F.col("tf") / F.lit(float(total)))), 6)
+                    .alias("avg_neg_logprob")))
+    return scored.orderBy("doc_id")
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (raw tf × ln(N/df), ties broken
+    alphabetically) — the classic keyword-extraction operator, pure
+    Catalyst: explode → per-(doc,term) tf → per-term df → join → window
+    top-k.  At scale both aggregates partial-agg before one shuffle
+    each, and the window partitions by doc_id."""
+    from pyspark.sql.window import Window
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (tf.join(df_, "term")
+            .withColumn("tfidf",
+                        F.round(F.col("tf")
+                                * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("doc_id", "rank", "term", "tfidf")
+            .orderBy("doc_id", "rank"))
+
+
 QUERIES = {
     "text_stats": text_stats,
     "token_count_regex": token_count_regex,
     "quality_score": quality_score,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
+    "doc_unigram_logprob": doc_unigram_logprob,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 _STOP_SQL_HITS = " + ".join(
@@ -185,6 +236,43 @@ ORACLES = {
                round(avg(en_score), 6) AS avg_en_score
         FROM scored
         GROUP BY 1, 2
+    """,
+    "doc_unigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), vocab AS (
+            SELECT token, count(*) AS tf FROM toks GROUP BY 1
+        ), tot AS (
+            SELECT count(*) AS n FROM toks
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(-ln(tf / CAST(n AS DOUBLE))), 6) AS avg_neg_logprob
+        FROM toks JOIN vocab USING (token) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    "tfidf_top_terms": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfp AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), nd AS (
+            SELECT count(*) AS n FROM documents
+        ), scored AS (
+            SELECT doc_id, term,
+                   round(tf * ln(n / CAST(df AS DOUBLE)), 6) AS tfidf
+            FROM tf JOIN dfp USING (term) CROSS JOIN nd
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored
+        )
+        SELECT doc_id, rank, term, tfidf
+        FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank
     """,
     "doc_fingerprint": """
         WITH sh AS (
