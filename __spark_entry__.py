@@ -77,6 +77,11 @@ def _registries():
     except ImportError:
         pass
     try:
+        from qrapids_forecast_r_script_spark.operators import product_analytics
+        regs.append((product_analytics.QUERIES, product_analytics.ORACLES))
+    except ImportError:
+        pass
+    try:
         from qrapids_forecast_r_script_spark.operators import pipeline
         regs.append((pipeline.QUERIES, pipeline.ORACLES))
     except ImportError:

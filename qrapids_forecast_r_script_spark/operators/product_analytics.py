@@ -1,0 +1,132 @@
+"""Product-analytics operators over ``events`` (engine-extension
+surface): cohort retention and ordered funnels — the two aggregate
+shapes every event warehouse runs daily, expressed as single Catalyst
+plans with exact DuckDB oracles.
+
+Both stay strictly relational: a first-touch aggregate per user, a
+broadcast-sized re-join, and conditional aggregation.  At 100 TB the
+only wide stages are the per-user aggregates (partial-agg before one
+shuffle on user_id each); the cohort/funnel matrices themselves are
+tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import load_table
+
+
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by the Monday week
+    of their first event; each row counts distinct users from that
+    cohort active at week offset 0, 1, 2, …  One per-user min-date
+    aggregate, one broadcast join back, one (cohort, offset) count —
+    nothing scans events twice."""
+    ev = load_table(spark, sf_dir, "events")
+    first = (ev.groupBy("user_id")
+             .agg(F.min(F.to_date("ts")).alias("first_day")))
+    cohort = first.select(
+        "user_id", F.date_trunc("week", "first_day").cast("date")
+        .alias("cohort_week"))
+    return (ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+            .join(F.broadcast(cohort), "user_id")
+            .select("user_id", "cohort_week",
+                    (F.datediff(F.date_trunc("week", "day").cast("date"),
+                                F.col("cohort_week")) / 7)
+                    .cast("long").alias("week_offset"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count_distinct("user_id").alias("n_active"))
+            .orderBy("cohort_week", "week_offset"))
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user-day: first view → first click strictly
+    after it → first purchase strictly after that.  Stage timestamps are
+    conditional minimums over one scan (no self-joins): t1 = min(view),
+    t2 = min(click where ts > t1), t3 = min(purchase where ts > t2) —
+    the second and third stages re-aggregate the same user-day group
+    with the prior stage's timestamp joined back, which Catalyst plans
+    as three hash aggregates over one shuffled partitioning.  Output is
+    the daily funnel: user-days reaching each stage."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", F.to_date("ts").alias("day"),
+                  "event_type", "ts"))
+    t1 = (ev.where(F.col("event_type") == "view")
+          .groupBy("user_id", "day").agg(F.min("ts").alias("t1")))
+    t2 = (ev.where(F.col("event_type") == "click")
+          .join(t1, ["user_id", "day"])
+          .where(F.col("ts") > F.col("t1"))
+          .groupBy("user_id", "day").agg(F.min("ts").alias("t2")))
+    t3 = (ev.where(F.col("event_type") == "purchase")
+          .join(t2, ["user_id", "day"])
+          .where(F.col("ts") > F.col("t2"))
+          .groupBy("user_id", "day").agg(F.min("ts").alias("t3")))
+    base = ev.select("user_id", "day").distinct()
+    return (base
+            .join(t1, ["user_id", "day"], "left")
+            .join(t2, ["user_id", "day"], "left")
+            .join(t3, ["user_id", "day"], "left")
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_user_days"),
+                 F.count("t1").alias("n_view"),
+                 F.count("t2").alias("n_view_click"),
+                 F.count("t3").alias("n_full_funnel"))
+            .orderBy("day"))
+
+
+QUERIES = {
+    "cohort_retention_weekly": cohort_retention_weekly,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
+}
+
+ORACLES = {
+    "cohort_retention_weekly": """
+        WITH cohort AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(CAST(ts AS DATE))) AS DATE)
+                       AS cohort_week
+            FROM events GROUP BY 1
+        ), active AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        )
+        SELECT c.cohort_week,
+               CAST(datediff('day', c.cohort_week,
+                    CAST(date_trunc('week', a.day) AS DATE)) // 7 AS BIGINT)
+                   AS week_offset,
+               count(DISTINCT a.user_id) AS n_active
+        FROM active a JOIN cohort c USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "funnel_view_click_purchase": """
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts
+            FROM events
+        ), t1 AS (
+            SELECT user_id, day, min(ts) AS t1 FROM ev
+            WHERE event_type = 'view' GROUP BY 1, 2
+        ), t2 AS (
+            SELECT e.user_id, e.day, min(e.ts) AS t2
+            FROM ev e JOIN t1 USING (user_id, day)
+            WHERE e.event_type = 'click' AND e.ts > t1.t1
+            GROUP BY 1, 2
+        ), t3 AS (
+            SELECT e.user_id, e.day, min(e.ts) AS t3
+            FROM ev e JOIN t2 USING (user_id, day)
+            WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+            GROUP BY 1, 2
+        ), base AS (
+            SELECT DISTINCT user_id, day FROM ev
+        )
+        SELECT b.day,
+               count(*) AS n_user_days,
+               count(t1.t1) AS n_view,
+               count(t2.t2) AS n_view_click,
+               count(t3.t3) AS n_full_funnel
+        FROM base b
+        LEFT JOIN t1 USING (user_id, day)
+        LEFT JOIN t2 USING (user_id, day)
+        LEFT JOIN t3 USING (user_id, day)
+        GROUP BY 1 ORDER BY 1
+    """,
+}
