@@ -440,6 +440,31 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_a", "doc_b"))
 
 
+def part_name_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-matching join: part-name pairs within Levenshtein distance 8,
+    blocked by brand.
+
+    Edit distance is O(len²) per pair and can't be indexed directly, so
+    the scalable shape is block-then-refine: the equi-join on ``p_brand``
+    bounds candidates to same-brand pairs (the classic blocking-key
+    pattern from record linkage), then the exact ``levenshtein`` refine
+    runs only inside blocks.  At 100 TB blocking keys need cardinality
+    tuning (brand+prefix, or LSH over q-grams) — same plan shape.
+    """
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_name",
+                                                     "p_brand")
+    a = parts.select(F.col("p_partkey").alias("key_a"),
+                     F.col("p_name").alias("name_a"), "p_brand")
+    b = parts.select(F.col("p_partkey").alias("key_b"),
+                     F.col("p_name").alias("name_b"), "p_brand")
+    return (a.join(b, "p_brand")
+            .where(F.col("key_a") < F.col("key_b"))
+            .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+            .where(F.col("edit_dist") <= 8)
+            .select("key_a", "key_b", "edit_dist")
+            .orderBy("key_a", "key_b"))
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
@@ -449,7 +474,17 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "simhash_docs": simhash_docs,
     "simhash_neardup_pairs": simhash_neardup_pairs,
+    "part_name_editdist_pairs": part_name_editdist_pairs,
 }
+
+ORACLES["part_name_editdist_pairs"] = """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 8
+    ORDER BY 1, 2
+"""
 
 # the oracle runs the O(n²) hamming definition — no banding — so the
 # equi-join blocking is verified lossless against first principles
