@@ -238,30 +238,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document: sign-sum of per-token md5 bits.
+    """32-bit SimHash per document: sign-sum of per-token md5 bits —
+    bit b is set when a majority of the doc's tokens have bit b set in
+    their 32-bit md5-prefix hash.
 
-    Declarative form: for each bit position, count tokens with that bit
-    set vs total; bit set in the simhash when majority.  Deterministic →
-    SQL oracle."""
+    Executed as explode → ONE grouped aggregate with 33 expressions
+    (count + 32 per-bit sums).  The HOF alternative (32 ``F.aggregate``
+    lambdas over the token array) re-walks the array once per bit AND
+    re-evaluates the md5 tree per reference (measured pathology #3,
+    module notes) — the exploded form md5-hashes each token exactly
+    once inside whole-stage codegen."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    th = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
-    n = F.size(th)
-    def _bit_counter(mask: int):
-        def step(acc, h):
-            return acc + (h.bitwiseAND(F.lit(mask)) != 0).cast("int")
-        return step
-
-    bits = []
+    toks = docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("token"))
+    th = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+         .alias("h"))
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum((F.col("h").bitwiseAND(F.lit(1 << bit)) != 0).cast("int"))
+         .alias(f"b{bit}")
+        for bit in range(32)]
+    g = th.groupBy("doc_id").agg(*aggs)
+    simhash = F.lit(0)
     for bit in range(32):
-        mask = 1 << bit
-        cnt = F.aggregate(th, F.lit(0), _bit_counter(mask))
-        bits.append(F.when(cnt * 2 >= n, F.lit(mask)).otherwise(F.lit(0)))
-    simhash = bits[0]
-    for b in bits[1:]:
-        simhash = simhash + b
-    return docs.select("doc_id", simhash.cast("long").alias("simhash"))
+        simhash = simhash + F.when(
+            F.col(f"b{bit}") * 2 >= F.col("n"), F.lit(1 << bit)).otherwise(0)
+    return g.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -418,7 +421,11 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle runs the O(n²) definition directly, verifying the
     blocking loses nothing.
     """
-    sh = simhash_docs(spark, sf_dir)
+    # materialize signatures first: the simhash column is 32 F.aggregate
+    # HOFs over per-token md5 — referenced 5x below (projection + 4 band
+    # structs) on both join sides, Catalyst would re-evaluate the whole
+    # tree per reference (measured pathology; see module docstring notes)
+    sh = simhash_docs(spark, sf_dir).localCheckpoint()
     bands = sh.select(
         "doc_id", "simhash",
         F.explode(F.array(*[

@@ -16,34 +16,26 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..sources import load_table
-from .text import _EN_STOP, _count_token
+from .text import _STOP_SQL_HITS, quality_flags
 
 
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style cleaning pass per source: quality filter (length
-    band + stopword + repetition) → exact dedup (md5(text), keep lowest
-    doc_id) → per-source funnel stats.
+    band + stopword + repetition — the shared :func:`text.quality_flags`
+    verdict, so the pipeline can never drift from the standalone
+    scorer) → exact dedup (md5(text), keep lowest doc_id) → per-source
+    funnel stats.
 
-    One scan of ``documents``; the quality stage is map-only, dedup is
-    one shuffle on the text hash, the funnel aggregates are two partial
-    aggs joined on the (tiny) source key.  At 100 TB the md5 shuffle is
-    the only wide stage and partitions evenly (hash of content).
+    One scan of ``documents``; the quality stage is the exploded-token
+    aggregate, dedup is one shuffle on the text hash, the funnel
+    aggregates are two partial aggs joined on the (tiny) source key.  At
+    100 TB the md5 shuffle is the only wide stage and partitions evenly
+    (hash of content).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    stop_hits = sum(_count_token(toks, w) for w in _EN_STOP)
-    flagged = (docs
-               .select("doc_id", "source", "text",
-                       F.size(toks).alias("n_tokens"),
-                       stop_hits.alias("n_stop"),
-                       F.size(F.array_distinct(toks)).alias("n_distinct"))
-               .withColumn("keep",
-                           (F.col("n_tokens") >= 20)
-                           & (F.col("n_tokens") <= 1000)
-                           & (F.round(F.col("n_stop") / F.col("n_tokens"), 6)
-                              >= 0.01)
-                           & (F.round(1 - F.col("n_distinct")
-                                      / F.col("n_tokens"), 6) <= 0.9)))
+    flagged = (quality_flags(docs)
+               .join(docs.select("doc_id", "source", "text"), "doc_id")
+               .select("doc_id", "source", "text", "n_tokens", "keep"))
     kept = (flagged.where("keep")
             .withColumn("rn", F.row_number().over(
                 Window.partitionBy(F.md5("text")).orderBy("doc_id"))))
@@ -106,10 +98,6 @@ QUERIES = {
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "label_centroid_cosine": label_centroid_cosine,
 }
-
-_STOP_SQL_HITS = " + ".join(
-    f"len(list_filter(string_split(text, ' '), t -> t = '{w}'))"
-    for w in _EN_STOP)
 
 ORACLES = {
     "corpus_clean_pipeline": f"""

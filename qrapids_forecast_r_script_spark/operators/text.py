@@ -25,17 +25,51 @@ def _count_token(toks, word: str):
     return F.size(F.filter(toks, pred))
 
 
+def _token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc (n_tokens, n_stopword_tokens, n_distinct) via explode →
+    codegen arithmetic → ONE aggregate.
+
+    This is the pathology-free form: N references to array expressions
+    (``size(toks)`` + 8 stopword ``filter`` lambdas + ``array_distinct``)
+    each re-evaluate the whole ``split(text)`` tree per row because
+    codegen does not CSE across HOF boundaries — ~12 re-tokenizations of
+    the corpus in the map stage.  Exploding once and aggregating keeps a
+    single tokenization inside whole-stage codegen."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (toks.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.col("token").isin(*_EN_STOP).cast("int"))
+                  .alias("n_stopword_tokens"),
+                 F.count_distinct("token").alias("n_distinct")))
+
+
+def quality_flags(docs: DataFrame) -> DataFrame:
+    """Token stats + the Gopher/C4-style keep verdict (length band,
+    stopword ratio, repetition).  Single source of truth for the filter —
+    shared by :func:`quality_score` and the corpus cleaning pipeline."""
+    return (_token_stats(docs)
+            .withColumn("stopword_ratio",
+                        F.round(F.col("n_stopword_tokens")
+                                / F.col("n_tokens"), 6))
+            .withColumn("repetition_ratio",
+                        F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6))
+            .withColumn("keep",
+                        (F.col("n_tokens") >= 20)
+                        & (F.col("n_tokens") <= 1000)
+                        & (F.col("stopword_ratio") >= 0.01)
+                        & (F.col("repetition_ratio") <= 0.9)))
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document stats: token count (whitespace), char count, average
-    token length, distinct-token ratio.  Scale: narrow projection +
-    per-row expressions — embarrassingly parallel, no shuffle."""
+    token length, distinct-token ratio — over the shared exploded token
+    aggregate (one tokenization, one shuffle on doc_id)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    return (docs
-            .select("doc_id",
-                    F.length("text").alias("n_chars_measured"),
-                    F.size(toks).alias("n_tokens"),
-                    F.size(F.array_distinct(toks)).alias("n_distinct_tokens"))
+    chars = docs.select("doc_id", F.length("text").alias("n_chars_measured"))
+    return (_token_stats(docs)
+            .join(chars, "doc_id")
+            .select("doc_id", "n_chars_measured", "n_tokens",
+                    F.col("n_distinct").alias("n_distinct_tokens"))
             .withColumn("avg_token_len",
                         F.round((F.col("n_chars_measured")
                                  - (F.col("n_tokens") - 1))
@@ -65,27 +99,12 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: length band + stopword ratio + repetition
     (Gopher/C4-style filters).  Emits per-doc score components and a
-    keep/drop verdict — at 100 TB this is a map-only filter stage."""
+    keep/drop verdict; the verdict logic is :func:`quality_flags`."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    stop_hits = sum(_count_token(toks, w) for w in _EN_STOP)
-    df = (docs
-          .select("doc_id", "lang",
-                  F.size(toks).alias("n_tokens"),
-                  stop_hits.alias("n_stopword_tokens"),
-                  F.size(F.array_distinct(toks)).alias("n_distinct")))
-    df = (df
-          .withColumn("stopword_ratio",
-                      F.round(F.col("n_stopword_tokens") / F.col("n_tokens"), 6))
-          .withColumn("repetition_ratio",
-                      F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6))
-          .withColumn("keep",
-                      (F.col("n_tokens") >= 20)
-                      & (F.col("n_tokens") <= 1000)
-                      & (F.col("stopword_ratio") >= 0.01)
-                      & (F.col("repetition_ratio") <= 0.9)))
-    return df.select("doc_id", "lang", "n_tokens", "n_stopword_tokens",
-                     "stopword_ratio", "repetition_ratio", "keep")
+    return (quality_flags(docs)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .select("doc_id", "lang", "n_tokens", "n_stopword_tokens",
+                    "stopword_ratio", "repetition_ratio", "keep"))
 
 
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,11 +113,11 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the labeled ``lang``.  (Container has no langid model — this is
     the classic stopword-profile method, fully declarative.)"""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    stop_hits = sum(_count_token(toks, w) for w in _EN_STOP)
-    scored = (docs
+    scored = (_token_stats(docs)
+              .join(docs.select("doc_id", "lang"), "doc_id")
               .select("doc_id", "lang",
-                      F.round(stop_hits / F.size(toks), 6).alias("en_score")))
+                      F.round(F.col("n_stopword_tokens")
+                              / F.col("n_tokens"), 6).alias("en_score")))
     pred = F.when(F.col("en_score") >= F.lit(0.05), F.lit("en")) \
         .otherwise(F.lit("unknown"))
     return (scored
@@ -138,11 +157,14 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token"))
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
-    total = toks.count()
+    # corpus size folded into the SAME plan as a broadcast 1-row aggregate
+    # (an eager .count() here would scan + tokenize the corpus twice)
+    total = vocab.agg(F.sum("tf").cast("double").alias("total"))
     scored = (toks.join(vocab, "token")
+              .crossJoin(F.broadcast(total))
               .groupBy("doc_id")
               .agg(F.count(F.lit(1)).alias("n_tokens"),
-                   F.round(F.avg(-F.log(F.col("tf") / F.lit(float(total)))), 6)
+                   F.round(F.avg(-F.log(F.col("tf") / F.col("total"))), 6)
                     .alias("avg_neg_logprob")))
     return scored.orderBy("doc_id")
 
@@ -155,16 +177,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     each, and the window partitions by doc_id."""
     from pyspark.sql.window import Window
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # doc count folded in as a broadcast 1-row aggregate — same plan,
+    # no separate eager count job
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc())
     return (tf.join(df_, "term")
+            .crossJoin(F.broadcast(nd))
             .withColumn("tfidf",
                         F.round(F.col("tf")
-                                * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+                                * F.log(F.col("n_docs") / F.col("df")), 6))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 3)
             .select("doc_id", "rank", "term", "tfidf")

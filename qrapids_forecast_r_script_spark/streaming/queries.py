@@ -32,6 +32,32 @@ from .. import schemas
 from ..sources import load_table
 
 
+def _run_to_memory_sink(df: DataFrame, name: str, output_mode: str,
+                        timeout_s: int = 300) -> None:
+    """availableNow replay into a memory sink, raising on timeout.
+
+    A timed-out streaming query must NEVER return its sink table — that
+    would be a silently partial result (availableNow emits incrementally)
+    that surfaces later as a baffling oracle mismatch.  Fail loudly
+    instead; transient host contention (see BASELINE.md) makes this a
+    real path, not a theoretical one.
+    """
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (df.writeStream
+             .format("memory")
+             .queryName(name)
+             .outputMode(output_mode)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {name!r} did not finish within "
+                f"{timeout_s}s — refusing to return a partial sink")
+
+
 def _tumbling_agg(df: DataFrame) -> DataFrame:
     return (df
             .withWatermark("ts", "1 hour")
@@ -54,17 +80,7 @@ def events_stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = _tumbling_agg(events)
     name = "events_stream_tumbling_sink"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (agg.writeStream
-             .format("memory")
-             .queryName(name)
-             .outputMode("complete")
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True)
-             .start())
-        q.awaitTermination(120)
-        if q.isActive:
-            q.stop()
+    _run_to_memory_sink(agg, name, "complete")
     return spark.table(name)
 
 
@@ -149,17 +165,7 @@ def events_stream_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour"])
                .select("user_id", "event_type", "hour"))
     name = "events_stream_dedup_sink"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (deduped.writeStream
-             .format("memory")
-             .queryName(name)
-             .outputMode("append")
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True)
-             .start())
-        q.awaitTermination(120)
-        if q.isActive:
-            q.stop()
+    _run_to_memory_sink(deduped, name, "append")
     return spark.table(name)
 
 
@@ -195,17 +201,7 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("pur_ts") <= F.col("err_ts") + F.expr("INTERVAL 30 MINUTES")))
         .select(F.col("err_user").alias("user_id"), "err_id", "pur_id"))
     name = "events_stream_stream_join_sink"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (joined.writeStream
-             .format("memory")
-             .queryName(name)
-             .outputMode("append")
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True)
-             .start())
-        q.awaitTermination(180)
-        if q.isActive:
-            q.stop()
+    _run_to_memory_sink(joined, name, "append")
     return spark.table(name)
 
 
@@ -236,17 +232,7 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("cohort_month", "event_type")
            .agg(F.count(F.lit(1)).alias("n_events")))
     name = "events_stream_static_join_sink"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (agg.writeStream
-             .format("memory")
-             .queryName(name)
-             .outputMode("complete")
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True)
-             .start())
-        q.awaitTermination(120)
-        if q.isActive:
-            q.stop()
+    _run_to_memory_sink(agg, name, "complete")
     return spark.table(name)
 
 

@@ -69,7 +69,6 @@ def anomaly_counter(key, pdfs: Iterable[pd.DataFrame],
 def events_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful operator over the events file stream with an
     availableNow trigger; returns the per-type final snapshot."""
-    import tempfile
     raw = (spark.readStream
            .schema(schemas.EVENTS_RAW_NS)
            .option("pathGlobFilter", "events.parquet")
@@ -83,15 +82,8 @@ def events_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                anomaly_counter, OUTPUT_SCHEMA, STATE_SCHEMA,
                "append", GroupStateTimeout.NoTimeout))
     name = "events_stateful_anomalies_sink"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (out.writeStream.format("memory").queryName(name)
-             .outputMode("append")
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True)
-             .start())
-        q.awaitTermination(120)
-        if q.isActive:
-            q.stop()
+    from .queries import _run_to_memory_sink
+    _run_to_memory_sink(out, name, "append")
     # one snapshot row per (event_type, micro-batch); keep the last per key
     snap = spark.table(name)
     from pyspark.sql.window import Window
