@@ -31,24 +31,48 @@ def forecast_rows(name: str, index: str, method: str, bands: dict) -> pd.DataFra
     })[["name", "index", "method", "step"] + _FORECAST_KEYS]
 
 
+# anything outside DEGENERATE_ERRORS (AttributeError, KeyError, …) is a
+# programming error and must kill the job loudly, not be silently
+# converted to NaN output across millions of series.
+from .models.common import DEGENERATE_ERRORS as _DEGENERATE_ERRORS
+
+
+def prepare_series(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic series prep shared by the batch and cached
+    single-series paths: STABLE sort with the same (evaluationDate,
+    value) tiebreak as ``sources.load_series`` and the DuckDB oracles —
+    duplicate-date rows otherwise arrive in shuffle order and pandas'
+    default unstable sort would make the y ordering (and the 10k-cap
+    survivor set, R:28) differ run to run, breaking output hash
+    stability — then the cap.  Returns (y, ds_days)."""
+    pdf = (pdf.sort_values(["evaluationDate", "value"], kind="mergesort")
+           .head(10_000))
+    y = pdf["value"].to_numpy(dtype=float)
+    ds_days = (pd.to_datetime(pdf["evaluationDate"]).values
+               .astype("datetime64[D]").astype(int))
+    return y, ds_days
+
+
 def fit_and_forecast_pdf(pdf: pd.DataFrame, method: str, frequency: int,
                          horizon: int) -> pd.DataFrame:
     """One series group → forecast rows.  Runs in the executor's Python
-    worker via Arrow; sorts by date and applies the reference's 10k cap
+    worker via Arrow; deterministic sort + the reference's 10k cap
     (R:28) inside the group."""
-    pdf = pdf.sort_values("evaluationDate").head(10_000)
     name = str(pdf["name"].iloc[0])
     index = str(pdf["index"].iloc[0])
-    y = pdf["value"].to_numpy(dtype=float)
-    ds = pd.to_datetime(pdf["evaluationDate"]).values.astype("datetime64[D]")
-    ds_days = ds.astype(int)
+    y, ds_days = prepare_series(pdf)
     seed_key = (name, index, method)
     try:
         model = fit_method(method, y, frequency, ds_days=ds_days,
                            horizon=horizon, seed_key=seed_key)
         bands = forecast_fitted(model, horizon, seed_key=seed_key)
-    except Exception:
-        # degenerate series: emit NaN bands rather than killing the job
+    except _DEGENERATE_ERRORS as exc:
+        # degenerate series: emit NaN bands rather than killing the job,
+        # but leave a trace in executor logs
+        import logging
+        logging.getLogger(__name__).warning(
+            "forecast failed for series (%s, %s, %s): %r — emitting NaN",
+            name, index, method, exc)
         nan = np.full(horizon, np.nan)
         bands = {k: nan for k in _FORECAST_KEYS}
     return forecast_rows(name, index, method, bands)
@@ -69,8 +93,10 @@ def forecast_batch(spark: SparkSession, metrics: DataFrame, method: str,
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return fit_and_forecast_pdf(pdf, method_u, freq, hor)
 
+    # no explicit repartition: groupBy().applyInPandas already requires —
+    # and inserts — the hash partition on (name, index); an explicit one
+    # would only pin the shuffle width AQE should tune
     return (metrics
-            .repartition("name", "index")
             .groupBy("name", "index")
             .applyInPandas(apply_fn, schema=schemas.FORECAST))
 

@@ -75,13 +75,18 @@ class ForecastStore:
         return os.path.exists(self.model_path(name, index, method))
 
     # --- S6: checkForecastCache (R:64-82) ------------------------------
-    def forecast_cache_valid(self, name, index, method, horizon: int) -> bool:
+    def _load_valid_cache(self, name, index, method, horizon: int):
+        """The cached bands when valid for ``horizon``, else None — one
+        read/unpickle serves both the validity check and the hit path."""
         log.info("CHECKING CACHE...")                              # R:65
         path = self.cache_path(name, index, method)
         if not os.path.exists(path):
-            return False
+            return None
         bands = self.load_forecast(name, index, method)
-        return len(bands["mean"]) >= horizon                       # R:71
+        return bands if len(bands["mean"]) >= horizon else None    # R:71
+
+    def forecast_cache_valid(self, name, index, method, horizon: int) -> bool:
+        return self._load_valid_cache(name, index, method, horizon) is not None
 
     # --- the shared wrapper skeleton (§2A.6) ---------------------------
     def forecast_with_cache(self, name: str, index: str, method: str,
@@ -91,10 +96,10 @@ class ForecastStore:
         cache-hit and model-hit paths never touch the source (R:104-124)."""
         seed_key = (name, index, method)
         if self.model_exists(name, index, method):
-            if self.forecast_cache_valid(name, index, method, horizon):
+            cached = self._load_valid_cache(name, index, method, horizon)
+            if cached is not None:
                 # HIT: slice to horizon, never refresh (R:109-110)
-                bands = self.load_forecast(name, index, method)
-                sliced = {k: v[:horizon] for k, v in bands.items()}
+                sliced = {k: v[:horizon] for k, v in cached.items()}
                 return forecast_rows(name, index, method, sliced)
             # model-hit / cache-miss: forecast + unconditional save (R:112-114)
             model = self.load_model(name, index, method)
@@ -102,11 +107,9 @@ class ForecastStore:
             self.save_forecast(name, index, method, bands)
             return forecast_rows(name, index, method, bands)
         # no model: scan, fit, save model, prime cache at 14 (R:117, R:84-95)
+        from .api import prepare_series
         pdf = compute_series()
-        pdf = pdf.sort_values("evaluationDate").head(10_000)
-        y = pdf["value"].to_numpy(dtype=float)
-        ds_days = pd.to_datetime(pdf["evaluationDate"]).values \
-            .astype("datetime64[D]").astype(int)
+        y, ds_days = prepare_series(pdf)
         model = fit_method(method, y, frequency, ds_days=ds_days,
                            horizon=horizon, seed_key=seed_key)
         self.save_model(name, index, method, model)

@@ -65,8 +65,21 @@ def fit_method(method: str, y: np.ndarray, frequency: int,
 
 
 def forecast_fitted(model, horizon: int, seed_key=("series",)) -> dict:
-    """Produce the 5-band dict from a fitted model (SURVEY §1.4)."""
-    try:
+    """Produce the 5-band dict from a fitted model (SURVEY §1.4).
+
+    Capability check by signature, not try/except TypeError — a genuine
+    TypeError raised INSIDE a seed-aware forecast (a real bug) must not
+    be masked and silently retried with the default seed."""
+    if accepts_seed_key(model):
         return model.forecast(horizon, seed_key=seed_key)
-    except TypeError:
-        return model.forecast(horizon)
+    return model.forecast(horizon)
+
+
+def accepts_seed_key(model) -> bool:
+    """Whether the model's ``forecast`` takes a ``seed_key`` kwarg."""
+    import inspect
+    try:
+        sig = inspect.signature(model.forecast)
+    except (TypeError, ValueError):
+        return False
+    return "seed_key" in sig.parameters

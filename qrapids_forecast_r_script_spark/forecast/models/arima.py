@@ -125,10 +125,20 @@ def _css_residuals(w, phi, theta, Phi, Theta, m, c):
         return z, arpoly, mapoly
     # MA side: e = θ(B)^{-1} z.  Instead of the O(n·q) Python IIR loop,
     # invert the (invertibility-checked) MA polynomial into a truncated
-    # AR(∞) filter and apply it with one convolution — vectorized, with
-    # truncation error |1/root|^L ≲ 1e-5 at L=200 given the 1.001 root
-    # margin enforced by _roots_ok.
-    L = min(n, 200)
+    # AR(∞) filter and apply it with one convolution.  The π-weights
+    # decay as ρ^j with ρ = max |1/root|, so the truncation length is
+    # chosen PER CANDIDATE from the actual roots to push the tail below
+    # 1e-8 (a fixed L=200 is exact only for n ≤ 200: at the 1.001
+    # invertibility margin ρ^200 ≈ 0.82, which would materially distort
+    # residuals — and hence AICc order selection — on long series with
+    # near-boundary MA roots).  L is capped at n, where the inversion is
+    # exact by construction.
+    roots = np.roots(mapoly[::-1])
+    rho = float(np.max(1.0 / np.abs(roots)))
+    if rho >= 1.0:          # cannot happen past _roots_ok; exact fallback
+        L = n
+    else:
+        L = min(n, max(50, int(np.ceil(np.log(1e-8) / np.log(rho))) + qfull))
     pi = np.zeros(L)
     pi[0] = 1.0
     for j in range(1, L):

@@ -100,8 +100,11 @@ class BaggedETSModel:
         return "BaggedETS"
 
     def forecast(self, horizon: int) -> dict:
-        points = np.array([mem.forecast(horizon, seed_key=("bagged", i))["mean"]
-                           for i, mem in enumerate(self.members)])
+        # members contribute POINT forecasts only (the envelope is the
+        # min/max across members) — point_forecast skips the M-seasonal
+        # 2000-path interval simulation each full forecast() would run
+        points = np.array([mem.point_forecast(horizon)
+                           for mem in self.members])
         mean = points.mean(axis=0)
         lower = points.min(axis=0)
         upper = points.max(axis=0)

@@ -16,6 +16,13 @@ import numpy as np
 Z80 = 1.2815515655446004
 Z95 = 1.959963984540054
 
+# numeric/degenerate-input failures a fit may legitimately raise on
+# short/constant/pathological series — the ONLY exceptions robustness
+# wrappers may swallow; anything else is a programming error that must
+# propagate (fail loudly, never silently NaN/drop).
+DEGENERATE_ERRORS = (ValueError, FloatingPointError, ZeroDivisionError,
+                     OverflowError, np.linalg.LinAlgError)
+
 
 def nelder_mead(fn, x0: np.ndarray, *, max_iter: int = 500,
                 tol: float = 1e-8, step: float = 0.1):

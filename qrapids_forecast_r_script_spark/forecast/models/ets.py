@@ -154,6 +154,15 @@ class ETSModel:
         t = {"N": "N", "A": "A", "Ad": "Ad"}[self.trend]
         return f"ETS(A,{t},{self.seasonal})"
 
+    def point_forecast(self, horizon: int) -> np.ndarray:
+        """Point forecast only — no interval simulation.  Ensemble callers
+        (BaggedETS members, Hybrid CV folds) read just the mean; running
+        the M-seasonal 2000-path simulation there would be pure waste."""
+        _, _, _, phi = self.params
+        offset = len(self.y) % self.m
+        return _forecast_from_state(self.state, self.m, self.trend,
+                                    self.seasonal, phi, horizon, offset)
+
     def forecast(self, horizon: int, seed_key=("ets",)) -> dict:
         alpha, beta, gamma, phi = self.params
         offset = len(self.y) % self.m

@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 
 from .arima import fit_arima
+from .common import DEGENERATE_ERRORS
 from .ets import fit_ets
 from .nn import fit_nn
 from .stl import fit_stl
@@ -50,12 +51,17 @@ _COMPONENTS = {
 
 
 def _component_forecast(model, horizon, key):
-    if hasattr(model, "forecast"):
-        try:
-            return model.forecast(horizon, seed_key=("hybrid", key))
-        except TypeError:
-            return model.forecast(horizon)
-    raise TypeError(model)
+    from ..dispatch import forecast_fitted
+    return forecast_fitted(model, horizon, seed_key=("hybrid", key))
+
+
+def _component_point_forecast(model, horizon, key) -> np.ndarray:
+    """Point forecast only — CV weighting reads just the mean, so models
+    with simulation-based intervals (NN 1000 paths, M-seasonal ETS 2000
+    paths) expose a cheap ``point_forecast`` used here."""
+    if hasattr(model, "point_forecast"):
+        return np.asarray(model.point_forecast(horizon))
+    return np.asarray(_component_forecast(model, horizon, key)["mean"])
 
 
 def _cv_rmse(y, m, horizon, fit_fn, key):
@@ -75,9 +81,9 @@ def _cv_rmse(y, m, horizon, fit_fn, key):
         actual = y[o:o + horizon]
         try:
             model = fit_fn(train, m)
-            fc = _component_forecast(model, horizon, key)["mean"]
-            errs.extend((np.asarray(actual) - np.asarray(fc)).tolist())
-        except Exception:
+            fc = _component_point_forecast(model, horizon, key)
+            errs.extend((np.asarray(actual) - fc).tolist())
+        except DEGENERATE_ERRORS:
             return None
     if not errs:
         return None
@@ -116,7 +122,7 @@ def fit_hybrid(y: np.ndarray, frequency: int, cv_horizon: int = 14) -> HybridMod
     for letter, (name, fit_fn, cv_fit_fn) in _COMPONENTS.items():
         try:
             models[letter] = fit_fn(y, m)
-        except Exception:
+        except DEGENERATE_ERRORS:
             continue
         rmse = _cv_rmse(y, m, cv_horizon, cv_fit_fn, letter)
         rmses[letter] = rmse

@@ -113,15 +113,20 @@ class NNModel:
         preds = [net.predict(x[None, :])[0] for net in self.nets]
         return float(np.mean(preds)) * self.sd + self.mu
 
-    def forecast(self, horizon: int, n_paths: int = 1000,
-                 seed_key=("nn",)) -> dict:
-        # point forecast: iterated one-step predictions
+    def point_forecast(self, horizon: int) -> np.ndarray:
+        """Iterated one-step point predictions only — no bootstrap-path
+        simulation (used by Hybrid CV, which reads just the mean)."""
         hist = list(self.y)
         mean = np.empty(horizon)
         for h in range(horizon):
             nxt = self._predict_next(np.asarray(hist))
             mean[h] = nxt
             hist.append(nxt)
+        return mean
+
+    def forecast(self, horizon: int, n_paths: int = 1000,
+                 seed_key=("nn",)) -> dict:
+        mean = self.point_forecast(horizon)
         # PI=TRUE (R:293): simulate paths with bootstrapped residuals
         rng = seeded_rng(*seed_key, "nn-sim")
         resid = self.resid[np.isfinite(self.resid)]

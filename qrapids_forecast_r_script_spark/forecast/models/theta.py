@@ -81,7 +81,11 @@ def fit_theta(y: np.ndarray, frequency: int) -> ThetaModel:
     y = np.asarray(y, float)
     n = len(y)
     m = max(1, int(frequency))
-    seasonal = is_seasonal(y, m)
+    # multiplicative seasonal adjustment is only meaningful on strictly
+    # positive data (same guard as the ETS 'M' branch): on signed series
+    # a near-zero fold mean explodes the indices and a negative factor
+    # would invert the prediction bands — fall back to non-seasonal theta
+    seasonal = bool(np.all(y > 0)) and is_seasonal(y, m)
     if seasonal:
         s_idx = _seasonal_indices(y, m)
         adj = y / np.resize(s_idx, n)

@@ -51,13 +51,18 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     → window top-k per query.  All arithmetic in double, JVM-side.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms precomputed ONCE per vector: computing them inside the pair
+    # expression would re-walk both arrays per candidate (3x the array
+    # arithmetic of the dot product alone, x Q on the corpus side)
     queries = (emb.orderBy("vec_id").limit(_N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
-                       _as_double("embedding").alias("qvec")))
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
-                        _as_double("embedding").alias("nvec"))
+                       _as_double("embedding").alias("qvec"))
+               .withColumn("qnorm", _norm(F.col("qvec"))))
+    corpus = (emb.select(F.col("vec_id").alias("neighbor_id"),
+                         _as_double("embedding").alias("nvec"))
+              .withColumn("nnorm", _norm(F.col("nvec"))))
     sim = F.round(_dot(F.col("qvec"), F.col("nvec"))
-                  / (_norm(F.col("qvec")) * _norm(F.col("nvec"))), 6)
+                  / (F.col("qnorm") * F.col("nnorm")), 6)
     scored = (corpus.crossJoin(F.broadcast(queries))
               .where(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id", sim.alias("cosine")))
@@ -73,12 +78,15 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within the same label
     (label = blocking key): cosine >= 0.25, a < b."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label"),
-                   _as_double("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label"),
-                   _as_double("embedding").alias("vb"))
+    base = (emb.select("vec_id", "label",
+                       _as_double("embedding").alias("v"))
+            .withColumn("vnorm", _norm(F.col("v"))))
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("label"),
+                    F.col("v").alias("va"), F.col("vnorm").alias("na"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("label"),
+                    F.col("v").alias("vb"), F.col("vnorm").alias("nb"))
     sim = F.round(_dot(F.col("va"), F.col("vb"))
-                  / (_norm(F.col("va")) * _norm(F.col("vb"))), 6)
+                  / (F.col("na") * F.col("nb")), 6)
     return (a.join(b, "label")
             .where(F.col("vec_a") < F.col("vec_b"))
             .select("label", "vec_a", "vec_b", sim.alias("cosine"))
@@ -114,14 +122,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_planes: int = 8,
             out = out + b
         return out
 
-    with_bucket = emb.select("vec_id", _as_double("embedding").alias("vec")) \
-        .withColumn("bucket", bucket(F.col("vec")))
+    with_bucket = (emb.select("vec_id", _as_double("embedding").alias("vec"))
+                   .withColumn("bucket", bucket(F.col("vec")))
+                   .withColumn("vnorm", _norm(F.col("vec"))))
     queries = (with_bucket.orderBy("vec_id").limit(_N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("vec").alias("qvec"),
+                       F.col("vnorm").alias("qnorm"),
                        F.col("bucket")))
     sim = F.round(_dot(F.col("qvec"), F.col("vec"))
-                  / (_norm(F.col("qvec")) * _norm(F.col("vec"))), 6)
+                  / (F.col("qnorm") * F.col("vnorm")), 6)
     scored = (with_bucket.join(F.broadcast(queries), "bucket")
               .where(F.col("query_id") != F.col("vec_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
@@ -151,24 +161,28 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=1, measured in tests.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", _as_double("embedding").alias("vec"))
+    vecs = (emb.select("vec_id", _as_double("embedding").alias("vec"))
+            .withColumn("vnorm", _norm(F.col("vec"))))
     cents = (vecs.where(F.col("vec_id") % 50 == 0)
              .select(F.col("vec_id").alias("centroid_id"),
-                     F.col("vec").alias("cvec")))
+                     F.col("vec").alias("cvec"),
+                     F.col("vnorm").alias("cnorm")))
     csim = F.round(_dot(F.col("vec"), F.col("cvec"))
-                   / (_norm(F.col("vec")) * _norm(F.col("cvec"))), 6)
+                   / (F.col("vnorm") * F.col("cnorm")), 6)
     wassign = Window.partitionBy("vec_id").orderBy(
         F.col("csim").desc(), F.col("centroid_id").asc())
     cell = (vecs.crossJoin(F.broadcast(cents))
-            .select("vec_id", "vec", "centroid_id", csim.alias("csim"))
+            .select("vec_id", "vec", "vnorm", "centroid_id",
+                    csim.alias("csim"))
             .withColumn("rn", F.row_number().over(wassign))
             .where(F.col("rn") == 1)
-            .select("vec_id", "vec", "centroid_id"))
+            .select("vec_id", "vec", "vnorm", "centroid_id"))
     queries = (cell.where(F.col("vec_id") < _N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
-                       F.col("vec").alias("qvec"), "centroid_id"))
+                       F.col("vec").alias("qvec"),
+                       F.col("vnorm").alias("qnorm"), "centroid_id"))
     sim = F.round(_dot(F.col("qvec"), F.col("vec"))
-                  / (_norm(F.col("qvec")) * _norm(F.col("vec"))), 6)
+                  / (F.col("qnorm") * F.col("vnorm")), 6)
     scored = (cell.join(F.broadcast(queries), "centroid_id")
               .where(F.col("query_id") != F.col("vec_id"))
               .select("query_id", F.col("vec_id").alias("neighbor_id"),
