@@ -45,6 +45,14 @@ def prepare_series(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     default unstable sort would make the y ordering (and the 10k-cap
     survivor set, R:28) differ run to run, breaking output hash
     stability — then the cap.  Returns (y, ds_days)."""
+    if len(pdf) > 10_000:
+        # reference quirk 7 (R:28): the cap is kept for parity, but never
+        # silently — the engine's no-silent-caps rule
+        import logging
+        logging.getLogger(__name__).warning(
+            "series (%s, %s) has %d points; truncating to the reference's "
+            "10k cap (R:28)", pdf["name"].iloc[0], pdf["index"].iloc[0],
+            len(pdf))
     pdf = (pdf.sort_values(["evaluationDate", "value"], kind="mergesort")
            .head(10_000))
     y = pdf["value"].to_numpy(dtype=float)

@@ -125,7 +125,10 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("SMALL"), rev).otherwise(F.lit(0.0))
-    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # no broadcast hint: part scales with the facts (TPC-H proportions),
+    # so the join strategy is left to AQE's runtime stats — same policy
+    # as q2/q19
+    return (li.join(part, li.l_partkey == part.p_partkey)
             .where(F.col("l_shipdate") >= F.lit("1996-03-01"))
             .where(F.col("l_shipdate") < F.lit("1996-04-01"))
             .agg(F.round(F.sum(promo) * 100.0 / F.sum(rev), 4)

@@ -16,15 +16,6 @@ from ..sources import load_table
 _EN_STOP = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 
-def _count_token(toks, word: str):
-    """Single-arg lambda via closure factory — a default-argument capture
-    (lambda t, w=w: ...) would make PySpark treat it as a 2-arg
-    (value, index) lambda and bind the word to the index column."""
-    def pred(t):
-        return t == F.lit(word)
-    return F.size(F.filter(toks, pred))
-
-
 def _token_stats(docs: DataFrame) -> DataFrame:
     """Per-doc (n_tokens, n_stopword_tokens, n_distinct) via explode →
     codegen arithmetic → ONE aggregate.

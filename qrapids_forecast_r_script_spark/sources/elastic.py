@@ -15,7 +15,13 @@ deployment that has the connector jar.
 
 from __future__ import annotations
 
+import json
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Lucene query_string metacharacters (reserved set per the ES docs)
+_QS_METACHARS = re.compile(r'([+\-=&|><!(){}\[\]^"~*?:\\/])')
 
 
 def es_reader(spark: SparkSession, host: str, port: int = 9200,
@@ -45,20 +51,31 @@ def search_element_es(spark: SparkSession, host: str, name: str, index: str,
     projection, and the sort — the same pushdowns the reference hand-codes
     (R:27-28) and that Catalyst applies to the parquet path.
     """
-    field = ("metric" if "metrics" in index
-             else "factor" if "factors" in index
-             else "strategic_indicator")           # R:25-26
+    from .registry import _field_for_index
+    field = _field_for_index(index)                # R:25-26, one dispatch
+    # escape query_string metachars THEN JSON-encode: a name containing
+    # quotes/OR/* must neither break the JSON body nor widen the match
+    safe_name = _QS_METACHARS.sub(r"\\\1", name)
+    body = json.dumps(
+        {"query": {"query_string": {"query": f"{field}:{safe_name}"}}})
     reader = es_reader(spark, host, **conn_kwargs)
     try:
         df = (reader
-              .option("es.query", f'{{"query":{{"query_string":{{"query":"{field}:{name}"}}}}}}')
+              .option("es.query", body)
               .option("es.read.field.include", "value,evaluationDate")
               .load(index))
-    except Exception as exc:  # connector jar absent in this container
-        raise RuntimeError(
-            "elasticsearch-spark connector not available; use the parquet "
-            "source (sources.search_element) or add the connector jar"
-        ) from exc
+    except Exception as exc:
+        # only the missing-connector case gets the friendly redirect;
+        # genuine query/analysis errors must propagate as themselves
+        msg = str(exc)
+        if ("Failed to find data source" in msg
+                or "ClassNotFoundException" in msg
+                or "DATA_SOURCE_NOT_FOUND" in msg):
+            raise RuntimeError(
+                "elasticsearch-spark connector not available; use the "
+                "parquet source (sources.search_element) or add the "
+                "connector jar") from exc
+        raise
     from pyspark.sql import functions as F
     return (df.select(F.lit(name).alias("name"), F.lit(index).alias("index"),
                       F.to_date("evaluationDate").alias("evaluationDate"),

@@ -18,7 +18,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, Window
 from .. import schemas
 
 # Reference cap: ES ``size = 10000`` (R:28).  Silently truncates longer
-# series in the reference (quirk 7); we keep the cap but log when it binds.
+# series in the reference (quirk 7); we keep the cap for parity.  The
+# truncation is surfaced where it bites: forecast.api.prepare_series logs
+# a warning when a series group exceeds the cap.
 MAX_SERIES_LENGTH = 10_000
 
 
@@ -37,11 +39,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         ).select([f.name for f in schemas.EVENTS.fields])
-    schema = schemas.TABLES.get(name)
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    return reader.parquet(path)
+    if name not in schemas.TABLES:
+        # fail here, not later: silently inferring a schema would break
+        # the engine's no-inference contract (and a ns-timestamp column
+        # would arrive mistyped, surfacing as a distant oracle mismatch)
+        raise KeyError(
+            f"unknown table {name!r}; declared tables: "
+            f"{sorted(schemas.TABLES)}")
+    return spark.read.schema(schemas.TABLES[name]).parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,11 +1,18 @@
 """Custom stateful streaming operator via ``applyInPandasWithState``.
 
 Running per-event-type anomaly counters: for each event_type the operator
-keeps (count, mean, M2) Welford state across micro-batches and emits, per
-batch, the number of events whose value exceeds mean + 3·sd at the time
-of processing.  This is the engine's template for arbitrary keyed
-streaming state (the reference has no streaming at all — SURVEY §2B.10
-extension).
+keeps (count, mean, M2, cumulative anomaly count) Welford state across
+micro-batches and emits, per batch, a snapshot with the CUMULATIVE number
+of events whose value exceeded mean + 3·sd at the time of processing.
+This is the engine's template for arbitrary keyed streaming state (the
+reference has no streaming at all — SURVEY §2B.10 extension).
+
+Determinism: each batch is processed in event-time order (sorted on
+``ts`` inside the operator) — ``applyInPandasWithState`` gives no
+intra-group row-order guarantee, and sequential statistics like this one
+would otherwise vary with partition layout.  The anomaly counter lives IN
+the state, so a multi-micro-batch run (many files, maxFilesPerTrigger)
+totals correctly instead of reporting only the last batch.
 
 Scale: state is O(1) per key; the stream shuffles once on event_type;
 watermark bounds are not needed because state never grows with input.
@@ -28,6 +35,7 @@ STATE_SCHEMA = StructType([
     StructField("n", LongType()),
     StructField("mean", DoubleType()),
     StructField("m2", DoubleType()),
+    StructField("anomalies", LongType()),
 ])
 OUTPUT_SCHEMA = StructType([
     StructField("event_type", StringType()),
@@ -42,13 +50,17 @@ def anomaly_counter(key, pdfs: Iterable[pd.DataFrame],
                     state: GroupState) -> Iterable[pd.DataFrame]:
     (event_type,) = key
     if state.exists:
-        n, mean, m2 = state.get
+        n, mean, m2, anomalies = state.get
     else:
-        n, mean, m2 = 0, 0.0, 0.0
+        n, mean, m2, anomalies = 0, 0.0, 0.0, 0
     batch_events = 0
-    anomalies = 0
-    for pdf in pdfs:
-        for v in pdf["value"].to_numpy():
+    frames = list(pdfs)
+    batch = pd.concat(frames) if frames else pd.DataFrame()
+    if len(batch):
+        # event-time order: sequential state math must not depend on the
+        # arbitrary post-shuffle row order within the group
+        batch = batch.sort_values(["ts", "value"], kind="mergesort")
+        for v in batch["value"].to_numpy():
             batch_events += 1
             if n >= 8:
                 sd = (m2 / (n - 1)) ** 0.5 if n > 1 else 0.0
@@ -58,7 +70,7 @@ def anomaly_counter(key, pdfs: Iterable[pd.DataFrame],
             delta = v - mean
             mean += delta / n
             m2 += delta * (v - mean)
-    state.update((n, mean, m2))
+    state.update((n, mean, m2, anomalies))
     yield pd.DataFrame([{
         "event_type": event_type, "batch_events": batch_events,
         "running_count": n, "running_mean": round(mean, 6),
@@ -68,14 +80,16 @@ def anomaly_counter(key, pdfs: Iterable[pd.DataFrame],
 
 def events_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful operator over the events file stream with an
-    availableNow trigger; returns the per-type final snapshot."""
+    availableNow trigger; returns the per-type final snapshot (the row
+    with the highest running_count per key — cumulative counters make it
+    a true total even across multiple micro-batches)."""
     raw = (spark.readStream
            .schema(schemas.EVENTS_RAW_NS)
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
     events = (raw
               .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-              .select("event_type", "value"))
+              .select("event_type", "ts", "value"))
     out = (events
            .groupBy("event_type")
            .applyInPandasWithState(
