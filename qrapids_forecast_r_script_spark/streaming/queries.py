@@ -33,7 +33,7 @@ from ..sources import load_table
 
 
 def _run_to_memory_sink(df: DataFrame, name: str, output_mode: str,
-                        timeout_s: int = 300) -> None:
+                        timeout_s: float = 300) -> None:
     """availableNow replay into a memory sink, raising on timeout.
 
     A timed-out streaming query must NEVER return its sink table — that

@@ -19,6 +19,26 @@ def test_stateful_anomaly_counter_state_math(spark, sf_dir):
         assert 0 <= row["n_anomalies"] < len(grp)
 
 
+def test_stream_sink_timeout_raises(spark, sf_dir):
+    """A timed-out streaming replay must raise, never return a partial
+    sink (the silent-partial-result hazard)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from qrapids_forecast_r_script_spark import schemas
+    from qrapids_forecast_r_script_spark.streaming.queries import (
+        _run_to_memory_sink)
+    raw = (spark.readStream
+           .schema(schemas.EVENTS_RAW_NS)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    agg = raw.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    # 1 ms: the first micro-batch of a file stream cannot complete that
+    # fast (awaitTermination requires a strictly positive timeout)
+    with pytest.raises(TimeoutError):
+        _run_to_memory_sink(agg, "timeout_sink_test", "complete",
+                            timeout_s=0.001)
+
+
 def test_stream_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
     """File-sink coverage: readStream → filter → writeStream parquet with
     checkpoint (exactly-once via the sink's commit log) → read back; row
