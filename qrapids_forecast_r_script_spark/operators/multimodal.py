@@ -146,9 +146,26 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("media_id"))
 
 
+def media_meta_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed metadata operators over the MEDIA frame: explode the
+    ``meta: map<string,string>`` column to (key, value) rows and count —
+    plus ``map_contains_key`` filtering — the metadata-only access
+    pattern that prunes the payload column entirely at the scan.
+
+    Scale: explode of a 2-entry map is a bounded map-side expansion; the
+    aggregate partial-aggregates before one shuffle on (key, value)."""
+    media = documents_as_media(spark, sf_dir)
+    return (media.where(F.map_contains_key("meta", F.lit("mime")))
+            .select(F.explode("meta").alias("key", "value"))
+            .groupBy("key", "value")
+            .agg(F.count(F.lit(1)).alias("n_media"))
+            .orderBy("key", "value"))
+
+
 QUERIES = {
     "media_feature_extract": media_feature_extract,
     "media_frame_sample": media_frame_sample,
+    "media_meta_map_ops": media_meta_map_ops,
 }
 
 # The deterministic fake extractor IS SQL-expressible (f0 = little-endian
@@ -184,5 +201,16 @@ ORACLES = {
         FROM idx
         GROUP BY 1, 2
         ORDER BY 1
+    """,
+    # the meta map is built as {'mime': 'text/plain', 'lang': lang}
+    # (documents_as_media), so its exploded (key, value) counts are
+    # derivable relationally from documents
+    "media_meta_map_ops": """
+        SELECT key, value, count(*) AS n_media FROM (
+            SELECT 'mime' AS key, 'text/plain' AS value FROM documents
+            UNION ALL
+            SELECT 'lang' AS key, lang AS value FROM documents
+        )
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
