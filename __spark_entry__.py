@@ -29,79 +29,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registries():
-    from qrapids_forecast_r_script_spark.operators import relational
-    regs = [(relational.QUERIES, relational.ORACLES)]
-    try:
-        from qrapids_forecast_r_script_spark.operators import relational_ext
-        regs.append((relational_ext.QUERIES, relational_ext.ORACLES))
-    except ImportError:
-        pass
-    try:
-        from qrapids_forecast_r_script_spark.operators import tpch_full
-        regs.append((tpch_full.QUERIES, tpch_full.ORACLES))
-    except ImportError:
-        pass
-    try:
-        from qrapids_forecast_r_script_spark.operators import relational_more
-        regs.append((relational_more.QUERIES, relational_more.ORACLES))
-    except ImportError:
-        pass
-    try:
-        from qrapids_forecast_r_script_spark.streaming import stateful
-        regs.append((stateful.QUERIES, stateful.ORACLES))
-    except ImportError:
-        pass
-    try:
-        from qrapids_forecast_r_script_spark.operators import dedup
-        regs.append((dedup.QUERIES, dedup.ORACLES))
-    except ImportError:
-        pass
-    try:
-        from qrapids_forecast_r_script_spark.operators import similarity
-        regs.append((similarity.QUERIES, similarity.ORACLES))
-    except ImportError:
-        pass
-    try:
-        from qrapids_forecast_r_script_spark.operators import text
-        regs.append((text.QUERIES, text.ORACLES))
-    except ImportError:
-        pass
-    try:
-        from qrapids_forecast_r_script_spark.operators import multimodal
-        regs.append((multimodal.QUERIES, multimodal.ORACLES))
-    except ImportError:
-        pass
-    try:
-        from qrapids_forecast_r_script_spark.operators import scale_patterns
-        regs.append((scale_patterns.QUERIES, scale_patterns.ORACLES))
-    except ImportError:
-        pass
-    try:
-        from qrapids_forecast_r_script_spark.operators import product_analytics
-        regs.append((product_analytics.QUERIES, product_analytics.ORACLES))
-    except ImportError:
-        pass
-    try:
-        from qrapids_forecast_r_script_spark.operators import pipeline
-        regs.append((pipeline.QUERIES, pipeline.ORACLES))
-    except ImportError:
-        pass
-    try:
-        from qrapids_forecast_r_script_spark.sources import formats
-        regs.append((formats.QUERIES, formats.ORACLES))
-    except ImportError:
-        pass
-    try:
-        from qrapids_forecast_r_script_spark.forecast import queries as fq
-        regs.append((fq.QUERIES, fq.ORACLES))
-    except ImportError:
-        pass
-    try:
-        from qrapids_forecast_r_script_spark.streaming import queries as sq
-        regs.append((sq.QUERIES, sq.ORACLES))
-    except ImportError:
-        pass
-    return regs
+    """All per-module (QUERIES, ORACLES) registries, in driver-check order.
+
+    The driver's correctness run walks the merged dict in insertion order
+    and caps at ~50 queries per round, so ordering is signal allocation:
+    round 1 proved the relational/TPC-H layer (46/50 green), so round 2
+    front-loads the LLM-pipeline, streaming, and forecast layers — plus the
+    two queries whose oracles got the HUGEINT→BIGINT cast fix — and moves
+    the already-proven relational bulk to the back.
+
+    Imports are deliberately NOT wrapped in try/except: every module ships
+    in-repo, and a broken import must fail loud rather than silently drop
+    a module's queries from the correctness run.
+    """
+    from qrapids_forecast_r_script_spark.operators import (
+        dedup,
+        multimodal,
+        pipeline,
+        product_analytics,
+        relational,
+        relational_ext,
+        relational_more,
+        scale_patterns,
+        similarity,
+        text,
+        tpch_full,
+    )
+    from qrapids_forecast_r_script_spark.sources import formats
+    from qrapids_forecast_r_script_spark.forecast import queries as fq
+    from qrapids_forecast_r_script_spark.streaming import queries as sq
+    from qrapids_forecast_r_script_spark.streaming import stateful
+
+    # Re-verify the two round-1 hash-fails (oracle BIGINT cast fix) first.
+    # dict insertion order keeps these at the front; the later full-module
+    # updates re-assign the same key/value without moving position.
+    fixed = (
+        {
+            "q12_shipmode_priority": relational_ext.QUERIES["q12_shipmode_priority"],
+            "events_zscore_outliers": relational_more.QUERIES["events_zscore_outliers"],
+        },
+        {
+            "q12_shipmode_priority": relational_ext.ORACLES["q12_shipmode_priority"],
+            "events_zscore_outliers": relational_more.ORACLES["events_zscore_outliers"],
+        },
+    )
+    return [
+        fixed,
+        (dedup.QUERIES, dedup.ORACLES),
+        (similarity.QUERIES, similarity.ORACLES),
+        (text.QUERIES, text.ORACLES),
+        (multimodal.QUERIES, multimodal.ORACLES),
+        (pipeline.QUERIES, pipeline.ORACLES),
+        (sq.QUERIES, sq.ORACLES),
+        (stateful.QUERIES, stateful.ORACLES),
+        (scale_patterns.QUERIES, scale_patterns.ORACLES),
+        (product_analytics.QUERIES, product_analytics.ORACLES),
+        (formats.QUERIES, formats.ORACLES),
+        (fq.QUERIES, fq.ORACLES),
+        # Proven in round 1 (CORRECTNESS_r01.json) — behind the window.
+        (relational.QUERIES, relational.ORACLES),
+        (relational_ext.QUERIES, relational_ext.ORACLES),
+        (relational_more.QUERIES, relational_more.ORACLES),
+        (tpch_full.QUERIES, tpch_full.ORACLES),
+    ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -84,11 +84,17 @@ def _make_user_series(method):
 
 
 QUERIES = {
-    # oracle-backed closed forms
+    # oracle-backed closed forms FIRST — the driver's per-round correctness
+    # window caps at ~50 queries total, and these five are the hash-checkable
+    # end-to-end proofs of the forecast pipeline (scan → series build →
+    # grouped applyInPandas → 5-band rows)
     "forecast_mean_events": _make("MEAN"),
     "forecast_naive_events": _make("NAIVE"),
     "forecast_snaive_events": _make("SNAIVE"),
     "forecast_drift_events": _make("DRIFT"),
+    # many-series batch mode (SURVEY §2A.4): 50 series in one grouped job
+    "forecast_snaive_user_series": _make_user_series("SNAIVE"),
+    "forecast_ets_user_series": _make_user_series("ETS"),
     # the reference's method registry (rows-only driver check)
     "forecast_ets_events": _make("ETS"),
     "forecast_etsdamped_events": _make("ETSDAMPED"),
@@ -100,9 +106,6 @@ QUERIES = {
     "forecast_baggedets_events": _make("BAGGEDETS"),
     "forecast_prophet_events": _make("PROPHET"),
     "forecast_hybrid_events": _make("HYBRID"),
-    # many-series batch mode (SURVEY §2A.4): 50 series in one grouped job
-    "forecast_snaive_user_series": _make_user_series("SNAIVE"),
-    "forecast_ets_user_series": _make_user_series("ETS"),
 }
 
 # ---------------------------------------------------------------------------

@@ -176,7 +176,7 @@ ORACLES = {
     "media_feature_extract": """
         SELECT 'text' AS kind,
                count(*) AS n_media,
-               sum(octet_length(encode(text))) AS total_bytes,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                round(avg((('0x' || substr(md5(text), 3, 2)
                                 || substr(md5(text), 1, 2))::INTEGER)
                          / 65536.0), 6) AS avg_f0
@@ -196,8 +196,8 @@ ORACLES = {
         SELECT doc_id AS media_id,
                (n - 1) // {_FRAME_BYTES} + 1 AS n_frames,
                count(*) AS n_sampled,
-               sum(ord(substr(text, CAST(i AS INTEGER) * {_FRAME_BYTES} + 1,
-                              1))) AS checksum
+               CAST(sum(ord(substr(text, CAST(i AS INTEGER) * {_FRAME_BYTES} + 1,
+                              1))) AS BIGINT) AS checksum
         FROM idx
         GROUP BY 1, 2
         ORDER BY 1

@@ -120,11 +120,13 @@ ORACLES = {
             FROM verdict WHERE keep
         ), agg_all AS (
             SELECT source, count(*) AS n_docs,
-                   sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped_quality
+                   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_dropped_quality
             FROM verdict GROUP BY source
         ), agg_kept AS (
             SELECT source, count(*) AS n_kept,
-                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_final,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_final,
                    round(avg(CASE WHEN rn = 1 THEN n_tokens END), 4)
                        AS avg_tokens_final
             FROM kept GROUP BY source

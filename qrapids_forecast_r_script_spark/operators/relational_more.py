@@ -336,8 +336,8 @@ ORACLES = {
         )
         SELECT e.event_type,
                count(*) AS n_events,
-               sum(CASE WHEN abs(e.value - s.mu) > 3 * s.sigma
-                        THEN 1 ELSE 0 END) AS n_outliers
+               CAST(sum(CASE WHEN abs(e.value - s.mu) > 3 * s.sigma
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM events e JOIN stats s USING (event_type)
         GROUP BY 1 ORDER BY 1
     """,
@@ -371,7 +371,8 @@ ORACLES = {
         SELECT event_type,
                CAST(floor(value / 10) AS BIGINT) AS bin,
                count(*) AS n,
-               CAST(floor(value / 10) AS BIGINT) * 10.0 AS bin_lo
+               CAST(CAST(floor(value / 10) AS BIGINT) * 10.0 AS DOUBLE)
+                   AS bin_lo
         FROM events
         GROUP BY 1, 2 ORDER BY 1, 2
     """,

@@ -216,8 +216,10 @@ ORACLES = {
     "token_count_regex": """
         SELECT source,
                count(*) AS n_docs,
-               sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS total_word_tokens,
-               sum(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))) AS total_punct_tokens,
+               CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))
+                    AS BIGINT) AS total_word_tokens,
+               CAST(sum(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')))
+                    AS BIGINT) AS total_punct_tokens,
                round(avg(len(regexp_extract_all(text, '[A-Za-z0-9]+'))), 4) AS avg_word_tokens
         FROM documents
         GROUP BY source

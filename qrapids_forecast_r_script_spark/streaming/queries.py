@@ -126,9 +126,11 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows: ``F.session_window(ts, '30 minutes')`` per
     user — Spark's built-in gap-based session operator (the streaming form
-    takes the same expression).  Semantically equal to the
-    gaps-and-islands form in :func:`user_sessions`, which serves as its
-    SQL oracle (session boundaries at >30 min inactivity)."""
+    takes the same expression).  Near-equal to the gaps-and-islands form
+    in :func:`user_sessions`, except at the exact boundary: session
+    windows are half-open [ts, ts+gap), so a gap of exactly 1800 s starts
+    a new session here (oracle uses >= 1800) while ``user_sessions``
+    keeps it (> 1800)."""
     ev = load_table(spark, sf_dir, "events")
     return (ev
             .groupBy("user_id",
@@ -302,9 +304,12 @@ ORACLES = {
     """,
     "events_session_windows": """
         WITH flagged AS (
+            -- >= 1800, not > 1800: Spark's session_window is half-open
+            -- [ts, ts+gap), so an event exactly gap seconds after the
+            -- previous one starts a NEW session natively
             SELECT user_id, ts, event_id, value,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
