@@ -5,6 +5,14 @@ E5 regex scrub: ``gsub("[^[:alnum:] ]", "", name)``
 that is not alphanumeric or space.  E6 concat: ``paste(..., sep='_')`` key
 building (R:45-46).  Provided both driver-side (plain Python) and
 column-side (Catalyst expressions, codegen-friendly).
+
+DELIBERATE DEVIATION: the scrub class is ASCII-only ``[^0-9A-Za-z ]``.
+R's ``[:alnum:]`` is locale-dependent and in common locales keeps
+accented/Unicode letters, so non-ASCII element names produce different
+artifact keys than the reference would.  ASCII is chosen because it is
+locale-independent (the same key on every executor and every cluster
+locale), which matters more here than byte-for-byte parity on names the
+reference's own test corpus never exercises.
 """
 
 from __future__ import annotations
@@ -18,7 +26,8 @@ _SCRUB_PATTERN = "[^0-9A-Za-z ]"
 
 
 def clean_key(name: str) -> str:
-    """Driver-side E5: exact semantics of gsub("[^[:alnum:] ]","",name)."""
+    """Driver-side E5: gsub("[^[:alnum:] ]","",name), ASCII class (see
+    module docstring for the deliberate locale deviation)."""
     return _SCRUB_RE.sub("", name)
 
 

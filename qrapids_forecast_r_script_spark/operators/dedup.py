@@ -185,37 +185,18 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "n_matching", "est_jaccard"))
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str,
-                   max_iter: int = 20) -> DataFrame:
-    """Near-dup CLUSTERS from the MinHash-LSH candidate pairs: connected
-    components via iterative min-label propagation — every doc gets the
-    smallest doc_id reachable through the pair graph (singletons keep
-    their own id).  This is the step that turns pairwise dedup into
-    actionable keep/drop groups.
+def _label_prop(edges: DataFrame, max_iter: int) -> tuple[DataFrame, bool]:
+    """Min-label propagation over a symmetric (src, dst) edge list.
 
-    Iterative Spark algorithm (the reference has nothing like it): each
-    round joins labels to the symmetric edge list, takes the min neighbor
-    label, and stops when no label changed.  Rounds = graph diameter —
-    near-dup clusters are shallow, so this converges in 2-3 rounds;
-    ``localCheckpoint`` cuts the exploding join lineage each round.  At
-    100 TB-scale graphs the same loop holds (it is the textbook
-    label-propagation CC); skewed mega-components would switch to
-    large-star/small-star.  Oracle: recursive-CTE transitive closure over
-    the identical pair SQL — fully hash-checked.
+    Returns ``(labels, converged)`` — labels only for edge-touched nodes.
+    Rounds = graph diameter, so this is the fast path for shallow dup
+    graphs (2-3 rounds) but cannot finish a component whose diameter
+    exceeds ``max_iter``; the caller decides the fallback.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-             .union(pairs.select(F.col("doc_b").alias("src"),
-                                 F.col("doc_a").alias("dst"))))
-    edges = edges.localCheckpoint()
-    # iterate ONLY over edge-touched nodes: singletons can never change
-    # label, and at corpus scale dup-pair endpoints are a small fraction
-    # of all docs — the per-round joins shrink accordingly.  Singletons
-    # rejoin (label = own id) after convergence.
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("cluster_id", F.col("doc_id"))
               .localCheckpoint())
+    changed = 0
     for _ in range(max_iter):
         nb = (edges.join(labels, edges.dst == labels.doc_id)
               .groupBy("src").agg(F.min("cluster_id").alias("nb_min")))
@@ -231,10 +212,119 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
                     F.coalesce(F.col("nb_min"), F.col("cluster_id")))
              .alias("cluster_id"))
         if changed == 0:
+            return labels, True
+    return labels, changed == 0
+
+
+def _cc_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the mega-component path: converges in O(log² n) rounds regardless of
+    component diameter or skew, where plain label propagation needs
+    diameter rounds.
+
+    Both operations are grouped min-aggregates + an equi-join (no
+    all-pairs work): large-star points every larger neighbor of u at
+    min(Γ(u) ∪ {u}); small-star does the same for the smaller neighbors.
+    The fixed point is a star forest — every node points at its
+    component's minimum id.  Returns (doc_id, cluster_id) for
+    edge-touched nodes.
+    """
+    # canonical directed edges u -> v with v < u; self-loops dropped
+    e = (edges.select(F.greatest("src", "dst").alias("u"),
+                      F.least("src", "dst").alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint())
+    for _ in range(max_iter):
+        # --- large-star: group by u over BOTH directions ---
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+             .select("u", F.least("u", "mv").alias("m")))
+        large = (sym.join(m, "u")
+                 .where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .where(F.col("u") != F.col("v"))
+                 .distinct())
+        # --- small-star: group by u over smaller neighbors only ---
+        m2 = (large.groupBy("u").agg(F.min("v").alias("mv"))
+              .select("u", F.least("u", "mv").alias("m")))
+        small = (large.join(m2, "u")
+                 .select(F.col("v").alias("n"), F.col("m"), F.col("u"))
+                 .select(F.explode(F.array(
+                     F.struct(F.col("n").alias("a"), F.col("m").alias("b")),
+                     F.struct(F.col("u").alias("a"), F.col("m").alias("b"))))
+                     .alias("e"))
+                 .select(F.greatest("e.a", "e.b").alias("u"),
+                         F.least("e.a", "e.b").alias("v"))
+                 .where(F.col("u") != F.col("v"))
+                 .distinct().localCheckpoint())
+        n_changed = small.exceptAll(e).count() + e.exceptAll(small).count()
+        e = small
+        if n_changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"_cc_star did not converge within {max_iter} rounds — "
+            "O(log^2 n) bound exceeded; graph input is likely malformed")
+    # fixed point is a star forest: every non-root points at its root
+    return (e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+            .union(e.select(F.col("v").alias("doc_id"),
+                            F.col("v").alias("cluster_id")))
+            .groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id")))
+
+
+def cluster_edges(docs: DataFrame, pairs: DataFrame,
+                  max_iter: int = 20) -> DataFrame:
+    """Assign every doc the min doc_id of its connected component in the
+    ``pairs`` graph (singletons keep their own id).
+
+    Strategy: min-label propagation first (rounds = diameter — shallow
+    dup graphs finish in 2-3); if it has not converged after ``max_iter``
+    rounds (deep-chain or skewed mega-components), LOUDLY fall back to
+    the large-star/small-star algorithm, which is round-bounded by
+    O(log² n) independent of diameter.
+    """
+    edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst"))))
+    edges = edges.localCheckpoint()
+    # iterate ONLY over edge-touched nodes: singletons can never change
+    # label, and at corpus scale dup-pair endpoints are a small fraction
+    # of all docs — the per-round joins shrink accordingly.  Singletons
+    # rejoin (label = own id) after convergence.
+    labels, converged = _label_prop(edges, max_iter)
+    if not converged:
+        import logging
+        logging.getLogger(__name__).warning(
+            "dedup_clusters: label propagation did not converge within "
+            "%d rounds (component diameter exceeds the round budget); "
+            "falling back to large-star/small-star", max_iter)
+        labels = _cc_star(edges)
     return (docs.join(labels, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("cluster_id", "doc_id").alias("cluster_id")))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str,
+                   max_iter: int = 20) -> DataFrame:
+    """Near-dup CLUSTERS from the MinHash-LSH candidate pairs: connected
+    components via iterative min-label propagation — every doc gets the
+    smallest doc_id reachable through the pair graph (singletons keep
+    their own id).  This is the step that turns pairwise dedup into
+    actionable keep/drop groups.
+
+    Iterative Spark algorithm (the reference has nothing like it): see
+    :func:`cluster_edges` — min-label propagation (rounds = diameter,
+    shallow dup graphs converge in 2-3) with a loud automatic fallback to
+    large-star/small-star (:func:`_cc_star`, O(log² n) rounds) when a
+    deep or skewed mega-component outlives the round budget.
+    ``localCheckpoint`` cuts the exploding join lineage each round.
+    Oracle: recursive-CTE transitive closure over the identical pair SQL
+    — fully hash-checked.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return cluster_edges(docs, pairs, max_iter=max_iter)
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,6 +20,8 @@ queries prune the payload column at the parquet scan.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -41,17 +43,39 @@ MEDIA_FEATURES = StructType([
 ])
 
 
-def decode_media(payload: bytes, kind: str):
-    """Decode an image/audio/video payload.  STUB: the container ships no
-    codec libraries; gate on their availability so the operator lights up
-    when they exist."""
+def decode_media(payload: bytes, kind: str) -> dict:
+    """Decode an image/audio/video payload to a metadata dict.
+
+    Real decoders where the environment allows, loud stubs where not:
+
+    - image: PIL when importable (returns width/height/mode); raises
+      ``NotImplementedError`` when PIL is absent (this container).
+    - audio: stdlib ``wave`` — real RIFF/WAVE header decode everywhere;
+      undecodable bytes raise ``ValueError`` (bad input, not a stub).
+    - video: no in-container decoder → ``NotImplementedError``.
+
+    The deterministic fake-feature path (:func:`_fake_features`) stays
+    the oracle path regardless — decode results never feed hash-checked
+    queries.
+    """
     if kind == "image":
         try:
-            from PIL import Image  # noqa: F401  (not installed here)
+            from PIL import Image
         except ImportError as exc:
             raise NotImplementedError(
                 "image decode requires PIL — not available in this "
                 "container; plumbing is exercised via extract_features") from exc
+        with Image.open(io.BytesIO(payload)) as im:
+            im.load()
+            return {"width": im.width, "height": im.height, "mode": im.mode}
+    if kind == "audio":
+        try:
+            with wave.open(io.BytesIO(payload)) as w:
+                return {"n_channels": w.getnchannels(),
+                        "framerate": w.getframerate(),
+                        "n_frames": w.getnframes()}
+        except (wave.Error, EOFError) as exc:
+            raise ValueError(f"undecodable audio payload: {exc}") from exc
     raise NotImplementedError(f"no decoder for kind={kind!r}")
 
 

@@ -77,11 +77,16 @@ def search_element(metrics: DataFrame, name: str, index: str,
     source fields (R:28), sort ascending by evaluationDate (R:27), cap at
     10,000 rows (R:28).  All four steps push into the parquet scan or fold
     into one stage under Catalyst.
+
+    The sort carries a ``value`` tiebreak beyond the reference's bare
+    date sort: with duplicate dates at the cap boundary, Spark's
+    sort-limit would otherwise pick among ties nondeterministically and
+    feed a run-to-run-varying survivor set into the series builder.
     """
     return (metrics
             .where((F.col("name") == name) & (F.col("index") == index))
             .select("name", "index", "evaluationDate", "value")
-            .orderBy(F.col("evaluationDate").asc())
+            .orderBy(F.col("evaluationDate").asc(), F.col("value").asc())
             .limit(limit))
 
 

@@ -50,12 +50,45 @@ def test_multimodal_batch_plumbing(spark, sf_dir):
     assert _fake_features(b"abc") == _fake_features(b"abc")
 
 
-def test_decode_media_is_stubbed():
+def test_decode_media_gates_and_decodes():
+    """Real decoders where the environment allows, loud stubs where not:
+    image is PIL-gated, audio decodes real WAV headers via stdlib wave,
+    video has no decoder."""
+    import io
+    import wave
     from qrapids_forecast_r_script_spark.operators.multimodal import decode_media
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x89PNG", "image")
+    # audio: a real 2-channel 8kHz WAV decodes via stdlib wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 2 * 7)
+    meta = decode_media(buf.getvalue(), "audio")
+    assert meta == {"n_channels": 2, "framerate": 8000, "n_frames": 7}
+    with pytest.raises(ValueError):
+        decode_media(b"RIFF not a wav", "audio")
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image")
-    with pytest.raises(NotImplementedError):
-        decode_media(b"RIFF", "audio")
+        decode_media(b"\x00\x00\x00\x18ftyp", "video")
+
+
+def test_decode_media_image_real():
+    pytest.importorskip("PIL", reason="PIL not installed in this container")
+    import io
+    from PIL import Image
+    from qrapids_forecast_r_script_spark.operators.multimodal import decode_media
+    buf = io.BytesIO()
+    Image.new("RGB", (3, 2)).save(buf, format="PNG")
+    assert decode_media(buf.getvalue(), "image") == {
+        "width": 3, "height": 2, "mode": "RGB"}
 
 
 def test_es_source_degrades_clearly(spark):
