@@ -11,9 +11,9 @@ numpy-only implementation choices:
   seasonal-strength heuristic (auto.arima's 'seas' measure).
 - ARMA coefficients by conditional-sum-of-squares (CSS) minimized with
   Nelder-Mead; model selection by AICc over the full grid.
-- search bounds max p=q=3, P=Q=1 (auto.arima defaults are 5/2; tightened
-  for Python-worker speed — documented deviation, the grid is still
-  exhaustive within bounds, not stepwise).
+- search bounds max p=q=5, P=Q=2 with p+q+P+Q <= max_order=5 — exactly
+  auto.arima's defaults for a non-stepwise search (max.order caps the
+  total, so the exhaustive grid stays ~126 orders).
 - forecast variance via psi-weights of the full (differenced) lag
   polynomial — the standard ARIMA PI construction.
 """
@@ -281,9 +281,16 @@ def _psi_weights(arpoly, mapoly, horizon):
 
 
 def fit_arima(y: np.ndarray, frequency: int, force_seasonality: bool = False,
-              max_p: int = 3, max_q: int = 3, max_P: int = 1, max_Q: int = 1,
+              max_p: int = 5, max_q: int = 5, max_P: int = 2, max_Q: int = 2,
               max_order: int = 5) -> ArimaModel:
-    """Exhaustive auto-ARIMA (stepwise=FALSE semantics, R:90)."""
+    """Exhaustive auto-ARIMA (stepwise=FALSE semantics, R:90).
+
+    Search bounds are auto.arima's own defaults — max.p=max.q=5,
+    max.P=max.Q=2, with ``max.order=5`` capping p+q+P+Q exactly as
+    auto.arima does for a non-stepwise search, so the grid is ~126
+    orders, not 6·6·3·3.  (Round 1 capped at 3/3/1/1; the widened grid
+    restores selection parity on long-memory series — see
+    ``test_arima_grid_reaches_high_orders``.)"""
     y = np.asarray(y, float)
     n = len(y)
     m = max(1, int(frequency))

@@ -8,9 +8,10 @@ e.args=list(allow.multiplicative.trend=TRUE), parallel=TRUE,
 num.cores=2)``, forecast with ``PI.combination='mean'`` (R:340).
 
 Semantics preserved:
-- components: ARIMA + ETS + Theta + NN + STL (hybridModel's default
-  'aefns(t)'; TBATS is omitted — documented deviation, no TBATS in the
-  numpy stack).
+- components: ARIMA + ETS + Theta + NN + STL + TBATS-lite — the full
+  'aefnst' default set (R:324-332); the 't' slot is the lite TBATS
+  (Box-Cox + trig seasonal + damped ETS, see ``tbats_lite.py`` for the
+  documented deviations from full TBATS).
 - weights = 1/RMSE from rolling-origin cross-validation with window
   n - 2*cvHorizon, errors averaged over the full horizon
   (horizonAverage=TRUE).
@@ -30,6 +31,7 @@ from .common import DEGENERATE_ERRORS
 from .ets import fit_ets
 from .nn import fit_nn
 from .stl import fit_stl
+from .tbats_lite import fit_tbats_lite
 from .theta import fit_theta
 
 # (full fit for the final model, cheaper fit for the CV folds — the CV
@@ -47,6 +49,8 @@ _COMPONENTS = {
           lambda y, m: fit_nn(y, m, repeats=2)),
     "s": ("STL", lambda y, m: fit_stl(y, m),
           lambda y, m: fit_stl(y, m)),
+    "t": ("TBATS", lambda y, m: fit_tbats_lite(y, m),
+          lambda y, m: fit_tbats_lite(y, m)),
 }
 
 

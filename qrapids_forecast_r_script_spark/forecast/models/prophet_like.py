@@ -133,14 +133,23 @@ def fit_prophet_like(ds_days: np.ndarray, y: np.ndarray) -> ProphetLikeModel:
             X_season_full.append(np.sin(arg))
             X_season_full.append(np.cos(arg))
     A = np.column_stack(cols + X_season_full) if X_season_full else np.column_stack(cols)
-    # ridge penalties: none on intercept/slope, tau on hinges (sparse
-    # changepoints, Laplace-prior stand-in), light on seasonality
+    # Ridge MAP with the penalty on the PRIOR scale, like Stan's MAP: the
+    # posterior mode minimizes sum(r²)/(2σ²) + sum(δ²)/(2τ²), i.e. ridge
+    # λ = σ²/τ² — the observation noise σ² must scale the penalty or the
+    # changepoint prior (τ=0.05) crushes every real slope break.  σ² is
+    # unknown before the fit, so: pass 1 with a moderate penalty to
+    # estimate σ², pass 2 with the empirical-Bayes λ.
     pen = np.zeros(A.shape[1])
-    pen[2:2 + len(changepoints)] = 1.0 / 0.05   # changepoint_prior_scale=0.05
+    pen[2:2 + len(changepoints)] = 0.5
     if X_season_full:
-        pen[2 + len(changepoints):] = 1.0 / 10.0  # seasonality_prior_scale=10
-    AtA = A.T @ A + np.diag(pen)
-    coef_all = np.linalg.solve(AtA, A.T @ ys)
+        pen[2 + len(changepoints):] = 0.1
+    coef_all = np.linalg.solve(A.T @ A + np.diag(pen), A.T @ ys)
+    s2 = float(np.var(ys - A @ coef_all, ddof=1)) if n > 2 else 0.0
+    pen2 = np.zeros(A.shape[1])
+    pen2[2:2 + len(changepoints)] = max(s2, 1e-10) / 0.05 ** 2   # τ=0.05
+    if X_season_full:
+        pen2[2 + len(changepoints):] = max(s2, 1e-10) / 10.0 ** 2  # τ=10
+    coef_all = np.linalg.solve(A.T @ A + np.diag(pen2), A.T @ ys)
     b0, k = float(coef_all[0]), float(coef_all[1])
     deltas = coef_all[2:2 + len(changepoints)]
     coef_season = coef_all[2 + len(changepoints):]

@@ -77,9 +77,80 @@ def test_accuracy_on_signal():
 def test_hybrid_weights_and_bands():
     model = fit_method("HYBRID", Y, 7, horizon=7, seed_key=("h", "i", "HYBRID"))
     assert abs(sum(model.weights.values()) - 1.0) < 1e-9
-    assert set(model.models) <= set("aefns")
+    assert set(model.models) <= set("aefnst")
+    assert "t" in model.models  # full aefnst default set (R:324-332)
     b = forecast_fitted(model, 7, seed_key=("h", "i", "HYBRID"))
     assert np.all(b["lower2"] <= b["mean"]) and np.all(b["mean"] <= b["upper2"])
+
+
+def test_tbats_lite_seasonal_accuracy():
+    """TBATS-lite must track a Box-Cox-friendly seasonal series: positive
+    multiplicative-ish weekly pattern with trend."""
+    from qrapids_forecast_r_script_spark.forecast.models.tbats_lite import (
+        fit_tbats_lite)
+    t = np.arange(84.0)
+    truth_fn = lambda tt: (50 + 0.3 * tt) * (1 + 0.2 * np.sin(2 * np.pi * tt / 7))
+    y = truth_fn(t)
+    model = fit_tbats_lite(y, 7)
+    assert model.k > 0  # harmonics engaged
+    fc = model.forecast(14)
+    truth = truth_fn(84 + np.arange(14.0))
+    rmse = float(np.sqrt(np.mean((fc["mean"] - truth) ** 2)))
+    assert rmse < 6.0, rmse
+    assert np.all(fc["lower2"] <= fc["mean"] + 1e-9)
+    assert np.all(fc["mean"] <= fc["upper2"] + 1e-9)
+    # non-seasonal frequency degrades gracefully (no harmonics)
+    flat = fit_tbats_lite(50 + 0.1 * t, 1)
+    assert flat.k == 0
+    assert len(flat.forecast(7)["mean"]) == 7
+
+
+def test_arima_grid_reaches_high_orders():
+    """Selection-parity golden: a stationary AR(4) with a strong lag-4
+    coefficient.  The auto.arima-default grid (5/5/2/2, max_order 5) must
+    find the true (4,0,0); the round-1 3/3/1/1 grid cannot represent it
+    and lands on a much worse AICc — the documented reason the bounds
+    were widened."""
+    from qrapids_forecast_r_script_spark.forecast.models.arima import (
+        fit_arima, ndiffs)
+    rng = np.random.default_rng(7)
+    n = 300
+    y = np.zeros(n)
+    for t in range(4, n):
+        y[t] = (0.3 * y[t - 1] - 0.2 * y[t - 2] + 0.1 * y[t - 3]
+                - 0.55 * y[t - 4] + rng.normal())
+    y = y[100:]
+    assert ndiffs(y) == 0  # the test must exercise the ARMA grid, not d
+    wide = fit_arima(y, 1)
+    narrow = fit_arima(y, 1, max_p=3, max_q=3, max_P=1, max_Q=1)
+    assert wide.order == (4, 0, 0)
+    assert narrow.order[0] <= 3
+    assert wide.aicc < narrow.aicc - 10
+
+
+def test_prophet_changepoints_track_slope_break():
+    """Golden changepoint test (the thing a plain ridge line cannot do):
+    +1/day for 60 days then -0.5/day for 40 — the forecast must continue
+    the POST-break slope.  A global least-squares line on the same series
+    misses by ~29 rmse; the piecewise trend must come in under 3."""
+    from qrapids_forecast_r_script_spark.forecast.models.prophet_like import (
+        fit_prophet_like)
+    t = np.arange(100.0)
+    y = np.where(t < 60, 100 + 1.0 * t, 160 - 0.5 * (t - 60))
+    model = fit_prophet_like(19000 + t, y)
+    b = model.forecast(14, seed_key=("cp",))
+    truth = 160 - 0.5 * (100 + np.arange(14) - 60)
+    rmse = float(np.sqrt(np.mean((b["mean"] - truth) ** 2)))
+    assert rmse < 3.0, rmse
+    # the forecast slope must be negative (post-break), not the global
+    # average: a plain line fit gives a rising forecast here
+    assert b["mean"][-1] < b["mean"][0]
+    A = np.column_stack([np.ones(100), t])
+    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+    plain = coef[0] + coef[1] * (100 + np.arange(14))
+    plain_rmse = float(np.sqrt(np.mean((plain - truth) ** 2)))
+    assert plain_rmse > 20.0  # the baseline the changepoints must beat
+    assert rmse < plain_rmse / 5
 
 
 def test_prophet_calendar_aware_with_gaps():
