@@ -10,13 +10,21 @@ The headline set covers every engine layer: TPC-H-style relational
 (scan/agg/join/window/as-of), the forecast core (batch ETS over all
 series + an oracle-checked closed form), dedup (exact + MinHash-LSH),
 similarity (brute-force cosine top-k), text analysis, and streaming
-(sessionization).  Each runs to completion (count) with AQE on.
+(sessionization + a real readStream micro-batch).  Each runs to
+completion (count) with AQE on.
+
+Per-query timings are the MEDIAN over ``$SPARK_GRAFT_BENCH_REPS`` runs
+(default 3) — BASELINE.md documents ~1.8x host-contention spread on
+single runs, so medians are the comparable number across rounds.  The
+first rep of each query doubles as its warm-up; the headline total is
+the sum of medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -45,6 +53,9 @@ HEADLINE = [
     # scale patterns: skew salting + bucketed co-located join
     "salted_skew_join",
     "bucketed_orders_join",
+    # round-2 rotation: true Structured Streaming micro-batches
+    "events_stream_tumbling_1h",
+    "events_session_windows",
 ]
 
 
@@ -60,12 +71,16 @@ def main() -> None:
     # warm the JVM + parquet footers with a trivial action
     qs["part_filter_projection"](spark, sf_dir).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_seconds",
@@ -73,6 +88,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "reps": reps,
+        "stat": "median",
     }))
 
 
