@@ -43,6 +43,7 @@ def _registries():
     a module's queries from the correctness run.
     """
     from qrapids_forecast_r_script_spark.operators import (
+        curation,
         dedup,
         multimodal,
         pipeline,
@@ -86,6 +87,9 @@ def _registries():
         (product_analytics.QUERIES, product_analytics.ORACLES),
         (formats.QUERIES, formats.ORACLES),
         (fq.QUERIES, fq.ORACLES),
+        # New in round 2 (behind this round's 50-query window; locally
+        # oracled — front-load next round for driver rows).
+        (curation.QUERIES, curation.ORACLES),
         # Proven in round 1 (CORRECTNESS_r01.json) — behind the window.
         (relational.QUERIES, relational.ORACLES),
         (relational_ext.QUERIES, relational_ext.ORACLES),

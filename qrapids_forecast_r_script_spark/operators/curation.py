@@ -1,0 +1,224 @@
+"""Training-data curation operators over ``documents`` / ``embeddings``
+(north-star extension; no reference counterpart — the reference is a
+single-series forecasting service, `TimeSeriesFunctions_GPL_0.5.1.R:1-406`).
+These are the steps a 100 TB pretraining pipeline runs between raw scrape
+and tokenizer, expressed Spark-first:
+
+- :func:`stratified_sample_docs` — deterministic hash-Bernoulli sampling
+  with per-language rates (downsample over-represented languages).
+  Map-only: no shuffle, no RNG state, rerun-stable at any parallelism.
+- :func:`source_quota_cap` — cap documents per source (domain quota),
+  keeping the longest docs first.  One shuffle on ``source``.
+- :func:`token_shard_packing` — assign docs to fixed token-budget shards
+  via a DISTRIBUTED two-pass prefix sum (per-bucket partials + broadcast
+  bucket offsets), never a single giant ordered window.
+- :func:`semantic_dedup_keep` — SemDeDup-style: connected components
+  over the embedding near-dup graph, keep the min-id representative of
+  each cluster.
+
+All four are integer/deterministic end-to-end, so each has an exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .dedup import cluster_edges
+from .similarity import _neardup_oracle_sql, embedding_neardup_pairs
+
+# Knuth multiplicative hash: spreads sequential doc_ids uniformly over
+# [0, 2^32).  doc_id * KNUTH stays far under BIGINT range (doc_id < 2^40
+# would still fit), so the expression is ANSI-overflow-safe.
+_KNUTH = 2654435761
+_HASH_MOD = 4294967296          # 2^32
+
+# Per-language keep rates (percent).  The synthetic corpus is ~44% 'en';
+# a balanced pretraining mix downsamples the head languages.
+_LANG_KEEP_PCT = {"en": 30, "zh": 60}
+_DEFAULT_KEEP_PCT = 100
+
+_SOURCE_CAP = 15                 # max docs kept per source
+_SHARD_BUDGET = 20_000           # word-tokens per output shard
+_PACK_BUCKET = 64                # doc_ids per prefix-sum bucket
+
+
+def _hash_pct(col):
+    return F.pmod(col * F.lit(_KNUTH), F.lit(_HASH_MOD)) % 100
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sample of ``documents``.
+
+    keep iff hash(doc_id) % 100 < rate(lang).  The hash is a fixed
+    multiplicative constant, not ``rand()``: the sample is a pure
+    function of the row, so it is identical across retries, partitions,
+    and cluster sizes — the property that makes a 100 TB sample job
+    restartable.  Plan shape: map-only filter, zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_DEFAULT_KEEP_PCT)
+    for lang, pct in sorted(_LANG_KEEP_PCT.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return (docs
+            .withColumn("keep_pct", rate)
+            .where(_hash_pct(F.col("doc_id")) < F.col("keep_pct"))
+            .select("doc_id", "lang", "source", "n_chars",
+                    F.col("keep_pct").cast("int").alias("keep_pct")))
+
+
+def source_quota_cap(spark: SparkSession, sf_dir: str,
+                     cap: int = _SOURCE_CAP) -> DataFrame:
+    """Per-source document quota: keep the ``cap`` longest docs of each
+    source (n_chars desc, doc_id tiebreak).
+
+    The domain-quota step of corpus curation — prevents any single
+    crawl source from dominating the mix.  One shuffle on ``source``;
+    rank-then-filter pushes nothing across sources, so a skewed source
+    costs only its own partition (for a pathological mega-source,
+    pre-aggregate a salted partial top-``cap`` per salt, then re-rank
+    the ``salt_count * cap`` survivors — same two-level shape as
+    ``scale_patterns.salted_skew_join``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (docs
+            .withColumn("src_rank", F.row_number().over(w))
+            .where(F.col("src_rank") <= cap)
+            .select("doc_id", "source", "n_chars", "src_rank"))
+
+
+def token_shard_packing(spark: SparkSession, sf_dir: str,
+                        budget: int = _SHARD_BUDGET,
+                        bucket_width: int = _PACK_BUCKET) -> DataFrame:
+    """Assign every doc a token-budget shard id: shard = (exclusive
+    running token count within lang, ordered by doc_id) div ``budget``.
+
+    The naive form is one window over (PARTITION BY lang ORDER BY
+    doc_id) — a single task per language, which at 100 TB serializes
+    the biggest language through one core.  This implementation is the
+    scalable two-pass prefix sum instead:
+
+      1. per-(lang, bucket) token totals, bucket = doc_id div 64 —
+         ordinary partial aggregation;
+      2. exclusive prefix over BUCKET totals within lang — a window over
+         ~n_docs/64 rows, broadcast back;
+      3. exclusive cumsum WITHIN each (lang, bucket) — windows over 64-row
+         partitions, embarrassingly parallel — plus the bucket offset.
+
+    Integer arithmetic end-to-end, so the decomposition is exactly equal
+    to the single-window form — which is what the oracle runs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs
+            .select("doc_id", "lang",
+                    F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]+"))
+                     .cast("bigint").alias("n_tokens"))
+            .withColumn("bucket", F.expr(f"doc_id div {bucket_width}")))
+    bucket_tot = (toks.groupBy("lang", "bucket")
+                  .agg(F.sum("n_tokens").alias("bucket_tokens")))
+    wb = (Window.partitionBy("lang").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = bucket_tot.select(
+        "lang", "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0))
+         .alias("bucket_offset"))
+    wd = (Window.partitionBy("lang", "bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    return (toks
+            .withColumn("within_excl",
+                        F.coalesce(F.sum("n_tokens").over(wd), F.lit(0)))
+            .join(F.broadcast(offsets), ["lang", "bucket"])
+            .select("doc_id", "lang", "n_tokens",
+                    F.expr(f"(bucket_offset + within_excl) div {budget}")
+                     .alias("shard_id")))
+
+
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over embeddings: connected
+    components of the near-duplicate graph (cosine >= 0.25 within label,
+    LSH-banded — :func:`similarity.embedding_neardup_pairs`), keep the
+    min-vec_id representative of every cluster.
+
+    Reuses :func:`dedup.cluster_edges` (min-label propagation with the
+    large-star/small-star mega-component fallback).  Oracle: recursive
+    transitive closure over the identical deterministic pair SQL.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = (embedding_neardup_pairs(spark, sf_dir)
+             .select(F.col("vec_a").alias("doc_a"),
+                     F.col("vec_b").alias("doc_b")))
+    labels = cluster_edges(emb.select(F.col("vec_id").alias("doc_id")), pairs)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("kept"))
+
+
+QUERIES = {
+    "stratified_sample_docs": stratified_sample_docs,
+    "source_quota_cap": source_quota_cap,
+    "token_shard_packing": token_shard_packing,
+    "semantic_dedup_keep": semantic_dedup_keep,
+}
+
+_RATE_CASE = ("CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {pct}"
+    for lang, pct in sorted(_LANG_KEEP_PCT.items()))
+    + f" ELSE {_DEFAULT_KEEP_PCT} END")
+
+ORACLES = {
+    "stratified_sample_docs": f"""
+        SELECT doc_id, lang, source, n_chars,
+               CAST({_RATE_CASE} AS INTEGER) AS keep_pct
+        FROM documents
+        WHERE (doc_id * {_KNUTH}) % {_HASH_MOD} % 100 < {_RATE_CASE}
+    """,
+    "source_quota_cap": f"""
+        SELECT doc_id, source, n_chars, src_rank FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS src_rank
+            FROM documents)
+        WHERE src_rank <= {_SOURCE_CAP}
+    """,
+    # the oracle is the NAIVE single-window form the docstring names —
+    # proving the distributed two-pass decomposition exactly equals it
+    "token_shard_packing": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, lang, n_tokens,
+               (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) // {_SHARD_BUDGET} AS shard_id
+        FROM t
+    """,
+    "semantic_dedup_keep": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT vec_a, vec_b FROM ({_neardup_oracle_sql()})
+        ), sym AS (
+            SELECT vec_a AS a, vec_b AS b FROM pairs
+            UNION SELECT vec_b, vec_a FROM pairs
+        ), reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+        ), labeled AS (
+            SELECT e.vec_id,
+                   CAST(least(e.vec_id,
+                              coalesce((SELECT min(b) FROM reach
+                                        WHERE a = e.vec_id), e.vec_id))
+                        AS BIGINT) AS cluster_id
+            FROM embeddings e
+        )
+        SELECT vec_id, cluster_id, (vec_id = cluster_id) AS kept
+        FROM labeled
+    """,
+}

@@ -171,6 +171,28 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan, plan
 
 
+def test_stratified_sample_is_map_only(spark, sf_dir):
+    """The deterministic hash sample must be a pure scan+filter — zero
+    exchanges — so at 100 TB it is one pass with no shuffle at all."""
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        stratified_sample_docs)
+    df = stratified_sample_docs(spark, sf_dir)
+    plan = _plan(df)
+    assert exchange_count(df, plan) == 0, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_packing_broadcasts_bucket_offsets(spark, sf_dir):
+    """The two-pass prefix sum must join the (tiny) bucket-offset frame
+    by broadcast — no shuffle of the doc-level side beyond the window's
+    own (lang, bucket) partitioning."""
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        token_shard_packing)
+    plan = _plan(token_shard_packing(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_relational_queries_have_no_python_ops(spark, sf_dir):
     """Budget: the Python boundary exists ONLY in forecast fitting and
     multimodal extraction; every relational headline stays JVM-side."""
