@@ -119,9 +119,65 @@ def bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("c_mktsegment"))
 
 
+_Z_BITS = 11                     # bits per dimension (user_id < 2048)
+_Z_BIN_SHIFT = 12                # zbin = zval >> 12: 16-512 bins across sf0.001-0.1
+
+
+def _interleave(a, b):
+    """Bit-interleave two ``_Z_BITS``-bit integer columns into a Morton
+    (z-order) value: a's bit i lands at 2i, b's at 2i+1."""
+    z = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        z = (z
+             + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+             + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z
+
+
+def zorder_bin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering of events on (user_id, hour):
+    per z-bin row counts and min/max of BOTH dimensions.
+
+    The 100 TB layout technique this demonstrates: sorting a fact table
+    by the interleaved bits of two filter columns gives every file/bin a
+    TIGHT min/max range on each dimension simultaneously — so parquet
+    min/max stats prune scans for predicates on either column, where a
+    single-column sort only prunes its own column.  The emitted min/max
+    per bin IS the skipping index a writer would persist; the bounded
+    fraction of bins a 1-dim predicate touches is asserted in
+    tests/test_plan_shapes.py.
+
+    Pure integer bit arithmetic (shift/and), identical in the SQL
+    oracle; no shuffle beyond the 64-row aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour = ((F.dayofmonth("ts") - 1) * 24 + F.hour("ts")).cast("bigint")
+    binned = ev.select(
+        F.col("user_id"),
+        hour.alias("hour_idx"),
+        F.shiftright(_interleave(F.col("user_id"), hour), _Z_BIN_SHIFT)
+        .alias("zbin"))
+    return (binned.groupBy("zbin")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("user_id").alias("min_user"),
+                 F.max("user_id").alias("max_user"),
+                 F.min("hour_idx").alias("min_hour"),
+                 F.max("hour_idx").alias("max_hour"))
+            .orderBy("zbin"))
+
+
+def _z_sql(a: str, b: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
 QUERIES = {
     "salted_skew_join": salted_skew_join,
     "bucketed_orders_join": bucketed_orders_join,
+    "zorder_bin_stats": zorder_bin_stats,
 }
 
 ORACLES = {
@@ -143,5 +199,23 @@ ORACLES = {
         FROM customer JOIN orders ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+    """,
+    "zorder_bin_stats": f"""
+        WITH z AS (
+            SELECT user_id,
+                   CAST((day(ts) - 1) * 24 + hour(ts) AS BIGINT) AS hour_idx,
+                   ({_z_sql('user_id', 'CAST((day(ts) - 1) * 24 + hour(ts) AS BIGINT)')})
+                       >> {_Z_BIN_SHIFT} AS zbin
+            FROM events
+        )
+        SELECT zbin,
+               count(*) AS n_events,
+               min(user_id) AS min_user,
+               max(user_id) AS max_user,
+               min(hour_idx) AS min_hour,
+               max(hour_idx) AS max_hour
+        FROM z
+        GROUP BY zbin
+        ORDER BY zbin
     """,
 }

@@ -193,6 +193,23 @@ def test_shard_packing_broadcasts_bucket_offsets(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_zorder_bins_skip_on_either_dimension(spark, sf_dir):
+    """The z-bin min/max stats must actually prune: a predicate on the
+    hour dimension alone may touch at most ~25% of bins for a quarter-
+    month range (a hour-sorted layout gives the same, but then a USER
+    predicate would touch 100%; z-order bounds both)."""
+    from pyspark.sql import functions as F
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        zorder_bin_stats)
+    bins = zorder_bin_stats(spark, sf_dir).collect()
+    total = len(bins)
+    hour_touched = sum(1 for b in bins
+                       if b.max_hour >= 0 and b.min_hour < 180)
+    assert hour_touched / total <= 0.34, (hour_touched, total)
+    # every bin's bounding box is a proper sub-rectangle on the hour dim
+    assert all(b.max_hour - b.min_hour < 719 for b in bins)
+
+
 def test_relational_queries_have_no_python_ops(spark, sf_dir):
     """Budget: the Python boundary exists ONLY in forecast fitting and
     multimodal extraction; every relational headline stays JVM-side."""
