@@ -133,20 +133,25 @@ def _css_residuals(w, phi, theta, Phi, Theta, m, c):
     # residuals — and hence AICc order selection — on long series with
     # near-boundary MA roots).  L is capped at n, where the inversion is
     # exact by construction.
-    roots = np.roots(mapoly[::-1])
-    rho = float(np.max(1.0 / np.abs(roots)))
-    if rho >= 1.0:          # cannot happen past _roots_ok; exact fallback
-        L = n
-    else:
-        L = min(n, max(50, int(np.ceil(np.log(1e-8) / np.log(rho))) + qfull))
-    pi = np.zeros(L)
-    pi[0] = 1.0
-    for j in range(1, L):
+    # π-weights are generated recursively with ADAPTIVE truncation: stop
+    # once the last qfull weights are all below 1e-9 (tighter than the
+    # 1e-8 tail target the previous root-radius bound aimed for), capped
+    # at n where the inversion is exact by construction.  This avoids a
+    # per-candidate np.roots() eigendecomposition — which profiling
+    # showed dominating the whole auto-ARIMA grid search — while still
+    # sizing L from the weights' actual decay.
+    ma = [float(v) for v in mapoly]
+    pi_w = [1.0]
+    tail = 1.0
+    j = 1
+    while j < n and (j <= qfull or tail >= 1e-9):
         acc = 0.0
         for i in range(1, min(j, qfull) + 1):
-            acc -= mapoly[i] * pi[j - i]
-        pi[j] = acc
-    e = np.convolve(z, pi)[:n]
+            acc -= ma[i] * pi_w[j - i]
+        pi_w.append(acc)
+        j += 1
+        tail = max(abs(v) for v in pi_w[-qfull:])
+    e = np.convolve(z, np.array(pi_w))[:n]
     return e, arpoly, mapoly
 
 
@@ -370,11 +375,35 @@ def fit_arima(y: np.ndarray, frequency: int, force_seasonality: bool = False,
 
 
 def _roots_ok(poly, eps: float = 0.001) -> bool:
-    """All roots of 1 + c1 B + ... outside unit circle."""
-    if len(poly) <= 1:
+    """All roots of 1 + c1 B + ... outside |B| = 1 + eps.
+
+    Implemented via the Schur-Cohn reduction instead of an
+    eigendecomposition: B-roots outside radius 1+eps ⟺ the reversed
+    monic polynomial (roots 1/B_i), rescaled by r0 = 1/(1+eps), has all
+    roots strictly inside the unit circle; that holds iff every
+    reflection coefficient of the reduction is < 1 in magnitude.  O(k²)
+    scalar work vs O(k³)+allocation for the companion-matrix eig — this
+    guard runs once per Nelder-Mead evaluation per grid candidate, where
+    profiling showed np.roots() dominating the entire ARIMA search.
+    """
+    k = len(poly) - 1
+    if k <= 0:
         return True
-    coeffs = poly[::-1]  # numpy.roots wants highest degree first
     if np.all(np.abs(poly[1:]) < 1e-12):
         return True
-    r = np.roots(coeffs)
-    return bool(np.all(np.abs(r) > 1 + eps))
+    r0 = 1.0 / (1.0 + eps)
+    # reversed poly z^k + c1 z^{k-1} + ... + ck, rescaled z → r0·u:
+    # monic coeffs a_j = c_j / r0^j for the u^{k-j} term
+    a = [1.0]
+    scale = 1.0
+    for j in range(1, k + 1):
+        scale *= r0
+        a.append(float(poly[j]) / scale)
+    while len(a) > 1:
+        kc = a[-1]
+        if abs(kc) >= 1.0:
+            return False
+        denom = 1.0 - kc * kc
+        a = [(a[j] - kc * a[len(a) - 1 - j]) / denom
+             for j in range(len(a) - 1)]
+    return True
