@@ -142,15 +142,15 @@ def _css_residuals(w, phi, theta, Phi, Theta, m, c):
     # sizing L from the weights' actual decay.
     ma = [float(v) for v in mapoly]
     pi_w = [1.0]
-    tail = 1.0
+    small_run = 0           # consecutive trailing weights below 1e-9
     j = 1
-    while j < n and (j <= qfull or tail >= 1e-9):
+    while j < n and (j <= qfull or small_run < qfull):
         acc = 0.0
         for i in range(1, min(j, qfull) + 1):
             acc -= ma[i] * pi_w[j - i]
         pi_w.append(acc)
+        small_run = small_run + 1 if abs(acc) < 1e-9 else 0
         j += 1
-        tail = max(abs(v) for v in pi_w[-qfull:])
     e = np.convolve(z, np.array(pi_w))[:n]
     return e, arpoly, mapoly
 
