@@ -158,8 +158,58 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("cluster_id")).alias("kept"))
 
 
+_EVAL_SET_SIZE = 10              # docs in the held-out eval set
+_CONTAM_N = 3                    # n-gram length for overlap detection
+
+
+def eval_contamination(spark: SparkSession, sf_dir: str,
+                       n: int = _CONTAM_N) -> DataFrame:
+    """Train/eval decontamination: which training documents share
+    ``n``-gram shingles with the held-out eval set, and how much.
+
+    Eval set = the 10 lowest-doc_id English documents (deterministic).
+    Every other doc is "training"; a doc is contaminated if any of its
+    distinct n-grams appears in the eval set's n-gram set.  Output is
+    one row per contaminated doc: distinct overlapping n-grams, the
+    doc's distinct n-gram count, and the overlap ratio.
+
+    Scale shape: the eval n-gram set is tiny (eval suites are KBs, the
+    corpus is TBs) — it broadcasts, so the check is ONE map-side
+    semi-join over the training shingles, no shuffle of the corpus side
+    beyond the per-doc aggregation.  n=3 suits the synthetic corpus's
+    short random sentences; production decontamination uses n of 8-13
+    over the same plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    eval_ids = (docs.where(F.col("lang") == "en")
+                .orderBy("doc_id").limit(_EVAL_SET_SIZE)
+                .select("doc_id"))
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = (toks
+          .select("doc_id", F.concat_ws(" ", *grams).alias("shingle"),
+                  grams[-1].alias("last_tok"))
+          .where(F.col("last_tok").isNotNull())
+          .select("doc_id", "shingle").distinct())
+    ev = F.broadcast(sh.join(F.broadcast(eval_ids), "doc_id")
+                     .select("shingle").distinct())
+    train = sh.join(eval_ids, "doc_id", "left_anti")
+    per_doc = (train.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_shingles")))
+    overlap = (train.join(ev, "shingle")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (overlap.join(per_doc, "doc_id")
+            .select("doc_id", "n_overlap", "n_shingles",
+                    F.round(F.col("n_overlap") / F.col("n_shingles"), 6)
+                     .alias("contamination")))
+
+
 QUERIES = {
     "stratified_sample_docs": stratified_sample_docs,
+    "eval_contamination": eval_contamination,
     "source_quota_cap": source_quota_cap,
     "token_shard_packing": token_shard_packing,
     "semantic_dedup_keep": semantic_dedup_keep,
@@ -171,6 +221,38 @@ _RATE_CASE = ("CASE " + " ".join(
     + f" ELSE {_DEFAULT_KEEP_PCT} END")
 
 ORACLES = {
+    "eval_contamination": f"""
+        WITH ev AS (
+            SELECT doc_id FROM documents WHERE lang = 'en'
+            ORDER BY doc_id LIMIT {_EVAL_SET_SIZE}
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       range(1, len(string_split(text, ' ')) - {_CONTAM_N - 2}),
+                       i -> array_to_string(list_slice(
+                            string_split(text, ' '), i, i + {_CONTAM_N - 1}), ' ')))
+                       AS shingle
+            FROM documents
+        ), evsh AS (
+            SELECT DISTINCT shingle FROM sh
+            WHERE doc_id IN (SELECT doc_id FROM ev)
+        ), train AS (
+            SELECT * FROM sh
+            WHERE doc_id NOT IN (SELECT doc_id FROM ev)
+        ), per_doc AS (
+            SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id
+        ), overlap AS (
+            SELECT t.doc_id, count(*) AS n_overlap
+            FROM train t JOIN evsh e USING (shingle)
+            GROUP BY t.doc_id
+        )
+        SELECT o.doc_id,
+               CAST(o.n_overlap AS BIGINT) AS n_overlap,
+               CAST(p.n_shingles AS BIGINT) AS n_shingles,
+               round(o.n_overlap / CAST(p.n_shingles AS DOUBLE), 6)
+                   AS contamination
+        FROM overlap o JOIN per_doc p USING (doc_id)
+    """,
     "stratified_sample_docs": f"""
         SELECT doc_id, lang, source, n_chars,
                CAST({_RATE_CASE} AS INTEGER) AS keep_pct
