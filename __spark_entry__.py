@@ -86,10 +86,14 @@ def _registries():
         (scale_patterns.QUERIES, scale_patterns.ORACLES),
         (product_analytics.QUERIES, product_analytics.ORACLES),
         (formats.QUERIES, formats.ORACLES),
-        (fq.QUERIES, fq.ORACLES),
-        # New in round 2 (behind this round's 50-query window; locally
-        # oracled — front-load next round for driver rows).
+        # the five closed-form-oracled forecast queries first (verdict r1
+        # item 1 names them), then the round-2 curation layer (all
+        # oracled) — this fills the driver's ~50-query window with
+        # hash-checkable entries; the rows-only forecast model queries
+        # (ETS/ARIMA/... fits are not SQL-expressible) follow.
+        ({k: fq.QUERIES[k] for k in fq.ORACLES}, dict(fq.ORACLES)),
         (curation.QUERIES, curation.ORACLES),
+        (fq.QUERIES, fq.ORACLES),
         # Proven in round 1 (CORRECTNESS_r01.json) — behind the window.
         (relational.QUERIES, relational.ORACLES),
         (relational_ext.QUERIES, relational_ext.ORACLES),
