@@ -8,9 +8,10 @@ forecast = ensemble mean, the single band = min/max envelope across the
 ensemble — which the reference then duplicates into both band pairs
 (``lower1 = lower2``, R:216-217; preserved, reference quirk 2).
 
-Deviations (documented): 50 bootstrap replicates instead of R's 100 for
-Python-worker speed; Box-Cox lambda by Guerrero-style grid instead of
-closed-form optimization.
+Deviations (documented): Box-Cox lambda by Guerrero-style grid instead
+of closed-form optimization.  (Replicate count matches baggedETS's
+default num=100 since round 2 — the round-2 ETS filter/search speedups
+made the full ensemble affordable in a Python worker.)
 """
 
 from __future__ import annotations
@@ -113,7 +114,7 @@ class BaggedETSModel:
                 "upper1": upper, "upper2": upper}
 
 
-def fit_bagged_ets(y: np.ndarray, frequency: int, num: int = 50,
+def fit_bagged_ets(y: np.ndarray, frequency: int, num: int = 100,
                    seed_key=("bagged",)) -> BaggedETSModel:
     y = np.asarray(y, float)
     m = max(1, int(frequency))
