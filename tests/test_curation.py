@@ -1,0 +1,91 @@
+"""Semantic properties of the curation layer beyond oracle equality:
+partitioning-invariance (the property that makes the ops restartable on
+a cluster) and per-operator invariants."""
+
+from pyspark.sql import functions as F
+
+
+def test_shard_packing_partitioning_invariant(spark, sf_dir):
+    """The two-pass prefix sum must give identical shard assignments
+    regardless of physical partitioning — rerun the same query over a
+    repartitioned input plan and compare exactly."""
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        token_shard_packing)
+    a = token_shard_packing(spark, sf_dir).orderBy("doc_id").collect()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = token_shard_packing(spark, sf_dir).orderBy("doc_id").collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
+
+
+def test_shard_packing_monotone_and_bounded(spark, sf_dir):
+    """Within a language, shard ids are non-decreasing in doc_id, and no
+    shard (except via a single straddling doc) exceeds the budget."""
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        _SHARD_BUDGET, token_shard_packing)
+    rows = (token_shard_packing(spark, sf_dir)
+            .orderBy("lang", "doc_id").collect())
+    last = {}
+    for r in rows:
+        assert r.shard_id >= last.get(r.lang, 0)
+        last[r.lang] = r.shard_id
+    totals = {}
+    max_doc = max(r.n_tokens for r in rows)
+    for r in rows:
+        key = (r.lang, r.shard_id)
+        totals[key] = totals.get(key, 0) + r.n_tokens
+    assert all(t <= _SHARD_BUDGET + max_doc for t in totals.values())
+
+
+def test_stratified_sample_is_rerun_stable(spark, sf_dir):
+    """The hash-Bernoulli sample is a pure row function: two runs (one
+    over a repartitioned plan) select the identical doc set."""
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        stratified_sample_docs)
+    a = {r.doc_id for r in stratified_sample_docs(spark, sf_dir).collect()}
+    b = {r.doc_id
+         for r in stratified_sample_docs(spark, sf_dir)
+         .repartition(7).collect()}
+    assert a == b and a
+
+
+def test_stratified_sample_downsamples_head_language(spark, sf_dir):
+    """'en' (keep 30%) must be sampled at roughly a third of the rate of
+    an uncapped language — the balancing the operator exists for."""
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        stratified_sample_docs)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    total = dict(load_table(spark, sf_dir, "documents")
+                 .groupBy("lang").count().collect())
+    kept = dict(stratified_sample_docs(spark, sf_dir)
+                .groupBy("lang").count().collect())
+    en_rate = kept.get("en", 0) / total["en"]
+    fr_rate = kept.get("fr", 0) / total["fr"]
+    assert en_rate < 0.5
+    assert fr_rate == 1.0
+
+
+def test_semantic_dedup_one_representative_per_cluster(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        semantic_dedup_keep)
+    rows = semantic_dedup_keep(spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [r for r in members if r.kept]
+        assert len(kept) == 1
+        assert kept[0].vec_id == cid == min(r.vec_id for r in members)
+
+
+def test_contamination_ratios_are_sane(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        eval_contamination)
+    rows = eval_contamination(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_overlap <= r.n_shingles
+        assert 0 < r.contamination <= 1
