@@ -277,9 +277,11 @@ ORACLES = {
             FROM documents
         )
         SELECT doc_id, lang, n_tokens,
-               (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               -- CAST: DuckDB sum(BIGINT) is HUGEINT; the driver's value
+               -- hash is type-sensitive (see VERDICT r1 q12 artifact)
+               CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                - n_tokens) // {_SHARD_BUDGET} AS shard_id
+                - n_tokens) // {_SHARD_BUDGET} AS BIGINT) AS shard_id
         FROM t
     """,
     "semantic_dedup_keep": f"""

@@ -24,16 +24,32 @@ from .. import schemas
 MAX_SERIES_LENGTH = 10_000
 
 
+def events_ts_is_nanos(path: str) -> bool:
+    """True when ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS).
+
+    One parquet-footer read on the driver — a schema decision, not a data
+    scan (same cost on a 1000-executor cluster as on local[32]).  The
+    driver's generator has shipped both physical types across rounds
+    (NANOS in round 1, MICROS in round 2), so the reader must dispatch on
+    what is actually on disk rather than bake in either era's layout.
+    """
+    import pyarrow.parquet as pq
+
+    return str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. Explicit schema → no inference pass at scale.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` (set in
-    session.py) it arrives as long nanoseconds and is converted here
-    (ns → µs truncation, matching DuckDB's read of the same file).
+    ``events.ts`` dispatch: when physically TIMESTAMP(NANOS) (which
+    Spark's parquet reader rejects), ``spark.sql.legacy.parquet.
+    nanosAsLong`` (set in session.py) surfaces it as long nanoseconds and
+    it is converted here (ns → µs truncation, matching DuckDB's read of
+    the same file); when TIMESTAMP(MICROS) it reads directly as a
+    timestamp.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and events_ts_is_nanos(path):
         raw = schemas.EVENTS_RAW_NS
         df = spark.read.schema(raw).parquet(path)
         return df.withColumn(

@@ -30,6 +30,30 @@ from pyspark.sql.window import Window
 
 from .. import schemas
 from ..sources import load_table
+from ..sources.registry import events_ts_is_nanos
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File stream over ``events.parquet`` normalized to the EVENTS
+    schema, dispatching on the on-disk ``ts`` physical type exactly like
+    the batch reader (``sources.registry.load_table``): TIMESTAMP(NANOS)
+    arrives as long ns (``nanosAsLong``) and is truncated to µs;
+    TIMESTAMP(MICROS) reads directly."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if events_ts_is_nanos(path):
+        raw = (spark.readStream
+               .schema(schemas.EVENTS_RAW_NS)
+               .option("pathGlobFilter", "events.parquet")
+               .parquet(sf_dir))
+        return (raw
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                .select([f.name for f in schemas.EVENTS.fields]))
+    return (spark.readStream
+            .schema(schemas.EVENTS)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir))
 
 
 def _run_to_memory_sink(df: DataFrame, name: str, output_mode: str,
@@ -72,13 +96,7 @@ def _tumbling_agg(df: DataFrame) -> DataFrame:
 def events_stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real Structured Streaming run: parquet file stream → watermark →
     tumbling window agg → availableNow trigger → memory sink."""
-    raw = (spark.readStream
-           .schema(schemas.EVENTS_RAW_NS)
-           # file streams take a directory; select just events.parquet
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir))
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    agg = _tumbling_agg(events)
+    agg = _tumbling_agg(events_stream(spark, sf_dir))
     name = "events_stream_tumbling_sink"
     _run_to_memory_sink(agg, name, "complete")
     return spark.table(name)
@@ -156,12 +174,7 @@ def events_stream_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     state store is bounded by (active hours × keys/hour), not stream
     length.
     """
-    raw = (spark.readStream
-           .schema(schemas.EVENTS_RAW_NS)
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir))
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    deduped = (events
+    deduped = (events_stream(spark, sf_dir)
                .withColumn("hour", F.date_trunc("hour", "ts"))
                .withWatermark("ts", "1 hour")
                .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour"])
@@ -184,11 +197,7 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     side, keyed and co-partitioned by user_id.
     """
     def _side(alias: str, etype: str):
-        raw = (spark.readStream
-               .schema(schemas.EVENTS_RAW_NS)
-               .option("pathGlobFilter", "events.parquet")
-               .parquet(sf_dir))
-        return (raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (events_stream(spark, sf_dir)
                 .where(F.col("event_type") == etype)
                 .select(F.col("event_id").alias(f"{alias}_id"),
                         F.col("user_id").alias(f"{alias}_user"),
@@ -224,12 +233,7 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("user_id")
               .agg(F.trunc(F.min(F.to_date("ts")), "month")
                    .alias("cohort_month")))
-    raw = (spark.readStream
-           .schema(schemas.EVENTS_RAW_NS)
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir))
-    stream = (raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-              .select("user_id", "event_type"))
+    stream = events_stream(spark, sf_dir).select("user_id", "event_type")
     agg = (stream.join(F.broadcast(cohort), "user_id")
            .groupBy("cohort_month", "event_type")
            .agg(F.count(F.lit(1)).alias("n_events")))

@@ -83,13 +83,8 @@ def events_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow trigger; returns the per-type final snapshot (the row
     with the highest running_count per key — cumulative counters make it
     a true total even across multiple micro-batches)."""
-    raw = (spark.readStream
-           .schema(schemas.EVENTS_RAW_NS)
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir))
-    events = (raw
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-              .select("event_type", "ts", "value"))
+    from .queries import events_stream
+    events = events_stream(spark, sf_dir).select("event_type", "ts", "value")
     out = (events
            .groupBy("event_type")
            .applyInPandasWithState(
