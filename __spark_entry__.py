@@ -54,6 +54,7 @@ def _registries():
         scale_patterns,
         similarity,
         text,
+        text_quality,
         tpch_full,
     )
     from qrapids_forecast_r_script_spark.sources import formats
@@ -93,6 +94,9 @@ def _registries():
         # (ETS/ARIMA/... fits are not SQL-expressible) follow.
         ({k: fq.QUERIES[k] for k in fq.ORACLES}, dict(fq.ORACLES)),
         (curation.QUERIES, curation.ORACLES),
+        # round-2 additions — first slots past the ~50-query window this
+        # round (strict_audit covers them locally); rotate forward next
+        (text_quality.QUERIES, text_quality.ORACLES),
         (fq.QUERIES, fq.ORACLES),
         # Proven in round 1 (CORRECTNESS_r01.json) — behind the window.
         (relational.QUERIES, relational.ORACLES),

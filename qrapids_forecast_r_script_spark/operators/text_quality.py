@@ -1,0 +1,281 @@
+"""Corpus-quality operators over ``documents`` — the Gopher-style
+repetition filters, n-gram language-model scoring, and DSIR-style
+importance weighting a large-scale training-data pipeline runs between
+raw crawl and tokenizer (north-star extension; the reference — a
+forecasting service, TimeSeriesFunctions_GPL_0.5.1.R:1-406 — has no text
+layer, so these extend SURVEY §2B's dedup/similarity/text row).
+
+All four operators are pure Catalyst expressions — no Python UDFs — and
+every one has an exact DuckDB oracle.  N-gram construction reuses
+``dedup.shingle_table``'s explode + lead-window form (NOT nested
+higher-order-function lambdas, which re-evaluate ``split(text)`` per
+element access — measured at ~70 s/sf0.1 in round 1, `dedup.py:44-64`).
+
+100 TB shape, per operator:
+
+- repetition stats: three aggregations all keyed by ``doc_id`` — one
+  logical shuffle key reused across stages, linear in corpus size.
+- corpus bigram top-k: map-side partial aggregation into a global
+  ``orderBy().limit(k)`` = TakeOrdered, never a full sort.
+- bigram LM: two count tables (bigram, prefix) joined back on their own
+  keys; the vocabulary scalar is a broadcast 1-row aggregate.
+- DSIR: per-token log-ratio table joined to the token stream on the
+  token key; a hot token is a skewed-join concern only if one token
+  dominates the corpus — the join's build side (vocabulary) is
+  bounded by vocabulary size, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources import load_table
+from .dedup import shingle_table
+
+# Gopher repetition thresholds (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", §A1.1.2):
+# a document is repetitive when the most common n-gram covers too much
+# of it.  Flags are computed from the ROUNDED fractions so the DuckDB
+# oracle matches bit-for-bit.
+_TOP_UNIGRAM_MAX = 0.20
+_TOP_BIGRAM_MAX = 0.18
+_TOP_TRIGRAM_MAX = 0.16
+
+# add-k smoothing for the bigram LM (k=0.5: Jeffreys/Krichevsky–
+# Trofimov; keeps unseen bigrams finite without flattening the model)
+_LM_K = 0.5
+
+
+def _trigram_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, trigram) rows — the 3-gram extension of
+    ``dedup.shingle_table``: one posexplode, two lead()s, all in
+    whole-stage codegen with a single shuffle on doc_id."""
+    toks = (docs
+            .select("doc_id", F.posexplode(F.split("text", " "))
+                    .alias("pos", "tok")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (toks
+            .withColumn("nxt", F.lead("tok", 1).over(w))
+            .withColumn("nxt2", F.lead("tok", 2).over(w))
+            .where(F.col("nxt2").isNotNull())
+            .select("doc_id",
+                    F.concat_ws(" ", "tok", "nxt", "nxt2").alias("trigram")))
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher repetition profile: the fraction of the
+    document covered by its most common unigram / bigram / trigram, and
+    the combined ``repetitive`` verdict.
+
+    Three n-gram aggregations, each (doc_id, gram) → count → per-doc
+    max/sum, joined on doc_id.  The joins are same-key and AQE turns
+    them into cheap shuffle-local joins; nothing here reads the corpus
+    more than three times or holds more than (doc × distinct-gram)
+    state."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _top_frac(grams: DataFrame, col: str, out: str) -> DataFrame:
+        per = grams.groupBy("doc_id", col).agg(F.count(F.lit(1)).alias("c"))
+        return (per.groupBy("doc_id")
+                .agg(F.round(F.max("c") / F.sum("c"), 6).alias(out)))
+
+    uni = docs.select("doc_id", F.explode(F.split("text", " ")).alias("g"))
+    n_tok = uni.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    u = _top_frac(uni, "g", "top_unigram_frac")
+    b = _top_frac(shingle_table(docs), "shingle", "top_bigram_frac")
+    t = _top_frac(_trigram_table(docs), "trigram", "top_trigram_frac")
+    return (n_tok.join(u, "doc_id").join(b, "doc_id").join(t, "doc_id")
+            .withColumn("repetitive",
+                        (F.col("top_unigram_frac") > _TOP_UNIGRAM_MAX)
+                        | (F.col("top_bigram_frac") > _TOP_BIGRAM_MAX)
+                        | (F.col("top_trigram_frac") > _TOP_TRIGRAM_MAX)))
+
+
+def corpus_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams by occurrence count (ties broken
+    lexicographically), with document frequency.
+
+    ``orderBy().limit(20)`` compiles to TakeOrdered — each partition
+    surrenders only its local top 20, so the global step moves 20 × P
+    rows regardless of corpus size.  The rank window runs on the
+    20-row result, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (shingle_table(docs)
+              .groupBy(F.col("shingle").alias("bigram"))
+              .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                   F.count_distinct("doc_id").alias("n_docs")))
+    top = (counts
+           .orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
+           .limit(20))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "bigram", "n_occurrences", "n_docs"))
+
+
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-probability under an add-k
+    smoothed corpus bigram model — the bigram upgrade of
+    ``text.doc_unigram_logprob`` (CCNet-style perplexity filtering,
+    Wenzek et al. 2020, with the LM trained on the corpus itself).
+
+    P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V), k = 0.5,
+    V = corpus unigram vocabulary size.
+
+    Plan: the bigram stream joins its own count table (keyed by bigram)
+    and the prefix-count table (keyed by w1); V and the doc count are a
+    broadcast 1-row aggregate — no driver collect, no second scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    big = (shingle_table(docs)
+           .select("doc_id", F.col("shingle").alias("bigram"),
+                   F.split_part(F.col("shingle"), F.lit(" "), F.lit(1))
+                   .alias("w1")))
+    bc = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    pc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+             .agg(F.count_distinct("tok").cast("double").alias("v")))
+    scored = (big
+              .join(bc, "bigram")
+              .join(pc, "w1")
+              .crossJoin(F.broadcast(vocab))
+              .withColumn("neg_logprob",
+                          -F.log((F.col("c2") + F.lit(_LM_K))
+                                 / (F.col("c1") + F.lit(_LM_K) * F.col("v")))))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg("neg_logprob"), 6).alias("avg_neg_logprob")))
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight per document (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    reduced to unigram features): the average over the document's tokens
+    of log( p_target(tok) / p_corpus(tok) ), where the target
+    distribution is estimated from the ``lang = 'en'`` subset and both
+    sides use add-1 smoothing over the shared corpus vocabulary.
+
+    ``keep`` = score > 0 (the document looks more like the target than
+    like the background).  Per-token log-ratios live in a
+    vocabulary-sized table joined to the token stream on the token key —
+    the 100 TB cost is one keyed shuffle of the token stream; the
+    vocabulary table is corpus-bounded, not stream-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang",
+                       F.explode(F.split("text", " ")).alias("tok"))
+    ct = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_corpus"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("c_target"))
+    totals = ct.agg(
+        F.sum("c_corpus").cast("double").alias("t_corpus"),
+        F.sum("c_target").cast("double").alias("t_target"),
+        F.count(F.lit(1)).cast("double").alias("v"))
+    ratio = (ct.crossJoin(F.broadcast(totals))
+             .select("tok",
+                     (F.log((F.col("c_target") + 1)
+                            / (F.col("t_target") + F.col("v")))
+                      - F.log((F.col("c_corpus") + 1)
+                              / (F.col("t_corpus") + F.col("v"))))
+                     .alias("log_ratio")))
+    return (toks.join(ratio, "tok")
+            .groupBy("doc_id", "lang")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg("log_ratio"), 6).alias("dsir_score"))
+            .withColumn("keep", F.col("dsir_score") > 0))
+
+
+QUERIES = {
+    "doc_repetition_stats": doc_repetition_stats,
+    "corpus_bigram_topk": corpus_bigram_topk,
+    "doc_bigram_logprob": doc_bigram_logprob,
+    "dsir_importance": dsir_importance,
+}
+
+# DuckDB n-gram construction mirrors doc_fingerprint's oracle: index the
+# split list with generate_series (positional, exactly the lead-window
+# semantics — no distinct, duplicates preserved).
+_GRAMS_SQL = """
+    base AS (SELECT doc_id, lang, string_split(text, ' ') AS s
+             FROM documents),
+    uni AS (SELECT doc_id, lang, unnest(s) AS g FROM base),
+    big AS (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(s) - 1),
+                          i -> s[i] || ' ' || s[i + 1])) AS g
+            FROM base),
+    tri AS (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(s) - 2),
+                          i -> s[i] || ' ' || s[i + 1] || ' ' || s[i + 2]))
+                       AS g
+            FROM base)
+"""
+
+ORACLES = {
+    "doc_repetition_stats": f"""
+        WITH {_GRAMS_SQL},
+        uc AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+        bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+        tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+        u AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS fu
+              FROM uc GROUP BY 1),
+        b AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS fb
+              FROM bc GROUP BY 1),
+        t AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS ft
+              FROM tc GROUP BY 1)
+        SELECT doc_id, n_tokens,
+               fu AS top_unigram_frac,
+               fb AS top_bigram_frac,
+               ft AS top_trigram_frac,
+               (fu > {_TOP_UNIGRAM_MAX} OR fb > {_TOP_BIGRAM_MAX}
+                OR ft > {_TOP_TRIGRAM_MAX}) AS repetitive
+        FROM u JOIN b USING (doc_id) JOIN t USING (doc_id)
+    """,
+    "corpus_bigram_topk": f"""
+        WITH {_GRAMS_SQL},
+        counts AS (
+            SELECT g AS bigram, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM big GROUP BY 1
+        ), ranked AS (
+            SELECT *, row_number() OVER (ORDER BY n_occurrences DESC,
+                                         bigram ASC) AS rank
+            FROM counts
+        )
+        SELECT rank, bigram, n_occurrences, n_docs
+        FROM ranked WHERE rank <= 20
+    """,
+    "doc_bigram_logprob": f"""
+        WITH {_GRAMS_SQL},
+        bigw AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM big),
+        bc AS (SELECT g, count(*) AS c2 FROM bigw GROUP BY 1),
+        pc AS (SELECT w1, count(*) AS c1 FROM bigw GROUP BY 1),
+        vocab AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS v FROM uni)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(-ln((c2 + {_LM_K})
+                             / (c1 + {_LM_K} * v))), 6) AS avg_neg_logprob
+        FROM bigw JOIN bc USING (g) JOIN pc USING (w1) CROSS JOIN vocab
+        GROUP BY doc_id
+    """,
+    "dsir_importance": f"""
+        WITH {_GRAMS_SQL},
+        ct AS (
+            SELECT g AS tok, count(*) AS c_corpus,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_target
+            FROM uni GROUP BY 1
+        ), totals AS (
+            SELECT CAST(sum(c_corpus) AS DOUBLE) AS t_corpus,
+                   CAST(sum(c_target) AS DOUBLE) AS t_target,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM ct
+        ), ratio AS (
+            SELECT tok,
+                   ln((c_target + 1) / (t_target + v))
+                   - ln((c_corpus + 1) / (t_corpus + v)) AS log_ratio
+            FROM ct CROSS JOIN totals
+        )
+        SELECT doc_id, lang, count(*) AS n_tokens,
+               round(avg(log_ratio), 6) AS dsir_score,
+               round(avg(log_ratio), 6) > 0 AS keep
+        FROM uni JOIN ratio ON uni.g = ratio.tok
+        GROUP BY doc_id, lang
+    """,
+}

@@ -1,0 +1,98 @@
+"""Semantic properties of the text-quality layer beyond oracle equality:
+hand-computed n-gram fractions on a constructed corpus, LM ordering, and
+DSIR sign behavior."""
+
+import math
+
+from pyspark.sql import Row
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([
+        Row(doc_id=i, text=t, lang=lang, source="s", n_chars=len(t))
+        for i, (t, lang) in enumerate(rows)])
+
+
+def test_repetition_fracs_hand_computed(spark, monkeypatch):
+    """'a a a b' → top unigram 3/4; bigrams (a a, a a, a b) → 2/3;
+    trigrams (a a a, a a b) → 1/2.  All three trip the Gopher
+    thresholds → repetitive."""
+    from qrapids_forecast_r_script_spark.operators import text_quality as tq
+    # the clean doc needs ≥1/0.16 ≈ 7 trigrams (9 tokens) of all-unique
+    # tokens to stay under every threshold — short docs trivially trip
+    # the trigram rule (1/n_trigrams > 0.16 whenever n_tokens < 9)
+    docs = _docs(spark, [("a a a b", "en"),
+                         ("the quick brown fox jumps over two lazy sleeping "
+                          "dogs near my barn", "en")])
+    monkeypatch.setattr(
+        "qrapids_forecast_r_script_spark.operators.text_quality.load_table",
+        lambda spark, sf_dir, name: docs)
+    out = {r.doc_id: r for r in tq.doc_repetition_stats(spark, "x").collect()}
+    r0 = out[0]
+    assert r0.n_tokens == 4
+    assert r0.top_unigram_frac == 0.75
+    assert abs(r0.top_bigram_frac - round(2 / 3, 6)) < 1e-12
+    assert r0.top_trigram_frac == 0.5
+    assert r0.repetitive
+    r1 = out[1]
+    assert not r1.repetitive  # all unique tokens: every frac == 1/n
+
+
+def test_bigram_logprob_orders_common_vs_rare(spark, monkeypatch):
+    """A document made of the corpus's dominant bigram must score a
+    lower avg neg-logprob (more probable) than one of a unique bigram."""
+    from qrapids_forecast_r_script_spark.operators import text_quality as tq
+    docs = _docs(spark, [("x y x y x y x y", "en"),
+                         ("x y x y x y x y", "en"),
+                         ("q z", "en")])
+    monkeypatch.setattr(
+        "qrapids_forecast_r_script_spark.operators.text_quality.load_table",
+        lambda spark, sf_dir, name: docs)
+    out = {r.doc_id: r.avg_neg_logprob
+           for r in tq.doc_bigram_logprob(spark, "x").collect()}
+    assert out[0] == out[1]
+    assert out[0] < out[2]
+
+
+def test_dsir_sign_separates_target_like_docs(spark, monkeypatch):
+    """Tokens exclusive to the lang='en' target make a positive score;
+    tokens exclusive to the background make a negative one."""
+    from qrapids_forecast_r_script_spark.operators import text_quality as tq
+    docs = _docs(spark, [("good clean prose text", "en"),
+                         ("good clean prose text", "en"),
+                         ("junk noise junk noise", "xx"),
+                         ("junk noise junk noise", "xx")])
+    monkeypatch.setattr(
+        "qrapids_forecast_r_script_spark.operators.text_quality.load_table",
+        lambda spark, sf_dir, name: docs)
+    out = {r.doc_id: r for r in tq.dsir_importance(spark, "x").collect()}
+    assert out[0].keep and out[1].keep
+    assert not out[2].keep and not out[3].keep
+    assert out[0].dsir_score > 0 > out[2].dsir_score
+
+
+def test_corpus_topk_rank_is_total_and_deterministic(spark, sf_dir):
+    """Ranks 1..20, unique bigrams, counts non-increasing, lexicographic
+    tiebreak."""
+    from qrapids_forecast_r_script_spark.operators import text_quality as tq
+    rows = tq.corpus_bigram_topk(spark, sf_dir).orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == 20
+    assert len({r.bigram for r in rows}) == len(rows)
+    for a, b in zip(rows, rows[1:]):
+        assert (a.n_occurrences, b.bigram) > (b.n_occurrences, a.bigram) or \
+            (a.n_occurrences > b.n_occurrences) or \
+            (a.n_occurrences == b.n_occurrences and a.bigram < b.bigram)
+
+
+def test_bigram_logprob_matches_closed_form(spark, monkeypatch):
+    """One two-token doc: its single bigram has c2=1, prefix c1=1, V=2 →
+    neg-logprob = -ln(1.5 / (1 + 0.5*2)) = -ln(0.75)."""
+    from qrapids_forecast_r_script_spark.operators import text_quality as tq
+    docs = _docs(spark, [("p q", "en")])
+    monkeypatch.setattr(
+        "qrapids_forecast_r_script_spark.operators.text_quality.load_table",
+        lambda spark, sf_dir, name: docs)
+    [r] = tq.doc_bigram_logprob(spark, "x").collect()
+    assert r.n_bigrams == 1
+    assert abs(r.avg_neg_logprob - round(-math.log(1.5 / 2.0), 6)) < 1e-9
