@@ -241,3 +241,25 @@ def test_dedup_clusters_match_union_find(spark, sf_dir):
     assert len(got) > 0
     for doc_id, cluster in got.items():
         assert cluster == find(doc_id), (doc_id, cluster, find(doc_id))
+
+
+def test_pq_shortlist_recall_and_exact_rerank(spark, sf_dir):
+    """PQ contract: the codebook is m·k subvectors of a FIXED-size hash
+    sample (broadcast constant in corpus size), returned cosines are
+    EXACT (re-rank touches full vectors), and the ADC shortlist keeps
+    useful recall vs brute force (0.84-0.9 measured; floor well above
+    the ~0.12 random baseline)."""
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        cosine_topk_bruteforce, pq_topk)
+    bf = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+          for r in cosine_topk_bruteforce(spark, sf_dir).collect()}
+    pq = pq_topk(spark, sf_dir).collect()
+    for r in pq:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            # same pair → same (exact) cosine up to the two paths' FP
+            # normalization difference
+            assert abs(bf[key] - r["cosine"]) < 1e-5
+    recall = len(set(bf) & {(r["query_id"], r["neighbor_id"])
+                            for r in pq}) / len(bf)
+    assert recall >= 0.6, recall
