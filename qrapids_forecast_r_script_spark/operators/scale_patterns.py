@@ -174,10 +174,53 @@ def _z_sql(a: str, b: str) -> str:
     return " + ".join(terms)
 
 
+# SCD-1 upsert: every 7th order key gets a deterministic "update" record
+_UPSERT_MOD = 7
+
+
+def orders_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / SCD-type-1 upsert expressed on plain parquet: an
+    updates batch (derived deterministically from orders — every
+    ``o_orderkey % 7 == 0`` gets a repriced, restatused record) is
+    merged into the base table, latest version per key winning.
+
+    The engine has no transactional table format in this container, so
+    the merge is the union + per-key latest-record window — the exact
+    reduction Delta/Iceberg MERGE performs under the hood when it cannot
+    prune files.  100 TB shape: ONE shuffle, keyed by the merge key; on
+    a real cluster the base table would be bucketed by ``o_orderkey``
+    (see :func:`bucketed_orders_join`) so only the (small) updates side
+    moves.  A version tiebreak on a unique key is total, so the survivor
+    set is deterministic and fully oracled.
+    """
+    from pyspark.sql.window import Window
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "src_version"]
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.lit(0).alias("src_version"))
+    updates = (orders
+               .where(F.col("o_orderkey") % _UPSERT_MOD == 0)
+               .select("o_orderkey", "o_custkey",
+                       F.lit("U").alias("o_orderstatus"),
+                       F.round(F.col("o_totalprice") * 1.1, 2)
+                       .alias("o_totalprice"),
+                       F.lit(1).alias("src_version")))
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("src_version").desc())
+    return (base.unionByName(updates)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(*cols))
+
+
 QUERIES = {
     "salted_skew_join": salted_skew_join,
     "bucketed_orders_join": bucketed_orders_join,
     "zorder_bin_stats": zorder_bin_stats,
+    "orders_upsert_scd1": orders_upsert_scd1,
 }
 
 ORACLES = {
@@ -199,6 +242,26 @@ ORACLES = {
         FROM customer JOIN orders ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+    """,
+    "orders_upsert_scd1": f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   0 AS src_version
+            FROM orders
+        ), updates AS (
+            SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                   round(o_totalprice * 1.1, 2) AS o_totalprice,
+                   1 AS src_version
+            FROM orders WHERE o_orderkey % {_UPSERT_MOD} = 0
+        ), merged AS (
+            SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                       ORDER BY src_version DESC) AS rn
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               src_version
+        FROM merged WHERE rn = 1
     """,
     "zorder_bin_stats": f"""
         WITH z AS (

@@ -89,3 +89,24 @@ def test_contamination_ratios_are_sane(spark, sf_dir):
     for r in rows:
         assert 0 < r.n_overlap <= r.n_shingles
         assert 0 < r.contamination <= 1
+
+
+def test_upsert_scd1_semantics(spark, sf_dir):
+    """Upsert invariants: key set preserved (no inserts in this batch),
+    every mod-7 key carries the version-1 record with the 10% reprice,
+    every other key is untouched."""
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        _UPSERT_MOD, orders_upsert_scd1)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    merged = {r.o_orderkey: r
+              for r in orders_upsert_scd1(spark, sf_dir).collect()}
+    base = {r.o_orderkey: r
+            for r in load_table(spark, sf_dir, "orders").collect()}
+    assert set(merged) == set(base)
+    for k, r in merged.items():
+        if k % _UPSERT_MOD == 0:
+            assert r.src_version == 1 and r.o_orderstatus == "U"
+            assert abs(r.o_totalprice - round(base[k].o_totalprice * 1.1, 2)) < 0.011
+        else:
+            assert r.src_version == 0
+            assert r.o_orderstatus == base[k].o_orderstatus
