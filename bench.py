@@ -56,6 +56,9 @@ HEADLINE = [
     # round-2 rotation: true Structured Streaming micro-batches
     "events_stream_tumbling_1h",
     "events_session_windows",
+    # round-2 additions: PQ shortlist+rerank ANN, corpus bigram LM
+    "pq_topk",
+    "doc_bigram_logprob",
 ]
 
 

@@ -314,48 +314,102 @@ def pq_topk(spark: SparkSession, sf_dir: str, m: int = _PQ_M,
     """
     sub_len = _PQ_DIM // m
     emb = load_table(spark, sf_dir, "embeddings")
-    # unit-normalize first: on the unit sphere L2² = 2·(1 − cosine), so
-    # PQ's L2 ADC ranking targets the same neighbor order as the cosine
-    # ground truth (the standard cosine-ANN-via-PQ reduction)
+    # Unit-normalization is carried ALGEBRAICALLY via per-vector scalar
+    # norms instead of materializing normalized arrays:
+    #   d²(a/|a|, c/|c|) = ⟨a,a⟩/|a|² − 2⟨a,c⟩/(|a|·|c|) + ⟨c,c⟩/|c|²
+    # (on the unit sphere L2² = 2·(1 − cosine), the standard
+    # cosine-ANN-via-PQ reduction).  A normalized-array column would be
+    # a lambda closing over the full-vector norm, which projection
+    # collapse inlines into every one of the m slice references — m·64
+    # re-evaluated multiplies per row; the scalar-norm form keeps every
+    # downstream reference an attribute.
     raw = emb.select("vec_id", _as_double("embedding").alias("rvec"))
-    vecs = raw.select(
-        "vec_id",
-        F.transform(F.col("rvec"),
-                    lambda x: x / _norm(F.col("rvec"))).alias("vec"))
 
-    def _subs(src: DataFrame, id_out: str, vec_out: str) -> DataFrame:
-        """Explode a vector table into (id, sub_idx, subvector) rows."""
+    def _subs(src: DataFrame, id_out: str, vec_out: str,
+              norm_out: str) -> DataFrame:
+        """Explode a vector table into (id, |v|, sub_idx, raw subvector)
+        rows — norm and subvectors become concrete attributes here, so
+        nothing downstream re-walks the full array."""
         return src.select(
             F.col("vec_id").alias(id_out),
+            _norm(F.col("rvec")).alias(norm_out),
             F.posexplode(F.array(*[
-                F.slice(F.col("vec"), s * sub_len + 1, sub_len)
+                F.slice(F.col("rvec"), s * sub_len + 1, sub_len)
                 for s in range(m)])).alias("sub_idx", vec_out))
 
-    def _l2(a: str, b: str) -> Column:
-        av, bv = F.col(a), F.col(b)
-        return F.round(_dot(av, av) - 2 * _dot(av, bv) + _dot(bv, bv), 6)
+    def _l2(a: str, b: str, na: str, nb: str) -> Column:
+        av, bv, nav, nbv = F.col(a), F.col(b), F.col(na), F.col(nb)
+        return F.round(_dot(av, av) / (nav * nav)
+                       - 2 * _dot(av, bv) / (nav * nbv)
+                       + _dot(bv, bv) / (nbv * nbv), 6)
 
+    # The codebook (m·k subvectors) and the ADC lookup (Q·m·k partial
+    # distances) are CONSTANT-size artifacts — independent of corpus
+    # size — so they are materialized once on the driver and re-shipped
+    # as literal broadcast tables.  This is the deployment shape of a
+    # trained quantizer (a FAISS codebook is likewise a driver/trainer
+    # artifact, not a per-query subtree): leaving them as lazy subtrees
+    # made every downstream reference recompute the TakeOrdered +
+    # window, and nested one broadcast job inside another (measured 5.3 s
+    # of the 6.2 s total at sf0.1 in the scored stage alone).
     codebook = _subs(
-        vecs.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")),
-                     F.col("vec_id")).limit(n_codes),
-        "code_src", "cvec").withColumn(
+        raw.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")),
+                    F.col("vec_id")).limit(n_codes),
+        "code_src", "cvec", "cnorm").withColumn(
             "code_id", F.dense_rank().over(
                 Window.partitionBy("sub_idx").orderBy("code_src")))
-    # encode: nearest code per (vector, subspace), rounded-distance argmin
-    wenc = Window.partitionBy("enc_id", "sub_idx").orderBy(
-        F.col("d2").asc(), F.col("code_id").asc())
-    codes = (_subs(vecs, "enc_id", "evec")
-             .join(F.broadcast(codebook), "sub_idx")
-             .withColumn("d2", _l2("evec", "cvec"))
-             .withColumn("rn", F.row_number().over(wenc))
-             .where(F.col("rn") == 1)
-             .select(F.col("enc_id").alias("vec_id"), "sub_idx", "code_id"))
+    # Arrow round-trip (toPandas → createDataFrame) turns the collected
+    # table into a driver-side LocalRelation: broadcasts build with NO
+    # tasks.  createDataFrame from plain Python rows would instead make
+    # a Python-RDD whose every evaluation pays a Python-worker round
+    # trip (measured ~5 s/broadcast of idle executor wait).
+    cb_df = spark.createDataFrame(codebook.toPandas(),
+                                  schema=codebook.schema)
+    # Encode: nearest code per (vector, subspace).  Two hot-path choices
+    # (the N·m·k candidate stream is the only corpus-proportional math):
+    # - the argmin drops the candidate-constant ⟨a,a⟩/|a|² term and
+    #   precomputes the per-code ⟨c,c⟩/|c|² self-term into the broadcast
+    #   table, so each candidate costs ONE sub_len-dim dot product
+    #   instead of three (HOF array exprs are interpreted per element —
+    #   measured 5 s of single-task CPU for the 3-dot form at sf0.1);
+    # - min_by over the (d2, code_id) struct partially aggregates
+    #   map-side, collapsing N·m·k → N·m before any shuffle (a
+    #   row_number window would sort-shuffle the full candidate set).
+    # The repartition restores map parallelism when the input is a
+    # single small file (the local-test shape — a real 100 TB input
+    # arrives already split); it is one bounded shuffle of N rows.
+    cbe = cb_df.withColumn(
+        "cc_term", _dot(F.col("cvec"), F.col("cvec"))
+        / (F.col("cnorm") * F.col("cnorm")))
+    # the (d2, code_id) argmin packed into ONE long — micro-distance
+    # (6-dp fixed point) × 128 + code_id — so the aggregate is a plain
+    # codegen'd min() with map-side partials (min_by over a struct falls
+    # out of whole-stage codegen; measured 2.2 s single-task at sf0.1).
+    # pmod decodes the winner's code id for any distance sign.
+    enc_key = (F.round((F.col("cc_term")
+                        - 2 * _dot(F.col("evec"), F.col("cvec"))
+                        / (F.col("enorm") * F.col("cnorm"))) * 1e6)
+               .cast("long") * 128 + F.col("code_id"))
+    # explicit partition count: AQE coalesces a column-only repartition
+    # of these few (small) rows back to ONE partition, serializing the
+    # k-way candidate expansion that happens after it
+    codes = (_subs(raw, "enc_id", "evec", "enorm")
+             .repartition(spark.sparkContext.defaultParallelism,
+                          F.col("enc_id"))
+             .join(F.broadcast(cbe), "sub_idx")
+             .groupBy(F.col("enc_id").alias("vec_id"), "sub_idx")
+             .agg(F.min(enc_key).alias("k"))
+             .select("vec_id", "sub_idx",
+                     F.pmod(F.col("k"), F.lit(128)).cast("int")
+                     .alias("code_id")))
     # ADC lookup: query × codebook partial distances (Q·m·k rows, tiny)
-    qsubs = _subs(vecs.where(F.col("vec_id") < _N_QUERIES), "query_id", "qvec")
-    adc = (qsubs.join(F.broadcast(codebook), "sub_idx")
+    qsubs = _subs(raw.where(F.col("vec_id") < _N_QUERIES),
+                  "query_id", "qvec", "qnorm")
+    adc = (qsubs.join(F.broadcast(cb_df), "sub_idx")
            .select("query_id", "sub_idx", "code_id",
-                   _l2("qvec", "cvec").alias("d2")))
-    scored = (codes.join(F.broadcast(adc), ["sub_idx", "code_id"])
+                   _l2("qvec", "cvec", "qnorm", "cnorm").alias("d2")))
+    adc_df = spark.createDataFrame(adc.toPandas(), schema=adc.schema)
+    scored = (codes.join(F.broadcast(adc_df), ["sub_idx", "code_id"])
               .groupBy("query_id", "vec_id")
               .agg(F.round(F.sum("d2"), 6).alias("approx_l2")))
     wadc = Window.partitionBy("query_id").orderBy(
@@ -365,15 +419,19 @@ def pq_topk(spark: SparkSession, sf_dir: str, m: int = _PQ_M,
              .withColumn("adc_rank", F.row_number().over(wadc))
              .where(F.col("adc_rank") <= shortlist)
              .select("query_id", "vec_id"))
-    # exact re-rank: unit vectors → cosine is a plain dot product
-    qfull = (vecs.where(F.col("vec_id") < _N_QUERIES)
+    # exact re-rank on full raw vectors (cosine = dot / norm product)
+    corpus = raw.select("vec_id", F.col("rvec").alias("nvec"),
+                        _norm(F.col("rvec")).alias("nnorm"))
+    qfull = (raw.where(F.col("vec_id") < _N_QUERIES)
              .select(F.col("vec_id").alias("query_id"),
-                     F.col("vec").alias("qvec")))
+                     F.col("rvec").alias("qvec"),
+                     _norm(F.col("rvec")).alias("qnorm")))
     reranked = (cands
-                .join(vecs, "vec_id")
+                .join(corpus, "vec_id")
                 .join(F.broadcast(qfull), "query_id")
                 .select("query_id", "vec_id",
-                        F.round(_dot(F.col("qvec"), F.col("vec")), 6)
+                        F.round(_dot(F.col("qvec"), F.col("nvec"))
+                                / (F.col("qnorm") * F.col("nnorm")), 6)
                         .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc())
@@ -387,10 +445,47 @@ def pq_topk(spark: SparkSession, sf_dir: str, m: int = _PQ_M,
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "embedding_neardup_pairs": embedding_neardup_pairs,
-    "ann_lsh_topk": ann_lsh_topk,        # rows-only (seeded planes not SQL)
+    "ann_lsh_topk": ann_lsh_topk,
     "ivf_topk": ivf_topk,
     "pq_topk": pq_topk,
 }
+
+
+def _ann_lsh_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
+    """ANN-LSH oracle with the seeded hyperplanes inlined as double
+    literals (repr round-trips exactly), the same technique as the
+    neardup oracle — upgrading this query from rows-only to fully
+    hash-checked."""
+    planes = _hyperplanes(dim, n_planes)
+    bits = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(float(v)) for v in plane)
+        bits.append(f"CASE WHEN list_dot_product(emb, [{lits}]) >= 0 "
+                    f"THEN {1 << i} ELSE 0 END")
+    bucket = " + ".join(bits)
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), bucketed AS (
+            SELECT vec_id, emb, ({bucket}) AS bucket FROM vecs
+        ), queries AS (
+            SELECT vec_id AS query_id, emb AS qemb, bucket
+            FROM bucketed ORDER BY vec_id LIMIT {_N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   round(list_dot_product(q.qemb, v.emb)
+                         / (sqrt(list_dot_product(q.qemb, q.qemb))
+                            * sqrt(list_dot_product(v.emb, v.emb))), 6) AS cosine
+            FROM queries q JOIN bucketed v USING (bucket)
+            WHERE q.query_id != v.vec_id
+        )
+        SELECT query_id, rank, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        WHERE rank <= {_TOP_K}
+    """
 
 _COSINE = ("list_dot_product(a.emb, b.emb) "
            "/ (sqrt(list_dot_product(a.emb, a.emb)) "
@@ -488,49 +583,59 @@ ORACLES = {
         WHERE rank <= {_TOP_K}
     """,
     "embedding_neardup_pairs": _neardup_oracle_sql(),
-    # d² = <a,a> - 2<a,b> + <b,b> and DuckDB list slices are 1-based
-    # inclusive: subspace s covers emb[s*16+1 : s*16+16].
+    "ann_lsh_topk": _ann_lsh_oracle_sql(),
+    # d²(a/|a|, c/|c|) = <a,a>/|a|² - 2<a,c>/(|a||c|) + <c,c>/|c|² — the
+    # same algebraic normalization as the Spark plan (FP path must match
+    # for the rounded argmin); DuckDB list slices are 1-based inclusive:
+    # subspace s covers emb[s*4+1 : s*4+4].
     "pq_topk": f"""
         WITH rawv AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS remb
             FROM embeddings
-        ), vecs AS (
-            SELECT vec_id,
-                   list_transform(remb,
-                       x -> x / sqrt(list_dot_product(remb, remb))) AS emb
+        ), normed AS (
+            SELECT vec_id, remb,
+                   sqrt(list_dot_product(remb, remb)) AS vn
             FROM rawv
         ), srcs AS (
-            SELECT vec_id AS code_src, emb FROM vecs
+            SELECT vec_id AS code_src, remb, vn FROM normed
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_CODES}
         ), codebook AS (
-            SELECT s.sub_idx, c.code_src,
-                   c.emb[s.sub_idx * {_PQ_DIM // _PQ_M} + 1
-                         : s.sub_idx * {_PQ_DIM // _PQ_M} + {_PQ_DIM // _PQ_M}]
+            SELECT s.sub_idx, c.code_src, c.vn AS cnorm,
+                   c.remb[s.sub_idx * {_PQ_DIM // _PQ_M} + 1
+                          : s.sub_idx * {_PQ_DIM // _PQ_M} + {_PQ_DIM // _PQ_M}]
                        AS cvec,
                    row_number() OVER (PARTITION BY s.sub_idx
                                       ORDER BY c.code_src) AS code_id
             FROM srcs c, range(0, {_PQ_M}) s(sub_idx)
         ), vsubs AS (
-            SELECT v.vec_id, s.sub_idx,
-                   v.emb[s.sub_idx * {_PQ_DIM // _PQ_M} + 1
-                         : s.sub_idx * {_PQ_DIM // _PQ_M} + {_PQ_DIM // _PQ_M}]
+            SELECT v.vec_id, v.vn, s.sub_idx,
+                   v.remb[s.sub_idx * {_PQ_DIM // _PQ_M} + 1
+                          : s.sub_idx * {_PQ_DIM // _PQ_M} + {_PQ_DIM // _PQ_M}]
                        AS svec
-            FROM vecs v, range(0, {_PQ_M}) s(sub_idx)
+            FROM normed v, range(0, {_PQ_M}) s(sub_idx)
         ), encoded AS (
-            SELECT vec_id, sub_idx, code_id FROM (
-                SELECT v.vec_id, v.sub_idx, cb.code_id,
-                       row_number() OVER (PARTITION BY v.vec_id, v.sub_idx
-                           ORDER BY round(list_dot_product(v.svec, v.svec)
-                                    - 2 * list_dot_product(v.svec, cb.cvec)
-                                    + list_dot_product(cb.cvec, cb.cvec), 6)
-                                    ASC, cb.code_id ASC) AS rn
+            -- packed-long argmin: 6-dp fixed-point micro-distance × 128
+            -- + code_id, minimized as a plain integer — the argmin also
+            -- drops the candidate-constant <a,a>/|a|² term (both
+            -- reductions mirror the Spark encode hot path exactly)
+            SELECT vec_id, sub_idx,
+                   CAST(((min(k) % 128) + 128) % 128 AS INT) AS code_id
+            FROM (
+                SELECT v.vec_id, v.sub_idx,
+                       CAST(round((list_dot_product(cb.cvec, cb.cvec)
+                                       / (cb.cnorm * cb.cnorm)
+                                   - 2 * list_dot_product(v.svec, cb.cvec)
+                                       / (v.vn * cb.cnorm)) * 1e6)
+                            AS BIGINT) * 128 + cb.code_id AS k
                 FROM vsubs v JOIN codebook cb USING (sub_idx))
-            WHERE rn = 1
+            GROUP BY vec_id, sub_idx
         ), adc AS (
             SELECT q.vec_id AS query_id, q.sub_idx, cb.code_id,
-                   round(list_dot_product(q.svec, q.svec)
+                   round(list_dot_product(q.svec, q.svec) / (q.vn * q.vn)
                          - 2 * list_dot_product(q.svec, cb.cvec)
-                         + list_dot_product(cb.cvec, cb.cvec), 6) AS d2
+                             / (q.vn * cb.cnorm)
+                         + list_dot_product(cb.cvec, cb.cvec)
+                             / (cb.cnorm * cb.cnorm), 6) AS d2
             FROM vsubs q JOIN codebook cb USING (sub_idx)
             WHERE q.vec_id < {_N_QUERIES}
         ), scored AS (
@@ -545,10 +650,11 @@ ORACLES = {
             WHERE adc_rank <= {_PQ_SHORTLIST}
         ), reranked AS (
             SELECT c.query_id, c.vec_id,
-                   round(list_dot_product(q.emb, v.emb), 6) AS cosine
+                   round(list_dot_product(q.remb, v.remb)
+                         / (q.vn * v.vn), 6) AS cosine
             FROM cands c
-            JOIN vecs v ON c.vec_id = v.vec_id
-            JOIN vecs q ON c.query_id = q.vec_id
+            JOIN normed v ON c.vec_id = v.vec_id
+            JOIN normed q ON c.query_id = q.vec_id
         )
         SELECT query_id, rank, vec_id AS neighbor_id, cosine FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id
