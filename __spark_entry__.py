@@ -97,6 +97,9 @@ def _registries():
         # round-2 additions — first slots past the ~50-query window this
         # round (strict_audit covers them locally); rotate forward next
         (text_quality.QUERIES, text_quality.ORACLES),
+        (fq.EVAL_QUERIES, fq.EVAL_ORACLES),
+        (dedup.EXTRA_QUERIES, dedup.EXTRA_ORACLES),
+        (sq.EXTRA_QUERIES, sq.EXTRA_ORACLES),
         (fq.QUERIES, fq.ORACLES),
         # Proven in round 1 (CORRECTNESS_r01.json) — behind the window.
         (relational.QUERIES, relational.ORACLES),

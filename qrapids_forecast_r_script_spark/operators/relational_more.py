@@ -256,8 +256,38 @@ def user_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("value_filled")))
 
 
+def building_vs_big_orders_full_outer(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage (the one join type the r1 surface lacked):
+    BUILDING-segment customers ⟗ per-customer high-value order
+    aggregates.  Both sides have unmatched rows (BUILDING customers with
+    no big orders; big-order customers outside BUILDING), exercising
+    null-fill on each side + coalesce key normalization.  Plan: two
+    pruned scans, one shuffle per side on the join key, SMJ (full outer
+    cannot broadcast)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (orders.where(F.col("o_totalprice") > 150000)
+           .groupBy("o_custkey")
+           .agg(F.count(F.lit(1)).alias("n_big_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("big_total")))
+    bld = (cust.where(F.col("c_mktsegment") == "BUILDING")
+           .select("c_custkey", "c_name"))
+    return (bld.join(big, bld.c_custkey == big.o_custkey, "full_outer")
+            .select(
+                F.coalesce(F.col("c_custkey"), F.col("o_custkey"))
+                .alias("custkey"),
+                F.when(F.col("c_custkey").isNotNull(), F.lit("BUILDING"))
+                .otherwise(F.lit("OTHER")).alias("segment_bucket"),
+                F.coalesce(F.col("n_big_orders"), F.lit(0))
+                .alias("n_big_orders"),
+                F.round(F.coalesce(F.col("big_total"), F.lit(0.0)), 2)
+                .alias("big_total")))
+
+
 QUERIES = {
     "orders_grouping_sets": orders_grouping_sets,
+    "building_vs_big_orders_full_outer": building_vs_big_orders_full_outer,
     "user_series_gapfill": user_series_gapfill,
     "events_pivot_daily": events_pivot_daily,
     "events_unpivot_daily": events_unpivot_daily,
@@ -284,6 +314,23 @@ _PIVOT_SQL = """
 """
 
 ORACLES = {
+    "building_vs_big_orders_full_outer": """
+        WITH big AS (
+            SELECT o_custkey, count(*) AS n_big_orders,
+                   round(sum(o_totalprice), 2) AS big_total
+            FROM orders WHERE o_totalprice > 150000
+            GROUP BY 1
+        ), bld AS (
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT coalesce(c_custkey, o_custkey) AS custkey,
+               CASE WHEN c_custkey IS NOT NULL THEN 'BUILDING'
+                    ELSE 'OTHER' END AS segment_bucket,
+               coalesce(n_big_orders, 0) AS n_big_orders,
+               round(coalesce(big_total, 0.0), 2) AS big_total
+        FROM bld FULL OUTER JOIN big ON c_custkey = o_custkey
+    """,
     "orders_grouping_sets": """
         SELECT o_orderstatus, o_orderpriority,
                grouping(o_orderstatus)  AS g_status,

@@ -23,6 +23,7 @@ user_id and windows within partitions.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -39,8 +40,6 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch reader (``sources.registry.load_table``): TIMESTAMP(NANOS)
     arrives as long ns (``nanosAsLong``) and is truncated to µs;
     TIMESTAMP(MICROS) reads directly."""
-    import os
-
     path = os.path.join(sf_dir, "events.parquet")
     if events_ts_is_nanos(path):
         raw = (spark.readStream
@@ -242,6 +241,75 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def events_stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD-1 state maintenance via ``foreachBatch``: the event
+    stream continuously upserts a per-(user, event_type) latest-state
+    parquet table — the canonical pattern for keeping a serving table
+    current from a 100 TB/day stream when the sink has no native MERGE.
+
+    Each micro-batch reduces to its per-key latest record (map-side
+    combine before the keyed shuffle), merges with the existing state
+    (union + latest-version window, the same reduction as the batch
+    ``orders_upsert_scd1``), and atomically replaces the state dir; the
+    merged frame is localCheckpoint-ed first so overwrite never reads
+    the files it is replacing.  State size is bounded by the KEY space,
+    not stream length.  With availableNow replay and a total (ts,
+    event_id) tiebreak the final table is deterministic, so the batch
+    argmax query is an exact oracle.
+    """
+    import shutil
+    import tempfile
+
+    state_dir = os.path.join(
+        tempfile.gettempdir(), "qrapids_stream_state",
+        os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+
+    def _latest(df: DataFrame) -> DataFrame:
+        return (df.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("user_id", "event_type",
+                        F.col("ts").alias("last_ts"),
+                        F.col("value").alias("last_value"),
+                        F.col("event_id")))
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch_latest = _latest(batch_df.select(
+            "user_id", "event_type", "ts", "value", "event_id"))
+        if os.path.exists(state_dir):
+            cur = batch_df.sparkSession.read.parquet(state_dir)
+            merged = _latest(cur.unionByName(batch_latest).select(
+                "user_id", "event_type",
+                F.col("last_ts").alias("ts"),
+                F.col("last_value").alias("value"), "event_id"))
+        else:
+            merged = batch_latest
+        # materialize BEFORE overwrite: the plan must not lazily read
+        # the very files the write is about to replace
+        merged.localCheckpoint(eager=True) \
+            .write.mode("overwrite").parquet(state_dir)
+
+    stream = events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "value", "event_id")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (stream.writeStream
+             .foreachBatch(_merge)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                "events_stream_upsert_state did not finish — refusing "
+                "to return a partial state table")
+    return (spark.read.parquet(state_dir)
+            .select("user_id", "event_type", "last_ts", "last_value"))
+
+
 QUERIES = {
     "events_stream_tumbling_1h": events_stream_tumbling_1h,
     "events_sliding_1h_30m": events_sliding_1h_30m,
@@ -252,6 +320,10 @@ QUERIES = {
     "events_stream_static_join": events_stream_static_join,
 }
 
+# Round-2 addition, registered in __spark_entry__'s tail block so the
+# driver's ~50-query window allocation stays byte-stable this round.
+EXTRA_QUERIES = {"events_stream_upsert_state": events_stream_upsert_state}
+
 _TUMBLING_SQL = """
     SELECT date_trunc('hour', ts) AS window_start,
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
@@ -261,6 +333,17 @@ _TUMBLING_SQL = """
     FROM events
     GROUP BY 1, 2, 3
 """
+
+EXTRA_ORACLES = {
+    "events_stream_upsert_state": """
+        SELECT user_id, event_type, ts AS last_ts, value AS last_value
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+        WHERE rn = 1
+    """,
+}
 
 ORACLES = {
     "events_stream_tumbling_1h": _TUMBLING_SQL,

@@ -29,8 +29,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType)
 
-from .. import schemas
-
 STATE_SCHEMA = StructType([
     StructField("n", LongType()),
     StructField("mean", DoubleType()),
