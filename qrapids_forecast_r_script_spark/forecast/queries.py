@@ -318,3 +318,53 @@ EVAL_ORACLES = {
         FROM preds GROUP BY 1, 2, 3
     """,
 }
+
+
+def forecast_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-grade proof of the full wrapper lifecycle (S3-S6 + §2A.6,
+    R:104-124): against a FRESH artifact store, the SNAIVE wrapper runs
+    twice for one series — call 1 takes the no-model train path (scan →
+    fit → save model → prime cache at 14, R:92-93), call 2 must take the
+    pure cache-HIT path (its ``compute_series`` raises if the source is
+    ever touched, mirroring the reference's no-scan hit, R:109-110).
+    The returned call-2 rows equal the closed-form SNAIVE SQL oracle, so
+    a hash match proves model save/load, cache priming, the length≥h
+    validity rule, and prefix-slice hits end-to-end — the cache layer's
+    first hard driver signal (previously pytest-only).
+    """
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .. import schemas
+    from ..sources import search_element
+    from .cache import ForecastStore
+
+    root = _os.path.join(tempfile.gettempdir(), "qrapids_cache_roundtrip",
+                         _os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(root, ignore_errors=True)
+    store = ForecastStore(root)
+    metrics = _metrics(spark, sf_dir)
+    name, index = "click", "test.metrics.events"
+
+    def compute_series():
+        return search_element(metrics, name, index).toPandas()
+
+    store.forecast_with_cache(name, index, "SNAIVE", 7, 14, compute_series)
+
+    def must_not_scan():
+        raise AssertionError(
+            "cache-hit path touched the source — wrapper semantics broken")
+
+    rows = store.forecast_with_cache(name, index, "SNAIVE", 7, 14,
+                                     must_not_scan)
+    out = spark.createDataFrame(rows, schema=schemas.FORECAST)
+    cols = ["lower1", "lower2", "mean", "upper1", "upper2"]
+    return out.select("name", "index", "method",
+                      F.col("step").cast("long").alias("step"),
+                      *[F.round(c, _ROUND).alias(c) for c in cols])
+
+
+EVAL_QUERIES["forecast_cache_roundtrip"] = forecast_cache_roundtrip
+EVAL_ORACLES["forecast_cache_roundtrip"] = _oracle(
+    _SNAIVE_SELECT + " WHERE s.name = 'click'")

@@ -169,6 +169,17 @@ def nations_customers_minus_suppliers(spark: SparkSession, sf_dir: str) -> DataF
     return cust.subtract(supp)
 
 
+def nations_customers_or_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: UNION (distinct) of customer and supplier nation keys —
+    completes the EXCEPT/INTERSECT/UNION trio.  union + dropDuplicates
+    is Spark's UNION DISTINCT: one hash-dedup shuffle on the key."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return cust.union(supp).dropDuplicates()
+
+
 def nations_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set ops: INTERSECT of customer and supplier nation keys."""
     cust = load_table(spark, sf_dir, "customer").select(
@@ -391,6 +402,11 @@ ORACLES: dict[str, str] = {
         EXCEPT
         SELECT s_nationkey AS nationkey FROM supplier
     """,
+    "nations_customers_or_suppliers": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
     "nations_customers_and_suppliers": """
         SELECT c_nationkey AS nationkey FROM customer
         INTERSECT
@@ -497,6 +513,7 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "nations_customers_minus_suppliers": nations_customers_minus_suppliers,
     "nations_customers_and_suppliers": nations_customers_and_suppliers,
+    "nations_customers_or_suppliers": nations_customers_or_suppliers,
     "part_filter_projection": part_filter_projection,
     "scrubbed_customer_keys": scrubbed_customer_keys,
     "orders_by_month": orders_by_month,

@@ -202,11 +202,17 @@ def orders_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
         F.lit(0).alias("src_version"))
+    # +1000.00 surcharge, not a 1.1 multiplier: a multiplier lands some
+    # prices exactly on a third decimal's half-way point, where Spark
+    # (BigDecimal HALF_UP on the shortest decimal repr) and DuckDB
+    # (binary rint) round differently — the strict audit caught 2 such
+    # rows at sf0.01.  Addition keeps the value 2-decimal, so round is
+    # boundary-free on both engines.
     updates = (orders
                .where(F.col("o_orderkey") % _UPSERT_MOD == 0)
                .select("o_orderkey", "o_custkey",
                        F.lit("U").alias("o_orderstatus"),
-                       F.round(F.col("o_totalprice") * 1.1, 2)
+                       F.round(F.col("o_totalprice") + 1000.0, 2)
                        .alias("o_totalprice"),
                        F.lit(1).alias("src_version")))
     w = Window.partitionBy("o_orderkey").orderBy(F.col("src_version").desc())
@@ -251,7 +257,7 @@ ORACLES = {
             FROM orders
         ), updates AS (
             SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-                   round(o_totalprice * 1.1, 2) AS o_totalprice,
+                   round(o_totalprice + 1000.0, 2) AS o_totalprice,
                    1 AS src_version
             FROM orders WHERE o_orderkey % {_UPSERT_MOD} = 0
         ), merged AS (

@@ -93,7 +93,7 @@ def test_contamination_ratios_are_sane(spark, sf_dir):
 
 def test_upsert_scd1_semantics(spark, sf_dir):
     """Upsert invariants: key set preserved (no inserts in this batch),
-    every mod-7 key carries the version-1 record with the 10% reprice,
+    every mod-7 key carries the version-1 record with the surcharge,
     every other key is untouched."""
     from qrapids_forecast_r_script_spark.operators.scale_patterns import (
         _UPSERT_MOD, orders_upsert_scd1)
@@ -106,7 +106,7 @@ def test_upsert_scd1_semantics(spark, sf_dir):
     for k, r in merged.items():
         if k % _UPSERT_MOD == 0:
             assert r.src_version == 1 and r.o_orderstatus == "U"
-            assert abs(r.o_totalprice - round(base[k].o_totalprice * 1.1, 2)) < 0.011
+            assert abs(r.o_totalprice - (base[k].o_totalprice + 1000.0)) < 0.011
         else:
             assert r.src_version == 0
             assert r.o_orderstatus == base[k].o_orderstatus
