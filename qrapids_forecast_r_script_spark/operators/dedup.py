@@ -605,6 +605,91 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("rank", "span", "n_occurrences", "n_docs"))
 
 
+_BLOOM_M = 1 << 20   # bit-array size — FIXED, so the set stays broadcastable
+_BLOOM_K = 4         # hash functions (first 4 universal-hash params)
+_BLOOM_NGRAM = 4     # word 4-grams: bigrams saturate (shared vocab → 100 %
+#                      containment everywhere); 4-grams split the batch
+#                      cleanly (measured sf0.01: containment 0→1, mean 0.11,
+#                      only true near-dup partners cross the 0.8 threshold)
+_BLOOM_DUP_THRESHOLD = 0.8
+
+
+def _span_table(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle) word n-gram rows via posexplode + lead window —
+    the same codegen-friendly shape as ``shingle_table`` (see its
+    docstring for why NOT a nested higher-order-function expression),
+    generalized to n tokens."""
+    from pyspark.sql.window import Window
+    toks = (docs
+            .select("doc_id", F.posexplode(F.split("text", " "))
+                    .alias("pos", "tok")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.col("tok")] + [F.lead("tok", i).over(w)
+                                  for i in range(1, n)]
+    # the span MUST be materialized before the where: a window expression
+    # evaluated after the filter re-runs over the filtered frame, turning
+    # end-of-doc leads NULL (and concat_ws silently drops them)
+    return (toks
+            .withColumn("last_tok", F.lead("tok", n - 1).over(w))
+            .withColumn("shingle", F.concat_ws(" ", *lead_cols))
+            .where(F.col("last_tok").isNotNull())
+            .select("doc_id", "shingle"))
+
+
+def bloom_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-batch near-dup pre-filter via a deterministic Bloom
+    n-gram containment test (the Dolma/BFF "Bloom filter filtering"
+    shape): for each document of the incoming batch (``source='src0'``),
+    the fraction of its distinct word 4-grams already present in the
+    standing corpus (every other source), flagging docs above 80 %
+    containment as dup candidates.
+
+    The at-scale shape: the corpus never re-shuffles against the batch.
+    Its Bloom bit-set — ``k=4`` universal hashes of each distinct
+    shingle's md5-prefix hash, mod a FIXED ``m = 2^20`` — is a
+    distinct-``pos`` relation bounded by ``m`` rows (≤ 8 MB) regardless
+    of corpus size, built map-side + one dedup and then **broadcast**;
+    the batch side is a map-only shingle explode + broadcast-hash join +
+    two grouped aggregates.  A 100 TB corpus and a 1 GB daily batch meet
+    in a constant-size structure — the standard "mostly already crawled?"
+    pre-filter in front of MinHash.  False positives (shingle counted
+    seen that is new) follow the classic rate ≈ fill^k; size m to the
+    corpus shingle cardinality in production.  False negatives are
+    impossible, so containment is never under-estimated.
+
+    Every step is integer arithmetic on the md5 prefix — the same idiom
+    as MinHash above — so the whole path has an exact DuckDB oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_sh = (_span_table(docs.where(F.col("source") != "src0"),
+                             _BLOOM_NGRAM)
+                 .select("shingle").distinct()
+                 .select(shingle_hash_col().alias("h")))
+    batch_sh = (_span_table(docs.where(F.col("source") == "src0"),
+                            _BLOOM_NGRAM)
+                .select("doc_id", "shingle").distinct()
+                .select("doc_id", shingle_hash_col().alias("h")))
+    pos = [((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P) % F.lit(_BLOOM_M))
+           for (a, b) in _HASH_PARAMS[:_BLOOM_K]]
+    corpus_bits = (corpus_sh.select(F.explode(F.array(*pos)).alias("pos"))
+                   .distinct().withColumn("hit", F.lit(1)))
+    batch_pos = batch_sh.select(
+        "doc_id", F.col("h"), F.explode(F.array(*pos)).alias("pos"))
+    per_shingle = (batch_pos
+                   .join(F.broadcast(corpus_bits), "pos", "left")
+                   .groupBy("doc_id", "h")
+                   .agg((F.min(F.coalesce(F.col("hit"), F.lit(0))) == 1)
+                        .alias("seen")))
+    return (per_shingle.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                 F.sum(F.col("seen").cast("long")).alias("n_seen"))
+            .select("doc_id", "n_ngrams", "n_seen",
+                    F.round(F.col("n_seen") / F.col("n_ngrams"), 4)
+                     .alias("containment"),
+                    (F.col("n_seen") >= F.col("n_ngrams")
+                     * F.lit(_BLOOM_DUP_THRESHOLD)).alias("dup_candidate")))
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
@@ -615,12 +700,52 @@ QUERIES = {
     "simhash_docs": simhash_docs,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "part_name_editdist_pairs": part_name_editdist_pairs,
+    "bloom_ngram_containment": bloom_ngram_containment,
 }
 
 # Round-2 addition, registered in __spark_entry__'s tail block so the
 # driver's ~50-query window allocation stays byte-stable this round.
 EXTRA_QUERIES = {"repeated_ngram_spans": repeated_ngram_spans}
 EXTRA_ORACLES: dict[str, str] = {}
+
+_BLOOM_PARAMS_SQL = ", ".join(f"({a}, {b})"
+                              for a, b in _HASH_PARAMS[:_BLOOM_K])
+ORACLES["bloom_ngram_containment"] = f"""
+    WITH base AS (
+        SELECT doc_id, source, string_split(text, ' ') AS s FROM documents
+    ), doc_sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(s) - {_BLOOM_NGRAM - 1}),
+                   i -> {" || ' ' || ".join(f"s[i+{j}]" for j in range(_BLOOM_NGRAM))}
+               ))) AS shingle
+        FROM base
+    ), hashed AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+        FROM doc_sh
+    ), params(a, b) AS (VALUES {_BLOOM_PARAMS_SQL}),
+    corpus_bits AS (
+        SELECT DISTINCT (c.h * p.a + p.b) % {_P} % {_BLOOM_M} AS pos
+        FROM (SELECT DISTINCT h FROM hashed WHERE source <> 'src0') c,
+             params p
+    ), batch_pos AS (
+        SELECT b.doc_id, b.h, (b.h * p.a + p.b) % {_P} % {_BLOOM_M} AS pos
+        FROM (SELECT DISTINCT doc_id, h FROM hashed
+              WHERE source = 'src0') b, params p
+    ), per_sh AS (
+        SELECT bp.doc_id, bp.h, bool_and(cb.pos IS NOT NULL) AS seen
+        FROM batch_pos bp LEFT JOIN corpus_bits cb USING (pos)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, count(*) AS n_ngrams,
+           CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+           round(CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT)
+                 / count(*), 4) AS containment,
+           CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT)
+               >= count(*) * {_BLOOM_DUP_THRESHOLD} AS dup_candidate
+    FROM per_sh GROUP BY 1
+"""
 
 EXTRA_ORACLES["repeated_ngram_spans"] = f"""
     WITH base AS (

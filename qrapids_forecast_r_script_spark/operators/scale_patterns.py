@@ -222,11 +222,64 @@ def orders_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*cols))
 
 
+_FRAG_FILES = 200                 # deliberate fragmentation degree
+_COMPACT_TARGET_BYTES = 32 << 20  # per-file size target after compaction
+
+
+def _compact_dirs(sf_dir: str) -> tuple[str, str]:
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/qrapids_compact/{tag}"
+    return f"{base}/fragmented", f"{base}/compacted"
+
+
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance pass every long-running
+    100 TB ingest needs: streaming/incremental writers leave thousands of
+    KB-sized parquet files per partition, and scan cost degrades from
+    data-bound to file-open-bound (driver-side listing, one footer read
+    + task per file).
+
+    The demo fragments ``events`` into 200 tiny files (written once,
+    cached under /tmp keyed by sf), then the compaction pass sizes its
+    output as ``ceil(input_bytes / 32 MB)`` and rewrites with a single
+    round-robin ``repartition`` — the same bin-packing OPTIMIZE performs
+    in Delta/Iceberg.  At scale the repartition count derives from the
+    file listing the driver already has, compaction runs per-partition
+    (so it parallelizes and restarts cleanly), and readers never block:
+    parquet rewrites are atomic at the directory-commit level.
+
+    The returned query aggregates the COMPACTED copy per event_type; the
+    oracle is the same aggregate over the ORIGINAL table, so a hash
+    match proves the rewrite is byte-lossless on every column that feeds
+    the aggregate (count, value sum, distinct users).  File-count
+    reduction is asserted separately in tests/test_curation.py.
+    """
+    import math
+
+    frag, compacted = _compact_dirs(sf_dir)
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        (load_table(spark, sf_dir, "events")
+         .repartition(_FRAG_FILES).write.mode("overwrite").parquet(frag))
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        total = sum(e.stat().st_size for e in os.scandir(frag)
+                    if e.name.endswith(".parquet"))
+        n_out = max(1, math.ceil(total / _COMPACT_TARGET_BYTES))
+        (spark.read.parquet(frag)
+         .repartition(n_out).write.mode("overwrite").parquet(compacted))
+    return (spark.read.parquet(compacted)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.count_distinct("user_id").alias("n_users"))
+            .orderBy("event_type"))
+
+
 QUERIES = {
     "salted_skew_join": salted_skew_join,
     "bucketed_orders_join": bucketed_orders_join,
     "zorder_bin_stats": zorder_bin_stats,
     "orders_upsert_scd1": orders_upsert_scd1,
+    "compact_small_files": compact_small_files,
 }
 
 ORACLES = {
@@ -248,6 +301,15 @@ ORACLES = {
         FROM customer JOIN orders ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+    """,
+    "compact_small_files": """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "orders_upsert_scd1": f"""
         WITH base AS (

@@ -110,3 +110,66 @@ def test_upsert_scd1_semantics(spark, sf_dir):
         else:
             assert r.src_version == 0
             assert r.o_orderstatus == base[k].o_orderstatus
+
+
+def test_bloom_containment_no_false_negatives(spark, sf_dir):
+    """Bloom membership can only over-count (false positives), never
+    under-count: per doc, n_seen >= the EXACT count of its distinct
+    4-grams present in the corpus, and containment 1.0 whenever the true
+    containment is 1.0."""
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        _BLOOM_NGRAM, _span_table, bloom_ngram_containment)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (_span_table(docs.where(F.col("source") != "src0"), _BLOOM_NGRAM)
+              .select("shingle").distinct())
+    batch = (_span_table(docs.where(F.col("source") == "src0"), _BLOOM_NGRAM)
+             .select("doc_id", "shingle").distinct())
+    exact = {r.doc_id: r.n_true_seen for r in
+             (batch.join(corpus, "shingle", "left_semi")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_true_seen"))).collect()}
+    for r in bloom_ngram_containment(spark, sf_dir).collect():
+        true_seen = exact.get(r.doc_id, 0)
+        assert r.n_seen >= true_seen, r
+        if true_seen == r.n_ngrams:
+            assert r.containment == 1.0 and bool(r.dup_candidate), r
+
+
+def test_bloom_containment_broadcasts_corpus_bits(spark, sf_dir):
+    """The corpus bit-set side of the membership join must be broadcast —
+    the property that keeps a 100 TB corpus from re-shuffling against
+    every incoming batch."""
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        bloom_ngram_containment)
+    from qrapids_forecast_r_script_spark.plans import executed_plan
+    plan = executed_plan(bloom_ngram_containment(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_compaction_reduces_file_count_losslessly(spark, sf_dir):
+    """Compaction must cut the parquet file count dramatically while
+    preserving every row (count + full-width checksum parity)."""
+    import os
+
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        _compact_dirs, compact_small_files)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    compact_small_files(spark, sf_dir).collect()   # materialize both dirs
+    frag, compacted = _compact_dirs(sf_dir)
+    n_frag = sum(1 for e in os.scandir(frag) if e.name.endswith(".parquet"))
+    n_comp = sum(1 for e in os.scandir(compacted)
+                 if e.name.endswith(".parquet"))
+    assert n_frag == 200
+    assert n_comp < n_frag / 10
+    orig = load_table(spark, sf_dir, "events")
+    out = spark.read.parquet(compacted)
+    assert out.count() == orig.count()
+    chk = lambda df: df.select(  # noqa: E731
+        F.sum(F.xxhash64("event_id", "event_type", "user_id")
+              .cast("decimal(38,0)")).alias("h")
+    ).collect()[0].h
+    assert chk(out) == chk(orig)
