@@ -57,7 +57,7 @@ def _registries():
         text_quality,
         tpch_full,
     )
-    from qrapids_forecast_r_script_spark.sources import formats
+    from qrapids_forecast_r_script_spark.sources import formats, pyds
     from qrapids_forecast_r_script_spark.forecast import queries as fq
     from qrapids_forecast_r_script_spark.streaming import queries as sq
     from qrapids_forecast_r_script_spark.streaming import stateful
@@ -97,6 +97,7 @@ def _registries():
         # round-2 additions — first slots past the ~50-query window this
         # round (strict_audit covers them locally); rotate forward next
         (text_quality.QUERIES, text_quality.ORACLES),
+        (pyds.QUERIES, pyds.ORACLES),
         (fq.EVAL_QUERIES, fq.EVAL_ORACLES),
         (dedup.EXTRA_QUERIES, dedup.EXTRA_ORACLES),
         (sq.EXTRA_QUERIES, sq.EXTRA_ORACLES),

@@ -59,6 +59,11 @@ HEADLINE = [
     # round-2 additions: PQ shortlist+rerank ANN, corpus bigram LM
     "pq_topk",
     "doc_bigram_logprob",
+    # round-2 additions: Bloom containment pre-filter, OPTIMIZE-style
+    # compaction (first rep pays the one-time /tmp artifact writes;
+    # the median is warm, like bucketed_orders_join)
+    "bloom_ngram_containment",
+    "compact_small_files",
 ]
 
 

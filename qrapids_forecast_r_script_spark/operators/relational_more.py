@@ -285,6 +285,31 @@ def building_vs_big_orders_full_outer(spark: SparkSession,
                 .alias("big_total")))
 
 
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4's VARIANT type: ``parse_json``
+    turns the ``props`` string into a binary variant once at scan time,
+    and ``variant_get`` does typed path extraction on the encoded form.
+
+    Complements :func:`relational.events_json_props` (get_json_object on
+    the raw string): at 100 TB, variant wins when several fields are
+    extracted from the same document — the JSON is parsed ONCE into the
+    shredded binary encoding instead of re-tokenized per
+    get_json_object call, and extraction is a typed offset lookup.  The
+    whole path is codegen, zero Python.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.withColumn("v", F.parse_json("props"))
+    k = F.variant_get("v", "$.k", "long")
+    return (v.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(F.col("k") >= 50, 1).otherwise(0))
+                  .cast("long").alias("n_high_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"))
+            .orderBy("event_type"))
+
+
 QUERIES = {
     "orders_grouping_sets": orders_grouping_sets,
     "building_vs_big_orders_full_outer": building_vs_big_orders_full_outer,
@@ -300,6 +325,7 @@ QUERIES = {
     "deterministic_sample_orders": deterministic_sample_orders,
     "events_value_histogram": events_value_histogram,
     "events_range_join_binned": events_range_join_binned,
+    "events_variant_props": events_variant_props,
 }
 
 _PIVOT_SQL = """
@@ -431,5 +457,16 @@ ORACLES = {
                      AND abs(epoch(o.ts) - epoch(e.ts)) <= {_RANGE_SECONDS}
         WHERE e.event_type = 'error'
         GROUP BY 1 ORDER BY 1
+    """,
+    "events_variant_props": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) >= 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high_k,
+               min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+               max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
     """,
 }

@@ -263,3 +263,19 @@ def test_pq_shortlist_recall_and_exact_rerank(spark, sf_dir):
     recall = len(set(bf) & {(r["query_id"], r["neighbor_id"])
                             for r in pq}) / len(bf)
     assert recall >= 0.6, recall
+
+
+def test_python_datasource_partitioned_and_deterministic(spark):
+    """The Spark 4 Python DataSource must expose the requested partition
+    count to the planner and produce identical rows across reruns and
+    partitioning choices."""
+    from qrapids_forecast_r_script_spark.sources.pyds import register
+    register(spark)
+    df8 = (spark.read.format("qrapids_metrics")
+           .option("n_days", "100").option("partitions", "8").load())
+    assert df8.rdd.getNumPartitions() == 8
+    df1 = (spark.read.format("qrapids_metrics")
+           .option("n_days", "100").option("partitions", "1").load())
+    rows8 = sorted(map(tuple, df8.collect()))
+    rows1 = sorted(map(tuple, df1.collect()))
+    assert rows8 == rows1 and len(rows8) == 100
