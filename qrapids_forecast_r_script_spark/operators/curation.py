@@ -207,12 +207,54 @@ def eval_contamination(spark: SparkSession, sf_dir: str,
                      .alias("contamination")))
 
 
+_SPLIT_BOUNDS = (80, 90)         # hash-bucket cut points: train/val/test
+_FIXED_K = 10                    # eval-set size per language
+
+
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = hash(doc_id)
+    % 100, <80 train / <90 val / else test.  Same multiplicative-hash
+    discipline as :func:`stratified_sample_docs` — a pure row function,
+    so the split is identical across retries, partitions, and cluster
+    sizes, and docs can never migrate between splits when the corpus
+    grows (doc_id is stable).  Map-only, zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hash_pct(F.col("doc_id"))
+    split = (F.when(bucket < _SPLIT_BOUNDS[0], F.lit("train"))
+             .when(bucket < _SPLIT_BOUNDS[1], F.lit("val"))
+             .otherwise(F.lit("test")))
+    return docs.select("doc_id", "lang", "source", split.alias("split"))
+
+
+def fixed_k_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic sample per language: rank docs by a
+    multiplicative hash within each lang, keep the k smallest (doc_id
+    tiebreak makes the order total).  The fixed-size complement of the
+    Bernoulli sampler: Bernoulli gives rate guarantees with binomial
+    size jitter; this gives |sample| = min(k, n_lang) exactly — the
+    eval-set construction primitive.  One shuffle (the per-lang rank);
+    at 100 TB, per-group top-k pushes partial TakeOrdered into the map
+    side, so nothing near the full corpus reaches the reducers.
+    """
+    from pyspark.sql.window import Window
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_HASH_MOD))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (docs
+            .withColumn("sample_rank", F.row_number().over(w))
+            .where(F.col("sample_rank") <= _FIXED_K)
+            .select("doc_id", "lang", "source", "sample_rank"))
+
+
 QUERIES = {
     "stratified_sample_docs": stratified_sample_docs,
     "eval_contamination": eval_contamination,
     "source_quota_cap": source_quota_cap,
     "token_shard_packing": token_shard_packing,
     "semantic_dedup_keep": semantic_dedup_keep,
+    "dataset_split_assignment": dataset_split_assignment,
+    "fixed_k_sample_per_lang": fixed_k_sample_per_lang,
 }
 
 _RATE_CASE = ("CASE " + " ".join(
@@ -306,3 +348,26 @@ ORACLES = {
         FROM labeled
     """,
 }
+
+ORACLES["dataset_split_assignment"] = f"""
+    SELECT doc_id, lang, source,
+           CASE WHEN (doc_id * {_KNUTH}) % {_HASH_MOD} % 100
+                     < {_SPLIT_BOUNDS[0]} THEN 'train'
+                WHEN (doc_id * {_KNUTH}) % {_HASH_MOD} % 100
+                     < {_SPLIT_BOUNDS[1]} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+ORACLES["fixed_k_sample_per_lang"] = f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * {_KNUTH}) % {_HASH_MOD}, doc_id)
+                   AS sample_rank
+        FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked WHERE sample_rank <= {_FIXED_K}
+"""

@@ -310,6 +310,29 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def customer_top_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (per-customer top-3 orders by price) —
+    the SQL-standard form of groupwise top-k, supported natively by
+    Spark's DecorrelateInnerQuery: the correlated ORDER BY+LIMIT
+    subquery rewrites to a ranked window over a single shuffle of the
+    orders side, so the plan is identical to the hand-written
+    ``row_number`` form (`top_customers_per_segment`) — declare the
+    intent, let Catalyst decorrelate.  Tiebreak on o_orderkey keeps the
+    top-3 set total, hence hash-stable.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey,
+               round(t.o_totalprice, 2) AS o_totalprice
+        FROM customer c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        WHERE c.c_mktsegment = 'BUILDING'
+    """)
+
+
 QUERIES = {
     "orders_grouping_sets": orders_grouping_sets,
     "building_vs_big_orders_full_outer": building_vs_big_orders_full_outer,
@@ -326,6 +349,7 @@ QUERIES = {
     "events_value_histogram": events_value_histogram,
     "events_range_join_binned": events_range_join_binned,
     "events_variant_props": events_variant_props,
+    "customer_top_orders_lateral": customer_top_orders_lateral,
 }
 
 _PIVOT_SQL = """
@@ -457,6 +481,15 @@ ORACLES = {
                      AND abs(epoch(o.ts) - epoch(e.ts)) <= {_RANGE_SECONDS}
         WHERE e.event_type = 'error'
         GROUP BY 1 ORDER BY 1
+    """,
+    "customer_top_orders_lateral": """
+        SELECT c.c_custkey, t.o_orderkey,
+               round(t.o_totalprice, 2) AS o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        WHERE c.c_mktsegment = 'BUILDING'
     """,
     "events_variant_props": """
         SELECT event_type,

@@ -1,4 +1,5 @@
-"""Custom stateful streaming operator via ``applyInPandasWithState``.
+"""Custom stateful streaming operators: ``applyInPandasWithState`` (v1)
+and ``transformWithStateInPandas`` (v2 state API, capability-gated).
 
 Running per-event-type anomaly counters: for each event_type the operator
 keeps (count, mean, M2, cumulative anomaly count) Welford state across
@@ -103,3 +104,114 @@ def events_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"events_stateful_anomalies": events_stateful_anomalies}
 ORACLES: dict[str, str] = {}   # sequential Welford state: not SQL-expressible
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4.x state API v2)
+# ---------------------------------------------------------------------------
+
+TWS_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+    StructField("seq", LongType()),
+    StructField("cum_value", DoubleType()),
+])
+
+_TWS_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("total", DoubleType()),
+])
+
+
+def _make_running_totals_processor():
+    """Per-user running totals via the v2 stateful API: ValueState keyed
+    by user_id carries (event count, value total) across micro-batches;
+    every input row is emitted with its per-user sequence number and
+    cumulative value.
+
+    Unlike the Welford operator above, the emitted stream is exactly the
+    per-user prefix sum in event-time order — SQL-expressible as a
+    ``row_number``/``sum OVER`` window — so this custom stateful operator
+    gets a FULL DuckDB oracle, micro-batch boundaries notwithstanding
+    (state continuation makes the union over batches equal the one-shot
+    window; pinned by the batch-split test).
+
+    Deferred import + factory: the stateful_processor module is a
+    Spark 4 API, and the processor must be constructed fresh per query.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _TWS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            prior = self._totals.get() if self._totals.exists() else (0, 0.0)
+            n, total = int(prior[0]), float(prior[1])
+            frames = [f for f in rows if len(f)]
+            if not frames:
+                return
+            batch = pd.concat(frames)
+            # event-time order: sequential state math must not depend on
+            # post-shuffle row order (same rule as anomaly_counter)
+            batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+            cum = batch["value"].astype("float64").cumsum() + total
+            seq = range(n + 1, n + len(batch) + 1)
+            self._totals.update((n + len(batch), float(cum.iloc[-1])))
+            yield pd.DataFrame({
+                "user_id": user_id,
+                "event_id": batch["event_id"].to_numpy(),
+                "seq": list(seq),
+                "cum_value": cum.round(4).to_numpy(),
+            })
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotalsProcessor()
+
+
+def events_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the v2 stateful operator over the events file
+    stream (availableNow), returning every event's per-user running
+    sequence number and cumulative value."""
+    from .queries import _run_to_memory_sink, events_stream
+    events = events_stream(spark, sf_dir).select("user_id", "event_id",
+                                                 "ts", "value")
+    out = (events
+           .groupBy("user_id")
+           .transformWithStateInPandas(
+               statefulProcessor=_make_running_totals_processor(),
+               outputStructType=TWS_OUTPUT_SCHEMA,
+               outputMode="append",
+               timeMode="None"))
+    name = "events_tws_running_totals_sink"
+    _run_to_memory_sink(out, name, "append")
+    return spark.table(name)
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas drives its state server over protobuf;
+    this container ships no google.protobuf, so the v2 API is
+    implemented but can only run where the dependency exists.  Loud
+    capability probe, same pattern as the multimodal codec guard."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+# Registered for the driver only where the runtime can execute it — a
+# query that crashes the state-server worker must not reach queries().
+if tws_available():
+    QUERIES["events_tws_running_totals"] = events_tws_running_totals
+    ORACLES["events_tws_running_totals"] = """
+        SELECT user_id, event_id,
+               row_number() OVER w AS seq,
+               round(sum(value) OVER w, 4) AS cum_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """

@@ -173,3 +173,44 @@ def test_compaction_reduces_file_count_losslessly(spark, sf_dir):
               .cast("decimal(38,0)")).alias("h")
     ).collect()[0].h
     assert chk(out) == chk(orig)
+
+
+def test_dataset_split_partition_of_corpus(spark, sf_dir):
+    """Every doc lands in exactly one split; ratios approximate 80/10/10;
+    assignment is a pure row function (rerun over repartitioned input is
+    identical)."""
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        dataset_split_assignment)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = dataset_split_assignment(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    counts = {}
+    for r in rows:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.7 < counts["train"] / n_docs < 0.9
+    again = {(r.doc_id, r.split) for r in
+             dataset_split_assignment(spark, sf_dir)
+             .repartition(7).collect()}
+    assert {(r.doc_id, r.split) for r in rows} == again
+
+
+def test_fixed_k_sample_exact_size_and_stability(spark, sf_dir):
+    """Exactly min(k, n_lang) docs per language, rank total and stable
+    across reruns."""
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        _FIXED_K, fixed_k_sample_per_lang)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    totals = dict(load_table(spark, sf_dir, "documents")
+                  .groupBy("lang").count().collect())
+    rows = fixed_k_sample_per_lang(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.sample_rank)
+    for lang, ranks in by_lang.items():
+        assert sorted(ranks) == list(range(1, min(_FIXED_K, totals[lang]) + 1))
+    assert set(by_lang) == set(totals)
+    again = {(r.doc_id, r.sample_rank) for r in
+             fixed_k_sample_per_lang(spark, sf_dir).collect()}
+    assert {(r.doc_id, r.sample_rank) for r in rows} == again

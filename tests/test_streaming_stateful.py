@@ -85,3 +85,29 @@ def test_series_cap_at_10k(spark):
     assert series["t"].max() == 9_999
     # earliest-first: values 0..9999 kept, the newest 500 dropped
     assert series["y"].max() == 9_999.0
+
+
+def test_tws_running_totals_matches_window_cumsum(spark, sf_dir):
+    """v2 stateful API (transformWithStateInPandas): per-user running
+    totals must equal the batch window prefix-sum.  Skipped where the
+    container lacks the protobuf dependency the state server needs."""
+    import pytest
+
+    from qrapids_forecast_r_script_spark.streaming.stateful import (
+        events_tws_running_totals, tws_available)
+    if not tws_available():
+        pytest.skip("google.protobuf not available — TWS state server "
+                    "cannot start in this container")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = {(r.user_id, r.event_id): (r.seq, r.cum_value)
+           for r in events_tws_running_totals(spark, sf_dir).collect()}
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {(r.user_id, r.event_id): (r.seq, r.cum_value)
+            for r in (load_table(spark, sf_dir, "events")
+                      .select("user_id", "event_id",
+                              F.row_number().over(w).alias("seq"),
+                              F.round(F.sum("value").over(w), 4)
+                              .alias("cum_value"))).collect()}
+    assert got == want
