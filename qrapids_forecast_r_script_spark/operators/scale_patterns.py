@@ -101,7 +101,12 @@ def bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucketed copies land under /tmp keyed by scale factor; bucketing is
     layout-only, so the naive join is an exact oracle.
     """
+    from ..sources import source_fingerprint
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # fingerprints guard against cross-round testdata regeneration: a
+    # bucketed layout of last round's bytes must not serve this round
+    tag = (f"{tag}_{source_fingerprint(sf_dir, 'customer')}"
+           f"{source_fingerprint(sf_dir, 'orders')}")
     base = f"/tmp/qrapids_bucketed/{tag}"
     cust = _bucketed_table(
         spark, load_table(spark, sf_dir, "customer")
@@ -227,8 +232,11 @@ _COMPACT_TARGET_BYTES = 32 << 20  # per-file size target after compaction
 
 
 def _compact_dirs(sf_dir: str) -> tuple[str, str]:
+    from ..sources import source_fingerprint
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = f"/tmp/qrapids_compact/{tag}"
+    # events fingerprint: stale fragments from a regenerated testdata
+    # round must force a rewrite (same rule as the bucketed layouts)
+    base = f"/tmp/qrapids_compact/{tag}_{source_fingerprint(sf_dir, 'events')}"
     return f"{base}/fragmented", f"{base}/compacted"
 
 

@@ -1,4 +1,5 @@
-from .registry import load_table, load_all, search_element, load_series, events_as_metrics
+from .registry import (load_table, load_all, search_element, load_series,
+                       events_as_metrics, source_fingerprint)
 
 __all__ = ["load_table", "load_all", "search_element", "load_series",
-           "events_as_metrics"]
+           "events_as_metrics", "source_fingerprint"]

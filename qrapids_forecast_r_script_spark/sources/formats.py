@@ -28,7 +28,11 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str,
     with the explicit schema.  Timestamps travel as microsecond-precision
     strings in the text formats (Spark's default writer pattern keeps
     them round-trippable)."""
+    from .registry import source_fingerprint
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # fingerprint guards against the driver regenerating testdata between
+    # rounds — a stale round-trip copy must never feed a hash-checked query
+    tag = f"{tag}_{source_fingerprint(sf_dir, table)}"
     path = f"/tmp/qrapids_formats/{tag}/{table}.{fmt}"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):

@@ -38,6 +38,24 @@ def events_ts_is_nanos(path: str) -> bool:
     return str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
 
 
+def source_fingerprint(sf_dir: str, table: str) -> str:
+    """8-hex-char fingerprint of a source parquet's (size, mtime).
+
+    Every /tmp artifact cache (bucketed layouts, format round-trips,
+    compaction fragments) must key on this, not just the sf tag: the
+    driver REGENERATES /root/testdata between rounds (the events ``ts``
+    physical type already changed once — see :func:`events_ts_is_nanos`),
+    and an artifact derived from the previous round's bytes would
+    silently serve stale data into a hash-checked query.
+    """
+    import hashlib
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(path)
+    token = f"{st.st_size}:{st.st_mtime_ns}"
+    return hashlib.md5(token.encode()).hexdigest()[:8]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. Explicit schema → no inference pass at scale.
 
