@@ -378,3 +378,73 @@ def forecast_cache_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVAL_QUERIES["forecast_cache_roundtrip"] = forecast_cache_roundtrip
 EVAL_ORACLES["forecast_cache_roundtrip"] = _oracle(
     _SNAIVE_SELECT + " WHERE s.name = 'click'")
+
+def forecast_snaive_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly-frequency SNAIVE (m=12, horizon 12) over orders revenue —
+    the reference's ``frequencyts`` parameter (R:32, R:36: weekly data
+    uses 7, monthly 12) exercised at the non-default frequency with a
+    full closed-form oracle.  Series: per-o_orderpriority monthly revenue
+    in $M (the 1e-6 scaling keeps seasonal-diff stddevs ~1e1, so the
+    6-dp output rounding sits 5+ orders above cross-engine float drift).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    metrics = (orders
+               .groupBy(F.col("o_orderpriority").alias("name"),
+                        F.trunc("o_orderdate", "month")
+                        .alias("evaluationDate"))
+               .agg(F.round(F.sum(F.col("o_totalprice") / F.lit(1e6)), 6)
+                    .alias("value"))
+               .select("name", F.lit("test.metrics.orders").alias("index"),
+                       "evaluationDate", "value"))
+    out = forecast_batch(spark, metrics, "SNAIVE", frequency=12, horizon=12)
+    cols = ["lower1", "lower2", "mean", "upper1", "upper2"]
+    return out.select(
+        "name", "index", "method",
+        F.col("step").cast("long").alias("step"),
+        *[F.round(c, _ROUND).alias(c) for c in cols])
+
+
+_METRICS_ORDERS_MONTHLY = """
+    SELECT o_orderpriority AS name,
+           'test.metrics.orders' AS index,
+           date_trunc('month', o_orderdate) AS evaluationDate,
+           round(sum(o_totalprice / 1000000.0), 6) AS value
+    FROM orders GROUP BY 1, 2, 3
+"""
+
+_SNAIVE_MONTHLY_ORACLE = f"""
+WITH metrics AS ({_METRICS_ORDERS_MONTHLY}), series AS (
+    SELECT name, index,
+           row_number() OVER (PARTITION BY name, index
+                              ORDER BY evaluationDate ASC, value ASC) - 1 AS t,
+           CAST(value AS DOUBLE) AS y
+    FROM metrics
+), stats AS (
+    SELECT name, index, count(*) AS n FROM series GROUP BY 1, 2
+), sdiffs AS (
+    SELECT name, index, stddev_samp(d) AS sd_sdiff
+    FROM (SELECT name, index,
+                 y - lag(y, 12) OVER (PARTITION BY name, index ORDER BY t) AS d
+          FROM series)
+    WHERE d IS NOT NULL
+    GROUP BY name, index
+), steps AS (
+    SELECT CAST(h AS BIGINT) AS step FROM generate_series(1, 12) AS g(h)
+)
+SELECT s.name, s.index, 'SNAIVE' AS method, st.step,
+       round(sv.y - {{Z80}} * sd_sdiff * sqrt(floor((st.step - 1) / 12) + 1), {{R}}) AS lower1,
+       round(sv.y - {{Z95}} * sd_sdiff * sqrt(floor((st.step - 1) / 12) + 1), {{R}}) AS lower2,
+       round(sv.y, {{R}}) AS mean,
+       round(sv.y + {{Z80}} * sd_sdiff * sqrt(floor((st.step - 1) / 12) + 1), {{R}}) AS upper1,
+       round(sv.y + {{Z95}} * sd_sdiff * sqrt(floor((st.step - 1) / 12) + 1), {{R}}) AS upper2
+FROM stats s
+JOIN sdiffs sd2 ON s.name = sd2.name AND s.index = sd2.index
+CROSS JOIN steps st
+JOIN series sv
+  ON sv.name = s.name AND sv.index = s.index
+ AND sv.t = s.n - 12 + ((st.step - 1) % 12)
+""".format(Z80=Z80, Z95=Z95, R=_ROUND)
+
+EVAL_QUERIES["forecast_snaive_monthly_orders"] = forecast_snaive_monthly_orders
+EVAL_ORACLES["forecast_snaive_monthly_orders"] = _SNAIVE_MONTHLY_ORACLE
+

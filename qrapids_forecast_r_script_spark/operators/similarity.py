@@ -442,13 +442,162 @@ def pq_topk(spark: SparkSession, sf_dir: str, m: int = _PQ_M,
                     F.col("vec_id").alias("neighbor_id"), "cosine"))
 
 
+_KM_ROUNDS = 2       # unrolled Lloyd refinement rounds (oracle-matched)
+_KM_DP = 6           # per-round centroid coordinate rounding (see below)
+
+
+def _argmax_cell(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, vec, vnorm, centroid_id, rn): each vector ranked against
+    every centroid by rounded cosine (centroid-id tiebreak) — rn=1 is the
+    cell assignment, rn<=nprobe the probe set."""
+    csim = F.round(_dot(F.col("vec"), F.col("cvec"))
+                   / (F.col("vnorm") * F.col("cnorm")), 6)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc())
+    return (vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "vec", "vnorm", "centroid_id",
+                    csim.alias("csim"))
+            .withColumn("rn", F.row_number().over(w)))
+
+
+def ivf_kmeans_topk(spark: SparkSession, sf_dir: str, k: int = _IVF_K,
+                    nprobe: int = _IVF_NPROBE) -> DataFrame:
+    """IVF with k-means-refined centroids — the production form of
+    :func:`ivf_topk`, closing its documented "sample as a stand-in for
+    k-means" shortcut while KEEPING the exact DuckDB oracle.
+
+    Two unrolled Lloyd rounds on top of the same deterministic hash-
+    sample init: assign every vector to its best centroid (rounded
+    cosine, id tiebreak), recompute each cell's per-dimension mean, and
+    ROUND the new coordinates to 6 dp.  The rounding is what keeps the
+    whole refinement oracle-able: float means differ between engines in
+    the last ulp (association order), and rounding at 1e-6 — nine orders
+    above the drift — resynchronizes both sides after every round, so
+    distances, assignments, and the final top-k stay hash-identical.
+    Empty cells drop out on both sides alike.
+
+    Scale shape per round: one broadcast-k argmin pass (map-only) + one
+    (centroid, dim) grouped mean over k·64 cells — the textbook
+    k-means|| iteration cost, constant in k and independent of corpus
+    partitioning.  Everything else matches ivf_topk.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = (emb.select("vec_id", _as_double("embedding").alias("vec"))
+            .withColumn("vnorm", _norm(F.col("vec"))))
+    cents = (vecs
+             .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")),
+                      F.col("vec_id"))
+             .limit(k)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("vec").alias("cvec"),
+                     F.col("vnorm").alias("cnorm")))
+    for _ in range(_KM_ROUNDS):
+        cell = (_argmax_cell(vecs, cents).where(F.col("rn") == 1)
+                .select("vec_id", "vec", "centroid_id"))
+        dims = cell.select("centroid_id",
+                           F.posexplode("vec").alias("pos", "val"))
+        means = (dims.groupBy("centroid_id", "pos")
+                 .agg(F.round(F.avg("val"), _KM_DP).alias("cval")))
+        cents = (means.groupBy("centroid_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "cval")))
+                      .alias("s"))
+                 .select("centroid_id",
+                         F.transform("s", lambda x: x["cval"]).alias("cvec"))
+                 .withColumn("cnorm", _norm(F.col("cvec"))))
+    assigned = _argmax_cell(vecs, cents)
+    cell = (assigned.where(F.col("rn") == 1)
+            .select("vec_id", "vec", "vnorm", "centroid_id"))
+    queries = (assigned.where((F.col("vec_id") < _N_QUERIES)
+                              & (F.col("rn") <= nprobe))
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("vec").alias("qvec"),
+                       F.col("vnorm").alias("qnorm"), "centroid_id"))
+    sim = F.round(_dot(F.col("qvec"), F.col("vec"))
+                  / (F.col("qnorm") * F.col("vnorm")), 6)
+    scored = (cell.join(F.broadcast(queries), "centroid_id")
+              .where(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      sim.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "rank", "neighbor_id", "cosine"))
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ivf_topk": ivf_topk,
+    "ivf_kmeans_topk": ivf_kmeans_topk,
     "pq_topk": pq_topk,
 }
+
+
+def _ivf_kmeans_oracle_sql(k: int = _IVF_K, nprobe: int = _IVF_NPROBE,
+                           rounds: int = _KM_ROUNDS) -> str:
+    """Unrolled-Lloyd IVF oracle: each refinement round is an
+    assignment CTE + a per-(centroid, dim) rounded mean rebuilt into a
+    list — the same computation the Spark side runs, in pure SQL."""
+    cos = ("round(list_dot_product({a}, {b}) "
+           "/ (sqrt(list_dot_product({a}, {a})) "
+           "* sqrt(list_dot_product({b}, {b}))), 6)")
+    parts = [f"""
+        vecs AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), cents0 AS (
+            SELECT vec_id AS centroid_id, emb AS cemb FROM vecs
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+        )"""]
+    for r in range(rounds):
+        c = cos.format(a="v.emb", b="c.cemb")
+        parts.append(f"""
+        assign{r} AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {c} DESC, c.centroid_id ASC) AS rn
+            FROM vecs v CROSS JOIN cents{r} c
+        ), cell{r} AS (
+            SELECT vec_id, emb, centroid_id FROM assign{r} WHERE rn = 1
+        ), cents{r + 1} AS (
+            SELECT centroid_id, list(cval ORDER BY pos) AS cemb
+            FROM (
+                SELECT centroid_id, t.pos,
+                       round(avg(emb[t.pos]), {_KM_DP}) AS cval
+                FROM cell{r},
+                     unnest(generate_series(1, len(emb))) AS t(pos)
+                GROUP BY 1, 2)
+            GROUP BY 1
+        )""")
+    c = cos.format(a="v.emb", b="c.cemb")
+    sim = cos.format(a="q.qemb", b="v.emb")
+    parts.append(f"""
+        final_assign AS (
+            SELECT v.vec_id, v.emb, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {c} DESC, c.centroid_id ASC) AS rn
+            FROM vecs v CROSS JOIN cents{rounds} c
+        ), final_cell AS (
+            SELECT vec_id, emb, centroid_id FROM final_assign WHERE rn = 1
+        ), qprobe AS (
+            SELECT vec_id AS query_id, emb AS qemb, centroid_id
+            FROM final_assign
+            WHERE vec_id < {_N_QUERIES} AND rn <= {nprobe}
+        ), scored AS (
+            SELECT q.query_id, v.vec_id AS neighbor_id, {sim} AS cosine
+            FROM qprobe q JOIN final_cell v ON q.centroid_id = v.centroid_id
+            WHERE q.query_id != v.vec_id
+        )""")
+    return ("WITH " + ",".join(parts) + f"""
+        SELECT query_id, rank, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        WHERE rank <= {_TOP_K}
+    """)
 
 
 def _ann_lsh_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
@@ -663,3 +812,5 @@ ORACLES = {
         WHERE rank <= {_TOP_K}
     """,
 }
+
+ORACLES["ivf_kmeans_topk"] = _ivf_kmeans_oracle_sql()

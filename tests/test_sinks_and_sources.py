@@ -279,3 +279,23 @@ def test_python_datasource_partitioned_and_deterministic(spark):
     rows8 = sorted(map(tuple, df8.collect()))
     rows1 = sorted(map(tuple, df1.collect()))
     assert rows8 == rows1 and len(rows8) == 100
+
+
+def test_ivf_kmeans_recall_at_least_sample_centroids(spark, sf_dir):
+    """The Lloyd-refined centroids must hold recall at or above the
+    plain hash-sample centroids (k-means tightens cells, so probing the
+    same nprobe cells should find at least as many true neighbors —
+    allow 10% slack for cell-boundary reshuffling on the synthetic
+    near-uniform corpus)."""
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        cosine_topk_bruteforce, ivf_kmeans_topk, ivf_topk)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in cosine_topk_bruteforce(spark, sf_dir).collect()}
+    sample = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(spark, sf_dir).collect()}
+    km = {(r["query_id"], r["neighbor_id"])
+          for r in ivf_kmeans_topk(spark, sf_dir).collect()}
+    recall_sample = len(bf & sample) / len(bf)
+    recall_km = len(bf & km) / len(bf)
+    assert recall_km >= recall_sample - 0.1, (recall_km, recall_sample)
+    assert recall_km >= 0.25, recall_km
