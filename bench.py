@@ -64,6 +64,8 @@ HEADLINE = [
     # the median is warm, like bucketed_orders_join)
     "bloom_ngram_containment",
     "compact_small_files",
+    # k-means-refined IVF — the production ANN form (2 Lloyd rounds)
+    "ivf_kmeans_topk",
 ]
 
 

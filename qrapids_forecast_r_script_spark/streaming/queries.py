@@ -102,17 +102,25 @@ def events_stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows: 1-hour window every 30 minutes (each event counted
-    in exactly 2 windows)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (ev
-            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
-                     F.col("event_type"))
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("total_value"))
-            .select(F.col("w.start").alias("window_start"),
-                    F.col("w.end").alias("window_end"),
-                    "event_type", "n_events", "total_value"))
+    """REAL streaming sliding windows: 1-hour window every 30 minutes
+    (each event lands in exactly 2 windows), readStream → watermark →
+    window agg → availableNow → memory sink.  Complete output mode makes
+    the final table independent of micro-batch boundaries, so the batch
+    SQL oracle is exact — same contract as the tumbling query.  (This
+    was a batch-form demo until round 2; the SCALE.md shortcut list
+    shrank accordingly.)"""
+    agg = (events_stream(spark, sf_dir)
+           .withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                    F.col("event_type"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"))
+           .select(F.col("w.start").alias("window_start"),
+                   F.col("w.end").alias("window_end"),
+                   "event_type", "n_events", "total_value"))
+    name = "events_stream_sliding_sink"
+    _run_to_memory_sink(agg, name, "complete")
+    return spark.table(name)
 
 
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

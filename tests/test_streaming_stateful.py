@@ -111,3 +111,54 @@ def test_tws_running_totals_matches_window_cumsum(spark, sf_dir):
                               F.round(F.sum("value").over(w), 4)
                               .alias("cum_value"))).collect()}
     assert got == want
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Late-data semantics (SURVEY §2B streaming row): an event arriving
+    after the watermark has passed its event-time must be EXCLUDED from
+    the windowed aggregate.  Two availableNow runs share one checkpoint
+    (watermark persists across restarts — the recovery contract): run 1
+    advances the watermark past 13:00; run 2 delivers a 10:15 straggler,
+    which the 1-hour watermark must drop."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import Row, functions as F
+
+    d = str(tmp_path / "stream")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d, exist_ok=True)
+
+    def write_file(rows):
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(d)
+
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = (spark.readStream.schema("ts timestamp, v double")
+                  .parquet(d))
+        agg = (stream.withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "1 hour").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n")))
+        # parquet sink: the memory sink refuses checkpoint recovery, and
+        # the restart is the point of this test
+        q = (agg.writeStream.format("parquet")
+             .option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    ts = lambda h, m: datetime(2024, 3, 1, h, m)  # noqa: E731
+    write_file([Row(ts=ts(10, 0), v=1.0), Row(ts=ts(10, 30), v=1.0),
+                Row(ts=ts(14, 0), v=1.0)])
+    run()                                # watermark → 13:00, persisted
+    write_file([Row(ts=ts(10, 15), v=1.0),   # LATE: behind the watermark
+                Row(ts=ts(16, 0), v=1.0)])   # pushes watermark → 15:00
+    run()
+    rows = {r.w.start.hour: r.n for r in spark.read.parquet(out).collect()}
+    # the 10:00 window finalizes with 2 events — the 10:15 straggler was
+    # dropped (3 would mean the watermark admitted it); the 14:00 window
+    # finalizes in run 2 untouched by the straggler
+    assert rows.get(10) == 2, rows
+    assert rows.get(14) == 1, rows
