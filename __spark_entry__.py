@@ -75,9 +75,17 @@ def _registries():
             "events_zscore_outliers": relational_more.ORACLES["events_zscore_outliers"],
         },
     )
+    # Deferred past the ~50-query window: intermediate-representation
+    # queries whose full execution chain is already proven in-window by
+    # their pair queries (minhash_lsh_pairs / simhash_neardup_pairs run
+    # the same signature chains end-to-end) — the freed slots keep the
+    # SNAIVE/DRIFT closed forms under driver check.
+    defer = {"minhash_signatures", "simhash_docs"}
+    dedup_front = {k: v for k, v in dedup.QUERIES.items() if k not in defer}
+    dedup_back = {k: dedup.QUERIES[k] for k in defer}
     return [
         fixed,
-        (dedup.QUERIES, dedup.ORACLES),
+        (dedup_front, dedup.ORACLES),
         (similarity.QUERIES, similarity.ORACLES),
         (text.QUERIES, text.ORACLES),
         (multimodal.QUERIES, multimodal.ORACLES),
@@ -98,6 +106,7 @@ def _registries():
         # round (strict_audit covers them locally); rotate forward next
         (text_quality.QUERIES, text_quality.ORACLES),
         (pyds.QUERIES, pyds.ORACLES),
+        (dedup_back, dedup.ORACLES),
         (fq.EVAL_QUERIES, fq.EVAL_ORACLES),
         (dedup.EXTRA_QUERIES, dedup.EXTRA_ORACLES),
         (sq.EXTRA_QUERIES, sq.EXTRA_ORACLES),

@@ -187,8 +187,45 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "rank"))
 
 
+_CHUNK_SIZE = 64     # tokens per chunk
+_CHUNK_STEP = 56     # stride → 8-token overlap between adjacent chunks
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap — the tokenize-and-window
+    primitive every pretraining / RAG ingestion pipeline runs: each
+    document becomes ceil-strided 64-token windows with an 8-token
+    overlap (chunk starts at 0, 56, 112, …; the last chunk is short).
+
+    Pure codegen: one split, one ``sequence``+``posexplode`` over the
+    per-doc start offsets (no per-row Python, no shuffle before the
+    explode — chunking is map-only, which is what makes it safe to run
+    inline in a 100 TB ingest).  ``slice`` clamps at the end of the
+    token array on both engines, so chunk boundaries are engine-exact
+    and the whole operator hash-checks, chunk text included.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("s"))
+    n = F.size("s")
+    n_extra = F.greatest(
+        F.lit(0),
+        F.ceil((n - F.lit(_CHUNK_SIZE)) / F.lit(float(_CHUNK_STEP)))
+        .cast("int"))
+    starts = F.sequence(F.lit(0), n_extra)
+    return (toks
+            .select("doc_id", "s",
+                    F.posexplode(starts).alias("chunk_id", "ci"))
+            .select("doc_id", "chunk_id",
+                    F.slice("s", F.col("ci") * _CHUNK_STEP + 1,
+                            _CHUNK_SIZE).alias("chunk"))
+            .select("doc_id", "chunk_id",
+                    F.size("chunk").alias("n_tokens"),
+                    F.concat_ws(" ", "chunk").alias("chunk_text")))
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "doc_chunks": doc_chunks,
     "token_count_regex": token_count_regex,
     "quality_score": quality_score,
     "lang_id_heuristic": lang_id_heuristic,
@@ -309,3 +346,24 @@ ORACLES = {
         FROM sh
     """,
 }
+
+ORACLES["doc_chunks"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS s FROM documents
+    ), starts AS (
+        SELECT doc_id, s,
+               unnest(generate_series(0,
+                   greatest(0, CAST(ceil((len(s) - {_CHUNK_SIZE})
+                                         / {_CHUNK_STEP}.0) AS INTEGER))))
+                   AS chunk_id
+        FROM toks
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(len(list_slice(s, chunk_id * {_CHUNK_STEP} + 1,
+                               chunk_id * {_CHUNK_STEP} + {_CHUNK_SIZE}))
+                AS INTEGER) AS n_tokens,
+           array_to_string(list_slice(s, chunk_id * {_CHUNK_STEP} + 1,
+                                      chunk_id * {_CHUNK_STEP} + {_CHUNK_SIZE}),
+                           ' ') AS chunk_text
+    FROM starts
+"""

@@ -96,3 +96,41 @@ def test_bigram_logprob_matches_closed_form(spark, monkeypatch):
     [r] = tq.doc_bigram_logprob(spark, "x").collect()
     assert r.n_bigrams == 1
     assert abs(r.avg_neg_logprob - round(-math.log(1.5 / 2.0), 6)) < 1e-9
+
+
+def test_doc_chunks_reconstruct_original(spark, sf_dir):
+    """Overlap-aware reconstruction: chunk 0 plus each later chunk minus
+    its 8-token overlap must rebuild every document exactly — no token
+    lost or duplicated at any chunk boundary (the property that makes
+    chunked training data safe)."""
+    from qrapids_forecast_r_script_spark.operators.text import (
+        _CHUNK_SIZE, _CHUNK_STEP, doc_chunks)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    overlap = _CHUNK_SIZE - _CHUNK_STEP
+    chunks = {}
+    for r in doc_chunks(spark, sf_dir).collect():
+        chunks.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+    originals = {r.doc_id: r.text.split(" ")
+                 for r in load_table(spark, sf_dir, "documents").collect()}
+    assert set(chunks) == set(originals)
+    for doc_id, by_id in chunks.items():
+        rebuilt = list(by_id[0])
+        for cid in range(1, max(by_id) + 1):
+            rebuilt.extend(by_id[cid][overlap:])
+        assert rebuilt == originals[doc_id], doc_id
+
+
+def test_ivf_kmeans_partitioning_invariant(spark, sf_dir):
+    """The rounded-Lloyd refinement must give identical top-k under a
+    different shuffle width — the 1e-6 coordinate rounding exists
+    precisely to absorb partitioning-dependent float-mean association."""
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        ivf_kmeans_topk)
+    a = sorted(map(tuple, ivf_kmeans_topk(spark, sf_dir).collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = sorted(map(tuple, ivf_kmeans_topk(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
