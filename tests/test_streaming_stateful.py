@@ -162,3 +162,32 @@ def test_watermark_drops_late_event(spark, tmp_path):
     # finalizes in run 2 untouched by the straggler
     assert rows.get(10) == 2, rows
     assert rows.get(14) == 1, rows
+
+
+def test_statestore_reader_exposes_aggregate_state(spark, sf_dir, tmp_path):
+    """Spark 4 state data source: after a streaming aggregation run, the
+    checkpoint's state store is itself queryable as a DataFrame — the
+    at-scale debugging story for stateful pipelines (inspect skew or
+    poison keys WITHOUT replaying the stream).  The state rows must
+    equal the batch ground truth."""
+    from pyspark.sql import functions as F
+    from qrapids_forecast_r_script_spark.sources import load_table
+    from qrapids_forecast_r_script_spark.streaming.queries import (
+        events_stream)
+    ckpt = str(tmp_path / "ckpt")
+    agg = (events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+           .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+    q = (agg.writeStream.format("memory").queryName("ss_reader_sink")
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    state = spark.read.format("statestore").load(ckpt)
+    # the value struct's field carries the internal buffer name, so
+    # address it positionally (single count buffer)
+    got = {r["key"]["event_type"]: r["value"][0]
+           for r in state.collect()}
+    want = {r.event_type: r.n
+            for r in (load_table(spark, sf_dir, "events")
+                      .groupBy("event_type")
+                      .agg(F.count(F.lit(1)).alias("n"))).collect()}
+    assert got == want
