@@ -80,9 +80,17 @@ def _registries():
     # their pair queries (minhash_lsh_pairs / simhash_neardup_pairs run
     # the same signature chains end-to-end) — the freed slots keep the
     # SNAIVE/DRIFT closed forms under driver check.
-    defer = {"minhash_signatures", "simhash_docs"}
+    # salted_skew_agg joins them: a result-preserving rewrite whose plan
+    # shape (not result) is the point — the salted JOIN already holds the
+    # in-window skew slot.
+    defer = {"minhash_signatures", "simhash_docs", "salted_skew_agg"}
     dedup_front = {k: v for k, v in dedup.QUERIES.items() if k not in defer}
-    dedup_back = {k: dedup.QUERIES[k] for k in defer}
+    dedup_back = {k: dedup.QUERIES[k] for k in defer
+                  if k in dedup.QUERIES}
+    sp_front = {k: v for k, v in scale_patterns.QUERIES.items()
+                if k not in defer}
+    sp_back = {k: scale_patterns.QUERIES[k] for k in defer
+               if k in scale_patterns.QUERIES}
     return [
         fixed,
         (dedup_front, dedup.ORACLES),
@@ -92,7 +100,7 @@ def _registries():
         (pipeline.QUERIES, pipeline.ORACLES),
         (sq.QUERIES, sq.ORACLES),
         (stateful.QUERIES, stateful.ORACLES),
-        (scale_patterns.QUERIES, scale_patterns.ORACLES),
+        (sp_front, scale_patterns.ORACLES),
         (product_analytics.QUERIES, product_analytics.ORACLES),
         (formats.QUERIES, formats.ORACLES),
         # the five closed-form-oracled forecast queries first (verdict r1
@@ -107,6 +115,7 @@ def _registries():
         (text_quality.QUERIES, text_quality.ORACLES),
         (pyds.QUERIES, pyds.ORACLES),
         (dedup_back, dedup.ORACLES),
+        (sp_back, scale_patterns.ORACLES),
         (fq.EVAL_QUERIES, fq.EVAL_ORACLES),
         (dedup.EXTRA_QUERIES, dedup.EXTRA_ORACLES),
         (sq.EXTRA_QUERIES, sq.EXTRA_ORACLES),

@@ -282,8 +282,50 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on a skewed key: count, sum, max AND
+    count-distinct-users per event_type, pre-aggregated by
+    (event_type, salt) then merged.
+
+    The single-stage form puts each hot key's final merge on ONE reducer;
+    with 5 Zipf keys, 5 partitions do all the work no matter the cluster
+    size.  Salting spreads stage 1 across 16× more partitions; stage 2
+    merges 16 tiny partials per key.  count/sum/max re-aggregate
+    losslessly; the distinct-user count survives because stage 1 keeps
+    the distinct USER SET per (key, salt) — ``collect_set`` — and stage 2
+    counts the union's distinct members.  (Spark's map-side partial
+    aggregation does this automatically for most aggs; the explicit form
+    is the template for aggregates the partial-agg planner can't split,
+    e.g. exact distincts over skewed keys.)  At extreme per-key user
+    cardinality the set-per-bucket form gives way to a (key, user)
+    pre-dedup shuffle or the HLL sketch (``distinct_users_hll``) — the
+    set must fit an executor here.  Result is salt-invariant → the
+    oracle is the plain GROUP BY.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stage1 = (ev
+              .withColumn("salt",
+                          F.pmod(F.xxhash64("event_id"),
+                                 F.lit(_SALT_BUCKETS)))
+              .groupBy("event_type", "salt")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("value").alias("sv"),
+                   F.max("value").alias("mx"),
+                   F.collect_set("user_id").alias("users")))
+    return (stage1
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n_events"),
+                 F.round(F.sum("sv"), 2).alias("sum_value"),
+                 F.round(F.max("mx"), 6).alias("max_value"),
+                 F.size(F.array_distinct(
+                     F.flatten(F.collect_list("users")))).cast("long")
+                 .alias("n_users"))
+            .orderBy("event_type"))
+
+
 QUERIES = {
     "salted_skew_join": salted_skew_join,
+    "salted_skew_agg": salted_skew_agg,
     "bucketed_orders_join": bucketed_orders_join,
     "zorder_bin_stats": zorder_bin_stats,
     "orders_upsert_scd1": orders_upsert_scd1,
@@ -309,6 +351,16 @@ ORACLES = {
         FROM customer JOIN orders ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+    """,
+    "salted_skew_agg": """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               round(max(value), 6) AS max_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "compact_small_files": """
         SELECT event_type,
