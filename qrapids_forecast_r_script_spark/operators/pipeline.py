@@ -160,3 +160,31 @@ ORACLES = {
         GROUP BY label ORDER BY label
     """,
 }
+
+def observed_clean_pass(spark: SparkSession, sf_dir: str):
+    """The cleaning pass instrumented with ``DataFrame.observe`` — the
+    production data-quality-gate shape: per-job metrics (docs seen,
+    docs kept, tokens kept) ride along with the SAME action that
+    produces the output, at zero extra scans.  A 100 TB ingest wires
+    these into its circuit breaker (abort the write when the keep rate
+    collapses) instead of re-aggregating the corpus to find out.
+
+    Returns ``(df, observation)``; the observation is populated after
+    the first action on ``df``.  Demonstration + test surface (the
+    metrics equal the directly-aggregated truth); the driver-facing
+    result query stays :func:`corpus_clean_pipeline`.
+    """
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = (quality_flags(docs)
+               .join(docs.select("doc_id", "source"), "doc_id"))
+    obs = Observation("clean_gate")
+    observed = flagged.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs_seen"),
+        F.sum(F.col("keep").cast("long")).alias("docs_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens"))
+              .otherwise(F.lit(0))).alias("tokens_kept"))
+    return observed.where("keep").select("doc_id", "source", "n_tokens"), obs
+

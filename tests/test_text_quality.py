@@ -134,3 +134,25 @@ def test_ivf_kmeans_partitioning_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_observe_quality_gate_metrics(spark, sf_dir):
+    """DataFrame.observe data-quality gate: the metrics that ride along
+    with the cleaning action must equal the directly-aggregated truth —
+    no second corpus scan needed for the circuit breaker."""
+    from pyspark.sql import functions as F
+    from qrapids_forecast_r_script_spark.operators.pipeline import (
+        observed_clean_pass)
+    from qrapids_forecast_r_script_spark.operators.text import quality_flags
+    from qrapids_forecast_r_script_spark.sources import load_table
+    df, obs = observed_clean_pass(spark, sf_dir)
+    kept_rows = df.count()          # the action that populates the gate
+    got = obs.get
+    truth = quality_flags(load_table(spark, sf_dir, "documents")).agg(
+        F.count(F.lit(1)).alias("seen"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(F.lit(0)))
+         .alias("tokens")).first()
+    assert got["docs_seen"] == truth.seen
+    assert got["docs_kept"] == truth.kept == kept_rows
+    assert got["tokens_kept"] == truth.tokens
