@@ -247,6 +247,50 @@ def fixed_k_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "source", "sample_rank"))
 
 
+_MIX_ALPHA = 0.7                 # temperature: 1 = natural, 0 = uniform
+_MIX_KEEP_FRAC = 0.5             # target corpus fraction after sampling
+_MIX_RES = 1_000_000             # hash resolution for the keep threshold
+
+
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-mixture sampling (the T5/mT5
+    alpha-sampling scheme): languages are re-weighted w_l ∝ p_l^α
+    (α = 0.7), flattening the head and up-weighting the tail, and each
+    language is then hash-Bernoulli sampled at the rate that realizes
+    its re-balanced share of a half-size corpus.
+
+    Shape at scale: one tiny per-lang count aggregate → rates derived in
+    closed form and broadcast-joined back → map-only deterministic keep
+    (same multiplicative-hash discipline as the other samplers, so the
+    mixture is restartable and partition-invariant).  The rate is
+    rounded to 1e-6 BEFORE thresholding on both engines: pow() is not
+    correctly rounded across libms, and the rounding absorbs the ulp
+    drift that could otherwise flip a keep decision at the boundary.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    tot = counts.agg(F.sum("n_l").cast("double").alias("n"),
+                     F.lit(1).alias("one"))
+    w = (counts.withColumn("one", F.lit(1))
+         .join(F.broadcast(tot), "one")
+         .withColumn("wl", F.pow(F.col("n_l") / F.col("n"),
+                                 F.lit(_MIX_ALPHA))))
+    wsum = w.agg(F.sum("wl").alias("wsum"), F.lit(1).alias("one"))
+    rates = (w.join(F.broadcast(wsum), "one")
+             .withColumn(
+                 "keep_rate",
+                 F.round(F.least(
+                     F.lit(1.0),
+                     (F.col("wl") / F.col("wsum")) * F.col("n")
+                     * F.lit(_MIX_KEEP_FRAC) / F.col("n_l")), 6))
+             .select("lang", "keep_rate"))
+    thresh = F.floor(F.col("keep_rate") * _MIX_RES).cast("long")
+    return (docs.join(F.broadcast(rates), "lang")
+            .where(F.pmod(F.col("doc_id") * F.lit(_KNUTH),
+                          F.lit(_HASH_MOD)) % _MIX_RES < thresh)
+            .select("doc_id", "lang", "source", "keep_rate"))
+
+
 QUERIES = {
     "stratified_sample_docs": stratified_sample_docs,
     "eval_contamination": eval_contamination,
@@ -255,6 +299,7 @@ QUERIES = {
     "semantic_dedup_keep": semantic_dedup_keep,
     "dataset_split_assignment": dataset_split_assignment,
     "fixed_k_sample_per_lang": fixed_k_sample_per_lang,
+    "temperature_mixture_sample": temperature_mixture_sample,
 }
 
 _RATE_CASE = ("CASE " + " ".join(
@@ -371,3 +416,25 @@ ORACLES["fixed_k_sample_per_lang"] = f"""
     SELECT doc_id, lang, source, CAST(sample_rank AS BIGINT) AS sample_rank
     FROM ranked WHERE sample_rank <= {_FIXED_K}
 """
+
+ORACLES["temperature_mixture_sample"] = f'''
+    WITH counts AS (
+        SELECT lang, count(*) AS n_l FROM documents GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_l) AS DOUBLE) AS n FROM counts),
+    w AS (
+        SELECT lang, n_l, pow(n_l / t.n, {_MIX_ALPHA}) AS wl, t.n
+        FROM counts, tot t
+    ), wsum AS (SELECT sum(wl) AS wsum FROM w),
+    rates AS (
+        SELECT lang,
+               round(least(1.0,
+                     (wl / ws.wsum) * n * {_MIX_KEEP_FRAC} / n_l), 6)
+                   AS keep_rate
+        FROM w, wsum ws
+    )
+    SELECT d.doc_id, d.lang, d.source, r.keep_rate
+    FROM documents d JOIN rates r USING (lang)
+    WHERE (d.doc_id * {_KNUTH}) % {_HASH_MOD} % {_MIX_RES}
+          < CAST(floor(r.keep_rate * {_MIX_RES}) AS BIGINT)
+'''
+

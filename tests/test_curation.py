@@ -214,3 +214,26 @@ def test_fixed_k_sample_exact_size_and_stability(spark, sf_dir):
     again = {(r.doc_id, r.sample_rank) for r in
              fixed_k_sample_per_lang(spark, sf_dir).collect()}
     assert {(r.doc_id, r.sample_rank) for r in rows} == again
+
+
+def test_temperature_mixture_flattens_head(spark, sf_dir):
+    """Alpha-sampling semantics: the head language gets a LOWER keep
+    rate than tail languages (flattening), overall kept fraction lands
+    near the target, and the sample is rerun-stable."""
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        _MIX_KEEP_FRAC, temperature_mixture_sample)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    by_lang = dict(docs.groupBy("lang").count().collect())
+    head = max(by_lang, key=by_lang.get)
+    rows = temperature_mixture_sample(spark, sf_dir).collect()
+    rates = {}
+    for r in rows:
+        rates[r.lang] = r.keep_rate
+    assert all(rates[head] < v for k, v in rates.items() if k != head)
+    kept_frac = len(rows) / total
+    assert abs(kept_frac - _MIX_KEEP_FRAC) < 0.1, kept_frac
+    again = {r.doc_id for r in
+             temperature_mixture_sample(spark, sf_dir).collect()}
+    assert {r.doc_id for r in rows} == again
