@@ -182,11 +182,60 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("keep", F.col("dsir_score") > 0))
 
 
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information:
+    PMI(w1,w2) = ln(p(w1 w2) / (p(w1)·p(w2))), bigrams with count ≥ 5 —
+    the classic association-mining table (phrase detection, tokenizer
+    merge candidates, stop-phrase lists).
+
+    Shape: unigram + bigram count tables (map-side partial agg), two
+    equi-joins of the bigram table against the (vocabulary-bounded)
+    unigram table, corpus totals as broadcast 1-row aggregates.  PMI is
+    rounded to 1e-6 BEFORE ranking: ln() is a libm call whose last ulp
+    differs across engines, and ranking on the rounded value (bigram
+    tiebreak) keeps the top-k hash-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    n_tok = uni.agg(F.sum("cu").cast("double").alias("n_tok"),
+                    F.lit(1).alias("one"))
+    big = (shingle_table(docs)
+           .groupBy(F.col("shingle").alias("bigram"))
+           .agg(F.count(F.lit(1)).alias("n_ab"))
+           .where(F.col("n_ab") >= _PMI_MIN_COUNT)
+           .withColumn("w1", F.split_part("bigram", F.lit(" "), F.lit(1)))
+           .withColumn("w2", F.split_part("bigram", F.lit(" "), F.lit(2))))
+    n_big = big.agg(F.sum("n_ab").cast("double").alias("n_big"),
+                    F.lit(1).alias("one"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("cu").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("cu").alias("c2"))
+    pmi = F.round(
+        F.log((F.col("n_ab") / F.col("n_big"))
+              / ((F.col("c1") / F.col("n_tok"))
+                 * (F.col("c2") / F.col("n_tok")))), 6)
+    scored = (big.join(u1, "w1").join(u2, "w2")
+              .withColumn("one", F.lit(1))
+              .join(F.broadcast(n_tok), "one")
+              .join(F.broadcast(n_big), "one")
+              .select("bigram", "n_ab", pmi.alias("pmi")))
+    top = (scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+           .limit(_PMI_TOPK))
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "bigram", "n_ab", "pmi"))
+
+
 QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "corpus_bigram_topk": corpus_bigram_topk,
     "doc_bigram_logprob": doc_bigram_logprob,
     "dsir_importance": dsir_importance,
+    "bigram_pmi_top": bigram_pmi_top,
 }
 
 # DuckDB n-gram construction mirrors doc_fingerprint's oracle: index the
@@ -279,3 +328,29 @@ ORACLES = {
         GROUP BY doc_id, lang
     """,
 }
+
+ORACLES["bigram_pmi_top"] = f'''
+    WITH {_GRAMS_SQL},
+    u AS (SELECT g AS tok, count(*) AS cu FROM uni GROUP BY 1),
+    ntok AS (SELECT CAST(sum(cu) AS DOUBLE) AS n_tok FROM u),
+    b AS (
+        SELECT g AS bigram, count(*) AS n_ab,
+               string_split(g, ' ')[1] AS w1,
+               string_split(g, ' ')[2] AS w2
+        FROM big GROUP BY 1
+        HAVING count(*) >= {_PMI_MIN_COUNT}
+    ), nbig AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS n_big FROM b),
+    scored AS (
+        SELECT b.bigram, b.n_ab,
+               round(ln((b.n_ab / nb.n_big)
+                     / ((u1.cu / nt.n_tok) * (u2.cu / nt.n_tok))), 6) AS pmi
+        FROM b
+        JOIN u u1 ON u1.tok = b.w1
+        JOIN u u2 ON u2.tok = b.w2, ntok nt, nbig nb
+    )
+    SELECT rank, bigram, n_ab, pmi FROM (
+        SELECT *, row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS rank
+        FROM scored)
+    WHERE rank <= {_PMI_TOPK}
+'''
+
