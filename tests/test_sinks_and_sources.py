@@ -244,11 +244,13 @@ def test_dedup_clusters_match_union_find(spark, sf_dir):
 
 
 def test_pq_shortlist_recall_and_exact_rerank(spark, sf_dir):
-    """PQ contract: the codebook is m·k subvectors of a FIXED-size hash
-    sample (broadcast constant in corpus size), returned cosines are
-    EXACT (re-rank touches full vectors), and the ADC shortlist keeps
-    useful recall vs brute force (0.84-0.9 measured; floor well above
-    the ~0.12 random baseline)."""
+    """PQ contract: the codebook is m·k codes TRAINED with one rounded-
+    Lloyd round from a FIXED-size hash-sample init (broadcast constant
+    in corpus size), returned cosines are EXACT (re-rank touches full
+    vectors), and the ADC shortlist keeps useful recall vs brute force
+    (0.96 measured at sf0.01 after training, up from 0.84-0.9 with the
+    raw hash-sample codebook; floor well above the ~0.12 random
+    baseline)."""
     from qrapids_forecast_r_script_spark.operators.similarity import (
         cosine_topk_bruteforce, pq_topk)
     bf = {(r["query_id"], r["neighbor_id"]): r["cosine"]
@@ -262,7 +264,7 @@ def test_pq_shortlist_recall_and_exact_rerank(spark, sf_dir):
             assert abs(bf[key] - r["cosine"]) < 1e-5
     recall = len(set(bf) & {(r["query_id"], r["neighbor_id"])
                             for r in pq}) / len(bf)
-    assert recall >= 0.6, recall
+    assert recall >= 0.8, recall
 
 
 def test_python_datasource_partitioned_and_deterministic(spark):

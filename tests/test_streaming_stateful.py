@@ -19,6 +19,30 @@ def test_stateful_anomaly_counter_state_math(spark, sf_dir):
         assert 0 <= row["n_anomalies"] < len(grp)
 
 
+def test_anomaly_threshold_margin_exceeds_float_noise(spark, sf_dir):
+    """Guard for the round-3 SQL oracle of the Welford operator: the
+    oracle recomputes the prior-prefix mean/sd with two-pass window
+    aggregates, which agree with Welford's incremental form only to
+    ~1e-12 relative.  The comparison ``value > prior_mean + 3·prior_sd``
+    can therefore only flip between engines if some value sits within
+    float noise of its threshold — pin that the minimum margin on the
+    test data is orders of magnitude larger (measured 0.108 at sf0.01)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+    from qrapids_forecast_r_script_spark.sources import load_table
+    ev = load_table(spark, sf_dir, "events")
+    wprior = (W.partitionBy("event_type").orderBy("ts", "value")
+              .rowsBetween(W.unboundedPreceding, -1))
+    margin = (ev.select(
+        F.count(F.lit(1)).over(wprior).alias("prior_n"),
+        (F.abs(F.col("value") - (F.avg("value").over(wprior)
+                                 + 3 * F.stddev_samp("value").over(wprior))))
+        .alias("margin"))
+        .where(F.col("prior_n") >= 8)
+        .agg(F.min("margin")).first()[0])
+    assert margin > 1e-6, margin
+
+
 def test_stream_sink_timeout_raises(spark, sf_dir):
     """A timed-out streaming replay must raise, never return a partial
     sink (the silent-partial-result hazard)."""

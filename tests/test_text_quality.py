@@ -80,8 +80,7 @@ def test_corpus_topk_rank_is_total_and_deterministic(spark, sf_dir):
     assert len(rows) == 20
     assert len({r.bigram for r in rows}) == len(rows)
     for a, b in zip(rows, rows[1:]):
-        assert (a.n_occurrences, b.bigram) > (b.n_occurrences, a.bigram) or \
-            (a.n_occurrences > b.n_occurrences) or \
+        assert (a.n_occurrences > b.n_occurrences) or \
             (a.n_occurrences == b.n_occurrences and a.bigram < b.bigram)
 
 

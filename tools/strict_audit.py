@@ -73,12 +73,30 @@ def _family(col: pd.Series) -> str:
     return "object"
 
 
+def _tz_aware_cols(df: pd.DataFrame) -> set[str]:
+    return {c for c in df.columns
+            if pd.api.types.is_datetime64_any_dtype(df[c])
+            and getattr(df[c].dtype, "tz", None) is not None}
+
+
 def strict_compare(sp: pd.DataFrame, ora: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if sorted(sp.columns) != sorted(ora.columns):
         return [f"columns: spark={sorted(sp.columns)} oracle={sorted(ora.columns)}"]
     if len(sp) != len(ora):
         return [f"rows: spark={len(sp)} oracle={len(ora)}"]
+    # The driver's schema hash rejects a tz-aware ORACLE column (round-2
+    # red row: DuckDB to_timestamp → TIMESTAMPTZ failed).  The SPARK side
+    # is tz-aware for every timestamp (toArrow emits session-tz UTC) and
+    # r1/r2 driver evidence shows that hashes fine against naive DuckDB
+    # TIMESTAMP — the driver normalizes only its own engine's side.  So
+    # the check is asymmetric: oracle must be naive.  _canon strips tz
+    # for the value comparison below.
+    for c in sorted(_tz_aware_cols(ora)):
+        problems.append(
+            f"col {c}: oracle is tz-aware ({ora[c].dtype}) — DuckDB "
+            f"TIMESTAMPTZ fails the driver schema hash; CAST(... AS "
+            f"TIMESTAMP) in the oracle")
     a, b = _canon(sp), _canon(ora)
     for c in a.columns:
         fa, fb = _family(a[c]), _family(b[c])
