@@ -270,6 +270,9 @@ _PQ_M = 16         # subspaces (64 dims → 4 dims each)
 _PQ_CODES = 64     # codes per subspace → 16×6 bits = 12 bytes/vector
 _PQ_DIM = 64
 _PQ_SHORTLIST = 50  # ADC candidates kept for the exact re-rank
+_PQ_TRAIN = 1024    # codebook training sample (bounded — FAISS-style:
+                    # train the quantizer on a fixed-size sample, then
+                    # encode the full corpus exactly once)
 
 
 def pq_topk(spark: SparkSession, sf_dir: str, m: int = _PQ_M,
@@ -395,22 +398,18 @@ def pq_topk(spark: SparkSession, sf_dir: str, m: int = _PQ_M,
                .cast("long") * 128 + F.col("code_id"))
     # explicit partition count: AQE coalesces a column-only repartition
     # of these few (small) rows back to ONE partition, serializing the
-    # k-way candidate expansion that happens after it.  localCheckpoint:
-    # the exploded N·m subvector table feeds THREE passes (train assign,
-    # cell means, final encode) — re-deriving the explode per pass would
-    # triple the scan+slice work.
+    # k-way candidate expansion that happens after it
     subs = (_subs(raw, "enc_id", "evec", "enorm")
             .repartition(spark.sparkContext.defaultParallelism,
-                         F.col("enc_id"))
-            .localCheckpoint())
+                         F.col("enc_id")))
 
-    def _assign(cb: DataFrame) -> DataFrame:
+    def _assign(src: DataFrame, cb: DataFrame) -> DataFrame:
         """Nearest-code id per (vector, subspace) against a broadcast
         codebook — the shared argmin kernel for training and encode."""
         cbe = cb.withColumn(
             "cc_term", _dot(F.col("cvec"), F.col("cvec"))
             / (F.col("cnorm") * F.col("cnorm")))
-        return (subs.join(F.broadcast(cbe), "sub_idx")
+        return (src.join(F.broadcast(cbe), "sub_idx")
                 .groupBy(F.col("enc_id").alias("vec_id"), "sub_idx")
                 .agg(F.min(enc_key).alias("k"))
                 .select("vec_id", "sub_idx",
@@ -419,18 +418,26 @@ def pq_topk(spark: SparkSession, sf_dir: str, m: int = _PQ_M,
 
     # --- codebook training: one rounded-Lloyd round per subspace ---
     # (closes the "hash sample as a stand-in for trained k-means"
-    # shortcut with the same machinery ivf_kmeans_topk proved): assign
-    # every subvector to its nearest init code, then replace each code
-    # with the 6-dp-ROUNDED per-dimension mean of its cell in UNIT-
-    # NORMALIZED space (val/|v|).  The rounding resynchronizes the
-    # engines (float means differ in the last ulp by association order —
-    # the 1e-6 trick), and trained codes carry cnorm = 1.0 exactly
-    # because they already live on the normalized scale.  Empty cells
-    # drop out on both sides alike.  Per-round cost: one broadcast
-    # argmin pass over N·m subvectors + one m·k·sub_len grouped mean —
-    # the same scale contract as the encode itself.
-    assign0 = _assign(cb_df).withColumnRenamed("vec_id", "enc_id")
-    cellvals = (subs.join(assign0, ["enc_id", "sub_idx"])
+    # shortcut with the same machinery ivf_kmeans_topk proved), on a
+    # BOUNDED training sample — the FAISS deployment shape: the
+    # quantizer trains on a fixed-size deterministic sample (md5-ordered
+    # top-_PQ_TRAIN, a TakeOrdered — one bounded pass), then the full
+    # corpus is encoded exactly once, so the corpus-proportional work
+    # stays one argmin pass regardless of training.  Assign each sampled
+    # subvector to its nearest init code, then replace each code with
+    # the 6-dp-ROUNDED per-dimension mean of its cell in UNIT-NORMALIZED
+    # space (val/|v|).  The rounding resynchronizes the engines (float
+    # means differ in the last ulp by association order — the 1e-6
+    # trick), and trained codes carry cnorm = 1.0 exactly because they
+    # already live on the normalized scale.  Empty cells drop out on
+    # both sides alike.  localCheckpoint: the sampled subvectors feed
+    # both the assign and the mean pass.
+    tsubs = (_subs(
+        raw.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")),
+                    F.col("vec_id")).limit(_PQ_TRAIN),
+        "enc_id", "evec", "enorm").localCheckpoint())
+    assign0 = _assign(tsubs, cb_df).withColumnRenamed("vec_id", "enc_id")
+    cellvals = (tsubs.join(assign0, ["enc_id", "sub_idx"])
                 .select("sub_idx", "code_id", "enorm",
                         F.posexplode(F.col("evec")).alias("pos", "val")))
     trained = (cellvals
@@ -448,7 +455,7 @@ def pq_topk(spark: SparkSession, sf_dir: str, m: int = _PQ_M,
     tcb_df = spark.createDataFrame(trained.toPandas(),
                                    schema=trained.schema)
 
-    codes = _assign(tcb_df)
+    codes = _assign(subs, tcb_df)
     # ADC lookup: query × codebook partial distances (Q·m·k rows, tiny)
     qsubs = _subs(raw.where(F.col("vec_id") < _N_QUERIES),
                   "query_id", "qvec", "qnorm")
@@ -828,6 +835,13 @@ ORACLES = {
                           : s.sub_idx * {_PQ_DIM // _PQ_M} + {_PQ_DIM // _PQ_M}]
                        AS svec
             FROM normed v, range(0, {_PQ_M}) s(sub_idx)
+        ), tsrcs AS (
+            -- bounded training sample (FAISS shape): md5-ordered
+            -- top-{_PQ_TRAIN} — the quantizer trains on a fixed-size
+            -- sample, the full corpus is encoded exactly once
+            SELECT vec_id FROM normed
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_PQ_TRAIN}
         ), assign0 AS (
             -- training assignment vs the INIT codebook: packed-long
             -- argmin — 6-dp fixed-point micro-distance (floor: rounding-
@@ -843,7 +857,9 @@ ORACLES = {
                                    - 2 * list_dot_product(v.svec, cb.cvec)
                                        / (v.vn * cb.cnorm)) * 1e6)
                             AS BIGINT) * 128 + cb.code_id AS k
-                FROM vsubs v JOIN codebook cb USING (sub_idx))
+                FROM vsubs v
+                JOIN tsrcs t USING (vec_id)
+                JOIN codebook cb USING (sub_idx))
             GROUP BY vec_id, sub_idx
         ), trained AS (
             -- one rounded-Lloyd round: per-(subspace, code, dim) mean of

@@ -128,6 +128,76 @@ def test_arima_grid_reaches_high_orders():
     assert wide.aicc < narrow.aicc - 10
 
 
+# ---------------------------------------------------------------------------
+# External goldens (round-3 verdict item 8): expected values derived from
+# PUBLISHED closed forms, not from this repo's own implementations — they
+# pin the forecast core against textbook math rather than self-generated
+# snapshots.  (The container has no R/statsmodels, so full auto.arima
+# selection parity stays argued-not-proven; these at least anchor the
+# numeric predictions to external ground truth.)
+
+
+def test_golden_random_walk_with_drift_closed_form():
+    """Box–Jenkins ARIMA(0,1,0)+c on y_t = 5 + 2t: the first difference
+    is the constant 2, so the minimum-MSE h-step forecast is EXACTLY
+    y_n + 2h (random-walk-with-drift closed form — Box, Jenkins &
+    Reinsel, 'Time Series Analysis', ch. 4/5; fpp3 §9.4).  Whatever
+    order the AICc search lands on, the prediction must reproduce it."""
+    from qrapids_forecast_r_script_spark.forecast.models.arima import (
+        fit_arima)
+    t = np.arange(60.0)
+    y = 5 + 2 * t
+    f = fit_arima(y, 1).forecast(5)["mean"]
+    expected = y[-1] + 2 * np.arange(1, 6)   # 125, 127, 129, 131, 133
+    np.testing.assert_allclose(f, expected, atol=1e-6)
+
+
+def test_golden_ar1_geometric_decay_closed_form():
+    """Pure AR(1): y_t = 100·0.8^t satisfies y_t = 0.8·y_{t-1} exactly,
+    and the textbook h-step AR(1) prediction is phi^h·y_n (Box–Jenkins
+    ch. 5 eq. 5.1.7 family; fpp3 §9.3) — geometric decay toward the
+    mean, externally computable by hand."""
+    from qrapids_forecast_r_script_spark.forecast.models.arima import (
+        fit_arima)
+    y = 100 * 0.8 ** np.arange(40.0)
+    f = fit_arima(y, 1).forecast(5)["mean"]
+    expected = y[-1] * 0.8 ** np.arange(1, 6)
+    # CSS (not exact ML) estimation: phi-hat ≈ 0.8 to ~1e-5, and the
+    # phi^h compounding grows the relative gap with h
+    np.testing.assert_allclose(f, expected, rtol=1e-3)
+
+
+def test_golden_ets_holt_linear_continuation():
+    """Holt's linear method (ETS AAN) on the exact line y = 5 + 2t: the
+    smoothing recursions reproduce level = y_n, trend = 2, and the
+    forecast ŷ_{n+h} = l_n + h·b_n continues the line (Holt 1957;
+    fpp3 §8.2 closed form)."""
+    from qrapids_forecast_r_script_spark.forecast.models.ets import fit_ets
+    t = np.arange(60.0)
+    y = 5 + 2 * t
+    f = fit_ets(y, 1).forecast(5)["mean"]
+    expected = y[-1] + 2 * np.arange(1, 6)
+    np.testing.assert_allclose(f, expected, atol=0.01)
+
+
+def test_golden_theta_half_slope_property():
+    """The DISTINCTIVE theta-method property (Assimakopoulos &
+    Nikolopoulos 2000; Hyndman & Billah 2003 equivalence: theta == SES
+    with drift b/2): on the exact line y = 5 + 2t the theta forecast
+    continues at HALF the slope — ŷ_{n+h} = y_n + (b/2)·h = y_n + h —
+    not the naive line continuation y_n + 2h.  This pins the method
+    identity itself: a plain trend extrapolation would be off by h."""
+    from qrapids_forecast_r_script_spark.forecast.models.theta import (
+        fit_theta)
+    t = np.arange(60.0)
+    y = 5 + 2 * t
+    f = fit_theta(y, 1).forecast(5)["mean"]
+    expected = y[-1] + 1.0 * np.arange(1, 6)   # 124, 125, 126, 127, 128
+    np.testing.assert_allclose(f, expected, atol=0.01)
+    naive_line = y[-1] + 2.0 * np.arange(1, 6)
+    assert abs(f[-1] - naive_line[-1]) > 4.0   # clearly NOT the full slope
+
+
 def test_prophet_changepoints_track_slope_break():
     """Golden changepoint test (the thing a plain ridge line cannot do):
     +1/day for 60 days then -0.5/day for 40 — the forecast must continue
