@@ -69,6 +69,11 @@ FRONT_WINDOW = [
     "forecast_arima_force_seasonality_events", "forecast_nn_events",
     "forecast_baggedets_events", "forecast_prophet_events",
     "forecast_hybrid_events",
+    # round-3 NEW operators (all exactly oracled) — first driver signal:
+    # SCD-2 history upsert, PII redaction, ColBERT-style MaxSim
+    # retrieval, cluster-dedup keep-best
+    "orders_upsert_scd2", "pii_scrub_docs", "maxsim_multivector_topk",
+    "dedup_keep_best",
 ]
 
 

@@ -22,6 +22,7 @@ products outside buckets.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..sources import load_table
 
@@ -327,6 +328,41 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     return cluster_edges(docs, pairs, max_iter=max_iter)
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END STEP a training-corpus pipeline actually ships:
+    after clustering near-duplicates, keep exactly ONE representative
+    per cluster — the highest-quality member, not an arbitrary one
+    (Lee et al. 2022 keep-one semantics + a quality argmax, the
+    composition corpus builders use so dedup never discards the clean
+    copy and keeps the boilerplate one).
+
+    Quality here is the distinct-token ratio (vocabulary richness — the
+    repetition signal Gopher filters on), tiebroken by doc_id so the
+    winner is total.  Plan shape: the cluster assignment (MinHash-LSH +
+    CC, proven by ``dedup_clusters``) joins per-doc token stats on
+    doc_id, then ONE window keyed by cluster_id picks the argmax — one
+    extra shuffle over the clustering itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    stats = (docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"))
+        .select("doc_id",
+                F.round(F.size(F.array_distinct("toks"))
+                        / F.size("toks"), 6).alias("q")))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc())
+    wall = Window.partitionBy("cluster_id")
+    return (clusters.join(stats, "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_members", F.count(F.lit(1)).over(wall))
+            .where(F.col("rn") == 1)
+            .select("cluster_id", "n_members",
+                    F.col("doc_id").alias("kept_doc_id"),
+                    F.col("q").alias("kept_distinct_ratio")))
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: sign-sum of per-token md5 bits —
     bit b is set when a majority of the doc's tokens have bit b set in
@@ -494,6 +530,27 @@ ORACLES = {
         f"(CASE WHEN 2 * len(list_filter(hashes, h -> (h & {1 << bit}) != 0)) >= n "
         f"THEN {1 << bit} ELSE 0 END)" for bit in range(32))),
 }
+
+# keep-best composes on the dedup_clusters closure (nested-CTE subquery:
+# a CTE body may carry its own WITH RECURSIVE) + a quality argmax window
+ORACLES["dedup_keep_best"] = f"""
+    WITH clusters AS ({ORACLES["dedup_clusters"]}),
+    stats AS (
+        SELECT doc_id,
+               round(len(list_distinct(string_split(text, ' ')))
+                     / len(string_split(text, ' ')), 6) AS q
+        FROM documents
+    ), ranked AS (
+        SELECT c.cluster_id, c.doc_id, s.q,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY s.q DESC, c.doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        FROM clusters c JOIN stats s USING (doc_id)
+    )
+    SELECT cluster_id, n_members, doc_id AS kept_doc_id,
+           q AS kept_distinct_ratio
+    FROM ranked WHERE rn = 1
+"""
 
 _SIMHASH_BANDS = 4          # 4 bands × 8 bits
 _HAMMING_MAX = 3            # pigeonhole: d ≤ 3 ⇒ ≥1 of 4 bands identical
@@ -697,6 +754,7 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best,
     "simhash_docs": simhash_docs,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "part_name_editdist_pairs": part_name_editdist_pairs,

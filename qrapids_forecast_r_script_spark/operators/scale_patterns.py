@@ -227,6 +227,50 @@ def orders_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*cols))
 
 
+def orders_upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 upsert — the HISTORY-keeping sibling of
+    :func:`orders_upsert_scd1`: instead of the latest record winning,
+    every version of a key survives with its validity interval
+    (``effective_from`` / ``effective_to`` version stamps) and an
+    ``is_current`` flag — the standard dimension-table shape for
+    point-in-time joins and reproducible training-data snapshots
+    ("which document versions existed when this model trained?").
+
+    The closure is ONE window pass over the unioned versions:
+    ``effective_to = lead(src_version)`` per key in version order, and
+    ``is_current = effective_to IS NULL`` — no self-join, no per-version
+    scan.  100 TB shape: a single shuffle keyed by the merge key (same
+    contract as SCD-1); on a real cluster the base would be bucketed by
+    the key so only the small updates side moves.  The version stamp is
+    unique per key, so intervals are total and the result is exactly
+    oracled.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.lit(0).alias("src_version"))
+    # +1000.00 surcharge, not a multiplier — same rounding-boundary
+    # rationale as SCD-1 above
+    updates = (orders
+               .where(F.col("o_orderkey") % _UPSERT_MOD == 0)
+               .select("o_orderkey",
+                       F.lit("U").alias("o_orderstatus"),
+                       F.round(F.col("o_totalprice") + 1000.0, 2)
+                       .alias("o_totalprice"),
+                       F.lit(1).alias("src_version")))
+    w = Window.partitionBy("o_orderkey").orderBy("src_version")
+    hist = (base.unionByName(updates)
+            .withColumn("effective_to", F.lead("src_version").over(w)))
+    return hist.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.col("src_version").alias("effective_from"),
+        "effective_to",
+        F.col("effective_to").isNull().alias("is_current"))
+
+
 _FRAG_FILES = 200                 # deliberate fragmentation degree
 _COMPACT_TARGET_BYTES = 32 << 20  # per-file size target after compaction
 
@@ -329,6 +373,7 @@ QUERIES = {
     "bucketed_orders_join": bucketed_orders_join,
     "zorder_bin_stats": zorder_bin_stats,
     "orders_upsert_scd1": orders_upsert_scd1,
+    "orders_upsert_scd2": orders_upsert_scd2,
     "compact_small_files": compact_small_files,
 }
 
@@ -390,6 +435,27 @@ ORACLES = {
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                src_version
         FROM merged WHERE rn = 1
+    """,
+    "orders_upsert_scd2": f"""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   0 AS src_version
+            FROM orders
+        ), updates AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   round(o_totalprice + 1000.0, 2) AS o_totalprice,
+                   1 AS src_version
+            FROM orders WHERE o_orderkey % {_UPSERT_MOD} = 0
+        ), hist AS (
+            SELECT *, lead(src_version) OVER (PARTITION BY o_orderkey
+                       ORDER BY src_version) AS effective_to
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+        )
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               src_version AS effective_from, effective_to,
+               effective_to IS NULL AS is_current
+        FROM hist
     """,
     "zorder_bin_stats": f"""
         WITH z AS (

@@ -599,6 +599,63 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str, k: int = _IVF_K,
             .select("query_id", "rank", "neighbor_id", "cosine"))
 
 
+# MaxSim multi-vector retrieval: token vectors per document (64 dims
+# sliced into 8×8 — the same deterministic multi-vector synthesis trick
+# as the PQ subspaces, standing in for real per-token embeddings the
+# synthetic table doesn't carry).
+_MS_TOKENS = 8
+_MS_DIM = 64
+
+
+def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction scoring (Khattab & Zaharia 2020,
+    "ColBERT: Efficient and Effective Passage Search via Contextualized
+    Late Interaction"): a document is a BAG of token vectors, and
+    score(q, d) = Σ_i max_j cos(q_i, d_j) — each query token finds its
+    best-matching document token, and the per-token maxima sum.  This is
+    the retrieval shape modern multi-vector rerankers use where a single
+    pooled vector loses too much.
+
+    Plan shape: the corpus token table (N·m rows) cross-joins the
+    BROADCAST query token set (Q·m rows, constant) map-only; the
+    per-query-token max and the per-(query, doc) sum both partially
+    aggregate map-side, collapsing N·Q·m² candidate rows to N·Q before
+    any shuffle.  Exact baseline — the production scale path gates
+    candidates with the LSH/IVF shortlist first (same composition as
+    ``pq_topk``'s shortlist → re-rank).  Zero-norm token slices are
+    filtered identically on both engines (Spark x/0 is NULL but DuckDB
+    is Inf — the divergence class the drift guard documents).
+    """
+    sub_len = _MS_DIM // _MS_TOKENS
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = (emb.select(
+        "vec_id",
+        F.posexplode(F.array(*[
+            F.slice(_as_double("embedding"), s * sub_len + 1, sub_len)
+            for s in range(_MS_TOKENS)])).alias("tok_idx", "tvec"))
+        .withColumn("tnorm", _norm(F.col("tvec")))
+        .where(F.col("tnorm") > 0))
+    qtoks = (toks.where(F.col("vec_id") < _N_QUERIES)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("tok_idx").alias("q_idx"),
+                     F.col("tvec").alias("qvec"),
+                     F.col("tnorm").alias("qnorm")))
+    cos = F.round(_dot(F.col("tvec"), F.col("qvec"))
+                  / (F.col("tnorm") * F.col("qnorm")), 6)
+    scores = (toks.crossJoin(F.broadcast(qtoks))
+              .where(F.col("query_id") != F.col("vec_id"))
+              .groupBy("query_id", "vec_id", "q_idx")
+              .agg(F.max(cos).alias("m"))
+              .groupBy("query_id", "vec_id")
+              .agg(F.round(F.sum("m"), 6).alias("maxsim_score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim_score").desc(), F.col("vec_id").asc())
+    return (scores.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "rank",
+                    F.col("vec_id").alias("neighbor_id"), "maxsim_score"))
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "embedding_neardup_pairs": embedding_neardup_pairs,
@@ -606,6 +663,7 @@ QUERIES = {
     "ivf_topk": ivf_topk,
     "ivf_kmeans_topk": ivf_kmeans_topk,
     "pq_topk": pq_topk,
+    "maxsim_multivector_topk": maxsim_multivector_topk,
 }
 
 
@@ -925,3 +983,36 @@ ORACLES = {
 }
 
 ORACLES["ivf_kmeans_topk"] = _ivf_kmeans_oracle_sql()
+
+ORACLES["maxsim_multivector_topk"] = f"""
+    WITH rawv AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS remb
+        FROM embeddings
+    ), toks AS (
+        SELECT v.vec_id, s.tok_idx,
+               v.remb[s.tok_idx * {_MS_DIM // _MS_TOKENS} + 1
+                      : s.tok_idx * {_MS_DIM // _MS_TOKENS}
+                        + {_MS_DIM // _MS_TOKENS}] AS tvec
+        FROM rawv v, range(0, {_MS_TOKENS}) s(tok_idx)
+    ), ntoks AS (
+        SELECT vec_id, tok_idx, tvec,
+               sqrt(list_dot_product(tvec, tvec)) AS tn
+        FROM toks
+        WHERE sqrt(list_dot_product(tvec, tvec)) > 0
+    ), best AS (
+        SELECT q.vec_id AS query_id, d.vec_id, q.tok_idx AS q_idx,
+               max(round(list_dot_product(q.tvec, d.tvec)
+                         / (q.tn * d.tn), 6)) AS m
+        FROM ntoks q, ntoks d
+        WHERE q.vec_id < {_N_QUERIES} AND d.vec_id != q.vec_id
+        GROUP BY 1, 2, 3
+    ), scores AS (
+        SELECT query_id, vec_id, round(sum(m), 6) AS maxsim_score
+        FROM best GROUP BY 1, 2
+    )
+    SELECT query_id, rank, vec_id AS neighbor_id, maxsim_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY maxsim_score DESC, vec_id ASC) AS rank
+        FROM scores)
+    WHERE rank <= {_TOP_K}
+"""

@@ -223,6 +223,62 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat_ws(" ", "chunk").alias("chunk_text")))
 
 
+# PII scrubbing: redaction patterns chosen to behave identically under
+# Java regex (Spark) and RE2 (DuckDB) — character classes, bounded
+# repetition, \b word boundaries only; no lookaround, no backrefs.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d{1,2} \d{3}-\d{3}-\d{4}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every LLM training corpus
+    needs before anything else touches it: emails → <EMAIL>, phone
+    numbers → <PHONE>, IPv4 addresses → <IP>, with per-class match
+    counts for audit.  Entirely map-side (regexp_count +
+    chained regexp_replace, JVM codegen — no Python), so at 100 TB it
+    is a pure scan-transform with zero shuffle.
+
+    The synthetic corpus carries no PII, so the query PLANTS
+    deterministic PII per doc first (doc_id-derived email / phone / IP
+    on modular subsets) and scrubs the augmented text — the oracle
+    plants identically, so the hash match proves detection, counting,
+    and redaction on text that actually contains all three classes.
+    The scrubbed text is returned as its md5 (audit fingerprint), not
+    the full body.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" call +1 555-000-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"),
+                               4, "0"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" from 10.0."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit("."),
+                        ((F.col("doc_id") * 7) % 256).cast("string")))
+        .otherwise(F.lit("")))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long")
+        .alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("long")
+        .alias("n_phones"),
+        F.regexp_count(aug, F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"))
+
+
 QUERIES = {
     "text_stats": text_stats,
     "doc_chunks": doc_chunks,
@@ -232,6 +288,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_unigram_logprob": doc_unigram_logprob,
     "tfidf_top_terms": tfidf_top_terms,
+    "pii_scrub_docs": pii_scrub_docs,
 }
 
 _STOP_SQL_HITS = " + ".join(
@@ -239,6 +296,40 @@ _STOP_SQL_HITS = " + ".join(
     for w in _EN_STOP)
 
 ORACLES = {
+    "pii_scrub_docs": f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com' ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN ' call +1 555-000-'
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                        4, '0') ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' from 10.0.'
+                                || CAST(doc_id % 256 AS VARCHAR) || '.'
+                                || CAST((doc_id * 7) % 256 AS VARCHAR)
+                           ELSE '' END AS t
+            FROM documents
+        )
+        -- DuckDB single-quoted strings are escape-free, so the Python
+        -- raw-string patterns embed verbatim (single backslashes)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_PII_EMAIL}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{_PII_PHONE}'))
+                    AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(t, '{_PII_IP}'))
+                    AS BIGINT) AS n_ips,
+               md5(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                           '{_PII_PHONE}', '<PHONE>', 'g'),
+                       '{_PII_IP}', '<IP>', 'g')) AS scrubbed_md5
+        FROM aug
+    """,
     "text_stats": """
         SELECT doc_id,
                length(text) AS n_chars_measured,

@@ -24,6 +24,13 @@ def pytest_generate_tests(metafunc):
 
 
 def test_oracle_parity(spark, sf_dir, query_name):
+    if query_name == "events_tws_running_totals":
+        from qrapids_forecast_r_script_spark.streaming.stateful import (
+            tws_available)
+        if not tws_available():
+            pytest.skip("transformWithStateInPandas needs google.protobuf "
+                        "— registered unconditionally (window-allocation "
+                        "invariance) but gated at execution")
     qs, oracles = _registry()
     sdf = qs[query_name](spark, sf_dir)
     odf = duckdb_run(oracles[query_name], sf_dir)

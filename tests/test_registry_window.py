@@ -46,6 +46,9 @@ MUST_BE_IN_WINDOW = [
     "forecast_arima_force_seasonality_events", "forecast_nn_events",
     "forecast_baggedets_events", "forecast_prophet_events",
     "forecast_hybrid_events",
+    # round-3 new operators
+    "orders_upsert_scd2", "pii_scrub_docs", "maxsim_multivector_topk",
+    "dedup_keep_best",
 ]
 
 # iterative model fits: not SQL-expressible, rows-only BY DESIGN; the

