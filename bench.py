@@ -66,6 +66,12 @@ HEADLINE = [
     "compact_small_files",
     # k-means-refined IVF — the production ANN form (2 Lloyd rounds)
     "ivf_kmeans_topk",
+    # round-3 additions: SCD-2 history upsert, map-only PII redaction,
+    # MaxSim late-interaction retrieval, cluster-dedup keep-best
+    "orders_upsert_scd2",
+    "pii_scrub_docs",
+    "maxsim_multivector_topk",
+    "dedup_keep_best",
 ]
 
 

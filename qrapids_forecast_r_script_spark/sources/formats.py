@@ -80,10 +80,42 @@ def lineitem_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag", "l_linestatus"))
 
 
+_PRUNE_DATE = "2024-01-15"
+
+
+def events_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition-pruned scan — THE core
+    100 TB table-layout primitive: events written once partitioned by
+    ``event_date`` (directory-per-day), then a one-day query whose date
+    predicate prunes at the DIRECTORY level, so the scan touches 1/31 of
+    the data before a single row is read (tests pin the
+    ``PartitionFilters`` plan contract).  At scale this is the
+    difference between reading 100 TB and reading 3 TB for a daily
+    report; the oracle aggregates the unpartitioned original, so the
+    hash also proves the partitioned rewrite is lossless for the
+    selected day."""
+    from .registry import source_fingerprint
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    tag = f"{tag}_{source_fingerprint(sf_dir, 'events')}"
+    path = f"/tmp/qrapids_formats/{tag}/events_by_date.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (load_table(spark, sf_dir, "events")
+         .withColumn("event_date", F.to_date("ts"))
+         .write.mode("overwrite").partitionBy("event_date").parquet(path))
+    ev = spark.read.parquet(path)
+    return (ev.where(F.col("event_date") == F.lit(_PRUNE_DATE).cast("date"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"),
+                 F.count_distinct("user_id").alias("n_users"))
+            .orderBy("event_type"))
+
+
 QUERIES = {
     "orders_csv_roundtrip": orders_csv_roundtrip,
     "events_json_roundtrip": events_json_roundtrip,
     "lineitem_orc_roundtrip": lineitem_orc_roundtrip,
+    "events_partitioned_pruning": events_partitioned_pruning,
 }
 
 ORACLES = {
@@ -111,5 +143,14 @@ ORACLES = {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "events_partitioned_pruning": f"""
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '{_PRUNE_DATE}'
+        GROUP BY 1 ORDER BY 1
     """,
 }

@@ -10,6 +10,7 @@ from qrapids_forecast_r_script_spark.plans import (
     exchange_count,
     executed_plan as _plan,
     plan_report,
+    read_schemas,
 )
 
 
@@ -208,6 +209,57 @@ def test_zorder_bins_skip_on_either_dimension(spark, sf_dir):
     assert hour_touched / total <= 0.34, (hour_touched, total)
     # every bin's bounding box is a proper sub-rectangle on the hour dim
     assert all(b.max_hour - b.min_hour < 719 for b in bins)
+
+
+def test_pii_scrub_is_pure_map(spark, sf_dir):
+    """PII redaction must be a zero-shuffle scan-transform (regexp ops
+    in codegen, no Python): at 100 TB it is exactly one pass."""
+    from qrapids_forecast_r_script_spark.operators.text import pii_scrub_docs
+    from qrapids_forecast_r_script_spark.plans import python_eval_count
+    df = pii_scrub_docs(spark, sf_dir)
+    plan = _plan(df)
+    assert exchange_count(df, plan) == 0, plan
+    assert python_eval_count(df, plan) == 0, plan
+    # column pruning: only (doc_id, text) may be read
+    assert all("lang" not in s and "source" not in s
+               for s in read_schemas(df, plan)), plan
+
+
+def test_scd2_single_shuffle_on_merge_key(spark, sf_dir):
+    """The history closure is ONE exchange (the merge-key shuffle the
+    lead() window needs) — no self-join, no second shuffle."""
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        orders_upsert_scd2)
+    df = orders_upsert_scd2(spark, sf_dir)
+    plan = _plan(df)
+    assert exchange_count(df, plan) == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_maxsim_broadcasts_query_tokens(spark, sf_dir):
+    """Late-interaction scoring must broadcast the constant query-token
+    side (never shuffle the corpus token table against it) and keep the
+    per-token max + per-doc sum as partial aggregates."""
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        maxsim_multivector_topk)
+    df = maxsim_multivector_topk(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(df, plan) >= 1, plan
+
+
+def test_partitioned_layout_prunes_directories(spark, sf_dir):
+    """The one-day query over the date-partitioned layout must carry a
+    PartitionFilters entry on event_date (directory-level pruning — no
+    data files outside the day are opened) and read only the pruned
+    partition's rows."""
+    from qrapids_forecast_r_script_spark.sources.formats import (
+        events_partitioned_pruning)
+    df = events_partitioned_pruning(spark, sf_dir)
+    plan = _plan(df)
+    import re
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and any("event_date" in p for p in pf), plan
 
 
 def test_relational_queries_have_no_python_ops(spark, sf_dir):
