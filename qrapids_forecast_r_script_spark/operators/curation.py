@@ -207,6 +207,74 @@ def eval_contamination(spark: SparkSession, sf_dir: str,
                      .alias("contamination")))
 
 
+def decontaminate_spans(spark: SparkSession, sf_dir: str,
+                        n: int = _CONTAM_N) -> DataFrame:
+    """The decontamination TRANSFORM (the step after
+    :func:`eval_contamination`'s audit): actually REMOVE every token
+    span that overlaps the eval set — each training doc loses the
+    tokens covered by any contaminated ``n``-gram window and is
+    re-assembled in original order (Lee/Brown-style span excision, the
+    form labs ship because dropping whole documents wastes the clean
+    majority of a barely-contaminated doc).
+
+    Output per training doc: total tokens, tokens removed, and the md5
+    of the cleaned text (hash-checked — the reassembly itself is what
+    the oracle proves; emitting full bodies would bloat the compare).
+
+    Scale shape: eval shingles broadcast (KBs vs TBs); coverage
+    expansion is a constant ×n explode of only the CONTAMINATED starts;
+    the anti-join and the re-assembly group are both keyed by doc_id —
+    one corpus shuffle, same contract as the audit query.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    eval_ids = (docs.where(F.col("lang") == "en")
+                .orderBy("doc_id").limit(_EVAL_SET_SIZE)
+                .select("doc_id"))
+    train = docs.join(eval_ids, "doc_id", "left_anti")
+    toks = train.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    starts = (toks
+              .select("doc_id", "pos",
+                      F.concat_ws(" ", *grams).alias("shingle"),
+                      grams[-1].alias("last_tok"))
+              .where(F.col("last_tok").isNotNull()))
+    ev_sh = F.broadcast(
+        docs.join(F.broadcast(eval_ids), "doc_id")
+        .select("doc_id", F.posexplode(F.split("text", " "))
+                .alias("pos", "tok"))
+        .select("doc_id",
+                F.concat_ws(" ", *grams).alias("shingle"),
+                grams[-1].alias("last_tok"))
+        .where(F.col("last_tok").isNotNull())
+        .select("shingle").distinct())
+    covered = (starts.join(ev_sh, "shingle")
+               .select("doc_id",
+                       F.explode(F.sequence(
+                           F.col("pos"),
+                           F.col("pos") + F.lit(n - 1))).alias("pos"))
+               .distinct())
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    cleaned = (kept.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.concat_ws(" ", F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda x: x["tok"])).alias("cleaned")))
+    removed = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_removed"))
+    base = train.select("doc_id",
+                        F.size(F.split("text", " ")).cast("long")
+                        .alias("n_tokens"))
+    return (base
+            .join(cleaned, "doc_id", "left")
+            .join(removed, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+                    F.md5(F.coalesce("cleaned", F.lit(""))
+                          .cast("binary")).alias("cleaned_md5")))
+
+
 _SPLIT_BOUNDS = (80, 90)         # hash-bucket cut points: train/val/test
 _FIXED_K = 10                    # eval-set size per language
 
@@ -294,6 +362,7 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "stratified_sample_docs": stratified_sample_docs,
     "eval_contamination": eval_contamination,
+    "decontaminate_spans": decontaminate_spans,
     "source_quota_cap": source_quota_cap,
     "token_shard_packing": token_shard_packing,
     "semantic_dedup_keep": semantic_dedup_keep,
@@ -339,6 +408,62 @@ ORACLES = {
                round(o.n_overlap / CAST(p.n_shingles AS DOUBLE), 6)
                    AS contamination
         FROM overlap o JOIN per_doc p USING (doc_id)
+    """,
+    "decontaminate_spans": f"""
+        WITH ev AS (
+            SELECT doc_id FROM documents WHERE lang = 'en'
+            ORDER BY doc_id LIMIT {_EVAL_SET_SIZE}
+        ), toks AS (
+            -- parallel unnests zip: (pos, tok) pairs without a lateral
+            -- range (DuckDB range() cannot take column bounds in FROM)
+            SELECT doc_id,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM ev)
+        ), evsh AS (
+            SELECT DISTINCT
+                   unnest(list_transform(
+                       range(1, len(string_split(text, ' ')) - {_CONTAM_N - 2}),
+                       i -> array_to_string(list_slice(
+                            string_split(text, ' '), i, i + {_CONTAM_N - 1}), ' ')))
+                       AS shingle
+            FROM documents WHERE doc_id IN (SELECT doc_id FROM ev)
+        ), starts AS (
+            SELECT doc_id,
+                   unnest(range(1, len(string_split(text, ' '))
+                                   - {_CONTAM_N - 2})) AS pos,
+                   unnest(list_transform(
+                       range(1, len(string_split(text, ' '))
+                                - {_CONTAM_N - 2}),
+                       i -> array_to_string(list_slice(
+                            string_split(text, ' '), i,
+                            i + {_CONTAM_N - 1}), ' '))) AS shingle
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM ev)
+        ), covered AS (
+            SELECT DISTINCT s.doc_id, s.pos + j.j AS pos
+            FROM starts s
+            JOIN evsh e USING (shingle), range(0, {_CONTAM_N}) j(j)
+        ), kept AS (
+            SELECT t.* FROM toks t
+            LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+            WHERE c.doc_id IS NULL
+        ), cleaned AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS cleaned
+            FROM kept GROUP BY doc_id
+        ), removed AS (
+            SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               len(string_split(d.text, ' ')) AS n_tokens,
+               coalesce(r.n_removed, 0) AS n_removed,
+               md5(coalesce(c.cleaned, '')) AS cleaned_md5
+        FROM documents d
+        LEFT JOIN cleaned c USING (doc_id)
+        LEFT JOIN removed r USING (doc_id)
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM ev)
     """,
     "stratified_sample_docs": f"""
         SELECT doc_id, lang, source, n_chars,

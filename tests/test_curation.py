@@ -237,3 +237,31 @@ def test_temperature_mixture_flattens_head(spark, sf_dir):
     again = {r.doc_id for r in
              temperature_mixture_sample(spark, sf_dir).collect()}
     assert {r.doc_id for r in rows} == again
+
+
+def test_decontaminate_spans_excises_contaminated_docs(spark, sf_dir):
+    """The removal transform must line up with the audit query: every
+    contaminated doc loses at least n tokens (a full n-gram window),
+    untouched docs keep their exact original text (md5-identical), and
+    totals are conserved (n_removed ≤ n_tokens)."""
+    from pyspark.sql import functions as F
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        _CONTAM_N, decontaminate_spans, eval_contamination)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    out = {r.doc_id: r for r in decontaminate_spans(spark, sf_dir).collect()}
+    contaminated = {r.doc_id for r in
+                    eval_contamination(spark, sf_dir).collect()}
+    raw = {r.doc_id: r.m
+           for r in (load_table(spark, sf_dir, "documents")
+                     .select("doc_id",
+                             F.md5(F.col("text").cast("binary")).alias("m"))
+                     ).collect()}
+    assert contaminated <= set(out)
+    for doc_id, r in out.items():
+        assert 0 <= r.n_removed <= r.n_tokens, doc_id
+        if doc_id in contaminated:
+            assert r.n_removed >= _CONTAM_N, doc_id
+            assert r.cleaned_md5 != raw[doc_id], doc_id
+        else:
+            assert r.n_removed == 0, doc_id
+            assert r.cleaned_md5 == raw[doc_id], doc_id
