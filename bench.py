@@ -72,6 +72,11 @@ HEADLINE = [
     "pii_scrub_docs",
     "maxsim_multivector_topk",
     "dedup_keep_best",
+    # round-3 additions (second batch): span-excision decontamination,
+    # streaming trending leaderboard, partition-pruned layout scan
+    "decontaminate_spans",
+    "events_stream_trending_topk",
+    "events_partitioned_pruning",
 ]
 
 
