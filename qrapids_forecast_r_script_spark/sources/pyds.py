@@ -26,11 +26,14 @@ conversion happens in the worker; the generator yields plain tuples.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, \
-    InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceWriter, InputPartition,
+                                    WriterCommitMessage)
 
 _FORMAT_NAME = "qrapids_metrics"
 _SCHEMA = "name string, index string, day int, value double"
@@ -77,10 +80,72 @@ class SyntheticMetricsDataSource(DataSource):
         return SyntheticMetricsReader(self.options)
 
 
+# --- Python Data Source WRITER (the sink half of the Spark 4 API) ---
+# JSON-lines directory sink with the standard two-phase commit protocol:
+# each task writes a temp file and returns a WriterCommitMessage; only
+# commit() (driver, after ALL tasks succeed) renames them into place and
+# drops _SUCCESS — a half-failed job leaves no visible files.  This is
+# the same atomicity contract the built-in file sinks implement, and the
+# piece a bespoke export target (metrics push, REST bulk endpoint, …)
+# must get right at 100 TB: per-task idempotent staging + a single
+# driver-side commit point.  (Local-mode demo uses a shared /tmp dir; a
+# real cluster points `path` at a shared FS / object store.)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class JsonlDirWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _JsonlCommit:
+        import json
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path,
+                           f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
+class JsonlDirSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "qrapids_jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlDirWriter:
+        return JsonlDirWriter(self.options, overwrite)
+
+
 def register(spark: SparkSession) -> None:
     """Idempotent per-session registration."""
     if not getattr(spark, "_qrapids_pyds_registered", False):
         spark.dataSource.register(SyntheticMetricsDataSource)
+        spark.dataSource.register(JsonlDirSink)
         spark._qrapids_pyds_registered = True
 
 
@@ -105,7 +170,42 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("avg_day_weighted")))
 
 
-QUERIES = {"python_datasource_scan": python_datasource_scan}
+def python_datasource_sink_roundtrip(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Driver query for the WRITER half: per-type event aggregates flow
+    through the custom Python sink (task-staged temp files → driver
+    commit → _SUCCESS), are read back as JSON lines with an explicit
+    schema, and re-emitted — the oracle computes the same aggregate from
+    the original events table, so a hash match proves the two-phase
+    commit delivered every row exactly once with full value fidelity."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from .registry import source_fingerprint
+    register(spark)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = (f"/tmp/qrapids_pyds_sink/"
+            f"{tag}_{source_fingerprint(sf_dir, 'events')}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        from .registry import load_table
+        agg = (load_table(spark, sf_dir, "events")
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.round(F.sum("value"), 4).alias("total_value"),
+                    F.count_distinct("user_id").alias("n_users")))
+        agg.write.format("qrapids_jsonl_sink").mode("append") \
+            .option("path", path).save()
+    return (spark.read.schema("event_type string, n_events bigint, "
+                              "total_value double, n_users bigint")
+            .json(f"{path}/part-*.jsonl")
+            .orderBy("event_type"))
+
+
+QUERIES = {
+    "python_datasource_scan": python_datasource_scan,
+    "python_datasource_sink_roundtrip": python_datasource_sink_roundtrip,
+}
 
 ORACLES = {
     "python_datasource_scan": f"""
@@ -122,5 +222,13 @@ ORACLES = {
                max(value) AS max_value,
                round(avg(day * value), 4) AS avg_day_weighted
         FROM series GROUP BY 1, 2
+    """,
+    "python_datasource_sink_roundtrip": """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1 ORDER BY 1
     """,
 }

@@ -1,5 +1,7 @@
 """Sink/source round-trips + similarity recall + multimodal plumbing."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -301,3 +303,37 @@ def test_ivf_kmeans_recall_at_least_sample_centroids(spark, sf_dir):
     recall_km = len(bf & km) / len(bf)
     assert recall_km >= recall_sample - 0.1, (recall_km, recall_sample)
     assert recall_km >= 0.25, recall_km
+
+
+def test_python_datasource_sink_commit_protocol(spark, sf_dir, tmp_path):
+    """The custom Python sink's two-phase commit: a successful job shows
+    ONLY renamed part files + _SUCCESS (no _tmp-* staging leftovers);
+    a failing job (unserializable column → task error) must leave NO
+    visible part files and no _SUCCESS — the atomicity contract."""
+    import glob
+    import pytest
+    from pyspark.sql import functions as F
+    from qrapids_forecast_r_script_spark.sources.pyds import register
+    register(spark)
+    ok_dir = str(tmp_path / "ok")
+    (spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+     .write.format("qrapids_jsonl_sink").mode("append")
+     .option("path", ok_dir).save())
+    names = sorted(os.path.basename(p) for p in glob.glob(f"{ok_dir}/*"))
+    assert "_SUCCESS" in names
+    assert any(n.startswith("part-") for n in names)
+    assert not any(n.startswith("_tmp-") for n in names)
+    rows = spark.read.schema("id bigint, v bigint").json(
+        f"{ok_dir}/part-*.jsonl")
+    assert rows.count() == 100
+    assert rows.agg(F.sum("v")).first()[0] == 9900
+
+    bad_dir = str(tmp_path / "bad")
+    bad = spark.range(10).select(
+        F.col("id").cast("string").cast("binary").alias("b"))
+    with pytest.raises(Exception):
+        (bad.write.format("qrapids_jsonl_sink").mode("append")
+         .option("path", bad_dir).save())
+    leftover = [os.path.basename(p) for p in glob.glob(f"{bad_dir}/*")]
+    assert not any(n.startswith("part-") for n in leftover), leftover
+    assert "_SUCCESS" not in leftover
