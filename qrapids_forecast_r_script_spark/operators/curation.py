@@ -162,6 +162,32 @@ _EVAL_SET_SIZE = 10              # docs in the held-out eval set
 _CONTAM_N = 3                    # n-gram length for overlap detection
 
 
+def _eval_ids(docs: DataFrame) -> DataFrame:
+    """The deterministic held-out eval set: the 10 lowest-doc_id English
+    documents — single source of truth for the contamination audit AND
+    the span-removal transform (they must never diverge)."""
+    return (docs.where(F.col("lang") == "en")
+            .orderBy("doc_id").limit(_EVAL_SET_SIZE)
+            .select("doc_id"))
+
+
+def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, pos, shingle) for every n-gram start position — the
+    posexplode + window-lead construction (HOF-free, one tokenization),
+    shared by the audit (which distincts away pos) and the transform
+    (which needs pos for span coverage)."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (toks
+            .select("doc_id", "pos",
+                    F.concat_ws(" ", *grams).alias("shingle"),
+                    grams[-1].alias("last_tok"))
+            .where(F.col("last_tok").isNotNull())
+            .select("doc_id", "pos", "shingle"))
+
+
 def eval_contamination(spark: SparkSession, sf_dir: str,
                        n: int = _CONTAM_N) -> DataFrame:
     """Train/eval decontamination: which training documents share
@@ -181,18 +207,8 @@ def eval_contamination(spark: SparkSession, sf_dir: str,
     over the same plan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    eval_ids = (docs.where(F.col("lang") == "en")
-                .orderBy("doc_id").limit(_EVAL_SET_SIZE)
-                .select("doc_id"))
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    sh = (toks
-          .select("doc_id", F.concat_ws(" ", *grams).alias("shingle"),
-                  grams[-1].alias("last_tok"))
-          .where(F.col("last_tok").isNotNull())
-          .select("doc_id", "shingle").distinct())
+    eval_ids = _eval_ids(docs)
+    sh = _doc_shingles(docs, n).select("doc_id", "shingle").distinct()
     ev = F.broadcast(sh.join(F.broadcast(eval_ids), "doc_id")
                      .select("shingle").distinct())
     train = sh.join(eval_ids, "doc_id", "left_anti")
@@ -227,27 +243,13 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str,
     one corpus shuffle, same contract as the audit query.
     """
     docs = load_table(spark, sf_dir, "documents")
-    eval_ids = (docs.where(F.col("lang") == "en")
-                .orderBy("doc_id").limit(_EVAL_SET_SIZE)
-                .select("doc_id"))
+    eval_ids = _eval_ids(docs)
     train = docs.join(eval_ids, "doc_id", "left_anti")
     toks = train.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    starts = (toks
-              .select("doc_id", "pos",
-                      F.concat_ws(" ", *grams).alias("shingle"),
-                      grams[-1].alias("last_tok"))
-              .where(F.col("last_tok").isNotNull()))
-    ev_sh = F.broadcast(
-        docs.join(F.broadcast(eval_ids), "doc_id")
-        .select("doc_id", F.posexplode(F.split("text", " "))
-                .alias("pos", "tok"))
-        .select("doc_id",
-                F.concat_ws(" ", *grams).alias("shingle"),
-                grams[-1].alias("last_tok"))
-        .where(F.col("last_tok").isNotNull())
+    starts = _doc_shingles(train, n)
+    ev_sh = F.broadcast(_doc_shingles(
+        docs.join(F.broadcast(eval_ids), "doc_id"), n)
         .select("shingle").distinct())
     covered = (starts.join(ev_sh, "shingle")
                .select("doc_id",
@@ -257,8 +259,7 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str,
                .distinct())
     kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
     cleaned = (kept.groupBy("doc_id")
-               .agg(F.count(F.lit(1)).alias("n_kept"),
-                    F.concat_ws(" ", F.transform(
+               .agg(F.concat_ws(" ", F.transform(
                         F.array_sort(F.collect_list(F.struct("pos", "tok"))),
                         lambda x: x["tok"])).alias("cleaned")))
     removed = covered.groupBy("doc_id").agg(
@@ -450,8 +451,7 @@ ORACLES = {
             LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
             WHERE c.doc_id IS NULL
         ), cleaned AS (
-            SELECT doc_id, count(*) AS n_kept,
-                   string_agg(tok, ' ' ORDER BY pos) AS cleaned
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
             FROM kept GROUP BY doc_id
         ), removed AS (
             SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id

@@ -102,12 +102,13 @@ def bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout-only, so the naive join is an exact oracle.
     """
     from ..sources import source_fingerprint
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    from ..sources.registry import cached_artifact_dir
     # fingerprints guard against cross-round testdata regeneration: a
-    # bucketed layout of last round's bytes must not serve this round
-    tag = (f"{tag}_{source_fingerprint(sf_dir, 'customer')}"
-           f"{source_fingerprint(sf_dir, 'orders')}")
-    base = f"/tmp/qrapids_bucketed/{tag}"
+    # bucketed layout of last round's bytes must not serve this round;
+    # two-table layout → append the second table's fingerprint
+    base = (cached_artifact_dir("qrapids_bucketed", sf_dir, "customer")
+            + source_fingerprint(sf_dir, "orders"))
+    tag = os.path.basename(base)     # catalog table names key on it too
     cust = _bucketed_table(
         spark, load_table(spark, sf_dir, "customer")
         .select("c_custkey", "c_mktsegment"),
@@ -276,11 +277,10 @@ _COMPACT_TARGET_BYTES = 32 << 20  # per-file size target after compaction
 
 
 def _compact_dirs(sf_dir: str) -> tuple[str, str]:
-    from ..sources import source_fingerprint
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    from ..sources.registry import cached_artifact_dir
     # events fingerprint: stale fragments from a regenerated testdata
     # round must force a rewrite (same rule as the bucketed layouts)
-    base = f"/tmp/qrapids_compact/{tag}_{source_fingerprint(sf_dir, 'events')}"
+    base = cached_artifact_dir("qrapids_compact", sf_dir, "events")
     return f"{base}/fragmented", f"{base}/compacted"
 
 

@@ -28,12 +28,11 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str,
     with the explicit schema.  Timestamps travel as microsecond-precision
     strings in the text formats (Spark's default writer pattern keeps
     them round-trippable)."""
-    from .registry import source_fingerprint
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    from .registry import cached_artifact_dir
     # fingerprint guards against the driver regenerating testdata between
     # rounds — a stale round-trip copy must never feed a hash-checked query
-    tag = f"{tag}_{source_fingerprint(sf_dir, table)}"
-    path = f"/tmp/qrapids_formats/{tag}/{table}.{fmt}"
+    path = os.path.join(cached_artifact_dir("qrapids_formats", sf_dir, table),
+                        f"{table}.{fmt}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         load_table(spark, sf_dir, table).write.mode("overwrite") \
@@ -94,10 +93,10 @@ def events_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     report; the oracle aggregates the unpartitioned original, so the
     hash also proves the partitioned rewrite is lossless for the
     selected day."""
-    from .registry import source_fingerprint
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    tag = f"{tag}_{source_fingerprint(sf_dir, 'events')}"
-    path = f"/tmp/qrapids_formats/{tag}/events_by_date.parquet"
+    from .registry import cached_artifact_dir
+    path = os.path.join(cached_artifact_dir("qrapids_formats", sf_dir,
+                                            "events"),
+                        "events_by_date.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (load_table(spark, sf_dir, "events")
          .withColumn("event_date", F.to_date("ts"))

@@ -100,8 +100,15 @@ class _JsonlCommit(WriterCommitMessage):
 
 class JsonlDirWriter(DataSourceWriter):
     def __init__(self, options, overwrite: bool):
+        import uuid
+
         self.path = options["path"]
         self.overwrite = overwrite
+        # job-unique id, minted ONCE on the driver (the writer instance
+        # is pickled to tasks): committed part files are namespaced by
+        # it, so a second append job can never os.replace() an earlier
+        # job's identically-indexed parts
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _JsonlCommit:
         import json
@@ -111,21 +118,43 @@ class JsonlDirWriter(DataSourceWriter):
         tmp = os.path.join(self.path,
                            f"_tmp-{uuid.uuid4().hex}.jsonl")
         n = 0
-        with open(tmp, "w") as fh:
-            for row in iterator:
-                fh.write(json.dumps(row.asDict()) + "\n")
-                n += 1
+        try:
+            with open(tmp, "w") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+        except BaseException:
+            # a FAILING task reaches abort() as a None message — its
+            # staging path is unknown there, so the task itself must
+            # clean up before re-raising
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
         return _JsonlCommit(tmp, n)
 
     def commit(self, messages) -> None:
+        import glob
+
+        if self.overwrite:
+            # overwrite semantics: prior committed parts go away in the
+            # same commit step (still after every task succeeded)
+            for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(old)
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(self.path,
+                                 f"part-{self.job_id}-{i:05d}.jsonl")
             os.replace(m.tmp_path, final)
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 
     def abort(self, messages) -> None:
+        # contract: messages carries None for every FAILED task — only
+        # successful tasks' staging files exist to clean up
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(m.tmp_path)
             except OSError:
@@ -181,11 +210,9 @@ def python_datasource_sink_roundtrip(spark: SparkSession,
     import shutil
 
     from pyspark.sql import functions as F
-    from .registry import source_fingerprint
+    from .registry import cached_artifact_dir
     register(spark)
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = (f"/tmp/qrapids_pyds_sink/"
-            f"{tag}_{source_fingerprint(sf_dir, 'events')}")
+    path = cached_artifact_dir("qrapids_pyds_sink", sf_dir, "events")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         shutil.rmtree(path, ignore_errors=True)
         from .registry import load_table

@@ -56,6 +56,16 @@ def source_fingerprint(sf_dir: str, table: str) -> str:
     return hashlib.md5(token.encode()).hexdigest()[:8]
 
 
+def cached_artifact_dir(root: str, sf_dir: str, table: str) -> str:
+    """The shared /tmp artifact-cache location:
+    ``/tmp/<root>/<sf-tag>_<source fingerprint>`` — single source of
+    truth for the staleness-guard idiom (previously copy-pasted per
+    caller).  Callers append their own file/dir names and guard on
+    their own ``_SUCCESS`` marker."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return f"/tmp/{root}/{tag}_{source_fingerprint(sf_dir, table)}"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. Explicit schema → no inference pass at scale.
 

@@ -325,13 +325,21 @@ def events_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming trending dashboard: per 1-hour tumbling window, the
     top-``k`` users by event count — the leaderboard every live product
     dashboard runs.  The heavy aggregation (window × user) happens IN
-    the stream (watermark-bounded state, shuffle keyed by the window +
-    user); the rank is a cheap batch post-pass over the sink table,
-    because per-window top-k inside a streaming agg would need complete
-    re-sorting per micro-batch — rank-at-read is the standard serving
-    split (the sink table is the materialized view, the dashboard query
-    ranks it).  Complete output mode makes the final table independent
-    of micro-batch boundaries, so the batch SQL oracle is exact."""
+    the stream (shuffle keyed by the window + user); the rank is a
+    cheap batch post-pass over the sink table, because per-window top-k
+    inside a streaming agg would need complete re-sorting per
+    micro-batch — rank-at-read is the standard serving split (the sink
+    table is the materialized view, the dashboard query ranks it).
+
+    Output-mode note: COMPLETE mode makes the final table independent
+    of micro-batch boundaries, which is what makes the batch SQL oracle
+    exact — but in complete mode Spark does NOT evict window state on
+    the watermark (it must be able to re-emit every window), so state
+    here grows with distinct (window, user) pairs.  The long-running
+    production shape is UPDATE mode + a ``foreachBatch`` upsert sink
+    (exactly ``events_stream_upsert_state``'s pattern) where the
+    watermark DOES bound state, with the same rank-at-read query on the
+    upserted table."""
     counts = (events_stream(spark, sf_dir)
               .withWatermark("ts", "1 hour")
               .groupBy(F.window("ts", "1 hour").alias("w"), F.col("user_id"))

@@ -94,6 +94,21 @@ def events_stateful_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     _run_to_memory_sink(out, name, "append")
     # one snapshot row per (event_type, micro-batch); keep the last per key
     snap = spark.table(name)
+    # ORACLE PRECONDITION, enforced loudly: the SQL oracle recomputes the
+    # prior-prefix stats over the GLOBAL (ts, value) order, but the
+    # operator sorts only WITHIN each micro-batch — the two agree exactly
+    # when the whole file stream arrives as ONE availableNow batch (the
+    # single-file read guarantees it today).  A multi-batch run (more
+    # files, maxFilesPerTrigger) is still operator-correct (cumulative
+    # state), but its prefix order is batch-arrival order, not global —
+    # fail loud rather than hand the driver a legitimately-divergent row.
+    n_batches = (snap.groupBy("event_type").count()
+                 .agg(F.max("count")).first()[0])
+    if n_batches and n_batches > 1:
+        raise RuntimeError(
+            f"events_stateful_anomalies ran as {n_batches} micro-batches; "
+            "the SQL oracle's global prior-prefix order only matches a "
+            "single-batch replay — see docstring")
     from pyspark.sql.window import Window
     w = Window.partitionBy("event_type").orderBy(F.col("running_count").desc())
     return (snap.withColumn("rn", F.row_number().over(w))

@@ -337,3 +337,23 @@ def test_python_datasource_sink_commit_protocol(spark, sf_dir, tmp_path):
     leftover = [os.path.basename(p) for p in glob.glob(f"{bad_dir}/*")]
     assert not any(n.startswith("part-") for n in leftover), leftover
     assert "_SUCCESS" not in leftover
+    # the failing task must remove its OWN staging file (abort() gets
+    # None for failed tasks and cannot know the path), and abort must
+    # clean the successful tasks' staged files — nothing may remain
+    assert not any(n.startswith("_tmp-") for n in leftover), leftover
+
+    # append twice: the job-scoped part naming must make both batches
+    # visible (no silent clobber of identically-indexed parts)
+    twice_dir = str(tmp_path / "twice")
+    small = spark.range(10).select(F.col("id"))
+    for _ in range(2):
+        (small.write.format("qrapids_jsonl_sink").mode("append")
+         .option("path", twice_dir).save())
+    back = spark.read.schema("id bigint").json(f"{twice_dir}/part-*.jsonl")
+    assert back.count() == 20
+
+    # overwrite: prior parts from BOTH appends are replaced atomically
+    (small.write.format("qrapids_jsonl_sink").mode("overwrite")
+     .option("path", twice_dir).save())
+    back = spark.read.schema("id bigint").json(f"{twice_dir}/part-*.jsonl")
+    assert back.count() == 10
