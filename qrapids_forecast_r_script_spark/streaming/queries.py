@@ -358,6 +358,69 @@ def events_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_events"))
 
 
+def events_stream_trending_upsert(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of :func:`events_stream_trending_topk`
+    (whose docstring documents why complete mode cannot bound state):
+    UPDATE output mode — the watermark now DOES evict closed windows
+    from the aggregation state — with a ``foreachBatch`` upsert keeping
+    a per-(window, user) count table current (each update row replaces
+    its key's prior row; the same merge shape as
+    ``events_stream_upsert_state``).  The leaderboard is the identical
+    rank-at-read query over the upserted table.  With an availableNow
+    replay and no late data the final table equals the complete-mode
+    result, so this shares the exact batch SQL oracle — proving the
+    bounded-state form is result-identical, not just claimed."""
+    import shutil
+    import tempfile
+
+    state_dir = os.path.join(
+        tempfile.gettempdir(), "qrapids_trending_state",
+        os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df
+        if os.path.exists(state_dir):
+            cur = b.sparkSession.read.parquet(state_dir)
+            keep = cur.join(b.select("window_start", "user_id"),
+                            ["window_start", "user_id"], "left_anti")
+            merged = keep.unionByName(b)
+        else:
+            merged = b
+        merged.localCheckpoint(eager=True) \
+            .write.mode("overwrite").parquet(state_dir)
+
+    counts = (events_stream(spark, sf_dir)
+              .withWatermark("ts", "1 hour")
+              .groupBy(F.window("ts", "1 hour").alias("w"), F.col("user_id"))
+              .agg(F.count(F.lit(1)).alias("n_events"))
+              .select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"),
+                      "user_id", "n_events"))
+    import tempfile as _tf
+    with _tf.TemporaryDirectory() as ckpt:
+        q = (counts.writeStream
+             .foreachBatch(_merge)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                "events_stream_trending_upsert did not finish — refusing "
+                "to return a partial state table")
+    snap = spark.read.parquet(state_dir)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc())
+    return (snap.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TRENDING_K)
+            .select("window_start", "window_end", "rank", "user_id",
+                    "n_events"))
+
+
 QUERIES = {
     "events_stream_tumbling_1h": events_stream_tumbling_1h,
     "events_sliding_1h_30m": events_sliding_1h_30m,
@@ -372,6 +435,7 @@ QUERIES = {
 EXTRA_QUERIES = {
     "events_stream_upsert_state": events_stream_upsert_state,
     "events_stream_trending_topk": events_stream_trending_topk,
+    "events_stream_trending_upsert": events_stream_trending_upsert,
 }
 
 _TUMBLING_SQL = """
@@ -386,6 +450,21 @@ _TUMBLING_SQL = """
 
 EXTRA_ORACLES = {
     "events_stream_trending_topk": f"""
+        WITH counts AS (
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                   user_id, count(*) AS n_events
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT window_start, window_end, rank, user_id, n_events FROM (
+            SELECT *, row_number() OVER (PARTITION BY window_start
+                       ORDER BY n_events DESC, user_id ASC) AS rank
+            FROM counts)
+        WHERE rank <= {_TRENDING_K}
+    """,
+    # the update-mode + upsert production form must land on the SAME
+    # final table as the complete-mode demo — identical oracle
+    "events_stream_trending_upsert": f"""
         WITH counts AS (
             SELECT date_trunc('hour', ts) AS window_start,
                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
