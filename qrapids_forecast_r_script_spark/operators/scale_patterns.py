@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..sources import load_table
 
@@ -367,6 +368,67 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+# Count-Min sketch: depth × width counter table.  Constants, so the
+# sketch is broadcastable and its build is a map-side partial aggregate
+# regardless of stream length.  Deterministic universal hashing (same
+# (a·x + b) mod p mod w family as the MinHash/Bloom operators; a < 2^30
+# keeps a·x below 2^62 under ANSI overflow checking on both engines).
+_CMS_P = 4294967311
+_CMS_PARAMS = [(1103515245, 12345), (214013, 2531011),
+               (22695477, 1), (1664525, 1013904223)]
+_CMS_DEPTH = len(_CMS_PARAMS)
+_CMS_WIDTH = 256
+_CMS_TOP = 10
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    built in PURE Catalyst: the per-user event-count estimate is
+    ``min over d of counter[d][h_d(user)]`` on a fixed depth×width
+    counter table, reported for the top-``_CMS_TOP`` users alongside
+    their exact counts (CMS guarantees estimate ≥ exact; equality when
+    the user's cells carry no collisions).
+
+    Unlike the built-in HLL/percentile sketches (opaque internal state →
+    rows-only driver checks), this hand-built sketch is fully
+    deterministic, so it carries an EXACT SQL oracle — the sketch
+    contents themselves are hash-checked, not just sanity-bounded.
+
+    Scale shape: the counter build is a map-side partial aggregate into
+    d·w = 1024 cells (constant — the entire sketch broadcasts); the
+    estimate lookup is a broadcast join.  The exact-count column is the
+    verification baseline for the demo — at true scale you keep only
+    the sketch (that is its point) and the exact shuffle disappears.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cell_structs = [
+        F.struct(F.lit(d).alias("d"),
+                 ((F.col("user_id") * F.lit(a) + F.lit(b))
+                  % F.lit(_CMS_P) % F.lit(_CMS_WIDTH)).alias("cell"))
+        for d, (a, b) in enumerate(_CMS_PARAMS)]
+    counters = (ev.select(F.explode(F.array(*cell_structs)).alias("x"))
+                .groupBy(F.col("x.d").alias("d"),
+                         F.col("x.cell").alias("cell"))
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    user_cells = exact.select(
+        "user_id", "exact_count",
+        F.explode(F.array(*cell_structs)).alias("x"))
+    est = (user_cells
+           .join(F.broadcast(counters),
+                 (F.col("x.d") == F.col("d"))
+                 & (F.col("x.cell") == F.col("cell")))
+           .groupBy("user_id", "exact_count")
+           .agg(F.min("cnt").alias("est_count")))
+    # TakeOrdered first (no global-sort shuffle over the full user set);
+    # the rank window then runs over only the k surviving rows
+    top = (est.orderBy(F.col("est_count").desc(), F.col("user_id").asc())
+           .limit(_CMS_TOP))
+    w = Window.orderBy(F.col("est_count").desc(), F.col("user_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "user_id", "est_count", "exact_count"))
+
+
 QUERIES = {
     "salted_skew_join": salted_skew_join,
     "salted_skew_agg": salted_skew_agg,
@@ -375,7 +437,11 @@ QUERIES = {
     "orders_upsert_scd1": orders_upsert_scd1,
     "orders_upsert_scd2": orders_upsert_scd2,
     "compact_small_files": compact_small_files,
+    "cms_heavy_hitters": cms_heavy_hitters,
 }
+
+_CMS_PARAMS_SQL = ", ".join(
+    f"({d}, {a}, {b})" for d, (a, b) in enumerate(_CMS_PARAMS))
 
 ORACLES = {
     "salted_skew_join": """
@@ -456,6 +522,30 @@ ORACLES = {
                src_version AS effective_from, effective_to,
                effective_to IS NULL AS is_current
         FROM hist
+    """,
+    "cms_heavy_hitters": f"""
+        WITH params(d, a, b) AS (VALUES {_CMS_PARAMS_SQL}),
+        counters AS (
+            SELECT p.d, (e.user_id * p.a + p.b) % {_CMS_P} % {_CMS_WIDTH}
+                       AS cell,
+                   count(*) AS cnt
+            FROM events e, params p GROUP BY 1, 2
+        ), exact AS (
+            SELECT user_id, count(*) AS exact_count FROM events GROUP BY 1
+        ), est AS (
+            SELECT x.user_id, x.exact_count, min(c.cnt) AS est_count
+            FROM (SELECT u.user_id, u.exact_count, p.d,
+                         (u.user_id * p.a + p.b) % {_CMS_P} % {_CMS_WIDTH}
+                             AS cell
+                  FROM exact u, params p) x
+            JOIN counters c ON c.d = x.d AND c.cell = x.cell
+            GROUP BY 1, 2
+        )
+        SELECT rank, user_id, est_count, exact_count FROM (
+            SELECT *, row_number() OVER (ORDER BY est_count DESC,
+                                         user_id ASC) AS rank
+            FROM est)
+        WHERE rank <= {_CMS_TOP}
     """,
     "zorder_bin_stats": f"""
         WITH z AS (

@@ -92,3 +92,27 @@ def test_dedup_keep_best_picks_argmax_quality(spark, sf_dir):
         want = min(members, key=lambda d: (-docs[d], d))
         assert kept[cid]["kept_doc_id"] == want, cid
         assert kept[cid]["n_members"] == len(members)
+
+
+def test_cms_estimate_never_underestimates(spark, sf_dir):
+    """The Count-Min guarantee: est >= exact for EVERY user (not just
+    the reported top-k), and the top-k report is internally consistent."""
+    from pyspark.sql import functions as F
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        _CMS_P, _CMS_PARAMS, _CMS_WIDTH, cms_heavy_hitters)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.est_count >= r.exact_count, r
+    # full-population check of the guarantee, recomputed independently
+    ev = load_table(spark, sf_dir, "events").select("user_id").toPandas()
+    import collections
+    exact = collections.Counter(ev.user_id)
+    counters = [collections.Counter(
+        (u * a + b) % _CMS_P % _CMS_WIDTH for u in ev.user_id)
+        for a, b in _CMS_PARAMS]
+    for u, n in exact.items():
+        est = min(c[(u * a + b) % _CMS_P % _CMS_WIDTH]
+                  for c, (a, b) in zip(counters, _CMS_PARAMS))
+        assert est >= n, (u, est, n)
