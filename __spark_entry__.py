@@ -94,6 +94,7 @@ def _registries():
     from qrapids_forecast_r_script_spark.operators import (
         curation,
         dedup,
+        graph,
         multimodal,
         pipeline,
         product_analytics,
@@ -129,6 +130,7 @@ def _registries():
         (pyds.QUERIES, pyds.ORACLES),
         (fq.EVAL_QUERIES, fq.EVAL_ORACLES),
         (dedup.EXTRA_QUERIES, dedup.EXTRA_ORACLES),
+        (graph.QUERIES, graph.ORACLES),
         (sq.EXTRA_QUERIES, sq.EXTRA_ORACLES),
         # capability-gated tail (execution raises without protobuf) —
         # registered here so the in-window allocation is invariant to

@@ -1,0 +1,133 @@
+"""Graph analytics over the near-duplicate pair graph (north-star
+extension — the reference has no graph surface at all).
+
+``doc_graph_pagerank``: PageRank (Brin & Page 1998) on the symmetric
+MinHash-LSH pair graph, with the damping-and-dangling formulation:
+
+    r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)/outdeg(u)  +  dangling_mass/N )
+
+Two UNROLLED power iterations with end-of-iteration 1e-6 rounding — the
+same engine-resync trick that makes ``ivf_kmeans_topk`` and the trained
+PQ codebook exactly SQL-oracle-able: float sums differ between engines
+only in the last ulp (association order), and rounding nine orders
+above the drift resynchronizes both sides after every iteration.  All
+scalar constants are written as DOUBLE on both engines (DuckDB parses
+bare ``0.85`` as DECIMAL, whose exact ``1 - 0.85`` differs from binary
+``0.15000000000000002`` — the repricing-multiplier divergence class).
+
+Scale shape per iteration: one grouped sum keyed by dst (the classic
+PageRank shuffle), a broadcast scalar for the dangling mass, and a
+left join back to the node list — no driver collect except the bounded
+node count.  Iteration count is the knob at scale; the unrolled-2 form
+here is the oracle-able correctness anchor, and each additional
+iteration is the same plan repeated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .dedup import _BANDS_UNION, _SIG_CTE, minhash_lsh_pairs
+
+_PR_ITERS = 2
+_PR_D = 0.85          # damping (written as CAST(0.85 AS DOUBLE) in SQL)
+_PR_TOP = 20
+_PR_DP = 6            # end-of-iteration rounding (engine resync)
+
+
+def doc_graph_pagerank(spark: SparkSession, sf_dir: str,
+                       iters: int = _PR_ITERS) -> DataFrame:
+    """Top-``_PR_TOP`` documents by PageRank over the near-dup graph —
+    the "most central duplicate hub" ranking a corpus auditor uses to
+    find boilerplate families worth manual review."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+           .union(pairs.select(F.col("doc_b").alias("src"),
+                               F.col("doc_a").alias("dst")))
+           .localCheckpoint())
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = docs.count()                      # bounded driver scalar
+    d = _PR_D
+    ranks = docs.select("doc_id", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+    for _ in range(iters):
+        contrib = (sym.join(deg, "src")
+                   .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+                   .groupBy(F.col("dst").alias("doc_id"))
+                   .agg(F.sum(F.col("r") / F.col("deg")).alias("c")))
+        dangling = (ranks.join(deg.withColumnRenamed("src", "doc_id"),
+                               "doc_id", "left_anti")
+                    .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")))
+        ranks = (docs
+                 .join(contrib, "doc_id", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("doc_id",
+                         F.round((F.lit(1.0) - F.lit(d)) / F.lit(float(n))
+                                 + F.lit(d)
+                                 * (F.coalesce(F.col("c"), F.lit(0.0))
+                                    + F.col("dm") / F.lit(float(n))),
+                                 _PR_DP).alias("r")))
+    top = (ranks.orderBy(F.col("r").desc(), F.col("doc_id").asc())
+           .limit(_PR_TOP))
+    w = Window.orderBy(F.col("r").desc(), F.col("doc_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", F.col("r").alias("pagerank")))
+
+
+def _pagerank_oracle_sql(iters: int = _PR_ITERS) -> str:
+    prev = "r0"
+    iter_ctes = []
+    for i in range(iters):
+        cur = f"r{i + 1}"
+        iter_ctes.append(f"""
+        {cur} AS (
+            SELECT nd.doc_id,
+                   round((CAST(1 AS DOUBLE) - CAST({_PR_D} AS DOUBLE))
+                             / nn.n
+                         + CAST({_PR_D} AS DOUBLE)
+                           * (coalesce(c.c, CAST(0 AS DOUBLE))
+                              + dang.dm / nn.n), {_PR_DP}) AS r
+            FROM nodes nd
+            CROSS JOIN nn
+            CROSS JOIN (SELECT coalesce(sum(p.r), CAST(0 AS DOUBLE)) AS dm
+                        FROM {prev} p LEFT JOIN deg ON p.doc_id = deg.src
+                        WHERE deg.src IS NULL) dang
+            LEFT JOIN (SELECT s.dst AS doc_id, sum(p.r / d.deg) AS c
+                       FROM sym s
+                       JOIN deg d ON s.src = d.src
+                       JOIN {prev} p ON s.src = p.doc_id
+                       GROUP BY 1) c ON nd.doc_id = c.doc_id
+        )""")
+        prev = cur
+    return _SIG_CTE + f"""
+        , bands AS ({_BANDS_UNION}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                        AND a.doc_id < b.doc_id
+        ),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+        nodes AS (SELECT doc_id FROM documents),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (
+            SELECT nd.doc_id, CAST(1 AS DOUBLE) / nn.n AS r
+            FROM nodes nd CROSS JOIN nn
+        ),{",".join(iter_ctes)}
+        SELECT rank, doc_id, r AS pagerank FROM (
+            SELECT *, row_number() OVER (ORDER BY r DESC, doc_id ASC)
+                       AS rank
+            FROM {prev})
+        WHERE rank <= {_PR_TOP}
+    """
+
+
+QUERIES = {"doc_graph_pagerank": doc_graph_pagerank}
+ORACLES = {"doc_graph_pagerank": _pagerank_oracle_sql()}

