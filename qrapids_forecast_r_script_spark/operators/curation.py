@@ -276,6 +276,42 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str,
                           .cast("binary")).alias("cleaned_md5")))
 
 
+_WS_K = 50                       # weighted sample size
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str,
+                         k: int = _WS_K) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    doc gets key = ln(u)/w for a hash-derived uniform u and weight w,
+    and the k LARGEST keys are the sample — inclusion probability
+    proportional to weight, one pass, no replacement bookkeeping.  The
+    curation use: sample documents proportional to length/quality so a
+    fixed-budget subset covers the corpus mass, not the doc count.
+
+    Determinism: u comes from the same Knuth-hash-mod construction as
+    the stratified sampler (reproducible across retries/partitioning);
+    keys are ROUNDED at 1e-6 before ranking with a doc_id tiebreak —
+    Spark's log() and DuckDB's ln() are different libm builds whose
+    last-ulp drift the rounding absorbs (the PMI-collocation
+    precedent).  Plan: map-side key computation + one TakeOrdered —
+    no shuffle beyond the top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    # u in (0, 1): (hash + 1) / (mod + 1) keeps u strictly inside the
+    # open interval on both engines (ln(0) would be -inf)
+    u = ((F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(_HASH_MOD))
+          + F.lit(1.0)) / F.lit(float(_HASH_MOD + 1)))
+    key = F.round(F.log(u) / F.col("n_chars"), 6)
+    scored = docs.select("doc_id", "source", "n_chars",
+                         key.alias("ws_key"))
+    top = (scored.orderBy(F.col("ws_key").desc(), F.col("doc_id").asc())
+           .limit(k))
+    w = Window.orderBy(F.col("ws_key").desc(), F.col("doc_id").asc())
+    return (top.withColumn("sample_rank", F.row_number().over(w))
+            .select("sample_rank", "doc_id", "source", "n_chars",
+                    "ws_key"))
+
+
 _SPLIT_BOUNDS = (80, 90)         # hash-bucket cut points: train/val/test
 _FIXED_K = 10                    # eval-set size per language
 
@@ -364,6 +400,7 @@ QUERIES = {
     "stratified_sample_docs": stratified_sample_docs,
     "eval_contamination": eval_contamination,
     "decontaminate_spans": decontaminate_spans,
+    "weighted_sample_docs": weighted_sample_docs,
     "source_quota_cap": source_quota_cap,
     "token_shard_packing": token_shard_packing,
     "semantic_dedup_keep": semantic_dedup_keep,
@@ -470,6 +507,21 @@ ORACLES = {
                CAST({_RATE_CASE} AS INTEGER) AS keep_pct
         FROM documents
         WHERE (doc_id * {_KNUTH}) % {_HASH_MOD} % 100 < {_RATE_CASE}
+    """,
+    "weighted_sample_docs": f"""
+        WITH scored AS (
+            SELECT doc_id, source, n_chars,
+                   round(ln(((doc_id * {_KNUTH}) % {_HASH_MOD}
+                             + CAST(1 AS DOUBLE))
+                            / CAST({_HASH_MOD + 1} AS DOUBLE))
+                         / n_chars, 6) AS ws_key
+            FROM documents
+        )
+        SELECT sample_rank, doc_id, source, n_chars, ws_key FROM (
+            SELECT *, row_number() OVER (ORDER BY ws_key DESC,
+                                         doc_id ASC) AS sample_rank
+            FROM scored)
+        WHERE sample_rank <= {_WS_K}
     """,
     "source_quota_cap": f"""
         SELECT doc_id, source, n_chars, src_rank FROM (

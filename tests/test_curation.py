@@ -265,3 +265,23 @@ def test_decontaminate_spans_excises_contaminated_docs(spark, sf_dir):
         else:
             assert r.n_removed == 0, doc_id
             assert r.cleaned_md5 == raw[doc_id], doc_id
+
+
+def test_weighted_sample_skews_toward_weight(spark, sf_dir):
+    """Efraimidis-Spirakis keys: the length-weighted sample must
+    overrepresent long documents vs the corpus mean, be rerun-stable,
+    and rank exactly k rows."""
+    from pyspark.sql import functions as F
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        _WS_K, weighted_sample_docs)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = weighted_sample_docs(spark, sf_dir).collect()
+    assert [r.sample_rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == min(_WS_K, load_table(
+        spark, sf_dir, "documents").count())
+    corpus_avg = (load_table(spark, sf_dir, "documents")
+                  .agg(F.avg("n_chars")).first()[0])
+    sample_avg = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_avg > corpus_avg, (sample_avg, corpus_avg)
+    again = {r.doc_id for r in weighted_sample_docs(spark, sf_dir).collect()}
+    assert {r.doc_id for r in rows} == again
