@@ -77,6 +77,12 @@ HEADLINE = [
     "decontaminate_spans",
     "events_stream_trending_topk",
     "events_partitioned_pruning",
+    # round-3 additions (third batch): CMS heavy hitters, PageRank over
+    # the dup graph, weighted sampling, update-mode trending upsert
+    "cms_heavy_hitters",
+    "doc_graph_pagerank",
+    "weighted_sample_docs",
+    "events_stream_trending_upsert",
 ]
 
 

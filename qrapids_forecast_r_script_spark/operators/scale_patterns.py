@@ -429,6 +429,51 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("rank", "user_id", "est_count", "exact_count"))
 
 
+# incremental aggregation cutoff: history = events strictly before this
+# date, the "daily batch" = events on/after it (events span 2024-01)
+_INC_CUTOFF = "2024-01-25"
+
+
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate MAINTENANCE — the production ETL shape that
+    makes a 100 TB history affordable: yesterday's per-key aggregate
+    STATE (count / sum / min / max — all algebraic, so partials merge
+    losslessly) is combined with the new day's partial aggregate, and
+    history is NEVER rescanned.  Here both sides derive from the same
+    events table split at a cutoff date, and the oracle computes the
+    full-table aggregate directly — a hash match proves merge(state,
+    delta) == recompute(everything), which is the correctness contract
+    of every incremental pipeline.
+
+    Scale shape: each side is one keyed partial aggregate over ONLY its
+    own slice (the history side would be a stored state table in
+    production, read not recomputed); the merge is a same-key full-outer
+    union-groupBy — one shuffle of two already-aggregated (tiny) sides.
+    Non-algebraic aggregates (exact distinct) need the set/sketch
+    treatment (`salted_skew_agg` keeps sets; `distinct_users_hll` is the
+    mergeable-sketch path) — deliberately excluded here.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_INC_CUTOFF).cast("date")
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return (df.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum("value").alias("sum_value"),
+                     F.min("value").alias("min_value"),
+                     F.max("value").alias("max_value")))
+
+    history = _partial(ev.where(F.to_date("ts") < cutoff))
+    delta = _partial(ev.where(F.to_date("ts") >= cutoff))
+    return (history.unionByName(delta)
+            .groupBy("event_type")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.round(F.sum("sum_value"), 4).alias("sum_value"),
+                 F.round(F.min("min_value"), 6).alias("min_value"),
+                 F.round(F.max("max_value"), 6).alias("max_value"))
+            .orderBy("event_type"))
+
+
 QUERIES = {
     "salted_skew_join": salted_skew_join,
     "salted_skew_agg": salted_skew_agg,
@@ -438,6 +483,7 @@ QUERIES = {
     "orders_upsert_scd2": orders_upsert_scd2,
     "compact_small_files": compact_small_files,
     "cms_heavy_hitters": cms_heavy_hitters,
+    "incremental_agg_merge": incremental_agg_merge,
 }
 
 _CMS_PARAMS_SQL = ", ".join(
@@ -522,6 +568,15 @@ ORACLES = {
                src_version AS effective_from, effective_to,
                effective_to IS NULL AS is_current
         FROM hist
+    """,
+    "incremental_agg_merge": """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value
+        FROM events
+        GROUP BY 1 ORDER BY 1
     """,
     "cms_heavy_hitters": f"""
         WITH params(d, a, b) AS (VALUES {_CMS_PARAMS_SQL}),

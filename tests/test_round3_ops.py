@@ -140,3 +140,20 @@ def test_pagerank_mass_and_hub_ordering(spark, sf_dir):
         # connected docs concentrate mass above the uniform level
         assert top[0]["pagerank"] > 1.0 / n
         assert top[0]["doc_id"] in paired
+
+
+def test_incremental_merge_sides_both_nonempty(spark, sf_dir):
+    """The merge proof is vacuous if either slice is empty — pin that
+    the cutoff actually splits the data, and that merged counts equal
+    history + delta exactly."""
+    from pyspark.sql import functions as F
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        _INC_CUTOFF, incremental_agg_merge)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_INC_CUTOFF).cast("date")
+    n_hist = ev.where(F.to_date("ts") < cutoff).count()
+    n_delta = ev.where(F.to_date("ts") >= cutoff).count()
+    assert n_hist > 0 and n_delta > 0, (n_hist, n_delta)
+    merged = incremental_agg_merge(spark, sf_dir)
+    assert merged.agg(F.sum("n_events")).first()[0] == n_hist + n_delta
