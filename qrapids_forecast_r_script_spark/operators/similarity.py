@@ -656,6 +656,50 @@ def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("vec_id").alias("neighbor_id"), "maxsim_score"))
 
 
+def ann_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality EVAL over the engine's own ANN: NDCG@k of the
+    PQ shortlist+re-rank index against the exact brute-force ranking
+    (the standard IR metric — Järvelin & Kekäläinen 2002).  Relevance
+    of a returned neighbor = (k+1) − its brute-force rank (0 if outside
+    the exact top-k); DCG discounts by log2(position+1); IDCG re-ranks
+    the same gains ideally.  This turns "the index feels fine" into a
+    per-query hash-checked number — the eval harness an ANN deployment
+    watches when the corpus drifts.  (The sign-LSH index evaluated the
+    same way scores ≈0 on the near-uniform synthetic vectors — the
+    metric exposing a weak index is precisely its job; the PQ index's
+    0.96 recall makes it the meaningful subject.)
+
+    Both inputs are deterministic engine queries, so the metric carries
+    an exact SQL oracle (their oracles nest as subqueries).  The final
+    ndcg rounds at 1e-6: log2 comes from different libm builds (the PMI
+    precedent).  Scale: the metric join is k·Q rows vs k·Q rows — eval
+    cost beyond running the two inputs is independent of corpus size.
+    """
+    bf = (cosine_topk_bruteforce(spark, sf_dir)
+          .select("query_id", "neighbor_id",
+                  F.col("rank").alias("bf_rank")))
+    ann = pq_topk(spark, sf_dir).select("query_id", "rank", "neighbor_id")
+    rel = (ann.join(bf, ["query_id", "neighbor_id"], "left")
+           .select("query_id", "rank",
+                   F.coalesce(F.lit(_TOP_K + 1) - F.col("bf_rank"),
+                              F.lit(0)).alias("rel")))
+    wideal = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("rank").asc())
+    scored = (rel
+              .withColumn("ideal_pos", F.row_number().over(wideal))
+              .groupBy("query_id")
+              .agg(F.sum(F.col("rel") / F.log2(F.col("rank") + 1))
+                   .alias("dcg"),
+                   F.sum(F.col("rel") / F.log2(F.col("ideal_pos") + 1))
+                   .alias("idcg")))
+    return scored.select(
+        "query_id",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0)), 6)
+        .alias("ndcg"))
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "embedding_neardup_pairs": embedding_neardup_pairs,
@@ -664,6 +708,7 @@ QUERIES = {
     "ivf_kmeans_topk": ivf_kmeans_topk,
     "pq_topk": pq_topk,
     "maxsim_multivector_topk": maxsim_multivector_topk,
+    "ann_eval_ndcg": ann_eval_ndcg,
 }
 
 
@@ -983,6 +1028,35 @@ ORACLES = {
 }
 
 ORACLES["ivf_kmeans_topk"] = _ivf_kmeans_oracle_sql()
+
+# the eval metric's inputs are themselves oracled queries — their SQL
+# nests as subqueries (each carries its own WITH)
+ORACLES["ann_eval_ndcg"] = f"""
+    WITH bf AS (SELECT query_id, neighbor_id, rank AS bf_rank
+                FROM ({{bf_sql}}) __bf),
+    ann AS (SELECT query_id, rank, neighbor_id
+            FROM ({{ann_sql}}) __ann),
+    rel AS (
+        SELECT a.query_id, a.rank,
+               coalesce({_TOP_K + 1} - b.bf_rank, 0) AS rel
+        FROM ann a
+        LEFT JOIN bf b ON a.query_id = b.query_id
+                      AND a.neighbor_id = b.neighbor_id
+    ), pos AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, rank ASC) AS ideal_pos
+        FROM rel
+    ), agg AS (
+        SELECT query_id,
+               sum(rel / log2(rank + 1)) AS dcg,
+               sum(rel / log2(ideal_pos + 1)) AS idcg
+        FROM pos GROUP BY 1
+    )
+    SELECT query_id, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+           round(dcg / nullif(idcg, 0), 6) AS ndcg
+    FROM agg
+""".format(bf_sql=ORACLES["cosine_topk_bruteforce"],
+           ann_sql=ORACLES["pq_topk"])
 
 ORACLES["maxsim_multivector_topk"] = f"""
     WITH rawv AS (

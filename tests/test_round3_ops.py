@@ -157,3 +157,20 @@ def test_incremental_merge_sides_both_nonempty(spark, sf_dir):
     assert n_hist > 0 and n_delta > 0, (n_hist, n_delta)
     merged = incremental_agg_merge(spark, sf_dir)
     assert merged.agg(F.sum("n_events")).first()[0] == n_hist + n_delta
+
+
+def test_ann_eval_ndcg_rerank_guarantee(spark, sf_dir):
+    """For a shortlist + EXACT-re-rank index, the returned order is by
+    true cosine, so NDCG of the returned set must be exactly 1.0 —
+    recall misses appear as dcg below the perfect-score constant, never
+    as reordering."""
+    import math
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        _TOP_K, ann_eval_ndcg)
+    rows = ann_eval_ndcg(spark, sf_dir).collect()
+    assert rows, "no queries evaluated"
+    perfect = round(sum((_TOP_K + 1 - i) / math.log2(i + 1)
+                        for i in range(1, _TOP_K + 1)), 6)
+    for r in rows:
+        assert r.ndcg == 1.0, r
+        assert r.dcg <= perfect + 1e-9, (r, perfect)
