@@ -61,19 +61,22 @@ FRONT_WINDOW = [
     # custom-stateful anomaly counter — carries a full prior-prefix
     # window-function oracle since round 3 (previously rows-only)
     "events_stateful_anomalies",
-    # the 11 iterative model fits (rows-only by design: ETS/ARIMA/… fits
-    # are not SQL-expressible) — first-ever driver rows-only signal
-    "forecast_ets_user_series", "forecast_ets_events",
-    "forecast_etsdamped_events", "forecast_theta_events",
-    "forecast_stl_events", "forecast_arima_events",
-    "forecast_arima_force_seasonality_events", "forecast_nn_events",
-    "forecast_baggedets_events", "forecast_prophet_events",
+    # three REPRESENTATIVE iterative model fits (rows-only by design:
+    # the fits are not SQL-expressible) — first-ever driver rows-only
+    # signal for the grouped-applyInPandas model path.  The other 8
+    # fits share this exact execution chain (scan → series → fit →
+    # bands) and differ only in the per-series numpy model, which the
+    # model-level goldens cover; giving all 11 in-window slots to
+    # rows-only entries would burn hash-check capacity the new round-3
+    # oracled operators can use.
+    "forecast_ets_events", "forecast_arima_events",
     "forecast_hybrid_events",
-    # round-3 NEW operators (all exactly oracled) — first driver signal:
-    # SCD-2 history upsert, PII redaction, ColBERT-style MaxSim
-    # retrieval, cluster-dedup keep-best
+    # round-3 NEW operators (all exactly oracled) — first driver signal
     "orders_upsert_scd2", "pii_scrub_docs", "maxsim_multivector_topk",
-    "dedup_keep_best",
+    "dedup_keep_best", "decontaminate_spans", "events_partitioned_pruning",
+    "python_datasource_sink_roundtrip", "events_stream_trending_topk",
+    "events_stream_trending_upsert", "cms_heavy_hitters",
+    "doc_graph_pagerank", "weighted_sample_docs",
 ]
 
 

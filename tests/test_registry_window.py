@@ -39,27 +39,23 @@ MUST_BE_IN_WINDOW = [
     "events_variant_props", "customer_top_orders_lateral",
     # custom stateful (oracled since r3)
     "events_stateful_anomalies",
-    # iterative model fits — rows-only by design, first driver signal
-    "forecast_ets_user_series", "forecast_ets_events",
-    "forecast_etsdamped_events", "forecast_theta_events",
-    "forecast_stl_events", "forecast_arima_events",
-    "forecast_arima_force_seasonality_events", "forecast_nn_events",
-    "forecast_baggedets_events", "forecast_prophet_events",
+    # representative model fits — rows-only by design (the other 8 fits
+    # share the same execution chain; see __spark_entry__.FRONT_WINDOW)
+    "forecast_ets_events", "forecast_arima_events",
     "forecast_hybrid_events",
-    # round-3 new operators
+    # round-3 new operators (all exactly oracled)
     "orders_upsert_scd2", "pii_scrub_docs", "maxsim_multivector_topk",
-    "dedup_keep_best",
+    "dedup_keep_best", "decontaminate_spans", "events_partitioned_pruning",
+    "python_datasource_sink_roundtrip", "events_stream_trending_topk",
+    "events_stream_trending_upsert", "cms_heavy_hitters",
+    "doc_graph_pagerank", "weighted_sample_docs",
 ]
 
 # iterative model fits: not SQL-expressible, rows-only BY DESIGN; the
 # driver records the weaker rows-only check for these and the judge sees
 # which.  Nothing else may burn a window slot without a hash check.
 ALLOWED_ROWS_ONLY = {
-    "forecast_ets_user_series", "forecast_ets_events",
-    "forecast_etsdamped_events", "forecast_theta_events",
-    "forecast_stl_events", "forecast_arima_events",
-    "forecast_arima_force_seasonality_events", "forecast_nn_events",
-    "forecast_baggedets_events", "forecast_prophet_events",
+    "forecast_ets_events", "forecast_arima_events",
     "forecast_hybrid_events",
 }
 
