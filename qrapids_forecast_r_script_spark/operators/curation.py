@@ -312,6 +312,37 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str,
                     "ws_key"))
 
 
+_SHUFFLE_EPOCHS = 2
+
+
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str,
+                        epochs: int = _SHUFFLE_EPOCHS) -> DataFrame:
+    """Deterministic per-epoch training order: each epoch assigns every
+    doc a position by ranking ``md5(epoch || ':' || doc_id)`` — a fresh
+    pseudo-random permutation per epoch that is nevertheless exactly
+    reproducible (resumable training, auditable batch composition) and
+    independent of partition layout.  This is the data-ordering
+    primitive training loops need: epoch boundaries reshuffle, but a
+    re-run of epoch e replays the identical order.
+
+    Scale shape: position assignment is one window rank per epoch over
+    a map-side hash — at 100 TB the window becomes a sort on the hash
+    key that the shard-packing pass already pays; the constant-epoch
+    explode adds no corpus-proportional work.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ep = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(e) for e in range(epochs)]))
+        .alias("epoch"))
+    key = F.md5(F.concat(F.col("epoch").cast("string"), F.lit(":"),
+                         F.col("doc_id").cast("string")).cast("binary"))
+    w = Window.partitionBy("epoch").orderBy(key.asc(), F.col("doc_id").asc())
+    return (ep.select("epoch", "doc_id", key.alias("shuffle_key"))
+            .withColumn("position", F.row_number().over(w).cast("long"))
+            .select("epoch", "position", "doc_id"))
+
+
 _SPLIT_BOUNDS = (80, 90)         # hash-bucket cut points: train/val/test
 _FIXED_K = 10                    # eval-set size per language
 
@@ -401,6 +432,7 @@ QUERIES = {
     "eval_contamination": eval_contamination,
     "decontaminate_spans": decontaminate_spans,
     "weighted_sample_docs": weighted_sample_docs,
+    "epoch_shuffle_order": epoch_shuffle_order,
     "source_quota_cap": source_quota_cap,
     "token_shard_packing": token_shard_packing,
     "semantic_dedup_keep": semantic_dedup_keep,
@@ -507,6 +539,20 @@ ORACLES = {
                CAST({_RATE_CASE} AS INTEGER) AS keep_pct
         FROM documents
         WHERE (doc_id * {_KNUTH}) % {_HASH_MOD} % 100 < {_RATE_CASE}
+    """,
+    "epoch_shuffle_order": f"""
+        WITH ep AS (
+            SELECT d.doc_id, e.epoch,
+                   md5(CAST(e.epoch AS VARCHAR) || ':'
+                       || CAST(d.doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents d, range(0, {_SHUFFLE_EPOCHS}) e(epoch)
+        )
+        SELECT CAST(epoch AS INTEGER) AS epoch,
+               CAST(row_number() OVER (PARTITION BY epoch
+                     ORDER BY shuffle_key ASC, doc_id ASC) AS BIGINT)
+                   AS position,
+               doc_id
+        FROM ep
     """,
     "weighted_sample_docs": f"""
         WITH scored AS (
