@@ -388,7 +388,11 @@ def events_stream_trending_upsert(spark: SparkSession,
             merged = keep.unionByName(b)
         else:
             merged = b
-        merged.localCheckpoint(eager=True) \
+        # coalesce before the state write: the table is key-space-bounded
+        # (windows × users), and writing it as 32 shuffle-partition
+        # fragments makes every subsequent batch's read file-open-bound
+        # (the compact_small_files pathology, self-inflicted per batch)
+        merged.localCheckpoint(eager=True).coalesce(4) \
             .write.mode("overwrite").parquet(state_dir)
 
     counts = (events_stream(spark, sf_dir)
