@@ -296,8 +296,10 @@ def events_stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             merged = batch_latest
         # materialize BEFORE overwrite: the plan must not lazily read
-        # the very files the write is about to replace
-        merged.localCheckpoint(eager=True) \
+        # the very files the write is about to replace.  coalesce: the
+        # state table is key-space-bounded — 32 fragments per batch
+        # would make each subsequent state read file-open-bound
+        merged.localCheckpoint(eager=True).coalesce(4) \
             .write.mode("overwrite").parquet(state_dir)
 
     stream = events_stream(spark, sf_dir).select(
