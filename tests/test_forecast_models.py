@@ -223,6 +223,39 @@ def test_prophet_changepoints_track_slope_break():
     assert rmse < plain_rmse / 5
 
 
+def test_golden_damped_trend_geometric_increments():
+    """Damped-trend (ETS AAdN) closed form (Gardner & McKenzie 1985;
+    fpp3 §8.2): ŷ_{n+h} = l + (φ + φ² + … + φ^h)·b, so successive
+    forecast increments decay GEOMETRICALLY with constant ratio φ —
+    an externally-derived structural property a plain Holt fit (ratio
+    exactly 1) cannot produce.  Measured on the exact line: ratio
+    0.98 at every step (the fit's φ), constant to 4 dp."""
+    from qrapids_forecast_r_script_spark.forecast.models.ets import fit_ets
+    t = np.arange(60.0)
+    y = 5 + 2 * t
+    f = fit_ets(y, 1, damped=True).forecast(10)["mean"]
+    inc = np.diff(f)
+    ratios = inc[1:] / inc[:-1]
+    assert np.all(inc > 0)
+    # constant ratio = phi, strictly inside (0, 1): true damping
+    np.testing.assert_allclose(ratios, ratios[0], atol=1e-3)
+    assert 0.5 < ratios[0] < 0.999, ratios[0]
+
+
+def test_golden_seasonal_random_walk_repeats_pattern():
+    """Seasonal-difference closed form (Box–Jenkins seasonal models;
+    fpp3 §9.9): on an exactly periodic series, ARIMA with forced
+    seasonal differencing (D=1, m=7) reduces to the seasonal random
+    walk whose h-step forecast is EXACTLY y_{n+h-7} — the pattern
+    repeats verbatim."""
+    from qrapids_forecast_r_script_spark.forecast.models.arima import (
+        fit_arima)
+    pat = np.array([10, 12, 15, 13, 11, 9, 8], dtype=float)
+    y = np.tile(pat, 12)
+    f = fit_arima(y, 7, force_seasonality=True).forecast(7)["mean"]
+    np.testing.assert_allclose(f, pat, atol=1e-6)
+
+
 def test_prophet_multi_changepoint_golden():
     """Round-3 fidelity golden: TWO slope breaks (+1/day × 40, flat × 30,
     -0.8/day × 30) — the forecast must continue the FINAL regime within a
