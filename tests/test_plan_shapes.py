@@ -262,6 +262,49 @@ def test_partitioned_layout_prunes_directories(spark, sf_dir):
     assert pf and any("event_date" in p for p in pf), plan
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's OptimizeSkewedJoin must actually fire on a skewed
+    sort-merge join (the automatic complement to the manual
+    `salted_skew_join` pattern): the executed SMJ node carries
+    ``skew=true`` once a partition exceeds max(threshold,
+    factor × median).  Found gotchas, pinned here: (a) partition
+    COALESCING runs first and merges small partitions until the skew
+    ratio disappears at test scale — disable it to observe the
+    mechanism; (b) broadcast demotion must be off or the dim side
+    broadcasts and there is no shuffle join to split.  At 100 TB both
+    defaults stay ON and the same mechanism triggers at the real
+    256 MB threshold."""
+    from pyspark.sql import functions as F
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(400000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id"))
+            .alias("k"),
+            F.rand(1).alias("v"))
+        dim = spark.range(1000).select(F.col("id").alias("k"),
+                                       F.lit("x").alias("tag"))
+        j = big.join(dim, "k").select(F.sum("v").alias("s"))
+        j.collect()
+        assert "skew=true" in _plan(j)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_relational_queries_have_no_python_ops(spark, sf_dir):
     """Budget: the Python boundary exists ONLY in forecast fitting and
     multimodal extraction; every relational headline stays JVM-side."""
