@@ -174,3 +174,17 @@ def test_ann_eval_ndcg_rerank_guarantee(spark, sf_dir):
     for r in rows:
         assert r.ndcg == 1.0, r
         assert r.dcg <= perfect + 1e-9, (r, perfect)
+
+
+def test_cms_overestimates_under_forced_collisions(spark, sf_dir):
+    """Shrink the sketch to width 4 so collisions are guaranteed: the
+    Count-Min bound est >= exact must STILL hold for every reported
+    user, and at least one estimate must strictly exceed its exact
+    count (collisions inflate, never deflate)."""
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        cms_heavy_hitters)
+    rows = cms_heavy_hitters(spark, sf_dir, width=4).collect()
+    assert rows
+    assert all(r.est_count >= r.exact_count for r in rows), rows
+    assert any(r.est_count > r.exact_count for r in rows), \
+        "width-4 sketch over >4 users must collide somewhere"
