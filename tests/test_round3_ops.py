@@ -188,3 +188,38 @@ def test_cms_overestimates_under_forced_collisions(spark, sf_dir):
     assert all(r.est_count >= r.exact_count for r in rows), rows
     assert any(r.est_count > r.exact_count for r in rows), \
         "width-4 sketch over >4 users must collide somewhere"
+
+
+def test_python_udtf_surface(spark, sf_dir):
+    """Spark 4 Python UDTF capability (the third leg of the
+    UDF/UDAF/UDTF row in SURVEY §2B): a table function registered and
+    invoked from SQL, including LATERAL application over a table.  The
+    engine's production text ops deliberately stay in Catalyst
+    (explode/split — see the Python-boundary budget); the UDTF is the
+    escape hatch for expansions Catalyst genuinely can't express
+    (irregular formats, stateful parsers), demonstrated here against
+    the Catalyst ground truth."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udtf
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate(text.split(" ")):
+                yield i, t
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    load_table(spark, sf_dir, "documents").limit(20) \
+        .createOrReplaceTempView("docs20")
+    got = spark.sql("""
+        SELECT d.doc_id, t.pos, t.token
+        FROM docs20 d, LATERAL tokenize_udtf(d.text) t
+    """)
+    want = (load_table(spark, sf_dir, "documents").limit(20)
+            .select("doc_id",
+                    F.posexplode(F.split("text", " "))
+                    .alias("pos", "token")))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
