@@ -223,3 +223,28 @@ def test_python_udtf_surface(spark, sf_dir):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_results_invariant_under_shuffle_partitioning(spark, sf_dir):
+    """Scale-correctness property: rerunning representative queries with
+    a different spark.sql.shuffle.partitions must produce IDENTICAL
+    rows — any divergence means a hidden dependence on partition layout
+    (non-deterministic tiebreaks, order-sensitive float folds) that
+    would surface as flaky results on a real cluster resize."""
+    import __spark_entry__ as E
+    qs = E.queries()
+    names = ["minhash_lsh_pairs", "forecast_snaive_events",
+             "cms_heavy_hitters", "dedup_keep_best",
+             "weighted_sample_docs"]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        first = {n: sorted(map(tuple, qs[n](spark, sf_dir).collect()))
+                 for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        second = {n: sorted(map(tuple, qs[n](spark, sf_dir).collect()))
+                  for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert first[n] == second[n], n
