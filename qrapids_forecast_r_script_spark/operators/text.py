@@ -223,6 +223,79 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat_ws(" ", "chunk").alias("chunk_text")))
 
 
+# Feature-hashed chunk embeddings: the hashing trick (Weinberger et al.
+# 2009) — each token hashes to one of _HE_DIM signed counter dims, so a
+# chunk's embedding needs no vocabulary, no training, and no Python.
+_HE_DIM = 16
+_HE_QUERIES = 3      # query chunks: chunk 0 of the 3 lowest doc_ids
+_HE_TOP_K = 3
+
+
+def chunk_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level retrieval over FEATURE-HASHED embeddings — the
+    text-native RAG path when no trained encoder exists: every 64-token
+    chunk (from :func:`doc_chunks`) becomes a 16-dim signed
+    token-count vector via the hashing trick (dim = md5(token) mod d,
+    sign from the next hash bit — Weinberger et al. 2009), and each
+    query chunk retrieves its top-k most-similar chunks corpus-wide by
+    cosine, excluding its own document.
+
+    Everything is integer counting until the final cosine: hashing,
+    signs, and per-dim sums are exact on both engines, so the operator
+    carries a full oracle without any rounding resync except the final
+    6-dp cosine.  Plan shape: one explode+groupBy builds the sparse
+    (chunk, dim, weight) relation; the constant query side (Q·d rows)
+    broadcasts; similarity is a dim-keyed join + keyed sum — the
+    brute-force exact baseline whose scale path is the same LSH/IVF
+    bucketing the dense-embedding operators already carry.
+    """
+    chunks = doc_chunks(spark, sf_dir)
+    toks = chunks.select(
+        "doc_id", "chunk_id",
+        F.explode(F.split("chunk_text", " ")).alias("token"))
+    # same 32-bit md5-derived hash construction as dedup.shingle_hash_col
+    # (proven engine-identical in the MinHash/Bloom oracles)
+    hd = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10) \
+        .cast("long")
+    sparse = (toks
+              .select("doc_id", "chunk_id",
+                      F.pmod(hd, F.lit(_HE_DIM)).alias("dim"),
+                      F.when(F.pmod(F.floor(hd / _HE_DIM), 2) == 0,
+                             F.lit(1)).otherwise(F.lit(-1)).alias("sgn"))
+              .groupBy("doc_id", "chunk_id", "dim")
+              .agg(F.sum("sgn").alias("w"))
+              .where(F.col("w") != 0))
+    norms = (sparse.groupBy("doc_id", "chunk_id")
+             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")))
+    qids = (chunks.where(F.col("chunk_id") == 0)
+            .select("doc_id").orderBy("doc_id").limit(_HE_QUERIES))
+    qside = (sparse.join(qids, "doc_id")
+             .where(F.col("chunk_id") == 0)
+             .select(F.col("doc_id").alias("q_doc"),
+                     "dim", F.col("w").alias("qw")))
+    qnorms = (norms.join(qids, "doc_id")
+              .where(F.col("chunk_id") == 0)
+              .select(F.col("doc_id").alias("q_doc"),
+                      F.col("norm").alias("qnorm")))
+    dots = (sparse.join(F.broadcast(qside), "dim")
+            .where(F.col("doc_id") != F.col("q_doc"))
+            .groupBy("q_doc", "doc_id", "chunk_id")
+            .agg(F.sum(F.col("w") * F.col("qw")).alias("dot")))
+    sim = (dots.join(norms, ["doc_id", "chunk_id"])
+           .join(F.broadcast(qnorms), "q_doc")
+           .select("q_doc", "doc_id", "chunk_id",
+                   F.round(F.col("dot") / (F.col("norm") * F.col("qnorm")),
+                           6).alias("cosine")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("q_doc").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc(),
+        F.col("chunk_id").asc())
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _HE_TOP_K)
+            .select(F.col("q_doc").alias("query_doc"), "rank",
+                    "doc_id", "chunk_id", "cosine"))
+
+
 # PII scrubbing: redaction patterns chosen to behave identically under
 # Java regex (Spark) and RE2 (DuckDB) — character classes, bounded
 # repetition, \b word boundaries only; no lookaround, no backrefs.
@@ -289,6 +362,7 @@ QUERIES = {
     "doc_unigram_logprob": doc_unigram_logprob,
     "tfidf_top_terms": tfidf_top_terms,
     "pii_scrub_docs": pii_scrub_docs,
+    "chunk_hash_embed_topk": chunk_hash_embed_topk,
 }
 
 _STOP_SQL_HITS = " + ".join(
@@ -457,4 +531,62 @@ ORACLES["doc_chunks"] = f"""
                                       chunk_id * {_CHUNK_STEP} + {_CHUNK_SIZE}),
                            ' ') AS chunk_text
     FROM starts
+"""
+
+# the chunk-retrieval oracle composes on the doc_chunks closure (nested
+# CTE subquery); hashing/signs/sums are integer-exact on both engines,
+# so only the final cosine needs the 6-dp round
+ORACLES["chunk_hash_embed_topk"] = f"""
+    WITH chunks AS (
+        SELECT doc_id, chunk_id, chunk_text
+        FROM ({ORACLES["doc_chunks"]}) __c
+    ), toks AS (
+        SELECT doc_id, chunk_id,
+               unnest(string_split(chunk_text, ' ')) AS token
+        FROM chunks
+    ), hashed AS (
+        SELECT doc_id, chunk_id,
+               ('0x' || substr(md5(token), 1, 8))::BIGINT AS hd
+        FROM toks
+    ), sparse AS (
+        SELECT doc_id, chunk_id, hd % {_HE_DIM} AS dim,
+               CAST(sum(CASE WHEN (hd // {_HE_DIM}) % 2 = 0
+                             THEN 1 ELSE -1 END) AS BIGINT) AS w
+        FROM hashed
+        GROUP BY 1, 2, 3
+        HAVING sum(CASE WHEN (hd // {_HE_DIM}) % 2 = 0
+                        THEN 1 ELSE -1 END) != 0
+    ), norms AS (
+        SELECT doc_id, chunk_id,
+               sqrt(CAST(sum(w * w) AS DOUBLE)) AS norm
+        FROM sparse GROUP BY 1, 2
+    ), qids AS (
+        SELECT doc_id FROM chunks WHERE chunk_id = 0
+        ORDER BY doc_id LIMIT {_HE_QUERIES}
+    ), qside AS (
+        SELECT s.doc_id AS q_doc, s.dim, s.w AS qw
+        FROM sparse s JOIN qids q USING (doc_id)
+        WHERE s.chunk_id = 0
+    ), qnorms AS (
+        SELECT n.doc_id AS q_doc, n.norm AS qnorm
+        FROM norms n JOIN qids q USING (doc_id)
+        WHERE n.chunk_id = 0
+    ), dots AS (
+        SELECT qs.q_doc, s.doc_id, s.chunk_id,
+               sum(s.w * qs.qw) AS dot
+        FROM sparse s JOIN qside qs USING (dim)
+        WHERE s.doc_id != qs.q_doc
+        GROUP BY 1, 2, 3
+    ), sim AS (
+        SELECT d.q_doc, d.doc_id, d.chunk_id,
+               round(d.dot / (n.norm * qn.qnorm), 6) AS cosine
+        FROM dots d
+        JOIN norms n ON d.doc_id = n.doc_id AND d.chunk_id = n.chunk_id
+        JOIN qnorms qn ON d.q_doc = qn.q_doc
+    )
+    SELECT q_doc AS query_doc, rank, doc_id, chunk_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_doc
+                   ORDER BY cosine DESC, doc_id ASC, chunk_id ASC) AS rank
+        FROM sim)
+    WHERE rank <= {_HE_TOP_K}
 """

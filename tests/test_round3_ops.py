@@ -248,3 +248,19 @@ def test_results_invariant_under_shuffle_partitioning(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for n in names:
         assert first[n] == second[n], n
+
+
+def test_chunk_hash_embed_topk_invariants(spark, sf_dir):
+    """Hashed-embedding retrieval: cosine bounded, own document never
+    retrieved, ranks exactly 1..k per query."""
+    from qrapids_forecast_r_script_spark.operators.text import (
+        _HE_QUERIES, _HE_TOP_K, chunk_hash_embed_topk)
+    rows = chunk_hash_embed_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9, r
+        assert r.doc_id != r.query_doc, r
+        by_q.setdefault(r.query_doc, []).append(r.rank)
+    assert len(by_q) == _HE_QUERIES
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, _HE_TOP_K + 1)), q
