@@ -430,6 +430,35 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str,
             .select("rank", "user_id", "est_count", "exact_count"))
 
 
+def orders_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD-2 payoff: AS-OF reconstruction.  For each version stamp
+    v, the table as it existed at v is exactly the rows with
+    ``effective_from <= v < coalesce(effective_to, ∞)`` — one predicate,
+    no log replay.  Emitted per (version, status): row count and a
+    2-dp price checksum, proving v=0 reproduces the pre-update table
+    byte-for-byte and v=1 shows exactly the upserted rows — the
+    reproducible-training-snapshot query ("rebuild the corpus the model
+    trained on").
+
+    Scale: the history table is read once; both reconstructions are
+    predicate filters over it (partition-prunable on effective_from in
+    a production layout), aggregated per status."""
+    hist = orders_upsert_scd2(spark, sf_dir)
+    outs = []
+    for v in (0, 1):
+        asof = hist.where((F.col("effective_from") <= v)
+                          & (F.col("effective_to").isNull()
+                             | (F.col("effective_to") > v)))
+        outs.append(asof.groupBy("o_orderstatus")
+                    .agg(F.count(F.lit(1)).alias("n_orders"),
+                         F.round(F.sum("o_totalprice"), 2)
+                         .alias("total_price"))
+                    .select(F.lit(v).alias("as_of_version"),
+                            "o_orderstatus", "n_orders", "total_price"))
+    a, b = outs
+    return a.unionByName(b).orderBy("as_of_version", "o_orderstatus")
+
+
 # incremental aggregation cutoff: history = events strictly before this
 # date, the "daily batch" = events on/after it (events span 2024-01)
 _INC_CUTOFF = "2024-01-25"
@@ -482,6 +511,7 @@ QUERIES = {
     "zorder_bin_stats": zorder_bin_stats,
     "orders_upsert_scd1": orders_upsert_scd1,
     "orders_upsert_scd2": orders_upsert_scd2,
+    "orders_scd2_asof": orders_scd2_asof,
     "compact_small_files": compact_small_files,
     "cms_heavy_hitters": cms_heavy_hitters,
     "incremental_agg_merge": incremental_agg_merge,
@@ -569,6 +599,28 @@ ORACLES = {
                src_version AS effective_from, effective_to,
                effective_to IS NULL AS is_current
         FROM hist
+    """,
+    "orders_scd2_asof": f"""
+        WITH hist AS (
+            SELECT o_orderkey, o_orderstatus,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   0 AS src_version
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'U', round(o_totalprice + 1000.0, 2), 1
+            FROM orders WHERE o_orderkey % {_UPSERT_MOD} = 0
+        ), closed AS (
+            SELECT *, lead(src_version) OVER (PARTITION BY o_orderkey
+                       ORDER BY src_version) AS effective_to
+            FROM hist
+        ), versions(v) AS (VALUES (0), (1))
+        SELECT ver.v AS as_of_version, c.o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(c.o_totalprice), 2) AS total_price
+        FROM closed c JOIN versions ver
+          ON c.src_version <= ver.v
+         AND (c.effective_to IS NULL OR c.effective_to > ver.v)
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "incremental_agg_merge": """
         SELECT event_type,

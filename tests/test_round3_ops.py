@@ -264,3 +264,30 @@ def test_chunk_hash_embed_topk_invariants(spark, sf_dir):
     assert len(by_q) == _HE_QUERIES
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, _HE_TOP_K + 1)), q
+
+
+def test_scd2_asof_reconstructions(spark, sf_dir):
+    """v=0 must reproduce the pre-update table exactly (counts and sums
+    match the raw orders aggregate); v=1 must carry the 'U' rows and
+    the same TOTAL row count (SCD-2 reconstruction never changes
+    cardinality, only versions)."""
+    from pyspark.sql import functions as F
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        orders_scd2_asof)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = orders_scd2_asof(spark, sf_dir).collect()
+    v0 = {r.o_orderstatus: r for r in rows if r.as_of_version == 0}
+    v1 = {r.o_orderstatus: r for r in rows if r.as_of_version == 1}
+    raw = {r.o_orderstatus: r for r in
+           (load_table(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.round("o_totalprice", 2)), 2)
+                 .alias("total_price"))).collect()}
+    assert set(v0) == set(raw)
+    for s, r in raw.items():
+        assert v0[s].n_orders == r.n_orders, s
+        assert abs(v0[s].total_price - r.total_price) < 0.01, s
+    assert "U" in v1 and "U" not in v0
+    assert sum(r.n_orders for r in v1.values()) == \
+        sum(r.n_orders for r in v0.values())
