@@ -110,11 +110,49 @@ def events_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def events_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across a partitioned lake — the ingest reality a
+    fixed-schema reader breaks on: an early batch wrote events WITHOUT
+    the ``props`` column, a later batch added it; ``mergeSchema`` reads
+    both generations as one table with NULL back-fill for the old rows.
+    The query aggregates per event_type counting rows where props is
+    absent vs present — the oracle reproduces the generation split from
+    the original table, so the hash proves null back-fill touched
+    exactly the old generation and no values were disturbed.
+
+    Scale note: mergeSchema pays a footer read per file at planning —
+    on a 100 TB lake you pin the merged schema in a catalog instead of
+    re-merging per query; the capability under test is the
+    null-back-fill READ semantics both approaches rely on.
+    """
+    from .registry import cached_artifact_dir
+    base = os.path.join(cached_artifact_dir("qrapids_formats", sf_dir,
+                                            "events"), "events_evolved")
+    if not os.path.exists(os.path.join(base, "gen=2", "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        old = ev.where(F.col("event_id") % 2 == 0) \
+            .select("event_id", "event_type", "value")
+        new = ev.where(F.col("event_id") % 2 == 1) \
+            .select("event_id", "event_type", "value", "props")
+        old.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+        new.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2"))
+    return (merged.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("props").isNull().cast("long"))
+                 .alias("n_backfilled"),
+                 F.count("props").alias("n_with_props"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .orderBy("event_type"))
+
+
 QUERIES = {
     "orders_csv_roundtrip": orders_csv_roundtrip,
     "events_json_roundtrip": events_json_roundtrip,
     "lineitem_orc_roundtrip": lineitem_orc_roundtrip,
     "events_partitioned_pruning": events_partitioned_pruning,
+    "events_schema_evolution": events_schema_evolution,
 }
 
 ORACLES = {
@@ -142,6 +180,17 @@ ORACLES = {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "events_schema_evolution": """
+        SELECT event_type,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_backfilled,
+               CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_props,
+               round(sum(value), 4) AS total_value
+        FROM events
+        GROUP BY 1 ORDER BY 1
     """,
     "events_partitioned_pruning": f"""
         SELECT event_type,
