@@ -83,6 +83,16 @@ HEADLINE = [
     "doc_graph_pagerank",
     "weighted_sample_docs",
     "events_stream_trending_upsert",
+    # round-3 additions (closing batch): incremental state merge,
+    # per-epoch shuffle, schema evolution, SCD-2 as-of, hashed-chunk
+    # retrieval, leakage-free split, NDCG retrieval eval
+    "incremental_agg_merge",
+    "epoch_shuffle_order",
+    "events_schema_evolution",
+    "orders_scd2_asof",
+    "chunk_hash_embed_topk",
+    "leakage_free_split",
+    "ann_eval_ndcg",
 ]
 
 
