@@ -75,12 +75,84 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("day"))
 
 
+# feature/label temporal split: features from events strictly before
+# the cutoff, the label from on/after it (events span 2024-01)
+_FEAT_CUTOFF = "2024-01-24"
+
+
+def user_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tabular-ML FEATURE TABLE: per-user RFM features (recency /
+    frequency / monetary) computed from events strictly BEFORE a cutoff
+    date, labeled by whether the user purchased ON/AFTER it — the
+    point-in-time-correct construction every churn/propensity model
+    needs, where a feature computed from post-cutoff data would be
+    target leakage (the temporal sibling of ``leakage_free_split``).
+
+    Features: days since last activity at the cutoff, total events,
+    purchase count, total purchase value, distinct active days.  One
+    shuffle keyed by user for the features, a same-key left join for
+    the label; users first seen after the cutoff are excluded (no
+    feature history — exactly what a production scorer would see).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff_expr = F.lit(_FEAT_CUTOFF).cast("date")
+    hist = ev.where(F.to_date("ts") < cutoff_expr)
+    feats = (hist.groupBy("user_id")
+             .agg(F.datediff(cutoff_expr, F.max(F.to_date("ts")))
+                  .alias("recency_days"),
+                  F.count(F.lit(1)).alias("n_events"),
+                  F.sum((F.col("event_type") == "purchase").cast("long"))
+                  .alias("n_purchases"),
+                  F.round(F.sum(F.when(F.col("event_type") == "purchase",
+                                       F.col("value")).otherwise(0.0)), 4)
+                  .alias("purchase_value"),
+                  F.count_distinct(F.to_date("ts")).alias("n_active_days")))
+    label = (ev.where((F.to_date("ts") >= cutoff_expr)
+                      & (F.col("event_type") == "purchase"))
+             .select("user_id").distinct()
+             .withColumn("label_purchased", F.lit(1)))
+    return (feats.join(label, "user_id", "left")
+            .select("user_id", "recency_days", "n_events", "n_purchases",
+                    "purchase_value", "n_active_days",
+                    F.coalesce("label_purchased", F.lit(0))
+                    .alias("label_purchased")))
+
+
 QUERIES = {
     "cohort_retention_weekly": cohort_retention_weekly,
     "funnel_view_click_purchase": funnel_view_click_purchase,
+    "user_feature_table": user_feature_table,
 }
 
 ORACLES = {
+    "user_feature_table": f"""
+        WITH hist AS (
+            SELECT * FROM events
+            WHERE CAST(ts AS DATE) < DATE '{_FEAT_CUTOFF}'
+        ), feats AS (
+            SELECT user_id,
+                   CAST(DATE '{_FEAT_CUTOFF}' - max(CAST(ts AS DATE))
+                        AS INTEGER) AS recency_days,
+                   count(*) AS n_events,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_purchases,
+                   round(sum(CASE WHEN event_type = 'purchase'
+                                  THEN value ELSE 0.0 END), 4)
+                       AS purchase_value,
+                   count(DISTINCT CAST(ts AS DATE)) AS n_active_days
+            FROM hist GROUP BY 1
+        ), label AS (
+            SELECT DISTINCT user_id, 1 AS label_purchased
+            FROM events
+            WHERE CAST(ts AS DATE) >= DATE '{_FEAT_CUTOFF}'
+              AND event_type = 'purchase'
+        )
+        SELECT f.user_id, f.recency_days, f.n_events, f.n_purchases,
+               f.purchase_value, f.n_active_days,
+               coalesce(l.label_purchased, 0) AS label_purchased
+        FROM feats f LEFT JOIN label l USING (user_id)
+    """,
     "cohort_retention_weekly": """
         WITH cohort AS (
             SELECT user_id,

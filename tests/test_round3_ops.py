@@ -291,3 +291,30 @@ def test_scd2_asof_reconstructions(spark, sf_dir):
     assert "U" in v1 and "U" not in v0
     assert sum(r.n_orders for r in v1.values()) == \
         sum(r.n_orders for r in v0.values())
+
+
+def test_user_feature_table_point_in_time_correct(spark, sf_dir):
+    """Temporal leakage guards: every feature derives from pre-cutoff
+    history only (recency >= 1 day by construction), both label classes
+    occur, and the label exactly matches post-cutoff purchase behavior
+    recomputed independently."""
+    from pyspark.sql import functions as F
+    from qrapids_forecast_r_script_spark.operators.product_analytics import (
+        _FEAT_CUTOFF, user_feature_table)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = user_feature_table(spark, sf_dir).collect()
+    assert rows
+    labels = {r.label_purchased for r in rows}
+    assert labels <= {0, 1} and len(labels) == 2
+    for r in rows:
+        assert r.recency_days >= 1, r          # strictly pre-cutoff
+        assert r.n_purchases <= r.n_events
+        assert r.n_active_days <= r.n_events
+    ev = load_table(spark, sf_dir, "events")
+    post_buyers = {r.user_id for r in
+                   ev.where((F.to_date("ts") >= F.lit(_FEAT_CUTOFF)
+                             .cast("date"))
+                            & (F.col("event_type") == "purchase"))
+                   .select("user_id").distinct().collect()}
+    for r in rows:
+        assert r.label_purchased == (1 if r.user_id in post_buyers else 0)
