@@ -215,3 +215,57 @@ def test_statestore_reader_exposes_aggregate_state(spark, sf_dir, tmp_path):
                       .groupBy("event_type")
                       .agg(F.count(F.lit(1)).alias("n"))).collect()}
     assert got == want
+
+
+def test_foreachbatch_upsert_survives_restart_exactly_once(spark, tmp_path):
+    """The upsert sink's recovery contract: two availableNow runs share
+    one checkpoint; run 2 must process ONLY the files added after run 1
+    (no batch replayed, no batch skipped), so the final state table
+    equals the batch ground truth over all files — exactly-once across
+    a restart."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import Row, functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    os.makedirs(src, exist_ok=True)
+
+    def write_file(rows):
+        spark.createDataFrame(rows).coalesce(1).write.mode("append") \
+            .parquet(src)
+
+    n_applied = {"n": 0}
+
+    def run():
+        def _merge(batch_df, batch_id):
+            n_applied["n"] += batch_df.count()
+            latest = (batch_df.groupBy("k")
+                      .agg(F.max_by("v", "ts").alias("v"),
+                           F.max("ts").alias("ts")))
+            if os.path.exists(state):
+                cur = batch_df.sparkSession.read.parquet(state)
+                keep = cur.join(latest.select("k"), "k", "left_anti")
+                merged = keep.unionByName(latest)
+            else:
+                merged = latest
+            merged.localCheckpoint(eager=True).coalesce(1) \
+                .write.mode("overwrite").parquet(state)
+
+        stream = spark.readStream.schema("k long, v double, ts timestamp") \
+            .parquet(src)
+        q = (stream.writeStream.foreachBatch(_merge)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    ts = lambda m: datetime(2024, 5, 1, 12, m)  # noqa: E731
+    write_file([Row(k=1, v=1.0, ts=ts(0)), Row(k=2, v=2.0, ts=ts(1))])
+    run()                                   # processes 2 rows
+    write_file([Row(k=1, v=9.0, ts=ts(5)), Row(k=3, v=3.0, ts=ts(6))])
+    run()                                   # restart: ONLY the new file
+    assert n_applied["n"] == 4              # nothing replayed or skipped
+    final = {r.k: r.v for r in spark.read.parquet(state).collect()}
+    assert final == {1: 9.0, 2: 2.0, 3: 3.0}
