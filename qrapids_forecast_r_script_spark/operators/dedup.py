@@ -139,6 +139,40 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "n_common", "jaccard"))
 
 
+_CONTAIN_THRESHOLD = 0.5
+
+
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dups (Broder 1997's containment
+    measure): c(A→B) = |A∩B| / |A| — "how much of A appears inside B".
+    This catches the excerpt/quote duplication class symmetric Jaccard
+    structurally misses: a short doc fully quoted inside a long one has
+    tiny Jaccard (union dominated by the long doc) but containment ≈ 1.
+    Emits ORDERED pairs (contained → container) above 0.5; the same
+    shared-shingle equi-join as the Jaccard operator — one extra
+    direction, no new shuffle class.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, distinct=True)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_contained"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_container"), "shingle")
+    pairs = (a.join(b, "shingle")
+             .where(F.col("doc_contained") != F.col("doc_container"))
+             .groupBy("doc_contained", "doc_container")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    ca = F.broadcast(counts.select(
+        F.col("doc_id").alias("doc_contained"),
+        F.col("n_sh").alias("n_contained")))
+    return (pairs.join(ca, "doc_contained")
+            .withColumn("containment",
+                        F.round(F.col("n_common") / F.col("n_contained"),
+                                6))
+            .where(F.col("containment") >= _CONTAIN_THRESHOLD)
+            .select("doc_contained", "doc_container", "n_common",
+                    "n_contained", "containment"))
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature summary (k=16 universal hashes over
     md5-derived shingle hashes): deterministic, hash-checkable columns."""
@@ -465,6 +499,29 @@ ORACLES = {
         GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
         HAVING round(count(*) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.15
     """,
+    "ngram_containment_pairs": f"""
+        WITH doc_sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' '
+                            || string_split(text, ' ')[i + 1])) AS shingles
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest(shingles) AS shingle,
+                   len(shingles) AS n_sh
+            FROM doc_sh
+        )
+        SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+               count(*) AS n_common,
+               a.n_sh AS n_contained,
+               round(count(*) / CAST(a.n_sh AS DOUBLE), 6) AS containment
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+                           AND a.doc_id != b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n_sh
+        HAVING round(count(*) / CAST(a.n_sh AS DOUBLE), 6)
+               >= {_CONTAIN_THRESHOLD}
+    """,
     "minhash_signatures": _SIG_CTE + f"""
         SELECT doc_id,
                sig[1] AS minhash_0,
@@ -755,6 +812,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
+    "ngram_containment_pairs": ngram_containment_pairs,
     "simhash_docs": simhash_docs,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "part_name_editdist_pairs": part_name_editdist_pairs,
