@@ -139,6 +139,47 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "n_common", "jaccard"))
 
 
+_NEG_KNUTH = 2654435761
+_NEG_SALT = 17
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair MINING for embedding models (the SimCSE/E5-style
+    recipe): positives are the MinHash near-dup pairs (label 1 — texts
+    known to share content), negatives are deterministic hash-derived
+    partners VERIFIED non-dup by anti-joining the full candidate-pair
+    set (label 0).  This is the operator that turns a deduped corpus
+    into contrastive supervision — the consumer of the dedup layer
+    rather than another filter on it.
+
+    Determinism: the negative partner of doc d is
+    ``(d·2654435761 + 17) mod N`` (a fixed permutation-ish map over the
+    contiguous id space), self-pairs dropped, and any candidate that
+    collides with a KNOWN near-dup pair is removed by the anti-join —
+    so label 0 is a verified claim, not an assumption.  Map-side
+    negative generation + one anti-join keyed by the pair; scale cost
+    is the MinHash chain it already shares with the dedup layer.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()                   # contiguous 0..N-1 id space
+    pos = (minhash_lsh_pairs(spark, sf_dir)
+           .select(F.col("doc_a"), F.col("doc_b"),
+                   F.lit(1).alias("label")))
+    cand = (docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.pmod(F.col("doc_id") * F.lit(_NEG_KNUTH) + F.lit(_NEG_SALT),
+               F.lit(n)).alias("doc_b"))
+        .where(F.col("doc_a") != F.col("doc_b")))
+    # canonicalize (min, max) so the anti-join covers both orders
+    canon = cand.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b")).distinct()
+    neg = (canon.join(pos.select("doc_a", "doc_b"),
+                      ["doc_a", "doc_b"], "left_anti")
+           .select("doc_a", "doc_b", F.lit(0).alias("label")))
+    return pos.unionByName(neg)
+
+
 _CONTAIN_THRESHOLD = 0.5
 
 
@@ -499,6 +540,32 @@ ORACLES = {
         GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
         HAVING round(count(*) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.15
     """,
+    "contrastive_pairs": _SIG_CTE.replace("WITH sh", "WITH sh", 1) + f"""
+        , bands AS ({_BANDS_UNION}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                        AND a.doc_id < b.doc_id
+        ),
+        nn AS (SELECT count(*) AS n FROM documents),
+        cand AS (
+            SELECT d.doc_id AS doc_a,
+                   (d.doc_id * {_NEG_KNUTH} + {_NEG_SALT}) % nn.n AS doc_b
+            FROM documents d CROSS JOIN nn
+        ),
+        canon AS (
+            SELECT DISTINCT least(doc_a, doc_b) AS doc_a,
+                   greatest(doc_a, doc_b) AS doc_b
+            FROM cand WHERE doc_a != doc_b
+        )
+        SELECT doc_a, doc_b, 1 AS label FROM pairs
+        UNION ALL
+        SELECT c.doc_a, c.doc_b, 0 AS label
+        FROM canon c
+        LEFT JOIN pairs p ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+        WHERE p.doc_a IS NULL
+    """,
     "ngram_containment_pairs": f"""
         WITH doc_sh AS (
             SELECT doc_id,
@@ -813,6 +880,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
     "ngram_containment_pairs": ngram_containment_pairs,
+    "contrastive_pairs": contrastive_pairs,
     "simhash_docs": simhash_docs,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "part_name_editdist_pairs": part_name_editdist_pairs,

@@ -318,3 +318,19 @@ def test_user_feature_table_point_in_time_correct(spark, sf_dir):
                    .select("user_id").distinct().collect()}
     for r in rows:
         assert r.label_purchased == (1 if r.user_id in post_buyers else 0)
+
+
+def test_contrastive_pairs_labels_verified(spark, sf_dir):
+    """Label integrity: every label-1 pair is a MinHash near-dup pair,
+    NO label-0 pair is (the anti-join guarantee), and both classes are
+    populated."""
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        contrastive_pairs, minhash_lsh_pairs)
+    rows = contrastive_pairs(spark, sf_dir).collect()
+    dup = {(r.doc_a, r.doc_b)
+           for r in minhash_lsh_pairs(spark, sf_dir).collect()}
+    pos = {(r.doc_a, r.doc_b) for r in rows if r.label == 1}
+    neg = {(r.doc_a, r.doc_b) for r in rows if r.label == 0}
+    assert pos == dup
+    assert neg and not (neg & dup)
+    assert all(a != b for a, b in neg)
