@@ -139,6 +139,51 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "n_common", "jaccard"))
 
 
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch CALIBRATION: for every MinHash candidate pair, the
+    16-hash estimated Jaccard next to the exact shingle Jaccard and
+    their absolute error — the accuracy report that justifies trusting
+    the sketch at scale (E[est] = J with sd ≈ sqrt(J(1−J)/k); k=16
+    gives ≈0.12 worst-case sd, visible in the errors).  Same theme as
+    ``ann_eval_ndcg``: the engine measures its own approximations with
+    hash-checked numbers instead of folklore.
+
+    Exact Jaccard is computed ONLY for the candidate pairs (a keyed
+    join against the shared-shingle counts — never all pairs), so the
+    calibration costs candidate-set work, not corpus² work.
+    """
+    est = minhash_lsh_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, distinct=True)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (a.join(b, "shingle")
+              .join(est.select("doc_a", "doc_b"), ["doc_a", "doc_b"],
+                    "left_semi")
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    ca = F.broadcast(counts.select(F.col("doc_id").alias("doc_a"),
+                                   F.col("n_sh").alias("n_a")))
+    cb = F.broadcast(counts.select(F.col("doc_id").alias("doc_b"),
+                                   F.col("n_sh").alias("n_b")))
+    exact = (common.join(ca, "doc_a").join(cb, "doc_b")
+             .select("doc_a", "doc_b",
+                     F.round(F.col("n_common")
+                             / (F.col("n_a") + F.col("n_b")
+                                - F.col("n_common")), 6)
+                     .alias("exact_jaccard")))
+    # candidate pairs with NO shared shingle (possible: band collision
+    # on hash values) get exact 0 via the left join + coalesce
+    return (est.join(exact, ["doc_a", "doc_b"], "left")
+            .select("doc_a", "doc_b", "est_jaccard",
+                    F.coalesce("exact_jaccard", F.lit(0.0))
+                    .alias("exact_jaccard"))
+            .withColumn("abs_error",
+                        F.round(F.abs(F.col("est_jaccard")
+                                      - F.col("exact_jaccard")), 6)))
+
+
 _NEG_KNUTH = 2654435761
 _NEG_SALT = 17
 
@@ -540,6 +585,50 @@ ORACLES = {
         GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
         HAVING round(count(*) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) >= 0.15
     """,
+    "minhash_calibration": _SIG_CTE + f"""
+        , bands AS ({_BANDS_UNION}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                        AND a.doc_id < b.doc_id
+        ),
+        est AS (
+            SELECT c.doc_a, c.doc_b,
+                   round(len(list_filter(generate_series(1, {_N_HASH}),
+                                 i -> sa.sig[i] = sb.sig[i]))
+                         / {_N_HASH}.0, 6) AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON c.doc_a = sa.doc_id
+            JOIN sig sb ON c.doc_b = sb.doc_id
+        ),
+        doc_sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' '
+                            || string_split(text, ' ')[i + 1])) AS shingles
+            FROM documents
+        ), shx AS (
+            SELECT doc_id, unnest(shingles) AS shingle,
+                   len(shingles) AS n_sh
+            FROM doc_sh
+        ), exact AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(count(*) / CAST(a.n_sh + b.n_sh - count(*)
+                                         AS DOUBLE), 6) AS exact_jaccard
+            FROM shx a JOIN shx b ON a.shingle = b.shingle
+                                 AND a.doc_id < b.doc_id
+            JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        )
+        SELECT e.doc_a, e.doc_b, e.est_jaccard,
+               coalesce(x.exact_jaccard, 0.0) AS exact_jaccard,
+               round(abs(e.est_jaccard
+                         - coalesce(x.exact_jaccard, 0.0)), 6) AS abs_error
+        FROM est e
+        LEFT JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+    """,
     "contrastive_pairs": _SIG_CTE.replace("WITH sh", "WITH sh", 1) + f"""
         , bands AS ({_BANDS_UNION}),
         pairs AS (
@@ -881,6 +970,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "ngram_containment_pairs": ngram_containment_pairs,
     "contrastive_pairs": contrastive_pairs,
+    "minhash_calibration": minhash_calibration,
     "simhash_docs": simhash_docs,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "part_name_editdist_pairs": part_name_editdist_pairs,

@@ -334,3 +334,22 @@ def test_contrastive_pairs_labels_verified(spark, sf_dir):
     assert pos == dup
     assert neg and not (neg & dup)
     assert all(a != b for a, b in neg)
+
+
+def test_minhash_calibration_error_within_theory(spark, sf_dir):
+    """The k=16 sketch's error on the CANDIDATE population: per-pair
+    |est - exact| bounded well inside the sketch's granularity regime
+    (k=16 → 1/16 steps; errors above ~5 steps would mean a broken
+    hash), and the mean signed error small.  NOTE the selection effect:
+    candidates exist BECAUSE a band collided, which preferentially
+    admits pairs whose sketch over-estimates — so the classic unbiased
+    4·sd(J) envelope does NOT apply per pair here (one 0.04-J pair
+    enters at est 0.25 exactly this way); the population-level bias
+    stays small because most candidates are true near-dups."""
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        minhash_calibration)
+    rows = minhash_calibration(spark, sf_dir).collect()
+    assert rows
+    signed = [r.est_jaccard - r.exact_jaccard for r in rows]
+    assert all(r.abs_error <= 5 / 16 + 1e-9 for r in rows)
+    assert abs(sum(signed) / len(signed)) < 0.1
