@@ -95,6 +95,7 @@ def _registries():
     a module's queries from the correctness run.
     """
     from qrapids_forecast_r_script_spark.operators import (
+        bpe,
         curation,
         dedup,
         graph,
@@ -134,6 +135,7 @@ def _registries():
         (fq.EVAL_QUERIES, fq.EVAL_ORACLES),
         (dedup.EXTRA_QUERIES, dedup.EXTRA_ORACLES),
         (graph.QUERIES, graph.ORACLES),
+        (bpe.QUERIES, bpe.ORACLES),
         (sq.EXTRA_QUERIES, sq.EXTRA_ORACLES),
         # capability-gated tail (execution raises without protobuf) —
         # registered here so the in-window allocation is invariant to

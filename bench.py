@@ -93,6 +93,16 @@ HEADLINE = [
     "chunk_hash_embed_topk",
     "leakage_free_split",
     "ann_eval_ndcg",
+    # round-3 additions (fourth batch): SQ8 + Matryoshka compressed
+    # retrieval, CCNet perplexity terciles, PSI drift monitor,
+    # cross-snapshot incremental dedup
+    "sq8_topk",
+    "matryoshka_topk",
+    "ccnet_perplexity_buckets",
+    "source_drift_psi",
+    "incremental_dedup_batch",
+    # BPE merge induction (tokenizer-training step, vocab-bounded)
+    "bpe_merge_rules",
 ]
 
 

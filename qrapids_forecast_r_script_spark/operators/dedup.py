@@ -306,6 +306,82 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "n_matching", "est_jaccard"))
 
 
+# Cross-snapshot incremental dedup: docs with doc_id % 5 == 4 stand in
+# for the "new crawl" batch; the rest are the already-ingested corpus.
+_INC_BATCH_MOD = 5
+_INC_NEAR_THRESHOLD = 0.5
+
+
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a NEW BATCH against the EXISTING corpus — the shape every
+    production ingestion runs (dedup the day's crawl against the index,
+    never all-pairs over history; the exact-membership fast path of
+    ``bloom_ngram_containment``, upgraded to verdicts + matched docs):
+
+    - tier 1 ``exact``: the batch doc's content hash exists in the
+      corpus (match = lowest such corpus doc).
+    - tier 2 ``near``: no exact hit, but a MinHash-LSH band collision
+      with a corpus doc whose estimated Jaccard ≥ 0.5 (match = highest
+      estimate, doc_id tiebreak).
+    - else ``keep`` — the doc enters the corpus.
+
+    Scale shape: the exact tier is one equi-join on the hash key; the
+    near tier joins batch band rows against corpus band rows — with a
+    daily batch ~1% of the corpus the batch side broadcasts and the
+    corpus band table streams map-side; nothing is ever batch×corpus.
+    Signatures reuse `_minhash_sig_table` computed ONCE over the union
+    (in production the corpus side's sigs and band table are persisted
+    and only the batch side is computed fresh)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % _INC_BATCH_MOD) == (_INC_BATCH_MOD - 1)
+    # tier 1: exact content hash against the corpus
+    corpus_hash = (docs.where(~is_batch)
+                   .groupBy(F.md5("text").alias("content_hash"))
+                   .agg(F.min("doc_id").alias("exact_match")))
+    bexact = (docs.where(is_batch)
+              .select("doc_id", F.md5("text").alias("content_hash"))
+              .join(corpus_hash, "content_hash", "left")
+              .select("doc_id", "exact_match"))
+    # tier 2: LSH band collision batch → corpus
+    sig = _minhash_sig_table(docs)
+    bands = sig.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band_id"),
+                     F.concat_ws("_", *[
+                         F.element_at("sig", bi * _ROWS_PER_BAND + r + 1)
+                         for r in range(_ROWS_PER_BAND)]).alias("band_sig"))
+            for bi in range(_BANDS)])).alias("band")
+    ).select("doc_id", "sig", "band.band_id", "band.band_sig")
+    bb = bands.where(is_batch).alias("a")
+    cb = bands.where(~is_batch).alias("b")
+    match_cnt = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    cand = (bb.join(cb, ["band_id", "band_sig"])
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.col("b.doc_id").alias("near_match"),
+                    F.col("a.sig").alias("sig_a"),
+                    F.col("b.sig").alias("sig_b"))
+            .dropDuplicates(["doc_id", "near_match"])
+            .withColumn("ej", F.round(match_cnt / _N_HASH, 6))
+            .where(F.col("ej") >= _INC_NEAR_THRESHOLD))
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.col("ej").desc(), F.col("near_match").asc())
+    best = (cand.withColumn("rn", F.row_number().over(wbest))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "near_match", "ej"))
+    return (bexact.join(best, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("exact_match").isNotNull(), F.lit("exact"))
+                .when(F.col("near_match").isNotNull(), F.lit("near"))
+                .otherwise(F.lit("keep")).alias("verdict"),
+                F.coalesce("exact_match", "near_match").alias("matched_doc"),
+                F.when(F.col("exact_match").isNull(), F.col("ej"))
+                .alias("est_jaccard")))
+
+
 def _label_prop(edges: DataFrame, max_iter: int) -> tuple[DataFrame, bool]:
     """Min-label propagation over a symmetric (src, dst) edge list.
 
@@ -975,6 +1051,7 @@ QUERIES = {
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "part_name_editdist_pairs": part_name_editdist_pairs,
     "bloom_ngram_containment": bloom_ngram_containment,
+    "incremental_dedup_batch": incremental_dedup_batch,
 }
 
 # Round-2 addition, registered in __spark_entry__'s tail block so the
@@ -1061,4 +1138,45 @@ ORACLES["simhash_neardup_pairs"] = f"""
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
     ORDER BY 1, 2
+"""
+
+ORACLES["incremental_dedup_batch"] = _SIG_CTE + f"""
+    , bands AS ({_BANDS_UNION}),
+    exactc AS (
+        SELECT md5(text) AS content_hash, min(doc_id) AS exact_match
+        FROM documents WHERE doc_id % {_INC_BATCH_MOD} != {_INC_BATCH_MOD - 1}
+        GROUP BY 1
+    ), bx AS (
+        SELECT d.doc_id, e.exact_match
+        FROM documents d LEFT JOIN exactc e
+          ON md5(d.text) = e.content_hash
+        WHERE d.doc_id % {_INC_BATCH_MOD} = {_INC_BATCH_MOD - 1}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS near_match
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+        WHERE a.doc_id % {_INC_BATCH_MOD} = {_INC_BATCH_MOD - 1}
+          AND b.doc_id % {_INC_BATCH_MOD} != {_INC_BATCH_MOD - 1}
+    ), scored AS (
+        SELECT c.doc_id, c.near_match,
+               round(len(list_filter(generate_series(1, {_N_HASH}),
+                               i -> sa.sig[i] = sb.sig[i]))
+                     / {_N_HASH}.0, 6) AS ej
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_id
+        JOIN sig sb ON sb.doc_id = c.near_match
+    ), best AS (
+        SELECT doc_id, near_match, ej FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY ej DESC, near_match ASC) AS rn
+            FROM scored WHERE ej >= {_INC_NEAR_THRESHOLD})
+        WHERE rn = 1
+    )
+    SELECT bx.doc_id,
+           CASE WHEN bx.exact_match IS NOT NULL THEN 'exact'
+                WHEN b.near_match IS NOT NULL THEN 'near'
+                ELSE 'keep' END AS verdict,
+           coalesce(bx.exact_match, b.near_match) AS matched_doc,
+           CASE WHEN bx.exact_match IS NULL THEN b.ej END AS est_jaccard
+    FROM bx LEFT JOIN best b USING (doc_id)
 """

@@ -700,6 +700,151 @@ def ann_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ndcg"))
 
 
+# int8 scalar quantization (the FAISS SQ8 / vector-DB "compressed
+# storage tier" shape): per-dimension [min, max] learned from the
+# corpus, 8-bit codes, asymmetric scoring (full-precision query against
+# dequantized corpus), exact re-rank of a bounded shortlist.
+_SQ_SHORTLIST = 50
+
+# Matryoshka truncated-dimension retrieval (Kusupati et al. 2022,
+# "Matryoshka Representation Learning"): the first _MAT_DIM coordinates
+# act as a coarse embedding; shortlist there, re-rank at full dim.
+_MAT_DIM = 16
+_MAT_SHORTLIST = 40
+
+
+def sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) ANN with exact re-rank — the storage-tier
+    compression every production vector index offers (FAISS
+    ``ScalarQuantizer`` QT_8bit): per-dimension min/max over the corpus
+    define a linear code ``floor((x-mn)*255/(mx-mn))``; search scores a
+    FULL-precision query against the DEQUANTIZED corpus (asymmetric
+    distance — quantize one side only, the standard accuracy trade),
+    shortlists top-{_SQ_SHORTLIST}, and re-ranks the shortlist with
+    exact cosine.
+
+    Scale shape: the per-dim stats are one posexplode + (dim)-keyed
+    aggregate (64 groups — partial-aggregated map-side, merged into a
+    single broadcast row of two 64-float arrays).  Quantize + score is
+    map-only over the corpus (codes are 12 bytes/vector at rest — a 4×
+    memory cut vs float32, which at 100 TB is the difference between
+    an in-memory and a spilled index).  All arithmetic is per-element
+    with ``floor`` (mode-identical across engines — the PQ packing
+    precedent), so the whole pipeline carries an exact SQL oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _as_double("embedding").alias("vec"))
+    # per-dimension min/max → ONE broadcast row holding (mn[], rng[]).
+    # posexplode is map-side; the 64-group aggregate partial-aggs before
+    # its (tiny) shuffle; array_sort on (d, stat) structs rebuilds
+    # position order without a window.
+    dims = vecs.select(F.posexplode("vec").alias("d", "val"))
+    stats = (dims.groupBy("d")
+             .agg(F.min("val").alias("mn"), F.max("val").alias("mx")))
+    stat_row = stats.agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("d", "mn"))),
+                    lambda s: s["mn"]).alias("mn_arr"),
+        F.transform(F.array_sort(F.collect_list(F.struct("d", "mx"))),
+                    lambda s: s["mx"]).alias("mx_arr"))
+    # codes: clip(floor((x - mn) * 255 / rng)) — elementwise, exact;
+    # rng=0 dims (constant coordinate) code to 0 and dequantize to mn
+    coded = (vecs.crossJoin(F.broadcast(stat_row))
+             .withColumn("diff", F.zip_with("vec", "mn_arr",
+                                            lambda x, m: x - m))
+             .withColumn("rng", F.zip_with("mx_arr", "mn_arr",
+                                           lambda a, b: a - b))
+             .withColumn("code", F.zip_with(
+                 "diff", "rng",
+                 lambda d, r: F.coalesce(
+                     F.least(F.lit(255.0), F.greatest(
+                         F.lit(0.0),
+                         F.floor(d * F.lit(255.0)
+                                 / F.nullif(r, F.lit(0.0)))
+                         .cast("double"))),
+                     F.lit(0.0))))
+             .withColumn("dqv", F.zip_with(
+                 F.zip_with("code", "rng",
+                            lambda c, r: c * r / F.lit(255.0)),
+                 "mn_arr", lambda v, m: v + m)))
+    corpus = coded.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("vec").alias("nvec"), "dqv")
+    queries = (vecs.orderBy("vec_id").limit(_N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("vec").alias("qvec"))
+               .withColumn("qnorm", _norm(F.col("qvec"))))
+    approx = F.round(_dot(F.col("qvec"), F.col("dqv")), 6)
+    scored = (corpus.crossJoin(F.broadcast(queries))
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id", "nvec", "qvec", "qnorm",
+                      approx.alias("sq_score")))
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("sq_score").desc(), F.col("neighbor_id").asc())
+    short = (scored.withColumn("srank", F.row_number().over(wshort))
+             .where(F.col("srank") <= _SQ_SHORTLIST))
+    # exact re-rank on the full-precision vectors carried through the
+    # shortlist (no second corpus scan)
+    cosine = F.round(_dot(F.col("qvec"), F.col("nvec"))
+                     / (F.col("qnorm") * _norm(F.col("nvec"))), 6)
+    wfinal = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (short.select("query_id", "neighbor_id", "sq_score",
+                         cosine.alias("cosine"))
+            .withColumn("rank", F.row_number().over(wfinal))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "rank", "neighbor_id", "sq_score",
+                    "cosine"))
+
+
+def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-dimension retrieval (Kusupati et al. 2022):
+    stage 1 scores cosine on only the FIRST {_MAT_DIM} coordinates
+    (MRL-trained embeddings front-load information, so a prefix slice
+    is itself a valid coarse embedding), shortlists
+    top-{_MAT_SHORTLIST}; stage 2 re-ranks the shortlist with exact
+    full-dimension cosine.
+
+    Scale shape: stage 1 reads and multiplies 4× less data per
+    candidate — at 100 TB the prefix slice is the column you actually
+    keep hot (a separate parquet column of the 16-dim prefix would
+    prune the scan to a quarter); the full vector is only touched for
+    shortlist × Q rows, carried through the shortlist window so the
+    corpus is scanned exactly once.  Both stages are the broadcast-Q
+    map-only crossJoin + bounded window of the brute-force baseline.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = (emb.select("vec_id", _as_double("embedding").alias("vec"))
+            .withColumn("tvec", F.slice("vec", 1, _MAT_DIM)))
+    queries = (vecs.orderBy("vec_id").limit(_N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("vec").alias("qvec"),
+                       F.col("tvec").alias("qtvec"))
+               .withColumn("qnorm", _norm(F.col("qvec")))
+               .withColumn("qtnorm", _norm(F.col("qtvec"))))
+    corpus = (vecs.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("vec").alias("nvec"), "tvec")
+              .withColumn("tnorm", _norm(F.col("tvec"))))
+    trunc_cos = F.round(_dot(F.col("qtvec"), F.col("tvec"))
+                        / (F.col("qtnorm") * F.col("tnorm")), 6)
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("trunc_cosine").desc(), F.col("neighbor_id").asc())
+    short = (corpus.crossJoin(F.broadcast(queries))
+             .where(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id", "nvec", "qvec", "qnorm",
+                     trunc_cos.alias("trunc_cosine"))
+             .withColumn("srank", F.row_number().over(wshort))
+             .where(F.col("srank") <= _MAT_SHORTLIST))
+    cosine = F.round(_dot(F.col("qvec"), F.col("nvec"))
+                     / (F.col("qnorm") * _norm(F.col("nvec"))), 6)
+    wfinal = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (short.select("query_id", "neighbor_id", "trunc_cosine",
+                         cosine.alias("cosine"))
+            .withColumn("rank", F.row_number().over(wfinal))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "rank", "neighbor_id", "trunc_cosine",
+                    "cosine"))
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "embedding_neardup_pairs": embedding_neardup_pairs,
@@ -709,6 +854,8 @@ QUERIES = {
     "pq_topk": pq_topk,
     "maxsim_multivector_topk": maxsim_multivector_topk,
     "ann_eval_ndcg": ann_eval_ndcg,
+    "sq8_topk": sq8_topk,
+    "matryoshka_topk": matryoshka_topk,
 }
 
 
@@ -1088,5 +1235,88 @@ ORACLES["maxsim_multivector_topk"] = f"""
         SELECT *, row_number() OVER (PARTITION BY query_id
                    ORDER BY maxsim_score DESC, vec_id ASC) AS rank
         FROM scores)
+    WHERE rank <= {_TOP_K}
+"""
+
+ORACLES["sq8_topk"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ), dims AS (
+        SELECT vec_id, generate_subscripts(emb, 1) AS d, unnest(emb) AS val
+        FROM vecs
+    ), stats AS (
+        SELECT d, min(val) AS mn, max(val) AS mx FROM dims GROUP BY d
+    ), codes AS (
+        SELECT vec_id, d, mn, mx,
+               coalesce(least(255.0, greatest(0.0,
+                   floor((val - mn) * 255.0 / nullif(mx - mn, 0)))), 0.0)
+               AS code
+        FROM dims JOIN stats USING (d)
+    ), dq AS (
+        SELECT vec_id,
+               list(code * (mx - mn) / 255.0 + mn ORDER BY d) AS dqv
+        FROM codes GROUP BY vec_id
+    ), queries AS (
+        SELECT vec_id AS query_id, emb AS qemb,
+               sqrt(list_dot_product(emb, emb)) AS qn
+        FROM vecs ORDER BY vec_id LIMIT {_N_QUERIES}
+    ), scored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id, v.emb AS nvec, q.qemb,
+               q.qn, round(list_dot_product(q.qemb, d.dqv), 6) AS sq_score
+        FROM queries q CROSS JOIN dq d JOIN vecs v USING (vec_id)
+        WHERE q.query_id != v.vec_id
+    ), short AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY sq_score DESC, neighbor_id ASC) AS srank
+        FROM scored
+    ), rer AS (
+        SELECT query_id, neighbor_id, sq_score,
+               round(list_dot_product(qemb, nvec)
+                     / (qn * sqrt(list_dot_product(nvec, nvec))), 6)
+               AS cosine
+        FROM short WHERE srank <= {_SQ_SHORTLIST}
+    )
+    SELECT query_id, rank, neighbor_id, sq_score, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM rer)
+    WHERE rank <= {_TOP_K}
+"""
+
+ORACLES["matryoshka_topk"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ), sliced AS (
+        SELECT vec_id, emb, emb[1:{_MAT_DIM}] AS temb FROM vecs
+    ), queries AS (
+        SELECT vec_id AS query_id, emb AS qemb, temb AS qtemb,
+               sqrt(list_dot_product(emb, emb)) AS qn,
+               sqrt(list_dot_product(temb, temb)) AS qtn
+        FROM sliced ORDER BY vec_id LIMIT {_N_QUERIES}
+    ), scored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id, v.emb AS nvec, q.qemb,
+               q.qn,
+               round(list_dot_product(q.qtemb, v.temb)
+                     / (q.qtn * sqrt(list_dot_product(v.temb, v.temb))), 6)
+               AS trunc_cosine
+        FROM queries q CROSS JOIN sliced v
+        WHERE q.query_id != v.vec_id
+    ), short AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY trunc_cosine DESC, neighbor_id ASC) AS srank
+        FROM scored
+    ), rer AS (
+        SELECT query_id, neighbor_id, trunc_cosine,
+               round(list_dot_product(qemb, nvec)
+                     / (qn * sqrt(list_dot_product(nvec, nvec))), 6)
+               AS cosine
+        FROM short WHERE srank <= {_MAT_SHORTLIST}
+    )
+    SELECT query_id, rank, neighbor_id, trunc_cosine, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM rer)
     WHERE rank <= {_TOP_K}
 """

@@ -230,12 +230,115 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("rank", "bigram", "n_ab", "pmi"))
 
 
+# CCNet head/middle/tail terciles (Wenzek et al. 2020 partition the
+# crawl per language by LM perplexity into three equal buckets; training
+# recipes then keep head+middle or re-weight).
+_CCNET_BUCKETS = 3
+
+# PSI drift monitoring: the industry-standard population-stability-index
+# bands over fixed-width histograms (<0.1 stable, 0.1–0.25 moderate
+# shift, >0.25 major shift), shares floored at 1e-4 so empty bins stay
+# finite.
+_PSI_BINS = 8
+_PSI_EPS = 0.0001
+_PSI_MODERATE = 0.1
+_PSI_MAJOR = 0.25
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity terciles (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document with the corpus unigram LM
+    (``text.doc_unigram_logprob``), then split EACH LANGUAGE into
+    head / middle / tail thirds by score — the canonical quality
+    partition a pretraining mixture samples from.
+
+    ntile() runs over (rounded score, doc_id) — a total order, so the
+    bucket assignment is deterministic and exactly SQL-oracled.  Scale:
+    the LM scoring is the unigram operator's one keyed shuffle; the
+    tercile window shuffles once on lang.  A per-lang window is the
+    honest cost of exact terciles — the approximate scale path swaps in
+    ``approx_percentile`` cutpoints (the percentile row documents that
+    trade) without changing this operator's shape."""
+    from .text import doc_unigram_logprob
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (doc_unigram_logprob(spark, sf_dir)
+              .join(docs.select("doc_id", "lang"), "doc_id"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_neg_logprob").asc(), F.col("doc_id").asc())
+    bucket = F.ntile(_CCNET_BUCKETS).over(w)
+    return (scored
+            .withColumn("tercile", bucket)
+            .withColumn("ppl_bucket",
+                        F.when(F.col("tercile") == 1, F.lit("head"))
+                        .when(F.col("tercile") == 2, F.lit("middle"))
+                        .otherwise(F.lit("tail")))
+            .select("doc_id", "lang", "avg_neg_logprob", "tercile",
+                    "ppl_bucket"))
+
+
+def source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift monitor: the Population Stability
+    Index of each source's document-length (``n_chars``) histogram
+    against the whole-corpus histogram —
+    PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i), shares floored at 1e-4.
+    This is the data-quality gate a production pipeline runs per
+    ingestion source per day: a crawler change or a spam flood shows up
+    as a drifting length/quality profile long before eval metrics move.
+
+    Everything is exact integer binning (global min/max + ``div`` —
+    no float boundaries) followed by two tiny aggregations: the per-bin
+    counts partial-agg map-side into |sources|×8 rows, the corpus
+    histogram is 8 rows broadcast back, and the bin scaffold
+    (sources × 8) keeps empty bins present on both engines.  ln() drift
+    across libm builds is absorbed by rounding the final PSI at 1e-6
+    (the PMI precedent); the drift verdict CASEs on the ROUNDED value
+    so the band assignment can't flip."""
+    docs = load_table(spark, sf_dir, "documents")
+    rng = docs.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    binned = (docs.crossJoin(F.broadcast(rng))
+              .select("source",
+                      F.expr(f"least({_PSI_BINS - 1}, "
+                             f"((n_chars - mn) * {_PSI_BINS}) "
+                             f"div (mx - mn + 1))").alias("bin")))
+    per_src = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("c"))
+    src_tot = per_src.groupBy("source").agg(F.sum("c").alias("tot"))
+    corpus = (binned.groupBy("bin")
+              .agg(F.count(F.lit(1)).alias("c_all")))
+    corpus_tot = corpus.agg(F.sum("c_all").alias("tot_all"))
+    scaffold = (src_tot
+                .crossJoin(F.broadcast(corpus_tot))
+                .select("source", "tot", "tot_all",
+                        F.explode(F.sequence(
+                            F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin")))
+    p = F.greatest(F.coalesce(F.col("c"), F.lit(0)) / F.col("tot"),
+                   F.lit(_PSI_EPS))
+    q = F.greatest(F.coalesce(F.col("c_all"), F.lit(0)) / F.col("tot_all"),
+                   F.lit(_PSI_EPS))
+    terms = (scaffold
+             .join(per_src, ["source", "bin"], "left")
+             .join(F.broadcast(corpus), "bin", "left")
+             .select("source", "tot",
+                     ((p - q) * F.log(p / q)).alias("term")))
+    psi = F.round(F.sum("term"), 6)
+    return (terms.groupBy("source")
+            .agg(F.max("tot").alias("n_docs"), psi.alias("psi"))
+            .withColumn("drift_level",
+                        F.when(F.col("psi") > _PSI_MAJOR, F.lit("major"))
+                        .when(F.col("psi") > _PSI_MODERATE,
+                              F.lit("moderate"))
+                        .otherwise(F.lit("stable"))))
+
+
 QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "corpus_bigram_topk": corpus_bigram_topk,
     "doc_bigram_logprob": doc_bigram_logprob,
     "dsir_importance": dsir_importance,
     "bigram_pmi_top": bigram_pmi_top,
+    "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+    "source_drift_psi": source_drift_psi,
 }
 
 # DuckDB n-gram construction mirrors doc_fingerprint's oracle: index the
@@ -354,3 +457,74 @@ ORACLES["bigram_pmi_top"] = f'''
     WHERE rank <= {_PMI_TOPK}
 '''
 
+
+ORACLES["ccnet_perplexity_buckets"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), vocab AS (
+        SELECT token, count(*) AS tf FROM toks GROUP BY 1
+    ), tot AS (
+        SELECT count(*) AS n FROM toks
+    ), scored AS (
+        SELECT doc_id,
+               round(avg(-ln(tf / CAST(n AS DOUBLE))), 6) AS avg_neg_logprob
+        FROM toks JOIN vocab USING (token) CROSS JOIN tot
+        GROUP BY doc_id
+    ), lab AS (
+        SELECT s.doc_id, d.lang, s.avg_neg_logprob,
+               ntile({_CCNET_BUCKETS}) OVER (PARTITION BY d.lang
+                   ORDER BY s.avg_neg_logprob ASC, s.doc_id ASC) AS tercile
+        FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, avg_neg_logprob, tercile,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM lab
+"""
+
+ORACLES["source_drift_psi"] = f"""
+    WITH rng AS (
+        SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents
+    ), binned AS (
+        SELECT source,
+               least({_PSI_BINS - 1},
+                     ((n_chars - mn) * {_PSI_BINS}) // (mx - mn + 1)) AS bin
+        FROM documents CROSS JOIN rng
+    ), per_src AS (
+        SELECT source, bin, count(*) AS c FROM binned GROUP BY 1, 2
+    ), src_tot AS (
+        SELECT source, sum(c) AS tot FROM per_src GROUP BY 1
+    ), corpus AS (
+        SELECT bin, count(*) AS c_all FROM binned GROUP BY 1
+    ), corpus_tot AS (
+        SELECT sum(c_all) AS tot_all FROM corpus
+    ), scaffold AS (
+        SELECT s.source, s.tot, ct.tot_all, r.bin
+        FROM src_tot s CROSS JOIN corpus_tot ct
+        CROSS JOIN range(0, {_PSI_BINS}) r(bin)
+    ), terms AS (
+        SELECT sc.source, sc.tot,
+               (greatest(coalesce(p.c, 0) / CAST(sc.tot AS DOUBLE),
+                         {_PSI_EPS})
+                - greatest(coalesce(co.c_all, 0)
+                           / CAST(sc.tot_all AS DOUBLE), {_PSI_EPS}))
+               * ln(greatest(coalesce(p.c, 0) / CAST(sc.tot AS DOUBLE),
+                             {_PSI_EPS})
+                    / greatest(coalesce(co.c_all, 0)
+                               / CAST(sc.tot_all AS DOUBLE), {_PSI_EPS}))
+               AS term
+        FROM scaffold sc
+        LEFT JOIN per_src p ON p.source = sc.source AND p.bin = sc.bin
+        LEFT JOIN corpus co ON co.bin = sc.bin
+    ), agg AS (
+        SELECT source, CAST(max(tot) AS BIGINT) AS n_docs,
+               round(sum(term), 6) AS psi
+        FROM terms GROUP BY source
+    )
+    SELECT source, n_docs, psi,
+           CASE WHEN psi > {_PSI_MAJOR} THEN 'major'
+                WHEN psi > {_PSI_MODERATE} THEN 'moderate'
+                ELSE 'stable' END AS drift_level
+    FROM agg
+"""

@@ -353,3 +353,96 @@ def test_minhash_calibration_error_within_theory(spark, sf_dir):
     signed = [r.est_jaccard - r.exact_jaccard for r in rows]
     assert all(r.abs_error <= 5 / 16 + 1e-9 for r in rows)
     assert abs(sum(signed) / len(signed)) < 0.1
+
+
+def test_sq8_quantization_near_lossless_and_exact_rerank(spark, sf_dir):
+    """SQ8 contract: 8-bit/dim scalar codes lose almost nothing on this
+    corpus (recall 1.0 measured at sf0.01 — a 255-level grid per
+    dimension is far finer than the neighbor gaps), and the returned
+    cosines are EXACT because the re-rank touches the full-precision
+    vectors carried through the shortlist."""
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        cosine_topk_bruteforce, sq8_topk)
+    bf = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+          for r in cosine_topk_bruteforce(spark, sf_dir).collect()}
+    sq = sq8_topk(spark, sf_dir).collect()
+    for r in sq:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert abs(bf[key] - r["cosine"]) < 1e-5
+        # the approximate score is a dot product against a dequantized
+        # vector — it must be finite and carried for diagnostics
+        assert r["sq_score"] is not None
+    recall = len(set(bf) & {(r["query_id"], r["neighbor_id"])
+                            for r in sq}) / len(bf)
+    assert recall >= 0.9, recall
+
+
+def test_matryoshka_rerank_exact_and_bounded_recall(spark, sf_dir):
+    """Matryoshka contract: returned cosines are exact (full-dim
+    re-rank), and the 16-dim-prefix shortlist keeps bounded recall.
+    The synthetic vectors are isotropic — NOT MRL-trained — so the
+    prefix holds only ~1/4 of the signal and recall is structurally
+    modest (0.42 measured at sf0.01 vs ~0.02 random); on real MRL
+    embeddings the prefix is information-dense by construction.  The
+    honest floor documents the geometry rather than overfitting it."""
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        cosine_topk_bruteforce, matryoshka_topk)
+    bf = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+          for r in cosine_topk_bruteforce(spark, sf_dir).collect()}
+    mat = matryoshka_topk(spark, sf_dir).collect()
+    for r in mat:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert abs(bf[key] - r["cosine"]) < 1e-5
+    recall = len(set(bf) & {(r["query_id"], r["neighbor_id"])
+                            for r in mat}) / len(bf)
+    assert recall >= 0.3, recall
+
+
+def test_incremental_dedup_verdicts_truthful(spark, sf_dir):
+    """Cross-checks the batch verdicts against first principles: every
+    'exact' row's matched corpus doc has IDENTICAL text; every batch
+    doc whose text appears verbatim in the corpus is flagged 'exact'
+    (no false keeps); 'near' rows carry est_jaccard >= 0.5 and a
+    corpus-side match; batch rows only."""
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        _INC_BATCH_MOD, incremental_dedup_batch)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    texts = {r.doc_id: r.text
+             for r in load_table(spark, sf_dir, "documents").collect()}
+    corpus_texts = {t for d, t in texts.items()
+                    if d % _INC_BATCH_MOD != _INC_BATCH_MOD - 1}
+    rows = incremental_dedup_batch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % _INC_BATCH_MOD == _INC_BATCH_MOD - 1
+        if r.verdict == "exact":
+            assert texts[r.matched_doc] == texts[r.doc_id]
+            assert r.matched_doc % _INC_BATCH_MOD != _INC_BATCH_MOD - 1
+        elif r.verdict == "near":
+            assert r.est_jaccard >= 0.5
+            assert r.matched_doc % _INC_BATCH_MOD != _INC_BATCH_MOD - 1
+        else:
+            assert texts[r.doc_id] not in corpus_texts, r
+
+
+def test_bpe_greedy_merge_semantics(spark, monkeypatch):
+    """Hand-checked Sennrich trainer run incl. the overlapping-pair
+    case: 'aaaa'×3 + 'abab'×2.  Round 1 must pick (a,a) with weighted
+    count 9 and merge it NON-overlapping (aaaa → aa·aa, not aa·a·a);
+    round 2 then sees (aa,aa)=3 < (a,b)=4 so picks (a,b); round 3
+    picks (aa,aa)."""
+    from qrapids_forecast_r_script_spark.operators import bpe
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa"), (1, "abab abab")], "doc_id long, text string")
+    monkeypatch.setattr(
+        "qrapids_forecast_r_script_spark.operators.bpe.load_table",
+        lambda spark, sf_dir, name: docs)
+    rows = {r.merge_rank: r for r in bpe.bpe_merge_rules(spark, "x").collect()}
+    assert (rows[1].left_sym, rows[1].right_sym, rows[1].pair_count) == \
+        ("a", "a", 9)
+    assert (rows[2].left_sym, rows[2].right_sym, rows[2].pair_count) == \
+        ("a", "b", 4)
+    assert (rows[3].left_sym, rows[3].right_sym, rows[3].pair_count) == \
+        ("aa", "aa", 3)

@@ -155,3 +155,39 @@ def test_observe_quality_gate_metrics(spark, sf_dir):
     assert got["docs_seen"] == truth.seen
     assert got["docs_kept"] == truth.kept == kept_rows
     assert got["tokens_kept"] == truth.tokens
+
+
+def test_ccnet_terciles_balanced_and_ordered(spark, sf_dir):
+    """Per language: tercile sizes differ by at most 1 (ntile contract)
+    and every head-bucket score <= every tail-bucket score (the split
+    is by LM score, ascending — head = most fluent)."""
+    from collections import defaultdict
+    from qrapids_forecast_r_script_spark.operators import text_quality as tq
+    rows = tq.ccnet_perplexity_buckets(spark, sf_dir).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    assert by_lang
+    for lang, rs in by_lang.items():
+        sizes = defaultdict(int)
+        for r in rs:
+            sizes[r.tercile] += 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        head = [r.avg_neg_logprob for r in rs if r.ppl_bucket == "head"]
+        tail = [r.avg_neg_logprob for r in rs if r.ppl_bucket == "tail"]
+        if head and tail:
+            assert max(head) <= min(tail), lang
+
+
+def test_psi_nonnegative_and_level_consistent(spark, sf_dir):
+    """PSI terms are (p-q)ln(p/q) with sign(p-q) = sign(ln(p/q)), so
+    PSI >= 0 always; the drift verdict must match the rounded value
+    against the published 0.1 / 0.25 bands."""
+    from qrapids_forecast_r_script_spark.operators import text_quality as tq
+    rows = tq.source_drift_psi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.psi >= 0, r
+        expect = ("major" if r.psi > 0.25
+                  else "moderate" if r.psi > 0.1 else "stable")
+        assert r.drift_level == expect, r

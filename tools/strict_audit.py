@@ -117,7 +117,16 @@ def main() -> int:
     import __spark_entry__ as entry
     from qrapids_forecast_r_script_spark.session import get_spark
 
-    cap = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    # argv: either a numeric cap over the merged registry order (the
+    # driver-window pre-flight) or explicit query names (spot audit of
+    # operators added behind the window)
+    names: list[str] | None = None
+    cap = 50
+    if len(sys.argv) > 1:
+        if sys.argv[1].isdigit():
+            cap = int(sys.argv[1])
+        else:
+            names = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark()
     queries = entry.queries()
@@ -128,10 +137,17 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
+    if names is not None:
+        unknown = [n for n in names if n not in queries]
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 1
+        items = [(n, queries[n]) for n in names]
+    else:
+        items = list(queries.items())[:cap]
+
     n_fail = 0
-    for i, (name, fn) in enumerate(queries.items()):
-        if i >= cap:
-            break
+    for i, (name, fn) in enumerate(items):
         if name not in oracles:
             print(f"{i:3d} SKIP(rows-only) {name}")
             continue
