@@ -97,6 +97,7 @@ def _registries():
     from qrapids_forecast_r_script_spark.operators import (
         bpe,
         curation,
+        data_quality,
         dedup,
         graph,
         multimodal,
@@ -136,6 +137,7 @@ def _registries():
         (dedup.EXTRA_QUERIES, dedup.EXTRA_ORACLES),
         (graph.QUERIES, graph.ORACLES),
         (bpe.QUERIES, bpe.ORACLES),
+        (data_quality.QUERIES, data_quality.ORACLES),
         (sq.EXTRA_QUERIES, sq.EXTRA_ORACLES),
         # capability-gated tail (execution raises without protobuf) —
         # registered here so the in-window allocation is invariant to

@@ -103,6 +103,14 @@ HEADLINE = [
     "incremental_dedup_batch",
     # BPE merge induction (tokenizer-training step, vocab-bounded)
     "bpe_merge_rules",
+    # data-quality layer: FK audit, snapshot reconciliation diff,
+    # join-key skew profile
+    "fk_integrity_audit",
+    "snapshot_table_diff",
+    "join_key_skew_profile",
+    # conversation assembly + robust curation stats
+    "session_transcripts",
+    "winsorized_doclen_stats",
 ]
 
 

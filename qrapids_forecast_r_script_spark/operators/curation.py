@@ -455,7 +455,46 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "source", "keep_rate"))
 
 
+def winsorized_doclen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length statistics via winsorization: exact
+    p05/p95 cutpoints of ``n_chars`` per language, values clipped to
+    the cutpoints, and both raw and winsorized means reported with clip
+    counts — the outlier-robust aggregation a curation report uses so a
+    handful of megadocs (or truncated fragments) can't swing the
+    per-language profile that downstream mixture weights read.
+
+    Cutpoints use Spark ``percentile`` == SQL ``quantile_cont`` (the
+    ``value_percentiles_by_type`` parity precedent) and are ROUNDED to
+    4 dp before clipping so the clip decision can't flip on float
+    noise.  Scale: one per-lang percentile aggregate (tiny result,
+    broadcast back) + one map-side clipped re-aggregate — two passes
+    over the column, no window, no sort beyond the per-group
+    percentile; the 100 TB path swaps in ``approx_percentile`` without
+    changing shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = (docs.groupBy("lang")
+            .agg(F.round(F.percentile("n_chars", F.lit(0.05)), 4)
+                 .alias("p05"),
+                 F.round(F.percentile("n_chars", F.lit(0.95)), 4)
+                 .alias("p95")))
+    clipped = (docs.join(F.broadcast(cuts), "lang")
+               .select("lang", "n_chars", "p05", "p95",
+                       F.least(F.greatest(F.col("n_chars")
+                                          .cast("double"),
+                                          F.col("p05")),
+                               F.col("p95")).alias("wlen")))
+    return (clipped.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("n_chars") < F.col("p05")).cast("long"))
+                 .alias("n_clipped_low"),
+                 F.sum((F.col("n_chars") > F.col("p95")).cast("long"))
+                 .alias("n_clipped_high"),
+                 F.round(F.avg("n_chars"), 6).alias("mean_raw"),
+                 F.round(F.avg("wlen"), 6).alias("mean_winsorized")))
+
+
 QUERIES = {
+    "winsorized_doclen_stats": winsorized_doclen_stats,
     "stratified_sample_docs": stratified_sample_docs,
     "eval_contamination": eval_contamination,
     "decontaminate_spans": decontaminate_spans,
@@ -708,3 +747,27 @@ ORACLES["temperature_mixture_sample"] = f'''
           < CAST(floor(r.keep_rate * {_MIX_RES}) AS BIGINT)
 '''
 
+
+ORACLES["winsorized_doclen_stats"] = """
+    WITH cuts AS (
+        SELECT lang,
+               round(CAST(quantile_cont(n_chars, 0.05) AS DOUBLE), 4)
+                   AS p05,
+               round(CAST(quantile_cont(n_chars, 0.95) AS DOUBLE), 4)
+                   AS p95
+        FROM documents GROUP BY lang
+    ), clipped AS (
+        SELECT d.lang, d.n_chars, c.p05, c.p95,
+               least(greatest(CAST(d.n_chars AS DOUBLE), c.p05), c.p95)
+                   AS wlen
+        FROM documents d JOIN cuts c USING (lang)
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_chars < p05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(sum(CASE WHEN n_chars > p95 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           round(avg(n_chars), 6) AS mean_raw,
+           round(avg(wlen), 6) AS mean_winsorized
+    FROM clipped GROUP BY lang
+"""

@@ -1,0 +1,244 @@
+"""Data-quality / reconciliation operators — the audits a production
+lake runs continuously around the analytics in the other modules
+(north-star extension; the reference R service, TimeSeriesFunctions_GPL
+_0.5.1.R, assumes its Elasticsearch inputs are well-formed — at 100 TB
+nothing is, so the engine ships the checks):
+
+- referential-integrity audit: dangling-FK counts for every edge of the
+  star schema plus the deliberately unconstrained events.user_id edge.
+- snapshot diff: added / removed / changed / unchanged between two
+  table versions — the reconciliation step after any backfill,
+  migration, or vendor re-delivery.
+- join-key skew profile: the top-k heaviest join keys with share and
+  cumulative coverage — the diagnostic that decides between a plain
+  shuffle join, AQE skew splitting, and the salt pattern
+  (`scale_patterns.salted_skew_join`).
+
+All pure Catalyst; every operator exactly SQL-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources import load_table
+
+# (child table, fk column, parent table, pk column) — the star-schema
+# edges plus events.user_id -> customer, which has no enforced
+# constraint in the fixture and is EXPECTED to dangle (the audit's job
+# is to measure, not assume).
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+_SKEW_TOPK = 20
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dangling-reference audit over every FK edge: per edge the child
+    row count, the number of child rows whose (non-null) key has no
+    parent, and the dangling fraction.  NULL keys reference nothing and
+    are not dangling (SQL FK semantics).
+
+    Scale shape: one left join per edge — dimension parents broadcast;
+    the two fact-sized parents (orders under lineitem, customer under
+    events) are distinct-key projections, so even those ship only the
+    key column.  Each edge collapses to ONE row before the union; at
+    100 TB this is the nightly constraint monitor, embarrassingly
+    parallel across edges."""
+    outs = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("fkv"))
+        p = (load_table(spark, sf_dir, parent)
+             .select(F.col(pk).alias("pkv")).distinct())
+        dangling = (F.col("fkv").isNotNull()
+                    & F.col("pkv").isNull()).cast("long")
+        outs.append(
+            c.join(p, F.col("fkv") == F.col("pkv"), "left")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(dangling).alias("n_dangling"))
+            .select(F.lit(child).alias("child_table"),
+                    F.lit(fk).alias("fk_column"),
+                    F.lit(parent).alias("parent_table"),
+                    "n_rows", "n_dangling",
+                    F.round(F.col("n_dangling") / F.col("n_rows"), 6)
+                    .alias("dangling_frac")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _fk_audit_oracle() -> str:
+    parts = []
+    for child, fk, parent, pk in _FK_EDGES:
+        parts.append(f"""
+    SELECT '{child}' AS child_table, '{fk}' AS fk_column,
+           '{parent}' AS parent_table,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling,
+           round(sum(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL
+                     THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+               AS dangling_frac
+    FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+      ON c.{fk} = p.{pk}""")
+    return "\n    UNION ALL\n".join(parts)
+
+
+# snapshot B perturbation rules (deterministic functions of the key):
+# %11 == 0 removed, %13 == 0 repriced (+100.00 surcharge — additive so
+# the 2-dp rounding can't flip, the SCD-upsert precedent), %17 == 0
+# cloned to a new key (+1e9) as an insert.
+_DIFF_REMOVE_MOD = 11
+_DIFF_CHANGE_MOD = 13
+_DIFF_ADD_MOD = 17
+_DIFF_ADD_OFFSET = 1_000_000_000
+
+
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation diff between two table snapshots: snapshot A is
+    ``orders`` as delivered; snapshot B simulates the next vendor drop
+    (rows removed, repriced, and inserted by deterministic key rules).
+    The diff classifies every key as added / removed / changed /
+    unchanged and reports per-class row counts and the net price delta
+    — the check run after every backfill or re-delivery before the new
+    snapshot is promoted.
+
+    Scale shape: ONE full-outer join on the key (sort-merge; both sides
+    partition on the same key) followed by a 4-group aggregate.  No
+    row-level output leaves the executors — the diff summary is what
+    the gate consumes; the row-level drill-down is the same join with a
+    kind filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(F.col("o_orderkey").alias("key"),
+                      F.col("o_orderstatus").alias("status_a"),
+                      F.round("o_totalprice", 2).alias("price_a"))
+    kept = orders.where(F.col("o_orderkey") % _DIFF_REMOVE_MOD != 0)
+    changed = (F.col("o_orderkey") % _DIFF_CHANGE_MOD == 0)
+    b_base = kept.select(
+        F.col("o_orderkey").alias("key"),
+        F.when(changed, F.lit("R")).otherwise(F.col("o_orderstatus"))
+        .alias("status_b"),
+        F.when(changed, F.round(F.col("o_totalprice") + 100.0, 2))
+        .otherwise(F.round("o_totalprice", 2)).alias("price_b"))
+    b_new = (orders.where(F.col("o_orderkey") % _DIFF_ADD_MOD == 0)
+             .select((F.col("o_orderkey") + _DIFF_ADD_OFFSET).alias("key"),
+                     F.lit("N").alias("status_b"),
+                     F.round("o_totalprice", 2).alias("price_b")))
+    b = b_base.unionByName(b_new)
+    j = a.join(b, "key", "full_outer")
+    kind = (F.when(F.col("status_a").isNull(), F.lit("added"))
+            .when(F.col("status_b").isNull(), F.lit("removed"))
+            .when((F.col("status_a") != F.col("status_b"))
+                  | (F.col("price_a") != F.col("price_b")),
+                  F.lit("changed"))
+            .otherwise(F.lit("unchanged")))
+    delta = F.coalesce("price_b", F.lit(0.0)) - F.coalesce("price_a",
+                                                           F.lit(0.0))
+    return (j.select(kind.alias("change_kind"), delta.alias("delta"))
+            .groupBy("change_kind")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.round(F.sum("delta"), 2).alias("net_price_delta")))
+
+
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest values of the events.user_id join key with each
+    key's share of the fact table and the top-k cumulative coverage —
+    the diagnostic read before choosing a join strategy (broadcast /
+    plain shuffle / AQE skew split / the salt pattern).  ``hot`` flags
+    keys carrying more than 2× the uniform share.
+
+    Scale shape: one map-side-partial count aggregate, a TakeOrdered
+    top-20 (each partition surrenders 20 rows), and windows over the
+    20-row result only.  The totals ride along as a broadcast 1-row
+    aggregate — no extra scan, no driver collect."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(F.sum("n").alias("total"),
+                        F.count(F.lit(1)).alias("n_keys"))
+    top = (counts.orderBy(F.col("n").desc(), F.col("user_id").asc())
+           .limit(_SKEW_TOPK)
+           .crossJoin(F.broadcast(totals)))
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    share = F.col("n") / F.col("total")
+    return (top
+            .withColumn("rank", F.row_number().over(w))
+            .withColumn("share", F.round(share, 6))
+            .withColumn("cum_share",
+                        F.round(F.sum(share).over(
+                            w.rowsBetween(Window.unboundedPreceding, 0)), 6))
+            .withColumn("hot", share > 2.0 / F.col("n_keys"))
+            .select("rank", "user_id", "n", "share", "cum_share", "hot"))
+
+
+QUERIES = {
+    "fk_integrity_audit": fk_integrity_audit,
+    "snapshot_table_diff": snapshot_table_diff,
+    "join_key_skew_profile": join_key_skew_profile,
+}
+
+ORACLES = {
+    "fk_integrity_audit": _fk_audit_oracle(),
+    "snapshot_table_diff": f"""
+        WITH a AS (
+            SELECT o_orderkey AS key, o_orderstatus AS status_a,
+                   round(o_totalprice, 2) AS price_a
+            FROM orders
+        ), b AS (
+            SELECT o_orderkey AS key,
+                   CASE WHEN o_orderkey % {_DIFF_CHANGE_MOD} = 0 THEN 'R'
+                        ELSE o_orderstatus END AS status_b,
+                   CASE WHEN o_orderkey % {_DIFF_CHANGE_MOD} = 0
+                        THEN round(o_totalprice + 100.0, 2)
+                        ELSE round(o_totalprice, 2) END AS price_b
+            FROM orders WHERE o_orderkey % {_DIFF_REMOVE_MOD} != 0
+            UNION ALL
+            SELECT o_orderkey + {_DIFF_ADD_OFFSET} AS key,
+                   'N' AS status_b, round(o_totalprice, 2) AS price_b
+            FROM orders WHERE o_orderkey % {_DIFF_ADD_MOD} = 0
+        ), j AS (
+            SELECT CASE WHEN a.status_a IS NULL THEN 'added'
+                        WHEN b.status_b IS NULL THEN 'removed'
+                        WHEN a.status_a != b.status_b
+                             OR a.price_a != b.price_b THEN 'changed'
+                        ELSE 'unchanged' END AS change_kind,
+                   coalesce(b.price_b, 0.0) - coalesce(a.price_a, 0.0)
+                       AS delta
+            FROM a FULL OUTER JOIN b USING (key)
+        )
+        SELECT change_kind, count(*) AS n_keys,
+               round(sum(delta), 2) AS net_price_delta
+        FROM j GROUP BY change_kind
+    """,
+    "join_key_skew_profile": f"""
+        WITH counts AS (
+            SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        ), totals AS (
+            SELECT CAST(sum(n) AS BIGINT) AS total,
+                   count(*) AS n_keys FROM counts
+        ), top AS (
+            SELECT user_id, n, total, n_keys FROM counts CROSS JOIN totals
+            ORDER BY n DESC, user_id ASC LIMIT {_SKEW_TOPK}
+        ), ranked AS (
+            SELECT *, row_number() OVER (ORDER BY n DESC, user_id ASC)
+                       AS rank,
+                   sum(n / CAST(total AS DOUBLE)) OVER (
+                       ORDER BY n DESC, user_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM top
+        )
+        SELECT rank, user_id, n, round(n / CAST(total AS DOUBLE), 6)
+                   AS share,
+               round(cum, 6) AS cum_share,
+               (n / CAST(total AS DOUBLE)) > 2.0 / n_keys AS hot
+        FROM ranked
+    """,
+}

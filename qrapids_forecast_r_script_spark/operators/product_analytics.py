@@ -118,10 +118,54 @@ def user_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("label_purchased")))
 
 
+def session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble per-session interaction TRANSCRIPTS from the raw event
+    log — the conversation/trajectory-assembly step that turns
+    clickstream (or agent-action) logs into sequence training data:
+    every 30-min-gap session becomes one ordered ``a>b>c`` event-type
+    string plus turn count and duration.
+
+    The sessionization is the exact gaps-and-islands of
+    ``streaming.user_sessions`` (same 1800 s fractional-epoch rule, so
+    the two queries agree row-for-row on session boundaries); the
+    transcript orders deterministically by (ts, event_id) via an
+    array_sort over (ts, event_id, type) structs — collect_list alone
+    has no order contract under parallel merge.
+
+    Scale: one shuffle on user_id shared by the session window and the
+    per-session aggregate; transcript length is bounded by session
+    length (the same bound any sequence-modeling pipeline enforces
+    before tokenization)."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("double")
+           - F.lag(F.col("ts").cast("double"), 1).over(w))
+    sess = (ev
+            .withColumn("new_session",
+                        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .withColumn("session_id",
+                        F.sum("new_session").over(
+                            w.rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow))))
+    ordered_types = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id",
+                                             "event_type"))),
+        lambda s: s["event_type"])
+    return (sess
+            .groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.array_join(ordered_types, ">").alias("transcript"),
+                 F.round(F.max(F.col("ts").cast("double"))
+                         - F.min(F.col("ts").cast("double")), 3)
+                 .alias("duration_s")))
+
+
 QUERIES = {
     "cohort_retention_weekly": cohort_retention_weekly,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "user_feature_table": user_feature_table,
+    "session_transcripts": session_transcripts,
 }
 
 ORACLES = {
@@ -202,3 +246,24 @@ ORACLES = {
         GROUP BY 1 ORDER BY 1
     """,
 }
+
+ORACLES["session_transcripts"] = """
+    WITH flagged AS (
+        SELECT *,
+               CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                         OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT *, CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_turns,
+           string_agg(event_type, '>' ORDER BY ts, event_id)
+               AS transcript,
+           round(max(epoch(ts)) - min(epoch(ts)), 3) AS duration_s
+    FROM sess GROUP BY user_id, session_id
+"""

