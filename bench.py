@@ -111,6 +111,11 @@ HEADLINE = [
     # conversation assembly + robust curation stats
     "session_transcripts",
     "winsorized_doclen_stats",
+    # multi-probe LSH, triplet mining, packing efficiency, diversity
+    "ann_multiprobe_topk",
+    "triplet_mining_embeddings",
+    "shard_packing_efficiency",
+    "corpus_diversity_stats",
 ]
 
 

@@ -493,8 +493,33 @@ def winsorized_doclen_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("wlen"), 6).alias("mean_winsorized")))
 
 
+def shard_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality report over :func:`token_shard_packing`: per
+    (lang, shard) the doc count, token fill, and fill fraction against
+    the budget — the metric a training job actually pays for (underfull
+    shards waste step time as padding; the trailing shard per language
+    is expected to be partial).  ``overflow`` marks shards whose fill
+    exceeds the budget — inherent to start-offset assignment, where a
+    doc straddling the boundary lands in the shard its first token
+    falls in.
+
+    Scale: one aggregate keyed by (lang, shard) over the packing
+    output — the packing's own shuffle key prefix, so AQE plans it
+    shuffle-local."""
+    packed = token_shard_packing(spark, sf_dir)
+    return (packed.groupBy("lang", "shard_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("shard_tokens"))
+            .withColumn("fill_frac",
+                        F.round(F.col("shard_tokens")
+                                / float(_SHARD_BUDGET), 6))
+            .withColumn("overflow",
+                        F.col("shard_tokens") > _SHARD_BUDGET))
+
+
 QUERIES = {
     "winsorized_doclen_stats": winsorized_doclen_stats,
+    "shard_packing_efficiency": shard_packing_efficiency,
     "stratified_sample_docs": stratified_sample_docs,
     "eval_contamination": eval_contamination,
     "decontaminate_spans": decontaminate_spans,
@@ -770,4 +795,25 @@ ORACLES["winsorized_doclen_stats"] = """
            round(avg(n_chars), 6) AS mean_raw,
            round(avg(wlen), 6) AS mean_winsorized
     FROM clipped GROUP BY lang
+"""
+
+ORACLES["shard_packing_efficiency"] = f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) // {_SHARD_BUDGET} AS BIGINT) AS shard_id
+        FROM t
+    )
+    SELECT lang, shard_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           round(sum(n_tokens) / CAST({_SHARD_BUDGET} AS DOUBLE), 6)
+               AS fill_frac,
+           CAST(sum(n_tokens) AS BIGINT) > {_SHARD_BUDGET} AS overflow
+    FROM packed GROUP BY lang, shard_id
 """

@@ -179,10 +179,50 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("rank", "user_id", "n", "share", "cum_share", "hot"))
 
 
+def corpus_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-diversity profile: document count, distinct
+    languages, Shannon entropy of the language mix, its exponential
+    (the "effective number of languages" — the ecology diversity index
+    applied to corpus monitoring), and the dominant language with its
+    share.  A souring crawl source shows up here as collapsing entropy
+    before any downstream metric moves; mixture designers read the
+    same table to set per-source temperature weights.
+
+    Shape: one (source, lang) count aggregate, one per-source window
+    argmax + entropy sum — both keyed by source, one shuffle total.
+    Entropy terms use ln() so the value rounds at 1e-6 (the PMI/PSI
+    cross-libm precedent); the dominant-language pick orders on raw
+    integer counts (lang tiebreak), so it cannot drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    sl = (docs.groupBy("source", "lang")
+          .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy("source")
+    worder = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang").asc())
+    share = F.col("c") / F.sum("c").over(w)
+    return (sl
+            .withColumn("share", share)
+            .withColumn("rn", F.row_number().over(worder))
+            .groupBy("source")
+            .agg(F.sum("c").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_langs"),
+                 F.round(-F.sum(F.col("share")
+                                * F.log(F.col("share"))), 6)
+                 .alias("lang_entropy"),
+                 F.max(F.when(F.col("rn") == 1, F.col("lang")))
+                 .alias("top_lang"),
+                 F.round(F.max(F.when(F.col("rn") == 1,
+                                      F.col("share"))), 6)
+                 .alias("top_lang_share"))
+            .withColumn("effective_langs",
+                        F.round(F.exp("lang_entropy"), 4)))
+
+
 QUERIES = {
     "fk_integrity_audit": fk_integrity_audit,
     "snapshot_table_diff": snapshot_table_diff,
     "join_key_skew_profile": join_key_skew_profile,
+    "corpus_diversity_stats": corpus_diversity_stats,
 }
 
 ORACLES = {
@@ -242,3 +282,29 @@ ORACLES = {
         FROM ranked
     """,
 }
+
+ORACLES["corpus_diversity_stats"] = """
+    WITH sl AS (
+        SELECT source, lang, count(*) AS c
+        FROM documents GROUP BY source, lang
+    ), shared AS (
+        SELECT *,
+               c / CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE)
+                   AS share,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY c DESC, lang ASC) AS rn
+        FROM sl
+    ), agg AS (
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_docs,
+               count(*) AS n_langs,
+               round(-sum(share * ln(share)), 6) AS lang_entropy,
+               max(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+               round(max(CASE WHEN rn = 1 THEN share END), 6)
+                   AS top_lang_share
+        FROM shared GROUP BY source
+    )
+    SELECT source, n_docs, n_langs, lang_entropy, top_lang,
+           top_lang_share, round(exp(lang_entropy), 4) AS effective_langs
+    FROM agg
+"""

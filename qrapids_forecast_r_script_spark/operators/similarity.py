@@ -845,10 +845,101 @@ def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cosine"))
 
 
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str,
+                        n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007, "Multi-Probe LSH: Efficient
+    Indexing for High-Dimensional Similarity Search"): instead of more
+    hash tables, each query ALSO probes the buckets at Hamming
+    distance 1 from its own (flip each of the 8 sign bits) — 9 buckets
+    per query.  The perturbed buckets are exactly where near neighbors
+    that straddle a hyperplane land, so recall rises steeply at the
+    cost of a bounded 9× candidate fan-out (vs 2×-per-table for extra
+    tables, each with its own full index copy).
+
+    Scale shape: the corpus is bucketed ONCE (same map-only projection
+    as ``ann_lsh_topk``); only the constant-size query side explodes
+    ×9.  The join stays a bucket equi-join with the tiny side
+    broadcast; memory cost of multi-probe is ZERO extra index state —
+    the entire point of the technique at 100 TB.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(dim, n_planes)
+
+    def bucket(vec: Column) -> Column:
+        bits = []
+        for i, plane in enumerate(planes):
+            proj = F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(float(v)) for v in plane]),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda acc, v: acc + v)
+            bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    with_bucket = (emb.select("vec_id", _as_double("embedding").alias("vec"))
+                   .withColumn("bucket", bucket(F.col("vec")))
+                   .withColumn("vnorm", _norm(F.col("vec"))))
+    probe_arr = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+          for i in range(n_planes)])
+    queries = (with_bucket.orderBy("vec_id").limit(_N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("vec").alias("qvec"),
+                       F.col("vnorm").alias("qnorm"),
+                       F.col("bucket").alias("qbucket"))
+               .select("query_id", "qvec", "qnorm",
+                       F.explode(probe_arr).alias("bucket")))
+    sim = F.round(_dot(F.col("qvec"), F.col("vec"))
+                  / (F.col("qnorm") * F.col("vnorm")), 6)
+    scored = (with_bucket.join(F.broadcast(queries), "bucket")
+              .where(F.col("query_id") != F.col("vec_id"))
+              .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      sim.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "rank", "neighbor_id", "cosine"))
+
+
+def triplet_mining_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine (anchor, positive, hard-negative) TRIPLETS from the exact
+    neighbor ranking — the supervision-construction step for training
+    embedding models with triplet / InfoNCE losses: the positive is the
+    anchor's nearest neighbor, the hard negative its rank-10 neighbor
+    (close enough to be informative, far enough to be wrong — the
+    "hard" band every dense-retrieval recipe mines), and the margin is
+    their cosine gap.
+
+    Built entirely from ``cosine_topk_bruteforce``'s ranked output (two
+    filtered self-joins on query_id) — at scale the exact ranking is
+    replaced by any of the ANN indexes (pq/ivf/lsh) without changing
+    this operator's shape; mining cost beyond the ranking is k·Q rows.
+    """
+    ranked = cosine_topk_bruteforce(spark, sf_dir)
+    pos = (ranked.where(F.col("rank") == 1)
+           .select("query_id", F.col("neighbor_id").alias("positive_id"),
+                   F.col("cosine").alias("pos_cos")))
+    neg = (ranked.where(F.col("rank") == _TOP_K)
+           .select("query_id",
+                   F.col("neighbor_id").alias("hard_negative_id"),
+                   F.col("cosine").alias("neg_cos")))
+    return (pos.join(neg, "query_id")
+            .select("query_id", "positive_id", "pos_cos",
+                    "hard_negative_id", "neg_cos",
+                    F.round(F.col("pos_cos") - F.col("neg_cos"), 6)
+                    .alias("margin")))
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_multiprobe_topk": ann_multiprobe_topk,
     "ivf_topk": ivf_topk,
     "ivf_kmeans_topk": ivf_kmeans_topk,
     "pq_topk": pq_topk,
@@ -856,6 +947,7 @@ QUERIES = {
     "ann_eval_ndcg": ann_eval_ndcg,
     "sq8_topk": sq8_topk,
     "matryoshka_topk": matryoshka_topk,
+    "triplet_mining_embeddings": triplet_mining_embeddings,
 }
 
 
@@ -1319,4 +1411,61 @@ ORACLES["matryoshka_topk"] = f"""
                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
         FROM rer)
     WHERE rank <= {_TOP_K}
+"""
+
+
+def _multiprobe_oracle_sql(n_planes: int = 8, dim: int = 64) -> str:
+    """Multi-probe oracle: the LSH bucket expression plus an unnested
+    probe list (exact bucket + each 1-bit flip via xor)."""
+    planes = _hyperplanes(dim, n_planes)
+    bits = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(float(v)) for v in plane)
+        bits.append(f"CASE WHEN list_dot_product(emb, [{lits}]) >= 0 "
+                    f"THEN {1 << i} ELSE 0 END")
+    bucket = " + ".join(bits)
+    probes = ", ".join(f"xor(bucket, {1 << i})" for i in range(n_planes))
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), bucketed AS (
+            SELECT vec_id, emb, ({bucket}) AS bucket FROM vecs
+        ), qbase AS (
+            SELECT vec_id AS query_id, emb AS qemb, bucket
+            FROM bucketed ORDER BY vec_id LIMIT {_N_QUERIES}
+        ), queries AS (
+            SELECT query_id, qemb,
+                   unnest([CAST(bucket AS BIGINT), {probes}]) AS bucket
+            FROM qbase
+        ), scored AS (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   round(list_dot_product(q.qemb, v.emb)
+                         / (sqrt(list_dot_product(q.qemb, q.qemb))
+                            * sqrt(list_dot_product(v.emb, v.emb))), 6) AS cosine
+            FROM queries q JOIN bucketed v ON q.bucket = v.bucket
+            WHERE q.query_id != v.vec_id
+        )
+        SELECT query_id, rank, neighbor_id, cosine FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        WHERE rank <= {_TOP_K}
+    """
+
+ORACLES["ann_multiprobe_topk"] = _multiprobe_oracle_sql()
+
+ORACLES["triplet_mining_embeddings"] = f"""
+    WITH ranked AS ({ORACLES["cosine_topk_bruteforce"]}),
+    pos AS (
+        SELECT query_id, neighbor_id AS positive_id, cosine AS pos_cos
+        FROM ranked WHERE rank = 1
+    ), neg AS (
+        SELECT query_id, neighbor_id AS hard_negative_id,
+               cosine AS neg_cos
+        FROM ranked WHERE rank = {_TOP_K}
+    )
+    SELECT query_id, positive_id, pos_cos, hard_negative_id, neg_cos,
+           round(pos_cos - neg_cos, 6) AS margin
+    FROM pos JOIN neg USING (query_id)
 """
