@@ -51,14 +51,17 @@ def _word_table(docs: DataFrame) -> DataFrame:
 
 def _char_syms(words: DataFrame) -> DataFrame:
     """(word, wf, pos, sym): the initial character-level symbol rows.
-    Zero-width-lookahead split keeps it one JVM expression (Spark's
-    split uses limit −1, so the end-of-string match yields a trailing
-    empty element — filtered); pos is 1-based to match the SQL oracle's
-    generate_series."""
+
+    ``regexp_extract_all(word, '(?s).')`` yields CODE POINTS (Java
+    regex ``.`` never splits a surrogate pair), matching DuckDB's
+    character indexing ``word[i]`` — a zero-width-lookahead ``split``
+    would instead emit two surrogate-half "symbols" per astral-plane
+    character and silently diverge from the oracle on emoji/rare-CJK
+    words.  pos is 1-based to match the oracle's generate_series."""
     return (words.select(
         "word", "wf",
-        F.posexplode(F.split("word", "(?!^)")).alias("pos0", "sym"))
-        .where(F.length("sym") > 0)
+        F.posexplode(F.expr("regexp_extract_all(word, '(?s).', 0)"))
+        .alias("pos0", "sym"))
         .select("word", "wf", (F.col("pos0") + 1).alias("pos"), "sym"))
 
 
@@ -144,10 +147,15 @@ def _round_sql(r: int) -> str:
         FROM flag{o}
     ), ofs{o} AS (
         SELECT *,
-               CASE WHEN m = 1 THEN pos - grp0 ELSE NULL END AS grp,
+               -- run id = grp0 (pos minus running match count): constant
+               -- across a run of CONSECUTIVE matches.  NOT pos - grp0,
+               -- which equals the running count itself and would give
+               -- every match its own partition (ofs always 1 => every
+               -- overlapping (x,x) match merges — wrong greedy
+               -- semantics; caught by review against the 'aaaa' fixture)
                row_number() OVER (
                    PARTITION BY word,
-                       CASE WHEN m = 1 THEN pos - grp0 ELSE NULL END
+                       CASE WHEN m = 1 THEN grp0 ELSE NULL END
                    ORDER BY pos) AS ofs
         FROM runs{o}
     ), dm{o} AS (

@@ -798,18 +798,7 @@ ORACLES["winsorized_doclen_stats"] = """
 """
 
 ORACLES["shard_packing_efficiency"] = f"""
-    WITH t AS (
-        SELECT doc_id, lang,
-               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
-                    AS BIGINT) AS n_tokens
-        FROM documents
-    ), packed AS (
-        SELECT doc_id, lang, n_tokens,
-               CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                - n_tokens) // {_SHARD_BUDGET} AS BIGINT) AS shard_id
-        FROM t
-    )
+    WITH packed AS ({ORACLES["token_shard_packing"]})
     SELECT lang, shard_id, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
            round(sum(n_tokens) / CAST({_SHARD_BUDGET} AS DOUBLE), 6)

@@ -125,9 +125,9 @@ def session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 30-min-gap session becomes one ordered ``a>b>c`` event-type
     string plus turn count and duration.
 
-    The sessionization is the exact gaps-and-islands of
-    ``streaming.user_sessions`` (same 1800 s fractional-epoch rule, so
-    the two queries agree row-for-row on session boundaries); the
+    The sessionization IS ``streaming.sessionize_events`` — the same
+    helper ``user_sessions`` aggregates, so the two queries cannot
+    disagree on session boundaries; the
     transcript orders deterministically by (ts, event_id) via an
     array_sort over (ts, event_id, type) structs — collect_list alone
     has no order contract under parallel merge.
@@ -136,18 +136,8 @@ def session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-session aggregate; transcript length is bounded by session
     length (the same bound any sequence-modeling pipeline enforces
     before tokenization)."""
-    from pyspark.sql.window import Window
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.col("ts").cast("double")
-           - F.lag(F.col("ts").cast("double"), 1).over(w))
-    sess = (ev
-            .withColumn("new_session",
-                        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
-            .withColumn("session_id",
-                        F.sum("new_session").over(
-                            w.rowsBetween(Window.unboundedPreceding,
-                                          Window.currentRow))))
+    from ..streaming.queries import sessionize_events
+    sess = sessionize_events(load_table(spark, sf_dir, "events"))
     ordered_types = F.transform(
         F.array_sort(F.collect_list(F.struct("ts", "event_id",
                                              "event_type"))),

@@ -123,23 +123,33 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization: a new session starts after > 30 min of
-    user inactivity.  One shuffle on user_id; session ids via windowed
-    cumulative sum (gaps-and-islands)."""
-    ev = load_table(spark, sf_dir, "events")
+def sessionize_events(ev: DataFrame) -> DataFrame:
+    """Gaps-and-islands sessionization, THE canonical boundary rule for
+    this engine: a new session starts when the gap since the user's
+    previous event exceeds 1800 s, compared on FRACTIONAL-second epochs
+    (DuckDB ``epoch()`` is fractional; ``unix_timestamp`` truncates and
+    would disagree on gaps near the boundary).  Shared by
+    :func:`user_sessions` and
+    ``product_analytics.session_transcripts`` so the >1800 rule lives
+    in exactly one place (``events_session_windows`` documents its own
+    half-open >= 1800 variant)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # fractional-second epoch on BOTH sides (DuckDB epoch() is fractional;
-    # unix_timestamp truncates and would disagree on gaps near 1800s)
     gap = (F.col("ts").cast("double")
            - F.lag(F.col("ts").cast("double"), 1).over(w))
-    sess = (ev
+    return (ev
             .withColumn("new_session",
                         F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
             .withColumn("session_id",
                         F.sum("new_session").over(
                             w.rowsBetween(Window.unboundedPreceding,
                                           Window.currentRow))))
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after > 30 min of
+    user inactivity.  One shuffle on user_id; session ids via windowed
+    cumulative sum (gaps-and-islands, :func:`sessionize_events`)."""
+    sess = sessionize_events(load_table(spark, sf_dir, "events"))
     return (sess
             .groupBy("user_id", "session_id")
             .agg(F.count(F.lit(1)).alias("n_events"),

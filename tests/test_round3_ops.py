@@ -432,20 +432,55 @@ def test_bpe_greedy_merge_semantics(spark, monkeypatch):
     case: 'aaaa'×3 + 'abab'×2.  Round 1 must pick (a,a) with weighted
     count 9 and merge it NON-overlapping (aaaa → aa·aa, not aa·a·a);
     round 2 then sees (aa,aa)=3 < (a,b)=4 so picks (a,b); round 3
-    picks (aa,aa)."""
+    picks (aa,aa).  The ORACLE runs on the same fixture: the driver
+    corpus never makes an (x,x) pair win a round, so only this test
+    exercises the oracle's run-partition greedy logic (which review
+    caught wrong once — pinned here against the hand check)."""
+    import duckdb
     from qrapids_forecast_r_script_spark.operators import bpe
-    docs = spark.createDataFrame(
-        [(0, "aaaa aaaa aaaa"), (1, "abab abab")], "doc_id long, text string")
+    fixture = [(0, "aaaa aaaa aaaa"), (1, "abab abab")]
+    docs = spark.createDataFrame(fixture, "doc_id long, text string")
     monkeypatch.setattr(
         "qrapids_forecast_r_script_spark.operators.bpe.load_table",
         lambda spark, sf_dir, name: docs)
     rows = {r.merge_rank: r for r in bpe.bpe_merge_rules(spark, "x").collect()}
-    assert (rows[1].left_sym, rows[1].right_sym, rows[1].pair_count) == \
-        ("a", "a", 9)
-    assert (rows[2].left_sym, rows[2].right_sym, rows[2].pair_count) == \
-        ("a", "b", 4)
-    assert (rows[3].left_sym, rows[3].right_sym, rows[3].pair_count) == \
-        ("aa", "aa", 3)
+    expected = {1: ("a", "a", 9), 2: ("a", "b", 4), 3: ("aa", "aa", 3)}
+    for rank, (ls, rs, c) in expected.items():
+        assert (rows[rank].left_sym, rows[rank].right_sym,
+                rows[rank].pair_count) == (ls, rs, c)
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in fixture)
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) "
+                "t(doc_id, text)")
+    ora = {r[0]: (r[1], r[2], r[3])
+           for r in con.execute(bpe._bpe_oracle_sql()).fetchall()}
+    assert ora == expected
+
+
+def test_bpe_codepoint_symbols_match_oracle(spark, monkeypatch):
+    """Non-BMP safety: an astral-plane character (emoji) must be ONE
+    symbol on both engines — Spark's regexp_extract_all('(?s).') yields
+    code points while a lookahead split would yield surrogate halves
+    and diverge from DuckDB's character indexing."""
+    import duckdb
+    from qrapids_forecast_r_script_spark.operators import bpe
+    word = "a\U0001F600b"
+    docs = spark.createDataFrame(
+        [(0, f"{word} {word}")], "doc_id long, text string")
+    monkeypatch.setattr(
+        "qrapids_forecast_r_script_spark.operators.bpe.load_table",
+        lambda spark, sf_dir, name: docs)
+    spark_rules = [(r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+                   for r in bpe.bpe_merge_rules(spark, "x")
+                   .orderBy("merge_rank").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                f"(0, '{word} {word}')) t(doc_id, text)")
+    ora_rules = con.execute(
+        bpe._bpe_oracle_sql() + " ORDER BY merge_rank").fetchall()
+    assert spark_rules == [tuple(r) for r in ora_rules]
+    # round 1 must merge ('a', emoji) — the emoji is one symbol
+    assert spark_rules[0][1] == "a" and spark_rules[0][2] == "\U0001F600"
 
 
 def test_fk_audit_star_clean_events_measured(spark, sf_dir):
@@ -527,12 +562,23 @@ def test_winsorized_stats_bounds(spark, sf_dir):
         winsorized_doclen_stats)
     rows = winsorized_doclen_stats(spark, sf_dir).collect()
     assert rows
+    from pyspark.sql import functions as F
+    from qrapids_forecast_r_script_spark.sources import load_table
+    cuts = {r.lang: (r.p05, r.p95)
+            for r in load_table(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(F.round(F.percentile("n_chars", F.lit(0.05)), 4)
+                 .alias("p05"),
+                 F.round(F.percentile("n_chars", F.lit(0.95)), 4)
+                 .alias("p95")).collect()}
     for r in rows:
         assert r.n_clipped_low <= r.n_docs * 0.06 + 1
         assert r.n_clipped_high <= r.n_docs * 0.06 + 1
-        # clipping pulls the mean toward the center: winsorized mean
-        # is bounded by the raw extremes of the clip window
-        assert r.mean_winsorized <= max(r.mean_raw, r.mean_winsorized)
+        # every clipped value lies in [p05, p95], so the winsorized
+        # mean must too — the invariant a wrong cutpoint or clip
+        # direction would break
+        p05, p95 = cuts[r.lang]
+        assert p05 - 1e-6 <= r.mean_winsorized <= p95 + 1e-6, r
 
 
 def test_multiprobe_dominates_single_probe(spark, sf_dir):
@@ -545,22 +591,19 @@ def test_multiprobe_dominates_single_probe(spark, sf_dir):
     improvement is structural, not tuned (0.0 -> 0.12 at sf0.001)."""
     from qrapids_forecast_r_script_spark.operators.similarity import (
         ann_lsh_topk, ann_multiprobe_topk, cosine_topk_bruteforce)
-    lsh = {(r.query_id, r.rank): r.cosine
-           for r in ann_lsh_topk(spark, sf_dir).collect()}
-    mp = {(r.query_id, r.rank): r.cosine
-          for r in ann_multiprobe_topk(spark, sf_dir).collect()}
+    lsh_rows = ann_lsh_topk(spark, sf_dir).collect()
+    mp_rows = ann_multiprobe_topk(spark, sf_dir).collect()
+    lsh = {(r.query_id, r.rank): r.cosine for r in lsh_rows}
+    mp = {(r.query_id, r.rank): r.cosine for r in mp_rows}
+    lsh_neighbors = {(r.query_id, r.rank): r.neighbor_id for r in lsh_rows}
+    mp_neighbors = {(r.query_id, r.rank): r.neighbor_id for r in mp_rows}
     assert set(lsh) <= set(mp)
     for key, c in lsh.items():
         assert mp[key] >= c - 1e-9, (key, mp[key], c)
     bf = {(r.query_id, r.neighbor_id)
           for r in cosine_topk_bruteforce(spark, sf_dir).collect()}
-    from qrapids_forecast_r_script_spark.operators.similarity import (
-        ann_lsh_topk as _l)  # recall comparison on pair sets
-    lsh_pairs = {(r.query_id, r.neighbor_id)
-                 for r in _l(spark, sf_dir).collect()}
-    mp_pairs = {(r.query_id, r.neighbor_id)
-                for r in ann_multiprobe_topk(spark, sf_dir).collect()}
-    assert len(bf & mp_pairs) >= len(bf & lsh_pairs)
+    assert len(bf & {k[:1] + (v,) for k, v in mp_neighbors.items()}) >= \
+        len(bf & {k[:1] + (v,) for k, v in lsh_neighbors.items()})
 
 
 def test_triplet_margins_and_identities(spark, sf_dir):
