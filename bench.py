@@ -116,6 +116,9 @@ HEADLINE = [
     "triplet_mining_embeddings",
     "shard_packing_efficiency",
     "corpus_diversity_stats",
+    # forecast eval: closed-form ensemble + rolling-origin CV
+    "ensemble_closed_forms",
+    "rolling_origin_backtest",
 ]
 
 

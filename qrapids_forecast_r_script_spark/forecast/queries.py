@@ -232,20 +232,10 @@ ORACLES = {k: ORACLES[k] for k in (
     "forecast_naive_events")}
 
 
-def backtest_closed_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-method holdout backtest: hold out the last 7 points of each
-    events-derived series and score all four closed-form forecasters
-    (MEAN / NAIVE / SNAIVE / DRIFT) on them — MAE + RMSE per (series,
-    method).  This is the model-selection table a forecasting service
-    derives its method recommendation from, and with closed-form
-    predictors it is exactly SQL-expressible, so the whole
-    train/predict/align/score path is hash-checked.
-
-    Scale shape: one windowed pass to index the series, one per-series
-    train aggregate joined back to the 7 holdout rows (same-key join),
-    a 4-way union of constant-width predictions, one final aggregation —
-    everything keyed by the series key, nothing quadratic.
-    """
+def _holdout_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(name, index, method, h, value, pred) for the 7-point holdout of
+    every events-derived series under all four closed forms — shared by
+    :func:`backtest_closed_forms` and :func:`ensemble_closed_forms`."""
     from pyspark.sql.window import Window
 
     metrics = _metrics(spark, sf_dir)
@@ -268,7 +258,8 @@ def backtest_closed_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _one(method: str, pred) -> DataFrame:
         return joined.select("name", "index",
                              F.lit(method).alias("method"),
-                             F.col("value"), pred.alias("pred"))
+                             F.col("h"), F.col("value"),
+                             pred.alias("pred"))
 
     # n_train=1 ⇒ 0 denominator: Spark double x/0 is NULL but DuckDB is
     # Infinity — nullif on BOTH engines makes the degenerate series agree
@@ -276,10 +267,27 @@ def backtest_closed_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift = (F.col("last_v") + F.col("h")
              * (F.col("last_v") - F.col("first_v"))
              / F.nullif(F.col("n_train") - F.lit(1), F.lit(0)))
-    preds = (_one("MEAN", F.col("mean_v"))
-             .unionByName(_one("NAIVE", F.col("last_v")))
-             .unionByName(_one("SNAIVE", F.col("lag7")))
-             .unionByName(_one("DRIFT", drift)))
+    return (_one("MEAN", F.col("mean_v"))
+            .unionByName(_one("NAIVE", F.col("last_v")))
+            .unionByName(_one("SNAIVE", F.col("lag7")))
+            .unionByName(_one("DRIFT", drift)))
+
+
+def backtest_closed_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-method holdout backtest: hold out the last 7 points of each
+    events-derived series and score all four closed-form forecasters
+    (MEAN / NAIVE / SNAIVE / DRIFT) on them — MAE + RMSE per (series,
+    method).  This is the model-selection table a forecasting service
+    derives its method recommendation from, and with closed-form
+    predictors it is exactly SQL-expressible, so the whole
+    train/predict/align/score path is hash-checked.
+
+    Scale shape: one windowed pass to index the series, one per-series
+    train aggregate joined back to the 7 holdout rows (same-key join),
+    a 4-way union of constant-width predictions, one final aggregation —
+    everything keyed by the series key, nothing quadratic.
+    """
+    preds = _holdout_preds(spark, sf_dir)
     err = F.col("value") - F.col("pred")
     return (preds.groupBy("name", "index", "method")
             .agg(F.count(F.lit(1)).alias("n_holdout"),
@@ -287,13 +295,98 @@ def backtest_closed_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sqrt(F.avg(err * err)), _ROUND).alias("rmse")))
 
 
+def ensemble_closed_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-weight ENSEMBLE of the four closed forms on the same
+    holdout — the exactly-oracled twin of the HYBRID method (R:321-337
+    combines its component forecasts with CV weights; the equal-weight
+    combination is the classic robust baseline that is hard to beat,
+    Makridakis M-competitions).  Per series: ensemble MAE/RMSE, the
+    best single method's MAE, and whether the ensemble wins — the
+    table that justifies (or refutes) combination for each series.
+
+    Per-point ensemble = avg over the methods' predictions (NULL
+    components — short-series SNAIVE/DRIFT — drop out identically on
+    both engines); comparisons use the ROUNDED maes so the win flag
+    cannot flip on float noise.  Scale: everything re-aggregates the
+    shared holdout-preds frame on its own series key."""
+    preds = _holdout_preds(spark, sf_dir)
+    per_point = (preds.groupBy("name", "index", "h")
+                 .agg(F.max("value").alias("value"),
+                      F.avg("pred").alias("ens_pred")))
+    err = F.col("value") - F.col("ens_pred")
+    ens = (per_point.groupBy("name", "index")
+           .agg(F.round(F.avg(F.abs(err)), _ROUND).alias("ens_mae"),
+                F.round(F.sqrt(F.avg(err * err)), _ROUND)
+                .alias("ens_rmse")))
+    best = (backtest_closed_forms(spark, sf_dir)
+            .groupBy("name", "index")
+            .agg(F.min("mae").alias("best_single_mae")))
+    return (ens.join(best, ["name", "index"])
+            .withColumn("ensemble_wins",
+                        F.col("ens_mae") < F.col("best_single_mae")))
+
+
+_RO_FOLDS = 3      # rolling origins at n-7, n-14, n-21 (tsCV folds)
+
+
+def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin cross-validation (Hyndman's tsCV, the evaluation
+    scheme behind the reference HYBRID's cvts weighting, R:326): three
+    origins per series (cutoffs n-7, n-14, n-21), a 7-step test window
+    after each, NAIVE and SNAIVE scored per fold — the forecast
+    analogue of k-fold CV where folds must respect time order.
+
+    One scan: the indexed series cross-joins a BROADCAST 3-row fold
+    frame, and train/test splits are predicates on (t, cutoff) — never
+    three passes over events.  Folds with under 8 training points drop
+    (both engines, same predicate).  Scale: everything keys on
+    (series, fold); the fold fan-out is the constant 3."""
+    from pyspark.sql.window import Window
+
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    wall = Window.partitionBy("name", "index")
+    t = (metrics
+         .withColumn("t", F.row_number().over(w) - 1)
+         .withColumn("n", F.count(F.lit(1)).over(wall))
+         .withColumn("lag7", F.lag("value", 7).over(w)))
+    folds = (spark.range(1, _RO_FOLDS + 1)
+             .select(F.col("id").cast("int").alias("fold")))
+    tf = (t.crossJoin(F.broadcast(folds))
+          .withColumn("cutoff", F.col("n") - 7 * F.col("fold"))
+          .where(F.col("cutoff") >= 8))
+    train = (tf.where(F.col("t") < F.col("cutoff"))
+             .groupBy("name", "index", "fold")
+             .agg(F.max_by("value", "t").alias("last_v")))
+    test = tf.where((F.col("t") >= F.col("cutoff"))
+                    & (F.col("t") < F.col("cutoff") + 7))
+    joined = test.join(train, ["name", "index", "fold"])
+    preds = (joined.select("name", "index", "fold",
+                           F.lit("NAIVE").alias("method"), "value",
+                           F.col("last_v").alias("pred"))
+             .unionByName(
+                 joined.select("name", "index", "fold",
+                               F.lit("SNAIVE").alias("method"), "value",
+                               F.col("lag7").alias("pred"))))
+    err = F.col("value") - F.col("pred")
+    return (preds.groupBy("name", "index", "fold", "method")
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 F.round(F.avg(F.abs(err)), _ROUND).alias("mae")))
+
+
 # Registered as a separate block in __spark_entry__ (after the round-2
 # text-quality module) so the driver's ~50-query window allocation from
 # the round-2 front-load stays byte-stable.
-EVAL_QUERIES = {"backtest_closed_forms": backtest_closed_forms}
-EVAL_ORACLES = {
-    "backtest_closed_forms": f"""
-        WITH m AS ({_METRICS_EVENTS}),
+EVAL_QUERIES = {
+    "backtest_closed_forms": backtest_closed_forms,
+    "ensemble_closed_forms": ensemble_closed_forms,
+    "rolling_origin_backtest": rolling_origin_backtest,
+}
+
+# Shared CTE chain (through preds) for the holdout-based evals — one
+# definition, composed by both oracles (review precedent: compose, don't
+# copy the formula).
+_BT_PREDS_SQL = f"""m AS ({_METRICS_EVENTS}),
         t AS (
             SELECT name, index, value,
                    row_number() OVER w - 1 AS t,
@@ -310,26 +403,86 @@ EVAL_ORACLES = {
         ), holdout AS (
             SELECT *, t - (n - 7) + 1 AS h FROM t WHERE t >= n - 7
         ), preds AS (
-            SELECT h.name, h.index, 'MEAN' AS method, h.value,
+            SELECT h.name, h.index, 'MEAN' AS method, h.h, h.value,
                    tr.mean_v AS pred
             FROM holdout h JOIN train tr USING (name, index)
             UNION ALL
-            SELECT h.name, h.index, 'NAIVE', h.value, tr.last_v
+            SELECT h.name, h.index, 'NAIVE', h.h, h.value, tr.last_v
             FROM holdout h JOIN train tr USING (name, index)
             UNION ALL
-            SELECT h.name, h.index, 'SNAIVE', h.value, h.lag7
+            SELECT h.name, h.index, 'SNAIVE', h.h, h.value, h.lag7
             FROM holdout h JOIN train tr USING (name, index)
             UNION ALL
-            SELECT h.name, h.index, 'DRIFT', h.value,
+            SELECT h.name, h.index, 'DRIFT', h.h, h.value,
                    tr.last_v + h.h * (tr.last_v - tr.first_v)
                        / nullif(tr.n_train - 1, 0)
             FROM holdout h JOIN train tr USING (name, index)
-        )
-        SELECT name, index, method, count(*) AS n_holdout,
+        )"""
+
+_BT_SCORE_SQL = f"""SELECT name, index, method, count(*) AS n_holdout,
                round(avg(abs(value - pred)), {_ROUND}) AS mae,
                round(sqrt(avg((value - pred) * (value - pred))),
                      {_ROUND}) AS rmse
-        FROM preds GROUP BY 1, 2, 3
+        FROM preds GROUP BY 1, 2, 3"""
+
+EVAL_ORACLES = {
+    "backtest_closed_forms": f"""
+        WITH {_BT_PREDS_SQL}
+        {_BT_SCORE_SQL}
+    """,
+    "ensemble_closed_forms": f"""
+        WITH {_BT_PREDS_SQL},
+        per_point AS (
+            SELECT name, index, h, max(value) AS value,
+                   avg(pred) AS ens_pred
+            FROM preds GROUP BY 1, 2, 3
+        ), ens AS (
+            SELECT name, index,
+                   round(avg(abs(value - ens_pred)), {_ROUND}) AS ens_mae,
+                   round(sqrt(avg((value - ens_pred)
+                                  * (value - ens_pred))), {_ROUND})
+                       AS ens_rmse
+            FROM per_point GROUP BY 1, 2
+        ), bt AS (
+            {_BT_SCORE_SQL}
+        ), best AS (
+            SELECT name, index, min(mae) AS best_single_mae
+            FROM bt GROUP BY 1, 2
+        )
+        SELECT e.name, e.index, e.ens_mae, e.ens_rmse, b.best_single_mae,
+               e.ens_mae < b.best_single_mae AS ensemble_wins
+        FROM ens e JOIN best b USING (name, index)
+    """,
+    "rolling_origin_backtest": f"""
+        WITH m AS ({_METRICS_EVENTS}),
+        t AS (
+            SELECT name, index, value,
+                   row_number() OVER w - 1 AS t,
+                   count(*) OVER (PARTITION BY name, index) AS n,
+                   lag(value, 7) OVER w AS lag7
+            FROM m
+            WINDOW w AS (PARTITION BY name, index ORDER BY evaluationDate)
+        ), tf AS (
+            SELECT t.*, f.fold, t.n - 7 * f.fold AS cutoff
+            FROM t CROSS JOIN (SELECT CAST(unnest(range(1, {_RO_FOLDS + 1}))
+                                      AS INTEGER) AS fold) f
+            WHERE t.n - 7 * f.fold >= 8
+        ), train AS (
+            SELECT name, index, fold, arg_max(value, t) AS last_v
+            FROM tf WHERE t < cutoff GROUP BY 1, 2, 3
+        ), test AS (
+            SELECT * FROM tf WHERE t >= cutoff AND t < cutoff + 7
+        ), preds AS (
+            SELECT te.name, te.index, te.fold, 'NAIVE' AS method,
+                   te.value, tr.last_v AS pred
+            FROM test te JOIN train tr USING (name, index, fold)
+            UNION ALL
+            SELECT te.name, te.index, te.fold, 'SNAIVE', te.value, te.lag7
+            FROM test te JOIN train tr USING (name, index, fold)
+        )
+        SELECT name, index, fold, method, count(*) AS n_test,
+               round(avg(abs(value - pred)), {_ROUND}) AS mae
+        FROM preds GROUP BY 1, 2, 3, 4
     """,
 }
 

@@ -652,3 +652,40 @@ def test_diversity_entropy_bounds(spark, sf_dir):
         assert -1e-9 <= r.lang_entropy <= math.log(r.n_langs) + 1e-6
         assert 1 - 1e-4 <= r.effective_langs <= r.n_langs + 1e-4
         assert r.top_lang_share >= 1.0 / r.n_langs - 1e-9
+
+
+def test_rolling_origin_fold1_equals_holdout_backtest(spark, sf_dir):
+    """Fold 1's cutoff (n-7) is exactly the holdout backtest's split,
+    so its NAIVE/SNAIVE MAEs must equal backtest_closed_forms' — the
+    two eval harnesses cross-validate each other."""
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        backtest_closed_forms, rolling_origin_backtest)
+    # NOTE r["index"]: the column collides with Row.index (the method)
+    bt = {(r.name, r["index"], r.method): r.mae
+          for r in backtest_closed_forms(spark, sf_dir).collect()
+          if r.method in ("NAIVE", "SNAIVE")}
+    ro = {(r.name, r["index"], r.method): r.mae
+          for r in rolling_origin_backtest(spark, sf_dir).collect()
+          if r.fold == 1}
+    assert ro  # folds exist on the fixture's series lengths
+    for key, mae in ro.items():
+        assert bt[key] == mae, (key, bt[key], mae)
+
+
+def test_ensemble_scores_consistent(spark, sf_dir):
+    """best_single_mae must equal the min over the per-method table;
+    the win flag must match the rounded comparison; ens metrics are
+    non-negative and rmse >= mae (Jensen)."""
+    from collections import defaultdict
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        backtest_closed_forms, ensemble_closed_forms)
+    per_method = defaultdict(list)
+    for r in backtest_closed_forms(spark, sf_dir).collect():
+        if r.mae is not None:
+            per_method[(r.name, r["index"])].append(r.mae)
+    rows = ensemble_closed_forms(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.best_single_mae == min(per_method[(r.name, r["index"])])
+        assert r.ensemble_wins == (r.ens_mae < r.best_single_mae)
+        assert 0 <= r.ens_mae <= r.ens_rmse + 1e-9
