@@ -119,6 +119,9 @@ HEADLINE = [
     # forecast eval: closed-form ensemble + rolling-origin CV
     "ensemble_closed_forms",
     "rolling_origin_backtest",
+    # lexical + hybrid retrieval (BM25, dense+lexical RRF fusion)
+    "bm25_topk",
+    "hybrid_rrf_topk",
 ]
 
 

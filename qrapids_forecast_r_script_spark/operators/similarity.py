@@ -935,8 +935,56 @@ def triplet_mining_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("margin")))
 
 
+# Reciprocal-rank-fusion constant (Cormack et al. 2009): 60 is the
+# canonical value; the +k damps the head so a single ranker can't
+# dominate the fused list.
+_RRF_K = 60
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID dense+lexical retrieval via Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher 2009): the corpus shares one id space
+    between ``documents`` and ``embeddings``, so each query document
+    gets a DENSE ranking (exact cosine over its embedding) and a
+    LEXICAL ranking (BM25 over its terms), fused by
+    score = Σ_r 1/(60 + rank_r) — the standard production hybrid-search
+    combiner (rank-based, so the two incompatible score scales never
+    need calibration).
+
+    The fusion itself is one full-outer join of two (query, neighbor,
+    rank) lists — k·Q rows each — plus a window; its cost is
+    independent of corpus size, and each input is swappable for its
+    scale path (pq/ivf for dense, an impact-sorted index for lexical)
+    without touching the fusion.  1/(60+rank) is a fixed two-term
+    expression, not a float aggregate, so the fused score is exactly
+    reproducible."""
+    from .text import bm25_topk
+    dense = (cosine_topk_bruteforce(spark, sf_dir)
+             .select("query_id", "neighbor_id",
+                     F.col("rank").alias("dense_rank")))
+    lex = (bm25_topk(spark, sf_dir)
+           .select("query_id", "neighbor_id",
+                   F.col("rank").alias("lex_rank")))
+    fused = (dense.join(lex, ["query_id", "neighbor_id"], "full_outer")
+             .select("query_id", "neighbor_id", "dense_rank", "lex_rank",
+                     F.round(
+                         F.coalesce(1.0 / (F.lit(_RRF_K)
+                                           + F.col("dense_rank")),
+                                    F.lit(0.0))
+                         + F.coalesce(1.0 / (F.lit(_RRF_K)
+                                             + F.col("lex_rank")),
+                                      F.lit(0.0)), 6).alias("rrf_score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id").asc())
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "rank", "neighbor_id", "rrf_score",
+                    "dense_rank", "lex_rank"))
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
+    "hybrid_rrf_topk": hybrid_rrf_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_multiprobe_topk": ann_multiprobe_topk,
@@ -1469,3 +1517,28 @@ ORACLES["triplet_mining_embeddings"] = f"""
            round(pos_cos - neg_cos, 6) AS margin
     FROM pos JOIN neg USING (query_id)
 """
+
+def _hybrid_rrf_oracle_sql() -> str:
+    from .text import ORACLES as TEXT_ORACLES
+    return f"""
+    WITH dense AS ({ORACLES["cosine_topk_bruteforce"]}),
+    lex AS ({TEXT_ORACLES["bm25_topk"]}),
+    fused AS (
+        SELECT coalesce(d.query_id, l.query_id) AS query_id,
+               coalesce(d.neighbor_id, l.neighbor_id) AS neighbor_id,
+               d.rank AS dense_rank, l.rank AS lex_rank,
+               round(coalesce(1.0 / ({_RRF_K} + d.rank), 0.0)
+                     + coalesce(1.0 / ({_RRF_K} + l.rank), 0.0), 6)
+                   AS rrf_score
+        FROM dense d FULL OUTER JOIN lex l
+          ON d.query_id = l.query_id AND d.neighbor_id = l.neighbor_id
+    )
+    SELECT query_id, rank, neighbor_id, rrf_score, dense_rank, lex_rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf_score DESC, neighbor_id ASC) AS rank
+        FROM fused)
+    WHERE rank <= {_TOP_K}
+    """
+
+ORACLES["hybrid_rrf_topk"] = _hybrid_rrf_oracle_sql()

