@@ -122,6 +122,9 @@ HEADLINE = [
     # lexical + hybrid retrieval (BM25, dense+lexical RRF fusion)
     "bm25_topk",
     "hybrid_rrf_topk",
+    # graph triangles + kNN embedding-quality eval
+    "doc_graph_triangles",
+    "knn_label_accuracy",
 ]
 
 

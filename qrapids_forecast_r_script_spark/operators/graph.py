@@ -129,5 +129,104 @@ def _pagerank_oracle_sql(iters: int = _PR_ITERS) -> str:
     """
 
 
-QUERIES = {"doc_graph_pagerank": doc_graph_pagerank}
-ORACLES = {"doc_graph_pagerank": _pagerank_oracle_sql()}
+_TRI_TOP = 20
+
+
+def doc_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle count and local clustering coefficient
+    over the near-dup pair graph — the second classic graph audit
+    besides PageRank: a high-coefficient node sits inside a dense
+    boilerplate CLIQUE (template families), while a high-degree
+    low-coefficient node is a hub stitching unrelated near-dup groups
+    (often a scraping artifact).  Top-20 by (triangles, doc_id).
+
+    Triangle enumeration is the standard ordered edge-join (a<b<c):
+    pairs ⋈ pairs on the middle node, semi-joined against the closing
+    edge — never the O(n³) cube; fan-out is bounded by per-node degree
+    (the same band-bounded degree the LSH graph guarantees).  Each
+    triangle credits its three corners via one explode; coefficient =
+    2T / (deg·(deg−1)) on integer inputs, exactly reproducible."""
+    pairs = (minhash_lsh_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b").localCheckpoint())
+    p1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    p2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    p3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tris = (p1.join(p2, "b")
+            .join(p3, ["a", "c"], "left_semi")
+            .select("a", "b", "c"))
+    corners = (tris.select(F.col("a").alias("doc_id"))
+               .unionAll(tris.select(F.col("b").alias("doc_id")))
+               .unionAll(tris.select(F.col("c").alias("doc_id"))))
+    tcount = corners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    sym = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .unionAll(pairs.select(F.col("doc_b").alias("doc_id"))))
+    deg = sym.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.round(2.0 * F.col("n_triangles")
+                / (F.col("degree") * (F.col("degree") - 1)), 6))
+    scored = (deg.join(tcount, "doc_id", "left")
+              .select("doc_id", "degree",
+                      F.coalesce("n_triangles", F.lit(0))
+                      .alias("n_triangles"))
+              .withColumn("clustering_coeff", coeff))
+    top = (scored.orderBy(F.col("n_triangles").desc(),
+                          F.col("doc_id").asc()).limit(_TRI_TOP))
+    w = Window.orderBy(F.col("n_triangles").desc(), F.col("doc_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", "degree", "n_triangles",
+                    "clustering_coeff"))
+
+
+def _triangles_oracle_sql() -> str:
+    return _SIG_CTE + f"""
+        , bands AS ({_BANDS_UNION}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                        AND a.doc_id < b.doc_id
+        ),
+        tris AS (
+            SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+            FROM pairs p1
+            JOIN pairs p2 ON p1.doc_b = p2.doc_a
+            WHERE EXISTS (SELECT 1 FROM pairs p3
+                          WHERE p3.doc_a = p1.doc_a
+                            AND p3.doc_b = p2.doc_b)
+        ),
+        corners AS (
+            SELECT a AS doc_id FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+        ),
+        tcount AS (
+            SELECT doc_id, count(*) AS n_triangles FROM corners GROUP BY 1
+        ),
+        deg AS (
+            SELECT doc_id, count(*) AS degree FROM (
+                SELECT doc_a AS doc_id FROM pairs
+                UNION ALL SELECT doc_b FROM pairs) GROUP BY 1
+        ),
+        scored AS (
+            SELECT d.doc_id, d.degree,
+                   coalesce(t.n_triangles, 0) AS n_triangles,
+                   CASE WHEN d.degree >= 2 THEN
+                       round(2.0 * coalesce(t.n_triangles, 0)
+                             / (d.degree * (d.degree - 1)), 6)
+                   END AS clustering_coeff
+            FROM deg d LEFT JOIN tcount t USING (doc_id)
+        )
+        SELECT rank, doc_id, degree, n_triangles, clustering_coeff FROM (
+            SELECT *, row_number() OVER (ORDER BY n_triangles DESC,
+                       doc_id ASC) AS rank
+            FROM scored)
+        WHERE rank <= {_TRI_TOP}
+    """
+
+
+QUERIES = {"doc_graph_pagerank": doc_graph_pagerank,
+           "doc_graph_triangles": doc_graph_triangles}
+ORACLES = {"doc_graph_pagerank": _pagerank_oracle_sql(),
+           "doc_graph_triangles": _triangles_oracle_sql()}

@@ -982,9 +982,66 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "dense_rank", "lex_rank"))
 
 
+_KNN_K = 10
+_KNN_ANCHOR_MOD = 5     # evaluate every 5th vector (deterministic sample)
+
+
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval via kNN CLASSIFICATION: a deterministic
+    1-in-5 anchor sample is classified by the majority label of its 10
+    exact nearest neighbors (ties broken by label string) and scored
+    against its own label — the standard representation-quality probe
+    (a kNN accuracy drop on fresh data is the canary for embedding
+    drift, and per-label accuracy exposes which classes the space
+    confuses).
+
+    Output per label: anchor count, kNN accuracy, and the mean
+    majority-vote share (confidence).  Scale: eval cost is
+    |sample|·N — the sample size is the knob (an all-anchor eval
+    measured 28 s at sf0.1 vs 6 s sampled; production swaps the exact
+    ranking for an ANN index, same contract as ``ann_eval_ndcg``);
+    everything after the ranking is k·|sample| rows aggregated on the
+    anchor then the label key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    corpus = (emb.select(F.col("vec_id").alias("neighbor_id"),
+                         _as_double("embedding").alias("nvec"))
+              .withColumn("nnorm", _norm(F.col("nvec"))))
+    anchors = (emb.where(F.col("vec_id") % _KNN_ANCHOR_MOD == 0)
+               .select("vec_id", _as_double("embedding").alias("qvec"))
+               .withColumn("qnorm", _norm(F.col("qvec"))))
+    sim = F.round(_dot(F.col("qvec"), F.col("nvec"))
+                  / (F.col("qnorm") * F.col("nnorm")), 6)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    topk = (corpus.crossJoin(F.broadcast(anchors))
+            .where(F.col("vec_id") != F.col("neighbor_id"))
+            .select("vec_id", "neighbor_id", sim.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _KNN_K))
+    votes = (topk.join(labels.select(
+                 F.col("vec_id").alias("neighbor_id"),
+                 F.col("label").alias("n_label")), "neighbor_id")
+             .groupBy("vec_id", "n_label")
+             .agg(F.count(F.lit(1)).alias("v")))
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("v").desc(), F.col("n_label").asc())
+    pred = (votes.withColumn("rn", F.row_number().over(wv))
+            .where(F.col("rn") == 1)
+            .select("vec_id", F.col("n_label").alias("pred_label"),
+                    (F.col("v") / float(_KNN_K)).alias("vote_share")))
+    return (pred.join(labels, "vec_id")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.round(F.avg((F.col("pred_label") == F.col("label"))
+                               .cast("double")), 6).alias("knn_accuracy"),
+                 F.round(F.avg("vote_share"), 6).alias("avg_vote_share")))
+
+
 QUERIES = {
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "hybrid_rrf_topk": hybrid_rrf_topk,
+    "knn_label_accuracy": knn_label_accuracy,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_multiprobe_topk": ann_multiprobe_topk,
@@ -1542,3 +1599,42 @@ def _hybrid_rrf_oracle_sql() -> str:
     """
 
 ORACLES["hybrid_rrf_topk"] = _hybrid_rrf_oracle_sql()
+
+ORACLES["knn_label_accuracy"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ), scored AS (
+        SELECT a.vec_id, v.vec_id AS neighbor_id, v.label AS n_label,
+               round(list_dot_product(a.emb, v.emb)
+                     / (sqrt(list_dot_product(a.emb, a.emb))
+                        * sqrt(list_dot_product(v.emb, v.emb))), 6)
+                   AS cosine
+        FROM vecs a CROSS JOIN vecs v
+        WHERE a.vec_id != v.vec_id
+          AND a.vec_id % {_KNN_ANCHOR_MOD} = 0
+    ), topk AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        WHERE rank <= {_KNN_K}
+    ), votes AS (
+        SELECT vec_id, n_label, count(*) AS v
+        FROM topk GROUP BY 1, 2
+    ), pred AS (
+        SELECT vec_id, n_label AS pred_label,
+               v / CAST({_KNN_K} AS DOUBLE) AS vote_share
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY v DESC, n_label ASC) AS rn FROM votes)
+        WHERE rn = 1
+    )
+    SELECT l.label, count(*) AS n_vectors,
+           round(avg(CASE WHEN p.pred_label = l.label
+                     THEN CAST(1 AS DOUBLE)
+                     ELSE CAST(0 AS DOUBLE) END), 6) AS knn_accuracy,
+           round(avg(p.vote_share), 6) AS avg_vote_share
+    FROM pred p JOIN vecs l USING (vec_id)
+    GROUP BY l.label
+"""

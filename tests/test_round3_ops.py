@@ -725,3 +725,106 @@ def test_hybrid_rrf_fuses_both_rankers(spark, sf_dir):
             saw_lex = True
         assert abs(r.rrf_score - expect) < 2e-6, r
     assert saw_dense and saw_lex
+
+
+def _bpe_reference(word_freqs, rounds=3):
+    """Pure-Python Sennrich BPE trainer: count adjacent pairs weighted
+    by word frequency, merge the best pair greedily left-to-right."""
+    from collections import Counter
+    seqs = {w: list(w) for w in word_freqs}
+    rules = []
+    for rank in range(1, rounds + 1):
+        counts = Counter()
+        for w, freq in word_freqs.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (ls, rs), c = best
+        rules.append((rank, ls, rs, c))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == ls and s[i + 1] == rs:
+                    out.append(ls + rs)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return rules
+
+
+def test_bpe_matches_reference_on_random_corpora(spark, monkeypatch):
+    """The relational trainer must reproduce a pure-Python greedy BPE
+    on randomized 2-letter corpora — the alphabet forces (x,x) merges
+    and overlap runs constantly, exercising the run-parity logic far
+    beyond the fixtures.  Seeded, so deterministic."""
+    import random
+    from qrapids_forecast_r_script_spark.operators import bpe
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        words = ["".join(rng.choice("ab") for _ in range(rng.randint(1, 7)))
+                 for _ in range(rng.randint(3, 8))]
+        text = " ".join(words)
+        docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        monkeypatch.setattr(
+            "qrapids_forecast_r_script_spark.operators.bpe.load_table",
+            lambda spark, sf_dir, name: docs)
+        got = sorted(
+            (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+            for r in bpe.bpe_merge_rules(spark, "x").collect())
+        freqs = {}
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + 1
+        want = sorted(_bpe_reference(freqs))
+        assert got == want, (seed, text, got, want)
+
+
+def test_triangles_verified_against_bruteforce(spark, sf_dir):
+    """Every reported (doc, n_triangles) must match a brute-force
+    Python triangle count over the same pair graph; coefficients obey
+    the 2T/(d(d-1)) formula."""
+    from itertools import combinations
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from qrapids_forecast_r_script_spark.operators.graph import (
+        doc_graph_triangles)
+    edges = {(r.doc_a, r.doc_b)
+             for r in minhash_lsh_pairs(spark, sf_dir).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for v, nbrs in adj.items():
+        for x, y in combinations(sorted(nbrs), 2):
+            if (x, y) in edges or (y, x) in edges:
+                tri[v] += 1
+    rows = doc_graph_triangles(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_triangles == tri.get(r.doc_id, 0), r
+        assert r.degree == len(adj[r.doc_id])
+        if r.degree >= 2:
+            expect = round(2.0 * r.n_triangles
+                           / (r.degree * (r.degree - 1)), 6)
+            assert abs(r.clustering_coeff - expect) < 1e-9
+
+
+def test_knn_accuracy_bounds_and_sample(spark, sf_dir):
+    """Accuracy and vote share are proper fractions; anchor counts sum
+    to the deterministic 1-in-5 sample size."""
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        _KNN_ANCHOR_MOD, knn_label_accuracy)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = knn_label_accuracy(spark, sf_dir).collect()
+    assert rows
+    n_anchors = (load_table(spark, sf_dir, "embeddings")
+                 .where(f"vec_id % {_KNN_ANCHOR_MOD} = 0").count())
+    assert sum(r.n_vectors for r in rows) == n_anchors
+    for r in rows:
+        assert 0 <= r.knn_accuracy <= 1
+        assert 0 < r.avg_vote_share <= 1
