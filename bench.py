@@ -125,6 +125,9 @@ HEADLINE = [
     # graph triangles + kNN embedding-quality eval
     "doc_graph_triangles",
     "knn_label_accuracy",
+    # behavior Markov matrix + seasonal-residual anomaly monitor
+    "event_transition_matrix",
+    "seasonal_residual_outliers",
 ]
 
 

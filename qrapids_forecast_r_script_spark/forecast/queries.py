@@ -377,10 +377,45 @@ def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registered as a separate block in __spark_entry__ (after the round-2
 # text-quality module) so the driver's ~50-query window allocation from
 # the round-2 front-load stays byte-stable.
+def seasonal_residual_outliers(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Seasonality-aware anomaly detection on the metric series: the
+    residual against a SNAIVE baseline (value − value[t−7]) is z-scored
+    per series and |z| > 3 rows are flagged — the upgrade over the raw
+    z-score monitor (`events_zscore_outliers`), which false-alarms on
+    every weekly peak because it ignores the cycle.  This is the
+    scheduled anomaly job a metrics service runs on exactly the series
+    the reference forecasts.
+
+    One windowed pass for the lag, one per-series moment aggregate
+    broadcast back (never a full-table window), one map-side flag
+    filter.  z rounds at 1e-6; a zero-variance series yields NULL z on
+    both engines (nullif)."""
+    from pyspark.sql.window import Window
+
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    resid = (metrics
+             .withColumn("residual",
+                         F.col("value") - F.lag("value", 7).over(w))
+             .where(F.col("residual").isNotNull()))
+    moments = (resid.groupBy("name", "index")
+               .agg(F.avg("residual").alias("mu"),
+                    F.stddev_samp("residual").alias("sd")))
+    z = F.round((F.col("residual") - F.col("mu"))
+                / F.nullif(F.col("sd"), F.lit(0.0)), 6)
+    return (resid.join(moments, ["name", "index"])
+            .withColumn("z", z)
+            .where(F.abs(F.col("z")) > 3)
+            .select("name", "index", "evaluationDate", "value",
+                    F.round("residual", 6).alias("residual"), "z"))
+
+
 EVAL_QUERIES = {
     "backtest_closed_forms": backtest_closed_forms,
     "ensemble_closed_forms": ensemble_closed_forms,
     "rolling_origin_backtest": rolling_origin_backtest,
+    "seasonal_residual_outliers": seasonal_residual_outliers,
 }
 
 # Shared CTE chain (through preds) for the holdout-based evals — one
@@ -426,6 +461,27 @@ _BT_SCORE_SQL = f"""SELECT name, index, method, count(*) AS n_holdout,
         FROM preds GROUP BY 1, 2, 3"""
 
 EVAL_ORACLES = {
+    "seasonal_residual_outliers": f"""
+        WITH m AS ({_METRICS_EVENTS}),
+        resid AS (
+            SELECT name, index, evaluationDate, value,
+                   value - lag(value, 7) OVER (PARTITION BY name, index
+                       ORDER BY evaluationDate) AS residual
+            FROM m
+        ), filtered AS (
+            SELECT * FROM resid WHERE residual IS NOT NULL
+        ), moments AS (
+            SELECT name, index, avg(residual) AS mu,
+                   stddev_samp(residual) AS sd
+            FROM filtered GROUP BY 1, 2
+        ), scored AS (
+            SELECT f.name, f.index, f.evaluationDate, f.value,
+                   round(f.residual, 6) AS residual,
+                   round((f.residual - mo.mu) / nullif(mo.sd, 0), 6) AS z
+            FROM filtered f JOIN moments mo USING (name, index)
+        )
+        SELECT * FROM scored WHERE abs(z) > 3
+    """,
     "backtest_closed_forms": f"""
         WITH {_BT_PREDS_SQL}
         {_BT_SCORE_SQL}

@@ -151,8 +151,38 @@ def session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("duration_s")))
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov TRANSITION MATRIX over within-session event
+    sequences: P(next event type | current), with counts — the
+    behavior model behind next-action prediction, funnel design, and
+    bot detection (bots have degenerate transition rows).  Transitions
+    never cross a session boundary (the ``sessionize_events`` rule),
+    which is what separates this from a naive global lag.
+
+    One shuffle on user_id (shared with the session window), then a
+    (from, to)-keyed count — the matrix is |types|² and broadcastable
+    anywhere.  Probabilities round at 1e-6 after an integer-ratio
+    division, deterministic on both engines."""
+    from pyspark.sql.window import Window
+    from ..streaming.queries import sessionize_events
+    sess = sessionize_events(load_table(spark, sf_dir, "events"))
+    w = (Window.partitionBy("user_id", "session_id")
+         .orderBy("ts", "event_id"))
+    trans = (sess
+             .withColumn("next_type", F.lead("event_type").over(w))
+             .where(F.col("next_type").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"),
+                      F.col("next_type").alias("to_type"))
+             .agg(F.count(F.lit(1)).alias("n_transitions")))
+    wf = Window.partitionBy("from_type")
+    return trans.withColumn(
+        "prob", F.round(F.col("n_transitions")
+                        / F.sum("n_transitions").over(wf), 6))
+
+
 QUERIES = {
     "cohort_retention_weekly": cohort_retention_weekly,
+    "event_transition_matrix": event_transition_matrix,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "user_feature_table": user_feature_table,
     "session_transcripts": session_transcripts,
@@ -237,23 +267,31 @@ ORACLES = {
     """,
 }
 
-ORACLES["session_transcripts"] = """
-    WITH flagged AS (
-        SELECT *,
-               CASE WHEN lag(epoch(ts)) OVER w IS NULL
-                         OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
-                    THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sess AS (
-        SELECT *, CAST(sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        FROM flagged
-    )
+from ..streaming.queries import SESSIONIZED_SQL
+
+ORACLES["session_transcripts"] = f"""
+    WITH {SESSIONIZED_SQL}
     SELECT user_id, session_id, count(*) AS n_turns,
            string_agg(event_type, '>' ORDER BY ts, event_id)
                AS transcript,
            round(max(epoch(ts)) - min(epoch(ts)), 3) AS duration_s
-    FROM sess GROUP BY user_id, session_id
+    FROM sessions GROUP BY user_id, session_id
+"""
+
+ORACLES["event_transition_matrix"] = f"""
+    WITH {SESSIONIZED_SQL}, trans AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY ts, event_id) AS to_type
+        FROM sessions
+    ), counted AS (
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM trans WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           round(n_transitions / CAST(sum(n_transitions)
+                 OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+    FROM counted
 """

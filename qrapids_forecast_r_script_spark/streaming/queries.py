@@ -123,6 +123,25 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# Shared sessionization CTE chain (the SQL mirror of
+# :func:`sessionize_events`) — composed by the user_sessions,
+# session_transcripts, and event_transition_matrix oracles so the
+# boundary rule has exactly one SQL definition too.
+SESSIONIZED_SQL = """flagged AS (
+        SELECT *,
+               CASE WHEN lag(epoch(ts)) OVER sw IS NULL
+                         OR epoch(ts) - lag(epoch(ts)) OVER sw > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW sw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT *, CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    )"""
+
+
 def sessionize_events(ev: DataFrame) -> DataFrame:
     """Gaps-and-islands sessionization, THE canonical boundary rule for
     this engine: a new session starts when the gap since the user's
@@ -576,26 +595,14 @@ ORACLES = {
         FROM numbered
         GROUP BY user_id, session_id
     """,
-    "user_sessions": """
-        WITH flagged AS (
-            SELECT user_id, ts, event_id, value,
-                   CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
-                        THEN 1 ELSE 0 END AS new_session
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ), numbered AS (
-            SELECT *, sum(new_session) OVER (PARTITION BY user_id
-                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
-                   AS session_id
-            FROM flagged
-        )
-        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+    "user_sessions": f"""
+        WITH {SESSIONIZED_SQL}
+        SELECT user_id, session_id,
                count(*) AS n_events,
                min(ts) AS session_start,
                max(ts) AS session_end,
                round(sum(value), 4) AS session_value
-        FROM numbered
+        FROM sessions
         GROUP BY 1, 2
     """,
 }

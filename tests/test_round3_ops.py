@@ -828,3 +828,26 @@ def test_knn_accuracy_bounds_and_sample(spark, sf_dir):
     for r in rows:
         assert 0 <= r.knn_accuracy <= 1
         assert 0 < r.avg_vote_share <= 1
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    """Per from_type, probabilities sum to ~1 and counts match a
+    recomputation from the session transcripts (the two operators
+    share the sessionizer, so their transitions must agree)."""
+    from collections import Counter
+    from qrapids_forecast_r_script_spark.operators.product_analytics import (
+        event_transition_matrix, session_transcripts)
+    truth = Counter()
+    for r in session_transcripts(spark, sf_dir).collect():
+        seq = r.transcript.split(">")
+        for a, b in zip(seq, seq[1:]):
+            truth[(a, b)] += 1
+    rows = event_transition_matrix(spark, sf_dir).collect()
+    assert {(r.from_type, r.to_type): r.n_transitions
+            for r in rows} == dict(truth)
+    from collections import defaultdict
+    per_from = defaultdict(float)
+    for r in rows:
+        per_from[r.from_type] += r.prob
+    for ft, tot in per_from.items():
+        assert abs(tot - 1.0) < 1e-4, (ft, tot)
