@@ -111,6 +111,8 @@ def _registries():
         text,
         text_quality,
         tpch_full,
+        training_prep,
+        udtf_ops,
     )
     from qrapids_forecast_r_script_spark.sources import formats, pyds
     from qrapids_forecast_r_script_spark.forecast import queries as fq
@@ -138,6 +140,8 @@ def _registries():
         (graph.QUERIES, graph.ORACLES),
         (bpe.QUERIES, bpe.ORACLES),
         (data_quality.QUERIES, data_quality.ORACLES),
+        (training_prep.QUERIES, training_prep.ORACLES),
+        (udtf_ops.QUERIES, udtf_ops.ORACLES),
         (sq.EXTRA_QUERIES, sq.EXTRA_ORACLES),
         # capability-gated tail (execution raises without protobuf) —
         # registered here so the in-window allocation is invariant to

@@ -128,6 +128,13 @@ HEADLINE = [
     # behavior Markov matrix + seasonal-residual anomaly monitor
     "event_transition_matrix",
     "seasonal_residual_outliers",
+    # training-prep layer: NB quality classifier, pack-and-chunk,
+    # noisy-label centroid audit; UDTF chunker (Python-boundary cost
+    # visible next to the relational doc_chunks fast path)
+    "nb_quality_classifier",
+    "sequence_packing_examples",
+    "centroid_label_confusion",
+    "doc_chunks_udtf",
 ]
 
 

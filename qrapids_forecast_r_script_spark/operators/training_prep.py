@@ -1,0 +1,355 @@
+"""Training-set preparation operators — the steps between a curated
+corpus and an actual pretraining run (north-star extension; the
+reference R service, TimeSeriesFunctions_GPL_0.5.1.R:1-406, is a
+forecasting engine with no corpus layer, so these extend SURVEY §2B's
+dedup/similarity/text row alongside `curation.py`):
+
+- ``nb_quality_classifier``: a model-based quality filter — the GPT-3 /
+  CCNet "quality classifier" step (Brown et al. 2020 §A; Wenzek et al.
+  2020) — trained IN the query as a closed-form Naive-Bayes log-odds
+  model against a weak-supervision target slice (lang='en', the same
+  target `text_quality.dsir_importance` uses), then applied to every
+  document.  Where DSIR produces importance WEIGHTS, this produces the
+  classifier decision + teacher-agreement audit.
+- ``sequence_packing_examples``: GPT-style pack-and-chunk — concatenate
+  the corpus in a deterministic order and cut fixed-length training
+  examples, letting examples CROSS document boundaries (Brown et al.
+  2020 §2.3 trains on 2048-token windows over concatenated docs).  The
+  per-example report (docs spanned, boundary-crossing flag, fill) is
+  what a data loader needs to build attention-mask resets.
+- ``centroid_label_confusion``: noisy-label audit over the labeled
+  embedding table — assign every vector to its nearest LABEL CENTROID
+  and cross-tabulate true × predicted (the nearest-centroid reduction
+  of Confident Learning, Northcutt et al. 2021).  Off-diagonal cells
+  are the mislabel candidates a labeling pipeline re-queues.
+
+All three are pure Catalyst — no Python UDFs — and exactly SQL-oracled.
+
+100 TB shape, per operator:
+
+- NB classifier: token counts are one (token)-keyed aggregation; the
+  weight table is vocabulary-bounded and BROADCAST back onto the token
+  stream (same contract as ``dsir_importance``); scoring is one
+  map-side join + one doc-keyed sum.  Per-token weights are snapped to
+  a 1e-6 fixed-point grid and summed as BIGINT, so the doc score is
+  bit-identical under any partitioning / aggregation order — and the
+  classifier DECISION compares the integer, not a float.
+- sequence packing: the corpus-wide exclusive prefix sum reuses the
+  two-pass bucket decomposition of ``curation.token_shard_packing``
+  (per-bucket totals → window over n/64 bucket rows → 64-row
+  intra-bucket windows); at larger scale the bucket level nests
+  recursively.  The explode fans each doc out to ceil(len/SEQ)+1
+  examples at most — linear in corpus tokens, never quadratic.
+- centroid confusion: centroids are a (label × dim) aggregate — tiny,
+  broadcast; assignment is a broadcast join + per-(vec, label) partial
+  aggregation, exactly the `ivf_topk` argmin contract (constant
+  candidate set per vector).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources import load_table
+
+# add-k smoothing for the NB token model (k=0.5, Jeffreys — matches
+# text_quality._LM_K so the two corpus LMs share their prior).
+_NB_K = 0.5
+# weak-supervision target slice: same target domain as dsir_importance.
+_NB_TARGET_LANG = "en"
+
+_SEQ_LEN = 128                  # tokens per packed training example
+_PACK_BUCKET = 64               # doc_ids per prefix-sum bucket (curation)
+
+_CENT_DP = 6                    # centroid / cosine resync grid (1e-6)
+
+
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form Naive-Bayes quality classifier, trained and applied
+    in one plan.
+
+    Teacher label: ``lang = 'en'`` (weak supervision — the CCNet recipe
+    scores against a target-domain LM; GPT-3's quality classifier was
+    trained the same way with WebText as the positive class).  Training
+    is the NB closed form: per-token log-odds
+    ``ln((c_pos+k)/(T_pos+k·V)) − ln((c_neg+k)/(T_neg+k·V))`` with
+    add-k smoothing, plus the class-prior log-odds.  Each weight is
+    snapped to the 1e-6 grid and carried as BIGINT fixed-point, so the
+    per-doc sum is exactly associative (order-proof across engines and
+    partitionings) and the decision boundary ``score6 > 0`` is an
+    INTEGER comparison — no float-threshold flakiness.
+
+    Returns one row per document: doc_id, lang, n_tokens, nb_score
+    (prior + Σ weights, 6dp), predicted_target, teacher_agrees.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        (F.col("lang") == _NB_TARGET_LANG).alias("is_pos"),
+        F.explode(F.split("text", " ")).alias("tok"))
+
+    # vocabulary-bounded (NOT corpus-bounded) — localCheckpoint so the
+    # token-explode + count pass runs once, not once per consumer
+    # (totals AND weights read it; without the cut Spark re-derives it
+    # from the raw corpus twice — measured 5.0 → ~3.0 s at sf0.1)
+    counts = (toks.groupBy("tok")
+              .agg(F.count(F.when(F.col("is_pos"), 1)).alias("c_pos"),
+                   F.count(F.when(~F.col("is_pos"), 1)).alias("c_neg"))
+              .localCheckpoint())
+    totals = counts.agg(
+        F.sum("c_pos").cast("double").alias("t_pos"),
+        F.sum("c_neg").cast("double").alias("t_neg"),
+        F.count(F.lit(1)).cast("double").alias("v"))
+    # vocabulary-bounded weight table — broadcast onto the token stream
+    weights = (counts.crossJoin(F.broadcast(totals))
+               .select("tok",
+                       F.round((F.log((F.col("c_pos") + _NB_K)
+                                      / (F.col("t_pos") + _NB_K * F.col("v")))
+                                - F.log((F.col("c_neg") + _NB_K)
+                                        / (F.col("t_neg")
+                                           + _NB_K * F.col("v"))))
+                               * 1e6, 0).cast("bigint").alias("w6")))
+
+    prior = docs.agg(
+        F.round(F.log(
+            F.count(F.when(F.col("lang") == _NB_TARGET_LANG, 1))
+            .cast("double")
+            / F.count(F.when(F.col("lang") != _NB_TARGET_LANG, 1))
+            .cast("double")) * 1e6, 0).cast("bigint").alias("prior6"))
+
+    scored = (toks.join(F.broadcast(weights), "tok")
+              .groupBy("doc_id", "lang")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum("w6").alias("s6"))
+              .crossJoin(F.broadcast(prior))
+              .withColumn("score6", F.col("prior6") + F.col("s6")))
+    teacher = F.col("lang") == _NB_TARGET_LANG
+    return scored.select(
+        "doc_id", "lang", "n_tokens",
+        F.round(F.col("score6") / 1e6, 6).alias("nb_score"),
+        (F.col("score6") > 0).alias("predicted_target"),
+        ((F.col("score6") > 0) == teacher).alias("teacher_agrees"))
+
+
+def sequence_packing_examples(spark: SparkSession, sf_dir: str,
+                              seq_len: int = _SEQ_LEN,
+                              bucket_width: int = _PACK_BUCKET) -> DataFrame:
+    """Pack the corpus (concatenated in doc_id order) into fixed
+    ``seq_len``-token training examples and report, per example, the
+    documents it spans.
+
+    Token offsets come from the corpus-wide EXCLUSIVE prefix sum,
+    computed with the same scalable two-pass bucket decomposition as
+    ``curation.token_shard_packing`` (per-bucket totals → one window
+    over n/64 bucket rows → embarrassingly-parallel 64-row intra-bucket
+    windows; integer arithmetic end-to-end, so it equals the naive
+    single-window form the oracle runs).  Each doc then explodes to the
+    example ids it overlaps — ``sequence(start div L, (end-1) div L)``,
+    a fan-out of ceil(len/L)+1 — and one groupBy(example_id) builds the
+    report.  The final (ragged) example keeps its true fill so padding
+    waste is visible, mirroring ``curation.shard_packing_efficiency``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs
+            .select("doc_id",
+                    F.size(F.split("text", " ")).cast("bigint").alias("n"))
+            .withColumn("bucket", F.expr(f"doc_id div {bucket_width}")))
+    bucket_tot = toks.groupBy("bucket").agg(F.sum("n").alias("bt"))
+    wb = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = bucket_tot.select(
+        "bucket", F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("boff"))
+    wd = (Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    staged = (toks
+              .withColumn("we", F.coalesce(F.sum("n").over(wd), F.lit(0)))
+              .join(F.broadcast(offsets), "bucket")
+              .select("doc_id", "n",
+                      (F.col("boff") + F.col("we")).alias("s")))
+    ex = staged.select(
+        "doc_id", "n", "s",
+        F.explode(F.expr(
+            f"sequence(s div {seq_len}, (s + n - 1) div {seq_len})"))
+        .alias("example_id"))
+    lo = F.col("example_id") * seq_len
+    hi = (F.col("example_id") + 1) * seq_len
+    return (ex.groupBy("example_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("first_doc_id"),
+                 F.max("doc_id").alias("last_doc_id"),
+                 F.sum(F.least(F.col("s") + F.col("n"), hi)
+                       - F.greatest(F.col("s"), lo)).alias("n_tokens"))
+            .withColumn("crosses_boundary", F.col("n_docs") > 1))
+
+
+def centroid_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-label audit: nearest-label-centroid confusion matrix over
+    the ``embeddings`` table.
+
+    Centroids are per-(label, dim) means of the raw vectors, snapped to
+    the 1e-6 grid (the `ivf_kmeans_topk` resync trick, so both engines
+    score against bit-identical centroids).  Every vector is scored
+    against ALL centroids — a broadcast join on the dimension key
+    followed by a per-(vec, candidate-label) partial aggregation — and
+    assigned by row_number over (cosine DESC, label ASC).  The output
+    cross-tabulates true × predicted label with the mean assignment
+    cosine; off-diagonal rows are the re-labeling queue.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("pos", "v_raw")
+    ).select("vec_id", "label", "pos",
+             F.col("v_raw").cast("double").alias("v"))
+    cent = (expl.groupBy(F.col("label").alias("clabel"), "pos")
+            .agg(F.round(F.avg("v"), _CENT_DP).alias("c")))
+    per = (expl.join(F.broadcast(cent), "pos")
+           .groupBy("vec_id", "label", "clabel")
+           .agg(F.sum(F.col("v") * F.col("c")).alias("dot"),
+                F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"),
+                F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc")))
+    # cos is snapped to the 1e-6 grid, then carried as BIGINT
+    # fixed-point so the group AVERAGE is an exact integer sum — a
+    # float avg of grid values can land on a rounding midpoint and
+    # flip the 6th digit between engines (observed at sf0.001).
+    scored = per.select(
+        "vec_id", "label", "clabel",
+        F.round(F.round(F.col("dot") / (F.col("nv") * F.col("nc")),
+                        _CENT_DP) * 1e6, 0).cast("bigint").alias("cos6"))
+    w = (Window.partitionBy("vec_id")
+         .orderBy(F.col("cos6").desc(), F.col("clabel").asc()))
+    pred = (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1))
+    # group mean in micro-units with INTEGER round-half-away-from-zero:
+    # (2·Σ ± n) / 2n truncated.  A float round(Σ/n, 6) hits an exact
+    # decimal midpoint whenever n | 2·Σ oddly (observed at sf0.01:
+    # 522353/2 → .2611765) and the engines' half-up vs half-even tie
+    # rules then split; the integer form is midpoint-deterministic, and
+    # away from midpoints the quotient sits ≥ 1/(2n) from any integer —
+    # far beyond one ulp — so truncating the exact-ratio double is safe.
+    s6, nv = F.sum("cos6"), F.count(F.lit(1))
+    half = F.when(s6 >= 0, nv).otherwise(-nv)
+    avg6 = ((2 * s6 + half) / (2 * nv)).cast("bigint")
+    return (pred.groupBy(F.col("label").alias("true_label"),
+                         F.col("clabel").alias("pred_label"))
+            .agg(nv.alias("n_vecs"),
+                 (avg6.cast("double") / 1e6).alias("avg_cos"))
+            .orderBy("true_label", "pred_label"))
+
+
+QUERIES = {
+    "nb_quality_classifier": nb_quality_classifier,
+    "sequence_packing_examples": sequence_packing_examples,
+    "centroid_label_confusion": centroid_label_confusion,
+}
+
+ORACLES = {
+    # count(*) FILTER keeps every count BIGINT (no HUGEINT sum()); the
+    # fixed-point weight/score path is CAST to BIGINT on both engines.
+    "nb_quality_classifier": f"""
+        WITH toks AS (
+            SELECT doc_id, lang, lang = '{_NB_TARGET_LANG}' AS is_pos,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), counts AS (
+            SELECT tok,
+                   count(*) FILTER (WHERE is_pos) AS c_pos,
+                   count(*) FILTER (WHERE NOT is_pos) AS c_neg
+            FROM toks GROUP BY tok
+        ), totals AS (
+            SELECT CAST(sum(c_pos) AS DOUBLE) AS t_pos,
+                   CAST(sum(c_neg) AS DOUBLE) AS t_neg,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM counts
+        ), weights AS (
+            SELECT tok,
+                   CAST(round((ln((c_pos + {_NB_K}) / (t_pos + {_NB_K} * v))
+                               - ln((c_neg + {_NB_K}) / (t_neg + {_NB_K} * v)))
+                              * 1e6, 0) AS BIGINT) AS w6
+            FROM counts CROSS JOIN totals
+        ), prior AS (
+            SELECT CAST(round(ln(
+                       CAST(count(*) FILTER (WHERE lang = '{_NB_TARGET_LANG}')
+                            AS DOUBLE)
+                       / CAST(count(*) FILTER (WHERE lang <> '{_NB_TARGET_LANG}')
+                              AS DOUBLE)) * 1e6, 0) AS BIGINT) AS prior6
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, lang, count(*) AS n_tokens,
+                   prior6 + CAST(sum(w6) AS BIGINT) AS score6
+            FROM toks JOIN weights USING (tok) CROSS JOIN prior
+            GROUP BY doc_id, lang, prior6
+        )
+        SELECT doc_id, lang, n_tokens,
+               round(score6 / 1e6, 6) AS nb_score,
+               score6 > 0 AS predicted_target,
+               (score6 > 0) = (lang = '{_NB_TARGET_LANG}') AS teacher_agrees
+        FROM scored
+    """,
+    # the oracle runs the NAIVE single-window prefix sum the two-pass
+    # decomposition must equal exactly (integer arithmetic end-to-end)
+    "sequence_packing_examples": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n,
+                   CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS s
+            FROM t
+        ), e AS (
+            SELECT doc_id, n, s,
+                   unnest(generate_series(s // {_SEQ_LEN},
+                                          (s + n - 1) // {_SEQ_LEN}))
+                       AS example_id
+            FROM c
+        )
+        SELECT example_id,
+               count(*) AS n_docs,
+               min(doc_id) AS first_doc_id,
+               max(doc_id) AS last_doc_id,
+               CAST(sum(least(s + n, (example_id + 1) * {_SEQ_LEN})
+                        - greatest(s, example_id * {_SEQ_LEN}))
+                    AS BIGINT) AS n_tokens,
+               count(*) > 1 AS crosses_boundary
+        FROM e GROUP BY example_id
+    """,
+    "centroid_label_confusion": f"""
+        WITH expl AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ), cent AS (
+            SELECT label AS clabel, pos,
+                   round(avg(v), {_CENT_DP}) AS c
+            FROM expl GROUP BY 1, 2
+        ), per AS (
+            SELECT e.vec_id, e.label, c.clabel,
+                   sum(e.v * c.c) AS dot,
+                   sqrt(sum(e.v * e.v)) AS nv,
+                   sqrt(sum(c.c * c.c)) AS nc
+            FROM expl e JOIN cent c USING (pos)
+            GROUP BY 1, 2, 3
+        ), scored AS (
+            SELECT vec_id, label, clabel,
+                   CAST(round(round(dot / (nv * nc), {_CENT_DP}) * 1e6, 0)
+                        AS BIGINT) AS cos6,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY round(dot / (nv * nc),
+                                                     {_CENT_DP}) DESC,
+                                               clabel ASC) AS rn
+            FROM per
+        )
+        SELECT label AS true_label, clabel AS pred_label,
+               count(*) AS n_vecs,
+               CAST(trunc((2 * CAST(sum(cos6) AS BIGINT)
+                           + CASE WHEN sum(cos6) >= 0 THEN count(*)
+                                  ELSE -count(*) END)
+                          / (2 * count(*))) AS BIGINT) / 1e6 AS avg_cos
+        FROM scored WHERE rn = 1
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+}
