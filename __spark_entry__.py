@@ -96,6 +96,7 @@ def _registries():
     """
     from qrapids_forecast_r_script_spark.operators import (
         bpe,
+        cogroup_ops,
         curation,
         data_quality,
         dedup,
@@ -142,6 +143,7 @@ def _registries():
         (data_quality.QUERIES, data_quality.ORACLES),
         (training_prep.QUERIES, training_prep.ORACLES),
         (udtf_ops.QUERIES, udtf_ops.ORACLES),
+        (cogroup_ops.QUERIES, cogroup_ops.ORACLES),
         (sq.EXTRA_QUERIES, sq.EXTRA_ORACLES),
         # capability-gated tail (execution raises without protobuf) —
         # registered here so the in-window allocation is invariant to

@@ -135,6 +135,11 @@ HEADLINE = [
     "sequence_packing_examples",
     "centroid_label_confusion",
     "doc_chunks_udtf",
+    # cogrouped-Pandas as-of alignment, outer stream join (eviction
+    # semantics), numeric distribution profiler
+    "events_orders_asof_cogroup",
+    "events_stream_stream_left_join",
+    "events_numeric_profile",
 ]
 
 

