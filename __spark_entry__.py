@@ -95,6 +95,7 @@ def _registries():
     a module's queries from the correctness run.
     """
     from qrapids_forecast_r_script_spark.operators import (
+        assoc_privacy,
         bpe,
         cogroup_ops,
         curation,
@@ -144,6 +145,7 @@ def _registries():
         (training_prep.QUERIES, training_prep.ORACLES),
         (udtf_ops.QUERIES, udtf_ops.ORACLES),
         (cogroup_ops.QUERIES, cogroup_ops.ORACLES),
+        (assoc_privacy.QUERIES, assoc_privacy.ORACLES),
         (sq.EXTRA_QUERIES, sq.EXTRA_ORACLES),
         # capability-gated tail (execution raises without protobuf) —
         # registered here so the in-window allocation is invariant to

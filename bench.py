@@ -140,6 +140,10 @@ HEADLINE = [
     "events_orders_asof_cogroup",
     "events_stream_stream_left_join",
     "events_numeric_profile",
+    # association mining + privacy audits
+    "basket_part_pairs_lift",
+    "k_anonymity_audit",
+    "dp_noisy_counts",
 ]
 
 

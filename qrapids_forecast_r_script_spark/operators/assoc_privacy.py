@@ -1,0 +1,191 @@
+"""Association mining and privacy-audit operators (north-star
+extension; the reference R service, TimeSeriesFunctions_GPL_0.5.1.R,
+has neither surface — these extend SURVEY §2B alongside the
+product-analytics and data-quality layers):
+
+- ``basket_part_pairs_lift``: market-basket part-pair association over
+  ``lineitem`` (support / lift, Agrawal & Srikant 1994) — the
+  co-occurrence statistic behind bundling, recommendation, and
+  "customers also bought".
+- ``k_anonymity_audit``: per-quasi-identifier-cell size audit
+  (Sweeney 2002) over ``customer`` — the release-gate question "does
+  any published cell isolate fewer than k people?".
+- ``dp_noisy_counts``: a differentially-private count release
+  (Laplace mechanism, Dwork et al. 2006) with DETERMINISTIC
+  hash-seeded noise — inverse-CDF over the engine's reproducible
+  md5-uniform, so the release is replayable and exactly SQL-oracled
+  (production would swap the seeded uniform for a CSPRNG draw; the
+  mechanism, sensitivity, and ε accounting are identical).
+
+All pure Catalyst, all exactly DuckDB-oracled.
+
+100 TB shape:
+
+- basket pairs: the self-join keys on the basket id, so fan-out is
+  bounded by basket-size² (≤13 lines/order in this schema, and any
+  real retail schema caps it); part marginals are a parts-bounded
+  BROADCAST; the final ranking is TakeOrdered (each partition
+  surrenders 50 rows).  Never an all-pairs join across baskets.
+- k-anonymity: one grouped count over the quasi-identifier tuple —
+  a single partial-aggregating shuffle, output bounded by the QI
+  domain, not the population.
+- DP release: noise is computed per GROUP (5 rows here) after the one
+  counting pass; the noise expression is constant work per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources import load_table
+
+_MIN_SUPPORT = 2      # minimum co-occurrence count for a reported pair
+_TOP_PAIRS = 50
+_K_ANON = 5           # cells smaller than this violate the release gate
+_BAL_BUCKET = 1000.0  # acctbal quasi-identifier coarsening width
+_DP_EPS = 1.0         # Laplace scale b = sensitivity/ε = 1/ε for counts
+_DP_MOD = 1_000_003   # prime modulus for the md5-uniform
+
+
+def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 part pairs by lift: support(a,b)·N / (support(a)·
+    support(b)), over distinct (order, part) baskets, min co-occurrence
+    2.  Lift, support, and the ranking all derive from INTEGER counts
+    (exact in both engines; the one division is a ratio of exact
+    integers, correctly rounded identically), so the 6dp grid is
+    drift-free."""
+    baskets = (load_table(spark, sf_dir, "lineitem")
+               .select("l_orderkey", "l_partkey").distinct())
+    n_baskets = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n_baskets"))
+    marg = baskets.groupBy(F.col("l_partkey").alias("pk")) \
+                  .agg(F.count(F.lit(1)).alias("n_pk"))
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (a.join(b, "l_orderkey")
+             .where(F.col("pa") < F.col("pb"))
+             .groupBy("pa", "pb")
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= _MIN_SUPPORT))
+    enriched = (pairs
+                .join(F.broadcast(marg.select(F.col("pk").alias("pa"),
+                                              F.col("n_pk").alias("n_a"))),
+                      "pa")
+                .join(F.broadcast(marg.select(F.col("pk").alias("pb"),
+                                              F.col("n_pk").alias("n_b"))),
+                      "pb")
+                .crossJoin(F.broadcast(n_baskets))
+                .withColumn("lift",
+                            F.round((F.col("n_ab") * F.col("n_baskets"))
+                                    / (F.col("n_a") * F.col("n_b")), 6)))
+    order = [F.col("lift").desc(), F.col("n_ab").desc(),
+             F.col("pa").asc(), F.col("pb").asc()]
+    top = enriched.orderBy(*order).limit(_TOP_PAIRS)
+    w = Window.orderBy(*order)
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "pa", "pb", "n_ab", "n_a", "n_b", "lift"))
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-size audit over the quasi-identifier tuple (nation, market
+    segment, account-balance bucket): every cell with its population and
+    the k<5 violation flag — the report a privacy review reads before
+    any per-cell statistic ships."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (cust.groupBy(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / _BAL_BUCKET).alias("bal_bucket"))
+        .agg(F.count(F.lit(1)).alias("cell_size"))
+        .withColumn("violates_k", F.col("cell_size") < _K_ANON)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_bucket"))
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=1 Laplace release of per-event-type counts.  Noise =
+    −b·sgn(u−½)·ln(1−2|u−½|) with u drawn from the reproducible
+    md5-uniform over the group key (strictly inside (0,1) so the log is
+    finite); the 6dp rounding absorbs cross-libm ln drift (the
+    weighted-sampling precedent).  Count sensitivity is 1, so b=1/ε."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (ev.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    h = F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10) \
+         .cast("bigint")
+    u = (F.pmod(h, F.lit(_DP_MOD)) + 1) / F.lit(float(_DP_MOD + 1))
+    noise = (-F.lit(1.0 / _DP_EPS) * F.signum(u - 0.5)
+             * F.log(1.0 - 2.0 * F.abs(u - 0.5)))
+    return (counts
+            .withColumn("epsilon", F.lit(_DP_EPS))
+            .withColumn("noisy_count",
+                        F.round(F.col("n_events") + noise, 6))
+            .orderBy("event_type"))
+
+
+QUERIES = {
+    "basket_part_pairs_lift": basket_part_pairs_lift,
+    "k_anonymity_audit": k_anonymity_audit,
+    "dp_noisy_counts": dp_noisy_counts,
+}
+
+ORACLES = {
+    "basket_part_pairs_lift": f"""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), nb AS (
+            SELECT count(DISTINCT l_orderkey) AS n_baskets FROM baskets
+        ), marg AS (
+            SELECT l_partkey AS pk, count(*) AS n_pk
+            FROM baskets GROUP BY 1
+        ), pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   count(*) AS n_ab
+            FROM baskets a JOIN baskets b USING (l_orderkey)
+            WHERE a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {_MIN_SUPPORT}
+        ), enriched AS (
+            SELECT pa, pb, n_ab, ma.n_pk AS n_a, mb.n_pk AS n_b,
+                   round((n_ab * n_baskets)
+                         / CAST(ma.n_pk * mb.n_pk AS DOUBLE), 6) AS lift
+            FROM pairs
+            JOIN marg ma ON ma.pk = pa
+            JOIN marg mb ON mb.pk = pb
+            CROSS JOIN nb
+        ), ranked AS (
+            SELECT *, row_number() OVER (ORDER BY lift DESC, n_ab DESC,
+                                         pa ASC, pb ASC) AS rank
+            FROM enriched
+        )
+        SELECT rank, pa, pb, n_ab, n_a, n_b, lift
+        FROM ranked WHERE rank <= {_TOP_PAIRS}
+    """,
+    "k_anonymity_audit": f"""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / {_BAL_BUCKET}) AS BIGINT)
+                   AS bal_bucket,
+               count(*) AS cell_size,
+               count(*) < {_K_ANON} AS violates_k
+        FROM customer
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "dp_noisy_counts": f"""
+        WITH counts AS (
+            SELECT event_type, count(*) AS n_events
+            FROM events GROUP BY 1
+        ), seeded AS (
+            SELECT event_type, n_events,
+                   ((('0x' || substr(md5(event_type), 1, 8))::BIGINT
+                     % {_DP_MOD}) + 1)
+                       / CAST({_DP_MOD + 1} AS DOUBLE) AS u
+            FROM counts
+        )
+        SELECT event_type, n_events,
+               CAST({_DP_EPS} AS DOUBLE) AS epsilon,
+               round(n_events
+                     + (-1.0 / {_DP_EPS}) * sign(u - 0.5)
+                       * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+                   AS noisy_count
+        FROM seeded ORDER BY event_type
+    """,
+}
