@@ -96,6 +96,7 @@ def _registries():
     """
     from qrapids_forecast_r_script_spark.operators import (
         assoc_privacy,
+        spectral,
         bpe,
         cogroup_ops,
         curation,
@@ -146,6 +147,7 @@ def _registries():
         (udtf_ops.QUERIES, udtf_ops.ORACLES),
         (cogroup_ops.QUERIES, cogroup_ops.ORACLES),
         (assoc_privacy.QUERIES, assoc_privacy.ORACLES),
+        (spectral.QUERIES, spectral.ORACLES),
         (sq.EXTRA_QUERIES, sq.EXTRA_ORACLES),
         # capability-gated tail (execution raises without protobuf) —
         # registered here so the in-window allocation is invariant to

@@ -144,6 +144,9 @@ HEADLINE = [
     "basket_part_pairs_lift",
     "k_anonymity_audit",
     "dp_noisy_counts",
+    # spectral methods: power-iteration PCA, periodogram seasonality
+    "embedding_pca_projection",
+    "series_dominant_period",
 ]
 
 

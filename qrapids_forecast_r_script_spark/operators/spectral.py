@@ -1,0 +1,256 @@
+"""Spectral methods expressed relationally — distributed linear algebra
+(power-iteration PCA) and frequency-domain seasonality detection
+(periodogram), both with EXACT DuckDB oracles via the engine's unrolled-
+iteration + 1e-6 resync discipline (the `ivf_kmeans_topk` /
+`doc_graph_pagerank` precedent).
+
+- ``embedding_pca_projection``: power-iteration ESTIMATE of the top
+  principal component of the ``embeddings`` table (6 unrolled,
+  grid-resynced rounds), then per-label projection statistics — the
+  embedding-health read (does the dominant variance direction separate
+  labels, or is it a nuisance axis like length?) that decides whether
+  to whiten before retrieval.  Convergence is eigengap-limited: the
+  synthetic fixture is near-isotropic (σ₁/σ₂ ≈ 3.80/3.67), so 6 rounds
+  reach |corr| ≈ 0.71 with the true PC1 (measured; pinned in tests
+  with an exact numpy replication of the rounded recursion).
+  Production runs the SAME per-round plan until ‖Δw‖ < tol — the
+  operator's claim is the distributed iteration shape, not a
+  convergence guarantee the data can't support.
+- ``series_dominant_period``: per-metric-series periodogram over
+  candidate periods 2..14 days — the DETECTED seasonality.  This is the
+  engine-side answer to the reference's ``frequencyts`` input
+  (TimeSeriesFunctions_GPL_0.5.1.R:32,36: the caller ASSERTS the period;
+  `forecast/api.py` consumes frequency=7): at 100 TB nobody hand-asserts
+  periods for millions of series, a sweep like this assigns them.
+
+100 TB shape:
+
+- PCA: each power iteration is one broadcast of the 64-row direction
+  vector, one map-side projection pass (N·d products, partial-agg
+  before the vec_id shuffle the explode layout already carries), and
+  one d-row weighted average — the exact cost profile of one k-means
+  round.  No Gram matrix is ever materialized (d² never multiplies N).
+- periodogram: the candidate-period explode is a constant 13× fan-out;
+  per-(series, period) sums partial-aggregate map-side; the argmax is
+  a window over |series|·13 rows.  Per-term contributions snap to the
+  1e-6 grid pre-sum (the BM25 order-safety pattern) and the power
+  compares on a 2dp grid with a period tiebreak.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources import load_table
+from ..sources.registry import events_as_metrics
+
+_DP = 6
+_P_MIN, _P_MAX = 2, 14
+_POWER_DP = 2
+
+
+def _centered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("pos", "v_raw")
+    ).select("vec_id", "label", "pos",
+             F.col("v_raw").cast("double").alias("v"))
+    mu = expl.groupBy("pos").agg(F.round(F.avg("v"), _DP).alias("mu"))
+    # localCheckpoint: every power iteration re-reads the centered
+    # matrix, and without the lineage cut each step would re-derive the
+    # whole prior chain (measured 13.8 → ~2 s at sf0.1; the ivf
+    # normed-vector precedent)
+    return (expl.join(F.broadcast(mu), "pos")
+            .select("vec_id", "label", "pos",
+                    (F.col("v") - F.col("mu")).alias("c"))
+            .localCheckpoint())
+
+
+def _power_step(cen: DataFrame, proj: DataFrame) -> DataFrame:
+    """One power-iteration direction update: w ∝ Σ proj·c, averaged per
+    dimension, snapped to the grid, then normalized on the grid (the
+    norm is computed from identical grid doubles on both engines, so
+    the normalized coordinates re-snap identically)."""
+    # the direction table is d rows — checkpoint it so the norm scalar
+    # and the normalized output don't each recompute the corpus pass
+    raw = (cen.join(proj, "vec_id")
+           .groupBy("pos")
+           .agg(F.round(F.avg(F.col("p") * F.col("c")), _DP).alias("wr"))
+           .localCheckpoint())
+    nm = raw.agg(F.sqrt(F.sum(F.col("wr") * F.col("wr"))).alias("nm"))
+    return (raw.crossJoin(F.broadcast(nm))
+            .select("pos", F.round(F.col("wr") / F.col("nm"), _DP)
+                    .alias("w")))
+
+
+_PCA_ITERS = 6
+
+
+def embedding_pca_projection(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-label stats of the projection onto the power-iteration PC1
+    estimate (see module docstring for the convergence contract)."""
+    cen = _centered(spark, sf_dir)
+    # w0 = e0 ⇒ first projection is just the centered coordinate 0
+    proj = (cen.where(F.col("pos") == 0)
+            .select("vec_id", F.round("c", _DP).alias("p")))
+    w = None
+    for _ in range(_PCA_ITERS):
+        w = _power_step(cen, proj)
+        proj = (cen.join(F.broadcast(w), "pos")
+                .groupBy("vec_id")
+                .agg(F.round(F.sum(F.col("c") * F.col("w")), _DP)
+                     .alias("p")))
+    labels = (load_table(spark, sf_dir, "embeddings")
+              .select("vec_id", "label"))
+    projf = proj.join(labels, "vec_id").withColumnRenamed("p", "proj")
+    # integer micro-unit mean (round-half-away), the midpoint-proof
+    # group mean from centroid_label_confusion
+    p6 = F.round(F.col("proj") * 1e6, 0).cast("bigint")
+    s6, nv = F.sum(p6), F.count(F.lit(1))
+    half = F.when(s6 >= 0, nv).otherwise(-nv)
+    mean6 = ((2 * s6 + half) / (2 * nv)).cast("bigint")
+    return (projf.groupBy("label")
+            .agg(nv.alias("n_vecs"),
+                 (mean6.cast("double") / 1e6).alias("mean_proj"),
+                 F.round(F.sqrt(F.avg(F.col("proj") * F.col("proj"))),
+                         _DP).alias("rms_proj"))
+            .orderBy("label"))
+
+
+def series_dominant_period(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Dominant period per events-derived metric series via an explicit
+    periodogram sweep: power(p) = (Σ v·cos(2πt/p))² + (Σ v·sin(2πt/p))²
+    over candidate periods 2..14, argmax on the 2dp power grid with the
+    smaller period winning ties."""
+    series = events_as_metrics(load_table(spark, sf_dir, "events"))
+    t0 = series.groupBy("name").agg(F.min("evaluationDate").alias("d0"))
+    pts = (series.join(F.broadcast(t0), "name")
+           .select("name",
+                   F.datediff("evaluationDate", "d0")
+                    .cast("double").alias("t"),
+                   "value"))
+    cand = pts.select(
+        "name", "t", "value",
+        F.explode(F.sequence(F.lit(_P_MIN), F.lit(_P_MAX))).alias("p"))
+    ang = 2.0 * math.pi * F.col("t") / F.col("p")
+    per = (cand
+           .select("name", "p",
+                   F.round(F.col("value") * F.cos(ang), _DP).alias("tc"),
+                   F.round(F.col("value") * F.sin(ang), _DP).alias("ts"))
+           .groupBy("name", "p")
+           .agg(F.count(F.lit(1)).alias("n_days"),
+                F.sum("tc").alias("sc"), F.sum("ts").alias("ss")))
+    pw = per.select("name", "p", "n_days",
+                    F.round(F.col("sc") * F.col("sc")
+                            + F.col("ss") * F.col("ss"),
+                            _POWER_DP).alias("power"))
+    w = Window.partitionBy("name").orderBy(F.col("power").desc(),
+                                           F.col("p").asc())
+    return (pw.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("name", "n_days",
+                    F.col("p").cast("bigint").alias("dominant_period"),
+                    "power")
+            .orderBy("name"))
+
+
+QUERIES = {
+    "embedding_pca_projection": embedding_pca_projection,
+    "series_dominant_period": series_dominant_period,
+}
+
+_CEN_SQL = f"""
+        expl AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ), mu AS (
+            SELECT pos, round(avg(v), {_DP}) AS mu FROM expl GROUP BY pos
+        ), cen AS (
+            SELECT e.vec_id, e.label, e.pos, e.v - m.mu AS c
+            FROM expl e JOIN mu m USING (pos)
+        )
+"""
+
+def _pca_oracle_sql(iters: int = _PCA_ITERS) -> str:
+    """Generate the unrolled power-iteration oracle (the BPE
+    `_round_sql` pattern: the loop writes the CTE chain the Spark side
+    builds as a plan loop)."""
+    ctes = [f"""
+        proj0 AS (
+            SELECT vec_id, round(c, {_DP}) AS p FROM cen WHERE pos = 0
+        )"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        w{k}r AS (
+            SELECT pos, round(avg(p * c), {_DP}) AS wr
+            FROM cen JOIN proj{k - 1} USING (vec_id) GROUP BY pos
+        ), n{k} AS (SELECT sqrt(sum(wr * wr)) AS nm FROM w{k}r),
+        w{k} AS (
+            SELECT pos, round(wr / nm, {_DP}) AS w
+            FROM w{k}r CROSS JOIN n{k}
+        ), proj{k} AS (
+            SELECT vec_id, round(sum(c * w), {_DP}) AS p
+            FROM cen JOIN w{k} USING (pos) GROUP BY vec_id
+        )""")
+    return f"""
+        WITH {_CEN_SQL}, {", ".join(ctes)},
+        projf AS (
+            SELECT p.vec_id, e.label, p.p AS proj,
+                   CAST(round(p.p * 1e6, 0) AS BIGINT) AS p6
+            FROM proj{iters} p
+            JOIN (SELECT DISTINCT vec_id, label FROM embeddings) e
+              USING (vec_id)
+        )
+        SELECT label, count(*) AS n_vecs,
+               CAST(trunc((2 * CAST(sum(p6) AS BIGINT)
+                           + CASE WHEN sum(p6) >= 0 THEN count(*)
+                                  ELSE -count(*) END)
+                          / (2 * count(*))) AS BIGINT) / 1e6 AS mean_proj,
+               round(sqrt(avg(proj * proj)), {_DP}) AS rms_proj
+        FROM projf GROUP BY label ORDER BY label
+    """
+
+
+ORACLES = {
+    "embedding_pca_projection": _pca_oracle_sql(),
+    "series_dominant_period": f"""
+        WITH series AS (
+            SELECT event_type AS name, CAST(ts AS DATE) AS d,
+                   round(sum(value), 6) AS value
+            FROM events GROUP BY 1, 2
+        ), t0 AS (
+            SELECT name, min(d) AS d0 FROM series GROUP BY name
+        ), pts AS (
+            SELECT s.name,
+                   CAST(date_diff('day', t.d0, s.d) AS DOUBLE) AS t,
+                   s.value
+            FROM series s JOIN t0 t USING (name)
+        ), cand AS (
+            SELECT name, t, value, unnest(generate_series(
+                       {_P_MIN}, {_P_MAX})) AS p
+            FROM pts
+        ), per AS (
+            SELECT name, p, count(*) AS n_days,
+                   sum(round(value * cos(2 * pi() * t / p), {_DP})) AS sc,
+                   sum(round(value * sin(2 * pi() * t / p), {_DP})) AS ss
+            FROM cand GROUP BY name, p
+        ), pw AS (
+            SELECT name, p, n_days,
+                   round(sc * sc + ss * ss, {_POWER_DP}) AS power,
+                   row_number() OVER (PARTITION BY name
+                                      ORDER BY round(sc * sc + ss * ss,
+                                                     {_POWER_DP}) DESC,
+                                               p ASC) AS rn
+            FROM per
+        )
+        SELECT name, n_days, CAST(p AS BIGINT) AS dominant_period, power
+        FROM pw WHERE rn = 1 ORDER BY name
+    """,
+}
