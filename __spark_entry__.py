@@ -103,6 +103,7 @@ def _registries():
         data_quality,
         dedup,
         graph,
+        linkage,
         multimodal,
         pipeline,
         product_analytics,
@@ -148,6 +149,7 @@ def _registries():
         (cogroup_ops.QUERIES, cogroup_ops.ORACLES),
         (assoc_privacy.QUERIES, assoc_privacy.ORACLES),
         (spectral.QUERIES, spectral.ORACLES),
+        (linkage.QUERIES, linkage.ORACLES),
         (sq.EXTRA_QUERIES, sq.EXTRA_ORACLES),
         # capability-gated tail (execution raises without protobuf) —
         # registered here so the in-window allocation is invariant to

@@ -147,6 +147,9 @@ HEADLINE = [
     # spectral methods: power-iteration PCA, periodogram seasonality
     "embedding_pca_projection",
     "series_dominant_period",
+    # record linkage + survival analysis
+    "customer_entity_resolution",
+    "user_survival_curve",
 ]
 
 

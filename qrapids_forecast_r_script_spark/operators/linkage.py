@@ -1,0 +1,133 @@
+"""Entity-resolution (record-linkage) pipeline — blocking, field-level
+comparison, Fellegi-Sunter-style scoring, and a ground-truth-scored
+quality report (north-star extension; the reference R service has no
+matching surface — extends SURVEY §2B next to the dedup layer, which
+ships the component primitives: `part_name_editdist_pairs` blocking +
+Levenshtein, `contrastive_pairs` supervision mining).
+
+The fixture lacks a second customer registry, so the query constructs a
+deterministically PERTURBED copy (the `snapshot_table_diff` precedent):
+every record re-keyed, a rule-based subset of names character-dropped
+and balances jittered.  That gives the pipeline a known ground truth —
+the output is the match-quality confusion (verdict × is-same-entity),
+i.e. exactly the report a linkage run is judged by (Fellegi & Sunter
+1969; Christen 2012's blocking/compare/classify decomposition).
+
+100 TB shape: candidate generation is the blocking equi-join on
+(nation, name-prefix) — never A×B; comparison vectors (normalized edit
+similarity, balance proximity) run inside whole-stage codegen on
+candidates only; the classifier is a threshold on a 6dp-rounded score
+of exact-integer-derived terms.  Blocking-key cardinality is the scale
+knob (prefix length / LSH over q-grams), identical plan shape either
+way.  The blocked join's skew follows name-prefix frequency — the
+`join_key_skew_profile` read applies before choosing salt vs AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import load_table
+
+_PERTURB_MOD = 7          # every 7th key: drop the name's 4th character
+_JITTER_MOD = 5           # balance jitter class: +(key % 5) cents
+_W_NAME = 0.7             # Fellegi-Sunter-ish agreement weights
+_W_BAL = 0.3
+_MATCH_T = 0.95
+_POSSIBLE_T = 0.80
+
+
+def _sides(spark: SparkSession, sf_dir: str):
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("key_a"),
+                    F.col("c_name").alias("name_a"),
+                    F.col("c_nationkey").alias("nat"),
+                    F.round("c_acctbal", 2).alias("bal_a"))
+    perturbed = F.col("c_custkey") % _PERTURB_MOD == 0
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.when(perturbed,
+               F.concat(F.substring("c_name", 1, 3),
+                        F.substring("c_name", 5, 1_000_000)))
+         .otherwise(F.col("c_name")).alias("name_b"),
+        F.col("c_nationkey").alias("nat"),
+        F.round(F.col("c_acctbal")
+                + (F.col("c_custkey") % _JITTER_MOD) * 0.01, 2)
+         .alias("bal_b"))
+    return a, b
+
+
+def customer_entity_resolution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Block on (nation, 3-char name prefix) → compare → classify →
+    score against ground truth (same source key = same entity).
+
+    name_sim = 1 − editdist/maxlen (exact integers over exact integers,
+    one correctly-rounded division); bal_sim = 1 − min(1, |Δbal|/100)
+    with Δbal on the 2dp grid.  score = 0.7·name_sim + 0.3·bal_sim
+    rounded 6dp; verdict thresholds 0.95 / 0.80."""
+    a, b = _sides(spark, sf_dir)
+    cand = a.join(b, (a["nat"] == b["nat"])
+                  & (F.substring(a["name_a"], 1, 3)
+                     == F.substring(b["name_b"], 1, 3)))
+    ed = F.levenshtein("name_a", "name_b")
+    maxlen = F.greatest(F.length("name_a"), F.length("name_b"))
+    name_sim = 1.0 - ed / maxlen
+    bal_sim = 1.0 - F.least(F.lit(1.0), F.abs(F.col("bal_a")
+                                              - F.col("bal_b")) / 100.0)
+    score = F.round(_W_NAME * name_sim + _W_BAL * bal_sim, 6)
+    verdict = (F.when(score >= _MATCH_T, F.lit("match"))
+               .when(score >= _POSSIBLE_T, F.lit("possible"))
+               .otherwise(F.lit("non_match")))
+    return (cand
+            .select(verdict.alias("verdict"),
+                    (F.col("key_a") == F.col("key_b"))
+                    .alias("is_same_entity"),
+                    score.alias("score"))
+            .groupBy("verdict", "is_same_entity")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.min("score"), 6).alias("min_score"),
+                 F.round(F.max("score"), 6).alias("max_score"))
+            .orderBy("verdict", "is_same_entity"))
+
+
+QUERIES = {
+    "customer_entity_resolution": customer_entity_resolution,
+}
+
+ORACLES = {
+    "customer_entity_resolution": f"""
+        WITH a AS (
+            SELECT c_custkey AS key_a, c_name AS name_a,
+                   c_nationkey AS nat, round(c_acctbal, 2) AS bal_a
+            FROM customer
+        ), b AS (
+            SELECT c_custkey AS key_b,
+                   CASE WHEN c_custkey % {_PERTURB_MOD} = 0
+                        THEN substr(c_name, 1, 3) || substr(c_name, 5)
+                        ELSE c_name END AS name_b,
+                   c_nationkey AS nat,
+                   round(c_acctbal
+                         + (c_custkey % {_JITTER_MOD}) * 0.01, 2) AS bal_b
+            FROM customer
+        ), cand AS (
+            SELECT key_a, name_a, bal_a, key_b, name_b, bal_b,
+                   round({_W_NAME} * (1.0 - levenshtein(name_a, name_b)
+                         / CAST(greatest(length(name_a), length(name_b))
+                                AS DOUBLE))
+                         + {_W_BAL} * (1.0 - least(1.0,
+                               abs(bal_a - bal_b) / 100.0)), 6) AS score
+            FROM a JOIN b USING (nat)
+            WHERE substr(name_a, 1, 3) = substr(name_b, 1, 3)
+        )
+        SELECT CASE WHEN score >= {_MATCH_T} THEN 'match'
+                    WHEN score >= {_POSSIBLE_T} THEN 'possible'
+                    ELSE 'non_match' END AS verdict,
+               key_a = key_b AS is_same_entity,
+               count(*) AS n_pairs,
+               round(min(score), 6) AS min_score,
+               round(max(score), 6) AS max_score
+        FROM cand
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+}

@@ -180,12 +180,87 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.sum("n_transitions").over(wf), 6))
 
 
+def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimate of TIME TO FIRST PURCHASE from first touch
+    (Kaplan & Meier 1958) — the conversion-time curve behind activation
+    and LTV models: "what fraction of users have not yet purchased t
+    days after arriving?".  A user with no purchase is right-CENSORED
+    at their last observed day — the distinction that separates
+    survival analysis from a naive conversion histogram, which drops
+    every not-yet-converted user.  (This purchase-heavy fixture
+    converts everyone, so the censoring branch is exercised by the
+    synthetic-frame unit test rather than the driver query.)
+
+    Per distinct day t: at-risk n(t) = users still unconverted and
+    observed at t (exclusive running subtraction from the total —
+    exact integers), events d(t) = conversions at t, hazard = d/n
+    (integer-ratio, rounded 6dp), and S(t) = Π (1−d/n) computed as exp
+    of the running sum of per-step ln terms snapped to the 1e-6 grid
+    (cross-libm ln drift absorbed; the weighted-sampling precedent).
+    A step that consumes the whole risk set drives survival to exact
+    zero — flagged with a running max instead of ln(0).
+
+    Scale: one (user)-keyed aggregate over the fact table, then every
+    window runs over |distinct t| rows — bounded by the observation
+    span in days, not the population."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.min(F.to_date("ts")).alias("d0"),
+                  F.max(F.to_date("ts")).alias("d1"),
+                  F.min(F.when(F.col("event_type") == "purchase",
+                               F.to_date("ts"))).alias("p0"))
+             .select("user_id",
+                     F.coalesce(F.datediff("p0", "d0"),
+                                F.datediff("d1", "d0"))
+                     .cast("bigint").alias("t"),
+                     F.col("p0").isNotNull().alias("converted")))
+    return km_curve(users)
+
+
+def km_curve(users: DataFrame) -> DataFrame:
+    """Kaplan-Meier estimator over a (t, converted) frame — split out so
+    the censoring branch (unexercised by the all-converting fixture) is
+    unit-testable on synthetic subjects."""
+    from pyspark.sql.window import Window
+    total = users.agg(F.count(F.lit(1)).alias("n_total"))
+    per_t = (users.groupBy("t")
+             .agg(F.count(F.lit(1)).alias("n_leaving"),
+                  F.count(F.when(F.col("converted"), 1)).alias("d")))
+    wprev = (Window.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wcum = (Window.orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    at_risk = (per_t.crossJoin(F.broadcast(total))
+               .withColumn("n_at_risk",
+                           F.col("n_total")
+                           - F.coalesce(F.sum("n_leaving").over(wprev),
+                                        F.lit(0))))
+    step_ln = F.when(F.col("d") < F.col("n_at_risk"),
+                     F.round(F.log(1.0 - F.col("d")
+                                   / F.col("n_at_risk")), 6)) \
+               .otherwise(F.lit(0.0))
+    dead = F.when(F.col("d") >= F.col("n_at_risk"), 1).otherwise(0)
+    return (at_risk
+            .withColumn("ln_term", step_ln)
+            .withColumn("zeroed", F.max(dead).over(wcum))
+            .select("t",
+                    "n_at_risk", "d",
+                    F.round(F.col("d") / F.col("n_at_risk"), 6)
+                    .alias("hazard"),
+                    F.when(F.col("zeroed") == 1, F.lit(0.0))
+                    .otherwise(F.round(F.exp(F.sum("ln_term").over(wcum)),
+                                       6)).alias("survival"))
+            .orderBy("t"))
+
+
 QUERIES = {
     "cohort_retention_weekly": cohort_retention_weekly,
     "event_transition_matrix": event_transition_matrix,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "user_feature_table": user_feature_table,
     "session_transcripts": session_transcripts,
+    "user_survival_curve": user_survival_curve,
 }
 
 ORACLES = {
@@ -294,4 +369,46 @@ ORACLES["event_transition_matrix"] = f"""
            round(n_transitions / CAST(sum(n_transitions)
                  OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
     FROM counted
+"""
+
+ORACLES["user_survival_curve"] = """
+    WITH users AS (
+        SELECT user_id,
+               CAST(coalesce(
+                   date_diff('day', min(CAST(ts AS DATE)),
+                             min(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(ts AS DATE) END)),
+                   date_diff('day', min(CAST(ts AS DATE)),
+                             max(CAST(ts AS DATE)))) AS BIGINT) AS t,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS DATE) END) IS NOT NULL AS converted
+        FROM events GROUP BY user_id
+    ), total AS (SELECT count(*) AS n_total FROM users),
+    per_t AS (
+        SELECT t, count(*) AS n_leaving,
+               count(*) FILTER (WHERE converted) AS d
+        FROM users GROUP BY t
+    ), at_risk AS (
+        SELECT t, n_leaving, d,
+               n_total - CAST(coalesce(sum(n_leaving) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+        FROM per_t CROSS JOIN total
+    ), terms AS (
+        SELECT t, n_at_risk, d,
+               CASE WHEN d < n_at_risk
+                    THEN round(ln(1.0 - d / CAST(n_at_risk AS DOUBLE)), 6)
+                    ELSE 0.0 END AS ln_term,
+               CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS dead
+        FROM at_risk
+    )
+    SELECT t, n_at_risk, d,
+           round(d / CAST(n_at_risk AS DOUBLE), 6) AS hazard,
+           CASE WHEN max(dead) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE round(exp(sum(ln_term) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)), 6) END AS survival
+    FROM terms ORDER BY t
 """
