@@ -14,12 +14,18 @@ i.e. exactly the report a linkage run is judged by (Fellegi & Sunter
 1969; Christen 2012's blocking/compare/classify decomposition).
 
 100 TB shape: candidate generation is the blocking equi-join on
-(nation, name-prefix) — never A×B; comparison vectors (normalized edit
+(nation, name-SUFFIX) — never A×B; comparison vectors (normalized edit
 similarity, balance proximity) run inside whole-stage codegen on
 candidates only; the classifier is a threshold on a 6dp-rounded score
-of exact-integer-derived terms.  Blocking-key cardinality is the scale
-knob (prefix length / LSH over q-grams), identical plan shape either
-way.  The blocked join's skew follows name-prefix frequency — the
+of exact-integer-derived terms.  Blocking-key choice is data-driven:
+this registry's names share a constant PREFIX ("Customer#…"), so
+prefix blocking degenerates to nation-only blocks (measured 37.6 s at
+sf0.1 — 9M candidate pairs of O(len²) edit distance); the last-3-chars
+key has ~1000× the selectivity and survives the perturbation (which
+edits the head, not the tail), cutting candidates to ~1 per record
+(measured ~2 s).  Blocking-key cardinality stays the scale knob
+(longer suffix / LSH over q-grams), identical plan shape either way;
+the blocked join's skew follows key frequency — the
 `join_key_skew_profile` read applies before choosing salt vs AQE.
 """
 
@@ -59,7 +65,7 @@ def _sides(spark: SparkSession, sf_dir: str):
 
 def customer_entity_resolution(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    """Block on (nation, 3-char name prefix) → compare → classify →
+    """Block on (nation, 3-char name SUFFIX) → compare → classify →
     score against ground truth (same source key = same entity).
 
     name_sim = 1 − editdist/maxlen (exact integers over exact integers,
@@ -68,8 +74,8 @@ def customer_entity_resolution(spark: SparkSession,
     rounded 6dp; verdict thresholds 0.95 / 0.80."""
     a, b = _sides(spark, sf_dir)
     cand = a.join(b, (a["nat"] == b["nat"])
-                  & (F.substring(a["name_a"], 1, 3)
-                     == F.substring(b["name_b"], 1, 3)))
+                  & (F.substring(a["name_a"], -3, 3)
+                     == F.substring(b["name_b"], -3, 3)))
     ed = F.levenshtein("name_a", "name_b")
     maxlen = F.greatest(F.length("name_a"), F.length("name_b"))
     name_sim = 1.0 - ed / maxlen
@@ -118,7 +124,7 @@ ORACLES = {
                          + {_W_BAL} * (1.0 - least(1.0,
                                abs(bal_a - bal_b) / 100.0)), 6) AS score
             FROM a JOIN b USING (nat)
-            WHERE substr(name_a, 1, 3) = substr(name_b, 1, 3)
+            WHERE right(name_a, 3) = right(name_b, 3)
         )
         SELECT CASE WHEN score >= {_MATCH_T} THEN 'match'
                     WHEN score >= {_POSSIBLE_T} THEN 'possible'

@@ -24,7 +24,7 @@ def test_entity_resolution_recovers_ground_truth(spark, sf_dir):
     rows = customer_entity_resolution(spark, sf_dir).collect()
     by = {(r.verdict, r.is_same_entity): r for r in rows}
     # every record pairs with its own counterpart inside its block
-    # (3-char prefix survives the 4th-char drop), so true-match pairs
+    # (the 3-char SUFFIX survives the head perturbation), so true-match pairs
     # = population; all must classify as 'match' on this perturbation
     true_match = sum(r.n_pairs for r in rows if r.is_same_entity)
     assert true_match == n
