@@ -150,6 +150,10 @@ HEADLINE = [
     # record linkage + survival analysis
     "customer_entity_resolution",
     "user_survival_curve",
+    # series monitors + data-contract gate
+    "series_changepoint_cusum",
+    "series_rolling_correlation",
+    "events_contract_violations",
 ]
 
 

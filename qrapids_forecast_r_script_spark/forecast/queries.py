@@ -411,11 +411,104 @@ def seasonal_residual_outliers(spark: SparkSession, sf_dir: str
                     F.round("residual", 6).alias("residual"), "z"))
 
 
+# Brownian-bridge sup-norm 5% critical value (Kolmogorov distribution)
+# — the CUSUM significance threshold after sd·√n normalization
+_CUSUM_CRIT = 1.358
+
+
+def series_changepoint_cusum(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """CUSUM change-point detection per metric series (Page 1954): the
+    running sum of mean-centered values peaks (in |·|) at the most
+    likely level-shift location; normalized by sd·√n it converges to a
+    Brownian bridge, so |S|max/(sd·√n) > 1.358 rejects "no change" at
+    ~5% — the monitoring read that tells a metrics service a series
+    MOVED, where the z-score monitors only flag single points.
+
+    Per-step centered terms snap to the 1e-6 grid pre-sum; the running
+    window sum re-rounds at 1e-6 (engine summation-order drift is far
+    below the grid), and the argmax breaks ties by earliest date.  One
+    per-series moment aggregate broadcast back + one ordered window —
+    cost identical to the seasonal-residual monitor."""
+    from pyspark.sql.window import Window
+
+    metrics = _metrics(spark, sf_dir)
+    moments = (metrics.groupBy("name", "index")
+               .agg(F.round(F.avg("value"), 6).alias("mu"),
+                    F.stddev_pop("value").alias("sd"),
+                    F.count(F.lit(1)).alias("n_points")))
+    cen = (metrics.join(moments, ["name", "index"])
+           .withColumn("cterm", F.round(F.col("value") - F.col("mu"), 6)))
+    wcum = (Window.partitionBy("name", "index").orderBy("evaluationDate")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    s = cen.withColumn("s", F.round(F.sum("cterm").over(wcum), 6))
+    wpick = (Window.partitionBy("name", "index")
+             .orderBy(F.abs(F.col("s")).desc(),
+                      F.col("evaluationDate").asc()))
+    stat = F.round(F.abs(F.col("s"))
+                   / F.nullif(F.col("sd") * F.sqrt(F.col("n_points")),
+                              F.lit(0.0)), 6)
+    return (s.withColumn("rn", F.row_number().over(wpick))
+            .where(F.col("rn") == 1)
+            .select("name", "index",
+                    F.col("evaluationDate").alias("changepoint_date"),
+                    "n_points",
+                    F.round(F.abs("s"), 6).alias("cusum_abs"),
+                    stat.alias("cusum_stat"),
+                    (stat > _CUSUM_CRIT).alias("significant"))
+            .orderBy("name", "index"))
+
+
+_RC_WIN = 7
+
+
+def series_rolling_correlation(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Trailing 7-day rolling Pearson correlation of every metric
+    series against the ``purchase`` series, aligned by date — the
+    co-movement monitor behind "did clicks decouple from purchases this
+    week?" dashboards.  Only full 7-point windows emit.
+
+    The purchase side is one tiny aligned series joined back on the
+    date key (broadcast); all moments come from trailing window sums
+    (population formulas), with the correlation rounded at 4dp and a
+    zero-variance guard on both engines.  Windows partition per series
+    — never a global sort."""
+    from pyspark.sql.window import Window
+
+    metrics = _metrics(spark, sf_dir)
+    pur = (metrics.where(F.col("name") == "purchase")
+           .select(F.col("evaluationDate").alias("d"),
+                   F.col("value").alias("y")))
+    pair = (metrics.where(F.col("name") != "purchase")
+            .join(F.broadcast(pur),
+                  F.col("evaluationDate") == F.col("d"))
+            .select("name", "index", "evaluationDate",
+                    F.col("value").alias("x"), "y"))
+    w = (Window.partitionBy("name", "index").orderBy("evaluationDate")
+         .rowsBetween(-(_RC_WIN - 1), 0))
+    mx, my = F.avg("x").over(w), F.avg("y").over(w)
+    sxx = F.avg(F.col("x") * F.col("x")).over(w) - mx * mx
+    syy = F.avg(F.col("y") * F.col("y")).over(w) - my * my
+    sxy = F.avg(F.col("x") * F.col("y")).over(w) - mx * my
+    nw = F.count(F.lit(1)).over(w)
+    return (pair
+            .withColumn("nw", nw)
+            .withColumn("corr7",
+                        F.round(sxy / F.nullif(F.sqrt(sxx * syy),
+                                               F.lit(0.0)), 4))
+            .where(F.col("nw") == _RC_WIN)
+            .select("name", "index", "evaluationDate", "corr7")
+            .orderBy("name", "index", "evaluationDate"))
+
+
 EVAL_QUERIES = {
     "backtest_closed_forms": backtest_closed_forms,
     "ensemble_closed_forms": ensemble_closed_forms,
     "rolling_origin_backtest": rolling_origin_backtest,
     "seasonal_residual_outliers": seasonal_residual_outliers,
+    "series_changepoint_cusum": series_changepoint_cusum,
+    "series_rolling_correlation": series_rolling_correlation,
 }
 
 # Shared CTE chain (through preds) for the holdout-based evals — one
@@ -661,3 +754,62 @@ JOIN series sv
 EVAL_QUERIES["forecast_snaive_monthly_orders"] = forecast_snaive_monthly_orders
 EVAL_ORACLES["forecast_snaive_monthly_orders"] = _SNAIVE_MONTHLY_ORACLE
 
+
+EVAL_ORACLES["series_changepoint_cusum"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    moments AS (
+        SELECT name, index, round(avg(value), 6) AS mu,
+               stddev_pop(value) AS sd, count(*) AS n_points
+        FROM m GROUP BY name, index
+    ), cen AS (
+        SELECT m.name, m.index, m.evaluationDate, mo.sd, mo.n_points,
+               round(m.value - mo.mu, 6) AS cterm
+        FROM m JOIN moments mo USING (name, index)
+    ), s AS (
+        SELECT *, round(sum(cterm) OVER (PARTITION BY name, index
+                        ORDER BY evaluationDate
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        6) AS s
+        FROM cen
+    ), picked AS (
+        SELECT *, row_number() OVER (PARTITION BY name, index
+                     ORDER BY abs(s) DESC, evaluationDate ASC) AS rn
+        FROM s
+    )
+    SELECT name, index, evaluationDate AS changepoint_date, n_points,
+           round(abs(s), 6) AS cusum_abs,
+           round(abs(s) / nullif(sd * sqrt(n_points), 0.0), 6)
+               AS cusum_stat,
+           round(abs(s) / nullif(sd * sqrt(n_points), 0.0), 6)
+               > {_CUSUM_CRIT} AS significant
+    FROM picked WHERE rn = 1 ORDER BY name, index
+"""
+
+EVAL_ORACLES["series_rolling_correlation"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    pur AS (
+        SELECT evaluationDate AS d, value AS y FROM m
+        WHERE name = 'purchase'
+    ), pair AS (
+        SELECT m.name, m.index, m.evaluationDate,
+               m.value AS x, p.y
+        FROM m JOIN pur p ON m.evaluationDate = p.d
+        WHERE m.name <> 'purchase'
+    ), winst AS (
+        SELECT name, index, evaluationDate,
+               count(*) OVER w AS nw,
+               avg(x) OVER w AS mx, avg(y) OVER w AS my,
+               avg(x * x) OVER w AS mxx,
+               avg(y * y) OVER w AS myy,
+               avg(x * y) OVER w AS mxy
+        FROM pair
+        WINDOW w AS (PARTITION BY name, index ORDER BY evaluationDate
+                     ROWS BETWEEN {_RC_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT name, index, evaluationDate,
+           round((mxy - mx * my)
+                 / nullif(sqrt((mxx - mx * mx) * (myy - my * my)), 0.0),
+                 4) AS corr7
+    FROM winst WHERE nw = {_RC_WIN}
+    ORDER BY name, index, evaluationDate
+"""

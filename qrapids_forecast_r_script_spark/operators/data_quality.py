@@ -269,12 +269,66 @@ def events_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+# declared contract for the events feed: the checks a producer/consumer
+# data contract would pin (Great-Expectations-style), each one a
+# conditional aggregate over ONE pass (plus the distinct-key check).
+_CONTRACT_TYPES = "('view', 'click', 'purchase', 'signup', 'error')"
+_TS_LO, _TS_HI = "2024-01-01", "2025-01-01"
+_VAL_MAX = 10000.0
+
+
+def events_contract_violations(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Data-contract validation report over the events feed: per
+    declared rule the violation count and rate — the producer-side
+    gate that runs before a partition is published (the programmatic
+    form of a Great-Expectations suite).  Rules: non-null keys, unique
+    event_id, timestamp inside the contract window, enum-valued
+    event_type, value in [0, 10000].
+
+    One conditional-aggregate pass for five rules plus one distinct
+    count for uniqueness; output is |rules| rows.  At 100 TB each rule
+    is a map-side sum riding the same scan."""
+    ev = load_table(spark, sf_dir, "events")
+    lo = F.lit(_TS_LO).cast("timestamp")
+    hi = F.lit(_TS_HI).cast("timestamp")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_id").isNull(), 1)).alias("null_event_id"),
+        (F.count("event_id") - F.count_distinct("event_id"))
+        .alias("duplicate_event_id"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("null_user_id"),
+        F.count(F.when(F.col("ts").isNull()
+                       | (F.col("ts") < lo) | (F.col("ts") >= hi), 1))
+        .alias("ts_out_of_window"),
+        F.count(F.when(~F.col("event_type").isin(
+            "view", "click", "purchase", "signup", "error"), 1))
+        .alias("unknown_event_type"),
+        F.count(F.when(F.col("value").isNull()
+                       | (F.col("value") < 0)
+                       | (F.col("value") > _VAL_MAX), 1))
+        .alias("value_out_of_range"))
+    rules = ["null_event_id", "duplicate_event_id", "null_user_id",
+             "ts_out_of_window", "unknown_event_type",
+             "value_out_of_range"]
+    long = agg.selectExpr(
+        "n_rows",
+        "stack({n}, {pairs}) as (rule, n_violations)".format(
+            n=len(rules),
+            pairs=", ".join(f"'{r}', {r}" for r in rules)))
+    return (long.select("rule", "n_violations",
+                        F.round(F.col("n_violations") / F.col("n_rows"), 6)
+                        .alias("violation_rate"))
+            .orderBy("rule"))
+
+
 QUERIES = {
     "fk_integrity_audit": fk_integrity_audit,
     "snapshot_table_diff": snapshot_table_diff,
     "join_key_skew_profile": join_key_skew_profile,
     "corpus_diversity_stats": corpus_diversity_stats,
     "events_numeric_profile": events_numeric_profile,
+    "events_contract_violations": events_contract_violations,
 }
 
 ORACLES = {
@@ -399,4 +453,38 @@ ORACLES["events_numeric_profile"] = """
            round((svh / n - m * mh) / (std * stdh), 4)
                AS corr_value_hour
     FROM g ORDER BY event_type
+"""
+
+ORACLES["events_contract_violations"] = f"""
+    WITH agg AS (
+        SELECT count(*) AS n_rows,
+               count(*) FILTER (WHERE event_id IS NULL) AS null_event_id,
+               count(event_id) - count(DISTINCT event_id)
+                   AS duplicate_event_id,
+               count(*) FILTER (WHERE user_id IS NULL) AS null_user_id,
+               count(*) FILTER (WHERE ts IS NULL
+                   OR ts < TIMESTAMP '{_TS_LO}'
+                   OR ts >= TIMESTAMP '{_TS_HI}') AS ts_out_of_window,
+               count(*) FILTER (WHERE event_type NOT IN
+                   {_CONTRACT_TYPES}) AS unknown_event_type,
+               count(*) FILTER (WHERE value IS NULL OR value < 0
+                   OR value > {_VAL_MAX}) AS value_out_of_range
+        FROM events
+    ), long AS (
+        SELECT n_rows, 'null_event_id' AS rule,
+               null_event_id AS n_violations FROM agg
+        UNION ALL SELECT n_rows, 'duplicate_event_id',
+               duplicate_event_id FROM agg
+        UNION ALL SELECT n_rows, 'null_user_id', null_user_id FROM agg
+        UNION ALL SELECT n_rows, 'ts_out_of_window',
+               ts_out_of_window FROM agg
+        UNION ALL SELECT n_rows, 'unknown_event_type',
+               unknown_event_type FROM agg
+        UNION ALL SELECT n_rows, 'value_out_of_range',
+               value_out_of_range FROM agg
+    )
+    SELECT rule, n_violations,
+           round(n_violations / CAST(n_rows AS DOUBLE), 6)
+               AS violation_rate
+    FROM long ORDER BY rule
 """
