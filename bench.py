@@ -154,6 +154,10 @@ HEADLINE = [
     "series_changepoint_cusum",
     "series_rolling_correlation",
     "events_contract_violations",
+    # experimentation, attribution, positional IR
+    "ab_test_report",
+    "purchase_attribution_decay",
+    "proximity_search",
 ]
 
 

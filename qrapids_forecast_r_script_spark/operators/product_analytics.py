@@ -254,6 +254,103 @@ def km_curve(users: DataFrame) -> DataFrame:
             .orderBy("t"))
 
 
+_AB_Z_CRIT = 1.959963984540054   # two-sided 5%
+
+
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test report for a deterministic 50/50 user
+    split — the experimentation primitive: assign arms by content hash
+    (reproducible across retries, the md5 sampling precedent), compare
+    user-level HIGH-VALUE conversion (any purchase over 200 — the plain
+    any-purchase rate saturates at 1.0 on this fixture, a degenerate
+    0/0 z), report the pooled z statistic and the 5% verdict.  On a REAL A/B assignment the arms differ only by
+    treatment; on this hash split the test must (and does) come back
+    not-significant — the A/A calibration run every experimentation
+    platform executes first.
+
+    One user-level aggregate, one 2-row arm aggregate, one-row output;
+    every input to the statistic is an exact integer count, so the z
+    value is bit-stable under any partitioning.  At 100 TB: the
+    per-user conversion aggregate is the only wide stage."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    users = (ev.groupBy("user_id")
+             .agg(F.max(F.when((F.col("event_type") == "purchase")
+                               & (F.col("value") > 200), 1)
+                        .otherwise(0)).alias("converted"))
+             .withColumn("arm", arm))
+    arms = (users.groupBy("arm")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("converted").alias("c")))
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("conv_a"))
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("conv_b"))
+    j = a.crossJoin(b)
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a")
+                                                + F.col("n_b"))
+    z = (pa - pb) / F.nullif(
+        F.sqrt(pp * (1 - pp)
+               * (1 / F.col("n_a") + 1 / F.col("n_b"))), F.lit(0.0))
+    return j.select(
+        "n_a", "conv_a", F.round(pa, 6).alias("rate_a"),
+        "n_b", "conv_b", F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+        F.coalesce(F.abs(F.round(z, 6)) > _AB_Z_CRIT, F.lit(False))
+        .alias("significant"))
+
+
+_ATTR_WINDOW_MIN = 60.0   # look-back horizon per purchase
+_ATTR_HALFLIFE_MIN = 30.0  # exp decay scale
+
+
+def purchase_attribution_decay(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Multi-touch attribution with exponential time decay: every
+    purchase distributes one unit of credit over the same user's
+    non-purchase touches in the preceding 60 minutes, weighted
+    exp(−Δmin/30) and normalized per purchase — the ad-tech upgrade
+    over last-touch, which hands everything to the final click.
+    Output: total credit and touch count per touch event type.
+
+    The touch join is an interval join keyed on user (bounded state:
+    rate × 1 h — the stream-stream join contract in batch form); decay
+    weights snap to the 1e-6 grid, per-purchase totals divide out on a
+    4dp grid.  At 100 TB the per-purchase normalization is a same-key
+    re-aggregation, never a second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    pur = (ev.where(F.col("event_type") == "purchase")
+           .select(F.col("event_id").alias("pid"),
+                   F.col("user_id").alias("pu"),
+                   F.col("ts").alias("pts")))
+    touch = (ev.where(F.col("event_type") != "purchase")
+             .select(F.col("event_id").alias("tid"),
+                     F.col("user_id").alias("tu"),
+                     F.col("event_type").alias("touch_type"),
+                     F.col("ts").alias("tts")))
+    dmin = (F.col("pts").cast("double")
+            - F.col("tts").cast("double")) / 60.0
+    pairs = (pur.join(touch, (F.col("pu") == F.col("tu"))
+                      & (F.col("tts") < F.col("pts"))
+                      & (F.col("tts") >= F.col("pts")
+                         - F.expr(f"INTERVAL {int(_ATTR_WINDOW_MIN)} "
+                                  "MINUTES")))
+             .withColumn("w", F.round(
+                 F.exp(-dmin / _ATTR_HALFLIFE_MIN), 6)))
+    per = (pairs.groupBy("pid", "touch_type")
+           .agg(F.sum("w").alias("wt"), F.count(F.lit(1)).alias("nt")))
+    tot = per.groupBy("pid").agg(F.sum("wt").alias("wtot"))
+    return (per.join(tot, "pid")
+            .groupBy("touch_type")
+            .agg(F.round(F.sum(F.col("wt") / F.col("wtot")), 4)
+                 .alias("total_credit"),
+                 F.sum("nt").alias("n_touches"))
+            .orderBy("touch_type"))
+
+
 QUERIES = {
     "cohort_retention_weekly": cohort_retention_weekly,
     "event_transition_matrix": event_transition_matrix,
@@ -261,6 +358,8 @@ QUERIES = {
     "user_feature_table": user_feature_table,
     "session_transcripts": session_transcripts,
     "user_survival_curve": user_survival_curve,
+    "ab_test_report": ab_test_report,
+    "purchase_attribution_decay": purchase_attribution_decay,
 }
 
 ORACLES = {
@@ -411,4 +510,61 @@ ORACLES["user_survival_curve"] = """
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND CURRENT ROW)), 6) END AS survival
     FROM terms ORDER BY t
+"""
+
+ORACLES["ab_test_report"] = f"""
+    WITH users AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND value > 200
+                        THEN 1 ELSE 0 END) AS converted,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    ::BIGINT % 2) AS arm
+        FROM events GROUP BY user_id
+    ), arms AS (
+        SELECT arm, count(*) AS n,
+               CAST(sum(converted) AS BIGINT) AS c
+        FROM users GROUP BY arm
+    ), a AS (SELECT n AS n_a, c AS conv_a FROM arms WHERE arm = 0),
+    b AS (SELECT n AS n_b, c AS conv_b FROM arms WHERE arm = 1),
+    j AS (
+        SELECT *,
+               conv_a / CAST(n_a AS DOUBLE) AS pa,
+               conv_b / CAST(n_b AS DOUBLE) AS pb,
+               (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS pp
+        FROM a CROSS JOIN b
+    )
+    SELECT n_a, conv_a, round(pa, 6) AS rate_a,
+           n_b, conv_b, round(pb, 6) AS rate_b,
+           round((pa - pb) / nullif(sqrt(pp * (1 - pp)
+                 * (1.0 / n_a + 1.0 / n_b)), 0.0), 6) AS z_stat,
+           coalesce(abs(round((pa - pb) / nullif(sqrt(pp * (1 - pp)
+                 * (1.0 / n_a + 1.0 / n_b)), 0.0), 6)) > {_AB_Z_CRIT},
+                    false) AS significant
+    FROM j
+"""
+
+ORACLES["purchase_attribution_decay"] = f"""
+    WITH pur AS (
+        SELECT event_id AS pid, user_id AS pu, ts AS pts
+        FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT event_id AS tid, user_id AS tu,
+               event_type AS touch_type, ts AS tts
+        FROM events WHERE event_type <> 'purchase'
+    ), pairs AS (
+        SELECT p.pid, t.touch_type,
+               round(exp(-((epoch(p.pts) - epoch(t.tts)) / 60.0)
+                         / {_ATTR_HALFLIFE_MIN}), 6) AS w
+        FROM pur p JOIN touch t
+          ON t.tu = p.pu AND t.tts < p.pts
+         AND t.tts >= p.pts - INTERVAL {int(_ATTR_WINDOW_MIN)} MINUTE
+    ), per AS (
+        SELECT pid, touch_type, sum(w) AS wt, count(*) AS nt
+        FROM pairs GROUP BY 1, 2
+    ), tot AS (SELECT pid, sum(wt) AS wtot FROM per GROUP BY 1)
+    SELECT touch_type,
+           round(sum(wt / wtot), 4) AS total_credit,
+           CAST(sum(nt) AS BIGINT) AS n_touches
+    FROM per JOIN tot USING (pid)
+    GROUP BY 1 ORDER BY 1
 """

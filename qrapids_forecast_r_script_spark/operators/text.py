@@ -415,6 +415,39 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "rank", "neighbor_id", "bm25"))
 
 
+# proximity query: both terms present within the window (positional IR)
+_PROX_A, _PROX_B = "spark", "join"
+_PROX_WIN = 5
+
+
+def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional proximity search: documents where the terms 'spark'
+    and 'join' co-occur within 5 token positions, with the closest
+    distance and the within-window pair count — the phrase/NEAR
+    operator of a lexical index (Lucene SpanNearQuery semantics over an
+    explicit positional-postings join).
+
+    Each side is that term's positional postings list (doc_id, pos);
+    the per-doc equi-join's fan-out is bounded by per-doc term
+    frequency, never document length; everything after the explode is
+    exact integer arithmetic.  At 100 TB the postings tables ARE the
+    inverted index — materialized once, bucketed by term."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    pa = (toks.where(F.col("tok") == _PROX_A)
+          .select("doc_id", F.col("pos").alias("pos_a")))
+    pb = (toks.where(F.col("tok") == _PROX_B)
+          .select("doc_id", F.col("pos").alias("pos_b")))
+    return (pa.join(pb, "doc_id")
+            .withColumn("dist", F.abs(F.col("pos_a") - F.col("pos_b")))
+            .where(F.col("dist") <= _PROX_WIN)
+            .groupBy("doc_id")
+            .agg(F.min("dist").alias("min_distance"),
+                 F.count(F.lit(1)).alias("n_pairs_within"))
+            .orderBy("doc_id"))
+
+
 QUERIES = {
     "text_stats": text_stats,
     "bm25_topk": bm25_topk,
@@ -427,6 +460,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "pii_scrub_docs": pii_scrub_docs,
     "chunk_hash_embed_topk": chunk_hash_embed_topk,
+    "proximity_search": proximity_search,
 }
 
 _STOP_SQL_HITS = " + ".join(
@@ -694,4 +728,22 @@ ORACLES["chunk_hash_embed_topk"] = f"""
                    ORDER BY cosine DESC, doc_id ASC, chunk_id ASC) AS rank
         FROM sim)
     WHERE rank <= {_HE_TOP_K}
+"""
+
+ORACLES["proximity_search"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), pa AS (SELECT doc_id, pos AS pos_a FROM toks
+              WHERE tok = '{_PROX_A}'),
+    pb AS (SELECT doc_id, pos AS pos_b FROM toks
+           WHERE tok = '{_PROX_B}')
+    SELECT doc_id,
+           CAST(min(abs(pos_a - pos_b)) AS INTEGER) AS min_distance,
+           count(*) AS n_pairs_within
+    FROM pa JOIN pb USING (doc_id)
+    WHERE abs(pos_a - pos_b) <= {_PROX_WIN}
+    GROUP BY doc_id ORDER BY doc_id
 """
