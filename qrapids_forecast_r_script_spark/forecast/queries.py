@@ -488,8 +488,14 @@ def series_rolling_correlation(spark: SparkSession, sf_dir: str
     w = (Window.partitionBy("name", "index").orderBy("evaluationDate")
          .rowsBetween(-(_RC_WIN - 1), 0))
     mx, my = F.avg("x").over(w), F.avg("y").over(w)
-    sxx = F.avg(F.col("x") * F.col("x")).over(w) - mx * mx
-    syy = F.avg(F.col("y") * F.col("y")).over(w) - my * my
+    # clamp at 0: avg(x^2) - mean^2 cancels to ~-1e-13 on a flat
+    # window, and DuckDB hard-errors on sqrt(negative) while Spark
+    # returns NaN — greatest(…, 0) + nullif keeps both engines on the
+    # NULL path for zero-variance windows (review finding)
+    sxx = F.greatest(F.avg(F.col("x") * F.col("x")).over(w) - mx * mx,
+                     F.lit(0.0))
+    syy = F.greatest(F.avg(F.col("y") * F.col("y")).over(w) - my * my,
+                     F.lit(0.0))
     sxy = F.avg(F.col("x") * F.col("y")).over(w) - mx * my
     nw = F.count(F.lit(1)).over(w)
     return (pair
@@ -808,7 +814,8 @@ EVAL_ORACLES["series_rolling_correlation"] = f"""
     )
     SELECT name, index, evaluationDate,
            round((mxy - mx * my)
-                 / nullif(sqrt((mxx - mx * mx) * (myy - my * my)), 0.0),
+                 / nullif(sqrt(greatest(mxx - mx * mx, 0.0)
+                               * greatest(myy - my * my, 0.0)), 0.0),
                  4) AS corr7
     FROM winst WHERE nw = {_RC_WIN}
     ORDER BY name, index, evaluationDate

@@ -111,7 +111,11 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_events")))
     h = F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10) \
          .cast("bigint")
-    u = (F.pmod(h, F.lit(_DP_MOD)) + 1) / F.lit(float(_DP_MOD + 1))
+    # (k+1)/(m+2) with m an odd prime: u stays strictly inside (0, 1)
+    # AND can never be exactly 0.5 (2k+2 = m+2 needs k = m/2, not an
+    # integer), so signum(u-1/2) never returns 0 — a 0.5 draw would
+    # release ZERO noise, i.e. the true count (review finding)
+    u = (F.pmod(h, F.lit(_DP_MOD)) + 1) / F.lit(float(_DP_MOD + 2))
     noise = (-F.lit(1.0 / _DP_EPS) * F.signum(u - 0.5)
              * F.log(1.0 - 2.0 * F.abs(u - 0.5)))
     return (counts
@@ -177,7 +181,7 @@ ORACLES = {
             SELECT event_type, n_events,
                    ((('0x' || substr(md5(event_type), 1, 8))::BIGINT
                      % {_DP_MOD}) + 1)
-                       / CAST({_DP_MOD + 1} AS DOUBLE) AS u
+                       / CAST({_DP_MOD + 2} AS DOUBLE) AS u
             FROM counts
         )
         SELECT event_type, n_events,

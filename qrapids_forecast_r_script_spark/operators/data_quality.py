@@ -250,16 +250,21 @@ def events_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum(F.col("v") * F.col("h")).alias("svh")))
     n = F.col("n_events").cast("double")
     m = F.col("s1") / n
-    var = F.col("s2") / n - m * m
+    # clamp at 0: avg(x^2) - mean^2 can cancel to ~-1e-13 on a
+    # near-constant group, and the degenerate divisors (constant value
+    # or single distinct hour) NULL out via nullif instead of crashing
+    # the profiler under ANSI mode (review finding: a fixed-fee event
+    # type has var = 0 exactly)
+    var = F.greatest(F.col("s2") / n - m * m, F.lit(0.0))
     std = F.sqrt(var)
     mh = F.col("sh") / n
-    stdh = F.sqrt(F.col("sh2") / n - mh * mh)
+    stdh = F.sqrt(F.greatest(F.col("sh2") / n - mh * mh, F.lit(0.0)))
     skew = (F.col("s3") / n - 3 * m * (F.col("s2") / n) + 2 * m * m * m) \
-        / (std * std * std)
+        / F.nullif(std * std * std, F.lit(0.0))
     kurt = (F.col("s4") / n - 4 * m * (F.col("s3") / n)
             + 6 * m * m * (F.col("s2") / n) - 3 * m * m * m * m) \
-        / (var * var) - 3
-    corr = (F.col("svh") / n - m * mh) / (std * stdh)
+        / F.nullif(var * var, F.lit(0.0)) - 3
+    corr = (F.col("svh") / n - m * mh) / F.nullif(std * stdh, F.lit(0.0))
     return (a.select("event_type", "n_events",
                      F.round(m, 4).alias("mean_value"),
                      F.round(std, 4).alias("std_value"),
@@ -272,7 +277,9 @@ def events_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # declared contract for the events feed: the checks a producer/consumer
 # data contract would pin (Great-Expectations-style), each one a
 # conditional aggregate over ONE pass (plus the distinct-key check).
-_CONTRACT_TYPES = "('view', 'click', 'purchase', 'signup', 'error')"
+_CONTRACT_TYPE_LIST = ["view", "click", "purchase", "signup", "error"]
+# SQL tuple derived from the SAME list — the two sides cannot desync
+_CONTRACT_TYPES = "(" + ", ".join(f"'{t}'" for t in _CONTRACT_TYPE_LIST) + ")"
 _TS_LO, _TS_HI = "2024-01-01", "2025-01-01"
 _VAL_MAX = 10000.0
 
@@ -301,8 +308,8 @@ def events_contract_violations(spark: SparkSession,
         F.count(F.when(F.col("ts").isNull()
                        | (F.col("ts") < lo) | (F.col("ts") >= hi), 1))
         .alias("ts_out_of_window"),
-        F.count(F.when(~F.col("event_type").isin(
-            "view", "click", "purchase", "signup", "error"), 1))
+        F.count(F.when(F.col("event_type").isNull()
+                       | ~F.col("event_type").isin(*_CONTRACT_TYPE_LIST), 1))
         .alias("unknown_event_type"),
         F.count(F.when(F.col("value").isNull()
                        | (F.col("value") < 0)
@@ -316,8 +323,12 @@ def events_contract_violations(spark: SparkSession,
         "stack({n}, {pairs}) as (rule, n_violations)".format(
             n=len(rules),
             pairs=", ".join(f"'{r}', {r}" for r in rules)))
+    # nullif: an EMPTY partition (n_rows = 0) must still report, not
+    # crash with ANSI divide-by-zero — emptiness is itself a condition
+    # the gate's consumer wants to see
     return (long.select("rule", "n_violations",
-                        F.round(F.col("n_violations") / F.col("n_rows"), 6)
+                        F.round(F.col("n_violations")
+                                / F.nullif(F.col("n_rows"), F.lit(0)), 6)
                         .alias("violation_rate"))
             .orderBy("rule"))
 
@@ -437,20 +448,20 @@ ORACLES["events_numeric_profile"] = """
         FROM a
     ), g AS (
         SELECT *,
-               sqrt(s2 / n - m * m) AS std,
-               s2 / n - m * m AS var,
-               sqrt(sh2 / n - mh * mh) AS stdh
+               sqrt(greatest(s2 / n - m * m, 0.0)) AS std,
+               greatest(s2 / n - m * m, 0.0) AS var,
+               sqrt(greatest(sh2 / n - mh * mh, 0.0)) AS stdh
         FROM f
     )
     SELECT event_type, n_events,
            round(m, 4) AS mean_value,
            round(std, 4) AS std_value,
            round((s3 / n - 3 * m * (s2 / n) + 2 * m * m * m)
-                 / (std * std * std), 4) AS skewness,
+                 / nullif(std * std * std, 0.0), 4) AS skewness,
            round((s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n)
-                  - 3 * m * m * m * m) / (var * var) - 3, 4)
+                  - 3 * m * m * m * m) / nullif(var * var, 0.0) - 3, 4)
                AS excess_kurtosis,
-           round((svh / n - m * mh) / (std * stdh), 4)
+           round((svh / n - m * mh) / nullif(std * stdh, 0.0), 4)
                AS corr_value_hour
     FROM g ORDER BY event_type
 """
@@ -465,8 +476,9 @@ ORACLES["events_contract_violations"] = f"""
                count(*) FILTER (WHERE ts IS NULL
                    OR ts < TIMESTAMP '{_TS_LO}'
                    OR ts >= TIMESTAMP '{_TS_HI}') AS ts_out_of_window,
-               count(*) FILTER (WHERE event_type NOT IN
-                   {_CONTRACT_TYPES}) AS unknown_event_type,
+               count(*) FILTER (WHERE event_type IS NULL
+                   OR event_type NOT IN {_CONTRACT_TYPES})
+                   AS unknown_event_type,
                count(*) FILTER (WHERE value IS NULL OR value < 0
                    OR value > {_VAL_MAX}) AS value_out_of_range
         FROM events
@@ -484,7 +496,7 @@ ORACLES["events_contract_violations"] = f"""
                value_out_of_range FROM agg
     )
     SELECT rule, n_violations,
-           round(n_violations / CAST(n_rows AS DOUBLE), 6)
+           round(n_violations / nullif(CAST(n_rows AS DOUBLE), 0.0), 6)
                AS violation_rate
     FROM long ORDER BY rule
 """

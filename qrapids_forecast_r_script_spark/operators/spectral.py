@@ -107,15 +107,12 @@ def embedding_pca_projection(spark: SparkSession,
     labels = (load_table(spark, sf_dir, "embeddings")
               .select("vec_id", "label"))
     projf = proj.join(labels, "vec_id").withColumnRenamed("p", "proj")
-    # integer micro-unit mean (round-half-away), the midpoint-proof
-    # group mean from centroid_label_confusion
+    from .training_prep import grid_mean_micro
     p6 = F.round(F.col("proj") * 1e6, 0).cast("bigint")
-    s6, nv = F.sum(p6), F.count(F.lit(1))
-    half = F.when(s6 >= 0, nv).otherwise(-nv)
-    mean6 = ((2 * s6 + half) / (2 * nv)).cast("bigint")
+    nv = F.count(F.lit(1))
     return (projf.groupBy("label")
             .agg(nv.alias("n_vecs"),
-                 (mean6.cast("double") / 1e6).alias("mean_proj"),
+                 grid_mean_micro(F.sum(p6), nv).alias("mean_proj"),
                  F.round(F.sqrt(F.avg(F.col("proj") * F.col("proj"))),
                          _DP).alias("rms_proj"))
             .orderBy("label"))

@@ -182,6 +182,23 @@ def sequence_packing_examples(spark: SparkSession, sf_dir: str,
             .withColumn("crosses_boundary", F.col("n_docs") > 1))
 
 
+def grid_mean_micro(s6, nv):
+    """Group mean of 1e-6 fixed-point BIGINT values with INTEGER
+    round-half-away-from-zero: (2·Σ ± n) / 2n truncated, then /1e6.
+
+    A float round(Σ/n, 6) hits an exact decimal midpoint whenever
+    n | 2·Σ oddly (observed at sf0.01: 522353/2 → .2611765) and the
+    engines' half-up vs half-even tie rules then split; the integer
+    form is midpoint-deterministic, and away from midpoints the
+    quotient sits ≥ 1/(2n) from any integer — far beyond one ulp — so
+    truncating the exact-ratio double is safe.  Shared by
+    `centroid_label_confusion` and `spectral.embedding_pca_projection`
+    (review finding: three hand-rolled copies had diverged already)."""
+    half = F.when(s6 >= 0, nv).otherwise(-nv)
+    return (((2 * s6 + half) / (2 * nv)).cast("bigint")
+            .cast("double") / 1e6)
+
+
 def centroid_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Noisy-label audit: nearest-label-centroid confusion matrix over
     the ``embeddings`` table.
@@ -220,20 +237,11 @@ def centroid_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
          .orderBy(F.col("cos6").desc(), F.col("clabel").asc()))
     pred = (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1))
-    # group mean in micro-units with INTEGER round-half-away-from-zero:
-    # (2·Σ ± n) / 2n truncated.  A float round(Σ/n, 6) hits an exact
-    # decimal midpoint whenever n | 2·Σ oddly (observed at sf0.01:
-    # 522353/2 → .2611765) and the engines' half-up vs half-even tie
-    # rules then split; the integer form is midpoint-deterministic, and
-    # away from midpoints the quotient sits ≥ 1/(2n) from any integer —
-    # far beyond one ulp — so truncating the exact-ratio double is safe.
-    s6, nv = F.sum("cos6"), F.count(F.lit(1))
-    half = F.when(s6 >= 0, nv).otherwise(-nv)
-    avg6 = ((2 * s6 + half) / (2 * nv)).cast("bigint")
+    nv = F.count(F.lit(1))
     return (pred.groupBy(F.col("label").alias("true_label"),
                          F.col("clabel").alias("pred_label"))
             .agg(nv.alias("n_vecs"),
-                 (avg6.cast("double") / 1e6).alias("avg_cos"))
+                 grid_mean_micro(F.sum("cos6"), nv).alias("avg_cos"))
             .orderBy("true_label", "pred_label"))
 
 

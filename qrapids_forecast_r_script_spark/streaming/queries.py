@@ -220,6 +220,19 @@ def events_stream_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _watermarked_typed_side(spark, sf_dir, alias: str, etype: str):
+    """One side of a stream-stream join: the event-type-filtered stream
+    with a 1-hour watermark and aliased columns.  Shared by the inner
+    and left-outer joins so their watermark/state contracts cannot
+    drift apart (review finding: two verbatim nested copies)."""
+    return (events_stream(spark, sf_dir)
+            .where(F.col("event_type") == etype)
+            .select(F.col("event_id").alias(f"{alias}_id"),
+                    F.col("user_id").alias(f"{alias}_user"),
+                    F.col("ts").alias(f"{alias}_ts"))
+            .withWatermark(f"{alias}_ts", "1 hour"))
+
+
 def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real watermarked stream-stream inner join: error events joined to
     same-user purchase events within ±30 minutes.
@@ -232,15 +245,8 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB/day the same query holds: state is (rate × 1.5 h) per
     side, keyed and co-partitioned by user_id.
     """
-    def _side(alias: str, etype: str):
-        return (events_stream(spark, sf_dir)
-                .where(F.col("event_type") == etype)
-                .select(F.col("event_id").alias(f"{alias}_id"),
-                        F.col("user_id").alias(f"{alias}_user"),
-                        F.col("ts").alias(f"{alias}_ts"))
-                .withWatermark(f"{alias}_ts", "1 hour"))
-
-    err, pur = _side("err", "error"), _side("pur", "purchase")
+    err = _watermarked_typed_side(spark, sf_dir, "err", "error")
+    pur = _watermarked_typed_side(spark, sf_dir, "pur", "purchase")
     joined = (err.join(
         pur,
         (F.col("err_user") == F.col("pur_user"))
@@ -276,15 +282,8 @@ def events_stream_stream_left_join(spark: SparkSession,
     demonstrates.  State stays (rate × 1.5 h) per side, co-partitioned
     on user_id, same as the inner form.
     """
-    def _side(alias: str, etype: str):
-        return (events_stream(spark, sf_dir)
-                .where(F.col("event_type") == etype)
-                .select(F.col("event_id").alias(f"{alias}_id"),
-                        F.col("user_id").alias(f"{alias}_user"),
-                        F.col("ts").alias(f"{alias}_ts"))
-                .withWatermark(f"{alias}_ts", "1 hour"))
-
-    err, pur = _side("err", "error"), _side("pur", "purchase")
+    err = _watermarked_typed_side(spark, sf_dir, "err", "error")
+    pur = _watermarked_typed_side(spark, sf_dir, "pur", "purchase")
     joined = (err.join(
         pur,
         (F.col("err_user") == F.col("pur_user"))
