@@ -75,11 +75,14 @@ def wholestage_codegen_count(df: DataFrame, plan: str | None = None) -> int:
 
 def python_eval_count(df: DataFrame, plan: str | None = None) -> int:
     """Python-boundary operators in the plan (ArrowEvalPython,
-    FlatMapGroupsInPandas, MapInPandas, BatchEvalPython).  The engine's
-    budget is: >0 only for forecast fitting and multimodal extraction."""
+    FlatMapGroupsInPandas, FlatMapCoGroupsInPandas, MapInPandas,
+    BatchEvalPython incl. the UDTF node).  The engine's budget is:
+    >0 only for forecast fitting, multimodal extraction, and the two
+    documented API-surface demos (UDTF chunker, cogrouped as-of)."""
     plan = plan or executed_plan(df)
     return len(re.findall(r"(?:ArrowEvalPython|BatchEvalPython|"
-                          r"FlatMapGroupsInPandas|MapInPandas)", plan))
+                          r"FlatMapGroupsInPandas|FlatMapCoGroupsInPandas|"
+                          r"MapInPandas)", plan))
 
 
 def has_cartesian(df: DataFrame, plan: str | None = None) -> bool:
