@@ -158,6 +158,8 @@ HEADLINE = [
     "ab_test_report",
     "purchase_attribution_decay",
     "proximity_search",
+    # label-propagation communities over the dup graph
+    "doc_graph_communities",
 ]
 
 

@@ -132,6 +132,99 @@ def _pagerank_oracle_sql(iters: int = _PR_ITERS) -> str:
 _TRI_TOP = 20
 
 
+_LPA_ITERS = 2
+
+
+def doc_graph_communities(spark: SparkSession, sf_dir: str,
+                          iters: int = _LPA_ITERS) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the near-dup pair graph: every node starts as its
+    own label; each round it adopts the MOST FREQUENT label among its
+    neighbors (ties → smallest label; isolated nodes keep their own).
+    Two unrolled rounds, then the per-community summary — size and
+    smallest member — ordered largest-first.
+
+    Where `dedup_clusters` answers "which docs are transitively
+    connected" (connected components), LPA answers "which docs sit in a
+    DENSELY connected region": a chain of borderline matches stays
+    split into local communities instead of collapsing into one giant
+    cluster — the view an auditor wants when CC returns a
+    mega-component.
+
+    Everything is INTEGER arithmetic (labels, counts), so the unrolled
+    oracle is exact with no rounding discipline at all.  Per round:
+    one neighbor-label count keyed by (node, label) and one argmax
+    window per node — fan-out bounded by degree (band-bounded on this
+    graph); the same plan repeats at scale until labels stabilize."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+           .union(pairs.select(F.col("doc_b").alias("src"),
+                               F.col("doc_a").alias("dst")))
+           .localCheckpoint())
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
+    for _ in range(iters):
+        nb = (sym.join(labels.select(F.col("doc_id").alias("dst"),
+                                     F.col("lbl").alias("nlbl")), "dst")
+              .groupBy("src", "nlbl")
+              .agg(F.count(F.lit(1)).alias("c")))
+        w = (Window.partitionBy("src")
+             .orderBy(F.col("c").desc(), F.col("nlbl").asc()))
+        pick = (nb.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select(F.col("src").alias("doc_id"),
+                        F.col("nlbl").alias("new_lbl")))
+        labels = (labels.join(pick, "doc_id", "left")
+                  .select("doc_id",
+                          F.coalesce("new_lbl", "lbl").alias("lbl"))
+                  .localCheckpoint())
+    return (labels.groupBy(F.col("lbl").alias("community"))
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.min("doc_id").alias("first_member"))
+            .orderBy(F.col("n_members").desc(), F.col("community").asc()))
+
+
+def _communities_oracle_sql(iters: int = _LPA_ITERS) -> str:
+    prev = "l0"
+    ctes = []
+    for i in range(iters):
+        cur = f"l{i + 1}"
+        ctes.append(f"""
+        {cur} AS (
+            SELECT p.doc_id, coalesce(pk.new_lbl, p.lbl) AS lbl
+            FROM {prev} p
+            LEFT JOIN (
+                SELECT src AS doc_id, nlbl AS new_lbl FROM (
+                    SELECT s.src, q.lbl AS nlbl, count(*) AS c,
+                           row_number() OVER (PARTITION BY s.src
+                               ORDER BY count(*) DESC, q.lbl ASC) AS rn
+                    FROM sym s JOIN {prev} q ON s.dst = q.doc_id
+                    GROUP BY s.src, q.lbl)
+                WHERE rn = 1) pk ON p.doc_id = pk.doc_id
+        )""")
+        prev = cur
+    return _SIG_CTE + f"""
+        , bands AS ({_BANDS_UNION}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                        AND a.doc_id < b.doc_id
+        ),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),{",".join(ctes)}
+        SELECT lbl AS community, count(*) AS n_members,
+               min(doc_id) AS first_member
+        FROM {prev}
+        GROUP BY lbl
+        ORDER BY n_members DESC, community ASC
+    """
+
+
 def doc_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle count and local clustering coefficient
     over the near-dup pair graph — the second classic graph audit
@@ -227,6 +320,8 @@ def _triangles_oracle_sql() -> str:
 
 
 QUERIES = {"doc_graph_pagerank": doc_graph_pagerank,
+           "doc_graph_communities": doc_graph_communities,
            "doc_graph_triangles": doc_graph_triangles}
 ORACLES = {"doc_graph_pagerank": _pagerank_oracle_sql(),
+           "doc_graph_communities": _communities_oracle_sql(),
            "doc_graph_triangles": _triangles_oracle_sql()}
