@@ -160,6 +160,9 @@ HEADLINE = [
     "proximity_search",
     # label-propagation communities over the dup graph
     "doc_graph_communities",
+    # OLS trend + split-conformal intervals
+    "series_trend_ols",
+    "conformal_snaive_intervals",
 ]
 
 

@@ -508,6 +508,94 @@ def series_rolling_correlation(spark: SparkSession, sf_dir: str
             .orderBy("name", "index", "evaluationDate"))
 
 
+_CONF_ALPHA = 0.9     # conformal coverage target (90%)
+_CONF_CAL = 7         # calibration window: the trailing week
+_CONF_H = 7           # forecast horizon
+
+
+def series_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares trend: slope/day, intercept, and R² of
+    value ~ day-index — the closed-form trend read that complements
+    `series_changepoint_cusum` (CUSUM finds a SHIFT, OLS quantifies a
+    DRIFT; the reference's DRIFT forecaster R:104-124 assumes exactly
+    this linear model).
+
+    One per-series aggregate of raw sums (Σx, Σy, Σxy, Σx², Σy²) —
+    the numeric-profile cost shape; the closed forms divide exact-ish
+    sums and round at 6dp, with zero-variance guards on both sides."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    pts = metrics.withColumn(
+        "x", (F.row_number().over(w) - 1).cast("double"))
+    a = (pts.groupBy("name", "index")
+         .agg(F.count(F.lit(1)).alias("n_points"),
+              F.sum("x").alias("sx"),
+              F.sum("value").alias("sy"),
+              F.sum(F.col("x") * F.col("value")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("value") * F.col("value")).alias("syy")))
+    n = F.col("n_points").cast("double")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    vx = F.greatest(F.col("sxx") / n - mx * mx, F.lit(0.0))
+    vy = F.greatest(F.col("syy") / n - my * my, F.lit(0.0))
+    cxy = F.col("sxy") / n - mx * my
+    slope = cxy / F.nullif(vx, F.lit(0.0))
+    r2 = (cxy * cxy) / F.nullif(vx * vy, F.lit(0.0))
+    return (a.select("name", "index", "n_points",
+                     F.round(slope, 6).alias("slope"),
+                     F.round(my - slope * mx, 6).alias("intercept"),
+                     F.round(r2, 6).alias("r2"))
+            .orderBy("name", "index"))
+
+
+def conformal_snaive_intervals(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Split-conformal prediction intervals around the SNAIVE forecast
+    (Vovk et al. 2005; the distribution-free upgrade of the Gaussian
+    bands the reference derives from residual variance R:167-173): the
+    trailing week is held out as the CALIBRATION slice, scored with
+    |y − y[t−7]|, and the interval half-width is the exact interpolated
+    90th-percentile of those scores — valid coverage under
+    exchangeability with NO normality assumption.
+
+    Per series: one window pass for the lag-7 residuals, one exact
+    per-series percentile over 7 calibration points (the
+    `value_percentiles_by_type` percentile pairing: Spark `percentile`
+    == DuckDB `quantile_cont`, both type-7 interpolation), and a
+    horizon explode whose point forecasts repeat the final observed
+    week — the closed-form SNAIVE the oracle already models."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    seq = (metrics
+           .withColumn("t", F.row_number().over(w) - 1)
+           .withColumn("n", F.count(F.lit(1)).over(
+               Window.partitionBy("name", "index")))
+           .withColumn("lag7", F.lag("value", 7).over(w)))
+    calib = (seq.where((F.col("t") >= F.col("n") - _CONF_CAL)
+                       & F.col("lag7").isNotNull())
+             .groupBy("name", "index")
+             .agg(F.round(F.percentile(
+                 F.abs(F.col("value") - F.col("lag7")),
+                 F.lit(_CONF_ALPHA)), 6).alias("q_width")))
+    last_week = (seq.where(F.col("t") >= F.col("n") - 7)
+                 .select("name", "index",
+                         (F.col("t") - (F.col("n") - 7)).alias("pos"),
+                         F.col("value").alias("point")))
+    steps = (last_week
+             .withColumn("step", F.col("pos").cast("bigint") + 1)
+             .join(calib, ["name", "index"])
+             .select("name", "index", "step",
+                     F.round("point", 6).alias("point"),
+                     "q_width",
+                     F.round(F.col("point") - F.col("q_width"), 6)
+                     .alias("lower"),
+                     F.round(F.col("point") + F.col("q_width"), 6)
+                     .alias("upper")))
+    return steps.orderBy("name", "index", "step")
+
+
 EVAL_QUERIES = {
     "backtest_closed_forms": backtest_closed_forms,
     "ensemble_closed_forms": ensemble_closed_forms,
@@ -515,6 +603,8 @@ EVAL_QUERIES = {
     "seasonal_residual_outliers": seasonal_residual_outliers,
     "series_changepoint_cusum": series_changepoint_cusum,
     "series_rolling_correlation": series_rolling_correlation,
+    "series_trend_ols": series_trend_ols,
+    "conformal_snaive_intervals": conformal_snaive_intervals,
 }
 
 # Shared CTE chain (through preds) for the holdout-based evals — one
@@ -819,4 +909,65 @@ EVAL_ORACLES["series_rolling_correlation"] = f"""
                  4) AS corr7
     FROM winst WHERE nw = {_RC_WIN}
     ORDER BY name, index, evaluationDate
+"""
+
+EVAL_ORACLES["series_trend_ols"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    pts AS (
+        SELECT name, index, value,
+               CAST(row_number() OVER (PARTITION BY name, index
+                    ORDER BY evaluationDate) - 1 AS DOUBLE) AS x
+        FROM m
+    ), a AS (
+        SELECT name, index, count(*) AS n_points,
+               sum(x) AS sx, sum(value) AS sy,
+               sum(x * value) AS sxy, sum(x * x) AS sxx,
+               sum(value * value) AS syy
+        FROM pts GROUP BY name, index
+    ), f AS (
+        SELECT *, CAST(n_points AS DOUBLE) AS n,
+               sx / n_points AS mx, sy / n_points AS my
+        FROM a
+    ), g AS (
+        SELECT *,
+               greatest(sxx / n - mx * mx, 0.0) AS vx,
+               greatest(syy / n - my * my, 0.0) AS vy,
+               sxy / n - mx * my AS cxy
+        FROM f
+    )
+    SELECT name, index, n_points,
+           round(cxy / nullif(vx, 0.0), 6) AS slope,
+           round(my - (cxy / nullif(vx, 0.0)) * mx, 6) AS intercept,
+           round((cxy * cxy) / nullif(vx * vy, 0.0), 6) AS r2
+    FROM g ORDER BY name, index
+"""
+
+EVAL_ORACLES["conformal_snaive_intervals"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    seq AS (
+        SELECT name, index, value,
+               row_number() OVER w - 1 AS t,
+               count(*) OVER (PARTITION BY name, index) AS n,
+               lag(value, 7) OVER w AS lag7
+        FROM m
+        WINDOW w AS (PARTITION BY name, index ORDER BY evaluationDate)
+    ), calib AS (
+        SELECT name, index,
+               round(quantile_cont(abs(value - lag7), {_CONF_ALPHA}), 6)
+                   AS q_width
+        FROM seq
+        WHERE t >= n - {_CONF_CAL} AND lag7 IS NOT NULL
+        GROUP BY name, index
+    ), last_week AS (
+        SELECT name, index,
+               CAST(t - (n - 7) + 1 AS BIGINT) AS step,
+               value AS point
+        FROM seq WHERE t >= n - 7
+    )
+    SELECT l.name, l.index, l.step,
+           round(l.point, 6) AS point, c.q_width,
+           round(l.point - c.q_width, 6) AS lower,
+           round(l.point + c.q_width, 6) AS upper
+    FROM last_week l JOIN calib c USING (name, index)
+    ORDER BY l.name, l.index, l.step
 """
