@@ -189,7 +189,7 @@ def main() -> None:
             samples.append(time.time() - t0)
         timings[name] = round(statistics.median(samples), 3)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
@@ -197,7 +197,20 @@ def main() -> None:
         "sf": float(sf),
         "reps": reps,
         "stat": "median",
-    }))
+    })
+    print(line)
+    # Persist the FULL line in-repo: the driver's BENCH_r{N}.json tail
+    # truncates to 2000 chars, which destroyed cross-round per-query
+    # deltas (r3 verdict bench-hygiene ask).  Round number from
+    # $SPARK_GRAFT_ROUND when the driver sets it, else "local".
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "local")
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       f"BENCH_LOCAL_r{rnd}.json")
+    try:
+        with open(out, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
 
 
 if __name__ == "__main__":

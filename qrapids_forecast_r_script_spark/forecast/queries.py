@@ -464,10 +464,15 @@ _RC_WIN = 7
 
 def series_rolling_correlation(spark: SparkSession, sf_dir: str
                                ) -> DataFrame:
-    """Trailing 7-day rolling Pearson correlation of every metric
-    series against the ``purchase`` series, aligned by date — the
-    co-movement monitor behind "did clicks decouple from purchases this
-    week?" dashboards.  Only full 7-point windows emit.
+    """Trailing rolling Pearson correlation over the last 7 ALIGNED
+    OBSERVATIONS of every metric series against the ``purchase``
+    series — the co-movement monitor behind "did clicks decouple from
+    purchases this week?" dashboards.  Only full 7-point windows emit.
+    The window is 7 joined observations, not 7 calendar days: if a
+    date lacks a purchase-series row the window spans more than 7
+    days (ADVICE r3 — intentional; a rangeBetween day-offset frame
+    would instead shrink the sample on gappy data, and the daily
+    metric builder emits dense dates in practice).
 
     The purchase side is one tiny aligned series joined back on the
     date key (broadcast); all moments come from trailing window sums
@@ -509,8 +514,8 @@ def series_rolling_correlation(spark: SparkSession, sf_dir: str
 
 
 _CONF_ALPHA = 0.9     # conformal coverage target (90%)
-_CONF_CAL = 7         # calibration window: the trailing week
-_CONF_H = 7           # forecast horizon
+_CONF_CAL = 7         # calibration window: the week BEFORE the base week
+_CONF_H = 7           # forecast horizon = the final (base) week
 
 
 def series_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,10 +559,15 @@ def conformal_snaive_intervals(spark: SparkSession, sf_dir: str
     """Split-conformal prediction intervals around the SNAIVE forecast
     (Vovk et al. 2005; the distribution-free upgrade of the Gaussian
     bands the reference derives from residual variance R:167-173): the
-    trailing week is held out as the CALIBRATION slice, scored with
-    |y − y[t−7]|, and the interval half-width is the exact interpolated
-    90th-percentile of those scores — valid coverage under
-    exchangeability with NO normality assumption.
+    week BEFORE the forecast base week — t ∈ [n−14, n−7), disjoint
+    from the final week whose values become the SNAIVE points — is
+    held out as the CALIBRATION slice, scored with |y − y[t−7]|, and
+    the interval half-width is the exact interpolated 90th-percentile
+    of those scores — valid coverage under exchangeability with NO
+    normality assumption.  (ADVICE r3: calibrating on the SAME
+    trailing week that supplies the point forecasts made the "split"
+    non-disjoint; the calibration window now ends where the forecast
+    base week begins.)
 
     Per series: one window pass for the lag-7 residuals, one exact
     per-series percentile over 7 calibration points (the
@@ -573,15 +583,16 @@ def conformal_snaive_intervals(spark: SparkSession, sf_dir: str
            .withColumn("n", F.count(F.lit(1)).over(
                Window.partitionBy("name", "index")))
            .withColumn("lag7", F.lag("value", 7).over(w)))
-    calib = (seq.where((F.col("t") >= F.col("n") - _CONF_CAL)
+    calib = (seq.where((F.col("t") >= F.col("n") - (_CONF_CAL + _CONF_H))
+                       & (F.col("t") < F.col("n") - _CONF_H)
                        & F.col("lag7").isNotNull())
              .groupBy("name", "index")
              .agg(F.round(F.percentile(
                  F.abs(F.col("value") - F.col("lag7")),
                  F.lit(_CONF_ALPHA)), 6).alias("q_width")))
-    last_week = (seq.where(F.col("t") >= F.col("n") - 7)
+    last_week = (seq.where(F.col("t") >= F.col("n") - _CONF_H)
                  .select("name", "index",
-                         (F.col("t") - (F.col("n") - 7)).alias("pos"),
+                         (F.col("t") - (F.col("n") - _CONF_H)).alias("pos"),
                          F.col("value").alias("point")))
     steps = (last_week
              .withColumn("step", F.col("pos").cast("bigint") + 1)
@@ -956,13 +967,14 @@ EVAL_ORACLES["conformal_snaive_intervals"] = f"""
                round(quantile_cont(abs(value - lag7), {_CONF_ALPHA}), 6)
                    AS q_width
         FROM seq
-        WHERE t >= n - {_CONF_CAL} AND lag7 IS NOT NULL
+        WHERE t >= n - {_CONF_CAL + _CONF_H} AND t < n - {_CONF_H}
+          AND lag7 IS NOT NULL
         GROUP BY name, index
     ), last_week AS (
         SELECT name, index,
-               CAST(t - (n - 7) + 1 AS BIGINT) AS step,
+               CAST(t - (n - {_CONF_H}) + 1 AS BIGINT) AS step,
                value AS point
-        FROM seq WHERE t >= n - 7
+        FROM seq WHERE t >= n - {_CONF_H}
     )
     SELECT l.name, l.index, l.step,
            round(l.point, 6) AS point, c.q_width,

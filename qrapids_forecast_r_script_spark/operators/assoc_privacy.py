@@ -10,12 +10,14 @@ product-analytics and data-quality layers):
 - ``k_anonymity_audit``: per-quasi-identifier-cell size audit
   (Sweeney 2002) over ``customer`` — the release-gate question "does
   any published cell isolate fewer than k people?".
-- ``dp_noisy_counts``: a differentially-private count release
-  (Laplace mechanism, Dwork et al. 2006) with DETERMINISTIC
-  hash-seeded noise — inverse-CDF over the engine's reproducible
-  md5-uniform, so the release is replayable and exactly SQL-oracled
-  (production would swap the seeded uniform for a CSPRNG draw; the
-  mechanism, sensitivity, and ε accounting are identical).
+- ``dp_noisy_counts``: a Laplace-MECHANISM demo (Dwork et al. 2006)
+  with DETERMINISTIC hash-seeded noise — inverse-CDF over the
+  engine's reproducible md5-uniform, so the output is replayable and
+  exactly SQL-oracled but NOT private (the seed is derived from the
+  public group key and is emitted as a ``deterministic_seed`` column
+  so no consumer mistakes it for a DP release; production swaps the
+  seeded uniform for a CSPRNG draw — the mechanism, sensitivity, and
+  ε accounting are identical).
 
 All pure Catalyst, all exactly DuckDB-oracled.
 
@@ -101,11 +103,21 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε=1 Laplace release of per-event-type counts.  Noise =
-    −b·sgn(u−½)·ln(1−2|u−½|) with u drawn from the reproducible
-    md5-uniform over the group key (strictly inside (0,1) so the log is
-    finite); the 6dp rounding absorbs cross-libm ln drift (the
-    weighted-sampling precedent).  Count sensitivity is 1, so b=1/ε."""
+    """Laplace-MECHANISM-shape demo over per-event-type counts — NOT a
+    private release.  Noise = −b·sgn(u−½)·ln(1−2|u−½|) with u drawn
+    from the reproducible md5-uniform over the PUBLIC group key, so
+    anyone holding the key can invert the noise exactly: ε here labels
+    the mechanism's scale (b = 1/ε for count sensitivity 1), it is not
+    a privacy guarantee (ADVICE r3).  The ``deterministic_seed`` column
+    makes that explicit in the output itself — a consumer seeing the
+    seed next to the noisy count cannot mistake this for a DP release.
+    Production swaps the seeded uniform for a CSPRNG draw (then drops
+    the seed column); mechanism, sensitivity, and ε accounting are
+    identical, which is exactly what makes the demo SQL-oracled.
+
+    u stays strictly inside (0,1) so the log is finite; the 6dp
+    rounding absorbs cross-libm ln drift (the weighted-sampling
+    precedent)."""
     ev = load_table(spark, sf_dir, "events")
     counts = (ev.groupBy("event_type")
               .agg(F.count(F.lit(1)).alias("n_events")))
@@ -115,11 +127,13 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND can never be exactly 0.5 (2k+2 = m+2 needs k = m/2, not an
     # integer), so signum(u-1/2) never returns 0 — a 0.5 draw would
     # release ZERO noise, i.e. the true count (review finding)
-    u = (F.pmod(h, F.lit(_DP_MOD)) + 1) / F.lit(float(_DP_MOD + 2))
+    seed = F.pmod(h, F.lit(_DP_MOD))
+    u = (seed + 1) / F.lit(float(_DP_MOD + 2))
     noise = (-F.lit(1.0 / _DP_EPS) * F.signum(u - 0.5)
              * F.log(1.0 - 2.0 * F.abs(u - 0.5)))
     return (counts
             .withColumn("epsilon", F.lit(_DP_EPS))
+            .withColumn("deterministic_seed", seed)
             .withColumn("noisy_count",
                         F.round(F.col("n_events") + noise, 6))
             .orderBy("event_type"))
@@ -179,17 +193,21 @@ ORACLES = {
             FROM events GROUP BY 1
         ), seeded AS (
             SELECT event_type, n_events,
-                   ((('0x' || substr(md5(event_type), 1, 8))::BIGINT
-                     % {_DP_MOD}) + 1)
-                       / CAST({_DP_MOD + 2} AS DOUBLE) AS u
+                   ('0x' || substr(md5(event_type), 1, 8))::BIGINT
+                     % {_DP_MOD} AS deterministic_seed
             FROM counts
+        ), uni AS (
+            SELECT *, (deterministic_seed + 1)
+                       / CAST({_DP_MOD + 2} AS DOUBLE) AS u
+            FROM seeded
         )
         SELECT event_type, n_events,
                CAST({_DP_EPS} AS DOUBLE) AS epsilon,
+               deterministic_seed,
                round(n_events
                      + (-1.0 / {_DP_EPS}) * sign(u - 0.5)
                        * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
                    AS noisy_count
-        FROM seeded ORDER BY event_type
+        FROM uni ORDER BY event_type
     """,
 }

@@ -42,7 +42,18 @@ _SCHEMA = ("event_id bigint, user_id bigint, ts timestamp, "
            "days_since_order bigint")
 
 
-_COGROUP_BUCKETS = 32
+def _cogroup_buckets(spark: SparkSession) -> int:
+    """Bucket count = the session's ``spark.sql.shuffle.partitions``
+    (ADVICE r3: a fixed 32 was a parallelism cap the docstring claimed
+    scaled with the cluster — now it actually does).  Results are
+    invariant to the bucket count: bucketing only groups users into
+    pandas batches, and ``merge_asof(by=user)`` keys the logic on the
+    user inside each batch — the oracle-parity test at any setting is
+    the proof."""
+    try:
+        return max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        return 32
 
 
 def _align(_key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
@@ -75,21 +86,23 @@ def events_orders_asof_cogroup(spark: SparkSession,
     """Per-user as-of attribution of events to their latest preceding
     order, via co-grouped applyInPandas (see module docstring).
 
-    Co-group key: a 32-way user-hash BUCKET, not the raw user — one
-    pandas group per user pays the fixed Arrow/pandas per-group cost
-    per key (measured 24.8 s at sf0.1 for ~1.5k users), while bucketed
-    groups amortize it and let merge_asof(by=user) do the per-user
-    logic vectorized inside the batch (measured ~1 s).  Same shuffle,
-    same semantics; at 100 TB the bucket count scales with the
-    cluster, bounded state per task either way."""
+    Co-group key: a user-hash BUCKET (one per shuffle partition of the
+    session), not the raw user — one pandas group per user pays the
+    fixed Arrow/pandas per-group cost per key (measured 24.8 s at
+    sf0.1 for ~1.5k users), while bucketed groups amortize it and let
+    merge_asof(by=user) do the per-user logic vectorized inside the
+    batch (measured ~1 s).  Same shuffle, same semantics; the bucket
+    count follows ``spark.sql.shuffle.partitions``, so it scales with
+    the cluster config — bounded state per task either way."""
+    n_buckets = _cogroup_buckets(spark)
     events = (load_table(spark, sf_dir, "events")
               .select("event_id", "user_id", "ts")
               .withColumn("bucket",
-                          F.pmod("user_id", F.lit(_COGROUP_BUCKETS))))
+                          F.pmod("user_id", F.lit(n_buckets))))
     orders = (load_table(spark, sf_dir, "orders")
               .select("o_custkey", "o_orderkey", "o_orderdate")
               .withColumn("bucket",
-                          F.pmod("o_custkey", F.lit(_COGROUP_BUCKETS))))
+                          F.pmod("o_custkey", F.lit(n_buckets))))
     return (events.groupBy("bucket")
             .cogroup(orders.groupBy("bucket"))
             .applyInPandas(_align, schema=_SCHEMA))

@@ -983,31 +983,38 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_K = 10
-_KNN_ANCHOR_MOD = 5     # evaluate every 5th vector (deterministic sample)
+_KNN_ANCHORS = 200      # CONSTANT anchor-sample size (md5-ordered limit)
 
 
 def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-quality eval via kNN CLASSIFICATION: a deterministic
-    1-in-5 anchor sample is classified by the majority label of its 10
-    exact nearest neighbors (ties broken by label string) and scored
+    """Embedding-quality eval via kNN CLASSIFICATION: a CONSTANT-size
+    deterministic anchor sample (the first ``_KNN_ANCHORS`` = 200
+    vectors in md5(vec_id) order — the ``fixed_k_sample_per_lang``
+    order-by-hash-then-limit shape) is classified by the majority label
+    of its 10 exact nearest neighbors (ties broken by label) and scored
     against its own label — the standard representation-quality probe
     (a kNN accuracy drop on fresh data is the canary for embedding
     drift, and per-label accuracy exposes which classes the space
     confuses).
 
     Output per label: anchor count, kNN accuracy, and the mean
-    majority-vote share (confidence).  Scale: eval cost is
-    |sample|·N — the sample size is the knob (an all-anchor eval
-    measured 28 s at sf0.1 vs 6 s sampled; production swaps the exact
-    ranking for an ANN index, same contract as ``ann_eval_ndcg``);
-    everything after the ranking is k·|sample| rows aggregated on the
-    anchor then the label key."""
+    majority-vote share (confidence).  Scale: the anchor side is a
+    constant 200 rows regardless of corpus size, so the broadcast can
+    NEVER grow with the data (the round-3 1-in-5 modulus sample was
+    corpus-proportional — at 100× it both OOMs the executors and costs
+    N²/5 compute; the constant sample keeps eval cost at 200·N, one
+    corpus scan).  Production swaps the exact ranking for an ANN index,
+    same contract as ``ann_eval_ndcg``; everything after the ranking is
+    k·200 rows aggregated on the anchor then the label key."""
     emb = load_table(spark, sf_dir, "embeddings")
     labels = emb.select("vec_id", "label")
     corpus = (emb.select(F.col("vec_id").alias("neighbor_id"),
                          _as_double("embedding").alias("nvec"))
               .withColumn("nnorm", _norm(F.col("nvec"))))
-    anchors = (emb.where(F.col("vec_id") % _KNN_ANCHOR_MOD == 0)
+    anchors = (emb
+               .orderBy(F.md5(F.col("vec_id").cast("string")),
+                        F.col("vec_id"))
+               .limit(_KNN_ANCHORS)
                .select("vec_id", _as_double("embedding").alias("qvec"))
                .withColumn("qnorm", _norm(F.col("qvec"))))
     sim = F.round(_dot(F.col("qvec"), F.col("nvec"))
@@ -1605,15 +1612,18 @@ ORACLES["knn_label_accuracy"] = f"""
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         FROM embeddings
+    ), anchors AS (
+        SELECT vec_id, emb FROM vecs
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_KNN_ANCHORS}
     ), scored AS (
         SELECT a.vec_id, v.vec_id AS neighbor_id, v.label AS n_label,
                round(list_dot_product(a.emb, v.emb)
                      / (sqrt(list_dot_product(a.emb, a.emb))
                         * sqrt(list_dot_product(v.emb, v.emb))), 6)
                    AS cosine
-        FROM vecs a CROSS JOIN vecs v
+        FROM anchors a CROSS JOIN vecs v
         WHERE a.vec_id != v.vec_id
-          AND a.vec_id % {_KNN_ANCHOR_MOD} = 0
     ), topk AS (
         SELECT * FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id
