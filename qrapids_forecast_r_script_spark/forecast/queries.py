@@ -862,6 +862,84 @@ EVAL_QUERIES["forecast_snaive_monthly_orders"] = forecast_snaive_monthly_orders
 EVAL_ORACLES["forecast_snaive_monthly_orders"] = _SNAIVE_MONTHLY_ORACLE
 
 
+_BT_H = 7  # holdout length for the iterative-method backtest
+
+
+def forecast_method_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout MAE for EVERY iterative reference method (R:6-7) on
+    every metric series — the rows-only driver row that makes numeric
+    regressions in the fit layer visible in the round artifact, not
+    just in local pytest (r3 verdict item 9).  Per series: train all 10
+    methods on y[:-7], forecast 7, score MAE and RMSE against the
+    held-out week.  Deterministic seeds (name, index, method,
+    "backtest"), so a numerics change in ANY model shows up as a
+    changed spark_rows/value set across rounds.
+
+    Shape: ONE applyInPandas pass over (series × method) groups — the
+    method fan-out is a MAP-SIDE explode of the 10-name registry (no
+    join, no cartesian), so every (series, method) fit is its own task
+    and the wall-clock is the slowest single fit (~6 s for HYBRID /
+    BAGGEDETS on a 23-point train window), not the 10-method serial
+    chain per series (measured: 230 s with per-series groups → the
+    per-fit grouping saturates the cores).  Rows out = series ×
+    methods, bounded by the registry size.  Same 100 TB story as
+    ``forecast_batch``: fits fan out one-per-task, each ≤10k points
+    (R:28 cap)."""
+    import pandas as pd
+
+    from .api import prepare_series
+    from .dispatch import METHODS, fit_method, forecast_fitted
+    from .models.common import DEGENERATE_ERRORS
+
+    def backtest(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        name = str(pdf["name"].iloc[0])
+        index = str(pdf["index"].iloc[0])
+        method = str(pdf["method"].iloc[0])
+        y, ds_days = prepare_series(pdf)
+        train, hold = y[:-_BT_H], y[-_BT_H:]
+        seed_key = (name, index, method, "backtest")
+        try:
+            model = fit_method(method, train, 7, ds_days=ds_days[:-_BT_H],
+                               horizon=_BT_H, seed_key=seed_key)
+            mean = forecast_fitted(model, _BT_H, seed_key=seed_key)["mean"]
+            err = hold - np.asarray(mean, float)
+            mae = round(float(np.mean(np.abs(err))), 6)
+            rmse = round(float(np.sqrt(np.mean(err ** 2))), 6)
+        except DEGENERATE_ERRORS:
+            mae = rmse = float("nan")
+        return pd.DataFrame([(name, index, method, _BT_H, mae, rmse)],
+                            columns=["name", "index", "method",
+                                     "n_holdout", "mae", "rmse"])
+
+    metrics = (_metrics(spark, sf_dir)
+               .withColumn("method", F.explode(F.array(
+                   *[F.lit(m) for m in METHODS])))
+               # EXPLICIT partition count: the shuffled bytes are tiny
+               # (a few KB), so AQE would coalesce to ONE partition and
+               # serialize 50 compute-heavy fits (measured 219 s → 29 s
+               # with the pin).  A user-specified repartition is exempt
+               # from AQE coalescing, and groupBy on the same keys
+               # reuses the partitioning — still one shuffle total.
+               # Cost here is CPU-bound per group, not data-bound: the
+               # one case where "let AQE size it" is wrong.
+               .repartition(64, "name", "index", "method"))
+    return (metrics.groupBy("name", "index", "method")
+            .applyInPandas(backtest,
+                           schema="name string, index string, "
+                                  "method string, n_holdout int, "
+                                  "mae double, rmse double"))
+    # no orderBy: a global sort's range-sampling job would re-run every
+    # fit (2× the compute); the driver's rows-only check doesn't read
+    # order, and the local test sorts client-side
+
+
+EVAL_QUERIES["forecast_method_backtest"] = forecast_method_backtest
+# rows-only by design: the 10 fits are iterative optimizations, not
+# SQL-expressible — the closed-form twin with a full oracle is
+# backtest_closed_forms
+
+
 EVAL_ORACLES["series_changepoint_cusum"] = f"""
     WITH m AS ({_METRICS_EVENTS}),
     moments AS (

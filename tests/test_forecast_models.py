@@ -223,6 +223,35 @@ def test_prophet_changepoints_track_slope_break():
     assert rmse < plain_rmse / 5
 
 
+def test_prophet_bands_widen_with_horizon():
+    """Prophet's interval mechanism (Taylor & Letham 2018 §3.1): future
+    trend uncertainty comes from SIMULATED future changepoints arriving
+    at the historical rate with Laplace(0, mean|delta|) magnitudes, so
+    on a changepoint-heavy history the band half-width must GROW with
+    the horizon (the r3 verdict's named failure mode for plain MAP
+    bands, which stay flat).  Pinned: width(h=30) well above width(h=1)
+    and the far half monotone on average; on a constant series (no
+    changepoints, zero residual sigma) the bands stay collapsed —
+    exactly real Prophet's behavior."""
+    from qrapids_forecast_r_script_spark.forecast.models.prophet_like import (
+        fit_prophet_like)
+    t = np.arange(120.0)
+    y = np.where(t < 40, 2 * t,
+                 np.where(t < 80, 80 + 0.2 * (t - 40), 88 - 1.5 * (t - 80)))
+    y = y + np.random.default_rng(7).normal(0, 1.0, len(t))
+    b = fit_prophet_like(19000 + t, y).forecast(30, seed_key=("w",))
+    width = b["upper1"] - b["lower1"]
+    assert width[29] > 2.0 * width[0], (width[0], width[29])
+    assert np.mean(width[15:]) > np.mean(width[:15])
+    # duplicated single band preserved through the simulation (quirk 2)
+    np.testing.assert_array_equal(b["lower1"], b["lower2"])
+    np.testing.assert_array_equal(b["upper1"], b["upper2"])
+    flat = fit_prophet_like(19000 + np.arange(60.0), np.full(60, 5.0))
+    bf = flat.forecast(20, seed_key=("w",))
+    np.testing.assert_allclose(bf["upper1"] - bf["lower1"], 0.0,
+                               atol=1e-9)
+
+
 def test_golden_damped_trend_geometric_increments():
     """Damped-trend (ETS AAdN) closed form (Gardner & McKenzie 1985;
     fpp3 §8.2): ŷ_{n+h} = l + (φ + φ² + … + φ^h)·b, so successive
