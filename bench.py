@@ -163,6 +163,9 @@ HEADLINE = [
     # OLS trend + split-conformal intervals
     "series_trend_ols",
     "conformal_snaive_intervals",
+    # round-4: distribution-free KS drift monitor; tokenizer encode
+    "events_ks_drift",
+    "bpe_encode_docs",
 ]
 
 

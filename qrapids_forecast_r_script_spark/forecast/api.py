@@ -101,10 +101,23 @@ def forecast_batch(spark: SparkSession, metrics: DataFrame, method: str,
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return fit_and_forecast_pdf(pdf, method_u, freq, hor)
 
-    # no explicit repartition: groupBy().applyInPandas already requires —
-    # and inserts — the hash partition on (name, index); an explicit one
-    # would only pin the shuffle width AQE should tune
+    # EXPLICIT repartition on the group key: the shuffled series bytes
+    # are tiny, so AQE's size-based coalescing collapses the exchange to
+    # ONE partition and serializes the fits — but this stage is
+    # CPU-bound per group (an ARIMA grid fit is seconds of numpy per
+    # series), not data-bound.  A user-specified repartition is exempt
+    # from AQE coalescing and groupBy on the same keys reuses it (still
+    # exactly one shuffle).  Measured at sf0.01: BAGGEDETS over 5 series
+    # 30.8 s → ~7 s; the width follows spark.sql.shuffle.partitions, so
+    # a real cluster fans out to its own core count.  Results are
+    # partitioning-invariant (each group fits alone; hash checks are
+    # order-insensitive).
+    try:
+        width = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        width = 32
     return (metrics
+            .repartition(width, "name", "index")
             .groupBy("name", "index")
             .applyInPandas(apply_fn, schema=schemas.FORECAST))
 

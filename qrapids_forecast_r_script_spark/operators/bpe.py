@@ -193,5 +193,83 @@ def _bpe_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
     """
 
 
-QUERIES = {"bpe_merge_rules": bpe_merge_rules}
-ORACLES = {"bpe_merge_rules": _bpe_oracle_sql()}
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ENCODE with the trained merges (r4) — the tokenizer's
+    other half: re-derive the 3 learned merge rules (identical chain to
+    ``bpe_merge_rules``), apply them to the word VOCABULARY, then score
+    every document: word count, character count, post-merge token
+    count, and chars/token compression — the per-document statistic a
+    tokenizer-aware curation pipeline feeds into length budgeting and
+    quality scoring (token-level, not byte-level).
+
+    Scale shape: encoding is VOCAB-bounded, never corpus-bounded — each
+    distinct word is encoded once and the result joins back to the
+    (doc, word) counts (the standard trainer/encoder optimization; the
+    join's right side is the vocabulary, broadcastable).  Character
+    counts come from the SAME initial symbol table the trainer uses
+    (code-point semantics pinned by `_char_syms`), so both engines
+    count astral-plane characters identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    word_doc = (docs.select("doc_id",
+                            F.explode(F.split("text", " ")).alias("word"))
+                .where(F.length("word") > 0)
+                .groupBy("doc_id", "word")
+                .agg(F.count(F.lit(1)).alias("n")))
+    syms0 = _char_syms(_word_table(docs)).localCheckpoint()
+    chars = syms0.groupBy("word").agg(F.count(F.lit(1)).alias("n_chars_w"))
+    syms = syms0
+    for r in range(1, _BPE_ROUNDS + 1):
+        syms, _ = _bpe_round(syms, r)
+    tok = syms.groupBy("word").agg(F.count(F.lit(1)).alias("n_tok_w"))
+    enc = (word_doc
+           .join(F.broadcast(chars), "word")
+           .join(F.broadcast(tok), "word"))
+    return (enc.groupBy("doc_id")
+            .agg(F.sum("n").alias("n_words"),
+                 F.sum(F.col("n_chars_w") * F.col("n")).alias("n_chars"),
+                 F.sum(F.col("n_tok_w") * F.col("n")).alias("n_tokens"))
+            .withColumn("compression",
+                        F.round(F.col("n_chars")
+                                / F.col("n_tokens").cast("double"), 6))
+            .orderBy("doc_id"))
+
+
+def _bpe_encode_oracle_sql(rounds: int = _BPE_ROUNDS) -> str:
+    body = "".join(_round_sql(r) for r in range(1, rounds + 1))
+    return f"""
+    WITH words AS (
+        SELECT word, count(*) AS wf FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE length(word) > 0 GROUP BY word
+    ), syms0 AS (
+        SELECT word, wf, i AS pos, word[i] AS sym
+        FROM words, LATERAL (SELECT unnest(generate_series(1,
+                             length(word))) AS i) t
+    ){body}
+    , chars AS (
+        SELECT word, count(*) AS n_chars_w FROM syms0 GROUP BY word
+    ), tok AS (
+        SELECT word, count(*) AS n_tok_w FROM syms{rounds} GROUP BY word
+    ), wd AS (
+        SELECT doc_id, word, count(*) AS n FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+        WHERE length(word) > 0 GROUP BY 1, 2
+    )
+    SELECT wd.doc_id,
+           CAST(sum(wd.n) AS BIGINT) AS n_words,
+           CAST(sum(c.n_chars_w * wd.n) AS BIGINT) AS n_chars,
+           CAST(sum(t.n_tok_w * wd.n) AS BIGINT) AS n_tokens,
+           round(sum(c.n_chars_w * wd.n)
+                 / CAST(sum(t.n_tok_w * wd.n) AS DOUBLE), 6)
+               AS compression
+    FROM wd JOIN chars c USING (word) JOIN tok t USING (word)
+    GROUP BY wd.doc_id
+    ORDER BY wd.doc_id
+    """
+
+
+QUERIES = {"bpe_merge_rules": bpe_merge_rules,
+           "bpe_encode_docs": bpe_encode_docs}
+ORACLES = {"bpe_merge_rules": _bpe_oracle_sql(),
+           "bpe_encode_docs": _bpe_encode_oracle_sql()}

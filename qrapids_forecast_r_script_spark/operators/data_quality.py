@@ -13,6 +13,9 @@ nothing is, so the engine ships the checks):
   cumulative coverage — the diagnostic that decides between a plain
   shuffle join, AQE skew splitting, and the salt pattern
   (`scale_patterns.salted_skew_join`).
+- two-sample KS drift test (r4): per-event-type max-ECDF-distance
+  between the feed's first 15 days and the rest, against the Smirnov
+  critical value — the bucket-free complement of `source_drift_psi`.
 
 All pure Catalyst; every operator exactly SQL-oracled.
 """
@@ -333,6 +336,60 @@ def events_contract_violations(spark: SparkSession,
             .orderBy("rule"))
 
 
+_KS_SPLIT_DAYS = 15      # early window = first 15 days of the feed
+_KS_COEF = 1.3581015     # c(alpha) at alpha = 0.05 (Smirnov)
+
+
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test of the ``value``
+    distribution per event type: first ``_KS_SPLIT_DAYS`` days of the
+    feed vs the rest.  KS = max |ECDF_early(v) − ECDF_late(v)| over the
+    pooled distinct values; drift flags when KS exceeds the Smirnov
+    large-sample critical value c(0.05)·sqrt((n1+n2)/(n1·n2)) — the
+    distribution-FREE distribution monitor that catches shape changes
+    PSI's fixed buckets blur (``source_drift_psi``'s complement; same
+    pairing as CUSUM-vs-zscore for level shifts).
+
+    Scale shape: the corpus-proportional work is ONE grouped count by
+    (type, side, value); both ECDFs are running sums over the DISTINCT
+    value grid partitioned per type (never a raw-row sort), and the
+    max-diff is a per-type aggregate.  The split date is a 1-row
+    broadcast scalar (the ab_test 1×1 precedent).  No rounding enters
+    until the final 6dp: ECDF fractions are exact-integer ratios."""
+    ev = load_table(spark, sf_dir, "events")
+    mind = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    sided = (ev.crossJoin(F.broadcast(mind))
+             .select("event_type", "value",
+                     (F.to_date("ts")
+                      < F.date_add(F.col("d0"), _KS_SPLIT_DAYS))
+                     .alias("early")))
+    counts = (sided.groupBy("event_type", "value")
+              .agg(F.sum(F.when(F.col("early"), 1).otherwise(0))
+                   .alias("ce"),
+                   F.sum(F.when(~F.col("early"), 1).otherwise(0))
+                   .alias("cl")))
+    wv = (Window.partitionBy("event_type").orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("event_type")
+    cum = (counts
+           .withColumn("cume", F.sum("ce").over(wv))
+           .withColumn("cuml", F.sum("cl").over(wv))
+           .withColumn("ne", F.sum("ce").over(wt))
+           .withColumn("nl", F.sum("cl").over(wt)))
+    diff = F.abs(F.col("cume") / F.col("ne")
+                 - F.col("cuml") / F.col("nl"))
+    out = (cum.groupBy("event_type")
+           .agg(F.max("ne").alias("n_early"),
+                F.max("nl").alias("n_late"),
+                F.round(F.max(diff), 6).alias("ks_stat")))
+    crit = F.round(F.lit(_KS_COEF)
+                   * F.sqrt((F.col("n_early") + F.col("n_late"))
+                            / (F.col("n_early") * F.col("n_late"))), 6)
+    return (out.withColumn("ks_crit", crit)
+            .withColumn("drift_detected", F.col("ks_stat") > F.col("ks_crit"))
+            .orderBy("event_type"))
+
+
 QUERIES = {
     "fk_integrity_audit": fk_integrity_audit,
     "snapshot_table_diff": snapshot_table_diff,
@@ -340,6 +397,7 @@ QUERIES = {
     "corpus_diversity_stats": corpus_diversity_stats,
     "events_numeric_profile": events_numeric_profile,
     "events_contract_violations": events_contract_violations,
+    "events_ks_drift": events_ks_drift,
 }
 
 ORACLES = {
@@ -499,4 +557,43 @@ ORACLES["events_contract_violations"] = f"""
            round(n_violations / nullif(CAST(n_rows AS DOUBLE), 0.0), 6)
                AS violation_rate
     FROM long ORDER BY rule
+"""
+
+ORACLES["events_ks_drift"] = f"""
+    WITH d0 AS (
+        SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+    ), sided AS (
+        SELECT event_type, value,
+               CAST(ts AS DATE) < d0 + {_KS_SPLIT_DAYS} AS early
+        FROM events CROSS JOIN d0
+    ), counts AS (
+        SELECT event_type, value,
+               sum(CASE WHEN early THEN 1 ELSE 0 END) AS ce,
+               sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS cl
+        FROM sided GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type,
+               sum(ce) OVER w AS cume,
+               sum(cl) OVER w AS cuml,
+               sum(ce) OVER t AS ne,
+               sum(cl) OVER t AS nl
+        FROM counts
+        WINDOW w AS (PARTITION BY event_type ORDER BY value
+                     ROWS UNBOUNDED PRECEDING),
+               t AS (PARTITION BY event_type)
+    ), agg AS (
+        SELECT event_type,
+               CAST(max(ne) AS BIGINT) AS n_early,
+               CAST(max(nl) AS BIGINT) AS n_late,
+               round(max(abs(cume / CAST(ne AS DOUBLE)
+                             - cuml / CAST(nl AS DOUBLE))), 6) AS ks_stat
+        FROM cum GROUP BY 1
+    )
+    SELECT event_type, n_early, n_late, ks_stat,
+           round({_KS_COEF} * sqrt((n_early + n_late)
+                 / (CAST(n_early AS DOUBLE) * n_late)), 6) AS ks_crit,
+           ks_stat > round({_KS_COEF} * sqrt((n_early + n_late)
+                 / (CAST(n_early AS DOUBLE) * n_late)), 6)
+               AS drift_detected
+    FROM agg ORDER BY event_type
 """

@@ -49,7 +49,9 @@ def test_conformal_intervals_cover_and_repeat_last_week(spark, sf_dir):
         # point forecasts repeat the final observed week (SNAIVE)
         assert np.allclose([r.point for r in rs], np.round(y[-7:], 6))
         # q_width = exact type-7 0.9-quantile of the calibration scores
-        calib = np.abs(y[-7:] - y[-14:-7])
+        # on the week BEFORE the forecast base week (disjoint split —
+        # ADVICE r3): scores are lag-7 residuals of y[n-14:n-7]
+        calib = np.abs(y[-14:-7] - y[-21:-14])
         expect = round(float(np.quantile(calib, _CONF_ALPHA)), 6)
         for r in rs:
             assert abs(r.q_width - expect) < 1e-6, (name, r.q_width, expect)
