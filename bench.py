@@ -166,6 +166,17 @@ HEADLINE = [
     # round-4: distribution-free KS drift monitor; tokenizer encode
     "events_ks_drift",
     "bpe_encode_docs",
+    # round-4 continuation: paragraph dedup rewrite, novelty, Zipf,
+    # Benford, trigram lang classifier, RM3 feedback retrieval,
+    # link prediction, mixture water-filling
+    "paragraph_dedup_rewrite",
+    "doc_novelty_scores",
+    "corpus_zipf_fit",
+    "benford_first_digit_audit",
+    "char_trigram_lang_classifier",
+    "rm3_query_expansion",
+    "doc_graph_link_prediction",
+    "mixture_waterfill_budget",
 ]
 
 

@@ -806,3 +806,119 @@ ORACLES["shard_packing_efficiency"] = f"""
            CAST(sum(n_tokens) AS BIGINT) > {_SHARD_BUDGET} AS overflow
     FROM packed GROUP BY lang, shard_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 addition: budget water-filling across sources — the mixture
+# PLANNER that sits upstream of `temperature_mixture_sample` (which
+# rebalances by rate, not absolute budget).
+
+_WF_BUDGET_NUM, _WF_BUDGET_DEN = 1, 2   # budget = 1/2 of corpus tokens
+_WF_ROUNDS = 3
+
+
+def mixture_waterfill_budget(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources by WATER-FILLING: a total
+    budget of half the corpus's tokens is split equally per round among
+    sources that still have capacity, capped at each source's available
+    tokens, with freed budget redistributed — ``_WF_ROUNDS`` unrolled
+    rounds of exact integer arithmetic (the equal-share-with-caps
+    allocator every mixture designer runs before sampling: small
+    sources contribute everything they have, big sources split the
+    rest evenly).  Emits per source: available, allocated, capped flag,
+    fill fraction.
+
+    All-integer (shares via integer div), so the unrolled DuckDB oracle
+    is exact with no rounding discipline — the `doc_graph_communities`
+    all-integer unroll precedent.  At 100 TB the input is the
+    per-source token aggregate (one corpus pass, map-side combined);
+    the allocation itself runs on #sources rows — constant-size, the
+    same footprint as `source_drift_psi`'s per-source stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.size(F.split("text", " ")).alias("nt"))
+    avail = (toks.groupBy("source")
+             .agg(F.sum("nt").alias("n_avail"))
+             .localCheckpoint())
+    budget = avail.agg(
+        (F.sum("n_avail") * _WF_BUDGET_NUM)
+        .cast("bigint").alias("tot"))
+    state = (avail.crossJoin(F.broadcast(budget))
+             .select("source", "n_avail",
+                     F.lit(0).cast("bigint").alias("alloc"),
+                     F.expr(f"tot div {_WF_BUDGET_DEN}").alias("rem")))
+    for _ in range(_WF_ROUNDS):
+        scal = state.agg(
+            F.max("rem").alias("rem"),
+            F.sum(F.when(F.col("alloc") < F.col("n_avail"), 1)
+                  .otherwise(0)).alias("n_active"))
+        give = F.when(
+            (F.col("alloc") < F.col("n_avail")) & (F.col("n_active") > 0),
+            F.least(F.col("n_avail") - F.col("alloc"),
+                    F.expr("rem div n_active"))).otherwise(0)
+        stepped = (state.drop("rem")
+                   .crossJoin(F.broadcast(scal))
+                   .withColumn("give", give))
+        spent = stepped.agg(F.sum("give").alias("spent"),
+                            F.max("rem").alias("rem0"))
+        state = (stepped
+                 .crossJoin(F.broadcast(spent))
+                 .select("source", "n_avail",
+                         (F.col("alloc") + F.col("give")).alias("alloc"),
+                         (F.col("rem0") - F.col("spent")).alias("rem")))
+    return (state
+            .select("source", F.col("n_avail").alias("n_tokens_available"),
+                    F.col("alloc").alias("n_tokens_allocated"),
+                    (F.col("alloc") == F.col("n_avail")).alias("capped"),
+                    F.round(F.col("alloc")
+                            / F.col("n_avail").cast("double"), 6)
+                    .alias("fill_frac"))
+            .orderBy("source"))
+
+
+def _waterfill_oracle_sql() -> str:
+    body = """
+        s0 AS (
+            SELECT source, n_avail, CAST(0 AS BIGINT) AS alloc,
+                   (SELECT (sum(n_avail) * {num}) // {den} FROM avail)
+                       AS rem
+            FROM avail
+        )"""
+    rnd = """
+        , a{i} AS (
+            SELECT max(rem) AS rem,
+                   sum(CASE WHEN alloc < n_avail THEN 1 ELSE 0 END)
+                       AS n_active
+            FROM s{p}
+        ), g{i} AS (
+            SELECT s.source, s.n_avail, s.alloc, a.rem, a.n_active,
+                   CASE WHEN s.alloc < s.n_avail AND a.n_active > 0
+                        THEN least(s.n_avail - s.alloc,
+                                   a.rem // a.n_active)
+                        ELSE 0 END AS give
+            FROM s{p} s CROSS JOIN a{i} a
+        ), s{i} AS (
+            SELECT source, n_avail, alloc + give AS alloc,
+                   rem - (SELECT sum(give) FROM g{i}) AS rem
+            FROM g{i}
+        )"""
+    chain = body.format(num=_WF_BUDGET_NUM, den=_WF_BUDGET_DEN)
+    for i in range(1, _WF_ROUNDS + 1):
+        chain += rnd.format(i=i, p=i - 1)
+    return f"""
+    WITH avail AS (
+        SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_avail
+        FROM documents GROUP BY source
+    ), {chain}
+    SELECT source, n_avail AS n_tokens_available,
+           CAST(alloc AS BIGINT) AS n_tokens_allocated,
+           alloc = n_avail AS capped,
+           round(alloc / CAST(n_avail AS DOUBLE), 6) AS fill_frac
+    FROM s{_WF_ROUNDS} ORDER BY source
+    """
+
+
+QUERIES["mixture_waterfill_budget"] = mixture_waterfill_budget
+ORACLES["mixture_waterfill_budget"] = _waterfill_oracle_sql()

@@ -597,3 +597,74 @@ ORACLES["events_ks_drift"] = f"""
                AS drift_detected
     FROM agg ORDER BY event_type
 """
+
+
+# Benford expected first-digit shares: log10(1 + 1/d), precomputed and
+# INLINED as literals on both engines (constants, no libm in the query).
+_BENFORD_EXP = {1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691,
+                5: 0.079181, 6: 0.066947, 7: 0.057992, 8: 0.051153,
+                9: 0.045757}
+
+
+def benford_first_digit_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over ``o_totalprice`` — the
+    classic fabricated-/truncated-data screen for financial columns
+    (Newcomb 1881, Benford 1938; multi-decade naturally-spread amounts
+    follow P(d) = log10(1+1/d); synthetic or clipped feeds don't).
+    Emits per digit: observed count, observed vs expected share, and
+    the chi-square contribution (sum them = the audit statistic).
+
+    Engine-exact digit extraction: prices become exact integer CENTS
+    (``round(p*100)`` as BIGINT) and the first digit is the first
+    character of the INTEGER's string form — integer-to-string is
+    deterministic on both engines, unlike double formatting or
+    log10-based magnitude math at power-of-ten boundaries.  One
+    map-side projection + a 9-group aggregate; expected shares are
+    inlined literals."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = (orders.where(F.col("o_totalprice") > 0)
+           .select(digit.alias("digit"))
+           .groupBy("digit")
+           .agg(F.count(F.lit(1)).alias("n_obs")))
+    exp_share = F.element_at(
+        F.create_map(*[F.lit(v) for kv in _BENFORD_EXP.items()
+                       for v in kv]), F.col("digit"))
+    wt = Window.partitionBy()
+    tot = F.sum("n_obs").over(wt)
+    e = exp_share * tot
+    return (obs
+            .withColumn("share_obs", F.round(F.col("n_obs") / tot, 6))
+            .withColumn("share_exp", exp_share)
+            .withColumn("chi2_contrib",
+                        F.round((F.col("n_obs") - e) * (F.col("n_obs") - e)
+                                / e, 6))
+            .select("digit", "n_obs", "share_obs", "share_exp",
+                    "chi2_contrib")
+            .orderBy("digit"))
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {v}" for d, v in _BENFORD_EXP.items())
+
+ORACLES["benford_first_digit_audit"] = f"""
+    WITH obs AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit,
+               count(*) AS n_obs
+        FROM orders WHERE o_totalprice > 0 GROUP BY 1
+    ), t AS (SELECT sum(n_obs) AS tot FROM obs)
+    SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+           round(n_obs / CAST(tot AS DOUBLE), 6) AS share_obs,
+           CASE digit {_BENFORD_CASE} END AS share_exp,
+           round((n_obs - (CASE digit {_BENFORD_CASE} END) * tot)
+                 * (n_obs - (CASE digit {_BENFORD_CASE} END) * tot)
+                 / ((CASE digit {_BENFORD_CASE} END) * tot), 6)
+               AS chi2_contrib
+    FROM obs CROSS JOIN t ORDER BY digit
+"""
+
+
+QUERIES["benford_first_digit_audit"] = benford_first_digit_audit

@@ -1180,3 +1180,146 @@ ORACLES["incremental_dedup_batch"] = _SIG_CTE + f"""
            CASE WHEN bx.exact_match IS NULL THEN b.ej END AS est_jaccard
     FROM bx LEFT JOIN best b USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: paragraph-level dedup rewrite + n-gram novelty.
+
+_PARA_WORDS = 16     # deterministic "paragraph" = 16-word block (the
+                     # fixture text has no newlines, so segmentation is
+                     # positional — same convention as text.doc_chunks)
+_NOVELTY_N = 4       # novelty n-gram width (matches the Bloom/span ops)
+
+
+def paragraph_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup with document REWRITE — the Dolma/CCNet
+    "dedupe paragraphs, keep the document" step that exact doc-dedup
+    misses (boilerplate headers, quoted blocks, syndicated footers):
+    segment every document into fixed 16-word blocks, rank identical
+    blocks corpus-wide by first occurrence (doc_id, block_id), keep only
+    each block's first occurrence, and reassemble the surviving blocks
+    in order.  Emits per doc: block counts, removed-block count, kept
+    word count, and the md5 of the cleaned text (the rewrite itself,
+    hash-checked — the `decontaminate_spans` convention).
+
+    At 100 TB: block construction is MAP-ONLY (`slice` over the token
+    array, the `doc_chunks` shape — no shuffle, no Python); the dedup
+    decision is ONE shuffle keyed by block text (the exact-tier analog
+    of Dolma's Bloom filter, with first-occurrence-wins rank instead of
+    probabilistic membership); reassembly is one shuffle back on doc_id.
+    Linear in corpus size, no pairwise anything.  Block text as the
+    shuffle key is safe: blocks are ≤16 words, and a pathological hot
+    block (the same boilerplate everywhere) lands on one reducer only
+    for its rank — mitigable with the salted two-stage pattern if a
+    profile (`join_key_skew_profile`) flags it."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("s"))
+    n_blocks = F.ceil(F.size("s") / F.lit(float(_PARA_WORDS))).cast("int")
+    blocks = (toks
+              .select("doc_id", "s",
+                      F.posexplode(F.sequence(F.lit(0), n_blocks - 1))
+                      .alias("block_id", "bi"))
+              .select("doc_id", "block_id",
+                      F.slice("s", F.col("bi") * _PARA_WORDS + 1,
+                              _PARA_WORDS).alias("blk"))
+              .select("doc_id", "block_id",
+                      F.size("blk").alias("bw"),
+                      F.concat_ws(" ", "blk").alias("block_text")))
+    w = Window.partitionBy("block_text").orderBy("doc_id", "block_id")
+    ranked = blocks.withColumn("rk", F.row_number().over(w))
+    keep = F.col("rk") == 1
+    kept_struct = F.when(keep, F.struct("block_id", "block_text"))
+    return (ranked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_blocks"),
+                 F.sum(F.when(~keep, 1).otherwise(0)).alias("n_removed"),
+                 F.sum(F.when(keep, F.col("bw")).otherwise(0))
+                 .alias("n_words_kept"),
+                 F.md5(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(kept_struct)),
+                         lambda x: x.block_text), " ")).alias("cleaned_md5"))
+            .orderBy("doc_id"))
+
+
+ORACLES["paragraph_dedup_rewrite"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS s FROM documents
+    ), blocks AS (
+        SELECT doc_id, bi AS block_id,
+               len(list_slice(s, bi * {_PARA_WORDS} + 1,
+                              bi * {_PARA_WORDS} + {_PARA_WORDS})) AS bw,
+               array_to_string(list_slice(s, bi * {_PARA_WORDS} + 1,
+                               bi * {_PARA_WORDS} + {_PARA_WORDS}), ' ')
+                   AS block_text
+        FROM toks, LATERAL (SELECT unnest(generate_series(0,
+             CAST(ceil(len(s) / {_PARA_WORDS}.0) AS INT) - 1)) AS bi) t
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY block_text
+                   ORDER BY doc_id, block_id) AS rk
+        FROM blocks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(coalesce(sum(CASE WHEN rk = 1 THEN bw END), 0) AS BIGINT)
+               AS n_words_kept,
+           md5(coalesce(string_agg(CASE WHEN rk = 1 THEN block_text END,
+                                   ' ' ORDER BY block_id), ''))
+               AS cleaned_md5
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    word 4-grams that occur in no other document — the inverse of the
+    containment family (high novelty = fresh content worth keeping;
+    low novelty = assembled from corpus-common fragments even when no
+    single pair-level dup fires).  The canonical use is a cheap
+    keep-priority signal between exact dedup and MinHash.
+
+    At 100 TB: one map-side distinct-shingle explode, one grouped count
+    on the shingle key (doc-frequency), one join back on that same key,
+    one grouped count by doc — every stage linear, the shingle join's
+    build side is the doc-frequency table (vocabulary-of-4-grams
+    bounded, and only `nd` rides along)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _span_table(docs, _NOVELTY_N).distinct()
+    df_tbl = grams.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    return (grams.join(df_tbl, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.when(F.col("nd") == 1, 1).otherwise(0))
+                 .alias("n_unique"))
+            .withColumn("novelty",
+                        F.round(F.col("n_unique")
+                                / F.col("n_grams").cast("double"), 6))
+            .orderBy("doc_id"))
+
+
+ORACLES["doc_novelty_scores"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS s FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(s, i, i + {_NOVELTY_N - 1}), ' ')
+                   AS shingle
+        FROM toks, LATERAL (SELECT unnest(generate_series(1,
+             len(s) - {_NOVELTY_N - 1})) AS i) t
+    ), df AS (
+        SELECT shingle, count(*) AS nd FROM grams GROUP BY shingle
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           round(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM grams JOIN df USING (shingle)
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES["paragraph_dedup_rewrite"] = paragraph_dedup_rewrite
+QUERIES["doc_novelty_scores"] = doc_novelty_scores

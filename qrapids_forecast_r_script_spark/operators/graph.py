@@ -325,3 +325,109 @@ QUERIES = {"doc_graph_pagerank": doc_graph_pagerank,
 ORACLES = {"doc_graph_pagerank": _pagerank_oracle_sql(),
            "doc_graph_communities": _communities_oracle_sql(),
            "doc_graph_triangles": _triangles_oracle_sql()}
+
+
+# ---------------------------------------------------------------------------
+# Round-4 addition: Adamic-Adar link prediction over the near-dup graph.
+
+_LP_TOP = 20
+
+
+def doc_graph_link_prediction(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Top-``_LP_TOP`` two-hop document pairs by Adamic-Adar score
+    (Adamic & Adar 2003): AA(u,w) = Σ_{v ∈ Γ(u)∩Γ(w)} 1/ln(deg(v)),
+    with an ``is_edge`` flag separating the two readings: for NON-edges
+    it is link prediction — "these docs share rare duplicate-neighbors,
+    so they are probably near-dups the LSH bands missed" (band-count
+    false negatives, or borderline pairs worth an exact Jaccard pass);
+    for existing edges it is the edge-support audit (a high-AA edge is
+    corroborated by the rest of the graph, a zero-common-neighbor edge
+    rests on a single band collision).  Both pair sets in one wedge
+    enumeration — on a clique-heavy dup graph (small SFs) the non-edge
+    set can be legitimately empty, and the flag keeps the operator
+    informative instead of vacuous there.
+
+    Determinism: 1/ln(deg) snaps to BIGINT micro-units per wedge
+    (deg ≥ 2 for any common neighbor, so ln > 0), the pair score is an
+    exact integer sum, and ranking ties break (doc_a, doc_b) ascending.
+
+    Scale shape: the wedge join (edges ⋈ edges on the shared midpoint)
+    is the triangle-enumeration fan-out — bounded by Σ deg(v)², the
+    same budget `doc_graph_triangles` pays; existing edges drop via one
+    anti-join; the result is a TakeOrdered top-k, never a full sort."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+           .union(pairs.select(F.col("doc_b").alias("src"),
+                               F.col("doc_a").alias("dst")))
+           .localCheckpoint())
+    deg = (sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+           # only wedge MIDPOINTS consume 1/ln(deg) and a midpoint has
+           # ≥ 2 edges by construction; filtering first keeps ln(1)=0
+           # out of the ANSI division for degree-1 leaves
+           .where(F.col("deg") >= 2))
+    inv6 = F.round(F.lit(1e6) / F.log(F.col("deg").cast("double")), 0) \
+        .cast("bigint")
+    mid = (sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+           .join(sym.select(F.col("src").alias("v"),
+                            F.col("dst").alias("w")), "v")
+           .where(F.col("u") < F.col("w"))
+           .join(deg.select(F.col("src").alias("v"), inv6.alias("inv6")),
+                 "v"))
+    edge_flag = (pairs.select(F.col("doc_a").alias("u"),
+                              F.col("doc_b").alias("w"),
+                              F.lit(True).alias("is_edge")))
+    cand = (mid.groupBy("u", "w")
+            .agg(F.count(F.lit(1)).alias("n_common"),
+                 F.sum("inv6").alias("s6"))
+            .join(edge_flag, ["u", "w"], "left")
+            .na.fill({"is_edge": False}))
+    return (cand
+            .orderBy(F.desc("s6"), F.asc("u"), F.asc("w"))
+            .limit(_LP_TOP)
+            .select(F.col("u").alias("doc_a"), F.col("w").alias("doc_b"),
+                    "n_common", "is_edge",
+                    F.round(F.col("s6") / 1e6, 6).alias("adamic_adar")))
+
+
+def _link_prediction_oracle_sql() -> str:
+    return _SIG_CTE + f"""
+        , bands AS ({_BANDS_UNION}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                        AND a.doc_id < b.doc_id
+        ),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        deg AS (
+            SELECT src, count(*) AS deg,
+                   CAST(round(1e6 / ln(CAST(count(*) AS DOUBLE)))
+                        AS BIGINT) AS inv6
+            FROM sym GROUP BY src HAVING count(*) >= 2
+        ),
+        wedges AS (
+            SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+            FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
+            WHERE e1.src < e2.dst
+        ),
+        cand AS (
+            SELECT wd.u, wd.w, count(*) AS n_common, sum(d.inv6) AS s6
+            FROM wedges wd JOIN deg d ON d.src = wd.v
+            GROUP BY wd.u, wd.w
+        )
+        SELECT c.u AS doc_a, c.w AS doc_b,
+               CAST(c.n_common AS BIGINT) AS n_common,
+               p.doc_a IS NOT NULL AS is_edge,
+               round(c.s6 / 1e6, 6) AS adamic_adar
+        FROM cand c LEFT JOIN pairs p ON p.doc_a = c.u AND p.doc_b = c.w
+        ORDER BY c.s6 DESC, c.u ASC, c.w ASC LIMIT {_LP_TOP}
+    """
+
+
+QUERIES["doc_graph_link_prediction"] = doc_graph_link_prediction
+ORACLES["doc_graph_link_prediction"] = _link_prediction_oracle_sql()

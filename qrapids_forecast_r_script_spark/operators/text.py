@@ -747,3 +747,214 @@ ORACLES["proximity_search"] = f"""
     WHERE abs(pos_a - pos_b) <= {_PROX_WIN}
     GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 addition: RM3 pseudo-relevance feedback (Lavrenko & Croft
+# 2001 relevance models; the "RM3" interpolated variant every Lucene /
+# Anserini stack ships) — retrieve, build a feedback language model
+# from the top documents, expand the query, re-retrieve.
+
+_RM3_FB_DOCS = 5       # feedback depth (top docs of stage 1)
+_RM3_FB_TERMS = 10     # expansion terms kept
+_RM3_LAMBDA6 = 500000  # original-term weight λ=0.5 in micro-units
+_RM3_TOP_K = 10
+
+
+def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage BM25 retrieval with RM3 query expansion, per query doc
+    (the 5 lowest doc_ids, `bm25_topk`'s query set): stage 1 ranks by
+    BM25; the top-5 docs form a feedback model — RM1 term weight
+    w(t) = Σ_d P(t|d)·P(d) with P(d) the normalized stage-1 score —
+    whose top-10 non-query terms join the query at λ=0.5; stage 2
+    re-ranks the corpus under the weighted expanded query.  Emits the
+    final top-10 with both scores' provenance (n_query_terms,
+    n_expansion_terms ride along for the audit).
+
+    Determinism: every per-(term, doc) BM25 contribution and every
+    model probability is snapped to BIGINT micro-units at birth; both
+    stages rank on exact INTEGER scores (ties doc-ascending) — the
+    `nb_quality_classifier` fixed-point discipline applied to a
+    two-stage ranking pipeline, where a 1-ulp drift in stage 1 would
+    otherwise cascade into a different feedback set.
+
+    At 100 TB: stage 1 is the `bm25_topk` inverted-index join; the
+    feedback model is (queries × fb_docs × doc_terms) — bounded by the
+    query batch, never the corpus — and the expanded query table
+    (queries × ≤10+|q| terms) broadcasts back onto the same posting
+    lists for stage 2.  Two passes over the index, zero new shuffles
+    beyond the scoring joins."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    toks = docs.select("doc_id", F.explode(F.split("text", " "))
+                       .alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (tf.where(F.col("doc_id") < _BM25_N_QUERIES)
+              .select(F.col("doc_id").alias("query_id"), "term"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    contrib6 = F.round(
+        idf * F.col("tf") * (F.lit(_BM25_K1) + 1)
+        / (F.col("tf") + F.lit(_BM25_K1)
+           * (1 - F.lit(_BM25_B)
+              + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")))
+        * 1e6, 0).cast("bigint")
+    # per-(term, doc) contribution table — shared by both stages
+    post6 = (tf.join(dl, "doc_id")
+             .join(F.broadcast(df_), "term")
+             .crossJoin(F.broadcast(nd))
+             .crossJoin(F.broadcast(avgdl))
+             .select("doc_id", "term", "tf", "dl",
+                     contrib6.alias("c6"))
+             .localCheckpoint())
+    s1 = (post6.join(F.broadcast(qterms), "term")
+          .where(F.col("query_id") != F.col("doc_id"))
+          .groupBy("query_id", "doc_id")
+          .agg(F.sum("c6").alias("score6")))
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("score6"), F.asc("doc_id"))
+    fb = (s1.withColumn("rn", F.row_number().over(w1))
+          .where(F.col("rn") <= _RM3_FB_DOCS))
+    fbsum = fb.groupBy("query_id").agg(F.sum("score6").alias("sum6"))
+    # P(d|q) in micro-units — one rounded division per feedback doc
+    pd6 = (fb.join(F.broadcast(fbsum), "query_id")
+           .select("query_id", "doc_id",
+                   F.round(F.col("score6") / F.col("sum6") * 1e6, 0)
+                   .cast("bigint").alias("pd6")))
+    # RM1: w12(t) = Σ_d pd6 · ptd6, exclude original query terms
+    ptd6 = F.round(F.col("tf") / F.col("dl") * 1e6, 0).cast("bigint")
+    rm1 = (post6.join(F.broadcast(pd6), "doc_id")
+           .select("query_id", "term", (ptd6 * F.col("pd6")).alias("w12"))
+           .groupBy("query_id", "term")
+           .agg(F.sum("w12").alias("w12"))
+           .join(qterms.withColumn("is_q", F.lit(True)),
+                 ["query_id", "term"], "left")
+           .where(F.col("is_q").isNull()))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("w12"), F.asc("term"))
+    exp_terms = (rm1.withColumn("rn", F.row_number().over(w2))
+                 .where(F.col("rn") <= _RM3_FB_TERMS))
+    expsum = exp_terms.groupBy("query_id").agg(F.sum("w12").alias("ws12"))
+    # expanded weighted query: λ on originals, (1−λ)·ŵ on expansions
+    eq = (exp_terms.join(F.broadcast(expsum), "query_id")
+          .select("query_id", "term",
+                  F.round(F.col("w12") / F.col("ws12")
+                          * (1e6 - _RM3_LAMBDA6), 0)
+                  .cast("bigint").alias("qw6"))
+          .unionByName(qterms.select(
+              "query_id", "term",
+              F.lit(_RM3_LAMBDA6).cast("bigint").alias("qw6"))))
+    nq = (eq.groupBy("query_id")
+          .agg(F.sum(F.when(F.col("qw6") == _RM3_LAMBDA6, 1).otherwise(0))
+               .alias("n_query_terms"),
+               F.sum(F.when(F.col("qw6") != _RM3_LAMBDA6, 1).otherwise(0))
+               .alias("n_expansion_terms")))
+    s2 = (post6.join(F.broadcast(eq), "term")
+          .where(F.col("query_id") != F.col("doc_id"))
+          .groupBy("query_id", "doc_id")
+          .agg(F.sum(F.col("qw6") * F.col("c6")).alias("score12")))
+    w3 = Window.partitionBy("query_id").orderBy(
+        F.desc("score12"), F.asc("doc_id"))
+    return (s2.withColumn("rank", F.row_number().over(w3))
+            .where(F.col("rank") <= _RM3_TOP_K)
+            .join(F.broadcast(nq), "query_id")
+            .select("query_id", "rank",
+                    F.col("doc_id").alias("neighbor_id"),
+                    F.round(F.col("score12") / 1e12, 6).alias("rm3_score"),
+                    "n_query_terms", "n_expansion_terms")
+            .orderBy("query_id", "rank"))
+
+
+ORACLES["rm3_query_expansion"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    ad AS (SELECT avg(dl) AS avgdl FROM dl),
+    dfp AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT doc_id AS query_id, term FROM tf
+          WHERE doc_id < {_BM25_N_QUERIES}),
+    post AS (
+        SELECT t.doc_id, t.term, t.tf, dl.dl,
+               CAST(round(ln(1.0 + (nd.n_docs - dfp.df + 0.5)
+                             / (dfp.df + 0.5))
+                          * t.tf * ({_BM25_K1} + 1)
+                          / (t.tf + {_BM25_K1}
+                             * (1 - {_BM25_B}
+                                + {_BM25_B} * dl.dl / ad.avgdl)) * 1e6)
+                    AS BIGINT) AS c6
+        FROM tf t JOIN dl ON dl.doc_id = t.doc_id
+        JOIN dfp ON dfp.term = t.term CROSS JOIN nd CROSS JOIN ad
+    ), s1 AS (
+        SELECT q.query_id, p.doc_id, sum(p.c6) AS score6
+        FROM post p JOIN q ON q.term = p.term AND q.query_id != p.doc_id
+        GROUP BY 1, 2
+    ), fb AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY score6 DESC, doc_id ASC) AS rn FROM s1)
+        WHERE rn <= {_RM3_FB_DOCS}
+    ), fbsum AS (
+        SELECT query_id, sum(score6) AS sum6 FROM fb GROUP BY 1
+    ), pd AS (
+        SELECT fb.query_id, fb.doc_id,
+               CAST(round(fb.score6 / CAST(fs.sum6 AS DOUBLE) * 1e6)
+                    AS BIGINT) AS pd6
+        FROM fb JOIN fbsum fs USING (query_id)
+    ), rm1 AS (
+        SELECT pd.query_id, p.term,
+               sum(CAST(round(p.tf / CAST(p.dl AS DOUBLE) * 1e6)
+                        AS BIGINT) * pd.pd6) AS w12
+        FROM post p JOIN pd ON pd.doc_id = p.doc_id
+        GROUP BY 1, 2
+    ), rm1x AS (
+        SELECT r.* FROM rm1 r
+        LEFT JOIN q ON q.query_id = r.query_id AND q.term = r.term
+        WHERE q.term IS NULL
+    ), expt AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY w12 DESC, term ASC) AS rn FROM rm1x)
+        WHERE rn <= {_RM3_FB_TERMS}
+    ), expsum AS (
+        SELECT query_id, sum(w12) AS ws12 FROM expt GROUP BY 1
+    ), eq AS (
+        SELECT e.query_id, e.term,
+               CAST(round(e.w12 / CAST(s.ws12 AS DOUBLE)
+                          * (1e6 - {_RM3_LAMBDA6})) AS BIGINT) AS qw6
+        FROM expt e JOIN expsum s USING (query_id)
+        UNION ALL
+        SELECT query_id, term, {_RM3_LAMBDA6} AS qw6 FROM q
+    ), nq AS (
+        SELECT query_id,
+               sum(CASE WHEN qw6 = {_RM3_LAMBDA6} THEN 1 ELSE 0 END)
+                   AS n_query_terms,
+               sum(CASE WHEN qw6 != {_RM3_LAMBDA6} THEN 1 ELSE 0 END)
+                   AS n_expansion_terms
+        FROM eq GROUP BY 1
+    ), s2 AS (
+        SELECT e.query_id, p.doc_id, sum(e.qw6 * p.c6) AS score12
+        FROM post p JOIN eq e ON e.term = p.term AND e.query_id != p.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.query_id, s.rank, s.doc_id AS neighbor_id,
+           round(s.score12 / 1e12, 6) AS rm3_score,
+           CAST(nq.n_query_terms AS BIGINT) AS n_query_terms,
+           CAST(nq.n_expansion_terms AS BIGINT) AS n_expansion_terms
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score12 DESC, doc_id ASC) AS rank FROM s2) s
+    JOIN nq USING (query_id)
+    WHERE s.rank <= {_RM3_TOP_K} ORDER BY query_id, rank
+"""
+
+
+QUERIES["rm3_query_expansion"] = rm3_query_expansion

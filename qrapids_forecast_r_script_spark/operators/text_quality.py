@@ -528,3 +528,107 @@ ORACLES["source_drift_psi"] = f"""
                 ELSE 'stable' END AS drift_level
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 addition: per-language Zipf-law fit over the term-frequency
+# ranking — the corpus-health diagnostic (natural language tracks slope
+# ≈ −1; a slope collapse flags boilerplate/template floods, a heavy
+# tail flags OCR noise / tokenizer damage).
+
+_ZIPF_TOP = 100      # fit over the top-100 terms per language
+_ZIPF_SCALE = 1_000_000   # 1e-6 fixed-point grid for ln() values
+
+
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(freq) ~ ln(rank) over each language's top-100
+    terms: slope, intercept, and R² per language (Zipf's law: slope
+    near −1 on natural text).
+
+    Determinism discipline: ln() values are snapped to the 1e-6 grid
+    and converted to BIGINT micro-units BEFORE summation (the
+    `nb_quality_classifier` fixed-point trick), so every OLS sum is
+    exact integer arithmetic — bit-identical under any partitioning
+    and on both engines; libm drift is absorbed by the grid.  Final
+    slope/intercept/R² are computed from the exact sums and rounded
+    6dp.
+
+    At 100 TB: term counting is one map-side-combined shuffle on
+    (lang, token); the ranking window runs over the per-lang count
+    table (vocabulary-bounded); the fit consumes exactly 100 rows per
+    language — a constant-size aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs
+              .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+              .where(F.length("tok") > 0)
+              .groupBy("lang", "tok")
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+    top = (counts.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= _ZIPF_TOP))
+    x = F.round(F.log(F.col("rank").cast("double")) * _ZIPF_SCALE) \
+        .cast("bigint")
+    y = F.round(F.log(F.col("c").cast("double")) * _ZIPF_SCALE) \
+        .cast("bigint")
+    pts = top.select("lang", x.alias("x"), y.alias("y"))
+    s = (pts.groupBy("lang")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy")))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov = (n * sxy - sx * sy).cast("double")
+    varx = (n * sxx - sx * sx).cast("double")
+    vary = (n * syy - sy * sy).cast("double")
+    slope = cov / varx
+    intercept = (sy.cast("double") - slope * sx.cast("double")) \
+        / n.cast("double") / _ZIPF_SCALE
+    return (s.select("lang", F.col("n").alias("n_terms"),
+                     F.round(slope, 6).alias("slope"),
+                     F.round(intercept, 6).alias("intercept"),
+                     F.round(cov * cov / (varx * vary), 6).alias("r2"))
+            .orderBy("lang"))
+
+
+ORACLES["corpus_zipf_fit"] = f"""
+    WITH counts AS (
+        SELECT lang, word AS tok, count(*) AS c FROM (
+            SELECT lang, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+        WHERE length(word) > 0 GROUP BY 1, 2
+    ), top AS (
+        SELECT lang, c,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY c DESC, tok ASC) AS rank
+        FROM counts QUALIFY rank <= {_ZIPF_TOP}
+    ), pts AS (
+        SELECT lang,
+               CAST(round(ln(CAST(rank AS DOUBLE)) * {_ZIPF_SCALE})
+                    AS BIGINT) AS x,
+               CAST(round(ln(CAST(c AS DOUBLE)) * {_ZIPF_SCALE})
+                    AS BIGINT) AS y
+        FROM top
+    ), s AS (
+        SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM pts GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_terms,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / {_ZIPF_SCALE}, 6) AS intercept,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM s ORDER BY lang
+"""
+
+
+QUERIES["corpus_zipf_fit"] = corpus_zipf_fit

@@ -361,3 +361,135 @@ ORACLES = {
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-4 addition: multiclass character-trigram language classifier —
+# the fastText-langid shape (Joulin et al. 2016: char n-gram features +
+# linear classifier) reduced to its closed-form Naive-Bayes core, as the
+# MODEL-BASED counterpart of `text.lang_id`'s heuristic.
+
+_LID_K = 0.5        # add-k smoothing (shared Jeffreys prior, _NB_K)
+_LID_N = 3          # character n-gram width
+
+
+def char_trigram_lang_classifier(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Multiclass NB language classifier over character trigrams,
+    trained in-query on the corpus's own ``lang`` labels and applied
+    back to every document (the label-noise audit form: disagreements
+    are mislabel/mixed-language candidates, the `centroid_label_confusion`
+    convention for text).
+
+    Per class c: score(d, c) = ln P(c) + Σ_t n_t(d)·ln P(t|c) with
+    add-k smoothing over the corpus trigram vocabulary; prediction is
+    the argmax with ties broken lang-ascending.  All log terms snap to
+    the 1e-6 grid and ride as BIGINT micro-units (the
+    `nb_quality_classifier` fixed-point discipline) so scores — and
+    the ARGMAX — are bit-identical under any partitioning.
+
+    At 100 TB: trigram extraction is map-only (explode words × inner
+    positions); class-conditional counts are one (lang, trigram)
+    aggregation; the weight grid is (vocabulary × #langs) — bounded,
+    built via a langs×vocab cross of two SMALL relations, broadcast
+    back onto the doc trigram stream; scoring is one broadcast join +
+    one (doc, class) aggregation; the argmax is a per-doc window over
+    #langs rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tris = (docs
+            .select("doc_id", "lang",
+                    F.explode(F.split("text", " ")).alias("w"))
+            .where(F.length("w") >= _LID_N)
+            .select("doc_id", "lang", "w",
+                    F.explode(F.sequence(
+                        F.lit(1), F.length("w") - (_LID_N - 1))).alias("i"))
+            .select("doc_id", "lang",
+                    F.substring("w", F.col("i"), _LID_N).alias("tri")))
+    counts = (tris.groupBy("lang", "tri")
+              .agg(F.count(F.lit(1)).alias("c"))
+              .localCheckpoint())
+    langs = counts.select("lang").distinct()
+    vocab = counts.select("tri").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    totals = counts.groupBy("lang").agg(F.sum("c").cast("double").alias("t"))
+    grid = (langs.crossJoin(vocab)
+            .join(counts, ["lang", "tri"], "left")
+            .na.fill({"c": 0})
+            .join(totals, "lang")
+            .crossJoin(F.broadcast(vsize))
+            .select(F.col("lang").alias("cls"), "tri",
+                    F.round(F.log((F.col("c") + _LID_K)
+                                  / (F.col("t") + _LID_K * F.col("v")))
+                            * 1e6, 0).cast("bigint").alias("w6")))
+    priors = (docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+              .crossJoin(F.broadcast(
+                  docs.agg(F.count(F.lit(1)).cast("double").alias("nt"))))
+              .select(F.col("lang").alias("cls"),
+                      F.round(F.log(F.col("nd") / F.col("nt")) * 1e6, 0)
+                      .cast("bigint").alias("prior6")))
+    doc_tri = tris.groupBy("doc_id", "lang", "tri") \
+        .agg(F.count(F.lit(1)).alias("n"))
+    scored = (doc_tri.join(F.broadcast(grid), "tri")
+              .groupBy("doc_id", "lang", "cls")
+              .agg(F.sum(F.col("n") * F.col("w6")).alias("s6"))
+              .join(F.broadcast(priors), "cls")
+              .withColumn("score6", F.col("prior6") + F.col("s6")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score6"), F.asc("cls"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "lang",
+                    F.col("cls").alias("predicted_lang"),
+                    F.round(F.col("score6") / 1e6, 6).alias("nb_score"),
+                    (F.col("cls") == F.col("lang")).alias("correct"))
+            .orderBy("doc_id"))
+
+
+ORACLES["char_trigram_lang_classifier"] = f"""
+    WITH tris AS (
+        SELECT doc_id, lang, w[i:i+{_LID_N - 1}] AS tri FROM (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents) s,
+        LATERAL (SELECT unnest(generate_series(1,
+                 length(w) - {_LID_N - 1})) AS i) t
+        WHERE length(w) >= {_LID_N}
+    ), counts AS (
+        SELECT lang, tri, count(*) AS c FROM tris GROUP BY 1, 2
+    ), langs AS (SELECT DISTINCT lang FROM counts),
+    vocab AS (SELECT DISTINCT tri FROM counts),
+    vsize AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+    totals AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS t
+               FROM counts GROUP BY 1),
+    grid AS (
+        SELECT l.lang AS cls, vo.tri,
+               CAST(round(ln((coalesce(c.c, 0) + {_LID_K})
+                             / (tt.t + {_LID_K} * vs.v)) * 1e6)
+                    AS BIGINT) AS w6
+        FROM langs l CROSS JOIN vocab vo
+        LEFT JOIN counts c ON c.lang = l.lang AND c.tri = vo.tri
+        JOIN totals tt ON tt.lang = l.lang
+        CROSS JOIN vsize vs
+    ), priors AS (
+        SELECT lang AS cls,
+               CAST(round(ln(count(*) / (SELECT CAST(count(*) AS DOUBLE)
+                                         FROM documents)) * 1e6)
+                    AS BIGINT) AS prior6
+        FROM documents GROUP BY 1
+    ), doc_tri AS (
+        SELECT doc_id, lang, tri, count(*) AS n FROM tris GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT d.doc_id, d.lang, g.cls,
+               p.prior6 + sum(d.n * g.w6) AS score6
+        FROM doc_tri d JOIN grid g USING (tri)
+        JOIN priors p ON p.cls = g.cls
+        GROUP BY d.doc_id, d.lang, g.cls, p.prior6
+    )
+    SELECT doc_id, lang, cls AS predicted_lang,
+           round(score6 / 1e6, 6) AS nb_score,
+           cls = lang AS correct
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score6 DESC, cls ASC) AS rn FROM scored)
+    WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+QUERIES["char_trigram_lang_classifier"] = char_trigram_lang_classifier

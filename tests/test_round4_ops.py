@@ -97,3 +97,278 @@ def test_bpe_encode_consistent_with_trainer(spark, sf_dir):
         # half-away (they agree — the oracle hash is safe); compare
         # with a half-ulp tolerance instead
         assert abs(r.compression - r.n_chars / r.n_tokens) <= 6e-7
+
+
+def test_paragraph_dedup_rewrite_brute(spark, sf_dir):
+    """Brute-force Python recomputation of the block segmentation,
+    first-occurrence ranks, and cleaned-text md5; plus the identity
+    invariant: a doc that loses no blocks reassembles to EXACTLY its
+    original text (blocks partition the token stream)."""
+    import hashlib
+
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        _PARA_WORDS, paragraph_dedup_rewrite)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = {r.doc_id: r for r in
+            paragraph_dedup_rewrite(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    # global first-occurrence rank by (doc_id, block_id)
+    blocks = []   # (doc_id, block_id, text, n_words)
+    for d in sorted(docs, key=lambda r: r.doc_id):
+        toks = d.text.split(" ")
+        for b in range(0, (len(toks) + _PARA_WORDS - 1) // _PARA_WORDS):
+            blk = toks[b * _PARA_WORDS:(b + 1) * _PARA_WORDS]
+            blocks.append((d.doc_id, b, " ".join(blk), len(blk)))
+    seen: set[str] = set()
+    keep: dict[tuple[int, int], bool] = {}
+    for doc_id, bid, text, _ in sorted(blocks):
+        keep[(doc_id, bid)] = text not in seen
+        seen.add(text)
+    assert len(rows) == len(docs)
+    for d in docs:
+        mine = [(bid, text, nw) for doc_id, bid, text, nw in blocks
+                if doc_id == d.doc_id]
+        kept = [(text, nw) for bid, text, nw in mine if keep[(d.doc_id, bid)]]
+        cleaned = " ".join(t for t, _ in kept)
+        r = rows[d.doc_id]
+        assert r.n_blocks == len(mine)
+        assert r.n_removed == len(mine) - len(kept)
+        assert r.n_words_kept == sum(nw for _, nw in kept)
+        assert r.cleaned_md5 == hashlib.md5(cleaned.encode()).hexdigest()
+        if r.n_removed == 0:     # reassembly identity
+            assert cleaned == d.text
+
+
+def test_doc_novelty_scores_brute(spark, sf_dir):
+    """Novelty equals the brute-force unique-4-gram fraction; bounds
+    hold; a doc whose text is globally unique wordage scores 1.0 iff
+    none of its 4-grams appear elsewhere."""
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        _NOVELTY_N, doc_novelty_scores)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = {r.doc_id: r for r in doc_novelty_scores(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    grams: dict[int, set[str]] = {}
+    for d in docs:
+        toks = d.text.split(" ")
+        grams[d.doc_id] = {" ".join(toks[i:i + _NOVELTY_N])
+                           for i in range(len(toks) - _NOVELTY_N + 1)}
+    from collections import Counter
+    df = Counter(g for s in grams.values() for g in s)
+    for d in docs:
+        gs = grams[d.doc_id]
+        if not gs:
+            assert d.doc_id not in rows
+            continue
+        uniq = sum(1 for g in gs if df[g] == 1)
+        r = rows[d.doc_id]
+        assert r.n_grams == len(gs)
+        assert r.n_unique == uniq
+        assert abs(r.novelty - round(uniq / len(gs), 6)) < 1e-9
+        assert 0.0 <= r.novelty <= 1.0
+
+
+def test_corpus_zipf_fit_matches_numpy_ols(spark, sf_dir):
+    """Slope/intercept/R² equal a numpy polyfit over the SAME snapped
+    ln points (the operator's fixed-point grid applied in the brute
+    recomputation)."""
+    from collections import Counter
+
+    from qrapids_forecast_r_script_spark.operators.text_quality import (
+        _ZIPF_SCALE, _ZIPF_TOP, corpus_zipf_fit)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = {r.lang: r for r in corpus_zipf_fit(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "text").collect()
+    by_lang: dict[str, Counter] = {}
+    for d in docs:
+        c = by_lang.setdefault(d.lang, Counter())
+        c.update(w for w in d.text.split(" ") if w)
+    for lang, c in by_lang.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOP]
+        x = np.array([round(math.log(i + 1) * _ZIPF_SCALE)
+                      for i in range(len(top))])
+        y = np.array([round(math.log(n) * _ZIPF_SCALE) for _, n in top])
+        slope, intercept = np.polyfit(x, y, 1)
+        r = rows[lang]
+        assert r.n_terms == len(top)
+        assert abs(r.slope - slope) < 1e-4, (lang, r.slope, slope)
+        assert abs(r.intercept - intercept / _ZIPF_SCALE) < 1e-3
+        corr = np.corrcoef(x.astype(float), y.astype(float))[0, 1]
+        assert abs(r.r2 - corr * corr) < 1e-4
+        assert r.slope < 0           # frequency decreases with rank
+
+
+def test_benford_audit_brute(spark, sf_dir):
+    """Digit counts equal a Python recomputation from exact cents;
+    observed shares sum to 1 (up to rounding); every expected share is
+    the Benford literal."""
+    from collections import Counter
+
+    from qrapids_forecast_r_script_spark.operators.data_quality import (
+        _BENFORD_EXP, benford_first_digit_audit)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = benford_first_digit_audit(spark, sf_dir).collect()
+    prices = [r.o_totalprice for r in
+              load_table(spark, sf_dir, "orders")
+              .select("o_totalprice").collect() if r.o_totalprice > 0]
+    expect = Counter(int(str(round(p * 100))[0]) for p in prices)
+    assert {r.digit: r.n_obs for r in rows} == dict(expect)
+    assert abs(sum(r.share_obs for r in rows) - 1.0) < 1e-4
+    n = sum(expect.values())
+    for r in rows:
+        assert r.share_exp == _BENFORD_EXP[r.digit]
+        e = r.share_exp * n
+        assert abs(r.chi2_contrib - (r.n_obs - e) ** 2 / e) < 1e-4
+
+
+def test_char_trigram_lang_classifier_brute(spark, sf_dir):
+    """Predictions equal a full Python NB recomputation (same smoothing,
+    same fixed-point snapping, same tie-break)."""
+    from collections import Counter, defaultdict
+
+    from qrapids_forecast_r_script_spark.operators.training_prep import (
+        _LID_K, _LID_N, char_trigram_lang_classifier)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = {r.doc_id: r for r in
+            char_trigram_lang_classifier(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text").collect()
+
+    def tris(text):
+        out = []
+        for w in text.split(" "):
+            out += [w[i:i + _LID_N] for i in range(len(w) - _LID_N + 1)]
+        return out
+
+    counts: dict[str, Counter] = defaultdict(Counter)
+    for d in docs:
+        counts[d.lang].update(tris(d.text))
+    vocab = {t for c in counts.values() for t in c}
+    totals = {lang: sum(c.values()) for lang, c in counts.items()}
+    nd = Counter(d.lang for d in docs)
+    w6 = {(lang, t): round(math.log((counts[lang][t] + _LID_K)
+                                    / (totals[lang] + _LID_K * len(vocab)))
+                           * 1e6)
+          for lang in counts for t in vocab}
+    prior6 = {lang: round(math.log(nd[lang] / len(docs)) * 1e6)
+              for lang in counts}
+    for d in docs:
+        dt = Counter(tris(d.text))
+        scores = {lang: prior6[lang]
+                  + sum(n * w6[(lang, t)] for t, n in dt.items())
+                  for lang in counts}
+        pred = min(scores, key=lambda c: (-scores[c], c))
+        r = rows[d.doc_id]
+        assert r.predicted_lang == pred, (d.doc_id, r.predicted_lang, pred)
+        assert abs(r.nb_score - round(scores[pred] / 1e6, 6)) < 1e-9
+        assert r.correct == (pred == d.lang)
+
+
+def test_rm3_expansion_invariants(spark, sf_dir):
+    """Ranks are contiguous from 1, scores non-increasing, the query
+    doc never retrieves itself, expansion count ≤ 10, and stage-2
+    output is deterministic across two runs."""
+    from qrapids_forecast_r_script_spark.operators.text import (
+        _BM25_N_QUERIES, _RM3_FB_TERMS, _RM3_TOP_K, rm3_query_expansion)
+
+    a = rm3_query_expansion(spark, sf_dir).collect()
+    b = rm3_query_expansion(spark, sf_dir).collect()
+    assert a == b
+    byq: dict[int, list] = {}
+    for r in a:
+        byq.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+        assert 0 < r.n_expansion_terms <= _RM3_FB_TERMS
+    assert set(byq) == set(range(_BM25_N_QUERIES))
+    for q, rs in byq.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _RM3_TOP_K
+        scores = [r.rm3_score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_link_prediction_brute(spark, sf_dir):
+    """Adamic-Adar scores equal a brute-force recomputation over the
+    collected LSH pair graph."""
+    from collections import defaultdict
+
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from qrapids_forecast_r_script_spark.operators.graph import (
+        doc_graph_link_prediction)
+
+    got = doc_graph_link_prediction(spark, sf_dir).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in
+             minhash_lsh_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b").collect()}
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    scores = {}
+    for u in adj:
+        for w in adj:
+            if u >= w:
+                continue
+            common = adj[u] & adj[w]
+            if common:
+                s6 = sum(round(1e6 / math.log(len(adj[v]))) for v in common)
+                scores[(u, w)] = (len(common), s6)
+    expect = sorted(scores.items(),
+                    key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    assert len(got) == len(expect)
+    for r, ((u, w), (nc, s6)) in zip(got, expect):
+        assert (r.doc_a, r.doc_b) == (u, w)
+        assert r.n_common == nc
+        assert r.is_edge == ((u, w) in pairs)
+        assert abs(r.adamic_adar - round(s6 / 1e6, 6)) < 1e-9
+
+
+def test_mixture_waterfill_brute_and_invariants(spark, sf_dir):
+    """Allocation equals the Python water-filling recomputation; the
+    budget is never exceeded; what's left unallocated after the rounds
+    is smaller than the number of active sources (integer-div dust) or
+    every source is capped."""
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        _WF_BUDGET_DEN, _WF_BUDGET_NUM, _WF_ROUNDS,
+        mixture_waterfill_budget)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = {r.source: r for r in
+            mixture_waterfill_budget(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "text").collect()
+    avail: dict[str, int] = {}
+    for d in docs:
+        avail[d.source] = avail.get(d.source, 0) + len(d.text.split(" "))
+    budget = sum(avail.values()) * _WF_BUDGET_NUM // _WF_BUDGET_DEN
+    alloc = {s: 0 for s in avail}
+    rem = budget
+    for _ in range(_WF_ROUNDS):
+        active = [s for s in avail if alloc[s] < avail[s]]
+        if not active:
+            break
+        share = rem // len(active)
+        gives = {s: min(avail[s] - alloc[s], share) for s in active}
+        for s, g in gives.items():
+            alloc[s] += g
+        rem -= sum(gives.values())
+    assert set(rows) == set(avail)
+    for s in avail:
+        r = rows[s]
+        assert r.n_tokens_available == avail[s]
+        assert r.n_tokens_allocated == alloc[s]
+        assert r.capped == (alloc[s] == avail[s])
+    total_alloc = sum(r.n_tokens_allocated for r in rows.values())
+    assert total_alloc <= budget
+    active = [s for s in avail if alloc[s] < avail[s]]
+    assert (not active) or budget - total_alloc < len(active)
