@@ -177,6 +177,8 @@ HEADLINE = [
     "rm3_query_expansion",
     "doc_graph_link_prediction",
     "mixture_waterfill_budget",
+    "jl_projection_distortion",
+    "series_acf",
 ]
 
 

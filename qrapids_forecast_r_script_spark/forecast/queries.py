@@ -1061,3 +1061,95 @@ EVAL_ORACLES["conformal_snaive_intervals"] = f"""
     FROM last_week l JOIN calib c USING (name, index)
     ORDER BY l.name, l.index, l.step
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 addition: per-series autocorrelation function — the order-
+# selection diagnostic behind the reference's ARIMA grid (R:84-95 picks
+# p/q against exactly this statistic) and the data-driven check of its
+# hand-asserted frequencyts=7 (R:32: a weekly cycle shows as an ACF
+# spike at lag 7 — `series_dominant_period`'s time-domain sibling).
+
+_ACF_MAX_LAG = 7
+
+
+def series_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1..7 per metric series, with the ±1.96/√n white-
+    noise band and a significance flag per lag (the Box-Jenkins
+    identification read: MA(q) cuts off after lag q, AR decays;
+    lag-7 spikes confirm the weekly seasonality the reference hard-
+    codes).
+
+    Same closed-form-from-raw-sums shape as `series_trend_ols`: one
+    lag-window pass per series, one aggregate of centered products,
+    6dp rounding at the ratio boundary, zero-variance nullif guard.
+    At 100 TB the cost is the forecast layer's per-series shuffle —
+    lags are per-series windows, the mean join a tiny broadcast."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    means = (metrics.groupBy("name", "index")
+             .agg(F.avg("value").alias("mu"),
+                  F.count(F.lit(1)).alias("n_points")))
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    lagged = metrics.select(
+        "name", "index", "value",
+        *[F.lag("value", k).over(w).alias(f"lag{k}")
+          for k in range(1, _ACF_MAX_LAG + 1)])
+    cen = lagged.join(F.broadcast(means), ["name", "index"])
+    d0 = F.col("value") - F.col("mu")
+    aggs = [F.sum(d0 * d0).alias("c0"), F.max("n_points").alias("n_points")]
+    for k in range(1, _ACF_MAX_LAG + 1):
+        dk = F.col(f"lag{k}") - F.col("mu")
+        aggs.append(F.sum(F.when(F.col(f"lag{k}").isNotNull(),
+                                 d0 * dk)).alias(f"c{k}"))
+    a = cen.groupBy("name", "index").agg(*aggs)
+    acf_cols = ", ".join(
+        f"{k}L, round(c{k} / nullif(c0, 0.0d), 6)"
+        for k in range(1, _ACF_MAX_LAG + 1))
+    long = a.select(
+        "name", "index", "n_points",
+        F.expr(f"stack({_ACF_MAX_LAG}, {acf_cols}) AS (lag, acf)"))
+    band = F.round(F.lit(1.96) / F.sqrt(F.col("n_points").cast("double")),
+                   6)
+    return (long
+            .withColumn("wn_band", band)
+            .withColumn("significant", F.abs("acf") > F.col("wn_band"))
+            .select("name", "lag", "n_points", "acf", "wn_band",
+                    "significant")
+            .orderBy("name", "lag"))
+
+
+_ACF_KS = list(range(1, _ACF_MAX_LAG + 1))
+EVAL_QUERIES["series_acf"] = series_acf
+EVAL_ORACLES["series_acf"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    means AS (
+        SELECT name, index, avg(value) AS mu, count(*) AS n_points
+        FROM m GROUP BY 1, 2
+    ), lagged AS (
+        SELECT name, index, value,
+               {", ".join(f"lag(value, {k}) OVER w AS lag{k}"
+                          for k in _ACF_KS)}
+        FROM m WINDOW w AS (PARTITION BY name, index
+                            ORDER BY evaluationDate)
+    ), a AS (
+        SELECT l.name, l.index, max(ms.n_points) AS n_points,
+               sum((l.value - ms.mu) * (l.value - ms.mu)) AS c0,
+               {", ".join(
+                   f"sum(CASE WHEN l.lag{k} IS NOT NULL THEN "
+                   f"(l.value - ms.mu) * (l.lag{k} - ms.mu) END) AS c{k}"
+                   for k in _ACF_KS)}
+        FROM lagged l JOIN means ms USING (name, index)
+        GROUP BY 1, 2
+    ), long AS (
+        {" UNION ALL ".join(
+            f"SELECT name, CAST({k} AS BIGINT) AS lag, n_points, "
+            f"round(c{k} / nullif(c0, 0.0), 6) AS acf FROM a"
+            for k in _ACF_KS)}
+    )
+    SELECT name, lag, CAST(n_points AS BIGINT) AS n_points, acf,
+           round(1.96 / sqrt(CAST(n_points AS DOUBLE)), 6) AS wn_band,
+           abs(acf) > round(1.96 / sqrt(CAST(n_points AS DOUBLE)), 6)
+               AS significant
+    FROM long ORDER BY name, lag
+"""

@@ -1648,3 +1648,105 @@ ORACLES["knn_label_accuracy"] = f"""
     FROM pred p JOIN vecs l USING (vec_id)
     GROUP BY l.label
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 addition: Johnson-Lindenstrauss projection distortion report.
+
+_JL_DIM = 8          # target dimensionality
+_JL_PAIRS = 32       # evaluation pairs: (2i, 2i+1) for i < 32
+
+
+def _jl_signs(dim: int = 64, k: int = _JL_DIM) -> list[list[float]]:
+    """Seeded ±1 projection matrix (Achlioptas 2003 database-friendly
+    JL: Rademacher entries work as well as Gaussians) — same inlining
+    contract as `_hyperplanes`."""
+    rng = np.random.default_rng(20260814)
+    return rng.choice([-1.0, 1.0], size=(k, dim)).tolist()
+
+
+def jl_projection_distortion(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Distance-distortion audit of a Johnson-Lindenstrauss projection
+    64→8 dims: for 32 fixed evaluation pairs (vec 2i vs 2i+1), compare
+    the original squared L2 distance with the projected one (scaled by
+    1/k, whose expectation equals the original under ±1 entries) and
+    report the per-pair distortion ratio.  The go/no-go check before
+    swapping a cheap projected index (8 doubles/vector) for full-dim
+    scan — the same decision `matryoshka_topk` makes with learned
+    prefixes, here with data-independent guarantees (Johnson &
+    Lindenstrauss 1984; Achlioptas 2003 for the ±1 form).
+
+    Determinism: the projection matrix is SEEDED and inlined as
+    literals on both engines (`_hyperplanes` contract); each pair's
+    arithmetic is array folds (left-to-right on both engines) rounded
+    6dp at the comparison boundary.
+
+    At 100 TB: projection is map-only (k dot products per row);
+    the audit joins a CONSTANT 32-pair sample — the fixed-k eval
+    precedent (`knn_label_accuracy`), nothing corpus-proportional."""
+    signs = _jl_signs()
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
+    a = (vecs.where(F.col("vec_id") % 2 == 0)
+         .where(F.col("vec_id") < 2 * _JL_PAIRS)
+         .select((F.col("vec_id") / 2).cast("bigint").alias("pair_id"),
+                 F.col("v").alias("va")))
+    b = (vecs.where(F.col("vec_id") % 2 == 1)
+         .where(F.col("vec_id") < 2 * _JL_PAIRS)
+         .select(((F.col("vec_id") - 1) / 2).cast("bigint")
+                 .alias("pair_id"),
+                 F.col("v").alias("vb")))
+    diff = F.zip_with("va", "vb", lambda x, y: x - y)
+    paired = a.join(b, "pair_id").withColumn("d", diff)
+    orig_sq = F.aggregate(F.transform("d", lambda x: x * x),
+                          F.lit(0.0), lambda acc, v: acc + v)
+    proj_terms = []
+    for row in signs:
+        lit = F.array(*[F.lit(float(s)) for s in row])
+        pj = F.aggregate(F.zip_with(F.col("d"), lit, lambda x, y: x * y),
+                         F.lit(0.0), lambda acc, v: acc + v)
+        proj_terms.append(pj * pj)
+    proj_sq = proj_terms[0]
+    for t in proj_terms[1:]:
+        proj_sq = proj_sq + t
+    return (paired
+            .select("pair_id",
+                    F.round(F.sqrt(orig_sq), 6).alias("dist_orig"),
+                    F.round(F.sqrt(proj_sq / _JL_DIM), 6)
+                    .alias("dist_proj"),
+                    F.round(proj_sq / _JL_DIM / orig_sq, 6)
+                    .alias("distortion"))
+            .orderBy("pair_id"))
+
+
+def _jl_oracle_sql() -> str:
+    signs = _jl_signs()
+    projs = []
+    for row in signs:
+        lits = ", ".join(repr(float(s)) for s in row)
+        projs.append(f"power(list_dot_product(d, [{lits}]), 2)")
+    proj_sq = " + ".join(projs)
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < {2 * _JL_PAIRS}
+    ), paired AS (
+        SELECT a.vec_id // 2 AS pair_id,
+               list_transform(generate_series(1, len(a.v)),
+                              i -> a.v[i] - b.v[i]) AS d
+        FROM vecs a JOIN vecs b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 2 = 0
+    )
+    SELECT pair_id,
+           round(sqrt(list_dot_product(d, d)), 6) AS dist_orig,
+           round(sqrt(({proj_sq}) / {_JL_DIM}), 6) AS dist_proj,
+           round(({proj_sq}) / {_JL_DIM}
+                 / list_dot_product(d, d), 6) AS distortion
+    FROM paired ORDER BY pair_id
+    """
+
+
+QUERIES["jl_projection_distortion"] = jl_projection_distortion
+ORACLES["jl_projection_distortion"] = _jl_oracle_sql()

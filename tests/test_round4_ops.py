@@ -372,3 +372,54 @@ def test_mixture_waterfill_brute_and_invariants(spark, sf_dir):
     assert total_alloc <= budget
     active = [s for s in avail if alloc[s] < avail[s]]
     assert (not active) or budget - total_alloc < len(active)
+
+
+def test_jl_distortion_matches_numpy(spark, sf_dir):
+    """Per-pair distances and distortion equal a numpy recomputation
+    with the same seeded ±1 matrix; the average distortion over the 32
+    pairs concentrates near 1 (the JL guarantee the operator audits)."""
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        _JL_DIM, _JL_PAIRS, _jl_signs, jl_projection_distortion)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = {r.pair_id: r for r in
+            jl_projection_distortion(spark, sf_dir).collect()}
+    assert len(rows) == _JL_PAIRS
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in load_table(spark, sf_dir, "embeddings")
+           .where(f"vec_id < {2 * _JL_PAIRS}").collect()}
+    R = np.array(_jl_signs())
+    for i in range(_JL_PAIRS):
+        d = emb[2 * i] - emb[2 * i + 1]
+        orig = float(np.sqrt(d @ d))
+        proj = float(np.sqrt((R @ d) @ (R @ d) / _JL_DIM))
+        r = rows[i]
+        assert abs(r.dist_orig - round(orig, 6)) < 1e-9
+        assert abs(r.dist_proj - round(proj, 6)) < 2e-6
+        assert abs(r.distortion - proj ** 2 / orig ** 2) < 1e-4
+    mean_dist = np.mean([r.distortion for r in rows.values()])
+    assert 0.6 < mean_dist < 1.5
+
+
+def test_series_acf_matches_numpy(spark, sf_dir):
+    """ACF values equal numpy's textbook estimator (full-series mean,
+    c_k/c_0); every |acf| ≤ 1; the white-noise band is 1.96/√n."""
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        _ACF_MAX_LAG, _metrics, series_acf)
+
+    rows = series_acf(spark, sf_dir).collect()
+    pdf = _metrics(spark, sf_dir).toPandas()
+    for (name, _), g in pdf.groupby(["name", "index"]):
+        y = g.sort_values("evaluationDate")["value"].to_numpy(dtype=float)
+        mu = y.mean()
+        c0 = float(((y - mu) ** 2).sum())
+        mine = {r.lag: r for r in rows if r.name == name}
+        assert set(mine) == set(range(1, _ACF_MAX_LAG + 1))
+        for k in range(1, _ACF_MAX_LAG + 1):
+            ck = float(((y[k:] - mu) * (y[:-k] - mu)).sum())
+            r = mine[k]
+            assert abs(r.acf - round(ck / c0, 6)) < 1e-6, (name, k)
+            assert abs(r.acf) <= 1.0 + 1e-9
+            assert abs(r.wn_band - round(1.96 / math.sqrt(len(y)), 6)) \
+                < 1e-9
+            assert r.significant == (abs(r.acf) > r.wn_band)
