@@ -179,6 +179,7 @@ HEADLINE = [
     "mixture_waterfill_budget",
     "jl_projection_distortion",
     "series_acf",
+    "media_dhash_neardup",
 ]
 
 

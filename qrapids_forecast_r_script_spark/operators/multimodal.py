@@ -238,3 +238,151 @@ ORACLES = {
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-4 addition: perceptual-hash near-dup over binary payloads — the
+# image-dedup shape (dHash: Krawetz 2013 "kind of like that") run
+# through the SAME stubbed-decode contract as the other media ops.
+
+_DH_CELLS = 61        # luminance cells; 60 adjacent-pair bits
+_DH_BITS = _DH_CELLS - 1
+_DH_BANDS = 6         # 10-bit bands; ≥1 identical band ⇔ hamming ≤ 5
+_DH_TOP = 20
+
+DHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_tokens", LongType()),
+    StructField("dhash", LongType()),
+])
+
+
+def _dhash_of_tokens(tokens: list[str]) -> tuple[int, int]:
+    """(n_tokens, 60-bit dHash): token stream → ``_DH_CELLS`` cell sums
+    of 32-bit md5 token hashes (the fake 'luminance grid'; a real image
+    pipeline swaps in downscaled pixel rows) → adjacent-cell gradient
+    bits.  Cell sums are LOCALITY-PRESERVING: a near-dup doc shifts few
+    cells, so most gradient bits survive — exactly why real dHash
+    tolerates recompression."""
+    n = len(tokens)
+    lum = [0] * _DH_CELLS
+    for i, t in enumerate(tokens):
+        h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        lum[i * _DH_CELLS // n] += h
+    bits = 0
+    for c in range(_DH_BITS):
+        if lum[c] > lum[c + 1]:
+            bits |= 1 << c
+    return n, bits
+
+
+def dhash_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            toks = bytes(payload).decode("utf-8").split(" ")
+            toks = [t for t in toks if t]
+            if toks:
+                n, bits = _dhash_of_tokens(toks)
+                rows.append((media_id, n, bits))
+        yield pd.DataFrame(rows, columns=["media_id", "n_tokens", "dhash"])
+
+
+def media_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over binary payloads: a
+    60-bit dHash per payload via mapInPandas (the budgeted multimodal
+    extraction path — with real codecs this is exactly where PIL's
+    downscale would run), then RELATIONAL banded pairing: 6×10-bit
+    pigeonhole bands generate candidates (hamming ≤ 5 is guaranteed to
+    collide on ≥1 band), exact hamming via ``bit_count(xor)`` refines,
+    and the ``_DH_TOP`` closest pairs come back (hamming asc, pair
+    asc).  The image-near-dup analog of `simhash_neardup_pairs` — same
+    banding theorem, hash from payload GRADIENTS instead of token sets.
+
+    At 100 TB: extraction is read-bound mapInPandas (tiny output); the
+    band join's fan-out is capped by band-bucket sizes exactly like
+    MinHash-LSH; the refine is integer xor on 8-byte hashes.  Nothing
+    pairwise outside buckets; final ranking is TakeOrdered."""
+    media = documents_as_media(spark, sf_dir)
+    hashes = (media.mapInPandas(dhash_udf, schema=DHASH_SCHEMA)
+              .localCheckpoint())
+    bands = hashes.select(
+        "media_id", "dhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("dhash", 10 * b)
+                     .bitwiseAND(F.lit(1023)).alias("val"))
+            for b in range(_DH_BANDS)])).alias("bv"))
+    bands = bands.select("media_id", "dhash",
+                         F.col("bv.band").alias("band"),
+                         F.col("bv.val").alias("val"))
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.val") == F.col("b.val"))
+                  & (F.col("a.media_id") < F.col("b.media_id")))
+            .select(F.col("a.media_id").alias("media_a"),
+                    F.col("b.media_id").alias("media_b"),
+                    F.col("a.dhash").alias("ha"),
+                    F.col("b.dhash").alias("hb"))
+            .distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.select("media_a", "media_b", ham.alias("hamming"))
+            .orderBy(F.asc("hamming"), F.asc("media_a"), F.asc("media_b"))
+            .limit(_DH_TOP))
+
+
+def _dhash_oracle_sql() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id AS media_id, i - 1 AS pos, s[i] AS tok,
+               len(s) AS n
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                         t -> length(t) > 0) AS s
+              FROM documents),
+        LATERAL (SELECT unnest(generate_series(1, len(s))) AS i) t
+    ), cellsum AS (
+        SELECT media_id, (pos * {_DH_CELLS}) // n AS cell,
+               sum(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT))
+                   AS lv
+        FROM toks GROUP BY 1, 2
+    ), ids AS (SELECT DISTINCT media_id FROM toks),
+    dense AS (
+        SELECT ids.media_id, c.cell, coalesce(cs.lv, 0) AS lum
+        FROM ids CROSS JOIN (SELECT unnest(generate_series(0,
+                             {_DH_CELLS - 1})) AS cell) c
+        LEFT JOIN cellsum cs ON cs.media_id = ids.media_id
+                            AND cs.cell = c.cell
+    ), bits AS (
+        SELECT media_id, cell, lum,
+               lead(lum) OVER (PARTITION BY media_id ORDER BY cell)
+                   AS nxt
+        FROM dense
+    ), hashes AS (
+        SELECT media_id,
+               sum(CASE WHEN cell < {_DH_BITS} AND lum > nxt
+                        THEN CAST(1 AS BIGINT) << cell
+                        ELSE 0 END) AS dhash
+        FROM bits GROUP BY media_id
+    ), bands AS (
+        SELECT h.media_id, h.dhash, b.band,
+               (h.dhash >> (10 * b.band)) & 1023 AS val
+        FROM hashes h,
+             (SELECT unnest(generate_series(0, {_DH_BANDS - 1}))
+                  AS band) b
+    ), cand AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+               a.dhash AS ha, b.dhash AS hb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.val = b.val
+         AND a.media_id < b.media_id
+    )
+    SELECT media_a, media_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand
+    ORDER BY hamming ASC, media_a ASC, media_b ASC LIMIT {_DH_TOP}
+    """
+
+
+QUERIES["media_dhash_neardup"] = media_dhash_neardup
+ORACLES["media_dhash_neardup"] = _dhash_oracle_sql()

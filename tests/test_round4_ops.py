@@ -423,3 +423,37 @@ def test_series_acf_matches_numpy(spark, sf_dir):
             assert abs(r.wn_band - round(1.96 / math.sqrt(len(y)), 6)) \
                 < 1e-9
             assert r.significant == (abs(r.acf) > r.wn_band)
+
+
+def test_media_dhash_neardup_brute(spark, sf_dir):
+    """Full brute-force recomputation: per-doc dHash, band-candidate
+    set, exact hamming, top-20 ordering — and the banding theorem
+    (hamming ≤ 5 ⇒ the pair IS a candidate) spot-checked over all
+    hash pairs."""
+    from itertools import combinations
+
+    from qrapids_forecast_r_script_spark.operators.multimodal import (
+        _DH_BANDS, _DH_TOP, _dhash_of_tokens, media_dhash_neardup)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    got = media_dhash_neardup(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    hashes = {}
+    for d in docs:
+        toks = [t for t in d.text.split(" ") if t]
+        if toks:
+            hashes[d.doc_id] = _dhash_of_tokens(toks)[1]
+
+    def bands(h):
+        return {(b, (h >> (10 * b)) & 1023) for b in range(_DH_BANDS)}
+
+    cand = []
+    for a, b in combinations(sorted(hashes), 2):
+        ham = bin(hashes[a] ^ hashes[b]).count("1")
+        if bands(hashes[a]) & bands(hashes[b]):
+            cand.append((ham, a, b))
+        else:
+            assert ham > 5, (a, b, ham)   # pigeonhole guarantee
+    expect = sorted(cand)[:_DH_TOP]
+    assert [(r.hamming, r.media_a, r.media_b) for r in got] == expect
