@@ -41,8 +41,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # training-prep / assoc-privacy / data-quality layers.  The remaining
 # never-checked oracled queries (~17 deferrals — profilers,
 # product-analytics tails, the stream-stream outer join, TWS — plus
-# round 4's additions: events_ks_drift, bpe_encode_docs) are next in
-# merged order for round 5.
+# round 4's twelve additions: events_ks_drift, bpe_encode_docs,
+# paragraph_dedup_rewrite, doc_novelty_scores, corpus_zipf_fit,
+# benford_first_digit_audit, char_trigram_lang_classifier,
+# rm3_query_expansion, doc_graph_link_prediction,
+# mixture_waterfill_budget, jl_projection_distortion, series_acf,
+# media_dhash_neardup, curriculum_order) are the round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

@@ -180,6 +180,7 @@ HEADLINE = [
     "jl_projection_distortion",
     "series_acf",
     "media_dhash_neardup",
+    "curriculum_order",
 ]
 
 

@@ -922,3 +922,58 @@ def _waterfill_oracle_sql() -> str:
 
 QUERIES["mixture_waterfill_budget"] = mixture_waterfill_budget
 ORACLES["mixture_waterfill_budget"] = _waterfill_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-4 addition: curriculum ordering (sequence-length warmup).
+
+_CURR_STAGES = 3
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering: documents staged easy→hard by
+    token count (the sequence-length warmup schedule — short-sequence
+    early training is the standard stabilizer), with a deterministic
+    md5 shuffle WITHIN each stage (ordered-by-difficulty inside a stage
+    would correlate adjacent batches).  Emits doc_id, n_tokens, stage
+    (1..3 via exact integer tercile cutpoints), and the global
+    curriculum position — the data-loader read order.
+
+    Ties at the cutpoints resolve by the ntile contract (both engines
+    compute ntile over the same total order (n_tokens, doc_id), so the
+    stage assignment is exact).  At 100 TB: one map-side token count,
+    one global sort for ntile — replaced at scale by broadcast
+    approximate cutpoints (the winsorize pattern) — and the position
+    window keyed by nothing heavier than the final order."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.concat(F.lit("curr"), F.col("doc_id").cast("string")))
+        .alias("shuf"))
+    wstage = Window.orderBy("n_tokens", "doc_id")
+    staged = sized.withColumn("stage", F.ntile(_CURR_STAGES).over(wstage))
+    wpos = Window.orderBy("stage", "shuf", "doc_id")
+    return (staged
+            .withColumn("position", F.row_number().over(wpos))
+            .select("doc_id", "n_tokens", "stage", "position")
+            .orderBy("position"))
+
+
+ORACLES["curriculum_order"] = f"""
+    WITH sized AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               md5('curr' || CAST(doc_id AS VARCHAR)) AS shuf
+        FROM documents
+    ), staged AS (
+        SELECT *, ntile({_CURR_STAGES})
+                   OVER (ORDER BY n_tokens, doc_id) AS stage
+        FROM sized
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(stage AS INT) AS stage,
+           CAST(row_number() OVER (ORDER BY stage, shuf, doc_id)
+                AS BIGINT) AS position
+    FROM staged ORDER BY position
+"""
+
+QUERIES["curriculum_order"] = curriculum_order

@@ -457,3 +457,39 @@ def test_media_dhash_neardup_brute(spark, sf_dir):
             assert ham > 5, (a, b, ham)   # pigeonhole guarantee
     expect = sorted(cand)[:_DH_TOP]
     assert [(r.hamming, r.media_a, r.media_b) for r in got] == expect
+
+
+def test_curriculum_order_brute(spark, sf_dir):
+    """Stages partition by length terciles (every doc in stage s is no
+    longer than any doc in stage s+1 up to the ntile remainder
+    contract), positions are the 1..N permutation ordered by (stage,
+    md5 shuffle), and the within-stage order is NOT length-sorted (the
+    shuffle did something)."""
+    import hashlib
+
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        curriculum_order)
+
+    rows = curriculum_order(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.position for r in rows) == list(range(1, n + 1))
+    # stage boundaries: ntile over (n_tokens, doc_id)
+    order = sorted(rows, key=lambda r: (r.n_tokens, r.doc_id))
+    base, rem = divmod(n, 3)
+    sizes = [base + (1 if i < rem else 0) for i in range(3)]
+    i = 0
+    for stage, sz in enumerate(sizes, start=1):
+        for r in order[i:i + sz]:
+            assert r.stage == stage, (r.doc_id, r.stage, stage)
+        i += sz
+    # positions follow (stage, md5('curr'||doc_id), doc_id)
+    def key(r):
+        return (r.stage,
+                hashlib.md5(f"curr{r.doc_id}".encode()).hexdigest(),
+                r.doc_id)
+    assert [r.doc_id for r in sorted(rows, key=key)] == \
+        [r.doc_id for r in sorted(rows, key=lambda r: r.position)]
+    # the shuffle actually permutes within stages
+    s1 = [r.n_tokens for r in sorted(rows, key=lambda r: r.position)
+          if r.stage == 1]
+    assert s1 != sorted(s1)
