@@ -46,7 +46,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # benford_first_digit_audit, char_trigram_lang_classifier,
 # rm3_query_expansion, doc_graph_link_prediction,
 # mixture_waterfill_budget, jl_projection_distortion, series_acf,
-# media_dhash_neardup, curriculum_order) are the round-5 window.
+# media_dhash_neardup, curriculum_order, forecast_croston_events,
+# hierarchical_forecast_coherence) are the round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

@@ -181,6 +181,10 @@ HEADLINE = [
     "series_acf",
     "media_dhash_neardup",
     "curriculum_order",
+    # round-4 continuation: intermittent-demand Croston/SBA and
+    # hierarchical forecast reconciliation (bottom-up / top-down)
+    "forecast_croston_events",
+    "hierarchical_forecast_coherence",
 ]
 
 

@@ -493,3 +493,78 @@ def test_curriculum_order_brute(spark, sf_dir):
     s1 = [r.n_tokens for r in sorted(rows, key=lambda r: r.position)
           if r.stage == 1]
     assert s1 != sorted(s1)
+
+
+def test_croston_matches_numpy_ses(spark, sf_dir):
+    """The integer-exact alpha=0.5 closed form must equal a literal
+    numpy SES recursion (l_k = a*y_k + (1-a)*l_{k-1}, l_1 = y_1) over
+    the same truncated demand window, and SBA = 0.75 * Croston."""
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        _CR_CAP, _CR_MOD, _CR_RES, forecast_croston_events)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    got = {r.name: r for r in
+           forecast_croston_events(spark, sf_dir).collect()}
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id") % _CR_MOD == _CR_RES)
+          .groupBy("event_type", F.to_date("ts").alias("d"))
+          .agg(F.count(F.lit(1)).alias("z"))
+          .collect())
+    d0 = min(r.d for r in ev)
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(
+            ((r.d - d0).days, r.z))
+
+    def ses(ys):
+        l = float(ys[0])
+        for y in ys[1:]:
+            l = 0.5 * y + 0.5 * l
+        return l
+
+    assert set(got) == set(by_type)
+    for name, td in by_type.items():
+        td.sort()
+        ts = [t for t, _ in td]
+        zs = [z for _, z in td]
+        ps = [ts[0] + 1] + [ts[i] - ts[i - 1] for i in range(1, len(ts))]
+        zk, pk = zs[-_CR_CAP:], ps[-_CR_CAP:]
+        r = got[name]
+        assert r.m_demands == len(zs)
+        assert r.k_used == len(zk)
+        assert abs(r.z_hat - ses(zk)) < 1e-6, name
+        assert abs(r.p_hat - ses(pk)) < 1e-6, name
+        assert abs(r.croston_rate - ses(zk) / ses(pk)) < 1e-6, name
+        assert abs(r.sba_rate - 0.75 * r.croston_rate) < 2e-6, name
+
+
+def test_hierarchical_coherence_invariants(spark, sf_dir):
+    """Bottom-up total equals the sum of leaf forecasts exactly (both
+    live on the same micro-grid); top-down leaves re-aggregate to the
+    direct total within per-leaf rounding; leaves keep their direct
+    forecast under bottom-up."""
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        hierarchical_forecast_coherence)
+
+    rows = hierarchical_forecast_coherence(spark, sf_dir).collect()
+    leaves = [r for r in rows if r.level == "leaf"]
+    totals = {r.step: r for r in rows if r.level == "total"}
+    assert len(totals) == 7
+    by_step = {}
+    for r in leaves:
+        by_step.setdefault(r.step, []).append(r)
+    for step, grp in by_step.items():
+        t = totals[step]
+        # bottom-up: exact (micro-grid sums)
+        assert abs(sum(r.reconciled_bu for r in grp) - t.reconciled_bu) \
+            < 1e-6 * len(grp)
+        # top-down re-aggregates to the direct total (per-leaf 6dp round)
+        if t.direct is not None:
+            td = [r.reconciled_td for r in grp if r.reconciled_td
+                  is not None]
+            assert abs(sum(td) - t.direct) < 5e-6 * len(grp)
+        for r in grp:
+            if r.direct is not None:
+                assert r.reconciled_bu == r.direct
+            else:
+                assert r.reconciled_bu == 0.0
