@@ -47,7 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # rm3_query_expansion, doc_graph_link_prediction,
 # mixture_waterfill_budget, jl_projection_distortion, series_acf,
 # media_dhash_neardup, curriculum_order, forecast_croston_events,
-# hierarchical_forecast_coherence) are the round-5 window.
+# hierarchical_forecast_coherence, doc_graph_kcore,
+# mmr_diversified_topk) are the round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

@@ -185,6 +185,10 @@ HEADLINE = [
     # hierarchical forecast reconciliation (bottom-up / top-down)
     "forecast_croston_events",
     "hierarchical_forecast_coherence",
+    # round-4 continuation: k-core peel over the dup graph, MMR
+    # diversified re-ranking over the retrieval shortlist
+    "doc_graph_kcore",
+    "mmr_diversified_topk",
 ]
 
 

@@ -431,3 +431,111 @@ def _link_prediction_oracle_sql() -> str:
 
 QUERIES["doc_graph_link_prediction"] = doc_graph_link_prediction
 ORACLES["doc_graph_link_prediction"] = _link_prediction_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: k-core decomposition — the degeneracy peel that
+# separates densely inter-duplicated boilerplate CORES (every member
+# near-dups >= k others even after weakly-attached docs are removed)
+# from chain/star periphery that PageRank and raw degree conflate.
+
+_KC_K = 2         # core threshold: survive while >= k alive neighbors
+_KC_ROUNDS = 3    # unrolled peel rounds (each = one degree pass)
+
+
+def doc_graph_kcore(spark: SparkSession, sf_dir: str, k: int = _KC_K,
+                    rounds: int = _KC_ROUNDS) -> DataFrame:
+    """k-core peel (Seidman 1983 / the Matula-Beck degeneracy order)
+    over the MinHash near-dup pair graph: repeatedly delete nodes with
+    fewer than ``k`` ALIVE neighbors; after ``rounds`` passes, the
+    survivors approximate the k-core (the fixpoint's superset — each
+    extra round is the same plan repeated, and the unrolled-3 form is
+    the oracle-able correctness anchor, the PageRank/LPA convention).
+    Emits per node: initial degree, the round it was peeled (0 = still
+    in core), and the in-core flag — the "dense duplication family vs
+    weakly-attached tail" split a dedup auditor prioritizes by.
+
+    All-integer (degrees and round tags), so the unrolled oracle is
+    exact with no rounding discipline.  Scale shape per round: one
+    alive-semi-joined degree aggregate keyed by src (the PageRank
+    shuffle) + one anti-join — no driver collect anywhere; the alive
+    set shrinks monotonically, so later rounds cost less."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+           .union(pairs.select(F.col("doc_b").alias("src"),
+                               F.col("doc_a").alias("dst")))
+           .localCheckpoint())
+    deg0 = (sym.groupBy(F.col("src").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("deg0")))
+    alive = deg0.select("doc_id")
+    peeled = None
+    for r in range(1, rounds + 1):
+        e = (sym
+             .join(alive.withColumnRenamed("doc_id", "src"), "src")
+             .join(alive.withColumnRenamed("doc_id", "dst"), "dst"))
+        deg = (e.groupBy(F.col("src").alias("doc_id"))
+               .agg(F.count(F.lit(1)).alias("deg")))
+        dead = (alive.join(deg, "doc_id", "left")
+                .where(F.coalesce(F.col("deg"), F.lit(0)) < k)
+                .select("doc_id", F.lit(r).alias("peel_round")))
+        peeled = dead if peeled is None else peeled.unionByName(dead)
+        alive = (alive.join(dead.select("doc_id"), "doc_id", "left_anti")
+                 .localCheckpoint())
+    out = (deg0.join(peeled, "doc_id", "left")
+           .select("doc_id", "deg0",
+                   F.coalesce("peel_round", F.lit(0)).alias("peel_round")))
+    return (out.withColumn("in_core", F.col("peel_round") == 0)
+            .orderBy("doc_id"))
+
+
+def _kcore_oracle_sql(k: int = _KC_K, rounds: int = _KC_ROUNDS) -> str:
+    prev = "a0"
+    round_ctes = []
+    dead_names = []
+    for r in range(1, rounds + 1):
+        cur = f"a{r}"
+        round_ctes.append(f"""
+        d{r} AS (
+            SELECT s.src AS doc_id, count(*) AS deg
+            FROM sym s
+            JOIN {prev} x ON s.src = x.doc_id
+            JOIN {prev} y ON s.dst = y.doc_id
+            GROUP BY 1
+        ),
+        dead{r} AS (
+            SELECT a.doc_id, {r} AS peel_round
+            FROM {prev} a LEFT JOIN d{r} ON a.doc_id = d{r}.doc_id
+            WHERE coalesce(d{r}.deg, 0) < {k}
+        ),
+        {cur} AS (
+            SELECT doc_id FROM {prev}
+            WHERE doc_id NOT IN (SELECT doc_id FROM dead{r})
+        )""")
+        dead_names.append(f"SELECT * FROM dead{r}")
+        prev = cur
+    return _SIG_CTE + f"""
+        , bands AS ({_BANDS_UNION}),
+        prs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                        AND a.doc_id < b.doc_id
+        ),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM prs
+            UNION ALL SELECT doc_b, doc_a FROM prs
+        ),
+        deg0 AS (SELECT src AS doc_id, count(*) AS deg0 FROM sym GROUP BY 1),
+        a0 AS (SELECT doc_id FROM deg0),{",".join(round_ctes)},
+        peeled AS ({" UNION ALL ".join(dead_names)})
+        SELECT n.doc_id, n.deg0,
+               coalesce(p.peel_round, 0) AS peel_round,
+               coalesce(p.peel_round, 0) = 0 AS in_core
+        FROM deg0 n LEFT JOIN peeled p USING (doc_id)
+        ORDER BY n.doc_id
+    """
+
+
+QUERIES["doc_graph_kcore"] = doc_graph_kcore
+ORACLES["doc_graph_kcore"] = _kcore_oracle_sql()

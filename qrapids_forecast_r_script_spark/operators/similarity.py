@@ -1750,3 +1750,155 @@ def _jl_oracle_sql() -> str:
 
 QUERIES["jl_projection_distortion"] = jl_projection_distortion
 ORACLES["jl_projection_distortion"] = _jl_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: MMR diversified re-ranking — the redundancy-
+# aware selection step between retrieval and a RAG context window.
+
+_MMR_SHORTLIST = 20   # stage-1 candidate pool (exact cosine top-20)
+_MMR_SELECT = 5       # diversified picks (unrolled greedy rounds)
+_MMR_U = 1_000_000    # 1e-6 fixed-point grid for rel/sim scores
+
+
+def _cos_u(dot: Column, na: Column, nb: Column) -> Column:
+    """Cosine snapped to the 1e-6 BIGINT micro-grid (round-then-scale,
+    the link-prediction idiom) — greedy ARGMAX selection over floats
+    would let a last-ulp drift pick a different document."""
+    return F.round(F.round(dot / (na * nb), 6) * _MMR_U, 0).cast("long")
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) at lambda = 0.5: from the exact cosine top-20 shortlist for
+    the lowest-vec_id query, greedily select 5 documents maximizing
+    ``lambda*rel(d) - (1-lambda)*max_{s in selected} sim(d, s)`` — the
+    classic redundancy-aware selection every RAG/search stack runs
+    between retrieval and the context window (near-duplicate hits add
+    rank depth but no information).  With lambda = 1/2 the argmax is
+    over the exact INTEGER ``rel_u - maxsim_u``, so selection can never
+    flip on float noise; the reported mmr_score divides by 2 at the end
+    (the literal lambda=0.5 value).
+
+    Scale shape: stage 1 is the brute-force/ANN retrieval (swappable,
+    like triplet mining); everything after is bounded by the shortlist
+    constant — a 20x20 broadcast pair table and 5 unrolled rounds of
+    (anti-join + grouped max + argmax limit 1) on <= 20 rows.  Cost is
+    independent of corpus size by construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = (emb.select("vec_id", _as_double("embedding").alias("v"))
+            .withColumn("nrm", _norm(F.col("v"))))
+    q = (vecs.orderBy("vec_id").limit(1)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+    scored = (vecs.crossJoin(F.broadcast(q))
+              .where(F.col("vec_id") != F.col("query_id"))
+              .select("vec_id",
+                      _cos_u(_dot(F.col("qv"), F.col("v")),
+                             F.col("qn"), F.col("nrm")).alias("rel_u")))
+    wq = Window.orderBy(F.col("rel_u").desc(), F.col("vec_id").asc())
+    shortlist = (scored.withColumn("rk", F.row_number().over(wq))
+                 .where(F.col("rk") <= _MMR_SHORTLIST).drop("rk")
+                 .localCheckpoint())
+    sl_vecs = shortlist.join(vecs, "vec_id")
+    a = sl_vecs.select(F.col("vec_id").alias("a"),
+                       F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = sl_vecs.select(F.col("vec_id").alias("b"),
+                       F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = (a.crossJoin(F.broadcast(b))
+             .where(F.col("a") != F.col("b"))
+             .select("a", "b",
+                     _cos_u(_dot(F.col("va"), F.col("vb")),
+                            F.col("na"), F.col("nb")).alias("sim_u"))
+             .localCheckpoint())
+    sel = (shortlist
+           .orderBy(F.col("rel_u").desc(), F.col("vec_id").asc()).limit(1)
+           .select(F.lit(1).alias("order_idx"), "vec_id", "rel_u",
+                   F.col("rel_u").alias("mmr_u")))
+    for r in range(2, _MMR_SELECT + 1):
+        chosen = sel.select("vec_id")
+        maxsim = (pairs
+                  .join(chosen.withColumnRenamed("vec_id", "b"), "b")
+                  .groupBy(F.col("a").alias("vec_id"))
+                  .agg(F.max("sim_u").alias("ms_u")))
+        pick = (shortlist.join(chosen, "vec_id", "left_anti")
+                .join(maxsim, "vec_id")
+                .select("vec_id", "rel_u",
+                        (F.col("rel_u") - F.col("ms_u")).alias("mmr_u"))
+                .orderBy(F.col("mmr_u").desc(), F.col("vec_id").asc())
+                .limit(1)
+                .select(F.lit(r).alias("order_idx"), "vec_id", "rel_u",
+                        "mmr_u"))
+        sel = sel.unionByName(pick).localCheckpoint()
+    return (sel.select(
+        "order_idx", "vec_id",
+        F.round(F.col("rel_u") / F.lit(float(_MMR_U)), 6)
+        .alias("relevance"),
+        F.round(F.col("mmr_u") / F.lit(2.0 * _MMR_U), 6)
+        .alias("mmr_score"))
+        .orderBy("order_idx"))
+
+
+def _mmr_oracle_sql() -> str:
+    def cos_u(da: str, db: str) -> str:
+        return (f"CAST(round(round(list_dot_product({da}.emb, {db}.emb)"
+                f" / (sqrt(list_dot_product({da}.emb, {da}.emb))"
+                f" * sqrt(list_dot_product({db}.emb, {db}.emb))), 6)"
+                f" * {_MMR_U}, 0) AS BIGINT)")
+
+    sel_ctes = []
+    for r in range(2, _MMR_SELECT + 1):
+        prior = " UNION ALL ".join(f"SELECT vec_id FROM s{i}"
+                                   for i in range(1, r))
+        sel_ctes.append(f"""
+        s{r} AS (
+            SELECT {r} AS order_idx, vec_id, rel_u, mmr_u FROM (
+                SELECT sl.vec_id, sl.rel_u,
+                       sl.rel_u - max(p.sim_u) AS mmr_u
+                FROM shortlist sl
+                JOIN prs p ON p.a = sl.vec_id
+                          AND p.b IN ({prior})
+                WHERE sl.vec_id NOT IN ({prior})
+                GROUP BY sl.vec_id, sl.rel_u
+                ORDER BY mmr_u DESC, vec_id ASC LIMIT 1)
+        )""")
+    all_sel = " UNION ALL ".join(f"SELECT * FROM s{i}"
+                                 for i in range(1, _MMR_SELECT + 1))
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, emb
+            FROM vecs ORDER BY vec_id LIMIT 1
+        ), scored AS (
+            SELECT c.vec_id, {cos_u('q', 'c')} AS rel_u
+            FROM vecs c, q WHERE c.vec_id != q.query_id
+        ), shortlist AS (
+            SELECT vec_id, rel_u FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY rel_u DESC, vec_id ASC) AS rk
+                FROM scored)
+            WHERE rk <= {_MMR_SHORTLIST}
+        ), prs AS (
+            SELECT sa.vec_id AS a, sb.vec_id AS b, {cos_u('va', 'vb')}
+                       AS sim_u
+            FROM shortlist sa
+            JOIN vecs va ON va.vec_id = sa.vec_id
+            JOIN shortlist sb ON sa.vec_id != sb.vec_id
+            JOIN vecs vb ON vb.vec_id = sb.vec_id
+        ),
+        s1 AS (
+            SELECT 1 AS order_idx, vec_id, rel_u, rel_u AS mmr_u
+            FROM shortlist ORDER BY rel_u DESC, vec_id ASC LIMIT 1
+        ),{",".join(sel_ctes)}
+        SELECT order_idx, vec_id,
+               round(rel_u / CAST({_MMR_U} AS DOUBLE), 6) AS relevance,
+               round(mmr_u / CAST({2 * _MMR_U} AS DOUBLE), 6) AS mmr_score
+        FROM ({all_sel}) ORDER BY order_idx
+    """
+
+
+QUERIES["mmr_diversified_topk"] = mmr_diversified_topk
+ORACLES["mmr_diversified_topk"] = _mmr_oracle_sql()

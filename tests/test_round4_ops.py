@@ -568,3 +568,90 @@ def test_hierarchical_coherence_invariants(spark, sf_dir):
                 assert r.reconciled_bu == r.direct
             else:
                 assert r.reconciled_bu == 0.0
+
+
+def test_kcore_brute(spark, sf_dir):
+    """The unrolled 3-round peel must equal a literal Python peel of the
+    same graph, and the in-core subgraph must satisfy the k-core
+    property (every surviving node has >= k surviving neighbors) when
+    the peel has converged within the unrolled rounds."""
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from qrapids_forecast_r_script_spark.operators.graph import (
+        _KC_K, _KC_ROUNDS, doc_graph_kcore)
+
+    got = {r.doc_id: r for r in doc_graph_kcore(spark, sf_dir).collect()}
+    edges = [(r.doc_a, r.doc_b) for r in
+             minhash_lsh_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b").collect()]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert set(got) == set(adj)
+    alive = set(adj)
+    peel = {}
+    for r in range(1, _KC_ROUNDS + 1):
+        dead = {v for v in alive
+                if len(adj[v] & alive) < _KC_K}
+        for v in dead:
+            peel[v] = r
+        alive -= dead
+        if not dead:
+            break
+    for v, rec in got.items():
+        assert rec.deg0 == len(adj[v])
+        assert rec.peel_round == peel.get(v, 0), v
+        assert rec.in_core == (v in alive or peel.get(v, 0) == 0
+                               and v in alive) or rec.in_core == \
+            (rec.peel_round == 0)
+    # converged ⇒ genuine k-core
+    still = {v for v in alive if len(adj[v] & alive) < _KC_K}
+    if not still:
+        for v in alive:
+            assert len(adj[v] & alive) >= _KC_K
+
+
+def test_mmr_greedy_brute(spark, sf_dir):
+    """The relational unrolled greedy must equal a literal Python MMR
+    (lambda=0.5) over the same micro-grid scores, and diversify: from
+    round 2 on, each pick's max-sim-to-selected enters the score."""
+    import numpy as np
+
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        _MMR_SELECT, _MMR_SHORTLIST, _MMR_U, mmr_diversified_topk)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    got = (mmr_diversified_topk(spark, sf_dir)
+           .orderBy("order_idx").collect())
+    emb = {r.vec_id: np.array(r.embedding, dtype=float)
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+    qid = min(emb)
+    qv = emb[qid]
+
+    def cos_u(a, b):
+        c = float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+        return int(np.round(np.round(c, 6) * _MMR_U))
+
+    rel = {i: cos_u(qv, v) for i, v in emb.items() if i != qid}
+    short = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_SHORTLIST]
+    sel = [min(short, key=lambda i: (-rel[i], i))]
+    expect = [(1, sel[0], rel[sel[0]], rel[sel[0]])]
+    for r in range(2, _MMR_SELECT + 1):
+        rem = [i for i in short if i not in sel]
+        scored = {i: rel[i] - max(cos_u(emb[i], emb[s]) for s in sel)
+                  for i in rem}
+        pick = min(rem, key=lambda i: (-scored[i], i))
+        expect.append((r, pick, rel[pick], scored[pick]))
+        sel.append(pick)
+    assert [(r.order_idx, r.vec_id) for r in got] == \
+        [(o, v) for o, v, _, _ in expect]
+    for r, (_, _, ru, mu) in zip(got, expect):
+        assert abs(r.relevance - ru / _MMR_U) < 1e-9
+        # mmr_u/2 can land on the half-grid (odd integer / 2e6), which
+        # the query's 6dp round snaps — allow half a grid step
+        assert abs(r.mmr_score - mu / (2 * _MMR_U)) <= 5.1e-7
+    # the diversified order differs from pure relevance order
+    pure = sorted(short, key=lambda i: (-rel[i], i))[:_MMR_SELECT]
+    assert [v for _, v, _, _ in expect] != pure or len(set(
+        tuple(np.round(v, 3)) for v in emb.values())) < len(emb)
