@@ -189,6 +189,10 @@ HEADLINE = [
     # diversified re-ranking over the retrieval shortlist
     "doc_graph_kcore",
     "mmr_diversified_topk",
+    # round-4 continuation: categorical-independence audit + group-wise
+    # imputation report
+    "chi_square_independence",
+    "missing_value_imputation",
 ]
 
 

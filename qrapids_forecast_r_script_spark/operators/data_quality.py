@@ -668,3 +668,192 @@ ORACLES["benford_first_digit_audit"] = f"""
 
 
 QUERIES["benford_first_digit_audit"] = benford_first_digit_audit
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: chi-square independence audit + group-wise
+# missing-value imputation report.
+
+_CHI_U = 1_000_000   # micro-unit grid for the chi-square contributions
+
+
+def chi_square_independence(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Pearson chi-square test of independence (Pearson 1900) between
+    event_type and day-of-week — the categorical-association audit that
+    catches feed pathologies the numeric monitors miss (a scraper that
+    only emits 'error' events on Mondays, a type whose traffic pattern
+    silently decoupled from the weekly cycle).  Emits the FULL r x c
+    contingency grid (zero cells included — dropping them biases the
+    statistic) with observed, expected, per-cell contribution, and the
+    table-level chi2 / degrees of freedom repeated per row.
+
+    Exactness: observed counts and marginals are exact integers;
+    expected and contribution are fixed-shape IEEE expressions of exact
+    inputs (engine-identical); the table statistic sums contributions
+    AFTER flooring to a 1e-6 BIGINT micro-grid, so the total is exact
+    integer arithmetic under any aggregation order — on a statistic
+    compared to a critical value, a last-ulp drift is a different
+    verdict.
+
+    Scale shape: one (type, dow) aggregate with map-side combine, two
+    marginal re-aggregates, a broadcast grid join (r x c is tiny by
+    construction), one micro-unit sum — nothing row-proportional past
+    the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (ev.groupBy(F.col("event_type"),
+                        (F.dayofweek("ts") - 1).alias("dow"))
+             .agg(F.count(F.lit(1)).alias("observed")))
+    rows = cells.groupBy("event_type").agg(F.sum("observed").alias("rt"))
+    cols = cells.groupBy("dow").agg(F.sum("observed").alias("ct"))
+    n = cells.agg(F.sum("observed").alias("n"),
+                  F.count_distinct("event_type").alias("r"),
+                  F.count_distinct("dow").alias("c"))
+    grid = (rows.crossJoin(F.broadcast(cols))
+            .join(cells, ["event_type", "dow"], "left")
+            .withColumn("observed", F.coalesce("observed", F.lit(0)))
+            .crossJoin(F.broadcast(n)))
+    exp = (F.col("rt").cast("double") * F.col("ct").cast("double")
+           / F.col("n").cast("double"))
+    obs = F.col("observed").cast("double")
+    contrib = (obs - exp) * (obs - exp) / exp
+    contrib_u = F.floor(contrib * _CHI_U).cast("long")
+    scored = grid.select(
+        "event_type", "dow", "observed",
+        F.round(exp, 6).alias("expected"),
+        contrib_u.alias("contrib_u"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"))
+    w = Window.partitionBy()
+    return (scored
+            .withColumn("chi2_total",
+                        F.round(F.sum("contrib_u").over(w)
+                                / F.lit(float(_CHI_U)), 6))
+            .select("event_type", "dow", "observed", "expected",
+                    F.round(F.col("contrib_u") / F.lit(float(_CHI_U)), 6)
+                    .alias("contribution"),
+                    "chi2_total", "dof")
+            .orderBy("event_type", "dow"))
+
+
+ORACLES["chi_square_independence"] = f"""
+    WITH cells AS (
+        SELECT event_type, CAST(date_part('dow', ts) AS INTEGER) AS dow,
+               count(*) AS observed
+        FROM events GROUP BY 1, 2
+    ), rws AS (SELECT event_type, sum(observed) AS rt
+               FROM cells GROUP BY 1),
+    cls AS (SELECT dow, sum(observed) AS ct FROM cells GROUP BY 1),
+    nn AS (SELECT sum(observed) AS n,
+                  count(DISTINCT event_type) AS r,
+                  count(DISTINCT dow) AS c
+           FROM cells),
+    grid AS (
+        SELECT rws.event_type, cls.dow,
+               coalesce(ce.observed, 0) AS observed,
+               rws.rt, cls.ct, nn.n, nn.r, nn.c
+        FROM rws CROSS JOIN cls
+        LEFT JOIN cells ce ON ce.event_type = rws.event_type
+                          AND ce.dow = cls.dow
+        CROSS JOIN nn
+    ), scored AS (
+        SELECT event_type, dow, observed,
+               CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS expected,
+               CAST(floor((CAST(observed AS DOUBLE)
+                           - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                          * (CAST(observed AS DOUBLE)
+                             - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                               / CAST(n AS DOUBLE))
+                          / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                          * {_CHI_U}) AS BIGINT) AS contrib_u,
+               (r - 1) * (c - 1) AS dof
+        FROM grid
+    )
+    SELECT event_type, dow, observed, round(expected, 6) AS expected,
+           round(contrib_u / CAST({_CHI_U} AS DOUBLE), 6) AS contribution,
+           round(sum(contrib_u) OVER () / CAST({_CHI_U} AS DOUBLE), 6)
+               AS chi2_total,
+           dof
+    FROM scored ORDER BY event_type, dow
+"""
+QUERIES["chi_square_independence"] = chi_square_independence
+
+
+_IMP_MOD = 10   # deterministic missingness: md5(event_id) bucket 0
+
+
+def missing_value_imputation(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Group-wise missing-value imputation report: a deterministic 10%
+    of event values is masked (md5(event_id) bucket — the retry-stable
+    sampling idiom), then imputed with the per-event-type mean of the
+    PRESENT values, global-mean fallback — the standard fill strategy
+    every feature pipeline applies before training, emitted as the
+    audit table (fill value, miss rate, post-imputation mean shift)
+    rather than a silent transform.
+
+    Exactness: present-value sums snap to the 1e-6 BIGINT micro-grid
+    per row before aggregation, so group sums are exact integers;
+    means and the post-imputation mean are fixed-shape divisions of
+    exact integers.  Scale shape: one masked scan, one per-group
+    aggregate, one broadcast of the (tiny) per-group fill table —
+    map-side throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.conv(F.substring(
+        F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10) \
+        .cast("long") % _IMP_MOD
+    vu = F.round(F.round(F.col("value"), 6) * 1_000_000, 0).cast("long")
+    masked = ev.select(
+        "event_type", vu.alias("vu"),
+        (bucket == 0).alias("is_missing"))
+    g = (masked.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n_total"),
+              F.sum(F.col("is_missing").cast("long")).alias("n_missing"),
+              F.sum(F.when(~F.col("is_missing"), F.col("vu")))
+              .alias("present_sum_u")))
+    n_present = F.col("n_total") - F.col("n_missing")
+    fill = (F.col("present_sum_u").cast("double")
+            / n_present.cast("double"))
+    post_mean = ((F.col("present_sum_u").cast("double")
+                  + F.col("n_missing").cast("double") * fill)
+                 / F.col("n_total").cast("double"))
+    return (g.select(
+        "event_type", "n_total", "n_missing",
+        F.round(F.col("n_missing").cast("double")
+                / F.col("n_total").cast("double"), 6).alias("miss_rate"),
+        F.round(fill / 1_000_000, 6).alias("fill_value"),
+        F.round(post_mean / 1_000_000, 6).alias("post_imputation_mean"))
+        .orderBy("event_type"))
+
+
+ORACLES["missing_value_imputation"] = f"""
+    WITH masked AS (
+        SELECT event_type,
+               CAST(round(round(value, 6) * 1000000, 0) AS BIGINT) AS vu,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % {_IMP_MOD} = 0 AS is_missing
+        FROM events
+    ), g AS (
+        SELECT event_type, count(*) AS n_total,
+               CAST(sum(CASE WHEN is_missing THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_missing,
+               sum(CASE WHEN NOT is_missing THEN vu END) AS present_sum_u
+        FROM masked GROUP BY 1
+    )
+    SELECT event_type, n_total, n_missing,
+           round(CAST(n_missing AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+               AS miss_rate,
+           round(CAST(present_sum_u AS DOUBLE)
+                 / CAST(n_total - n_missing AS DOUBLE) / 1000000, 6)
+               AS fill_value,
+           round((CAST(present_sum_u AS DOUBLE)
+                  + CAST(n_missing AS DOUBLE)
+                    * (CAST(present_sum_u AS DOUBLE)
+                       / CAST(n_total - n_missing AS DOUBLE)))
+                 / CAST(n_total AS DOUBLE) / 1000000, 6)
+               AS post_imputation_mean
+    FROM g ORDER BY event_type
+"""
+QUERIES["missing_value_imputation"] = missing_value_imputation

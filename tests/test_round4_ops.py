@@ -655,3 +655,61 @@ def test_mmr_greedy_brute(spark, sf_dir):
     pure = sorted(short, key=lambda i: (-rel[i], i))[:_MMR_SELECT]
     assert [v for _, v, _, _ in expect] != pure or len(set(
         tuple(np.round(v, 3)) for v in emb.values())) < len(emb)
+
+
+def test_chi_square_brute(spark, sf_dir):
+    """Grid completeness (full r x c incl. zero cells), exact marginals,
+    and the statistic equal to a literal numpy chi-square computation
+    within the micro-grid floor discipline."""
+    import numpy as np
+
+    from qrapids_forecast_r_script_spark.operators.data_quality import (
+        chi_square_independence)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = chi_square_independence(spark, sf_dir).collect()
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type", (F.dayofweek("ts") - 1).alias("dow"))
+          .collect())
+    types = sorted({r.event_type for r in ev})
+    dows = sorted({r.dow for r in ev})
+    assert len(rows) == len(types) * len(dows)
+    obs = {(t, d): 0 for t in types for d in dows}
+    for r in ev:
+        obs[(r.event_type, r.dow)] += 1
+    n = len(ev)
+    chi2 = 0.0
+    for r in rows:
+        assert r.observed == obs[(r.event_type, r.dow)]
+        rt = sum(obs[(r.event_type, d)] for d in dows)
+        ct = sum(obs[(t, r.dow)] for t in types)
+        exp = rt * ct / n
+        assert abs(r.expected - exp) < 1e-5
+        contrib = (r.observed - exp) ** 2 / exp
+        assert abs(r.contribution - contrib) < 2e-6
+        chi2 += np.floor(contrib * 1e6) / 1e6
+        assert r.dof == (len(types) - 1) * (len(dows) - 1)
+    assert abs(rows[0].chi2_total - chi2) < 1e-4
+
+
+def test_imputation_identities(spark, sf_dir):
+    """The fill value is the present-value mean; the post-imputation
+    mean equals (present_sum + n_missing*fill)/n_total and moves toward
+    the fill value; miss rate is n_missing/n_total; ~10% masked."""
+    from qrapids_forecast_r_script_spark.operators.data_quality import (
+        missing_value_imputation)
+
+    rows = missing_value_imputation(spark, sf_dir).collect()
+    tot = sum(r.n_total for r in rows)
+    miss = sum(r.n_missing for r in rows)
+    assert 0.03 < miss / tot < 0.2      # md5 bucket ~10%
+    for r in rows:
+        assert abs(r.miss_rate - r.n_missing / r.n_total) < 1e-6
+        n_present = r.n_total - r.n_missing
+        # reconstruct present_sum from the reported fill value
+        present_sum = r.fill_value * n_present
+        post = (present_sum + r.n_missing * r.fill_value) / r.n_total
+        assert abs(r.post_imputation_mean - post) < 1e-4
+        # imputing with the present mean leaves the mean at the
+        # present mean (sanity of the closed form)
+        assert abs(r.post_imputation_mean - r.fill_value) < 1e-4
