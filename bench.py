@@ -193,6 +193,8 @@ HEADLINE = [
     # imputation report
     "chi_square_independence",
     "missing_value_imputation",
+    # round-4 continuation: loss-driven mixture reweighting
+    "doremi_domain_weights",
 ]
 
 

@@ -977,3 +977,136 @@ ORACLES["curriculum_order"] = f"""
 """
 
 QUERIES["curriculum_order"] = curriculum_order
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: DoReMi-style domain reweighting — one
+# multiplicative-weights update of the mixture from per-domain excess
+# loss, the step that turns a loss profile into new sampling weights.
+
+_DRM_ETA = 0.1       # multiplicative-weights step size
+_DRM_U = 1_000_000   # 1e-6 fixed-point grid
+
+
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite domain reweighting (Xie et al. 2023, reduced to its
+    closed-form core): per source, the EXCESS LOSS — mean per-token
+    neg-logprob under the corpus unigram LM minus the corpus mean (the
+    proxy/reference gap DoReMi's group-DRO inner loop estimates) —
+    drives one exponentiated-gradient update of the mixture:
+
+        w_s  ∝  base_share_s · exp(eta · excess_s),   renormalized,
+
+    so harder-than-average domains gain sampling mass and easy ones
+    shrink — the data-mixture optimization step upstream of
+    ``temperature_mixture_sample`` (which rebalances by SIZE; this
+    rebalances by LOSS).
+
+    Exactness discipline: per-doc LM scores (6dp-rounded upstream,
+    the ``doc_unigram_logprob`` contract) snap to the 1e-6 BIGINT
+    micro-grid, so per-source sums are exact integers and every mean /
+    share / excess is a fixed-shape division of exact values; the
+    exp() output is itself snapped to the micro-grid before the
+    integer-sum renormalization (the ``temperature_mixture_sample``
+    pow-drift discipline).
+
+    Scale shape: rides the unigram-LM scoring chain (one explode + one
+    vocab join, the Zipf-skew note there), then everything is
+    per-source aggregates over #sources rows — broadcast-tiny."""
+    from .text import doc_unigram_logprob
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source")
+    scored = (doc_unigram_logprob(spark, sf_dir)
+              .join(docs, "doc_id")
+              .select("source", "n_tokens",
+                      F.round(F.round("avg_neg_logprob", 6) * _DRM_U, 0)
+                      .cast("long").alias("su")))
+    per_src = (scored.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_tokens").alias("n_tokens"),
+                    F.sum("su").alias("sum_su")))
+    tot = per_src.agg(F.sum("n_tokens").alias("tok_total"),
+                      F.sum("sum_su").alias("su_total"),
+                      F.sum("n_docs").alias("docs_total"))
+    j = per_src.crossJoin(F.broadcast(tot))
+    base_share = (F.col("n_tokens").cast("double")
+                  / F.col("tok_total").cast("double"))
+    mean_loss = (F.col("sum_su").cast("double")
+                 / F.col("n_docs").cast("double") / _DRM_U)
+    corpus_loss = (F.col("su_total").cast("double")
+                   / F.col("docs_total").cast("double") / _DRM_U)
+    excess = mean_loss - corpus_loss
+    wu = F.round(base_share * F.exp(F.lit(_DRM_ETA) * excess) * _DRM_U,
+                 0).cast("long")
+    weighted = j.select("source", "n_docs", "n_tokens",
+                        F.round(base_share, 6).alias("base_share"),
+                        F.round(mean_loss, 6).alias("mean_loss"),
+                        F.round(excess, 6).alias("excess_loss"),
+                        wu.alias("wu"))
+    norm = weighted.agg(F.sum("wu").alias("wu_total"))
+    return (weighted.crossJoin(F.broadcast(norm))
+            .select("source", "n_docs", "n_tokens", "base_share",
+                    "mean_loss", "excess_loss",
+                    F.round(F.col("wu").cast("double")
+                            / F.col("wu_total").cast("double"), 6)
+                    .alias("new_weight"))
+            .orderBy("source"))
+
+
+ORACLES["doremi_domain_weights"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), vocab AS (
+        SELECT token, count(*) AS tf FROM toks GROUP BY 1
+    ), tot AS (
+        SELECT count(*) AS n FROM toks
+    ), lm AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(-ln(tf / CAST(n AS DOUBLE))), 6)
+                   AS avg_neg_logprob
+        FROM toks JOIN vocab USING (token) CROSS JOIN tot
+        GROUP BY doc_id
+    ), scored AS (
+        SELECT d.source, lm.n_tokens,
+               CAST(round(round(lm.avg_neg_logprob, 6) * {_DRM_U}, 0)
+                    AS BIGINT) AS su
+        FROM lm JOIN documents d USING (doc_id)
+    ), per_src AS (
+        SELECT source, count(*) AS n_docs,
+               sum(n_tokens) AS n_tokens, sum(su) AS sum_su
+        FROM scored GROUP BY 1
+    ), totals AS (
+        SELECT sum(n_tokens) AS tok_total, sum(sum_su) AS su_total,
+               sum(n_docs) AS docs_total
+        FROM per_src
+    ), weighted AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / CAST(tok_total AS DOUBLE)
+                   AS base_share,
+               CAST(sum_su AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                   / {_DRM_U} AS mean_loss,
+               CAST(sum_su AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                   / {_DRM_U}
+                 - CAST(su_total AS DOUBLE) / CAST(docs_total AS DOUBLE)
+                   / {_DRM_U} AS excess_loss,
+               CAST(round(CAST(n_tokens AS DOUBLE)
+                          / CAST(tok_total AS DOUBLE)
+                          * exp(CAST({_DRM_ETA} AS DOUBLE)
+                                * (CAST(sum_su AS DOUBLE)
+                                   / CAST(n_docs AS DOUBLE) / {_DRM_U}
+                                   - CAST(su_total AS DOUBLE)
+                                     / CAST(docs_total AS DOUBLE)
+                                     / {_DRM_U}))
+                          * {_DRM_U}, 0) AS BIGINT) AS wu
+        FROM per_src CROSS JOIN totals
+    ), norm AS (SELECT sum(wu) AS wu_total FROM weighted)
+    SELECT source, n_docs, n_tokens,
+           round(base_share, 6) AS base_share,
+           round(mean_loss, 6) AS mean_loss,
+           round(excess_loss, 6) AS excess_loss,
+           round(CAST(wu AS DOUBLE) / CAST(wu_total AS DOUBLE), 6)
+               AS new_weight
+    FROM weighted CROSS JOIN norm ORDER BY source
+"""
+QUERIES["doremi_domain_weights"] = doremi_domain_weights

@@ -713,3 +713,28 @@ def test_imputation_identities(spark, sf_dir):
         # imputing with the present mean leaves the mean at the
         # present mean (sanity of the closed form)
         assert abs(r.post_imputation_mean - r.fill_value) < 1e-4
+
+
+def test_doremi_weights_brute(spark, sf_dir):
+    """Weights renormalize to 1, the update is the literal
+    exponentiated-gradient formula from the per-source losses, and a
+    source with above-average loss gains weight relative to its base
+    share (eta > 0) while a below-average one loses."""
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        _DRM_ETA, doremi_domain_weights)
+
+    rows = doremi_domain_weights(spark, sf_dir).collect()
+    assert abs(sum(r.new_weight for r in rows) - 1.0) < 1e-4
+    docs_total = sum(r.n_docs for r in rows)
+    corpus_loss = sum(r.mean_loss * r.n_docs for r in rows) / docs_total
+    import math
+    raw = {r.source: r.base_share * math.exp(_DRM_ETA * r.excess_loss)
+           for r in rows}
+    z = sum(raw.values())
+    for r in rows:
+        assert abs(r.excess_loss - (r.mean_loss - corpus_loss)) < 5e-6
+        assert abs(r.new_weight - raw[r.source] / z) < 5e-6
+        if r.excess_loss > 1e-3:
+            assert r.new_weight > r.base_share * (1 - 5e-4), r
+        if r.excess_loss < -1e-3:
+            assert r.new_weight < r.base_share * (1 + 5e-4), r
