@@ -1074,7 +1074,8 @@ ORACLES["doremi_domain_weights"] = f"""
         FROM lm JOIN documents d USING (doc_id)
     ), per_src AS (
         SELECT source, count(*) AS n_docs,
-               sum(n_tokens) AS n_tokens, sum(su) AS sum_su
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               sum(su) AS sum_su
         FROM scored GROUP BY 1
     ), totals AS (
         SELECT sum(n_tokens) AS tok_total, sum(sum_su) AS su_total,
