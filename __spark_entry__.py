@@ -49,8 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # media_dhash_neardup, curriculum_order, forecast_croston_events,
 # hierarchical_forecast_coherence, doc_graph_kcore,
 # mmr_diversified_topk, chi_square_independence,
-# missing_value_imputation, doremi_domain_weights) are the round-5
-# window.
+# missing_value_imputation, doremi_domain_weights,
+# logrank_cohort_test, nb_calibration_curve,
+# conformal_coverage_backtest) are the round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

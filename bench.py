@@ -195,6 +195,11 @@ HEADLINE = [
     "missing_value_imputation",
     # round-4 continuation: loss-driven mixture reweighting
     "doremi_domain_weights",
+    # round-4 continuation: time-to-event cohort test, classifier
+    # calibration audit, conformal coverage backtest
+    "logrank_cohort_test",
+    "nb_calibration_curve",
+    "conformal_coverage_backtest",
 ]
 
 

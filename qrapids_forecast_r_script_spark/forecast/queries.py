@@ -1395,3 +1395,102 @@ EVAL_ORACLES["hierarchical_forecast_coherence"] = f"""
     FROM tot_rows t JOIN bu b USING (step)
     ORDER BY 1, 2, 3
 """
+
+
+def conformal_coverage_backtest(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Empirical COVERAGE audit of the split-conformal construction
+    (the validity check conformal prediction's guarantee invites):
+    rebuild `conformal_snaive_intervals` one week earlier — calibrate
+    on t ∈ [n−21, n−14), take SNAIVE points from the base week
+    t ∈ [n−14, n−7) — and score the resulting 90% intervals on the
+    ACTUAL final week t ∈ [n−7, n).  Per series: evaluated steps,
+    covered count, empirical coverage vs the 0.9 target — under
+    exchangeability coverage concentrates near the target; a large
+    shortfall means the series violates exchangeability (drift /
+    regime change) and the distribution-free guarantee does not
+    transfer.
+
+    Same cost envelope as the interval query: one window pass, one
+    per-series 7-point percentile, one per-series aggregate.  The
+    SNAIVE point for an eval row is its own lag-7 value (the base-week
+    observation), so no explicit forecast join is needed."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    seq = (metrics
+           .withColumn("t", F.row_number().over(w) - 1)
+           .withColumn("n", F.count(F.lit(1)).over(
+               Window.partitionBy("name", "index")))
+           .withColumn("lag7", F.lag("value", 7).over(w)))
+    lo = F.col("n") - (2 * _CONF_CAL + _CONF_H)
+    hi = F.col("n") - (_CONF_CAL + _CONF_H)
+    calib = (seq.where((F.col("t") >= lo) & (F.col("t") < hi)
+                       & F.col("lag7").isNotNull())
+             .groupBy("name", "index")
+             .agg(F.round(F.percentile(
+                 F.abs(F.col("value") - F.col("lag7")),
+                 F.lit(_CONF_ALPHA)), 6).alias("q_width")))
+    ev = (seq.where(F.col("t") >= F.col("n") - _CONF_H)
+          .join(calib, ["name", "index"])
+          .select("name", "index", "value",
+                  F.round(F.col("lag7") - F.col("q_width"), 6)
+                  .alias("lower"),
+                  F.round(F.col("lag7") + F.col("q_width"), 6)
+                  .alias("upper")))
+    covered = ((F.col("value") >= F.col("lower"))
+               & (F.col("value") <= F.col("upper"))).cast("long")
+    return (ev.groupBy("name", "index")
+            .agg(F.count(F.lit(1)).alias("n_eval"),
+                 F.sum(covered).alias("n_covered"))
+            .select("name", "index", "n_eval", "n_covered",
+                    F.round(F.col("n_covered").cast("double")
+                            / F.col("n_eval").cast("double"), 6)
+                    .alias("coverage"),
+                    F.lit(float(_CONF_ALPHA)).alias("target"),
+                    F.round(F.col("n_covered").cast("double")
+                            / F.col("n_eval").cast("double")
+                            - F.lit(float(_CONF_ALPHA)), 6)
+                    .alias("coverage_gap"))
+            .orderBy("name", "index"))
+
+
+EVAL_QUERIES["conformal_coverage_backtest"] = conformal_coverage_backtest
+EVAL_ORACLES["conformal_coverage_backtest"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    seq AS (
+        SELECT name, index, value,
+               row_number() OVER w - 1 AS t,
+               count(*) OVER (PARTITION BY name, index) AS n,
+               lag(value, 7) OVER w AS lag7
+        FROM m
+        WINDOW w AS (PARTITION BY name, index ORDER BY evaluationDate)
+    ), calib AS (
+        SELECT name, index,
+               round(quantile_cont(abs(value - lag7),
+                                   {_CONF_ALPHA}), 6) AS q_width
+        FROM seq
+        WHERE t >= n - {2 * _CONF_CAL + _CONF_H}
+          AND t < n - {_CONF_CAL + _CONF_H}
+          AND lag7 IS NOT NULL
+        GROUP BY 1, 2
+    ), ev AS (
+        SELECT s.name, s.index, s.value,
+               round(s.lag7 - c.q_width, 6) AS lower,
+               round(s.lag7 + c.q_width, 6) AS upper
+        FROM seq s JOIN calib c USING (name, index)
+        WHERE s.t >= s.n - {_CONF_H}
+    )
+    SELECT name, index, count(*) AS n_eval,
+           CAST(sum(CASE WHEN value >= lower AND value <= upper
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           round(CAST(sum(CASE WHEN value >= lower AND value <= upper
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS coverage,
+           CAST({_CONF_ALPHA} AS DOUBLE) AS target,
+           round(CAST(sum(CASE WHEN value >= lower AND value <= upper
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)
+                 - CAST({_CONF_ALPHA} AS DOUBLE), 6) AS coverage_gap
+    FROM ev GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -568,3 +568,182 @@ ORACLES["purchase_attribution_decay"] = f"""
     FROM per JOIN tot USING (pid)
     GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: log-rank survival comparison between hash
+# cohorts — the A/A-calibratable time-to-event sibling of
+# ``ab_test_report`` (which compares proportions, not timing).
+
+_LR_CRIT = 3.841459   # chi-square(1) 5% critical value
+
+
+def logrank_cohort_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel 1966 / Peto & Peto 1972) comparing
+    time-to-first-purchase between the two deterministic md5 user
+    cohorts: at every distinct conversion day the observed cohort-A
+    events are compared to their hypergeometric expectation given the
+    at-risk split, and the standardized sum is the test statistic —
+    THE standard test for "did the new onboarding change time to
+    convert?", right-censoring included (a never-converting user exits
+    the risk set without an event, which a naive mean-days comparison
+    silently drops).  On this hash split it is an A/A calibration run
+    and must come back not-significant.
+
+    Exactness: at-risk counts and event counts are exact integers
+    (running subtraction windows); each day's expectation and variance
+    term snaps to the 1e-6 BIGINT micro-grid before summation, so the
+    statistic is partition-order-proof; the verdict compares the
+    ROUNDED chi-square to the critical value.
+
+    Scale: one user-keyed aggregate over the fact table (the KM-curve
+    cost), then every window runs over |distinct conversion days| rows
+    — bounded by the observation span, not the population."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    users = (ev.groupBy("user_id")
+             .agg(F.min(F.to_date("ts")).alias("d0"),
+                  F.max(F.to_date("ts")).alias("d1"),
+                  F.min(F.when(F.col("event_type") == "purchase",
+                               F.to_date("ts"))).alias("p0"))
+             .select("user_id",
+                     F.coalesce(F.datediff("p0", "d0"),
+                                F.datediff("d1", "d0"))
+                     .cast("bigint").alias("t"),
+                     F.col("p0").isNotNull().alias("converted"))
+             .withColumn("arm", arm))
+    per_t = (users.groupBy("t")
+             .agg(F.count(F.when(F.col("arm") == 0, 1)).alias("l1"),
+                  F.count(F.when((F.col("arm") == 0)
+                                 & F.col("converted"), 1)).alias("d1"),
+                  F.count(F.when(F.col("arm") == 1, 1)).alias("l2"),
+                  F.count(F.when((F.col("arm") == 1)
+                                 & F.col("converted"), 1)).alias("d2")))
+    totals = users.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n_users_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n_users_b"))
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (per_t.crossJoin(F.broadcast(totals))
+            .withColumn("at1", F.col("n_users_a")
+                        - F.coalesce(F.sum("l1").over(wprev), F.lit(0)))
+            .withColumn("at2", F.col("n_users_b")
+                        - F.coalesce(F.sum("l2").over(wprev), F.lit(0))))
+    n = (F.col("at1") + F.col("at2")).cast("double")
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    p1 = F.col("at1").cast("double") / n
+    e1 = d * p1
+    v = (d * p1 * (F.lit(1.0) - p1) * (n - d)
+         / F.nullif(n - F.lit(1.0), F.lit(0.0)))
+    terms = (risk.where((F.col("d1") + F.col("d2")) > 0)
+             .select("d1", "d2",
+                     F.round(e1 * 1_000_000, 0).cast("long").alias("e1_u"),
+                     F.coalesce(F.round(v * 1_000_000, 0).cast("long"),
+                                F.lit(0)).alias("v_u")))
+    agg = terms.agg(F.sum("d1").alias("events_a"),
+                    F.sum("d2").alias("events_b"),
+                    F.sum("e1_u").alias("se1_u"),
+                    F.sum("v_u").alias("sv_u"))
+    out = agg.crossJoin(F.broadcast(totals))
+    ome = (F.col("events_a").cast("double")
+           - F.col("se1_u").cast("double") / 1_000_000)
+    sv = F.col("sv_u").cast("double") / 1_000_000
+    z = ome / F.nullif(F.sqrt(sv), F.lit(0.0))
+    chi2 = F.round(z * z, 6)
+    return out.select(
+        "n_users_a", "n_users_b", "events_a", "events_b",
+        F.round(ome, 6).alias("o_minus_e"),
+        F.round(sv, 6).alias("variance"),
+        F.round(z, 6).alias("z"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(_LR_CRIT)).alias("significant"))
+
+
+ORACLES["logrank_cohort_test"] = f"""
+    WITH users AS (
+        SELECT user_id,
+               coalesce(datediff('day', d0, p0),
+                        datediff('day', d0, d1)) AS t,
+               p0 IS NOT NULL AS converted,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 2 AS arm
+        FROM (
+            SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+                   max(CAST(ts AS DATE)) AS d1,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END) AS p0
+            FROM events GROUP BY 1)
+    ), per_t AS (
+        SELECT t,
+               count(CASE WHEN arm = 0 THEN 1 END) AS l1,
+               count(CASE WHEN arm = 0 AND converted THEN 1 END) AS d1,
+               count(CASE WHEN arm = 1 THEN 1 END) AS l2,
+               count(CASE WHEN arm = 1 AND converted THEN 1 END) AS d2
+        FROM users GROUP BY 1
+    ), totals AS (
+        SELECT count(CASE WHEN arm = 0 THEN 1 END) AS n_users_a,
+               count(CASE WHEN arm = 1 THEN 1 END) AS n_users_b
+        FROM users
+    ), risk AS (
+        SELECT p.*, tt.n_users_a, tt.n_users_b,
+               tt.n_users_a - coalesce(sum(l1) OVER
+                   (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS at1,
+               tt.n_users_b - coalesce(sum(l2) OVER
+                   (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS at2
+        FROM per_t p CROSS JOIN totals tt
+    ), terms AS (
+        SELECT d1, d2,
+               CAST(round(CAST(d1 + d2 AS DOUBLE)
+                          * (CAST(at1 AS DOUBLE)
+                             / CAST(at1 + at2 AS DOUBLE))
+                          * 1000000, 0) AS BIGINT) AS e1_u,
+               coalesce(CAST(round(CAST(d1 + d2 AS DOUBLE)
+                          * (CAST(at1 AS DOUBLE)
+                             / CAST(at1 + at2 AS DOUBLE))
+                          * (CAST(1 AS DOUBLE)
+                             - CAST(at1 AS DOUBLE)
+                               / CAST(at1 + at2 AS DOUBLE))
+                          * (CAST(at1 + at2 AS DOUBLE)
+                             - CAST(d1 + d2 AS DOUBLE))
+                          / nullif(CAST(at1 + at2 AS DOUBLE)
+                                   - CAST(1 AS DOUBLE),
+                                   CAST(0 AS DOUBLE))
+                          * 1000000, 0) AS BIGINT), 0) AS v_u
+        FROM risk WHERE d1 + d2 > 0
+    ), agg AS (
+        SELECT CAST(sum(d1) AS BIGINT) AS events_a,
+               CAST(sum(d2) AS BIGINT) AS events_b,
+               sum(e1_u) AS se1_u, sum(v_u) AS sv_u
+        FROM terms
+    )
+    SELECT tt.n_users_a, tt.n_users_b, a.events_a, a.events_b,
+           round(CAST(a.events_a AS DOUBLE)
+                 - CAST(a.se1_u AS DOUBLE) / 1000000, 6) AS o_minus_e,
+           round(CAST(a.sv_u AS DOUBLE) / 1000000, 6) AS variance,
+           round((CAST(a.events_a AS DOUBLE)
+                  - CAST(a.se1_u AS DOUBLE) / 1000000)
+                 / nullif(sqrt(CAST(a.sv_u AS DOUBLE) / 1000000),
+                          CAST(0 AS DOUBLE)), 6) AS z,
+           round(((CAST(a.events_a AS DOUBLE)
+                   - CAST(a.se1_u AS DOUBLE) / 1000000)
+                  / nullif(sqrt(CAST(a.sv_u AS DOUBLE) / 1000000),
+                           CAST(0 AS DOUBLE)))
+                 * ((CAST(a.events_a AS DOUBLE)
+                     - CAST(a.se1_u AS DOUBLE) / 1000000)
+                    / nullif(sqrt(CAST(a.sv_u AS DOUBLE) / 1000000),
+                             CAST(0 AS DOUBLE))), 6) AS chi2,
+           round(((CAST(a.events_a AS DOUBLE)
+                   - CAST(a.se1_u AS DOUBLE) / 1000000)
+                  / nullif(sqrt(CAST(a.sv_u AS DOUBLE) / 1000000),
+                           CAST(0 AS DOUBLE)))
+                 * ((CAST(a.events_a AS DOUBLE)
+                     - CAST(a.se1_u AS DOUBLE) / 1000000)
+                    / nullif(sqrt(CAST(a.sv_u AS DOUBLE) / 1000000),
+                             CAST(0 AS DOUBLE))), 6)
+               > CAST({_LR_CRIT} AS DOUBLE) AS significant
+    FROM agg a CROSS JOIN totals tt
+"""
+QUERIES["logrank_cohort_test"] = logrank_cohort_test

@@ -493,3 +493,95 @@ ORACLES["char_trigram_lang_classifier"] = f"""
 
 
 QUERIES["char_trigram_lang_classifier"] = char_trigram_lang_classifier
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: calibration curve (reliability diagram) for the
+# NB quality classifier — the audit that decides whether its scores can
+# be used as sampling WEIGHTS (needs calibration) or only as a ranking
+# (needs none).
+
+_CAL_BINS = 10
+
+
+def nb_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for ``nb_quality_classifier`` (the
+    Niculescu-Mizil & Caruana 2005 audit): documents are deciled by
+    their NB score (exact integer ordering — the fixed-point scores
+    make the ntile boundary partition-proof), and each decile reports
+    the mean sigmoid-predicted probability vs the empirical positive
+    rate.  NB is famously OVERCONFIDENT (its independence assumption
+    double-counts correlated tokens), so the tails should overshoot —
+    quantified here instead of assumed; the gap column is what an
+    isotonic/Platt recalibration step would consume.
+
+    Exactness: deciles come from ntile over (integer score, doc_id);
+    per-decile probability sums are snapped-sigmoid BIGINT micro-units
+    (the exp-drift discipline); positive rates are integer ratios.
+
+    Scale: rides the NB scoring chain; the binning is one window over
+    doc-count rows and one 10-row aggregate."""
+    from pyspark.sql.window import Window
+    nb = nb_quality_classifier(spark, sf_dir)
+    su = F.round(F.col("nb_score") * 1_000_000, 0).cast("long")
+    scored = nb.select(
+        "doc_id",
+        (F.col("lang") == _NB_TARGET_LANG).alias("is_pos"),
+        su.alias("su"))
+    prob = (F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.col("su").cast("double")
+                                    / F.lit(1_000_000.0)))))
+    scored = scored.withColumn(
+        "pu", F.round(prob * 1_000_000, 0).cast("long"))
+    w = Window.orderBy("su", "doc_id")
+    binned = scored.withColumn("decile", F.ntile(_CAL_BINS).over(w))
+    g = (binned.groupBy("decile")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("pu").alias("spu"),
+              F.count(F.when(F.col("is_pos"), 1)).alias("n_pos")))
+    mean_pred = (F.col("spu").cast("double")
+                 / F.col("n_docs").cast("double") / 1_000_000)
+    pos_rate = (F.col("n_pos").cast("double")
+                / F.col("n_docs").cast("double"))
+    return (g.select("decile", "n_docs", "n_pos",
+                     F.round(mean_pred, 6).alias("mean_predicted"),
+                     F.round(pos_rate, 6).alias("positive_rate"),
+                     F.round(mean_pred - pos_rate, 6)
+                     .alias("calibration_gap"))
+            .orderBy("decile"))
+
+
+ORACLES["nb_calibration_curve"] = f"""
+    WITH nb AS ({ORACLES["nb_quality_classifier"]}),
+    sc AS (
+        SELECT doc_id, lang = '{_NB_TARGET_LANG}' AS is_pos,
+               CAST(round(nb_score * 1000000, 0) AS BIGINT) AS su
+        FROM nb
+    ), pb AS (
+        SELECT *,
+               CAST(round(CAST(1 AS DOUBLE)
+                          / (CAST(1 AS DOUBLE)
+                             + exp(-(CAST(su AS DOUBLE)
+                                     / CAST(1000000 AS DOUBLE))))
+                          * 1000000, 0) AS BIGINT) AS pu
+        FROM sc
+    ), binned AS (
+        SELECT *, CAST(ntile({_CAL_BINS}) OVER (ORDER BY su, doc_id)
+                   AS INTEGER) AS decile
+        FROM pb
+    ), g AS (
+        SELECT decile, count(*) AS n_docs, sum(pu) AS spu,
+               count(CASE WHEN is_pos THEN 1 END) AS n_pos
+        FROM binned GROUP BY 1
+    )
+    SELECT decile, n_docs, n_pos,
+           round(CAST(spu AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 / 1000000, 6) AS mean_predicted,
+           round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+               AS positive_rate,
+           round(CAST(spu AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1000000
+                 - CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+               AS calibration_gap
+    FROM g ORDER BY decile
+"""
+QUERIES["nb_calibration_curve"] = nb_calibration_curve

@@ -738,3 +738,109 @@ def test_doremi_weights_brute(spark, sf_dir):
             assert r.new_weight > r.base_share * (1 - 5e-4), r
         if r.excess_loss < -1e-3:
             assert r.new_weight < r.base_share * (1 + 5e-4), r
+
+
+def test_logrank_brute(spark, sf_dir):
+    """Statistic equals a literal per-day hypergeometric recomputation
+    from the collected user frame; the A/A hash split comes back
+    not-significant; event totals partition the converters."""
+    import math
+
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import _LR_CRIT, logrank_cohort_test
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    row = logrank_cohort_test(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    ev = (load_table(spark, sf_dir, "events")
+          .groupBy("user_id")
+          .agg(F.min(F.to_date("ts")).alias("d0"),
+               F.max(F.to_date("ts")).alias("d1"),
+               F.min(F.when(F.col("event_type") == "purchase",
+                            F.to_date("ts"))).alias("p0"))
+          .collect())
+    import hashlib
+    users = []
+    for u in ev:
+        arm = int(hashlib.md5(str(u.user_id).encode())
+                  .hexdigest()[:8], 16) % 2
+        t = ((u.p0 or u.d1) - u.d0).days
+        users.append((t, u.p0 is not None, arm))
+    n_a = sum(1 for _, _, a in users if a == 0)
+    n_b = len(users) - n_a
+    assert (r.n_users_a, r.n_users_b) == (n_a, n_b)
+    times = sorted({t for t, _, _ in users})
+    at1, at2 = n_a, n_b
+    o1 = e1 = v = 0.0
+    for t in times:
+        d1 = sum(1 for tt, c, a in users if tt == t and c and a == 0)
+        d2 = sum(1 for tt, c, a in users if tt == t and c and a == 1)
+        l1 = sum(1 for tt, _, a in users if tt == t and a == 0)
+        l2 = sum(1 for tt, _, a in users if tt == t and a == 1)
+        n, d = at1 + at2, d1 + d2
+        if d > 0:
+            p1 = at1 / n
+            o1 += d1
+            e1 += round(d * p1 * 1e6) / 1e6
+            if n > 1:
+                v += round(d * p1 * (1 - p1) * (n - d) / (n - 1)
+                           * 1e6) / 1e6
+        at1 -= l1
+        at2 -= l2
+    assert r.events_a == o1
+    assert abs(r.o_minus_e - (o1 - e1)) < 1e-5
+    assert abs(r.variance - v) < 1e-5
+    z = (o1 - e1) / math.sqrt(v)
+    assert abs(r.z - z) < 1e-4
+    assert abs(r.chi2 - z * z) < 1e-3
+    assert r.significant == (r.chi2 > _LR_CRIT)
+    assert not r.significant     # A/A must not reject
+
+
+def test_nb_calibration_invariants(spark, sf_dir):
+    """Deciles tile the corpus evenly (ntile contract), probabilities
+    are proper, positive rates are monotone-ish in score (top decile
+    >= bottom decile — the classifier separates), and per-decile gap
+    equals mean_pred − pos_rate."""
+    from qrapids_forecast_r_script_spark.operators.training_prep import (
+        _CAL_BINS, nb_calibration_curve)
+
+    rows = sorted(nb_calibration_curve(spark, sf_dir).collect(),
+                  key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, _CAL_BINS + 1))
+    n = sum(r.n_docs for r in rows)
+    base, rem = divmod(n, _CAL_BINS)
+    assert sorted(r.n_docs for r in rows) == sorted(
+        base + (1 if i < rem else 0) for i in range(_CAL_BINS))
+    for r in rows:
+        assert 0.0 <= r.mean_predicted <= 1.0
+        assert 0.0 <= r.positive_rate <= 1.0
+        assert abs(r.calibration_gap
+                   - (r.mean_predicted - r.positive_rate)) < 2e-6
+    assert rows[-1].positive_rate >= rows[0].positive_rate
+    # sigmoid is monotone in the score, so mean_predicted is strictly
+    # ordered across deciles
+    preds = [r.mean_predicted for r in rows]
+    assert preds == sorted(preds)
+
+
+def test_conformal_coverage_near_target(spark, sf_dir):
+    """Coverage is a proper fraction over exactly the 7 held-out steps
+    per series, the gap column is consistent, and mean coverage across
+    series is within a binomial-noise band of the 0.9 target (7 points
+    x few series -> wide band, but a broken interval construction
+    lands at 0 or 1)."""
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        _CONF_H, conformal_coverage_backtest)
+
+    rows = conformal_coverage_backtest(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_eval == _CONF_H
+        assert 0 <= r.n_covered <= r.n_eval
+        assert abs(r.coverage - r.n_covered / r.n_eval) < 1e-6
+        assert abs(r.coverage_gap - (r.coverage - r.target)) < 2e-6
+        assert r.target == 0.9
+    mean_cov = sum(r.coverage for r in rows) / len(rows)
+    assert 0.4 <= mean_cov <= 1.0
