@@ -51,7 +51,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # mmr_diversified_topk, chi_square_independence,
 # missing_value_imputation, doremi_domain_weights,
 # logrank_cohort_test, nb_calibration_curve,
-# conformal_coverage_backtest) are the round-5 window.
+# conformal_coverage_backtest, series_leadlag_xcorr,
+# reciprocal_knn_pairs, readability_scores) are the round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

@@ -200,6 +200,11 @@ HEADLINE = [
     "logrank_cohort_test",
     "nb_calibration_curve",
     "conformal_coverage_backtest",
+    # round-4 continuation: lead-lag transfer read, mutual-kNN filter,
+    # readability gate
+    "series_leadlag_xcorr",
+    "reciprocal_knn_pairs",
+    "readability_scores",
 ]
 
 

@@ -1494,3 +1494,119 @@ EVAL_ORACLES["conformal_coverage_backtest"] = f"""
                  - CAST({_CONF_ALPHA} AS DOUBLE), 6) AS coverage_gap
     FROM ev GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+_XC_MAX_LAG = 3      # lead-lag scan window: purchase series shifted ±3d
+_XC_REF = "purchase"  # reference series every metric is tested against
+_XC_GRID = 1_000     # milli-unit input grid (value² sums stay < 2^63)
+
+
+def series_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag CROSS-correlation of every metric series against the
+    purchase series at lags −3..+3 days — the Box-Jenkins transfer-
+    function identification read (`series_acf`'s two-series sibling):
+    a peak at negative lag means the metric LEADS purchases (an early-
+    warning signal worth a transfer term in the forecast model R:84-95
+    would otherwise miss); `series_rolling_correlation` tracks
+    contemporaneous co-movement only and cannot see lead-lag
+    structure.  Emits per (series, lag): pair count, correlation, and
+    the per-series best-lag flag (argmax |corr|, rounded values so the
+    flag is engine-stable).
+
+    Exactness: both series snap to a 1e-3 BIGINT grid (values are
+    O(1e4), so squared-sum magnitudes stay far below 2^63 — the
+    micro-grid would overflow), making every correlation input an
+    exact integer sum; the closed form is a fixed-shape division
+    chain rounded 6dp.
+
+    Scale: one date-keyed equi-join per lag fan-out (the lag offset
+    folds into the join key — no cross product), aggregates keyed by
+    (series, lag); the reference series is broadcast-sized after its
+    own daily aggregate."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    gu = lambda c: F.round(F.round(c, 6) * _XC_GRID, 0).cast("long")  # noqa: E731
+    base = metrics.select("name", "index", "evaluationDate",
+                          gu(F.col("value")).alias("xu"))
+    ref = (metrics.where(F.col("name") == _XC_REF)
+           .select(F.col("evaluationDate").alias("ref_date"),
+                   gu(F.col("value")).alias("yu")))
+    lags = spark.range(-_XC_MAX_LAG, _XC_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag"))
+    fan = (base.crossJoin(F.broadcast(lags))
+           .withColumn("ref_date", F.date_add("evaluationDate", "lag")))
+    pairs = fan.join(F.broadcast(ref), "ref_date")
+    a = (pairs.groupBy("name", "index", "lag")
+         .agg(F.count(F.lit(1)).alias("n_pairs"),
+              F.sum("xu").alias("sx"), F.sum("yu").alias("sy"),
+              F.sum(F.col("xu") * F.col("yu")).alias("sxy"),
+              F.sum(F.col("xu") * F.col("xu")).alias("sxx"),
+              F.sum(F.col("yu") * F.col("yu")).alias("syy")))
+    n = F.col("n_pairs").cast("double")
+    cov = F.col("sxy").cast("double") / n \
+        - (F.col("sx").cast("double") / n) * (F.col("sy").cast("double") / n)
+    vx = F.col("sxx").cast("double") / n \
+        - (F.col("sx").cast("double") / n) * (F.col("sx").cast("double") / n)
+    vy = F.col("syy").cast("double") / n \
+        - (F.col("sy").cast("double") / n) * (F.col("sy").cast("double") / n)
+    corr = F.round(cov / F.nullif(F.sqrt(vx * vy), F.lit(0.0)), 6)
+    scored = a.select("name", "index", "lag", "n_pairs",
+                      corr.alias("xcorr"))
+    wbest = Window.partitionBy("name", "index").orderBy(
+        F.abs(F.col("xcorr")).desc(), F.col("lag").asc())
+    return (scored
+            .withColumn("is_best_lag", F.row_number().over(wbest) == 1)
+            .orderBy("name", "index", "lag"))
+
+
+EVAL_QUERIES["series_leadlag_xcorr"] = series_leadlag_xcorr
+EVAL_ORACLES["series_leadlag_xcorr"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    base AS (
+        SELECT name, index, evaluationDate,
+               CAST(round(round(value, 6) * {_XC_GRID}, 0) AS BIGINT)
+                   AS xu
+        FROM m
+    ), ref AS (
+        SELECT evaluationDate AS ref_date,
+               CAST(round(round(value, 6) * {_XC_GRID}, 0) AS BIGINT)
+                   AS yu
+        FROM m WHERE name = '{_XC_REF}'
+    ), lags AS (
+        SELECT CAST(l AS INTEGER) AS lag
+        FROM generate_series(-{_XC_MAX_LAG}, {_XC_MAX_LAG}) g(l)
+    ), prs AS (
+        SELECT b.name, b.index, lg.lag, b.xu, r.yu
+        FROM base b
+        CROSS JOIN lags lg
+        JOIN ref r ON r.ref_date = b.evaluationDate
+                          + CAST(lg.lag AS INTEGER)
+    ), a AS (
+        SELECT name, index, lag, count(*) AS n_pairs,
+               sum(xu) AS sx, sum(yu) AS sy, sum(xu * yu) AS sxy,
+               sum(xu * xu) AS sxx, sum(yu * yu) AS syy
+        FROM prs GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT name, index, lag, n_pairs,
+               round((CAST(sxy AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                      - (CAST(sx AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(n_pairs AS DOUBLE)))
+                     / nullif(sqrt(
+                         (CAST(sxx AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                          - (CAST(sx AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+                            * (CAST(sx AS DOUBLE)
+                               / CAST(n_pairs AS DOUBLE)))
+                         * (CAST(syy AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                            - (CAST(sy AS DOUBLE)
+                               / CAST(n_pairs AS DOUBLE))
+                              * (CAST(sy AS DOUBLE)
+                                 / CAST(n_pairs AS DOUBLE)))),
+                       CAST(0 AS DOUBLE)), 6) AS xcorr
+        FROM a
+    )
+    SELECT name, index, lag, n_pairs, xcorr,
+           row_number() OVER (PARTITION BY name, index
+                              ORDER BY abs(xcorr) DESC, lag ASC) = 1
+               AS is_best_lag
+    FROM scored ORDER BY name, index, lag
+"""

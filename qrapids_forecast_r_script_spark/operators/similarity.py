@@ -1902,3 +1902,99 @@ def _mmr_oracle_sql() -> str:
 
 QUERIES["mmr_diversified_topk"] = mmr_diversified_topk
 ORACLES["mmr_diversified_topk"] = _mmr_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: reciprocal (mutual) kNN pairs — the symmetric
+# neighbor filter used for high-precision matching and re-ranking.
+
+_RNN_ANCHORS = 50    # constant md5-ordered anchor subset (the knn idiom)
+_RNN_K = 5           # mutual-neighbor rank threshold
+
+
+def reciprocal_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest neighbors (the k-reciprocal constraint of
+    Qin et al. 2011 / Zhong et al. 2017 re-ranking): within a CONSTANT
+    50-vector md5-ordered anchor subset, emit pairs (a, b) where each
+    is in the OTHER's top-5 — one-directional kNN is asymmetric (a hub
+    vector appears in everyone's list without reciprocating), and the
+    mutual constraint is the classic high-precision filter for
+    match/merge candidates and re-ranking.  Output: both ranks + the
+    cosine, ordered pairs a < b.
+
+    Exactness: ranks come from micro-grid cosines with id tiebreaks
+    (the MMR discipline).  Scale: the subset is constant-size (the
+    `knn_label_accuracy` anchor precedent — never corpus-
+    proportional), so the pairwise stage is a bounded broadcast
+    product; at production scale the per-vector neighbor lists come
+    from the ANN indexes and this operator is the same self-join over
+    their (query, neighbor, rank) output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = (emb
+               .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+               .limit(_RNN_ANCHORS)
+               .select("vec_id", _as_double("embedding").alias("v"))
+               .withColumn("nrm", _norm(F.col("v")))
+               .localCheckpoint())
+    a = anchors.select(F.col("vec_id").alias("qa"),
+                       F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = anchors.select(F.col("vec_id").alias("qb"),
+                       F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sims = (a.crossJoin(F.broadcast(b))
+            .where(F.col("qa") != F.col("qb"))
+            .select("qa", "qb",
+                    _cos_u(_dot(F.col("va"), F.col("vb")),
+                           F.col("na"), F.col("nb")).alias("cos_u")))
+    w = Window.partitionBy("qa").orderBy(
+        F.col("cos_u").desc(), F.col("qb").asc())
+    ranked = sims.withColumn("rank", F.row_number().over(w))
+    fwd = (ranked.where(F.col("rank") <= _RNN_K)
+           .select(F.col("qa").alias("vec_a"),
+                   F.col("qb").alias("vec_b"),
+                   F.col("rank").alias("rank_ab"), "cos_u"))
+    bwd = (ranked.where(F.col("rank") <= _RNN_K)
+           .select(F.col("qb").alias("vec_a"),
+                   F.col("qa").alias("vec_b"),
+                   F.col("rank").alias("rank_ba")))
+    return (fwd.join(bwd, ["vec_a", "vec_b"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "rank_ab", "rank_ba",
+                    F.round(F.col("cos_u") / F.lit(float(_MMR_U)), 6)
+                    .alias("cosine"))
+            .orderBy("vec_a", "vec_b"))
+
+
+ORACLES["reciprocal_knn_pairs"] = f"""
+    WITH vecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ), anchors AS (
+        SELECT vec_id, emb
+        FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_RNN_ANCHORS}
+    ), sims AS (
+        SELECT a.vec_id AS qa, b.vec_id AS qb,
+               CAST(round(round(list_dot_product(a.emb, b.emb)
+                    / (sqrt(list_dot_product(a.emb, a.emb))
+                       * sqrt(list_dot_product(b.emb, b.emb))), 6)
+                    * {_MMR_U}, 0) AS BIGINT) AS cos_u
+        FROM anchors a JOIN anchors b ON a.vec_id != b.vec_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY qa
+                      ORDER BY cos_u DESC, qb ASC) AS rank
+        FROM sims
+    ), fwd AS (
+        SELECT qa AS vec_a, qb AS vec_b, rank AS rank_ab, cos_u
+        FROM ranked WHERE rank <= {_RNN_K}
+    ), bwd AS (
+        SELECT qb AS vec_a, qa AS vec_b, rank AS rank_ba
+        FROM ranked WHERE rank <= {_RNN_K}
+    )
+    SELECT f.vec_a, f.vec_b, f.rank_ab, b.rank_ba,
+           round(f.cos_u / CAST({_MMR_U} AS DOUBLE), 6) AS cosine
+    FROM fwd f JOIN bwd b USING (vec_a, vec_b)
+    WHERE f.vec_a < f.vec_b
+    ORDER BY f.vec_a, f.vec_b
+"""
+QUERIES["reciprocal_knn_pairs"] = reciprocal_knn_pairs

@@ -958,3 +958,79 @@ ORACLES["rm3_query_expansion"] = f"""
 
 
 QUERIES["rm3_query_expansion"] = rm3_query_expansion
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: readability scoring — the audience-level
+# curation signal (simple-wiki vs arxiv style splits filter on it).
+
+_FL_BASE, _FL_WPS, _FL_SPW = "206.835", "1.015", "84.6"  # Flesch consts
+
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948; the readability
+    gate education/simplification corpora filter on): 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/word), with the standard
+    programmatic approximations — sentences = terminal-punctuation
+    runs (min 1), syllables = vowel GROUPS per word ([aeiouyAEIOUY]+,
+    the classic one-liner estimator).  All three counts are single
+    regexp_count expressions (map-only, whole-stage codegen); the
+    formula is a fixed-shape expression of exact integers, so the 4dp
+    round is engine-stable.  Also emits the raw counts so a different
+    formula (FK grade, SMOG) is one expression away.
+
+    Java and DuckDB RE2-class regexes agree on these character-class
+    patterns (the PII-scrub precedent).  At 100 TB: embarrassingly
+    parallel, zero shuffles past the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]+"))
+    sents = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
+    syll = F.regexp_count(F.col("text"), F.lit(r"[aeiouyAEIOUY]+"))
+    w = F.col("n_words").cast("double")
+    score = (F.lit(float(_FL_BASE))
+             - F.lit(float(_FL_WPS)) * (w / F.col("n_sentences")
+                                        .cast("double"))
+             - F.lit(float(_FL_SPW)) * (F.col("n_syllables")
+                                        .cast("double") / w))
+    return (docs.select("doc_id", "lang",
+                        words.alias("n_words"),
+                        sents.alias("n_sentences"),
+                        syll.alias("n_syllables"))
+            .where(F.col("n_words") > 0)
+            .select("doc_id", "lang", "n_words", "n_sentences",
+                    "n_syllables",
+                    F.round(score, 4).alias("flesch_reading_ease"))
+            .orderBy("doc_id"))
+
+
+ORACLES["readability_scores"] = f"""
+    WITH counts AS (
+        SELECT doc_id, lang,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9]+', chr(1),
+                                          'g'))
+                    - length(regexp_replace(text, '[A-Za-z0-9]+', '',
+                                            'g')) AS INTEGER) AS n_words,
+               CAST(greatest(
+                   length(regexp_replace(text, '[.!?]+', chr(1), 'g'))
+                   - length(regexp_replace(text, '[.!?]+', '', 'g')),
+                   1) AS INTEGER) AS n_sentences,
+               CAST(length(regexp_replace(text, '[aeiouyAEIOUY]+',
+                                          chr(1), 'g'))
+                    - length(regexp_replace(text, '[aeiouyAEIOUY]+', '',
+                                            'g')) AS INTEGER)
+                   AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+           round(CAST({_FL_BASE} AS DOUBLE)
+                 - CAST({_FL_WPS} AS DOUBLE)
+                   * (CAST(n_words AS DOUBLE)
+                      / CAST(n_sentences AS DOUBLE))
+                 - CAST({_FL_SPW} AS DOUBLE)
+                   * (CAST(n_syllables AS DOUBLE)
+                      / CAST(n_words AS DOUBLE)), 4)
+               AS flesch_reading_ease
+    FROM counts WHERE n_words > 0 ORDER BY doc_id
+"""
+QUERIES["readability_scores"] = readability_scores

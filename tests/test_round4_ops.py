@@ -844,3 +844,103 @@ def test_conformal_coverage_near_target(spark, sf_dir):
         assert r.target == 0.9
     mean_cov = sum(r.coverage for r in rows) / len(rows)
     assert 0.4 <= mean_cov <= 1.0
+
+
+def test_leadlag_xcorr_brute(spark, sf_dir):
+    """Cross-correlations equal a literal numpy recomputation on the
+    milli-grid; lag 0 for the purchase series against itself is exactly
+    1; exactly one best-lag flag per series."""
+    import numpy as np
+
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        _XC_GRID, _XC_MAX_LAG, _XC_REF, _metrics, series_leadlag_xcorr)
+
+    rows = series_leadlag_xcorr(spark, sf_dir).collect()
+    m = _metrics(spark, sf_dir).collect()
+    series = {}
+    for r in m:
+        series.setdefault(r.name, {})[r.evaluationDate] = int(
+            np.round(np.round(r.value, 6) * _XC_GRID))
+    ref = series[_XC_REF]
+    by_key = {}
+    for r in rows:
+        by_key[(r.name, r.lag)] = r
+        assert -_XC_MAX_LAG <= r.lag <= _XC_MAX_LAG
+    import datetime
+    for name, sv in series.items():
+        best = [r for r in rows if r.name == name and r.is_best_lag]
+        assert len(best) == 1, name
+        for lag in range(-_XC_MAX_LAG, _XC_MAX_LAG + 1):
+            xs, ys = [], []
+            for d, x in sv.items():
+                y = ref.get(d + datetime.timedelta(days=lag))
+                if y is not None:
+                    xs.append(x)
+                    ys.append(y)
+            r = by_key[(name, lag)]
+            assert r.n_pairs == len(xs)
+            c = np.corrcoef(xs, ys)[0, 1]
+            assert abs(r.xcorr - c) < 1e-4, (name, lag)
+    assert abs(by_key[(_XC_REF, 0)].xcorr - 1.0) < 1e-9
+
+
+def test_reciprocal_knn_brute(spark, sf_dir):
+    """Pairs equal the literal mutual-top-k filter over the anchor
+    subset; reciprocal pairs are a subset of one-directional top-k
+    (the precision-raising property)."""
+    import hashlib
+
+    import numpy as np
+
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        _MMR_U, _RNN_ANCHORS, _RNN_K, reciprocal_knn_pairs)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    got = reciprocal_knn_pairs(spark, sf_dir).collect()
+    emb = {r.vec_id: np.array(r.embedding, dtype=float)
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+    anchors = sorted(emb, key=lambda i: (
+        hashlib.md5(str(i).encode()).hexdigest(), i))[:_RNN_ANCHORS]
+
+    def cos_u(a, b):
+        v, w = emb[a], emb[b]
+        c = float(v @ w / (np.sqrt(v @ v) * np.sqrt(w @ w)))
+        return int(np.round(np.round(c, 6) * _MMR_U))
+
+    topk = {}
+    for a in anchors:
+        ranked = sorted((b for b in anchors if b != a),
+                        key=lambda b: (-cos_u(a, b), b))
+        topk[a] = {b: i + 1 for i, b in enumerate(ranked[:_RNN_K])}
+    expect = sorted((a, b) for a in anchors for b in topk[a]
+                    if a < b and a in topk.get(b, {}))
+    assert [(r.vec_a, r.vec_b) for r in got] == expect
+    for r in got:
+        assert r.rank_ab == topk[r.vec_a][r.vec_b]
+        assert r.rank_ba == topk[r.vec_b][r.vec_a]
+        assert abs(r.cosine - cos_u(r.vec_a, r.vec_b) / _MMR_U) < 1e-9
+
+
+def test_readability_formula(spark, sf_dir):
+    """Counts match Python re on a sample; the score is the literal
+    Flesch formula; fewer syllables per word ⇒ higher score on
+    controlled synthetic frames is implied by the negative
+    coefficient, checked via the formula identity."""
+    import re
+
+    from qrapids_forecast_r_script_spark.operators.text import (
+        readability_scores)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = {r.doc_id: r for r in
+            readability_scores(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").limit(40).collect()
+    for d in docs:
+        r = rows[d.doc_id]
+        nw = len(re.findall(r"[A-Za-z0-9]+", d.text))
+        ns = max(len(re.findall(r"[.!?]+", d.text)), 1)
+        sy = len(re.findall(r"[aeiouyAEIOUY]+", d.text))
+        assert (r.n_words, r.n_sentences, r.n_syllables) == (nw, ns, sy)
+        score = 206.835 - 1.015 * (nw / ns) - 84.6 * (sy / nw)
+        assert abs(r.flesch_reading_ease - score) < 1e-3
