@@ -52,7 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # missing_value_imputation, doremi_domain_weights,
 # logrank_cohort_test, nb_calibration_curve,
 # conformal_coverage_backtest, series_leadlag_xcorr,
-# reciprocal_knn_pairs, readability_scores) are the round-5 window.
+# reciprocal_knn_pairs, readability_scores, incremental_join_view,
+# l_diversity_audit, interval_score_backtest) are the round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

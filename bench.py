@@ -205,6 +205,11 @@ HEADLINE = [
     "series_leadlag_xcorr",
     "reciprocal_knn_pairs",
     "readability_scores",
+    # round-4 continuation: IVM delta-join identity, l-diversity gate,
+    # proper interval scoring
+    "incremental_join_view",
+    "l_diversity_audit",
+    "interval_score_backtest",
 ]
 
 

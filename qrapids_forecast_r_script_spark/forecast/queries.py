@@ -1610,3 +1610,132 @@ EVAL_ORACLES["series_leadlag_xcorr"] = f"""
                AS is_best_lag
     FROM scored ORDER BY name, index, lag
 """
+
+
+_IS_ALPHA_INV = "10"   # 2/alpha for the 80% central interval (alpha=0.2)
+
+
+def interval_score_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROPER-score evaluation of the SNAIVE 80% prediction intervals
+    on the 7-point holdout — coverage alone is gameable (an infinite
+    band covers everything), so interval quality is scored with the
+    Winkler interval score (Winkler 1972; Gneiting & Raftery 2007's
+    proper interval score: width + (2/α)·undershoot + (2/α)·overshoot)
+    and the two pinball losses (τ = 0.1 lower / 0.9 upper — the
+    quantile-regression losses the band's endpoints should minimize).
+    This is the missing third leg of the forecast-eval stool: point
+    accuracy (`backtest_closed_forms`), calibration
+    (`conformal_coverage_backtest`), and now SHARPNESS-aware interval
+    skill.
+
+    Bands are the closed-form SNAIVE 80% intervals refit on the train
+    slice only (sd of lag-7 differences over t < n−7 — no holdout
+    leakage), the same construction the oracled forecast queries pin.
+    Per-step scores snap to the 1e-6 BIGINT micro-grid before the
+    per-series mean, so aggregation order cannot move the reported
+    skill.  Cost: the holdout-backtest envelope (one window pass, one
+    per-series train aggregate, one join, one aggregate)."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    seq = (metrics
+           .withColumn("t", F.row_number().over(w) - 1)
+           .withColumn("n", F.count(F.lit(1)).over(
+               Window.partitionBy("name", "index")))
+           .withColumn("lag7", F.lag("value", 7).over(w)))
+    train_sd = (seq.where((F.col("t") < F.col("n") - 7)
+                          & F.col("lag7").isNotNull())
+                .groupBy("name", "index")
+                .agg(F.stddev_samp(F.col("value") - F.col("lag7"))
+                     .alias("sd")))
+    hold = (seq.where(F.col("t") >= F.col("n") - 7)
+            .join(train_sd, ["name", "index"])
+            .select("name", "index", "value",
+                    F.round(F.col("lag7")
+                            - F.lit(float(Z80)) * F.col("sd"), 6)
+                    .alias("lo"),
+                    F.round(F.col("lag7")
+                            + F.lit(float(Z80)) * F.col("sd"), 6)
+                    .alias("hi")))
+    y, lo, hi = F.col("value"), F.col("lo"), F.col("hi")
+    k = F.lit(float(_IS_ALPHA_INV))
+    winkler = ((hi - lo) + k * F.greatest(lo - y, F.lit(0.0))
+               + k * F.greatest(y - hi, F.lit(0.0)))
+    pb_lo = F.greatest(F.lit(0.1) * (y - lo), F.lit(-0.9) * (y - lo))
+    pb_hi = F.greatest(F.lit(0.9) * (y - hi), F.lit(-0.1) * (y - hi))
+    u = lambda c: F.round(c * 1_000_000, 0).cast("long")  # noqa: E731
+    scored = hold.select(
+        "name", "index",
+        ((y >= lo) & (y <= hi)).cast("long").alias("cov"),
+        u(winkler).alias("w_u"), u(pb_lo).alias("pl_u"),
+        u(pb_hi).alias("ph_u"), u(hi - lo).alias("wd_u"))
+    g = (scored.groupBy("name", "index")
+         .agg(F.count(F.lit(1)).alias("n_eval"),
+              F.sum("cov").alias("n_cov"),
+              F.sum("w_u").alias("sw"), F.sum("pl_u").alias("sl"),
+              F.sum("ph_u").alias("sh"), F.sum("wd_u").alias("swd")))
+    mean6 = lambda c: F.round(  # noqa: E731
+        F.col(c).cast("double") / F.col("n_eval").cast("double")
+        / 1_000_000, 6)
+    return (g.select("name", "index", "n_eval",
+                     F.round(F.col("n_cov").cast("double")
+                             / F.col("n_eval").cast("double"), 6)
+                     .alias("coverage80"),
+                     mean6("sw").alias("mean_winkler"),
+                     mean6("sl").alias("mean_pinball_lo"),
+                     mean6("sh").alias("mean_pinball_hi"),
+                     mean6("swd").alias("mean_width"))
+            .orderBy("name", "index"))
+
+
+EVAL_QUERIES["interval_score_backtest"] = interval_score_backtest
+EVAL_ORACLES["interval_score_backtest"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    seq AS (
+        SELECT name, index, value,
+               row_number() OVER w - 1 AS t,
+               count(*) OVER (PARTITION BY name, index) AS n,
+               lag(value, 7) OVER w AS lag7
+        FROM m
+        WINDOW w AS (PARTITION BY name, index ORDER BY evaluationDate)
+    ), train_sd AS (
+        SELECT name, index, stddev_samp(value - lag7) AS sd
+        FROM seq WHERE t < n - 7 AND lag7 IS NOT NULL GROUP BY 1, 2
+    ), hold AS (
+        SELECT s.name, s.index, s.value,
+               round(s.lag7 - CAST({Z80} AS DOUBLE) * d.sd, 6) AS lo,
+               round(s.lag7 + CAST({Z80} AS DOUBLE) * d.sd, 6) AS hi
+        FROM seq s JOIN train_sd d USING (name, index)
+        WHERE s.t >= s.n - 7
+    ), scored AS (
+        SELECT name, index,
+               CASE WHEN value >= lo AND value <= hi
+                    THEN 1 ELSE 0 END AS cov,
+               CAST(round(((hi - lo)
+                           + CAST({_IS_ALPHA_INV} AS DOUBLE)
+                             * greatest(lo - value, CAST(0 AS DOUBLE))
+                           + CAST({_IS_ALPHA_INV} AS DOUBLE)
+                             * greatest(value - hi, CAST(0 AS DOUBLE)))
+                          * 1000000, 0) AS BIGINT) AS w_u,
+               CAST(round(greatest(CAST(0.1 AS DOUBLE) * (value - lo),
+                                   CAST(-0.9 AS DOUBLE) * (value - lo))
+                          * 1000000, 0) AS BIGINT) AS pl_u,
+               CAST(round(greatest(CAST(0.9 AS DOUBLE) * (value - hi),
+                                   CAST(-0.1 AS DOUBLE) * (value - hi))
+                          * 1000000, 0) AS BIGINT) AS ph_u,
+               CAST(round((hi - lo) * 1000000, 0) AS BIGINT) AS wd_u
+        FROM hold
+    )
+    SELECT name, index, count(*) AS n_eval,
+           round(CAST(sum(cov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS coverage80,
+           round(CAST(sum(w_u) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1000000, 6) AS mean_winkler,
+           round(CAST(sum(pl_u) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1000000, 6) AS mean_pinball_lo,
+           round(CAST(sum(ph_u) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1000000, 6) AS mean_pinball_hi,
+           round(CAST(sum(wd_u) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1000000, 6) AS mean_width
+    FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -211,3 +211,65 @@ ORACLES = {
         FROM uni ORDER BY event_type
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: l-diversity — the sensitive-attribute
+# complement of the k-anonymity cell-size audit.
+
+_L_DIV = 3
+_SPEND_BUCKET_CENTS = 500_000    # $5000 sensitive-spend buckets
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007): k-anonymity
+    alone fails the HOMOGENEITY attack — a cell of 50 customers is
+    still a disclosure if all 50 share the sensitive value.  Per
+    quasi-identifier cell (nation, market segment): the count of
+    DISTINCT sensitive values (total-spend bucket, an attribute an
+    adversary cannot look up but would learn) and the l < 3 violation
+    flag — the release gate that runs AFTER `k_anonymity_audit`
+    passes.
+
+    Exactness: spend is exact integer cents; buckets are integer
+    floors; l is a distinct count.  Scale: one customer-keyed join
+    aggregate for spend (orders ships only the key + cents), one QI
+    aggregate with distinct — the k-anonymity envelope plus a
+    same-key pre-aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                        .cast("long")).alias("spend_cents")))
+    joined = (cust.join(spend,
+                        cust["c_custkey"] == spend["o_custkey"], "left")
+              .select("c_nationkey", "c_mktsegment",
+                      F.floor(F.coalesce("spend_cents", F.lit(0))
+                              / _SPEND_BUCKET_CENTS)
+                      .alias("spend_bucket")))
+    return (joined.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("cell_size"),
+                 F.count_distinct("spend_bucket").alias("l_distinct"))
+            .withColumn("violates_l", F.col("l_distinct") < _L_DIV)
+            .orderBy("c_nationkey", "c_mktsegment"))
+
+
+ORACLES["l_diversity_audit"] = f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS spend_cents
+        FROM orders GROUP BY 1
+    ), joined AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(coalesce(spend_cents, 0)
+                          / {_SPEND_BUCKET_CENTS}) AS BIGINT)
+                   AS spend_bucket
+        FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+    )
+    SELECT c_nationkey, c_mktsegment, count(*) AS cell_size,
+           count(DISTINCT spend_bucket) AS l_distinct,
+           count(DISTINCT spend_bucket) < {_L_DIV} AS violates_l
+    FROM joined GROUP BY 1, 2 ORDER BY 1, 2
+"""
+QUERIES["l_diversity_audit"] = l_diversity_audit

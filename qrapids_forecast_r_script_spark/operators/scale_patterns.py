@@ -674,3 +674,74 @@ ORACLES = {
         ORDER BY zbin
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: incremental JOIN-view maintenance — the delta
+# algebra that keeps a materialized join view fresh without
+# recomputing it.
+
+_IJV_ORD_MOD = 10    # orders delta = md5 bucket 0 (~10% of rows)
+_IJV_CUST_MOD = 20   # customer delta = md5 bucket 0 (~5% of rows)
+
+
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view (the
+    insert-only delta rule every IVM engine implements — Blakeley et
+    al. 1986; DBSP/Materialize's linear case):
+
+        V_new = (A∪ΔA) ⋈ (B∪ΔB)
+              = A⋈B  ∪  A⋈ΔB  ∪  ΔA⋈B  ∪  ΔA⋈ΔB,
+
+    so a view over append-only inputs updates from three DELTA joins —
+    each bounded by a delta size, never |A|·|B| — instead of one full
+    recompute.  Here A = orders, B = customer (the enriched-orders
+    view), with deterministic md5 buckets carving out ΔA (~10%) and
+    ΔB (~5%); the query BUILDS the view incrementally from the four
+    pieces and aggregates per market segment.  The ORACLE computes the
+    full join directly — the driver's hash equality IS the proof of
+    the maintenance identity.
+
+    Exactness: counts + exact integer cents.  Scale: the three delta
+    joins ship only delta-sized probe sides (broadcast when tiny); the
+    A⋈B term is the stored view, not recomputation — represented here
+    by its own join since the harness has no persisted state, with the
+    same keys and shapes."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ob = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                            1, 8), 16, 10).cast("long") % _IJV_ORD_MOD
+    cb = F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")),
+                            1, 8), 16, 10).cast("long") % _IJV_CUST_MOD
+    orders = orders.withColumn("is_delta", ob == 0)
+    cust = cust.withColumn("is_delta", cb == 0)
+    a_old = orders.where(~F.col("is_delta"))
+    d_a = orders.where(F.col("is_delta"))
+    b_old = cust.where(~F.col("is_delta"))
+    d_b = cust.where(F.col("is_delta"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+    def piece(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (a.join(b, a["o_custkey"] == b["c_custkey"])
+                .select(F.col("c_mktsegment"), cents.alias("cents")))
+
+    view = (piece(a_old, b_old)
+            .unionByName(piece(a_old, d_b))
+            .unionByName(piece(d_a, b_old))
+            .unionByName(piece(d_a, d_b)))
+    return (view.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("cents").alias("total_cents"))
+            .orderBy("c_mktsegment"))
+
+
+# The oracle is the FULL recompute — hash equality proves the four-way
+# delta decomposition is lossless and overlap-free.
+ORACLES["incremental_join_view"] = """
+    SELECT c_mktsegment, count(*) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["incremental_join_view"] = incremental_join_view

