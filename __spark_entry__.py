@@ -53,7 +53,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # logrank_cohort_test, nb_calibration_curve,
 # conformal_coverage_backtest, series_leadlag_xcorr,
 # reciprocal_knn_pairs, readability_scores, incremental_join_view,
-# l_diversity_audit, interval_score_backtest) are the round-5 window.
+# l_diversity_audit, interval_score_backtest, cart_abandonment_daily,
+# media_energy_segments) are the round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

@@ -210,6 +210,10 @@ HEADLINE = [
     "incremental_join_view",
     "l_diversity_audit",
     "interval_score_backtest",
+    # round-4 continuation: session leakage metric + VAD-style payload
+    # segmentation
+    "cart_abandonment_daily",
+    "media_energy_segments",
 ]
 
 

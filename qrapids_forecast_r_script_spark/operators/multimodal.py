@@ -386,3 +386,116 @@ def _dhash_oracle_sql() -> str:
 
 QUERIES["media_dhash_neardup"] = media_dhash_neardup
 ORACLES["media_dhash_neardup"] = _dhash_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: energy-based segmentation over binary payloads
+# — the VAD / shot-boundary access pattern on the budgeted
+# mapInPandas extraction path.
+
+_SEG_FRAME = 8          # tokens per fake "frame" (a real pipeline: PCM
+_SEG_ENERGY_MOD = 1000  # window); bounded per-token energy stand-in
+
+ENERGY_SEGMENTS = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_frames", LongType()),
+    StructField("n_active", LongType()),
+    StructField("n_segments", LongType()),
+])
+
+
+def _energy_segments_of_tokens(tokens: list[str]) -> tuple[int, int, int]:
+    """(n_frames, n_active, n_segments): frame energies = sums of
+    bounded md5-token energies over 8-token frames (a real audio
+    pipeline swaps in per-window RMS of decoded PCM — this is where
+    ``wave``/librosa would run); a frame is ACTIVE when its energy
+    exceeds half the payload's mean frame energy, and segments are
+    maximal runs of active frames — the voice-activity-detection /
+    shot-boundary reduction."""
+    energies = []
+    for f in range(0, len(tokens), _SEG_FRAME):
+        frame = tokens[f:f + _SEG_FRAME]
+        energies.append(sum(
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            % _SEG_ENERGY_MOD for t in frame))
+    thr = (sum(energies) / len(energies)) * 0.5
+    active = [e > thr for e in energies]
+    segs = sum(1 for i, a in enumerate(active)
+               if a and (i == 0 or not active[i - 1]))
+    return len(energies), sum(active), segs
+
+
+def energy_segments_udf(batches: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+            toks = [t for t in bytes(payload).decode("utf-8").split(" ")
+                    if t]
+            if toks:
+                nf, na, ns = _energy_segments_of_tokens(toks)
+                rows.append((media_id, nf, na, ns))
+        yield pd.DataFrame(rows, columns=["media_id", "n_frames",
+                                          "n_active", "n_segments"])
+
+
+def media_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based activity segmentation per payload via mapInPandas —
+    the audio-VAD / video-shot-boundary ACCESS PATTERN (sequential
+    frame scan inside one payload, tiny per-media output) exercised on
+    the fake-decode math so the driver hash-checks the whole Arrow
+    round-trip: frame grouping, per-frame energy, the
+    half-of-mean-energy threshold, and the run-length segment count
+    must all agree with the relational oracle bit-for-bit.
+
+    Threshold comparisons are (exact int) > (fixed-shape double) —
+    engine-identical; run starts come from a lag over frame index.
+    At 100 TB the stage is read-bound like `media_frame_sample`; the
+    segment table it emits is what a downstream transcription/caption
+    pipeline fans out over (one task per active segment)."""
+    media = documents_as_media(spark, sf_dir)
+    return (media.mapInPandas(energy_segments_udf,
+                              schema=ENERGY_SEGMENTS)
+            .orderBy("media_id"))
+
+
+def _energy_segments_oracle_sql() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id AS media_id, i - 1 AS pos, s[i] AS tok
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                         t -> length(t) > 0) AS s
+              FROM documents),
+        LATERAL (SELECT unnest(generate_series(1, len(s))) AS i) t
+    ), frames AS (
+        SELECT media_id, pos // {_SEG_FRAME} AS frame,
+               sum(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                   % {_SEG_ENERGY_MOD}) AS energy
+        FROM toks GROUP BY 1, 2
+    ), thr AS (
+        SELECT media_id,
+               (CAST(sum(energy) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+                   AS thr
+        FROM frames GROUP BY 1
+    ), flags AS (
+        SELECT f.media_id, f.frame,
+               CASE WHEN CAST(f.energy AS DOUBLE) > t.thr
+                    THEN 1 ELSE 0 END AS active
+        FROM frames f JOIN thr t USING (media_id)
+    ), runs AS (
+        SELECT media_id, frame, active,
+               CASE WHEN active = 1 AND coalesce(lag(active) OVER (
+                        PARTITION BY media_id ORDER BY frame), 0) = 0
+                    THEN 1 ELSE 0 END AS seg_start
+        FROM flags
+    )
+    SELECT media_id, count(*) AS n_frames,
+           CAST(sum(active) AS BIGINT) AS n_active,
+           CAST(sum(seg_start) AS BIGINT) AS n_segments
+    FROM runs GROUP BY 1 ORDER BY media_id
+    """
+
+
+QUERIES["media_energy_segments"] = media_energy_segments
+ORACLES["media_energy_segments"] = _energy_segments_oracle_sql()

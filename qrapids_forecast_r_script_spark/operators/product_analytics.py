@@ -747,3 +747,75 @@ ORACLES["logrank_cohort_test"] = f"""
     FROM agg a CROSS JOIN totals tt
 """
 QUERIES["logrank_cohort_test"] = logrank_cohort_test
+
+
+def cart_abandonment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cart-abandonment report: per session-start day, sessions
+    that showed purchase INTENT (any click) but ended without a
+    purchase — the canonical e-commerce leakage metric, computed on
+    session boundaries (the same >1800 s gaps-and-islands rule as
+    `user_sessions` — one place, one contract) rather than user-days,
+    so a user who abandons at lunch and buys at night counts one
+    abandoned and one converted session.
+
+    One per-session conditional aggregate riding the shared
+    sessionizer's user_id shuffle + one tiny per-day aggregate; rates
+    are exact-integer ratios rounded 6dp with a nullif guard for
+    click-free days."""
+    from ..streaming.queries import sessionize_events
+    sess = sessionize_events(load_table(spark, sf_dir, "events"))
+    per_sess = (sess.groupBy("user_id", "session_id")
+                .agg(F.min(F.to_date("ts")).alias("day"),
+                     F.max((F.col("event_type") == "click")
+                           .cast("int")).alias("has_click"),
+                     F.max((F.col("event_type") == "purchase")
+                           .cast("int")).alias("has_purchase")))
+    abandoned = (F.col("has_click") == 1) & (F.col("has_purchase") == 0)
+    g = (per_sess.groupBy("day")
+         .agg(F.count(F.lit(1)).alias("n_sessions"),
+              F.sum("has_click").cast("long").alias("n_with_click"),
+              F.sum("has_purchase").cast("long").alias("n_with_purchase"),
+              F.sum(abandoned.cast("long")).alias("n_abandoned")))
+    return (g.select("day", "n_sessions", "n_with_click",
+                     "n_with_purchase", "n_abandoned",
+                     F.round(F.col("n_abandoned").cast("double")
+                             / F.nullif(F.col("n_with_click")
+                                        .cast("double"), F.lit(0.0)), 6)
+                     .alias("abandonment_rate"))
+            .orderBy("day"))
+
+
+ORACLES["cart_abandonment_daily"] = """
+    WITH flagged AS (
+        SELECT *,
+               CASE WHEN lag(epoch(ts)) OVER sw IS NULL
+                         OR epoch(ts) - lag(epoch(ts)) OVER sw > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW sw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT *, CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    ), per_sess AS (
+        SELECT user_id, session_id,
+               min(CAST(ts AS DATE)) AS day,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS has_click,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS has_purchase
+        FROM sessions GROUP BY 1, 2
+    )
+    SELECT day, count(*) AS n_sessions,
+           CAST(sum(has_click) AS BIGINT) AS n_with_click,
+           CAST(sum(has_purchase) AS BIGINT) AS n_with_purchase,
+           CAST(sum(CASE WHEN has_click = 1 AND has_purchase = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+           round(CAST(sum(CASE WHEN has_click = 1 AND has_purchase = 0
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(CAST(sum(has_click) AS DOUBLE),
+                          CAST(0 AS DOUBLE)), 6) AS abandonment_rate
+    FROM per_sess GROUP BY 1 ORDER BY 1
+"""
+QUERIES["cart_abandonment_daily"] = cart_abandonment_daily

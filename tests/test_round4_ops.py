@@ -1038,3 +1038,50 @@ def test_interval_score_properties(spark, sf_dir):
         assert abs(r.mean_winkler - float(np.mean(w))) < 1e-4
         cov = float(np.mean((yy >= lo) & (yy <= hi)))
         assert abs(r.coverage80 - cov) < 1e-6   # 6dp-rounded output
+
+
+def test_cart_abandonment_invariants(spark, sf_dir):
+    """Counts nest (abandoned <= clicked <= sessions); rates match the
+    integer ratio; session totals agree with the shared sessionizer."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import cart_abandonment_daily
+    from qrapids_forecast_r_script_spark.sources import load_table
+    from qrapids_forecast_r_script_spark.streaming.queries import (
+        sessionize_events)
+
+    rows = cart_abandonment_daily(spark, sf_dir).collect()
+    n_sessions = (sessionize_events(load_table(spark, sf_dir, "events"))
+                  .select("user_id", "session_id").distinct().count())
+    assert sum(r.n_sessions for r in rows) == n_sessions
+    for r in rows:
+        assert r.n_abandoned <= r.n_with_click <= r.n_sessions
+        assert r.n_with_purchase <= r.n_sessions
+        if r.n_with_click:
+            assert abs(r.abandonment_rate
+                       - r.n_abandoned / r.n_with_click) < 1e-6
+        else:
+            assert r.abandonment_rate is None
+
+
+def test_energy_segments_brute(spark, sf_dir):
+    """The mapInPandas output equals a literal Python recomputation
+    per doc, and segments obey run-length bounds: 1 <= segments <=
+    ceil(active/1) and segments <= active, segments <= frames//2 + 1."""
+    from qrapids_forecast_r_script_spark.operators.multimodal import (
+        _energy_segments_of_tokens, media_energy_segments)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = {r.media_id: r for r in
+            media_energy_segments(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    for d in docs:
+        toks = [t for t in d.text.split(" ") if t]
+        if not toks:
+            assert d.doc_id not in rows
+            continue
+        nf, na, ns = _energy_segments_of_tokens(toks)
+        r = rows[d.doc_id]
+        assert (r.n_frames, r.n_active, r.n_segments) == (nf, na, ns)
+        assert 0 <= r.n_segments <= r.n_active <= r.n_frames
+        assert r.n_segments <= r.n_frames // 2 + 1
