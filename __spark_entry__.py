@@ -55,8 +55,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # reciprocal_knn_pairs, readability_scores, incremental_join_view,
 # l_diversity_audit, interval_score_backtest, cart_abandonment_daily,
 # media_energy_segments, series_wavelet_energy, events_mad_outliers,
-# embedding_drift_centroids, source_dedup_rates) are the round-5
-# window.
+# embedding_drift_centroids, source_dedup_rates,
+# session_pattern_match, tokenizer_fertility_by_lang) are the
+# round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

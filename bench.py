@@ -222,6 +222,10 @@ HEADLINE = [
     # duplication profile
     "embedding_drift_centroids",
     "source_dedup_rates",
+    # round-4 continuation: MATCH_RECOGNIZE-style sequence patterns +
+    # tokenizer fairness profile
+    "session_pattern_match",
+    "tokenizer_fertility_by_lang",
 ]
 
 

@@ -273,3 +273,55 @@ QUERIES = {"bpe_merge_rules": bpe_merge_rules,
            "bpe_encode_docs": bpe_encode_docs}
 ORACLES = {"bpe_merge_rules": _bpe_oracle_sql(),
            "bpe_encode_docs": _bpe_encode_oracle_sql()}
+
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Tokenizer FERTILITY profile per language (Ács 2019 /
+    Rust et al. 2021's multilingual-tokenizer fairness metric):
+    tokens-per-word and chars-per-token under the corpus-trained BPE
+    merges, aggregated per language — a tokenizer trained on an
+    English-heavy mix fragments other languages into more tokens per
+    word, silently taxing their effective context length and compute
+    share; this table is the input that pushes a mixture designer
+    back toward `temperature_mixture_sample` / `doremi_domain_weights`
+    with a tokenizer-aware correction.
+
+    Exactness: all sums are the encoder's exact integer word / char /
+    token counts; ratios are single divisions.  Scale: rides the
+    vocab-bounded encode (`bpe_encode_docs`) plus one per-language
+    aggregate over doc-count rows."""
+    enc = bpe_encode_docs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang")
+    g = (enc.join(docs, "doc_id")
+         .groupBy("lang")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("n_words").alias("n_words"),
+              F.sum("n_chars").alias("n_chars"),
+              F.sum("n_tokens").alias("n_tokens")))
+    return (g.select("lang", "n_docs", "n_words", "n_chars", "n_tokens",
+                     F.round(F.col("n_tokens").cast("double")
+                             / F.col("n_words").cast("double"), 6)
+                     .alias("fertility"),
+                     F.round(F.col("n_chars").cast("double")
+                             / F.col("n_tokens").cast("double"), 6)
+                     .alias("chars_per_token"))
+            .orderBy("lang"))
+
+
+ORACLES["tokenizer_fertility_by_lang"] = f"""
+    WITH enc AS ({ORACLES["bpe_encode_docs"]})
+    SELECT d.lang, count(*) AS n_docs,
+           CAST(sum(e.n_words) AS BIGINT) AS n_words,
+           CAST(sum(e.n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(e.n_tokens) AS DOUBLE)
+                 / CAST(sum(e.n_words) AS DOUBLE), 6) AS fertility,
+           round(CAST(sum(e.n_chars) AS DOUBLE)
+                 / CAST(sum(e.n_tokens) AS DOUBLE), 6)
+               AS chars_per_token
+    FROM enc e JOIN documents d USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["tokenizer_fertility_by_lang"] = tokenizer_fertility_by_lang

@@ -819,3 +819,91 @@ ORACLES["cart_abandonment_daily"] = """
     FROM per_sess GROUP BY 1 ORDER BY 1
 """
 QUERIES["cart_abandonment_daily"] = cart_abandonment_daily
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: regex pattern matching over session event
+# sequences — the MATCH_RECOGNIZE reduction.
+
+_SESSION_PATTERNS = [
+    ("view_then_purchase", "view>.*purchase"),
+    ("click_then_error", "click>.*error"),
+    ("pure_browse", "^(view>)*view$"),
+]
+
+
+def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern detection per session — the reduction of
+    SQL MATCH_RECOGNIZE (row-pattern recognition, SQL:2016) Spark
+    lacks natively: each session's ordered event-type transcript (the
+    `session_transcripts` assembly — array_sort over (ts, event_id)
+    structs, so the order contract is shared) is matched against a
+    panel of regex patterns, reported per (day, pattern) as match
+    counts and rates.  'view…purchase' is the conversion journey,
+    'click…error' the rage-path, '^(view>)*view$' the pure-browse
+    session — the shapes a funnel can't express because they
+    constrain the WHOLE sequence, not stage minima.
+
+    Patterns are lookahead-free so Java regex (Spark) and RE2-class
+    (DuckDB) agree — the PII-scrub compatibility discipline.  Scale:
+    rides the sessionizer's user_id shuffle; the pattern panel is a
+    broadcast constant, so matching is map-side over one transcript
+    row per session."""
+    from ..streaming.queries import sessionize_events
+    sess = sessionize_events(load_table(spark, sf_dir, "events"))
+    ordered_types = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id",
+                                             "event_type"))),
+        lambda s: s["event_type"])
+    tr = (sess.groupBy("user_id", "session_id")
+          .agg(F.min(F.to_date("ts")).alias("day"),
+               F.array_join(ordered_types, ">").alias("transcript")))
+    pats = F.explode(F.array(*[
+        F.struct(F.lit(n).alias("pattern"), F.lit(p).alias("re"))
+        for n, p in _SESSION_PATTERNS])).alias("pat")
+    fan = (tr.select("day", "transcript", pats)
+           .select("day", "transcript",
+                   F.col("pat.pattern").alias("pattern"),
+                   F.col("pat.re").alias("re")))
+    hit = F.regexp_like(F.col("transcript"), F.col("re")).cast("long")
+    return (fan.groupBy("day", "pattern")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum(hit).alias("n_matched"))
+            .select("day", "pattern", "n_sessions", "n_matched",
+                    F.round(F.col("n_matched").cast("double")
+                            / F.col("n_sessions").cast("double"), 6)
+                    .alias("match_rate"))
+            .orderBy("day", "pattern"))
+
+
+_PAT_VALUES = ", ".join(f"('{n}', '{p}')" for n, p in _SESSION_PATTERNS)
+ORACLES["session_pattern_match"] = f"""
+    WITH flagged AS (
+        SELECT *,
+               CASE WHEN lag(epoch(ts)) OVER sw IS NULL
+                         OR epoch(ts) - lag(epoch(ts)) OVER sw > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW sw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT *, CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    ), tr AS (
+        SELECT user_id, session_id,
+               min(CAST(ts AS DATE)) AS day,
+               string_agg(event_type, '>'
+                          ORDER BY ts, event_id) AS transcript
+        FROM sessions GROUP BY 1, 2
+    ), pats(pattern, re) AS (VALUES {_PAT_VALUES})
+    SELECT t.day, p.pattern, count(*) AS n_sessions,
+           CAST(sum(CASE WHEN regexp_matches(t.transcript, p.re)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           round(CAST(sum(CASE WHEN regexp_matches(t.transcript, p.re)
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS match_rate
+    FROM tr t CROSS JOIN pats p
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+QUERIES["session_pattern_match"] = session_pattern_match

@@ -1236,3 +1236,72 @@ def test_source_dedup_rates_brute(spark, sf_dir):
         assert r.n_cross_source_dups <= r.n_dup_docs
         assert abs(r.dup_rate - nd / n) < 1e-6
     assert sum(r.n_docs for r in rows.values()) == len(docs)
+
+
+def test_session_pattern_match_brute(spark, sf_dir):
+    """Pattern hits equal a literal Python re recomputation over the
+    same transcripts; rates are integer ratios; every pattern row
+    covers every session of its day (the panel is a full cross)."""
+    import re
+
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import _SESSION_PATTERNS, session_pattern_match
+    from qrapids_forecast_r_script_spark.sources import load_table
+    from qrapids_forecast_r_script_spark.streaming.queries import (
+        sessionize_events)
+
+    rows = session_pattern_match(spark, sf_dir).collect()
+    sess = (sessionize_events(load_table(spark, sf_dir, "events"))
+            .select("user_id", "session_id", "ts", "event_id",
+                    "event_type").collect())
+    by_sess = {}
+    for r in sess:
+        by_sess.setdefault((r.user_id, r.session_id), []).append(r)
+    transcripts = []
+    for key, evs in by_sess.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        transcripts.append((min(r.ts.date() for r in evs),
+                            ">".join(r.event_type for r in evs)))
+    expect = {}
+    for day, tr in transcripts:
+        for name, pat in _SESSION_PATTERNS:
+            k = (day, name)
+            n, m = expect.get(k, (0, 0))
+            expect[k] = (n + 1, m + bool(re.search(pat, tr)))
+    assert len(rows) == len(expect)
+    for r in rows:
+        n, m = expect[(r.day, r.pattern)]
+        assert (r.n_sessions, r.n_matched) == (n, m), (r.day, r.pattern)
+        assert abs(r.match_rate - m / n) < 1e-6
+
+
+def test_tokenizer_fertility_consistency(spark, sf_dir):
+    """Per-language sums re-aggregate the per-doc encode exactly;
+    fertility >= 1 (a word is at least one token); chars_per_token
+    matches the ratio of the exact sums."""
+    from qrapids_forecast_r_script_spark.operators.bpe import (
+        bpe_encode_docs, tokenizer_fertility_by_lang)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = {r.lang: r for r in
+            tokenizer_fertility_by_lang(spark, sf_dir).collect()}
+    enc = {r.doc_id: r for r in bpe_encode_docs(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang").collect()
+    agg = {}
+    for d in docs:
+        if d.doc_id not in enc:
+            continue
+        e = enc[d.doc_id]
+        a = agg.setdefault(d.lang, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += e.n_words
+        a[2] += e.n_chars
+        a[3] += e.n_tokens
+    assert set(rows) == set(agg)
+    for lang, (nd, nw, nc, nt) in agg.items():
+        r = rows[lang]
+        assert (r.n_docs, r.n_words, r.n_chars, r.n_tokens) \
+            == (nd, nw, nc, nt)
+        assert r.fertility >= 1.0
+        assert abs(r.chars_per_token - nc / nt) < 1e-6
