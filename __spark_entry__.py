@@ -56,8 +56,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # l_diversity_audit, interval_score_backtest, cart_abandonment_daily,
 # media_energy_segments, series_wavelet_energy, events_mad_outliers,
 # embedding_drift_centroids, source_dedup_rates,
-# session_pattern_match, tokenizer_fertility_by_lang) are the
-# round-5 window.
+# session_pattern_match, tokenizer_fertility_by_lang,
+# user_erasure_audit) are the round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

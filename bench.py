@@ -226,6 +226,8 @@ HEADLINE = [
     # tokenizer fairness profile
     "session_pattern_match",
     "tokenizer_fertility_by_lang",
+    # round-4 continuation: GDPR erasure cascade audit
+    "user_erasure_audit",
 ]
 
 

@@ -745,3 +745,100 @@ ORACLES["incremental_join_view"] = """
     GROUP BY 1 ORDER BY 1
 """
 QUERIES["incremental_join_view"] = incremental_join_view
+
+
+_ERASE_MOD = 50    # erasure set: md5(user/cust key) bucket 0 (~2%)
+
+
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten PROPAGATION audit (the GDPR Art. 17 /
+    CCPA deletion job every lakehouse runs on a schedule): a
+    deterministic erasure cohort (md5 bucket — retry-stable, the
+    sampling idiom) is deleted from ``customer`` and the deletion
+    CASCADES along the FK graph: the cohort's ``orders``, those
+    orders' ``lineitem`` rows, and the cohort's ``events`` (the
+    unconstrained edge `fk_integrity_audit` documents).  Emitted as
+    the audit table — per table: rows before, rows erased, rows
+    after, erased fraction — the artifact a privacy officer signs,
+    not a silent transform.
+
+    The deletes are anti-joins (the deletion-vector reduction: at
+    scale each becomes a MERGE ... WHEN MATCHED THEN DELETE or a DV
+    stamp — same key plumbing); the cascade ships only key columns.
+    Exactness: pure integer counts.  Scale: one anti-join per edge,
+    each keyed by the FK already shuffled for the join layer;
+    lineitem never materializes more than the deleted-orders key
+    set."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    erased = (cust.where(
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")),
+                           1, 8), 16, 10).cast("long")
+        % _ERASE_MOD == 0)
+        .select("c_custkey").localCheckpoint())
+    dead_orders = (orders.join(
+        erased.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+        .select("o_orderkey"))
+
+    def audit(name: str, df: DataFrame, dead: DataFrame,
+              key: str) -> DataFrame:
+        before = df.groupBy().agg(F.count(F.lit(1)).alias("rows_before"))
+        gone = (df.join(dead.withColumnRenamed(dead.columns[0], key),
+                        key, "left_semi")
+                .groupBy().agg(F.count(F.lit(1)).alias("rows_erased")))
+        return (before.crossJoin(gone)
+                .select(F.lit(name).alias("table_name"),
+                        "rows_before", "rows_erased",
+                        (F.col("rows_before") - F.col("rows_erased"))
+                        .alias("rows_after"),
+                        F.round(F.col("rows_erased").cast("double")
+                                / F.col("rows_before").cast("double"), 6)
+                        .alias("erased_frac")))
+
+    out = (audit("customer", cust, erased, "c_custkey")
+           .unionByName(audit("orders", orders, dead_orders,
+                              "o_orderkey"))
+           .unionByName(audit("lineitem", li, dead_orders,
+                              "l_orderkey"))
+           .unionByName(audit("events", ev, erased, "user_id")))
+    return out.orderBy("table_name")
+
+
+ORACLES["user_erasure_audit"] = f"""
+    WITH erased AS (
+        SELECT c_custkey FROM customer
+        WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                  ::BIGINT % {_ERASE_MOD} = 0
+    ), dead_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM erased)
+    ), audit AS (
+        SELECT 'customer' AS table_name,
+               (SELECT count(*) FROM customer) AS rows_before,
+               (SELECT count(*) FROM customer
+                WHERE c_custkey IN (SELECT c_custkey FROM erased))
+                   AS rows_erased
+        UNION ALL
+        SELECT 'orders', (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders
+                WHERE o_orderkey IN (SELECT o_orderkey
+                                     FROM dead_orders))
+        UNION ALL
+        SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey
+                                     FROM dead_orders))
+        UNION ALL
+        SELECT 'events', (SELECT count(*) FROM events),
+               (SELECT count(*) FROM events
+                WHERE user_id IN (SELECT c_custkey FROM erased))
+    )
+    SELECT table_name, rows_before, rows_erased,
+           rows_before - rows_erased AS rows_after,
+           round(CAST(rows_erased AS DOUBLE)
+                 / CAST(rows_before AS DOUBLE), 6) AS erased_frac
+    FROM audit ORDER BY table_name
+"""
+QUERIES["user_erasure_audit"] = user_erasure_audit

@@ -1305,3 +1305,35 @@ def test_tokenizer_fertility_consistency(spark, sf_dir):
             == (nd, nw, nc, nt)
         assert r.fertility >= 1.0
         assert abs(r.chars_per_token - nc / nt) < 1e-6
+
+
+def test_user_erasure_cascade_consistency(spark, sf_dir):
+    """The cascade is closed: erased orders belong exactly to erased
+    customers, erased lineitems exactly to erased orders, and
+    before = erased + after on every table; the cohort is ~2%."""
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        _ERASE_MOD, user_erasure_audit)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    import hashlib
+
+    rows = {r.table_name: r for r in
+            user_erasure_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    for r in rows.values():
+        assert r.rows_before == r.rows_erased + r.rows_after
+        assert 0 <= r.erased_frac < 0.1
+    cust = [r.c_custkey for r in
+            load_table(spark, sf_dir, "customer")
+            .select("c_custkey").collect()]
+    erased = {k for k in cust if int(hashlib.md5(str(k).encode())
+                                     .hexdigest()[:8], 16)
+              % _ERASE_MOD == 0}
+    assert rows["customer"].rows_erased == len(erased)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey").collect()
+    dead = {o.o_orderkey for o in orders if o.o_custkey in erased}
+    assert rows["orders"].rows_erased == len(dead)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey").collect()
+    assert rows["lineitem"].rows_erased == sum(
+        1 for r in li if r.l_orderkey in dead)
