@@ -228,6 +228,10 @@ HEADLINE = [
     "tokenizer_fertility_by_lang",
     # round-4 continuation: GDPR erasure cascade audit
     "user_erasure_audit",
+    # round-4 continuation: QQ drift ladder, conversion latency, YoY
+    "source_length_qq",
+    "funnel_latency_percentiles",
+    "orders_yoy_growth",
 ]
 
 

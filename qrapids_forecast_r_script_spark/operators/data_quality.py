@@ -944,3 +944,66 @@ ORACLES["events_mad_outliers"] = f"""
     FROM scored GROUP BY 1 ORDER BY 1
 """
 QUERIES["events_mad_outliers"] = events_mad_outliers
+
+
+_QQ_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+def source_length_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile drift profile per source: the full decile
+    ladder (p10..p90) of each source's document-length distribution
+    against the corpus's — `source_drift_psi` collapses the comparison
+    into one binned number and `events_ks_drift` into one max
+    distance; the QQ table shows WHERE the distributions diverge (a
+    head-only gap = truncated crawls, a tail-only gap = concatenation
+    bugs).  Ratio near 1 at every decile = healthy feed.
+
+    Exact interpolated percentiles on exact integer lengths (the
+    `value_percentiles_by_type` Spark↔DuckDB pairing); the decile
+    fan-out is a 9-row broadcast constant.  Scale: one per-source
+    percentile pass + one corpus pass."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("len"))
+    qs = F.array(*[F.lit(q) for q in _QQ_DECILES])
+    src = (docs.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.percentile("len", qs).alias("src_q")))
+    corp = docs.agg(F.percentile("len", qs).alias("corp_q"))
+    fan = (src.crossJoin(F.broadcast(corp))
+           .select("source", "n_docs",
+                   F.posexplode(F.arrays_zip("src_q", "corp_q"))
+                   .alias("i", "z")))
+    decile = ((F.col("i") + 1).cast("int"))
+    sq = F.round(F.col("z.src_q"), 6)
+    cq = F.round(F.col("z.corp_q"), 6)
+    return (fan.select("source", "n_docs", decile.alias("decile"),
+                       sq.alias("source_quantile"),
+                       cq.alias("corpus_quantile"),
+                       F.round(sq / cq, 6).alias("qq_ratio"))
+            .orderBy("source", "decile"))
+
+
+ORACLES["source_length_qq"] = """
+    WITH docs AS (
+        SELECT source, CAST(n_chars AS DOUBLE) AS len FROM documents
+    ), srcq AS (
+        SELECT source, count(*) AS n_docs, round(quantile_cont(len, 0.1), 6) AS q1, round(quantile_cont(len, 0.2), 6) AS q2, round(quantile_cont(len, 0.3), 6) AS q3, round(quantile_cont(len, 0.4), 6) AS q4, round(quantile_cont(len, 0.5), 6) AS q5, round(quantile_cont(len, 0.6), 6) AS q6, round(quantile_cont(len, 0.7), 6) AS q7, round(quantile_cont(len, 0.8), 6) AS q8, round(quantile_cont(len, 0.9), 6) AS q9
+        FROM docs GROUP BY 1
+    ), corpq AS (
+        SELECT round(quantile_cont(len, 0.1), 6) AS q1, round(quantile_cont(len, 0.2), 6) AS q2, round(quantile_cont(len, 0.3), 6) AS q3, round(quantile_cont(len, 0.4), 6) AS q4, round(quantile_cont(len, 0.5), 6) AS q5, round(quantile_cont(len, 0.6), 6) AS q6, round(quantile_cont(len, 0.7), 6) AS q7, round(quantile_cont(len, 0.8), 6) AS q8, round(quantile_cont(len, 0.9), 6) AS q9 FROM docs
+    ), src_long AS (
+        SELECT source, n_docs, CAST(d AS INTEGER) AS decile,
+               CASE d WHEN 1 THEN q1 WHEN 2 THEN q2 WHEN 3 THEN q3 WHEN 4 THEN q4 WHEN 5 THEN q5 WHEN 6 THEN q6 WHEN 7 THEN q7 WHEN 8 THEN q8 WHEN 9 THEN q9 END AS source_quantile
+        FROM srcq, generate_series(1, 9) g(d)
+    ), corp_long AS (
+        SELECT CAST(d AS INTEGER) AS decile,
+               CASE d WHEN 1 THEN q1 WHEN 2 THEN q2 WHEN 3 THEN q3 WHEN 4 THEN q4 WHEN 5 THEN q5 WHEN 6 THEN q6 WHEN 7 THEN q7 WHEN 8 THEN q8 WHEN 9 THEN q9 END AS corpus_quantile
+        FROM corpq, generate_series(1, 9) g(d)
+    )
+    SELECT s.source, s.n_docs, s.decile, s.source_quantile,
+           c.corpus_quantile,
+           round(s.source_quantile / c.corpus_quantile, 6) AS qq_ratio
+    FROM src_long s JOIN corp_long c USING (decile)
+    ORDER BY s.source, s.decile
+"""
+QUERIES["source_length_qq"] = source_length_qq

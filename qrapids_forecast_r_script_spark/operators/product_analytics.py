@@ -907,3 +907,76 @@ ORACLES["session_pattern_match"] = f"""
     GROUP BY 1, 2 ORDER BY 1, 2
 """
 QUERIES["session_pattern_match"] = session_pattern_match
+
+
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Conversion LATENCY distribution per day: within each session,
+    seconds from the first view to the first subsequent purchase —
+    `funnel_view_click_purchase` counts who converts, this measures
+    how long conversion takes (the p90 is the SLA-style number a
+    checkout-performance review tracks; a p50/p90 spread widening is
+    friction).  Exact interpolated percentiles over fractional-second
+    epochs.
+
+    Rides the sessionizer's shuffle; per-session stage timestamps are
+    two conditional minima (the funnel idiom — no self-joins), the
+    per-day percentile pass runs over conversion-count rows."""
+    from ..streaming.queries import sessionize_events
+    sess = sessionize_events(load_table(spark, sf_dir, "events"))
+    per = (sess.groupBy("user_id", "session_id")
+           .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+                .alias("t_view"),
+                F.min(F.to_date("ts")).alias("day")))
+    buys = (sess.where(F.col("event_type") == "purchase")
+            .join(per, ["user_id", "session_id"])
+            .where(F.col("ts") > F.col("t_view"))
+            .groupBy("user_id", "session_id", "day", "t_view")
+            .agg(F.min("ts").alias("t_buy")))
+    lat = buys.select(
+        "day", F.round(F.col("t_buy").cast("double")
+                       - F.col("t_view").cast("double"), 3)
+        .alias("latency_s"))
+    return (lat.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_conversions"),
+                 F.round(F.percentile("latency_s", F.lit(0.5)), 3)
+                 .alias("p50_s"),
+                 F.round(F.percentile("latency_s", F.lit(0.9)), 3)
+                 .alias("p90_s"))
+            .orderBy("day"))
+
+
+ORACLES["funnel_latency_percentiles"] = """
+    WITH flagged AS (
+        SELECT *,
+               CASE WHEN lag(epoch(ts)) OVER sw IS NULL
+                         OR epoch(ts) - lag(epoch(ts)) OVER sw > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW sw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT *, CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    ), per AS (
+        SELECT user_id, session_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CAST(ts AS DATE)) AS day
+        FROM sessions GROUP BY 1, 2
+    ), buys AS (
+        SELECT s.user_id, s.session_id, p.day, p.t_view,
+               min(s.ts) AS t_buy
+        FROM sessions s JOIN per p USING (user_id, session_id)
+        WHERE s.event_type = 'purchase' AND s.ts > p.t_view
+        GROUP BY 1, 2, 3, 4
+    ), lat AS (
+        SELECT day, round(epoch(t_buy) - epoch(t_view), 3) AS latency_s
+        FROM buys
+    )
+    SELECT day, count(*) AS n_conversions,
+           round(quantile_cont(latency_s, 0.5), 3) AS p50_s,
+           round(quantile_cont(latency_s, 0.9), 3) AS p90_s
+    FROM lat GROUP BY 1 ORDER BY 1
+"""
+QUERIES["funnel_latency_percentiles"] = funnel_latency_percentiles

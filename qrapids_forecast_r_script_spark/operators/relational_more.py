@@ -503,3 +503,52 @@ ORACLES = {
         ORDER BY event_type
     """,
 }
+
+
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per calendar month — the BI
+    staple missing from the TPC-H shapes (they compare segments and
+    date RANGES, not the same month across years): monthly revenue in
+    exact integer cents, YoY ratio via a lag window PARTITIONED BY
+    month-of-year ordered by year, so each month compares to itself
+    one year earlier (insulated from seasonality, the whole point of
+    YoY).  Orders span 1995-2001, so every month from 1996 on has a
+    comparison row.
+
+    One month-keyed aggregate with map-side combine + one window over
+    |years| rows per month-of-year — the cheapest possible shape; the
+    growth division is a single op on exact cents."""
+    from pyspark.sql.window import Window
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    g = (orders.groupBy(F.year("o_orderdate").alias("yr"),
+                        F.month("o_orderdate").alias("mo"))
+         .agg(F.sum(cents).alias("revenue_cents")))
+    w = Window.partitionBy("mo").orderBy("yr")
+    prev = F.lag("revenue_cents").over(w)
+    return (g.select("yr", "mo", "revenue_cents",
+                     prev.alias("prev_year_cents"),
+                     F.round(F.col("revenue_cents").cast("double")
+                             / prev.cast("double")
+                             - F.lit(1.0), 6).alias("yoy_growth"))
+            .orderBy("yr", "mo"))
+
+
+ORACLES["orders_yoy_growth"] = """
+    WITH g AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, revenue_cents,
+           lag(revenue_cents) OVER w AS prev_year_cents,
+           round(CAST(revenue_cents AS DOUBLE)
+                 / CAST(lag(revenue_cents) OVER w AS DOUBLE)
+                 - CAST(1 AS DOUBLE), 6) AS yoy_growth
+    FROM g
+    WINDOW w AS (PARTITION BY mo ORDER BY yr)
+    ORDER BY yr, mo
+"""
+QUERIES["orders_yoy_growth"] = orders_yoy_growth

