@@ -232,6 +232,9 @@ HEADLINE = [
     "source_length_qq",
     "funnel_latency_percentiles",
     "orders_yoy_growth",
+    # round-4 continuation: verbatim-SQL API proof + RFM grid
+    "sql_api_revenue_report",
+    "rfm_quartile_segments",
 ]
 
 

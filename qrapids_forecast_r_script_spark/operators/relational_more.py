@@ -552,3 +552,119 @@ ORACLES["orders_yoy_growth"] = """
     ORDER BY yr, mo
 """
 QUERIES["orders_yoy_growth"] = orders_yoy_growth
+
+
+# One dialect-neutral ANSI text, executed VERBATIM by both engines —
+# the engine-surface proof that the SQL-string API (not just the
+# DataFrame DSL) is a first-class way in (SURVEY §2B scans row).
+_SQL_REVENUE_REPORT = """
+    WITH g AS (
+        SELECT c_mktsegment AS segment,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT segment, yr, revenue_cents, n_orders,
+           CAST(rank() OVER (PARTITION BY yr
+                             ORDER BY revenue_cents DESC) AS INTEGER)
+               AS seg_rank
+    FROM g ORDER BY yr, segment
+"""
+
+
+def sql_api_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``spark.sql`` surface exercised end-to-end with ONE
+    dialect-neutral ANSI string — the exact text below IS the DuckDB
+    oracle, so the driver's hash equality proves the two engines parse,
+    plan, and execute the same SQL to the same bytes (every other
+    query pins DataFrame-DSL ↔ SQL parity; this one pins SQL ↔ SQL).
+    Catalyst treats the registered temp views exactly like DataFrame
+    sources — same pushdown, same broadcast of the customer side, same
+    whole-stage codegen — which is the point: the SQL-string API is
+    not a second-class path."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer") \
+        .createOrReplaceTempView("customer")
+    return spark.sql(_SQL_REVENUE_REPORT)
+
+
+ORACLES["sql_api_revenue_report"] = _SQL_REVENUE_REPORT
+QUERIES["sql_api_revenue_report"] = sql_api_revenue_report
+
+
+def rfm_quartile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM quartile segmentation (Hughes 1994 — the marketing
+    warehouse staple): per customer, Recency (days from last order to
+    the corpus max date), Frequency (order count), Monetary (exact
+    cents), each quartiled by ntile(4) with deterministic custkey
+    tiebreaks (R ascending so quartile 1 = most recent; F/M
+    descending so quartile 1 = best), then the 4x4x4 segment grid
+    with population and average spend — '111' is the champions cell,
+    '444' the lost cell.
+
+    Exactness: all three features are exact integers; ntile on
+    (feature, custkey) is a total order, so quartile assignment can
+    never flip across engines or partitionings; averages are integer
+    micro-ratios.  Scale: one customer-keyed aggregate + three
+    global ntile windows (at 100 TB: the two-pass quantile-boundary
+    broadcast swap, the winsorized-stats precedent) + one tiny grid
+    aggregate."""
+    from pyspark.sql.window import Window
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
+    per = (orders.groupBy("o_custkey")
+           .agg(F.max("o_orderdate").alias("last_order"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                      .cast("long")).alias("monetary_cents"))
+           .crossJoin(F.broadcast(maxd))
+           .select("o_custkey",
+                   F.datediff("maxd", "last_order").cast("long")
+                   .alias("recency_days"),
+                   "frequency", "monetary_cents"))
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary_cents").desc(),
+                        F.col("o_custkey"))
+    scored = (per.withColumn("r_q", F.ntile(4).over(wr))
+              .withColumn("f_q", F.ntile(4).over(wf))
+              .withColumn("m_q", F.ntile(4).over(wm)))
+    return (scored.groupBy("r_q", "f_q", "m_q")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("monetary_cents").cast("double")
+                         / F.count(F.lit(1)).cast("double") / 100, 2)
+                 .alias("avg_spend"))
+            .orderBy("r_q", "f_q", "m_q"))
+
+
+ORACLES["rfm_quartile_segments"] = """
+    WITH maxd AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    per AS (
+        SELECT o_custkey,
+               CAST(datediff('day', max(o_orderdate),
+                             (SELECT maxd FROM maxd)) AS BIGINT)
+                   AS recency_days,
+               count(*) AS frequency,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY 1
+    ), scored AS (
+        SELECT *,
+               ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+               ntile(4) OVER (ORDER BY frequency DESC, o_custkey)
+                   AS f_q,
+               ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey)
+                   AS m_q
+        FROM per
+    )
+    SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+           CAST(m_q AS INTEGER) AS m_q,
+           count(*) AS n_customers,
+           round(CAST(sum(monetary_cents) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 100, 2) AS avg_spend
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+QUERIES["rfm_quartile_segments"] = rfm_quartile_segments

