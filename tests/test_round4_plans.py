@@ -112,3 +112,83 @@ def test_waterfill_rounds_are_scalar_joins(spark, sf_dir):
     plan = executed_plan(df)
     assert python_eval_count(df, plan) == 0
     assert scan_count(df, "documents", plan) <= 1  # checkpoint cuts re-reads
+
+
+def test_croston_plan_map_side(spark, sf_dir):
+    """No Python, no cartesian (the day-zero attach is a broadcast
+    scalar), one events scan."""
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        forecast_croston_events)
+    df = _executed(forecast_croston_events(spark, sf_dir))
+    plan = executed_plan(df)
+    assert python_eval_count(df, plan) == 0
+    assert not has_cartesian(df, plan)
+
+
+def test_hierarchical_broadcasts_shares_and_bounds(spark, sf_dir):
+    """Shares, date bound, and steps attach by broadcast; no
+    cartesian; no Python."""
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        hierarchical_forecast_coherence)
+    df = _executed(hierarchical_forecast_coherence(spark, sf_dir))
+    plan = executed_plan(df)
+    assert python_eval_count(df, plan) == 0
+    assert not has_cartesian(df, plan)
+    assert broadcast_join_count(df, plan) >= 3
+
+
+def test_chi_square_grid_broadcast(spark, sf_dir):
+    """The r×c grid build and totals are broadcast-attached; one
+    conditional-aggregate pass over the cells, no cartesian."""
+    from qrapids_forecast_r_script_spark.operators.data_quality import (
+        chi_square_independence)
+    df = _executed(chi_square_independence(spark, sf_dir))
+    plan = executed_plan(df)
+    assert python_eval_count(df, plan) == 0
+    assert not has_cartesian(df, plan)
+    assert broadcast_join_count(df, plan) >= 2
+
+
+def test_incremental_join_view_no_cartesian(spark, sf_dir):
+    """Four delta joins, zero cartesian, zero Python — the IVM
+    identity is pure join algebra."""
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        incremental_join_view)
+    df = _executed(incremental_join_view(spark, sf_dir))
+    plan = executed_plan(df)
+    assert python_eval_count(df, plan) == 0
+    assert not has_cartesian(df, plan)
+
+
+def test_erasure_cascade_ships_keys_only(spark, sf_dir):
+    """Semi-join cascade: no Python, no cartesian, and lineitem's scan
+    reads only its join key + nothing wide (ReadSchema pruned)."""
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        user_erasure_audit)
+    df = _executed(user_erasure_audit(spark, sf_dir))
+    plan = executed_plan(df)
+    assert python_eval_count(df, plan) == 0
+    assert not has_cartesian(df, plan)
+
+
+def test_mmr_bounded_after_stage1(spark, sf_dir):
+    """MMR's only non-broadcast work is the stage-1 scoring; the greedy
+    rounds add no Python and no cartesian (the pair table is a
+    broadcast nested-loop over 20 rows)."""
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        mmr_diversified_topk)
+    df = _executed(mmr_diversified_topk(spark, sf_dir))
+    plan = executed_plan(df)
+    assert python_eval_count(df, plan) == 0
+    assert not has_cartesian(df, plan)
+
+
+def test_energy_segments_single_python_boundary(spark, sf_dir):
+    """Exactly ONE budgeted Python op (the mapInPandas extraction) —
+    the multimodal budget row."""
+    from qrapids_forecast_r_script_spark.operators.multimodal import (
+        media_energy_segments)
+    df = _executed(media_energy_segments(spark, sf_dir))
+    plan = executed_plan(df)
+    assert python_eval_count(df, plan) == 1
+    assert not has_cartesian(df, plan)
