@@ -235,6 +235,8 @@ HEADLINE = [
     # round-4 continuation: verbatim-SQL API proof + RFM grid
     "sql_api_revenue_report",
     "rfm_quartile_segments",
+    # round-4 continuation: the IVF tuning curve
+    "ivf_nprobe_sweep",
 ]
 
 

@@ -2088,3 +2088,120 @@ ORACLES["embedding_drift_centroids"] = f"""
     FROM sim s JOIN counts c USING (label) ORDER BY s.label
 """
 QUERIES["embedding_drift_centroids"] = embedding_drift_centroids
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: the nprobe tuning curve — recall@10 vs probe
+# width, the chart every IVF deployment is tuned from.
+
+_SWEEP_NPROBES = [1, 2, 4, 8]
+
+
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-nprobe SWEEP: run the fixed-centroid IVF index at
+    nprobe ∈ {1,2,4,8} and score each against the exact brute-force
+    top-10 — the recall curve (FAISS's canonical tuning artifact) that
+    turns 'nprobe=4' from a magic number into a measured operating
+    point on the recall/latency frontier.  `ann_eval_ndcg` scores ONE
+    configuration's ranking quality; this sweeps the knob.
+
+    Every point reuses the same index chain (same centroids, same cell
+    assignment) — only the probe-set filter widens, which is exactly
+    how a production sweep runs (index built once, searched four
+    times).  Recall is a ratio of exact integer hit counts; the
+    monotone-nondecreasing-in-nprobe property is pinned in tests.
+
+    Scale: 4× the single-search cost, all shapes identical to
+    `ivf_topk` (constant centroid broadcast, equi-join probes);
+    the brute-force reference is the eval-side cost `ann_eval_ndcg`
+    already budgets."""
+    total = _N_QUERIES * _TOP_K
+    brute = (cosine_topk_bruteforce(spark, sf_dir)
+             .select("query_id", "neighbor_id").localCheckpoint())
+    out = None
+    for np_ in _SWEEP_NPROBES:
+        approx = (ivf_topk(spark, sf_dir, nprobe=np_)
+                  .select("query_id", "neighbor_id"))
+        hits = (brute.join(approx, ["query_id", "neighbor_id"],
+                           "left_semi")
+                .agg(F.count(F.lit(1)).alias("n_hits")))
+        row = hits.select(
+            F.lit(np_).alias("nprobe"), "n_hits",
+            F.round(F.col("n_hits").cast("double")
+                    / F.lit(float(total)), 6).alias("recall_at_10"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")
+
+
+def _ivf_sweep_oracle_sql() -> str:
+    per_np = []
+    selects = []
+    for np_ in _SWEEP_NPROBES:
+        per_np.append(f"""
+        scored{np_} AS (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   round(list_dot_product(q.qemb, v.emb)
+                         / (sqrt(list_dot_product(q.qemb, q.qemb))
+                            * sqrt(list_dot_product(v.emb, v.emb))), 6)
+                       AS cosine
+            FROM (SELECT vec_id AS query_id, emb AS qemb, centroid_id
+                  FROM assigned
+                  WHERE vec_id < {_N_QUERIES} AND rn <= {np_}) q
+            JOIN cell v ON q.centroid_id = v.centroid_id
+            WHERE q.query_id != v.vec_id
+        ),
+        top{np_} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC)
+                           AS rank
+                FROM scored{np_})
+            WHERE rank <= {_TOP_K}
+        )""")
+        selects.append(f"""
+        SELECT {np_} AS nprobe, CAST(count(*) AS BIGINT) AS n_hits,
+               round(CAST(count(*) AS DOUBLE)
+                     / CAST({_N_QUERIES * _TOP_K} AS DOUBLE), 6)
+                   AS recall_at_10
+        FROM brute b JOIN top{np_} t
+          ON b.query_id = t.query_id
+         AND b.neighbor_id = t.neighbor_id""")
+    return f"""
+        WITH vecs AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS emb
+            FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS centroid_id, emb AS cemb FROM vecs
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_IVF_K}
+        ), assigned AS (
+            SELECT vec_id, emb, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY
+                       round(list_dot_product(emb, cemb)
+                             / (sqrt(list_dot_product(emb, emb))
+                                * sqrt(list_dot_product(cemb, cemb))),
+                             6) DESC,
+                       centroid_id ASC) AS rn
+            FROM vecs CROSS JOIN cents
+        ), cell AS (
+            SELECT vec_id, emb, centroid_id FROM assigned WHERE rn = 1
+        ), brute AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+            FROM (SELECT * FROM vecs
+                  ORDER BY vec_id LIMIT {_N_QUERIES}) a
+            JOIN vecs b ON a.vec_id != b.vec_id
+            QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                round(list_dot_product(a.emb, b.emb)
+                      / (sqrt(list_dot_product(a.emb, a.emb))
+                         * sqrt(list_dot_product(b.emb, b.emb))), 6)
+                    DESC, b.vec_id ASC) <= {_TOP_K}
+        ),{",".join(per_np)}
+        SELECT * FROM ({" UNION ALL ".join(selects)})
+        ORDER BY nprobe
+    """
+
+
+QUERIES["ivf_nprobe_sweep"] = ivf_nprobe_sweep
+ORACLES["ivf_nprobe_sweep"] = _ivf_sweep_oracle_sql()

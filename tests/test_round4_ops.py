@@ -1482,3 +1482,28 @@ def test_rfm_segments_brute(spark, sf_dir):
         assert r.n_customers == n
         assert abs(r.avg_spend - round(m / n / 100, 2)) < 0.011
     assert sum(r.n_customers for r in rows) == len(custs)
+
+
+def test_ivf_sweep_monotone_and_consistent(spark, sf_dir):
+    """Recall is monotone non-decreasing in nprobe (probe sets nest),
+    hits are bounded by the eval budget, and the nprobe=4 point equals
+    what ivf_topk at the default config scores against brute force."""
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        _N_QUERIES, _TOP_K, cosine_topk_bruteforce, ivf_nprobe_sweep,
+        ivf_topk)
+
+    rows = sorted(ivf_nprobe_sweep(spark, sf_dir).collect(),
+                  key=lambda r: r.nprobe)
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    total = _N_QUERIES * _TOP_K
+    last = -1
+    for r in rows:
+        assert 0 <= r.n_hits <= total
+        assert r.n_hits >= last        # nested probe sets
+        last = r.n_hits
+        assert abs(r.recall_at_10 - r.n_hits / total) < 1e-6
+    brute = {(r.query_id, r.neighbor_id) for r in
+             cosine_topk_bruteforce(spark, sf_dir).collect()}
+    ivf4 = {(r.query_id, r.neighbor_id) for r in
+            ivf_topk(spark, sf_dir).collect()}
+    assert rows[2].n_hits == len(brute & ivf4)
