@@ -235,8 +235,9 @@ HEADLINE = [
     # round-4 continuation: verbatim-SQL API proof + RFM grid
     "sql_api_revenue_report",
     "rfm_quartile_segments",
-    # round-4 continuation: the IVF tuning curve
+    # round-4 continuation: the IVF tuning curve + index-freshness edge
     "ivf_nprobe_sweep",
+    "doc_embedding_coverage",
 ]
 
 

@@ -1007,3 +1007,54 @@ ORACLES["source_length_qq"] = """
     ORDER BY s.source, s.decile
 """
 QUERIES["source_length_qq"] = source_length_qq
+
+
+def doc_embedding_coverage(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Document↔embedding linkage audit — the index-freshness edge the
+    star-schema FK audit doesn't cover: per language, how many docs
+    have an embedding row (the shared id space `hybrid_rrf_topk`
+    depends on), and — as the NULL-lang group of the same full-outer
+    aggregate — how many embeddings point at no document (orphans: a
+    stale index serving deleted docs).  A retrieval stack with
+    coverage < 1 silently excludes docs from dense search while BM25
+    still finds them — ranking skew that looks like a relevance bug.
+
+    One full-outer join on the id key + one grouped aggregate; both
+    sides ship only (id, lang/label).  Exact integer counts."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("d_id"), "lang"))
+    vecs = (load_table(spark, sf_dir, "embeddings")
+            .select(F.col("vec_id").alias("v_id")))
+    j = docs.join(vecs, docs["d_id"] == vecs["v_id"], "full_outer")
+    return (j.groupBy("lang")
+            .agg(F.count("d_id").alias("n_docs"),
+                 F.count("v_id").alias("n_vecs"),
+                 F.count(F.when(F.col("d_id").isNotNull()
+                                & F.col("v_id").isNotNull(), 1))
+                 .alias("n_matched"))
+            .select("lang", "n_docs", "n_vecs", "n_matched",
+                    F.round(F.col("n_matched").cast("double")
+                            / F.nullif(F.col("n_docs").cast("double"),
+                                       F.lit(0.0)), 6)
+                    .alias("doc_coverage"))
+            .orderBy(F.col("lang").asc_nulls_first()))
+
+
+ORACLES["doc_embedding_coverage"] = """
+    SELECT d.lang,
+           count(d.doc_id) AS n_docs,
+           count(v.vec_id) AS n_vecs,
+           count(CASE WHEN d.doc_id IS NOT NULL
+                       AND v.vec_id IS NOT NULL THEN 1 END)
+               AS n_matched,
+           round(CAST(count(CASE WHEN d.doc_id IS NOT NULL
+                                  AND v.vec_id IS NOT NULL THEN 1 END)
+                      AS DOUBLE)
+                 / nullif(CAST(count(d.doc_id) AS DOUBLE),
+                          CAST(0 AS DOUBLE)), 6) AS doc_coverage
+    FROM documents d
+    FULL OUTER JOIN embeddings v ON d.doc_id = v.vec_id
+    GROUP BY 1 ORDER BY 1 NULLS FIRST
+"""
+QUERIES["doc_embedding_coverage"] = doc_embedding_coverage

@@ -1507,3 +1507,36 @@ def test_ivf_sweep_monotone_and_consistent(spark, sf_dir):
     ivf4 = {(r.query_id, r.neighbor_id) for r in
             ivf_topk(spark, sf_dir).collect()}
     assert rows[2].n_hits == len(brute & ivf4)
+
+
+def test_doc_embedding_coverage_brute(spark, sf_dir):
+    """Counts reconcile with the raw tables: per-lang doc counts,
+    matched counts bounded by min(docs, vecs), orphan vecs land in the
+    NULL-lang row, and global totals add up."""
+    from qrapids_forecast_r_script_spark.operators.data_quality import (
+        doc_embedding_coverage)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = doc_embedding_coverage(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang").collect()
+    vec_ids = {r.vec_id for r in load_table(spark, sf_dir, "embeddings")
+               .select("vec_id").collect()}
+    by_lang = {}
+    for d in docs:
+        n, m = by_lang.get(d.lang, (0, 0))
+        by_lang[d.lang] = (n + 1, m + (d.doc_id in vec_ids))
+    doc_ids = {d.doc_id for d in docs}
+    orphans = len(vec_ids - doc_ids)
+    got_langs = {r.lang: r for r in rows}
+    for lang, (n, m) in by_lang.items():
+        r = got_langs[lang]
+        assert (r.n_docs, r.n_matched) == (n, m)
+        assert r.n_matched <= min(r.n_docs, r.n_vecs)
+        assert abs(r.doc_coverage - m / n) < 1e-6
+    if orphans:
+        assert None in got_langs
+        assert got_langs[None].n_vecs == orphans
+        assert got_langs[None].n_docs == 0
+    assert sum(r.n_vecs for r in rows) == len(vec_ids)
+    assert sum(r.n_docs for r in rows) == len(docs)
