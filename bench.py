@@ -238,6 +238,11 @@ HEADLINE = [
     # round-4 continuation: the IVF tuning curve + index-freshness edge
     "ivf_nprobe_sweep",
     "doc_embedding_coverage",
+    # round-4 continuation: structure/traffic/vocab audits
+    "dedup_cluster_sizes",
+    "vocab_coverage_curve",
+    "event_interarrival_stats",
+    "embedding_norm_audit",
 ]
 
 

@@ -1058,3 +1058,104 @@ ORACLES["doc_embedding_coverage"] = """
     GROUP BY 1 ORDER BY 1 NULLS FIRST
 """
 QUERIES["doc_embedding_coverage"] = doc_embedding_coverage
+
+
+def event_interarrival_stats(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Inter-arrival-time profile per event type: mean / std /
+    coefficient-of-variation of the gaps between consecutive events —
+    the queueing-theory traffic read: CV ≈ 1 is Poisson (memoryless)
+    arrivals, CV ≪ 1 a scheduler/heartbeat (suspiciously regular
+    machine traffic), CV ≫ 1 bursty/flash-crowd arrivals.  The
+    verdict column applies the classic ±30% band.
+
+    Gaps come from one per-type lag window on fractional-second
+    epochs snapped to the 1e-3 BIGINT grid (milli-seconds), so the
+    moment sums are exact integers and mean/std/CV are fixed-shape
+    closed forms.  Scale: one window pass keyed by type + one
+    aggregate — the series-monitor envelope."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gap_ms = ((F.col("ts").cast("double")
+               - F.lag(F.col("ts").cast("double")).over(w)) * 1000)
+    gaps = (ev.select("event_type",
+                      F.round(gap_ms, 0).cast("long").alias("g"))
+            .where(F.col("g").isNotNull()))
+    a = (gaps.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n_gaps"),
+              F.sum("g").alias("sg"),
+              F.sum(F.col("g") * F.col("g")).alias("sgg")))
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("sg").cast("double") / n
+    var = F.greatest(F.col("sgg").cast("double") / n - mean * mean,
+                     F.lit(0.0))
+    cv = F.sqrt(var) / F.nullif(mean, F.lit(0.0))
+    verdict = (F.when(cv < 0.7, F.lit("regular"))
+               .when(cv > 1.3, F.lit("bursty"))
+               .otherwise(F.lit("poisson_like")))
+    return (a.select("event_type", "n_gaps",
+                     F.round(mean / 1000, 6).alias("mean_gap_s"),
+                     F.round(F.sqrt(var) / 1000, 6).alias("std_gap_s"),
+                     F.round(cv, 6).alias("cv"),
+                     verdict.alias("arrival_pattern"))
+            .orderBy("event_type"))
+
+
+ORACLES["event_interarrival_stats"] = """
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(round((epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY event_type ORDER BY ts, event_id))
+                   * 1000, 0) AS BIGINT) AS g
+        FROM events
+    ), a AS (
+        SELECT event_type, count(*) AS n_gaps,
+               sum(g) AS sg, sum(g * g) AS sgg
+        FROM gaps WHERE g IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n_gaps,
+           round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                 / 1000, 6) AS mean_gap_s,
+           round(sqrt(greatest(CAST(sgg AS DOUBLE)
+                               / CAST(n_gaps AS DOUBLE)
+                               - (CAST(sg AS DOUBLE)
+                                  / CAST(n_gaps AS DOUBLE))
+                                 * (CAST(sg AS DOUBLE)
+                                    / CAST(n_gaps AS DOUBLE)),
+                               CAST(0 AS DOUBLE))) / 1000, 6)
+               AS std_gap_s,
+           round(sqrt(greatest(CAST(sgg AS DOUBLE)
+                               / CAST(n_gaps AS DOUBLE)
+                               - (CAST(sg AS DOUBLE)
+                                  / CAST(n_gaps AS DOUBLE))
+                                 * (CAST(sg AS DOUBLE)
+                                    / CAST(n_gaps AS DOUBLE)),
+                               CAST(0 AS DOUBLE)))
+                 / nullif(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE),
+                          CAST(0 AS DOUBLE)), 6) AS cv,
+           CASE WHEN sqrt(greatest(CAST(sgg AS DOUBLE)
+                                   / CAST(n_gaps AS DOUBLE)
+                                   - (CAST(sg AS DOUBLE)
+                                      / CAST(n_gaps AS DOUBLE))
+                                     * (CAST(sg AS DOUBLE)
+                                        / CAST(n_gaps AS DOUBLE)),
+                                   CAST(0 AS DOUBLE)))
+                     / nullif(CAST(sg AS DOUBLE)
+                              / CAST(n_gaps AS DOUBLE),
+                              CAST(0 AS DOUBLE))
+                     < CAST(0.7 AS DOUBLE) THEN 'regular'
+                WHEN sqrt(greatest(CAST(sgg AS DOUBLE)
+                                   / CAST(n_gaps AS DOUBLE)
+                                   - (CAST(sg AS DOUBLE)
+                                      / CAST(n_gaps AS DOUBLE))
+                                     * (CAST(sg AS DOUBLE)
+                                        / CAST(n_gaps AS DOUBLE)),
+                                   CAST(0 AS DOUBLE)))
+                     / nullif(CAST(sg AS DOUBLE)
+                              / CAST(n_gaps AS DOUBLE),
+                              CAST(0 AS DOUBLE))
+                     > CAST(1.3 AS DOUBLE) THEN 'bursty'
+                ELSE 'poisson_like' END AS arrival_pattern
+    FROM a ORDER BY event_type
+"""
+QUERIES["event_interarrival_stats"] = event_interarrival_stats

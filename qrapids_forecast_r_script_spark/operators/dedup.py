@@ -1382,3 +1382,50 @@ EXTRA_ORACLES["source_dedup_rates"] = """
     FROM hashed hd JOIN prof p USING (h)
     GROUP BY 1 ORDER BY 1
 """
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-SIZE distribution of the near-dup component structure —
+    the macro view over `dedup_clusters`: per component size, how many
+    clusters exist, what fraction of the corpus they hold, and the
+    giant-component flag (the largest size band).  The shape of this
+    histogram is the dedup health read: a heavy giant component means
+    band collisions are chaining unrelated docs (tighten bands); a
+    pure size-1/size-2 profile means near-dup families are clean
+    pairs.
+
+    One re-aggregate of the CC output (cluster → size → size
+    histogram) — two tiny grouped counts on top of the clustering
+    cost."""
+    clusters = dedup_clusters(spark, sf_dir)
+    total = clusters.count()             # bounded driver scalar
+    sizes = (clusters.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("size")))
+    maxsize = sizes.agg(F.max("size").alias("max_size"))
+    return (sizes.groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .crossJoin(F.broadcast(maxsize))
+            .select("size", "n_clusters",
+                    F.round((F.col("size") * F.col("n_clusters"))
+                            .cast("double") / F.lit(float(total)), 6)
+                    .alias("share_of_docs"),
+                    (F.col("size") == F.col("max_size"))
+                    .alias("is_giant"))
+            .orderBy("size"))
+
+
+EXTRA_QUERIES["dedup_cluster_sizes"] = dedup_cluster_sizes
+EXTRA_ORACLES["dedup_cluster_sizes"] = f"""
+    WITH clusters AS ({ORACLES["dedup_clusters"]}),
+    sizes AS (
+        SELECT cluster_id, count(*) AS size
+        FROM clusters GROUP BY 1
+    ), mx AS (SELECT max(size) AS max_size FROM sizes),
+    tot AS (SELECT count(*) AS total FROM clusters)
+    SELECT s.size, count(*) AS n_clusters,
+           round(CAST(s.size * count(*) AS DOUBLE)
+                 / CAST((SELECT total FROM tot) AS DOUBLE), 6)
+               AS share_of_docs,
+           s.size = (SELECT max_size FROM mx) AS is_giant
+    FROM sizes s GROUP BY s.size ORDER BY s.size
+"""

@@ -2205,3 +2205,54 @@ def _ivf_sweep_oracle_sql() -> str:
 
 QUERIES["ivf_nprobe_sweep"] = ivf_nprobe_sweep
 ORACLES["ivf_nprobe_sweep"] = _ivf_sweep_oracle_sql()
+
+
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-NORM distribution audit per label: mean / min / max L2
+    norm and the unnormalized-row count — the two-minute check that
+    catches the classic embedding-pipeline bug (one ingestion batch
+    skipped L2 normalization, so its cosines are silently wrong in
+    every downstream index).  A normalized space shows norms pinned at
+    1; this synthetic corpus is unnormalized, which the audit reports
+    rather than assumes.
+
+    Norms are the map-side JVM fold the whole similarity layer uses;
+    one aggregate per label.  Scale: one pass, no shuffle beyond the
+    label aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(_norm(_as_double("embedding")), 6)
+    scored = emb.select("label", nrm.alias("nrm"))
+    near_one = (F.abs(F.col("nrm") - 1.0) < 0.01).cast("long")
+    return (scored.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.min("nrm"), 6).alias("min_norm"),
+                 F.round(F.max("nrm"), 6).alias("max_norm"),
+                 F.sum(near_one).alias("n_unit_norm"))
+            .withColumn("normalized_share",
+                        F.round(F.col("n_unit_norm").cast("double")
+                                / F.col("n_vecs").cast("double"), 6))
+            .orderBy("label"))
+
+
+ORACLES["embedding_norm_audit"] = """
+    WITH scored AS (
+        SELECT label,
+               round(sqrt(list_dot_product(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)))),
+                   6) AS nrm
+        FROM embeddings
+    )
+    SELECT label, count(*) AS n_vecs,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           CAST(sum(CASE WHEN abs(nrm - CAST(1 AS DOUBLE))
+                              < CAST(0.01 AS DOUBLE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unit_norm,
+           round(CAST(sum(CASE WHEN abs(nrm - CAST(1 AS DOUBLE))
+                                    < CAST(0.01 AS DOUBLE)
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS normalized_share
+    FROM scored GROUP BY 1 ORDER BY 1
+"""
+QUERIES["embedding_norm_audit"] = embedding_norm_audit

@@ -1034,3 +1034,84 @@ ORACLES["readability_scores"] = f"""
     FROM counts WHERE n_words > 0 ORDER BY doc_id
 """
 QUERIES["readability_scores"] = readability_scores
+
+
+_VC_CUTOFFS = [100, 1000, 10000]
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary COVERAGE curve: the fraction of all corpus token
+    occurrences covered by the top-k most frequent types, at k ∈
+    {100, 1k, 10k} — the Zipf-integral read a tokenizer/vocab-budget
+    decision hangs on (`corpus_zipf_fit` fits the law's slope; this
+    reports the budget consequence: if 10k types cover 99%, a 50k
+    vocab buys almost nothing).  OOV rate at each budget = 1 −
+    coverage.
+
+    Frequency ranks break ties by token text, so the cumulative sum
+    is a total order — exact under any partitioning; coverage is a
+    ratio of exact BIGINT occurrence counts.  Scale: one explode +
+    one vocab aggregate (the text-layer envelope), one rank window
+    over vocab rows, a 3-row cutoff fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (vocab.withColumn("rank", F.row_number().over(w))
+              .withColumn("cum_tf", F.sum("tf").over(wcum)))
+    total = vocab.agg(F.sum("tf").alias("total"),
+                      F.count(F.lit(1)).alias("n_types"))
+    cuts = F.explode(F.array(*[F.lit(c) for c in _VC_CUTOFFS])) \
+        .alias("vocab_budget")
+    at = (ranked.select("rank", "cum_tf")
+          .crossJoin(F.broadcast(
+              ranked.sparkSession.range(1).select(cuts)))
+          .where(F.col("rank") <= F.col("vocab_budget"))
+          .groupBy("vocab_budget")
+          .agg(F.max("cum_tf").alias("covered")))
+    return (at.crossJoin(F.broadcast(total))
+            .select(F.col("vocab_budget").cast("int").alias("vocab_budget"),
+                    "covered", "total", "n_types",
+                    F.round(F.col("covered").cast("double")
+                            / F.col("total").cast("double"), 6)
+                    .alias("coverage"),
+                    F.round(F.lit(1.0) - F.col("covered").cast("double")
+                            / F.col("total").cast("double"), 6)
+                    .alias("oov_rate"))
+            .orderBy("vocab_budget"))
+
+
+ORACLES["vocab_coverage_curve"] = f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), vocab AS (
+        SELECT token, count(*) AS tf FROM toks GROUP BY 1
+    ), ranked AS (
+        SELECT tf,
+               row_number() OVER (ORDER BY tf DESC, token ASC) AS rank,
+               sum(tf) OVER (ORDER BY tf DESC, token ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum_tf
+        FROM vocab
+    ), tot AS (
+        SELECT CAST(sum(tf) AS BIGINT) AS total,
+               count(*) AS n_types
+        FROM vocab
+    ), cuts(vocab_budget) AS (
+        VALUES {", ".join(f"({c})" for c in _VC_CUTOFFS)}
+    )
+    SELECT CAST(c.vocab_budget AS INTEGER) AS vocab_budget,
+           CAST(max(r.cum_tf) AS BIGINT) AS covered,
+           t.total, t.n_types,
+           round(CAST(max(r.cum_tf) AS DOUBLE)
+                 / CAST(t.total AS DOUBLE), 6) AS coverage,
+           round(CAST(1 AS DOUBLE) - CAST(max(r.cum_tf) AS DOUBLE)
+                 / CAST(t.total AS DOUBLE), 6) AS oov_rate
+    FROM cuts c
+    JOIN ranked r ON r.rank <= c.vocab_budget
+    CROSS JOIN tot t
+    GROUP BY c.vocab_budget, t.total, t.n_types
+    ORDER BY c.vocab_budget
+"""
+QUERIES["vocab_coverage_curve"] = vocab_coverage_curve

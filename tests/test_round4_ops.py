@@ -1540,3 +1540,110 @@ def test_doc_embedding_coverage_brute(spark, sf_dir):
         assert got_langs[None].n_docs == 0
     assert sum(r.n_vecs for r in rows) == len(vec_ids)
     assert sum(r.n_docs for r in rows) == len(docs)
+
+
+def test_cluster_sizes_brute(spark, sf_dir):
+    """Histogram reconciles with dedup_clusters: shares sum to 1,
+    exactly one giant band, per-size counts match a direct
+    recomputation."""
+    from collections import Counter
+
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        dedup_cluster_sizes, dedup_clusters)
+
+    rows = dedup_cluster_sizes(spark, sf_dir).collect()
+    cl = dedup_clusters(spark, sf_dir).collect()
+    sizes = Counter(Counter(r.cluster_id for r in cl).values())
+    assert {r.size: r.n_clusters for r in rows} == dict(sizes)
+    assert abs(sum(r.share_of_docs for r in rows) - 1.0) < 1e-4
+    giants = [r for r in rows if r.is_giant]
+    assert len(giants) == 1 and giants[0].size == max(sizes)
+
+
+def test_vocab_coverage_brute(spark, sf_dir):
+    """Coverage equals a literal Counter recomputation with the
+    (tf desc, token asc) tie order; monotone in budget; OOV + coverage
+    = 1."""
+    from collections import Counter
+
+    from qrapids_forecast_r_script_spark.operators.text import (
+        _VC_CUTOFFS, vocab_coverage_curve)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = sorted(vocab_coverage_curve(spark, sf_dir).collect(),
+                  key=lambda r: r.vocab_budget)
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    tf = Counter()
+    for d in docs:
+        tf.update(d.text.split(" "))
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(tf.values())
+    assert [r.vocab_budget for r in rows] == _VC_CUTOFFS
+    last = -1
+    for r in rows:
+        cov = sum(c for _, c in ranked[:r.vocab_budget])
+        assert r.covered == cov
+        assert r.total == total and r.n_types == len(tf)
+        assert abs(r.coverage - cov / total) < 1e-6
+        assert abs(r.coverage + r.oov_rate - 1.0) < 2e-6
+        assert r.covered >= last
+        last = r.covered
+
+
+def test_interarrival_brute(spark, sf_dir):
+    """Moments equal a numpy recomputation on the milli-grid; CV
+    verdict bands applied on the exact value."""
+    import numpy as np
+
+    from qrapids_forecast_r_script_spark.operators.data_quality import (
+        event_interarrival_stats)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = {r.event_type: r for r in
+            event_interarrival_stats(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id").collect()
+    by = {}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        by.setdefault(r.event_type, []).append(r.ts.timestamp())
+    for et, ts in by.items():
+        g = np.array([round((b - a) * 1000) for a, b
+                      in zip(ts, ts[1:])], dtype=np.int64)
+        r = rows[et]
+        assert r.n_gaps == len(g)
+        mean = g.sum() / len(g)
+        var = max(float((g.astype(float) ** 2).sum()) / len(g)
+                  - mean * mean, 0.0)
+        assert abs(r.mean_gap_s - mean / 1000) < 1e-5
+        assert abs(r.std_gap_s - var ** 0.5 / 1000) < 1e-5
+        cv = var ** 0.5 / mean
+        assert abs(r.cv - cv) < 1e-4
+        expect = ("regular" if cv < 0.7
+                  else "bursty" if cv > 1.3 else "poisson_like")
+        if abs(cv - 0.7) > 1e-4 and abs(cv - 1.3) > 1e-4:
+            assert r.arrival_pattern == expect
+
+
+def test_norm_audit_brute(spark, sf_dir):
+    """Norm extrema match numpy; unit-norm counts consistent; the
+    unnormalized fixture reports normalized_share < 1."""
+    import numpy as np
+
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        embedding_norm_audit)
+    from qrapids_forecast_r_script_spark.sources import load_table
+
+    rows = {r.label: r for r in
+            embedding_norm_audit(spark, sf_dir).collect()}
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    by = {}
+    for r in emb:
+        by.setdefault(r.label, []).append(
+            round(float(np.linalg.norm(np.array(r.embedding,
+                                                dtype=float))), 6))
+    for lab, ns in by.items():
+        r = rows[lab]
+        assert r.n_vecs == len(ns)
+        assert abs(r.min_norm - min(ns)) < 1e-6
+        assert abs(r.max_norm - max(ns)) < 1e-6
+        assert r.n_unit_norm == sum(1 for n in ns if abs(n - 1) < 0.01)
