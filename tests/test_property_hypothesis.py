@@ -65,3 +65,25 @@ def test_cache_validity_monotone(tmp_path_factory, h1, h2):
         else FORECASTS_CACHE_LENGTH
     assert len(store.load_forecast("m", "i", "MEAN")["mean"]) == cached_len
     assert store.forecast_cache_valid("m", "i", "MEAN", h2) == (h2 <= cached_len)
+
+
+@settings(max_examples=60, deadline=None)
+@given(zs=st.lists(st.integers(1, 10_000), min_size=1, max_size=40))
+def test_croston_integer_scaling_identity(zs):
+    """The algebra `forecast_croston_events` is built on (any integer
+    demand sequence, any length): the alpha=1/2 SES recursion
+    l_k = (y_k + l_{k-1}) / 2 with l_1 = y_1, scaled by 2^(k-1), is
+    EXACTLY the integer  y_1 + sum_{j=2..k} 2^(j-2) y_j  — and with
+    the operator's 24-demand cap the weights stay <= 2^22, so the
+    BIGINT sums can never overflow for any series length."""
+    cap = 24
+    kept = zs[-cap:]
+    k = len(kept)
+    l = float(kept[0])
+    for y in kept[1:]:
+        l = 0.5 * y + 0.5 * l
+    num = kept[0] + sum((1 << (j - 2)) * kept[j - 1]
+                        for j in range(2, k + 1))
+    assert num <= (1 << 22) * 10_000 * 24      # BIGINT-safe bound
+    # exact: num / 2^(k-1) is a dyadic rational, l is the same value
+    assert l == num / (1 << (k - 1))
