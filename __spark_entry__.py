@@ -61,7 +61,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # orders_yoy_growth, sql_api_revenue_report, rfm_quartile_segments,
 # ivf_nprobe_sweep, doc_embedding_coverage, dedup_cluster_sizes,
 # vocab_coverage_curve, event_interarrival_stats,
-# embedding_norm_audit) are the round-5 window.
+# embedding_norm_audit, forecast_ses_events, parts_abc_pareto) are
+# the round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

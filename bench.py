@@ -243,6 +243,9 @@ HEADLINE = [
     "vocab_coverage_curve",
     "event_interarrival_stats",
     "embedding_norm_audit",
+    # round-4 continuation: exactly-oracled SES + ABC concentration
+    "forecast_ses_events",
+    "parts_abc_pareto",
 ]
 
 

@@ -1739,3 +1739,120 @@ EVAL_ORACLES["interval_score_backtest"] = f"""
                  / 1000000, 6) AS mean_width
     FROM scored GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+_SES_CAP = 24     # SES window: weights below the 6dp grid drop out
+_SES_U = 1_000_000
+
+
+def forecast_ses_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing (Brown 1956) at alpha = 1/2 — the
+    FIFTH exactly-oracled closed-form forecaster next to MEAN / NAIVE
+    / SNAIVE / DRIFT, and the first SMOOTHING method with an exact
+    driver hash (the iterative ETS family is rows-only by nature; the
+    alpha = 1/2 special case rides the Croston integer-scaling
+    identity: micro-grid values make the scaled recursion an exact
+    BIGINT sum, and the 2^(k-1) scale divides out exactly).  Point
+    forecast = the smoothed level (flat, the SES definition); bands
+    use the standard SES variance profile sigma^2*(1+(h-1)*alpha^2)
+    (Hyndman & Athanasopoulos FPP 8.1) with the lag-1-difference sd
+    standing in for the one-step-residual sd (the NAIVE proxy — an
+    exact-oracle-able substitute documented here; the true residual sd
+    needs the full prefix recursion, whose scaling weights overflow
+    BIGINT past ~60 observations).
+
+    Same scan/series/window cost envelope as the other closed
+    forms."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    seq = (metrics
+           .withColumn("i", F.row_number().over(w))
+           .withColumn("m", F.count(F.lit(1)).over(
+               Window.partitionBy("name", "index")))
+           .withColumn("vu", F.round(F.round("value", 6) * _SES_U, 0)
+                       .cast("long"))
+           .withColumn("d", F.col("value")
+                       - F.lag("value").over(w)))
+    kept = (seq
+            .withColumn("k", F.least(F.col("m"), F.lit(_SES_CAP)))
+            .withColumn("j", F.col("i") - (F.col("m") - F.col("k"))))
+    wgt = F.pow(F.lit(2.0),
+                F.greatest(F.col("j") - 2, F.lit(0)).cast("double")
+                ).cast("long")
+    agg = (kept.groupBy("name", "index")
+           .agg(F.max("k").alias("k"),
+                F.sum(F.when(F.col("j") >= 1, F.col("vu") * wgt))
+                .alias("num"),
+                F.stddev_samp("d").alias("sd")))
+    level = (F.col("num").cast("double")
+             / F.pow(F.lit(2.0), (F.col("k") - 1).cast("double"))
+             / _SES_U)
+    steps = spark.range(1, 15).select(F.col("id").alias("step"))
+    fan = agg.crossJoin(F.broadcast(steps))
+    width = (F.col("sd")
+             * F.sqrt(F.lit(1.0) + (F.col("step") - 1).cast("double")
+                      * F.lit(0.25)))
+    return (fan.select(
+        "name", "index", F.lit("SES").alias("method"), "step",
+        F.round(level - F.lit(float(Z80)) * width, 6).alias("lower1"),
+        F.round(level - F.lit(float(Z95)) * width, 6).alias("lower2"),
+        F.round(level, 6).alias("mean"),
+        F.round(level + F.lit(float(Z80)) * width, 6).alias("upper1"),
+        F.round(level + F.lit(float(Z95)) * width, 6).alias("upper2"))
+        .orderBy("name", "index", "step"))
+
+
+EVAL_QUERIES["forecast_ses_events"] = forecast_ses_events
+EVAL_ORACLES["forecast_ses_events"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    seq AS (
+        SELECT name, index, value,
+               row_number() OVER w AS i,
+               count(*) OVER (PARTITION BY name, index) AS m,
+               CAST(round(round(value, 6) * {_SES_U}, 0) AS BIGINT)
+                   AS vu,
+               value - lag(value) OVER w AS d
+        FROM m
+        WINDOW w AS (PARTITION BY name, index ORDER BY evaluationDate)
+    ), kept AS (
+        SELECT *, least(m, {_SES_CAP}) AS k,
+               i - (m - least(m, {_SES_CAP})) AS j
+        FROM seq
+    ), agg AS (
+        SELECT name, index, max(k) AS k,
+               sum(CASE WHEN j >= 1 THEN vu
+                        * CAST(pow(2, greatest(j - 2, 0)) AS BIGINT)
+                   END) AS num,
+               stddev_samp(d) AS sd
+        FROM kept GROUP BY 1, 2
+    ), steps AS (
+        SELECT CAST(h AS BIGINT) AS step
+        FROM generate_series(1, 14) g(h)
+    )
+    SELECT a.name, a.index, 'SES' AS method, st.step,
+           round(CAST(num AS DOUBLE) / pow(2, k - 1) / {_SES_U}
+                 - CAST({Z80} AS DOUBLE) * sd
+                   * sqrt(CAST(1 AS DOUBLE)
+                          + CAST(st.step - 1 AS DOUBLE)
+                            * CAST(0.25 AS DOUBLE)), 6) AS lower1,
+           round(CAST(num AS DOUBLE) / pow(2, k - 1) / {_SES_U}
+                 - CAST({Z95} AS DOUBLE) * sd
+                   * sqrt(CAST(1 AS DOUBLE)
+                          + CAST(st.step - 1 AS DOUBLE)
+                            * CAST(0.25 AS DOUBLE)), 6) AS lower2,
+           round(CAST(num AS DOUBLE) / pow(2, k - 1) / {_SES_U}, 6)
+               AS mean,
+           round(CAST(num AS DOUBLE) / pow(2, k - 1) / {_SES_U}
+                 + CAST({Z80} AS DOUBLE) * sd
+                   * sqrt(CAST(1 AS DOUBLE)
+                          + CAST(st.step - 1 AS DOUBLE)
+                            * CAST(0.25 AS DOUBLE)), 6) AS upper1,
+           round(CAST(num AS DOUBLE) / pow(2, k - 1) / {_SES_U}
+                 + CAST({Z95} AS DOUBLE) * sd
+                   * sqrt(CAST(1 AS DOUBLE)
+                          + CAST(st.step - 1 AS DOUBLE)
+                            * CAST(0.25 AS DOUBLE)), 6) AS upper2
+    FROM agg a CROSS JOIN steps st
+    ORDER BY a.name, a.index, st.step
+"""

@@ -668,3 +668,95 @@ ORACLES["rfm_quartile_segments"] = """
     FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 QUERIES["rfm_quartile_segments"] = rfm_quartile_segments
+
+
+_ABC_A, _ABC_B = "0.8", "0.95"   # cumulative-share class boundaries
+
+
+def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by lineitem revenue (the
+    80/15/5 inventory-control staple): parts ranked by exact-cents
+    revenue, classified by CUMULATIVE share — A up to 80%, B to 95%,
+    C the tail — and reported as the three-row class profile (part
+    count, part share, revenue, revenue share).  The "20% of parts
+    carry 80% of revenue" concentration read that decides stocking,
+    caching, and hot-partition policy alike.
+
+    Exactness: revenue in exact BIGINT cents; the cumulative sum runs
+    over a (revenue DESC, partkey ASC) total order; class boundaries
+    compare single-division exact ratios against literal thresholds.
+    Scale: one part-keyed aggregate with map-side combine + one rank
+    window over |parts| rows + a 3-row aggregate."""
+    from pyspark.sql.window import Window
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    per = (li.groupBy("l_partkey")
+           .agg(F.sum(cents).alias("rev_cents")))
+    tot = per.agg(F.sum("rev_cents").alias("total_cents"),
+                  F.count(F.lit(1)).alias("n_parts_total"))
+    w = (Window.orderBy(F.col("rev_cents").desc(),
+                        F.col("l_partkey").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = (per.withColumn("cum_cents", F.sum("rev_cents").over(w))
+              .crossJoin(F.broadcast(tot)))
+    share = (F.col("cum_cents").cast("double")
+             / F.col("total_cents").cast("double"))
+    cls = (F.when(share <= F.lit(float(_ABC_A)), F.lit("A"))
+           .when(share <= F.lit(float(_ABC_B)), F.lit("B"))
+           .otherwise(F.lit("C")))
+    return (ranked.withColumn("abc_class", cls)
+            .groupBy("abc_class")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.max("n_parts_total").alias("n_parts_total"),
+                 F.sum("rev_cents").alias("revenue_cents"),
+                 F.max("total_cents").alias("total_cents"))
+            .select("abc_class", "n_parts",
+                    F.round(F.col("n_parts").cast("double")
+                            / F.col("n_parts_total").cast("double"), 6)
+                    .alias("part_share"),
+                    "revenue_cents",
+                    F.round(F.col("revenue_cents").cast("double")
+                            / F.col("total_cents").cast("double"), 6)
+                    .alias("revenue_share"))
+            .orderBy("abc_class"))
+
+
+ORACLES["parts_abc_pareto"] = f"""
+    WITH per AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM lineitem GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+               count(*) AS n_parts_total
+        FROM per
+    ), ranked AS (
+        SELECT p.*, t.total_cents, t.n_parts_total,
+               CAST(sum(rev_cents) OVER (
+                   ORDER BY rev_cents DESC, l_partkey ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        FROM per p CROSS JOIN tot t
+    ), classed AS (
+        SELECT *,
+               CASE WHEN CAST(cum_cents AS DOUBLE)
+                         / CAST(total_cents AS DOUBLE)
+                         <= CAST({_ABC_A} AS DOUBLE) THEN 'A'
+                    WHEN CAST(cum_cents AS DOUBLE)
+                         / CAST(total_cents AS DOUBLE)
+                         <= CAST({_ABC_B} AS DOUBLE) THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    )
+    SELECT abc_class, count(*) AS n_parts,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(max(n_parts_total) AS DOUBLE), 6) AS part_share,
+           CAST(sum(rev_cents) AS BIGINT) AS revenue_cents,
+           round(CAST(sum(rev_cents) AS DOUBLE)
+                 / CAST(max(total_cents) AS DOUBLE), 6)
+               AS revenue_share
+    FROM classed GROUP BY 1 ORDER BY 1
+"""
+QUERIES["parts_abc_pareto"] = parts_abc_pareto

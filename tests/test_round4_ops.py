@@ -1647,3 +1647,46 @@ def test_norm_audit_brute(spark, sf_dir):
         assert abs(r.min_norm - min(ns)) < 1e-6
         assert abs(r.max_norm - max(ns)) < 1e-6
         assert r.n_unit_norm == sum(1 for n in ns if abs(n - 1) < 0.01)
+
+
+def test_ses_matches_numpy_recursion(spark, sf_dir):
+    """The SES point forecast equals the literal alpha=1/2 recursion on
+    the capped micro-grid series; bands widen with horizon and obey
+    the nesting order."""
+    import numpy as np
+
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        _SES_CAP, _metrics, forecast_ses_events)
+
+    rows = forecast_ses_events(spark, sf_dir).collect()
+    pdf = _metrics(spark, sf_dir).toPandas()
+    for name, g in pdf.groupby("name"):
+        y = g.sort_values("evaluationDate")["value"].to_numpy(dtype=float)
+        yu = np.round(np.round(y, 6) * 1e6)[-_SES_CAP:] / 1e6
+        l = yu[0]
+        for v in yu[1:]:
+            l = 0.5 * v + 0.5 * l
+        mine = sorted((r for r in rows if r.name == name),
+                      key=lambda r: r.step)
+        assert len(mine) == 14
+        for r in mine:
+            assert abs(r.mean - l) < 1e-5, name
+            assert r.lower2 <= r.lower1 <= r.mean <= r.upper1 <= r.upper2
+        widths = [m.upper1 - m.lower1 for m in mine]
+        assert widths == sorted(widths)       # widen with horizon
+
+
+def test_abc_pareto_brute(spark, sf_dir):
+    """Classes partition the parts; shares sum to 1; the A class is
+    revenue-dense (its revenue share exceeds its part share)."""
+    from qrapids_forecast_r_script_spark.operators.relational_more \
+        import parts_abc_pareto
+
+    rows = {r.abc_class: r for r in
+            parts_abc_pareto(spark, sf_dir).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    assert abs(sum(r.part_share for r in rows.values()) - 1.0) < 1e-4
+    assert abs(sum(r.revenue_share for r in rows.values()) - 1.0) < 1e-4
+    a = rows["A"]
+    assert a.revenue_share > a.part_share   # Pareto concentration
+    assert a.revenue_share <= 0.8 + 0.05    # boundary discipline
