@@ -1856,3 +1856,303 @@ EVAL_ORACLES["forecast_ses_events"] = f"""
     FROM agg a CROSS JOIN steps st
     ORDER BY a.name, a.index, st.step
 """
+
+_TS_DP = 6            # Theil-Sen output grid
+
+
+def series_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series Theil-Sen robust trend (Theil 1950 / Sen 1968): the
+    MEDIAN of all pairwise slopes, with the Conover intercept (median
+    of y - slope*t).  Where `series_trend_ols` is the efficient-but-
+    fragile least-squares read (one wild outlier day drags the slope),
+    Theil-Sen has a 29% breakdown point — the trend monitor to trust
+    when the series contains the very anomalies `events_mad_outliers`
+    exists to find.
+
+    Exactness: each pairwise slope is ONE IEEE division, identical on
+    both engines; the median is the type-7 interpolated percentile
+    (Spark `percentile` == DuckDB `quantile_cont`, the established
+    pairing) over a deterministic multiset, so a 6dp round on the two
+    medians is a full engine resync.  The intercept pass reuses the
+    ROUNDED slope so both engines feed identical residuals.
+
+    Scale shape: the pairwise self-join is O(n_series^2) PER SERIES,
+    bounded by the source's 10k-cap (quirk 7) and in practice by the
+    ~30-point metric windows; the join is equi-keyed on (name, index)
+    so each series expands inside its own partition with no cross-
+    series shuffle.  At true 100 TB the same plan runs on a trailing
+    window (e.g. last 90 points) or switches to Siegel's repeated
+    median on a per-series sample — the knob is the window, not the
+    plan."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    seq = (metrics
+           .withColumn("t", (F.row_number().over(w) - 1).cast("double"))
+           .select("name", "index", "t",
+                   F.col("value").cast("double").alias("y")))
+    a = seq.select("name", "index", F.col("t").alias("ta"),
+                   F.col("y").alias("ya"))
+    b = seq.select("name", "index", F.col("t").alias("tb"),
+                   F.col("y").alias("yb"))
+    pairs = (a.join(b, ["name", "index"])
+             .where(F.col("ta") < F.col("tb"))
+             .select("name", "index",
+                     ((F.col("yb") - F.col("ya"))
+                      / (F.col("tb") - F.col("ta"))).alias("slope")))
+    med = (pairs.groupBy("name", "index")
+           .agg(F.count(F.lit(1)).alias("n_pairs"),
+                F.round(F.expr("percentile(slope, 0.5)"), _TS_DP)
+                .alias("ts_slope")))
+    resid = (seq.join(med, ["name", "index"])
+             .select("name", "index",
+                     (F.col("y") - F.col("ts_slope") * F.col("t"))
+                     .alias("r")))
+    icept = (resid.groupBy("name", "index")
+             .agg(F.count(F.lit(1)).alias("n_points"),
+                  F.round(F.expr("percentile(r, 0.5)"), 6)
+                  .alias("ts_intercept")))
+    return (med.join(icept, ["name", "index"])
+            .select("name", "index", "n_points", "n_pairs",
+                    "ts_slope", "ts_intercept")
+            .orderBy("name", "index"))
+
+
+EVAL_QUERIES["series_theilsen_trend"] = series_theilsen_trend
+EVAL_ORACLES["series_theilsen_trend"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    seq AS (
+        SELECT name, index,
+               CAST(row_number() OVER (PARTITION BY name, index
+                                       ORDER BY evaluationDate) - 1
+                    AS DOUBLE) AS t,
+               CAST(value AS DOUBLE) AS y
+        FROM m
+    ), prs AS (
+        SELECT a.name, a.index, (b.y - a.y) / (b.t - a.t) AS slope
+        FROM seq a JOIN seq b
+          ON a.name = b.name AND a.index = b.index AND a.t < b.t
+    ), med AS (
+        SELECT name, index, count(*) AS n_pairs,
+               round(quantile_cont(slope, 0.5), {_TS_DP}) AS ts_slope
+        FROM prs GROUP BY 1, 2
+    ), resid AS (
+        SELECT s.name, s.index, md.n_pairs, md.ts_slope,
+               s.y - md.ts_slope * s.t AS r
+        FROM seq s JOIN med md USING (name, index)
+    )
+    SELECT name, index, count(*) AS n_points,
+           max(n_pairs) AS n_pairs, max(ts_slope) AS ts_slope,
+           round(quantile_cont(r, 0.5), 6) AS ts_intercept
+    FROM resid GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_DEC_P = 7            # seasonal period (daily series, weekly season)
+_DEC_U = 1_000_000    # value micro-grid (exact integer sums)
+_DEC_DEV = 1_000      # deviation grid: micros -> millis for the squares
+
+
+def series_decomposition_strength(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Classical additive decomposition (centered 7-point moving-average
+    trend, day-of-week seasonal indexes, remainder) plus the FPP3
+    trend/seasonal STRENGTH features (Hyndman & Athanasopoulos feasts:
+    F_T = max(0, 1 - var(R)/var(T+R)), F_S = max(0, 1 - var(R)/var(S+R)))
+    — the per-series features a forecasting pipeline reads to ROUTE
+    series to methods (strong season -> SNAIVE/STL, strong trend ->
+    DRIFT/ETS-trend, neither -> MEAN), upstream of the fits the
+    `forecast_*` family runs.
+
+    Exactness discipline: series values enter on the 1e-6 BIGINT
+    micro-grid, so every sum (7-point trend window, per-dow seasonal
+    means, centering) is exact integer arithmetic identical on both
+    engines; the single double op per derived value (divide + round
+    back to the grid) is one IEEE operation.  Variances use TWO-PASS
+    centered sums on a 1e-3 coarser deviation grid, keeping every
+    square inside exact-BIGINT range even at 100x the metric level
+    (micro squares of a 3e10-level series would overflow; milli
+    deviations of a +-5e3 swing are ~5e6, squares ~2.5e13).
+
+    Scale shape: one ROWS window per series (the trend MA), two
+    grouped aggregates (seasonal indexes, then the variance sums) and
+    two bounded joins keyed by (name, index[, dow]) — everything
+    partitions by series; no series ever leaves its partition."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    seq = (metrics
+           .withColumn("t", F.row_number().over(w) - 1)
+           .withColumn("ym", F.round(F.round("value", 6) * _DEC_U, 0)
+                       .cast("long")))
+    half = (_DEC_P - 1) // 2
+    w7 = (Window.partitionBy("name", "index").orderBy("t")
+          .rowsBetween(-half, half))
+    interior = (seq
+                .withColumn("s7", F.sum("ym").over(w7))
+                .withColumn("c7", F.count(F.lit(1)).over(w7))
+                .where(F.col("c7") == _DEC_P)
+                .withColumn("tm", F.round(F.col("s7")
+                                          / F.lit(float(_DEC_P)), 0)
+                            .cast("long"))
+                .withColumn("dm", F.col("ym") - F.col("tm"))
+                .withColumn("dow", F.col("t") % _DEC_P))
+    seas_raw = (interior.groupBy("name", "index", "dow")
+                .agg(F.round(F.sum("dm").cast("double")
+                             / F.count(F.lit(1)).cast("double"), 0)
+                     .cast("long").alias("sm_raw")))
+    cm = (seas_raw.groupBy("name", "index")
+          .agg(F.round(F.sum("sm_raw").cast("double")
+                       / F.count(F.lit(1)).cast("double"), 0)
+               .cast("long").alias("cm")))
+    seas = (seas_raw.join(cm, ["name", "index"])
+            .withColumn("sm", F.col("sm_raw") - F.col("cm")))
+    rows = (interior
+            .join(seas.select("name", "index", "dow", "sm"),
+                  ["name", "index", "dow"])
+            .select("name", "index",
+                    (F.col("dm") - F.col("sm")).alias("rm"),
+                    (F.col("ym") - F.col("sm")).alias("sa"),
+                    "dm"))
+    means = (rows.groupBy("name", "index")
+             .agg(F.count(F.lit(1)).alias("n_interior"),
+                  (F.sum("rm").cast("double")
+                   / F.count(F.lit(1)).cast("double")).alias("m_rm"),
+                  (F.sum("sa").cast("double")
+                   / F.count(F.lit(1)).cast("double")).alias("m_sa"),
+                  (F.sum("dm").cast("double")
+                   / F.count(F.lit(1)).cast("double")).alias("m_dm")))
+    dgrid = F.lit(float(_DEC_DEV))
+    dev = (rows.join(means, ["name", "index"])
+           .select("name", "index", "n_interior",
+                   F.round((F.col("rm") - F.col("m_rm")) / dgrid, 0)
+                   .cast("long").alias("dr"),
+                   F.round((F.col("sa") - F.col("m_sa")) / dgrid, 0)
+                   .cast("long").alias("ds"),
+                   F.round((F.col("dm") - F.col("m_dm")) / dgrid, 0)
+                   .cast("long").alias("dd")))
+    v = (dev.groupBy("name", "index", "n_interior")
+         .agg((F.sum(F.col("dr") * F.col("dr")).cast("double")
+               / F.col("n_interior").cast("double")).alias("vr"),
+              (F.sum(F.col("ds") * F.col("ds")).cast("double")
+               / F.col("n_interior").cast("double")).alias("vs"),
+              (F.sum(F.col("dd") * F.col("dd")).cast("double")
+               / F.col("n_interior").cast("double")).alias("vd")))
+    wpk = (Window.partitionBy("name", "index")
+           .orderBy(F.col("sm").desc(), F.col("dow").asc()))
+    peak = (seas.withColumn("rn", F.row_number().over(wpk))
+            .where(F.col("rn") == 1)
+            .select("name", "index", F.col("dow").alias("peak_dow"),
+                    F.round(F.col("sm").cast("double") / _DEC_U, 6)
+                    .alias("peak_seasonal")))
+    one = F.lit(1.0)
+    zero = F.lit(0.0)
+    return (v.join(peak, ["name", "index"])
+            .select("name", "index", "n_interior",
+                    F.round(F.greatest(
+                        zero, one - F.col("vr")
+                        / F.nullif(F.col("vs"), zero)), 6)
+                    .alias("trend_strength"),
+                    F.round(F.greatest(
+                        zero, one - F.col("vr")
+                        / F.nullif(F.col("vd"), zero)), 6)
+                    .alias("seasonal_strength"),
+                    "peak_dow", "peak_seasonal")
+            .orderBy("name", "index"))
+
+
+EVAL_QUERIES["series_decomposition_strength"] = series_decomposition_strength
+EVAL_ORACLES["series_decomposition_strength"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    seq AS (
+        SELECT name, index,
+               row_number() OVER (PARTITION BY name, index
+                                  ORDER BY evaluationDate) - 1 AS t,
+               CAST(round(round(value, 6) * {_DEC_U}, 0) AS BIGINT)
+                   AS ym
+        FROM m
+    ), interior AS (
+        SELECT name, index, t, ym,
+               CAST(round(CAST(s7 AS DOUBLE)
+                          / CAST({_DEC_P} AS DOUBLE), 0) AS BIGINT)
+                   AS tm,
+               t % {_DEC_P} AS dow
+        FROM (SELECT *,
+                     sum(ym) OVER w7 AS s7,
+                     count(*) OVER w7 AS c7
+              FROM seq
+              WINDOW w7 AS (PARTITION BY name, index ORDER BY t
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        WHERE c7 = {_DEC_P}
+    ), interior2 AS (
+        SELECT *, ym - tm AS dm FROM interior
+    ), seas_raw AS (
+        SELECT name, index, dow,
+               CAST(round(CAST(sum(dm) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE), 0) AS BIGINT)
+                   AS sm_raw
+        FROM interior2 GROUP BY 1, 2, 3
+    ), cm AS (
+        SELECT name, index,
+               CAST(round(CAST(sum(sm_raw) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE), 0) AS BIGINT)
+                   AS cm
+        FROM seas_raw GROUP BY 1, 2
+    ), seas AS (
+        SELECT s.name, s.index, s.dow, s.sm_raw - c.cm AS sm
+        FROM seas_raw s JOIN cm c USING (name, index)
+    ), rws AS (
+        SELECT i.name, i.index,
+               i.dm - s.sm AS rm, i.ym - s.sm AS sa, i.dm
+        FROM interior2 i
+        JOIN seas s ON i.name = s.name AND i.index = s.index
+                   AND i.dow = s.dow
+    ), means AS (
+        SELECT name, index, count(*) AS n_interior,
+               CAST(sum(rm) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_rm,
+               CAST(sum(sa) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_sa,
+               CAST(sum(dm) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_dm
+        FROM rws GROUP BY 1, 2
+    ), dev AS (
+        SELECT r.name, r.index, mn.n_interior,
+               CAST(round((r.rm - mn.m_rm)
+                          / CAST({_DEC_DEV} AS DOUBLE), 0) AS BIGINT)
+                   AS dr,
+               CAST(round((r.sa - mn.m_sa)
+                          / CAST({_DEC_DEV} AS DOUBLE), 0) AS BIGINT)
+                   AS ds,
+               CAST(round((r.dm - mn.m_dm)
+                          / CAST({_DEC_DEV} AS DOUBLE), 0) AS BIGINT)
+                   AS dd
+        FROM rws r JOIN means mn USING (name, index)
+    ), v AS (
+        SELECT name, index, n_interior,
+               CAST(sum(dr * dr) AS DOUBLE)
+                   / CAST(n_interior AS DOUBLE) AS vr,
+               CAST(sum(ds * ds) AS DOUBLE)
+                   / CAST(n_interior AS DOUBLE) AS vs,
+               CAST(sum(dd * dd) AS DOUBLE)
+                   / CAST(n_interior AS DOUBLE) AS vd
+        FROM dev GROUP BY 1, 2, 3
+    ), peak AS (
+        SELECT name, index, dow AS peak_dow,
+               round(CAST(sm AS DOUBLE) / {_DEC_U}, 6) AS peak_seasonal
+        FROM (SELECT *, row_number() OVER (PARTITION BY name, index
+                                           ORDER BY sm DESC, dow ASC)
+                         AS rn
+              FROM seas)
+        WHERE rn = 1
+    )
+    SELECT v.name, v.index, v.n_interior,
+           round(greatest(CAST(0 AS DOUBLE),
+                          CAST(1 AS DOUBLE)
+                          - vr / nullif(vs, CAST(0 AS DOUBLE))), 6)
+               AS trend_strength,
+           round(greatest(CAST(0 AS DOUBLE),
+                          CAST(1 AS DOUBLE)
+                          - vr / nullif(vd, CAST(0 AS DOUBLE))), 6)
+               AS seasonal_strength,
+           p.peak_dow, p.peak_seasonal
+    FROM v JOIN peak p USING (name, index)
+    ORDER BY v.name, v.index
+"""

@@ -273,3 +273,145 @@ ORACLES["l_diversity_audit"] = f"""
     FROM joined GROUP BY 1, 2 ORDER BY 1, 2
 """
 QUERIES["l_diversity_audit"] = l_diversity_audit
+
+
+_T_CLOSE = 0.2        # Li et al.'s canonical release threshold
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the privacy-release ladder after `k_anonymity_audit`
+    (cells big enough?) and `l_diversity_audit` (values varied
+    enough?): l-diversity still leaks when a cell's sensitive
+    DISTRIBUTION is skewed versus the corpus (everyone in the cell is
+    "varied" but all in the top spend decile).  Per QI cell (nation,
+    market segment): the Earth Mover's Distance between the cell's
+    spend-bucket distribution and the GLOBAL one, using the ordered-
+    domain EMD closed form EMD = (1/(m-1))·Σ_i |CDF_cell(i) −
+    CDF_global(i)|, flagged against the canonical t = 0.2.
+
+    Exactness: the CDF difference at each bucket is kept as the exact
+    INTEGER numerator cum_cell·n_global − cum_global·n_cell (both
+    engines sum BIGINTs; magnitude ≤ n² ≈ 2e8 at sf0.1, BIGINT-safe
+    through sf100); the one double op is the final normalization by
+    n_cell·n_global·(m−1).  Scale: two grouped counts, a broadcast of
+    the (m)-row global distribution onto the (#cells)-row frame —
+    every side except the raw scan is bounded by #cells × m, corpus-
+    size-independent."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                        .cast("long")).alias("spend_cents")))
+    rows = (cust.join(spend,
+                      cust["c_custkey"] == spend["o_custkey"], "left")
+            .select("c_nationkey", "c_mktsegment",
+                    F.floor(F.coalesce("spend_cents", F.lit(0))
+                            / _SPEND_BUCKET_CENTS).alias("spend_bucket")))
+    wg = Window.orderBy("spend_bucket")
+    glob = (rows.groupBy("spend_bucket")
+            .agg(F.count(F.lit(1)).alias("gcnt"))
+            .withColumn("cumg", F.sum("gcnt").over(
+                wg.rowsBetween(Window.unboundedPreceding, 0))))
+    tot = glob.agg(F.sum("gcnt").alias("gn"),
+                   F.count(F.lit(1)).alias("m"))
+    cells = (rows.groupBy("c_nationkey", "c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("cell_size")))
+    cellb = (rows.groupBy("c_nationkey", "c_mktsegment", "spend_bucket")
+             .agg(F.count(F.lit(1)).alias("ccnt")))
+    dom = (cells.crossJoin(F.broadcast(
+        glob.select("spend_bucket", "cumg")))
+        .join(cellb, ["c_nationkey", "c_mktsegment", "spend_bucket"],
+              "left")
+        .withColumn("ccnt", F.coalesce("ccnt", F.lit(0))))
+    wc = (Window.partitionBy("c_nationkey", "c_mktsegment")
+          .orderBy("spend_bucket")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    diffs = (dom.withColumn("cumc", F.sum("ccnt").over(wc))
+             .crossJoin(F.broadcast(tot))
+             .select("c_nationkey", "c_mktsegment", "cell_size", "gn",
+                     "m",
+                     F.abs(F.col("cumc") * F.col("gn")
+                           - F.col("cumg") * F.col("cell_size"))
+                     .alias("num")))
+    emd = (F.sum("num").cast("double")
+           / F.nullif(F.max("cell_size").cast("double")
+                      * F.max("gn").cast("double")
+                      * (F.max("m") - F.lit(1)).cast("double"),
+                      F.lit(0.0)))
+    return (diffs.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.max("cell_size").alias("cell_size"),
+                 F.round(F.coalesce(emd, F.lit(0.0)), 6).alias("emd_t"))
+            .withColumn("violates_t",
+                        F.col("emd_t") > F.lit(float(_T_CLOSE)))
+            .orderBy("c_nationkey", "c_mktsegment"))
+
+
+ORACLES["t_closeness_audit"] = f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS spend_cents
+        FROM orders GROUP BY 1
+    ), rws AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(coalesce(spend_cents, 0)
+                          / {_SPEND_BUCKET_CENTS}) AS BIGINT)
+                   AS spend_bucket
+        FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+    ), gdist AS (
+        SELECT spend_bucket, count(*) AS gcnt,
+               sum(count(*)) OVER (ORDER BY spend_bucket
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cumg
+        FROM rws GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(gcnt) AS BIGINT) AS gn,
+               CAST(count(*) AS BIGINT) AS m
+        FROM gdist
+    ), cells AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS cell_size
+        FROM rws GROUP BY 1, 2
+    ), cellb AS (
+        SELECT c_nationkey, c_mktsegment, spend_bucket,
+               count(*) AS ccnt
+        FROM rws GROUP BY 1, 2, 3
+    ), dom AS (
+        SELECT c.c_nationkey, c.c_mktsegment, c.cell_size,
+               g.spend_bucket, CAST(g.cumg AS BIGINT) AS cumg,
+               coalesce(cb.ccnt, 0) AS ccnt
+        FROM cells c
+        CROSS JOIN gdist g
+        LEFT JOIN cellb cb
+          ON cb.c_nationkey = c.c_nationkey
+         AND cb.c_mktsegment = c.c_mktsegment
+         AND cb.spend_bucket = g.spend_bucket
+    ), diffs AS (
+        SELECT d.c_nationkey, d.c_mktsegment, d.cell_size, t.gn, t.m,
+               abs(CAST(sum(d.ccnt) OVER (
+                            PARTITION BY d.c_nationkey, d.c_mktsegment
+                            ORDER BY d.spend_bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) * t.gn
+                   - d.cumg * d.cell_size) AS num
+        FROM dom d CROSS JOIN tot t
+    )
+    SELECT c_nationkey, c_mktsegment, max(cell_size) AS cell_size,
+           round(coalesce(
+               CAST(sum(num) AS DOUBLE)
+               / nullif(CAST(max(cell_size) AS DOUBLE)
+                        * CAST(max(gn) AS DOUBLE)
+                        * CAST(max(m) - 1 AS DOUBLE),
+                        CAST(0 AS DOUBLE)),
+               CAST(0 AS DOUBLE)), 6) AS emd_t,
+           round(coalesce(
+               CAST(sum(num) AS DOUBLE)
+               / nullif(CAST(max(cell_size) AS DOUBLE)
+                        * CAST(max(gn) AS DOUBLE)
+                        * CAST(max(m) - 1 AS DOUBLE),
+                        CAST(0 AS DOUBLE)),
+               CAST(0 AS DOUBLE)), 6) > CAST({_T_CLOSE} AS DOUBLE)
+               AS violates_t
+    FROM diffs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+QUERIES["t_closeness_audit"] = t_closeness_audit

@@ -1159,3 +1159,122 @@ ORACLES["event_interarrival_stats"] = """
     FROM a ORDER BY event_type
 """
 QUERIES["event_interarrival_stats"] = event_interarrival_stats
+
+
+def column_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-style catalog statistics over ``orders`` — one row
+    per column with row count, null count/fraction, exact NDV, numeric
+    min/max (timestamps as epoch seconds), and mean string length: the
+    stats block a cost-based optimizer (or a data contract) reads
+    before planning joins and validating a new snapshot.  Complements
+    `events_numeric_profile` (distribution SHAPE of one column) with
+    the per-COLUMN cardinality/null census of a whole table.
+
+    Exactness: counts and NDV are exact integers; min/max are single
+    comparisons on stored doubles; avg string length divides an exact
+    integer sum.  Scale: ONE aggregate pass — but with six exact
+    DISTINCTs it expands the scan sixfold (Spark's multi-distinct
+    EXPAND); at 100 TB swap the exact NDVs for `approx_count_distinct`
+    (the `distinct_users_hll` path, ±5%) and the pass collapses to one
+    partial-agg pipeline.  The stacked output is a constant 6 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    ep = lambda c: F.col(c).cast("double")  # noqa: E731
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[x for c in ["o_orderkey", "o_custkey", "o_orderstatus",
+                      "o_totalprice", "o_orderdate", "o_orderpriority"]
+          for x in (F.count(c).alias(f"nn_{c}"),
+                    F.count_distinct(F.col(c)).alias(f"ndv_{c}"))],
+        F.min(ep("o_orderkey")).alias("min_o_orderkey"),
+        F.max(ep("o_orderkey")).alias("max_o_orderkey"),
+        F.min(ep("o_custkey")).alias("min_o_custkey"),
+        F.max(ep("o_custkey")).alias("max_o_custkey"),
+        F.min(ep("o_totalprice")).alias("min_o_totalprice"),
+        F.max(ep("o_totalprice")).alias("max_o_totalprice"),
+        F.min(F.unix_timestamp("o_orderdate").cast("double"))
+        .alias("min_o_orderdate"),
+        F.max(F.unix_timestamp("o_orderdate").cast("double"))
+        .alias("max_o_orderdate"),
+        F.avg(F.length("o_orderstatus")).alias("len_o_orderstatus"),
+        F.avg(F.length("o_orderpriority")).alias("len_o_orderpriority"))
+    null_d = F.lit(None).cast("double")
+    rows = [
+        ("o_orderkey", "min_o_orderkey", "max_o_orderkey", None),
+        ("o_custkey", "min_o_custkey", "max_o_custkey", None),
+        ("o_orderstatus", None, None, "len_o_orderstatus"),
+        ("o_totalprice", "min_o_totalprice", "max_o_totalprice", None),
+        ("o_orderdate", "min_o_orderdate", "max_o_orderdate", None),
+        ("o_orderpriority", None, None, "len_o_orderpriority"),
+    ]
+    stacked = agg.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+            F.round((F.col("n_rows") - F.col(f"nn_{c}"))
+                    .cast("double") / F.col("n_rows").cast("double"),
+                    6).alias("null_frac"),
+            F.col(f"ndv_{c}").alias("ndv"),
+            (F.col(mn) if mn else null_d).alias("min_val"),
+            (F.col(mx) if mx else null_d).alias("max_val"),
+            (F.round(F.col(ln), 6) if ln else null_d).alias("avg_len"),
+        ) for c, mn, mx, ln in rows])).alias("s")).select("s.*")
+    return stacked.orderBy("column_name")
+
+
+ORACLES["column_stats_profile"] = """
+    WITH a AS (
+        SELECT count(*) AS n_rows,
+               count(o_orderkey) AS nn1,
+               count(DISTINCT o_orderkey) AS ndv1,
+               count(o_custkey) AS nn2,
+               count(DISTINCT o_custkey) AS ndv2,
+               count(o_orderstatus) AS nn3,
+               count(DISTINCT o_orderstatus) AS ndv3,
+               count(o_totalprice) AS nn4,
+               count(DISTINCT o_totalprice) AS ndv4,
+               count(o_orderdate) AS nn5,
+               count(DISTINCT o_orderdate) AS ndv5,
+               count(o_orderpriority) AS nn6,
+               count(DISTINCT o_orderpriority) AS ndv6,
+               CAST(min(o_orderkey) AS DOUBLE) AS min1,
+               CAST(max(o_orderkey) AS DOUBLE) AS max1,
+               CAST(min(o_custkey) AS DOUBLE) AS min2,
+               CAST(max(o_custkey) AS DOUBLE) AS max2,
+               CAST(min(o_totalprice) AS DOUBLE) AS min4,
+               CAST(max(o_totalprice) AS DOUBLE) AS max4,
+               CAST(epoch(min(o_orderdate)) AS DOUBLE) AS min5,
+               CAST(epoch(max(o_orderdate)) AS DOUBLE) AS max5,
+               round(avg(CAST(length(o_orderstatus) AS DOUBLE)), 6)
+                   AS len3,
+               round(avg(CAST(length(o_orderpriority) AS DOUBLE)), 6)
+                   AS len6
+        FROM orders
+    )
+    SELECT column_name, n_rows, n_nulls,
+           round(CAST(n_nulls AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+               AS null_frac,
+           ndv, min_val, max_val, avg_len
+    FROM (
+        SELECT 'o_orderkey' AS column_name, n_rows,
+               n_rows - nn1 AS n_nulls, ndv1 AS ndv, min1 AS min_val,
+               max1 AS max_val, CAST(NULL AS DOUBLE) AS avg_len
+        FROM a
+        UNION ALL
+        SELECT 'o_custkey', n_rows, n_rows - nn2, ndv2, min2, max2,
+               CAST(NULL AS DOUBLE) FROM a
+        UNION ALL
+        SELECT 'o_orderstatus', n_rows, n_rows - nn3, ndv3,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), len3 FROM a
+        UNION ALL
+        SELECT 'o_totalprice', n_rows, n_rows - nn4, ndv4, min4, max4,
+               CAST(NULL AS DOUBLE) FROM a
+        UNION ALL
+        SELECT 'o_orderdate', n_rows, n_rows - nn5, ndv5, min5, max5,
+               CAST(NULL AS DOUBLE) FROM a
+        UNION ALL
+        SELECT 'o_orderpriority', n_rows, n_rows - nn6, ndv6,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), len6 FROM a
+    ) ORDER BY column_name
+"""
+QUERIES["column_stats_profile"] = column_stats_profile

@@ -539,3 +539,115 @@ def _kcore_oracle_sql(k: int = _KC_K, rounds: int = _KC_ROUNDS) -> str:
 
 QUERIES["doc_graph_kcore"] = doc_graph_kcore
 ORACLES["doc_graph_kcore"] = _kcore_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: eigenvector centrality (the PageRank sibling).
+
+_EC_ITERS = 2
+_EC_TOP = 20
+_EC_U = 1_000_000     # score micro-grid (max-normalized, so scores <= 1)
+
+
+def doc_graph_eigencentrality(spark: SparkSession, sf_dir: str,
+                              iters: int = _EC_ITERS) -> DataFrame:
+    """Top-``_EC_TOP`` documents by eigenvector centrality (Bonacich
+    1972) over the near-dup pair graph: x' = A·x, max-normalized each
+    round.  The third member of the centrality family next to
+    `doc_graph_pagerank` and `doc_graph_kcore`, and deliberately NOT
+    degree-normalized: PageRank splits a node's mass across its edges
+    (a hub's vote dilutes), eigencentrality sums neighbor scores raw —
+    a doc connected to a few CENTRAL templates outranks one connected
+    to many peripheral ones.  On an undirected graph this is also
+    exactly what HITS (Kleinberg 1999) degenerates to: hubs ==
+    authorities == the adjacency eigenvector, so one query covers the
+    whole family.
+
+    Exactness: scores live on the 1e-6 BIGINT micro-grid (start 1.0 ==
+    1e6); each round's neighbor sum is an exact integer grouped sum,
+    the max-normalizer is an exact integer scalar, and the single
+    double op per node per round (sum·1e6/max, then round) is IEEE-
+    identical on both engines — no drift to rediscover at any scale.
+
+    Scale shape per iteration: one grouped sum keyed by dst (the
+    PageRank shuffle) and one broadcast scalar max — iteration count
+    is the only knob; isolated docs are excluded by construction
+    (their score is identically 0)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+           .union(pairs.select(F.col("doc_b").alias("src"),
+                               F.col("doc_a").alias("dst")))
+           .localCheckpoint())
+    x = (sym.select(F.col("src").alias("doc_id")).distinct()
+         .withColumn("xm", F.lit(_EC_U).cast("long")))
+    for _ in range(iters):
+        s = (sym.join(x.withColumnRenamed("doc_id", "src"), "src")
+             .groupBy(F.col("dst").alias("doc_id"))
+             .agg(F.sum("xm").alias("sm")))
+        mx = s.agg(F.max("sm").alias("mx"))
+        x = (s.crossJoin(F.broadcast(mx))
+             .select("doc_id",
+                     F.round(F.col("sm").cast("double") * _EC_U
+                             / F.col("mx").cast("double"), 0)
+                     .cast("long").alias("xm")))
+    scored = x.select("doc_id",
+                      F.round(F.col("xm").cast("double") / _EC_U, 6)
+                      .alias("centrality"))
+    top = (scored.orderBy(F.col("centrality").desc(),
+                          F.col("doc_id").asc()).limit(_EC_TOP))
+    w = Window.orderBy(F.col("centrality").desc(), F.col("doc_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "doc_id", "centrality"))
+
+
+def _eigencentrality_oracle_sql(iters: int = _EC_ITERS) -> str:
+    prev = "x0"
+    ctes = []
+    for i in range(iters):
+        cur = f"x{i + 1}"
+        ctes.append(f"""
+        {cur} AS (
+            SELECT s.doc_id,
+                   CAST(round(CAST(s.sm AS DOUBLE) * {_EC_U}
+                              / CAST(m.mx AS DOUBLE), 0) AS BIGINT)
+                       AS xm
+            FROM (SELECT sy.dst AS doc_id, sum(p.xm) AS sm
+                  FROM sym sy JOIN {prev} p ON sy.src = p.doc_id
+                  GROUP BY 1) s
+            CROSS JOIN (SELECT max(sm) AS mx FROM (
+                            SELECT sum(p.xm) AS sm
+                            FROM sym sy JOIN {prev} p
+                              ON sy.src = p.doc_id
+                            GROUP BY sy.dst)) m
+        )""")
+        prev = cur
+    return _SIG_CTE + f"""
+        , bands AS ({_BANDS_UNION}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                        AND a.doc_id < b.doc_id
+        ),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        x0 AS (SELECT DISTINCT src AS doc_id,
+                      CAST({_EC_U} AS BIGINT) AS xm
+               FROM sym),{",".join(ctes)}
+        SELECT rank, doc_id, centrality FROM (
+            SELECT doc_id,
+                   round(CAST(xm AS DOUBLE) / {_EC_U}, 6) AS centrality,
+                   row_number() OVER (
+                       ORDER BY round(CAST(xm AS DOUBLE) / {_EC_U}, 6)
+                                    DESC,
+                                doc_id ASC) AS rank
+            FROM {prev})
+        WHERE rank <= {_EC_TOP}
+    """
+
+
+QUERIES["doc_graph_eigencentrality"] = doc_graph_eigencentrality
+ORACLES["doc_graph_eigencentrality"] = _eigencentrality_oracle_sql()

@@ -980,3 +980,88 @@ ORACLES["funnel_latency_percentiles"] = """
     FROM lat GROUP BY 1 ORDER BY 1
 """
 QUERIES["funnel_latency_percentiles"] = funnel_latency_percentiles
+
+
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report: the Gini coefficient of per-
+    customer revenue (the Lorenz-curve summary; Gini 1912 via the
+    rank-weighted closed form G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n) plus
+    the top-10% revenue share — the whale-dependence read that pairs
+    with `parts_abc_pareto` (ABC classifies the catalog; this scores
+    how skewed the CUSTOMER side is, the number a pricing or risk team
+    tracks quarter over quarter).
+
+    Exactness: revenue is exact integer cents; the rank weights come
+    from one deterministic row_number (revenue, custkey); Σ i·x stays
+    BIGINT (≤ ~6e16 at sf0.1 — exact through sf10, where the same
+    closed form would move to DECIMAL(38)); the two final ratios are
+    single double divisions of identical integers on both engines.
+    Scale: one customer-keyed aggregate, one global sort for ranks
+    (the one unavoidable total order — at 100 TB this is the classic
+    two-pass distributed rank: per-partition sort + offset prefix
+    sum, exactly how `token_shard_packing` already does it), and a
+    3-scalar reduce."""
+    from pyspark.sql.window import Window
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                      .cast("long")).alias("rev_cents")))
+    w = Window.orderBy(F.col("rev_cents").asc(), F.col("o_custkey").asc())
+    ranked = rev.withColumn("i", F.row_number().over(w).cast("long"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_cents").alias("st"),
+        F.sum(F.col("i") * F.col("rev_cents")).alias("s1"))
+    n = F.col("n_customers").cast("double")
+    gini = (F.lit(2.0) * F.col("s1").cast("double")
+            / (n * F.col("st").cast("double"))
+            - (n + F.lit(1.0)) / n)
+    k = (F.col("n_customers") / F.lit(10)).cast("long")
+    top = (ranked.crossJoin(F.broadcast(
+        agg.select("n_customers", "st")))
+        .where(F.col("i") > F.col("n_customers") - k)
+        .agg(F.sum("rev_cents").alias("top_cents"),
+             F.max("st").alias("st2"),
+             F.max("n_customers").alias("nc2")))
+    return (agg.crossJoin(F.broadcast(top))
+            .select("n_customers",
+                    F.round(F.col("st").cast("double") / 100, 2)
+                    .alias("total_revenue"),
+                    F.round(gini, 6).alias("gini"),
+                    F.round(F.col("top_cents").cast("double")
+                            / F.col("st").cast("double"), 6)
+                    .alias("top10pct_share")))
+
+
+ORACLES["customer_revenue_gini"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT *, CAST(row_number() OVER (
+                   ORDER BY rev_cents ASC, o_custkey ASC) AS BIGINT)
+                   AS i
+        FROM rev
+    ), a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(rev_cents) AS BIGINT) AS st,
+               CAST(sum(i * rev_cents) AS BIGINT) AS s1
+        FROM ranked
+    ), top AS (
+        SELECT CAST(sum(r.rev_cents) AS BIGINT) AS top_cents
+        FROM ranked r CROSS JOIN a
+        WHERE r.i > a.n_customers - a.n_customers // 10
+    )
+    SELECT a.n_customers,
+           round(CAST(st AS DOUBLE) / 100, 2) AS total_revenue,
+           round(CAST(2 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / (CAST(n_customers AS DOUBLE) * CAST(st AS DOUBLE))
+                 - (CAST(n_customers AS DOUBLE) + CAST(1 AS DOUBLE))
+                   / CAST(n_customers AS DOUBLE), 6) AS gini,
+           round(CAST(top_cents AS DOUBLE) / CAST(st AS DOUBLE), 6)
+               AS top10pct_share
+    FROM a CROSS JOIN top
+"""
+QUERIES["customer_revenue_gini"] = customer_revenue_gini

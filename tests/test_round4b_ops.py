@@ -1,0 +1,235 @@
+"""Round-4 continuation batch 2: semantic tests for the six new
+operators (Theil-Sen trend, decomposition strength, eigenvector
+centrality, t-closeness, column stats, Gini).
+
+Oracle parity is covered for all six by test_oracle_parity.py's
+auto-parametrization; these tests pin the SEMANTICS — the closed-form
+identities and invariants an oracle match alone would not prove.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- Theil-Sen
+
+def _series_frames(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.forecast.queries import _metrics
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    pdf = (_metrics(spark, sf_dir)
+           .withColumn("t", F.row_number().over(w) - 1)
+           .toPandas())
+    return {name: g.sort_values("t")[["t", "value"]].to_numpy(dtype=float)
+            for name, g in pdf.groupby("name")}
+
+
+def test_theilsen_matches_numpy_median_of_slopes(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        series_theilsen_trend)
+    rows = {r.name: r for r in
+            series_theilsen_trend(spark, sf_dir).collect()}
+    for name, arr in _series_frames(spark, sf_dir).items():
+        t, y = arr[:, 0], arr[:, 1]
+        slopes = [(y[j] - y[i]) / (t[j] - t[i])
+                  for i in range(len(t)) for j in range(i + 1, len(t))]
+        slope = round(float(np.median(slopes)), 6)
+        icept = round(float(np.median(y - slope * t)), 6)
+        r = rows[name]
+        assert r.n_pairs == len(slopes)
+        assert r.n_points == len(t)
+        assert r.ts_slope == pytest.approx(slope, abs=2e-6)
+        assert r.ts_intercept == pytest.approx(icept, abs=2e-6)
+
+
+def test_theilsen_breakdown_vs_ols(spark, sf_dir):
+    """Corrupting ~10% of one series with a huge spike moves the OLS
+    slope far more than the Theil-Sen slope (the 29% breakdown point
+    in action) — checked on the driver with numpy, same math as the
+    distributed plan."""
+    arr = next(iter(_series_frames(spark, sf_dir).values()))
+    t, y = arr[:, 0], arr[:, 1].copy()
+    slopes = lambda yy: float(np.median(  # noqa: E731
+        [(yy[j] - yy[i]) / (t[j] - t[i])
+         for i in range(len(t)) for j in range(i + 1, len(t))]))
+    ols = lambda yy: float(np.polyfit(t, yy, 1)[0])  # noqa: E731
+    ts0, ols0 = slopes(y), ols(y)
+    k = max(1, len(y) // 10)
+    y[-k:] += 100 * (np.max(y) - np.min(y) + 1)
+    assert abs(slopes(y) - ts0) < abs(ols(y) - ols0)
+
+
+# ------------------------------------------------- decomposition strength
+
+def test_decomposition_strength_bounds_and_seasonal_series(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        series_decomposition_strength)
+    rows = series_decomposition_strength(spark, sf_dir).collect()
+    assert rows, "no series"
+    for r in rows:
+        assert 0.0 <= r.trend_strength <= 1.0, r
+        assert 0.0 <= r.seasonal_strength <= 1.0, r
+        assert 0 <= r.peak_dow <= 6, r
+        assert math.isfinite(r.peak_seasonal)
+
+
+def test_decomposition_strength_on_pure_signal():
+    """Pure trend+season with no noise → both strengths ≈ 1 after the
+    same integer-grid pipeline, computed in numpy exactly as the plan
+    does (micro grid, 7-MA, dow means, milli-grid deviations)."""
+    n, P, U, DEV = 42, 7, 1_000_000, 1_000
+    t = np.arange(n)
+    y = 100.0 + 2.5 * t + 10.0 * np.sin(2 * np.pi * (t % P) / P)
+    ym = np.round(np.round(y, 6) * U).astype(np.int64)
+    s7 = np.convolve(ym, np.ones(P, dtype=np.int64), "valid")
+    tm = np.round(s7 / float(P)).astype(np.int64)
+    interior = slice(3, n - 3)
+    dm = ym[interior] - tm
+    dow = (t[interior] % P)
+    sm_raw = np.array([np.round(dm[dow == d].sum()
+                                / float((dow == d).sum()))
+                       for d in range(P)], dtype=np.int64)
+    cm = np.int64(np.round(sm_raw.sum() / float(P)))
+    sm = sm_raw - cm
+    rm = dm - sm[dow]
+    sa = ym[interior] - sm[dow]
+    var = lambda x: np.mean(  # noqa: E731
+        np.round((x - x.mean()) / float(DEV)).astype(np.int64) ** 2)
+    f_t = max(0.0, 1.0 - var(rm) / var(sa))
+    f_s = max(0.0, 1.0 - var(rm) / var(dm))
+    assert f_t > 0.99 and f_s > 0.95
+
+
+# ------------------------------------------------- eigenvector centrality
+
+def test_eigencentrality_max_is_one_and_orders_by_neighborhood(
+        spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.graph import (
+        doc_graph_eigencentrality)
+    rows = doc_graph_eigencentrality(spark, sf_dir).collect()
+    assert rows, "empty centrality result"
+    assert rows[0].rank == 1
+    assert rows[0].centrality == pytest.approx(1.0, abs=1e-6)
+    scores = [r.centrality for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_eigencentrality_path_graph_power_iteration():
+    """On a 4-path a-b-c-d, two max-normalized adjacency iterations
+    give the middle nodes score 1 and the ends 2/3 — the exact values
+    the unrolled plan must reproduce (checked in pure integer micro
+    arithmetic, same grid as the operator)."""
+    U = 1_000_000
+    adj = {0: [1], 1: [0, 2], 2: [1, 3], 3: [2]}
+    x = {v: U for v in adj}
+    for _ in range(2):
+        s = {v: sum(x[u] for u in adj[v]) for v in adj}
+        mx = max(s.values())
+        x = {v: int(round(s[v] * U / mx)) for v in adj}
+    assert x[1] == U and x[2] == U
+    assert x[0] == round(2 * U / 3) and x[3] == round(2 * U / 3)
+
+
+# ------------------------------------------------------------ t-closeness
+
+def test_t_closeness_identities(spark, sf_dir):
+    """EMD(cell, global) ∈ [0,1]; a cell whose distribution IS the
+    global one scores 0; the audit covers every (nation, segment) cell
+    with the same cell sizes k_anonymity-style grouping would see."""
+    from qrapids_forecast_r_script_spark.operators.assoc_privacy import (
+        t_closeness_audit)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = t_closeness_audit(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer")
+    n_cells = (cust.select("c_nationkey", "c_mktsegment")
+               .distinct().count())
+    assert len(rows) == n_cells
+    assert sum(r.cell_size for r in rows) == cust.count()
+    for r in rows:
+        assert 0.0 <= r.emd_t <= 1.0, r
+        assert r.violates_t == (r.emd_t > 0.2)
+
+
+def test_t_closeness_ordered_emd_closed_form():
+    """Hand-checked ordered EMD: cell mass all in the TOP of 3 buckets
+    vs uniform global → CDF diffs are |0-1/3| + |0-2/3| + |1-1| = 1,
+    normalized by m-1 = 2 → EMD = 0.5."""
+    # global: 3 buckets × 2 each (N=6); cell: 2 customers both in b3
+    cum_cell = [0, 0, 2]
+    cum_glob = [2, 4, 6]
+    n_cell, n_glob, m = 2, 6, 3
+    num = sum(abs(cc * n_glob - cg * n_cell)
+              for cc, cg in zip(cum_cell, cum_glob))
+    emd = num / (n_cell * n_glob * (m - 1))
+    assert emd == pytest.approx(0.5)
+
+
+# ----------------------------------------------------------- column stats
+
+def test_column_stats_profile_matches_direct_aggregates(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.data_quality import (
+        column_stats_profile)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = {r.column_name: r
+            for r in column_stats_profile(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    assert set(rows) == {"o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_totalprice", "o_orderdate",
+                         "o_orderpriority"}
+    ok = rows["o_orderkey"]
+    assert ok.n_rows == n and ok.n_nulls == 0 and ok.null_frac == 0.0
+    assert ok.ndv == n  # primary key: every value distinct
+    assert ok.avg_len is None
+    st = rows["o_orderstatus"]
+    assert st.min_val is None and st.max_val is None
+    assert st.avg_len == 1.0  # single-char status codes
+    tp = rows["o_totalprice"]
+    direct = orders.agg(F.min("o_totalprice"), F.max("o_totalprice"),
+                        F.count_distinct("o_totalprice")).first()
+    assert tp.min_val == direct[0] and tp.max_val == direct[1]
+    assert tp.ndv == direct[2]
+
+
+# ------------------------------------------------------------------- Gini
+
+def test_gini_matches_numpy_and_bounds(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import customer_revenue_gini
+    from qrapids_forecast_r_script_spark.sources import load_table
+    row = customer_revenue_gini(spark, sf_dir).first()
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                      .cast("long")).alias("c"))
+           .toPandas()["c"].to_numpy(dtype=np.int64))
+    x = np.sort(rev)
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    g = 2.0 * float((i * x).sum()) / (n * float(x.sum())) - (n + 1) / n
+    assert row.n_customers == n
+    assert row.gini == pytest.approx(g, abs=1e-6)
+    assert 0.0 <= row.gini < 1.0
+    k = n // 10
+    share = float(x[n - k:].sum()) / float(x.sum())
+    assert row.top10pct_share == pytest.approx(share, abs=1e-6)
+    assert row.top10pct_share >= 0.1 - 1e-9  # top decile ≥ uniform share
+
+
+def test_gini_extremes():
+    """Closed-form sanity at the two poles: equal revenues → G = 0;
+    one-customer-takes-all → G = (n-1)/n."""
+    def gini(x):
+        x = np.sort(np.asarray(x, dtype=float))
+        n = len(x)
+        i = np.arange(1, n + 1)
+        return 2.0 * (i * x).sum() / (n * x.sum()) - (n + 1) / n
+    assert gini([5, 5, 5, 5]) == pytest.approx(0.0)
+    n = 10
+    x = [0] * (n - 1) + [100]
+    assert gini(x) == pytest.approx((n - 1) / n)
