@@ -61,8 +61,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # orders_yoy_growth, sql_api_revenue_report, rfm_quartile_segments,
 # ivf_nprobe_sweep, doc_embedding_coverage, dedup_cluster_sizes,
 # vocab_coverage_curve, event_interarrival_stats,
-# embedding_norm_audit, forecast_ses_events, parts_abc_pareto) are
-# the round-5 window.
+# embedding_norm_audit, forecast_ses_events, parts_abc_pareto,
+# series_theilsen_trend, series_decomposition_strength,
+# doc_graph_eigencentrality, t_closeness_audit, column_stats_profile,
+# customer_revenue_gini) are the round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

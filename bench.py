@@ -246,6 +246,15 @@ HEADLINE = [
     # round-4 continuation: exactly-oracled SES + ABC concentration
     "forecast_ses_events",
     "parts_abc_pareto",
+    # round-4 continuation (batch 2): robust trend, decomposition
+    # strength routing features, eigenvector centrality, t-closeness
+    # EMD audit, catalog column stats, revenue Gini
+    "series_theilsen_trend",
+    "series_decomposition_strength",
+    "doc_graph_eigencentrality",
+    "t_closeness_audit",
+    "column_stats_profile",
+    "customer_revenue_gini",
 ]
 
 
