@@ -64,7 +64,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # embedding_norm_audit, forecast_ses_events, parts_abc_pareto,
 # series_theilsen_trend, series_decomposition_strength,
 # doc_graph_eigencentrality, t_closeness_audit, column_stats_profile,
-# customer_revenue_gini) are the round-5 window.
+# customer_revenue_gini, forecast_holt_events, cohort_ltv_matrix,
+# source_unigram_kl) are the round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

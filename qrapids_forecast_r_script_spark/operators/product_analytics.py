@@ -1065,3 +1065,97 @@ ORACLES["customer_revenue_gini"] = """
     FROM a CROSS JOIN top
 """
 QUERIES["customer_revenue_gini"] = customer_revenue_gini
+
+
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix — the revenue companion of
+    `cohort_retention_weekly`: customers are grouped by FIRST-ORDER
+    month (the acquisition cohort), and each (cohort, age-in-months)
+    cell reports that month's revenue per cohort customer plus the
+    running CUMULATIVE LTV — the table a growth team reads to compare
+    acquisition vintages at equal age and to see where payback
+    crosses CAC.
+
+    Exactness: months are integer year·12+month arithmetic (no
+    date-diff rounding), revenue is exact integer cents, and the
+    cumulative sum runs over integers before the single per-cell
+    division.  Scale: one customer-keyed min (first order), one
+    equi-join shipping only (custkey, cohort), one (cohort, age)
+    aggregate, and a per-cohort cumulative window over the bounded
+    (#months)² matrix — map-side combine everywhere; no row ever
+    carries more than three integers."""
+    from pyspark.sql.window import Window
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .alias("mkey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"))
+    first = (keyed.groupBy("o_custkey")
+             .agg(F.min("mkey").alias("cohort_mkey")))
+    sizes = (first.groupBy("cohort_mkey")
+             .agg(F.count(F.lit(1)).alias("n_customers")))
+    cells = (keyed.join(first, "o_custkey")
+             .groupBy("cohort_mkey",
+                      (F.col("mkey") - F.col("cohort_mkey"))
+                      .alias("age_months"))
+             .agg(F.sum("cents").alias("rev_cents")))
+    wc = (Window.partitionBy("cohort_mkey").orderBy("age_months")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    out = (cells.join(sizes, "cohort_mkey")
+           .withColumn("cum_cents", F.sum("rev_cents").over(wc)))
+    ym = F.format_string(
+        "%04d-%02d", (F.col("cohort_mkey") / 12).cast("int"),
+        (F.col("cohort_mkey") % 12 + 1).cast("int"))
+    per = lambda c: F.round(  # noqa: E731
+        F.col(c).cast("double") / F.col("n_customers").cast("double")
+        / 100, 6)
+    return (out.select(ym.alias("cohort_month"), "age_months",
+                       "n_customers",
+                       F.round(F.col("rev_cents").cast("double") / 100,
+                               2).alias("revenue"),
+                       per("rev_cents").alias("rev_per_customer"),
+                       per("cum_cents").alias("ltv_per_customer"))
+            .orderBy("cohort_month", "age_months"))
+
+
+ORACLES["cohort_ltv_matrix"] = """
+    WITH keyed AS (
+        SELECT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ), first AS (
+        SELECT o_custkey, min(mkey) AS cohort_mkey
+        FROM keyed GROUP BY 1
+    ), sizes AS (
+        SELECT cohort_mkey, count(*) AS n_customers
+        FROM first GROUP BY 1
+    ), cells AS (
+        SELECT f.cohort_mkey, k.mkey - f.cohort_mkey AS age_months,
+               CAST(sum(k.cents) AS BIGINT) AS rev_cents
+        FROM keyed k JOIN first f USING (o_custkey)
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT c.*, s.n_customers,
+               CAST(sum(c.rev_cents) OVER (
+                        PARTITION BY c.cohort_mkey
+                        ORDER BY c.age_months
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cum_cents
+        FROM cells c JOIN sizes s USING (cohort_mkey)
+    )
+    SELECT printf('%04d-%02d', cohort_mkey // 12,
+                  cohort_mkey % 12 + 1) AS cohort_month,
+           age_months, n_customers,
+           round(CAST(rev_cents AS DOUBLE) / 100, 2) AS revenue,
+           round(CAST(rev_cents AS DOUBLE)
+                 / CAST(n_customers AS DOUBLE) / 100, 6)
+               AS rev_per_customer,
+           round(CAST(cum_cents AS DOUBLE)
+                 / CAST(n_customers AS DOUBLE) / 100, 6)
+               AS ltv_per_customer
+    FROM cum ORDER BY cohort_month, age_months
+"""
+QUERIES["cohort_ltv_matrix"] = cohort_ltv_matrix

@@ -632,3 +632,84 @@ ORACLES["corpus_zipf_fit"] = f"""
 
 
 QUERIES["corpus_zipf_fit"] = corpus_zipf_fit
+
+
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus language model,
+    KL(P_source ‖ P_corpus) = Σ_tok p·ln(p/q) — the token-distribution
+    drift monitor that complements `source_drift_psi` (which watches a
+    NUMERIC column in 8 bins; this watches WHAT the source says over
+    the whole vocabulary) and the per-doc `dsir_importance` (this is
+    its source-level aggregate view).  A souring crawl or a template
+    flood moves this number before the doc-level quality gates fire.
+
+    No epsilon smoothing is needed: only tokens PRESENT in the source
+    contribute (p > 0), and every source token exists in the corpus
+    by construction (q > 0).  Each p·ln(p/q) term is snapped to the
+    1e-6 BIGINT micro-grid BEFORE the per-source sum — ln() is a libm
+    call whose last ulp differs across engines (the PMI/PSI
+    discipline), and the exact integer sum makes aggregation order
+    irrelevant.
+
+    Scale: one tokenize pass, a (source, token) map-side-combinable
+    count, and a broadcast join against the vocabulary-bounded corpus
+    count table — the dsir/PMI cost envelope."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source",
+                       F.explode(F.split("text", " ")).alias("tok"))
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c_st"))
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"),
+                                     F.count(F.lit(1)).alias("vocab_s"))
+    corp = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    n_tot = corp.agg(F.sum("c_t").alias("n_all"))
+    p = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_t").cast("double") / F.col("n_all").cast("double")
+    terms = (st.join(s_tot, "source")
+             .join(F.broadcast(corp), "tok")
+             .crossJoin(F.broadcast(n_tot))
+             .select("source", "n_s", "vocab_s",
+                     F.round(p * F.log(p / q) * 1_000_000, 0)
+                     .cast("long").alias("term_u")))
+    return (terms.groupBy("source")
+            .agg(F.max("n_s").alias("n_tokens"),
+                 F.max("vocab_s").alias("vocab_size"),
+                 F.round(F.sum("term_u").cast("double") / 1_000_000, 6)
+                 .alias("kl_nats"))
+            .orderBy("source"))
+
+
+QUERIES["source_unigram_kl"] = source_unigram_kl
+ORACLES["source_unigram_kl"] = """
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), st AS (
+        SELECT source, tok, count(*) AS c_st
+        FROM toks GROUP BY 1, 2
+    ), s_tot AS (
+        SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+               count(*) AS vocab_s
+        FROM st GROUP BY 1
+    ), corp AS (
+        SELECT tok, count(*) AS c_t FROM toks GROUP BY 1
+    ), n_tot AS (
+        SELECT CAST(sum(c_t) AS BIGINT) AS n_all FROM corp
+    ), terms AS (
+        SELECT st.source, s_tot.n_s, s_tot.vocab_s,
+               CAST(round(
+                   (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                   * ln((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                        / (CAST(c_t AS DOUBLE)
+                           / CAST(n_all AS DOUBLE)))
+                   * 1000000, 0) AS BIGINT) AS term_u
+        FROM st
+        JOIN s_tot USING (source)
+        JOIN corp USING (tok)
+        CROSS JOIN n_tot
+    )
+    SELECT source, max(n_s) AS n_tokens,
+           max(vocab_s) AS vocab_size,
+           round(CAST(sum(term_u) AS DOUBLE) / 1000000, 6) AS kl_nats
+    FROM terms GROUP BY 1 ORDER BY 1
+"""

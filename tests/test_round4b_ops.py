@@ -233,3 +233,122 @@ def test_gini_extremes():
     n = 10
     x = [0] * (n - 1) + [100]
     assert gini(x) == pytest.approx((n - 1) / n)
+
+
+# ------------------------------------------------------------------- Holt
+
+def test_holt_windowed_tracks_full_recursion():
+    """The K=14 integer-weight windowed estimator must track the full
+    alpha=beta=1/2 Holt recursion on trending, flat, and declining
+    series (level within 0.5, slope within 0.1 of the recursion on a
+    noise-sd-3 series)."""
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        _HOLT_DEN, _HOLT_K, _HOLT_SL, _HOLT_W)
+    rng = np.random.RandomState(0)
+    for slope in (2.5, 0.0, -1.0):
+        y = 100 + slope * np.arange(60) + rng.normal(0, 3, 60)
+        l, b = y[0], y[1] - y[0]
+        for t in range(1, len(y)):
+            ln_ = 0.5 * y[t] + 0.5 * (l + b)
+            b = 0.5 * (ln_ - l) + 0.5 * b
+            l = ln_
+        lv = sum(wl * y[-1 - k] for k, wl, _ in _HOLT_W) / _HOLT_SL
+        bv = sum(wb * y[-1 - k] for k, _, wb in _HOLT_W) / _HOLT_DEN
+        assert abs(lv - l) < 0.5, (slope, lv, l)
+        assert abs(bv - b) < 0.1, (slope, bv, b)
+    assert len(_HOLT_W) == _HOLT_K
+
+
+def test_holt_weight_identities():
+    """Level weights are the truncated geometric-matrix series (sum =
+    S_L, coverage > 0.99); trend weights sum to EXACTLY zero (the
+    level-leak fix), so a constant series yields trend 0 and mean ==
+    level == the constant."""
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        _HOLT_DEN, _HOLT_SL, _HOLT_W)
+    assert sum(wl for _, wl, _ in _HOLT_W) == _HOLT_SL
+    assert sum(wb for _, _, wb in _HOLT_W) == 0
+    assert 0.99 < _HOLT_SL / _HOLT_DEN < 1.0
+    y = np.full(30, 42.0)
+    lv = sum(wl * y[-1 - k] for k, wl, _ in _HOLT_W) / _HOLT_SL
+    bv = sum(wb * y[-1 - k] for k, _, wb in _HOLT_W) / _HOLT_DEN
+    assert lv == pytest.approx(42.0, abs=1e-9)
+    assert bv == pytest.approx(0.0, abs=1e-12)
+
+
+def test_holt_query_mean_is_linear_in_step(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        forecast_holt_events)
+    rows = forecast_holt_events(spark, sf_dir).collect()
+    assert {r.method for r in rows} == {"HOLT"}
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r.name, []).append(r)
+    for name, rs in by_series.items():
+        rs.sort(key=lambda r: r.step)
+        assert [r.step for r in rs] == list(range(1, 15))
+        deltas = [rs[i + 1].mean - rs[i].mean for i in range(13)]
+        assert max(deltas) - min(deltas) < 2e-5, (name, deltas)
+        # bands widen with horizon (Holt variance profile is increasing)
+        widths = [r.upper2 - r.lower2 for r in rs]
+        assert all(b >= a - 1e-9 for a, b in zip(widths, widths[1:]))
+
+
+# ------------------------------------------------------------- cohort LTV
+
+def test_cohort_ltv_cumulative_and_conservation(spark, sf_dir):
+    """Per-cohort LTV is nondecreasing in age; age-0 cell exists for
+    every cohort (the acquisition month itself); total revenue across
+    cells equals total order revenue to the cent."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import cohort_ltv_matrix
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = cohort_ltv_matrix(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    total = (orders.agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                              .cast("long"))).first()[0])
+    assert round(sum(r.revenue for r in rows), 2) == \
+        pytest.approx(total / 100, abs=0.01 * len(rows))
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_month, []).append(r)
+    for ch, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age_months)
+        assert rs[0].age_months == 0, ch
+        ltv = [r.ltv_per_customer for r in rs]
+        assert all(b >= a - 1e-9 for a, b in zip(ltv, ltv[1:])), ch
+        assert rs[0].n_customers > 0
+
+
+# ------------------------------------------------------------ unigram KL
+
+def test_source_unigram_kl_nonnegative_and_matches_numpy(spark, sf_dir):
+    """KL ≥ 0 (Gibbs); equals a brute-force pandas recomputation with
+    the same micro-grid snapping."""
+    from collections import Counter
+
+    from qrapids_forecast_r_script_spark.operators.text_quality import (
+        source_unigram_kl)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = {r.source: r
+            for r in source_unigram_kl(spark, sf_dir).collect()}
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("source", "text").toPandas())
+    corpus = Counter()
+    per_src: dict[str, Counter] = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        toks = text.split(" ")
+        corpus.update(toks)
+        per_src.setdefault(src, Counter()).update(toks)
+    n_all = sum(corpus.values())
+    for src, cnt in per_src.items():
+        n_s = sum(cnt.values())
+        kl_u = 0
+        for tok, c in cnt.items():
+            p, q = c / n_s, corpus[tok] / n_all
+            kl_u += int(round(p * math.log(p / q) * 1_000_000))
+        r = rows[src]
+        assert r.n_tokens == n_s
+        assert r.vocab_size == len(cnt)
+        assert r.kl_nats == pytest.approx(kl_u / 1_000_000, abs=2e-6)
+        assert r.kl_nats >= -1e-6, src
