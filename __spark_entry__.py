@@ -65,7 +65,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # series_theilsen_trend, series_decomposition_strength,
 # doc_graph_eigencentrality, t_closeness_audit, column_stats_profile,
 # customer_revenue_gini, forecast_holt_events, cohort_ltv_matrix,
-# source_unigram_kl) are the round-5 window.
+# source_unigram_kl, lsh_precision_recall,
+# functional_dependency_audit, order_cycle_time_stats,
+# events_ewma_control_chart, doc_graph_degree_powerlaw) are the
+# round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

@@ -260,6 +260,14 @@ HEADLINE = [
     "forecast_holt_events",
     "cohort_ltv_matrix",
     "source_unigram_kl",
+    # round-4 continuation (batch 4): sketch set-level eval, FD census,
+    # supply-chain latency percentiles
+    "lsh_precision_recall",
+    "functional_dependency_audit",
+    "order_cycle_time_stats",
+    # round-4 continuation (batch 5): EWMA SPC chart, degree power law
+    "events_ewma_control_chart",
+    "doc_graph_degree_powerlaw",
 ]
 
 

@@ -2310,3 +2310,143 @@ EVAL_ORACLES["forecast_holt_events"] = f"""
            round(mean + CAST({Z95} AS DOUBLE) * width, 6) AS upper2
     FROM fan ORDER BY name, index, step
 """
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart — the SPC monitor family's smoothing member.
+
+_EWMA_K = 20          # window: weights below the output grid drop out
+_EWMA_U = 10_000      # 1e-4 value grid (the Holt grid)
+_EWMA_L = 3.0         # control-limit width (the classic 3-sigma)
+
+
+def events_ewma_control_chart(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """EWMA control chart (Roberts 1959) at lambda = 1/2 over every
+    metric series — the drift-sensitive SPC monitor between
+    `events_zscore_outliers` (memoryless, catches spikes) and
+    `series_changepoint_cusum` (cumulative, catches level shifts):
+    the EWMA statistic z_t = λ·x_t + (1−λ)·z_{t−1} crosses its
+    variance-adjusted 3σ band on small SUSTAINED shifts a per-point
+    z-score never sees.
+
+    Exactness: the geometric weights at λ = 1/2 are exact powers of
+    two on the 2^K common denominator (the SES/Holt integer-scaling
+    identity applied PER ROW: each t joins the constant K-row offset
+    table and takes one BIGINT dot product over its own trailing
+    window, normalized by the exact partial weight sum — the
+    textbook fast-start EWMA).  Band width uses the exact variance
+    inflation (λ/(2−λ))·(1−(1−λ)^{2(t+1)}) around the series mean.
+
+    Scale: the seq×offsets join fans each row out K× (a bounded
+    constant), then one grouped sum keyed by (series, t) — partition-
+    local; the per-series mean/sd aggregate is the monitor envelope."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    seq = (metrics
+           .withColumn("t", (F.row_number().over(w) - 1).cast("long"))
+           .withColumn("vu", F.round(F.round("value", 6) * _EWMA_U, 0)
+                       .cast("long")))
+    offs = spark.createDataFrame(
+        [(k, 2 ** (_EWMA_K - 1 - k)) for k in range(_EWMA_K)],
+        "k BIGINT, wk BIGINT")
+    src = seq.select("name", "index", F.col("t").alias("ts"),
+                     F.col("vu").alias("vs"))
+    fan = (seq.select("name", "index", "t")
+           .join(F.broadcast(offs))
+           .withColumn("ts", F.col("t") - F.col("k"))
+           .where(F.col("ts") >= 0)
+           .join(src, ["name", "index", "ts"]))
+    ew = (fan.groupBy("name", "index", "t")
+          .agg(F.sum(F.col("wk") * F.col("vs")).alias("num"),
+               F.sum("wk").alias("den")))
+    stats = (seq.groupBy("name", "index")
+             .agg((F.sum("vu").cast("double")
+                   / F.count(F.lit(1)).cast("double") / _EWMA_U)
+                  .alias("mu"),
+                  F.stddev_samp(F.col("vu").cast("double") / _EWMA_U)
+                  .alias("sd")))
+    ewma = (F.col("num").cast("double") / F.col("den").cast("double")
+            / _EWMA_U)
+    infl = F.sqrt((F.lit(1.0) / F.lit(3.0))
+                  * (F.lit(1.0)
+                     - F.pow(F.lit(0.25),
+                             (F.col("t") + 1).cast("double"))))
+    half = F.lit(_EWMA_L) * F.col("sd") * infl
+    return (ew.join(stats, ["name", "index"])
+            .select("name", "index", "t",
+                    F.round(ewma, 6).alias("ewma"),
+                    F.round(F.col("mu") - half, 6).alias("lcl"),
+                    F.round(F.col("mu") + half, 6).alias("ucl"),
+                    ((ewma < F.col("mu") - half)
+                     | (ewma > F.col("mu") + half)).alias("signal"))
+            .orderBy("name", "index", "t"))
+
+
+_EWMA_OFFS = ", ".join(f"({k}, {2 ** (_EWMA_K - 1 - k)})"
+                       for k in range(_EWMA_K))
+
+EVAL_QUERIES["events_ewma_control_chart"] = events_ewma_control_chart
+EVAL_ORACLES["events_ewma_control_chart"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    seq AS (
+        SELECT name, index,
+               CAST(row_number() OVER (PARTITION BY name, index
+                                       ORDER BY evaluationDate) - 1
+                    AS BIGINT) AS t,
+               CAST(round(round(value, 6) * {_EWMA_U}, 0) AS BIGINT)
+                   AS vu
+        FROM m
+    ), offs (k, wk) AS (VALUES {_EWMA_OFFS}),
+    fan AS (
+        SELECT s.name, s.index, s.t, o.wk, b.vu AS vs
+        FROM seq s
+        CROSS JOIN offs o
+        JOIN seq b ON b.name = s.name AND b.index = s.index
+                  AND b.t = s.t - o.k
+        WHERE s.t - o.k >= 0
+    ), ew AS (
+        SELECT name, index, t,
+               CAST(sum(wk * vs) AS BIGINT) AS num,
+               CAST(sum(wk) AS BIGINT) AS den
+        FROM fan GROUP BY 1, 2, 3
+    ), stats AS (
+        SELECT name, index,
+               CAST(sum(vu) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   / {_EWMA_U} AS mu,
+               stddev_samp(CAST(vu AS DOUBLE) / {_EWMA_U}) AS sd
+        FROM seq GROUP BY 1, 2
+    )
+    SELECT e.name, e.index, e.t,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                 / {_EWMA_U}, 6) AS ewma,
+           round(mu - CAST({_EWMA_L} AS DOUBLE) * sd
+                 * sqrt((CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
+                        * (CAST(1 AS DOUBLE)
+                           - pow(CAST(0.25 AS DOUBLE),
+                                 CAST(e.t + 1 AS DOUBLE)))), 6)
+               AS lcl,
+           round(mu + CAST({_EWMA_L} AS DOUBLE) * sd
+                 * sqrt((CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
+                        * (CAST(1 AS DOUBLE)
+                           - pow(CAST(0.25 AS DOUBLE),
+                                 CAST(e.t + 1 AS DOUBLE)))), 6)
+               AS ucl,
+           (CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / {_EWMA_U})
+               < mu - CAST({_EWMA_L} AS DOUBLE) * sd
+                 * sqrt((CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
+                        * (CAST(1 AS DOUBLE)
+                           - pow(CAST(0.25 AS DOUBLE),
+                                 CAST(e.t + 1 AS DOUBLE))))
+           OR (CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / {_EWMA_U})
+               > mu + CAST({_EWMA_L} AS DOUBLE) * sd
+                 * sqrt((CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
+                        * (CAST(1 AS DOUBLE)
+                           - pow(CAST(0.25 AS DOUBLE),
+                                 CAST(e.t + 1 AS DOUBLE))))
+               AS signal
+    FROM ew e
+    JOIN stats st ON e.name = st.name AND e.index = st.index
+    ORDER BY e.name, e.index, e.t
+"""

@@ -1278,3 +1278,80 @@ ORACLES["column_stats_profile"] = """
     ) ORDER BY column_name
 """
 QUERIES["column_stats_profile"] = column_stats_profile
+
+
+_FD_CANDIDATES = [
+    # (fd_name, table, determinant, dependent) — a mix of FDs that must
+    # HOLD (keys) and plausible-but-false ones whose violation counts
+    # are the informative output
+    ("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey",
+     "o_orderpriority"),
+    ("lineitem.l_orderkey->l_suppkey", "lineitem", "l_orderkey",
+     "l_suppkey"),
+    ("lineitem.l_partkey->l_extendedprice", "lineitem", "l_partkey",
+     "l_extendedprice"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey",
+     "c_mktsegment"),
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+]
+
+
+def functional_dependency_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Functional-dependency census over six candidate X→Y rules — the
+    schema-discovery profile (Huhtala et al. 1999's TANE output shape,
+    restricted to a declared candidate list): for each rule, how many
+    determinant values exist, how many VIOLATE the dependency (more
+    than one distinct dependent), the violation rate, and the worst
+    fan-out.  Key rules (o_orderkey→o_custkey) must come back with
+    zero violations — a nonzero count there is a broken-ingest alarm;
+    the deliberately-false rules quantify how far the table is from
+    the dependency a naive consumer might assume.
+
+    Each rule is one map-side-combinable (determinant → distinct
+    dependent count) aggregate over a two-column projection; the six
+    results union into a constant 6-row report.  Exact integers
+    throughout; the one division is the final rate."""
+    frames = []
+    for fd_name, table, det, dep in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        g = (t.groupBy(F.col(det))
+             .agg(F.count_distinct(F.col(dep)).alias("ndep")))
+        frames.append(g.agg(
+            F.lit(fd_name).alias("fd"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum((F.col("ndep") > 1).cast("long"))
+            .alias("n_violating_keys"),
+            F.max("ndep").alias("max_fanout")))
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionAll(f2)
+    return (out.withColumn(
+        "violation_rate",
+        F.round(F.col("n_violating_keys").cast("double")
+                / F.col("n_keys").cast("double"), 6))
+        .withColumn("holds", F.col("n_violating_keys") == 0)
+        .select("fd", "n_keys", "n_violating_keys", "violation_rate",
+                "max_fanout", "holds")
+        .orderBy("fd"))
+
+
+ORACLES["functional_dependency_audit"] = """
+    WITH per AS (
+""" + "\n        UNION ALL\n".join(f"""
+        SELECT '{fd}' AS fd, count(*) AS n_keys,
+               CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violating_keys,
+               max(ndep) AS max_fanout
+        FROM (SELECT {det}, count(DISTINCT {dep}) AS ndep
+              FROM {table} GROUP BY 1)""" for fd, table, det, dep
+                                 in _FD_CANDIDATES) + """
+    )
+    SELECT fd, n_keys, n_violating_keys,
+           round(CAST(n_violating_keys AS DOUBLE)
+                 / CAST(n_keys AS DOUBLE), 6) AS violation_rate,
+           max_fanout, n_violating_keys = 0 AS holds
+    FROM per ORDER BY fd
+"""
+QUERIES["functional_dependency_audit"] = functional_dependency_audit

@@ -1429,3 +1429,123 @@ EXTRA_ORACLES["dedup_cluster_sizes"] = f"""
            s.size = (SELECT max_size FROM mx) AS is_giant
     FROM sizes s GROUP BY s.size ORDER BY s.size
 """
+
+
+_PR_TAU = 0.5      # exact-Jaccard ground-truth threshold for the eval
+
+
+def lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PRECISION/RECALL of the MinHash-LSH candidate set
+    against the exact-Jaccard ≥ 0.5 ground truth — the one-row eval
+    that turns the banding configuration (4 bands × 4 rows here) into
+    a measured operating point, the same way `ivf_nprobe_sweep` turns
+    nprobe into one.  `minhash_calibration` reports PER-PAIR estimate
+    error; this reports the SET-level consequence (how many true
+    near-dup pairs the bands miss, how much junk they admit).
+
+    Ground truth is computed only via the shared-shingle equi-join
+    (the `ngram_jaccard_pairs` shape — never corpus²), and the
+    predicted set is the banded candidate join, so the eval costs
+    candidate-set work on both sides.  All counts are exact integers;
+    precision/recall are single divisions and F1 uses the pure
+    integer identity 2·tp / (2·tp + fp + fn).  At 100 TB the truth
+    side is the expensive one — there you run this on a deterministic
+    document SAMPLE (the fixed-k idiom), which estimates both rates
+    unbiasedly."""
+    pred = (minhash_lsh_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b"))
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, distinct=True)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    truth = (a.join(b, "shingle")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_common"))
+             .join(F.broadcast(counts.select(
+                 F.col("doc_id").alias("doc_a"),
+                 F.col("n_sh").alias("n_a"))), "doc_a")
+             .join(F.broadcast(counts.select(
+                 F.col("doc_id").alias("doc_b"),
+                 F.col("n_sh").alias("n_b"))), "doc_b")
+             .where(F.round(F.col("n_common")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_common")), 6)
+                    >= F.lit(float(_PR_TAU)))
+             .select("doc_a", "doc_b"))
+    tp_df = truth.join(pred, ["doc_a", "doc_b"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    tp = tp_df.agg(F.count(F.lit(1)).alias("tp"))
+    out = (n_truth.crossJoin(F.broadcast(n_pred))
+           .crossJoin(F.broadcast(tp)))
+    p = F.col("tp").cast("double") / F.nullif(
+        F.col("n_pred").cast("double"), F.lit(0.0))
+    r = F.col("tp").cast("double") / F.nullif(
+        F.col("n_truth").cast("double"), F.lit(0.0))
+    fp = F.col("n_pred") - F.col("tp")
+    fn = F.col("n_truth") - F.col("tp")
+    f1 = (F.lit(2.0) * F.col("tp").cast("double")
+          / F.nullif((2 * F.col("tp") + fp + fn).cast("double"),
+                     F.lit(0.0)))
+    return out.select(
+        "n_truth", "n_pred", "tp", fp.alias("fp"), fn.alias("fn"),
+        F.round(F.coalesce(p, F.lit(0.0)), 6).alias("precision"),
+        F.round(F.coalesce(r, F.lit(0.0)), 6).alias("recall"),
+        F.round(F.coalesce(f1, F.lit(0.0)), 6).alias("f1"))
+
+
+EXTRA_QUERIES["lsh_precision_recall"] = lsh_precision_recall
+EXTRA_ORACLES["lsh_precision_recall"] = _SIG_CTE + f"""
+    , bands AS ({_BANDS_UNION}),
+    pred AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id
+                    AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+    ),
+    doc_sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' '
+                        || string_split(text, ' ')[i + 1])) AS shingles
+        FROM documents
+    ), shx AS (
+        SELECT doc_id, unnest(shingles) AS shingle,
+               len(shingles) AS n_sh
+        FROM doc_sh
+    ), truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM shx a
+        JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+        HAVING round(count(*) / CAST(a.n_sh + b.n_sh - count(*)
+                                     AS DOUBLE), 6)
+               >= CAST({_PR_TAU} AS DOUBLE)
+    ), agg AS (
+        SELECT (SELECT count(*) FROM truth) AS n_truth,
+               (SELECT count(*) FROM pred) AS n_pred,
+               (SELECT count(*) FROM truth t
+                JOIN pred p ON t.doc_a = p.doc_a
+                           AND t.doc_b = p.doc_b) AS tp
+    )
+    SELECT n_truth, n_pred, tp,
+           n_pred - tp AS fp, n_truth - tp AS fn,
+           round(coalesce(CAST(tp AS DOUBLE)
+                          / nullif(CAST(n_pred AS DOUBLE),
+                                   CAST(0 AS DOUBLE)),
+                          CAST(0 AS DOUBLE)), 6) AS precision,
+           round(coalesce(CAST(tp AS DOUBLE)
+                          / nullif(CAST(n_truth AS DOUBLE),
+                                   CAST(0 AS DOUBLE)),
+                          CAST(0 AS DOUBLE)), 6) AS recall,
+           round(coalesce(CAST(2 AS DOUBLE) * CAST(tp AS DOUBLE)
+                          / nullif(CAST(2 * tp + (n_pred - tp)
+                                        + (n_truth - tp) AS DOUBLE),
+                                   CAST(0 AS DOUBLE)),
+                          CAST(0 AS DOUBLE)), 6) AS f1
+    FROM agg
+"""

@@ -651,3 +651,97 @@ def _eigencentrality_oracle_sql(iters: int = _EC_ITERS) -> str:
 
 QUERIES["doc_graph_eigencentrality"] = doc_graph_eigencentrality
 ORACLES["doc_graph_eigencentrality"] = _eigencentrality_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-4 continuation: degree-distribution power-law fit.
+
+
+def doc_graph_degree_powerlaw(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Degree-distribution summary of the near-dup graph with the
+    discrete power-law MLE exponent alpha_hat = 1 + n / Σ ln(d_i /
+    (d_min − 1/2)) (Clauset, Shalizi & Newman 2009's continuous
+    approximation at x_min = 1) — the one-row structural read that
+    says whether duplication is BROAD (small alpha: heavy-tailed hub
+    structure, template families everywhere) or CONCENTRATED (large
+    alpha: a few dup pairs in an otherwise clean corpus).  The graph
+    sibling of `corpus_zipf_fit` (tokens) and the summary upstream of
+    the per-node views (`doc_graph_pagerank`, `doc_graph_kcore`).
+
+    Each node's ln term is snapped to the 1e-6 BIGINT micro-grid
+    before the sum (the PMI/PSI libm discipline), so the statistic is
+    exact under any aggregation order.  Also reports edge share of
+    the top decile of nodes by degree — the hub-concentration
+    companion number.  Cost: the degree aggregate plus one bounded
+    ntile window over nodes."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .unionAll(pairs.select(F.col("doc_b").alias("doc_id"))))
+    deg = sym.groupBy("doc_id").agg(F.count(F.lit(1)).alias("d"))
+    w = Window.orderBy(F.col("d").desc(), F.col("doc_id").asc())
+    ranked = deg.withColumn("dec", F.ntile(10).over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("d").alias("deg_sum"),
+        F.max("d").alias("max_degree"),
+        F.sum(F.round(F.log(F.col("d").cast("double") / F.lit(0.5))
+                      * 1_000_000, 0).cast("long")).alias("ln_u"),
+        F.sum(F.when(F.col("dec") == 1, F.col("d"))
+              .otherwise(F.lit(0))).alias("top_decile_deg"))
+    alpha = (F.lit(1.0) + F.col("n_nodes").cast("double")
+             / (F.col("ln_u").cast("double") / 1_000_000))
+    return agg.select(
+        "n_nodes",
+        F.expr("deg_sum div 2").alias("n_edges"),
+        F.round(F.col("deg_sum").cast("double")
+                / F.col("n_nodes").cast("double"), 6)
+        .alias("mean_degree"),
+        "max_degree",
+        F.round(alpha, 6).alias("alpha_hat"),
+        F.round(F.col("top_decile_deg").cast("double")
+                / F.col("deg_sum").cast("double"), 6)
+        .alias("top_decile_edge_share"))
+
+
+QUERIES["doc_graph_degree_powerlaw"] = doc_graph_degree_powerlaw
+ORACLES["doc_graph_degree_powerlaw"] = _SIG_CTE + """
+    , bands AS (""" + _BANDS_UNION + """),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id
+                    AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+    ),
+    deg AS (
+        SELECT doc_id, count(*) AS d FROM (
+            SELECT doc_a AS doc_id FROM pairs
+            UNION ALL SELECT doc_b FROM pairs) GROUP BY 1
+    ),
+    ranked AS (
+        SELECT *, ntile(10) OVER (ORDER BY d DESC, doc_id ASC) AS dec
+        FROM deg
+    ),
+    agg AS (
+        SELECT count(*) AS n_nodes,
+               CAST(sum(d) AS BIGINT) AS deg_sum,
+               max(d) AS max_degree,
+               CAST(sum(CAST(round(
+                   ln(CAST(d AS DOUBLE) / CAST(0.5 AS DOUBLE))
+                   * 1000000, 0) AS BIGINT)) AS BIGINT) AS ln_u,
+               CAST(sum(CASE WHEN dec = 1 THEN d ELSE 0 END)
+                    AS BIGINT) AS top_decile_deg
+        FROM ranked
+    )
+    SELECT n_nodes, deg_sum // 2 AS n_edges,
+           round(CAST(deg_sum AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+               AS mean_degree,
+           max_degree,
+           round(CAST(1 AS DOUBLE) + CAST(n_nodes AS DOUBLE)
+                 / (CAST(ln_u AS DOUBLE) / 1000000), 6) AS alpha_hat,
+           round(CAST(top_decile_deg AS DOUBLE)
+                 / CAST(deg_sum AS DOUBLE), 6)
+               AS top_decile_edge_share
+    FROM agg
+"""

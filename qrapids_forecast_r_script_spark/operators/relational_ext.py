@@ -235,3 +235,66 @@ ORACLES = {
         GROUP BY h.name, h.index
     """,
 }
+
+
+def order_cycle_time_stats(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Order-to-ship cycle-time distribution per order priority — the
+    operational-latency percentile table (p50/p90/p99) the TPC-H
+    shapes never surface: join orders to their line items, take the
+    integer day gap order-date → ship-date, and summarize per
+    priority.  The supply-chain twin of `funnel_latency_percentiles`
+    (which does the same read over event funnels).
+
+    Gaps are exact integer days (DATE-cast subtraction on both
+    engines, no timestamp rounding); percentiles are the established
+    exact type-7 pairing (Spark `percentile` == DuckDB
+    `quantile_cont`); the mean divides an exact integer sum.  Scale:
+    one fact-fact equi-join on the order key (both sides ship two
+    columns), one grouped aggregate with map-side combine over 5
+    priority groups."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.to_date("o_orderdate").alias("od"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.to_date("l_shipdate").alias("sd"))
+    gaps = (orders.join(li, "o_orderkey")
+            .select("o_orderpriority",
+                    F.datediff("sd", "od").cast("long").alias("gap")))
+    return (gaps.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lineitems"),
+                 F.round(F.sum("gap").cast("double")
+                         / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("mean_days"),
+                 F.expr("percentile(gap, 0.5)").alias("_p50"),
+                 F.expr("percentile(gap, 0.9)").alias("_p90"),
+                 F.expr("percentile(gap, 0.99)").alias("_p99"),
+                 F.min("gap").alias("min_days"),
+                 F.max("gap").alias("max_days"))
+            .select("o_orderpriority", "n_lineitems", "mean_days",
+                    F.round("_p50", 6).alias("p50_days"),
+                    F.round("_p90", 6).alias("p90_days"),
+                    F.round("_p99", 6).alias("p99_days"),
+                    "min_days", "max_days")
+            .orderBy("o_orderpriority"))
+
+
+QUERIES["order_cycle_time_stats"] = order_cycle_time_stats
+ORACLES["order_cycle_time_stats"] = """
+    WITH gaps AS (
+        SELECT o.o_orderpriority,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                   AS gap
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority, count(*) AS n_lineitems,
+           round(CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+                 6) AS mean_days,
+           round(quantile_cont(gap, 0.5), 6) AS p50_days,
+           round(quantile_cont(gap, 0.9), 6) AS p90_days,
+           round(quantile_cont(gap, 0.99), 6) AS p99_days,
+           min(gap) AS min_days, max(gap) AS max_days
+    FROM gaps GROUP BY 1 ORDER BY 1
+"""

@@ -352,3 +352,148 @@ def test_source_unigram_kl_nonnegative_and_matches_numpy(spark, sf_dir):
         assert r.vocab_size == len(cnt)
         assert r.kl_nats == pytest.approx(kl_u / 1_000_000, abs=2e-6)
         assert r.kl_nats >= -1e-6, src
+
+
+# ------------------------------------------------- LSH precision/recall
+
+def test_lsh_precision_recall_identities(spark, sf_dir):
+    """tp ≤ min(n_truth, n_pred); fp/fn complements; precision/recall
+    consistent with the integer counts; F1 equals the harmonic mean
+    identity computed from raw integers."""
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        lsh_precision_recall)
+    r = lsh_precision_recall(spark, sf_dir).first()
+    assert r.tp <= min(r.n_truth, r.n_pred)
+    assert r.fp == r.n_pred - r.tp and r.fn == r.n_truth - r.tp
+    if r.n_pred:
+        assert r.precision == pytest.approx(r.tp / r.n_pred, abs=1e-6)
+    if r.n_truth:
+        assert r.recall == pytest.approx(r.tp / r.n_truth, abs=1e-6)
+    denom = 2 * r.tp + r.fp + r.fn
+    if denom:
+        assert r.f1 == pytest.approx(2 * r.tp / denom, abs=1e-6)
+    # the banded candidate set must catch most J>=0.5 pairs (b=4,r=4:
+    # P[candidate] = 1-(1-J^4)^4 = 0.23 at J=0.5 but ~1 at J>=0.9;
+    # the synthetic near-dup pairs are high-J, so recall is high)
+    if r.n_truth:
+        assert r.recall >= 0.5, r
+
+
+# ------------------------------------------- functional dependency audit
+
+def test_functional_dependency_audit_keys_hold(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.data_quality import (
+        functional_dependency_audit)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = {r.fd: r
+            for r in functional_dependency_audit(spark, sf_dir)
+            .collect()}
+    assert len(rows) == 6
+    pk = rows["orders.o_orderkey->o_custkey"]
+    assert pk.holds and pk.n_violating_keys == 0 and pk.max_fanout == 1
+    assert pk.n_keys == load_table(spark, sf_dir, "orders").count()
+    for r in rows.values():
+        assert 0.0 <= r.violation_rate <= 1.0
+        assert r.holds == (r.n_violating_keys == 0)
+        assert r.max_fanout >= 1
+    # the nationkey->segment rule is genuinely false on TPC-H-ish data
+    assert not rows["customer.c_nationkey->c_mktsegment"].holds
+
+
+# ------------------------------------------------------- order cycle time
+
+def test_order_cycle_time_matches_pandas(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.relational_ext import (
+        order_cycle_time_stats)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = {r.o_orderpriority: r
+            for r in order_cycle_time_stats(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.to_date("o_orderdate").alias("od"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.to_date("l_shipdate").alias("sd"))
+    pdf = (orders.join(li, "o_orderkey")
+           .select("o_orderpriority",
+                   F.datediff("sd", "od").alias("gap")).toPandas())
+    for pr, g in pdf.groupby("o_orderpriority"):
+        gaps = g["gap"].to_numpy(dtype=float)
+        r = rows[pr]
+        assert r.n_lineitems == len(gaps)
+        assert r.mean_days == pytest.approx(gaps.mean(), abs=1e-6)
+        # numpy 'linear' interpolation == type-7 == Spark percentile
+        assert r.p50_days == pytest.approx(
+            np.percentile(gaps, 50), abs=1e-6)
+        assert r.p90_days == pytest.approx(
+            np.percentile(gaps, 90), abs=1e-6)
+        assert r.min_days == gaps.min() and r.max_days == gaps.max()
+        assert r.p50_days <= r.p90_days <= r.p99_days <= r.max_days
+
+
+# ----------------------------------------------------- EWMA control chart
+
+def test_ewma_matches_adjusted_recursion(spark, sf_dir):
+    """The windowed integer-weight EWMA equals the textbook fast-start
+    (bias-adjusted) recursion z_t = Σ (1/2)^{k+1} x_{t-k} / Σ weights
+    for t < K, and tracks the plain recursion after burn-in."""
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        _EWMA_K, events_ewma_control_chart)
+    rows = events_ewma_control_chart(spark, sf_dir).collect()
+    frames = _series_frames(spark, sf_dir)
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r.name, []).append(r)
+    for name, rs in by_series.items():
+        rs.sort(key=lambda r: r.t)
+        y = frames[name][:, 1]
+        assert len(rs) == len(y)
+        for r in rs:
+            t = int(r.t)
+            lo = max(0, t - _EWMA_K + 1)
+            ws = [2.0 ** -(k + 1) for k in range(t - lo + 1)]
+            vals = [y[t - k] for k in range(t - lo + 1)]
+            expect = sum(w * v for w, v in zip(ws, vals)) / sum(ws)
+            assert r.ewma == pytest.approx(expect, abs=2e-4), (name, t)
+            assert r.lcl < r.ucl
+            assert r.signal == (r.ewma < r.lcl or r.ewma > r.ucl)
+
+
+def test_ewma_band_inflation_monotone():
+    """The variance-inflation factor (1/3)(1-0.25^(t+1)) increases in
+    t and converges to 1/3 — band width must be nondecreasing."""
+    import math as _m
+    widths = [_m.sqrt((1 / 3) * (1 - 0.25 ** (t + 1)))
+              for t in range(30)]
+    assert all(b >= a for a, b in zip(widths, widths[1:]))
+    assert widths[-1] == pytest.approx(_m.sqrt(1 / 3), abs=1e-6)
+
+
+# ------------------------------------------------- degree power-law fit
+
+def test_degree_powerlaw_matches_brute(spark, sf_dir):
+    from collections import Counter
+
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from qrapids_forecast_r_script_spark.operators.graph import (
+        doc_graph_degree_powerlaw)
+    r = doc_graph_degree_powerlaw(spark, sf_dir).first()
+    pairs = [(p.doc_a, p.doc_b)
+             for p in minhash_lsh_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b").collect()]
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    assert r.n_nodes == len(deg)
+    assert r.n_edges == len(pairs)
+    assert r.max_degree == max(deg.values())
+    ln_u = sum(int(round(math.log(d / 0.5) * 1_000_000))
+               for d in deg.values())
+    alpha = 1.0 + len(deg) / (ln_u / 1_000_000)
+    assert r.alpha_hat == pytest.approx(alpha, abs=2e-6)
+    assert r.alpha_hat > 1.0
+    assert 0.0 <= r.top_decile_edge_share <= 1.0
+    # top decile of nodes must carry at least its uniform share
+    assert r.top_decile_edge_share >= 0.1 - 1e-6
