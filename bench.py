@@ -268,6 +268,9 @@ HEADLINE = [
     # round-4 continuation (batch 5): EWMA SPC chart, degree power law
     "events_ewma_control_chart",
     "doc_graph_degree_powerlaw",
+    # round-4 continuation (batch 6): CUPED variance reduction + SRM
+    "ab_test_cuped",
+    "ab_srm_check",
 ]
 
 

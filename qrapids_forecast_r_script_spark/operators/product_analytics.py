@@ -1159,3 +1159,281 @@ ORACLES["cohort_ltv_matrix"] = """
     FROM cum ORDER BY cohort_month, age_months
 """
 QUERIES["cohort_ltv_matrix"] = cohort_ltv_matrix
+
+
+_CUPED_G = 1_000     # milli value grid: keeps Σ X·Y exact-BIGINT
+
+
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout (Deng, Xu, Kohavi & Walker 2013) on
+    the deterministic md5 50/50 user split: the post-period per-user
+    spend metric Y is adjusted by the PRE-period covariate X
+    (Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X)), shrinking metric
+    variance by the squared X-Y correlation — the standard trick that
+    turns a 4-week experiment into a 2-week one.  Reports the raw and
+    adjusted mean differences, θ, the measured variance-reduction
+    ratio, and both z statistics; on this hash split (an A/A by
+    construction) the adjusted diff must stay not-significant while
+    the variance reduction is real.
+
+    Exactness: per-user X/Y land on the 1e-3 BIGINT grid, so every
+    power sum (ΣX, ΣY, ΣXY, ΣX², pooled) is exact integer arithmetic;
+    θ is one double division, and the adjusted values are re-snapped
+    to the grid before the second-moment pass (two-pass, aggregation-
+    order-free).  Scale: one user-keyed aggregate (the only wide
+    stage), two global power-sum reductions, one broadcast θ."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    pre = F.dayofmonth("ts") < 16
+    users = (ev.groupBy("user_id")
+             .agg(F.round(F.coalesce(
+                 F.sum(F.when(pre, F.col("value"))), F.lit(0.0)), 6)
+                 .alias("x"),
+                 F.round(F.coalesce(
+                     F.sum(F.when(~pre, F.col("value"))), F.lit(0.0)),
+                     6).alias("y"))
+             .select("user_id", arm.alias("arm"),
+                     F.round(F.col("x") * _CUPED_G, 0).cast("long")
+                     .alias("xg"),
+                     F.round(F.col("y") * _CUPED_G, 0).cast("long")
+                     .alias("yg")))
+    pooled = users.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xg").alias("sx"), F.sum("yg").alias("sy"),
+        F.sum(F.col("xg") * F.col("yg")).alias("sxy"),
+        F.sum(F.col("xg") * F.col("xg")).alias("sxx"))
+    nD = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nD
+    my = F.col("sy").cast("double") / nD
+    cov = F.col("sxy").cast("double") / nD - mx * my
+    varx = F.col("sxx").cast("double") / nD - mx * mx
+    theta = cov / F.nullif(varx, F.lit(0.0))
+    th = (pooled.select(theta.alias("theta"), mx.alias("mx"))
+          .withColumn("theta", F.round("theta", 6)))
+    adj = (users.crossJoin(F.broadcast(th))
+           .select("arm", "yg",
+                   F.round(F.col("yg").cast("double")
+                           - F.col("theta")
+                           * (F.col("xg").cast("double")
+                              - F.col("mx")), 0)
+                   .cast("long").alias("ag")))
+    arms = (adj.groupBy("arm")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("yg").alias("sy"), F.sum("ag").alias("sa"),
+                 F.sum(F.col("yg") * F.col("yg")).alias("syy"),
+                 F.sum(F.col("ag") * F.col("ag")).alias("saa")))
+    a = arms.where(F.col("arm") == 0).select(
+        *[F.col(c).alias(f"{c}_a") for c in
+          ("n", "sy", "sa", "syy", "saa")])
+    b = arms.where(F.col("arm") == 1).select(
+        *[F.col(c).alias(f"{c}_b") for c in
+          ("n", "sy", "sa", "syy", "saa")])
+    j = a.crossJoin(b)
+    g = float(_CUPED_G)
+
+    def _stats(s_a, s_b, q_a, q_b):
+        na = F.col("n_a").cast("double")
+        nb = F.col("n_b").cast("double")
+        ma = F.col(s_a).cast("double") / na
+        mb = F.col(s_b).cast("double") / nb
+        va = F.col(q_a).cast("double") / na - ma * ma
+        vb = F.col(q_b).cast("double") / nb - mb * mb
+        sp = (na * va + nb * vb) / (na + nb - 2)
+        z = ((ma - mb)
+             / F.nullif(F.sqrt(sp * (1 / na + 1 / nb)), F.lit(0.0)))
+        return (ma - mb) / g, z, (na * va + nb * vb) / (na + nb)
+
+    d_raw, z_raw, v_raw = _stats("sy_a", "sy_b", "syy_a", "syy_b")
+    d_adj, z_adj, v_adj = _stats("sa_a", "sa_b", "saa_a", "saa_b")
+    return (j.crossJoin(F.broadcast(th.select("theta")))
+            .select("n_a", "n_b",
+                    F.round(d_raw, 6).alias("diff_raw"),
+                    F.round(z_raw, 6).alias("z_raw"),
+                    F.round(d_adj, 6).alias("diff_cuped"),
+                    F.round(z_adj, 6).alias("z_cuped"),
+                    "theta",
+                    F.round(F.lit(1.0)
+                            - v_adj / F.nullif(v_raw, F.lit(0.0)), 6)
+                    .alias("var_reduction")))
+
+
+ORACLES["ab_test_cuped"] = f"""
+    WITH users AS (
+        SELECT user_id,
+               CAST(round(round(coalesce(sum(CASE WHEN
+                        day(CAST(ts AS TIMESTAMP)) < 16
+                        THEN value END), 0), 6) * {_CUPED_G}, 0)
+                    AS BIGINT) AS xg,
+               CAST(round(round(coalesce(sum(CASE WHEN
+                        day(CAST(ts AS TIMESTAMP)) >= 16
+                        THEN value END), 0), 6) * {_CUPED_G}, 0)
+                    AS BIGINT) AS yg,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    ::BIGINT % 2) AS arm
+        FROM events GROUP BY user_id
+    ), pooled AS (
+        SELECT count(*) AS n,
+               CAST(sum(xg) AS BIGINT) AS sx,
+               CAST(sum(yg) AS BIGINT) AS sy,
+               CAST(sum(xg * yg) AS BIGINT) AS sxy,
+               CAST(sum(xg * xg) AS BIGINT) AS sxx
+        FROM users
+    ), th AS (
+        SELECT round((CAST(sxy AS DOUBLE) / n
+                      - (CAST(sx AS DOUBLE) / n)
+                        * (CAST(sy AS DOUBLE) / n))
+                     / nullif(CAST(sxx AS DOUBLE) / n
+                              - (CAST(sx AS DOUBLE) / n)
+                                * (CAST(sx AS DOUBLE) / n),
+                              CAST(0 AS DOUBLE)), 6) AS theta,
+               CAST(sx AS DOUBLE) / n AS mx
+        FROM pooled
+    ), adj AS (
+        SELECT u.arm, u.yg,
+               CAST(round(CAST(u.yg AS DOUBLE)
+                          - t.theta * (CAST(u.xg AS DOUBLE) - t.mx),
+                          0) AS BIGINT) AS ag
+        FROM users u CROSS JOIN th t
+    ), arms AS (
+        SELECT arm, count(*) AS n,
+               CAST(sum(yg) AS BIGINT) AS sy,
+               CAST(sum(ag) AS BIGINT) AS sa,
+               CAST(sum(yg * yg) AS BIGINT) AS syy,
+               CAST(sum(ag * ag) AS BIGINT) AS saa
+        FROM adj GROUP BY 1
+    ), j AS (
+        SELECT a.n AS n_a, a.sy AS sy_a, a.sa AS sa_a,
+               a.syy AS syy_a, a.saa AS saa_a,
+               b.n AS n_b, b.sy AS sy_b, b.sa AS sa_b,
+               b.syy AS syy_b, b.saa AS saa_b
+        FROM (SELECT * FROM arms WHERE arm = 0) a
+        CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
+    )
+    SELECT n_a, n_b,
+           round((CAST(sy_a AS DOUBLE) / n_a
+                  - CAST(sy_b AS DOUBLE) / n_b) / {_CUPED_G}, 6)
+               AS diff_raw,
+           round((CAST(sy_a AS DOUBLE) / n_a
+                  - CAST(sy_b AS DOUBLE) / n_b)
+                 / nullif(sqrt(((n_a * (CAST(syy_a AS DOUBLE) / n_a
+                          - (CAST(sy_a AS DOUBLE) / n_a)
+                            * (CAST(sy_a AS DOUBLE) / n_a))
+                        + n_b * (CAST(syy_b AS DOUBLE) / n_b
+                          - (CAST(sy_b AS DOUBLE) / n_b)
+                            * (CAST(sy_b AS DOUBLE) / n_b)))
+                       / (n_a + n_b - 2))
+                      * (CAST(1 AS DOUBLE) / n_a
+                         + CAST(1 AS DOUBLE) / n_b)),
+                          CAST(0 AS DOUBLE)), 6) AS z_raw,
+           round((CAST(sa_a AS DOUBLE) / n_a
+                  - CAST(sa_b AS DOUBLE) / n_b) / {_CUPED_G}, 6)
+               AS diff_cuped,
+           round((CAST(sa_a AS DOUBLE) / n_a
+                  - CAST(sa_b AS DOUBLE) / n_b)
+                 / nullif(sqrt(((n_a * (CAST(saa_a AS DOUBLE) / n_a
+                          - (CAST(sa_a AS DOUBLE) / n_a)
+                            * (CAST(sa_a AS DOUBLE) / n_a))
+                        + n_b * (CAST(saa_b AS DOUBLE) / n_b
+                          - (CAST(sa_b AS DOUBLE) / n_b)
+                            * (CAST(sa_b AS DOUBLE) / n_b)))
+                       / (n_a + n_b - 2))
+                      * (CAST(1 AS DOUBLE) / n_a
+                         + CAST(1 AS DOUBLE) / n_b)),
+                          CAST(0 AS DOUBLE)), 6) AS z_cuped,
+           (SELECT theta FROM th) AS theta,
+           round(CAST(1 AS DOUBLE)
+                 - ((n_a * (CAST(saa_a AS DOUBLE) / n_a
+                      - (CAST(sa_a AS DOUBLE) / n_a)
+                        * (CAST(sa_a AS DOUBLE) / n_a))
+                     + n_b * (CAST(saa_b AS DOUBLE) / n_b
+                      - (CAST(sa_b AS DOUBLE) / n_b)
+                        * (CAST(sa_b AS DOUBLE) / n_b)))
+                    / (n_a + n_b))
+                 / nullif(((n_a * (CAST(syy_a AS DOUBLE) / n_a
+                      - (CAST(sy_a AS DOUBLE) / n_a)
+                        * (CAST(sy_a AS DOUBLE) / n_a))
+                     + n_b * (CAST(syy_b AS DOUBLE) / n_b
+                      - (CAST(sy_b AS DOUBLE) / n_b)
+                        * (CAST(sy_b AS DOUBLE) / n_b)))
+                    / (n_a + n_b)), CAST(0 AS DOUBLE)), 6)
+               AS var_reduction
+    FROM j
+"""
+QUERIES["ab_test_cuped"] = ab_test_cuped
+
+
+_SRM_CRIT = 3.841459   # chi-square df=1 upper 5% point
+
+
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (Fabijan et al. 2019 — the #1
+    invalidity check an experimentation platform runs before ANY
+    metric is read): for the 50/50 md5 split, the per-segment arm
+    counts and the df=1 chi-square (n_a − n_b)²/n against the 3.84
+    5% critical value — overall plus per event_type, because a
+    passing overall SRM frequently hides a failing segment (the
+    debugging view the reference papers recommend).  Users who fire
+    several event types appear in each of their segments — segment
+    membership, not a partition.
+
+    Every statistic derives from exact integer user counts; the
+    chi-square is one double division.  One distinct (segment, user)
+    aggregate and a 6-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    seg_users = (ev.select(F.col("event_type").alias("segment"),
+                           "user_id")
+                 .unionAll(ev.select(F.lit("_overall").alias("segment"),
+                                     "user_id"))
+                 .distinct()
+                 .withColumn("arm", arm))
+    counts = (seg_users.groupBy("segment")
+              .agg(F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+                   F.sum((F.col("arm") == 1).cast("long")).alias("n_b")))
+    n = F.col("n_a") + F.col("n_b")
+    chi2 = (((F.col("n_a") - F.col("n_b"))
+             * (F.col("n_a") - F.col("n_b"))).cast("double")
+            / F.nullif(n.cast("double"), F.lit(0.0)))
+    return (counts.select(
+        "segment", "n_a", "n_b",
+        F.round(F.col("n_a").cast("double")
+                / F.nullif(n.cast("double"), F.lit(0.0)), 6)
+        .alias("share_a"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(_SRM_CRIT)).alias("srm_detected"))
+        .orderBy("segment"))
+
+
+ORACLES["ab_srm_check"] = f"""
+    WITH seg_users AS (
+        SELECT DISTINCT segment, user_id FROM (
+            SELECT event_type AS segment, user_id FROM events
+            UNION ALL
+            SELECT '_overall' AS segment, user_id FROM events)
+    ), counts AS (
+        SELECT segment,
+               CAST(sum(CASE WHEN
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(sum(CASE WHEN
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+        FROM seg_users GROUP BY 1
+    )
+    SELECT segment, n_a, n_b,
+           round(CAST(n_a AS DOUBLE)
+                 / nullif(CAST(n_a + n_b AS DOUBLE),
+                          CAST(0 AS DOUBLE)), 6) AS share_a,
+           round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                 / nullif(CAST(n_a + n_b AS DOUBLE),
+                          CAST(0 AS DOUBLE)), 6) AS chi2,
+           (CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+            / nullif(CAST(n_a + n_b AS DOUBLE), CAST(0 AS DOUBLE)))
+               > CAST({_SRM_CRIT} AS DOUBLE) AS srm_detected
+    FROM counts ORDER BY segment
+"""
+QUERIES["ab_srm_check"] = ab_srm_check

@@ -497,3 +497,66 @@ def test_degree_powerlaw_matches_brute(spark, sf_dir):
     assert 0.0 <= r.top_decile_edge_share <= 1.0
     # top decile of nodes must carry at least its uniform share
     assert r.top_decile_edge_share >= 0.1 - 1e-6
+
+
+# ------------------------------------------------------------------ CUPED
+
+def test_cuped_aa_semantics_and_variance_reduction(spark, sf_dir):
+    """On the hash split (A/A by construction): adjusted diff stays
+    not-significant (|z| < 3), theta is finite, and CUPED must not
+    INCREASE variance (reduction ∈ [0, 1))."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import ab_test_cuped
+    r = ab_test_cuped(spark, sf_dir).first()
+    assert r.n_a > 0 and r.n_b > 0
+    assert abs(r.z_cuped) < 3.0, r
+    assert math.isfinite(r.theta)
+    # theta is fit on the POOLED sample while the reduction is measured
+    # within-arm, so at tiny n (15 users at sf0.001) the reduction can
+    # go slightly negative — the population guarantee 1-rho^2 only
+    # binds in expectation; allow the small-sample wiggle
+    assert -0.1 <= r.var_reduction < 1.0, r
+    # adjustment must not blow the point estimate up
+    assert abs(r.diff_cuped) <= abs(r.diff_raw) + 1.0
+
+
+def test_cuped_theta_matches_numpy(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import _CUPED_G, ab_test_cuped
+    from qrapids_forecast_r_script_spark.sources import load_table
+    r = ab_test_cuped(spark, sf_dir).first()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.dayofmonth("ts").alias("dom")).toPandas()
+    import pandas as pd
+    g = ev.groupby("user_id").apply(
+        lambda d: pd.Series({
+            "x": round(d.loc[d.dom < 16, "value"].sum(), 6),
+            "y": round(d.loc[d.dom >= 16, "value"].sum(), 6)}),
+        include_groups=False)
+    xg = np.round(g["x"].to_numpy() * _CUPED_G).astype(np.int64)
+    yg = np.round(g["y"].to_numpy() * _CUPED_G).astype(np.int64)
+    n = len(xg)
+    cov = (xg * yg).sum() / n - xg.sum() / n * (yg.sum() / n)
+    varx = (xg * xg).sum() / n - (xg.sum() / n) ** 2
+    assert r.theta == pytest.approx(cov / varx, abs=2e-6)
+
+
+# -------------------------------------------------------------------- SRM
+
+def test_srm_check_segments_and_chi2(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import ab_srm_check
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = {r.segment: r for r in ab_srm_check(spark, sf_dir).collect()}
+    assert "_overall" in rows
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    ov = rows["_overall"]
+    assert ov.n_a + ov.n_b == n_users
+    for r in rows.values():
+        expect = (r.n_a - r.n_b) ** 2 / (r.n_a + r.n_b)
+        assert r.chi2 == pytest.approx(expect, abs=1e-6)
+        assert r.srm_detected == (r.chi2 > 3.841459)
+        assert 0.0 <= r.share_a <= 1.0
+    # a genuine md5 50/50 split on thousands of users must NOT trip SRM
+    assert not ov.srm_detected
