@@ -271,6 +271,8 @@ HEADLINE = [
     # round-4 continuation (batch 6): CUPED variance reduction + SRM
     "ab_test_cuped",
     "ab_srm_check",
+    # round-4 continuation (batch 6): cluster-separation geometry audit
+    "embedding_db_index",
 ]
 
 

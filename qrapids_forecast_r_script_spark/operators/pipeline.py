@@ -188,3 +188,114 @@ def observed_clean_pass(spark: SparkSession, sf_dir: str):
               .otherwise(F.lit(0))).alias("tokens_kept"))
     return observed.where("keep").select("doc_id", "source", "n_tokens"), obs
 
+
+
+def embedding_db_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin cluster-separation audit (Davies & Bouldin 1979)
+    over the embedding labels: per label the intra-cluster scatter
+    (mean Euclidean distance to the centroid), the WORST same-corpus
+    partner by the DB ratio (s_i + s_j) / d(c_i, c_j), and that ratio
+    — the separation read `label_centroid_cosine` (cohesion only)
+    cannot give: a label can be tight AND sit on top of its neighbor.
+    The label-space companion of `centroid_label_confusion` (which
+    audits assignments; this audits the GEOMETRY the assignments live
+    in).
+
+    Centroid coordinates are snapped to 1e-6 before any distance (the
+    `embedding_drift_centroids` discipline), so the labels × dims
+    table is engine-identical and every downstream distance is IEEE
+    arithmetic on identical inputs; per-vector distances and scatters
+    round at 6dp.  Scale: one posexplode aggregate for centroids
+    (labels × dims, broadcast back), one per-vector distance reduce,
+    and a labels² pairwise table that never leaves the driver-tiny
+    regime."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("pos", "v_raw")
+    ).select("vec_id", "label", "pos",
+             F.col("v_raw").cast("double").alias("v"))
+    cent = (expl.groupBy("label", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("c")))
+    scat = (expl.join(F.broadcast(cent), ["label", "pos"])
+            .groupBy("vec_id", "label")
+            .agg(F.sqrt(F.sum((F.col("v") - F.col("c"))
+                              * (F.col("v") - F.col("c"))))
+                 .alias("dist"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.avg("dist"), 6).alias("scatter")))
+    ca = cent.select(F.col("label").alias("la"), "pos",
+                     F.col("c").alias("cva"))
+    cb = cent.select(F.col("label").alias("lb"), "pos",
+                     F.col("c").alias("cvb"))
+    cdist = (ca.join(cb, "pos")
+             .where(F.col("la") != F.col("lb"))
+             .groupBy("la", "lb")
+             .agg(F.round(F.sqrt(F.sum(
+                 (F.col("cva") - F.col("cvb"))
+                 * (F.col("cva") - F.col("cvb")))), 6).alias("d")))
+    sa = scat.select(F.col("label").alias("la"),
+                     F.col("scatter").alias("s_a"))
+    sb = scat.select(F.col("label").alias("lb"),
+                     F.col("scatter").alias("s_b"))
+    ratios = (cdist.join(F.broadcast(sa), "la")
+              .join(F.broadcast(sb), "lb")
+              .select("la", "lb",
+                      F.round((F.col("s_a") + F.col("s_b"))
+                              / F.col("d"), 6).alias("ratio")))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("la")
+         .orderBy(F.col("ratio").desc(), F.col("lb").asc()))
+    worst = (ratios.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1)
+             .select(F.col("la").alias("label"),
+                     F.col("lb").alias("worst_partner"),
+                     F.col("ratio").alias("db_ratio")))
+    return (scat.join(worst, "label")
+            .select("label", "n_vecs", "scatter", "worst_partner",
+                    "db_ratio")
+            .orderBy("label"))
+
+
+QUERIES["embedding_db_index"] = embedding_db_index
+ORACLES["embedding_db_index"] = """
+    WITH expl AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ), cent AS (
+        SELECT label, pos, round(avg(v), 6) AS c
+        FROM expl GROUP BY 1, 2
+    ), scat AS (
+        SELECT label, count(*) AS n_vecs,
+               round(avg(dist), 6) AS scatter
+        FROM (SELECT e.vec_id, e.label,
+                     sqrt(sum((e.v - c.c) * (e.v - c.c))) AS dist
+              FROM expl e JOIN cent c USING (label, pos)
+              GROUP BY 1, 2)
+        GROUP BY 1
+    ), cdist AS (
+        SELECT a.label AS la, b.label AS lb,
+               round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 6) AS d
+        FROM cent a JOIN cent b USING (pos)
+        WHERE a.label != b.label
+        GROUP BY 1, 2
+    ), ratios AS (
+        SELECT cd.la, cd.lb,
+               round((sa.scatter + sb.scatter) / cd.d, 6) AS ratio
+        FROM cdist cd
+        JOIN scat sa ON cd.la = sa.label
+        JOIN scat sb ON cd.lb = sb.label
+    ), worst AS (
+        SELECT la AS label, lb AS worst_partner, ratio AS db_ratio
+        FROM (SELECT *, row_number() OVER (PARTITION BY la
+                        ORDER BY ratio DESC, lb ASC) AS rn
+              FROM ratios)
+        WHERE rn = 1
+    )
+    SELECT s.label, s.n_vecs, s.scatter, w.worst_partner, w.db_ratio
+    FROM scat s JOIN worst w ON s.label = w.label
+    ORDER BY s.label
+"""

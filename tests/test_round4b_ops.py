@@ -560,3 +560,36 @@ def test_srm_check_segments_and_chi2(spark, sf_dir):
         assert 0.0 <= r.share_a <= 1.0
     # a genuine md5 50/50 split on thousands of users must NOT trip SRM
     assert not ov.srm_detected
+
+
+# ------------------------------------------------------ Davies-Bouldin
+
+def test_embedding_db_index_matches_numpy(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.pipeline import (
+        embedding_db_index)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = {r.label: r for r in
+            embedding_db_index(spark, sf_dir).collect()}
+    pdf = load_table(spark, sf_dir, "embeddings").toPandas()
+    vecs = {lbl: np.stack(g["embedding"].map(np.asarray))
+            .astype(np.float64)
+            for lbl, g in pdf.groupby("label")}
+    cents = {lbl: np.round(v.mean(axis=0), 6)
+             for lbl, v in vecs.items()}
+    scats = {lbl: round(float(np.linalg.norm(
+        v - cents[lbl], axis=1).mean()), 6)
+        for lbl, v in vecs.items()}
+    for lbl, r in rows.items():
+        assert r.n_vecs == len(vecs[lbl])
+        assert r.scatter == pytest.approx(scats[lbl], abs=2e-6)
+        ratios = {}
+        for other in vecs:
+            if other == lbl:
+                continue
+            d = round(float(np.linalg.norm(
+                cents[lbl] - cents[other])), 6)
+            ratios[other] = round((scats[lbl] + scats[other]) / d, 6)
+        worst = min(sorted(ratios), key=lambda o: (-ratios[o], o))
+        assert r.worst_partner == worst
+        assert r.db_ratio == pytest.approx(ratios[worst], abs=2e-6)
+        assert r.db_ratio > 0
