@@ -273,6 +273,8 @@ HEADLINE = [
     "ab_srm_check",
     # round-4 continuation (batch 6): cluster-separation geometry audit
     "embedding_db_index",
+    # round-4 continuation (batch 7): exact set-similarity scale path
+    "prefix_filter_join",
 ]
 
 

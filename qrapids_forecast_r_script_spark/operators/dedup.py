@@ -1549,3 +1549,115 @@ EXTRA_ORACLES["lsh_precision_recall"] = _SIG_CTE + f"""
                           CAST(0 AS DOUBLE)), 6) AS f1
     FROM agg
 """
+
+
+_PPJ_TAU = 0.5     # Jaccard threshold (prefix arithmetic is exact at 1/2)
+
+
+def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (Chaudhuri
+    et al. 2006 / Bayardo et al. 2007 / Xiao et al. 2008 PPJoin
+    family): the deterministic scale path to "all pairs with Jaccard
+    ≥ τ" that needs NO probabilistic sketch — where MinHash-LSH trades
+    recall for speed, prefix filtering keeps exactness and prunes by
+    ordering each doc's shingles by GLOBAL document frequency
+    (rarest first) and joining only on each doc's first
+    |d| − ⌈τ·|d|⌉ + 1 shingles: any pair meeting the overlap bound
+    o ≥ ⌈τ·max(|a|,|b|)⌉ MUST collide inside those prefixes, so the
+    candidate set is a superset of the answer and the exact verify
+    join finishes the job.  At τ = 1/2 the prefix length is the pure
+    integer ⌊|d|/2⌋ + 1 — no float in the pruning logic at all.
+
+    The result set provably EQUALS the brute shared-shingle join at
+    the same threshold (pinned in tests) — two different algorithms,
+    one answer.  Scale: document frequency is a Zipf-bounded
+    aggregate (broadcast), the candidate join touches only prefix
+    rows (rare shingles → tiny buckets, the skew-safe direction), and
+    verification is candidate-bounded — the standard exact
+    complement to the banded sketch chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, distinct=True)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.col("df").asc(), F.col("shingle").asc()))
+    ranked = (sh.join(df, "shingle")
+              .withColumn("rn", F.row_number().over(w))
+              .join(F.broadcast(counts), "doc_id"))
+    prefix = ranked.where(
+        F.col("rn") <= F.expr("n_sh div 2") + 1)
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (pa.join(pb, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    sa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("shingle").alias("s"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("shingle").alias("s"))
+    verified = (cand
+                .join(sa, "doc_a")
+                .join(sb, ["doc_b", "s"])
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count(F.lit(1)).alias("n_common"))
+                .join(F.broadcast(counts.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("n_sh").alias("n_a"))), "doc_a")
+                .join(F.broadcast(counts.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("n_sh").alias("n_b"))), "doc_b")
+                .withColumn("jaccard", F.round(
+                    F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b")
+                       - F.col("n_common")), 6))
+                .where(F.col("jaccard") >= F.lit(float(_PPJ_TAU))))
+    return (verified.select("doc_a", "doc_b", "n_common", "jaccard")
+            .orderBy("doc_a", "doc_b"))
+
+
+EXTRA_QUERIES["prefix_filter_join"] = prefix_filter_join
+EXTRA_ORACLES["prefix_filter_join"] = f"""
+    WITH doc_sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' '
+                        || string_split(text, ' ')[i + 1])) AS shingles
+        FROM documents
+    ), shx AS (
+        SELECT doc_id, unnest(shingles) AS shingle,
+               len(shingles) AS n_sh
+        FROM doc_sh
+    ), dfreq AS (
+        SELECT shingle, count(*) AS df FROM shx GROUP BY 1
+    ), ranked AS (
+        SELECT s.doc_id, s.shingle, s.n_sh,
+               row_number() OVER (PARTITION BY s.doc_id
+                                  ORDER BY d.df ASC, s.shingle ASC)
+                   AS rn
+        FROM shx s JOIN dfreq d USING (shingle)
+    ), pfx AS (
+        SELECT doc_id, shingle FROM ranked
+        WHERE rn <= n_sh // 2 + 1
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pfx a JOIN pfx b ON a.shingle = b.shingle
+                             AND a.doc_id < b.doc_id
+    ), verified AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common,
+               max(sa.n_sh) AS n_a, max(sb.n_sh) AS n_b
+        FROM cand c
+        JOIN shx sa ON sa.doc_id = c.doc_a
+        JOIN shx sb ON sb.doc_id = c.doc_b
+                   AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6)
+               AS jaccard
+    FROM verified
+    WHERE round(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6)
+          >= CAST({_PPJ_TAU} AS DOUBLE)
+    ORDER BY doc_a, doc_b
+"""

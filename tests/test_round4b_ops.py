@@ -593,3 +593,28 @@ def test_embedding_db_index_matches_numpy(spark, sf_dir):
         assert r.worst_partner == worst
         assert r.db_ratio == pytest.approx(ratios[worst], abs=2e-6)
         assert r.db_ratio > 0
+
+
+# ---------------------------------------------- prefix-filter set join
+
+def test_prefix_filter_join_equals_brute_force(spark, sf_dir):
+    """The prefix-filtered exact join must return EXACTLY the pairs
+    the brute shared-shingle join finds at the same threshold — the
+    completeness guarantee of the prefix principle (any pair with
+    overlap ≥ ⌈τ·max(|a|,|b|)⌉ collides inside the prefixes)."""
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        ngram_jaccard_pairs, prefix_filter_join)
+    pp = {(r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+          for r in prefix_filter_join(spark, sf_dir).collect()}
+    brute = {(r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+             for r in ngram_jaccard_pairs(spark, sf_dir).collect()
+             if r.jaccard >= 0.5}
+    assert pp == brute
+    assert pp, "threshold produced no pairs — vacuous fixture"
+
+
+def test_prefix_length_integer_formula():
+    """At tau=1/2 the safe prefix length |d| - ceil(|d|/2) + 1 equals
+    |d|//2 + 1 for every size — the all-integer pruning rule."""
+    for n in range(1, 200):
+        assert n - math.ceil(n / 2) + 1 == n // 2 + 1
