@@ -275,6 +275,9 @@ HEADLINE = [
     "embedding_db_index",
     # round-4 continuation (batch 7): exact set-similarity scale path
     "prefix_filter_join",
+    # round-4 continuation (batch 7): CDC op-log apply + GSP patterns
+    "orders_cdc_apply",
+    "session_sequence_pairs",
 ]
 
 

@@ -1437,3 +1437,92 @@ ORACLES["ab_srm_check"] = f"""
     FROM counts ORDER BY segment
 """
 QUERIES["ab_srm_check"] = ab_srm_check
+
+
+def session_sequence_pairs(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Sequential-pattern support mining (Agrawal & Srikant 1996 GSP,
+    length-2 patterns): for every ORDERED event-type pair a→b, the
+    number of sessions containing some a strictly before some b, its
+    support, and the sequence-confidence P(a→b | session contains a)
+    — the frequent-subsequence census that generalizes
+    `event_transition_matrix` (adjacent steps only) to ANY-gap
+    ordering, the difference between "click then later purchase" and
+    "click immediately followed by purchase".
+
+    A session supports a→b iff its first a precedes its last b, so
+    per session only (type, min_pos, max_pos) is kept — |types| rows
+    per session, never the quadratic event-pair explode; the pattern
+    join is |types|² inside each session.  Exact integer counts;
+    support/confidence are single divisions.  One shuffle on user_id
+    (the shared sessionizer) + one (a,b)-keyed count."""
+    from pyspark.sql.window import Window
+    from ..streaming.queries import sessionize_events
+    sess = sessionize_events(load_table(spark, sf_dir, "events"))
+    w = (Window.partitionBy("user_id", "session_id")
+         .orderBy("ts", "event_id"))
+    pos = (sess.withColumn("p", F.row_number().over(w))
+           .groupBy("user_id", "session_id", "event_type")
+           .agg(F.min("p").alias("first_p"),
+                F.max("p").alias("last_p")))
+    n_sessions = (sess.select("user_id", "session_id").distinct()
+                  .count())
+    a = pos.select("user_id", "session_id",
+                   F.col("event_type").alias("ante"),
+                   F.col("first_p").alias("fp"))
+    b = pos.select("user_id", "session_id",
+                   F.col("event_type").alias("cons"),
+                   F.col("last_p").alias("lp"))
+    supp = (a.join(b, ["user_id", "session_id"])
+            .where((F.col("ante") != F.col("cons"))
+                   & (F.col("fp") < F.col("lp")))
+            .groupBy("ante", "cons")
+            .agg(F.count(F.lit(1)).alias("n_support")))
+    ante_n = (pos.groupBy(F.col("event_type").alias("ante"))
+              .agg(F.count(F.lit(1)).alias("n_ante")))
+    return (supp.join(F.broadcast(ante_n), "ante")
+            .select("ante", "cons", "n_support",
+                    F.round(F.col("n_support").cast("double")
+                            / F.lit(float(n_sessions)), 6)
+                    .alias("support"),
+                    F.round(F.col("n_support").cast("double")
+                            / F.col("n_ante").cast("double"), 6)
+                    .alias("confidence"))
+            .orderBy("ante", "cons"))
+
+
+ORACLES["session_sequence_pairs"] = f"""
+    WITH {SESSIONIZED_SQL}, pos AS (
+        SELECT user_id, session_id, event_type,
+               min(p) AS first_p, max(p) AS last_p
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id, session_id
+                  ORDER BY ts, event_id) AS p
+              FROM sessions)
+        GROUP BY 1, 2, 3
+    ), ns AS (
+        SELECT count(*) AS n_sessions FROM (
+            SELECT DISTINCT user_id, session_id FROM sessions)
+    ), supp AS (
+        SELECT a.event_type AS ante, b.event_type AS cons,
+               count(*) AS n_support
+        FROM pos a
+        JOIN pos b ON a.user_id = b.user_id
+                  AND a.session_id = b.session_id
+                  AND a.event_type != b.event_type
+                  AND a.first_p < b.last_p
+        GROUP BY 1, 2
+    ), ante_n AS (
+        SELECT event_type AS ante, count(*) AS n_ante
+        FROM pos GROUP BY 1
+    )
+    SELECT s.ante, s.cons, s.n_support,
+           round(CAST(s.n_support AS DOUBLE)
+                 / CAST((SELECT n_sessions FROM ns) AS DOUBLE), 6)
+               AS support,
+           round(CAST(s.n_support AS DOUBLE)
+                 / CAST(a.n_ante AS DOUBLE), 6) AS confidence
+    FROM supp s JOIN ante_n a USING (ante)
+    ORDER BY s.ante, s.cons
+"""
+QUERIES["session_sequence_pairs"] = session_sequence_pairs

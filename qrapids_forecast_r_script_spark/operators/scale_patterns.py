@@ -842,3 +842,89 @@ ORACLES["user_erasure_audit"] = f"""
     FROM audit ORDER BY table_name
 """
 QUERIES["user_erasure_audit"] = user_erasure_audit
+
+
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC op-log APPLY — the missing third of the lakehouse-merge
+    family next to `orders_upsert_scd1` (latest-wins upsert, no
+    deletes) and `orders_upsert_scd2` (full history): a deterministic
+    insert/update/delete change log is applied onto the base snapshot
+    by per-key LAST-OP-WINS over the op sequence, with DELETE
+    tombstones dropping keys and later re-INSERTs resurrecting them —
+    exactly the reduction a Delta/Iceberg `MERGE ... WHEN MATCHED
+    DELETE` chain performs, including the D-then-I ordering case
+    (seq 2 deletes every key ≡ 3 (mod 10); seq 3 re-inserts the ≡ 3
+    (mod 100) subset at a marker price, so survival depends on op
+    ORDER, not op presence).
+
+    One union + one per-key window (the SCD shuffle shape, keyed by
+    the merge key); tombstones cost a row until the window drops
+    them.  Exact integer/2-decimal arithmetic throughout (the +1000
+    surcharge idiom — no multiplier rounding boundaries)."""
+    from pyspark.sql.window import Window
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    base = orders.select(
+        *cols[:3], F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.lit(0).alias("seq"), F.lit("I").alias("op"))
+    upd = (orders.where(F.col("o_orderkey") % 7 == 0)
+           .select("o_orderkey", "o_custkey",
+                   F.lit("U").alias("o_orderstatus"),
+                   F.round(F.col("o_totalprice") + 1000.0, 2)
+                   .alias("o_totalprice"),
+                   F.lit(1).alias("seq"), F.lit("U").alias("op")))
+    dels = (orders.where(F.col("o_orderkey") % 10 == 3)
+            .select("o_orderkey", "o_custkey",
+                    F.lit(None).cast("string").alias("o_orderstatus"),
+                    F.lit(None).cast("double").alias("o_totalprice"),
+                    F.lit(2).alias("seq"), F.lit("D").alias("op")))
+    reins = (orders.where(F.col("o_orderkey") % 100 == 3)
+             .select("o_orderkey", "o_custkey",
+                     F.lit("R").alias("o_orderstatus"),
+                     F.lit(9999.99).alias("o_totalprice"),
+                     F.lit(3).alias("seq"), F.lit("I").alias("op")))
+    log = base.unionAll(upd).unionAll(dels).unionAll(reins)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    latest = (log
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n_ops",
+                          F.count(F.lit(1)).over(
+                              Window.partitionBy("o_orderkey")))
+              .where((F.col("rn") == 1) & (F.col("op") != "D")))
+    return (latest.select("o_orderkey", "o_custkey", "o_orderstatus",
+                          "o_totalprice",
+                          F.col("seq").alias("last_seq"), "n_ops")
+            .orderBy("o_orderkey"))
+
+
+QUERIES["orders_cdc_apply"] = orders_cdc_apply
+ORACLES["orders_cdc_apply"] = """
+    WITH log AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice, 2) AS o_totalprice,
+               0 AS seq, 'I' AS op
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'U',
+               round(o_totalprice + 1000.0, 2), 1, 'U'
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, CAST(NULL AS VARCHAR),
+               CAST(NULL AS DOUBLE), 2, 'D'
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'R', 9999.99, 3, 'I'
+        FROM orders WHERE o_orderkey % 100 = 3
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY o_orderkey
+                                  ORDER BY seq DESC) AS rn,
+               count(*) OVER (PARTITION BY o_orderkey) AS n_ops
+        FROM log
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(seq AS INTEGER) AS last_seq, n_ops
+    FROM ranked
+    WHERE rn = 1 AND op != 'D'
+    ORDER BY o_orderkey
+"""

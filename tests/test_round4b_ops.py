@@ -618,3 +618,77 @@ def test_prefix_length_integer_formula():
     |d|//2 + 1 for every size — the all-integer pruning rule."""
     for n in range(1, 200):
         assert n - math.ceil(n / 2) + 1 == n // 2 + 1
+
+
+# ---------------------------------------------------------- CDC apply
+
+def test_cdc_apply_semantics(spark, sf_dir):
+    """Deletes remove keys except those resurrected by the later
+    re-insert; updates win over base; op counts per key line up."""
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        orders_cdc_apply)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = {r.o_orderkey: r
+            for r in orders_cdc_apply(spark, sf_dir).collect()}
+    keys = [r[0] for r in load_table(spark, sf_dir, "orders")
+            .select("o_orderkey").collect()]
+    for k in keys:
+        deleted = k % 10 == 3
+        reinserted = k % 100 == 3
+        updated = k % 7 == 0
+        if deleted and not reinserted:
+            assert k not in rows, k
+            continue
+        r = rows[k]
+        if reinserted:
+            assert r.o_orderstatus == "R" and r.last_seq == 3
+            assert r.o_totalprice == 9999.99
+        elif updated:
+            assert r.o_orderstatus == "U" and r.last_seq == 1
+        else:
+            assert r.last_seq == 0
+        expect_ops = 1 + int(updated) + int(deleted) + int(reinserted)
+        assert r.n_ops == expect_ops, (k, r)
+    assert len(rows) == sum(1 for k in keys
+                            if k % 10 != 3 or k % 100 == 3)
+
+
+# --------------------------------------------------- sequence patterns
+
+def test_session_sequence_pairs_vs_brute(spark, sf_dir):
+    """Support counts equal a brute per-session subsequence check on
+    the driver; confidence ≤ 1; a→b support can exceed the adjacent-
+    transition count (the any-gap generalization), never the reverse
+    session-count bound."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import session_sequence_pairs
+    from qrapids_forecast_r_script_spark.streaming.queries import (
+        sessionize_events)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = {(r.ante, r.cons): r
+            for r in session_sequence_pairs(spark, sf_dir).collect()}
+    sess = (sessionize_events(load_table(spark, sf_dir, "events"))
+            .select("user_id", "session_id", "ts", "event_id",
+                    "event_type").toPandas())
+    from collections import Counter
+    supp = Counter()
+    n_sessions = 0
+    for (_, _), g in sess.groupby(["user_id", "session_id"]):
+        n_sessions += 1
+        seq = g.sort_values(["ts", "event_id"])["event_type"].tolist()
+        types = set(seq)
+        for x in types:
+            first_a = seq.index(x)
+            for y in types:
+                if x == y:
+                    continue
+                last_b = len(seq) - 1 - seq[::-1].index(y)
+                if first_a < last_b:
+                    supp[(x, y)] += 1
+    assert set(rows) == set(supp)
+    for key, r in rows.items():
+        assert r.n_support == supp[key], key
+        assert r.n_support <= n_sessions
+        assert 0.0 < r.confidence <= 1.0
+        assert r.support == pytest.approx(r.n_support / n_sessions,
+                                          abs=1e-6)
