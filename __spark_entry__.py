@@ -69,8 +69,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # functional_dependency_audit, order_cycle_time_stats,
 # events_ewma_control_chart, doc_graph_degree_powerlaw,
 # ab_test_cuped, ab_srm_check, embedding_db_index,
-# prefix_filter_join, orders_cdc_apply, session_sequence_pairs) are
-# the round-5 window.
+# prefix_filter_join, orders_cdc_apply, session_sequence_pairs,
+# duplicate_payment_audit, brand_concentration_hhi,
+# rake_keywords_top) are the round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

@@ -278,6 +278,10 @@ HEADLINE = [
     # round-4 continuation (batch 7): CDC op-log apply + GSP patterns
     "orders_cdc_apply",
     "session_sequence_pairs",
+    # round-4 continuation (batch 8): payment-dup audit, HHI, RAKE
+    "duplicate_payment_audit",
+    "brand_concentration_hhi",
+    "rake_keywords_top",
 ]
 
 

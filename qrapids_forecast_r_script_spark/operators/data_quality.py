@@ -1355,3 +1355,70 @@ ORACLES["functional_dependency_audit"] = """
     FROM per ORDER BY fd
 """
 QUERIES["functional_dependency_audit"] = functional_dependency_audit
+
+
+_DUP_PAY_DAYS = 7     # suspicion window for repeated identical amounts
+
+
+def duplicate_payment_audit(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Duplicate-transaction audit — the fraud/ingest-error screen
+    every AP/billing pipeline runs: pairs of DISTINCT orders by the
+    same customer for the IDENTICAL amount within 7 days of each
+    other, with the day gap.  Exact-dedup (`dedup_exact`) finds
+    byte-identical rows; this finds the double-submitted payment that
+    got a fresh key and timestamp.
+
+    The self-join keys on (customer, exact integer cents) — the only
+    pairs that ever meet are same-amount same-customer, so the
+    blocking is value-exact and the date window is a post-filter
+    refine (the bin-and-refine discipline of
+    `events_range_join_binned` with an equality bin).  Day math is
+    integer DATE arithmetic.  At 100 TB: the join key is
+    high-cardinality and self-skew-free (a customer repeating one
+    amount is the anomaly being hunted)."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"),
+        F.col("o_orderkey"), F.to_date("o_orderdate").alias("od"))
+    a = keyed.select("o_custkey", "cents",
+                     F.col("o_orderkey").alias("key_a"),
+                     F.col("od").alias("od_a"))
+    b = keyed.select("o_custkey", "cents",
+                     F.col("o_orderkey").alias("key_b"),
+                     F.col("od").alias("od_b"))
+    return (a.join(b, ["o_custkey", "cents"])
+            .where((F.col("key_a") < F.col("key_b"))
+                   & (F.abs(F.datediff("od_b", "od_a"))
+                      <= _DUP_PAY_DAYS))
+            .select("o_custkey",
+                    F.round(F.col("cents").cast("double") / 100, 2)
+                    .alias("amount"),
+                    "key_a", "key_b",
+                    F.abs(F.datediff("od_b", "od_a")).cast("long")
+                    .alias("day_gap"))
+            .orderBy("o_custkey", "amount", "key_a", "key_b"))
+
+
+ORACLES["duplicate_payment_audit"] = f"""
+    WITH keyed AS (
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               o_orderkey, CAST(o_orderdate AS DATE) AS od
+        FROM orders
+    )
+    SELECT a.o_custkey,
+           round(CAST(a.cents AS DOUBLE) / 100, 2) AS amount,
+           a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           CAST(abs(date_diff('day', a.od, b.od)) AS BIGINT)
+               AS day_gap
+    FROM keyed a
+    JOIN keyed b ON a.o_custkey = b.o_custkey
+                AND a.cents = b.cents
+                AND a.o_orderkey < b.o_orderkey
+    WHERE abs(date_diff('day', a.od, b.od)) <= {_DUP_PAY_DAYS}
+    ORDER BY a.o_custkey, amount, key_a, key_b
+"""
+QUERIES["duplicate_payment_audit"] = duplicate_payment_audit

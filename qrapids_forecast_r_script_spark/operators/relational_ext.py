@@ -298,3 +298,82 @@ ORACLES["order_cycle_time_stats"] = """
            min(gap) AS min_days, max(gap) AS max_days
     FROM gaps GROUP BY 1 ORDER BY 1
 """
+
+
+def brand_concentration_hhi(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Market-concentration report: the Herfindahl-Hirschman index
+    (Σ share², the antitrust/procurement-risk staple) of BRAND revenue
+    within each part type — the single-number answer to "is this
+    category single-sourced?", with the DOJ's 1500/2500 banding
+    (unconcentrated / moderate / high).  The category-level sibling
+    of `parts_abc_pareto` (which ranks items; this scores MARKETS)
+    and `customer_revenue_gini` (the customer-side concentration).
+
+    Revenue is exact integer cents; brand shares are snapped to the
+    1e-6 grid before squaring (the pow-drift discipline), so the HHI
+    sum — in the conventional 0..10000 points — is exact integer
+    arithmetic per market.  Scale: one (type, brand) revenue
+    aggregate with map-side combine, one window-free second aggregate
+    per type; markets × brands is catalog-bounded, never fact-
+    bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type", "p_brand")
+    rev = (li.join(F.broadcast(part),
+                   li["l_partkey"] == part["p_partkey"])
+           .groupBy("p_type", "p_brand")
+           .agg(F.sum(F.round(F.col("l_extendedprice") * 100, 0)
+                      .cast("long")).alias("cents")))
+    tot = rev.groupBy("p_type").agg(F.sum("cents").alias("tot"),
+                                    F.count(F.lit(1)).alias("n_brands"))
+    share_u = F.round(F.col("cents").cast("double")
+                      / F.col("tot").cast("double") * 1_000_000, 0
+                      ).cast("long")
+    hhi_pts = (F.sum(share_u * share_u).cast("double")
+               / F.lit(100_000_000.0))
+    scored = (rev.join(tot, "p_type")
+              .groupBy("p_type")
+              .agg(F.max("n_brands").alias("n_brands"),
+                   F.round(F.max("tot").cast("double") / 100, 2)
+                   .alias("revenue"),
+                   F.round(hhi_pts, 6).alias("hhi")))
+    band = (F.when(F.col("hhi") < 1500, F.lit("unconcentrated"))
+            .when(F.col("hhi") < 2500, F.lit("moderate"))
+            .otherwise(F.lit("high")))
+    return (scored.withColumn("band", band)
+            .orderBy("p_type"))
+
+
+QUERIES["brand_concentration_hhi"] = brand_concentration_hhi
+ORACLES["brand_concentration_hhi"] = """
+    WITH rev AS (
+        SELECT p.p_type, p.p_brand,
+               CAST(sum(CAST(round(l.l_extendedprice * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT p_type, CAST(sum(cents) AS BIGINT) AS tot,
+               count(*) AS n_brands
+        FROM rev GROUP BY 1
+    ), scored AS (
+        SELECT r.p_type, max(t.n_brands) AS n_brands,
+               round(CAST(max(t.tot) AS DOUBLE) / 100, 2) AS revenue,
+               round(CAST(sum(su * su) AS DOUBLE) / 100000000, 6)
+                   AS hhi
+        FROM (SELECT r0.p_type,
+                     CAST(round(CAST(r0.cents AS DOUBLE)
+                                / CAST(t0.tot AS DOUBLE) * 1000000,
+                                0) AS BIGINT) AS su,
+                     r0.cents
+              FROM rev r0 JOIN tot t0 USING (p_type)) r
+        JOIN tot t USING (p_type)
+        GROUP BY r.p_type
+    )
+    SELECT p_type, n_brands, revenue, hhi,
+           CASE WHEN hhi < 1500 THEN 'unconcentrated'
+                WHEN hhi < 2500 THEN 'moderate'
+                ELSE 'high' END AS band
+    FROM scored ORDER BY p_type
+"""

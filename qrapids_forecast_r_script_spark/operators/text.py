@@ -1115,3 +1115,116 @@ ORACLES["vocab_coverage_curve"] = f"""
     ORDER BY c.vocab_budget
 """
 QUERIES["vocab_coverage_curve"] = vocab_coverage_curve
+
+
+_RAKE_TOP = 25
+_RAKE_MAX_LEN = 4
+
+
+def rake_keywords_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) at corpus level:
+    candidate phrases are maximal stopword-free token runs (the
+    stopword list is the shared ``_EN_STOP``), each word is scored
+    deg/freq (degree = Σ length of phrases containing it — favors
+    words that live inside longer collocations), and a phrase scores
+    the SUM of its word scores; top-``_RAKE_TOP`` distinct phrases.
+    The phrase-level complement of `tfidf_top_terms` (single tokens)
+    and `bigram_pmi_top` (fixed-length-2 collocations): RAKE finds
+    variable-length keyphrases with no n fixed in advance.
+
+    Word scores are snapped to the 1e-6 BIGINT micro-grid before the
+    per-phrase sum (deg/freq is one division; the SUM must not depend
+    on token order), so ranking is exact.  Scale: one tokenize pass,
+    a run-id window per doc (the sessionize shape on token streams),
+    one word aggregate (vocab-bounded, broadcast back), one phrase
+    aggregate — phrases are length-capped at 4 so no row outgrows
+    its run."""
+    from pyspark.sql.window import Window
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (toks
+            .withColumn("stop", F.col("tok").isin(*_EN_STOP))
+            .withColumn("run_id", F.sum(F.col("stop").cast("long"))
+                        .over(w))
+            .where(~F.col("stop")))
+    plen = (runs.groupBy("doc_id", "run_id")
+            .agg(F.count(F.lit(1)).alias("phrase_len"),
+                 F.array_join(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("pos", "tok"))),
+                     lambda s: s["tok"]), " ").alias("phrase")))
+    inst = (runs.join(plen, ["doc_id", "run_id"])
+            .where(F.col("phrase_len") <= _RAKE_MAX_LEN))
+    words = (inst.groupBy("tok")
+             .agg(F.count(F.lit(1)).alias("freq"),
+                  F.sum("phrase_len").alias("deg"))
+             .select("tok", F.round(F.col("deg").cast("double")
+                                    / F.col("freq").cast("double")
+                                    * 1_000_000, 0).cast("long")
+                     .alias("score_u")))
+    phrase_scores = (inst.join(F.broadcast(words), "tok")
+                     .groupBy("doc_id", "run_id", "phrase")
+                     .agg(F.sum("score_u").alias("ps_u")))
+    agg = (phrase_scores.groupBy("phrase")
+           .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                F.max("ps_u").alias("ps_u")))
+    wr = Window.orderBy(F.col("ps_u").desc(), F.col("phrase").asc())
+    return (agg.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= _RAKE_TOP)
+            .select("rank", "phrase", "n_occurrences",
+                    F.round(F.col("ps_u").cast("double") / 1_000_000,
+                            6).alias("rake_score")))
+
+
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _EN_STOP)
+
+QUERIES["rake_keywords_top"] = rake_keywords_top
+ORACLES["rake_keywords_top"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), runs AS (
+        SELECT doc_id, pos, tok,
+               sum(CASE WHEN tok IN ({_RAKE_STOP_SQL})
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS run_id,
+               tok IN ({_RAKE_STOP_SQL}) AS stop
+        FROM toks
+    ), kept AS (
+        SELECT doc_id, pos, tok, run_id FROM runs WHERE NOT stop
+    ), plen AS (
+        SELECT doc_id, run_id, count(*) AS phrase_len,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase
+        FROM kept GROUP BY 1, 2
+    ), inst AS (
+        SELECT k.doc_id, k.run_id, k.tok, p.phrase_len, p.phrase
+        FROM kept k JOIN plen p USING (doc_id, run_id)
+        WHERE p.phrase_len <= {_RAKE_MAX_LEN}
+    ), words AS (
+        SELECT tok,
+               CAST(round(CAST(sum(phrase_len) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS score_u
+        FROM inst GROUP BY 1
+    ), phrase_scores AS (
+        SELECT i.doc_id, i.run_id, i.phrase,
+               CAST(sum(w.score_u) AS BIGINT) AS ps_u
+        FROM inst i JOIN words w USING (tok)
+        GROUP BY 1, 2, 3
+    ), agg AS (
+        SELECT phrase, count(*) AS n_occurrences,
+               CAST(max(ps_u) AS BIGINT) AS ps_u
+        FROM phrase_scores GROUP BY 1
+    )
+    SELECT rank, phrase, n_occurrences,
+           round(CAST(ps_u AS DOUBLE) / 1000000, 6) AS rake_score
+    FROM (SELECT *, row_number() OVER (ORDER BY ps_u DESC,
+                     phrase ASC) AS rank
+          FROM agg)
+    WHERE rank <= {_RAKE_TOP}
+    ORDER BY rank
+"""

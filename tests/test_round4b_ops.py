@@ -692,3 +692,102 @@ def test_session_sequence_pairs_vs_brute(spark, sf_dir):
         assert 0.0 < r.confidence <= 1.0
         assert r.support == pytest.approx(r.n_support / n_sessions,
                                           abs=1e-6)
+
+
+# ------------------------------------------------- duplicate payments
+
+def test_duplicate_payment_audit_brute(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.data_quality import (
+        duplicate_payment_audit)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = duplicate_payment_audit(spark, sf_dir).collect()
+    pdf = (load_table(spark, sf_dir, "orders")
+           .select("o_custkey", "o_orderkey",
+                   F.round(F.col("o_totalprice") * 100, 0)
+                   .cast("long").alias("cents"),
+                   F.to_date("o_orderdate").alias("od")).toPandas())
+    found = set()
+    for (_, _), g in pdf.groupby(["o_custkey", "cents"]):
+        rs = g.sort_values("o_orderkey").to_dict("records")
+        for i in range(len(rs)):
+            for j in range(i + 1, len(rs)):
+                gap = abs((rs[j]["od"] - rs[i]["od"]).days)
+                if gap <= 7:
+                    found.add((rs[i]["o_orderkey"],
+                               rs[j]["o_orderkey"], gap))
+    got = {(r.key_a, r.key_b, r.day_gap) for r in rows}
+    assert got == found
+    for r in rows:
+        assert 0 <= r.day_gap <= 7
+
+
+# ----------------------------------------------------------------- HHI
+
+def test_hhi_bounds_and_single_brand_market():
+    """HHI of a monopoly market is 10000 points; an equal n-way split
+    is 10000/n — the closed form the query's snapped arithmetic must
+    approach."""
+    def hhi(shares):
+        su = [round(s * 1_000_000) for s in shares]
+        return sum(x * x for x in su) / 1e8
+    assert hhi([1.0]) == pytest.approx(10000.0)
+    assert hhi([0.25] * 4) == pytest.approx(2500.0)
+    assert hhi([0.5, 0.3, 0.2]) == pytest.approx(3800.0)
+
+
+def test_hhi_query_consistency(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.relational_ext import (
+        brand_concentration_hhi)
+    rows = brand_concentration_hhi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.hhi <= 10000.0 + 1e-6
+        assert r.hhi >= 10000.0 / r.n_brands - 1e-3  # equal-split floor
+        expect = ("unconcentrated" if r.hhi < 1500
+                  else "moderate" if r.hhi < 2500 else "high")
+        assert r.band == expect
+
+
+# ---------------------------------------------------------------- RAKE
+
+def test_rake_scores_match_brute(spark, sf_dir):
+    from collections import defaultdict
+
+    from qrapids_forecast_r_script_spark.operators.text import (
+        _EN_STOP, _RAKE_MAX_LEN, rake_keywords_top)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = rake_keywords_top(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "text").toPandas()["text"]
+    stop = set(_EN_STOP)
+    phrases = []
+    for text in docs:
+        run = []
+        for tok in text.split(" ") + ["the"]:  # sentinel flush
+            if tok in stop:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(tok)
+    freq = defaultdict(int)
+    deg = defaultdict(int)
+    kept = [p for p in phrases if len(p) <= _RAKE_MAX_LEN]
+    for p in kept:
+        for t in p:
+            freq[t] += 1
+            deg[t] += len(p)
+    wscore = {t: round(deg[t] / freq[t] * 1_000_000)
+              for t in freq}
+    pscore = defaultdict(int)
+    pcount = defaultdict(int)
+    for p in kept:
+        pscore[p] = sum(wscore[t] for t in p)
+        pcount[p] += 1
+    ranked = sorted(pscore, key=lambda p: (-pscore[p], " ".join(p)))
+    for i, r in enumerate(rows):
+        p = tuple(r.phrase.split(" "))
+        assert p == ranked[i], (i, r.phrase, ranked[i])
+        assert r.n_occurrences == pcount[p]
+        assert r.rake_score == pytest.approx(pscore[p] / 1e6, abs=2e-6)
+    assert rows[0].rank == 1 and len(rows) <= 25
