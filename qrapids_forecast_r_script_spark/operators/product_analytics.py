@@ -1526,3 +1526,237 @@ ORACLES["session_sequence_pairs"] = f"""
     ORDER BY s.ante, s.cons
 """
 QUERIES["session_sequence_pairs"] = session_sequence_pairs
+
+
+def ab_mannwhitney_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test on per-user purchase
+    revenue between the two hash arms — the NONPARAMETRIC sibling of
+    `ab_test_report`'s proportion z-test: revenue per user is heavy-
+    tailed, so the mean-based test is whale-dominated while the
+    rank-based U statistic is outlier-robust — the reason
+    experimentation platforms report both.  On the deterministic A/A
+    hash split the verdict must come back not-significant (and does).
+
+    Revenue is EXACT integer cents (the float-sum ranks-flip hazard:
+    ranks are discontinuous in their input, so the metric must be
+    bit-stable before ranking).  Ranks use the tie-average convention
+    with the classic tie-corrected normal approximation: sigma² =
+    n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1))) (Lehmann,
+    "Nonparametrics", the R ``wilcox.test`` correction).
+
+    Scale shape: ranks are NOT computed with a global per-user window
+    — per-user cent totals aggregate to DISTINCT VALUE tiers (value
+    cardinality, not user cardinality), the running tie-average rank
+    is one ordered pass over tiers (the skyline sort-scan pattern),
+    and the rank SUM per arm folds back with exact half-integer
+    arithmetic.  Three narrow aggregates, one tiny sort, one-row
+    output."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    users = (ev.groupBy("user_id")
+             .agg(F.coalesce(
+                 F.sum(F.when(F.col("event_type") == "purchase",
+                              F.round(F.col("value") * 100, 0)
+                              .cast("long"))), F.lit(0).cast("long"))
+                 .alias("cents"))
+             .withColumn("arm", arm))
+    tiers = (users.groupBy("cents")
+             .agg(F.count(F.lit(1)).alias("t"),
+                  F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+                  .alias("t_a")))
+    w = (Window.orderBy("cents")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = (tiers
+              .withColumn("cum_before",
+                          F.coalesce(F.sum("t").over(w),
+                                     F.lit(0).cast("long")))
+              .withColumn("avg_rank",
+                          F.col("cum_before")
+                          + (F.col("t") + 1) / F.lit(2.0)))
+    agg = ranked.agg(
+        F.sum("t_a").alias("n_a"),
+        F.sum(F.col("t") - F.col("t_a")).alias("n_b"),
+        F.sum(F.col("t_a") * F.col("avg_rank")).alias("r_a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("tie_sum"))
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    nn = n_a + n_b
+    u_a = F.col("r_a") - n_a * (n_a + 1) / 2
+    mean_u = n_a * n_b / 2
+    sigma = F.sqrt(n_a * n_b / 12
+                   * ((nn + 1)
+                      - F.col("tie_sum").cast("double")
+                      / (nn * (nn - 1))))
+    z = (u_a - mean_u) / F.nullif(sigma, F.lit(0.0))
+    return agg.select(
+        "n_a", "n_b",
+        F.round(u_a, 1).alias("u_a"),
+        F.round(mean_u, 1).alias("mean_u"),
+        F.col("tie_sum"),
+        F.round(sigma, 6).alias("sigma_u"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > _AB_Z_CRIT).alias("significant"))
+
+
+QUERIES["ab_mannwhitney_test"] = ab_mannwhitney_test
+ORACLES["ab_mannwhitney_test"] = f"""
+    WITH users AS (
+        SELECT user_id,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100, 0) AS BIGINT)
+                            END), 0) AS cents,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    ::BIGINT % 2) AS arm
+        FROM events GROUP BY user_id
+    ), tiers AS (
+        SELECT cents, count(*) AS t,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS t_a
+        FROM users GROUP BY cents
+    ), ranked AS (
+        SELECT *,
+               coalesce(sum(t) OVER (ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cum_before,
+               coalesce(sum(t) OVER (ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0)
+                   + (t + 1) / CAST(2 AS DOUBLE) AS avg_rank
+        FROM tiers
+    ), agg AS (
+        SELECT CAST(sum(t_a) AS BIGINT) AS n_a,
+               CAST(sum(t - t_a) AS BIGINT) AS n_b,
+               sum(t_a * avg_rank) AS r_a,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+        FROM ranked
+    )
+    SELECT n_a, n_b,
+           round(r_a - CAST(n_a AS DOUBLE) * (n_a + 1) / 2, 1) AS u_a,
+           round(CAST(n_a AS DOUBLE) * n_b / 2, 1) AS mean_u,
+           tie_sum,
+           round(sqrt(CAST(n_a AS DOUBLE) * n_b / 12
+                 * ((CAST(n_a + n_b AS DOUBLE) + 1)
+                    - CAST(tie_sum AS DOUBLE)
+                      / (CAST(n_a + n_b AS DOUBLE)
+                         * (CAST(n_a + n_b AS DOUBLE) - 1)))), 6)
+               AS sigma_u,
+           round((r_a - CAST(n_a AS DOUBLE) * (n_a + 1) / 2
+                  - CAST(n_a AS DOUBLE) * n_b / 2)
+                 / nullif(sqrt(CAST(n_a AS DOUBLE) * n_b / 12
+                   * ((CAST(n_a + n_b AS DOUBLE) + 1)
+                      - CAST(tie_sum AS DOUBLE)
+                        / (CAST(n_a + n_b AS DOUBLE)
+                           * (CAST(n_a + n_b AS DOUBLE) - 1)))), 0),
+                 6) AS z,
+           abs((r_a - CAST(n_a AS DOUBLE) * (n_a + 1) / 2
+                - CAST(n_a AS DOUBLE) * n_b / 2)
+               / nullif(sqrt(CAST(n_a AS DOUBLE) * n_b / 12
+                 * ((CAST(n_a + n_b AS DOUBLE) + 1)
+                    - CAST(tie_sum AS DOUBLE)
+                      / (CAST(n_a + n_b AS DOUBLE)
+                         * (CAST(n_a + n_b AS DOUBLE) - 1)))), 0))
+               > {_AB_Z_CRIT} AS significant
+    FROM agg
+"""
+
+
+_DID_SPLIT = "2024-01-16 00:00:00"
+
+
+def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout over the hash arms with a
+    mid-month period split — the quasi-experimental estimator (Card &
+    Krueger 1994 canon) for "the change changed the change": each
+    user contributes a pre-period and post-period purchase total, the
+    per-user POST−PRE delta cancels user-level level effects, and the
+    arm contrast of mean deltas cancels the common time trend — the
+    parallel-trends identification.  On the A/A hash split the DiD
+    estimate must be statistically zero (and is) — the calibration
+    companion to `ab_test_report` / `ab_test_cuped` (which adjust a
+    single-period readout; this one identifies from the time axis).
+
+    Per-user cents are exact integers; the delta is an exact integer;
+    only the mean/variance of deltas are IEEE.  SE is the two-sample
+    Welch form sqrt(s²_t/n_t + s²_c/n_c) on the deltas.
+
+    Scale: one user-keyed aggregate with conditional sums (map-side
+    combined), one 2-row arm aggregate, one-row output — the
+    experimentation envelope, no extra shuffle for the panel."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    is_purchase = F.col("event_type") == "purchase"
+    post = F.col("ts") >= F.lit(_DID_SPLIT).cast("timestamp")
+    users = (ev.groupBy("user_id")
+             .agg(F.coalesce(F.sum(F.when(is_purchase & ~post, cents)),
+                             F.lit(0).cast("long")).alias("pre"),
+                  F.coalesce(F.sum(F.when(is_purchase & post, cents)),
+                             F.lit(0).cast("long")).alias("post"))
+             .withColumn("arm", arm)
+             .withColumn("delta", F.col("post") - F.col("pre")))
+    arms = (users.groupBy("arm")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg(F.col("delta").cast("double")).alias("mean_d"),
+                 F.var_samp(F.col("delta").cast("double")).alias("var_d")))
+    t = arms.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_t"), F.col("mean_d").alias("mean_t"),
+        F.col("var_d").alias("var_t"))
+    c = arms.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_c"), F.col("mean_d").alias("mean_c"),
+        F.col("var_d").alias("var_c"))
+    j = t.crossJoin(c)
+    did = F.col("mean_t") - F.col("mean_c")
+    se = F.sqrt(F.col("var_t") / F.col("n_t")
+                + F.col("var_c") / F.col("n_c"))
+    z = did / F.nullif(se, F.lit(0.0))
+    return j.select(
+        "n_t", "n_c",
+        F.round(F.col("mean_t") / 100, 6).alias("mean_delta_t"),
+        F.round(F.col("mean_c") / 100, 6).alias("mean_delta_c"),
+        F.round(did / 100, 6).alias("did_estimate"),
+        F.round(se / 100, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > _AB_Z_CRIT).alias("significant"))
+
+
+QUERIES["ab_diff_in_diff"] = ab_diff_in_diff
+ORACLES["ab_diff_in_diff"] = f"""
+    WITH users AS (
+        SELECT user_id,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                                  AND ts < TIMESTAMP '{_DID_SPLIT}'
+                            THEN CAST(round(value * 100, 0) AS BIGINT)
+                            END), 0) AS pre,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                                  AND ts >= TIMESTAMP '{_DID_SPLIT}'
+                            THEN CAST(round(value * 100, 0) AS BIGINT)
+                            END), 0) AS post,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    ::BIGINT % 2) AS arm
+        FROM events GROUP BY user_id
+    ), deltas AS (
+        SELECT arm, CAST(post - pre AS DOUBLE) AS delta FROM users
+    ), arms AS (
+        SELECT arm, count(*) AS n, avg(delta) AS mean_d,
+               var_samp(delta) AS var_d
+        FROM deltas GROUP BY arm
+    ), t AS (SELECT n AS n_t, mean_d AS mean_t, var_d AS var_t
+             FROM arms WHERE arm = 1),
+    c AS (SELECT n AS n_c, mean_d AS mean_c, var_d AS var_c
+          FROM arms WHERE arm = 0)
+    SELECT n_t, n_c,
+           round(mean_t / 100, 6) AS mean_delta_t,
+           round(mean_c / 100, 6) AS mean_delta_c,
+           round((mean_t - mean_c) / 100, 6) AS did_estimate,
+           round(sqrt(var_t / n_t + var_c / n_c) / 100, 6) AS se,
+           round((mean_t - mean_c)
+                 / nullif(sqrt(var_t / n_t + var_c / n_c), 0), 6) AS z,
+           abs((mean_t - mean_c)
+               / nullif(sqrt(var_t / n_t + var_c / n_c), 0))
+               > {_AB_Z_CRIT} AS significant
+    FROM t CROSS JOIN c
+"""

@@ -377,3 +377,55 @@ ORACLES["brand_concentration_hhi"] = """
                 ELSE 'high' END AS band
     FROM scored ORDER BY p_type
 """
+
+
+def parts_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query over the part catalog — the
+    multi-criteria shortlist operator (Börzsönyi et al., ICDE 2001
+    "The Skyline Operator"): the parts for which no other part is
+    BOTH cheaper-or-equal AND larger-or-equal with at least one
+    strict inequality (minimize retail price, maximize size) — i.e.
+    the price/size trade-off curve a sourcing or serving-tier
+    decision reads directly.
+
+    The textbook definition is a quadratic NOT EXISTS self-join; the
+    Spark plan is the O(n log n) sort-scan rewrite: per-price tier
+    max size, one ordered window pass carrying the running max size
+    over STRICTLY cheaper tiers, and a part is on the frontier iff it
+    achieves its tier max and strictly beats every cheaper tier's
+    best (ties on both axes are mutually non-dominating, so whole
+    duplicate groups survive together — exactly the NOT EXISTS
+    semantics, which the oracle pins by running the quadratic form).
+
+    Scale shape: one price-keyed aggregate (map-side combined), one
+    global sort over DISTINCT prices (tier cardinality, not fact
+    cardinality), one shuffle join of parts to their tier row — no
+    O(n²) pair enumeration anywhere.  At 100 TB the sort is the only
+    wide stage, and AQE handles the tier-table skew."""
+    part = load_table(spark, sf_dir, "part")
+    tier = (part.groupBy("p_retailprice")
+            .agg(F.max("p_size").alias("tier_max")))
+    w = (Window.orderBy("p_retailprice")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    tier = tier.withColumn("best_cheaper", F.max("tier_max").over(w))
+    return (part.join(tier, "p_retailprice")
+            .where((F.col("p_size") == F.col("tier_max"))
+                   & (F.col("best_cheaper").isNull()
+                      | (F.col("p_size") > F.col("best_cheaper"))))
+            .select("p_partkey", "p_name",
+                    F.round("p_retailprice", 2).alias("retail_price"),
+                    "p_size"))
+
+
+QUERIES["parts_skyline_frontier"] = parts_skyline_frontier
+ORACLES["parts_skyline_frontier"] = """
+    SELECT p.p_partkey, p.p_name,
+           round(p.p_retailprice, 2) AS retail_price, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice
+               OR q.p_size > p.p_size))
+"""

@@ -2256,3 +2256,130 @@ ORACLES["embedding_norm_audit"] = """
     FROM scored GROUP BY 1 ORDER BY 1
 """
 QUERIES["embedding_norm_audit"] = embedding_norm_audit
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit) quantization ANN — the most aggressive compression tier.
+
+_BQ_SHORTLIST = 50
+
+
+def binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN with exact re-rank — the 1-bit compression
+    tier below SQ8 and PQ (FAISS ``LSH``/``binary`` indexes, and the
+    binary-quantization mode modern vector DBs ship for 32× memory
+    cuts): each dimension keeps only its SIGN, the 64-dim vector packs
+    into two 32-bit words, and candidate distance is the HAMMING
+    distance ``bit_count(xor(lo), xor(hi))`` — for sign bits of unit
+    vectors this is a monotone proxy of angular distance (Charikar
+    2002 sign-random-projection with the identity basis).  Search
+    shortlists the top-{_BQ_SHORTLIST} by (hamming asc, id asc) and
+    re-ranks with exact cosine on the full-precision vectors carried
+    through the shortlist.
+
+    Two 32-bit halves (not one 64-bit word) so every shift stays ≤31
+    and the packed value stays positive in a signed BIGINT on BOTH
+    engines (DuckDB raises on ``1::BIGINT << 63``) — the packing is
+    bit-for-bit identical, so the whole pipeline is exactly oracled.
+
+    Scale shape: packing is map-only (8 bytes/vector at rest — a 32×
+    cut vs float32; a 100 TB float corpus becomes a 3 TB bit index
+    that fits in cluster RAM); the Hamming scan is two XORs + two
+    popcounts per pair, all inside whole-stage codegen; the exact
+    re-rank touches only the constant-size shortlist.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _as_double("embedding").alias("vec"))
+    lo_w = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
+    hi_w = lo_w
+
+    def _pack(slice_col, wts):
+        return F.aggregate(
+            F.zip_with(slice_col, wts,
+                       lambda x, w: F.when(x > 0, w)
+                                     .otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    packed = (vecs
+              .withColumn("lo", _pack(F.slice("vec", 1, 32), lo_w))
+              .withColumn("hi", _pack(F.slice("vec", 33, 32), hi_w)))
+    corpus = packed.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("vec").alias("nvec"),
+                           F.col("lo").alias("nlo"),
+                           F.col("hi").alias("nhi"))
+    queries = (packed.orderBy("vec_id").limit(_N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("vec").alias("qvec"),
+                       F.col("lo").alias("qlo"),
+                       F.col("hi").alias("qhi"))
+               .withColumn("qnorm", _norm(F.col("qvec"))))
+    hamming = (F.bit_count(F.col("qlo").bitwiseXOR(F.col("nlo")))
+               + F.bit_count(F.col("qhi").bitwiseXOR(F.col("nhi")))
+               ).cast("long")
+    scored = (corpus.crossJoin(F.broadcast(queries))
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id", "nvec", "qvec", "qnorm",
+                      hamming.alias("hamming")))
+    wshort = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc())
+    short = (scored.withColumn("srank", F.row_number().over(wshort))
+             .where(F.col("srank") <= _BQ_SHORTLIST))
+    cosine = F.round(_dot(F.col("qvec"), F.col("nvec"))
+                     / (F.col("qnorm") * _norm(F.col("nvec"))), 6)
+    wfinal = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (short.select("query_id", "neighbor_id", "hamming",
+                         cosine.alias("cosine"))
+            .withColumn("rank", F.row_number().over(wfinal))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "rank", "neighbor_id", "hamming",
+                    "cosine"))
+
+
+ORACLES["binary_quant_topk"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ), dims AS (
+        SELECT vec_id, generate_subscripts(emb, 1) AS d, unnest(emb) AS val
+        FROM vecs
+    ), packed AS (
+        SELECT vec_id,
+               sum(CASE WHEN d <= 32 AND val > 0
+                        THEN CAST(1 AS BIGINT) << (d - 1)
+                        ELSE 0 END) AS lo,
+               sum(CASE WHEN d > 32 AND val > 0
+                        THEN CAST(1 AS BIGINT) << (d - 33)
+                        ELSE 0 END) AS hi
+        FROM dims GROUP BY vec_id
+    ), queries AS (
+        SELECT v.vec_id AS query_id, v.emb AS qemb, p.lo AS qlo,
+               p.hi AS qhi,
+               sqrt(list_dot_product(v.emb, v.emb)) AS qn
+        FROM vecs v JOIN packed p USING (vec_id)
+        ORDER BY v.vec_id LIMIT {_N_QUERIES}
+    ), scored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id, v.emb AS nvec,
+               q.qemb, q.qn,
+               CAST(bit_count(xor(q.qlo, p.lo))
+                    + bit_count(xor(q.qhi, p.hi)) AS BIGINT) AS hamming
+        FROM queries q CROSS JOIN packed p JOIN vecs v USING (vec_id)
+        WHERE q.query_id != v.vec_id
+    ), short AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY hamming ASC, neighbor_id ASC) AS srank
+        FROM scored
+    ), rer AS (
+        SELECT query_id, neighbor_id, hamming,
+               round(list_dot_product(qemb, nvec)
+                     / (qn * sqrt(list_dot_product(nvec, nvec))), 6)
+               AS cosine
+        FROM short WHERE srank <= {_BQ_SHORTLIST}
+    )
+    SELECT query_id, rank, neighbor_id, hamming, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM rer)
+    WHERE rank <= {_TOP_K}
+"""
+QUERIES["binary_quant_topk"] = binary_quant_topk
