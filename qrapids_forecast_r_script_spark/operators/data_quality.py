@@ -1422,3 +1422,73 @@ ORACLES["duplicate_payment_audit"] = f"""
     ORDER BY a.o_custkey, amount, key_a, key_b
 """
 QUERIES["duplicate_payment_audit"] = duplicate_payment_audit
+
+
+_HILL_K = 200
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index over order values
+    (Hill 1975) — the heavy-tail diagnostic behind capacity planning,
+    fraud thresholds, and "is the mean even finite?" sanity checks:
+    alpha_hat = 1 / mean(ln(x_(i) / x_(k+1))) over the top-k order
+    statistics.  alpha ≤ 1 means the mean is tail-dominated (sample
+    means never converge); alpha ≤ 2 means infinite variance — both
+    verdicts the z-test family silently assumes away, which is why
+    this audit sits next to `ab_mannwhitney_test` in the kit.
+
+    Values are exact integer cents; each log-excess term ln(x_i) −
+    ln(x_{{k+1}}) is snapped to the 1e-6 grid before the k-term mean
+    (libm-drift discipline).  Ties at the threshold are harmless: the
+    estimator depends on the selected VALUES only.
+
+    Scale shape: the top-(k+1) selection is Spark's distributed
+    TakeOrdered (per-partition heaps, no global sort, no global
+    window); everything after runs on a constant k+1 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    top = (orders.select(cents.alias("cents"))
+           .orderBy(F.col("cents").desc())
+           .limit(_HILL_K + 1))
+    thr = top.agg(F.min("cents").alias("thr"))
+    excess = F.round(F.log(F.col("cents").cast("double"))
+                     - F.log(F.col("thr").cast("double")), 6)
+    stats = (top.crossJoin(F.broadcast(thr))
+             .where(F.col("cents") > F.col("thr"))
+             .agg(F.count(F.lit(1)).alias("k_used"),
+                  F.max(F.col("thr")).alias("thr_cents"),
+                  F.avg(excess).alias("mean_log_excess")))
+    alpha = F.lit(1.0) / F.nullif(F.col("mean_log_excess"), F.lit(0.0))
+    return stats.select(
+        "k_used",
+        F.round(F.col("thr_cents").cast("double") / 100, 2)
+        .alias("threshold"),
+        F.round("mean_log_excess", 6).alias("mean_log_excess"),
+        F.round(alpha, 6).alias("hill_alpha"),
+        (alpha <= 2.0).alias("infinite_variance"))
+
+
+QUERIES["hill_tail_index"] = hill_tail_index
+ORACLES["hill_tail_index"] = f"""
+    WITH top AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders ORDER BY cents DESC LIMIT {_HILL_K + 1}
+    ), thr AS (
+        SELECT min(cents) AS thr FROM top
+    ), stats AS (
+        SELECT count(*) AS k_used,
+               max(thr) AS thr_cents,
+               avg(round(ln(CAST(cents AS DOUBLE))
+                         - ln(CAST(thr AS DOUBLE)), 6))
+                   AS mean_log_excess
+        FROM top CROSS JOIN thr
+        WHERE cents > thr
+    )
+    SELECT k_used,
+           round(CAST(thr_cents AS DOUBLE) / 100, 2) AS threshold,
+           round(mean_log_excess, 6) AS mean_log_excess,
+           round(1.0 / nullif(mean_log_excess, 0), 6) AS hill_alpha,
+           (1.0 / nullif(mean_log_excess, 0)) <= 2.0
+               AS infinite_variance
+    FROM stats
+"""

@@ -713,3 +713,66 @@ ORACLES["source_unigram_kl"] = """
            round(CAST(sum(term_u) AS DOUBLE) / 1000000, 6) AS kl_nats
     FROM terms GROUP BY 1 ORDER BY 1
 """
+
+
+def doc_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution plus
+    its normalized form — the vocabulary-diversity quality signal
+    between raw length stats and the bigram LM: keyword-stuffed or
+    template text has low entropy at any length, and normalized
+    entropy H/ln(V_doc) (Pielou evenness) separates "few tokens" from
+    "skewed tokens".  Filtering pipelines (Gopher-family heuristics)
+    threshold on exactly this pair.
+
+    H = ln(n) − (Σ c·ln c)/n on exact integer counts; each c·ln c
+    term is snapped to the 1e-6 grid BEFORE the sum (the survival-
+    curve libm-drift discipline) so both engines add identical terms.
+
+    Scale shape: one map-side tokenize + (doc, token) count, one
+    doc-keyed fold — the text-stats envelope, two narrow shuffles,
+    output one row per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token"))
+    counts = (toks.groupBy("doc_id", "token")
+              .agg(F.count(F.lit(1)).alias("c")))
+    term = F.round(F.col("c") * F.log(F.col("c").cast("double")), 6)
+    per_doc = (counts.groupBy("doc_id")
+               .agg(F.sum("c").alias("n_tokens"),
+                    F.count(F.lit(1)).alias("n_distinct"),
+                    F.sum(term).alias("clogc")))
+    h = (F.log(F.col("n_tokens").cast("double"))
+         - F.col("clogc") / F.col("n_tokens").cast("double"))
+    norm = h / F.nullif(F.log(F.col("n_distinct").cast("double")),
+                        F.lit(0.0))
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.round(h, 6).alias("entropy"),
+        F.round(F.coalesce(norm, F.lit(0.0)), 6).alias("evenness"))
+
+
+QUERIES["doc_entropy_scores"] = doc_entropy_scores
+ORACLES["doc_entropy_scores"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT doc_id, token, count(*) AS c
+        FROM toks GROUP BY 1, 2
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct,
+               sum(round(c * ln(CAST(c AS DOUBLE)), 6)) AS clogc
+        FROM counts GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           round(ln(CAST(n_tokens AS DOUBLE))
+                 - clogc / CAST(n_tokens AS DOUBLE), 6) AS entropy,
+           round(coalesce(
+               (ln(CAST(n_tokens AS DOUBLE))
+                - clogc / CAST(n_tokens AS DOUBLE))
+               / nullif(ln(CAST(n_distinct AS DOUBLE)), 0), 0), 6)
+               AS evenness
+    FROM per_doc
+"""

@@ -585,3 +585,68 @@ ORACLES["nb_calibration_curve"] = f"""
     FROM g ORDER BY decile
 """
 QUERIES["nb_calibration_curve"] = nb_calibration_curve
+
+
+_FH_BUCKETS = 64
+_FH_DOC_MOD = 10
+
+
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words vectorizer (Weinberger et al., ICML
+    2009 "Feature Hashing for Large Scale Multitask Learning"; the
+    ``HashingVectorizer`` every linear text baseline uses): each token
+    hashes to one of {_FH_BUCKETS} buckets via md5, a SECOND hash bit
+    gives the ±1 sign that makes the bucketed inner product an
+    unbiased kernel estimate, signed counts accumulate per (doc,
+    bucket), and the sparse vector is L2-normalized — the fixed-width
+    feature map that needs NO vocabulary pass, no vocab broadcast, no
+    OOV path, which is exactly why it scales: tokenize → hash →
+    aggregate is one map-side pass plus one (doc,bucket)-keyed
+    reduce, on a feature space of constant width.
+
+    Output is the sparse (doc, bucket, weight) triple table for the
+    deterministic doc_id % {_FH_DOC_MOD} == 0 slice (bounded driver
+    compare; the mod is a sample knob, not a semantic).  Signed sums
+    are exact integers; only the final normalize divides."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % _FH_DOC_MOD == 0))
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token"))
+    bucket = (F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+              .cast("bigint") % _FH_BUCKETS)
+    sign = (F.lit(1)
+            - 2 * (F.conv(F.substring(F.md5("token"), 9, 1), 16, 10)
+                   .cast("bigint") % 2))
+    cells = (toks.select("doc_id", bucket.alias("bucket"),
+                         sign.alias("sgn"))
+             .groupBy("doc_id", "bucket")
+             .agg(F.sum("sgn").alias("val"))
+             .where(F.col("val") != 0))
+    wdoc = Window.partitionBy("doc_id")
+    nrm = F.sqrt(F.sum(F.col("val") * F.col("val")).over(wdoc)
+                 .cast("double"))
+    return (cells
+            .withColumn("weight", F.round(F.col("val") / nrm, 6))
+            .select("doc_id", "bucket", "val", "weight"))
+
+
+QUERIES["feature_hash_vectors"] = feature_hash_vectors
+ORACLES["feature_hash_vectors"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id % {_FH_DOC_MOD} = 0
+    ), cells AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(token), 1, 8))::BIGINT
+                   % {_FH_BUCKETS} AS bucket,
+               CAST(sum(1 - 2 * (('0x' || substr(md5(token), 9, 1))
+                                     ::BIGINT % 2)) AS BIGINT) AS val
+        FROM toks GROUP BY 1, 2
+    ), nz AS (
+        SELECT * FROM cells WHERE val != 0
+    )
+    SELECT doc_id, bucket, val,
+           round(val / sqrt(CAST(sum(val * val)
+                 OVER (PARTITION BY doc_id) AS DOUBLE)), 6) AS weight
+    FROM nz
+"""
