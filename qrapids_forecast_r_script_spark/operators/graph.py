@@ -745,3 +745,85 @@ ORACLES["doc_graph_degree_powerlaw"] = _SIG_CTE + """
                AS top_decile_edge_share
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE BFS — the declarative-recursion engine surface.
+
+_BFS_DEPTH = 4
+
+
+def doc_graph_bfs_reachability(spark: SparkSession, sf_dir: str,
+                               depth: int = _BFS_DEPTH) -> DataFrame:
+    """Breadth-first reachability from the lowest-id document that has
+    a near-dup edge, written as an ANSI ``WITH RECURSIVE`` CTE and
+    executed by Spark's OWN recursion engine (new in Spark 4) — the
+    declarative form of the iterative traversals `dedup_clusters` /
+    `doc_graph_kcore` hand-unroll.  The result is the seed's dup
+    neighborhood with hop distance — the "show me everything within
+    k hops of this boilerplate family" audit drill-down.
+
+    Recursive-CTE BFS enumerates WALKS, not visits, so cycles would
+    loop forever without the ``dist < {depth}`` guard; the final
+    ``min(dist)`` group collapses walk multiplicity to true BFS
+    distance.  Bounded because near-dup components are clique-like
+    and small (`dedup_cluster_sizes` pins the size histogram): walk
+    count ≤ |component|^depth, a constant-bounded blowup — the
+    documented trade for engine-native recursion vs the manual
+    converge-loop (which `dedup_clusters` keeps for the unbounded
+    case).  Both engines run the SAME recursive SQL, so the oracle
+    checks Spark's recursion semantics (seed row, UNION ALL step,
+    termination) end-to-end.
+
+    Scale shape: each recursion level is one hash join of the
+    frontier against the edge list — identical physical work to one
+    hand-written BFS round; depth is the knob."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+           .union(pairs.select(F.col("doc_b").alias("src"),
+                               F.col("doc_a").alias("dst"))))
+    sym.createOrReplaceTempView("qr_bfs_sym")
+    return spark.sql(f"""
+        WITH RECURSIVE walk(doc_id, dist) AS (
+            SELECT CAST((SELECT min(src) FROM qr_bfs_sym) AS BIGINT)
+                       AS doc_id,
+                   CAST(0 AS BIGINT) AS dist
+            UNION ALL
+            SELECT e.dst AS doc_id, CAST(w.dist + 1 AS BIGINT) AS dist
+            FROM walk w JOIN qr_bfs_sym e ON e.src = w.doc_id
+            WHERE w.dist < {depth}
+        )
+        SELECT doc_id, CAST(min(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY doc_id
+    """)
+
+
+def _bfs_oracle_sql(depth: int = _BFS_DEPTH) -> str:
+    return _SIG_CTE.replace("WITH", "WITH RECURSIVE", 1) + f"""
+        , bands AS ({_BANDS_UNION}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                        AND a.doc_id < b.doc_id
+        ),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        walk(doc_id, dist) AS (
+            SELECT CAST((SELECT min(src) FROM sym) AS BIGINT) AS doc_id,
+                   CAST(0 AS BIGINT) AS dist
+            UNION ALL
+            SELECT e.dst AS doc_id, CAST(w.dist + 1 AS BIGINT) AS dist
+            FROM walk w JOIN sym e ON e.src = w.doc_id
+            WHERE w.dist < {depth}
+        )
+        SELECT doc_id, CAST(min(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY doc_id
+    """
+
+
+QUERIES["doc_graph_bfs_reachability"] = doc_graph_bfs_reachability
+ORACLES["doc_graph_bfs_reachability"] = _bfs_oracle_sql()
