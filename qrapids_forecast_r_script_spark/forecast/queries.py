@@ -2450,3 +2450,235 @@ EVAL_ORACLES["events_ewma_control_chart"] = f"""
     JOIN stats st ON e.name = st.name AND e.index = st.index
     ORDER BY e.name, e.index, e.t
 """
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal — exact via ENGINE-NATIVE RECURSION.
+
+_HW_M = 7           # weekly season on daily metric series
+_HW_MIN_N = 15      # >= 2m+1 observations so init + >=1 smoothing step
+_HW_H = 14          # the family's two-week horizon
+
+
+def forecast_holtwinters_events(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Additive Holt-Winters (Winters 1960) at alpha = beta = gamma =
+    1/2, season m = 7 — the THIRD exactly-oracled smoothing
+    forecaster (SES → Holt → full level+trend+SEASONAL state), and
+    the first computed by Spark's OWN recursive-CTE engine (Spark 4
+    ``WITH RECURSIVE``): the three-state recursion is inherently
+    sequential, which closed the door on the SES/Holt integer-weight
+    unrolling (the seasonal state decays only per SEASON, so
+    truncation never drops below the output grid on month-long
+    series) — engine-native recursion runs the EXACT recursion
+    instead, one level per observation, carrying (level, trend, the
+    last-m seasonal ring buffer, one-step SSE) as recursion state.
+    Both engines execute the same sequential arithmetic in the same
+    order, so the state is bit-identical with NO resync rounding —
+    the oracle pins Spark's recursion semantics under real stateful
+    load (arrays in recursion state, per-level joins), not just the
+    BFS toy shape.
+
+    Contract (ours, stated): observation-indexed seasonality (gap
+    days shift the ring — the `series_rolling_correlation`
+    precedent); init l0 = mean(y[1..m]), b0 = (mean(y[m+1..2m]) −
+    mean(y[1..m]))/m, s_i = y_i − l0, smoothing from t = m+1; only
+    series with n ≥ 15 qualify.  Init means are computed on the
+    1e-6-grid integer values (exact sums, engine-order-proof); the
+    recursion itself is order-fixed so IEEE arithmetic is identical.
+    Bands: the FPP class-1 additive-HW variance profile with the
+    in-recursion one-step-residual sd.
+
+    Scale shape: each recursion level is one hash join of the
+    per-series state frontier against the next observation slice —
+    the same physical work as one hand-unrolled smoothing round;
+    depth = series length (bounded by the 10k cap), parallelism =
+    series count, which is the applyInPandas layout WITHOUT leaving
+    the JVM."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    seq = (metrics
+           .withColumn("t", F.row_number().over(w))
+           .withColumn("n", F.count(F.lit(1)).over(
+               Window.partitionBy("name", "index")))
+           .withColumn("vu", F.round(F.round("value", 6) * 1_000_000, 0)
+                       .cast("long"))
+           .where(F.col("n") >= _HW_MIN_N))
+    first = (seq.where(F.col("t") <= 2 * _HW_M)
+             .groupBy("name", "index")
+             .agg(F.sum(F.when(F.col("t") <= _HW_M, F.col("vu")))
+                  .alias("sa"),
+                  F.sum(F.when(F.col("t") > _HW_M, F.col("vu")))
+                  .alias("sb"),
+                  F.transform(
+                      F.array_sort(F.collect_list(
+                          F.when(F.col("t") <= _HW_M,
+                                 F.struct("t", "vu")))),
+                      lambda s: s["vu"].cast("double") / 1e6)
+                  .alias("ys")))
+    l0 = F.col("sa").cast("double") / _HW_M / 1e6
+    init = first.select(
+        "name", "index", l0.alias("l"),
+        ((F.col("sb") - F.col("sa")).cast("double")
+         / (_HW_M * _HW_M) / 1e6).alias("b"),
+        F.transform("ys", lambda y: y - l0).alias("sarr"))
+    obs = seq.select("name", "index", "t",
+                     (F.col("vu").cast("double") / 1e6).alias("y"))
+    init.createOrReplaceTempView("qr_hw_init")
+    obs.createOrReplaceTempView("qr_hw_obs")
+    return spark.sql(f"""
+        WITH RECURSIVE walk(name, index, t, l, b, sarr, sse) AS (
+            SELECT name, index, CAST({_HW_M} AS INT) AS t, l, b, sarr,
+                   CAST(0 AS DOUBLE) AS sse
+            FROM qr_hw_init
+            UNION ALL
+            SELECT w.name, w.index, w.t + 1,
+                   0.5D * (o.y - element_at(w.sarr, 1))
+                       + 0.5D * (w.l + w.b),
+                   0.5D * ((0.5D * (o.y - element_at(w.sarr, 1))
+                            + 0.5D * (w.l + w.b)) - w.l) + 0.5D * w.b,
+                   concat(slice(w.sarr, 2, {_HW_M - 1}),
+                          array(0.5D * (o.y - w.l - w.b)
+                                + 0.5D * element_at(w.sarr, 1))),
+                   w.sse + (o.y - (w.l + w.b + element_at(w.sarr, 1)))
+                         * (o.y - (w.l + w.b + element_at(w.sarr, 1)))
+            FROM walk w JOIN qr_hw_obs o
+              ON o.name = w.name AND o.index = w.index
+             AND o.t = w.t + 1
+        ),
+        fin AS (
+            SELECT * FROM (
+                SELECT w.*, row_number() OVER (PARTITION BY name, index
+                            ORDER BY t DESC) AS rn
+                FROM walk w)
+            WHERE rn = 1
+        ),
+        sds AS (
+            SELECT name, index, l, b, sarr,
+                   sqrt(sse / CAST(t - {_HW_M + 1} AS DOUBLE)) AS sd
+            FROM fin
+        ),
+        steps AS (SELECT explode(sequence(1, {_HW_H})) AS step),
+        fan AS (
+            SELECT s.name, s.index, CAST(st.step AS BIGINT) AS step,
+                   s.l + CAST(st.step AS DOUBLE) * s.b
+                       + element_at(s.sarr,
+                           CAST((st.step - 1) % {_HW_M} + 1 AS INT))
+                       AS mean,
+                   s.sd * sqrt(
+                       1.0D + (CAST(st.step AS DOUBLE) - 1.0D)
+                            * (0.25D
+                               + 0.25D * CAST(st.step AS DOUBLE)
+                               + 0.25D * CAST(st.step AS DOUBLE)
+                                 * (2.0D * CAST(st.step AS DOUBLE)
+                                    - 1.0D) / 6.0D)
+                          + 0.5D * CAST((st.step - 1) DIV {_HW_M}
+                                        AS DOUBLE)
+                            * (1.5D + 3.5D
+                               * (CAST((st.step - 1) DIV {_HW_M}
+                                       AS DOUBLE) + 1.0D))) AS width
+            FROM sds s CROSS JOIN steps st
+        )
+        SELECT name, index, 'HOLTWINTERS' AS method, step,
+               round(mean - {Z80} * width, 6) AS lower1,
+               round(mean - {Z95} * width, 6) AS lower2,
+               round(mean, 6) AS mean,
+               round(mean + {Z80} * width, 6) AS upper1,
+               round(mean + {Z95} * width, 6) AS upper2
+        FROM fan
+        ORDER BY name, index, step
+    """)
+
+
+EVAL_QUERIES["forecast_holtwinters_events"] = forecast_holtwinters_events
+EVAL_ORACLES["forecast_holtwinters_events"] = f"""
+    WITH RECURSIVE m AS ({_METRICS_EVENTS}),
+    seq AS (
+        SELECT name, index, value,
+               row_number() OVER w AS t,
+               count(*) OVER (PARTITION BY name, index) AS n,
+               CAST(round(round(value, 6) * 1000000, 0) AS BIGINT) AS vu
+        FROM m
+        WINDOW w AS (PARTITION BY name, index ORDER BY evaluationDate)
+    ), elig AS (
+        SELECT * FROM seq WHERE n >= {_HW_MIN_N}
+    ), init AS (
+        SELECT name, index,
+               CAST(sum(vu) FILTER (WHERE t <= {_HW_M}) AS DOUBLE)
+                   / {_HW_M} / 1e6 AS l,
+               CAST(sum(vu) FILTER (WHERE t > {_HW_M}) -
+                    sum(vu) FILTER (WHERE t <= {_HW_M}) AS DOUBLE)
+                   / {_HW_M * _HW_M} / 1e6 AS b,
+               list_transform(
+                   list(vu ORDER BY t) FILTER (WHERE t <= {_HW_M}),
+                   v -> CAST(v AS DOUBLE) / 1e6
+                        - CAST(sum(vu) FILTER (WHERE t <= {_HW_M})
+                               AS DOUBLE) / {_HW_M} / 1e6) AS sarr
+        FROM elig WHERE t <= {2 * _HW_M}
+        GROUP BY 1, 2
+    ), obs AS (
+        SELECT name, index, t, CAST(vu AS DOUBLE) / 1e6 AS y
+        FROM elig
+    ), walk(name, index, t, l, b, sarr, sse) AS (
+        SELECT name, index, {_HW_M} AS t, l, b, sarr,
+               CAST(0 AS DOUBLE) AS sse
+        FROM init
+        UNION ALL
+        SELECT w.name, w.index, w.t + 1,
+               CAST(0.5 AS DOUBLE) * (o.y - w.sarr[1])
+                   + CAST(0.5 AS DOUBLE) * (w.l + w.b),
+               CAST(0.5 AS DOUBLE)
+                   * ((CAST(0.5 AS DOUBLE) * (o.y - w.sarr[1])
+                       + CAST(0.5 AS DOUBLE) * (w.l + w.b)) - w.l)
+                   + CAST(0.5 AS DOUBLE) * w.b,
+               w.sarr[2:{_HW_M}]
+                   || [CAST(0.5 AS DOUBLE) * (o.y - w.l - w.b)
+                       + CAST(0.5 AS DOUBLE) * w.sarr[1]],
+               w.sse + (o.y - (w.l + w.b + w.sarr[1]))
+                     * (o.y - (w.l + w.b + w.sarr[1]))
+        FROM walk w JOIN obs o
+          ON o.name = w.name AND o.index = w.index AND o.t = w.t + 1
+    ), fin AS (
+        SELECT * FROM (
+            SELECT w.*, row_number() OVER (PARTITION BY name, index
+                        ORDER BY t DESC) AS rn
+            FROM walk w) s
+        WHERE rn = 1
+    ), sds AS (
+        SELECT name, index, l, b, sarr,
+               sqrt(sse / CAST(t - {_HW_M + 1} AS DOUBLE)) AS sd
+        FROM fin
+    ), steps AS (
+        SELECT CAST(h AS BIGINT) AS step
+        FROM generate_series(1, {_HW_H}) g(h)
+    ), fan AS (
+        SELECT s.name, s.index, st.step,
+               s.l + CAST(st.step AS DOUBLE) * s.b
+                   + s.sarr[CAST((st.step - 1) % {_HW_M} + 1 AS INT)]
+                   AS mean,
+               s.sd * sqrt(
+                   CAST(1 AS DOUBLE)
+                   + (CAST(st.step AS DOUBLE) - 1)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.25 AS DOUBLE)
+                          * CAST(st.step AS DOUBLE)
+                        + CAST(0.25 AS DOUBLE)
+                          * CAST(st.step AS DOUBLE)
+                          * (2 * CAST(st.step AS DOUBLE) - 1)
+                          / CAST(6 AS DOUBLE))
+                   + CAST(0.5 AS DOUBLE)
+                     * CAST((st.step - 1) // {_HW_M} AS DOUBLE)
+                     * (CAST(1.5 AS DOUBLE) + CAST(3.5 AS DOUBLE)
+                        * (CAST((st.step - 1) // {_HW_M} AS DOUBLE)
+                           + 1))) AS width
+        FROM sds s CROSS JOIN steps st
+    )
+    SELECT name, index, 'HOLTWINTERS' AS method, step,
+           round(mean - CAST({Z80} AS DOUBLE) * width, 6) AS lower1,
+           round(mean - CAST({Z95} AS DOUBLE) * width, 6) AS lower2,
+           round(mean, 6) AS mean,
+           round(mean + CAST({Z80} AS DOUBLE) * width, 6) AS upper1,
+           round(mean + CAST({Z95} AS DOUBLE) * width, 6) AS upper2
+    FROM fan ORDER BY name, index, step
+"""
