@@ -282,6 +282,18 @@ HEADLINE = [
     "duplicate_payment_audit",
     "brand_concentration_hhi",
     "rake_keywords_top",
+    # round-4 continuation (batch 9): 1-bit quantized ANN, skyline,
+    # rank-sum + DiD experimentation, entropy quality, hashing-trick
+    # features, Hill tail index, recursive-CTE BFS + Holt-Winters
+    "binary_quant_topk",
+    "parts_skyline_frontier",
+    "ab_mannwhitney_test",
+    "ab_diff_in_diff",
+    "doc_entropy_scores",
+    "feature_hash_vectors",
+    "hill_tail_index",
+    "doc_graph_bfs_reachability",
+    "forecast_holtwinters_events",
 ]
 
 
