@@ -71,7 +71,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ab_test_cuped, ab_srm_check, embedding_db_index,
 # prefix_filter_join, orders_cdc_apply, session_sequence_pairs,
 # duplicate_payment_audit, brand_concentration_hhi,
-# rake_keywords_top) are the round-5 window.
+# rake_keywords_top, plus the batch-9 additions: binary_quant_topk,
+# parts_skyline_frontier, ab_mannwhitney_test, ab_diff_in_diff,
+# doc_entropy_scores, feature_hash_vectors, hill_tail_index,
+# doc_graph_bfs_reachability, forecast_holtwinters_events,
+# revenue_bootstrap_ci, chao1_vocab_estimate) are the
+# round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

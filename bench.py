@@ -294,6 +294,10 @@ HEADLINE = [
     "hill_tail_index",
     "doc_graph_bfs_reachability",
     "forecast_holtwinters_events",
+    # round-4 continuation (batch 10): deterministic bootstrap CI +
+    # Chao1/Good-Turing vocabulary saturation
+    "revenue_bootstrap_ci",
+    "chao1_vocab_estimate",
 ]
 
 

@@ -1760,3 +1760,111 @@ ORACLES["ab_diff_in_diff"] = f"""
                > {_AB_Z_CRIT} AS significant
     FROM t CROSS JOIN c
 """
+
+
+_BOOT_REPS = 200
+
+
+def revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric bootstrap confidence interval for MEAN DAILY
+    purchase revenue (Efron 1979) — the distribution-free uncertainty
+    read every KPI dashboard needs when n_days is small and revenue
+    is skewed (the normal-theory ±1.96·s/√n the z-family assumes is
+    exactly what the bootstrap replaces).  200 resamples of the
+    daily-revenue vector with replacement, each replicate's mean, and
+    the percentile CI (type-7 2.5/97.5) over replicate means.
+
+    Resampling is DETERMINISTIC (the md5 sampling idiom): draw (r, j)
+    picks day index ``md5(r || '_' || j) % n_days + 1`` — retry-stable
+    and engine-identical, so the whole Monte Carlo is exactly
+    SQL-oracled.  Daily revenue is exact integer cents; each
+    replicate mean is ONE IEEE division.
+
+    Scale shape: the resample matrix is reps × n_days JOIN rows
+    against an n_days-row broadcast side — constant × tiny, never
+    fact-bounded; the fact table is touched once by the daily
+    aggregate.  reps is the knob."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                  .alias("cents")))
+    from pyspark.sql.window import Window
+    idx = (daily
+           .withColumn("t", F.row_number().over(Window.orderBy("day")))
+           .select("t", "cents"))
+    nd = idx.agg(F.count(F.lit(1)).alias("n"))
+    draws = (spark.range(1, _BOOT_REPS + 1)
+             .select(F.col("id").alias("r"))
+             .crossJoin(F.broadcast(nd))
+             .select("r", "n",
+                     F.explode(F.sequence(F.lit(1), F.col("n")))
+                     .alias("j")))
+    pick = (F.conv(F.substring(
+        F.md5(F.concat_ws("_", F.col("r"), F.col("j"))), 1, 8), 16, 10)
+        .cast("bigint") % F.col("n") + 1)
+    reps = (draws.withColumn("t", pick)
+            .join(F.broadcast(idx), "t")
+            .groupBy("r")
+            .agg((F.sum("cents").cast("double")
+                  / F.max("n").cast("double")).alias("rep_mean")))
+    base = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum("cents").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("mean0"))
+    stats = reps.agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.expr("percentile(rep_mean, 0.025)").alias("lo"),
+        F.expr("percentile(rep_mean, 0.975)").alias("hi"),
+        F.stddev_samp("rep_mean").alias("se"))
+    return (base.crossJoin(stats)
+            .select("n_days", "n_reps",
+                    F.round(F.col("mean0") / 100, 6).alias("mean_daily"),
+                    F.round(F.col("lo") / 100, 6).alias("ci_lo"),
+                    F.round(F.col("hi") / 100, 6).alias("ci_hi"),
+                    F.round(F.col("se") / 100, 6).alias("boot_se")))
+
+
+QUERIES["revenue_bootstrap_ci"] = revenue_bootstrap_ci
+ORACLES["revenue_bootstrap_ci"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ), idx AS (
+        SELECT row_number() OVER (ORDER BY day) AS t, cents FROM daily
+    ), nd AS (SELECT count(*) AS n FROM idx),
+    draws AS (
+        SELECT r.r, g.j, nd.n,
+               ('0x' || substr(md5(r.r || '_' || g.j), 1, 8))::BIGINT
+                   % nd.n + 1 AS t
+        FROM generate_series(1, {_BOOT_REPS}) r(r)
+        CROSS JOIN nd
+        CROSS JOIN generate_series(1, 366) g(j)
+        WHERE g.j <= nd.n
+    ), reps AS (
+        SELECT d.r,
+               CAST(sum(i.cents) AS DOUBLE)
+                   / CAST(max(d.n) AS DOUBLE) AS rep_mean
+        FROM draws d JOIN idx i ON d.t = i.t
+        GROUP BY d.r
+    ), base AS (
+        SELECT count(*) AS n_days,
+               CAST(sum(cents) AS DOUBLE) / count(*) AS mean0
+        FROM daily
+    ), stats AS (
+        SELECT count(*) AS n_reps,
+               quantile_cont(rep_mean, 0.025) AS lo,
+               quantile_cont(rep_mean, 0.975) AS hi,
+               stddev_samp(rep_mean) AS se
+        FROM reps
+    )
+    SELECT n_days, n_reps,
+           round(mean0 / 100, 6) AS mean_daily,
+           round(lo / 100, 6) AS ci_lo,
+           round(hi / 100, 6) AS ci_hi,
+           round(se / 100, 6) AS boot_se
+    FROM base CROSS JOIN stats
+"""

@@ -776,3 +776,71 @@ ORACLES["doc_entropy_scores"] = """
                AS evenness
     FROM per_doc
 """
+
+
+def chao1_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 richness estimate + Good-Turing unseen mass over the
+    corpus vocabulary, per language (Chao 1984; Good 1953) — the
+    species-estimation read behind "how much NEW vocabulary would
+    more crawl buy?": V_chao1 = V + f1²/(2·f2) extrapolates total
+    vocabulary from the singleton/doubleton counts, and the
+    Good-Turing mass f1/N is the probability the NEXT token is
+    unseen — the coverage duals of `vocab_coverage_curve` (which
+    reads the seen side).  A source where f1/N stays high is not
+    converging — more data genuinely helps; near zero means the
+    vocabulary is saturated and more crawl buys only duplicates.
+
+    All inputs are exact integer frequencies-of-frequencies; the two
+    estimates are single IEEE divisions.  Scale: one (lang, token)
+    count, one frequency-of-frequency fold, a 3-integer row per
+    language — the vocabulary stage is the only shuffle and it is
+    the same one every lexical operator here shares."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (toks.groupBy("lang", "token")
+             .agg(F.count(F.lit(1)).alias("c")))
+    per_lang = (vocab.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("v_seen"),
+                     F.sum("c").alias("n_tokens"),
+                     F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                     .alias("f1"),
+                     F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+                     .alias("f2")))
+    chao = (F.col("v_seen")
+            + F.col("f1").cast("double") * F.col("f1")
+            / (2.0 * F.nullif(F.col("f2").cast("double"), F.lit(0.0))))
+    gt = F.col("f1").cast("double") / F.col("n_tokens").cast("double")
+    return (per_lang.select(
+        "lang", "n_tokens", "v_seen", "f1", "f2",
+        F.round(F.coalesce(chao, F.col("v_seen").cast("double")), 4)
+        .alias("chao1_vocab"),
+        F.round(gt, 6).alias("unseen_mass"))
+        .orderBy("lang"))
+
+
+QUERIES["chao1_vocab_estimate"] = chao1_vocab_estimate
+ORACLES["chao1_vocab_estimate"] = """
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), vocab AS (
+        SELECT lang, token, count(*) AS c FROM toks GROUP BY 1, 2
+    ), per_lang AS (
+        SELECT lang, count(*) AS v_seen,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f1,
+               CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f2
+        FROM vocab GROUP BY 1
+    )
+    SELECT lang, n_tokens, v_seen, f1, f2,
+           round(coalesce(
+               v_seen + CAST(f1 AS DOUBLE) * f1
+                        / (2.0 * nullif(CAST(f2 AS DOUBLE), 0)),
+               CAST(v_seen AS DOUBLE)), 4) AS chao1_vocab,
+           round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS unseen_mass
+    FROM per_lang ORDER BY lang
+"""

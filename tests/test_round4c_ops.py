@@ -316,3 +316,46 @@ def test_holtwinters_recovers_pure_seasonal_trend(spark):
     # near the gain's half-life) and the trend state locks onto 0.5
     assert err_long < 0.15 < err_short
     assert b_long == pytest.approx(0.5, abs=0.02)
+
+
+# ------------------------------------------------------- bootstrap CI
+
+def test_bootstrap_ci_brackets_and_is_deterministic(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.product_analytics import (
+        _BOOT_REPS, revenue_bootstrap_ci)
+    r1 = revenue_bootstrap_ci(spark, sf_dir).collect()[0]
+    r2 = revenue_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert r1 == r2, "md5 resampling must be retry-stable"
+    assert r1.n_reps == _BOOT_REPS
+    assert r1.ci_lo < r1.ci_hi
+    assert r1.boot_se > 0
+    # the percentile interval brackets the point estimate here (skew
+    # is mild at these SFs) and is a plausible multiple of the SE
+    assert r1.ci_lo <= r1.mean_daily <= r1.ci_hi
+    spread = r1.ci_hi - r1.ci_lo
+    assert 2.0 * r1.boot_se <= spread <= 6.0 * r1.boot_se
+
+
+# ------------------------------------------------------------ Chao1
+
+def test_chao1_matches_python_and_bounds(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.text_quality import (
+        chao1_vocab_estimate)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    import collections
+    rows = {r.lang: r for r in chao1_vocab_estimate(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    by_lang = collections.defaultdict(collections.Counter)
+    for d in docs:
+        by_lang[d.lang].update(d.text.split(" "))
+    assert set(rows) == set(by_lang)
+    for lang, cnt in by_lang.items():
+        r = rows[lang]
+        f1 = sum(1 for c in cnt.values() if c == 1)
+        f2 = sum(1 for c in cnt.values() if c == 2)
+        assert r.v_seen == len(cnt) and r.f1 == f1 and r.f2 == f2
+        assert r.n_tokens == sum(cnt.values())
+        chao = (len(cnt) + f1 * f1 / (2 * f2)) if f2 else float(len(cnt))
+        assert r.chao1_vocab == pytest.approx(chao, abs=1e-3)
+        assert r.chao1_vocab >= r.v_seen
+        assert 0.0 <= r.unseen_mass <= 1.0
