@@ -75,7 +75,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # parts_skyline_frontier, ab_mannwhitney_test, ab_diff_in_diff,
 # doc_entropy_scores, feature_hash_vectors, hill_tail_index,
 # doc_graph_bfs_reachability, forecast_holtwinters_events,
-# revenue_bootstrap_ci, chao1_vocab_estimate) are the
+# revenue_bootstrap_ci, chao1_vocab_estimate,
+# embedding_alignment_uniformity, event_markov_stationary) are the
 # round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first

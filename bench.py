@@ -298,6 +298,10 @@ HEADLINE = [
     # Chao1/Good-Turing vocabulary saturation
     "revenue_bootstrap_ci",
     "chao1_vocab_estimate",
+    # round-4 continuation (batch 10): contrastive-space health pair +
+    # behavior-chain fixed point
+    "embedding_alignment_uniformity",
+    "event_markov_stationary",
 ]
 
 

@@ -1868,3 +1868,119 @@ ORACLES["revenue_bootstrap_ci"] = f"""
            round(se / 100, 6) AS boot_se
     FROM base CROSS JOIN stats
 """
+
+
+_MS_ITERS = 2
+_MS_DP = 6    # per-iteration resync rounding (the PageRank discipline)
+
+
+def event_markov_stationary(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Stationary distribution of the within-session behavior Markov
+    chain — `event_transition_matrix` read to its fixed point: two
+    unrolled power iterations of pi' = pi·P from the uniform start,
+    with 1e-6 end-of-iteration rounding (the PageRank engine-resync
+    discipline), next to the EMPIRICAL event-type share.  The gap
+    between the two columns is the behavioral-drift read: the chain
+    says where sessions SETTLE, the share says where they ARE — a gap
+    means the mix is still moving (onboarding cohorts, bots pinned in
+    one state).
+
+    Transition probabilities are exact integer-count ratios (one IEEE
+    division each); the K×K matrix is type-cardinality, broadcast
+    anywhere.  Scale: the transition count is the only fact-bound
+    stage (shared with the matrix query); each iteration is a K²-row
+    join-aggregate."""
+    from pyspark.sql.window import Window
+    from ..streaming.queries import sessionize_events
+    sess = sessionize_events(load_table(spark, sf_dir, "events"))
+    w = (Window.partitionBy("user_id", "session_id")
+         .orderBy("ts", "event_id"))
+    trans = (sess
+             .withColumn("to_type", F.lead("event_type").over(w))
+             .where(F.col("to_type").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"), "to_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    wp = Window.partitionBy("from_type")
+    pmat = trans.withColumn(
+        "p", F.col("n") / F.sum("n").over(wp)).select(
+        "from_type", "to_type", "p")
+    states = pmat.select(F.col("from_type").alias("state")).distinct()
+    k = states.agg(F.count(F.lit(1)).alias("k"))
+    pi = (states.crossJoin(F.broadcast(k))
+          .select("state", (F.lit(1.0) / F.col("k").cast("double"))
+                  .alias("pi")))
+    for _ in range(_MS_ITERS):
+        contrib = (pi.join(pmat, pi["state"] == pmat["from_type"])
+                   .groupBy(F.col("to_type").alias("state"))
+                   .agg(F.round(F.sum(F.col("pi") * F.col("p")),
+                                _MS_DP).alias("pi_new")))
+        pi = (states.join(contrib, "state", "left")
+              .select("state",
+                      F.coalesce("pi_new", F.lit(0.0)).alias("pi")))
+    emp = (sess.groupBy(F.col("event_type").alias("state"))
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    tot = emp.agg(F.sum("n_events").alias("tot"))
+    return (pi.join(emp, "state").crossJoin(F.broadcast(tot))
+            .select(F.col("state").alias("event_type"),
+                    F.col("pi").alias("stationary_p"),
+                    F.round(F.col("n_events").cast("double")
+                            / F.col("tot").cast("double"), 6)
+                    .alias("empirical_share"))
+            .orderBy("event_type"))
+
+
+QUERIES["event_markov_stationary"] = event_markov_stationary
+
+
+def _markov_stationary_oracle_sql(iters: int = _MS_ITERS) -> str:
+    prev = "pi0"
+    steps = []
+    for i in range(iters):
+        cur = f"pi{i + 1}"
+        steps.append(f"""
+        {cur} AS (
+            SELECT st.state,
+                   coalesce(c.pi_new, CAST(0 AS DOUBLE)) AS pi
+            FROM states st LEFT JOIN (
+                SELECT p.to_type AS state,
+                       round(sum(q.pi * p.p), {_MS_DP}) AS pi_new
+                FROM {prev} q JOIN pmat p ON q.state = p.from_type
+                GROUP BY 1) c ON st.state = c.state
+        )""")
+        prev = cur
+    from ..streaming.queries import SESSIONIZED_SQL
+    return f"""
+    WITH {SESSIONIZED_SQL}, trans AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY ts, event_id) AS to_type
+        FROM sessions
+    ), counted AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM trans WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ), pmat AS (
+        SELECT from_type, to_type,
+               n / CAST(sum(n) OVER (PARTITION BY from_type)
+                        AS DOUBLE) AS p
+        FROM counted
+    ), states AS (SELECT DISTINCT from_type AS state FROM pmat),
+    kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM states),
+    pi0 AS (
+        SELECT state, CAST(1 AS DOUBLE) / kk.k AS pi
+        FROM states CROSS JOIN kk
+    ),{",".join(steps)},
+    emp AS (
+        SELECT event_type AS state, count(*) AS n_events
+        FROM sessions GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_events) AS DOUBLE) AS tot FROM emp)
+    SELECT p.state AS event_type, p.pi AS stationary_p,
+           round(e.n_events / t.tot, 6) AS empirical_share
+    FROM {prev} p JOIN emp e ON p.state = e.state
+    CROSS JOIN tot t
+    ORDER BY 1
+    """
+
+
+ORACLES["event_markov_stationary"] = _markov_stationary_oracle_sql()

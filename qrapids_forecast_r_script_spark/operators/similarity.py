@@ -2383,3 +2383,85 @@ ORACLES["binary_quant_topk"] = f"""
     WHERE rank <= {_TOP_K}
 """
 QUERIES["binary_quant_topk"] = binary_quant_topk
+
+
+# ---------------------------------------------------------------------------
+# Alignment / uniformity — the contrastive-embedding quality pair.
+
+_AU_SAMPLE = 100     # constant md5-ordered sample (the _KNN_ANCHORS idiom)
+
+
+def embedding_alignment_uniformity(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """Alignment and uniformity of the embedding space (Wang & Isola,
+    ICML 2020) — the two-number contrastive-representation health
+    check: alignment = E‖x−y‖² over SAME-LABEL pairs (small = class
+    cohesion), uniformity = ln E exp(−2‖x−y‖²) over ALL pairs (near
+    its −4 floor = features spread over the hypersphere; near 0 =
+    collapse).  Together they catch the failure `embedding_db_index`
+    geometry misses: a space can separate clusters yet be collapsed
+    inside them.
+
+    Vectors are L2-normalized first (the metrics are defined on the
+    unit hypersphere); pairs are drawn within a CONSTANT 100-vector
+    md5-ordered sample (the `knn_label_accuracy` constant-k shape —
+    never a corpus×corpus product), unordered i<j pairs.  Each
+    exp(−2d²) term snaps to the 1e-9 grid before the mean (libm +
+    order discipline) and both outputs round at 1e-6.
+
+    Scale: sample join is constant², the only corpus-wide work is
+    the normalize scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", "label",
+                      _as_double("embedding").alias("v"))
+    nrm = _norm(F.col("v"))
+    unit = (vecs.withColumn(
+        "u", F.transform("v", lambda x: x / nrm))
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_AU_SAMPLE)
+        .select("vec_id", "label", "u"))
+    b = (unit.select(F.col("vec_id").alias("id_b"),
+                     F.col("label").alias("label_b"),
+                     F.col("u").alias("u_b")))
+    pairs = (unit.crossJoin(F.broadcast(b))
+             .where(F.col("vec_id") < F.col("id_b"))
+             .withColumn("d2", F.aggregate(
+                 F.zip_with("u", "u_b", lambda x, y: (x - y) * (x - y)),
+                 F.lit(0.0), lambda acc, x: acc + x)))
+    return (pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("label") == F.col("label_b"), 1)
+              .otherwise(0)).alias("n_pos_pairs"),
+        F.round(F.avg(F.when(F.col("label") == F.col("label_b"),
+                             F.col("d2"))), 6).alias("alignment"),
+        F.round(F.log(F.avg(F.round(F.exp(-2.0 * F.col("d2")), 9))),
+                6).alias("uniformity")))
+
+
+QUERIES["embedding_alignment_uniformity"] = embedding_alignment_uniformity
+ORACLES["embedding_alignment_uniformity"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), unit AS (
+        SELECT vec_id, label,
+               list_transform(v,
+                   x -> x / sqrt(list_dot_product(v, v))) AS u
+        FROM vecs
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_AU_SAMPLE}
+    ), pairs AS (
+        SELECT a.label AS la, b.label AS lb,
+               list_sum(list_transform(
+                   list_zip(a.u, b.u),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+        FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+    )
+    SELECT count(*) AS n_pairs,
+           CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos_pairs,
+           round(avg(CASE WHEN la = lb THEN d2 END), 6) AS alignment,
+           round(ln(avg(round(exp(-2.0 * d2), 9))), 6) AS uniformity
+    FROM pairs
+"""

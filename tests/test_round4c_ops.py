@@ -359,3 +359,68 @@ def test_chao1_matches_python_and_bounds(spark, sf_dir):
         assert r.chao1_vocab == pytest.approx(chao, abs=1e-3)
         assert r.chao1_vocab >= r.v_seen
         assert 0.0 <= r.unseen_mass <= 1.0
+
+
+# ---------------------------------------- alignment / uniformity
+
+def test_alignment_uniformity_bounds(spark, sf_dir):
+    """Unit-sphere identities: d2 in [0,4] so alignment in [0,4] and
+    uniformity in [-8, 0]; sample is the documented constant."""
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        _AU_SAMPLE, embedding_alignment_uniformity)
+    r = embedding_alignment_uniformity(spark, sf_dir).collect()[0]
+    n = _AU_SAMPLE
+    assert r.n_pairs == n * (n - 1) // 2
+    assert 0 < r.n_pos_pairs < r.n_pairs
+    assert 0.0 <= r.alignment <= 4.0
+    assert -8.0 <= r.uniformity <= 0.0
+    # labeled clusters: same-label pairs must sit closer than average,
+    # i.e. alignment below the all-pairs mean distance implied bound
+    assert r.uniformity < -0.5, "collapse would push uniformity to 0"
+
+
+# ---------------------------------------- Markov stationary
+
+def test_markov_stationary_is_a_distribution(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.product_analytics import (
+        event_markov_stationary)
+    rows = event_markov_stationary(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    s = sum(r.stationary_p for r in rows)
+    assert s == pytest.approx(1.0, abs=1e-4)
+    e = sum(r.empirical_share for r in rows)
+    assert e == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        assert 0.0 <= r.stationary_p <= 1.0
+
+
+def test_markov_stationary_matches_numpy_power(spark, sf_dir):
+    """Two numpy power iterations from uniform over the same rounded
+    transition matrix give the same vector."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics import (
+        event_markov_stationary)
+    from qrapids_forecast_r_script_spark.streaming.queries import (
+        sessionize_events)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    from pyspark.sql.window import Window
+    rows = {r.event_type: r.stationary_p
+            for r in event_markov_stationary(spark, sf_dir).collect()}
+    sess = sessionize_events(load_table(spark, sf_dir, "events"))
+    w = (Window.partitionBy("user_id", "session_id")
+         .orderBy("ts", "event_id"))
+    trans = (sess.withColumn("to_type", F.lead("event_type").over(w))
+             .where(F.col("to_type").isNotNull())
+             .groupBy("event_type", "to_type").count().collect())
+    states = sorted({t.event_type for t in trans}
+                    | {t.to_type for t in trans})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    P = np.zeros((k, k))
+    for t in trans:
+        P[idx[t.event_type], idx[t.to_type]] = t["count"]
+    P = P / P.sum(axis=1, keepdims=True)
+    pi = np.full(k, 1.0 / k)
+    for _ in range(2):
+        pi = np.round(pi @ P, 6)
+    for s, i in idx.items():
+        assert rows[s] == pytest.approx(pi[i], abs=2e-6)
