@@ -76,7 +76,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # doc_entropy_scores, feature_hash_vectors, hill_tail_index,
 # doc_graph_bfs_reachability, forecast_holtwinters_events,
 # revenue_bootstrap_ci, chao1_vocab_estimate,
-# embedding_alignment_uniformity, event_markov_stationary) are the
+# embedding_alignment_uniformity, event_markov_stationary,
+# ucb1_replay_policy) are the
 # round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first

@@ -302,6 +302,9 @@ HEADLINE = [
     # behavior-chain fixed point
     "embedding_alignment_uniformity",
     "event_markov_stationary",
+    # round-4 continuation (batch 11): offline bandit replay via
+    # engine-native recursion
+    "ucb1_replay_policy",
 ]
 
 

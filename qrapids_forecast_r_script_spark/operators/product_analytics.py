@@ -1984,3 +1984,156 @@ def _markov_stationary_oracle_sql(iters: int = _MS_ITERS) -> str:
 
 
 ORACLES["event_markov_stationary"] = _markov_stationary_oracle_sql()
+
+
+def ucb1_replay_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline UCB1 bandit replay over the daily event-type reward
+    stream (Auer et al. 2002 UCB1; Li et al. 2011 replay evaluation)
+    — the sequential-decision operator behind budget allocation and
+    ranking-policy evaluation: warm-start by playing each arm once
+    (day t = arm t), then each day play the arm maximizing
+    mean_i + sqrt(2·ln(t)/n_i) against the LOGGED per-day per-type
+    mean event value, and report the decision trace with cumulative
+    reward.  Like `forecast_holtwinters_events` this is inherently
+    sequential state — and like it, Spark 4's recursive-CTE engine
+    runs the exact recursion natively: state = the per-arm
+    (count, reward-sum) arrays, one recursion level per day.
+
+    Determinism discipline: rewards are exact-integer-cents means
+    (one IEEE division); UCB scores snap to the 1e-9 grid BEFORE the
+    argmax (the discontinuous step — a last-ulp libm divergence would
+    fork the whole trace), ties resolve to the lowest arm index via
+    first-position semantics on both engines.
+
+    Scale: the reward table is (days × types); each recursion level
+    is a constant-size array update joined to ONE reward row — depth
+    = days, the logged-policy replay envelope."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    dayidx = days.withColumn(
+        "t", F.row_number().over(Window.orderBy("day")))
+    arms = (ev.select("event_type").distinct()
+            .withColumn("a", F.row_number().over(
+                Window.orderBy("event_type"))))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    rewards = (dayidx.crossJoin(arms)
+               .join(ev.select(F.to_date("ts").alias("day"),
+                               F.col("event_type"), cents.alias("c"),
+                               "event_id"),
+                     ["day", "event_type"], "left")
+               .groupBy("t", "a")
+               .agg(F.round(F.coalesce(
+                   F.sum("c").cast("double")
+                   / F.count("event_id") / 100, F.lit(0.0)), 6)
+                   .alias("r")))
+    warm = (rewards.where(F.col("t") == F.col("a"))
+            .select(F.col("a").alias("wa"), "r")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("wa", "r"))),
+                lambda s: s["r"]).alias("s")))
+    kk = arms.agg(F.max("a").cast("int").alias("k"))
+    base = (kk.crossJoin(warm)
+            .select("k", "s",
+                    F.transform("s", lambda x: F.lit(1)).alias("n")))
+    idxl = arms.agg(F.array_sort(F.collect_list("a")).alias("idx"))
+    base.createOrReplaceTempView("qr_ucb_base")
+    rewards.createOrReplaceTempView("qr_ucb_rewards")
+    arms.createOrReplaceTempView("qr_ucb_arms")
+    idxl.createOrReplaceTempView("qr_ucb_idx")
+    ucb = ("zip_with(w.sarr, w.narr, (s, n) -> "
+           "round(s / n + sqrt(2.0D * ln(CAST(w.t AS DOUBLE)) / n), 9))")
+    return spark.sql(f"""
+        WITH RECURSIVE walk(t, narr, sarr, chosen, reward) AS (
+            SELECT b.k AS t,
+                   -- CASE wrapper: force containsNull=true so the
+                   -- anchor array type merges with zip_with's output
+                   transform(b.n, x -> CASE WHEN b.k > 0 THEN x END)
+                       AS narr,
+                   transform(b.s, x -> CASE WHEN b.k > 0 THEN x END)
+                       AS sarr,
+                   CAST(NULL AS BIGINT) AS chosen,
+                   CAST(NULL AS DOUBLE) AS reward
+            FROM qr_ucb_base b
+            UNION ALL
+            SELECT w.t + 1,
+                   zip_with(w.narr, i.idx, (n, ii) ->
+                       n + CASE WHEN ii = rr.a THEN 1 ELSE 0 END),
+                   zip_with(w.sarr, i.idx, (s, ii) ->
+                       s + CASE WHEN ii = rr.a THEN rr.r ELSE 0.0D END),
+                   rr.a, rr.r
+            FROM walk w
+            CROSS JOIN qr_ucb_idx i
+            JOIN qr_ucb_rewards rr
+              ON rr.t = w.t + 1
+             AND rr.a = array_position({ucb}, array_max({ucb}))
+        )
+        SELECT w.t, ar.event_type AS chosen_arm,
+               round(w.reward, 6) AS reward,
+               round(sum(w.reward) OVER (ORDER BY w.t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     6) AS cum_reward
+        FROM walk w JOIN qr_ucb_arms ar ON w.chosen = ar.a
+        WHERE w.chosen IS NOT NULL
+        ORDER BY w.t
+    """)
+
+
+QUERIES["ucb1_replay_policy"] = ucb1_replay_policy
+_UCB_EXPR = """list_transform(list_zip(w.sarr, w.narr),
+               p -> round(p[1] / p[2]
+                          + sqrt(2 * ln(CAST(w.t AS DOUBLE)) / p[2]),
+                     9))"""
+ORACLES["ucb1_replay_policy"] = f"""
+    WITH RECURSIVE dayidx AS (
+        SELECT day, row_number() OVER (ORDER BY day) AS t
+        FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    ), arms AS (
+        SELECT event_type, row_number() OVER (ORDER BY event_type) AS a
+        FROM (SELECT DISTINCT event_type FROM events)
+    ), kk AS (SELECT CAST(max(a) AS INT) AS k FROM arms),
+    idxl AS (
+        SELECT list(a ORDER BY a) AS idx FROM arms
+    ), rewards AS (
+        SELECT d.t, a.a,
+               round(coalesce(
+                   CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT))
+                        AS DOUBLE) / count(e.event_id) / 100, 0), 6)
+                   AS r
+        FROM dayidx d
+        CROSS JOIN arms a
+        LEFT JOIN events e ON CAST(e.ts AS DATE) = d.day
+                          AND e.event_type = a.event_type
+        GROUP BY d.t, a.a
+    ), warm AS (
+        SELECT list(w.r ORDER BY w.a) AS s,
+               list(1 ORDER BY w.a) AS n
+        FROM (SELECT a.a, r.r FROM arms a
+              JOIN rewards r ON r.t = a.a AND r.a = a.a) w
+    ), walk(t, narr, sarr, chosen, reward) AS (
+        SELECT kk.k, warm.n, warm.s, CAST(NULL AS BIGINT),
+               CAST(NULL AS DOUBLE)
+        FROM kk CROSS JOIN warm
+        UNION ALL
+        SELECT w.t + 1,
+               list_transform(list_zip(w.narr, i.idx),
+                   p -> p[1] + CASE WHEN p[2] = rr.a THEN 1 ELSE 0 END),
+               list_transform(list_zip(w.sarr, i.idx),
+                   p -> p[1] + CASE WHEN p[2] = rr.a THEN rr.r
+                               ELSE 0 END),
+               rr.a, rr.r
+        FROM walk w
+        CROSS JOIN idxl i
+        JOIN rewards rr
+          ON rr.t = w.t + 1
+         AND rr.a = list_position({_UCB_EXPR}, list_max({_UCB_EXPR}))
+    )
+    SELECT w.t, ar.event_type AS chosen_arm,
+           round(w.reward, 6) AS reward,
+           round(sum(w.reward) OVER (ORDER BY w.t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS cum_reward
+    FROM walk w JOIN arms ar ON w.chosen = ar.a
+    WHERE w.chosen IS NOT NULL
+    ORDER BY w.t
+"""

@@ -424,3 +424,49 @@ def test_markov_stationary_matches_numpy_power(spark, sf_dir):
         pi = np.round(pi @ P, 6)
     for s, i in idx.items():
         assert rows[s] == pytest.approx(pi[i], abs=2e-6)
+
+
+# ------------------------------------------------------- UCB1 replay
+
+def test_ucb1_replay_matches_python_reference(spark, sf_dir):
+    """The full decision trace equals a plain-python UCB1 replay over
+    the same reward table (argmax discipline: 1e-9-rounded scores,
+    lowest-index ties)."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics import (
+        ucb1_replay_policy)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = ucb1_replay_policy(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        "event_id").collect()
+    days = sorted({r.day for r in ev})
+    arms = sorted({r.event_type for r in ev})
+    k = len(arms)
+    agg = {}
+    for r in ev:
+        key = (r.day, r.event_type)
+        tot, cnt = agg.get(key, (0, 0))
+        agg[key] = (tot + r.c, cnt + 1)
+    def reward(t, a):
+        tot, cnt = agg.get((days[t - 1], arms[a - 1]), (0, 0))
+        return round(tot / cnt / 100, 6) if cnt else 0.0
+    n = [1] * (k + 1)
+    s = [0.0] * (k + 1)
+    for a in range(1, k + 1):
+        s[a] = reward(a, a)
+    trace = []
+    for t in range(k + 1, len(days) + 1):
+        ucb = [round(s[a] / n[a]
+                     + math.sqrt(2 * math.log(t - 1) / n[a]), 9)
+               for a in range(1, k + 1)]
+        a = ucb.index(max(ucb)) + 1
+        r = reward(t, a)
+        n[a] += 1
+        s[a] += r
+        trace.append((t, arms[a - 1], round(r, 6)))
+    got = [(r.t, r.chosen_arm, r.reward) for r in rows]
+    assert got == trace
+    # cumulative reward is monotone (rewards are non-negative here)
+    cums = [r.cum_reward for r in rows]
+    assert all(b >= a for a, b in zip(cums, cums[1:]))
