@@ -77,7 +77,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # doc_graph_bfs_reachability, forecast_holtwinters_events,
 # revenue_bootstrap_ci, chao1_vocab_estimate,
 # embedding_alignment_uniformity, event_markov_stationary,
-# ucb1_replay_policy) are the
+# ucb1_replay_policy, doc_graph_modularity,
+# weighted_jaccard_pairs) are the
 # round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first

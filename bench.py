@@ -305,6 +305,10 @@ HEADLINE = [
     # round-4 continuation (batch 11): offline bandit replay via
     # engine-native recursion
     "ucb1_replay_policy",
+    # round-4 continuation (batch 12): partition-quality gate +
+    # multiset-similarity verification stage
+    "doc_graph_modularity",
+    "weighted_jaccard_pairs",
 ]
 
 

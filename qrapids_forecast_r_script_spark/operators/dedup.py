@@ -1661,3 +1661,106 @@ EXTRA_ORACLES["prefix_filter_join"] = f"""
           >= CAST({_PPJ_TAU} AS DOUBLE)
     ORDER BY doc_a, doc_b
 """
+
+
+def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard for every MinHash-LSH candidate
+    pair: Σ_t min(c_A(t), c_B(t)) / Σ_t max(c_A(t), c_B(t)) over token
+    COUNTS (Ioffe 2010's similarity, here computed exactly on the
+    banded candidates) next to the plain set Jaccard — the pair that
+    separates "same vocabulary" from "same vocabulary at the same
+    RATE": boilerplate with one paragraph repeated 10× scores high
+    weighted / lower set-wise, padded near-copies the reverse.  The
+    verification-stage refinement CCNet-style dedup applies after
+    banding.
+
+    Identity used: Σmax = tot_A + tot_B − Σmin, so only the COMMON
+    tokens join (never a full-outer union per pair) plus two per-doc
+    totals.  All counts exact integers; two IEEE divisions per pair.
+
+    Scale: candidates come from the banded index (never all-pairs);
+    the common-token join is (pair × overlap)-bounded and token-keyed;
+    per-doc totals ride the shared tokenize scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cnt = (docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("token"))
+           .groupBy("doc_id", "token")
+           .agg(F.count(F.lit(1)).alias("c")))
+    tots = (cnt.groupBy("doc_id")
+            .agg(F.sum("c").alias("tot"),
+                 F.count(F.lit(1)).alias("nd")))
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), "token",
+                    F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"),
+                    F.col("token").alias("token_b"),
+                    F.col("c").alias("cb"))
+    common = (pairs.join(ca, "doc_a")
+              .join(cb.withColumnRenamed("token_b", "token"), ["doc_b",
+                                                               "token"])
+              .groupBy("doc_a", "doc_b")
+              .agg(F.sum(F.least("ca", "cb")).alias("smin"),
+                   F.count(F.lit(1)).alias("ninter")))
+    ta = tots.select(F.col("doc_id").alias("doc_a"),
+                     F.col("tot").alias("tot_a"),
+                     F.col("nd").alias("nd_a"))
+    tb = tots.select(F.col("doc_id").alias("doc_b"),
+                     F.col("tot").alias("tot_b"),
+                     F.col("nd").alias("nd_b"))
+    j = (pairs.join(common, ["doc_a", "doc_b"], "left")
+         .join(ta, "doc_a").join(tb, "doc_b")
+         .withColumn("smin", F.coalesce("smin", F.lit(0)))
+         .withColumn("ninter", F.coalesce("ninter", F.lit(0))))
+    wj = (F.col("smin").cast("double")
+          / (F.col("tot_a") + F.col("tot_b") - F.col("smin")))
+    pj = (F.col("ninter").cast("double")
+          / (F.col("nd_a") + F.col("nd_b") - F.col("ninter")))
+    return (j.select("doc_a", "doc_b", "ninter",
+                     F.round(pj, 6).alias("jaccard"),
+                     F.round(wj, 6).alias("wjaccard"))
+            .orderBy("doc_a", "doc_b"))
+
+
+QUERIES["weighted_jaccard_pairs"] = weighted_jaccard_pairs
+ORACLES["weighted_jaccard_pairs"] = _SIG_CTE + f"""
+    , bands AS ({_BANDS_UNION}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+    ),
+    cnt AS (
+        SELECT doc_id, token, count(*) AS c FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+        GROUP BY 1, 2
+    ),
+    tots AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot,
+               count(*) AS nd
+        FROM cnt GROUP BY 1
+    ),
+    common AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(sum(least(x.c, y.c)) AS BIGINT) AS smin,
+               count(*) AS ninter
+        FROM pairs p
+        JOIN cnt x ON x.doc_id = p.doc_a
+        JOIN cnt y ON y.doc_id = p.doc_b AND y.token = x.token
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           coalesce(c.ninter, 0) AS ninter,
+           round(coalesce(c.ninter, 0)
+                 / CAST(ta.nd + tb.nd - coalesce(c.ninter, 0)
+                        AS DOUBLE), 6) AS jaccard,
+           round(coalesce(c.smin, 0)
+                 / CAST(ta.tot + tb.tot - coalesce(c.smin, 0)
+                        AS DOUBLE), 6) AS wjaccard
+    FROM pairs p
+    LEFT JOIN common c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+    JOIN tots ta ON ta.doc_id = p.doc_a
+    JOIN tots tb ON tb.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+"""

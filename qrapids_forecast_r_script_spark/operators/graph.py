@@ -135,27 +135,11 @@ _TRI_TOP = 20
 _LPA_ITERS = 2
 
 
-def doc_graph_communities(spark: SparkSession, sf_dir: str,
-                          iters: int = _LPA_ITERS) -> DataFrame:
-    """Community detection by synchronous label propagation (Raghavan
-    et al. 2007) over the near-dup pair graph: every node starts as its
-    own label; each round it adopts the MOST FREQUENT label among its
-    neighbors (ties → smallest label; isolated nodes keep their own).
-    Two unrolled rounds, then the per-community summary — size and
-    smallest member — ordered largest-first.
-
-    Where `dedup_clusters` answers "which docs are transitively
-    connected" (connected components), LPA answers "which docs sit in a
-    DENSELY connected region": a chain of borderline matches stays
-    split into local communities instead of collapsing into one giant
-    cluster — the view an auditor wants when CC returns a
-    mega-component.
-
-    Everything is INTEGER arithmetic (labels, counts), so the unrolled
-    oracle is exact with no rounding discipline at all.  Per round:
-    one neighbor-label count keyed by (node, label) and one argmax
-    window per node — fan-out bounded by degree (band-bounded on this
-    graph); the same plan repeats at scale until labels stabilize."""
+def _lpa_labels(spark: SparkSession, sf_dir: str,
+                iters: int = _LPA_ITERS):
+    """Shared LPA chain: (labels, pairs, sym) after ``iters`` synchronous
+    rounds — the label assignment `doc_graph_communities` summarizes and
+    `doc_graph_modularity` scores."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sym = (pairs.select(F.col("doc_a").alias("src"),
@@ -179,6 +163,31 @@ def doc_graph_communities(spark: SparkSession, sf_dir: str,
                   .select("doc_id",
                           F.coalesce("new_lbl", "lbl").alias("lbl"))
                   .localCheckpoint())
+    return labels, pairs, sym
+
+
+def doc_graph_communities(spark: SparkSession, sf_dir: str,
+                          iters: int = _LPA_ITERS) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the near-dup pair graph: every node starts as its
+    own label; each round it adopts the MOST FREQUENT label among its
+    neighbors (ties → smallest label; isolated nodes keep their own).
+    Two unrolled rounds, then the per-community summary — size and
+    smallest member — ordered largest-first.
+
+    Where `dedup_clusters` answers "which docs are transitively
+    connected" (connected components), LPA answers "which docs sit in a
+    DENSELY connected region": a chain of borderline matches stays
+    split into local communities instead of collapsing into one giant
+    cluster — the view an auditor wants when CC returns a
+    mega-component.
+
+    Everything is INTEGER arithmetic (labels, counts), so the unrolled
+    oracle is exact with no rounding discipline at all.  Per round:
+    one neighbor-label count keyed by (node, label) and one argmax
+    window per node — fan-out bounded by degree (band-bounded on this
+    graph); the same plan repeats at scale until labels stabilize."""
+    labels, _, _ = _lpa_labels(spark, sf_dir, iters)
     return (labels.groupBy(F.col("lbl").alias("community"))
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.min("doc_id").alias("first_member"))
@@ -827,3 +836,90 @@ def _bfs_oracle_sql(depth: int = _BFS_DEPTH) -> str:
 
 QUERIES["doc_graph_bfs_reachability"] = doc_graph_bfs_reachability
 ORACLES["doc_graph_bfs_reachability"] = _bfs_oracle_sql()
+
+
+def doc_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA partition (Newman & Girvan
+    2004): Q = Σ_c [L_c/m − (D_c/2m)²] — the single number that says
+    whether `doc_graph_communities`' labels describe real structure
+    (Q ≫ 0) or a random cut (Q ≈ 0), i.e. the quality gate on the
+    community step before anyone acts on it.  Everything upstream is
+    the SAME integer LPA chain the communities query runs; the score
+    needs only intra-community edge counts and community degree sums.
+
+    Per-community terms snap to the 1e-9 grid before the final sum
+    (the only IEEE-order-sensitive step); inputs are exact integers.
+
+    Scale: two label-keyed joins of the edge list + two grouped
+    counts — community cardinality output, fact-bounded only through
+    the shared LPA chain."""
+    labels, pairs, sym = _lpa_labels(spark, sf_dir)
+    la = labels.select(F.col("doc_id").alias("doc_a"),
+                       F.col("lbl").alias("lbl_a"))
+    lb = labels.select(F.col("doc_id").alias("doc_b"),
+                       F.col("lbl").alias("lbl_b"))
+    medges = pairs.agg(F.count(F.lit(1)).alias("m"))
+    intra = (pairs.join(la, "doc_a").join(lb, "doc_b")
+             .where(F.col("lbl_a") == F.col("lbl_b"))
+             .groupBy(F.col("lbl_a").alias("lbl"))
+             .agg(F.count(F.lit(1)).alias("lc")))
+    deg = (sym.join(labels.select(F.col("doc_id").alias("src"), "lbl"),
+                    "src")
+           .groupBy("lbl")
+           .agg(F.count(F.lit(1)).alias("dc")))
+    m = F.col("m").cast("double")
+    term = F.round(F.coalesce(F.col("lc"), F.lit(0)).cast("double") / m
+                   - (F.col("dc").cast("double") / (2 * m))
+                   * (F.col("dc").cast("double") / (2 * m)), 9)
+    terms = (deg.join(intra, "lbl", "left")
+             .crossJoin(F.broadcast(medges))
+             .select(term.alias("term")))
+    ncomm = (labels.select("lbl").distinct()
+             .agg(F.count(F.lit(1)).alias("n_communities")))
+    return (medges.crossJoin(ncomm)
+            .crossJoin(terms.agg(F.round(F.sum("term"), 6)
+                                 .alias("modularity")))
+            .select(F.col("m").alias("n_edges"), "n_communities",
+                    "modularity"))
+
+
+def _modularity_oracle_sql(iters: int = _LPA_ITERS) -> str:
+    base = _communities_oracle_sql(iters)
+    # reuse everything up to (and incl.) the last label CTE, swap the
+    # final SELECT for the modularity computation
+    head = base[:base.rindex("SELECT lbl AS community")].rstrip()
+    last = f"l{iters}"
+    return head + "," + f"""
+        medges AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+        intra AS (
+            SELECT la.lbl, count(*) AS lc
+            FROM pairs p
+            JOIN {last} la ON p.doc_a = la.doc_id
+            JOIN {last} lb ON p.doc_b = lb.doc_id
+            WHERE la.lbl = lb.lbl
+            GROUP BY 1
+        ),
+        deg AS (
+            SELECT l.lbl, count(*) AS dc
+            FROM sym s JOIN {last} l ON s.src = l.doc_id
+            GROUP BY 1
+        ),
+        terms AS (
+            SELECT round(coalesce(i.lc, 0) / CAST(me.m AS DOUBLE)
+                   - (d.dc / (2 * CAST(me.m AS DOUBLE)))
+                     * (d.dc / (2 * CAST(me.m AS DOUBLE))), 9) AS term
+            FROM deg d
+            LEFT JOIN intra i ON d.lbl = i.lbl
+            CROSS JOIN medges me
+        ),
+        ncomm AS (
+            SELECT count(DISTINCT lbl) AS n_communities FROM {last}
+        )
+        SELECT me.m AS n_edges, nc.n_communities,
+               round((SELECT sum(term) FROM terms), 6) AS modularity
+        FROM medges me CROSS JOIN ncomm nc
+    """
+
+
+QUERIES["doc_graph_modularity"] = doc_graph_modularity
+ORACLES["doc_graph_modularity"] = _modularity_oracle_sql()

@@ -470,3 +470,60 @@ def test_ucb1_replay_matches_python_reference(spark, sf_dir):
     # cumulative reward is monotone (rewards are non-negative here)
     cums = [r.cum_reward for r in rows]
     assert all(b >= a for a, b in zip(cums, cums[1:]))
+
+
+# --------------------------------------------------------- modularity
+
+def test_modularity_matches_python_and_is_positive(spark, sf_dir):
+    """Q recomputed in python over the same labels/edges; real dup
+    communities must score well above the random-cut 0."""
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from qrapids_forecast_r_script_spark.operators.graph import (
+        _lpa_labels, doc_graph_modularity)
+    row = doc_graph_modularity(spark, sf_dir).collect()[0]
+    labels_df, pairs_df, _ = _lpa_labels(spark, sf_dir)
+    lbl = {r.doc_id: r.lbl for r in labels_df.collect()}
+    edges = [(p.doc_a, p.doc_b) for p in pairs_df.collect()]
+    m = len(edges)
+    assert row.n_edges == m
+    import collections
+    lc = collections.Counter()
+    dc = collections.Counter()
+    for a, b in edges:
+        if lbl[a] == lbl[b]:
+            lc[lbl[a]] += 1
+        dc[lbl[a]] += 1
+        dc[lbl[b]] += 1
+    q = sum(round(lc.get(c, 0) / m - (d / (2 * m)) ** 2, 9)
+            for c, d in dc.items())
+    assert row.modularity == pytest.approx(q, abs=2e-6)
+    assert -1.0 <= row.modularity <= 1.0
+    assert row.modularity > 0.1, "dup communities are real structure"
+
+
+# --------------------------------------------------- weighted Jaccard
+
+def test_weighted_jaccard_identities(spark, sf_dir):
+    """Per-pair: wjaccard equals the python multiset computation;
+    identical docs (if any pair) score 1.0; weighted <= 1 and both
+    metrics agree on containment ordering sanity."""
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        weighted_jaccard_pairs)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    import collections
+    rows = weighted_jaccard_pairs(spark, sf_dir).collect()
+    assert rows
+    texts = {d.doc_id: collections.Counter(d.text.split(" "))
+             for d in load_table(spark, sf_dir, "documents").collect()}
+    for r in rows:
+        ca, cb = texts[r.doc_a], texts[r.doc_b]
+        smin = sum((ca & cb).values())
+        smax = sum((ca | cb).values())
+        wj = round(smin / smax, 6)
+        inter = len(set(ca) & set(cb))
+        un = len(set(ca) | set(cb))
+        assert r.wjaccard == pytest.approx(wj, abs=1e-6), (r.doc_a, r.doc_b)
+        assert r.jaccard == pytest.approx(round(inter / un, 6), abs=1e-6)
+        assert 0.0 <= r.wjaccard <= 1.0
+        assert r.ninter == inter
