@@ -78,7 +78,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # revenue_bootstrap_ci, chao1_vocab_estimate,
 # embedding_alignment_uniformity, event_markov_stationary,
 # ucb1_replay_policy, doc_graph_modularity,
-# weighted_jaccard_pairs) are the
+# weighted_jaccard_pairs, doc_graph_closeness_sampled) are the
 # round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first

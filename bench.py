@@ -309,6 +309,9 @@ HEADLINE = [
     # multiset-similarity verification stage
     "doc_graph_modularity",
     "weighted_jaccard_pairs",
+    # round-4 continuation (batch 13): multi-source recursive BFS
+    # closeness/harmonic centrality sample
+    "doc_graph_closeness_sampled",
 ]
 
 

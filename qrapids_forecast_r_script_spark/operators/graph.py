@@ -923,3 +923,116 @@ def _modularity_oracle_sql(iters: int = _LPA_ITERS) -> str:
 
 QUERIES["doc_graph_modularity"] = doc_graph_modularity
 ORACLES["doc_graph_modularity"] = _modularity_oracle_sql()
+
+
+_CL_SEEDS = 10      # constant seed sample (Eppstein-Wang estimator)
+
+
+def doc_graph_closeness_sampled(spark: SparkSession, sf_dir: str,
+                                depth: int = _BFS_DEPTH) -> DataFrame:
+    """Sampled closeness + harmonic centrality (Eppstein & Wang 2004
+    pivot sampling; Boldi & Vigna 2014 for the harmonic form) — the
+    "how near is this doc to its whole dup neighborhood" read that
+    degree and PageRank both miss (a node bridging two cliques has
+    modest degree but top closeness).  MULTI-SOURCE BFS in ONE
+    recursive CTE: the anchor is the {seeds}-row constant seed sample
+    (lowest-ids with an edge — deterministic), the recursive step
+    advances every seed's frontier simultaneously, and min(dist) per
+    (seed, node) collapses walk multiplicity exactly as in
+    `doc_graph_bfs_reachability` — the same depth-{depth} guard
+    bounds the clique walk blowup.
+
+    Per seed: reached count, total and harmonic distance sums, and
+    closeness (reached−1)/Σd on the radius-{depth} ball.  Integer
+    distances; two IEEE divisions per seed row.
+
+    Scale: one recursion, k seeds ride the same per-level hash join —
+    frontier rows are (seed × ball) bounded; k is the estimator knob."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+           .union(pairs.select(F.col("doc_b").alias("src"),
+                               F.col("doc_a").alias("dst"))))
+    sym.createOrReplaceTempView("qr_close_sym")
+    return spark.sql(f"""
+        WITH RECURSIVE seeds AS (
+            SELECT src AS seed FROM qr_close_sym
+            GROUP BY src ORDER BY src LIMIT {_CL_SEEDS}
+        ),
+        walk(seed, doc_id, dist) AS (
+            SELECT seed, CAST(seed AS BIGINT) AS doc_id,
+                   CAST(0 AS BIGINT) AS dist
+            FROM seeds
+            UNION ALL
+            SELECT w.seed, e.dst AS doc_id,
+                   CAST(w.dist + 1 AS BIGINT) AS dist
+            FROM walk w JOIN qr_close_sym e ON e.src = w.doc_id
+            WHERE w.dist < {depth}
+        ),
+        dists AS (
+            SELECT seed, doc_id, min(dist) AS d
+            FROM walk GROUP BY seed, doc_id
+        )
+        SELECT seed,
+               count(*) AS n_reached,
+               CAST(sum(d) AS BIGINT) AS total_dist,
+               round((count(*) - 1)
+                     / nullif(CAST(sum(d) AS DOUBLE), 0), 6)
+                   AS closeness,
+               round(sum(CASE WHEN d > 0
+                              THEN 1.0 / CAST(d AS DOUBLE)
+                              ELSE 0 END), 6) AS harmonic
+        FROM dists
+        GROUP BY seed
+        ORDER BY seed
+    """)
+
+
+def _closeness_oracle_sql(depth: int = _BFS_DEPTH) -> str:
+    return _SIG_CTE.replace("WITH", "WITH RECURSIVE", 1) + f"""
+        , bands AS ({_BANDS_UNION}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                        AND a.doc_id < b.doc_id
+        ),
+        sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        seeds AS (
+            SELECT src AS seed FROM sym
+            GROUP BY src ORDER BY src LIMIT {_CL_SEEDS}
+        ),
+        walk(seed, doc_id, dist) AS (
+            SELECT seed, CAST(seed AS BIGINT) AS doc_id,
+                   CAST(0 AS BIGINT) AS dist
+            FROM seeds
+            UNION ALL
+            SELECT w.seed, e.dst AS doc_id,
+                   CAST(w.dist + 1 AS BIGINT) AS dist
+            FROM walk w JOIN sym e ON e.src = w.doc_id
+            WHERE w.dist < {depth}
+        ),
+        dists AS (
+            SELECT seed, doc_id, min(dist) AS d
+            FROM walk GROUP BY seed, doc_id
+        )
+        SELECT seed,
+               count(*) AS n_reached,
+               CAST(sum(d) AS BIGINT) AS total_dist,
+               round((count(*) - 1)
+                     / nullif(CAST(sum(d) AS DOUBLE), 0), 6)
+                   AS closeness,
+               round(sum(CASE WHEN d > 0
+                              THEN 1.0 / CAST(d AS DOUBLE)
+                              ELSE 0 END), 6) AS harmonic
+        FROM dists
+        GROUP BY seed
+        ORDER BY seed
+    """
+
+
+QUERIES["doc_graph_closeness_sampled"] = doc_graph_closeness_sampled
+ORACLES["doc_graph_closeness_sampled"] = _closeness_oracle_sql()

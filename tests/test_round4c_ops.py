@@ -527,3 +527,38 @@ def test_weighted_jaccard_identities(spark, sf_dir):
         assert r.jaccard == pytest.approx(round(inter / un, 6), abs=1e-6)
         assert 0.0 <= r.wjaccard <= 1.0
         assert r.ninter == inter
+
+
+# ----------------------------------------------- sampled closeness
+
+def test_closeness_matches_python_bfs(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from qrapids_forecast_r_script_spark.operators.graph import (
+        _BFS_DEPTH, _CL_SEEDS, doc_graph_closeness_sampled)
+    import collections
+    rows = {r.seed: r
+            for r in doc_graph_closeness_sampled(spark, sf_dir).collect()}
+    pairs = minhash_lsh_pairs(spark, sf_dir).collect()
+    adj = collections.defaultdict(set)
+    for p in pairs:
+        adj[p.doc_a].add(p.doc_b)
+        adj[p.doc_b].add(p.doc_a)
+    seeds = sorted(adj)[:_CL_SEEDS]
+    assert set(rows) == set(seeds)
+    for seed in seeds:
+        seen = {seed: 0}
+        q = collections.deque([(seed, 0)])
+        while q:
+            u, d = q.popleft()
+            if d == _BFS_DEPTH:
+                continue
+            for v in adj[u]:
+                if v not in seen:
+                    seen[v] = d + 1
+                    q.append((v, d + 1))
+        r = rows[seed]
+        assert r.n_reached == len(seen)
+        assert r.total_dist == sum(seen.values())
+        harm = round(sum(1.0 / d for d in seen.values() if d > 0), 6)
+        assert r.harmonic == pytest.approx(harm, abs=1e-6)
