@@ -773,7 +773,7 @@ def doc_graph_bfs_reachability(spark: SparkSession, sf_dir: str,
     k hops of this boilerplate family" audit drill-down.
 
     Recursive-CTE BFS enumerates WALKS, not visits, so cycles would
-    loop forever without the ``dist < {depth}`` guard; the final
+    loop forever without the ``dist < 4`` guard; the final
     ``min(dist)`` group collapses walk multiplicity to true BFS
     distance.  Bounded because near-dup components are clique-like
     and small (`dedup_cluster_sizes` pins the size histogram): walk
@@ -935,15 +935,15 @@ def doc_graph_closeness_sampled(spark: SparkSession, sf_dir: str,
     "how near is this doc to its whole dup neighborhood" read that
     degree and PageRank both miss (a node bridging two cliques has
     modest degree but top closeness).  MULTI-SOURCE BFS in ONE
-    recursive CTE: the anchor is the {seeds}-row constant seed sample
+    recursive CTE: the anchor is the 10-row constant seed sample
     (lowest-ids with an edge — deterministic), the recursive step
     advances every seed's frontier simultaneously, and min(dist) per
     (seed, node) collapses walk multiplicity exactly as in
-    `doc_graph_bfs_reachability` — the same depth-{depth} guard
+    `doc_graph_bfs_reachability` — the same depth-4 guard
     bounds the clique walk blowup.
 
     Per seed: reached count, total and harmonic distance sums, and
-    closeness (reached−1)/Σd on the radius-{depth} ball.  Integer
+    closeness (reached−1)/Σd on the radius-4 ball.  Integer
     distances; two IEEE divisions per seed row.
 
     Scale: one recursion, k seeds ride the same per-level hash join —
