@@ -1438,7 +1438,7 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     this audit sits next to `ab_mannwhitney_test` in the kit.
 
     Values are exact integer cents; each log-excess term ln(x_i) −
-    ln(x_{{k+1}}) is snapped to the 1e-6 grid before the k-term mean
+    ln(x_(k+1)) is snapped to the 1e-6 grid before the k-term mean
     (libm-drift discipline).  Ties at the threshold are harmless: the
     estimator depends on the selected VALUES only.
 

@@ -2273,7 +2273,7 @@ def binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance ``bit_count(xor(lo), xor(hi))`` — for sign bits of unit
     vectors this is a monotone proxy of angular distance (Charikar
     2002 sign-random-projection with the identity basis).  Search
-    shortlists the top-{_BQ_SHORTLIST} by (hamming asc, id asc) and
+    shortlists the top-50 by (hamming asc, id asc) and
     re-ranks with exact cosine on the full-precision vectors carried
     through the shortlist.
 

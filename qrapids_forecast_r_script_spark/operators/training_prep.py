@@ -595,7 +595,7 @@ def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick bag-of-words vectorizer (Weinberger et al., ICML
     2009 "Feature Hashing for Large Scale Multitask Learning"; the
     ``HashingVectorizer`` every linear text baseline uses): each token
-    hashes to one of {_FH_BUCKETS} buckets via md5, a SECOND hash bit
+    hashes to one of 64 buckets via md5, a SECOND hash bit
     gives the ±1 sign that makes the bucketed inner product an
     unbiased kernel estimate, signed counts accumulate per (doc,
     bucket), and the sparse vector is L2-normalized — the fixed-width
@@ -605,7 +605,7 @@ def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce, on a feature space of constant width.
 
     Output is the sparse (doc, bucket, weight) triple table for the
-    deterministic doc_id % {_FH_DOC_MOD} == 0 slice (bounded driver
+    deterministic doc_id % 10 == 0 slice (bounded driver
     compare; the mod is a sample knob, not a semantic).  Signed sums
     are exact integers; only the final normalize divides."""
     docs = (load_table(spark, sf_dir, "documents")
