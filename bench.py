@@ -312,6 +312,10 @@ HEADLINE = [
     # round-4 continuation (batch 13): multi-source recursive BFS
     # closeness/harmonic centrality sample
     "doc_graph_closeness_sampled",
+    # round-4 continuation (batch 14): price/volume waterfall +
+    # trailing-window exact distinct
+    "revenue_price_volume_bridge",
+    "events_trailing_distinct_types",
 ]
 
 

@@ -429,3 +429,130 @@ ORACLES["parts_skyline_frontier"] = """
           AND (q.p_retailprice < p.p_retailprice
                OR q.p_size > p.p_size))
 """
+
+
+_PVB_Y0 = 1996
+_PVB_Y1 = 1997
+
+
+def revenue_price_volume_bridge(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Price/volume/mix revenue bridge between two years, per part
+    type — THE waterfall every revenue review runs: for parts sold in
+    BOTH years, Δrev decomposes exactly as (Δp)·v0 [price effect] +
+    p0·(Δv) [volume effect] + (Δp)(Δv) [mix/interaction]; parts sold
+    only in one year land in new/lost columns.  The five effect
+    columns sum EXACTLY to Δrev per type — the reconciliation
+    identity is pinned in tests, which is what separates a bridge
+    from four unrelated aggregates.
+
+    Revenue in exact integer cents and integer-valued quantities; the
+    per-(part,year) unit price p = rev/vol is one IEEE division, and
+    the algebraic identity holds in floating point because every
+    effect term is built from the SAME p0/p1/v0/v1 values.
+
+    Scale: one (part, year) aggregate over the fact table (map-side
+    combined), a part-keyed self-align via conditional aggregation
+    (no join), one type-level rollup with the part dim broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    yr = F.year("l_shipdate")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    per = (li.where(yr.isin(_PVB_Y0, _PVB_Y1))
+           .groupBy("l_partkey", yr.alias("y"))
+           .agg(F.sum(cents).alias("rev"),
+                F.sum(F.col("l_quantity").cast("long")).alias("vol")))
+    aligned = (per.groupBy("l_partkey")
+               .agg(F.sum(F.when(F.col("y") == _PVB_Y0, F.col("rev")))
+                    .alias("rev0"),
+                    F.sum(F.when(F.col("y") == _PVB_Y0, F.col("vol")))
+                    .alias("vol0"),
+                    F.sum(F.when(F.col("y") == _PVB_Y1, F.col("rev")))
+                    .alias("rev1"),
+                    F.sum(F.when(F.col("y") == _PVB_Y1, F.col("vol")))
+                    .alias("vol1")))
+    p0 = F.col("rev0").cast("double") / F.col("vol0")
+    p1 = F.col("rev1").cast("double") / F.col("vol1")
+    both = F.col("rev0").isNotNull() & F.col("rev1").isNotNull()
+    eff = (aligned.join(F.broadcast(part),
+                        aligned["l_partkey"] == part["p_partkey"])
+           .select(
+               "p_type",
+               F.when(both, (p1 - p0) * F.col("vol0")).alias("price_c"),
+               F.when(both, p0 * (F.col("vol1") - F.col("vol0")))
+               .alias("volume_c"),
+               F.when(both, (p1 - p0) * (F.col("vol1") - F.col("vol0")))
+               .alias("mix_c"),
+               F.when(F.col("rev0").isNull(), F.col("rev1"))
+               .alias("new_c"),
+               F.when(F.col("rev1").isNull(), F.col("rev0"))
+               .alias("lost_c"),
+               F.coalesce("rev0", F.lit(0)).alias("r0"),
+               F.coalesce("rev1", F.lit(0)).alias("r1")))
+    return (eff.groupBy("p_type")
+            .agg(F.round(F.sum("r0") / 100.0, 2).alias("rev_y0"),
+                 F.round(F.sum("r1") / 100.0, 2).alias("rev_y1"),
+                 F.round((F.sum("r1") - F.sum("r0")) / 100.0, 2)
+                 .alias("delta_rev"),
+                 F.round(F.coalesce(F.sum("price_c"), F.lit(0.0))
+                         / 100.0, 2).alias("price_effect"),
+                 F.round(F.coalesce(F.sum("volume_c"), F.lit(0.0))
+                         / 100.0, 2).alias("volume_effect"),
+                 F.round(F.coalesce(F.sum("mix_c"), F.lit(0.0))
+                         / 100.0, 2).alias("mix_effect"),
+                 F.round(F.coalesce(F.sum("new_c"), F.lit(0))
+                         / 100.0, 2).alias("new_parts_effect"),
+                 F.round(F.coalesce(F.sum("lost_c"), F.lit(0))
+                         / 100.0, 2).alias("lost_parts_effect"))
+            .orderBy("p_type"))
+
+
+QUERIES["revenue_price_volume_bridge"] = revenue_price_volume_bridge
+ORACLES["revenue_price_volume_bridge"] = f"""
+    WITH per AS (
+        SELECT l_partkey, CAST(year(l_shipdate) AS INT) AS y,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS rev,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vol
+        FROM lineitem
+        WHERE year(l_shipdate) IN ({_PVB_Y0}, {_PVB_Y1})
+        GROUP BY 1, 2
+    ), aligned AS (
+        SELECT l_partkey,
+               sum(CASE WHEN y = {_PVB_Y0} THEN rev END) AS rev0,
+               sum(CASE WHEN y = {_PVB_Y0} THEN vol END) AS vol0,
+               sum(CASE WHEN y = {_PVB_Y1} THEN rev END) AS rev1,
+               sum(CASE WHEN y = {_PVB_Y1} THEN vol END) AS vol1
+        FROM per GROUP BY 1
+    ), eff AS (
+        SELECT p.p_type,
+               CASE WHEN rev0 IS NOT NULL AND rev1 IS NOT NULL THEN
+                   (CAST(rev1 AS DOUBLE) / vol1
+                    - CAST(rev0 AS DOUBLE) / vol0) * vol0 END
+                   AS price_c,
+               CASE WHEN rev0 IS NOT NULL AND rev1 IS NOT NULL THEN
+                   CAST(rev0 AS DOUBLE) / vol0 * (vol1 - vol0) END
+                   AS volume_c,
+               CASE WHEN rev0 IS NOT NULL AND rev1 IS NOT NULL THEN
+                   (CAST(rev1 AS DOUBLE) / vol1
+                    - CAST(rev0 AS DOUBLE) / vol0)
+                   * (vol1 - vol0) END AS mix_c,
+               CASE WHEN rev0 IS NULL THEN rev1 END AS new_c,
+               CASE WHEN rev1 IS NULL THEN rev0 END AS lost_c,
+               coalesce(rev0, 0) AS r0, coalesce(rev1, 0) AS r1
+        FROM aligned a JOIN part p ON a.l_partkey = p.p_partkey
+    )
+    SELECT p_type,
+           round(sum(r0) / 100.0, 2) AS rev_y0,
+           round(sum(r1) / 100.0, 2) AS rev_y1,
+           round((sum(r1) - sum(r0)) / 100.0, 2) AS delta_rev,
+           round(coalesce(sum(price_c), 0) / 100.0, 2) AS price_effect,
+           round(coalesce(sum(volume_c), 0) / 100.0, 2)
+               AS volume_effect,
+           round(coalesce(sum(mix_c), 0) / 100.0, 2) AS mix_effect,
+           round(coalesce(sum(new_c), 0) / 100.0, 2)
+               AS new_parts_effect,
+           round(coalesce(sum(lost_c), 0) / 100.0, 2)
+               AS lost_parts_effect
+    FROM eff GROUP BY 1 ORDER BY 1
+"""

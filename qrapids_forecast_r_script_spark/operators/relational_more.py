@@ -760,3 +760,63 @@ ORACLES["parts_abc_pareto"] = f"""
     FROM classed GROUP BY 1 ORDER BY 1
 """
 QUERIES["parts_abc_pareto"] = parts_abc_pareto
+
+
+_TDW_MS = 1_800_000     # 30-minute trailing window
+
+
+def events_trailing_distinct_types(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """Exact COUNT(DISTINCT) over a trailing 30-minute event-time
+    window per user — the window-function gap NO engine fills
+    natively (SQL forbids DISTINCT in windowed aggregates; Spark has
+    no distinct RANGE frame either): per event, how many distinct
+    event types did this user emit in the last half hour — the
+    behavioral-breadth signal sessions and bot screens read.
+
+    Executed as the bin-and-refine pattern `events_range_join_binned`
+    pinned: probe rows register under their own 30-min bucket AND the
+    next one, the equi-join on (user, bucket) bounds the fan-out to
+    two buckets per probe, and the exact millisecond refine keeps
+    0 ≤ Δt ≤ 30 min — never an unbounded interval self-join.  The
+    oracle is the definitional correlated DISTINCT subquery, so the
+    rewrite's equivalence is hash-checked.
+
+    Scale: fan-out = per-user events per 30-min bucket (traffic-
+    bounded, not corpus-bounded); one (user, bucket)-keyed shuffle;
+    millisecond integers end to end."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type",
+                  F.unix_millis("ts").alias("ms")))
+    bucket = F.expr(f"ms div {_TDW_MS}")
+    target = ev.select("event_id", "user_id",
+                       F.col("ms").alias("t_ms"),
+                       bucket.alias("bkt"))
+    probe = ev.select(F.col("user_id").alias("p_user"),
+                      F.col("event_type").alias("p_type"),
+                      F.col("ms").alias("p_ms"),
+                      bucket.alias("p_bkt"))
+    probe2 = probe.select(
+        "p_user", "p_type", "p_ms",
+        F.explode(F.array(F.col("p_bkt"), F.col("p_bkt") + 1))
+        .alias("bkt"))
+    joined = (target.join(
+        probe2, (target["user_id"] == probe2["p_user"])
+        & (target["bkt"] == probe2["bkt"]))
+        .where((F.col("t_ms") - F.col("p_ms") >= 0)
+               & (F.col("t_ms") - F.col("p_ms") <= _TDW_MS)))
+    return (joined.groupBy("event_id")
+            .agg(F.count_distinct("p_type").alias("n_types_30m")))
+
+
+QUERIES["events_trailing_distinct_types"] = events_trailing_distinct_types
+ORACLES["events_trailing_distinct_types"] = f"""
+    SELECT e.event_id,
+           (SELECT count(DISTINCT e2.event_type)
+            FROM events e2
+            WHERE e2.user_id = e.user_id
+              AND epoch_ms(e2.ts) BETWEEN epoch_ms(e.ts) - {_TDW_MS}
+                                      AND epoch_ms(e.ts))
+               AS n_types_30m
+    FROM events e
+"""

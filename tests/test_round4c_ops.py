@@ -562,3 +562,48 @@ def test_closeness_matches_python_bfs(spark, sf_dir):
         assert r.total_dist == sum(seen.values())
         harm = round(sum(1.0 / d for d in seen.values() if d > 0), 6)
         assert r.harmonic == pytest.approx(harm, abs=1e-6)
+
+
+# -------------------------------------------------- revenue bridge
+
+def test_revenue_bridge_reconciles_exactly(spark, sf_dir):
+    """The five effect columns must sum to delta_rev per type (the
+    bridge identity), and totals must equal the raw year revenues."""
+    from qrapids_forecast_r_script_spark.operators.relational_ext import (
+        revenue_price_volume_bridge)
+    rows = revenue_price_volume_bridge(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        bridge = (r.price_effect + r.volume_effect + r.mix_effect
+                  + r.new_parts_effect - r.lost_parts_effect)
+        assert bridge == pytest.approx(r.delta_rev, abs=0.05), r.p_type
+        assert r.delta_rev == pytest.approx(r.rev_y1 - r.rev_y0,
+                                            abs=0.02)
+
+
+# ------------------------------------------- trailing distinct window
+
+def test_trailing_distinct_matches_python(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.relational_more import (
+        events_trailing_distinct_types)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = {r.event_id: r.n_types_30m
+           for r in events_trailing_distinct_types(spark, sf_dir).collect()}
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type",
+                  F.unix_millis("ts").alias("ms")).collect())
+    import collections
+    by_user = collections.defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append(e)
+    n_checked = 0
+    for user, es in by_user.items():
+        es.sort(key=lambda e: e.ms)
+        for i, e in enumerate(es):
+            types = {f.event_type for f in es
+                     if 0 <= e.ms - f.ms <= 1_800_000}
+            assert got[e.event_id] == len(types), e.event_id
+            n_checked += 1
+    assert n_checked == len(got)
+    # every event sees at least itself
+    assert all(v >= 1 for v in got.values())
