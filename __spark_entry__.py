@@ -79,8 +79,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # embedding_alignment_uniformity, event_markov_stationary,
 # ucb1_replay_policy, doc_graph_modularity,
 # weighted_jaccard_pairs, doc_graph_closeness_sampled,
-# revenue_price_volume_bridge, events_trailing_distinct_types)
-# are the round-5 window.
+# revenue_price_volume_bridge, events_trailing_distinct_types,
+# ab_sequential_looks) are the round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

@@ -316,6 +316,9 @@ HEADLINE = [
     # trailing-window exact distinct
     "revenue_price_volume_bridge",
     "events_trailing_distinct_types",
+    # round-4 continuation (batch 15): peeking-corrected sequential
+    # monitoring
+    "ab_sequential_looks",
 ]
 
 

@@ -2137,3 +2137,131 @@ ORACLES["ucb1_replay_policy"] = f"""
     WHERE w.chosen IS NOT NULL
     ORDER BY w.t
 """
+
+
+def ab_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring table (Pocock 1977 framing;
+    O'Brien-Fleming-shaped boundary via the Lan-DeMets style
+    sqrt(K/k) approximation): one row per daily LOOK at the running
+    experiment — cumulative per-arm high-value-purchase counts, the
+    two-proportion z at that look, and the spending boundary
+    z_crit·sqrt(K/k) that makes early looks conservative — the
+    peeking-correction machinery every experimentation platform
+    implements so PMs can watch dashboards without inflating false
+    positives.  On the A/A hash split no look may cross (pinned in
+    tests: the whole point of the boundary).
+
+    Cumulative counts are exact integers via a day-spine left join
+    (days with no traffic for an arm carry forward); z and the
+    boundary are closed-form IEEE.  Scale: one (day, arm) aggregate,
+    one tiny spine window — the daily-report envelope."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .withColumn("arm", arm)
+             .groupBy(F.to_date("ts").alias("day"), "arm")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.when(F.col("value") > 200, 1).otherwise(0))
+                  .alias("c")))
+    days = daily.select("day").distinct()
+    arms = spark.range(2).select(F.col("id").alias("arm"))
+    spine = (days.crossJoin(F.broadcast(arms))
+             .join(daily, ["day", "arm"], "left")
+             .select("day", "arm",
+                     F.coalesce("n", F.lit(0)).alias("n"),
+                     F.coalesce("c", F.lit(0)).alias("c")))
+    wcum = (Window.partitionBy("arm").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (spine.withColumn("cn", F.sum("n").over(wcum))
+           .withColumn("cc", F.sum("c").over(wcum)))
+    byday = (cum.groupBy("day")
+             .agg(F.max(F.when(F.col("arm") == 0, F.col("cn")))
+                  .alias("n_a"),
+                  F.max(F.when(F.col("arm") == 0, F.col("cc")))
+                  .alias("c_a"),
+                  F.max(F.when(F.col("arm") == 1, F.col("cn")))
+                  .alias("n_b"),
+                  F.max(F.when(F.col("arm") == 1, F.col("cc")))
+                  .alias("c_b"))
+             .withColumn("k", F.row_number().over(Window.orderBy("day")))
+             .withColumn("kk", F.count(F.lit(1)).over(
+                 Window.rowsBetween(Window.unboundedPreceding,
+                                    Window.unboundedFollowing))))
+    pa = F.col("c_a") / F.nullif(F.col("n_a").cast("double"), F.lit(0.0))
+    pb = F.col("c_b") / F.nullif(F.col("n_b").cast("double"), F.lit(0.0))
+    pp = ((F.col("c_a") + F.col("c_b"))
+          / F.nullif((F.col("n_a") + F.col("n_b")).cast("double"),
+                     F.lit(0.0)))
+    z = (pa - pb) / F.nullif(
+        F.sqrt(pp * (1 - pp) * (1 / F.col("n_a").cast("double")
+                                + 1 / F.col("n_b").cast("double"))),
+        F.lit(0.0))
+    bound = F.lit(_AB_Z_CRIT) * F.sqrt(
+        F.col("kk").cast("double") / F.col("k").cast("double"))
+    return (byday.select(
+        "k", "day", "n_a", "c_a", "n_b", "c_b",
+        F.round(z, 6).alias("z"),
+        F.round(bound, 6).alias("boundary"),
+        F.coalesce(F.abs(z) > bound, F.lit(False)).alias("crossed"))
+        .orderBy("k"))
+
+
+QUERIES["ab_sequential_looks"] = ab_sequential_looks
+ORACLES["ab_sequential_looks"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    ::BIGINT % 2) AS arm,
+               count(*) AS n,
+               CAST(sum(CASE WHEN value > 200 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ), days AS (SELECT DISTINCT day FROM daily),
+    arms AS (SELECT 0 AS arm UNION ALL SELECT 1),
+    spine AS (
+        SELECT d.day, a.arm, coalesce(x.n, 0) AS n, coalesce(x.c, 0) AS c
+        FROM days d CROSS JOIN arms a
+        LEFT JOIN daily x ON x.day = d.day AND x.arm = a.arm
+    ), cum AS (
+        SELECT day, arm,
+               CAST(sum(n) OVER (PARTITION BY arm ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cn,
+               CAST(sum(c) OVER (PARTITION BY arm ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cc
+        FROM spine
+    ), byday AS (
+        SELECT day,
+               max(CASE WHEN arm = 0 THEN cn END) AS n_a,
+               max(CASE WHEN arm = 0 THEN cc END) AS c_a,
+               max(CASE WHEN arm = 1 THEN cn END) AS n_b,
+               max(CASE WHEN arm = 1 THEN cc END) AS c_b
+        FROM cum GROUP BY day
+    ), looks AS (
+        SELECT *, row_number() OVER (ORDER BY day) AS k,
+               count(*) OVER () AS kk
+        FROM byday
+    ), scored AS (
+        SELECT *,
+               (c_a / nullif(CAST(n_a AS DOUBLE), 0)
+                - c_b / nullif(CAST(n_b AS DOUBLE), 0))
+               / nullif(sqrt(
+                   ((c_a + c_b) / nullif(CAST(n_a + n_b AS DOUBLE), 0))
+                   * (1 - (c_a + c_b)
+                          / nullif(CAST(n_a + n_b AS DOUBLE), 0))
+                   * (1 / CAST(n_a AS DOUBLE)
+                      + 1 / CAST(n_b AS DOUBLE))), 0) AS z,
+               {_AB_Z_CRIT} * sqrt(CAST(kk AS DOUBLE)
+                                   / CAST(k AS DOUBLE)) AS bound
+        FROM looks
+    )
+    SELECT k, day, n_a, c_a, n_b, c_b,
+           round(z, 6) AS z,
+           round(bound, 6) AS boundary,
+           coalesce(abs(z) > bound, false) AS crossed
+    FROM scored ORDER BY k
+"""

@@ -607,3 +607,22 @@ def test_trailing_distinct_matches_python(spark, sf_dir):
     assert n_checked == len(got)
     # every event sees at least itself
     assert all(v >= 1 for v in got.values())
+
+
+# -------------------------------------------------- sequential looks
+
+def test_sequential_looks_aa_never_crosses(spark, sf_dir):
+    """On the A/A hash split no look may cross the spending boundary;
+    cumulative counts are monotone; the final look's boundary equals
+    the fixed-horizon critical value."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics import (
+        _AB_Z_CRIT, ab_sequential_looks)
+    rows = sorted(ab_sequential_looks(spark, sf_dir).collect(),
+                  key=lambda r: r.k)
+    assert rows
+    assert not any(r.crossed for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_a >= a.n_a and b.n_b >= a.n_b
+        assert b.c_a >= a.c_a and b.c_b >= a.c_b
+        assert b.boundary <= a.boundary, "boundary tightens with info"
+    assert rows[-1].boundary == pytest.approx(_AB_Z_CRIT, abs=1e-6)
