@@ -80,7 +80,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ucb1_replay_policy, doc_graph_modularity,
 # weighted_jaccard_pairs, doc_graph_closeness_sampled,
 # revenue_price_volume_bridge, events_trailing_distinct_types,
-# ab_sequential_looks) are the round-5 window.
+# ab_sequential_looks, and the batch-16 additions: roc_auc_eval,
+# brier_decomposition, target_encoding_loo, negative_sampling_table,
+# doc_graph_shortest_paths) are the round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

@@ -319,6 +319,14 @@ HEADLINE = [
     # round-4 continuation (batch 15): peeking-corrected sequential
     # monitoring
     "ab_sequential_looks",
+    # round-4 continuation (batch 16): classifier eval (exact AUC,
+    # Brier decomposition), feature prep (LOO target encoding,
+    # negative-sampling table), weighted recursive shortest paths
+    "roc_auc_eval",
+    "brier_decomposition",
+    "target_encoding_loo",
+    "negative_sampling_table",
+    "doc_graph_shortest_paths",
 ]
 
 

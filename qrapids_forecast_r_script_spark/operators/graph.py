@@ -1036,3 +1036,100 @@ def _closeness_oracle_sql(depth: int = _BFS_DEPTH) -> str:
 
 QUERIES["doc_graph_closeness_sampled"] = doc_graph_closeness_sampled
 ORACLES["doc_graph_closeness_sampled"] = _closeness_oracle_sql()
+
+
+_SP_HOPS = 4       # walk-hop guard (same bound, and reasoning, as BFS)
+
+
+def doc_graph_shortest_paths(spark: SparkSession, sf_dir: str,
+                             hops: int = _SP_HOPS) -> DataFrame:
+    """Weighted single-source shortest paths over the near-dup graph —
+    BFS's metric upgrade: edge cost = ``101 − round(100·est_jaccard)``
+    (strong duplicates are cheap to traverse, weak candidates
+    expensive), so the distance ranks "how much accumulated
+    dissimilarity separates this doc from the seed family" rather
+    than raw hop count.  Written as the same engine-native
+    ``WITH RECURSIVE`` walk enumeration as `doc_graph_bfs_reachability`
+    with ``min(dist)`` collapsing walks to the bounded-hop
+    Bellman-Ford fixpoint; both engines run the identical recursion,
+    so Spark's recursive-CTE arithmetic (accumulating a non-counter
+    column) is what the oracle checks.
+
+    Costs are INTEGERS (the jaccard is snapped to a percent grid
+    before entering the recursion), so path sums are exact BIGINTs —
+    no float accumulation across recursion levels.  Bounded for the
+    BFS reason: near-dup components are small and clique-like
+    (`dedup_cluster_sizes`), so walk count ≤ |component|^hops.
+
+    Scale shape: each level is one hash join frontier×edges; for an
+    unbounded/contended graph the hand-rolled converge-loop with a
+    min-dist re-aggregate per round (the `dedup_clusters` pattern)
+    replaces the walk enumeration — this query pins the declarative
+    form."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    wt = (F.lit(101) - F.round(F.col("est_jaccard") * 100, 0)) \
+        .cast("bigint")
+    sym = (pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"), wt.alias("wt"))
+           .union(pairs.select(F.col("doc_b").alias("src"),
+                               F.col("doc_a").alias("dst"), wt.alias("wt"))))
+    sym.createOrReplaceTempView("qr_sp_edges")
+    return spark.sql(f"""
+        WITH RECURSIVE walk(doc_id, dist, hops) AS (
+            SELECT CAST((SELECT min(src) FROM qr_sp_edges) AS BIGINT)
+                       AS doc_id,
+                   CAST(0 AS BIGINT) AS dist,
+                   CAST(0 AS BIGINT) AS hops
+            UNION ALL
+            SELECT e.dst AS doc_id,
+                   CAST(w.dist + e.wt AS BIGINT) AS dist,
+                   CAST(w.hops + 1 AS BIGINT) AS hops
+            FROM walk w JOIN qr_sp_edges e ON e.src = w.doc_id
+            WHERE w.hops < {hops}
+        )
+        SELECT doc_id, CAST(min(dist) AS BIGINT) AS wdist
+        FROM walk GROUP BY doc_id
+    """)
+
+
+def _shortest_paths_oracle_sql(hops: int = _SP_HOPS) -> str:
+    return _SIG_CTE.replace("WITH", "WITH RECURSIVE", 1) + f"""
+        , bands AS ({_BANDS_UNION}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                        AND a.doc_id < b.doc_id
+        ),
+        wpairs AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(101 - round(round(len(list_filter(
+                            generate_series(1, 16),
+                            i -> sa.sig[i] = sb.sig[i])) / 16.0, 6)
+                        * 100, 0) AS BIGINT) AS wt
+            FROM cand c
+            JOIN sig sa ON c.doc_a = sa.doc_id
+            JOIN sig sb ON c.doc_b = sb.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst, wt FROM wpairs
+            UNION ALL SELECT doc_b, doc_a, wt FROM wpairs
+        ),
+        walk(doc_id, dist, hops) AS (
+            SELECT CAST((SELECT min(src) FROM edges) AS BIGINT) AS doc_id,
+                   CAST(0 AS BIGINT) AS dist,
+                   CAST(0 AS BIGINT) AS hops
+            UNION ALL
+            SELECT e.dst AS doc_id,
+                   CAST(w.dist + e.wt AS BIGINT) AS dist,
+                   CAST(w.hops + 1 AS BIGINT) AS hops
+            FROM walk w JOIN edges e ON e.src = w.doc_id
+            WHERE w.hops < {hops}
+        )
+        SELECT doc_id, CAST(min(dist) AS BIGINT) AS wdist
+        FROM walk GROUP BY doc_id
+    """
+
+
+QUERIES["doc_graph_shortest_paths"] = doc_graph_shortest_paths
+ORACLES["doc_graph_shortest_paths"] = _shortest_paths_oracle_sql()

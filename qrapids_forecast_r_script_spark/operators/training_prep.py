@@ -650,3 +650,409 @@ ORACLES["feature_hash_vectors"] = f"""
                  OVER (PARTITION BY doc_id) AS DOUBLE)), 6) AS weight
     FROM nz
 """
+
+
+_AUC_U = 1_000_000    # score grid: su = round(nb_score·1e6) (already 6dp)
+
+
+def roc_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of the NB quality score against the teacher label,
+    per document SOURCE — the standard "is the quality filter actually
+    ranking?" eval (Hanley & McNeil 1982: AUC = P(score_pos >
+    score_neg), ties at ½).  Per-source AUC exposes the slice where
+    the classifier's ranking collapses (a filter can look great
+    pooled and be random within one crawl source — Simpson's rift).
+
+    Computed by the rank-free tie-aware identity: group scores to
+    distinct values, scan ascending, and accumulate
+    ``2·num = Σ_v pos_v · (2·neg_below_v + neg_v)`` — every
+    pos/neg pair contributes 2 if the positive scores higher, 1 on a
+    tie, 0 otherwise; AUC = num2 / (2·n_pos·n_neg).  The NB score is
+    already on the 1e-6 fixed-point grid, so "distinct value" and
+    "tie" are INTEGER notions — the whole numerator is BIGINT and the
+    only float is the final ratio (deterministic: one division per
+    source).  Gini = 2·AUC − 1 (the CAP-curve form risk teams quote).
+
+    Scale: rides the NB scoring chain (vocabulary-bounded broadcast,
+    one doc-keyed sum); the AUC pass is one (source, su) aggregate —
+    at most |sources|·|distinct scores| rows — one cumulative window
+    per source, and one |sources|-row aggregate.  No per-pair work:
+    the O(P·N) pairwise definition is collapsed to O(D log D) by the
+    tie-grouped scan, which is what makes exact AUC feasible at
+    100 TB (pairwise AUC is quadratic and dead on arrival)."""
+    nb = nb_quality_classifier(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    su = F.round(F.col("nb_score") * _AUC_U, 0).cast("bigint")
+    scored = (nb.join(docs, "doc_id")
+              .select("source", su.alias("su"),
+                      (F.col("lang") == _NB_TARGET_LANG).alias("is_pos")))
+    vals = (scored.groupBy("source", "su")
+            .agg(F.count(F.when(F.col("is_pos"), 1)).alias("pos"),
+                 F.count(F.when(~F.col("is_pos"), 1)).alias("neg")))
+    w = (Window.partitionBy("source").orderBy("su")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    contrib = (vals.withColumn("cneg", F.sum("neg").over(w))
+               .withColumn("num2", F.col("pos")
+                           * (2 * (F.col("cneg") - F.col("neg"))
+                              + F.col("neg"))))
+    auc = (F.col("num2").cast("double")
+           / (2.0 * F.col("n_pos") * F.col("n_neg")))
+    return (contrib.groupBy("source")
+            .agg(F.sum("pos").alias("n_pos"),
+                 F.sum("neg").alias("n_neg"),
+                 F.sum("num2").alias("num2"))
+            .select("source", "n_pos", "n_neg",
+                    F.round(auc, 6).alias("auc"),
+                    F.round(2 * auc - 1, 6).alias("gini"))
+            .orderBy("source"))
+
+
+QUERIES["roc_auc_eval"] = roc_auc_eval
+ORACLES["roc_auc_eval"] = f"""
+    WITH nb AS ({ORACLES["nb_quality_classifier"]}),
+    scored AS (
+        SELECT d.source,
+               CAST(round(nb.nb_score * {_AUC_U}, 0) AS BIGINT) AS su,
+               nb.lang = '{_NB_TARGET_LANG}' AS is_pos
+        FROM nb JOIN documents d ON nb.doc_id = d.doc_id
+    ), vals AS (
+        SELECT source, su,
+               CAST(count(*) FILTER (WHERE is_pos) AS BIGINT) AS pos,
+               CAST(count(*) FILTER (WHERE NOT is_pos) AS BIGINT) AS neg
+        FROM scored GROUP BY 1, 2
+    ), contrib AS (
+        SELECT source, pos, neg,
+               CAST(sum(neg) OVER (PARTITION BY source ORDER BY su
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cneg
+        FROM vals
+    ), agg AS (
+        SELECT source,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(neg) AS BIGINT) AS n_neg,
+               CAST(sum(pos * (2 * (cneg - neg) + neg)) AS BIGINT) AS num2
+        FROM contrib GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           round(num2 / (2.0 * n_pos * n_neg), 6) AS auc,
+           round(2 * (num2 / (2.0 * n_pos * n_neg)) - 1, 6) AS gini
+    FROM agg ORDER BY source
+"""
+
+
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the NB classifier's Brier score:
+    BS = reliability − resolution + uncertainty (+ a within-bin
+    variance residual, since the binned decomposition is exact only
+    when predictions are constant inside a bin).  This is the
+    forecaster's triptych: reliability says "are the probabilities
+    honest", resolution says "do they separate the classes",
+    uncertainty is the irreducible base-rate entropy — the quantities
+    an isotonic recalibration changes (reliability → 0) vs cannot
+    change (resolution, uncertainty).
+
+    Exactness discipline (same as ``nb_calibration_curve``): the
+    sigmoid probability is snapped to BIGINT micro-units ``pu``, so
+    the total Brier numerator ``Σ (pu − y·1e6)²`` is an exact BIGINT
+    sum (each term ≤ 1e12; safe to ~9e6 docs — far past the bench
+    SFs; at larger N the sum widens to DECIMAL(38,0), same plan).
+    Per-bin means are ratios of integer aggregates; each bin's
+    reliability/resolution term is snapped to a 1e-6 grid and summed
+    as BIGINT over the 10 ntile bins, so the cross-engine comparison
+    never sums raw doubles.
+
+    Scale: rides the NB chain + one doc-count window (the ntile) +
+    one 10-row aggregate — the reliability diagram's exact envelope."""
+    nb = nb_quality_classifier(spark, sf_dir)
+    su = F.round(F.col("nb_score") * 1_000_000, 0).cast("long")
+    prob = (F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.col("su").cast("double")
+                                    / F.lit(1_000_000.0)))))
+    scored = (nb.select(
+        "doc_id",
+        (F.col("lang") == _NB_TARGET_LANG).cast("long").alias("y"),
+        su.alias("su"))
+        .withColumn("pu", F.round(prob * 1_000_000, 0).cast("long")))
+    w = Window.orderBy("su", "doc_id")
+    binned = scored.withColumn("bin", F.ntile(_CAL_BINS).over(w))
+    per_bin = (binned.groupBy("bin")
+               .agg(F.count(F.lit(1)).alias("n_k"),
+                    F.sum("pu").alias("sp_k"),
+                    F.sum("y").alias("sy_k"),
+                    F.sum((F.col("pu") - F.col("y") * 1_000_000)
+                          * (F.col("pu") - F.col("y") * 1_000_000))
+                    .alias("bs_num_k")))
+    # global integer aggregates land in every row via a 1-row cross
+    tot = per_bin.agg(F.sum("n_k").alias("n"),
+                      F.sum("sy_k").alias("sy"),
+                      F.sum("bs_num_k").alias("bs_num"))
+    pbar_k = F.col("sp_k").cast("double") / F.col("n_k") / 1_000_000.0
+    ybar_k = F.col("sy_k").cast("double") / F.col("n_k")
+    ybar = F.col("sy").cast("double") / F.col("n")
+    rel_u = F.round(F.col("n_k") * (pbar_k - ybar_k) * (pbar_k - ybar_k)
+                    * 1_000_000, 0).cast("long")
+    res_u = F.round(F.col("n_k") * (ybar_k - ybar) * (ybar_k - ybar)
+                    * 1_000_000, 0).cast("long")
+    terms = (per_bin.crossJoin(F.broadcast(tot))
+             .select("n", "sy", "bs_num",
+                     rel_u.alias("rel_u"), res_u.alias("res_u")))
+    g = (terms.groupBy("n", "sy", "bs_num")
+         .agg(F.sum("rel_u").alias("rel_su"),
+              F.sum("res_u").alias("res_su")))
+    brier = F.col("bs_num").cast("double") / F.col("n") / 1e12
+    rel = F.col("rel_su").cast("double") / F.col("n") / 1e6
+    res = F.col("res_su").cast("double") / F.col("n") / 1e6
+    unc = ybar * (1 - ybar)
+    return g.select(
+        F.col("n").alias("n_docs"),
+        F.round(brier, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(brier - (rel - res + unc), 6).alias("within_bin_residual"))
+
+
+QUERIES["brier_decomposition"] = brier_decomposition
+ORACLES["brier_decomposition"] = f"""
+    WITH nb AS ({ORACLES["nb_quality_classifier"]}),
+    sc AS (
+        SELECT doc_id,
+               CAST(lang = '{_NB_TARGET_LANG}' AS BIGINT) AS y,
+               CAST(round(nb_score * 1000000, 0) AS BIGINT) AS su
+        FROM nb
+    ), pb AS (
+        SELECT *,
+               CAST(round(CAST(1 AS DOUBLE)
+                          / (CAST(1 AS DOUBLE)
+                             + exp(-(CAST(su AS DOUBLE)
+                                     / CAST(1000000 AS DOUBLE))))
+                          * 1000000, 0) AS BIGINT) AS pu
+        FROM sc
+    ), binned AS (
+        SELECT *, ntile({_CAL_BINS}) OVER (ORDER BY su, doc_id) AS bin
+        FROM pb
+    ), per_bin AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n_k,
+               CAST(sum(pu) AS BIGINT) AS sp_k,
+               CAST(sum(y) AS BIGINT) AS sy_k,
+               CAST(sum((pu - y * 1000000) * (pu - y * 1000000))
+                    AS BIGINT) AS bs_num_k
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT CAST(sum(n_k) AS BIGINT) AS n,
+               CAST(sum(sy_k) AS BIGINT) AS sy,
+               CAST(sum(bs_num_k) AS BIGINT) AS bs_num
+        FROM per_bin
+    ), terms AS (
+        SELECT t.n, t.sy, t.bs_num,
+               CAST(round(p.n_k
+                    * (CAST(p.sp_k AS DOUBLE) / p.n_k / 1000000.0
+                       - CAST(p.sy_k AS DOUBLE) / p.n_k)
+                    * (CAST(p.sp_k AS DOUBLE) / p.n_k / 1000000.0
+                       - CAST(p.sy_k AS DOUBLE) / p.n_k)
+                    * 1000000, 0) AS BIGINT) AS rel_u,
+               CAST(round(p.n_k
+                    * (CAST(p.sy_k AS DOUBLE) / p.n_k
+                       - CAST(t.sy AS DOUBLE) / t.n)
+                    * (CAST(p.sy_k AS DOUBLE) / p.n_k
+                       - CAST(t.sy AS DOUBLE) / t.n)
+                    * 1000000, 0) AS BIGINT) AS res_u
+        FROM per_bin p CROSS JOIN tot t
+    ), g AS (
+        SELECT n, sy, bs_num,
+               CAST(sum(rel_u) AS BIGINT) AS rel_su,
+               CAST(sum(res_u) AS BIGINT) AS res_su
+        FROM terms GROUP BY n, sy, bs_num
+    )
+    SELECT n AS n_docs,
+           round(CAST(bs_num AS DOUBLE) / n / 1e12, 6) AS brier,
+           round(CAST(rel_su AS DOUBLE) / n / 1e6, 6) AS reliability,
+           round(CAST(res_su AS DOUBLE) / n / 1e6, 6) AS resolution,
+           round((CAST(sy AS DOUBLE) / n) * (1 - CAST(sy AS DOUBLE) / n), 6)
+               AS uncertainty,
+           round(CAST(bs_num AS DOUBLE) / n / 1e12
+                 - (CAST(rel_su AS DOUBLE) / n / 1e6
+                    - CAST(res_su AS DOUBLE) / n / 1e6
+                    + (CAST(sy AS DOUBLE) / n)
+                      * (1 - CAST(sy AS DOUBLE) / n)), 6)
+               AS within_bin_residual
+    FROM g
+"""
+
+
+_TE_M = 20.0     # smoothing pseudo-count (empirical-Bayes prior weight)
+
+
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out + smoothed target encoding of customer NATION
+    against order value — the categorical-feature prep step tabular
+    trainers run before boosting (Micci-Barreca 2001: the smoothed
+    estimator ``(S + m·ȳ_global)/(n + m)``; the LOO variant excludes
+    each row's own target so the feature never leaks its label).
+    Per-nation audit row: count, plain mean, the LOO encoding's exact
+    RANGE (its min is attained when the costliest order is held out —
+    the spread is the leakage the plain mean would inject), the
+    smoothed encoding, and the shrinkage weight n/(n+m).
+
+    Exactness: order values become integer CENTS at the scan
+    (``round(o_totalprice·100)`` BIGINT — o_totalprice is a 2dp
+    price in a double column), so every per-nation aggregate (n, Σ,
+    min, max) and the global Σ are exact integers under any
+    partitioning; the published encodings are single divisions of
+    those integers, rounded at 4dp.  LOO identities: mean(LOO) =
+    mean, and (S − y_max)/(n−1) ≤ LOO_i ≤ (S − y_min)/(n−1), so the
+    range needs only min/max — no per-row second pass.
+
+    Scale: one orders→customer broadcast-joined scan, one 25-key
+    aggregate, one 1-row global cross — the canonical map-side
+    pattern; the encoding table itself is dimension-sized and ships
+    back to trainers as a broadcast dictionary."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    rows = (orders.join(F.broadcast(cust), "o_custkey")
+            .select("nationkey", cents.alias("yc")))
+    per = (rows.groupBy("nationkey")
+           .agg(F.count(F.lit(1)).alias("n_orders"),
+                F.sum("yc").alias("s"),
+                F.min("yc").alias("y_min"),
+                F.max("yc").alias("y_max")))
+    tot = per.agg(F.sum("n_orders").alias("ng"), F.sum("s").alias("sg"))
+    gmean = F.col("sg").cast("double") / F.col("ng") / 100.0
+    nm1 = F.nullif((F.col("n_orders") - 1).cast("double"), F.lit(0.0))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(
+                "nationkey", "n_orders",
+                F.round(F.col("s").cast("double")
+                        / F.col("n_orders") / 100.0, 4).alias("mean_price"),
+                F.round((F.col("s") - F.col("y_max")).cast("double")
+                        / nm1 / 100.0, 4).alias("loo_min"),
+                F.round((F.col("s") - F.col("y_min")).cast("double")
+                        / nm1 / 100.0, 4).alias("loo_max"),
+                F.round((F.col("s").cast("double") / 100.0
+                         + F.lit(_TE_M) * gmean)
+                        / (F.col("n_orders") + F.lit(_TE_M)), 4)
+                .alias("smoothed_encoding"),
+                F.round(F.col("n_orders")
+                        / (F.col("n_orders") + F.lit(_TE_M)), 6)
+                .alias("shrinkage"))
+            .orderBy("nationkey"))
+
+
+QUERIES["target_encoding_loo"] = target_encoding_loo
+ORACLES["target_encoding_loo"] = f"""
+    WITH rows_ AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS yc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per AS (
+        SELECT nationkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(yc) AS BIGINT) AS s,
+               CAST(min(yc) AS BIGINT) AS y_min,
+               CAST(max(yc) AS BIGINT) AS y_max
+        FROM rows_ GROUP BY nationkey
+    ), tot AS (
+        SELECT CAST(sum(n_orders) AS BIGINT) AS ng,
+               CAST(sum(s) AS BIGINT) AS sg
+        FROM per
+    )
+    SELECT p.nationkey, p.n_orders,
+           round(CAST(p.s AS DOUBLE) / p.n_orders / 100.0, 4) AS mean_price,
+           round(CAST(p.s - p.y_max AS DOUBLE)
+                 / nullif(CAST(p.n_orders - 1 AS DOUBLE), 0) / 100.0, 4)
+               AS loo_min,
+           round(CAST(p.s - p.y_min AS DOUBLE)
+                 / nullif(CAST(p.n_orders - 1 AS DOUBLE), 0) / 100.0, 4)
+               AS loo_max,
+           round((CAST(p.s AS DOUBLE) / 100.0
+                  + {_TE_M} * (CAST(t.sg AS DOUBLE) / t.ng / 100.0))
+                 / (p.n_orders + {_TE_M}), 4) AS smoothed_encoding,
+           round(p.n_orders / (p.n_orders + {_TE_M}), 6) AS shrinkage
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.nationkey
+"""
+
+
+_NS_VOCAB = 300          # table rows: top-V tokens by frequency
+_NS_TABLE = 1 << 20      # sampling-table slots (word2vec uses 1e8; 2^20 here)
+_NS_POW = 0.75           # the unigram^0.75 flattening (Mikolov et al. 2013)
+
+
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table over the corpus unigram
+    distribution (Mikolov et al. 2013 §2.2: draw negatives from
+    U(w)^0.75/Z — the 3/4 power lifts the tail so rare words are
+    sampled often enough to train).  One row per top-300 token:
+    rank, count, the flattened probability, its slot allotment in a
+    2^20-entry sampling table, and the cumulative slot boundary — the
+    exact array a data loader materializes so negative draws are an
+    O(1) array index (or a binary search over the cum column).
+
+    Exactness: the only transcendental is pow(count, 0.75), snapped
+    to BIGINT micro-units per token (no cross-engine float SUMS — the
+    normalizer Z is a BIGINT sum of snapped values, each slot count
+    is one rounded division of two integers, and the cumulative
+    column sums INTEGER slots).  Truncating to top-V is
+    deterministic: (count desc, token asc) ordering.
+
+    Scale: one token aggregate (map-side combined), one V-row window
+    — the table is vocabulary-bounded and broadcast-sized by
+    construction; the corpus scan is the only data-sized stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+    top = (counts
+           .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+           .limit(_NS_VOCAB)
+           .withColumn("u", F.round(F.pow(F.col("cnt").cast("double"),
+                                          F.lit(_NS_POW)) * 1e6, 0)
+                       .cast("bigint")))
+    z = top.agg(F.sum("u").alias("z"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    slots = F.round(F.col("u").cast("double") * _NS_TABLE
+                    / F.col("z").cast("double"), 0).cast("bigint")
+    return (top.crossJoin(F.broadcast(z))
+            .withColumn("rank", F.row_number().over(w))
+            .withColumn("slots", slots)
+            .withColumn("prob", F.round(F.col("u").cast("double")
+                                        / F.col("z"), 6))
+            .withColumn("cum_slots",
+                        F.sum("slots").over(
+                            w.rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)))
+            .select("rank", "tok", "cnt", "prob", "slots", "cum_slots"))
+
+
+QUERIES["negative_sampling_table"] = negative_sampling_table
+ORACLES["negative_sampling_table"] = f"""
+    WITH counts AS (
+        SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), cnts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM counts GROUP BY tok
+    ), top AS (
+        SELECT tok, cnt,
+               CAST(round(pow(CAST(cnt AS DOUBLE), {_NS_POW}) * 1e6, 0)
+                    AS BIGINT) AS u
+        FROM cnts ORDER BY cnt DESC, tok ASC LIMIT {_NS_VOCAB}
+    ), z AS (SELECT CAST(sum(u) AS BIGINT) AS z FROM top),
+    ranked AS (
+        SELECT t.tok, t.cnt, t.u, z.z,
+               row_number() OVER (ORDER BY t.cnt DESC, t.tok ASC) AS rank,
+               CAST(round(CAST(t.u AS DOUBLE) * {_NS_TABLE}
+                          / CAST(z.z AS DOUBLE), 0) AS BIGINT) AS slots
+        FROM top t CROSS JOIN z
+    )
+    SELECT rank, tok, cnt,
+           round(CAST(u AS DOUBLE) / z, 6) AS prob,
+           slots,
+           CAST(sum(slots) OVER (ORDER BY rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_slots
+    FROM ranked
+"""
