@@ -82,7 +82,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # revenue_price_volume_bridge, events_trailing_distinct_types,
 # ab_sequential_looks, and the batch-16 additions: roc_auc_eval,
 # brier_decomposition, target_encoding_loo, negative_sampling_table,
-# doc_graph_shortest_paths) are the round-5 window.
+# doc_graph_shortest_paths, isotonic_calibration_map,
+# cumulative_gain_curve, ips_policy_value,
+# quantile_normalization_map, series_page_hinkley,
+# neyman_allocation_sample, simpson_slope_audit,
+# parts_running_balance, series_kendall_tau, ab_bh_fdr_nations,
+# dow_type_median_polish) are the round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

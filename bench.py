@@ -327,6 +327,24 @@ HEADLINE = [
     "target_encoding_loo",
     "negative_sampling_table",
     "doc_graph_shortest_paths",
+    # round-4 continuation (batch 17): declarative PAV recalibration,
+    # gains/lift table, IPS/SNIPS off-policy eval, quantile
+    # normalization
+    "isotonic_calibration_map",
+    "cumulative_gain_curve",
+    "ips_policy_value",
+    "quantile_normalization_map",
+    # round-4 continuation (batch 18): online drift detection, survey
+    # sampling, aggregation-bias audit, clamped-ledger recursion
+    "series_page_hinkley",
+    "neyman_allocation_sample",
+    "simpson_slope_audit",
+    "parts_running_balance",
+    # round-4 continuation (batch 19): rank correlation, FDR-corrected
+    # sliced experiment readout, robust two-way decomposition
+    "series_kendall_tau",
+    "ab_bh_fdr_nations",
+    "dow_type_median_polish",
 ]
 
 

@@ -2682,3 +2682,237 @@ EVAL_ORACLES["forecast_holtwinters_events"] = f"""
            round(mean + CAST({Z95} AS DOUBLE) * width, 6) AS upper2
     FROM fan ORDER BY name, index, step
 """
+
+
+_PH_DELTA_SD = 0.05    # drift allowance δ = 0.05·sd (Page-Hinkley slack)
+_PH_LAMBDA_SD = 3.0    # alarm threshold λ = 3·sd
+
+
+def series_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley SEQUENTIAL drift detector per metric series (Page
+    1954 §5; the streaming-ML standard for concept drift, e.g. Gama
+    et al. 2014 §3.1): m_t = Σ_{s≤t}(x_s − x̄_s − δ) with x̄_s the
+    RUNNING mean, PH_t = m_t − min_{s≤t} m_s, alarm when PH_t exceeds
+    λ.  Where CUSUM (`series_changepoint_cusum`) is retrospective —
+    it centers on the FULL-series mean, so it locates a past shift —
+    Page-Hinkley is the online form: each step sees only the prefix,
+    so its alarm is the step at which a live monitor would actually
+    have fired.  δ = 0.05·sd and λ = 3·sd (per series, from one
+    moment aggregate).
+
+    Declarative recurrence: the running mean, the m_t cumulative and
+    its running minimum are three stacked ordered windows — the
+    sequential loop vanishes into window algebra.  Per-step terms
+    snap to the 1e-6 grid pre-sum and every running sum re-rounds at
+    1e-6 (the CUSUM discipline — engine summation-order drift is far
+    below the grid).
+
+    One row per series: n, the max PH statistic, the date the online
+    alarm would fire (first date PH > λ, else the argmax date), λ,
+    and the fired flag.  Scale: one moment aggregate broadcast back
+    + three per-series ordered windows — series-partitioned,
+    embarrassingly parallel."""
+    from pyspark.sql.window import Window
+
+    metrics = _metrics(spark, sf_dir)
+    moments = (metrics.groupBy("name", "index")
+               .agg(F.stddev_pop("value").alias("sd"),
+                    F.count(F.lit(1)).alias("n_points")))
+    wcum = (Window.partitionBy("name", "index").orderBy("evaluationDate")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wseq = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    x6 = F.round(F.col("value"), 6)
+    seq = (metrics.join(moments, ["name", "index"])
+           .withColumn("t", F.row_number().over(wseq))
+           .withColumn("cx", F.round(F.sum(x6).over(wcum), 6))
+           .withColumn("rmean", F.round(F.col("cx") / F.col("t"), 6))
+           .withColumn("delta", F.round(F.lit(_PH_DELTA_SD)
+                                        * F.col("sd"), 6))
+           .withColumn("term", F.round(x6 - F.col("rmean")
+                                       - F.col("delta"), 6))
+           .withColumn("m", F.round(F.sum("term").over(wcum), 6))
+           .withColumn("minm", F.round(F.min("m").over(wcum), 6))
+           .withColumn("ph", F.round(F.col("m") - F.col("minm"), 6))
+           .withColumn("lam", F.round(F.lit(_PH_LAMBDA_SD)
+                                      * F.col("sd"), 6)))
+    fired = (seq.where(F.col("ph") > F.col("lam"))
+             .groupBy("name", "index")
+             .agg(F.min("evaluationDate").alias("fire_date")))
+    wmax = (Window.partitionBy("name", "index")
+            .orderBy(F.col("ph").desc(), F.col("evaluationDate").asc()))
+    peak = (seq.withColumn("rn", F.row_number().over(wmax))
+            .where(F.col("rn") == 1))
+    return (peak.join(fired, ["name", "index"], "left")
+            .select("name", "index", "n_points",
+                    F.round("ph", 6).alias("ph_max"),
+                    F.round("lam", 6).alias("lambda_thresh"),
+                    F.coalesce(F.col("fire_date"),
+                               F.col("evaluationDate")).alias("alarm_date"),
+                    F.col("fire_date").isNotNull().alias("fired"))
+            .orderBy("name", "index"))
+
+
+EVAL_QUERIES["series_page_hinkley"] = series_page_hinkley
+EVAL_ORACLES["series_page_hinkley"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    mo AS (
+        SELECT name, index, stddev_pop(value) AS sd,
+               CAST(count(*) AS BIGINT) AS n_points
+        FROM m GROUP BY 1, 2
+    ), seq0 AS (
+        SELECT m.name, m.index, m.evaluationDate, mo.sd, mo.n_points,
+               round(m.value, 6) AS x6,
+               row_number() OVER (PARTITION BY m.name, m.index
+                   ORDER BY m.evaluationDate) AS t,
+               round(sum(round(m.value, 6)) OVER (
+                   PARTITION BY m.name, m.index ORDER BY m.evaluationDate
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS cx
+        FROM m JOIN mo USING (name, index)
+    ), seq1 AS (
+        SELECT *,
+               round(x6 - round(cx / t, 6)
+                     - round({_PH_DELTA_SD} * sd, 6), 6) AS term
+        FROM seq0
+    ), seq2 AS (
+        SELECT *,
+               round(sum(term) OVER (PARTITION BY name, index
+                   ORDER BY evaluationDate
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS mm
+        FROM seq1
+    ), seq3 AS (
+        SELECT *,
+               round(mm - round(min(mm) OVER (PARTITION BY name, index
+                   ORDER BY evaluationDate
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6),
+                   6) AS ph,
+               round({_PH_LAMBDA_SD} * sd, 6) AS lam
+        FROM seq2
+    ), fired AS (
+        SELECT name, index, min(evaluationDate) AS fire_date
+        FROM seq3 WHERE ph > lam GROUP BY 1, 2
+    ), peak AS (
+        SELECT *, row_number() OVER (PARTITION BY name, index
+                   ORDER BY ph DESC, evaluationDate ASC) AS rn
+        FROM seq3
+    )
+    SELECT p.name, p.index, p.n_points,
+           round(p.ph, 6) AS ph_max,
+           round(p.lam, 6) AS lambda_thresh,
+           coalesce(f.fire_date, p.evaluationDate) AS alarm_date,
+           f.fire_date IS NOT NULL AS fired
+    FROM peak p LEFT JOIN fired f USING (name, index)
+    WHERE p.rn = 1
+    ORDER BY p.name, p.index
+"""
+
+
+def series_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Kendall τ-b between every metric series and the
+    ``purchase`` reference series over their aligned days (Kendall
+    1945 tie correction) — the RANK companion to
+    `series_rolling_correlation`: Pearson asks "do they move
+    together linearly", τ asks "do they even agree on direction",
+    which survives outliers and monotone rescalings, so a high-|τ|
+    series is co-moving even when a spike wrecks the Pearson read.
+
+    Exact and pairwise-bounded: the aligned spine is the ~30-day
+    month, so the (i<j) day-pair self-join is n(n−1)/2 ≈ 435 rows
+    per series — concordant/discordant/tie counts are INTEGER
+    aggregates, the tie corrections n1 = Στ_x(τ_x−1)/2 come from
+    per-value integer counts, and τ-b is one division with one sqrt.
+    The purchase-vs-purchase row is kept: τ = 1 is the built-in
+    sanity check.
+
+    Scale: the metrics aggregate is the data-sized stage; the pair
+    join is days²-bounded per series (a year = 66 k pairs — still
+    tiny); for multi-year spines the O(n log n) merge-sort inversion
+    count replaces the pair join (the `parts_skyline_frontier`
+    sort-scan discipline)."""
+    from pyspark.sql.window import Window
+
+    metrics = _metrics(spark, sf_dir)
+    ref = (metrics.where(F.col("name") == "purchase")
+           .select(F.col("evaluationDate").alias("day"),
+                   F.col("value").alias("ry")))
+    ali = (metrics.join(F.broadcast(ref),
+                        metrics.evaluationDate == ref.day)
+           .select("name", "evaluationDate",
+                   F.col("value").alias("x"), F.col("ry").alias("y")))
+    a = ali.select("name", F.col("evaluationDate").alias("d1"),
+                   F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = ali.select("name", F.col("evaluationDate").alias("d2"),
+                   F.col("x").alias("x2"), F.col("y").alias("y2"))
+    sgn = (F.signum(F.col("x1") - F.col("x2"))
+           * F.signum(F.col("y1") - F.col("y2")))
+    pairs = (a.join(b, "name").where(F.col("d1") < F.col("d2"))
+             .select("name", sgn.alias("s")))
+    cd = (pairs.groupBy("name")
+          .agg(F.count(F.when(F.col("s") > 0, 1)).alias("concordant"),
+               F.count(F.when(F.col("s") < 0, 1)).alias("discordant"),
+               F.count(F.lit(1)).alias("n0")))
+    tx = (ali.groupBy("name", "x")
+          .agg(F.count(F.lit(1)).alias("c"))
+          .groupBy("name")
+          .agg((F.sum(F.col("c") * (F.col("c") - 1)) / 2)
+               .cast("bigint").alias("n1"),
+               F.count(F.lit(1)).alias("_")))  # distinct x values
+    ty = (ali.groupBy("name", "y")
+          .agg(F.count(F.lit(1)).alias("c"))
+          .groupBy("name")
+          .agg((F.sum(F.col("c") * (F.col("c") - 1)) / 2)
+               .cast("bigint").alias("n2")))
+    n_days = ali.groupBy("name").agg(F.count(F.lit(1)).alias("n_days"))
+    tau = ((F.col("concordant") - F.col("discordant")).cast("double")
+           / F.sqrt(((F.col("n0") - F.col("n1"))
+                     * (F.col("n0") - F.col("n2"))).cast("double")))
+    return (cd.join(tx.select("name", "n1"), "name")
+            .join(ty, "name").join(n_days, "name")
+            .select("name", "n_days", "concordant", "discordant",
+                    F.round(tau, 6).alias("tau_b"))
+            .orderBy("name"))
+
+
+EVAL_QUERIES["series_kendall_tau"] = series_kendall_tau
+EVAL_ORACLES["series_kendall_tau"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    ref AS (
+        SELECT evaluationDate AS day, value AS ry
+        FROM m WHERE name = 'purchase'
+    ), ali AS (
+        SELECT m.name, m.evaluationDate, m.value AS x, r.ry AS y
+        FROM m JOIN ref r ON m.evaluationDate = r.day
+    ), pairs AS (
+        SELECT a.name,
+               sign(a.x - b.x) * sign(a.y - b.y) AS s
+        FROM ali a JOIN ali b
+          ON a.name = b.name AND a.evaluationDate < b.evaluationDate
+    ), cd AS (
+        SELECT name,
+               CAST(count(*) FILTER (WHERE s > 0) AS BIGINT)
+                   AS concordant,
+               CAST(count(*) FILTER (WHERE s < 0) AS BIGINT)
+                   AS discordant,
+               CAST(count(*) AS BIGINT) AS n0
+        FROM pairs GROUP BY name
+    ), tx AS (
+        SELECT name, CAST(sum(c * (c - 1)) / 2 AS BIGINT) AS n1
+        FROM (SELECT name, x, CAST(count(*) AS BIGINT) AS c
+              FROM ali GROUP BY name, x) GROUP BY name
+    ), ty AS (
+        SELECT name, CAST(sum(c * (c - 1)) / 2 AS BIGINT) AS n2
+        FROM (SELECT name, y, CAST(count(*) AS BIGINT) AS c
+              FROM ali GROUP BY name, y) GROUP BY name
+    ), nd AS (
+        SELECT name, CAST(count(*) AS BIGINT) AS n_days
+        FROM ali GROUP BY name
+    )
+    SELECT cd.name, nd.n_days, cd.concordant, cd.discordant,
+           round(CAST(cd.concordant - cd.discordant AS DOUBLE)
+                 / sqrt(CAST((cd.n0 - tx.n1) * (cd.n0 - ty.n2)
+                             AS DOUBLE)), 6) AS tau_b
+    FROM cd JOIN tx USING (name) JOIN ty USING (name)
+    JOIN nd USING (name)
+    ORDER BY cd.name
+"""

@@ -1111,3 +1111,161 @@ ORACLES["doremi_domain_weights"] = f"""
     FROM weighted CROSS JOIN norm ORDER BY source
 """
 QUERIES["doremi_domain_weights"] = doremi_domain_weights
+
+
+_QN_BINS = 20     # quantile-normalization resolution (ventiles)
+
+
+def quantile_normalization_map(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source document-length
+    distributions onto the pooled corpus reference (Bolstad et al.
+    2003 — the microarray normalizer, reused in data prep whenever
+    per-source length/score distributions must be made comparable
+    before mixing): each source's k-th length ventile is mapped to
+    the POOLED k-th ventile's mean length; the emitted (source,
+    bucket) → target table is the monotone transform a loader
+    applies to, e.g., equalize truncation behavior across crawls.
+
+    Output per (source, ventile): doc count, observed mean length,
+    the pooled target mean, and the additive shift the transform
+    applies.  Exactness: both binnings are ntile over (n_chars,
+    doc_id) — total orders, so bucket membership is integer-exact —
+    and every mean is one division of BIGINT sums.
+
+    Scale: two doc-count ntile windows (one per source — partitioned,
+    parallel; one global — the same single-order window every exact
+    quantile op in this repo pays, with the documented bucket-
+    decomposition path if the corpus outgrows it) and one
+    (source × 20)-row join; the map itself is broadcast-sized."""
+    from pyspark.sql.window import Window
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "n_chars")
+    wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wall = Window.orderBy("n_chars", "doc_id")
+    binned = (docs.withColumn("bucket", F.ntile(_QN_BINS).over(wsrc))
+              .withColumn("gbucket", F.ntile(_QN_BINS).over(wall)))
+    ref = (binned.groupBy("gbucket")
+           .agg(F.sum("n_chars").alias("gs"),
+                F.count(F.lit(1)).alias("gn"))
+           .select(F.col("gbucket").alias("bucket"),
+                   (F.col("gs").cast("double") / F.col("gn"))
+                   .alias("target_mean")))
+    per = (binned.groupBy("source", "bucket")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("s")))
+    obs = F.col("s").cast("double") / F.col("n_docs")
+    return (per.join(F.broadcast(ref), "bucket")
+            .select("source", "bucket", "n_docs",
+                    F.round(obs, 4).alias("observed_mean"),
+                    F.round("target_mean", 4).alias("target_mean"),
+                    F.round(F.col("target_mean") - obs, 4).alias("shift"))
+            .orderBy("source", "bucket"))
+
+
+QUERIES["quantile_normalization_map"] = quantile_normalization_map
+ORACLES["quantile_normalization_map"] = f"""
+    WITH binned AS (
+        SELECT source, n_chars,
+               ntile({_QN_BINS}) OVER (PARTITION BY source
+                   ORDER BY n_chars, doc_id) AS bucket,
+               ntile({_QN_BINS}) OVER (ORDER BY n_chars, doc_id)
+                   AS gbucket
+        FROM documents
+    ), ref AS (
+        SELECT gbucket AS bucket,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS target_mean
+        FROM binned GROUP BY gbucket
+    ), per AS (
+        SELECT source, bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS s
+        FROM binned GROUP BY source, bucket
+    )
+    SELECT p.source, p.bucket, p.n_docs,
+           round(CAST(p.s AS DOUBLE) / p.n_docs, 4) AS observed_mean,
+           round(r.target_mean, 4) AS target_mean,
+           round(r.target_mean - CAST(p.s AS DOUBLE) / p.n_docs, 4)
+               AS shift
+    FROM per p JOIN ref r ON p.bucket = r.bucket
+    ORDER BY p.source, p.bucket
+"""
+
+
+_NA_BUDGET = 1000     # labeling budget to allocate across sources
+
+
+def neyman_allocation_sample(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a fixed labeling budget across
+    document SOURCES (Neyman 1934: for stratified estimation of a
+    mean, sampling n_h ∝ N_h·σ_h minimizes variance at fixed total
+    n) — the answer to "we can afford 1000 human quality labels;
+    how many from each crawl?"  Strata with more docs AND more
+    internal spread get more labels; a uniform source wastes
+    budget.  Output per source: stratum size, the length sd, the
+    Neyman share, the allocated n, and the proportional-allocation
+    n the naive splitter would use.
+
+    Exactness: σ_h comes from exact BIGINT (Σx, Σx²) over n_chars —
+    sd = √(N·Σx² − (Σx)²)/N, one sqrt per stratum; the N_h·σ_h
+    weights snap to the 1e-6 grid and BIGINT-sum into the
+    normalizer, so shares and allocations are single divisions of
+    integers.  Scale: one (source) aggregate — dimension-sized
+    output, the allocation table broadcasts into the sampling job
+    (`stratified_sample_docs` consumes exactly this shape of rate
+    table)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (docs.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sx"),
+                F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx")))
+    sd = (F.sqrt((F.col("n_docs") * F.col("sxx")
+                  - F.col("sx") * F.col("sx")).cast("double"))
+          / F.col("n_docs"))
+    per = per.withColumn(
+        "w6", F.round(F.col("n_docs") * sd * 1e6, 0).cast("bigint"))
+    tot = per.agg(F.sum("w6").alias("wtot"), F.sum("n_docs").alias("n"))
+    share = F.col("w6").cast("double") / F.col("wtot")
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs",
+                    F.round(F.col("w6") / F.col("n_docs") / 1e6, 4)
+                    .alias("length_sd"),
+                    F.round(share, 6).alias("neyman_share"),
+                    F.round(share * _NA_BUDGET, 0).cast("bigint")
+                    .alias("neyman_n"),
+                    F.round(F.col("n_docs").cast("double") / F.col("n")
+                            * _NA_BUDGET, 0).cast("bigint")
+                    .alias("proportional_n"))
+            .orderBy("source"))
+
+
+QUERIES["neyman_allocation_sample"] = neyman_allocation_sample
+ORACLES["neyman_allocation_sample"] = f"""
+    WITH per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sx,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        FROM documents GROUP BY source
+    ), w AS (
+        SELECT *,
+               CAST(round(n_docs
+                    * (sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE))
+                       / n_docs) * 1e6, 0) AS BIGINT) AS w6
+        FROM per
+    ), tot AS (
+        SELECT CAST(sum(w6) AS BIGINT) AS wtot,
+               CAST(sum(n_docs) AS BIGINT) AS n
+        FROM w
+    )
+    SELECT w.source, w.n_docs,
+           round(CAST(w.w6 AS DOUBLE) / w.n_docs / 1e6, 4) AS length_sd,
+           round(CAST(w.w6 AS DOUBLE) / t.wtot, 6) AS neyman_share,
+           CAST(round(CAST(w.w6 AS DOUBLE) / t.wtot * {_NA_BUDGET}, 0)
+                AS BIGINT) AS neyman_n,
+           CAST(round(CAST(w.n_docs AS DOUBLE) / t.n * {_NA_BUDGET}, 0)
+                AS BIGINT) AS proportional_n
+    FROM w CROSS JOIN tot t
+    ORDER BY w.source
+"""

@@ -1492,3 +1492,94 @@ ORACLES["hill_tail_index"] = f"""
                AS infinite_variance
     FROM stats
 """
+
+
+def simpson_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit of the account-balance → order-value
+    relationship: the POOLED OLS slope of order total on customer
+    balance versus the within-NATION slopes (Simpson 1951; the
+    aggregation-bias check BI teams run before shipping a "richer
+    customers spend more" narrative — a pooled trend can reverse
+    inside every stratum when the strata differ in both mixes).
+    One row per nation: n, the stratum slope, the pooled slope, and
+    the reversal flag; a report where many strata flip sign is the
+    paradox caught red-handed.
+
+    Exactness: both variables become integer CENTS at the scan;
+    Σx, Σy, Σxy, Σx² are exact 128-bit-safe sums (DECIMAL(38,0) on
+    the Spark side, native HUGEINT aggregation on the oracle side),
+    and the slope numerator/denominator n·Σxy − Σx·Σy are computed
+    IN exact arithmetic before the single double division — no
+    catastrophic cancellation of float sums, no engine drift.
+
+    Scale: one orders→customer broadcast join + one 25-key aggregate
+    + a 1-row pooled cross — dimension-sized output; the audit adds
+    nothing beyond the scan it shares with every revenue rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("decimal(38,0)")
+        .alias("xc"))
+    rows = (orders.join(F.broadcast(cust), "o_custkey")
+            .select("nationkey", "xc",
+                    F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("decimal(38,0)").alias("yc")))
+    def agg(df, keys):
+        return (df.groupBy(*keys) if keys else df.groupBy()) \
+            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                 F.sum("xc").alias("sx"), F.sum("yc").alias("sy"),
+                 F.sum(F.col("xc") * F.col("yc")).alias("sxy"),
+                 F.sum(F.col("xc") * F.col("xc")).alias("sxx"))
+    def slope(c):
+        num = (c("n") * c("sxy") - c("sx") * c("sy")).cast("double")
+        den = (c("n") * c("sxx") - c("sx") * c("sx")).cast("double")
+        return F.round(num / F.nullif(den, F.lit(0.0)), 6)
+    per = agg(rows, ["nationkey"]).withColumn("slope", slope(F.col))
+    pooled = (agg(rows, [])
+              .withColumn("pooled_slope", slope(F.col))
+              .select("pooled_slope"))
+    return (per.crossJoin(F.broadcast(pooled))
+            .select("nationkey", F.col("n").cast("bigint").alias("n_orders"),
+                    "slope", "pooled_slope",
+                    ((F.col("slope") * F.col("pooled_slope")) < 0)
+                    .alias("sign_reversed"))
+            .orderBy("nationkey"))
+
+
+QUERIES["simpson_slope_audit"] = simpson_slope_audit
+ORACLES["simpson_slope_audit"] = """
+    WITH rows_ AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS xc,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS yc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per AS (
+        SELECT nationkey,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(xc) AS HUGEINT) AS sx,
+               CAST(sum(yc) AS HUGEINT) AS sy,
+               CAST(sum(xc * yc) AS HUGEINT) AS sxy,
+               CAST(sum(xc * xc) AS HUGEINT) AS sxx
+        FROM rows_ GROUP BY nationkey
+    ), pooled AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(xc) AS HUGEINT) AS sx,
+               CAST(sum(yc) AS HUGEINT) AS sy,
+               CAST(sum(xc * yc) AS HUGEINT) AS sxy,
+               CAST(sum(xc * xc) AS HUGEINT) AS sxx
+        FROM rows_
+    ), sl AS (
+        SELECT p.nationkey, CAST(p.n AS BIGINT) AS n_orders,
+               round(CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                     / nullif(CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE),
+                              0), 6) AS slope,
+               round(CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                     / nullif(CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE),
+                              0), 6) AS pooled_slope
+        FROM per p CROSS JOIN pooled g
+    )
+    SELECT nationkey, n_orders, slope, pooled_slope,
+           (slope * pooled_slope) < 0 AS sign_reversed
+    FROM sl ORDER BY nationkey
+"""

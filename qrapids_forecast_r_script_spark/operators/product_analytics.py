@@ -2265,3 +2265,345 @@ ORACLES["ab_sequential_looks"] = f"""
            coalesce(abs(z) > bound, false) AS crossed
     FROM scored ORDER BY k
 """
+
+
+_IPS_U = 1_000_000_000      # per-arm term snap grid (1e-9) before summing
+
+
+def ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of two candidate targeting policies from
+    the logged event stream by inverse-propensity scoring (Horvitz &
+    Thompson 1952; Li et al. 2011's replay/IPS framing) — the
+    counterfactual "what would THIS policy have earned on the traffic
+    we already logged" readout that decides rollouts without an
+    online test.  Logged action = the event's type; logging
+    propensity = the empirical action marginal p(a) = c_a/N; reward =
+    the event's value in exact cents.  Candidate policies (both
+    deterministic, so π(x) needs no sampling):
+
+    - ``global_greedy`` — always play the arm with the highest logged
+      mean reward (argmax on 1e-9-snapped means, name tiebreak);
+    - ``uniform_hash`` — arm by user-id hash (the A/B-style uniform
+      spreader; its IPS value should sit near the overall mean).
+
+    Estimators: IPS = (1/N)·Σ 𝟙{a=π(x)}·r/p(a) — which collapses
+    per ARM to Σ_a S_a^π/c_a (N cancels; S_a^π = matched reward sum)
+    — SNIPS (self-normalized, Swaminathan & Joachims 2015) and the
+    effective sample size (Σw)²/Σw² that flags when a policy's value
+    rests on too few reweighted rows.
+
+    Exactness: every per-arm term is one division of exact integers,
+    snapped to the 1e-9 grid and summed as BIGINT across the ≤5 arm
+    rows — no raw float accumulation.  Scale: two scans of the
+    (arm)-keyed aggregate — policy evaluation is arm-cardinality
+    work after one groupBy, the 100 TB envelope of every OPE
+    estimator in this family."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    rows = ev.select(F.col("user_id"), F.col("event_type").alias("a"),
+                     cents.alias("r"))
+    arm = (rows.groupBy("a")
+           .agg(F.count(F.lit(1)).alias("c_a"), F.sum("r").alias("s_a"))
+           .localCheckpoint())
+    n_arms = arm.count()
+    # greedy arm: max 1e-9-snapped mean, name tiebreak (deterministic)
+    mu = F.round(F.col("s_a").cast("double") / F.col("c_a") * 1e9, 0) \
+        .cast("long")
+    greedy = (arm.withColumn("mu9", mu)
+              .orderBy(F.col("mu9").desc(), F.col("a").asc())
+              .limit(1).select(F.col("a").alias("pi_arm")))
+    w = Window.orderBy("a")
+    idx = arm.select("a").withColumn("i", F.row_number().over(w) - 1)
+    uhash = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                                1, 8), 16, 10).cast("bigint") % n_arms)
+    p_greedy = (rows.crossJoin(F.broadcast(greedy))
+                .select(F.lit("global_greedy").alias("policy"),
+                        "a", "r", F.col("pi_arm")))
+    p_hash = (rows.withColumn("i", uhash)
+              .join(F.broadcast(idx.select(F.col("a").alias("pi_arm"),
+                                           "i")), "i")
+              .select(F.lit("uniform_hash").alias("policy"),
+                      "a", "r", "pi_arm"))
+    matched = (p_greedy.unionByName(p_hash)
+               .where(F.col("a") == F.col("pi_arm"))
+               .groupBy("policy", "a")
+               .agg(F.count(F.lit(1)).alias("m_a"),
+                    F.sum("r").alias("sm_a")))
+    tot = arm.agg(F.sum("c_a").alias("n"))
+    terms = (matched.join(F.broadcast(arm.select("a", "c_a")), "a")
+             .crossJoin(F.broadcast(tot)))
+    snap = lambda col: F.round(col * _IPS_U, 0).cast("long")  # noqa: E731
+    terms = terms.select(
+        "policy", "m_a",
+        snap(F.col("sm_a").cast("double") / F.col("c_a")).alias("sv"),
+        snap(F.col("m_a").cast("double") / F.col("c_a")).alias("sw1"),
+        snap(F.col("m_a").cast("double") * F.col("n") / F.col("c_a"))
+        .alias("sw"),
+        snap(F.col("m_a").cast("double") * F.col("n") / F.col("c_a")
+             * F.col("n") / F.col("c_a")).alias("sw2"),
+        F.col("n"))
+    g = (terms.groupBy("policy", "n")
+         .agg(F.sum("m_a").alias("n_matched"),
+              F.sum("sv").alias("v"), F.sum("sw1").alias("w1"),
+              F.sum("sw").alias("sumw"), F.sum("sw2").alias("sumw2")))
+    ips = F.col("v").cast("double") / _IPS_U / 100.0
+    snips = (F.col("v").cast("double") / F.col("w1")) / 100.0
+    ess = (F.col("sumw").cast("double") * F.col("sumw")
+           / F.col("sumw2") / _IPS_U)
+    return (g.select("policy", "n_matched",
+                     F.round(ips, 6).alias("ips_value"),
+                     F.round(snips, 6).alias("snips_value"),
+                     F.round(ess, 2).alias("effective_sample_size"))
+            .orderBy("policy"))
+
+
+QUERIES["ips_policy_value"] = ips_policy_value
+ORACLES["ips_policy_value"] = f"""
+    WITH rows_ AS (
+        SELECT user_id, event_type AS a,
+               CAST(round(value * 100, 0) AS BIGINT) AS r
+        FROM events
+    ), arm AS (
+        SELECT a, CAST(count(*) AS BIGINT) AS c_a,
+               CAST(sum(r) AS BIGINT) AS s_a
+        FROM rows_ GROUP BY a
+    ), greedy AS (
+        SELECT a AS pi_arm FROM (
+            SELECT a, CAST(round(CAST(s_a AS DOUBLE) / c_a * 1e9, 0)
+                           AS BIGINT) AS mu9
+            FROM arm) ORDER BY mu9 DESC, pi_arm ASC LIMIT 1
+    ), idx AS (
+        SELECT a, row_number() OVER (ORDER BY a) - 1 AS i FROM arm
+    ), nn AS (SELECT CAST(sum(c_a) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS k FROM arm),
+    assigned AS (
+        SELECT 'global_greedy' AS policy, r_.a, r_.r, g.pi_arm
+        FROM rows_ r_ CROSS JOIN greedy g
+        UNION ALL
+        SELECT 'uniform_hash' AS policy, r_.a, r_.r, ix.a AS pi_arm
+        FROM rows_ r_ CROSS JOIN nn
+        JOIN idx ix ON ix.i = ('0x' || substr(
+            md5(CAST(r_.user_id AS VARCHAR)), 1, 8))::BIGINT % nn.k
+    ), matched AS (
+        SELECT policy, a, CAST(count(*) AS BIGINT) AS m_a,
+               CAST(sum(r) AS BIGINT) AS sm_a
+        FROM assigned WHERE a = pi_arm GROUP BY policy, a
+    ), terms AS (
+        SELECT m.policy, m.m_a,
+               CAST(round(CAST(m.sm_a AS DOUBLE) / x.c_a * {_IPS_U}, 0)
+                    AS BIGINT) AS sv,
+               CAST(round(CAST(m.m_a AS DOUBLE) / x.c_a * {_IPS_U}, 0)
+                    AS BIGINT) AS sw1,
+               CAST(round(CAST(m.m_a AS DOUBLE) * t.n / x.c_a
+                          * {_IPS_U}, 0) AS BIGINT) AS sw,
+               CAST(round(CAST(m.m_a AS DOUBLE) * t.n / x.c_a
+                          * t.n / x.c_a * {_IPS_U}, 0) AS BIGINT) AS sw2,
+               t.n
+        FROM matched m JOIN arm x ON m.a = x.a CROSS JOIN nn t
+    ), g AS (
+        SELECT policy, n,
+               CAST(sum(m_a) AS BIGINT) AS n_matched,
+               CAST(sum(sv) AS BIGINT) AS v,
+               CAST(sum(sw1) AS BIGINT) AS w1,
+               CAST(sum(sw) AS BIGINT) AS sumw,
+               CAST(sum(sw2) AS BIGINT) AS sumw2
+        FROM terms GROUP BY policy, n
+    )
+    SELECT policy, n_matched,
+           round(CAST(v AS DOUBLE) / 1000000000 / 100.0, 6) AS ips_value,
+           round((CAST(v AS DOUBLE) / w1) / 100.0, 6) AS snips_value,
+           round(CAST(sumw AS DOUBLE) * sumw / sumw2 / {_IPS_U}, 2)
+               AS effective_sample_size
+    FROM g ORDER BY policy
+"""
+
+
+_BH_Q = 0.10        # FDR level
+_BH_M = 25          # tests = nations
+
+
+def _norm_ppf(p: float) -> float:
+    """Acklam's rational approximation to the standard normal inverse
+    CDF (|rel err| < 1.15e-9) + one Halley refinement via erf —
+    pure-stdlib, used ONLY at import time to bake the BH critical
+    thresholds as shared literals (both engines consume the same
+    constants, so no cross-engine libm question arises)."""
+    import math
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00)
+    plow = 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        x = ((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q
+               + c[4]) * q + c[5])
+             / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
+    elif p <= 1 - plow:
+        q = p - 0.5
+        r = q * q
+        x = ((((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r
+               + a[4]) * r + a[5]) * q
+             / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r
+                 + b[4]) * r + 1))
+    else:
+        q = math.sqrt(-2 * math.log(1 - p))
+        x = -((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q
+                + c[4]) * q + c[5])
+              / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
+    # one Halley step against the erf-based CDF
+    e = 0.5 * math.erfc(-x / math.sqrt(2)) - p
+    u = e * math.sqrt(2 * math.pi) * math.exp(x * x / 2)
+    return x - u / (1 + x * u / 2)
+
+
+# rank k → z threshold Φ⁻¹(1 − q·k/(2m)); BH's p_(k) ≤ qk/m test is
+# equivalent to |z|_(k) ≥ this (p is monotone in |z|), so no erf is
+# needed inside either engine.
+_BH_ZCRITS = tuple(round(_norm_ppf(1 - _BH_Q * k / (2 * _BH_M)), 9)
+                   for k in range(1, _BH_M + 1))
+
+
+def ab_bh_fdr_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR gate over 25 simultaneous per-nation A/B
+    readouts (Benjamini & Hochberg 1995) — the multiple-testing
+    correction every experimentation platform needs the moment it
+    slices one experiment by geography: at α=5% per test, 25 null
+    slices produce ~1.2 false "winners" per experiment; BH caps the
+    expected FALSE-DISCOVERY share of whatever is declared at q=10%.
+    Arms are the md5 user split (an A/A — so the pinned expectation
+    is zero rejections); per nation a Welch z on mean order value,
+    then the step-up rule: rank by |z| descending (= p ascending),
+    k* = max{k: |z|_(k) ≥ Φ⁻¹(1 − qk/2m)}, reject ranks ≤ k*.
+
+    The inverse-CDF thresholds are PRECOMPUTED literals shared by
+    both engines (`_BH_ZCRITS`), so the only in-engine float work is
+    the z itself — moments come from exact integer-cents sums, z
+    snaps at 1e-6 before ranking, rank ties break by nationkey.
+
+    Scale: one orders→customer broadcast join, one (nation, arm)
+    aggregate, one 25-row window + a 25-row literal join — the
+    whole correction is dimension-sized after the scan."""
+    from pyspark.sql.window import Window
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"))
+    arm = (F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    rows = (orders.join(F.broadcast(cust), "o_custkey")
+            .select("nationkey", arm.alias("arm"),
+                    F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("decimal(38,0)").alias("yc")))
+    per = (rows.groupBy("nationkey", "arm")
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                F.sum("yc").alias("s"),
+                F.sum(F.col("yc") * F.col("yc")).alias("ss")))
+    wide = (per.groupBy("nationkey")
+            .agg(*[F.max(F.when(F.col("arm") == i, F.col(c)))
+                   .alias(f"{c}{'ab'[i]}")
+                   for i in (0, 1) for c in ("n", "s", "ss")]))
+    def mv(side):
+        n, s, ss = (F.col(f"n{side}"), F.col(f"s{side}"),
+                    F.col(f"ss{side}"))
+        mean = s.cast("double") / F.nullif(n.cast("double"), F.lit(0.0))
+        var = ((n * ss - s * s).cast("double")
+               / F.nullif(n.cast("double") * (n - 1).cast("double"),
+                          F.lit(0.0)))
+        return mean, var
+    ma, va = mv("a")
+    mb, vb = mv("b")
+    # degenerate slices (an arm missing or single-row) emit z NULL —
+    # ranked last, never rejected
+    z = F.round((ma - mb)
+                / F.nullif(F.sqrt(va / F.col("na").cast("double")
+                                  + vb / F.col("nb").cast("double")),
+                           F.lit(0.0)), 6)
+    wr = Window.orderBy(F.abs(F.col("z")).desc_nulls_last(),
+                        F.col("nationkey").asc())
+    crit = spark.createDataFrame(
+        [(k + 1, zc) for k, zc in enumerate(_BH_ZCRITS)],
+        "rank int, z_crit double")
+    ranked = (wide.withColumn("z", z)
+              .withColumn("rank", F.row_number().over(wr))
+              .join(F.broadcast(crit), "rank")
+              .withColumn("passes", F.abs(F.col("z")) >= F.col("z_crit")))
+    kstar = ranked.agg(
+        F.coalesce(F.max(F.when(F.col("passes"), F.col("rank"))),
+                   F.lit(0)).alias("kstar"))
+    return (ranked.crossJoin(F.broadcast(kstar))
+            .select("nationkey",
+                    F.col("na").cast("bigint").alias("n_a"),
+                    F.col("nb").cast("bigint").alias("n_b"),
+                    "z", "rank",
+                    F.round("z_crit", 6).alias("z_crit"),
+                    (F.col("rank") <= F.col("kstar")).alias("rejected"))
+            .orderBy("rank"))
+
+
+QUERIES["ab_bh_fdr_nations"] = ab_bh_fdr_nations
+ORACLES["ab_bh_fdr_nations"] = f"""
+    WITH rows_ AS (
+        SELECT c.c_nationkey AS nationkey,
+               (('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 8))
+                    ::BIGINT % 2) AS arm,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS yc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per AS (
+        SELECT nationkey, arm,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(yc) AS HUGEINT) AS s,
+               CAST(sum(yc * yc) AS HUGEINT) AS ss
+        FROM rows_ GROUP BY 1, 2
+    ), wide AS (
+        SELECT nationkey,
+               max(CASE WHEN arm = 0 THEN n END) AS na,
+               max(CASE WHEN arm = 0 THEN s END) AS sa,
+               max(CASE WHEN arm = 0 THEN ss END) AS ssa,
+               max(CASE WHEN arm = 1 THEN n END) AS nb,
+               max(CASE WHEN arm = 1 THEN s END) AS sb,
+               max(CASE WHEN arm = 1 THEN ss END) AS ssb
+        FROM per GROUP BY nationkey
+    ), zs AS (
+        SELECT nationkey, na, nb,
+               round((CAST(sa AS DOUBLE) / nullif(CAST(na AS DOUBLE), 0)
+                      - CAST(sb AS DOUBLE) / nullif(CAST(nb AS DOUBLE), 0))
+                     / nullif(sqrt(
+                         (CAST(na * ssa - sa * sa AS DOUBLE)
+                          / nullif(CAST(na AS DOUBLE)
+                                   * CAST(na - 1 AS DOUBLE), 0))
+                             / CAST(na AS DOUBLE)
+                         + (CAST(nb * ssb - sb * sb AS DOUBLE)
+                            / nullif(CAST(nb AS DOUBLE)
+                                     * CAST(nb - 1 AS DOUBLE), 0))
+                             / CAST(nb AS DOUBLE)), 0), 6) AS z
+        FROM wide
+    ), ranked AS (
+        SELECT z.*, row_number() OVER (ORDER BY abs(z) DESC NULLS LAST,
+                                       nationkey ASC) AS rank
+        FROM zs z
+    ), crit(rank, z_crit) AS (VALUES {", ".join(
+        f"({k + 1}, CAST({zc!r} AS DOUBLE))"
+        for k, zc in enumerate(_BH_ZCRITS))}),
+    joined AS (
+        SELECT r.*, c.z_crit, abs(r.z) >= c.z_crit AS passes
+        FROM ranked r JOIN crit c ON r.rank = c.rank
+    ), ks AS (
+        SELECT coalesce(max(CASE WHEN passes THEN rank END), 0) AS kstar
+        FROM joined
+    )
+    SELECT j.nationkey, CAST(j.na AS BIGINT) AS n_a,
+           CAST(j.nb AS BIGINT) AS n_b, j.z, j.rank,
+           round(j.z_crit, 6) AS z_crit,
+           j.rank <= k.kstar AS rejected
+    FROM joined j CROSS JOIN ks k
+    ORDER BY j.rank
+"""

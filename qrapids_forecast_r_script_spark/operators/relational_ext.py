@@ -556,3 +556,224 @@ ORACLES["revenue_price_volume_bridge"] = f"""
                AS lost_parts_effect
     FROM eff GROUP BY 1 ORDER BY 1
 """
+
+
+_RB_PARTS = 5          # parts tracked (top by Q1 line count)
+_RB_DAYS = 91          # 1996-Q1 spine — inside the recursion level limit
+_RB_WEEKS = 13.0       # restock cadence denominator
+
+
+def parts_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped inventory running balance — the warehouse ledger:
+    ``stock_t = max(0, stock_{t-1} + inflow_t − outflow_t)`` per part
+    over the 1996-Q1 day spine, with weekly restocks sized to the
+    part's average weekly demand (ceil) and demand = that day's
+    shipped quantity.  The ``max(0, ·)`` clamp is what makes this a
+    RECURSION and not a window: an unclamped balance is a prefix sum,
+    but once stock can floor at zero every later value depends on
+    where the floor bit — the classic non-linear recurrence (same
+    family as capped budgets and retry backoffs) that SQL folklore
+    wrongly calls inexpressible.  Spark 4's recursive-CTE engine runs
+    it natively, all 5 parts sharing one recursion (multi-series
+    anchor, the `doc_graph_closeness_sampled` pattern); the oracle
+    runs the identical SQL, so the recursion's clamp arithmetic is
+    engine-checked.  Shortage_t = unmet demand that day — the
+    stockout report.
+
+    Exactness: quantities are integral (BIGINT after round); the
+    whole recursion is integer arithmetic.  Bounded: depth = the
+    91-day spine (inside the recursion level limit); for an unbounded
+    ledger the scale path is the segmented converge-loop over
+    month-partitioned prefix states (`dedup_clusters` discipline) —
+    this query pins the declarative form.
+
+    Scale shape: one lineitem scan pre-aggregated to (part, day) —
+    the only data-sized stage; each recursion level joins the 5-row
+    frontier to one spine row per part."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01")))
+    top = (li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 0).cast("bigint").alias("tot_q"))
+        .orderBy(F.col("n_lines").desc(), F.col("l_partkey").asc())
+        .limit(_RB_PARTS)
+        .select(F.col("l_partkey").alias("pk"),
+                F.ceil(F.col("tot_q") / _RB_WEEKS).cast("bigint")
+                .alias("restock")))
+    demand = (li.join(F.broadcast(top),
+                      li.l_partkey == top.pk)
+              .groupBy("pk", F.to_date("l_shipdate").alias("day"))
+              .agg(F.round(F.sum("l_quantity"), 0).cast("bigint")
+                   .alias("outflow")))
+    spine = (top.select(
+        "pk", "restock",
+        F.explode(F.sequence(F.to_date(F.lit("1996-01-01")),
+                             F.to_date(F.lit("1996-03-31"))))
+        .alias("day"))
+        .withColumn("t", F.datediff("day",
+                                    F.to_date(F.lit("1996-01-01"))) + 1)
+        .join(demand, ["pk", "day"], "left")
+        .select("pk", "t", "day",
+                F.when((F.col("t") % 7) == 1, F.col("restock"))
+                .otherwise(F.lit(0)).cast("bigint").alias("inflow"),
+                F.coalesce("outflow", F.lit(0)).cast("bigint")
+                .alias("outflow")))
+    spine.createOrReplaceTempView("qr_rb_flow")
+    return spark.sql("""
+        WITH RECURSIVE bal(pk, t, stock, shortage) AS (
+            SELECT pk, t,
+                   CAST(greatest(0, inflow - outflow) AS BIGINT),
+                   CAST(greatest(0, outflow - inflow) AS BIGINT)
+            FROM qr_rb_flow WHERE t = 1
+            UNION ALL
+            SELECT f.pk, f.t,
+                   CAST(greatest(0, b.stock + f.inflow - f.outflow)
+                        AS BIGINT),
+                   CAST(greatest(0, f.outflow - b.stock - f.inflow)
+                        AS BIGINT)
+            FROM bal b JOIN qr_rb_flow f
+              ON f.pk = b.pk AND f.t = b.t + 1
+        )
+        SELECT b.pk AS p_partkey, b.t, f.day, f.inflow, f.outflow,
+               b.stock, b.shortage
+        FROM bal b JOIN qr_rb_flow f ON f.pk = b.pk AND f.t = b.t
+        ORDER BY p_partkey, t
+    """)
+
+
+QUERIES["parts_running_balance"] = parts_running_balance
+ORACLES["parts_running_balance"] = f"""
+    WITH RECURSIVE li AS (
+        SELECT * FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+    ), top AS (
+        SELECT l_partkey AS pk,
+               CAST(ceil(CAST(round(sum(l_quantity), 0) AS BIGINT)
+                         / {_RB_WEEKS}) AS BIGINT) AS restock
+        FROM li GROUP BY l_partkey
+        ORDER BY count(*) DESC, l_partkey ASC LIMIT {_RB_PARTS}
+    ), demand AS (
+        SELECT tp.pk, CAST(l.l_shipdate AS DATE) AS day,
+               CAST(round(sum(l.l_quantity), 0) AS BIGINT) AS outflow
+        FROM li l JOIN top tp ON l.l_partkey = tp.pk
+        GROUP BY tp.pk, CAST(l.l_shipdate AS DATE)
+    ), spine AS (
+        SELECT tp.pk, tp.restock, d.day,
+               datediff('day', DATE '1996-01-01', d.day) + 1 AS t
+        FROM top tp CROSS JOIN (
+            SELECT unnest(generate_series(DATE '1996-01-01',
+                                          DATE '1996-03-31',
+                                          INTERVAL 1 DAY))::DATE AS day
+        ) d
+    ), flow AS (
+        SELECT s.pk, s.t, s.day,
+               CAST(CASE WHEN s.t % 7 = 1 THEN s.restock ELSE 0 END
+                    AS BIGINT) AS inflow,
+               CAST(coalesce(dm.outflow, 0) AS BIGINT) AS outflow
+        FROM spine s LEFT JOIN demand dm
+          ON dm.pk = s.pk AND dm.day = s.day
+    ), bal(pk, t, stock, shortage) AS (
+        SELECT pk, t,
+               CAST(greatest(0, inflow - outflow) AS BIGINT),
+               CAST(greatest(0, outflow - inflow) AS BIGINT)
+        FROM flow WHERE t = 1
+        UNION ALL
+        SELECT f.pk, f.t,
+               CAST(greatest(0, b.stock + f.inflow - f.outflow)
+                    AS BIGINT),
+               CAST(greatest(0, f.outflow - b.stock - f.inflow)
+                    AS BIGINT)
+        FROM bal b JOIN flow f ON f.pk = b.pk AND f.t = b.t + 1
+    )
+    SELECT b.pk AS p_partkey, b.t, f.day, f.inflow, f.outflow,
+           b.stock, b.shortage
+    FROM bal b JOIN flow f ON f.pk = b.pk AND f.t = b.t
+    ORDER BY p_partkey, b.t
+"""
+
+
+def dow_type_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey MEDIAN POLISH of the (day-of-week × event-type) mean-value
+    grid (Tukey 1977, EDA ch. 11) — the robust two-way decomposition:
+    cell ≈ row_effect(dow) + col_effect(type) + residual, fitted by
+    alternately sweeping out row and column MEDIANS (two full sweeps
+    unrolled).  Where a two-way ANOVA mean fit lets one anomalous
+    cell drag a whole row's effect, the median sweeps shrug it off —
+    the residual grid is the honest "which (dow, type) cell is
+    actually weird" heatmap behind seasonality-aware anomaly triage.
+
+    Exactness: the grid is 7×5, so every row median is over 5 values
+    and every column median over 7 — both ODD, so each median is a
+    middle ORDER STATISTIC (no interpolation ever happens); stages
+    re-round at 1e-6.  The unroll is the declarative form of the
+    iterate-until-stable loop; two sweeps is Tukey's own default for
+    reporting, and the residual-median column shows how close to
+    converged the fit is.
+
+    Scale: one events scan to a 35-cell aggregate; the polish is four
+    grid-sized groupBy+broadcast-join rounds — free at any corpus
+    size."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (ev.groupBy(F.dayofweek("ts").alias("dow"),
+                        F.col("event_type"))
+             .agg(F.round(F.avg("value"), 6).alias("cell")))
+    med = lambda c: F.expr(f"percentile({c}, 0.5D)")  # noqa: E731
+
+    rm1 = cells.groupBy("dow").agg(F.round(med("cell"), 6).alias("rm1"))
+    s1 = (cells.join(F.broadcast(rm1), "dow")
+          .withColumn("r1", F.round(F.col("cell") - F.col("rm1"), 6)))
+    cm1 = s1.groupBy("event_type").agg(F.round(med("r1"), 6).alias("cm1"))
+    s2 = (s1.join(F.broadcast(cm1), "event_type")
+          .withColumn("r2", F.round(F.col("r1") - F.col("cm1"), 6)))
+    rm2 = s2.groupBy("dow").agg(F.round(med("r2"), 6).alias("rm2"))
+    s3 = (s2.join(F.broadcast(rm2), "dow")
+          .withColumn("r3", F.round(F.col("r2") - F.col("rm2"), 6)))
+    cm2 = s3.groupBy("event_type").agg(F.round(med("r3"), 6).alias("cm2"))
+    s4 = (s3.join(F.broadcast(cm2), "event_type")
+          .withColumn("residual", F.round(F.col("r3") - F.col("cm2"), 6)))
+    return (s4.select("dow", "event_type", "cell",
+                      F.round(F.col("rm1") + F.col("rm2"), 6)
+                      .alias("row_effect"),
+                      F.round(F.col("cm1") + F.col("cm2"), 6)
+                      .alias("col_effect"),
+                      "residual")
+            .orderBy("dow", "event_type"))
+
+
+QUERIES["dow_type_median_polish"] = dow_type_median_polish
+ORACLES["dow_type_median_polish"] = """
+    WITH cells AS (
+        SELECT dayofweek(CAST(ts AS DATE)) + 1 AS dow, event_type,
+               round(avg(value), 6) AS cell
+        FROM events GROUP BY 1, 2
+    ), rm1 AS (
+        SELECT dow, round(median(cell), 6) AS rm1
+        FROM cells GROUP BY dow
+    ), s1 AS (
+        SELECT c.*, r.rm1, round(c.cell - r.rm1, 6) AS r1
+        FROM cells c JOIN rm1 r USING (dow)
+    ), cm1 AS (
+        SELECT event_type, round(median(r1), 6) AS cm1
+        FROM s1 GROUP BY event_type
+    ), s2 AS (
+        SELECT s.*, c.cm1, round(s.r1 - c.cm1, 6) AS r2
+        FROM s1 s JOIN cm1 c USING (event_type)
+    ), rm2 AS (
+        SELECT dow, round(median(r2), 6) AS rm2
+        FROM s2 GROUP BY dow
+    ), s3 AS (
+        SELECT s.*, r.rm2, round(s.r2 - r.rm2, 6) AS r3
+        FROM s2 s JOIN rm2 r USING (dow)
+    ), cm2 AS (
+        SELECT event_type, round(median(r3), 6) AS cm2
+        FROM s3 GROUP BY event_type
+    )
+    SELECT s.dow, s.event_type, s.cell,
+           round(s.rm1 + s.rm2, 6) AS row_effect,
+           round(s.cm1 + c.cm2, 6) AS col_effect,
+           round(s.r3 - c.cm2, 6) AS residual
+    FROM s3 s JOIN cm2 c USING (event_type)
+    ORDER BY s.dow, s.event_type
+"""

@@ -1056,3 +1056,183 @@ ORACLES["negative_sampling_table"] = f"""
                 AS BIGINT) AS cum_slots
     FROM ranked
 """
+
+
+def isotonic_calibration_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic recalibration of the NB classifier's reliability curve
+    — the PAV (pool-adjacent-violators) fit `nb_calibration_curve`
+    promises its gap column to: per score decile, the monotone
+    probability that minimizes squared error against the empirical
+    positive rates (Zadrozny & Elkan 2002).  Declarative PAV: Spark
+    has no sequential pooling loop, but isotonic regression has the
+    exact minimax closed form ``iso(k) = max_{i≤k} min_{j≥k}
+    avg(y over bins i..j)`` (Ayer et al. 1955), and with K = 10 ntile
+    bins that is a 55-row interval relation — three tiny joins
+    instead of an iterative merge, bit-equal to textbook PAV (pinned
+    brute-force in tests).
+
+    Exactness: interval averages are single divisions of cumulative
+    INTEGER (count, positive) sums; min/max over doubles involve no
+    accumulation, so both engines agree to the bit before the final
+    6dp rounding.
+
+    Scale: rides the NB chain + the doc-count ntile window; the PAV
+    itself is K²-row work on broadcast-sized aggregates — the
+    recalibration map ships to serving as a 10-row lookup."""
+    nb = nb_quality_classifier(spark, sf_dir)
+    su = F.round(F.col("nb_score") * 1_000_000, 0).cast("long")
+    w = Window.orderBy("su", "doc_id")
+    binned = (nb.select(
+        "doc_id",
+        (F.col("lang") == _NB_TARGET_LANG).cast("long").alias("y"),
+        su.alias("su"))
+        .withColumn("bin", F.ntile(_CAL_BINS).over(w)))
+    per = (binned.groupBy("bin")
+           .agg(F.count(F.lit(1)).alias("n_k"), F.sum("y").alias("sy_k")))
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    cum = (per.withColumn("cn", F.sum("n_k").over(wc))
+           .withColumn("cy", F.sum("sy_k").over(wc))
+           .select("bin", "n_k", "sy_k", "cn", "cy")
+           .localCheckpoint())
+    lo = cum.select(F.col("bin").alias("i"),
+                    (F.col("cn") - F.col("n_k")).alias("cn0"),
+                    (F.col("cy") - F.col("sy_k")).alias("cy0"))
+    hi = cum.select(F.col("bin").alias("j"),
+                    F.col("cn").alias("cn1"), F.col("cy").alias("cy1"))
+    ranges = (lo.crossJoin(hi).where(F.col("i") <= F.col("j"))
+              .select("i", "j",
+                      ((F.col("cy1") - F.col("cy0")).cast("double")
+                       / (F.col("cn1") - F.col("cn0")).cast("double"))
+                      .alias("avg_y")))
+    ks = cum.select(F.col("bin").alias("k"))
+    inner = (ks.join(ranges, (F.col("i") <= F.col("k"))
+                     & (F.col("j") >= F.col("k")))
+             .groupBy("k", "i").agg(F.min("avg_y").alias("min_j")))
+    iso = inner.groupBy("k").agg(F.max("min_j").alias("iso"))
+    return (cum.join(iso, cum.bin == iso.k)
+            .select("bin", "n_k",
+                    F.round(F.col("sy_k").cast("double")
+                            / F.col("n_k"), 6).alias("raw_rate"),
+                    F.round("iso", 6).alias("iso_rate"))
+            .orderBy("bin"))
+
+
+QUERIES["isotonic_calibration_map"] = isotonic_calibration_map
+ORACLES["isotonic_calibration_map"] = f"""
+    WITH nb AS ({ORACLES["nb_quality_classifier"]}),
+    binned AS (
+        SELECT doc_id,
+               CAST(lang = '{_NB_TARGET_LANG}' AS BIGINT) AS y,
+               ntile({_CAL_BINS}) OVER (
+                   ORDER BY CAST(round(nb_score * 1000000, 0) AS BIGINT),
+                            doc_id) AS bin
+        FROM nb
+    ), per AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_k,
+               CAST(sum(y) AS BIGINT) AS sy_k
+        FROM binned GROUP BY bin
+    ), cum AS (
+        SELECT bin, n_k, sy_k,
+               CAST(sum(n_k) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cn,
+               CAST(sum(sy_k) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cy
+        FROM per
+    ), ranges AS (
+        SELECT l.bin AS i, h.bin AS j,
+               CAST(h.cy - (l.cy - l.sy_k) AS DOUBLE)
+                   / CAST(h.cn - (l.cn - l.n_k) AS DOUBLE) AS avg_y
+        FROM cum l CROSS JOIN cum h WHERE l.bin <= h.bin
+    ), inner_min AS (
+        SELECT c.bin AS k, r.i, min(r.avg_y) AS min_j
+        FROM cum c JOIN ranges r ON r.i <= c.bin AND r.j >= c.bin
+        GROUP BY c.bin, r.i
+    ), iso AS (
+        SELECT k, max(min_j) AS iso FROM inner_min GROUP BY k
+    )
+    SELECT c.bin, c.n_k,
+           round(CAST(c.sy_k AS DOUBLE) / c.n_k, 6) AS raw_rate,
+           round(i.iso, 6) AS iso_rate
+    FROM cum c JOIN iso i ON c.bin = i.k
+    ORDER BY c.bin
+"""
+
+
+def cumulative_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table for the NB quality ranking —
+    AUC's operational companion: rank the corpus by score DESCENDING,
+    cut into deciles, and report what fraction of all positives the
+    top-k deciles capture and the lift over random targeting — the
+    "review only the top 20% and catch 55% of the good docs" read a
+    curation budget decision actually consumes (the CAP curve in
+    credit scoring, Siddiqi 2006).
+
+    All-integer: decile cuts are ntile over the fixed-point score
+    (descending, doc_id tiebreak); capture and lift are single
+    divisions of cumulative BIGINT counts, rounded at 6dp.
+
+    Scale: the NB chain + one doc-count window + a 10-row cumulative
+    window — same envelope as the calibration curve."""
+    nb = nb_quality_classifier(spark, sf_dir)
+    su = F.round(F.col("nb_score") * 1_000_000, 0).cast("long")
+    w = Window.orderBy(F.col("su").desc(), F.col("doc_id"))
+    binned = (nb.select(
+        "doc_id",
+        (F.col("lang") == _NB_TARGET_LANG).cast("long").alias("y"),
+        su.alias("su"))
+        .withColumn("decile", F.ntile(_CAL_BINS).over(w)))
+    per = (binned.groupBy("decile")
+           .agg(F.count(F.lit(1)).alias("n_k"), F.sum("y").alias("pos_k")))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow)
+    tot = per.agg(F.sum("n_k").alias("n"), F.sum("pos_k").alias("pos"))
+    cum = (per.withColumn("cn", F.sum("n_k").over(wc))
+           .withColumn("cpos", F.sum("pos_k").over(wc))
+           .crossJoin(F.broadcast(tot)))
+    capture = F.col("cpos").cast("double") / F.col("pos")
+    lift = ((F.col("cpos").cast("double") / F.col("cn"))
+            / (F.col("pos").cast("double") / F.col("n")))
+    return (cum.select("decile", "n_k", "pos_k",
+                       F.round(capture, 6).alias("cum_capture"),
+                       F.round(lift, 6).alias("lift"))
+            .orderBy("decile"))
+
+
+QUERIES["cumulative_gain_curve"] = cumulative_gain_curve
+ORACLES["cumulative_gain_curve"] = f"""
+    WITH nb AS ({ORACLES["nb_quality_classifier"]}),
+    binned AS (
+        SELECT doc_id,
+               CAST(lang = '{_NB_TARGET_LANG}' AS BIGINT) AS y,
+               ntile({_CAL_BINS}) OVER (
+                   ORDER BY CAST(round(nb_score * 1000000, 0) AS BIGINT)
+                                DESC, doc_id) AS decile
+        FROM nb
+    ), per AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_k,
+               CAST(sum(y) AS BIGINT) AS pos_k
+        FROM binned GROUP BY decile
+    ), tot AS (
+        SELECT CAST(sum(n_k) AS BIGINT) AS n,
+               CAST(sum(pos_k) AS BIGINT) AS pos
+        FROM per
+    ), cum AS (
+        SELECT decile, n_k, pos_k,
+               CAST(sum(n_k) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cn,
+               CAST(sum(pos_k) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cpos
+        FROM per
+    )
+    SELECT c.decile, c.n_k, c.pos_k,
+           round(CAST(c.cpos AS DOUBLE) / t.pos, 6) AS cum_capture,
+           round((CAST(c.cpos AS DOUBLE) / c.cn)
+                 / (CAST(t.pos AS DOUBLE) / t.n), 6) AS lift
+    FROM cum c CROSS JOIN tot t
+    ORDER BY c.decile
+"""
