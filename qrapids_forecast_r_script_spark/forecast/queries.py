@@ -2525,8 +2525,13 @@ def forecast_holtwinters_events(spark: SparkSession, sf_dir: str
         F.transform("ys", lambda y: y - l0).alias("sarr"))
     obs = seq.select("name", "index", "t",
                      (F.col("vu").cast("double") / 1e6).alias("y"))
-    init.createOrReplaceTempView("qr_hw_init")
-    obs.createOrReplaceTempView("qr_hw_obs")
+    # checkpoint the static inputs ONCE — each recursion level
+    # re-evaluates referenced plans (the ucb1/doc_graph_bfs lesson),
+    # so the per-series window chain re-ran per observation level
+    init.localCheckpoint(eager=True) \
+        .createOrReplaceTempView("qr_hw_init")
+    obs.localCheckpoint(eager=True) \
+        .createOrReplaceTempView("qr_hw_obs")
     return spark.sql(f"""
         WITH RECURSIVE walk(name, index, t, l, b, sarr, sse) AS (
             SELECT name, index, CAST({_HW_M} AS INT) AS t, l, b, sarr,

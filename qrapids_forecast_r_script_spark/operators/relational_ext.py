@@ -568,28 +568,27 @@ def parts_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``stock_t = max(0, stock_{t-1} + inflow_t − outflow_t)`` per part
     over the 1996-Q1 day spine, with weekly restocks sized to the
     part's average weekly demand (ceil) and demand = that day's
-    shipped quantity.  The ``max(0, ·)`` clamp is what makes this a
-    RECURSION and not a window: an unclamped balance is a prefix sum,
-    but once stock can floor at zero every later value depends on
-    where the floor bit — the classic non-linear recurrence (same
-    family as capped budgets and retry backoffs) that SQL folklore
-    wrongly calls inexpressible.  Spark 4's recursive-CTE engine runs
-    it natively, all 5 parts sharing one recursion (multi-series
-    anchor, the `doc_graph_closeness_sampled` pattern); the oracle
-    runs the identical SQL, so the recursion's clamp arithmetic is
-    engine-checked.  Shortage_t = unmet demand that day — the
-    stockout report.
+    shipped quantity.  The ``max(0, .)`` clamp looks like it forces
+    a sequential recursion — but it is the LINDLEY recursion
+    (queueing's waiting-time equation), whose reflection identity
+    ``stock_t = S_t - min(0, min_{k<=t} S_k)`` (S = running net-flow
+    sum) turns the whole ledger into TWO ordered windows; shortage_t
+    = max(0, m_{t-1} - S_t) falls out of the same prefix minimum.
+    Spark runs that O(n) window algebra; the ORACLE runs the
+    definitional day-by-day clamp recursion as a recursive CTE — two
+    different algorithms, one answer, so the reflection identity
+    itself is what the driver hash checks (the house bin-and-refine
+    pattern: the definition oracles, the fast form executes; a prior
+    draft ran the recursion in Spark too and paid 91 join stages,
+    38 s at sf0.1 — the window form is sub-second).  Shortage_t =
+    unmet demand that day — the stockout report.
 
-    Exactness: quantities are integral (BIGINT after round); the
-    whole recursion is integer arithmetic.  Bounded: depth = the
-    91-day spine (inside the recursion level limit); for an unbounded
-    ledger the scale path is the segmented converge-loop over
-    month-partitioned prefix states (`dedup_clusters` discipline) —
-    this query pins the declarative form.
+    Exactness: quantities are integral (BIGINT after round); prefix
+    sums and minima are integer window aggregates.
 
     Scale shape: one lineitem scan pre-aggregated to (part, day) —
-    the only data-sized stage; each recursion level joins the 5-row
-    frontier to one spine row per part."""
+    the only data-sized stage; then two part-partitioned windows
+    over spine rows (no recursion, no per-level scheduling)."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01")))
@@ -619,27 +618,25 @@ def parts_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.lit(0)).cast("bigint").alias("inflow"),
                 F.coalesce("outflow", F.lit(0)).cast("bigint")
                 .alias("outflow")))
-    spine.createOrReplaceTempView("qr_rb_flow")
-    return spark.sql("""
-        WITH RECURSIVE bal(pk, t, stock, shortage) AS (
-            SELECT pk, t,
-                   CAST(greatest(0, inflow - outflow) AS BIGINT),
-                   CAST(greatest(0, outflow - inflow) AS BIGINT)
-            FROM qr_rb_flow WHERE t = 1
-            UNION ALL
-            SELECT f.pk, f.t,
-                   CAST(greatest(0, b.stock + f.inflow - f.outflow)
-                        AS BIGINT),
-                   CAST(greatest(0, f.outflow - b.stock - f.inflow)
-                        AS BIGINT)
-            FROM bal b JOIN qr_rb_flow f
-              ON f.pk = b.pk AND f.t = b.t + 1
-        )
-        SELECT b.pk AS p_partkey, b.t, f.day, f.inflow, f.outflow,
-               b.stock, b.shortage
-        FROM bal b JOIN qr_rb_flow f ON f.pk = b.pk AND f.t = b.t
-        ORDER BY p_partkey, t
-    """)
+    wseq = Window.partitionBy("pk").orderBy("t")
+    wcum = wseq.rowsBetween(Window.unboundedPreceding, 0)
+    wprev = wseq.rowsBetween(Window.unboundedPreceding, -1)
+    net = (F.col("inflow") - F.col("outflow")).cast("bigint")
+    led = (spine
+           .withColumn("s", F.sum(net).over(wcum))
+           .withColumn("m_prev",
+                       F.least(F.lit(0).cast("bigint"),
+                               F.coalesce(F.min("s").over(wprev),
+                                          F.lit(0).cast("bigint")))))
+    stock = (F.col("s")
+             - F.least(F.col("m_prev"), F.col("s"))).cast("bigint")
+    shortage = F.greatest(F.lit(0).cast("bigint"),
+                          (F.col("m_prev") - F.col("s")).cast("bigint"))
+    return (led.select(F.col("pk").alias("p_partkey"), "t", "day",
+                       "inflow", "outflow",
+                       stock.alias("stock"),
+                       shortage.alias("shortage"))
+            .orderBy("p_partkey", "t"))
 
 
 QUERIES["parts_running_balance"] = parts_running_balance

@@ -1228,3 +1228,112 @@ ORACLES["rake_keywords_top"] = f"""
     WHERE rank <= {_RAKE_TOP}
     ORDER BY rank
 """
+
+
+_QL_MU = 2000.0      # Dirichlet prior mass (Zhai-Lafferty default)
+
+
+def ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Ponte &
+    Croft 1998; Zhai & Lafferty 2004) — the language-modeling
+    alternative to BM25, same queries (the 5 lowest doc_ids) and
+    candidate discipline: score(q,d) = Σ_{t∈q} ln((tf + μ·p_t)/(dl
+    + μ)), computed in the rank-equivalent matched-term
+    decomposition Σ_{t∈q∩d} ln(1 + tf/(μ·p_t)) + |q|·ln(μ/(dl+μ)),
+    so only the inverted-index join touches data and the unmatched
+    background mass collapses into one per-candidate term.
+    Candidates = docs sharing ≥1 query term (the BM25 candidate set;
+    a no-overlap doc scores only background and can't enter the
+    top-10 of any real query).
+
+    Determinism: p_t = cf_t/|C| is an integer ratio; each matched
+    contribution AND the background term round at 1e-6 pre-sum (the
+    `bm25_topk` sum-of-floats discipline).
+
+    Scale shape: identical to BM25 — tf/cf are the two partial-agg
+    aggregates, query terms broadcast, vocabulary-bounded collection
+    LM broadcast, per-(query, doc) map-side-combinable sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " "))
+                       .alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    ctot = cf.agg(F.sum("cf").cast("double").alias("ctot"))
+    qterms = (tf.where(F.col("doc_id") < _BM25_N_QUERIES)
+              .select(F.col("doc_id").alias("query_id"), "term"))
+    qlen = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("qlen"))
+    p_t = F.col("cf") / F.col("ctot")
+    match = F.round(F.log(F.lit(1.0) + F.col("tf")
+                          / (F.lit(_QL_MU) * p_t)), 6)
+    scored = (tf.join(F.broadcast(qterms), "term")
+              .where(F.col("query_id") != F.col("doc_id"))
+              .join(F.broadcast(cf), "term")
+              .crossJoin(F.broadcast(ctot))
+              .select("query_id", F.col("doc_id").alias("neighbor_id"),
+                      match.alias("contrib"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.round(F.sum("contrib"), 6).alias("msum")))
+    bg = F.round(F.col("qlen")
+                 * F.log(F.lit(_QL_MU) / (F.col("dl") + F.lit(_QL_MU))),
+                 6)
+    full = (scored
+            .join(dl.select(F.col("doc_id").alias("neighbor_id"), "dl"),
+                  "neighbor_id")
+            .join(F.broadcast(qlen), "query_id")
+            .withColumn("ql_score",
+                        F.round(F.col("msum") + bg, 6)))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ql_score").desc(), F.col("neighbor_id").asc())
+    return (full.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _BM25_TOP_K)
+            .select("query_id", "rank", "neighbor_id", "ql_score"))
+
+
+QUERIES["ql_dirichlet_topk"] = ql_dirichlet_topk
+ORACLES["ql_dirichlet_topk"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        FROM toks GROUP BY 1
+    ), cf AS (
+        SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1
+    ), ctot AS (SELECT CAST(sum(cf) AS DOUBLE) AS ctot FROM cf),
+    qterms AS (
+        SELECT doc_id AS query_id, term FROM tf
+        WHERE doc_id < {_BM25_N_QUERIES}
+    ), qlen AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS qlen
+        FROM qterms GROUP BY 1
+    ), scored AS (
+        SELECT q.query_id, t.doc_id AS neighbor_id,
+               round(sum(round(ln(1.0 + t.tf
+                                  / ({_QL_MU} * (c.cf / x.ctot))), 6)),
+                     6) AS msum
+        FROM tf t
+        JOIN qterms q USING (term)
+        JOIN cf c USING (term)
+        CROSS JOIN ctot x
+        WHERE q.query_id != t.doc_id
+        GROUP BY 1, 2
+    ), full_ AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(s.msum
+                     + round(ql.qlen * ln({_QL_MU} / (d.dl + {_QL_MU})),
+                             6), 6) AS ql_score
+        FROM scored s
+        JOIN dl d ON d.doc_id = s.neighbor_id
+        JOIN qlen ql USING (query_id)
+    )
+    SELECT query_id, rank, neighbor_id, ql_score
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY ql_score DESC, neighbor_id ASC) AS rank
+          FROM full_)
+    WHERE rank <= {_BM25_TOP_K}
+"""

@@ -1236,3 +1236,97 @@ ORACLES["cumulative_gain_curve"] = f"""
     FROM cum c CROSS JOIN tot t
     ORDER BY c.decile
 """
+
+
+_WOE_K = 0.5      # Jeffreys add-k on good/bad cells (zero-cell guard)
+
+
+def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value of customer
+    NATION against the high-value-order target (Siddiqi 2006, the
+    credit-scorecard screening standard; IV < 0.02 = useless
+    predictor, > 0.3 = strong): WoE_i = ln((good_i/G)/(bad_i/B))
+    with add-0.5 smoothing, IV = Σ(good_i/G − bad_i/B)·WoE_i — the
+    feature-screening pass that decides which categoricals earn a
+    slot in the model, and the monotone-risk encoding the scorecard
+    then consumes (the supervised sibling of the unsupervised
+    `target_encoding_loo`).
+
+    Target: order value above the GLOBAL MEAN (an exact integer-cents
+    ratio — no quantile pass needed).  Exactness: every count is
+    BIGINT; WoE is one ln of a ratio of smoothed integer ratios per
+    nation (25 of them), the IV terms snap to the 1e-9 grid and
+    BIGINT-sum, so the total IV is order-proof.
+
+    Scale: orders→customer broadcast join, one 25-key count
+    aggregate, one 1-row cross — the encoding is dimension-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    rows = (orders.join(F.broadcast(cust), "o_custkey")
+            .select("nationkey", cents.alias("yc")))
+    mean = rows.agg((F.sum("yc") / F.count(F.lit(1))).alias("mu"))
+    lab = (rows.crossJoin(F.broadcast(mean))
+           .select("nationkey",
+                   (F.col("yc") > F.col("mu")).alias("is_good")))
+    per = (lab.groupBy("nationkey")
+           .agg(F.count(F.when(F.col("is_good"), 1)).alias("good"),
+                F.count(F.when(~F.col("is_good"), 1)).alias("bad")))
+    tot = per.agg(F.sum("good").alias("g"), F.sum("bad").alias("b"))
+    pg = (F.col("good") + _WOE_K) / (F.col("g") + 2 * _WOE_K)
+    pb = (F.col("bad") + _WOE_K) / (F.col("b") + 2 * _WOE_K)
+    woe = F.round(F.log(pg / pb), 6)
+    ivu = F.round((pg - pb) * F.log(pg / pb) * 1e9, 0).cast("long")
+    scored = (per.crossJoin(F.broadcast(tot))
+              .withColumn("woe", woe)
+              .withColumn("ivu", ivu))
+    iv_tot = scored.agg(F.sum("ivu").alias("iv_su"))
+    return (scored.crossJoin(F.broadcast(iv_tot))
+            .select("nationkey", "good", "bad", "woe",
+                    F.round(F.col("ivu") / 1e9, 6).alias("iv_term"),
+                    F.round(F.col("iv_su") / 1e9, 6).alias("iv_total"))
+            .orderBy("nationkey"))
+
+
+QUERIES["woe_information_value"] = woe_information_value
+ORACLES["woe_information_value"] = f"""
+    WITH rows_ AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS yc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), mu AS (
+        SELECT CAST(sum(yc) AS BIGINT) / CAST(count(*) AS DOUBLE) AS mu
+        FROM rows_
+    ), per AS (
+        SELECT nationkey,
+               CAST(count(*) FILTER (WHERE yc > m.mu) AS BIGINT) AS good,
+               CAST(count(*) FILTER (WHERE yc <= m.mu) AS BIGINT) AS bad
+        FROM rows_ CROSS JOIN mu m GROUP BY nationkey
+    ), tot AS (
+        SELECT CAST(sum(good) AS BIGINT) AS g,
+               CAST(sum(bad) AS BIGINT) AS b
+        FROM per
+    ), scored AS (
+        SELECT p.nationkey, p.good, p.bad,
+               round(ln(((p.good + {_WOE_K}) / (t.g + 2 * {_WOE_K}))
+                        / ((p.bad + {_WOE_K}) / (t.b + 2 * {_WOE_K}))),
+                     6) AS woe,
+               CAST(round((((p.good + {_WOE_K}) / (t.g + 2 * {_WOE_K}))
+                           - ((p.bad + {_WOE_K}) / (t.b + 2 * {_WOE_K})))
+                          * ln(((p.good + {_WOE_K})
+                                / (t.g + 2 * {_WOE_K}))
+                               / ((p.bad + {_WOE_K})
+                                  / (t.b + 2 * {_WOE_K})))
+                          * 1e9, 0) AS BIGINT) AS ivu
+        FROM per p CROSS JOIN tot t
+    ), ivt AS (
+        SELECT CAST(sum(ivu) AS BIGINT) AS iv_su FROM scored
+    )
+    SELECT s.nationkey, s.good, s.bad, s.woe,
+           round(s.ivu / 1e9, 6) AS iv_term,
+           round(i.iv_su / 1e9, 6) AS iv_total
+    FROM scored s CROSS JOIN ivt i
+    ORDER BY s.nationkey
+"""

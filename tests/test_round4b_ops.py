@@ -599,16 +599,32 @@ def test_embedding_db_index_matches_numpy(spark, sf_dir):
 
 def test_prefix_filter_join_equals_brute_force(spark, sf_dir):
     """The prefix-filtered exact join must return EXACTLY the pairs
-    the brute shared-shingle join finds at the same threshold — the
-    completeness guarantee of the prefix principle (any pair with
-    overlap ≥ ⌈τ·max(|a|,|b|)⌉ collides inside the prefixes)."""
+    a brute python all-pairs pass finds at the same threshold and
+    shingle width (w=4) — the completeness guarantee of the prefix
+    principle (any pair with overlap ≥ ⌈τ·max(|a|,|b|)⌉ collides
+    inside the prefixes)."""
     from qrapids_forecast_r_script_spark.operators.dedup import (
-        ngram_jaccard_pairs, prefix_filter_join)
+        prefix_filter_join)
+    from qrapids_forecast_r_script_spark.sources import load_table
     pp = {(r.doc_a, r.doc_b): (r.n_common, r.jaccard)
           for r in prefix_filter_join(spark, sf_dir).collect()}
-    brute = {(r.doc_a, r.doc_b): (r.n_common, r.jaccard)
-             for r in ngram_jaccard_pairs(spark, sf_dir).collect()
-             if r.jaccard >= 0.5}
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    sets = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        sets[r.doc_id] = {" ".join(toks[i:i + 4])
+                          for i in range(len(toks) - 3)}
+    ids = sorted(sets)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+            if j >= 0.5:
+                brute[(a, b)] = (inter, j)
     assert pp == brute
     assert pp, "threshold produced no pairs — vacuous fixture"
 
