@@ -345,6 +345,18 @@ HEADLINE = [
     "series_kendall_tau",
     "ab_bh_fdr_nations",
     "dow_type_median_polish",
+    "dedup_capture_recapture",
+    "markov_next_event_accuracy",
+    "item_item_cf_topk",
+    "ql_dirichlet_topk",
+    "woe_information_value",
+    "shapley_attribution",
+    "kneser_ney_bigram_logprob",
+    "nelson_aalen_hazard",
+    "mh_pooled_odds_ratio",
+    "james_stein_nation_means",
+    "ipf_raking_weights",
+    "greedy_coverage_selection",
 ]
 
 

@@ -1269,3 +1269,232 @@ ORACLES["neyman_allocation_sample"] = f"""
     FROM w CROSS JOIN tot t
     ORDER BY w.source
 """
+
+
+_IPF_SAMPLE_PCT = 30    # deterministic Knuth-hash sample kept for raking
+_IPF_SWEEPS = 2         # full (row, col) sweep pairs, unrolled
+
+
+def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative-proportional-fitting (raking) calibration weights
+    (Deming & Stephan 1940; the survey-statistics standard) for the
+    deterministic 30% document sample against the FULL corpus's
+    (lang, source) margins — the weighting step that makes
+    sample-based corpus statistics unbiased when the sampling is
+    uneven across cells: each (lang, source) cell gets a weight so
+    the weighted sample reproduces both the language margin and the
+    source margin of the population.  Two full row/col sweep pairs,
+    UNROLLED (IPF converges geometrically; the residual row-margin
+    error after the final column sweep is part of the output — the
+    honest stopping report).
+
+    Determinism: the sample is the Knuth-hash rule (pure function of
+    doc_id); cell/margin counts are exact integers; every margin
+    reduction BIGINT-sums 1e-6-snapped weight*count terms, so each
+    scaling factor is a ratio of order-proof scalars and the weight
+    chain (4 factors) is bit-stable.
+
+    Scale: two scans (population margins, sample cells) reduce to a
+    (langs x sources)-sized grid; every sweep is a grid-sized
+    broadcast join — the calibration is dimension-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    samp = docs.where(_hash_pct(F.col("doc_id")) < _IPF_SAMPLE_PCT)
+    cells = (samp.groupBy("lang", "source")
+             .agg(F.count(F.lit(1)).alias("n")))
+    mlang = (docs.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("t_lang")))
+    msrc = (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("t_src")))
+    cur = (cells.join(F.broadcast(mlang), "lang")
+           .join(F.broadcast(msrc), "source")
+           .withColumn("w", F.lit(1.0)))
+    for _ in range(_IPF_SWEEPS):
+        rm = (cur.withColumn("wn", F.round(F.col("w") * F.col("n")
+                                           * 1e6, 0).cast("bigint"))
+              .groupBy("lang").agg(F.sum("wn").alias("rsum")))
+        cur = (cur.join(F.broadcast(rm), "lang")
+               .withColumn("w", F.col("w") * F.col("t_lang")
+                           / (F.col("rsum") / 1e6))
+               .drop("rsum"))
+        cm = (cur.withColumn("wn", F.round(F.col("w") * F.col("n")
+                                           * 1e6, 0).cast("bigint"))
+              .groupBy("source").agg(F.sum("wn").alias("csum")))
+        cur = (cur.join(F.broadcast(cm), "source")
+               .withColumn("w", F.col("w") * F.col("t_src")
+                           / (F.col("csum") / 1e6))
+               .drop("csum"))
+    fin = (cur.withColumn("wn", F.round(F.col("w") * F.col("n") * 1e6,
+                                        0).cast("bigint")))
+    rm2 = fin.groupBy("lang").agg(F.sum("wn").alias("rsum2"))
+    return (fin.join(F.broadcast(rm2), "lang")
+            .select("lang", "source", "n",
+                    F.round("w", 6).alias("weight"),
+                    F.round(F.col("rsum2") / 1e6 - F.col("t_lang"), 6)
+                    .alias("lang_margin_err"))
+            .orderBy("lang", "source"))
+
+
+QUERIES["ipf_raking_weights"] = ipf_raking_weights
+ORACLES["ipf_raking_weights"] = f"""
+    WITH samp AS (
+        SELECT * FROM documents
+        WHERE ((doc_id * {_KNUTH}) % {_HASH_MOD}) % 100
+              < {_IPF_SAMPLE_PCT}
+    ), cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        FROM samp GROUP BY 1, 2
+    ), ml AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS t_lang
+        FROM documents GROUP BY 1
+    ), ms AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS t_src
+        FROM documents GROUP BY 1
+    ), w0 AS (
+        SELECT c.lang, c.source, c.n, l.t_lang, s.t_src,
+               CAST(1.0 AS DOUBLE) AS w
+        FROM cells c JOIN ml l USING (lang) JOIN ms s USING (source)
+    ), r1 AS (
+        SELECT lang, CAST(sum(CAST(round(w * n * 1e6, 0) AS BIGINT))
+                          AS BIGINT) AS rsum
+        FROM w0 GROUP BY lang
+    ), w1 AS (
+        SELECT w0.*EXCLUDE w, w0.w * w0.t_lang / (r1.rsum / 1e6) AS w
+        FROM w0 JOIN r1 USING (lang)
+    ), c1 AS (
+        SELECT source, CAST(sum(CAST(round(w * n * 1e6, 0) AS BIGINT))
+                            AS BIGINT) AS csum
+        FROM w1 GROUP BY source
+    ), w2 AS (
+        SELECT w1.*EXCLUDE w, w1.w * w1.t_src / (c1.csum / 1e6) AS w
+        FROM w1 JOIN c1 USING (source)
+    ), r2 AS (
+        SELECT lang, CAST(sum(CAST(round(w * n * 1e6, 0) AS BIGINT))
+                          AS BIGINT) AS rsum
+        FROM w2 GROUP BY lang
+    ), w3 AS (
+        SELECT w2.*EXCLUDE w, w2.w * w2.t_lang / (r2.rsum / 1e6) AS w
+        FROM w2 JOIN r2 USING (lang)
+    ), c2 AS (
+        SELECT source, CAST(sum(CAST(round(w * n * 1e6, 0) AS BIGINT))
+                            AS BIGINT) AS csum
+        FROM w3 GROUP BY source
+    ), w4 AS (
+        SELECT w3.*EXCLUDE w, w3.w * w3.t_src / (c2.csum / 1e6) AS w
+        FROM w3 JOIN c2 USING (source)
+    ), rfin AS (
+        SELECT lang, CAST(sum(CAST(round(w * n * 1e6, 0) AS BIGINT))
+                          AS BIGINT) AS rsum2
+        FROM w4 GROUP BY lang
+    )
+    SELECT w4.lang, w4.source, w4.n, round(w4.w, 6) AS weight,
+           round(rfin.rsum2 / 1e6 - w4.t_lang, 6) AS lang_margin_err
+    FROM w4 JOIN rfin USING (lang)
+    ORDER BY w4.lang, w4.source
+"""
+
+
+_COV_K = 3      # greedy rounds, unrolled
+
+
+def greedy_coverage_selection(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage document selection over distinct
+    bigram shingles (Nemhauser-Wolsey-Fisher 1978: the greedy rule
+    is (1-1/e)-optimal for submodular coverage) — the facility-
+    location data-selection primitive: pick the K documents that
+    together cover the most distinct corpus shingles, each round
+    choosing the doc with the largest MARGINAL gain over what is
+    already covered (ties: lowest doc_id).  The exact miniature of
+    coreset selection for training data (coverage over features
+    instead of gradients) — and the diversity-first complement to
+    `mmr_diversified_topk`, which trades off against a query.
+
+    Three rounds UNROLLED: round r is one anti-join of the shingle
+    stream against the covered set, one per-doc count, one global
+    argmax — all exact integer counts, so the trace is fully
+    deterministic and the oracle replays the identical recursion-free
+    SQL.
+
+    Scale: each round is one map-side anti-join (covered set is the
+    union of <= r docs' shingles — broadcast-sized) + one count
+    aggregate; K is the knob, the scan count is K, and nothing is
+    ever pairwise."""
+    from .dedup import shingle_table
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, distinct=True)
+    picks = []
+    covered = None
+    for r in range(1, _COV_K + 1):
+        pool = sh if covered is None else sh.join(
+            covered, "shingle", "left_anti")
+        if picks:
+            excl = picks[0][1]
+            for _, d in picks[1:]:
+                excl = excl.union(d)
+            pool = pool.join(excl, "doc_id", "left_anti")
+        gain = (pool.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("gain")))
+        pick = (gain.orderBy(F.col("gain").desc(),
+                             F.col("doc_id").asc())
+                .limit(1)
+                .select("doc_id", "gain",
+                        F.lit(r).cast("int").alias("rank")))
+        pick = pick.localCheckpoint(eager=True)
+        picks.append((pick, pick.select("doc_id")))
+        newcov = sh.join(F.broadcast(pick.select("doc_id")), "doc_id") \
+            .select("shingle").distinct()
+        covered = newcov if covered is None else \
+            covered.union(newcov).distinct()
+    out = picks[0][0]
+    for p, _ in picks[1:]:
+        out = out.union(p)
+    w = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, 0)
+    return (out.withColumn("cum_coverage",
+                           F.sum("gain").over(w).cast("bigint"))
+            .select("rank", "doc_id", "gain", "cum_coverage")
+            .orderBy("rank"))
+
+
+QUERIES["greedy_coverage_selection"] = greedy_coverage_selection
+ORACLES["greedy_coverage_selection"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS shingle
+        FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+    ), p1 AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS gain, 1 AS rank
+        FROM sh GROUP BY doc_id
+        ORDER BY gain DESC, doc_id ASC LIMIT 1
+    ), cov1 AS (
+        SELECT DISTINCT shingle FROM sh
+        WHERE doc_id = (SELECT doc_id FROM p1)
+    ), p2 AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS gain, 2 AS rank
+        FROM sh s ANTI JOIN cov1 c ON s.shingle = c.shingle
+        WHERE s.doc_id != (SELECT doc_id FROM p1)
+        GROUP BY s.doc_id
+        ORDER BY gain DESC, s.doc_id ASC LIMIT 1
+    ), cov2 AS (
+        SELECT shingle FROM cov1
+        UNION
+        SELECT DISTINCT shingle FROM sh
+        WHERE doc_id = (SELECT doc_id FROM p2)
+    ), p3 AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS gain, 3 AS rank
+        FROM sh s ANTI JOIN cov2 c ON s.shingle = c.shingle
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM p1
+                               UNION SELECT doc_id FROM p2)
+        GROUP BY s.doc_id
+        ORDER BY gain DESC, s.doc_id ASC LIMIT 1
+    ), allp AS (
+        SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        UNION ALL SELECT * FROM p3
+    )
+    SELECT CAST(rank AS INT) AS rank, doc_id, gain,
+           CAST(sum(gain) OVER (ORDER BY rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_coverage
+    FROM allp ORDER BY rank
+"""

@@ -1443,50 +1443,88 @@ def lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     error; this reports the SET-level consequence (how many true
     near-dup pairs the bands miss, how much junk they admit).
 
-    Ground truth is computed only via the shared-shingle equi-join
-    (the `ngram_jaccard_pairs` shape — never corpus²), and the
-    predicted set is the banded candidate join, so the eval costs
-    candidate-set work on both sides.  All counts are exact integers;
-    precision/recall are single divisions and F1 uses the pure
-    integer identity 2·tp / (2·tp + fp + fn).  At 100 TB the truth
-    side is the expensive one — there you run this on a deterministic
-    document SAMPLE (the fixed-k idiom), which estimates both rates
-    unbiasedly."""
+    Ground truth: the shared-shingle equi-join is the textbook shape
+    but this corpus's bigram space is DENSE (931 distinct shingles,
+    max df 338 at sf0.1 → Σdf² ≈ 70M exploded join rows, measured
+    15 s), so the truth side instead DICTIONARY-ENCODES the
+    vocabulary-bounded shingle space and represents each doc as a
+    ⌈V/64⌉-long BITMAP: all docs' bitmaps broadcast (5000 × ~120 B),
+    the pair enumeration is a map-side broadcast product with NO
+    shuffle, and n_common per pair is popcount(AND) in whole-stage
+    codegen (~3 s).  The in-pred flag joins the (tiny) banded
+    candidate list into the same pass, so truth, pred, and their
+    intersection come out of ONE aggregate.  All counts are exact
+    integers; precision/recall are single divisions and F1 uses the
+    pure integer identity 2·tp / (2·tp + fp + fn).  At 100 TB the
+    pair product is the expensive side — there you run this on a
+    deterministic document SAMPLE (the fixed-k idiom), which
+    estimates both rates unbiasedly; the bitmap stays valid as long
+    as the shingle vocabulary is bounded (here: yes by measurement;
+    for open vocabularies fall back to the equi-join on a sample)."""
     pred = (minhash_lsh_pairs(spark, sf_dir)
-            .select("doc_a", "doc_b"))
+            .select("doc_a", "doc_b")
+            .withColumn("in_p", F.lit(1))
+            .localCheckpoint(eager=True))
     docs = load_table(spark, sf_dir, "documents")
     sh = shingle_table(docs, distinct=True)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    truth = (a.join(b, "shingle")
-             .where(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("n_common"))
-             .join(F.broadcast(counts.select(
-                 F.col("doc_id").alias("doc_a"),
-                 F.col("n_sh").alias("n_a"))), "doc_a")
-             .join(F.broadcast(counts.select(
-                 F.col("doc_id").alias("doc_b"),
-                 F.col("n_sh").alias("n_b"))), "doc_b")
-             .where(F.round(F.col("n_common")
-                            / (F.col("n_a") + F.col("n_b")
-                               - F.col("n_common")), 6)
-                    >= F.lit(float(_PR_TAU)))
-             .select("doc_a", "doc_b"))
-    # ONE full-outer join + ONE aggregate: the three counts (truth,
-    # pred, intersection) fall out of a single pass, so the MinHash
-    # chain and the truth equi-join each evaluate exactly once (the
-    # previous semi-join + three separate aggs re-ran both plans
-    # twice — 14 s -> ~4 s at sf0.1)
-    joined = (truth.withColumn("in_t", F.lit(1))
-              .join(pred.withColumn("in_p", F.lit(1)),
-                    ["doc_a", "doc_b"], "full_outer"))
-    out = joined.agg(
+    # vocabulary-bounded dictionary (the bm25 idf-broadcast premise);
+    # V is a bounded driver scalar (the graph.py node-count precedent)
+    from pyspark.sql.window import Window
+    dic = (sh.select("shingle").distinct()
+           .withColumn("sid", F.row_number().over(
+               Window.orderBy("shingle")) - 1))
+    v = dic.count()
+    nwords = (v + 63) // 64
+    ids = sh.join(F.broadcast(dic), "shingle").select("doc_id", "sid")
+    bm = (ids.groupBy("doc_id")
+          .agg(F.collect_set("sid").alias("sids"))
+          .select("doc_id",
+                  F.size("sids").alias("n_sh"),
+                  F.transform(
+                      F.sequence(F.lit(0), F.lit(nwords - 1)),
+                      lambda w: F.aggregate(
+                          F.filter("sids",
+                                   lambda i: F.shiftright(i, 6) == w),
+                          F.lit(0).cast("long"),
+                          lambda acc, i: acc.bitwiseOR(
+                              F.call_function(
+                                  "shiftleft", F.lit(1).cast("long"),
+                                  (i % 64).cast("int")))))
+                  .alias("bits"))
+          .localCheckpoint(eager=True))
+    ba = bm.select(F.col("doc_id").alias("doc_a"),
+                   F.col("n_sh").alias("n_a"),
+                   F.col("bits").alias("bits_a"))
+    bb = bm.select(F.col("doc_id").alias("doc_b"),
+                   F.col("n_sh").alias("n_b"),
+                   F.col("bits").alias("bits_b"))
+    n_common = F.aggregate(
+        F.zip_with("bits_a", "bits_b",
+                   lambda x, y: F.bit_count(x.bitwiseAND(y))
+                   .cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # length filter (Arasu 2006): J >= tau forces
+    # tau*max(n_a,n_b) <= min(n_a,n_b) — at tau=1/2, sizes within 2x;
+    # pairs failing it can be neither truth nor true positives, so
+    # pruning them BEFORE the popcount is exact (pred false positives
+    # they might contain are counted from the materialized pred list)
+    allp = (ba.crossJoin(F.broadcast(bb))
+            .where((F.col("doc_a") < F.col("doc_b"))
+                   & (F.col("n_b") <= 2 * F.col("n_a"))
+                   & (F.col("n_a") <= 2 * F.col("n_b")))
+            .withColumn("n_common", n_common)
+            .withColumn("in_t",
+                        F.when(F.round(F.col("n_common")
+                                       / (F.col("n_a") + F.col("n_b")
+                                          - F.col("n_common")), 6)
+                               >= F.lit(float(_PR_TAU)), 1))
+            .join(F.broadcast(pred), ["doc_a", "doc_b"], "left"))
+    npred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    out = (allp.agg(
         F.count("in_t").alias("n_truth"),
-        F.count("in_p").alias("n_pred"),
         F.count(F.when(F.col("in_t").isNotNull()
                        & F.col("in_p").isNotNull(), 1)).alias("tp"))
+        .crossJoin(F.broadcast(npred)))
     p = F.col("tp").cast("double") / F.nullif(
         F.col("n_pred").cast("double"), F.lit(0.0))
     r = F.col("tp").cast("double") / F.nullif(

@@ -2802,3 +2802,460 @@ ORACLES["item_item_cf_topk"] = f"""
     WHERE rank <= {_CF_K}
     ORDER BY target, rank
 """
+
+
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value multi-touch attribution over the four
+    pre-purchase channels (Shapley 1953; Zhao et al. 2018 for the MTA
+    formulation) — the game-theoretic answer to "which channel gets
+    credit for the conversion" that last-touch and decay heuristics
+    approximate: credit channel i by its average marginal
+    contribution phi_i = sum_{S not containing i} |S|!(n-|S|-1)!/n! *
+    (v(S+i) - v(S)) over all coalitions S of the other channels,
+    where v(S) = conversions whose pre-purchase touched-channel set
+    is CONTAINED in S.  With n = 4 channels there are 16 coalitions,
+    so the exact sum is computable — no sampling, no permutation
+    Monte Carlo.
+
+    Exactness: every v(S) is an integer user count (touched set =
+    distinct non-purchase types strictly before the user's first
+    purchase, encoded as a 4-bit mask); the factorial weights at
+    n = 4 are {6, 2, 2, 6}/24, so phi*24 is an exact BIGINT
+    (`phi24`) and efficiency sum(phi) = v(N) - v(empty) holds in
+    integers (pinned in tests).  Popcount is spelled in shift-and
+    arithmetic so both engines run the identical expression.
+
+    Scale: ONE user-keyed aggregate over events is the only
+    data-sized stage; masks reduce to <=16 rows, coalitions are a
+    constant 16-row relation, and the subset-sum / marginal joins
+    are 16x16 broadcast products — the whole game is
+    dimension-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    chan = F.when(F.col("event_type") == "click", 1) \
+            .when(F.col("event_type") == "error", 2) \
+            .when(F.col("event_type") == "signup", 4) \
+            .when(F.col("event_type") == "view", 8)
+    first_p = (ev.where(F.col("event_type") == "purchase")
+               .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    masks = (ev.join(first_p, "user_id")
+             .where(F.col("ts") < F.col("p_ts"))
+             .select("user_id", chan.alias("bit"))
+             .where(F.col("bit").isNotNull())
+             .groupBy("user_id")
+             .agg(F.sum(F.col("bit")).alias("sum_bits"),
+                  F.collect_set("bit").alias("bits")))
+    umask = (first_p.join(masks, "user_id", "left")
+             .select(F.coalesce(
+                 F.aggregate("bits", F.lit(0),
+                             lambda acc, b: acc.bitwiseOR(b)),
+                 F.lit(0)).alias("mask")))
+    cnt = umask.groupBy("mask").agg(F.count(F.lit(1)).alias("c"))
+    coal = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (coal.crossJoin(F.broadcast(cnt))
+         .where(F.col("mask").bitwiseAND(F.col("s")) == F.col("mask"))
+         .groupBy("s").agg(F.sum("c").alias("v")))
+    v = coal.join(v, "s", "left").select(
+        "s", F.coalesce("v", F.lit(0)).cast("bigint").alias("v"))
+    chans = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        ["channel", "bit"])
+    pop = (F.col("s").bitwiseAND(F.lit(1))
+           + F.shiftright("s", 1).bitwiseAND(F.lit(1))
+           + F.shiftright("s", 2).bitwiseAND(F.lit(1))
+           + F.shiftright("s", 3).bitwiseAND(F.lit(1)))
+    wgt = (F.when(pop == 0, 6).when(pop == 1, 2)
+           .when(pop == 2, 2).otherwise(6))
+    vs = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    vsi = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    marg = (chans.crossJoin(F.broadcast(v))
+            .where(F.col("s").bitwiseAND(F.col("bit")) == 0)
+            .withColumn("s1", F.col("s") + F.col("bit"))
+            .join(F.broadcast(vsi), "s1")
+            .withColumnRenamed("v", "v0"))
+    return (marg.groupBy("channel")
+            .agg(F.sum(wgt.cast("bigint")
+                       * (F.col("v1") - F.col("v0"))).alias("phi24"))
+            .select("channel", "phi24",
+                    F.round(F.col("phi24") / 24.0, 6).alias("shapley"))
+            .orderBy("channel"))
+
+
+QUERIES["shapley_attribution"] = shapley_attribution
+ORACLES["shapley_attribution"] = """
+    WITH first_p AS (
+        SELECT user_id, min(ts) AS p_ts FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ), umask AS (
+        SELECT f.user_id,
+               coalesce(bit_or(CASE e.event_type
+                   WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                   WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END), 0)
+                   AS mask
+        FROM first_p f
+        LEFT JOIN events e ON e.user_id = f.user_id
+                          AND e.ts < f.p_ts
+                          AND e.event_type != 'purchase'
+        GROUP BY f.user_id
+    ), cnt AS (
+        SELECT mask, CAST(count(*) AS BIGINT) AS c
+        FROM umask GROUP BY mask
+    ), coal AS (SELECT CAST(unnest(generate_series(0, 15)) AS INT) AS s),
+    v AS (
+        SELECT co.s,
+               CAST(coalesce(sum(c.c) FILTER (
+                   WHERE (c.mask & co.s) = c.mask), 0) AS BIGINT) AS v
+        FROM coal co LEFT JOIN cnt c ON true
+        GROUP BY co.s
+    ), chans AS (
+        SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                              ('signup', 4), ('view', 8))
+            AS t(channel, bit)
+    ), marg AS (
+        SELECT ch.channel,
+               CASE ((v0.s & 1) + ((v0.s >> 1) & 1)
+                     + ((v0.s >> 2) & 1) + ((v0.s >> 3) & 1))
+                   WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+                   ELSE 6 END AS w,
+               v1.v - v0.v AS dv
+        FROM chans ch
+        JOIN v v0 ON (v0.s & ch.bit) = 0
+        JOIN v v1 ON v1.s = v0.s + ch.bit
+    )
+    SELECT channel, CAST(sum(w * dv) AS BIGINT) AS phi24,
+           round(sum(w * dv) / 24.0, 6) AS shapley
+    FROM marg GROUP BY channel
+    ORDER BY channel
+"""
+
+
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimate of time to first
+    purchase (Nelson 1972; Aalen 1978) — the counting-process
+    companion to the Kaplan-Meier curve `user_survival_curve`
+    reports: H(t) = sum_{t_i <= t} d_i/n_i with variance
+    sum d_i/n_i^2 (Klein 1991's Poisson form), plus the
+    Fleming-Harrington survival exp(-H(t)), which KM approaches from
+    above — having BOTH estimators lets a pipeline bound the true
+    curve from two directions.  Same risk-set construction as the KM
+    query (right-censoring at last observed day).
+
+    Exactness: d_i and n_i are exact integers from one user-keyed
+    aggregate; each increment d/n and d/n² snaps to the 1e-9 grid
+    and BIGINT-sums through the running window (order-proof), so
+    H(t) is a ratio of exact integers; the single exp per row is the
+    only transcendental.
+
+    Scale: one user-keyed aggregate over events (the data-sized
+    stage); the hazard table is |distinct t|-sized — observation
+    span, not population."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.min(F.to_date("ts")).alias("d0"),
+                  F.max(F.to_date("ts")).alias("d1"),
+                  F.min(F.when(F.col("event_type") == "purchase",
+                               F.to_date("ts"))).alias("p0"))
+             .select(F.coalesce(F.datediff("p0", "d0"),
+                                F.datediff("d1", "d0"))
+                     .cast("bigint").alias("t"),
+                     F.col("p0").isNotNull().alias("converted")))
+    total = users.agg(F.count(F.lit(1)).alias("n_total"))
+    per_t = (users.groupBy("t")
+             .agg(F.count(F.lit(1)).alias("n_leaving"),
+                  F.count(F.when(F.col("converted"), 1)).alias("d")))
+    wprev = (Window.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = (per_t.crossJoin(F.broadcast(total))
+               .withColumn("n_at_risk",
+                           F.col("n_total")
+                           - F.coalesce(F.sum("n_leaving").over(wprev),
+                                        F.lit(0))))
+    inc = F.round(F.col("d") / F.col("n_at_risk") * 1e9, 0) \
+        .cast("bigint")
+    vinc = F.round(F.col("d") / F.col("n_at_risk")
+                   / F.col("n_at_risk") * 1e9, 0).cast("bigint")
+    return (at_risk
+            .withColumn("hu", inc).withColumn("vu", vinc)
+            .select("t", "n_at_risk", "d",
+                    F.round(F.sum("hu").over(wcum) / 1e9, 6)
+                    .alias("cum_hazard"),
+                    F.round(F.sum("vu").over(wcum) / 1e9, 6)
+                    .alias("var_hazard"),
+                    F.round(F.exp(-F.sum("hu").over(wcum) / 1e9), 6)
+                    .alias("fh_survival"))
+            .orderBy("t"))
+
+
+QUERIES["nelson_aalen_hazard"] = nelson_aalen_hazard
+ORACLES["nelson_aalen_hazard"] = """
+    WITH users AS (
+        SELECT coalesce(
+                   datediff('day',
+                       min(CAST(ts AS DATE)),
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END)),
+                   datediff('day',
+                       min(CAST(ts AS DATE)), max(CAST(ts AS DATE))))
+                   AS t,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS DATE) END) IS NOT NULL
+                   AS converted
+        FROM events GROUP BY user_id
+    ), total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM users),
+    per_t AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n_leaving,
+               CAST(count(*) FILTER (WHERE converted) AS BIGINT) AS d
+        FROM users GROUP BY t
+    ), ar AS (
+        SELECT p.t, p.d,
+               tt.n_total - coalesce(sum(p.n_leaving) OVER (
+                   ORDER BY p.t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n_at_risk
+        FROM per_t p CROSS JOIN total tt
+    ), u AS (
+        SELECT t, n_at_risk, d,
+               CAST(round(d / CAST(n_at_risk AS DOUBLE) * 1e9, 0)
+                    AS BIGINT) AS hu,
+               CAST(round(d / CAST(n_at_risk AS DOUBLE)
+                          / n_at_risk * 1e9, 0) AS BIGINT) AS vu
+        FROM ar
+    )
+    SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d,
+           round(sum(hu) OVER w / 1e9, 6) AS cum_hazard,
+           round(sum(vu) OVER w / 1e9, 6) AS var_hazard,
+           round(exp(-sum(hu) OVER w / 1e9), 6) AS fh_survival
+    FROM u
+    WINDOW w AS (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY t
+"""
+
+
+def mh_pooled_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio (Mantel & Haenszel 1959)
+    between URGENT order priority (exposure: priority '1-URGENT' or
+    '2-HIGH') and a HIGH-VALUE outcome (o_totalprice above the global
+    mean), STRATIFIED by customer nation — the epidemiology-grade
+    "is the association real or is it Simpson's paradox" control
+    that the raw 2x2 table cannot give (the same confounding the
+    `simpson_slope_audit` flags for slopes, here for odds):
+    OR_MH = sum_i(a_i*d_i/n_i) / sum_i(b_i*c_i/n_i) over the 25
+    nation strata, reported next to the CRUDE pooled OR so the
+    confounding shift is visible in one row.
+
+    Exactness: all 2x2 cells are BIGINT counts (the mean-cents
+    threshold is one exact integer ratio); each stratum term
+    a*d/n and b*c/n snaps to the 1e-6 grid and BIGINT-sums, so the
+    single final division is order-proof.
+
+    Scale: one orders scan with a broadcast customer-nation join,
+    one 25-key aggregate — the correction is dimension-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    rows = (orders.join(F.broadcast(cust), "o_custkey")
+            .select("nationkey",
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                    .alias("exposed"), cents.alias("yc")))
+    mu = rows.agg((F.sum("yc") / F.count(F.lit(1))).alias("mu"))
+    cells = (rows.crossJoin(F.broadcast(mu))
+             .withColumn("hi", F.col("yc") > F.col("mu"))
+             .groupBy("nationkey")
+             .agg(F.count(F.when(F.col("exposed")
+                                 & F.col("hi"), 1)).alias("a"),
+                  F.count(F.when(F.col("exposed")
+                                 & ~F.col("hi"), 1)).alias("b"),
+                  F.count(F.when(~F.col("exposed")
+                                 & F.col("hi"), 1)).alias("c"),
+                  F.count(F.when(~F.col("exposed")
+                                 & ~F.col("hi"), 1)).alias("d")))
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")) \
+        .cast("double")
+    tnum = F.round(F.col("a") * F.col("d") / n * 1e6, 0).cast("bigint")
+    tden = F.round(F.col("b") * F.col("c") / n * 1e6, 0).cast("bigint")
+    agg = (cells.withColumn("tn", tnum).withColumn("td", tden)
+           .agg(F.sum("tn").alias("sn"), F.sum("td").alias("sd"),
+                F.sum("a").alias("sa"), F.sum("b").alias("sb"),
+                F.sum("c").alias("sc"), F.sum("d").alias("sdd"),
+                F.count(F.lit(1)).alias("n_strata")))
+    return agg.select(
+        "n_strata", "sa", "sb", "sc",
+        F.col("sdd").alias("sd_cell"),
+        F.round(F.col("sn") / F.col("sd").cast("double"), 6)
+        .alias("or_mh"),
+        F.round(F.col("sa") * F.col("sdd")
+                / (F.col("sb") * F.col("sc")).cast("double"), 6)
+        .alias("or_crude"))
+
+
+QUERIES["mh_pooled_odds_ratio"] = mh_pooled_odds_ratio
+ORACLES["mh_pooled_odds_ratio"] = """
+    WITH rows_ AS (
+        SELECT c.c_nationkey AS nationkey,
+               o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS exposed,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS yc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), mu AS (
+        SELECT CAST(sum(yc) AS BIGINT) / CAST(count(*) AS DOUBLE) AS mu
+        FROM rows_
+    ), cells AS (
+        SELECT nationkey,
+               CAST(count(*) FILTER (WHERE exposed AND yc > m.mu)
+                    AS BIGINT) AS a,
+               CAST(count(*) FILTER (WHERE exposed AND yc <= m.mu)
+                    AS BIGINT) AS b,
+               CAST(count(*) FILTER (WHERE NOT exposed AND yc > m.mu)
+                    AS BIGINT) AS c,
+               CAST(count(*) FILTER (WHERE NOT exposed AND yc <= m.mu)
+                    AS BIGINT) AS d
+        FROM rows_ CROSS JOIN mu m GROUP BY nationkey
+    ), terms AS (
+        SELECT a, b, c, d,
+               CAST(round(a * d / CAST(a + b + c + d AS DOUBLE) * 1e6,
+                          0) AS BIGINT) AS tn,
+               CAST(round(b * c / CAST(a + b + c + d AS DOUBLE) * 1e6,
+                          0) AS BIGINT) AS td
+        FROM cells
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+           CAST(sum(c) AS BIGINT) AS sc,
+           CAST(sum(d) AS BIGINT) AS sd_cell,
+           round(sum(tn) / CAST(sum(td) AS DOUBLE), 6) AS or_mh,
+           round(sum(a) * sum(d)
+                 / CAST(sum(b) * sum(c) AS DOUBLE), 6) AS or_crude
+    FROM terms
+"""
+
+
+_JS_K = 25      # number of nation groups (fixed TPC-H dimension)
+
+
+def james_stein_nation_means(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """James-Stein shrinkage of the 25 per-nation mean order values
+    toward the grand mean of means (James & Stein 1961; Efron &
+    Morris 1975's batting-average form) — the estimator that
+    DOMINATES the raw group means in total squared error whenever
+    k >= 4 groups are estimated simultaneously: small nations with
+    noisy means get pulled hard toward the pool, large stable
+    nations barely move.  The same partial-pooling read an empirical
+    launch dashboard needs before ranking segments by mean.
+
+    Homoscedastic Efron-Morris form: B = max(0, 1 - (k-3)*s2bar/S)
+    with s2bar = mean of the per-nation squared standard errors
+    (se_i^2 = var_i/n_i from 128-bit-exact moment sums) and
+    S = sum_i (m_i - mbar)^2; js_i = mbar + B*(m_i - mbar).
+
+    Exactness: moments are DECIMAL(38,0)/HUGEINT sums of integer
+    cents; per-nation means snap to the 1e-6 dollar grid; the two
+    cross-nation reductions (S and s2bar) BIGINT-sum 1e-3-snapped
+    terms, so B and every js_i come from order-proof scalars.
+
+    Scale: one orders scan + broadcast nation join + 25-key moment
+    aggregate; the shrinkage algebra is dimension-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"))
+    rows = (orders.join(F.broadcast(cust), "o_custkey")
+            .select("nationkey",
+                    F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("decimal(38,0)").alias("yc")))
+    per = (rows.groupBy("nationkey")
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                F.sum("yc").alias("s"),
+                F.sum(F.col("yc") * F.col("yc")).alias("ss")))
+    mean_u = F.round(F.col("s").cast("double")
+                     / F.col("n").cast("double") / 100 * 1e6, 0) \
+        .cast("bigint")
+    var_d = ((F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+             .cast("double")
+             / (F.col("n").cast("double")
+                * (F.col("n") - 1).cast("double")) / 10000)
+    se2_u = F.round(var_d / F.col("n").cast("double") * 1e3, 0) \
+        .cast("bigint")
+    base = per.select("nationkey",
+                      F.col("n").cast("bigint").alias("n"),
+                      mean_u.alias("mu"), se2_u.alias("se2u"))
+    gl = base.agg(F.sum("mu").alias("smu"),
+                  F.sum("se2u").alias("sse2"),
+                  F.count(F.lit(1)).alias("k"))
+    both = base.crossJoin(F.broadcast(gl)).withColumn(
+        "mbar", F.col("smu").cast("double") / F.col("k") / 1e6)
+    dev = F.col("mu") / 1e6 - F.col("mbar")
+    su = (both.withColumn("du",
+                          F.round(dev * dev * 1e3, 0).cast("bigint"))
+          .withColumn("dev", dev))
+    stot = su.agg(F.sum("du").alias("sdu"))
+    out = su.crossJoin(F.broadcast(stot)).withColumn(
+        "b_fac",
+        F.greatest(F.lit(0.0),
+                   1 - (F.col("k") - 3).cast("double")
+                   * (F.col("sse2").cast("double") / F.col("k") / 1e3)
+                   / (F.col("sdu").cast("double") / 1e3)))
+    return (out.select(
+        "nationkey", "n",
+        F.round(F.col("mu") / 1e6, 6).alias("raw_mean"),
+        F.round(F.col("se2u") / 1e3, 3).alias("se2"),
+        F.round("b_fac", 6).alias("shrinkage"),
+        F.round(F.col("mbar") + F.col("b_fac") * F.col("dev"), 6)
+        .alias("js_mean"))
+        .orderBy("nationkey"))
+
+
+QUERIES["james_stein_nation_means"] = james_stein_nation_means
+ORACLES["james_stein_nation_means"] = """
+    WITH rows_ AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS yc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per AS (
+        SELECT nationkey, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(yc) AS HUGEINT) AS s,
+               CAST(sum(CAST(yc AS HUGEINT) * yc) AS HUGEINT) AS ss
+        FROM rows_ GROUP BY 1
+    ), base AS (
+        SELECT nationkey, CAST(n AS BIGINT) AS n,
+               CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                          / 100 * 1e6, 0) AS BIGINT) AS mu,
+               CAST(round(CAST(n * ss - s * s AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                          / 10000 / CAST(n AS DOUBLE) * 1e3, 0)
+                    AS BIGINT) AS se2u
+        FROM per
+    ), gl AS (
+        SELECT CAST(sum(mu) AS BIGINT) AS smu,
+               CAST(sum(se2u) AS BIGINT) AS sse2,
+               CAST(count(*) AS BIGINT) AS k
+        FROM base
+    ), su AS (
+        SELECT b.*, g.smu, g.sse2, g.k,
+               CAST(g.smu AS DOUBLE) / g.k / 1e6 AS mbar,
+               b.mu / 1e6 - CAST(g.smu AS DOUBLE) / g.k / 1e6 AS dev,
+               CAST(round((b.mu / 1e6
+                           - CAST(g.smu AS DOUBLE) / g.k / 1e6)
+                          * (b.mu / 1e6
+                             - CAST(g.smu AS DOUBLE) / g.k / 1e6)
+                          * 1e3, 0) AS BIGINT) AS du
+        FROM base b CROSS JOIN gl g
+    ), st AS (SELECT CAST(sum(du) AS BIGINT) AS sdu FROM su)
+    SELECT s.nationkey, s.n,
+           round(s.mu / 1e6, 6) AS raw_mean,
+           round(s.se2u / 1e3, 3) AS se2,
+           round(greatest(0.0,
+                 1 - CAST(s.k - 3 AS DOUBLE)
+                     * (CAST(s.sse2 AS DOUBLE) / s.k / 1e3)
+                     / (CAST(t.sdu AS DOUBLE) / 1e3)), 6) AS shrinkage,
+           round(s.mbar + greatest(0.0,
+                 1 - CAST(s.k - 3 AS DOUBLE)
+                     * (CAST(s.sse2 AS DOUBLE) / s.k / 1e3)
+                     / (CAST(t.sdu AS DOUBLE) / 1e3)) * s.dev, 6)
+               AS js_mean
+    FROM su s CROSS JOIN st t
+    ORDER BY s.nationkey
+"""

@@ -844,3 +844,101 @@ ORACLES["chao1_vocab_estimate"] = """
                AS unseen_mass
     FROM per_lang ORDER BY lang
 """
+
+
+_KN_D = 0.75     # absolute discount (Kneser-Ney's standard value)
+
+
+def kneser_ney_bigram_logprob(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-document average negative log-probability under an
+    INTERPOLATED KNESER-NEY bigram model (Kneser & Ney 1995; Chen &
+    Goodman 1999 found it the best-performing classical smoother) —
+    the principled upgrade of the add-k `doc_bigram_logprob`: instead
+    of flat pseudo-counts, absolute discounting D = 0.75 frees mass
+    proportional to the DISTINCT continuations of each prefix, and
+    the backoff distribution is the CONTINUATION probability
+    P_cont(w2) = N1+(.w2)/B (how many distinct contexts w2 follows,
+    over B distinct bigram types) — the "San Francisco" correction:
+    a word frequent only inside one collocation gets a small backoff
+    weight no matter how high its raw unigram count.
+
+        P(w2|w1) = (max(c12 - D, 0) + D * N1+(w1.) * N1+(.w2) / B)
+                   / c(w1.)
+
+    Exactness: all five count families (c12, c(w1.), N1+(w1.),
+    N1+(.w2), B) are exact integer aggregates off ONE shared bigram
+    stream; each bigram's -ln P snaps to the 1e-6 grid and the
+    per-doc mean is an integer-sum of those micro-units divided once
+    — engine-order-proof (the `bm25_topk` discipline).
+
+    Scale: the bigram stream joins its own count table (bigram key)
+    and two prefix/continuation tables (w1 / w2 keys) — three keyed
+    joins over the token stream, each vocabulary-bounded on the
+    build side; B is a broadcast 1-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    big = (shingle_table(docs)
+           .select("doc_id", F.col("shingle").alias("bigram"),
+                   F.split_part(F.col("shingle"), F.lit(" "), F.lit(1))
+                   .alias("w1"),
+                   F.split_part(F.col("shingle"), F.lit(" "), F.lit(2))
+                   .alias("w2")))
+    bc = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    pc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"),
+                               F.count_distinct("w2").alias("n1p_w1"))
+    cc = big.groupBy("w2").agg(F.count_distinct("w1").alias("n1p_w2"))
+    btypes = bc.agg(F.count(F.lit(1)).cast("double").alias("b"))
+    p = ((F.greatest(F.col("c12") - F.lit(_KN_D), F.lit(0.0))
+          + F.lit(_KN_D) * F.col("n1p_w1") * F.col("n1p_w2")
+          / F.col("b"))
+         / F.col("c1"))
+    scored = (big
+              .join(bc, "bigram")
+              .join(pc, "w1")
+              .join(cc, "w2")
+              .crossJoin(F.broadcast(btypes))
+              .withColumn("nlu", F.round(-F.log(p) * 1e6, 0)
+                          .cast("bigint")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.sum("nlu").cast("double")
+                         / F.count(F.lit(1)) / 1e6, 6)
+                 .alias("kn_avg_neg_logprob"))
+            .orderBy("doc_id"))
+
+
+QUERIES["kneser_ney_bigram_logprob"] = kneser_ney_bigram_logprob
+ORACLES["kneser_ney_bigram_logprob"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), big AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+    ), bc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM big GROUP BY 1, 2
+    ), pc AS (
+        SELECT w1, CAST(count(*) AS BIGINT) AS c1,
+               CAST(count(DISTINCT w2) AS BIGINT) AS n1p_w1
+        FROM big GROUP BY 1
+    ), cc AS (
+        SELECT w2, CAST(count(DISTINCT w1) AS BIGINT) AS n1p_w2
+        FROM big GROUP BY 1
+    ), bt AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bc),
+    scored AS (
+        SELECT g.doc_id,
+               CAST(round(-ln((greatest(c.c12 - {_KN_D}, 0.0)
+                               + {_KN_D} * p.n1p_w1 * cx.n1p_w2 / t.b)
+                              / p.c1) * 1e6, 0) AS BIGINT) AS nlu
+        FROM big g
+        JOIN bc c ON c.w1 = g.w1 AND c.w2 = g.w2
+        JOIN pc p ON p.w1 = g.w1
+        JOIN cc cx ON cx.w2 = g.w2
+        CROSS JOIN bt t
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(nlu) AS DOUBLE) / count(*) / 1e6, 6)
+               AS kn_avg_neg_logprob
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id
+"""

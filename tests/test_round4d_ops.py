@@ -1,191 +1,394 @@
-"""Round-4 continuation batch 16: semantic tests for the five new
-operators (exact tie-aware ROC AUC, Murphy Brier decomposition,
-leave-one-out/smoothed target encoding, word2vec negative-sampling
-table, weighted recursive-CTE shortest paths).
+"""Round-4 batch 21 semantic tests: Shapley attribution, Kneser-Ney
+bigram LM, Nelson-Aalen hazard, Mantel-Haenszel pooled OR, James-Stein
+shrinkage, IPF raking, greedy max-coverage, capture-recapture, Markov
+backtest, item-item CF, QL-Dirichlet, WoE/IV.
 
-Oracle parity is covered for all five by test_oracle_parity.py's
-auto-parametrization; these tests pin the SEMANTICS — each operator is
-re-derived brute-force in numpy/pure Python from the same inputs and
-must agree, so an engine-vs-engine match can't hide a shared
-misdefinition.
+Oracle parity is covered by test_oracle_parity.py's
+auto-parametrization; these pin the SEMANTICS — closed-form identities
+and invariants an oracle match alone would not prove (both engines
+could share a bug; a brute-force python replay cannot).
 """
 
 import math
+from collections import Counter
+from itertools import combinations
 
 import pytest
 
 from pyspark.sql import functions as F
 
 
-# ------------------------------------------------------------- ROC AUC
+# ------------------------------------------------------ Shapley MTA
 
-def _nb_scored(spark, sf_dir):
-    from qrapids_forecast_r_script_spark.operators.training_prep import (
-        nb_quality_classifier)
-    return nb_quality_classifier(spark, sf_dir).collect()
-
-
-def test_roc_auc_matches_pairwise_definition(spark, sf_dir):
-    """AUC must equal the O(P·N) pairwise definition
-    P(score_pos > score_neg) + ½·P(tie), computed brute-force per
-    source on the same fixed-point scores."""
-    from qrapids_forecast_r_script_spark.operators.training_prep import (
-        roc_auc_eval)
+def test_shapley_efficiency_and_brute_force(spark, sf_dir):
+    """Sum of Shapley values equals v(N) - v(empty) exactly (the
+    efficiency axiom, in 24ths), and each phi matches a brute-force
+    permutation average computed in python."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import shapley_attribution
     from qrapids_forecast_r_script_spark.sources import load_table
-    got = {r.source: r for r in roc_auc_eval(spark, sf_dir).collect()}
-    src = {r.doc_id: r.source
-           for r in load_table(spark, sf_dir, "documents")
-           .select("doc_id", "source").collect()}
-    by_source = {}
-    for r in _nb_scored(spark, sf_dir):
-        su = round(r.nb_score * 1_000_000)
-        by_source.setdefault(src[r.doc_id], ([], []))[
-            0 if r.lang == "en" else 1].append(su)
-    assert set(got) == set(by_source)
-    for s, (pos, neg) in by_source.items():
-        num = 0.0
-        for p in pos:
-            for n in neg:
-                num += 1.0 if p > n else (0.5 if p == n else 0.0)
-        auc = num / (len(pos) * len(neg))
-        assert got[s].n_pos == len(pos) and got[s].n_neg == len(neg)
-        assert got[s].auc == pytest.approx(auc, abs=1e-6)
-        assert got[s].gini == pytest.approx(2 * auc - 1, abs=1e-5)
+    rows = {r.channel: r.phi24
+            for r in shapley_attribution(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts").collect()
+    first_p = {}
+    for r in ev:
+        if r.event_type == "purchase":
+            if r.user_id not in first_p or r.ts < first_p[r.user_id]:
+                first_p[r.user_id] = r.ts
+    bits = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    masks = Counter()
+    touched = {}
+    for r in ev:
+        if (r.user_id in first_p and r.ts < first_p[r.user_id]
+                and r.event_type in bits):
+            touched[r.user_id] = touched.get(r.user_id, 0) \
+                | bits[r.event_type]
+    for u in first_p:
+        masks[touched.get(u, 0)] += 1
+
+    def v(s):
+        return sum(c for m, c in masks.items() if (m & s) == m)
+
+    w = {0: 6, 1: 2, 2: 2, 3: 6}
+    for ch, bit in bits.items():
+        others = [b for b in bits.values() if b != bit]
+        phi24 = 0
+        for k in range(4):
+            for combo in combinations(others, k):
+                s = sum(combo)
+                phi24 += w[k] * (v(s + bit) - v(s))
+        assert rows[ch] == phi24, ch
+    assert sum(rows.values()) == 24 * (v(15) - v(0))
 
 
-# ------------------------------------------------- Brier decomposition
+# ------------------------------------------------- Kneser-Ney bigram
 
-def test_brier_matches_bruteforce_and_components_reconcile(spark, sf_dir):
-    from qrapids_forecast_r_script_spark.operators.training_prep import (
-        brier_decomposition)
-    row = brier_decomposition(spark, sf_dir).collect()
-    assert len(row) == 1
-    row = row[0]
-    scored = _nb_scored(spark, sf_dir)
-    bs = 0.0
-    ybar = 0.0
-    for r in scored:
-        su = round(r.nb_score * 1_000_000)
-        pu = round(1e6 / (1.0 + math.exp(-su / 1e6)))
-        y = 1 if r.lang == "en" else 0
-        bs += ((pu - y * 1_000_000) / 1e6) ** 2
-        ybar += y
-    n = len(scored)
-    bs /= n
-    ybar /= n
-    assert row.n_docs == n
-    assert row.brier == pytest.approx(bs, abs=2e-6)
-    assert row.uncertainty == pytest.approx(ybar * (1 - ybar), abs=1e-6)
-    # Murphy identity with the within-bin variance residual closing it
-    assert (row.reliability - row.resolution + row.uncertainty
-            + row.within_bin_residual) == pytest.approx(row.brier, abs=5e-6)
-    assert 0.0 <= row.brier <= 1.0
-    assert row.reliability >= 0.0 and row.resolution >= 0.0
-
-
-# ------------------------------------------------- LOO target encoding
-
-def test_target_encoding_loo_bruteforce(spark, sf_dir):
-    """Per-nation LOO range and smoothed encoding must match a direct
-    per-row recomputation; mean(LOO) = plain mean (the leakage-free
-    estimator is unbiased)."""
-    from qrapids_forecast_r_script_spark.operators.training_prep import (
-        target_encoding_loo)
+def test_kneser_ney_brute_force(spark, sf_dir):
+    """Per-doc KN average matches a python replay of the interpolated
+    KN formula on the first five docs."""
+    from qrapids_forecast_r_script_spark.operators.text_quality import (
+        kneser_ney_bigram_logprob)
     from qrapids_forecast_r_script_spark.sources import load_table
-    got = {r.nationkey: r
-           for r in target_encoding_loo(spark, sf_dir).collect()}
-    orders = load_table(spark, sf_dir, "orders") \
-        .select("o_custkey", "o_totalprice").collect()
-    nat = {r.c_custkey: r.c_nationkey
-           for r in load_table(spark, sf_dir, "customer")
-           .select("c_custkey", "c_nationkey").collect()}
-    per = {}
-    for o in orders:
-        per.setdefault(nat[o.o_custkey], []).append(
-            round(o.o_totalprice * 100))
-    gmean = sum(sum(v) for v in per.values()) \
-        / sum(len(v) for v in per.values()) / 100.0
-    assert set(got) == set(per)
-    for k, ys in per.items():
-        n, s = len(ys), sum(ys)
-        loo = [(s - y) / (n - 1) / 100.0 for y in ys]
-        assert got[k].n_orders == n
-        assert got[k].loo_min == pytest.approx(min(loo), abs=1e-4)
-        assert got[k].loo_max == pytest.approx(max(loo), abs=1e-4)
-        # mean of the LOO encodings equals the plain mean
-        assert sum(loo) / n == pytest.approx(got[k].mean_price, abs=1e-2)
-        assert got[k].smoothed_encoding == pytest.approx(
-            (s / 100.0 + 20.0 * gmean) / (n + 20.0), abs=1e-4)
-        assert got[k].shrinkage == pytest.approx(n / (n + 20.0), abs=1e-6)
+    got = {r.doc_id: (r.n_bigrams, r.kn_avg_neg_logprob)
+           for r in kneser_ney_bigram_logprob(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    bigr = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        bigr[r.doc_id] = [(toks[i], toks[i + 1])
+                          for i in range(len(toks) - 1)]
+    c12 = Counter(b for bs in bigr.values() for b in bs)
+    c1 = Counter(b[0] for bs in bigr.values() for b in bs)
+    n1p_w1 = Counter()
+    n1p_w2 = Counter()
+    for (w1, w2) in c12:
+        n1p_w1[w1] += 1
+        n1p_w2[w2] += 1
+    B = len(c12)
+    D = 0.75
+    for doc_id in sorted(bigr)[:5]:
+        su = 0
+        for (w1, w2) in bigr[doc_id]:
+            p = (max(c12[(w1, w2)] - D, 0.0)
+                 + D * n1p_w1[w1] * n1p_w2[w2] / B) / c1[w1]
+            su += round(-math.log(p) * 1e6)
+        n = len(bigr[doc_id])
+        assert got[doc_id][0] == n
+        assert got[doc_id][1] == pytest.approx(su / n / 1e6, abs=2e-6)
 
 
-# -------------------------------------------- negative-sampling table
+def test_kneser_ney_is_proper_distribution():
+    """The interpolated-KN formula sums to 1 over continuations of a
+    fixed prefix — the property add-k also has but backoff-only
+    ("stupid backoff") lacks; checked on a tiny corpus."""
+    corpus = [("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"),
+              ("c", "a"), ("c", "b")]
+    c12 = Counter(corpus)
+    c1 = Counter(w1 for w1, _ in corpus)
+    n1p_w1 = Counter()
+    n1p_w2 = Counter()
+    for (w1, w2) in c12:
+        n1p_w1[w1] += 1
+        n1p_w2[w2] += 1
+    B = len(c12)
+    D = 0.75
+    vocab = {w for pair in corpus for w in pair}
+    for w1 in c1:
+        tot = sum((max(c12.get((w1, w2), 0) - D, 0.0)
+                   + D * n1p_w1[w1] * n1p_w2[w2] / B) / c1[w1]
+                  for w2 in vocab)
+        # continuation mass sums to sum(n1p_w2)/B = 1 exactly
+        assert tot == pytest.approx(1.0, abs=1e-12)
 
-def test_negative_sampling_table_invariants(spark, sf_dir):
-    from qrapids_forecast_r_script_spark.operators.training_prep import (
-        negative_sampling_table, _NS_VOCAB, _NS_TABLE)
+
+# --------------------------------------------------- Nelson-Aalen
+
+def test_nelson_aalen_vs_km_bounds(spark, sf_dir):
+    """exp(-H(t)) >= KM S(t) everywhere (Fleming-Harrington dominates
+    Kaplan-Meier), increments match d/n, and H is nondecreasing."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import nelson_aalen_hazard, user_survival_curve
+    na = nelson_aalen_hazard(spark, sf_dir).collect()
+    km = {r.t: r.survival
+          for r in user_survival_curve(spark, sf_dir).collect()}
+    prev_h = 0.0
+    for r in na:
+        assert r.cum_hazard >= prev_h - 1e-9
+        prev_h = r.cum_hazard
+        assert r.fh_survival >= km[r.t] - 1e-6, r.t
+        assert r.var_hazard >= 0
+
+
+# ------------------------------------------- Mantel-Haenszel pooled OR
+
+def test_mh_or_brute_force(spark, sf_dir):
+    """OR_MH replayed in python from the raw 2x2 strata; the crude OR
+    equals the pooled-table OR."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import mh_pooled_odds_ratio
     from qrapids_forecast_r_script_spark.sources import load_table
-    rows = negative_sampling_table(spark, sf_dir).collect()
-    vocab = (load_table(spark, sf_dir, "documents")
-             .select(F.explode(F.split("text", " ")).alias("t"))
-             .agg(F.countDistinct("t")).collect()[0][0])
-    assert len(rows) == min(_NS_VOCAB, vocab)
-    assert [r.rank for r in rows] == sorted(r.rank for r in rows)
-    # counts non-increasing in rank; slots proportional to cnt^0.75
-    cnts = [r.cnt for r in sorted(rows, key=lambda r: r.rank)]
-    assert cnts == sorted(cnts, reverse=True)
-    total_slots = sum(r.slots for r in rows)
-    assert abs(total_slots - _NS_TABLE) <= _NS_VOCAB  # per-row rounding
-    assert abs(sum(r.prob for r in rows) - 1.0) < 1e-3
-    # cumulative column is the exact running slot sum
-    run = 0
-    for r in sorted(rows, key=lambda r: r.rank):
-        run += r.slots
-        assert r.cum_slots == run
-    # flattening: top token's share must UNDERSHOOT its raw frequency
-    # share (the whole point of the 0.75 power)
-    raw_total = sum(cnts)
-    assert rows[0].prob < cnts[0] / raw_total
+    row = mh_pooled_odds_ratio(spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice").collect()
+    cust = {r.c_custkey: r.c_nationkey
+            for r in load_table(spark, sf_dir, "customer").collect()}
+    ycs = [round(o.o_totalprice * 100) for o in orders]
+    mu = sum(ycs) / len(ycs)
+    cells = {}
+    for o, yc in zip(orders, ycs):
+        nk = cust[o.o_custkey]
+        e = o.o_orderpriority in ("1-URGENT", "2-HIGH")
+        hi = yc > mu
+        a, b, c, d = cells.get(nk, (0, 0, 0, 0))
+        if e and hi:
+            a += 1
+        elif e:
+            b += 1
+        elif hi:
+            c += 1
+        else:
+            d += 1
+        cells[nk] = (a, b, c, d)
+    sn = sum(round(a * d / (a + b + c + d) * 1e6)
+             for a, b, c, d in cells.values())
+    sd = sum(round(b * c / (a + b + c + d) * 1e6)
+             for a, b, c, d in cells.values())
+    assert row.or_mh == pytest.approx(sn / sd, abs=2e-6)
+    sa = sum(v[0] for v in cells.values())
+    sb = sum(v[1] for v in cells.values())
+    sc = sum(v[2] for v in cells.values())
+    sdd = sum(v[3] for v in cells.values())
+    assert row.or_crude == pytest.approx(sa * sdd / (sb * sc), abs=2e-6)
+    assert row.n_strata == len(cells)
 
 
-def test_negative_sampling_prob_formula(spark, sf_dir):
-    from qrapids_forecast_r_script_spark.operators.training_prep import (
-        negative_sampling_table)
-    rows = sorted(negative_sampling_table(spark, sf_dir).collect(),
-                  key=lambda r: r.rank)
-    us = [round((r.cnt ** 0.75) * 1e6) for r in rows]
-    z = sum(us)
-    for r, u in zip(rows[:20], us[:20]):
-        assert r.prob == pytest.approx(u / z, abs=1e-6)
+# ----------------------------------------------------- James-Stein
+
+def test_james_stein_shrinks_toward_grand_mean(spark, sf_dir):
+    """0 <= B <= 1; every js_mean lies between the raw mean and the
+    grand mean of means; B matches the Efron-Morris closed form
+    replayed from the reported columns."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import james_stein_nation_means
+    rows = james_stein_nation_means(spark, sf_dir).collect()
+    k = len(rows)
+    bs = {r.shrinkage for r in rows}
+    assert len(bs) == 1
+    b = bs.pop()
+    assert 0.0 <= b <= 1.0
+    mbar = sum(round(r.raw_mean * 1e6) for r in rows) / k / 1e6
+    s = sum(round((round(r.raw_mean * 1e6) / 1e6 - mbar) ** 2 * 1e3)
+            for r in rows) / 1e3
+    s2bar = sum(round(r.se2 * 1e3) for r in rows) / k / 1e3
+    assert b == pytest.approx(max(0.0, 1 - (k - 3) * s2bar / s),
+                              abs=2e-6)
+    for r in rows:
+        lo, hi = sorted((r.raw_mean, mbar))
+        assert lo - 1e-5 <= r.js_mean <= hi + 1e-5
+        dev = round(r.raw_mean * 1e6) / 1e6 - mbar
+        # reported shrinkage is rounded 6dp; the operator applies the
+        # unrounded factor, so tolerance scales with |dev|
+        assert r.js_mean == pytest.approx(
+            mbar + b * dev, abs=1e-6 * abs(dev) + 2e-5)
 
 
-# ------------------------------------------- weighted shortest paths
+# ------------------------------------------------------- IPF raking
 
-def test_shortest_paths_match_bounded_bellman_ford(spark, sf_dir):
-    """The recursive-CTE min-over-walks must equal a hand-rolled
-    4-round Bellman-Ford from the same seed on the same weighted
-    edges — exactly, since costs are integers."""
-    from qrapids_forecast_r_script_spark.operators.graph import (
-        doc_graph_shortest_paths, _SP_HOPS)
+def test_ipf_margins_converge(spark, sf_dir):
+    """After the final column sweep the SOURCE margin is matched
+    exactly-by-construction; the residual lang-margin error shrank
+    vs the unweighted sample and is small."""
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        ipf_raking_weights)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    rows = ipf_raking_weights(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source").collect()
+    t_src = Counter(r.source for r in docs)
+    t_lang = Counter(r.lang for r in docs)
+    # weighted source margins match targets (last sweep scaled them)
+    wsrc = Counter()
+    for r in rows:
+        wsrc[r.source] += r.weight * r.n
+    for srcname, tgt in t_src.items():
+        assert wsrc[srcname] == pytest.approx(tgt, rel=1e-4)
+    # lang residual: small relative to the margin, and every weight > 0
+    for r in rows:
+        assert r.weight > 0
+        assert abs(r.lang_margin_err) < 0.05 * t_lang[r.lang]
+
+
+# ---------------------------------------------- greedy max-coverage
+
+def test_greedy_coverage_brute_force(spark, sf_dir):
+    """The 3-round greedy trace replayed in python: same picks, same
+    marginal gains, and gains are nonincreasing (submodularity of
+    coverage under the greedy rule)."""
+    from qrapids_forecast_r_script_spark.operators.curation import (
+        greedy_coverage_selection)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = greedy_coverage_selection(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    sets = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        sets[r.doc_id] = {f"{toks[i]} {toks[i + 1]}"
+                          for i in range(len(toks) - 1)}
+    covered = set()
+    chosen = set()
+    for r in got:
+        best = max((d for d in sets if d not in chosen),
+                   key=lambda d: (len(sets[d] - covered), -d))
+        gain = len(sets[best] - covered)
+        assert r.doc_id == best
+        assert r.gain == gain
+        covered |= sets[best]
+        chosen.add(best)
+    gains = [r.gain for r in got]
+    assert gains == sorted(gains, reverse=True)
+
+
+# ------------------------------------------- capture-recapture dedup
+
+def test_capture_recapture_identities(spark, sf_dir):
+    """overlap <= min(n1, n2); Chapman <= Lincoln-Petersen (the
+    small-sample correction only shrinks); both estimates >= the
+    larger capture."""
     from qrapids_forecast_r_script_spark.operators.dedup import (
-        minhash_lsh_pairs)
-    got = {r.doc_id: r.wdist
-           for r in doc_graph_shortest_paths(spark, sf_dir).collect()}
-    edges = {}
-    for r in minhash_lsh_pairs(spark, sf_dir).collect():
-        wt = 101 - round(r.est_jaccard * 100)
-        edges.setdefault(r.doc_a, []).append((r.doc_b, wt))
-        edges.setdefault(r.doc_b, []).append((r.doc_a, wt))
-    seed = min(edges)
-    dist = {seed: 0}
-    for _ in range(_SP_HOPS):
-        nxt = dict(dist)
-        for u, d in dist.items():
-            for v, wt in edges.get(u, []):
-                if d + wt < nxt.get(v, float("inf")):
-                    nxt[v] = d + wt
-        dist = nxt
-    assert got == dist
-    assert got[seed] == 0
-    # all weights >= 1 ⇒ any non-seed distance is positive
-    assert all(d >= 1 for k, d in got.items() if k != seed)
+        dedup_capture_recapture)
+    r = dedup_capture_recapture(spark, sf_dir).collect()[0]
+    assert r.overlap <= min(r.n_minhash, r.n_simhash)
+    if r.overlap > 0:
+        assert r.chapman_estimate <= r.lp_estimate + 1e-9
+        assert r.lp_estimate >= max(r.n_minhash, r.n_simhash) - 1e-9
+
+
+# ---------------------------------------------- Markov backtest
+
+def test_markov_backtest_accuracy_bounds(spark, sf_dir):
+    """hits <= n_eval per state; accuracy = hits/n_eval; the
+    predicted state is a real event type."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import markov_next_event_accuracy
+    rows = markov_next_event_accuracy(spark, sf_dir).collect()
+    types = {"click", "error", "purchase", "signup", "view"}
+    assert rows, "no post-cutoff transitions — vacuous fixture"
+    for r in rows:
+        assert 0 <= r.hits <= r.n_eval
+        assert r.accuracy == pytest.approx(r.hits / r.n_eval, abs=1e-6)
+        assert r.predicted_next in types
+        assert r.n_train > 0
+
+
+# -------------------------------------------------- item-item CF
+
+def test_item_item_cf_brute_force(spark, sf_dir):
+    """Cosines replayed in python for the first target; ranks respect
+    (cosine desc, partkey asc); co_buyers <= min degree."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import item_item_cf_topk
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = item_item_cf_topk(spark, sf_dir).collect()
+    orders = {r.o_orderkey: r.o_custkey
+              for r in load_table(spark, sf_dir, "orders").collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").collect()
+    buyers = {}
+    for r in li:
+        buyers.setdefault(r.l_partkey, set()).add(orders[r.l_orderkey])
+    t0 = got[0].target
+    n_t = len(buyers[t0])
+    exp = {}
+    for item, bs in buyers.items():
+        if item == t0:
+            continue
+        co = len(bs & buyers[t0])
+        if co:
+            exp[item] = (round(co / math.sqrt(n_t * len(bs)), 6), co)
+    top5 = sorted(exp.items(), key=lambda kv: (-kv[1][0], kv[0]))[:5]
+    mine = [r for r in got if r.target == t0]
+    assert [(r.neighbor, (r.cosine, r.co_buyers)) for r in mine] == top5
+    for r in got:
+        assert r.co_buyers <= min(len(buyers[r.target]),
+                                  len(buyers[r.neighbor]))
+
+
+# ------------------------------------------------ QL-Dirichlet
+
+def test_ql_dirichlet_vs_bm25_candidates(spark, sf_dir):
+    """Each query returns exactly top-10 rows with strictly ranked
+    scores (ties broken by neighbor id), and the scored value matches
+    a python replay for the first (query, neighbor) row."""
+    from qrapids_forecast_r_script_spark.operators.text import (
+        ql_dirichlet_topk)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = ql_dirichlet_topk(spark, sf_dir).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] \
+            == list(range(1, len(rs) + 1))
+        srt = sorted(rs, key=lambda r: (-r.ql_score, r.neighbor_id))
+        assert [r.rank for r in srt] == list(range(1, len(rs) + 1))
+    r0 = got[0]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    toks = {d.doc_id: d.text.split(" ") for d in docs}
+    tf = {d: Counter(ts) for d, ts in toks.items()}
+    cf = Counter(t for ts in toks.values() for t in ts)
+    ctot = sum(cf.values())
+    mu = 2000.0
+    qterms = set(tf[r0.query_id])
+    dl = len(toks[r0.neighbor_id])
+    msum = sum(round(math.log(1 + tf[r0.neighbor_id][t]
+                              / (mu * (cf[t] / ctot))) * 1e0, 6)
+               for t in qterms if tf[r0.neighbor_id][t] > 0)
+    msum = round(sum(round(math.log(1 + tf[r0.neighbor_id][t]
+                                    / (mu * (cf[t] / ctot))), 6)
+                     for t in qterms if tf[r0.neighbor_id][t] > 0), 6)
+    bg = round(len(qterms) * math.log(mu / (dl + mu)), 6)
+    assert r0.ql_score == pytest.approx(msum + bg, abs=2e-6)
+
+
+# ------------------------------------------------------ WoE / IV
+
+def test_woe_iv_identities(spark, sf_dir):
+    """IV total equals the sum of per-nation terms; WoE sign agrees
+    with good-share vs bad-share; IV terms are nonnegative."""
+    from qrapids_forecast_r_script_spark.operators.training_prep import (
+        woe_information_value)
+    rows = woe_information_value(spark, sf_dir).collect()
+    g = sum(r.good for r in rows)
+    b = sum(r.bad for r in rows)
+    iv_sum = sum(round(r.iv_term * 1e9) for r in rows) / 1e9
+    for r in rows:
+        assert r.iv_total == pytest.approx(iv_sum, abs=2e-9)
+        assert r.iv_term >= 0
+        pg = (r.good + 0.5) / (g + 1.0)
+        pb = (r.bad + 0.5) / (b + 1.0)
+        assert r.woe == pytest.approx(math.log(pg / pb), abs=2e-6)
+        assert (r.woe >= 0) == (pg >= pb)
