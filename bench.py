@@ -357,6 +357,10 @@ HEADLINE = [
     "james_stein_nation_means",
     "ipf_raking_weights",
     "greedy_coverage_selection",
+    "als_rank2_factors",
+    "series_analog_search",
+    "source_length_emd",
+    "bradley_terry_strengths",
 ]
 
 

@@ -1583,3 +1583,102 @@ ORACLES["simpson_slope_audit"] = """
            (slope * pooled_slope) < 0 AS sign_reversed
     FROM sl ORDER BY nationkey
 """
+
+
+def source_length_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D EARTH-MOVER (Wasserstein-1) distance between each
+    source's doc-length distribution and the pooled corpus reference
+    — the integral-of-CDF-gap identity W1 = integral |F_s(v) - F(v)| dv
+    that makes optimal transport CLOSED-FORM in one dimension
+    (Vallender 1974), so the distribution-shift suite gains the one
+    metric with real units (characters of mass-movement) next to the
+    unitless PSI / KL / KS / QQ reads: "source s's lengths are, on
+    average, this many characters of transport away from the
+    corpus".
+
+    Exactness: both CDFs are integer-count ratios evaluated on the
+    MERGED support (every distinct n_chars in the corpus — the grid
+    where either CDF steps); each segment contributes
+    |F_s - F| x (next_v - v) snapped to the 1e-9 grid and
+    BIGINT-summed, so the integral is order-proof.
+
+    Scale: one scan to (source, n_chars) counts; the support grid is
+    value-bounded (distinct lengths), the per-source CDF table is
+    (sources x support)-sized — dimension-sized after the scan, and
+    at 100 TB the support is binned first (the histogram the PSI
+    query already builds)."""
+    from pyspark.sql.window import Window
+    docs = load_table(spark, sf_dir, "documents")
+    sc = (docs.groupBy("source", "n_chars")
+          .agg(F.count(F.lit(1)).alias("c")))
+    support = sc.select("n_chars").distinct()
+    srcn = sc.groupBy("source").agg(F.sum("c").alias("n_src"))
+    grid = (srcn.crossJoin(support)
+            .join(sc, ["source", "n_chars"], "left")
+            .select("source", "n_chars", "n_src",
+                    F.coalesce("c", F.lit(0)).alias("c")))
+    tot = sc.agg(F.sum("c").alias("n_all"))
+    pool = (sc.groupBy("n_chars").agg(F.sum("c").alias("cp")))
+    wsrc = (Window.partitionBy("source").orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = (Window.orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    pool_cdf = (pool.crossJoin(F.broadcast(tot))
+                .select("n_chars",
+                        (F.sum("cp").over(wall)
+                         / F.col("n_all")).alias("f_all"),
+                        F.lead("n_chars").over(
+                            Window.orderBy("n_chars")).alias("nxt")))
+    cdf = (grid
+           .withColumn("f_src", F.sum("c").over(wsrc) / F.col("n_src"))
+           .join(F.broadcast(pool_cdf), "n_chars"))
+    seg = F.round(F.abs(F.col("f_src") - F.col("f_all"))
+                  * (F.col("nxt") - F.col("n_chars")) * 1e9, 0) \
+        .cast("bigint")
+    return (cdf.where(F.col("nxt").isNotNull())
+            .withColumn("su", seg)
+            .groupBy("source")
+            .agg(F.round(F.sum("su") / 1e9, 6).alias("emd_chars"))
+            .orderBy("source"))
+
+
+QUERIES["source_length_emd"] = source_length_emd
+ORACLES["source_length_emd"] = """
+    WITH sc AS (
+        SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ), support AS (SELECT DISTINCT n_chars FROM sc),
+    srcn AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_src
+        FROM sc GROUP BY 1
+    ), grid AS (
+        SELECT s.source, v.n_chars, s.n_src, coalesce(x.c, 0) AS c
+        FROM srcn s CROSS JOIN support v
+        LEFT JOIN sc x ON x.source = s.source
+                      AND x.n_chars = v.n_chars
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM sc),
+    pool AS (
+        SELECT n_chars, CAST(sum(c) AS BIGINT) AS cp
+        FROM sc GROUP BY 1
+    ), pool_cdf AS (
+        SELECT p.n_chars,
+               sum(p.cp) OVER (ORDER BY p.n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / CAST(t.n_all AS DOUBLE) AS f_all,
+               lead(p.n_chars) OVER (ORDER BY p.n_chars) AS nxt
+        FROM pool p CROSS JOIN tot t
+    ), cdf AS (
+        SELECT g.source, g.n_chars,
+               sum(g.c) OVER (PARTITION BY g.source ORDER BY g.n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / CAST(g.n_src AS DOUBLE) AS f_src,
+               pc.f_all, pc.nxt
+        FROM grid g JOIN pool_cdf pc ON pc.n_chars = g.n_chars
+    )
+    SELECT source,
+           round(sum(CAST(round(abs(f_src - f_all) * (nxt - n_chars)
+                                * 1e9, 0) AS BIGINT)) / 1e9, 6)
+               AS emd_chars
+    FROM cdf WHERE nxt IS NOT NULL
+    GROUP BY source ORDER BY source
+"""

@@ -3259,3 +3259,284 @@ ORACLES["james_stein_nation_means"] = """
     FROM su s CROSS JOIN st t
     ORDER BY s.nationkey
 """
+
+
+_MP_W = 7      # subsequence window length (days)
+_MP_TOP = 5    # analogs returned
+
+
+def series_analog_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-subsequence ANALOG SEARCH over the per-type daily
+    count series (the one-query column of a matrix profile — Yeh et
+    al. 2016 — and the retrieval step of classical analog
+    forecasting): take the LAST 7-day window of the purchase series
+    as the query, z-normalize it, and return the 5 nearest earlier
+    7-day windows across ALL event-type series by z-normalized
+    Euclidean distance — "when did traffic last look like this week,
+    and in which signal".  Z-normalization is what makes it shape
+    search rather than level search: a scaled/shifted copy of the
+    query is distance ~0.
+
+    Determinism: daily counts are integers; each window's mean and
+    variance are integer ratios; per-window z-scores and the final
+    distance snap to the 1e-6 grid (squared-diff terms BIGINT-sum in
+    micro-units); constant (zero-variance) windows are excluded on
+    both sides rather than dividing by zero; ties break by
+    (event_type, start_t).
+
+    Scale: one events scan to a (type, day) grid; windows material-
+    ize via 6 leads over a |types| x days frame (dimension-sized);
+    the query vector is a broadcast constant, so the distance scan
+    is map-side — at 100 TB the same shape runs per metric series
+    with the grid partitioned by series key."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    seq = daily.withColumn("t", F.row_number().over(w))
+    cols = [F.col("c").alias("c0")] + [
+        F.lead("c", i).over(w).alias(f"c{i}") for i in range(1, _MP_W)]
+    win = (seq.select("event_type", "t", *cols)
+           .where(F.col(f"c{_MP_W - 1}").isNotNull())
+           .select("event_type", F.col("t").alias("start_t"),
+                   F.array(*[f"c{i}" for i in range(_MP_W)])
+                   .alias("arr")))
+    n = float(_MP_W)
+    s1 = F.aggregate("arr", F.lit(0).cast("long"),
+                     lambda a, x: a + x).cast("double")
+    s2 = F.aggregate("arr", F.lit(0).cast("long"),
+                     lambda a, x: a + x * x).cast("double")
+    mean = s1 / F.lit(n)
+    var = s2 / F.lit(n) - (s1 / F.lit(n)) * (s1 / F.lit(n))
+    zn = (win.withColumn("mean", mean).withColumn("var", var)
+          .where(F.col("var") > 0)
+          .withColumn("z", F.transform(
+              "arr", lambda x: F.round(
+                  (x - F.col("mean")) / F.sqrt(F.col("var")), 6))))
+    qmax = (zn.where(F.col("event_type") == "purchase")
+            .agg(F.max("start_t").alias("qt")))
+    query = (zn.join(F.broadcast(qmax),
+                     (F.col("event_type") == "purchase")
+                     & (F.col("start_t") == F.col("qt")))
+             .select(F.col("z").alias("qz"), F.col("qt")))
+    dist_u = F.aggregate(
+        F.zip_with("z", "qz",
+                   lambda a, b: F.round((a - b) * (a - b) * 1e6, 0)
+                   .cast("bigint")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    scored = (zn.crossJoin(F.broadcast(query))
+              .where((F.col("event_type") != "purchase")
+                     | (F.col("start_t") < F.col("qt")))
+              .withColumn("du", dist_u)
+              .withColumn("dist",
+                          F.round(F.sqrt(F.col("du") / 1e6), 6)))
+    wr = Window.orderBy(F.col("du").asc(), F.col("event_type").asc(),
+                        F.col("start_t").asc())
+    return (scored.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= _MP_TOP)
+            .select("rank", "event_type", "start_t", "dist")
+            .orderBy("rank"))
+
+
+QUERIES["series_analog_search"] = series_analog_search
+ORACLES["series_analog_search"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS t
+        FROM daily
+    ), win AS (
+        SELECT event_type, t AS start_t,
+               [{", ".join(
+                   f"lead(c, {i}) OVER (PARTITION BY event_type "
+                   f"ORDER BY t)" for i in range(_MP_W))}] AS arr
+        FROM seq
+        QUALIFY lead(c, {_MP_W - 1}) OVER (PARTITION BY event_type
+                                           ORDER BY t) IS NOT NULL
+    ), zn AS (
+        SELECT event_type, start_t,
+               list_transform(arr, x -> round(
+                   (x - list_sum(arr) / {_MP_W}.0)
+                   / sqrt(list_sum(list_transform(arr,
+                              y -> CAST(y AS DOUBLE) * y)) / {_MP_W}.0
+                          - (list_sum(arr) / {_MP_W}.0)
+                            * (list_sum(arr) / {_MP_W}.0)), 6)) AS z
+        FROM win
+        WHERE list_sum(list_transform(arr,
+                  y -> CAST(y AS DOUBLE) * y)) / {_MP_W}.0
+              - (list_sum(arr) / {_MP_W}.0)
+                * (list_sum(arr) / {_MP_W}.0) > 0
+    ), qm AS (
+        SELECT max(start_t) AS qt FROM zn WHERE event_type = 'purchase'
+    ), q AS (
+        SELECT z.z AS qz, m.qt
+        FROM zn z CROSS JOIN qm m
+        WHERE z.event_type = 'purchase' AND z.start_t = m.qt
+    ), scored AS (
+        SELECT z.event_type, z.start_t,
+               CAST(list_sum(list_transform(
+                   list_zip(z.z, q.qz),
+                   p -> CAST(round((p[1] - p[2]) * (p[1] - p[2]) * 1e6,
+                                   0) AS BIGINT))) AS BIGINT) AS du
+        FROM zn z CROSS JOIN q
+        WHERE z.event_type != 'purchase' OR z.start_t < q.qt
+    )
+    SELECT CAST(row_number() OVER (ORDER BY du ASC, event_type ASC,
+                                   start_t ASC) AS INT) AS rank,
+           event_type, CAST(start_t AS BIGINT) AS start_t,
+           round(sqrt(du / 1e6), 6) AS dist
+    FROM scored
+    QUALIFY rank <= {_MP_TOP}
+    ORDER BY rank
+"""
+
+
+_BT_ITERS = 2    # unrolled Hunter-MM iterations
+
+
+def bradley_terry_strengths(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength estimation over the five event types
+    from daily head-to-head count comparisons (Bradley & Terry 1952;
+    Hunter 2004's MM algorithm) — the paired-comparison model behind
+    chess ratings, LLM-arena leaderboards, and preference-data
+    reward models: type i beats type j on a day iff its daily count
+    is strictly higher; the model fits strengths p with
+    P(i beats j) = p_i/(p_i + p_j).  TWO Hunter-MM iterations
+    UNROLLED from the uniform start, each exactly the textbook
+    update p_i <- W_i / sum_j n_ij/(p_i + p_j) followed by
+    sum-normalization — both engines replay the identical
+    update-by-update trace, so the oracle pins the MM algebra, not
+    just a fixpoint.
+
+    Determinism: wins/comparisons are exact integers (count ties are
+    dropped, the standard convention); every denominator term and
+    every normalization sum BIGINT-accumulates 1e-9-snapped values.
+
+    Scale: one events scan to a (type, day) grid; the comparison
+    join and both MM sweeps run on |types|²-sized frames —
+    dimension-sized, like the transition matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    a = daily.select(F.col("event_type").alias("ta"), "day",
+                     F.col("c").alias("ca"))
+    b = daily.select(F.col("event_type").alias("tb"),
+                     F.col("day").alias("day_b"),
+                     F.col("c").alias("cb"))
+    pairs = (a.join(b, (F.col("day") == F.col("day_b"))
+                    & (F.col("ta") < F.col("tb")))
+             .groupBy("ta", "tb")
+             .agg(F.count(F.when(F.col("ca") > F.col("cb"), 1))
+                  .alias("wa"),
+                  F.count(F.when(F.col("cb") > F.col("ca"), 1))
+                  .alias("wb")))
+    edges = (pairs.select(F.col("ta").alias("i"),
+                          F.col("tb").alias("j"),
+                          (F.col("wa") + F.col("wb")).alias("n"))
+             .union(pairs.select(F.col("tb").alias("i"),
+                                 F.col("ta").alias("j"),
+                                 (F.col("wa") + F.col("wb"))
+                                 .alias("n")))
+             .where(F.col("n") > 0))
+    wins = (pairs.select(F.col("ta").alias("i"), F.col("wa").alias("w"))
+            .union(pairs.select(F.col("tb").alias("i"),
+                                F.col("wb").alias("w")))
+            .groupBy("i").agg(F.sum("w").alias("wins")))
+    p = wins.select("i", "wins", F.lit(1.0).alias("p"))
+    for _ in range(_BT_ITERS):
+        pj = p.select(F.col("i").alias("j"), F.col("p").alias("p_j"))
+        den = (edges.join(p.select("i", "p"), "i")
+               .join(F.broadcast(pj), "j")
+               .withColumn("tu", F.round(
+                   F.col("n") / (F.col("p") + F.col("p_j")) * 1e9,
+                   0).cast("bigint"))
+               .groupBy("i").agg(F.sum("tu").alias("den_u")))
+        raw = (p.join(den, "i")
+               .select("i", "wins",
+                       F.round(F.col("wins")
+                               / (F.col("den_u") / 1e9) * 1e9, 0)
+                       .cast("bigint").alias("pu")))
+        tot = raw.agg(F.sum("pu").alias("su"))
+        p = (raw.crossJoin(F.broadcast(tot))
+             .select("i", "wins",
+                     F.round(F.col("pu") / F.col("su").cast("double"),
+                             9).alias("p")))
+    from pyspark.sql.window import Window
+    wr = Window.orderBy(F.col("p").desc(), F.col("i").asc())
+    return (p.withColumn("rank", F.row_number().over(wr))
+            .select("rank", F.col("i").alias("event_type"), "wins",
+                    F.round("p", 6).alias("strength"))
+            .orderBy("rank"))
+
+
+QUERIES["bradley_terry_strengths"] = bradley_terry_strengths
+ORACLES["bradley_terry_strengths"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(count(*) FILTER (WHERE a.c > b.c) AS BIGINT) AS wa,
+               CAST(count(*) FILTER (WHERE b.c > a.c) AS BIGINT) AS wb
+        FROM daily a JOIN daily b ON a.day = b.day
+                                 AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT ta AS i, tb AS j, wa + wb AS n FROM pairs
+        WHERE wa + wb > 0
+        UNION ALL
+        SELECT tb, ta, wa + wb FROM pairs WHERE wa + wb > 0
+    ), wins AS (
+        SELECT i, CAST(sum(w) AS BIGINT) AS wins
+        FROM (SELECT ta AS i, wa AS w FROM pairs
+              UNION ALL SELECT tb, wb FROM pairs)
+        GROUP BY i
+    ), p0 AS (SELECT i, wins, CAST(1.0 AS DOUBLE) AS p FROM wins),
+    d1 AS (
+        SELECT e.i, CAST(sum(CAST(round(
+                   e.n / (pi.p + pj.p) * 1e9, 0) AS BIGINT))
+                   AS BIGINT) AS den_u
+        FROM edges e
+        JOIN p0 pi ON pi.i = e.i
+        JOIN p0 pj ON pj.i = e.j
+        GROUP BY e.i
+    ), r1 AS (
+        SELECT p.i, p.wins,
+               CAST(round(p.wins / (d.den_u / 1e9) * 1e9, 0)
+                    AS BIGINT) AS pu
+        FROM p0 p JOIN d1 d ON d.i = p.i
+    ), t1 AS (SELECT CAST(sum(pu) AS BIGINT) AS su FROM r1),
+    p1 AS (
+        SELECT i, wins,
+               round(pu / CAST(su AS DOUBLE), 9) AS p
+        FROM r1 CROSS JOIN t1
+    ), d2 AS (
+        SELECT e.i, CAST(sum(CAST(round(
+                   e.n / (pi.p + pj.p) * 1e9, 0) AS BIGINT))
+                   AS BIGINT) AS den_u
+        FROM edges e
+        JOIN p1 pi ON pi.i = e.i
+        JOIN p1 pj ON pj.i = e.j
+        GROUP BY e.i
+    ), r2 AS (
+        SELECT p.i, p.wins,
+               CAST(round(p.wins / (d.den_u / 1e9) * 1e9, 0)
+                    AS BIGINT) AS pu
+        FROM p1 p JOIN d2 d ON d.i = p.i
+    ), t2 AS (SELECT CAST(sum(pu) AS BIGINT) AS su FROM r2),
+    p2 AS (
+        SELECT i, wins, round(pu / CAST(su AS DOUBLE), 9) AS p
+        FROM r2 CROSS JOIN t2
+    )
+    SELECT CAST(row_number() OVER (ORDER BY p DESC, i ASC) AS INT)
+               AS rank,
+           i AS event_type, wins, round(p, 6) AS strength
+    FROM p2 ORDER BY rank
+"""

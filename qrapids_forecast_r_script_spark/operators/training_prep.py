@@ -1330,3 +1330,176 @@ ORACLES["woe_information_value"] = f"""
     FROM scored s CROSS JOIN ivt i
     ORDER BY s.nationkey
 """
+
+
+_ALS_LAMBDA = 0.1    # ridge regularizer
+_ALS_TOP = 20        # reported item rows (most-rated parts)
+_ALS_H = 2147483648  # 2^31 — centering constant for the dyadic init
+_ALS_M = 4294967296  # 2^32
+
+
+def als_rank2_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE full alternating-least-squares sweep (users then items) of
+    a RANK-2 implicit-count factorization of the customer x part
+    purchase matrix (Koren/Bell/Volinsky 2009; Zhou et al. 2008 for
+    the ALS schedule) — the recommender-training operator class, run
+    EXACTLY: at rank 2 each ALS solve is a closed-form 2x2 ridge
+    inverse, so the whole sweep is joins + aggregates + one division
+    per factor, no iterative solver and no RNG.
+
+    Exactness engineering: item factors initialize to q = (1, f_i)
+    with f_i = (Knuth-hash(i) - 2^31)/2^32 — a DYADIC rational, so
+    the entire USER half-step is exact integer arithmetic: the
+    normal-matrix entries are (n_i, sum f_i in 2^-32 units [BIGINT],
+    sum f_i^2 in 2^-64 units [DECIMAL(38,0)/HUGEINT]) and the
+    moment vector is (sum r, sum r*f) likewise; only the final 2x2
+    solve divides.  User factors then snap to the 1e-9 grid, the
+    ITEM half-step BIGINT-sums 1e-12-snapped products of snapped
+    factors, and its solves divide once — every driver-hash-relevant
+    value is a deterministic function of integer aggregates.
+
+    Output: the ALS-updated factors for the 20 most-rated parts.
+
+    Scale: ratings = one lineitem+orders aggregate (the data-sized
+    stage); each half-step is ONE groupBy over ratings keyed by the
+    side being solved — the textbook distributed-ALS shape (factor
+    tables shuffle, ratings scan twice); rank is the knob and the
+    2x2 closed form generalizes to small-k Cholesky."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    ratings = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+               .groupBy(F.col("o_custkey").alias("cust"),
+                        F.col("l_partkey").alias("item"))
+               .agg(F.count(F.lit(1)).alias("r")))
+    # dyadic item init: fu = hash - 2^31 (exact 2^-32 units)
+    fu = (F.pmod(F.col("item") * F.lit(2654435761),
+                 F.lit(_ALS_M)) - F.lit(_ALS_H)).cast("long")
+    rated = ratings.withColumn("fu", fu)
+    # USER solve — exact integer normal equations
+    ua = (rated.groupBy("cust")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum("fu").alias("sf"),
+               F.sum(F.col("fu").cast("decimal(38,0)")
+                     * F.col("fu")).alias("sff"),
+               F.sum("r").alias("sr"),
+               F.sum(F.col("r") * F.col("fu")).alias("srf")))
+    lam = float(_ALS_LAMBDA)
+    a11 = F.col("n").cast("double") + F.lit(lam)
+    a12 = F.col("sf").cast("double") / F.lit(float(_ALS_M))
+    a22 = (F.col("sff").cast("double")
+           / F.lit(float(_ALS_M)) / F.lit(float(_ALS_M))
+           + F.lit(lam))
+    b1 = F.col("sr").cast("double")
+    b2 = F.col("srf").cast("double") / F.lit(float(_ALS_M))
+    det = a11 * a22 - a12 * a12
+    p1 = F.round((a22 * b1 - a12 * b2) / det * 1e9, 0).cast("bigint")
+    p2 = F.round((a11 * b2 - a12 * b1) / det * 1e9, 0).cast("bigint")
+    users = ua.select("cust", p1.alias("p1u"), p2.alias("p2u"))
+    # ITEM solve — 1e-12-snapped products of 1e-9-snapped factors
+    j = ratings.join(users, "cust")
+    d1 = F.col("p1u").cast("double") / 1e9
+    d2 = F.col("p2u").cast("double") / 1e9
+    ia = (j.groupBy("item")
+          .agg(F.count(F.lit(1)).alias("n_ratings"),
+               F.sum(F.round(d1 * d1 * 1e12, 0).cast("bigint"))
+               .alias("s11"),
+               F.sum(F.round(d1 * d2 * 1e12, 0).cast("bigint"))
+               .alias("s12"),
+               F.sum(F.round(d2 * d2 * 1e12, 0).cast("bigint"))
+               .alias("s22"),
+               F.sum(F.round(F.col("r") * d1 * 1e12, 0).cast("bigint"))
+               .alias("t1"),
+               F.sum(F.round(F.col("r") * d2 * 1e12, 0).cast("bigint"))
+               .alias("t2")))
+    ja11 = F.col("s11") / 1e12 + F.lit(lam)
+    ja12 = F.col("s12") / 1e12
+    ja22 = F.col("s22") / 1e12 + F.lit(lam)
+    jb1 = F.col("t1") / 1e12
+    jb2 = F.col("t2") / 1e12
+    jdet = ja11 * ja22 - ja12 * ja12
+    q1 = F.round((ja22 * jb1 - ja12 * jb2) / jdet, 6)
+    q2 = F.round((ja11 * jb2 - ja12 * jb1) / jdet, 6)
+    return (ia.select("item", "n_ratings",
+                      q1.alias("q1"), q2.alias("q2"))
+            .orderBy(F.col("n_ratings").desc(), F.col("item").asc())
+            .limit(_ALS_TOP)
+            .select(F.col("item").alias("p_partkey"), "n_ratings",
+                    "q1", "q2"))
+
+
+QUERIES["als_rank2_factors"] = als_rank2_factors
+ORACLES["als_rank2_factors"] = f"""
+    WITH ratings AS (
+        SELECT o.o_custkey AS cust, l.l_partkey AS item,
+               CAST(count(*) AS BIGINT) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), rated AS (
+        SELECT *, CAST((item * 2654435761) % {_ALS_M} - {_ALS_H}
+                       AS BIGINT) AS fu
+        FROM ratings
+    ), ua AS (
+        SELECT cust, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(fu) AS BIGINT) AS sf,
+               CAST(sum(CAST(fu AS HUGEINT) * fu) AS HUGEINT) AS sff,
+               CAST(sum(r) AS BIGINT) AS sr,
+               CAST(sum(r * fu) AS BIGINT) AS srf
+        FROM rated GROUP BY cust
+    ), users AS (
+        SELECT cust,
+               CAST(round(((CAST(sff AS DOUBLE) / {_ALS_M}.0
+                            / {_ALS_M}.0 + {_ALS_LAMBDA})
+                           * CAST(sr AS DOUBLE)
+                           - (CAST(sf AS DOUBLE) / {_ALS_M}.0)
+                             * (CAST(srf AS DOUBLE) / {_ALS_M}.0))
+                          / ((CAST(n AS DOUBLE) + {_ALS_LAMBDA})
+                             * (CAST(sff AS DOUBLE) / {_ALS_M}.0
+                                / {_ALS_M}.0 + {_ALS_LAMBDA})
+                             - (CAST(sf AS DOUBLE) / {_ALS_M}.0)
+                               * (CAST(sf AS DOUBLE) / {_ALS_M}.0))
+                          * 1e9, 0) AS BIGINT) AS p1u,
+               CAST(round(((CAST(n AS DOUBLE) + {_ALS_LAMBDA})
+                           * (CAST(srf AS DOUBLE) / {_ALS_M}.0)
+                           - (CAST(sf AS DOUBLE) / {_ALS_M}.0)
+                             * CAST(sr AS DOUBLE))
+                          / ((CAST(n AS DOUBLE) + {_ALS_LAMBDA})
+                             * (CAST(sff AS DOUBLE) / {_ALS_M}.0
+                                / {_ALS_M}.0 + {_ALS_LAMBDA})
+                             - (CAST(sf AS DOUBLE) / {_ALS_M}.0)
+                               * (CAST(sf AS DOUBLE) / {_ALS_M}.0))
+                          * 1e9, 0) AS BIGINT) AS p2u
+        FROM ua
+    ), ia AS (
+        SELECT rr.item, CAST(count(*) AS BIGINT) AS n_ratings,
+               CAST(sum(CAST(round((u.p1u / 1e9) * (u.p1u / 1e9)
+                                   * 1e12, 0) AS BIGINT)) AS BIGINT)
+                   AS s11,
+               CAST(sum(CAST(round((u.p1u / 1e9) * (u.p2u / 1e9)
+                                   * 1e12, 0) AS BIGINT)) AS BIGINT)
+                   AS s12,
+               CAST(sum(CAST(round((u.p2u / 1e9) * (u.p2u / 1e9)
+                                   * 1e12, 0) AS BIGINT)) AS BIGINT)
+                   AS s22,
+               CAST(sum(CAST(round(rr.r * (u.p1u / 1e9) * 1e12, 0)
+                             AS BIGINT)) AS BIGINT) AS t1,
+               CAST(sum(CAST(round(rr.r * (u.p2u / 1e9) * 1e12, 0)
+                             AS BIGINT)) AS BIGINT) AS t2
+        FROM ratings rr JOIN users u USING (cust)
+        GROUP BY rr.item
+    )
+    SELECT item AS p_partkey, n_ratings,
+           round(((s22 / 1e12 + {_ALS_LAMBDA}) * (t1 / 1e12)
+                  - (s12 / 1e12) * (t2 / 1e12))
+                 / ((s11 / 1e12 + {_ALS_LAMBDA})
+                    * (s22 / 1e12 + {_ALS_LAMBDA})
+                    - (s12 / 1e12) * (s12 / 1e12)), 6) AS q1,
+           round(((s11 / 1e12 + {_ALS_LAMBDA}) * (t2 / 1e12)
+                  - (s12 / 1e12) * (t1 / 1e12))
+                 / ((s11 / 1e12 + {_ALS_LAMBDA})
+                    * (s22 / 1e12 + {_ALS_LAMBDA})
+                    - (s12 / 1e12) * (s12 / 1e12)), 6) AS q2
+    FROM ia
+    ORDER BY n_ratings DESC, item ASC LIMIT {_ALS_TOP}
+"""

