@@ -361,6 +361,9 @@ HEADLINE = [
     "series_analog_search",
     "source_length_emd",
     "bradley_terry_strengths",
+    "hmm_forward_filter",
+    "doc_length_gmm",
+    "textrank_keywords",
 ]
 
 

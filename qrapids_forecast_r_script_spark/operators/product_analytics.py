@@ -3540,3 +3540,148 @@ ORACLES["bradley_terry_strengths"] = """
            i AS event_type, wins, round(p, 6) AS strength
     FROM p2 ORDER BY rank
 """
+
+
+# fixed, documented HMM parameters (a 2-state calm/busy market model)
+_HMM_A = (0.8, 0.2, 0.3, 0.7)   # A00 A01 A10 A11
+_HMM_E1 = (0.3, 0.7)            # P(high | calm), P(high | busy)
+
+
+def hmm_forward_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD-ALGORITHM filtering of a 2-state (calm/busy) hidden
+    Markov model over the daily purchase-volume sequence (Rabiner
+    1989, problem 1): observation o_t = [count_t > median], fixed
+    literal transition/emission parameters, and the scaled forward
+    recursion alpha'_t = normalize(alpha'_{t-1} A .* B(o_t)) with the
+    log-likelihood accumulated from the scaling constants — the
+    dynamic-programming operator class (sequential state with a
+    matrix product per step) run by Spark's OWN recursive-CTE engine,
+    one level per day, exactly as `forecast_holtwinters_events` runs
+    its smoothing recursion.  Output per day: the FILTERED posterior
+    P(busy | o_1..t) — the regime-detection read a naive threshold
+    cannot give (it carries memory through the transition prior) —
+    plus the running log-likelihood.
+
+    Determinism: observations are integer-count comparisons against
+    the exact median; the normalized state snaps to the 1e-9 grid
+    each level (both engines replay the identical sequential
+    arithmetic); each ln(scale) snaps to 1e-6 and BIGINT-accumulates.
+
+    Scale: one events scan to the day grid; the recursion state is
+    two doubles + one BIGINT per series — depth = days, parallelism
+    = series count (here 1; partitioned by series key at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    from pyspark.sql.window import Window
+    med = daily.agg(F.expr("percentile(c, 0.5)").alias("med"))
+    obs = (daily.crossJoin(F.broadcast(med))
+           .select(F.row_number().over(Window.orderBy("day"))
+                   .alias("t"), "day",
+                   (F.col("c") > F.col("med")).cast("int").alias("o")))
+    obs.localCheckpoint(eager=True).createOrReplaceTempView("qr_hmm_obs")
+    a00, a01, a10, a11 = _HMM_A
+    e0, e1 = _HMM_E1
+    b0 = f"CASE o.o WHEN 1 THEN {e0}D ELSE {1 - e0}D END"
+    b1 = f"CASE o.o WHEN 1 THEN {e1}D ELSE {1 - e1}D END"
+    return spark.sql(f"""
+        WITH RECURSIVE walk(t, day, o, a0, a1, llu) AS (
+            SELECT o.t, o.day, o.o,
+                   round(0.5D * {b0}
+                         / (0.5D * {b0} + 0.5D * {b1}), 9) AS a0,
+                   round(0.5D * {b1}
+                         / (0.5D * {b0} + 0.5D * {b1}), 9) AS a1,
+                   CAST(round(ln(0.5D * {b0} + 0.5D * {b1}) * 1e6, 0)
+                        AS BIGINT) AS llu
+            FROM qr_hmm_obs o WHERE o.t = 1
+            UNION ALL
+            SELECT o.t, o.day, o.o,
+                   round((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
+                         / ((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
+                            + (w.a0 * {a01}D + w.a1 * {a11}D) * {b1}),
+                         9),
+                   round((w.a0 * {a01}D + w.a1 * {a11}D) * {b1}
+                         / ((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
+                            + (w.a0 * {a01}D + w.a1 * {a11}D) * {b1}),
+                         9),
+                   w.llu + CAST(round(ln(
+                       (w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
+                       + (w.a0 * {a01}D + w.a1 * {a11}D) * {b1})
+                       * 1e6, 0) AS BIGINT)
+            FROM walk w JOIN qr_hmm_obs o ON o.t = w.t + 1
+        )
+        SELECT CAST(t AS BIGINT) AS t, day, CAST(o AS INT) AS obs_high,
+               round(a1, 6) AS p_busy,
+               round(llu / 1e6, 6) AS loglik
+        FROM walk ORDER BY t
+    """)
+
+
+QUERIES["hmm_forward_filter"] = hmm_forward_filter
+ORACLES["hmm_forward_filter"] = f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), med AS (SELECT median(c) AS med FROM daily),
+    obs AS (
+        SELECT row_number() OVER (ORDER BY day) AS t, day,
+               CAST(c > m.med AS INT) AS o
+        FROM daily CROSS JOIN med m
+    ),
+    walk(t, day, o, a0, a1, llu) AS (
+        SELECT o.t, o.day, o.o,
+               round(0.5 * (CASE o.o WHEN 1 THEN {_HMM_E1[0]}
+                            ELSE {1 - _HMM_E1[0]} END)
+                     / (0.5 * (CASE o.o WHEN 1 THEN {_HMM_E1[0]}
+                               ELSE {1 - _HMM_E1[0]} END)
+                        + 0.5 * (CASE o.o WHEN 1 THEN {_HMM_E1[1]}
+                                 ELSE {1 - _HMM_E1[1]} END)), 9),
+               round(0.5 * (CASE o.o WHEN 1 THEN {_HMM_E1[1]}
+                            ELSE {1 - _HMM_E1[1]} END)
+                     / (0.5 * (CASE o.o WHEN 1 THEN {_HMM_E1[0]}
+                               ELSE {1 - _HMM_E1[0]} END)
+                        + 0.5 * (CASE o.o WHEN 1 THEN {_HMM_E1[1]}
+                                 ELSE {1 - _HMM_E1[1]} END)), 9),
+               CAST(round(ln(0.5 * (CASE o.o WHEN 1 THEN {_HMM_E1[0]}
+                                    ELSE {1 - _HMM_E1[0]} END)
+                             + 0.5 * (CASE o.o WHEN 1
+                                      THEN {_HMM_E1[1]}
+                                      ELSE {1 - _HMM_E1[1]} END))
+                          * 1e6, 0) AS BIGINT)
+        FROM obs o WHERE o.t = 1
+        UNION ALL
+        SELECT o.t, o.day, o.o,
+               round((w.a0 * {_HMM_A[0]} + w.a1 * {_HMM_A[2]})
+                     * (CASE o.o WHEN 1 THEN {_HMM_E1[0]}
+                        ELSE {1 - _HMM_E1[0]} END)
+                     / ((w.a0 * {_HMM_A[0]} + w.a1 * {_HMM_A[2]})
+                        * (CASE o.o WHEN 1 THEN {_HMM_E1[0]}
+                           ELSE {1 - _HMM_E1[0]} END)
+                        + (w.a0 * {_HMM_A[1]} + w.a1 * {_HMM_A[3]})
+                          * (CASE o.o WHEN 1 THEN {_HMM_E1[1]}
+                             ELSE {1 - _HMM_E1[1]} END)), 9),
+               round((w.a0 * {_HMM_A[1]} + w.a1 * {_HMM_A[3]})
+                     * (CASE o.o WHEN 1 THEN {_HMM_E1[1]}
+                        ELSE {1 - _HMM_E1[1]} END)
+                     / ((w.a0 * {_HMM_A[0]} + w.a1 * {_HMM_A[2]})
+                        * (CASE o.o WHEN 1 THEN {_HMM_E1[0]}
+                           ELSE {1 - _HMM_E1[0]} END)
+                        + (w.a0 * {_HMM_A[1]} + w.a1 * {_HMM_A[3]})
+                          * (CASE o.o WHEN 1 THEN {_HMM_E1[1]}
+                             ELSE {1 - _HMM_E1[1]} END)), 9),
+               w.llu + CAST(round(ln(
+                   (w.a0 * {_HMM_A[0]} + w.a1 * {_HMM_A[2]})
+                   * (CASE o.o WHEN 1 THEN {_HMM_E1[0]}
+                      ELSE {1 - _HMM_E1[0]} END)
+                   + (w.a0 * {_HMM_A[1]} + w.a1 * {_HMM_A[3]})
+                     * (CASE o.o WHEN 1 THEN {_HMM_E1[1]}
+                        ELSE {1 - _HMM_E1[1]} END)) * 1e6, 0)
+                   AS BIGINT)
+        FROM walk w JOIN obs o ON o.t = w.t + 1
+    )
+    SELECT CAST(t AS BIGINT) AS t, day, CAST(o AS INT) AS obs_high,
+           round(a1, 6) AS p_busy,
+           round(llu / 1e6, 6) AS loglik
+    FROM walk ORDER BY t
+"""

@@ -1337,3 +1337,119 @@ ORACLES["ql_dirichlet_topk"] = f"""
           FROM full_)
     WHERE rank <= {_BM25_TOP_K}
 """
+
+
+_TR_D = 0.85     # damping (Brin-Page / Mihalcea-Tarau default)
+_TR_TOP = 20     # keywords reported
+_TR_ITERS = 2    # unrolled weighted-PageRank sweeps
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the corpus word CO-OCCURRENCE graph (adjacent-token
+    edges, weight = co-occurrence count, symmetrized), TWO unrolled
+    sweeps of s_i = (1-d) + d * sum_j (w_ji / wdeg_j) * s_j from the
+    uniform start, top-20 words by score — the graph-centrality
+    complement to `rake_keywords_top` (degree-within-phrase) and the
+    tf-idf family: a word ranks high when it co-occurs with other
+    well-connected words, not merely when it is frequent.
+
+    Determinism: edge weights are exact bigram counts; every sweep
+    BIGINT-sums 1e-9-snapped neighbor contributions, so both engines
+    (and the python replay in tests) reproduce the trace update by
+    update; ties break by word ascending.
+
+    Scale: the edge list is the distinct-bigram table (vocabulary-
+    bounded); each sweep is one dst-keyed grouped sum — the PageRank
+    shape `doc_graph_pagerank` already pins, here on the word graph;
+    the unroll count is the knob."""
+    from pyspark.sql.window import Window
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(F.split("text", " "))
+                       .alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (toks.withColumn("nxt", F.lead("tok", 1).over(w))
+             .where(F.col("nxt").isNotNull()
+                    & (F.col("tok") != F.col("nxt")))
+             .groupBy(F.col("tok").alias("a"),
+                      F.col("nxt").alias("b"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    edges = (pairs.select(F.col("a").alias("src"),
+                          F.col("b").alias("dst"), "c")
+             .union(pairs.select(F.col("b").alias("src"),
+                                 F.col("a").alias("dst"), "c"))
+             .groupBy("src", "dst").agg(F.sum("c").alias("wt")))
+    wdeg = edges.groupBy("src").agg(F.sum("wt").alias("wdeg"))
+    nodes = wdeg.select(F.col("src").alias("word"), "wdeg")
+    s = nodes.select("word", F.lit(1.0).alias("s"))
+    for _ in range(_TR_ITERS):
+        sj = (s.join(nodes.select(F.col("word"), "wdeg"), "word")
+              .select(F.col("word").alias("src"),
+                      (F.col("s") / F.col("wdeg")).alias("sj_out")))
+        contrib = (edges.join(sj, "src")
+                   .withColumn("cu", F.round(
+                       F.col("wt") * F.col("sj_out") * 1e9, 0)
+                       .cast("bigint"))
+                   .groupBy("dst").agg(F.sum("cu").alias("su")))
+        s = (nodes.join(contrib,
+                        nodes.word == contrib.dst, "left")
+             .select("word",
+                     F.round(F.lit(1.0 - _TR_D)
+                             + F.lit(_TR_D)
+                             * F.coalesce(F.col("su"), F.lit(0))
+                             / 1e9, 9).alias("s")))
+    wr = Window.orderBy(F.col("s").desc(), F.col("word").asc())
+    return (s.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= _TR_TOP)
+            .select("rank", "word", F.round("s", 6).alias("score"))
+            .orderBy("rank"))
+
+
+QUERIES["textrank_keywords"] = textrank_keywords
+
+
+def _tr_sweep_sql(prev: str, it: int) -> str:
+    return f"""
+    c{it} AS (
+        SELECT e.dst,
+               CAST(sum(CAST(round(e.wt * (s.s / n.wdeg) * 1e9, 0)
+                             AS BIGINT)) AS BIGINT) AS su
+        FROM edges e
+        JOIN {prev} s ON s.word = e.src
+        JOIN nodes n ON n.word = e.src
+        GROUP BY e.dst
+    ), s{it} AS (
+        SELECT n.word,
+               round({1 - _TR_D} + {_TR_D}
+                     * coalesce(c.su, 0) / 1e9, 9) AS s
+        FROM nodes n LEFT JOIN c{it} c ON c.dst = n.word
+    )"""
+
+
+ORACLES["textrank_keywords"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), pairs AS (
+        SELECT ts[i] AS a, ts[i + 1] AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        WHERE ts[i] != ts[i + 1]
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT src, dst, CAST(sum(c) AS BIGINT) AS wt
+        FROM (SELECT a AS src, b AS dst, c FROM pairs
+              UNION ALL SELECT b, a, c FROM pairs)
+        GROUP BY 1, 2
+    ), nodes AS (
+        SELECT src AS word, CAST(sum(wt) AS BIGINT) AS wdeg
+        FROM edges GROUP BY 1
+    ), s0 AS (SELECT word, CAST(1.0 AS DOUBLE) AS s FROM nodes),
+    {_tr_sweep_sql("s0", 1).lstrip()},
+    {_tr_sweep_sql("s1", 2).lstrip()}
+    SELECT CAST(row_number() OVER (ORDER BY s DESC, word ASC) AS INT)
+               AS rank,
+           word, round(s, 6) AS score
+    FROM s2
+    QUALIFY rank <= {_TR_TOP}
+    ORDER BY rank
+"""

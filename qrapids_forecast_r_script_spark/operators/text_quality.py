@@ -942,3 +942,177 @@ ORACLES["kneser_ney_bigram_logprob"] = f"""
     FROM scored GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+_GMM_ITERS = 2   # unrolled EM iterations
+
+
+def doc_length_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component Gaussian mixture over ln(doc length) fit by TWO
+    UNROLLED EM iterations (Dempster-Laird-Rubin 1977) — the
+    model-based upgrade of the winsorize/tercile length heuristics:
+    documents come from latent short/long regimes, and the fitted
+    (pi, mu, sigma²) pair plus each regime's share is the read a
+    curation mix policy consumes.  Deterministic quantile init
+    (below/above the exact median defines the two starting
+    populations — no RNG), then each EM step is the textbook E
+    (per-row posterior responsibilities) + M (responsibility-weighted
+    moments).
+
+    Determinism: x = ln(n_chars) snaps to 1e-6 per row;
+    responsibilities snap to 1e-9; every M-step moment BIGINT-sums
+    1e-9-snapped r, r·x, r·x² terms, so each iteration's parameters
+    are ratios of order-proof integer sums; the unrolled trace is
+    replayed identically by both engines (and by the python test).
+
+    Scale: the E-step is map-side against 6 broadcast scalars; each
+    M-step is ONE aggregate — the standard distributed-EM shape
+    (sufficient statistics reduce, parameters broadcast back); the
+    unroll count is the knob."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = (docs.select(F.round(F.log("n_chars"), 6).alias("x"))
+         .localCheckpoint(eager=True))
+    med = x.agg(F.expr("percentile(x, 0.5)").alias("med"))
+    side = x.crossJoin(F.broadcast(med)).withColumn(
+        "lo", (F.col("x") <= F.col("med")).cast("int"))
+
+    def su(col):
+        return F.sum(F.round(col * 1e9, 0).cast("bigint"))
+
+    init = (side.groupBy("lo")
+            .agg(F.count(F.lit(1)).alias("n"), su(F.col("x")).alias("sx"),
+                 su(F.col("x") * F.col("x")).alias("sxx")))
+    tot = init.agg(F.sum("n").alias("n_all"))
+    params = (init.crossJoin(F.broadcast(tot))
+              .select(F.col("lo").alias("k"),
+                      (F.col("n") / F.col("n_all")).alias("pi"),
+                      (F.col("sx") / 1e9 / F.col("n")).alias("mu"),
+                      (F.col("sxx") / 1e9 / F.col("n")
+                       - (F.col("sx") / 1e9 / F.col("n"))
+                       * (F.col("sx") / 1e9 / F.col("n")))
+                      .alias("s2")))
+    for _ in range(_GMM_ITERS):
+        p0 = params.where(F.col("k") == 0).select(
+            F.col("pi").alias("pi0"), F.col("mu").alias("mu0"),
+            F.col("s2").alias("s20"))
+        p1 = params.where(F.col("k") == 1).select(
+            F.col("pi").alias("pi1"), F.col("mu").alias("mu1"),
+            F.col("s2").alias("s21"))
+        e = x.crossJoin(F.broadcast(p0)).crossJoin(F.broadcast(p1))
+        d0 = (F.col("pi0") / F.sqrt(F.col("s20"))
+              * F.exp(-(F.col("x") - F.col("mu0"))
+                      * (F.col("x") - F.col("mu0"))
+                      / (2 * F.col("s20"))))
+        d1 = (F.col("pi1") / F.sqrt(F.col("s21"))
+              * F.exp(-(F.col("x") - F.col("mu1"))
+                      * (F.col("x") - F.col("mu1"))
+                      / (2 * F.col("s21"))))
+        e = e.withColumn("r0", F.round(d0 / (d0 + d1), 9))
+        m = e.agg(F.count(F.lit(1)).alias("n_all"),
+                  su(F.col("r0")).alias("sr0"),
+                  su(F.col("r0") * F.col("x")).alias("srx0"),
+                  su(F.col("r0") * F.col("x") * F.col("x"))
+                  .alias("srxx0"),
+                  su(1 - F.col("r0")).alias("sr1"),
+                  su((1 - F.col("r0")) * F.col("x")).alias("srx1"),
+                  su((1 - F.col("r0")) * F.col("x") * F.col("x"))
+                  .alias("srxx1"))
+        rows = []
+        for k in (0, 1):
+            rows.append(m.select(
+                F.lit(k).cast("int").alias("k"),
+                (F.col(f"sr{k}") / 1e9 / F.col("n_all")).alias("pi"),
+                (F.col(f"srx{k}") / F.col(f"sr{k}").cast("double"))
+                .alias("mu"),
+                (F.col(f"srxx{k}") / F.col(f"sr{k}").cast("double")
+                 - (F.col(f"srx{k}") / F.col(f"sr{k}").cast("double"))
+                 * (F.col(f"srx{k}") / F.col(f"sr{k}").cast("double")))
+                .alias("s2")))
+        params = rows[0].union(rows[1])
+    return (params.select("k", F.round("pi", 6).alias("pi"),
+                          F.round("mu", 6).alias("mu"),
+                          F.round("s2", 6).alias("sigma2"))
+            .orderBy("k"))
+
+
+QUERIES["doc_length_gmm"] = doc_length_gmm
+
+
+def _gmm_em_sql(prev: str, it: int) -> str:
+    """One EM iteration as SQL CTEs (e{it}, m{it}, params{it})."""
+    d0 = (f"(p.pi0 / sqrt(p.s20)) * exp(-(x.x - p.mu0) * (x.x - p.mu0)"
+          f" / (2 * p.s20))")
+    d1 = (f"(p.pi1 / sqrt(p.s21)) * exp(-(x.x - p.mu1) * (x.x - p.mu1)"
+          f" / (2 * p.s21))")
+    return f"""
+    wide{it} AS (
+        SELECT max(CASE WHEN k = 0 THEN pi END) AS pi0,
+               max(CASE WHEN k = 0 THEN mu END) AS mu0,
+               max(CASE WHEN k = 0 THEN s2 END) AS s20,
+               max(CASE WHEN k = 1 THEN pi END) AS pi1,
+               max(CASE WHEN k = 1 THEN mu END) AS mu1,
+               max(CASE WHEN k = 1 THEN s2 END) AS s21
+        FROM {prev}
+    ), e{it} AS (
+        SELECT x.x, round({d0} / ({d0} + {d1}), 9) AS r0
+        FROM xs x CROSS JOIN wide{it} p
+    ), m{it} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(CAST(round(r0 * 1e9, 0) AS BIGINT))
+                    AS BIGINT) AS sr0,
+               CAST(sum(CAST(round(r0 * x * 1e9, 0) AS BIGINT))
+                    AS BIGINT) AS srx0,
+               CAST(sum(CAST(round(r0 * x * x * 1e9, 0) AS BIGINT))
+                    AS BIGINT) AS srxx0,
+               CAST(sum(CAST(round((1 - r0) * 1e9, 0) AS BIGINT))
+                    AS BIGINT) AS sr1,
+               CAST(sum(CAST(round((1 - r0) * x * 1e9, 0) AS BIGINT))
+                    AS BIGINT) AS srx1,
+               CAST(sum(CAST(round((1 - r0) * x * x * 1e9, 0)
+                             AS BIGINT)) AS BIGINT) AS srxx1
+        FROM e{it}
+    ), params{it} AS (
+        SELECT 0 AS k, sr0 / 1e9 / n_all AS pi,
+               srx0 / CAST(sr0 AS DOUBLE) AS mu,
+               srxx0 / CAST(sr0 AS DOUBLE)
+               - (srx0 / CAST(sr0 AS DOUBLE))
+                 * (srx0 / CAST(sr0 AS DOUBLE)) AS s2
+        FROM m{it}
+        UNION ALL
+        SELECT 1, sr1 / 1e9 / n_all,
+               srx1 / CAST(sr1 AS DOUBLE),
+               srxx1 / CAST(sr1 AS DOUBLE)
+               - (srx1 / CAST(sr1 AS DOUBLE))
+                 * (srx1 / CAST(sr1 AS DOUBLE))
+        FROM m{it}
+    )"""
+
+
+ORACLES["doc_length_gmm"] = f"""
+    WITH xs AS (
+        SELECT round(ln(n_chars), 6) AS x FROM documents
+    ), med AS (SELECT median(x) AS med FROM xs),
+    init AS (
+        SELECT CAST(x <= m.med AS INT) AS lo,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(x * 1e9, 0) AS BIGINT)) AS BIGINT)
+                   AS sx,
+               CAST(sum(CAST(round(x * x * 1e9, 0) AS BIGINT))
+                    AS BIGINT) AS sxx
+        FROM xs CROSS JOIN med m GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM init),
+    params0 AS (
+        -- orientation matches the Spark side: k = lo, so k=1 is the
+        -- below-median component, k=0 the above-median one; both
+        -- engines keep the labels STABLE across iterations
+        SELECT CAST(lo AS INT) AS k,
+               n / CAST(t.n_all AS DOUBLE) AS pi,
+               sx / 1e9 / n AS mu,
+               sxx / 1e9 / n - (sx / 1e9 / n) * (sx / 1e9 / n) AS s2
+        FROM init CROSS JOIN tot t
+    ), {_gmm_em_sql("params0", 1).lstrip()},
+    {_gmm_em_sql("params1", 2).lstrip()}
+    SELECT CAST(k AS INT) AS k, round(pi, 6) AS pi,
+           round(mu, 6) AS mu, round(s2, 6) AS sigma2
+    FROM params2 ORDER BY k
+"""

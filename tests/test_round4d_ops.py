@@ -583,3 +583,141 @@ def test_bradley_terry_brute_force(spark, sf_dir):
         assert r.strength == pytest.approx(p[r.event_type], abs=2e-6)
         assert r.wins == wins[r.event_type]
     assert sum(r.strength for r in got) == pytest.approx(1.0, abs=1e-4)
+
+
+# -------------------------------------------------- HMM forward
+
+def test_hmm_forward_brute_force(spark, sf_dir):
+    """The scaled forward recursion replayed in python reproduces
+    every filtered posterior and the running log-likelihood; the
+    posterior responds to the observation direction (p_busy higher
+    after a high day than after a low day from the same state)."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import hmm_forward_filter
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = hmm_forward_filter(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")).collect()
+    daily = Counter(r.day for r in ev if r.event_type == "purchase")
+    days = sorted(daily)
+    cs = sorted(daily[d] for d in days)
+    n = len(cs)
+    med = (cs[n // 2] if n % 2 else (cs[n // 2 - 1] + cs[n // 2]) / 2)
+    A = (0.8, 0.2, 0.3, 0.7)
+    E1 = (0.3, 0.7)
+    a0 = a1 = 0.5
+    llu = 0
+    exp = {}
+    for t, d in enumerate(days, 1):
+        o = 1 if daily[d] > med else 0
+        b0 = E1[0] if o == 1 else 1 - E1[0]
+        b1 = E1[1] if o == 1 else 1 - E1[1]
+        if t == 1:
+            u0, u1 = 0.5 * b0, 0.5 * b1
+        else:
+            u0 = (a0 * A[0] + a1 * A[2]) * b0
+            u1 = (a0 * A[1] + a1 * A[3]) * b1
+        c = u0 + u1
+        a0, a1 = round(u0 / c, 9), round(u1 / c, 9)
+        llu += round(math.log(c) * 1e6)
+        exp[t] = (o, round(a1, 6), round(llu / 1e6, 6))
+    for r in got:
+        o, p, ll = exp[r.t]
+        assert r.obs_high == o
+        assert r.p_busy == pytest.approx(p, abs=2e-6)
+        assert r.loglik == pytest.approx(ll, abs=2e-6)
+    for r in got:
+        assert 0.0 <= r.p_busy <= 1.0
+        assert r.loglik <= 0.0
+
+
+# ------------------------------------------------------ GMM-EM
+
+def test_gmm_em_brute_force(spark, sf_dir):
+    """Both unrolled EM iterations replayed in python with the same
+    snapping reproduce (pi, mu, sigma2); mixing weights sum to 1 and
+    variances are positive."""
+    from qrapids_forecast_r_script_spark.operators.text_quality import (
+        doc_length_gmm)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = {r.k: (r.pi, r.mu, r.sigma2)
+           for r in doc_length_gmm(spark, sf_dir).collect()}
+    lens = [r.n_chars for r in
+            load_table(spark, sf_dir, "documents").collect()]
+    xs = [round(math.log(v), 6) for v in lens]
+    ss = sorted(xs)
+    n = len(ss)
+    med = ss[n // 2] if n % 2 else (ss[n // 2 - 1] + ss[n // 2]) / 2
+    groups = {0: [x for x in xs if x > med],
+              1: [x for x in xs if x <= med]}
+    params = {}
+    for k, g in groups.items():
+        sx = sum(round(x * 1e9) for x in g) / 1e9
+        sxx = sum(round(x * x * 1e9) for x in g) / 1e9
+        params[k] = (len(g) / n, sx / len(g),
+                     sxx / len(g) - (sx / len(g)) ** 2)
+    for _ in range(2):
+        pi0, mu0, s20 = params[0]
+        pi1, mu1, s21 = params[1]
+        sr0 = srx0 = srxx0 = sr1 = srx1 = srxx1 = 0
+        for x in xs:
+            d0 = pi0 / math.sqrt(s20) * math.exp(
+                -(x - mu0) ** 2 / (2 * s20))
+            d1 = pi1 / math.sqrt(s21) * math.exp(
+                -(x - mu1) ** 2 / (2 * s21))
+            r0 = round(d0 / (d0 + d1), 9)
+            sr0 += round(r0 * 1e9)
+            srx0 += round(r0 * x * 1e9)
+            srxx0 += round(r0 * x * x * 1e9)
+            sr1 += round((1 - r0) * 1e9)
+            srx1 += round((1 - r0) * x * 1e9)
+            srxx1 += round((1 - r0) * x * x * 1e9)
+        params = {
+            0: (sr0 / 1e9 / n, srx0 / sr0,
+                srxx0 / sr0 - (srx0 / sr0) ** 2),
+            1: (sr1 / 1e9 / n, srx1 / sr1,
+                srxx1 / sr1 - (srx1 / sr1) ** 2)}
+    for k in (0, 1):
+        assert got[k][0] == pytest.approx(params[k][0], abs=2e-6)
+        assert got[k][1] == pytest.approx(params[k][1], abs=2e-6)
+        assert got[k][2] == pytest.approx(params[k][2], abs=2e-6)
+    assert got[0][0] + got[1][0] == pytest.approx(1.0, abs=1e-5)
+    assert got[0][2] > 0 and got[1][2] > 0
+
+
+# ----------------------------------------------------- TextRank
+
+def test_textrank_brute_force(spark, sf_dir):
+    """Two weighted-PageRank sweeps replayed in python reproduce the
+    top-20 trace; scores exceed the damping floor 1-d."""
+    from qrapids_forecast_r_script_spark.operators.text import (
+        textrank_keywords)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = textrank_keywords(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "text").collect()
+    pairs = Counter()
+    for r in docs:
+        ts = r.text.split(" ")
+        for a, b in zip(ts, ts[1:]):
+            if a != b:
+                pairs[(a, b)] += 1
+    edges = Counter()
+    for (a, b), c in pairs.items():
+        edges[(a, b)] += c
+        edges[(b, a)] += c
+    wdeg = Counter()
+    for (srcw, _), c in edges.items():
+        wdeg[srcw] += c
+    s = {wrd: 1.0 for wrd in wdeg}
+    for _ in range(2):
+        su = Counter()
+        for (srcw, dstw), c in edges.items():
+            su[dstw] += round(c * (s[srcw] / wdeg[srcw]) * 1e9)
+        s = {wrd: round(0.15 + 0.85 * su[wrd] / 1e9, 9)
+             for wrd in wdeg}
+    top = sorted(s.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    for r, (wrd, sc) in zip(got, top):
+        assert r.word == wrd
+        assert r.score == pytest.approx(round(sc, 6), abs=2e-6)
+        assert r.score > 0.15
