@@ -1100,13 +1100,14 @@ def isotonic_calibration_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("cy") - F.col("sy_k")).alias("cy0"))
     hi = cum.select(F.col("bin").alias("j"),
                     F.col("cn").alias("cn1"), F.col("cy").alias("cy1"))
-    ranges = (lo.crossJoin(hi).where(F.col("i") <= F.col("j"))
+    ranges = (lo.crossJoin(F.broadcast(hi))
+              .where(F.col("i") <= F.col("j"))
               .select("i", "j",
                       ((F.col("cy1") - F.col("cy0")).cast("double")
                        / (F.col("cn1") - F.col("cn0")).cast("double"))
                       .alias("avg_y")))
     ks = cum.select(F.col("bin").alias("k"))
-    inner = (ks.join(ranges, (F.col("i") <= F.col("k"))
+    inner = (ks.join(F.broadcast(ranges), (F.col("i") <= F.col("k"))
                      & (F.col("j") >= F.col("k")))
              .groupBy("k", "i").agg(F.min("avg_y").alias("min_j")))
     iso = inner.groupBy("k").agg(F.max("min_j").alias("iso"))
