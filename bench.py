@@ -364,6 +364,7 @@ HEADLINE = [
     "hmm_forward_filter",
     "doc_length_gmm",
     "textrank_keywords",
+    "consistent_hash_rebalance",
 ]
 
 

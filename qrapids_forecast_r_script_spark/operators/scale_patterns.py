@@ -928,3 +928,126 @@ ORACLES["orders_cdc_apply"] = """
     WHERE rn = 1 AND op != 'D'
     ORDER BY o_orderkey
 """
+
+
+_CH_SHARDS = 8    # baseline shard count
+_CH_VNODES = 8    # virtual nodes per shard (Karger's smoothing knob)
+
+
+def consistent_hash_rebalance(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Consistent-hash shard assignment of the document corpus and
+    the REBALANCE DIFF when one shard joins (Karger et al. 1997;
+    the Dynamo/Cassandra partitioner) — the data-placement operator
+    behind every shard map: each of 8 shards projects 8 virtual
+    nodes onto the md5 ring, a doc lands on the nearest vnode AT OR
+    BELOW its own hash (the predecessor rule; hashes below the first
+    vnode wrap to the ring's lowest point), and adding a 9th shard
+    moves ONLY
+    the keys that now fall in the new shard's arcs — measured here
+    next to the naive ``hash % N`` partitioner, which reshuffles
+    almost everything (the reason mod-N resharding is a 100 TB
+    outage and ring resharding is a background trickle).
+
+    Per shard: baseline doc count, count after the 9th shard joins,
+    docs moved ring-wise, and docs the MOD-N scheme would have moved
+    — all exact integer counts from one assignment join; every hash
+    is the house md5-prefix rule, so both engines derive the
+    identical ring and the identical verdict.
+
+    Scale: the ring is a (shards x vnodes) literal relation
+    broadcast into a 64-way min-reduce per doc (map-side, no
+    shuffle of the corpus); the diff is a per-doc comparison of two
+    broadcast assignments — placement never shuffles the data it
+    places."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                           1, 15), 16, 10).cast("bigint")
+    keyed = docs.select("doc_id", h.alias("h"))
+
+    def ring(n_shards):
+        pts = spark.range(n_shards * _CH_VNODES).select(
+            (F.col("id") % n_shards).cast("int").alias("shard"),
+            F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.lit("ring"),
+                (F.col("id") % n_shards).cast("string"),
+                (F.col("id") / n_shards).cast("int").cast("string"))),
+                1, 15), 16, 10).cast("bigint").alias("rh"))
+        wrap = pts.orderBy("rh").limit(1).select(
+            F.col("shard").alias("wrap_shard"))
+        return pts, wrap
+
+    def assign(n_shards, out):
+        pts, wrap = ring(n_shards)
+        nxt = (keyed.join(F.broadcast(pts), h >= F.col("rh"), "left")
+               .groupBy("doc_id", "h")
+               .agg(F.max_by("shard", "rh").alias("cw")))
+        # docs past the last ring point wrap to the globally first
+        return (nxt.crossJoin(F.broadcast(wrap))
+                .select("doc_id", "h",
+                        F.coalesce("cw", "wrap_shard").alias(out)))
+
+    a8 = assign(_CH_SHARDS, "s8")
+    a9 = assign(_CH_SHARDS + 1, "s9")
+    both = (a8.join(a9.select("doc_id", "s9"), "doc_id")
+            .withColumn("mod8", F.pmod("h", F.lit(_CH_SHARDS)))
+            .withColumn("mod9", F.pmod("h", F.lit(_CH_SHARDS + 1))))
+    return (both.groupBy(F.col("s8").alias("shard"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count(F.when(F.col("s8") == F.col("s9"), 1))
+                 .alias("n_stay"),
+                 F.count(F.when(F.col("s8") != F.col("s9"), 1))
+                 .alias("n_moved_ring"),
+                 F.count(F.when(F.col("mod8") != F.col("mod9"), 1))
+                 .alias("n_moved_modn"))
+            .orderBy("shard"))
+
+
+QUERIES["consistent_hash_rebalance"] = consistent_hash_rebalance
+_CH_RING_SQL = """
+        SELECT CAST(i % {n} AS INT) AS shard,
+               CAST(('0x' || substr(md5('ring:' || CAST(i % {n}
+                        AS VARCHAR) || ':' || CAST(i // {n}
+                        AS VARCHAR)), 1, 15))::BIGINT AS BIGINT) AS rh
+        FROM range({total}) t(i)
+"""
+ORACLES["consistent_hash_rebalance"] = f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                     1, 15))::BIGINT AS BIGINT) AS h
+        FROM documents
+    ), ring8 AS ({_CH_RING_SQL.format(
+        n=_CH_SHARDS, total=_CH_SHARDS * _CH_VNODES)}),
+    ring9 AS ({_CH_RING_SQL.format(
+        n=_CH_SHARDS + 1, total=(_CH_SHARDS + 1) * _CH_VNODES)}),
+    w8 AS (SELECT shard AS wrap8 FROM ring8 ORDER BY rh LIMIT 1),
+    w9 AS (SELECT shard AS wrap9 FROM ring9 ORDER BY rh LIMIT 1),
+    a8 AS (
+        SELECT k.doc_id, k.h,
+               coalesce(max_by(r.shard, r.rh), any_value(x.wrap8))
+                   AS s8
+        FROM keyed k
+        LEFT JOIN ring8 r ON k.h >= r.rh
+        CROSS JOIN w8 x
+        GROUP BY k.doc_id, k.h
+    ), a9 AS (
+        SELECT k.doc_id,
+               coalesce(max_by(r.shard, r.rh), any_value(x.wrap9))
+                   AS s9
+        FROM keyed k
+        LEFT JOIN ring9 r ON k.h >= r.rh
+        CROSS JOIN w9 x
+        GROUP BY k.doc_id
+    )
+    SELECT a8.s8 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE a8.s8 = a9.s9) AS BIGINT)
+               AS n_stay,
+           CAST(count(*) FILTER (WHERE a8.s8 != a9.s9) AS BIGINT)
+               AS n_moved_ring,
+           CAST(count(*) FILTER (WHERE a8.h % {_CH_SHARDS}
+                != a8.h % {_CH_SHARDS + 1}) AS BIGINT)
+               AS n_moved_modn
+    FROM a8 JOIN a9 USING (doc_id)
+    GROUP BY a8.s8 ORDER BY shard
+"""

@@ -721,3 +721,50 @@ def test_textrank_brute_force(spark, sf_dir):
         assert r.word == wrd
         assert r.score == pytest.approx(round(sc, 6), abs=2e-6)
         assert r.score > 0.15
+
+
+# -------------------------------------- consistent-hash rebalance
+
+def test_consistent_hash_moves_few_modn_moves_most(spark, sf_dir):
+    """Ring resharding 8->9 moves a small fraction (every mover lands
+    on the NEW shard only — that is the consistent-hashing theorem);
+    mod-N moves the large majority; counts replayed in python."""
+    import hashlib
+    from qrapids_forecast_r_script_spark.operators.scale_patterns \
+        import consistent_hash_rebalance
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = consistent_hash_rebalance(spark, sf_dir).collect()
+    n_total = sum(r.n_docs for r in got)
+    moved_ring = sum(r.n_moved_ring for r in got)
+    moved_modn = sum(r.n_moved_modn for r in got)
+    assert moved_ring / n_total < 0.35
+    assert moved_modn / n_total > 0.7
+    assert moved_modn > moved_ring
+
+    def md5h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def ring(n):
+        return sorted(((md5h(f"ring:{i % n}:{i // n}"), i % n)
+                       for i in range(n * 8)))
+
+    def assign(h, rg):
+        prev = [s for rh, s in rg if rh <= h]
+        return prev[-1] if prev else rg[0][1]
+
+    docs = [r.doc_id for r in
+            load_table(spark, sf_dir, "documents").collect()]
+    r8, r9 = ring(8), ring(9)
+    from collections import Counter as C
+    per = {}
+    for d in docs:
+        h = md5h(str(d))
+        s8, s9 = assign(h, r8), assign(h, r9)
+        a = per.setdefault(s8, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += s8 == s9
+        a[2] += s8 != s9
+        a[3] += (h % 8) != (h % 9)
+    for r in got:
+        assert per[r.shard] == [r.n_docs, r.n_stay, r.n_moved_ring,
+                                r.n_moved_modn], r.shard
