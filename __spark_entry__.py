@@ -87,7 +87,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # quantile_normalization_map, series_page_hinkley,
 # neyman_allocation_sample, simpson_slope_audit,
 # parts_running_balance, series_kendall_tau, ab_bh_fdr_nations,
-# dow_type_median_polish) are the round-5 window.
+# dow_type_median_polish, and the batch 20-23 additions:
+# dedup_capture_recapture, markov_next_event_accuracy,
+# item_item_cf_topk, ql_dirichlet_topk, woe_information_value,
+# shapley_attribution, kneser_ney_bigram_logprob,
+# nelson_aalen_hazard, mh_pooled_odds_ratio,
+# james_stein_nation_means, ipf_raking_weights,
+# greedy_coverage_selection, als_rank2_factors,
+# series_analog_search, source_length_emd,
+# bradley_terry_strengths, hmm_forward_filter, doc_length_gmm,
+# textrank_keywords, consistent_hash_rebalance) are the round-5
+# window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample

@@ -365,6 +365,8 @@ HEADLINE = [
     "doc_length_gmm",
     "textrank_keywords",
     "consistent_hash_rebalance",
+    "meta_analysis_nations",
+    "hmm_smoothed_posterior",
 ]
 
 

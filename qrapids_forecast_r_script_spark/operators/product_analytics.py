@@ -3685,3 +3685,332 @@ ORACLES["hmm_forward_filter"] = f"""
            round(llu / 1e6, 6) AS loglik
     FROM walk ORDER BY t
 """
+
+
+def meta_analysis_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effect inverse-variance META-ANALYSIS of the per-nation
+    A/B effect (the md5 arm split the other ab_* queries share) with
+    Cochran's Q heterogeneity test and Higgins' I² (Cochran 1954;
+    Higgins & Thompson 2002) — the "25 small experiments, one
+    pooled answer" operator: each nation contributes its arm mean
+    difference theta_i with variance from 128-bit-exact moments,
+    the pooled estimate is the 1/se²-weighted mean, and Q / I²
+    quantify whether the nations actually share one effect (I² >
+    50% says the pooled number hides real heterogeneity — read the
+    strata, not the summary).
+
+    Exactness: all moments are DECIMAL(38,0)/HUGEINT sums of integer
+    cents; per-nation theta and weight snap to 1e-6/1e-9 and the
+    three cross-strata reductions (sum w, sum w*theta, Q terms)
+    BIGINT-sum snapped terms, so pooled estimate, Q, and I² are
+    order-proof.  Degenerate strata (an arm missing or single-row)
+    drop out with a NULL weight rather than poisoning the pool.
+
+    Scale: one orders scan + broadcast nation join + 25-key moment
+    aggregate — the meta-analysis itself is dimension-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"))
+    arm = (F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    rows = (orders.join(F.broadcast(cust), "o_custkey")
+            .select("nationkey", arm.alias("arm"),
+                    F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("decimal(38,0)").alias("yc")))
+    per = (rows.groupBy("nationkey", "arm")
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                F.sum("yc").alias("s"),
+                F.sum(F.col("yc") * F.col("yc")).alias("ss")))
+    wide = (per.groupBy("nationkey")
+            .agg(*[F.max(F.when(F.col("arm") == i, F.col(c)))
+                   .alias(f"{c}{'ab'[i]}")
+                   for i in (0, 1) for c in ("n", "s", "ss")]))
+
+    def mv(side):
+        n, s, ss = (F.col(f"n{side}"), F.col(f"s{side}"),
+                    F.col(f"ss{side}"))
+        mean = s.cast("double") / n.cast("double") / 100
+        var = ((n * ss - s * s).cast("double")
+               / (n.cast("double") * (n - 1).cast("double"))
+               / 10000)
+        return mean, var, n.cast("double")
+
+    ma, va, na = mv("a")
+    mb, vb, nb = mv("b")
+    theta_u = F.round((ma - mb) * 1e6, 0).cast("bigint")
+    se2 = va / na + vb / nb
+    w_u = F.round(1.0 / se2 * 1e9, 0).cast("bigint")
+    base = (wide
+            .withColumn("theta_u", theta_u)
+            .withColumn("w_u", F.when((F.col("na") > 1)
+                                      & (F.col("nb") > 1), w_u))
+            .where(F.col("w_u").isNotNull()))
+    wt = F.col("w_u") / 1e9
+    th = F.col("theta_u") / 1e6
+    sums = (base
+            .withColumn("wt_u", F.round(wt * th * 1e6, 0).cast("bigint"))
+            .agg(F.sum("w_u").alias("sw_u"),
+                 F.sum(F.round(wt * th * 1e6, 0).cast("bigint"))
+                 .alias("swt_u"),
+                 F.count(F.lit(1)).alias("k")))
+    pooled = ((F.col("swt_u") / 1e6)
+              / (F.col("sw_u") / 1e9))
+    both = (base.crossJoin(F.broadcast(sums))
+            .withColumn("pooled", pooled))
+    qterm = F.round(wt * (th - F.col("pooled"))
+                    * (th - F.col("pooled")) * 1e6, 0).cast("bigint")
+    qsum = (both.withColumn("qu", qterm)
+            .agg(F.sum("qu").alias("q_u"), F.max("k").alias("k"),
+                 F.max("pooled").alias("pooled")))
+    qv = F.col("q_u") / 1e6
+    i2 = F.greatest(F.lit(0.0),
+                    (qv - (F.col("k") - 1)) / qv)
+    meta = qsum.select(
+        F.round("pooled", 6).alias("pooled_effect"),
+        F.round(qv, 6).alias("cochran_q"),
+        F.col("k").alias("k_strata"),
+        F.round(i2, 6).alias("i_squared"))
+    return (base.select("nationkey",
+                        F.round(th, 6).alias("theta"),
+                        F.round(wt, 6).alias("weight"))
+            .crossJoin(F.broadcast(meta))
+            .orderBy("nationkey"))
+
+
+QUERIES["meta_analysis_nations"] = meta_analysis_nations
+ORACLES["meta_analysis_nations"] = """
+    WITH rows_ AS (
+        SELECT c.c_nationkey AS nationkey,
+               (('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)),
+                 1, 8))::BIGINT % 2) AS arm,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS yc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per AS (
+        SELECT nationkey, arm, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(yc) AS HUGEINT) AS s,
+               CAST(sum(CAST(yc AS HUGEINT) * yc) AS HUGEINT) AS ss
+        FROM rows_ GROUP BY 1, 2
+    ), wide AS (
+        SELECT nationkey,
+               max(CASE WHEN arm = 0 THEN n END) AS na,
+               max(CASE WHEN arm = 0 THEN s END) AS sa,
+               max(CASE WHEN arm = 0 THEN ss END) AS ssa,
+               max(CASE WHEN arm = 1 THEN n END) AS nb,
+               max(CASE WHEN arm = 1 THEN s END) AS sb,
+               max(CASE WHEN arm = 1 THEN ss END) AS ssb
+        FROM per GROUP BY nationkey
+    ), base AS (
+        SELECT nationkey,
+               CAST(round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                           / 100
+                           - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                             / 100) * 1e6, 0) AS BIGINT) AS theta_u,
+               CASE WHEN na > 1 AND nb > 1 THEN
+                   CAST(round(1.0 / (
+                       (CAST(na * ssa - sa * sa AS DOUBLE)
+                        / (CAST(na AS DOUBLE)
+                           * CAST(na - 1 AS DOUBLE)) / 10000)
+                           / CAST(na AS DOUBLE)
+                       + (CAST(nb * ssb - sb * sb AS DOUBLE)
+                          / (CAST(nb AS DOUBLE)
+                             * CAST(nb - 1 AS DOUBLE)) / 10000)
+                           / CAST(nb AS DOUBLE)) * 1e9, 0) AS BIGINT)
+               END AS w_u
+        FROM wide
+    ), kept AS (SELECT * FROM base WHERE w_u IS NOT NULL),
+    sums AS (
+        SELECT CAST(sum(w_u) AS BIGINT) AS sw_u,
+               CAST(sum(CAST(round((w_u / 1e9) * (theta_u / 1e6)
+                                   * 1e6, 0) AS BIGINT)) AS BIGINT)
+                   AS swt_u,
+               CAST(count(*) AS BIGINT) AS k
+        FROM kept
+    ), pool AS (
+        SELECT (swt_u / 1e6) / (sw_u / 1e9) AS pooled, k FROM sums
+    ), q AS (
+        SELECT CAST(sum(CAST(round(
+                   (b.w_u / 1e9)
+                   * (b.theta_u / 1e6 - p.pooled)
+                   * (b.theta_u / 1e6 - p.pooled) * 1e6, 0)
+                   AS BIGINT)) AS BIGINT) AS q_u,
+               max(p.pooled) AS pooled, max(p.k) AS k
+        FROM kept b CROSS JOIN pool p
+    )
+    SELECT b.nationkey,
+           round(b.theta_u / 1e6, 6) AS theta,
+           round(b.w_u / 1e9, 6) AS weight,
+           round(q.pooled, 6) AS pooled_effect,
+           round(q.q_u / 1e6, 6) AS cochran_q,
+           q.k AS k_strata,
+           round(greatest(0.0, (q.q_u / 1e6 - (q.k - 1))
+                               / (q.q_u / 1e6)), 6) AS i_squared
+    FROM kept b CROSS JOIN q
+    ORDER BY b.nationkey
+"""
+
+
+def hmm_smoothed_posterior(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """FORWARD-BACKWARD smoothing of the same 2-state calm/busy HMM
+    as `hmm_forward_filter` (Rabiner 1989, problem 2 infrastructure;
+    Baum-Welch's E-step): the filtered posterior P(busy | o_1..t)
+    only sees the PAST, the smoothed posterior gamma_t =
+    P(busy | o_1..T) also lets the future revise history — a busy
+    day followed by a week of calm gets re-classified, which is the
+    read offline regime labeling (and any EM re-estimation) actually
+    needs.  TWO engine-native recursions in ONE query: the scaled
+    forward walk (one level per day) and the scaled backward walk
+    (one level per day, reverse-indexed), joined on t for
+    gamma_t = alpha_t .* beta_t / sum.
+
+    Determinism: identical discipline to the forward filter — exact
+    integer observations, both recursion states snapped to 1e-9 per
+    level, identical sequential arithmetic in both engines; the
+    backward pass normalizes by its own scale each level (scales
+    cancel in gamma).
+
+    Scale: two recursions of constant state over the day spine —
+    same cost shape as one; the join is day-grid-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    from pyspark.sql.window import Window
+    med = daily.agg(F.expr("percentile(c, 0.5)").alias("med"))
+    nn = daily.agg(F.count(F.lit(1)).alias("nd"))
+    obs = (daily.crossJoin(F.broadcast(med)).crossJoin(F.broadcast(nn))
+           .select(F.row_number().over(Window.orderBy("day"))
+                   .alias("t"), "day", "nd",
+                   (F.col("c") > F.col("med")).cast("int").alias("o")))
+    obs = obs.withColumn("rt", F.col("nd") - F.col("t") + 1)
+    obs.localCheckpoint(eager=True).createOrReplaceTempView(
+        "qr_hmm2_obs")
+    a00, a01, a10, a11 = _HMM_A
+    e0, e1 = _HMM_E1
+    b0 = f"CASE o.o WHEN 1 THEN {e0}D ELSE {1 - e0}D END"
+    b1 = f"CASE o.o WHEN 1 THEN {e1}D ELSE {1 - e1}D END"
+    wb0 = f"CASE w.o WHEN 1 THEN {e0}D ELSE {1 - e0}D END"
+    wb1 = f"CASE w.o WHEN 1 THEN {e1}D ELSE {1 - e1}D END"
+    return spark.sql(f"""
+        WITH RECURSIVE fwd(t, o, a0, a1) AS (
+            SELECT o.t, o.o,
+                   round(0.5D * {b0}
+                         / (0.5D * {b0} + 0.5D * {b1}), 9),
+                   round(0.5D * {b1}
+                         / (0.5D * {b0} + 0.5D * {b1}), 9)
+            FROM qr_hmm2_obs o WHERE o.t = 1
+            UNION ALL
+            SELECT o.t, o.o,
+                   round((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
+                         / ((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
+                            + (w.a0 * {a01}D + w.a1 * {a11}D) * {b1}),
+                         9),
+                   round((w.a0 * {a01}D + w.a1 * {a11}D) * {b1}
+                         / ((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
+                            + (w.a0 * {a01}D + w.a1 * {a11}D) * {b1}),
+                         9)
+            FROM fwd w JOIN qr_hmm2_obs o ON o.t = w.t + 1
+        ),
+        bwd(rt, t, o, v0, v1) AS (
+            SELECT o.rt, o.t, o.o,
+                   CAST(0.5D AS DOUBLE), CAST(0.5D AS DOUBLE)
+            FROM qr_hmm2_obs o WHERE o.rt = 1
+            UNION ALL
+            -- the backward step conditions on the NEXT day's
+            -- observation, which is the PREVIOUS level's own row —
+            -- hence B() reads w.o (carried in the recursion state),
+            -- never the newly joined row's o
+            SELECT o.rt, o.t, o.o,
+                   round(({a00}D * {wb0} * w.v0
+                          + {a01}D * {wb1} * w.v1)
+                         / (({a00}D * {wb0} * w.v0
+                             + {a01}D * {wb1} * w.v1)
+                            + ({a10}D * {wb0} * w.v0
+                               + {a11}D * {wb1} * w.v1)), 9),
+                   round(({a10}D * {wb0} * w.v0
+                          + {a11}D * {wb1} * w.v1)
+                         / (({a00}D * {wb0} * w.v0
+                             + {a01}D * {wb1} * w.v1)
+                            + ({a10}D * {wb0} * w.v0
+                               + {a11}D * {wb1} * w.v1)), 9)
+            FROM bwd w JOIN qr_hmm2_obs o ON o.rt = w.rt + 1
+        )
+        SELECT CAST(f.t AS BIGINT) AS t, ob.day,
+               CAST(ob.o AS INT) AS obs_high,
+               round(f.a1, 6) AS p_busy_filtered,
+               round(f.a1 * b.v1 / (f.a0 * b.v0 + f.a1 * b.v1), 6)
+                   AS p_busy_smoothed
+        FROM fwd f
+        JOIN bwd b ON b.t = f.t
+        JOIN qr_hmm2_obs ob ON ob.t = f.t
+        ORDER BY f.t
+    """)
+
+
+QUERIES["hmm_smoothed_posterior"] = hmm_smoothed_posterior
+
+
+def _hmm2_oracle_sql() -> str:
+    a00, a01, a10, a11 = _HMM_A
+    e0, e1 = _HMM_E1
+    b0 = f"CASE o.o WHEN 1 THEN {e0} ELSE {1 - e0} END"
+    b1 = f"CASE o.o WHEN 1 THEN {e1} ELSE {1 - e1} END"
+    wb0 = f"CASE w.o WHEN 1 THEN {e0} ELSE {1 - e0} END"
+    wb1 = f"CASE w.o WHEN 1 THEN {e1} ELSE {1 - e1} END"
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), med AS (SELECT median(c) AS med FROM daily),
+    nn AS (SELECT count(*) AS nd FROM daily),
+    obs AS (
+        SELECT row_number() OVER (ORDER BY day) AS t, day,
+               n.nd - row_number() OVER (ORDER BY day) + 1 AS rt,
+               CAST(c > m.med AS INT) AS o
+        FROM daily CROSS JOIN med m CROSS JOIN nn n
+    ),
+    fwd(t, o, a0, a1) AS (
+        SELECT o.t, o.o,
+               round(0.5 * {b0} / (0.5 * {b0} + 0.5 * {b1}), 9),
+               round(0.5 * {b1} / (0.5 * {b0} + 0.5 * {b1}), 9)
+        FROM obs o WHERE o.t = 1
+        UNION ALL
+        SELECT o.t, o.o,
+               round((w.a0 * {a00} + w.a1 * {a10}) * {b0}
+                     / ((w.a0 * {a00} + w.a1 * {a10}) * {b0}
+                        + (w.a0 * {a01} + w.a1 * {a11}) * {b1}), 9),
+               round((w.a0 * {a01} + w.a1 * {a11}) * {b1}
+                     / ((w.a0 * {a00} + w.a1 * {a10}) * {b0}
+                        + (w.a0 * {a01} + w.a1 * {a11}) * {b1}), 9)
+        FROM fwd w JOIN obs o ON o.t = w.t + 1
+    ),
+    bwd(rt, t, o, v0, v1) AS (
+        SELECT o.rt, o.t, o.o, CAST(0.5 AS DOUBLE),
+               CAST(0.5 AS DOUBLE)
+        FROM obs o WHERE o.rt = 1
+        UNION ALL
+        SELECT o.rt, o.t, o.o,
+               round(({a00} * {wb0} * w.v0 + {a01} * {wb1} * w.v1)
+                     / (({a00} * {wb0} * w.v0 + {a01} * {wb1} * w.v1)
+                        + ({a10} * {wb0} * w.v0
+                           + {a11} * {wb1} * w.v1)), 9),
+               round(({a10} * {wb0} * w.v0 + {a11} * {wb1} * w.v1)
+                     / (({a00} * {wb0} * w.v0 + {a01} * {wb1} * w.v1)
+                        + ({a10} * {wb0} * w.v0
+                           + {a11} * {wb1} * w.v1)), 9)
+        FROM bwd w JOIN obs o ON o.rt = w.rt + 1
+    )
+    SELECT CAST(f.t AS BIGINT) AS t, ob.day,
+           CAST(ob.o AS INT) AS obs_high,
+           round(f.a1, 6) AS p_busy_filtered,
+           round(f.a1 * b.v1 / (f.a0 * b.v0 + f.a1 * b.v1), 6)
+               AS p_busy_smoothed
+    FROM fwd f
+    JOIN bwd b ON b.t = f.t
+    JOIN obs ob ON ob.t = f.t
+    ORDER BY f.t
+"""
+
+
+ORACLES["hmm_smoothed_posterior"] = _hmm2_oracle_sql()

@@ -768,3 +768,124 @@ def test_consistent_hash_moves_few_modn_moves_most(spark, sf_dir):
     for r in got:
         assert per[r.shard] == [r.n_docs, r.n_stay, r.n_moved_ring,
                                 r.n_moved_modn], r.shard
+
+
+# ------------------------------------------------- meta-analysis
+
+def test_meta_analysis_brute_force(spark, sf_dir):
+    """Pooled effect, Q, and I² replayed in python from raw orders;
+    the pooled effect lies inside the span of the stratum effects."""
+    import hashlib
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import meta_analysis_nations
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = meta_analysis_nations(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice").collect()
+    cust = {r.c_custkey: r.c_nationkey
+            for r in load_table(spark, sf_dir, "customer").collect()}
+    cells = {}
+    for o in orders:
+        arm = int(hashlib.md5(str(o.o_custkey).encode())
+                  .hexdigest()[:8], 16) % 2
+        yc = round(o.o_totalprice * 100)
+        n, s, ss = cells.get((cust[o.o_custkey], arm), (0, 0, 0))
+        cells[(cust[o.o_custkey], arm)] = (n + 1, s + yc,
+                                           ss + yc * yc)
+    kept = {}
+    for nk in {k for k, _ in cells}:
+        if (nk, 0) not in cells or (nk, 1) not in cells:
+            continue
+        na, sa, ssa = cells[(nk, 0)]
+        nb, sb, ssb = cells[(nk, 1)]
+        if na < 2 or nb < 2:
+            continue
+        ma, mb = sa / na / 100, sb / nb / 100
+        va = (na * ssa - sa * sa) / (na * (na - 1)) / 10000
+        vb = (nb * ssb - sb * sb) / (nb * (nb - 1)) / 10000
+        theta = round((ma - mb) * 1e6) / 1e6
+        w = round(1.0 / (va / na + vb / nb) * 1e9) / 1e9
+        kept[nk] = (theta, w)
+    sw = sum(round(w * 1e9) for _, w in kept.values()) / 1e9
+    swt = sum(round(w * t * 1e6) for t, w in kept.values()) / 1e6
+    pooled = swt / sw
+    q = sum(round(w * (t - pooled) ** 2 * 1e6)
+            for t, w in kept.values()) / 1e6
+    k = len(kept)
+    i2 = max(0.0, (q - (k - 1)) / q)
+    lo = min(t for t, _ in kept.values())
+    hi = max(t for t, _ in kept.values())
+    for r in got:
+        t, w = kept[r.nationkey]
+        assert r.theta == pytest.approx(t, abs=2e-6)
+        assert r.weight == pytest.approx(w, abs=2e-6)
+        assert r.pooled_effect == pytest.approx(pooled, abs=2e-5)
+        assert r.cochran_q == pytest.approx(q, abs=2e-4)
+        assert r.i_squared == pytest.approx(i2, abs=2e-5)
+        assert r.k_strata == k
+        assert lo - 1e-9 <= r.pooled_effect <= hi + 1e-9
+
+
+# ---------------------------------------------- HMM smoothing
+
+def test_hmm_smoother_brute_force(spark, sf_dir):
+    """Forward-backward gamma replayed in python; the last day's
+    smoothed posterior equals its filtered posterior (beta_T is
+    uniform); smoothing actually differs from filtering on at least
+    one interior day (the future revises history)."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import hmm_smoothed_posterior
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = hmm_smoothed_posterior(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")).collect()
+    daily = Counter(r.day for r in ev if r.event_type == "purchase")
+    days = sorted(daily)
+    cs = sorted(daily[d] for d in days)
+    n = len(cs)
+    med = (cs[n // 2] if n % 2 else (cs[n // 2 - 1] + cs[n // 2]) / 2)
+    obs = [1 if daily[d] > med else 0 for d in days]
+    A = (0.8, 0.2, 0.3, 0.7)
+    E1 = (0.3, 0.7)
+
+    def b(o):
+        return (E1[0] if o else 1 - E1[0],
+                E1[1] if o else 1 - E1[1])
+
+    al = []
+    a0 = a1 = 0.5
+    for t, o in enumerate(obs):
+        b0, b1 = b(o)
+        if t == 0:
+            u0, u1 = 0.5 * b0, 0.5 * b1
+        else:
+            u0 = (a0 * A[0] + a1 * A[2]) * b0
+            u1 = (a0 * A[1] + a1 * A[3]) * b1
+        c = u0 + u1
+        a0, a1 = round(u0 / c, 9), round(u1 / c, 9)
+        al.append((a0, a1))
+    be = [None] * n
+    v0 = v1 = 0.5
+    be[n - 1] = (v0, v1)
+    for t in range(n - 2, -1, -1):
+        b0, b1 = b(obs[t + 1])
+        u0 = A[0] * b0 * v0 + A[1] * b1 * v1
+        u1 = A[2] * b0 * v0 + A[3] * b1 * v1
+        c = u0 + u1
+        v0, v1 = round(u0 / c, 9), round(u1 / c, 9)
+        be[t] = (v0, v1)
+    diff = 0
+    for r in got:
+        t = r.t - 1
+        g = al[t][1] * be[t][1] / (al[t][0] * be[t][0]
+                                   + al[t][1] * be[t][1])
+        assert r.p_busy_smoothed == pytest.approx(round(g, 6),
+                                                  abs=2e-6)
+        assert r.p_busy_filtered == pytest.approx(round(al[t][1], 6),
+                                                  abs=2e-6)
+        if abs(r.p_busy_smoothed - r.p_busy_filtered) > 1e-4:
+            diff += 1
+    last = max(got, key=lambda r: r.t)
+    assert last.p_busy_smoothed == pytest.approx(
+        last.p_busy_filtered, abs=2e-6)
+    assert diff > 0
