@@ -367,6 +367,9 @@ HEADLINE = [
     "consistent_hash_rebalance",
     "meta_analysis_nations",
     "hmm_smoothed_posterior",
+    "nb_learning_curve",
+    "ab_quantile_treatment_effects",
+    "ab_power_mde_table",
 ]
 
 

@@ -4014,3 +4014,163 @@ def _hmm2_oracle_sql() -> str:
 
 
 ORACLES["hmm_smoothed_posterior"] = _hmm2_oracle_sql()
+
+
+_QTE_QS = tuple(round(q / 10, 1) for q in range(1, 10))
+
+
+def ab_quantile_treatment_effects(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """QUANTILE treatment effects of the md5 A/B arm split on order
+    value (Doksum 1974; Koenker's quantile-regression read at fixed
+    quantiles): the per-decile difference q_tau(A) - q_tau(B) for
+    tau = 0.1..0.9 — the distributional answer a mean test cannot
+    give: an intervention that helps the p10 buyer and hurts the p90
+    buyer nets to zero in `ab_test_report` but shows as a crossing
+    QTE profile here.  The A/A-style md5 split makes the expected
+    profile flat-at-zero, which is exactly what makes it a usable
+    fixture oracle (any systematic tilt = a split bug).
+
+    Exactness: order values are integer cents; both engines compute
+    the same linear-interpolation quantile (Spark `percentile`,
+    DuckDB `quantile_cont`) on integers, so every decile is a dyadic
+    combination of two integers — no libm, one subtraction per row.
+
+    Scale: one scan + one per-arm exact-percentile aggregate (the
+    KLL-sketch `approx_percentile` is the stated 100 TB swap, same
+    output shape); the decile table is 9 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    arm = (F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    rows = orders.select(arm.alias("arm"), cents.alias("yc"))
+    qs = ", ".join(str(q) for q in _QTE_QS)
+    per = (rows.groupBy("arm")
+           .agg(F.expr(f"percentile(yc, array({qs}))").alias("q")))
+    wide = (per.groupBy()
+            .agg(F.max(F.when(F.col("arm") == 0, F.col("q")))
+                 .alias("qa"),
+                 F.max(F.when(F.col("arm") == 1, F.col("q")))
+                 .alias("qb")))
+    idx = spark.range(1, len(_QTE_QS) + 1).select(
+        F.col("id").cast("int").alias("i"))
+    return (idx.crossJoin(F.broadcast(wide))
+            .select((F.col("i") * 10).alias("decile_pct"),
+                    F.round(F.element_at("qa", F.col("i")) / 100, 6)
+                    .alias("q_arm_a"),
+                    F.round(F.element_at("qb", F.col("i")) / 100, 6)
+                    .alias("q_arm_b"),
+                    F.round((F.element_at("qa", F.col("i"))
+                             - F.element_at("qb", F.col("i"))) / 100,
+                            6).alias("qte"))
+            .orderBy("decile_pct"))
+
+
+QUERIES["ab_quantile_treatment_effects"] = ab_quantile_treatment_effects
+ORACLES["ab_quantile_treatment_effects"] = f"""
+    WITH rows_ AS (
+        SELECT (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                 1, 8))::BIGINT % 2) AS arm,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS yc
+        FROM orders
+    ), per AS (
+        SELECT arm,
+               quantile_cont(yc, [{", ".join(str(q) for q in _QTE_QS)}])
+                   AS q
+        FROM rows_ GROUP BY arm
+    ), wide AS (
+        SELECT max(CASE WHEN arm = 0 THEN q END) AS qa,
+               max(CASE WHEN arm = 1 THEN q END) AS qb
+        FROM per
+    )
+    SELECT CAST(i * 10 AS BIGINT) AS decile_pct,
+           round(qa[i] / 100, 6) AS q_arm_a,
+           round(qb[i] / 100, 6) AS q_arm_b,
+           round((qa[i] - qb[i]) / 100, 6) AS qte
+    FROM wide, unnest(generate_series(1, {len(_QTE_QS)})) AS u(i)
+    ORDER BY decile_pct
+"""
+
+
+_Z_80_POWER = 0.8416212335729143    # Phi^-1(0.80), precomputed literal
+
+
+def ab_power_mde_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation MINIMUM DETECTABLE EFFECT table at 80% power /
+    two-sided 5% for a future equal-split experiment on order value
+    (the standard two-sample formula MDE = (z_{1-a/2} + z_{power})
+    * sqrt(2 sigma^2 / n_per_arm); Cohen 1988) — the experiment-
+    DESIGN operator every A/B program runs before launching: which
+    strata are big enough to answer the question, and what effect
+    size each can resolve.  Reported absolute (dollars) and relative
+    (vs the stratum mean), with n_per_arm = floor(n/2).
+
+    Exactness: sigma^2 comes from 128-bit-exact integer-cents
+    moments; both inverse-normal quantiles are precomputed literals
+    shared by both engines (the `ab_bh_fdr_nations` discipline — no
+    in-engine erf); one sqrt per row.
+
+    Scale: one scan + broadcast nation join + 25-key moment
+    aggregate; the design table is dimension-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"))
+    rows = (orders.join(F.broadcast(cust), "o_custkey")
+            .select("nationkey",
+                    F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("decimal(38,0)").alias("yc")))
+    per = (rows.groupBy("nationkey")
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                F.sum("yc").alias("s"),
+                F.sum(F.col("yc") * F.col("yc")).alias("ss")))
+    n_d = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n_d / 100
+    var = ((F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+           .cast("double") / (n_d * (n_d - 1)) / 10000)
+    n_arm = F.floor(F.col("n").cast("long") / 2).cast("bigint")
+    mde = ((F.lit(_AB_Z_CRIT) + F.lit(_Z_80_POWER))
+           * F.sqrt(2 * var / n_arm.cast("double")))
+    return (per.select(
+        "nationkey", F.col("n").cast("bigint").alias("n_orders"),
+        n_arm.alias("n_per_arm"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(F.sqrt(var), 6).alias("sd_value"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / mean, 6).alias("mde_rel"))
+        .orderBy("nationkey"))
+
+
+QUERIES["ab_power_mde_table"] = ab_power_mde_table
+ORACLES["ab_power_mde_table"] = f"""
+    WITH rows_ AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS yc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per AS (
+        SELECT nationkey, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(yc) AS HUGEINT) AS s,
+               CAST(sum(CAST(yc AS HUGEINT) * yc) AS HUGEINT) AS ss
+        FROM rows_ GROUP BY 1
+    )
+    SELECT nationkey, CAST(n AS BIGINT) AS n_orders,
+           CAST(n // 2 AS BIGINT) AS n_per_arm,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100, 6)
+               AS mean_value,
+           round(sqrt(CAST(n * ss - s * s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                      / 10000), 6) AS sd_value,
+           round(({_AB_Z_CRIT} + {_Z_80_POWER})
+                 * sqrt(2 * (CAST(n * ss - s * s AS DOUBLE)
+                             / (CAST(n AS DOUBLE)
+                                * CAST(n - 1 AS DOUBLE)) / 10000)
+                        / CAST(n // 2 AS DOUBLE)), 6) AS mde_abs,
+           round(({_AB_Z_CRIT} + {_Z_80_POWER})
+                 * sqrt(2 * (CAST(n * ss - s * s AS DOUBLE)
+                             / (CAST(n AS DOUBLE)
+                                * CAST(n - 1 AS DOUBLE)) / 10000)
+                        / CAST(n // 2 AS DOUBLE))
+                 / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100), 6)
+               AS mde_rel
+    FROM per ORDER BY nationkey
+"""

@@ -1504,3 +1504,168 @@ ORACLES["als_rank2_factors"] = f"""
     FROM ia
     ORDER BY n_ratings DESC, item ASC LIMIT {_ALS_TOP}
 """
+
+
+_LC_FRACS = (25, 50, 75)   # training slices (Knuth-hash percent)
+_LC_EVAL = 75              # fixed held-out eval slice: hash >= 75
+
+
+def nb_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNING CURVE of the Naive-Bayes quality classifier: retrain
+    `nb_quality_classifier`'s closed form on deterministic 25/50/75%
+    training slices (the Knuth-hash rule — nested, so each slice
+    contains the previous one) and score each model on the SAME
+    fixed held-out 25% (hash >= 75) — the "does more data help"
+    read that decides whether the next crawl buys accuracy or just
+    tokens (the scaling-law experiment, run exactly at toy scale;
+    cf. the sample-efficiency curves in Kaplan et al. 2020 and every
+    halving-ablation since).
+
+    One row per fraction: training doc/token counts and held-out
+    teacher-agreement accuracy.  Determinism: slices are pure hash
+    functions of doc_id; each model's weights/prior follow the NB
+    query's 1e-6 fixed-point discipline, so the verdict per eval doc
+    is an integer comparison and accuracy is an integer ratio.
+
+    Scale: 3 passes over the token stream (one per slice — at 100 TB
+    train the largest slice once and down-weight with per-slice
+    count columns instead); weights stay vocabulary-bounded
+    broadcasts; the eval join is the same keyed join the base
+    classifier runs."""
+    from .curation import _hash_pct
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hash_pct(F.col("doc_id"))
+    toks_all = docs.select(
+        "doc_id", "lang", bucket.alias("bkt"),
+        (F.col("lang") == _NB_TARGET_LANG).alias("is_pos"),
+        F.explode(F.split("text", " ")).alias("tok"))
+    eval_toks = toks_all.where(F.col("bkt") >= _LC_EVAL)
+    outs = []
+    for frac in _LC_FRACS:
+        train = toks_all.where(F.col("bkt") < frac)
+        counts = (train.groupBy("tok")
+                  .agg(F.count(F.when(F.col("is_pos"), 1))
+                       .alias("c_pos"),
+                       F.count(F.when(~F.col("is_pos"), 1))
+                       .alias("c_neg")))
+        totals = counts.agg(
+            F.sum("c_pos").cast("double").alias("t_pos"),
+            F.sum("c_neg").cast("double").alias("t_neg"),
+            F.count(F.lit(1)).cast("double").alias("v"))
+        weights = (counts.crossJoin(F.broadcast(totals))
+                   .select("tok", F.round(
+                       (F.log((F.col("c_pos") + _NB_K)
+                              / (F.col("t_pos") + _NB_K * F.col("v")))
+                        - F.log((F.col("c_neg") + _NB_K)
+                                / (F.col("t_neg")
+                                   + _NB_K * F.col("v"))))
+                       * 1e6, 0).cast("bigint").alias("w6")))
+        tdocs = docs.where(bucket < frac)
+        prior = tdocs.agg(
+            F.round(F.log(
+                F.count(F.when(F.col("lang") == _NB_TARGET_LANG, 1))
+                .cast("double")
+                / F.count(F.when(F.col("lang") != _NB_TARGET_LANG, 1))
+                .cast("double")) * 1e6, 0).cast("bigint")
+            .alias("prior6"))
+        tstats = tdocs.select(
+            F.count(F.lit(1)).alias("n_train_docs")).crossJoin(
+            train.agg(F.count(F.lit(1)).alias("n_train_tokens")))
+        scored = (eval_toks.join(F.broadcast(weights), "tok")
+                  .groupBy("doc_id", "lang")
+                  .agg(F.sum("w6").alias("s6"))
+                  .crossJoin(F.broadcast(prior))
+                  .withColumn("score6", F.col("prior6") + F.col("s6")))
+        acc = scored.agg(
+            F.count(F.lit(1)).alias("n_eval_docs"),
+            F.count(F.when(
+                (F.col("score6") > 0)
+                == (F.col("lang") == _NB_TARGET_LANG), 1))
+            .alias("hits"))
+        outs.append(
+            tstats.crossJoin(F.broadcast(acc))
+            .select(F.lit(frac).cast("int").alias("train_pct"),
+                    "n_train_docs", "n_train_tokens", "n_eval_docs",
+                    "hits",
+                    F.round(F.col("hits")
+                            / F.col("n_eval_docs").cast("double"), 6)
+                    .alias("accuracy")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out.orderBy("train_pct")
+
+
+QUERIES["nb_learning_curve"] = nb_learning_curve
+
+
+def _lc_frac_sql(frac: int) -> str:
+    return f"""
+        SELECT {frac} AS train_pct,
+               (SELECT CAST(count(*) AS BIGINT) FROM documents
+                WHERE ((doc_id * 2654435761) % 4294967296) % 100
+                      < {frac}) AS n_train_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM toks
+                WHERE bkt < {frac}) AS n_train_tokens,
+               CAST(count(*) AS BIGINT) AS n_eval_docs,
+               CAST(count(*) FILTER (WHERE (score6 > 0)
+                    = (lang = '{_NB_TARGET_LANG}')) AS BIGINT) AS hits,
+               round(count(*) FILTER (WHERE (score6 > 0)
+                     = (lang = '{_NB_TARGET_LANG}'))
+                     / CAST(count(*) AS DOUBLE), 6) AS accuracy
+        FROM (
+            SELECT e.doc_id, e.lang,
+                   p.prior6 + sum(w.w6) AS score6
+            FROM toks e
+            JOIN (
+                SELECT tok,
+                       CAST(round((ln((c_pos + {_NB_K})
+                                      / (t_pos + {_NB_K} * v))
+                                   - ln((c_neg + {_NB_K})
+                                        / (t_neg + {_NB_K} * v)))
+                                  * 1e6, 0) AS BIGINT) AS w6
+                FROM (
+                    SELECT tok,
+                           CAST(count(*) FILTER (WHERE is_pos)
+                                AS BIGINT) AS c_pos,
+                           CAST(count(*) FILTER (WHERE NOT is_pos)
+                                AS BIGINT) AS c_neg
+                    FROM toks WHERE bkt < {frac} GROUP BY tok
+                ) c CROSS JOIN (
+                    SELECT CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0
+                                    END) AS DOUBLE) AS t_pos,
+                           CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1
+                                    END) AS DOUBLE) AS t_neg,
+                           CAST(count(DISTINCT tok) AS DOUBLE) AS v
+                    FROM toks WHERE bkt < {frac}
+                ) t
+            ) w ON w.tok = e.tok
+            CROSS JOIN (
+                SELECT CAST(round(ln(
+                           count(*) FILTER (
+                               WHERE lang = '{_NB_TARGET_LANG}')
+                           / CAST(count(*) FILTER (
+                               WHERE lang != '{_NB_TARGET_LANG}')
+                               AS DOUBLE)) * 1e6, 0) AS BIGINT)
+                           AS prior6
+                FROM documents
+                WHERE ((doc_id * 2654435761) % 4294967296) % 100
+                      < {frac}
+            ) p
+            WHERE e.bkt >= {_LC_EVAL}
+            GROUP BY e.doc_id, e.lang, p.prior6
+        )
+    """
+
+
+ORACLES["nb_learning_curve"] = f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               ((doc_id * 2654435761) % 4294967296) % 100 AS bkt,
+               lang = '{_NB_TARGET_LANG}' AS is_pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    )
+    {" UNION ALL ".join(f"({_lc_frac_sql(f)})" for f in _LC_FRACS)}
+    ORDER BY train_pct
+"""

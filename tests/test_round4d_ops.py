@@ -889,3 +889,84 @@ def test_hmm_smoother_brute_force(spark, sf_dir):
     assert last.p_busy_smoothed == pytest.approx(
         last.p_busy_filtered, abs=2e-6)
     assert diff > 0
+
+
+# ------------------------------------------------ learning curve
+
+def test_nb_learning_curve_properties(spark, sf_dir):
+    """Nested slices: train counts strictly increase with the
+    fraction; eval-set size is identical across rows; accuracy stays
+    in [0, 1]; the 75% model beats or ties the 25% model (more data
+    should not hurt on this separable fixture)."""
+    from qrapids_forecast_r_script_spark.operators.training_prep \
+        import nb_learning_curve
+    rows = {r.train_pct: r
+            for r in nb_learning_curve(spark, sf_dir).collect()}
+    assert sorted(rows) == [25, 50, 75]
+    assert rows[25].n_train_docs < rows[50].n_train_docs \
+        < rows[75].n_train_docs
+    assert rows[25].n_train_tokens < rows[75].n_train_tokens
+    sizes = {r.n_eval_docs for r in rows.values()}
+    assert len(sizes) == 1
+    for r in rows.values():
+        assert 0.0 <= r.accuracy <= 1.0
+        assert r.accuracy == pytest.approx(r.hits / r.n_eval_docs,
+                                           abs=1e-6)
+    assert rows[75].accuracy >= rows[25].accuracy - 0.02
+
+
+# ------------------------------------------------------ QTE
+
+def test_qte_brute_force_and_aa_flatness(spark, sf_dir):
+    """Decile quantiles replayed with numpy's linear interpolation;
+    the md5 A/A-style split keeps |QTE| small relative to the scale
+    of order values."""
+    import hashlib
+    import numpy as np
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import ab_quantile_treatment_effects
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = ab_quantile_treatment_effects(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice").collect()
+    arms = {0: [], 1: []}
+    for o in orders:
+        a = int(hashlib.md5(str(o.o_custkey).encode())
+                .hexdigest()[:8], 16) % 2
+        arms[a].append(round(o.o_totalprice * 100))
+    for r in got:
+        tau = r.decile_pct / 100
+        qa = float(np.percentile(arms[0], tau * 100,
+                                 method="linear"))
+        qb = float(np.percentile(arms[1], tau * 100,
+                                 method="linear"))
+        assert r.q_arm_a == pytest.approx(round(qa / 100, 6),
+                                          abs=2e-6)
+        assert r.q_arm_b == pytest.approx(round(qb / 100, 6),
+                                          abs=2e-6)
+        assert r.qte == pytest.approx(round((qa - qb) / 100, 6),
+                                      abs=3e-6)
+    scale = max(abs(r.q_arm_a) for r in got)
+    assert all(abs(r.qte) < 0.25 * scale for r in got)
+
+
+# ------------------------------------------------------ MDE table
+
+def test_mde_formula_and_monotonicity(spark, sf_dir):
+    """MDE replayed from the reported n/sd; bigger strata resolve
+    smaller relative effects (mde_rel anti-correlates with n across
+    the extremes)."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import ab_power_mde_table
+    rows = ab_power_mde_table(spark, sf_dir).collect()
+    z = 1.959963984540054 + 0.8416212335729143
+    for r in rows:
+        exp = z * math.sqrt(2 * r.sd_value ** 2 / r.n_per_arm)
+        assert r.mde_abs == pytest.approx(exp, rel=1e-4)
+        assert r.mde_rel == pytest.approx(r.mde_abs / r.mean_value,
+                                          rel=1e-4)
+        assert r.n_per_arm == r.n_orders // 2
+    big = max(rows, key=lambda r: r.n_orders)
+    small = min(rows, key=lambda r: r.n_orders)
+    if big.n_orders > 2 * small.n_orders:
+        assert big.mde_rel < small.mde_rel
