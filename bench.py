@@ -370,6 +370,7 @@ HEADLINE = [
     "nb_learning_curve",
     "ab_quantile_treatment_effects",
     "ab_power_mde_table",
+    "hmm_baum_welch_step",
 ]
 
 

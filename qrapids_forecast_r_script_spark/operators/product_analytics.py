@@ -4174,3 +4174,235 @@ ORACLES["ab_power_mde_table"] = f"""
                AS mde_rel
     FROM per ORDER BY nationkey
 """
+
+
+def hmm_baum_welch_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE exact BAUM-WELCH re-estimation step (Baum et al. 1970;
+    Rabiner 1989, problem 3) for the 2-state calm/busy HMM: from the
+    same forward/backward recursions as `hmm_smoothed_posterior`,
+    compute the pairwise posteriors xi_t(i,j) ∝ alpha_t(i) * A_ij *
+    B_j(o_{t+1}) * beta_{t+1}(j), and emit the M-step updates
+    A'_ij = sum_t xi_t(i,j) / sum_t gamma_t(i) and e'_i(high) =
+    sum_{t: o_t=1} gamma_t(i) / sum_t gamma_t(i) (gammas over
+    t <= T-1, the transition-denominator convention) — EM for
+    sequence models, run end-to-end inside the engine: the E-step is
+    two recursions, the M-step is one grouped sum.  A pipeline
+    iterating this query converges to the local-MLE parameters.
+
+    Determinism: the recursion discipline of the smoother (1e-9
+    state snapping, exact integer observations); each xi snaps to
+    1e-9 before its BIGINT cross-day sum, denominators are the same
+    sums — so A' rows and e' are ratios of order-proof integers.
+    Row-stochasticity of A' holds exactly by construction
+    (numerators partition the denominator; pinned in tests).
+
+    Scale: the xi table is (days x 4) — two recursions plus one
+    dimension-sized join-and-reduce; iterate K times for K EM steps
+    (the unroll knob, as in `doc_length_gmm`)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    from pyspark.sql.window import Window
+    med = daily.agg(F.expr("percentile(c, 0.5)").alias("med"))
+    nn = daily.agg(F.count(F.lit(1)).alias("nd"))
+    obs = (daily.crossJoin(F.broadcast(med)).crossJoin(F.broadcast(nn))
+           .select(F.row_number().over(Window.orderBy("day"))
+                   .alias("t"), "nd",
+                   (F.col("c") > F.col("med")).cast("int").alias("o")))
+    obs = obs.withColumn("rt", F.col("nd") - F.col("t") + 1)
+    obs.localCheckpoint(eager=True).createOrReplaceTempView(
+        "qr_hmm3_obs")
+    a00, a01, a10, a11 = _HMM_A
+    e0, e1 = _HMM_E1
+    b0 = f"CASE o.o WHEN 1 THEN {e0}D ELSE {1 - e0}D END"
+    b1 = f"CASE o.o WHEN 1 THEN {e1}D ELSE {1 - e1}D END"
+    wb0 = f"CASE w.o WHEN 1 THEN {e0}D ELSE {1 - e0}D END"
+    wb1 = f"CASE w.o WHEN 1 THEN {e1}D ELSE {1 - e1}D END"
+    # un-normalized xi components; normalized per t below
+    return spark.sql(f"""
+        WITH RECURSIVE fwd(t, o, a0, a1) AS (
+            SELECT o.t, o.o,
+                   round(0.5D * {b0}
+                         / (0.5D * {b0} + 0.5D * {b1}), 9),
+                   round(0.5D * {b1}
+                         / (0.5D * {b0} + 0.5D * {b1}), 9)
+            FROM qr_hmm3_obs o WHERE o.t = 1
+            UNION ALL
+            SELECT o.t, o.o,
+                   round((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
+                         / ((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
+                            + (w.a0 * {a01}D + w.a1 * {a11}D) * {b1}),
+                         9),
+                   round((w.a0 * {a01}D + w.a1 * {a11}D) * {b1}
+                         / ((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
+                            + (w.a0 * {a01}D + w.a1 * {a11}D) * {b1}),
+                         9)
+            FROM fwd w JOIN qr_hmm3_obs o ON o.t = w.t + 1
+        ),
+        bwd(rt, t, o, v0, v1) AS (
+            SELECT o.rt, o.t, o.o,
+                   CAST(0.5D AS DOUBLE), CAST(0.5D AS DOUBLE)
+            FROM qr_hmm3_obs o WHERE o.rt = 1
+            UNION ALL
+            SELECT o.rt, o.t, o.o,
+                   round(({a00}D * {wb0} * w.v0
+                          + {a01}D * {wb1} * w.v1)
+                         / (({a00}D * {wb0} * w.v0
+                             + {a01}D * {wb1} * w.v1)
+                            + ({a10}D * {wb0} * w.v0
+                               + {a11}D * {wb1} * w.v1)), 9),
+                   round(({a10}D * {wb0} * w.v0
+                          + {a11}D * {wb1} * w.v1)
+                         / (({a00}D * {wb0} * w.v0
+                             + {a01}D * {wb1} * w.v1)
+                            + ({a10}D * {wb0} * w.v0
+                               + {a11}D * {wb1} * w.v1)), 9)
+            FROM bwd w JOIN qr_hmm3_obs o ON o.rt = w.rt + 1
+        ),
+        amat(i, j, a) AS (
+            SELECT 0, 0, {a00}D UNION ALL SELECT 0, 1, {a01}D
+            UNION ALL SELECT 1, 0, {a10}D UNION ALL
+            SELECT 1, 1, {a11}D
+        ),
+        xiraw AS (
+            SELECT f.t, f.o AS o_t, m.i, m.j,
+                   (CASE m.i WHEN 0 THEN f.a0 ELSE f.a1 END) * m.a
+                   * (CASE m.j
+                      WHEN 0 THEN CASE nx.o WHEN 1 THEN {e0}D
+                                  ELSE {1 - e0}D END
+                      ELSE CASE nx.o WHEN 1 THEN {e1}D
+                           ELSE {1 - e1}D END END)
+                   * (CASE m.j WHEN 0 THEN b.v0 ELSE b.v1 END) AS u
+            FROM fwd f
+            JOIN qr_hmm3_obs nx ON nx.t = f.t + 1
+            JOIN bwd b ON b.t = f.t + 1
+            CROSS JOIN amat m
+        ),
+        xi AS (
+            SELECT t, o_t, i, j,
+                   CAST(round(u / sum(u) OVER (PARTITION BY t) * 1e9,
+                              0) AS BIGINT) AS xi_u
+            FROM xiraw
+        ),
+        sums AS (
+            SELECT i, j, CAST(sum(xi_u) AS BIGINT) AS sxi_u
+            FROM xi GROUP BY i, j
+        ),
+        gam AS (
+            SELECT i,
+                   CAST(sum(xi_u) AS BIGINT) AS sg_u,
+                   CAST(sum(CASE WHEN o_t = 1 THEN xi_u ELSE 0 END)
+                        AS BIGINT) AS sg_hi_u
+            FROM xi GROUP BY i
+        )
+        SELECT CAST(s.i AS INT) AS from_state,
+               CAST(s.j AS INT) AS to_state,
+               round(s.sxi_u / 1e9, 6) AS sum_xi,
+               round(g.sg_u / 1e9, 6) AS sum_gamma,
+               round(s.sxi_u / CAST(g.sg_u AS DOUBLE), 6) AS a_new,
+               round(g.sg_hi_u / CAST(g.sg_u AS DOUBLE), 6)
+                   AS e_high_new
+        FROM sums s JOIN gam g ON g.i = s.i
+        ORDER BY from_state, to_state
+    """)
+
+
+QUERIES["hmm_baum_welch_step"] = hmm_baum_welch_step
+
+
+def _hmm_bw_oracle_sql() -> str:
+    a00, a01, a10, a11 = _HMM_A
+    e0, e1 = _HMM_E1
+    b0 = f"CASE o.o WHEN 1 THEN {e0} ELSE {1 - e0} END"
+    b1 = f"CASE o.o WHEN 1 THEN {e1} ELSE {1 - e1} END"
+    wb0 = f"CASE w.o WHEN 1 THEN {e0} ELSE {1 - e0} END"
+    wb1 = f"CASE w.o WHEN 1 THEN {e1} ELSE {1 - e1} END"
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), med AS (SELECT median(c) AS med FROM daily),
+    nn AS (SELECT count(*) AS nd FROM daily),
+    obs AS (
+        SELECT row_number() OVER (ORDER BY day) AS t,
+               n.nd - row_number() OVER (ORDER BY day) + 1 AS rt,
+               CAST(c > m.med AS INT) AS o
+        FROM daily CROSS JOIN med m CROSS JOIN nn n
+    ),
+    fwd(t, o, a0, a1) AS (
+        SELECT o.t, o.o,
+               round(0.5 * {b0} / (0.5 * {b0} + 0.5 * {b1}), 9),
+               round(0.5 * {b1} / (0.5 * {b0} + 0.5 * {b1}), 9)
+        FROM obs o WHERE o.t = 1
+        UNION ALL
+        SELECT o.t, o.o,
+               round((w.a0 * {a00} + w.a1 * {a10}) * {b0}
+                     / ((w.a0 * {a00} + w.a1 * {a10}) * {b0}
+                        + (w.a0 * {a01} + w.a1 * {a11}) * {b1}), 9),
+               round((w.a0 * {a01} + w.a1 * {a11}) * {b1}
+                     / ((w.a0 * {a00} + w.a1 * {a10}) * {b0}
+                        + (w.a0 * {a01} + w.a1 * {a11}) * {b1}), 9)
+        FROM fwd w JOIN obs o ON o.t = w.t + 1
+    ),
+    bwd(rt, t, o, v0, v1) AS (
+        SELECT o.rt, o.t, o.o, CAST(0.5 AS DOUBLE),
+               CAST(0.5 AS DOUBLE)
+        FROM obs o WHERE o.rt = 1
+        UNION ALL
+        SELECT o.rt, o.t, o.o,
+               round(({a00} * {wb0} * w.v0 + {a01} * {wb1} * w.v1)
+                     / (({a00} * {wb0} * w.v0 + {a01} * {wb1} * w.v1)
+                        + ({a10} * {wb0} * w.v0
+                           + {a11} * {wb1} * w.v1)), 9),
+               round(({a10} * {wb0} * w.v0 + {a11} * {wb1} * w.v1)
+                     / (({a00} * {wb0} * w.v0 + {a01} * {wb1} * w.v1)
+                        + ({a10} * {wb0} * w.v0
+                           + {a11} * {wb1} * w.v1)), 9)
+        FROM bwd w JOIN obs o ON o.rt = w.rt + 1
+    ),
+    amat(i, j, a) AS (
+        VALUES (0, 0, {a00}), (0, 1, {a01}),
+               (1, 0, {a10}), (1, 1, {a11})
+    ),
+    xiraw AS (
+        SELECT f.t, f.o AS o_t, m.i, m.j,
+               (CASE m.i WHEN 0 THEN f.a0 ELSE f.a1 END) * m.a
+               * (CASE m.j
+                  WHEN 0 THEN CASE nx.o WHEN 1 THEN {e0}
+                              ELSE {1 - e0} END
+                  ELSE CASE nx.o WHEN 1 THEN {e1}
+                       ELSE {1 - e1} END END)
+               * (CASE m.j WHEN 0 THEN b.v0 ELSE b.v1 END) AS u
+        FROM fwd f
+        JOIN obs nx ON nx.t = f.t + 1
+        JOIN bwd b ON b.t = f.t + 1
+        CROSS JOIN amat m
+    ),
+    xi AS (
+        SELECT t, o_t, i, j,
+               CAST(round(u / sum(u) OVER (PARTITION BY t) * 1e9, 0)
+                    AS BIGINT) AS xi_u
+        FROM xiraw
+    ),
+    sums AS (
+        SELECT i, j, CAST(sum(xi_u) AS BIGINT) AS sxi_u
+        FROM xi GROUP BY i, j
+    ),
+    gam AS (
+        SELECT i, CAST(sum(xi_u) AS BIGINT) AS sg_u,
+               CAST(sum(CASE WHEN o_t = 1 THEN xi_u ELSE 0 END)
+                    AS BIGINT) AS sg_hi_u
+        FROM xi GROUP BY i
+    )
+    SELECT CAST(s.i AS INT) AS from_state, CAST(s.j AS INT) AS to_state,
+           round(s.sxi_u / 1e9, 6) AS sum_xi,
+           round(g.sg_u / 1e9, 6) AS sum_gamma,
+           round(s.sxi_u / CAST(g.sg_u AS DOUBLE), 6) AS a_new,
+           round(g.sg_hi_u / CAST(g.sg_u AS DOUBLE), 6) AS e_high_new
+    FROM sums s JOIN gam g ON g.i = s.i
+    ORDER BY from_state, to_state
+"""
+
+
+ORACLES["hmm_baum_welch_step"] = _hmm_bw_oracle_sql()

@@ -970,3 +970,82 @@ def test_mde_formula_and_monotonicity(spark, sf_dir):
     small = min(rows, key=lambda r: r.n_orders)
     if big.n_orders > 2 * small.n_orders:
         assert big.mde_rel < small.mde_rel
+
+
+# ---------------------------------------------- Baum-Welch M-step
+
+def test_baum_welch_row_stochastic_and_replay(spark, sf_dir):
+    """A' rows sum to 1 exactly (numerators partition the
+    denominator); xi/gamma sums replayed in python reproduce every
+    output; e'_high differs by state (the step actually separates
+    the regimes)."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import hmm_baum_welch_step
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = {(r.from_state, r.to_state): r
+           for r in hmm_baum_welch_step(spark, sf_dir).collect()}
+    for i in (0, 1):
+        assert got[(i, 0)].a_new + got[(i, 1)].a_new \
+            == pytest.approx(1.0, abs=2e-6)
+        assert got[(i, 0)].sum_gamma == got[(i, 1)].sum_gamma
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")).collect()
+    daily = Counter(r.day for r in ev if r.event_type == "purchase")
+    days = sorted(daily)
+    cs = sorted(daily[d] for d in days)
+    n = len(cs)
+    med = (cs[n // 2] if n % 2 else (cs[n // 2 - 1] + cs[n // 2]) / 2)
+    obs = [1 if daily[d] > med else 0 for d in days]
+    A = {(0, 0): 0.8, (0, 1): 0.2, (1, 0): 0.3, (1, 1): 0.7}
+    E1 = (0.3, 0.7)
+
+    def b(o):
+        return (E1[0] if o else 1 - E1[0],
+                E1[1] if o else 1 - E1[1])
+
+    al = []
+    a0 = a1 = 0.5
+    for t, o in enumerate(obs):
+        b0, b1 = b(o)
+        if t == 0:
+            u0, u1 = 0.5 * b0, 0.5 * b1
+        else:
+            u0 = (a0 * A[(0, 0)] + a1 * A[(1, 0)]) * b0
+            u1 = (a0 * A[(0, 1)] + a1 * A[(1, 1)]) * b1
+        c = u0 + u1
+        a0, a1 = round(u0 / c, 9), round(u1 / c, 9)
+        al.append((a0, a1))
+    be = [None] * n
+    v0 = v1 = 0.5
+    be[n - 1] = (v0, v1)
+    for t in range(n - 2, -1, -1):
+        b0, b1 = b(obs[t + 1])
+        u0 = A[(0, 0)] * b0 * v0 + A[(0, 1)] * b1 * v1
+        u1 = A[(1, 0)] * b0 * v0 + A[(1, 1)] * b1 * v1
+        c = u0 + u1
+        v0, v1 = round(u0 / c, 9), round(u1 / c, 9)
+        be[t] = (v0, v1)
+    sxi = Counter()
+    sg = Counter()
+    sg_hi = Counter()
+    for t in range(n - 1):
+        bn = b(obs[t + 1])
+        us = {}
+        for i in (0, 1):
+            for j in (0, 1):
+                us[(i, j)] = (al[t][i] * A[(i, j)] * bn[j]
+                              * be[t + 1][j])
+        tot = sum(us.values())
+        for k, u in us.items():
+            xi = round(u / tot * 1e9)
+            sxi[k] += xi
+            sg[k[0]] += xi
+            if obs[t] == 1:
+                sg_hi[k[0]] += xi
+    for (i, j), r in got.items():
+        assert r.sum_xi == pytest.approx(sxi[(i, j)] / 1e9, abs=2e-6)
+        assert r.sum_gamma == pytest.approx(sg[i] / 1e9, abs=2e-6)
+        assert r.a_new == pytest.approx(sxi[(i, j)] / sg[i], abs=2e-6)
+        assert r.e_high_new == pytest.approx(sg_hi[i] / sg[i],
+                                             abs=2e-6)
+    assert abs(got[(0, 0)].e_high_new - got[(1, 0)].e_high_new) > 0.05
