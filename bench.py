@@ -371,6 +371,9 @@ HEADLINE = [
     "ab_quantile_treatment_effects",
     "ab_power_mde_table",
     "hmm_baum_welch_step",
+    "platt_scaling_fit",
+    "series_dickey_fuller",
+    "mahalanobis_outliers",
 ]
 
 

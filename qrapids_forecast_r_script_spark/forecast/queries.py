@@ -2921,3 +2921,161 @@ EVAL_ORACLES["series_kendall_tau"] = f"""
     JOIN nd USING (name)
     ORDER BY cd.name
 """
+
+
+# MacKinnon (2010) response-surface coefficients for the 5% DF tau_c
+# critical value (constant, no trend): crit = b0 + b1/T + b2/T^2
+_DF_B0, _DF_B1, _DF_B2 = -2.86154, -2.8903, -4.234
+
+
+def series_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DICKEY-FULLER unit-root test per metric series (Dickey &
+    Fuller 1979; constant-only regression, no augmentation — the
+    daily series carry no strong serial correlation in their
+    differences): regress Δy_t on y_{t-1} with intercept and report
+    the tau statistic gamma_hat / se(gamma_hat) against the
+    MacKinnon (2010) finite-sample 5% critical value — the
+    STATIONARITY audit complementing the KPSS ndiffs choice inside
+    the ARIMA fit (TimeSeriesFunctions R:84-95 picks d by KPSS; DF
+    asks the mirrored question, unit root as the null, so the two
+    tests disagreeing is itself a diagnostic).  stationary = tau <
+    crit (reject the unit root).
+
+    Exactness: values snap to the 1e-6 grid; all six regression sums
+    are exact integer/128-bit aggregates of micro-units, the closed
+    forms divide them once, and the critical value is a literal
+    response surface both engines share — no in-engine
+    distributions.
+
+    Scale: one per-series aggregate over the lagged stream (the
+    `series_trend_ols` cost shape)."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    vu = F.round(F.round("value", 6) * 1e6, 0).cast("long")
+    seq = (metrics.withColumn("vu", vu)
+           .withColumn("xprev", F.lag("vu", 1).over(w))
+           .where(F.col("xprev").isNotNull())
+           .select("name", "index", F.col("xprev").alias("x"),
+                   (F.col("vu") - F.col("xprev")).alias("d")))
+    a = (seq.groupBy("name", "index")
+         .agg(F.count(F.lit(1)).alias("m"),
+              F.sum("x").alias("sx"), F.sum("d").alias("sd"),
+              F.sum(F.col("x").cast("decimal(38,0)") * F.col("d"))
+              .alias("sxd"),
+              F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+              .alias("sxx"),
+              F.sum(F.col("d").cast("decimal(38,0)") * F.col("d"))
+              .alias("sdd")))
+    m = F.col("m").cast("double")
+    sx = F.col("sx").cast("double") / 1e6
+    sd = F.col("sd").cast("double") / 1e6
+    sxd = F.col("sxd").cast("double") / 1e12
+    sxx = F.col("sxx").cast("double") / 1e12
+    sdd = F.col("sdd").cast("double") / 1e12
+    den = m * sxx - sx * sx
+    gam = (m * sxd - sx * sd) / den
+    alpha = (sd - gam * sx) / m
+    ssr = sdd - alpha * sd - gam * sxd
+    s2 = ssr / (m - 2)
+    se = F.sqrt(s2 * m / den)
+    tau = gam / se
+    crit = (F.lit(_DF_B0) + F.lit(_DF_B1) / m
+            + F.lit(_DF_B2) / (m * m))
+    return (a.select("name", "index",
+                     F.col("m").alias("n_diffs"),
+                     F.round(gam, 6).alias("gamma"),
+                     F.round(tau, 6).alias("tau"),
+                     F.round(crit, 6).alias("crit_5pct"),
+                     (F.round(tau, 6) < F.round(crit, 6))
+                     .alias("stationary"))
+            .orderBy("name", "index"))
+
+
+EVAL_QUERIES["series_dickey_fuller"] = series_dickey_fuller
+EVAL_ORACLES["series_dickey_fuller"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    seq AS (
+        SELECT name, index,
+               lag(CAST(round(round(value, 6) * 1e6, 0) AS BIGINT))
+                   OVER w AS x,
+               CAST(round(round(value, 6) * 1e6, 0) AS BIGINT)
+               - lag(CAST(round(round(value, 6) * 1e6, 0) AS BIGINT))
+                   OVER w AS d
+        FROM m
+        WINDOW w AS (PARTITION BY name, index ORDER BY evaluationDate)
+    ), a AS (
+        SELECT name, index, CAST(count(*) AS BIGINT) AS mm,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(d) AS BIGINT) AS sd,
+               CAST(sum(CAST(x AS HUGEINT) * d) AS HUGEINT) AS sxd,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sdd
+        FROM seq WHERE x IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT name, index, mm AS n_diffs,
+           round((CAST(mm AS DOUBLE) * (CAST(sxd AS DOUBLE) / 1e12)
+                  - (sx / 1e6) * (sd / 1e6))
+                 / (CAST(mm AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                    - (sx / 1e6) * (sx / 1e6)), 6) AS gamma,
+           round(((CAST(mm AS DOUBLE) * (CAST(sxd AS DOUBLE) / 1e12)
+                   - (sx / 1e6) * (sd / 1e6))
+                  / (CAST(mm AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                     - (sx / 1e6) * (sx / 1e6)))
+                 / sqrt((((CAST(sdd AS DOUBLE) / 1e12)
+                          - (((sd / 1e6)
+                              - ((CAST(mm AS DOUBLE)
+                                  * (CAST(sxd AS DOUBLE) / 1e12)
+                                  - (sx / 1e6) * (sd / 1e6))
+                                 / (CAST(mm AS DOUBLE)
+                                    * (CAST(sxx AS DOUBLE) / 1e12)
+                                    - (sx / 1e6) * (sx / 1e6)))
+                                * (sx / 1e6)) / CAST(mm AS DOUBLE))
+                            * (sd / 1e6)
+                          - ((CAST(mm AS DOUBLE)
+                              * (CAST(sxd AS DOUBLE) / 1e12)
+                              - (sx / 1e6) * (sd / 1e6))
+                             / (CAST(mm AS DOUBLE)
+                                * (CAST(sxx AS DOUBLE) / 1e12)
+                                - (sx / 1e6) * (sx / 1e6)))
+                            * (CAST(sxd AS DOUBLE) / 1e12))
+                         / (CAST(mm AS DOUBLE) - 2))
+                        * CAST(mm AS DOUBLE)
+                        / (CAST(mm AS DOUBLE)
+                           * (CAST(sxx AS DOUBLE) / 1e12)
+                           - (sx / 1e6) * (sx / 1e6))), 6) AS tau,
+           round({_DF_B0} + {_DF_B1} / CAST(mm AS DOUBLE)
+                 + {_DF_B2} / (CAST(mm AS DOUBLE)
+                               * CAST(mm AS DOUBLE)), 6) AS crit_5pct,
+           round(((CAST(mm AS DOUBLE) * (CAST(sxd AS DOUBLE) / 1e12)
+                   - (sx / 1e6) * (sd / 1e6))
+                  / (CAST(mm AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                     - (sx / 1e6) * (sx / 1e6)))
+                 / sqrt((((CAST(sdd AS DOUBLE) / 1e12)
+                          - (((sd / 1e6)
+                              - ((CAST(mm AS DOUBLE)
+                                  * (CAST(sxd AS DOUBLE) / 1e12)
+                                  - (sx / 1e6) * (sd / 1e6))
+                                 / (CAST(mm AS DOUBLE)
+                                    * (CAST(sxx AS DOUBLE) / 1e12)
+                                    - (sx / 1e6) * (sx / 1e6)))
+                                * (sx / 1e6)) / CAST(mm AS DOUBLE))
+                            * (sd / 1e6)
+                          - ((CAST(mm AS DOUBLE)
+                              * (CAST(sxd AS DOUBLE) / 1e12)
+                              - (sx / 1e6) * (sd / 1e6))
+                             / (CAST(mm AS DOUBLE)
+                                * (CAST(sxx AS DOUBLE) / 1e12)
+                                - (sx / 1e6) * (sx / 1e6)))
+                            * (CAST(sxd AS DOUBLE) / 1e12))
+                         / (CAST(mm AS DOUBLE) - 2))
+                        * CAST(mm AS DOUBLE)
+                        / (CAST(mm AS DOUBLE)
+                           * (CAST(sxx AS DOUBLE) / 1e12)
+                           - (sx / 1e6) * (sx / 1e6))), 6)
+               < round({_DF_B0} + {_DF_B1} / CAST(mm AS DOUBLE)
+                       + {_DF_B2} / (CAST(mm AS DOUBLE)
+                                     * CAST(mm AS DOUBLE)), 6)
+               AS stationary
+    FROM a ORDER BY name, index
+"""

@@ -1682,3 +1682,121 @@ ORACLES["source_length_emd"] = """
     FROM cdf WHERE nxt IS NOT NULL
     GROUP BY source ORDER BY source
 """
+
+
+_MAHA_TOP = 20
+
+
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 MAHALANOBIS outliers in the (quantity, extendedprice)
+    plane of lineitem (Mahalanobis 1936) — the MULTIVARIATE upgrade
+    of the per-column z/MAD audits: a row can be unremarkable on
+    each axis yet wildly off the correlation structure (high price
+    at low quantity), and d² = (v-mu)' Sigma^-1 (v-mu) is the scale-
+    and correlation-aware distance that catches exactly that.  At
+    dimension 2 the covariance inverse is a closed form, so the
+    whole audit is two scans and an exact 2x2 solve — no linear-
+    algebra library.
+
+    Exactness: quantities and integer-cents prices aggregate into
+    DECIMAL(38,0)/HUGEINT moments; the sample-covariance entries and
+    the inverse are single divisions; d² snaps to the 1e-6 grid
+    before the rank (ties by orderkey, linenumber).  d² of a
+    bivariate normal is chi-square(2): the d² > 13.8 (=
+    chi2_0.999(2)) count is reported per row as context.
+
+    Scale: one moment aggregate + one broadcast-scalar re-scan with
+    a TakeOrdered(20) — the numeric-profile cost family."""
+    from pyspark.sql.window import Window
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("pc"))
+    mom = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"), F.sum("pc").alias("sp"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q"))
+        .alias("sqq"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("pc"))
+        .alias("sqp"),
+        F.sum(F.col("pc").cast("decimal(38,0)") * F.col("pc"))
+        .alias("spp"))
+    n = F.col("n").cast("double")
+    mx = F.col("sq").cast("double") / n
+    my = F.col("sp").cast("double") / n / 100
+    vxx = ((F.col("sqq").cast("double") - n * mx * mx) / (n - 1))
+    vxy = ((F.col("sqp").cast("double") / 100 - n * mx * my)
+           / (n - 1))
+    vyy = ((F.col("spp").cast("double") / 10000 - n * my * my)
+           / (n - 1))
+    stats = mom.select(mx.alias("mx"), my.alias("my"),
+                       vxx.alias("vxx"), vxy.alias("vxy"),
+                       vyy.alias("vyy"))
+    j = li.crossJoin(F.broadcast(stats))
+    dx = F.col("q") - F.col("mx")
+    dy = F.col("pc") / 100 - F.col("my")
+    det = F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy")
+    d2 = F.round((F.col("vyy") * dx * dx
+                  - 2 * F.col("vxy") * dx * dy
+                  + F.col("vxx") * dy * dy) / det, 6)
+    w = Window.orderBy(F.col("d2").desc(), F.col("l_orderkey").asc(),
+                       F.col("l_linenumber").asc())
+    return (j.withColumn("d2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _MAHA_TOP)
+            .select("rank", "l_orderkey", "l_linenumber", "q",
+                    F.round(F.col("pc") / 100, 2).alias("price"),
+                    "d2", (F.col("d2") > 13.8).alias("extreme_999"))
+            .orderBy("rank"))
+
+
+QUERIES["mahalanobis_outliers"] = mahalanobis_outliers
+ORACLES["mahalanobis_outliers"] = f"""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+        FROM lineitem
+    ), mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS sq,
+               CAST(sum(pc) AS BIGINT) AS sp,
+               CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq,
+               CAST(sum(CAST(q AS HUGEINT) * pc) AS HUGEINT) AS sqp,
+               CAST(sum(CAST(pc AS HUGEINT) * pc) AS HUGEINT) AS spp
+        FROM li
+    ), st AS (
+        SELECT CAST(sq AS DOUBLE) / n AS mx,
+               CAST(sp AS DOUBLE) / n / 100 AS my,
+               (CAST(sqq AS DOUBLE)
+                - n * (CAST(sq AS DOUBLE) / n)
+                    * (CAST(sq AS DOUBLE) / n)) / (n - 1) AS vxx,
+               (CAST(sqp AS DOUBLE) / 100
+                - n * (CAST(sq AS DOUBLE) / n)
+                    * (CAST(sp AS DOUBLE) / n / 100)) / (n - 1)
+                   AS vxy,
+               (CAST(spp AS DOUBLE) / 10000
+                - n * (CAST(sp AS DOUBLE) / n / 100)
+                    * (CAST(sp AS DOUBLE) / n / 100)) / (n - 1)
+                   AS vyy
+        FROM mom
+    ), scored AS (
+        SELECT l.l_orderkey, l.l_linenumber, l.q, l.pc,
+               round((s.vyy * (l.q - s.mx) * (l.q - s.mx)
+                      - 2 * s.vxy * (l.q - s.mx)
+                        * (l.pc / 100 - s.my)
+                      + s.vxx * (l.pc / 100 - s.my)
+                        * (l.pc / 100 - s.my))
+                     / (s.vxx * s.vyy - s.vxy * s.vxy), 6) AS d2
+        FROM li l CROSS JOIN st s
+    )
+    SELECT CAST(row_number() OVER (ORDER BY d2 DESC, l_orderkey ASC,
+                                   l_linenumber ASC) AS INT) AS rank,
+           l_orderkey, l_linenumber, q,
+           round(pc / 100, 2) AS price, d2,
+           d2 > 13.8 AS extreme_999
+    FROM scored
+    QUALIFY rank <= {_MAHA_TOP}
+    ORDER BY rank
+"""

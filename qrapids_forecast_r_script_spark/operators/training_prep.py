@@ -1669,3 +1669,158 @@ ORACLES["nb_learning_curve"] = f"""
     {" UNION ALL ".join(f"({_lc_frac_sql(f)})" for f in _LC_FRACS)}
     ORDER BY train_pct
 """
+
+
+_PLATT_STEPS = 2   # unrolled Newton-Raphson steps
+
+
+def platt_scaling_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLATT SCALING of the NB quality score (Platt 1999): fit
+    P(target | s) = sigmoid(a*s + b) by TWO unrolled Newton-Raphson
+    steps on the logistic log-loss — the parametric calibrator next
+    to the non-parametric `isotonic_calibration_map`, and the
+    iterative-optimizer operator class (gradient + Hessian
+    aggregates, closed-form 2x2 solve per step) run exactly: both
+    engines replay the identical step-by-step trace from the (0, 0)
+    start, so the oracle pins the Newton algebra itself.
+
+    Per step: gradient g = (sum (p-y) s, sum (p-y)), Hessian
+    H = [[sum w s^2, sum w s], [sum w s, sum w]] with w = p(1-p),
+    delta = H^-1 g, (a,b) <- (a,b) - delta.  Every per-row
+    contribution snaps to the 1e-9 grid and BIGINT-sums (the GMM
+    discipline), each solve divides once by the 2x2 determinant;
+    parameters snap at 1e-9 between steps.  Output: one row per
+    step with (a, b) and the BIGINT-summed mean log-loss — which
+    must DECREASE step over step (pinned in tests; Newton on a
+    convex loss).
+
+    Scale: each step is ONE aggregate over the scored stream against
+    2 broadcast scalars — the distributed-GLM shape (sufficient
+    statistics reduce, parameters broadcast back); steps are the
+    knob."""
+    scored = (nb_quality_classifier(spark, sf_dir)
+              .select(F.col("nb_score").alias("s"),
+                      (F.col("lang") == _NB_TARGET_LANG)
+                      .cast("int").alias("y"))
+              .localCheckpoint(eager=True))
+
+    def su(col):
+        return F.sum(F.round(col * 1e9, 0).cast("bigint"))
+
+    import math as _m
+
+    def _rnd(x, n):
+        # half-AWAY-from-zero, matching SQL round() — python round()
+        # is banker's and would fork the trace at .5 boundaries
+        s = 10.0 ** n
+        return _m.copysign(_m.floor(abs(x) * s + 0.5), x) / s
+
+    a, b = 0.0, 0.0
+    rows = []
+    for step in range(1, _PLATT_STEPS + 1):
+        z = F.lit(a) * F.col("s") + F.lit(b)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        w = p * (1 - p)
+        agg = scored.agg(
+            F.count(F.lit(1)).alias("n"),
+            su((p - F.col("y")) * F.col("s")).alias("ga"),
+            su(p - F.col("y")).alias("gb"),
+            su(w * F.col("s") * F.col("s")).alias("hss"),
+            su(w * F.col("s")).alias("hs"),
+            su(w).alias("hw"),
+            su(F.when(F.col("y") == 1, -F.log(p))
+              .otherwise(-F.log(1 - p))).alias("ll")).first()
+        ga, gb = agg.ga / 1e9, agg.gb / 1e9
+        hss, hs, hw = agg.hss / 1e9, agg.hs / 1e9, agg.hw / 1e9
+        det = hss * hw - hs * hs
+        da = (hw * ga - hs * gb) / det
+        db = (hss * gb - hs * ga) / det
+        rows.append((step, _rnd(a, 9), _rnd(b, 9),
+                     _rnd(agg.ll / 1e9 / agg.n, 6)))
+        a = _rnd(a - da, 9)
+        b = _rnd(b - db, 9)
+    # final parameters + post-step loss
+    zf = F.lit(a) * F.col("s") + F.lit(b)
+    pf = F.lit(1.0) / (F.lit(1.0) + F.exp(-zf))
+    fin = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        su(F.when(F.col("y") == 1, -F.log(pf))
+          .otherwise(-F.log(1 - pf))).alias("ll")).first()
+    rows.append((_PLATT_STEPS + 1, a, b,
+                 _rnd(fin.ll / 1e9 / fin.n, 6)))
+    return spark.createDataFrame(
+        rows, "step int, a double, b double, mean_logloss double") \
+        .orderBy("step")
+
+
+QUERIES["platt_scaling_fit"] = platt_scaling_fit
+
+
+def _platt_agg_sql(it: int, prev: str) -> str:
+    """Aggregate CTE for one Newton step given params CTE `prev`
+    (columns a, b) + the derived next-params CTE."""
+    p = f"(1.0 / (1.0 + exp(-(q.a * t.s + q.b))))"
+    return f"""
+    agg{it} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(({p} - t.y) * t.s * 1e9, 0)
+                    AS BIGINT)) AS BIGINT) AS ga,
+               CAST(sum(CAST(round(({p} - t.y) * 1e9, 0) AS BIGINT))
+                    AS BIGINT) AS gb,
+               CAST(sum(CAST(round({p} * (1 - {p}) * t.s * t.s * 1e9,
+                    0) AS BIGINT)) AS BIGINT) AS hss,
+               CAST(sum(CAST(round({p} * (1 - {p}) * t.s * 1e9, 0)
+                    AS BIGINT)) AS BIGINT) AS hs,
+               CAST(sum(CAST(round({p} * (1 - {p}) * 1e9, 0)
+                    AS BIGINT)) AS BIGINT) AS hw,
+               CAST(sum(CAST(round(CASE WHEN t.y = 1
+                        THEN -ln({p}) ELSE -ln(1 - {p}) END * 1e9, 0)
+                    AS BIGINT)) AS BIGINT) AS ll,
+               any_value(q.a) AS a, any_value(q.b) AS b
+        FROM scored t CROSS JOIN {prev} q
+    ), params{it} AS (
+        SELECT round(a - ((hw / 1e9) * (ga / 1e9)
+                          - (hs / 1e9) * (gb / 1e9))
+                         / ((hss / 1e9) * (hw / 1e9)
+                            - (hs / 1e9) * (hs / 1e9)), 9) AS a,
+               round(b - ((hss / 1e9) * (gb / 1e9)
+                          - (hs / 1e9) * (ga / 1e9))
+                         / ((hss / 1e9) * (hw / 1e9)
+                            - (hs / 1e9) * (hs / 1e9)), 9) AS b
+        FROM agg{it}
+    )"""
+
+
+ORACLES["platt_scaling_fit"] = f"""
+    WITH nb AS ({ORACLES["nb_quality_classifier"]}),
+    scored AS (
+        SELECT nb_score AS s,
+               CAST(lang = '{_NB_TARGET_LANG}' AS INT) AS y
+        FROM nb
+    ), params0 AS (SELECT CAST(0.0 AS DOUBLE) AS a,
+                          CAST(0.0 AS DOUBLE) AS b),
+    {_platt_agg_sql(1, "params0").lstrip()},
+    {_platt_agg_sql(2, "params1").lstrip()},
+    fin AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(CASE WHEN t.y = 1
+                    THEN -ln(1.0 / (1.0 + exp(-(q.a * t.s + q.b))))
+                    ELSE -ln(1 - 1.0 / (1.0 + exp(-(q.a * t.s
+                                                    + q.b)))) END
+                    * 1e9, 0) AS BIGINT)) AS BIGINT) AS ll,
+               any_value(q.a) AS a, any_value(q.b) AS b
+        FROM scored t CROSS JOIN params2 q
+    )
+    SELECT 1 AS step, round(a1.a, 9) AS a, round(a1.b, 9) AS b,
+           round(a1.ll / 1e9 / a1.n, 6) AS mean_logloss
+    FROM agg1 a1
+    UNION ALL
+    SELECT 2, round(a2.a, 9), round(a2.b, 9),
+           round(a2.ll / 1e9 / a2.n, 6)
+    FROM agg2 a2
+    UNION ALL
+    SELECT 3, round(f.a, 9), round(f.b, 9),
+           round(f.ll / 1e9 / f.n, 6)
+    FROM fin f
+    ORDER BY step
+"""

