@@ -374,6 +374,8 @@ HEADLINE = [
     "platt_scaling_fit",
     "series_dickey_fuller",
     "mahalanobis_outliers",
+    "weak_label_model",
+    "event_time_circular_stats",
 ]
 
 

@@ -4406,3 +4406,105 @@ def _hmm_bw_oracle_sql() -> str:
 
 
 ORACLES["hmm_baum_welch_step"] = _hmm_bw_oracle_sql()
+
+
+_TWO_PI = 6.283185307179586
+_RAYLEIGH_5PCT = 2.9957322735539909   # -ln(0.05): z > this rejects
+
+
+def event_time_circular_stats(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """CIRCULAR statistics of event time-of-day per type (Fisher
+    1993; Mardia & Jupp 2000): the 24-hour clock is a circle, so
+    "mean hour" must be the direction of the resultant vector
+    (mean of cos/sin), not the arithmetic mean — 23:00 and 01:00
+    average to midnight, not noon.  Per type: circular mean hour,
+    resultant length R-bar (1 = perfectly peaked, 0 = uniform),
+    circular variance 1 - R-bar, and the Rayleigh uniformity score
+    z = n * R-bar² against the literal -ln(0.05) threshold — the
+    "does this event type have a daily rhythm at all" audit that
+    feeds seasonality choices upstream of the forecasters.
+
+    Determinism: angles derive from integer seconds-of-day; per-row
+    cos/sin snap to the 1e-9 grid and BIGINT-sum, so R-bar and the
+    mean direction are functions of two order-proof integers; atan2
+    is evaluated once per type on those.
+
+    Scale: one map-side projection + one per-type aggregate —
+    dimension-sized output."""
+    ev = load_table(spark, sf_dir, "events")
+    sod = (F.hour("ts") * 3600 + F.minute("ts") * 60
+           + F.second("ts")).cast("double")
+    theta = sod / 86400.0 * F.lit(_TWO_PI)
+    rows = ev.select(
+        "event_type",
+        F.round(F.cos(theta) * 1e9, 0).cast("bigint").alias("cu"),
+        F.round(F.sin(theta) * 1e9, 0).cast("bigint").alias("su"))
+    agg = (rows.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("cu").alias("sc"), F.sum("su").alias("ss")))
+    c = F.col("sc") / 1e9
+    s = F.col("ss") / 1e9
+    n = F.col("n").cast("double")
+    rbar = F.sqrt(c * c + s * s) / n
+    ang = F.atan2(s, c)
+    mean_hour = (F.pmod(ang, F.lit(_TWO_PI)) / F.lit(_TWO_PI)) * 24
+    z = n * rbar * rbar
+    return (agg.select(
+        "event_type", "n",
+        F.round(mean_hour, 6).alias("mean_hour"),
+        F.round(rbar, 6).alias("resultant_r"),
+        F.round(1 - rbar, 6).alias("circ_variance"),
+        F.round(z, 6).alias("rayleigh_z"),
+        (F.round(z, 6) > F.lit(_RAYLEIGH_5PCT)).alias("nonuniform"))
+        .orderBy("event_type"))
+
+
+QUERIES["event_time_circular_stats"] = event_time_circular_stats
+ORACLES["event_time_circular_stats"] = f"""
+    WITH rows_ AS (
+        SELECT event_type,
+               CAST(round(cos((datepart('hour', ts) * 3600
+                               + datepart('minute', ts) * 60
+                               + datepart('second', ts))
+                              / 86400.0 * {_TWO_PI}) * 1e9, 0)
+                    AS BIGINT) AS cu,
+               CAST(round(sin((datepart('hour', ts) * 3600
+                               + datepart('minute', ts) * 60
+                               + datepart('second', ts))
+                              / 86400.0 * {_TWO_PI}) * 1e9, 0)
+                    AS BIGINT) AS su
+        FROM events
+    ), agg AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cu) AS BIGINT) AS sc,
+               CAST(sum(su) AS BIGINT) AS ss
+        FROM rows_ GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(fmod(fmod(atan2(ss / 1e9, sc / 1e9), {_TWO_PI})
+                      + {_TWO_PI}, {_TWO_PI})
+                 / {_TWO_PI} * 24, 6) AS mean_hour,
+           round(sqrt((sc / 1e9) * (sc / 1e9)
+                      + (ss / 1e9) * (ss / 1e9))
+                 / CAST(n AS DOUBLE), 6) AS resultant_r,
+           round(1 - sqrt((sc / 1e9) * (sc / 1e9)
+                          + (ss / 1e9) * (ss / 1e9))
+                     / CAST(n AS DOUBLE), 6) AS circ_variance,
+           round(CAST(n AS DOUBLE)
+                 * (sqrt((sc / 1e9) * (sc / 1e9)
+                         + (ss / 1e9) * (ss / 1e9))
+                    / CAST(n AS DOUBLE))
+                 * (sqrt((sc / 1e9) * (sc / 1e9)
+                         + (ss / 1e9) * (ss / 1e9))
+                    / CAST(n AS DOUBLE)), 6) AS rayleigh_z,
+           round(CAST(n AS DOUBLE)
+                 * (sqrt((sc / 1e9) * (sc / 1e9)
+                         + (ss / 1e9) * (ss / 1e9))
+                    / CAST(n AS DOUBLE))
+                 * (sqrt((sc / 1e9) * (sc / 1e9)
+                         + (ss / 1e9) * (ss / 1e9))
+                    / CAST(n AS DOUBLE)), 6) > {_RAYLEIGH_5PCT}
+               AS nonuniform
+    FROM agg ORDER BY event_type
+"""

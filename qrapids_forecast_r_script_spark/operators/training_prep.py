@@ -1824,3 +1824,161 @@ ORACLES["platt_scaling_fit"] = f"""
     FROM fin f
     ORDER BY step
 """
+
+
+def weak_label_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNORKEL-style weak-supervision label model, one re-weighting
+    step (Ratner et al. 2017/2019, reduced to the independent-LF
+    majority-vote estimator): three deterministic labeling functions
+    vote on "long-form document" (v in {+1, -1} each — source-
+    relative length, type-token distinctness, absolute token count),
+    the MAJORITY vote is the provisional label, each LF's accuracy
+    is estimated against it (add-1 smoothed), and the final label is
+    the log-odds-WEIGHTED vote w_i = ln(acc_i/(1-acc_i)) — the
+    programmatic-labeling operator class every large training
+    pipeline runs before it has human labels.  Output: one row per
+    LF with its agreement count, estimated accuracy, and weight,
+    plus the summary columns (docs whose label FLIPPED under
+    re-weighting — the value the model added over raw majority).
+
+    Determinism: every vote is a strict > comparison of exact
+    integer counts against integer-ratio means; accuracies are
+    integer ratios; weights snap to 1e-9 and the weighted vote
+    BIGINT-sums them, so the flip set is exact.
+
+    Scale: one token-stats aggregate per doc (shared scan), two
+    broadcast scalar means, one vote aggregate, one 3-row weight
+    broadcast back — the label model is LF-dimension-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", "n_chars",
+                       F.explode(F.split("text", " ")).alias("tok"))
+    per = (toks.groupBy("doc_id", "source", "n_chars")
+           .agg(F.count(F.lit(1)).alias("n_tok"),
+                F.count_distinct("tok").alias("n_dist")))
+    smean = (per.groupBy("source")
+             .agg((F.sum("n_chars") / F.count(F.lit(1)))
+                  .alias("src_mean")))
+    gmean = per.agg(
+        (F.sum("n_tok") / F.count(F.lit(1))).alias("tok_mean"),
+        (F.sum(F.col("n_dist") / F.col("n_tok"))
+         / F.count(F.lit(1))).alias("dr_mean"))
+    voted = (per.join(F.broadcast(smean), "source")
+             .crossJoin(F.broadcast(gmean))
+             .select("doc_id",
+                     F.when(F.col("n_chars") > F.col("src_mean"), 1)
+                     .otherwise(-1).alias("v1"),
+                     F.when(F.col("n_dist") / F.col("n_tok")
+                            > F.col("dr_mean"), 1)
+                     .otherwise(-1).alias("v2"),
+                     F.when(F.col("n_tok") > F.col("tok_mean"), 1)
+                     .otherwise(-1).alias("v3"))
+             .withColumn("mv", F.when(
+                 F.col("v1") + F.col("v2") + F.col("v3") > 0, 1)
+                 .otherwise(-1))
+             .localCheckpoint(eager=True))
+    agg = voted.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.count(F.when(F.col(f"v{i}") == F.col("mv"), 1))
+          .alias(f"h{i}") for i in (1, 2, 3)])
+    lfs = []
+    for i, lf in ((1, "source_rel_length"), (2, "distinct_ratio"),
+                  (3, "token_count")):
+        acc = (F.col(f"h{i}") + 1) / (F.col("n_docs") + 2)
+        w = F.round(F.log(acc / (1 - acc)) * 1e9, 0).cast("bigint")
+        lfs.append(agg.select(
+            F.lit(lf).alias("labeling_fn"),
+            F.col(f"h{i}").alias("agree_mv"),
+            F.round(acc, 6).alias("est_accuracy"),
+            w.alias("w_u"), "n_docs"))
+    wtab = lfs[0]
+    for o in lfs[1:]:
+        wtab = wtab.union(o)
+    ws = wtab.groupBy().pivot("labeling_fn", [
+        "source_rel_length", "distinct_ratio", "token_count"]) \
+        .agg(F.max("w_u"))
+    flips = (voted.crossJoin(F.broadcast(ws))
+             .withColumn("wsum",
+                         F.col("v1") * F.col("source_rel_length")
+                         + F.col("v2") * F.col("distinct_ratio")
+                         + F.col("v3") * F.col("token_count"))
+             .withColumn("wlabel", F.when(F.col("wsum") > 0, 1)
+                         .otherwise(-1))
+             .agg(F.count(F.when(F.col("wlabel") != F.col("mv"), 1))
+                  .alias("n_flipped")))
+    return (wtab.crossJoin(F.broadcast(flips))
+            .select("labeling_fn", "agree_mv", "est_accuracy",
+                    F.round(F.col("w_u") / 1e9, 6).alias("weight"),
+                    "n_docs", "n_flipped")
+            .orderBy("labeling_fn"))
+
+
+QUERIES["weak_label_model"] = weak_label_model
+ORACLES["weak_label_model"] = """
+    WITH per AS (
+        SELECT doc_id, source, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(string_split(text, ' ')))
+                    AS BIGINT) AS n_dist
+        FROM documents
+    ), smean AS (
+        SELECT source, sum(n_chars) / CAST(count(*) AS DOUBLE)
+                   AS src_mean
+        FROM per GROUP BY source
+    ), gmean AS (
+        SELECT sum(n_tok) / CAST(count(*) AS DOUBLE) AS tok_mean,
+               sum(n_dist / CAST(n_tok AS DOUBLE))
+                   / CAST(count(*) AS DOUBLE) AS dr_mean
+        FROM per
+    ), voted AS (
+        SELECT p.doc_id,
+               CASE WHEN p.n_chars > s.src_mean THEN 1 ELSE -1 END
+                   AS v1,
+               CASE WHEN p.n_dist / CAST(p.n_tok AS DOUBLE)
+                         > g.dr_mean THEN 1 ELSE -1 END AS v2,
+               CASE WHEN p.n_tok > g.tok_mean THEN 1 ELSE -1 END
+                   AS v3
+        FROM per p JOIN smean s USING (source) CROSS JOIN gmean g
+    ), mv AS (
+        SELECT *, CASE WHEN v1 + v2 + v3 > 0 THEN 1 ELSE -1 END
+                   AS mv
+        FROM voted
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE v1 = mv) AS BIGINT) AS h1,
+               CAST(count(*) FILTER (WHERE v2 = mv) AS BIGINT) AS h2,
+               CAST(count(*) FILTER (WHERE v3 = mv) AS BIGINT) AS h3
+        FROM mv
+    ), ws AS (
+        SELECT n_docs, h1, h2, h3,
+               CAST(round(ln(((h1 + 1) / CAST(n_docs + 2 AS DOUBLE))
+                    / (1 - (h1 + 1) / CAST(n_docs + 2 AS DOUBLE)))
+                    * 1e9, 0) AS BIGINT) AS w1,
+               CAST(round(ln(((h2 + 1) / CAST(n_docs + 2 AS DOUBLE))
+                    / (1 - (h2 + 1) / CAST(n_docs + 2 AS DOUBLE)))
+                    * 1e9, 0) AS BIGINT) AS w2,
+               CAST(round(ln(((h3 + 1) / CAST(n_docs + 2 AS DOUBLE))
+                    / (1 - (h3 + 1) / CAST(n_docs + 2 AS DOUBLE)))
+                    * 1e9, 0) AS BIGINT) AS w3
+        FROM agg
+    ), flips AS (
+        SELECT CAST(count(*) FILTER (WHERE
+                   (CASE WHEN m.v1 * w.w1 + m.v2 * w.w2 + m.v3 * w.w3
+                         > 0 THEN 1 ELSE -1 END) != m.mv) AS BIGINT)
+                   AS n_flipped
+        FROM mv m CROSS JOIN ws w
+    )
+    SELECT t.labeling_fn, t.agree_mv,
+           round((t.agree_mv + 1) / CAST(w.n_docs + 2 AS DOUBLE), 6)
+               AS est_accuracy,
+           round(t.w_u / 1e9, 6) AS weight,
+           w.n_docs, f.n_flipped
+    FROM (
+        SELECT 'source_rel_length' AS labeling_fn, h1 AS agree_mv,
+               w1 AS w_u FROM ws
+        UNION ALL
+        SELECT 'distinct_ratio', h2, w2 FROM ws
+        UNION ALL
+        SELECT 'token_count', h3, w3 FROM ws
+    ) t CROSS JOIN ws w CROSS JOIN flips f
+    ORDER BY t.labeling_fn
+"""

@@ -1161,3 +1161,103 @@ def test_mahalanobis_brute_force(spark, sf_dir):
         assert (r.l_orderkey, r.l_linenumber) == (ok, ln), rank
         assert r.d2 == pytest.approx(d2[i], abs=2e-6)
         assert r.extreme_999 == bool(d2[i] > 13.8)
+
+
+# ------------------------------------------------ weak label model
+
+def test_weak_label_model_brute_force(spark, sf_dir):
+    """Votes, accuracies, weights, and the flip count replayed in
+    python; accuracy order matches weight order (monotone log-odds);
+    every estimated accuracy > 0.5 (LFs agree with their majority
+    more often than not by construction)."""
+    from qrapids_forecast_r_script_spark.operators.training_prep \
+        import weak_label_model
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = {r.labeling_fn: r
+           for r in weak_label_model(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    per = []
+    for d in docs:
+        ts = d.text.split(" ")
+        per.append((d.doc_id, d.source, d.n_chars, len(ts),
+                    len(set(ts))))
+    from collections import defaultdict
+    ssum = defaultdict(lambda: [0, 0])
+    for _, src, nc, _, _ in per:
+        ssum[src][0] += nc
+        ssum[src][1] += 1
+    smean = {s: a / b for s, (a, b) in ssum.items()}
+    tok_mean = sum(p[3] for p in per) / len(per)
+    dr_mean = sum(p[4] / p[3] for p in per) / len(per)
+    votes = []
+    for _, src, nc, nt, nd in per:
+        v1 = 1 if nc > smean[src] else -1
+        v2 = 1 if nd / nt > dr_mean else -1
+        v3 = 1 if nt > tok_mean else -1
+        mv = 1 if v1 + v2 + v3 > 0 else -1
+        votes.append((v1, v2, v3, mv))
+    n = len(votes)
+    hs = [sum(1 for v in votes if v[i] == v[3]) for i in range(3)]
+    accs = [(h + 1) / (n + 2) for h in hs]
+    ws = [round(math.log(a / (1 - a)) * 1e9) for a in accs]
+    flips = sum(1 for v in votes
+                if (1 if v[0] * ws[0] + v[1] * ws[1] + v[2] * ws[2]
+                    > 0 else -1) != v[3])
+    names = ["source_rel_length", "distinct_ratio", "token_count"]
+    for i, nm in enumerate(names):
+        r = got[nm]
+        assert r.agree_mv == hs[i]
+        assert r.est_accuracy == pytest.approx(round(accs[i], 6),
+                                               abs=2e-6)
+        assert r.weight == pytest.approx(ws[i] / 1e9, abs=2e-6)
+        assert r.n_flipped == flips
+        # log-odds weighting handles ANTI-correlated LFs by negative
+        # weight (sign flip), so accuracy and weight agree in sign
+        # around 0.5 — the reason the model beats raw majority
+        assert (r.est_accuracy > 0.5) == (r.weight > 0)
+    order_acc = sorted(names, key=lambda nm: got[nm].est_accuracy)
+    order_w = sorted(names, key=lambda nm: got[nm].weight)
+    assert order_acc == order_w
+    # this fixture contains one anti-correlated LF (distinct ratio
+    # falls as length rises) — the model must invert it
+    assert got["distinct_ratio"].weight < 0
+
+
+# ---------------------------------------------- circular statistics
+
+def test_circular_stats_brute_force(spark, sf_dir):
+    """Mean hour / R-bar replayed in python; a synthetic two-point
+    23:00+01:00 set has circular mean 0:00 (where the arithmetic
+    mean says noon) — the reason circular statistics exist."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import event_time_circular_stats
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = {r.event_type: r
+           for r in event_time_circular_stats(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts").collect()
+    from collections import defaultdict
+    acc = defaultdict(lambda: [0, 0, 0])
+    two_pi = 6.283185307179586
+    for r in ev:
+        sod = r.ts.hour * 3600 + r.ts.minute * 60 + r.ts.second
+        th = sod / 86400.0 * two_pi
+        a = acc[r.event_type]
+        a[0] += round(math.cos(th) * 1e9)
+        a[1] += round(math.sin(th) * 1e9)
+        a[2] += 1
+    for t, (sc, ss, n) in acc.items():
+        c, s = sc / 1e9, ss / 1e9
+        rbar = math.sqrt(c * c + s * s) / n
+        mh = (math.atan2(s, c) % two_pi) / two_pi * 24
+        r = got[t]
+        assert r.n == n
+        assert r.resultant_r == pytest.approx(rbar, abs=2e-6)
+        assert r.mean_hour == pytest.approx(mh, abs=2e-5)
+        assert r.rayleigh_z == pytest.approx(n * rbar * rbar,
+                                             abs=2e-4)
+    c = math.cos(23 / 24 * two_pi) + math.cos(1 / 24 * two_pi)
+    s = math.sin(23 / 24 * two_pi) + math.sin(1 / 24 * two_pi)
+    mh = (math.atan2(s, c) % two_pi) / two_pi * 24
+    assert min(mh, 24 - mh) < 1e-9          # circular mean: midnight
+    assert abs((23 + 1) / 2 - 12) < 1e-9    # arithmetic mean: noon
