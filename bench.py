@@ -376,6 +376,8 @@ HEADLINE = [
     "mahalanobis_outliers",
     "weak_label_model",
     "event_time_circular_stats",
+    "hmm_viterbi_path",
+    "dbscan_density_classes",
 ]
 
 

@@ -4508,3 +4508,126 @@ ORACLES["event_time_circular_stats"] = f"""
                AS nonuniform
     FROM agg ORDER BY event_type
 """
+
+
+def hmm_viterbi_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VITERBI decoding of the 2-state calm/busy HMM (Viterbi 1967;
+    Rabiner problem 2's MAP-path form): the single most probable
+    STATE SEQUENCE given the whole observation string — different
+    from the smoothed per-day posterior (`hmm_smoothed_posterior`
+    maximizes each day marginally; Viterbi maximizes the joint path,
+    which can disagree day-by-day).  The max-product recursion runs
+    in the engine's recursive CTE with the BACKPOINTER PATHS carried
+    as arrays in the recursion state (the `forecast_holtwinters`
+    array-state pattern), so no backward backtracking pass is
+    needed: at the end the argmax terminal state's array IS the
+    decoded path.
+
+    Determinism: deltas are normalized and snapped to 1e-9 each
+    level (scale cancels in argmax); ties in each max resolve to
+    state 0 by >= comparison on both engines; observations are
+    integer-count comparisons against the exact median.
+
+    Scale: recursion state is two doubles + two day-length int
+    arrays per series — O(days) state instead of a second pass; for
+    very long series the standard trade is checkpointed backpointer
+    tables + a backward walk."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    from pyspark.sql.window import Window
+    med = daily.agg(F.expr("percentile(c, 0.5)").alias("med"))
+    obs = (daily.crossJoin(F.broadcast(med))
+           .select(F.row_number().over(Window.orderBy("day"))
+                   .alias("t"), "day",
+                   (F.col("c") > F.col("med")).cast("int").alias("o")))
+    obs.localCheckpoint(eager=True).createOrReplaceTempView(
+        "qr_hmm4_obs")
+    a00, a01, a10, a11 = _HMM_A
+    e0, e1 = _HMM_E1
+    b0 = f"CASE o.o WHEN 1 THEN {e0}D ELSE {1 - e0}D END"
+    b1 = f"CASE o.o WHEN 1 THEN {e1}D ELSE {1 - e1}D END"
+    # candidate scores into state j: from 0 = w.d0*A0j, from 1 = w.d1*A1j
+    in0 = f"greatest(w.d0 * {a00}D, w.d1 * {a10}D) * {b0}"
+    in1 = f"greatest(w.d0 * {a01}D, w.d1 * {a11}D) * {b1}"
+    return spark.sql(f"""
+        WITH RECURSIVE vit(t, d0, d1, p0, p1) AS (
+            SELECT o.t,
+                   round(0.5D * {b0}
+                         / (0.5D * {b0} + 0.5D * {b1}), 9),
+                   round(0.5D * {b1}
+                         / (0.5D * {b0} + 0.5D * {b1}), 9),
+                   array(0), array(1)
+            FROM qr_hmm4_obs o WHERE o.t = 1
+            UNION ALL
+            SELECT o.t,
+                   round({in0} / ({in0} + {in1}), 9),
+                   round({in1} / ({in0} + {in1}), 9),
+                   concat(CASE WHEN w.d0 * {a00}D >= w.d1 * {a10}D
+                               THEN w.p0 ELSE w.p1 END, array(0)),
+                   concat(CASE WHEN w.d0 * {a01}D >= w.d1 * {a11}D
+                               THEN w.p0 ELSE w.p1 END, array(1))
+            FROM vit w JOIN qr_hmm4_obs o ON o.t = w.t + 1
+        ),
+        fin AS (
+            SELECT CASE WHEN d0 >= d1 THEN p0 ELSE p1 END AS path
+            FROM vit ORDER BY t DESC LIMIT 1
+        )
+        SELECT ob.t, ob.day, CAST(ob.o AS INT) AS obs_high,
+               CAST(element_at(f.path, CAST(ob.t AS INT)) AS INT)
+                   AS map_state
+        FROM qr_hmm4_obs ob CROSS JOIN fin f
+        ORDER BY ob.t
+    """)
+
+
+QUERIES["hmm_viterbi_path"] = hmm_viterbi_path
+
+
+def _hmm_viterbi_oracle_sql() -> str:
+    a00, a01, a10, a11 = _HMM_A
+    e0, e1 = _HMM_E1
+    b0 = f"CASE o.o WHEN 1 THEN {e0} ELSE {1 - e0} END"
+    b1 = f"CASE o.o WHEN 1 THEN {e1} ELSE {1 - e1} END"
+    in0 = f"greatest(w.d0 * {a00}, w.d1 * {a10}) * {b0}"
+    in1 = f"greatest(w.d0 * {a01}, w.d1 * {a11}) * {b1}"
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), med AS (SELECT median(c) AS med FROM daily),
+    obs AS (
+        SELECT row_number() OVER (ORDER BY day) AS t, day,
+               CAST(c > m.med AS INT) AS o
+        FROM daily CROSS JOIN med m
+    ),
+    vit(t, d0, d1, p0, p1) AS (
+        SELECT o.t,
+               round(0.5 * {b0} / (0.5 * {b0} + 0.5 * {b1}), 9),
+               round(0.5 * {b1} / (0.5 * {b0} + 0.5 * {b1}), 9),
+               [0], [1]
+        FROM obs o WHERE o.t = 1
+        UNION ALL
+        SELECT o.t,
+               round({in0} / ({in0} + {in1}), 9),
+               round({in1} / ({in0} + {in1}), 9),
+               list_append(CASE WHEN w.d0 * {a00} >= w.d1 * {a10}
+                           THEN w.p0 ELSE w.p1 END, 0),
+               list_append(CASE WHEN w.d0 * {a01} >= w.d1 * {a11}
+                           THEN w.p0 ELSE w.p1 END, 1)
+        FROM vit w JOIN obs o ON o.t = w.t + 1
+    ),
+    fin AS (
+        SELECT CASE WHEN d0 >= d1 THEN p0 ELSE p1 END AS path
+        FROM vit ORDER BY t DESC LIMIT 1
+    )
+    SELECT CAST(ob.t AS BIGINT) AS t, ob.day,
+           CAST(ob.o AS INT) AS obs_high,
+           CAST(f.path[CAST(ob.t AS INT)] AS INT) AS map_state
+    FROM obs ob CROSS JOIN fin f
+    ORDER BY ob.t
+"""
+
+
+ORACLES["hmm_viterbi_path"] = _hmm_viterbi_oracle_sql()

@@ -366,3 +366,112 @@ def _wavelet_oracle_sql() -> str:
 
 QUERIES["series_wavelet_energy"] = series_wavelet_energy
 ORACLES["series_wavelet_energy"] = _wavelet_oracle_sql()
+
+
+_DB_H = 0.1      # grid cell width (the eps analog)
+_DB_MINPTS = 8   # density threshold over the 3x3 neighborhood
+
+
+def dbscan_density_classes(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Grid-accelerated DBSCAN density classification (Ester et al.
+    1996) of the embedding cloud's first two coordinates: bucket
+    points into an h=0.1 grid, count each point's 3x3-cell
+    neighborhood (the standard O(n) grid surrogate for the eps-ball
+    — every true eps=h neighbor lies inside the 3x3 block), and
+    classify CORE (neighborhood >= 8), BORDER (non-core in a cell
+    whose 3x3 block holds a core point), NOISE (else) — the
+    density-based outlier/cluster-membership read centroid methods
+    (IVF, k-means) cannot give, reported per label so the synthetic
+    cluster structure is visible (dense labels go core, stragglers
+    go noise).  Full cluster LABELING at scale is the
+    `dedup_clusters` converge-loop over core-cell adjacency; this
+    query pins the density classification that feeds it.
+
+    Determinism: cells come from floor division of float32-exact
+    coordinates; all counts are integers; classes are integer
+    comparisons — no floats survive to the output.
+
+    Scale: one map-side cell assignment, one cell-count aggregate
+    (grid-bounded), a 9-way broadcast neighbor expansion of the
+    CELL table (never the points), and one broadcast join back —
+    the points shuffle zero times."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", "label",
+        F.floor(F.element_at("embedding", 1) / F.lit(_DB_H))
+        .cast("int").alias("cx"),
+        F.floor(F.element_at("embedding", 2) / F.lit(_DB_H))
+        .cast("int").alias("cy"))
+    cells = (pts.groupBy("cx", "cy")
+             .agg(F.count(F.lit(1)).alias("n")))
+    off = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("int").alias("dx"),
+        (F.col("id") / 3).cast("int").alias("dy2"))
+    off = off.select("dx", (F.col("dy2") - 1).alias("dy"))
+    nb = (cells.crossJoin(F.broadcast(off))
+          .select((F.col("cx") + F.col("dx")).alias("cx"),
+                  (F.col("cy") + F.col("dy")).alias("cy"),
+                  "n")
+          .groupBy("cx", "cy")
+          .agg(F.sum("n").alias("nbhd")))
+    core_cells = (cells.join(nb, ["cx", "cy"])
+                  .where(F.col("nbhd") >= _DB_MINPTS)
+                  .select("cx", "cy"))
+    near_core = (core_cells.crossJoin(F.broadcast(off))
+                 .select((F.col("cx") + F.col("dx")).alias("cx"),
+                         (F.col("cy") + F.col("dy")).alias("cy"))
+                 .distinct()
+                 .withColumn("near_core", F.lit(1)))
+    classed = (pts
+               .join(F.broadcast(nb), ["cx", "cy"], "left")
+               .join(F.broadcast(near_core), ["cx", "cy"], "left")
+               .withColumn("cls", F.when(
+                   F.coalesce("nbhd", F.lit(0)) >= _DB_MINPTS,
+                   F.lit("core"))
+                   .when(F.col("near_core").isNotNull(),
+                         F.lit("border"))
+                   .otherwise(F.lit("noise"))))
+    return (classed.groupBy("label", "cls")
+            .agg(F.count(F.lit(1)).alias("n_points"))
+            .orderBy("label", "cls"))
+
+
+QUERIES["dbscan_density_classes"] = dbscan_density_classes
+ORACLES["dbscan_density_classes"] = f"""
+    WITH pts AS (
+        SELECT vec_id, label,
+               CAST(floor(embedding[1] / {_DB_H}) AS INT) AS cx,
+               CAST(floor(embedding[2] / {_DB_H}) AS INT) AS cy
+        FROM embeddings
+    ), cells AS (
+        SELECT cx, cy, CAST(count(*) AS BIGINT) AS n
+        FROM pts GROUP BY 1, 2
+    ), off AS (
+        SELECT CAST(i % 3 - 1 AS INT) AS dx,
+               CAST(i // 3 - 1 AS INT) AS dy
+        FROM range(9) t(i)
+    ), nb AS (
+        SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy,
+               CAST(sum(c.n) AS BIGINT) AS nbhd
+        FROM cells c CROSS JOIN off o
+        GROUP BY 1, 2
+    ), core_cells AS (
+        SELECT c.cx, c.cy
+        FROM cells c JOIN nb ON nb.cx = c.cx AND nb.cy = c.cy
+        WHERE nb.nbhd >= {_DB_MINPTS}
+    ), near_core AS (
+        SELECT DISTINCT c.cx + o.dx AS cx, c.cy + o.dy AS cy
+        FROM core_cells c CROSS JOIN off o
+    )
+    SELECT p.label,
+           CASE WHEN coalesce(nb.nbhd, 0) >= {_DB_MINPTS} THEN 'core'
+                WHEN nc.cx IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS cls,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM pts p
+    LEFT JOIN nb ON nb.cx = p.cx AND nb.cy = p.cy
+    LEFT JOIN near_core nc ON nc.cx = p.cx AND nc.cy = p.cy
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

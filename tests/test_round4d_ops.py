@@ -1261,3 +1261,92 @@ def test_circular_stats_brute_force(spark, sf_dir):
     mh = (math.atan2(s, c) % two_pi) / two_pi * 24
     assert min(mh, 24 - mh) < 1e-9          # circular mean: midnight
     assert abs((23 + 1) / 2 - 12) < 1e-9    # arithmetic mean: noon
+
+
+# -------------------------------------------------- Viterbi decode
+
+def test_viterbi_brute_force_and_vs_smoothing(spark, sf_dir):
+    """The MAP path replayed in python (max-product with the same
+    snapping and tie rule); the path is the joint argmax so its
+    day-wise states may legally disagree with the smoothed marginals
+    but must agree at strongly-decided days (|posterior-0.5|>0.4)."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import hmm_viterbi_path, hmm_smoothed_posterior
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = {r.t: r for r in hmm_viterbi_path(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")).collect()
+    daily = Counter(r.day for r in ev if r.event_type == "purchase")
+    days = sorted(daily)
+    cs = sorted(daily[d] for d in days)
+    n = len(cs)
+    med = (cs[n // 2] if n % 2 else (cs[n // 2 - 1] + cs[n // 2]) / 2)
+    obs = [1 if daily[d] > med else 0 for d in days]
+    A = (0.8, 0.2, 0.3, 0.7)
+    E1 = (0.3, 0.7)
+
+    def b(o):
+        return (E1[0] if o else 1 - E1[0],
+                E1[1] if o else 1 - E1[1])
+
+    b0, b1 = b(obs[0])
+    c = 0.5 * b0 + 0.5 * b1
+    d0, d1 = round(0.5 * b0 / c, 9), round(0.5 * b1 / c, 9)
+    p0, p1 = [0], [1]
+    for o in obs[1:]:
+        b0, b1 = b(o)
+        i0 = max(d0 * A[0], d1 * A[2]) * b0
+        i1 = max(d0 * A[1], d1 * A[3]) * b1
+        np0 = (p0 if d0 * A[0] >= d1 * A[2] else p1) + [0]
+        np1 = (p0 if d0 * A[1] >= d1 * A[3] else p1) + [1]
+        c = i0 + i1
+        d0, d1 = round(i0 / c, 9), round(i1 / c, 9)
+        p0, p1 = np0, np1
+    path = p0 if d0 >= d1 else p1
+    for t, st in enumerate(path, 1):
+        assert got[t].map_state == st, t
+        assert got[t].obs_high == obs[t - 1]
+    sm = {r.t: r.p_busy_smoothed
+          for r in hmm_smoothed_posterior(spark, sf_dir).collect()}
+    for t, st in enumerate(path, 1):
+        if abs(sm[t] - 0.5) > 0.4:
+            assert st == (1 if sm[t] > 0.5 else 0), t
+
+
+# ------------------------------------------------- DBSCAN classes
+
+def test_dbscan_brute_force(spark, sf_dir):
+    """Core/border/noise counts replayed in python on the same grid;
+    class populations partition the corpus; at least one core point
+    exists (the synthetic labels are clustered)."""
+    from qrapids_forecast_r_script_spark.operators.spectral import (
+        dbscan_density_classes)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = {(r.label, r.cls): r.n_points
+           for r in dbscan_density_classes(spark, sf_dir).collect()}
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding").collect()
+    cells = Counter()
+    pts = []
+    for r in emb:
+        cx = math.floor(r.embedding[0] / 0.1)
+        cy = math.floor(r.embedding[1] / 0.1)
+        pts.append((r.label, cx, cy))
+        cells[(cx, cy)] += 1
+    def nbhd(cx, cy):
+        return sum(cells.get((cx + dx, cy + dy), 0)
+                   for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    core_cells = {c for c in cells if nbhd(*c) >= 8}
+    near = {(cx + dx, cy + dy) for (cx, cy) in core_cells
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
+    exp = Counter()
+    for lbl, cx, cy in pts:
+        if nbhd(cx, cy) >= 8:
+            exp[(lbl, "core")] += 1
+        elif (cx, cy) in near:
+            exp[(lbl, "border")] += 1
+        else:
+            exp[(lbl, "noise")] += 1
+    assert got == dict(exp)
+    assert sum(got.values()) == len(pts)
+    assert any(k[1] == "core" for k in got)
