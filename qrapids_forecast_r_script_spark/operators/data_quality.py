@@ -658,7 +658,7 @@ ORACLES["benford_first_digit_audit"] = f"""
     ), t AS (SELECT sum(n_obs) AS tot FROM obs)
     SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
            round(n_obs / CAST(tot AS DOUBLE), 6) AS share_obs,
-           CASE digit {_BENFORD_CASE} END AS share_exp,
+           CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE) AS share_exp,
            round((n_obs - (CASE digit {_BENFORD_CASE} END) * tot)
                  * (n_obs - (CASE digit {_BENFORD_CASE} END) * tot)
                  / ((CASE digit {_BENFORD_CASE} END) * tot), 6)

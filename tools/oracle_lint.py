@@ -50,6 +50,14 @@ def lint_schema(schema: pa.Schema) -> list[str]:
                 f"col {field.name}: {t} — HUGEINT-class integer widening "
                 f"(DuckDB sum of integers); Spark emits int64, driver hash "
                 f"will fail.  CAST(... AS BIGINT).")
+        elif pa.types.is_decimal(t):
+            # the benford share_exp regression: DECIMAL literals (CASE
+            # ... THEN 0.30103) surface as decimal while Spark emits
+            # double — same driver-hash failure class as HUGEINT
+            problems.append(
+                f"col {field.name}: {t} — DECIMAL output (DuckDB keeps "
+                f"numeric literals as decimal); Spark emits double, "
+                f"driver hash will fail.  CAST(... AS DOUBLE).")
     return problems
 
 
