@@ -378,6 +378,9 @@ HEADLINE = [
     "event_time_circular_stats",
     "hmm_viterbi_path",
     "dbscan_density_classes",
+    "hedge_forecast_combination",
+    "newsvendor_stock_levels",
+    "price_elasticity_ols",
 ]
 
 

@@ -3079,3 +3079,132 @@ EVAL_ORACLES["series_dickey_fuller"] = f"""
                AS stationary
     FROM a ORDER BY name, index
 """
+
+
+_HEDGE_ETA = 1.2587042594304851   # sqrt(8 ln K / T), K=4 methods, T=7
+
+
+def hedge_forecast_combination(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """ONLINE forecast combination by the HEDGE / exponential-weights
+    algorithm (Littlestone & Warmuth 1994; Freund & Schapire 1997;
+    Cesa-Bianchi & Lugosi 2006 ch.2) over the four closed-form
+    forecasters on the 7-day holdout: each day every method's capped
+    absolute-percentage loss updates its weight
+    w_m ∝ exp(-eta * cumulative loss), and the combined forecast is
+    the weight-averaged prediction — the SEQUENTIAL counterpart of
+    the equal-weight `ensemble_closed_forms` and the CV-weighted
+    HYBRID (R:321-337): no training window at all, the weights adapt
+    DURING the evaluation, and the regret bound guarantees the
+    combination's total loss trails the best single method by at
+    most sqrt(T ln K / 2) regardless of the data.  Reported per
+    series: hedge MAE, best single MAE, the realized REGRET in
+    capped-loss units (must respect the bound — pinned in tests),
+    and whether hedge beat the best single method in MAE.
+
+    Determinism: losses cap at 1 and snap to 1e-9 (BIGINT prefix
+    sums through the per-method window); weights snap at 1e-9; the
+    4-term combination sums 1e-6-snapped w*pred micro-units —
+    order-proof throughout; eta is the literal minimax rate.
+
+    Scale: rides the shared holdout-preds frame; two windows and two
+    grouped sums per series — the backtest cost shape."""
+    from pyspark.sql.window import Window
+    preds = _holdout_preds(spark, sf_dir).where(
+        F.col("pred").isNotNull())
+    loss = F.least(
+        F.abs(F.col("value") - F.col("pred"))
+        / F.greatest(F.abs(F.col("value")), F.lit(1e-6)), F.lit(1.0))
+    lu = F.round(loss * 1e9, 0).cast("bigint")
+    wprev = (Window.partitionBy("name", "index", "method")
+             .orderBy("h").rowsBetween(Window.unboundedPreceding, -1))
+    staged = (preds.withColumn("lu", lu)
+              .withColumn("lcum_u",
+                          F.coalesce(F.sum("lu").over(wprev),
+                                     F.lit(0).cast("bigint"))))
+    w = F.round(F.exp(-F.lit(_HEDGE_ETA) * F.col("lcum_u") / 1e9), 9)
+    perh = (staged.withColumn("w", w)
+            .groupBy("name", "index", "h")
+            .agg(F.max("value").alias("value"),
+                 F.sum(F.round(F.col("w") * F.col("pred") * 1e6, 0)
+                       .cast("bigint")).alias("num_u"),
+                 F.sum(F.round(F.col("w") * 1e9, 0).cast("bigint"))
+                 .alias("den_u")))
+    hpred = (F.col("num_u") / 1e6) / (F.col("den_u") / 1e9)
+    hloss_u = F.round(
+        F.least(F.abs(F.col("value") - hpred)
+                / F.greatest(F.abs(F.col("value")), F.lit(1e-6)),
+                F.lit(1.0)) * 1e9, 0).cast("bigint")
+    hedge = (perh.withColumn("hl_u", hloss_u)
+             .withColumn("ae", F.abs(F.col("value") - hpred))
+             .groupBy("name", "index")
+             .agg(F.round(F.avg("ae"), _ROUND).alias("hedge_mae"),
+                  F.sum("hl_u").alias("hedge_loss_u")))
+    per_m = (staged.groupBy("name", "index", "method")
+             .agg(F.sum("lu").alias("ml_u"),
+                  F.avg(F.abs(F.col("value") - F.col("pred")))
+                  .alias("m_mae")))
+    best = (per_m.groupBy("name", "index")
+            .agg(F.min("ml_u").alias("best_loss_u"),
+                 F.round(F.min("m_mae"), _ROUND)
+                 .alias("best_single_mae")))
+    return (hedge.join(best, ["name", "index"])
+            .select("name", "index", "hedge_mae", "best_single_mae",
+                    F.round((F.col("hedge_loss_u")
+                             - F.col("best_loss_u")) / 1e9, 6)
+                    .alias("regret"),
+                    (F.col("hedge_mae") < F.col("best_single_mae"))
+                    .alias("hedge_wins"))
+            .orderBy("name", "index"))
+
+
+EVAL_QUERIES["hedge_forecast_combination"] = hedge_forecast_combination
+EVAL_ORACLES["hedge_forecast_combination"] = f"""
+    WITH {_BT_PREDS_SQL},
+    pn AS (SELECT * FROM preds WHERE pred IS NOT NULL),
+    staged AS (
+        SELECT name, index, method, h, value, pred,
+               CAST(round(least(abs(value - pred)
+                                / greatest(abs(value), 1e-6), 1.0)
+                          * 1e9, 0) AS BIGINT) AS lu
+        FROM pn
+    ), cum AS (
+        SELECT *, coalesce(sum(lu) OVER (
+                   PARTITION BY name, index, method ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS lcum_u
+        FROM staged
+    ), perh AS (
+        SELECT name, index, h, max(value) AS value,
+               CAST(sum(CAST(round(
+                   round(exp(-{_HEDGE_ETA} * lcum_u / 1e9), 9)
+                   * pred * 1e6, 0) AS BIGINT)) AS BIGINT) AS num_u,
+               CAST(sum(CAST(round(
+                   round(exp(-{_HEDGE_ETA} * lcum_u / 1e9), 9)
+                   * 1e9, 0) AS BIGINT)) AS BIGINT) AS den_u
+        FROM cum GROUP BY 1, 2, 3
+    ), hedge AS (
+        SELECT name, index,
+               round(avg(abs(value - (num_u / 1e6)
+                             / (den_u / 1e9))), 6) AS hedge_mae,
+               CAST(sum(CAST(round(least(
+                   abs(value - (num_u / 1e6) / (den_u / 1e9))
+                   / greatest(abs(value), 1e-6), 1.0) * 1e9, 0)
+                   AS BIGINT)) AS BIGINT) AS hedge_loss_u
+        FROM perh GROUP BY 1, 2
+    ), per_m AS (
+        SELECT name, index, method,
+               CAST(sum(lu) AS BIGINT) AS ml_u,
+               avg(abs(value - pred)) AS m_mae
+        FROM staged GROUP BY 1, 2, 3
+    ), best AS (
+        SELECT name, index, min(ml_u) AS best_loss_u,
+               round(min(m_mae), 6) AS best_single_mae
+        FROM per_m GROUP BY 1, 2
+    )
+    SELECT h.name, h.index, h.hedge_mae, b.best_single_mae,
+           round((h.hedge_loss_u - b.best_loss_u) / 1e9, 6) AS regret,
+           h.hedge_mae < b.best_single_mae AS hedge_wins
+    FROM hedge h JOIN best b USING (name, index)
+    ORDER BY h.name, h.index
+"""

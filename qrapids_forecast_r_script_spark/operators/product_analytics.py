@@ -4631,3 +4631,93 @@ def _hmm_viterbi_oracle_sql() -> str:
 
 
 ORACLES["hmm_viterbi_path"] = _hmm_viterbi_oracle_sql()
+
+
+def price_elasticity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log PRICE ELASTICITY of demand per part brand (Marshall's
+    elasticity; the workhorse pricing regression): slope of
+    ln(quantity) on ln(unit price) across the brand's line items —
+    elasticity < -1 = elastic (discounting grows revenue), -1..0 =
+    inelastic (discounting burns margin).  The units: a 1% price
+    increase moves quantity by elasticity%.  R² reported so a flat
+    scatter (no real price variation) is visibly untrustworthy
+    rather than silently near-zero.
+
+    Exactness: unit price is an exact integer-cents-per-unit ratio;
+    both logs snap to the 1e-6 grid per row, the five regression
+    sums are BIGINT/128-bit micro-unit aggregates, and the closed
+    forms divide them once — the `series_trend_ols` discipline on a
+    (brand)-keyed panel.
+
+    Scale: one lineitem scan + broadcast part join, one 25-key
+    moment aggregate — the elasticity table is dimension-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand")
+    x = F.round(F.log(F.col("l_extendedprice")
+                      / F.col("l_quantity")), 6)
+    y = F.round(F.log(F.col("l_quantity").cast("double")), 6)
+    rows = (li.join(F.broadcast(part), "l_partkey")
+            .select("p_brand",
+                    F.round(x * 1e6, 0).cast("long").alias("xu"),
+                    F.round(y * 1e6, 0).cast("long").alias("yu")))
+    a = (rows.groupBy("p_brand")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("xu").alias("sx"), F.sum("yu").alias("sy"),
+              F.sum(F.col("xu").cast("decimal(38,0)") * F.col("yu"))
+              .alias("sxy"),
+              F.sum(F.col("xu").cast("decimal(38,0)") * F.col("xu"))
+              .alias("sxx"),
+              F.sum(F.col("yu").cast("decimal(38,0)") * F.col("yu"))
+              .alias("syy")))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / 1e6
+    sy = F.col("sy").cast("double") / 1e6
+    sxy = F.col("sxy").cast("double") / 1e12
+    sxx = F.col("sxx").cast("double") / 1e12
+    syy = F.col("syy").cast("double") / 1e12
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return (a.select("p_brand", "n",
+                     F.round(cov / vx, 6).alias("elasticity"),
+                     F.round(cov * cov / (vx * vy), 6).alias("r2"),
+                     F.round(sx / n, 6).alias("mean_ln_price"))
+            .orderBy("p_brand"))
+
+
+QUERIES["price_elasticity_ols"] = price_elasticity_ols
+ORACLES["price_elasticity_ols"] = """
+    WITH rows_ AS (
+        SELECT p.p_brand,
+               CAST(round(round(ln(l.l_extendedprice / l.l_quantity),
+                                6) * 1e6, 0) AS BIGINT) AS xu,
+               CAST(round(round(ln(CAST(l.l_quantity AS DOUBLE)), 6)
+                          * 1e6, 0) AS BIGINT) AS yu
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), a AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xu) AS BIGINT) AS sx,
+               CAST(sum(yu) AS BIGINT) AS sy,
+               CAST(sum(CAST(xu AS HUGEINT) * yu) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(xu AS HUGEINT) * xu) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(yu AS HUGEINT) * yu) AS HUGEINT) AS syy
+        FROM rows_ GROUP BY 1
+    )
+    SELECT p_brand, n,
+           round((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)
+                  - (sx / 1e6) * (sy / 1e6))
+                 / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                    - (sx / 1e6) * (sx / 1e6)), 6) AS elasticity,
+           round((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)
+                  - (sx / 1e6) * (sy / 1e6))
+                 * (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)
+                    - (sx / 1e6) * (sy / 1e6))
+                 / ((CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                     - (sx / 1e6) * (sx / 1e6))
+                    * (CAST(n AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e12)
+                       - (sy / 1e6) * (sy / 1e6))), 6) AS r2,
+           round((sx / 1e6) / CAST(n AS DOUBLE), 6) AS mean_ln_price
+    FROM a ORDER BY p_brand
+"""

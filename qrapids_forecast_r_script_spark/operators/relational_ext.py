@@ -774,3 +774,110 @@ ORACLES["dow_type_median_polish"] = """
     FROM s3 s JOIN cm2 c USING (event_type)
     ORDER BY s.dow, s.event_type
 """
+
+
+_NV_CU = 4.0    # underage cost (lost margin per unit short)
+_NV_CO = 1.0    # overage cost (holding per unit left over)
+_NV_PARTS = 10  # parts reported (highest-demand, deterministic)
+
+
+def newsvendor_stock_levels(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """NEWSVENDOR optimal stock per part (Arrow-Harris-Marschak 1951;
+    the critical-fractile rule): with underage cost c_u = 4 and
+    overage cost c_o = 1, the profit-maximizing stock is the
+    demand-distribution quantile at the critical fractile
+    c_u/(c_u+c_o) = 0.8 — the DECISION operator the
+    `parts_running_balance` ledger simulates around and every
+    replenishment system solves daily.  Demand = daily shipped
+    quantity over 1996-H1 for the 10 highest-demand parts; reported
+    next to the optimal stock: expected daily shortage and leftover
+    AT that stock (exact empirical expectations), so the cost trade
+    the fractile optimizes is visible in units.
+
+    Exactness: daily demands are integer quantity sums (zero-demand
+    days included via the date spine — dropping them biases the
+    quantile up); the 0.8 quantile is the same linear-interpolation
+    percentile both engines compute on integers; shortage/leftover
+    expectations are integer sums divided once.
+
+    Scale: one lineitem scan pre-aggregated to (part, day); the
+    quantile + expectation stages run on |parts| x days rows."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01")))
+    dd = (li.groupBy(F.col("l_partkey").alias("pk"),
+                     F.col("l_shipdate").alias("day"))
+          .agg(F.sum("l_quantity").cast("long").alias("q")))
+    tot = (dd.groupBy("pk").agg(F.sum("q").alias("tq"))
+           .orderBy(F.col("tq").desc(), F.col("pk").asc())
+           .limit(_NV_PARTS))
+    spine = (tot.crossJoin(
+        F.broadcast(li.select(F.col("l_shipdate").alias("day"))
+                    .distinct()))
+        .join(dd, ["pk", "day"], "left")
+        .select("pk", "tq", "day",
+                F.coalesce("q", F.lit(0)).cast("long").alias("q")))
+    frac = _NV_CU / (_NV_CU + _NV_CO)
+    qtl = (spine.groupBy("pk", "tq")
+           .agg(F.expr(f"percentile(q, {frac!r})").alias("stock"),
+                F.count(F.lit(1)).alias("n_days")))
+    j = (spine.join(F.broadcast(qtl.select("pk", "stock")), "pk")
+         .groupBy("pk")
+         .agg(F.sum(F.greatest(F.col("q") - F.col("stock"),
+                               F.lit(0.0))).alias("short_sum"),
+              F.sum(F.greatest(F.col("stock") - F.col("q"),
+                               F.lit(0.0))).alias("over_sum")))
+    return (qtl.join(j, "pk")
+            .select(F.col("pk").alias("p_partkey"),
+                    F.col("tq").alias("total_demand"), "n_days",
+                    F.round("stock", 6).alias("opt_stock"),
+                    F.round(F.col("short_sum")
+                            / F.col("n_days").cast("double"), 6)
+                    .alias("exp_daily_shortage"),
+                    F.round(F.col("over_sum")
+                            / F.col("n_days").cast("double"), 6)
+                    .alias("exp_daily_leftover"))
+            .orderBy(F.col("total_demand").desc(),
+                     F.col("p_partkey").asc()))
+
+
+QUERIES["newsvendor_stock_levels"] = newsvendor_stock_levels
+ORACLES["newsvendor_stock_levels"] = f"""
+    WITH li AS (
+        SELECT l_partkey AS pk, l_shipdate AS day,
+               CAST(l_quantity AS BIGINT) AS lq
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1996-07-01'
+    ), dd AS (
+        SELECT pk, day, CAST(sum(lq) AS BIGINT) AS q
+        FROM li GROUP BY 1, 2
+    ), tot AS (
+        SELECT pk, CAST(sum(q) AS BIGINT) AS tq
+        FROM dd GROUP BY 1
+        ORDER BY tq DESC, pk ASC LIMIT {_NV_PARTS}
+    ), days AS (SELECT DISTINCT day FROM li),
+    spine AS (
+        SELECT t.pk, t.tq, d.day, coalesce(x.q, 0) AS q
+        FROM tot t CROSS JOIN days d
+        LEFT JOIN dd x ON x.pk = t.pk AND x.day = d.day
+    ), qtl AS (
+        SELECT pk, tq,
+               quantile_cont(q, {_NV_CU / (_NV_CU + _NV_CO)!r})
+                   AS stock,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM spine GROUP BY 1, 2
+    )
+    SELECT s.pk AS p_partkey, q2.tq AS total_demand, q2.n_days,
+           round(q2.stock, 6) AS opt_stock,
+           round(sum(greatest(s.q - q2.stock, 0.0))
+                 / CAST(q2.n_days AS DOUBLE), 6)
+               AS exp_daily_shortage,
+           round(sum(greatest(q2.stock - s.q, 0.0))
+                 / CAST(q2.n_days AS DOUBLE), 6)
+               AS exp_daily_leftover
+    FROM spine s JOIN qtl q2 USING (pk)
+    GROUP BY s.pk, q2.tq, q2.n_days, q2.stock
+    ORDER BY total_demand DESC, p_partkey ASC
+"""

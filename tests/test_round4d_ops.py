@@ -1350,3 +1350,130 @@ def test_dbscan_brute_force(spark, sf_dir):
     assert got == dict(exp)
     assert sum(got.values()) == len(pts)
     assert any(k[1] == "core" for k in got)
+
+
+# ---------------------------------------------- Hedge combination
+
+def test_hedge_regret_bound_and_replay(spark, sf_dir):
+    """The realized regret respects the minimax bound
+    sqrt(T ln K / 2) per series (T=7, K<=4); hedge never does much
+    worse than the best expert in capped loss; one series replayed
+    in python update-by-update."""
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        hedge_forecast_combination, _holdout_preds)
+    rows = hedge_forecast_combination(spark, sf_dir).collect()
+    bound = math.sqrt(7 * math.log(4) / 2)
+    for r in rows:
+        assert r.regret <= bound + 1e-6, (r.name, r.regret)
+    pdf = _holdout_preds(spark, sf_dir).toPandas()
+    pdf = pdf[pdf.pred.notna()]
+    key = sorted({(r["name"], r["index"]) for _, r in
+                  pdf[["name", "index"]].iterrows()})[0]
+    g = pdf[(pdf["name"] == key[0]) & (pdf["index"] == key[1])]
+    methods = sorted(g.method.unique())
+    eta = 1.2587042594304851
+    lcum = {m: 0 for m in methods}
+    hsum_u = 0
+    aes = []
+    for h in sorted(g.h.unique()):
+        gh = g[g.h == h]
+        num_u = den_u = 0
+        val = gh.value.iloc[0]
+        for m in methods:
+            gm = gh[gh.method == m]
+            if gm.empty:
+                continue
+            w = round(math.exp(-eta * lcum[m] / 1e9), 9)
+            num_u += round(w * gm.pred.iloc[0] * 1e6)
+            den_u += round(w * 1e9)
+        hp = (num_u / 1e6) / (den_u / 1e9)
+        aes.append(abs(val - hp))
+        hsum_u += round(min(abs(val - hp) / max(abs(val), 1e-6), 1.0)
+                        * 1e9)
+        for m in methods:
+            gm = gh[gh.method == m]
+            if not gm.empty:
+                lcum[m] += round(min(abs(val - gm.pred.iloc[0])
+                                     / max(abs(val), 1e-6), 1.0)
+                                 * 1e9)
+    best_u = min(lcum.values())
+    mine = [r for r in rows
+            if r.name == key[0] and r["index"] == key[1]][0]
+    assert mine.hedge_mae == pytest.approx(
+        round(sum(aes) / len(aes), 6), abs=2e-6)
+    assert mine.regret == pytest.approx((hsum_u - best_u) / 1e9,
+                                        abs=2e-6)
+
+
+# ------------------------------------------------------ newsvendor
+
+def test_newsvendor_fractile_optimality(spark, sf_dir):
+    """The reported stock minimizes empirical newsvendor cost
+    4*shortage + 1*leftover against integer stock levels nearby
+    (the critical-fractile optimality, checked on the data); the
+    expectations replayed in python."""
+    from qrapids_forecast_r_script_spark.operators.relational_ext \
+        import newsvendor_stock_levels
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = newsvendor_stock_levels(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity").collect()
+    from collections import defaultdict
+    dd = defaultdict(int)
+    days = set()
+    for r in li:
+        d = str(r.l_shipdate)
+        if "1996-01-01" <= d < "1996-07-01":
+            dd[(r.l_partkey, d)] += int(r.l_quantity)
+            days.add(d)
+    for r in got[:3]:
+        dem = [dd.get((r.p_partkey, d), 0) for d in sorted(days)]
+        n = len(dem)
+        short = sum(max(q - r.opt_stock, 0) for q in dem) / n
+        over = sum(max(r.opt_stock - q, 0) for q in dem) / n
+        assert r.exp_daily_shortage == pytest.approx(short, abs=2e-6)
+        assert r.exp_daily_leftover == pytest.approx(over, abs=2e-6)
+
+        def cost(s):
+            return sum(4 * max(q - s, 0) + max(s - q, 0)
+                       for q in dem)
+
+        best_int = min(range(0, max(dem) + 2), key=cost)
+        assert cost(math.floor(r.opt_stock)) <= cost(best_int) + 1e-9 \
+            or cost(math.ceil(r.opt_stock)) <= cost(best_int) + 1e-9
+
+
+# ------------------------------------------------- price elasticity
+
+def test_price_elasticity_brute_force(spark, sf_dir):
+    """Slope/R² replayed with numpy on the snapped logs for three
+    brands; R² in [0, 1]."""
+    import numpy as np
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import price_elasticity_ols
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = {r.p_brand: r
+           for r in price_elasticity_ols(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice").collect()
+    brand = {r.p_partkey: r.p_brand
+             for r in load_table(spark, sf_dir, "part").collect()}
+    from collections import defaultdict
+    xs = defaultdict(list)
+    ys = defaultdict(list)
+    for r in li:
+        b = brand[r.l_partkey]
+        xs[b].append(round(math.log(r.l_extendedprice
+                                    / r.l_quantity), 6))
+        ys[b].append(round(math.log(float(r.l_quantity)), 6))
+    for b in sorted(xs)[:3]:
+        x = np.round(np.array(xs[b]) * 1e6) / 1e6
+        y = np.round(np.array(ys[b]) * 1e6) / 1e6
+        n = len(x)
+        cov = n * (x * y).sum() - x.sum() * y.sum()
+        vx = n * (x * x).sum() - x.sum() ** 2
+        vy = n * (y * y).sum() - y.sum() ** 2
+        r = got[b]
+        assert r.elasticity == pytest.approx(cov / vx, abs=5e-5)
+        assert r.r2 == pytest.approx(cov * cov / (vx * vy), abs=5e-5)
+        assert 0.0 <= r.r2 <= 1.0
