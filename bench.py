@@ -381,6 +381,9 @@ HEADLINE = [
     "hedge_forecast_combination",
     "newsvendor_stock_levels",
     "price_elasticity_ols",
+    "series_spearman_matrix",
+    "evt_gpd_tail_fit",
+    "littles_law_audit",
 ]
 
 

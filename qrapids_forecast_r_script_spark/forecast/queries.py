@@ -3208,3 +3208,114 @@ EVAL_ORACLES["hedge_forecast_combination"] = f"""
     FROM hedge h JOIN best b USING (name, index)
     ORDER BY h.name, h.index
 """
+
+
+def series_spearman_matrix(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Pairwise SPEARMAN rank correlation matrix across the metric
+    series (Spearman 1904): rank-transform each series over its
+    aligned days, then Pearson on the ranks — the monotone-
+    association matrix that is immune to the outliers and level
+    shifts the anomaly monitors flag (a single spike barely moves
+    rank correlation but can dominate Pearson), and the pairwise
+    companion to the Kendall tau-vs-reference column
+    (`series_kendall_tau`).  Upper triangle + diagonal, ordered.
+
+    Exactness: ranks are average-rank integers-or-halves (exact
+    2x-integers); all five Pearson sums on ranks are exact BIGINT /
+    128-bit aggregates of 2x-rank units; one division per pair.
+
+    Scale: one rank window per series (day-grid-sized), one
+    self-join on the day key bounded by |series|² pairs x days."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    # align on evaluationDate; rank within series (average ranks as
+    # 2x-units so ties stay integral)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    vals = metrics.select("name", "index", "evaluationDate",
+                          F.round(F.round("value", 6) * 1e6, 0)
+                          .cast("long").alias("vu"))
+    wr = Window.partitionBy("name", "index").orderBy("vu")
+    ranked = (vals
+              .withColumn("rmin", F.rank().over(wr))
+              .withColumn("cnt", F.count(F.lit(1)).over(
+                  Window.partitionBy("name", "index", "vu")))
+              .select("name", "index", "evaluationDate",
+                      (2 * F.col("rmin") + F.col("cnt") - 1)
+                      .cast("long").alias("r2x")))
+    a = ranked.select(F.col("name").alias("name_a"),
+                      F.col("index").alias("index_a"),
+                      "evaluationDate", F.col("r2x").alias("ra"))
+    b = ranked.select(F.col("name").alias("name_b"),
+                      F.col("index").alias("index_b"),
+                      F.col("evaluationDate").alias("d_b"),
+                      F.col("r2x").alias("rb"))
+    j = (a.join(b, (F.col("evaluationDate") == F.col("d_b"))
+                & (F.col("name_a") <= F.col("name_b"))
+                & ((F.col("name_a") != F.col("name_b"))
+                   | (F.col("index_a") <= F.col("index_b"))))
+         .groupBy("name_a", "index_a", "name_b", "index_b")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("ra").alias("sa"), F.sum("rb").alias("sb"),
+              F.sum(F.col("ra").cast("decimal(38,0)") * F.col("rb"))
+              .alias("sab"),
+              F.sum(F.col("ra").cast("decimal(38,0)") * F.col("ra"))
+              .alias("saa"),
+              F.sum(F.col("rb").cast("decimal(38,0)") * F.col("rb"))
+              .alias("sbb")))
+    n = F.col("n").cast("double")
+    num = n * F.col("sab").cast("double") \
+        - F.col("sa").cast("double") * F.col("sb").cast("double")
+    da = n * F.col("saa").cast("double") \
+        - F.col("sa").cast("double") * F.col("sa").cast("double")
+    db = n * F.col("sbb").cast("double") \
+        - F.col("sb").cast("double") * F.col("sb").cast("double")
+    return (j.select("name_a", "name_b", "n",
+                     F.round(num / F.sqrt(da * db), 6)
+                     .alias("spearman_rho"))
+            .orderBy("name_a", "name_b"))
+
+
+EVAL_QUERIES["series_spearman_matrix"] = series_spearman_matrix
+EVAL_ORACLES["series_spearman_matrix"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    vals AS (
+        SELECT name, index, evaluationDate,
+               CAST(round(round(value, 6) * 1e6, 0) AS BIGINT) AS vu
+        FROM m
+    ), ranked AS (
+        SELECT name, index, evaluationDate,
+               CAST(2 * rank() OVER (PARTITION BY name, index
+                                     ORDER BY vu)
+                    + count(*) OVER (PARTITION BY name, index, vu)
+                    - 1 AS BIGINT) AS r2x
+        FROM vals
+    ), j AS (
+        SELECT a.name AS name_a, a.index AS index_a,
+               b.name AS name_b, b.index AS index_b,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a.r2x) AS BIGINT) AS sa,
+               CAST(sum(b.r2x) AS BIGINT) AS sb,
+               CAST(sum(CAST(a.r2x AS HUGEINT) * b.r2x) AS HUGEINT)
+                   AS sab,
+               CAST(sum(CAST(a.r2x AS HUGEINT) * a.r2x) AS HUGEINT)
+                   AS saa,
+               CAST(sum(CAST(b.r2x AS HUGEINT) * b.r2x) AS HUGEINT)
+                   AS sbb
+        FROM ranked a
+        JOIN ranked b ON a.evaluationDate = b.evaluationDate
+                     AND a.name <= b.name
+                     AND (a.name != b.name OR a.index <= b.index)
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT name_a, name_b, n,
+           round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE)
+                             * CAST(sb AS DOUBLE))), 6)
+               AS spearman_rho
+    FROM j ORDER BY name_a, name_b
+"""

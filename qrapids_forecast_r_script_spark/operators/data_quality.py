@@ -1800,3 +1800,134 @@ ORACLES["mahalanobis_outliers"] = f"""
     QUALIFY rank <= {_MAHA_TOP}
     ORDER BY rank
 """
+
+
+_GPD_U_FRAC = 0.9      # POT threshold quantile
+_GPD_VAR_P = 0.999     # reported tail quantile
+
+
+def evt_gpd_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold GENERALIZED PARETO tail fit of order
+    values by probability-weighted moments (Pickands 1975 for POT;
+    Hosking & Wallis 1987 for the PWM estimators) — the
+    extreme-value operator behind VaR-style questions a quantile
+    table cannot answer ("how big is the 1-in-1000 order?") because
+    it EXTRAPOLATES the tail shape instead of reading an in-sample
+    order statistic: threshold u = the exact 0.9 quantile, excesses
+    x = value - u, PWM b0 = mean(x), a1 = sum((n-i) x_(i)) / (n(n-1))
+    over ascending excesses (the E[X(1-F)] probability-weighted
+    moment), shape xi = 2 - b0/(b0 - 2 b1), scale
+    beta = 2 b0 b1 / (b0 - 2 b1), and the implied
+    VaR_0.999 = u + beta/xi ((N/n (1-p))^(-xi) - 1).
+
+    Exactness: excesses are exact integer cents; b0 and b1 are pure
+    integer ratios (the (n-i)-weighted sum is BIGINT — weights
+    within tied values sum invariantly, so the row_number tiebreak
+    cannot move b1); xi/beta are single divisions; the one
+    extrapolation evaluates exp(-xi ln a) once on a 1-row frame.
+
+    Scale: one quantile aggregate, one filtered rank window over the
+    top decile only, one 1-row reduce."""
+    from pyspark.sql.window import Window
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    vals = orders.select(cents.alias("yc"))
+    thr = vals.agg(
+        F.expr(f"percentile(yc, {_GPD_U_FRAC!r})").alias("u_c"),
+        F.count(F.lit(1)).alias("n_total"))
+    exc = (vals.crossJoin(F.broadcast(thr))
+           .where(F.col("yc") > F.col("u_c"))
+           .select("u_c", "n_total",
+                   (F.col("yc") - F.col("u_c")).alias("x")))
+    ranked = (exc.withColumn(
+        "i", F.row_number().over(Window.orderBy(F.col("x").asc())))
+        .withColumn("n_exc_tot", F.count(F.lit(1)).over(
+            Window.partitionBy())))
+    agg = (ranked.groupBy("u_c", "n_total")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"),
+                F.sum((F.col("n_exc_tot") - F.col("i"))
+                      .cast("decimal(38,0)")
+                      * F.col("x")).alias("swx")))
+    n = F.col("n").cast("double")
+    b0 = F.col("sx").cast("double") / n / 100
+    b1 = F.col("swx").cast("double") / (n * (n - 1)) / 100
+    xi = F.lit(2.0) - b0 / (b0 - 2 * b1)
+    beta = 2 * b0 * b1 / (b0 - 2 * b1)
+    a_ = (F.col("n_total").cast("double") / n
+          * F.lit(1.0 - _GPD_VAR_P))
+    var_ = (F.col("u_c") / 100
+            + beta / xi * (F.exp(-xi * F.log(a_)) - 1))
+    return agg.select(
+        F.round(F.col("u_c") / 100, 6).alias("threshold"),
+        F.col("n_total"), F.col("n").alias("n_exceed"),
+        F.round(b0, 6).alias("pwm_b0"),
+        F.round(b1, 6).alias("pwm_b1"),
+        F.round(xi, 6).alias("shape_xi"),
+        F.round(beta, 6).alias("scale_beta"),
+        F.round(var_, 6).alias("var_999"))
+
+
+QUERIES["evt_gpd_tail_fit"] = evt_gpd_tail_fit
+ORACLES["evt_gpd_tail_fit"] = f"""
+    WITH vals AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS yc
+        FROM orders
+    ), thr AS (
+        SELECT quantile_cont(yc, {_GPD_U_FRAC!r}) AS u_c,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM vals
+    ), exc AS (
+        SELECT t.u_c, t.n_total, v.yc - t.u_c AS x
+        FROM vals v CROSS JOIN thr t WHERE v.yc > t.u_c
+    ), ranked AS (
+        SELECT *, row_number() OVER (ORDER BY x ASC) AS i,
+               count(*) OVER () AS n_exc_tot
+        FROM exc
+    ), agg AS (
+        SELECT u_c, n_total, CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx,
+               CAST(sum(CAST(n_exc_tot - i AS HUGEINT)
+                        * CAST(x AS HUGEINT)) AS HUGEINT) AS swx
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT round(u_c / 100, 6) AS threshold, n_total,
+           n AS n_exceed,
+           round(CAST(sx AS DOUBLE) / n / 100, 6) AS pwm_b0,
+           round(CAST(swx AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)) / 100, 6) AS pwm_b1,
+           round(2.0 - (CAST(sx AS DOUBLE) / n / 100)
+                 / ((CAST(sx AS DOUBLE) / n / 100)
+                    - 2 * (CAST(swx AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (n - 1)) / 100)),
+                 6) AS shape_xi,
+           round(2 * (CAST(sx AS DOUBLE) / n / 100)
+                 * (CAST(swx AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (n - 1)) / 100)
+                 / ((CAST(sx AS DOUBLE) / n / 100)
+                    - 2 * (CAST(swx AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (n - 1)) / 100)),
+                 6) AS scale_beta,
+           round(u_c / 100
+                 + (2 * (CAST(sx AS DOUBLE) / n / 100)
+                    * (CAST(swx AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n - 1)) / 100)
+                    / ((CAST(sx AS DOUBLE) / n / 100)
+                       - 2 * (CAST(swx AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * (n - 1))
+                              / 100)))
+                   / (2.0 - (CAST(sx AS DOUBLE) / n / 100)
+                      / ((CAST(sx AS DOUBLE) / n / 100)
+                         - 2 * (CAST(swx AS DOUBLE)
+                                / (CAST(n AS DOUBLE) * (n - 1))
+                                / 100)))
+                   * (exp(-(2.0 - (CAST(sx AS DOUBLE) / n / 100)
+                            / ((CAST(sx AS DOUBLE) / n / 100)
+                               - 2 * (CAST(swx AS DOUBLE)
+                                      / (CAST(n AS DOUBLE) * (n - 1))
+                                      / 100)))
+                          * ln(CAST(n_total AS DOUBLE) / n
+                               * {1.0 - _GPD_VAR_P!r})) - 1), 6)
+               AS var_999
+    FROM agg
+"""

@@ -4721,3 +4721,112 @@ ORACLES["price_elasticity_ols"] = """
            round((sx / 1e6) / CAST(n AS DOUBLE), 6) AS mean_ln_price
     FROM a ORDER BY p_brand
 """
+
+
+def littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LITTLE'S LAW audit over the session population (Little 1961:
+    L = lambda W — average concurrency equals arrival rate times
+    mean dwell time): the identity is measured from two INDEPENDENT
+    computations — L_sweep from a sweep-line time-integral of
+    concurrency (explode each session to (+1 at start, -1 at end),
+    running sum x gap to the next boundary) and L_little =
+    lambda * W = total session-time / horizon — and over a closed
+    horizon the two are EXACTLY equal in integer microseconds
+    (the time-integral of a sum of indicators IS the sum of the
+    indicators' supports), so `identity_gap_us` must be 0: two
+    different algorithms, one invariant, the house bin-and-refine
+    discipline applied to queueing's most famous law.  Alongside:
+    arrival rate per hour and mean session seconds — the capacity-
+    planning pair the law links.
+
+    Determinism: all times are exact integer microseconds; the
+    running concurrency at equal timestamps is tie-ordered (ends
+    before starts), which cannot move the integral (zero-width
+    gaps); every sum is a BIGINT.
+
+    Scale: sessionization is the shared user_id shuffle; the sweep
+    is ONE global sort of 2x sessions boundaries — at open scale the
+    sweep partitions by day with boundary-carry, the same segmented
+    pattern as the ledger."""
+    from pyspark.sql.window import Window
+    from ..streaming.queries import sessionize_events
+    sess = (sessionize_events(load_table(spark, sf_dir, "events"))
+            .groupBy("user_id", "session_id")
+            .agg(F.unix_micros(F.min("ts")).alias("st"),
+                 F.unix_micros(F.max("ts")).alias("en")))
+    pts = (sess.select(F.col("st").alias("t"), F.lit(1).alias("d"))
+           .union(sess.select(F.col("en").alias("t"),
+                              F.lit(-1).alias("d"))))
+    w = Window.orderBy("t", "d")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    swept = (pts
+             .withColumn("running", F.sum("d").over(wc))
+             .withColumn("nxt", F.lead("t").over(w))
+             .where(F.col("nxt").isNotNull())
+             .agg(F.sum(F.col("running")
+                        * (F.col("nxt") - F.col("t")))
+                  .alias("integral_us")))
+    base = sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.col("en") - F.col("st")).alias("dur_us"),
+        F.min("st").alias("t0"), F.max("en").alias("t1"))
+    horizon = (F.col("t1") - F.col("t0")).cast("double")
+    return (base.crossJoin(F.broadcast(swept))
+            .select("n_sessions",
+                    F.round(F.col("dur_us") / 1e6, 6)
+                    .alias("total_session_seconds"),
+                    F.round(horizon / 1e6, 6).alias("horizon_seconds"),
+                    F.round(F.col("integral_us") / horizon, 6)
+                    .alias("l_sweep"),
+                    F.round(F.col("n_sessions") / horizon * 3.6e9, 6)
+                    .alias("lambda_per_hour"),
+                    F.round(F.col("dur_us")
+                            / F.col("n_sessions").cast("double")
+                            / 1e6, 6).alias("w_mean_seconds"),
+                    F.round(F.col("dur_us") / horizon, 6)
+                    .alias("l_little"),
+                    (F.col("integral_us") - F.col("dur_us"))
+                    .alias("identity_gap_us")))
+
+
+QUERIES["littles_law_audit"] = littles_law_audit
+ORACLES["littles_law_audit"] = f"""
+    WITH {SESSIONIZED_SQL},
+    sess AS (
+        SELECT user_id, session_id,
+               CAST(epoch_us(min(ts)) AS BIGINT) AS st,
+               CAST(epoch_us(max(ts)) AS BIGINT) AS en
+        FROM sessions GROUP BY 1, 2
+    ), pts AS (
+        SELECT st AS t, 1 AS d FROM sess
+        UNION ALL SELECT en, -1 FROM sess
+    ), swept AS (
+        SELECT CAST(sum(running * (nxt - t)) AS BIGINT) AS integral_us
+        FROM (
+            SELECT t,
+                   sum(d) OVER (ORDER BY t, d
+                       ROWS UNBOUNDED PRECEDING) AS running,
+                   lead(t) OVER (ORDER BY t, d) AS nxt
+            FROM pts
+        ) WHERE nxt IS NOT NULL
+    ), base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(en - st) AS BIGINT) AS dur_us,
+               min(st) AS t0, max(en) AS t1
+        FROM sess
+    )
+    SELECT b.n_sessions,
+           round(b.dur_us / 1e6, 6) AS total_session_seconds,
+           round((b.t1 - b.t0) / 1e6, 6) AS horizon_seconds,
+           round(s.integral_us / CAST(b.t1 - b.t0 AS DOUBLE), 6)
+               AS l_sweep,
+           round(b.n_sessions / CAST(b.t1 - b.t0 AS DOUBLE) * 3.6e9,
+                 6) AS lambda_per_hour,
+           round(b.dur_us / CAST(b.n_sessions AS DOUBLE) / 1e6, 6)
+               AS w_mean_seconds,
+           round(b.dur_us / CAST(b.t1 - b.t0 AS DOUBLE), 6)
+               AS l_little,
+           CAST(s.integral_us - b.dur_us AS BIGINT)
+               AS identity_gap_us
+    FROM base b CROSS JOIN swept s
+"""

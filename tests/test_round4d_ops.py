@@ -1477,3 +1477,99 @@ def test_price_elasticity_brute_force(spark, sf_dir):
         assert r.elasticity == pytest.approx(cov / vx, abs=5e-5)
         assert r.r2 == pytest.approx(cov * cov / (vx * vy), abs=5e-5)
         assert 0.0 <= r.r2 <= 1.0
+
+
+# ----------------------------------------------- Spearman matrix
+
+def test_spearman_matrix_properties(spark, sf_dir):
+    """Diagonal rho = 1 exactly; symmetry is implicit (upper
+    triangle); values replayed with scipy-free numpy rank Pearson
+    for one off-diagonal pair."""
+    import numpy as np
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        series_spearman_matrix, _metrics)
+    rows = series_spearman_matrix(spark, sf_dir).collect()
+    for r in rows:
+        if r.name_a == r.name_b:
+            assert r.spearman_rho == pytest.approx(1.0, abs=1e-9)
+    pdf = _metrics(spark, sf_dir).toPandas()
+    def series(nm):
+        g = pdf[pdf["name"] == nm].sort_values("evaluationDate")
+        return np.round(np.round(g.value.to_numpy(float), 6) * 1e6)
+    names = sorted(pdf["name"].unique())
+    a, b = names[0], names[1]
+    xa, xb = series(a), series(b)
+    def avg_rank2x(v):
+        order = np.argsort(v, kind="stable")
+        r = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            r[order[i:j]] = (i + 1) + (j - i - 1) / 2
+            i = j
+        return 2 * r
+    ra, rb = avg_rank2x(xa), avg_rank2x(xb)
+    n = len(ra)
+    num = n * (ra * rb).sum() - ra.sum() * rb.sum()
+    den = math.sqrt((n * (ra * ra).sum() - ra.sum() ** 2)
+                    * (n * (rb * rb).sum() - rb.sum() ** 2))
+    exp = num / den
+    got = [r for r in rows if r.name_a == a and r.name_b == b][0]
+    assert got.spearman_rho == pytest.approx(exp, abs=2e-6)
+
+
+# ------------------------------------------------- GPD tail fit
+
+def test_gpd_pwm_on_synthetic_uniform(spark, sf_dir):
+    """PWM estimators recover (xi=-1, beta=c) on an exact uniform
+    grid (uniform IS GPD(-1)); the fitted xi on order values is
+    negative (bounded tail) and VaR_999 lies above the threshold."""
+    from qrapids_forecast_r_script_spark.operators.data_quality \
+        import evt_gpd_tail_fit
+    r = evt_gpd_tail_fit(spark, sf_dir).collect()[0]
+    assert r.shape_xi < 0
+    assert r.var_999 > r.threshold
+    assert r.n_exceed >= 0.09 * r.n_total
+    # synthetic closed form: x_(i) = i for i=1..n (uniform grid)
+    n = 1000
+    b0 = sum(range(1, n + 1)) / n
+    a1 = sum((n - i) * i for i in range(1, n + 1)) / (n * (n - 1))
+    xi = 2 - b0 / (b0 - 2 * a1)
+    beta = 2 * b0 * a1 / (b0 - 2 * a1)
+    assert xi == pytest.approx(-1.0, abs=0.01)
+    assert beta == pytest.approx(n, rel=0.01)
+
+
+# ------------------------------------------------- Little's law
+
+def test_littles_law_exact_identity(spark, sf_dir):
+    """identity_gap_us == 0 (the sweep integral equals total session
+    time exactly); l_sweep == l_little to rounding; a python sweep
+    reproduces the integral."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import littles_law_audit
+    from qrapids_forecast_r_script_spark.streaming.queries import (
+        sessionize_events)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    r = littles_law_audit(spark, sf_dir).collect()[0]
+    assert r.identity_gap_us == 0
+    assert r.l_sweep == pytest.approx(r.l_little, abs=2e-6)
+    sess = (sessionize_events(load_table(spark, sf_dir, "events"))
+            .groupBy("user_id", "session_id")
+            .agg(F.unix_micros(F.min("ts")).alias("st"),
+                 F.unix_micros(F.max("ts")).alias("en"))).collect()
+    pts = sorted([(s.st, 1) for s in sess]
+                 + [(s.en, -1) for s in sess],
+                 key=lambda p: (p[0], p[1]))
+    run = integral = 0
+    for (t, d), nxt in zip(pts, pts[1:]):
+        run += d
+        integral += run * (nxt[0] - t)
+    dur = sum(s.en - s.st for s in sess)
+    assert integral == dur
+    assert r.n_sessions == len(sess)
+    assert r.total_session_seconds == pytest.approx(dur / 1e6,
+                                                    abs=2e-6)
