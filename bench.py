@@ -384,6 +384,7 @@ HEADLINE = [
     "series_spearman_matrix",
     "evt_gpd_tail_fit",
     "littles_law_audit",
+    "cf_holdout_lift",
 ]
 
 

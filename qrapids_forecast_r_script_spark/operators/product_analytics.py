@@ -4830,3 +4830,200 @@ ORACLES["littles_law_audit"] = f"""
                AS identity_gap_us
     FROM base b CROSS JOIN swept s
 """
+
+
+_CF_EVAL_CUTOFF = "1999-01-01"   # train < cutoff, evaluate >= cutoff
+
+
+def cf_holdout_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-TIME evaluation of the item-item CF recommender
+    (`item_item_cf_topk`'s co-buyer cosine, retrained on orders
+    BEFORE 1999-01-01): for each of the 20 top train-period targets,
+    among its train-period buyers, what fraction bought one of its
+    top-5 CF NEIGHBORS in the held-out period — against the
+    POPULARITY baseline (the 5 globally most-bought train items,
+    excluding the target) on the same buyers.  lift = cf_rate /
+    pop_rate — the number that decides whether the similarity model
+    earns its complexity over "just recommend bestsellers", the same
+    way `knn_label_accuracy` and `ann_eval_ndcg` gate the embedding
+    index.  Temporal split, not random: recommenders leak badly
+    under random splits (the `leakage_free_split` lesson).
+
+    Exactness: every set is a distinct (cust, item) relation and
+    every rate an integer ratio; cosine ties break by partkey as in
+    the base query.
+
+    Scale: the train CF chain is the base query's bounded shape
+    (constant 20-target broadcast); the eval joins are (buyers x 5
+    neighbors)-keyed semi-joins."""
+    from pyspark.sql.window import Window
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .select(F.col("o_custkey").alias("cust"),
+                      F.col("l_partkey").alias("item"),
+                      "o_orderdate"))
+    train = (joined.where(F.col("o_orderdate")
+                          < F.lit(_CF_EVAL_CUTOFF))
+             .select("cust", "item").distinct())
+    test = (joined.where(F.col("o_orderdate")
+                         >= F.lit(_CF_EVAL_CUTOFF))
+            .select("cust", "item").distinct())
+    deg = train.groupBy("item").agg(F.count(F.lit(1)).alias("n_buyers"))
+    top = (deg.orderBy(F.col("n_buyers").desc(), F.col("item").asc())
+           .limit(_CF_ITEMS)
+           .select(F.col("item").alias("target"),
+                   F.col("n_buyers").alias("n_t")))
+    tbuys = (train.join(F.broadcast(top), train.item == top.target)
+             .select("target", "n_t", "cust"))
+    cooc = (tbuys.join(train, "cust")
+            .where(F.col("item") != F.col("target"))
+            .groupBy("target", "n_t", "item")
+            .agg(F.count(F.lit(1)).alias("co_buyers")))
+    cos = (cooc.join(F.broadcast(deg), "item")
+           .withColumn("cosine",
+                       F.round(F.col("co_buyers")
+                               / F.sqrt((F.col("n_t")
+                                         * F.col("n_buyers"))
+                                        .cast("double")), 6)))
+    wr = Window.partitionBy("target").orderBy(
+        F.col("cosine").desc(), F.col("item").asc())
+    nbrs = (cos.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= _CF_K)
+            .select("target", F.col("item").alias("rec")))
+    pop = (deg.orderBy(F.col("n_buyers").desc(), F.col("item").asc())
+           .limit(_CF_ITEMS + _CF_K)
+           .select(F.col("item").alias("rec"),
+                   F.col("n_buyers").alias("pb")))
+    wp = Window.partitionBy("target").orderBy(
+        F.col("pb").desc(), F.col("rec").asc())
+    popn = (top.select("target").crossJoin(F.broadcast(pop))
+            .where(F.col("rec") != F.col("target"))
+            .withColumn("rank", F.row_number().over(wp))
+            .where(F.col("rank") <= _CF_K)
+            .select("target", "rec"))
+    buyers = tbuys.select("target", "cust")
+
+    test_r = test.select(F.col("cust").alias("t_cust"),
+                         F.col("item").alias("t_item"))
+
+    def hit(recs, name):
+        return (buyers.join(recs, "target")
+                .join(test_r, (F.col("cust") == F.col("t_cust"))
+                      & (F.col("rec") == F.col("t_item")),
+                      "left_semi")
+                .select("target", "cust").distinct()
+                .groupBy("target")
+                .agg(F.count(F.lit(1)).alias(name)))
+
+    cf_h = hit(nbrs, "cf_hits")
+    pop_h = hit(popn, "pop_hits")
+    base = buyers.groupBy("target").agg(
+        F.count(F.lit(1)).alias("n_train_buyers"))
+    out = (base.join(cf_h, "target", "left")
+           .join(pop_h, "target", "left")
+           .select(F.col("target").alias("p_partkey"),
+                   "n_train_buyers",
+                   F.coalesce("cf_hits", F.lit(0)).alias("cf_hits"),
+                   F.coalesce("pop_hits", F.lit(0))
+                   .alias("pop_hits")))
+    cf_rate = F.round(F.col("cf_hits")
+                      / F.col("n_train_buyers").cast("double"), 6)
+    pop_rate = F.round(F.col("pop_hits")
+                       / F.col("n_train_buyers").cast("double"), 6)
+    return (out.withColumn("cf_rate", cf_rate)
+            .withColumn("pop_rate", pop_rate)
+            .withColumn("lift", F.round(
+                F.col("cf_hits")
+                / F.nullif(F.col("pop_hits").cast("double"),
+                           F.lit(0.0)), 6))
+            .orderBy("p_partkey"))
+
+
+QUERIES["cf_holdout_lift"] = cf_holdout_lift
+ORACLES["cf_holdout_lift"] = f"""
+    WITH joined AS (
+        SELECT o.o_custkey AS cust, l.l_partkey AS item,
+               o.o_orderdate
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), train AS (
+        SELECT DISTINCT cust, item FROM joined
+        WHERE o_orderdate < DATE '{_CF_EVAL_CUTOFF}'
+    ), test AS (
+        SELECT DISTINCT cust, item FROM joined
+        WHERE o_orderdate >= DATE '{_CF_EVAL_CUTOFF}'
+    ), deg AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS n_buyers
+        FROM train GROUP BY item
+    ), top AS (
+        SELECT item AS target, n_buyers AS n_t FROM deg
+        ORDER BY n_buyers DESC, item ASC LIMIT {_CF_ITEMS}
+    ), cooc AS (
+        SELECT t.target, t.n_t, b.item,
+               CAST(count(*) AS BIGINT) AS co_buyers
+        FROM top t
+        JOIN train tb ON tb.item = t.target
+        JOIN train b ON b.cust = tb.cust AND b.item != t.target
+        GROUP BY 1, 2, 3
+    ), nbrs AS (
+        SELECT target, item AS rec
+        FROM (SELECT c.target, c.item,
+                     row_number() OVER (PARTITION BY c.target
+                         ORDER BY round(c.co_buyers
+                             / sqrt(CAST(c.n_t * d.n_buyers
+                                         AS DOUBLE)), 6) DESC,
+                             c.item ASC) AS rank
+              FROM cooc c JOIN deg d ON d.item = c.item)
+        WHERE rank <= {_CF_K}
+    ), pop AS (
+        SELECT item AS rec, n_buyers AS pb FROM deg
+        ORDER BY n_buyers DESC, item ASC
+        LIMIT {_CF_ITEMS + _CF_K}
+    ), popn AS (
+        SELECT target, rec
+        FROM (SELECT t.target, p.rec,
+                     row_number() OVER (PARTITION BY t.target
+                         ORDER BY p.pb DESC, p.rec ASC) AS rank
+              FROM top t CROSS JOIN pop p
+              WHERE p.rec != t.target)
+        WHERE rank <= {_CF_K}
+    ), buyers AS (
+        SELECT t.target, tr.cust
+        FROM top t JOIN train tr ON tr.item = t.target
+    ), cf_h AS (
+        SELECT b.target, CAST(count(DISTINCT b.cust) AS BIGINT)
+                   AS cf_hits
+        FROM buyers b
+        JOIN nbrs n ON n.target = b.target
+        WHERE EXISTS (SELECT 1 FROM test te
+                      WHERE te.cust = b.cust AND te.item = n.rec)
+        GROUP BY b.target
+    ), pop_h AS (
+        SELECT b.target, CAST(count(DISTINCT b.cust) AS BIGINT)
+                   AS pop_hits
+        FROM buyers b
+        JOIN popn n ON n.target = b.target
+        WHERE EXISTS (SELECT 1 FROM test te
+                      WHERE te.cust = b.cust AND te.item = n.rec)
+        GROUP BY b.target
+    ), base AS (
+        SELECT target, CAST(count(*) AS BIGINT) AS n_train_buyers
+        FROM buyers GROUP BY target
+    )
+    SELECT b.target AS p_partkey, b.n_train_buyers,
+           coalesce(c.cf_hits, 0) AS cf_hits,
+           coalesce(p.pop_hits, 0) AS pop_hits,
+           round(coalesce(c.cf_hits, 0)
+                 / CAST(b.n_train_buyers AS DOUBLE), 6) AS cf_rate,
+           round(coalesce(p.pop_hits, 0)
+                 / CAST(b.n_train_buyers AS DOUBLE), 6) AS pop_rate,
+           round(coalesce(c.cf_hits, 0)
+                 / nullif(CAST(coalesce(p.pop_hits, 0) AS DOUBLE),
+                          0), 6) AS lift
+    FROM base b
+    LEFT JOIN cf_h c USING (target)
+    LEFT JOIN pop_h p USING (target)
+    ORDER BY p_partkey
+"""

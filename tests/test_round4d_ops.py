@@ -1573,3 +1573,57 @@ def test_littles_law_exact_identity(spark, sf_dir):
     assert r.n_sessions == len(sess)
     assert r.total_session_seconds == pytest.approx(dur / 1e6,
                                                     abs=2e-6)
+
+
+# -------------------------------------------- CF holdout lift
+
+def test_cf_holdout_lift_brute_force(spark, sf_dir):
+    """Hit counts replayed in python for the first three targets;
+    rates are integer ratios; cf and pop hits never exceed the
+    buyer count."""
+    import hashlib  # noqa: F401 — parity with sibling tests
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import cf_holdout_lift
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = cf_holdout_lift(spark, sf_dir).collect()
+    orders = {r.o_orderkey: (r.o_custkey, str(r.o_orderdate))
+              for r in load_table(spark, sf_dir, "orders").collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").collect()
+    train = set()
+    test = set()
+    for r in li:
+        cust, d = orders[r.l_orderkey]
+        (train if d < "1999-01-01" else test).add((cust, r.l_partkey))
+    from collections import defaultdict
+    buyers = defaultdict(set)
+    for c, i in train:
+        buyers[i].add(c)
+    deg = {i: len(s) for i, s in buyers.items()}
+    tops = sorted(deg, key=lambda i: (-deg[i], i))[:20]
+    test_by_cust = defaultdict(set)
+    for c, i in test:
+        test_by_cust[c].add(i)
+    pops = sorted(deg, key=lambda i: (-deg[i], i))[:25]
+    for r in got[:3]:
+        t = r.p_partkey
+        assert t in tops
+        assert r.n_train_buyers == deg[t]
+        cos = {}
+        for i, s in buyers.items():
+            if i == t:
+                continue
+            co = len(s & buyers[t])
+            if co:
+                cos[i] = round(co / math.sqrt(deg[t] * deg[i]), 6)
+        nbrs = sorted(cos, key=lambda i: (-cos[i], i))[:5]
+        popn = [i for i in pops if i != t][:5]
+        cf_hits = sum(1 for c in buyers[t]
+                      if test_by_cust[c] & set(nbrs))
+        pop_hits = sum(1 for c in buyers[t]
+                       if test_by_cust[c] & set(popn))
+        assert r.cf_hits == cf_hits, t
+        assert r.pop_hits == pop_hits, t
+        assert r.cf_hits <= r.n_train_buyers
+        assert r.pop_hits <= r.n_train_buyers
+        assert r.cf_rate == pytest.approx(cf_hits / deg[t], abs=1e-6)
