@@ -385,6 +385,8 @@ HEADLINE = [
     "evt_gpd_tail_fit",
     "littles_law_audit",
     "cf_holdout_lift",
+    "blocking_quality_metrics",
+    "anova_nation_values",
 ]
 
 

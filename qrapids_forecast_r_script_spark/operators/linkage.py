@@ -137,3 +137,75 @@ ORACLES = {
         GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
+
+
+def blocking_quality_metrics(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """REDUCTION RATIO and PAIRS COMPLETENESS of the entity-
+    resolution blocking scheme (Christen 2012, ch. 7 — the two
+    numbers every blocking design is judged by): RR = 1 −
+    |candidates| / |A×B| measures how much comparison work the
+    (nation, 3-char name suffix) blocks save, PC = the fraction of
+    TRUE matches (key_a = key_b, known by construction here) that
+    survive blocking — the recall ceiling no downstream comparator
+    can exceed.  The quality-vs-cost frontier read that decides
+    whether to widen the blocks (PC up, RR down) before touching
+    the Fellegi-Sunter weights.
+
+    Exactness: all four counts are exact integers (|A×B| is a
+    product of two counts, never materialized); RR and PC are
+    single divisions.
+
+    Scale: the candidate count rides the same blocked equi-join as
+    `customer_entity_resolution` (never A×B); true-match counting
+    is one key equi-join."""
+    a, b = _sides(spark, sf_dir)
+    cand = (a.join(b, "nat")
+            .where(F.expr("right(name_a, 3) = right(name_b, 3)")))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_cand_true = (cand.where(F.col("key_a") == F.col("key_b"))
+                   .agg(F.count(F.lit(1)).alias("n_cand_true")))
+    na = a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+    # true matches = the keyed identity pairs (one per customer)
+    return (n_cand.crossJoin(F.broadcast(n_cand_true))
+            .crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+            .select(
+                "n_a", "n_b", "n_cand", "n_cand_true",
+                F.round(1.0 - F.col("n_cand")
+                        / (F.col("n_a").cast("double")
+                           * F.col("n_b")), 6).alias("reduction_ratio"),
+                F.round(F.col("n_cand_true")
+                        / F.col("n_a").cast("double"), 6)
+                .alias("pairs_completeness")))
+
+
+QUERIES["blocking_quality_metrics"] = blocking_quality_metrics
+ORACLES["blocking_quality_metrics"] = f"""
+    WITH a AS (
+        SELECT c_custkey AS key_a, c_name AS name_a,
+               c_nationkey AS nat
+        FROM customer
+    ), b AS (
+        SELECT c_custkey AS key_b,
+               CASE WHEN c_custkey % {_PERTURB_MOD} = 0
+                    THEN substr(c_name, 1, 3) || substr(c_name, 5)
+                    ELSE c_name END AS name_b,
+               c_nationkey AS nat
+        FROM customer
+    ), cand AS (
+        SELECT key_a, key_b
+        FROM a JOIN b USING (nat)
+        WHERE right(name_a, 3) = right(name_b, 3)
+    ), c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+    c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cand_true
+           FROM cand WHERE key_a = key_b),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM a),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM b)
+    SELECT n_a, n_b, n_cand, n_cand_true,
+           round(1.0 - n_cand / (CAST(n_a AS DOUBLE) * n_b), 6)
+               AS reduction_ratio,
+           round(n_cand_true / CAST(n_a AS DOUBLE), 6)
+               AS pairs_completeness
+    FROM c1 CROSS JOIN c2 CROSS JOIN na CROSS JOIN nb
+"""

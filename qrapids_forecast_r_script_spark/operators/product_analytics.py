@@ -5027,3 +5027,120 @@ ORACLES["cf_holdout_lift"] = f"""
     LEFT JOIN pop_h p USING (target)
     ORDER BY p_partkey
 """
+
+
+_ANOVA_F_CRIT_24 = 1.5173   # F_0.95(24, inf) = chi2_0.95(24)/24 literal
+
+
+def anova_nation_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA of order value across the 25 customer nations
+    (Fisher 1925): F = (SSB/(k-1)) / (SSW/(N-k)) — the all-strata
+    generalization of the pairwise tests in the ab_* family, and
+    the gate before any per-nation drill-down ("is there ANY
+    between-nation signal at all").  The residual df is ~N, so the
+    5% critical value is the literal F(24, inf) = chi2(24)/24 —
+    both engines share it as a constant (the erf-free discipline).
+
+    Exactness: SSB and SSW come from 128-bit-exact integer-cents
+    moments via the decomposition SST = SSB + SSW (each term a
+    function of per-nation (n, sum, sum-of-squares) — the identity
+    is pinned in tests); F is one division of the two mean squares.
+
+    Scale: one orders scan + broadcast nation join + 25-key moment
+    aggregate; the ANOVA table is one row."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"))
+    rows = (orders.join(F.broadcast(cust), "o_custkey")
+            .select("nationkey",
+                    F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("decimal(38,0)").alias("yc")))
+    per = (rows.groupBy("nationkey")
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                F.sum("yc").alias("s"),
+                F.sum(F.col("yc") * F.col("yc")).alias("ss")))
+    # per-nation s^2/n snapped to the 1e-2-dollar^2 grid and summed
+    # as 128-bit integers — a raw double sum of 25 terms is order-
+    # sensitive in its last ulp and forked the two engines
+    gterm = F.round((F.col("s").cast("double") / 100)
+                    * (F.col("s").cast("double") / 100)
+                    / F.col("n").cast("double") * 100, 0) \
+        .cast("decimal(38,0)")
+    tot = per.agg(F.sum(F.col("n")).alias("nn"),
+                  F.sum("s").alias("st"), F.sum("ss").alias("sst"),
+                  F.count(F.lit(1)).alias("k"),
+                  (F.sum(gterm).cast("double") / 100).alias("grp"))
+    nn = F.col("nn").cast("double")
+    sst_ = (F.col("sst").cast("double") / 10000
+            - (F.col("st").cast("double") / 100)
+            * (F.col("st").cast("double") / 100) / nn)
+    ssb = (F.col("grp")
+           - (F.col("st").cast("double") / 100)
+           * (F.col("st").cast("double") / 100) / nn)
+    ssw = sst_ - ssb
+    k = F.col("k").cast("double")
+    fstat = (ssb / (k - 1)) / (ssw / (nn - k))
+    return tot.select(
+        F.col("k").cast("int").alias("k_groups"),
+        F.col("nn").cast("bigint").alias("n_total"),
+        F.round(ssb, 2).alias("ss_between"),
+        F.round(ssw, 2).alias("ss_within"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.lit(_ANOVA_F_CRIT_24).alias("f_crit_5pct"),
+        (F.round(fstat, 6) > F.lit(_ANOVA_F_CRIT_24))
+        .alias("reject_equal_means"))
+
+
+QUERIES["anova_nation_values"] = anova_nation_values
+ORACLES["anova_nation_values"] = f"""
+    WITH rows_ AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS yc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per AS (
+        SELECT nationkey, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(yc) AS HUGEINT) AS s,
+               CAST(sum(CAST(yc AS HUGEINT) * yc) AS HUGEINT) AS ss
+        FROM rows_ GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(s) AS HUGEINT) AS st,
+               CAST(sum(ss) AS HUGEINT) AS sst,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(round((CAST(s AS DOUBLE) / 100)
+                        * (CAST(s AS DOUBLE) / 100)
+                        / CAST(n AS DOUBLE) * 100, 0) AS HUGEINT))
+                    AS DOUBLE) / 100 AS grp
+        FROM per
+    )
+    SELECT CAST(k AS INT) AS k_groups,
+           CAST(nn AS BIGINT) AS n_total,
+           round(grp - (CAST(st AS DOUBLE) / 100)
+                 * (CAST(st AS DOUBLE) / 100) / nn, 2) AS ss_between,
+           round((CAST(sst AS DOUBLE) / 10000
+                  - (CAST(st AS DOUBLE) / 100)
+                    * (CAST(st AS DOUBLE) / 100) / nn)
+                 - (grp - (CAST(st AS DOUBLE) / 100)
+                    * (CAST(st AS DOUBLE) / 100) / nn), 2)
+               AS ss_within,
+           round(((grp - (CAST(st AS DOUBLE) / 100)
+                   * (CAST(st AS DOUBLE) / 100) / nn) / (k - 1))
+                 / (((CAST(sst AS DOUBLE) / 10000
+                      - (CAST(st AS DOUBLE) / 100)
+                        * (CAST(st AS DOUBLE) / 100) / nn)
+                     - (grp - (CAST(st AS DOUBLE) / 100)
+                        * (CAST(st AS DOUBLE) / 100) / nn))
+                    / (nn - k)), 6) AS f_stat,
+           CAST({_ANOVA_F_CRIT_24} AS DOUBLE) AS f_crit_5pct,
+           round(((grp - (CAST(st AS DOUBLE) / 100)
+                   * (CAST(st AS DOUBLE) / 100) / nn) / (k - 1))
+                 / (((CAST(sst AS DOUBLE) / 10000
+                      - (CAST(st AS DOUBLE) / 100)
+                        * (CAST(st AS DOUBLE) / 100) / nn)
+                     - (grp - (CAST(st AS DOUBLE) / 100)
+                        * (CAST(st AS DOUBLE) / 100) / nn))
+                    / (nn - k)), 6) > {_ANOVA_F_CRIT_24}
+               AS reject_equal_means
+    FROM tot
+"""

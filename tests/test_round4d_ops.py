@@ -1627,3 +1627,79 @@ def test_cf_holdout_lift_brute_force(spark, sf_dir):
         assert r.cf_hits <= r.n_train_buyers
         assert r.pop_hits <= r.n_train_buyers
         assert r.cf_rate == pytest.approx(cf_hits / deg[t], abs=1e-6)
+
+
+# -------------------------------------------- blocking quality
+
+def test_blocking_quality_brute_force(spark, sf_dir):
+    """RR and PC replayed in python from the same blocks; PC = 1
+    exactly (the suffix blocks are invariant to the mid-name
+    perturbation — the designed-in property) while RR > 0.9."""
+    from qrapids_forecast_r_script_spark.operators.linkage import (
+        blocking_quality_metrics)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    r = blocking_quality_metrics(spark, sf_dir).collect()[0]
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey").collect()
+    from collections import defaultdict
+    blocks_a = defaultdict(list)
+    blocks_b = defaultdict(list)
+    for c in cust:
+        blocks_a[(c.c_nationkey, c.c_name[-3:])].append(c.c_custkey)
+        nb = (c.c_name[:3] + c.c_name[4:]
+              if c.c_custkey % 7 == 0 else c.c_name)
+        blocks_b[(c.c_nationkey, nb[-3:])].append(c.c_custkey)
+    n_cand = sum(len(blocks_a[k]) * len(blocks_b[k])
+                 for k in set(blocks_a) | set(blocks_b)
+                 if k in blocks_a and k in blocks_b)
+    n_true = sum(1 for k in blocks_a
+                 if k in blocks_b
+                 for ka in blocks_a[k] for kb in blocks_b[k]
+                 if ka == kb)
+    n = len(cust)
+    assert r.n_cand == n_cand
+    assert r.n_cand_true == n_true
+    assert r.reduction_ratio == pytest.approx(
+        1 - n_cand / (n * n), abs=2e-6)
+    assert r.pairs_completeness == pytest.approx(n_true / n,
+                                                 abs=2e-6)
+    # suffix blocks are invariant to the mid-name perturbation (it
+    # drops the 4th char; the last 3 stay) — PC = 1 exactly, which
+    # is WHY the linkage chain blocks on the suffix and not the
+    # prefix the perturbation would break
+    assert r.pairs_completeness == 1.0
+    assert r.reduction_ratio > 0.9
+
+
+# ------------------------------------------------------ ANOVA
+
+def test_anova_decomposition_identity(spark, sf_dir):
+    """SSB + SSW equals total SS computed independently in python
+    (the Fisher decomposition); F replayed from raw data."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import anova_nation_values
+    from qrapids_forecast_r_script_spark.sources import load_table
+    r = anova_nation_values(spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice").collect()
+    cust = {c.c_custkey: c.c_nationkey
+            for c in load_table(spark, sf_dir, "customer").collect()}
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for o in orders:
+        groups[cust[o.o_custkey]].append(
+            round(o.o_totalprice * 100) / 100)
+    allv = [v for g in groups.values() for v in g]
+    n = len(allv)
+    gm = sum(allv) / n
+    sst = sum((v - gm) ** 2 for v in allv)
+    ssb = sum(len(g) * (sum(g) / len(g) - gm) ** 2
+              for g in groups.values())
+    ssw = sst - ssb
+    assert r.n_total == n
+    assert r.k_groups == len(groups)
+    assert r.ss_between == pytest.approx(ssb, rel=1e-6)
+    assert r.ss_within == pytest.approx(ssw, rel=1e-9)
+    f = (ssb / (len(groups) - 1)) / (ssw / (n - len(groups)))
+    assert r.f_stat == pytest.approx(f, rel=1e-4)
+    assert r.reject_equal_means == (r.f_stat > r.f_crit_5pct)
