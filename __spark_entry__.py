@@ -96,8 +96,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # greedy_coverage_selection, als_rank2_factors,
 # series_analog_search, source_length_emd,
 # bradley_terry_strengths, hmm_forward_filter, doc_length_gmm,
-# textrank_keywords, consistent_hash_rebalance) are the round-5
-# window.
+# textrank_keywords, consistent_hash_rebalance,
+# meta_analysis_nations, hmm_smoothed_posterior, nb_learning_curve,
+# ab_quantile_treatment_effects, ab_power_mde_table,
+# hmm_baum_welch_step, platt_scaling_fit, series_dickey_fuller,
+# mahalanobis_outliers, weak_label_model, event_time_circular_stats,
+# hmm_viterbi_path, dbscan_density_classes,
+# hedge_forecast_combination, newsvendor_stock_levels,
+# price_elasticity_ols, series_spearman_matrix, evt_gpd_tail_fit,
+# littles_law_audit, cf_holdout_lift, blocking_quality_metrics,
+# anova_nation_values) are the round-5 window.
 FRONT_WINDOW = [
     # results/oracles changed this round — re-prove first
     "knn_label_accuracy",          # constant-k md5-ordered anchor sample
