@@ -387,6 +387,8 @@ HEADLINE = [
     "cf_holdout_lift",
     "blocking_quality_metrics",
     "anova_nation_values",
+    "doc_graph_assortativity",
+    "term_burstiness_topk",
 ]
 
 

@@ -1141,3 +1141,95 @@ def _shortest_paths_oracle_sql(hops: int = _SP_HOPS) -> str:
 
 QUERIES["doc_graph_shortest_paths"] = doc_graph_shortest_paths
 ORACLES["doc_graph_shortest_paths"] = _shortest_paths_oracle_sql()
+
+
+def doc_graph_assortativity(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the near-dup graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over edges — positive =
+    hubs attach to hubs (a boilerplate family linked by shared
+    templates), negative = hub-and-spoke (one canonical page with
+    many near-copies).  The one-number structure read that degree
+    histograms (`doc_graph_degree_powerlaw`) and communities miss,
+    and the standard first diagnostic before choosing a clustering
+    strategy (disassortative graphs star-collapse cheaply; see the
+    large-star/small-star fallback in `dedup_clusters`).
+
+    Computed over DIRECTED edge copies (each undirected edge twice,
+    the standard symmetric-graph convention, so the correlation is
+    exchange-symmetric by construction).  Exactness: degrees are
+    exact integers; the five correlation sums are BIGINT/128-bit;
+    one division.
+
+    Scale: degrees are one grouped count over the banded edge list;
+    the correlation is one aggregate over edges with two broadcast
+    degree joins."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+           .union(pairs.select(F.col("doc_b").alias("src"),
+                               F.col("doc_a").alias("dst"))))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    j = (sym.join(F.broadcast(deg), "src")
+         .withColumnRenamed("d", "dx")
+         .join(F.broadcast(deg.select(F.col("src").alias("dst"),
+                                      F.col("d").alias("dy"))), "dst"))
+    a = j.agg(F.count(F.lit(1)).alias("m2"),
+              F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
+              F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dy"))
+              .alias("sxy"),
+              F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx"))
+              .alias("sxx"),
+              F.sum(F.col("dy").cast("decimal(38,0)") * F.col("dy"))
+              .alias("syy"))
+    n = F.col("m2").cast("double")
+    num = n * F.col("sxy").cast("double") \
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    dx = n * F.col("sxx").cast("double") \
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    dy = n * F.col("syy").cast("double") \
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    return a.select(
+        (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+        F.round(num / F.sqrt(dx * dy), 6).alias("assortativity"))
+
+
+QUERIES["doc_graph_assortativity"] = doc_graph_assortativity
+ORACLES["doc_graph_assortativity"] = _SIG_CTE + f"""
+    , bands AS ({_BANDS_UNION}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                    AND a.doc_id < b.doc_id
+    ), sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS d
+        FROM sym GROUP BY 1
+    ), j AS (
+        SELECT da.d AS dx, db.d AS dy
+        FROM sym s
+        JOIN deg da ON da.src = s.src
+        JOIN deg db ON db.src = s.dst
+    ), a AS (
+        SELECT CAST(count(*) AS BIGINT) AS m2,
+               CAST(sum(dx) AS BIGINT) AS sx,
+               CAST(sum(dy) AS BIGINT) AS sy,
+               CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy
+        FROM j
+    )
+    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+           round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)
+                             * CAST(sy AS DOUBLE))), 6)
+               AS assortativity
+    FROM a
+"""

@@ -1116,3 +1116,88 @@ ORACLES["doc_length_gmm"] = f"""
            round(mu, 6) AS mu, round(s2, 6) AS sigma2
     FROM params2 ORDER BY k
 """
+
+
+_BURST_TOP = 20
+_BURST_MIN_DOCS = 5    # term must appear in >= this many docs
+
+
+def term_burstiness_topk(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Top-20 BURSTIEST terms (Church & Gale 1995; Katz 1996): the
+    variance-to-mean ratio (Fano factor) of a term's per-document
+    count, over docs that CONTAIN it — a term with VMR >> 1 clumps
+    (appears many times in few documents: a topical/boilerplate
+    marker), VMR ~ 1 is Poisson background (function words scatter
+    evenly).  The burstiness axis is orthogonal to frequency — two
+    terms with identical corpus counts can sit at opposite ends —
+    and it is the signal behind adaptive LMs, keyword weighting, and
+    the repeated-span dedup heuristics: bursty terms are where
+    near-dup spans live.
+
+    Per qualifying term (>= 5 containing docs): document frequency,
+    total count, mean, VMR (sample variance / mean) — ranked by VMR
+    with term ties ascending.  Exactness: counts are exact integers;
+    the variance comes from BIGINT (n, sum, sum-of-squares); two
+    divisions per term.
+
+    Scale: one (doc, term) count aggregate off the shared token
+    scan, one vocabulary-keyed moment aggregate, one TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("c")))
+    a = (tf.groupBy("term")
+         .agg(F.count(F.lit(1)).alias("df"),
+              F.sum("c").alias("s"),
+              F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+              .alias("ss"))
+         .where(F.col("df") >= _BURST_MIN_DOCS))
+    n = F.col("df").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = ((F.col("ss").cast("double")
+            - n * mean * mean) / (n - 1))
+    vmr = F.round(var / mean, 6)
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.col("vmr").desc(), F.col("term").asc())
+    return (a.withColumn("vmr", vmr)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _BURST_TOP)
+            .select("rank", "term", "df",
+                    F.col("s").alias("total_count"),
+                    F.round(mean, 6).alias("mean_per_doc"), "vmr")
+            .orderBy("rank"))
+
+
+QUERIES["term_burstiness_topk"] = term_burstiness_topk
+ORACLES["term_burstiness_topk"] = f"""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), cnt AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+        FROM tf GROUP BY 1, 2
+    ), a AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+        FROM cnt GROUP BY 1
+        HAVING count(*) >= {_BURST_MIN_DOCS}
+    ), scored AS (
+        SELECT term, df, s,
+               CAST(s AS DOUBLE) / df AS mean,
+               round(((CAST(ss AS DOUBLE)
+                       - df * (CAST(s AS DOUBLE) / df)
+                         * (CAST(s AS DOUBLE) / df)) / (df - 1))
+                     / (CAST(s AS DOUBLE) / df), 6) AS vmr
+        FROM a
+    )
+    SELECT CAST(row_number() OVER (ORDER BY vmr DESC, term ASC)
+                AS INT) AS rank,
+           term, df, s AS total_count,
+           round(mean, 6) AS mean_per_doc, vmr
+    FROM scored
+    QUALIFY rank <= {_BURST_TOP}
+    ORDER BY rank
+"""

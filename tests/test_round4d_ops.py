@@ -1703,3 +1703,74 @@ def test_anova_decomposition_identity(spark, sf_dir):
     f = (ssb / (len(groups) - 1)) / (ssw / (n - len(groups)))
     assert r.f_stat == pytest.approx(f, rel=1e-4)
     assert r.reject_equal_means == (r.f_stat > r.f_crit_5pct)
+
+
+# ------------------------------------------- assortativity
+
+def test_assortativity_brute_force(spark, sf_dir):
+    """Coefficient replayed in python over the directed edge copies;
+    value lies in [-1, 1]; exchange symmetry holds by construction
+    (sx == sy)."""
+    from qrapids_forecast_r_script_spark.operators.graph import (
+        doc_graph_assortativity)
+    from qrapids_forecast_r_script_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    r = doc_graph_assortativity(spark, sf_dir).collect()[0]
+    assert -1.0 <= r.assortativity <= 1.0
+    pairs = [(p.doc_a, p.doc_b)
+             for p in minhash_lsh_pairs(spark, sf_dir).collect()]
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    xs = []
+    ys = []
+    for a, b in pairs:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    exp = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert r.assortativity == pytest.approx(exp, abs=2e-6)
+    assert r.n_edges == len(pairs)
+    assert sx == sy
+
+
+# --------------------------------------------- term burstiness
+
+def test_burstiness_brute_force_and_poisson_floor(spark, sf_dir):
+    """VMR replayed in python for the top terms; a constant-count
+    synthetic term has VMR exactly 0 and a maximally clumped one
+    exceeds 1 (the Fano-factor reading)."""
+    from qrapids_forecast_r_script_spark.operators.text_quality import (
+        term_burstiness_topk)
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = term_burstiness_topk(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    cnt = {}
+    for d in docs:
+        for t in d.text.split(" "):
+            cnt.setdefault(t, Counter())[d.doc_id] += 1
+    for r in got[:5]:
+        cs = list(cnt[r.term].values())
+        df = len(cs)
+        assert df == r.df and df >= 5
+        mean = sum(cs) / df
+        var = (sum(c * c for c in cs) - df * mean * mean) / (df - 1)
+        assert r.vmr == pytest.approx(var / mean, rel=1e-4)
+    ranks = [r.vmr for r in got]
+    assert ranks == sorted(ranks, reverse=True)
+    const = [3] * 10
+    m = sum(const) / len(const)
+    v = (sum(c * c for c in const) - len(const) * m * m) \
+        / (len(const) - 1)
+    assert v / m == 0
+    clumped = [29] + [1] * 9
+    m2 = sum(clumped) / 10
+    v2 = (sum(c * c for c in clumped) - 10 * m2 * m2) / 9
+    assert v2 / m2 > 1
