@@ -389,6 +389,7 @@ HEADLINE = [
     "anova_nation_values",
     "doc_graph_assortativity",
     "term_burstiness_topk",
+    "eb_urgent_share_shrinkage",
 ]
 
 

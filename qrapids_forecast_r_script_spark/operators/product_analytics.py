@@ -5144,3 +5144,100 @@ ORACLES["anova_nation_values"] = f"""
                AS reject_equal_means
     FROM tot
 """
+
+
+def eb_urgent_share_shrinkage(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES beta-binomial shrinkage of each nation's
+    urgent-order share (Robbins 1956; the moment-matched beta prior
+    of Morris 1983 — the baseball-averages construction): fit
+    Beta(alpha, beta) to the 25 observed shares by method of
+    moments, then report each nation's posterior mean
+    (k_i + alpha)/(n_i + alpha + beta) — the proportions
+    counterpart of the Gaussian `james_stein_nation_means`: small
+    nations get pulled to the pooled prior, large ones keep their
+    data.  The ranking a dashboard should sort by instead of raw
+    shares (raw ranks are dominated by small-n noise).
+
+    Moment matching: mbar and the BETWEEN-nation variance of shares
+    come from 1e-9-snapped BIGINT sums; K = alpha+beta =
+    mbar(1-mbar)/var - 1 (clamped at 0 when the between-variance
+    exceeds the binomial ceiling); two divisions per nation after
+    that.
+
+    Scale: one orders scan + broadcast nation join + 25-key count
+    aggregate; the prior fit is a 25-row reduction."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"))
+    per = (orders.join(F.broadcast(cust), "o_custkey")
+           .groupBy("nationkey")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("o_orderpriority")
+                               == "1-URGENT", 1)).alias("k")))
+    p_u = F.round(F.col("k") / F.col("n").cast("double") * 1e9, 0) \
+        .cast("bigint")
+    staged = per.withColumn("pu", p_u)
+    mom = staged.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum("pu").alias("sp"),
+        F.sum(F.round((F.col("pu") / 1e9) * (F.col("pu") / 1e9)
+                      * 1e9, 0).cast("bigint")).alias("spp"))
+    g = F.col("g").cast("double")
+    mbar = F.col("sp") / 1e9 / g
+    var = (F.col("spp") / 1e9 / g - mbar * mbar)
+    kk = F.greatest(F.lit(0.0),
+                    mbar * (1 - mbar) / F.nullif(var, F.lit(0.0))
+                    - 1)
+    pri = mom.select(mbar.alias("mbar"), kk.alias("kk"))
+    alpha = F.col("mbar") * F.col("kk")
+    beta = (1 - F.col("mbar")) * F.col("kk")
+    return (staged.crossJoin(F.broadcast(pri))
+            .select("nationkey", "n", "k",
+                    F.round(F.col("pu") / 1e9, 6).alias("raw_share"),
+                    F.round(alpha, 6).alias("alpha"),
+                    F.round(beta, 6).alias("beta"),
+                    F.round((F.col("k") + alpha)
+                            / (F.col("n") + F.col("kk")), 6)
+                    .alias("shrunk_share"))
+            .orderBy("nationkey"))
+
+
+QUERIES["eb_urgent_share_shrinkage"] = eb_urgent_share_shrinkage
+ORACLES["eb_urgent_share_shrinkage"] = """
+    WITH per AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE o.o_orderpriority
+                    = '1-URGENT') AS BIGINT) AS k
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ), staged AS (
+        SELECT *, CAST(round(k / CAST(n AS DOUBLE) * 1e9, 0)
+                       AS BIGINT) AS pu
+        FROM per
+    ), mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS g,
+               CAST(sum(pu) AS BIGINT) AS sp,
+               CAST(sum(CAST(round((pu / 1e9) * (pu / 1e9) * 1e9, 0)
+                             AS BIGINT)) AS BIGINT) AS spp
+        FROM staged
+    ), pri AS (
+        SELECT sp / 1e9 / g AS mbar,
+               greatest(0.0,
+                   (sp / 1e9 / g) * (1 - sp / 1e9 / g)
+                   / nullif(spp / 1e9 / g
+                            - (sp / 1e9 / g) * (sp / 1e9 / g), 0)
+                   - 1) AS kk
+        FROM mom
+    )
+    SELECT s.nationkey, s.n, s.k,
+           round(s.pu / 1e9, 6) AS raw_share,
+           round(p.mbar * p.kk, 6) AS alpha,
+           round((1 - p.mbar) * p.kk, 6) AS beta,
+           round((s.k + p.mbar * p.kk) / (s.n + p.kk), 6)
+               AS shrunk_share
+    FROM staged s CROSS JOIN pri p
+    ORDER BY s.nationkey
+"""

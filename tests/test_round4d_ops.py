@@ -1774,3 +1774,37 @@ def test_burstiness_brute_force_and_poisson_floor(spark, sf_dir):
     m2 = sum(clumped) / 10
     v2 = (sum(c * c for c in clumped) - 10 * m2 * m2) / 9
     assert v2 / m2 > 1
+
+
+# ------------------------------------- empirical-Bayes shrinkage
+
+def test_eb_shrinkage_properties(spark, sf_dir):
+    """Every shrunk share lies between the raw share and the prior
+    mean; the moment-matched prior replayed in python; small-n
+    nations move more than large-n ones (relative shrinkage is
+    monotone in 1/(n + K))."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import eb_urgent_share_shrinkage
+    rows = eb_urgent_share_shrinkage(spark, sf_dir).collect()
+    ps = [round(r.k / r.n * 1e9) / 1e9 for r in rows]
+    g = len(ps)
+    mbar = sum(round(p * 1e9) for p in ps) / 1e9 / g
+    var = sum(round(p * p * 1e9) for p in ps) / 1e9 / g - mbar ** 2
+    kk = max(0.0, mbar * (1 - mbar) / var - 1)
+    alpha, beta = mbar * kk, (1 - mbar) * kk
+    for r, p in zip(rows, ps):
+        assert r.alpha == pytest.approx(alpha, abs=2e-6)
+        assert r.beta == pytest.approx(beta, abs=2e-6)
+        exp = (r.k + alpha) / (r.n + kk)
+        assert r.shrunk_share == pytest.approx(exp, abs=2e-6)
+        lo, hi = sorted((p, mbar))
+        assert lo - 1e-6 <= r.shrunk_share <= hi + 1e-6
+    # relative pull toward the prior scales with K/(n+K)
+    pulls = [(abs(r.shrunk_share - r.raw_share)
+              / (abs(mbar - r.raw_share) + 1e-12), r.n)
+             for r in rows if abs(mbar - r.raw_share) > 1e-4]
+    if len(pulls) >= 2:
+        big = max(pulls, key=lambda t: t[1])
+        small = min(pulls, key=lambda t: t[1])
+        if big[1] > 1.5 * small[1]:
+            assert big[0] <= small[0] + 1e-6
