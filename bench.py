@@ -390,6 +390,7 @@ HEADLINE = [
     "doc_graph_assortativity",
     "term_burstiness_topk",
     "eb_urgent_share_shrinkage",
+    "interarrival_weibull_fit",
 ]
 
 

@@ -5241,3 +5241,139 @@ ORACLES["eb_urgent_share_shrinkage"] = """
     FROM staged s CROSS JOIN pri p
     ORDER BY s.nationkey
 """
+
+
+def interarrival_weibull_fit(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """WEIBULL fit of inter-event times per event type by median-rank
+    regression (Weibull 1951; Benard & Bos-Levenbach 1953 for the
+    (i-0.3)/(n+0.4) plotting positions — the standard reliability-
+    engineering probability-plot fit): regress ln(-ln(1-F_i)) on
+    ln(t_(i)) over the ordered inter-arrival gaps; the slope is the
+    shape k and exp(intercept/(-k))... the scale lambda =
+    exp(-intercept/k).  The POINT of k: k < 1 = bursty/clustered
+    arrivals (rate decreases with waiting — the retry storm / human
+    session signature), k = 1 = memoryless Poisson, k > 1 = regular
+    spacing (schedulers, crawlers) — the single number that
+    separates bots from humans where `event_interarrival_stats`'
+    moments cannot.
+
+    Exactness: gaps are integer microseconds within user sessions
+    (>0 only); plotting positions are exact rationals of the rank;
+    both logs snap to 1e-6 per row and the five regression sums are
+    BIGINT/128-bit micro-units; R² reported so a non-Weibull cloud
+    is visibly untrustworthy.
+
+    Scale: one user-keyed lag window (the shared sessionize
+    shuffle), one per-type rank window, one moment aggregate."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id") \
+        .orderBy("ts", "event_id")
+    gaps = (ev.withColumn(
+        "gap_us", F.unix_micros("ts")
+        - F.unix_micros(F.lag("ts", 1).over(w)))
+        .where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+        .select("event_type", "gap_us"))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("gap_us").asc())
+    wn = Window.partitionBy("event_type")
+    ranked = (gaps.withColumn("i", F.row_number().over(wr))
+              .withColumn("n", F.count(F.lit(1)).over(wn)))
+    ff = (F.col("i") - 0.3) / (F.col("n") + 0.4)
+    x = F.round(F.log(F.col("gap_us") / 1e6), 6)
+    y = F.round(F.log(-F.log(1 - ff)), 6)
+    rows = ranked.select(
+        "event_type",
+        F.round(x * 1e6, 0).cast("long").alias("xu"),
+        F.round(y * 1e6, 0).cast("long").alias("yu"))
+    a = (rows.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("xu").alias("sx"), F.sum("yu").alias("sy"),
+              F.sum(F.col("xu").cast("decimal(38,0)") * F.col("yu"))
+              .alias("sxy"),
+              F.sum(F.col("xu").cast("decimal(38,0)") * F.col("xu"))
+              .alias("sxx"),
+              F.sum(F.col("yu").cast("decimal(38,0)") * F.col("yu"))
+              .alias("syy")))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / 1e6
+    sy = F.col("sy").cast("double") / 1e6
+    sxy = F.col("sxy").cast("double") / 1e12
+    sxx = F.col("sxx").cast("double") / 1e12
+    syy = F.col("syy").cast("double") / 1e12
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    k = cov / vx
+    icept = (sy - k * sx) / n
+    return (a.select("event_type", F.col("n").alias("n_gaps"),
+                     F.round(k, 6).alias("shape_k"),
+                     F.round(F.exp(-icept / k), 6)
+                     .alias("scale_seconds"),
+                     F.round(cov * cov / (vx * vy), 6).alias("r2"))
+            .orderBy("event_type"))
+
+
+QUERIES["interarrival_weibull_fit"] = interarrival_weibull_fit
+ORACLES["interarrival_weibull_fit"] = """
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id) AS BIGINT) AS gap_us
+        FROM events
+        QUALIFY gap_us IS NOT NULL AND gap_us > 0
+    ), ranked AS (
+        SELECT event_type, gap_us,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY gap_us ASC) AS i,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM gaps
+    ), rows_ AS (
+        SELECT event_type,
+               CAST(round(round(ln(gap_us / 1e6), 6) * 1e6, 0)
+                    AS BIGINT) AS xu,
+               CAST(round(round(ln(-ln(1 - (i - 0.3) / (n + 0.4))),
+                                6) * 1e6, 0) AS BIGINT) AS yu
+        FROM ranked
+    ), a AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xu) AS BIGINT) AS sx,
+               CAST(sum(yu) AS BIGINT) AS sy,
+               CAST(sum(CAST(xu AS HUGEINT) * yu) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(xu AS HUGEINT) * xu) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(yu AS HUGEINT) * yu) AS HUGEINT) AS syy
+        FROM rows_ GROUP BY 1
+    )
+    SELECT event_type, n AS n_gaps,
+           round((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)
+                  - (sx / 1e6) * (sy / 1e6))
+                 / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                    - (sx / 1e6) * (sx / 1e6)), 6) AS shape_k,
+           round(exp(-(((sy / 1e6)
+                        - ((CAST(n AS DOUBLE)
+                            * (CAST(sxy AS DOUBLE) / 1e12)
+                            - (sx / 1e6) * (sy / 1e6))
+                           / (CAST(n AS DOUBLE)
+                              * (CAST(sxx AS DOUBLE) / 1e12)
+                              - (sx / 1e6) * (sx / 1e6)))
+                          * (sx / 1e6)) / CAST(n AS DOUBLE))
+                     / ((CAST(n AS DOUBLE)
+                         * (CAST(sxy AS DOUBLE) / 1e12)
+                         - (sx / 1e6) * (sy / 1e6))
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(sxx AS DOUBLE) / 1e12)
+                           - (sx / 1e6) * (sx / 1e6)))), 6)
+               AS scale_seconds,
+           round((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)
+                  - (sx / 1e6) * (sy / 1e6))
+                 * (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)
+                    - (sx / 1e6) * (sy / 1e6))
+                 / ((CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                     - (sx / 1e6) * (sx / 1e6))
+                    * (CAST(n AS DOUBLE)
+                       * (CAST(syy AS DOUBLE) / 1e12)
+                       - (sy / 1e6) * (sy / 1e6))), 6) AS r2
+    FROM a ORDER BY event_type
+"""

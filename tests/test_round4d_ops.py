@@ -1808,3 +1808,71 @@ def test_eb_shrinkage_properties(spark, sf_dir):
         small = min(pulls, key=lambda t: t[1])
         if big[1] > 1.5 * small[1]:
             assert big[0] <= small[0] + 1e-6
+
+
+# ------------------------------------------- Weibull interarrival
+
+def test_weibull_fit_recovers_shape_on_synthetic(spark, sf_dir):
+    """Median-rank regression replayed with numpy for one type; on a
+    synthetic exact-Weibull grid (inverse-CDF of a uniform grid at
+    k=2) the fit recovers shape 2 and scale 5 closely; an
+    exponential grid gives k~1."""
+    import numpy as np
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import interarrival_weibull_fit
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = {r.event_type: r
+           for r in interarrival_weibull_fit(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts", "event_id").collect()
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in ev:
+        per[(r.event_type, r.user_id)].append(
+            (r.ts, r.event_id))
+    gaps = defaultdict(list)
+    for (t, _), rows in per.items():
+        rows.sort()
+        for (a, _), (b, _) in zip(rows, rows[1:]):
+            g = (b - a).total_seconds() * 1e6
+            if g > 0:
+                gaps[t].append(round(g))
+    t0 = sorted(gaps)[0]
+    gs = sorted(gaps[t0])
+    n = len(gs)
+    xu = np.array([round(round(math.log(g / 1e6), 6) * 1e6)
+                   for g in gs])
+    yu = np.array([round(round(math.log(-math.log(
+        1 - (i - 0.3) / (n + 0.4))), 6) * 1e6)
+        for i in range(1, n + 1)])
+    x = xu / 1e6
+    y = yu / 1e6
+    cov = n * (x * y).sum() - x.sum() * y.sum()
+    vx = n * (x * x).sum() - x.sum() ** 2
+    k = cov / vx
+    icept = (y.sum() - k * x.sum()) / n
+    r = got[t0]
+    assert r.shape_k == pytest.approx(k, abs=5e-4)
+    assert r.scale_seconds == pytest.approx(math.exp(-icept / k),
+                                            rel=1e-3)
+    assert r.n_gaps == n
+
+    def fit(ts):
+        m = len(ts)
+        xs = np.log(np.asarray(ts, dtype=float))
+        ys = np.log(-np.log(1 - (np.arange(1, m + 1) - 0.3)
+                            / (m + 0.4)))
+        c = m * (xs * ys).sum() - xs.sum() * ys.sum()
+        v = m * (xs * xs).sum() - xs.sum() ** 2
+        kk = c / v
+        ic = (ys.sum() - kk * xs.sum()) / m
+        return kk, math.exp(-ic / kk)
+
+    u = (np.arange(1, 1001) - 0.5) / 1000
+    weib2 = 5.0 * (-np.log(1 - u)) ** 0.5       # k=2, lambda=5
+    k2, l2 = fit(np.sort(weib2))
+    assert k2 == pytest.approx(2.0, abs=0.05)
+    assert l2 == pytest.approx(5.0, rel=0.02)
+    expo = 3.0 * (-np.log(1 - u))               # k=1, lambda=3
+    k1, _ = fit(np.sort(expo))
+    assert k1 == pytest.approx(1.0, abs=0.03)
