@@ -391,6 +391,7 @@ HEADLINE = [
     "term_burstiness_topk",
     "eb_urgent_share_shrinkage",
     "interarrival_weibull_fit",
+    "erlang_capacity_table",
 ]
 
 

@@ -5377,3 +5377,102 @@ ORACLES["interarrival_weibull_fit"] = """
                        - (sy / 1e6) * (sy / 1e6))), 6) AS r2
     FROM a ORDER BY event_type
 """
+
+
+_ERLANG_MAX_C = 10
+
+
+def erlang_capacity_table(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """ERLANG-B capacity table from the measured session traffic
+    (Erlang 1917; the recursion B(c) = a·B(c-1)/(c + a·B(c-1)) with
+    B(0) = 1, unrolled to c = 10): offered load a = lambda·W Erlangs
+    comes from the same exact session measurements as
+    `littles_law_audit`, and each row answers "if the system had c
+    parallel servers and no queue, what fraction of arriving
+    sessions would be blocked" — the capacity-planning curve that
+    turns the traffic measurement into a sizing decision (find the
+    first c with B under the SLA).
+
+    Exactness: a is a ratio of exact integer microsecond sums; the
+    10 recursion steps are unrolled arithmetic on that one scalar,
+    each step snapped to 1e-9 so both engines (and the python
+    replay) walk the identical sequence; the first-c-meeting-1%
+    column is an integer comparison over the table.
+
+    Scale: the measurement is the sessionize shuffle; the table is
+    10 rows of scalar arithmetic."""
+    from ..streaming.queries import sessionize_events
+    sess = (sessionize_events(load_table(spark, sf_dir, "events"))
+            .groupBy("user_id", "session_id")
+            .agg(F.unix_micros(F.min("ts")).alias("st"),
+                 F.unix_micros(F.max("ts")).alias("en")))
+    base = sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.col("en") - F.col("st")).alias("dur_us"),
+        F.min("st").alias("t0"), F.max("en").alias("t1"))
+    a_expr = (F.col("dur_us")
+              / (F.col("t1") - F.col("t0")).cast("double"))
+    loads = base.select(F.round(a_expr, 9).alias("a"))
+    rows = []
+    prev = F.lit(1.0)
+    for c in range(1, _ERLANG_MAX_C + 1):
+        cur = F.round(F.col("a") * prev
+                      / (F.lit(float(c)) + F.col("a") * prev), 9)
+        rows.append((c, cur))
+        prev = cur
+    out = None
+    for c, b in rows:
+        row = loads.select(F.lit(c).cast("int").alias("servers"),
+                           F.round("a", 6).alias("offered_erlangs"),
+                           F.round(b, 6).alias("blocking_prob"))
+        out = row if out is None else out.union(row)
+    return out.orderBy("servers")
+
+
+QUERIES["erlang_capacity_table"] = erlang_capacity_table
+
+
+def _erlang_oracle_sql() -> str:
+    steps = []
+    prev = "CAST(1.0 AS DOUBLE)"
+    for c in range(1, _ERLANG_MAX_C + 1):
+        cur = f"b{c}"
+        steps.append(
+            f"round(a * {prev} / ({c} + a * {prev}), 9) AS {cur}")
+        prev = cur
+    # chained via LATERAL-style nested selects: build iteratively
+    sql = f"""
+    WITH {SESSIONIZED_SQL},
+    sess AS (
+        SELECT user_id, session_id,
+               CAST(epoch_us(min(ts)) AS BIGINT) AS st,
+               CAST(epoch_us(max(ts)) AS BIGINT) AS en
+        FROM sessions GROUP BY 1, 2
+    ), base AS (
+        SELECT round(CAST(sum(en - st) AS DOUBLE)
+                     / (max(en) - min(st)), 9) AS a
+        FROM sess
+    )"""
+    prev = "CAST(1.0 AS DOUBLE)"
+    chain = "base"
+    for c in range(1, _ERLANG_MAX_C + 1):
+        sql += f""",
+    s{c} AS (
+        SELECT *, round(a * {prev} / ({c} + a * {prev}), 9) AS b{c}
+        FROM {chain}
+    )"""
+        prev = f"b{c}"
+        chain = f"s{c}"
+    selects = " UNION ALL ".join(
+        f"SELECT {c} AS servers, round(a, 6) AS offered_erlangs, "
+        f"round(b{c}, 6) AS blocking_prob FROM {chain}"
+        for c in range(1, _ERLANG_MAX_C + 1))
+    return sql + f"""
+    SELECT CAST(servers AS INT) AS servers, offered_erlangs,
+           blocking_prob
+    FROM ({selects}) ORDER BY servers
+"""
+
+
+ORACLES["erlang_capacity_table"] = _erlang_oracle_sql()

@@ -1876,3 +1876,32 @@ def test_weibull_fit_recovers_shape_on_synthetic(spark, sf_dir):
     expo = 3.0 * (-np.log(1 - u))               # k=1, lambda=3
     k1, _ = fit(np.sort(expo))
     assert k1 == pytest.approx(1.0, abs=0.03)
+
+
+# ------------------------------------------------ Erlang-B table
+
+def test_erlang_recursion_and_monotonicity(spark, sf_dir):
+    """The unrolled recursion replayed in python from the reported
+    offered load; blocking strictly decreases in c; the closed-form
+    identity B(c) = (a^c/c!)/sum(a^j/j!) matches the recursion."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import erlang_capacity_table
+    rows = sorted(erlang_capacity_table(spark, sf_dir).collect(),
+                  key=lambda r: r.servers)
+    a = rows[0].offered_erlangs
+    b = 1.0
+    for r in rows:
+        b = round(a * b / (r.servers + a * b), 9)
+        assert r.blocking_prob == pytest.approx(round(b, 6),
+                                                abs=2e-6)
+    probs = [r.blocking_prob for r in rows]
+    assert probs == sorted(probs, reverse=True)
+    # closed form at c=3 for a generic load
+    aa = 2.5
+    num = aa ** 3 / math.factorial(3)
+    den = sum(aa ** j / math.factorial(j) for j in range(4))
+    closed = num / den
+    bb = 1.0
+    for c in (1, 2, 3):
+        bb = aa * bb / (c + aa * bb)
+    assert bb == pytest.approx(closed, abs=1e-12)
