@@ -392,6 +392,7 @@ HEADLINE = [
     "eb_urgent_share_shrinkage",
     "interarrival_weibull_fit",
     "erlang_capacity_table",
+    "label_sliced_wasserstein",
 ]
 
 

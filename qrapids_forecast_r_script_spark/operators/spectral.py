@@ -475,3 +475,128 @@ ORACLES["dbscan_density_classes"] = f"""
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+
+def label_sliced_wasserstein(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """SLICED Wasserstein-1 distance between every embedding label
+    pair (Rabin et al. 2011; Bonneel et al. 2015): project each
+    label's cloud onto fixed 1-D slices (the first two coordinate
+    axes — the same deterministic plane `dbscan_density_classes`
+    grids), compute the EXACT 1-D W1 between the two labels'
+    projected distributions on each slice via the CDF-gap integral
+    (`source_length_emd`'s closed form), and average — the
+    class-geometry eval that tells a metric-learning pipeline WHICH
+    classes overlap, not merely whether a classifier confuses them
+    (`centroid_label_confusion` reads assignments; this reads the
+    transport cost between the distributions themselves).
+
+    Exactness: per-label CDFs are integer-count ratios on the global
+    per-axis support grid (float32 coordinates are exact in both
+    engines); each segment term snaps to 1e-9 and BIGINT-sums; the
+    two-slice average is one addition and one halving.
+
+    Scale: one scan to (axis, label, value) counts; the CDF grid is
+    (labels x support)-sized and the pair table (pairs x support) —
+    all dimension-bounded; more slices = the same plan per slice."""
+    from pyspark.sql.window import Window
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = None
+    for ax in (0, 1):
+        p = emb.select(F.lit(ax).alias("axis"), "label",
+                       F.element_at("embedding", ax + 1)
+                       .cast("double").alias("v"))
+        proj = p if proj is None else proj.union(p)
+    cnt = (proj.groupBy("axis", "label", "v")
+           .agg(F.count(F.lit(1)).alias("c")))
+    support = cnt.select("axis", "v").distinct()
+    nlab = cnt.groupBy("axis", "label").agg(F.sum("c").alias("n"))
+    grid = (nlab.join(support, "axis")
+            .join(cnt, ["axis", "label", "v"], "left")
+            .select("axis", "label", "v", "n",
+                    F.coalesce("c", F.lit(0)).alias("c")))
+    wc = (Window.partitionBy("axis", "label").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cdf = (grid.withColumn("f", F.sum("c").over(wc) / F.col("n"))
+           .withColumn("nxt", F.lead("v").over(
+               Window.partitionBy("axis", "label").orderBy("v")))
+           .select("axis", "label", "v", "f", "nxt"))
+    a = cdf.select("axis", F.col("label").alias("label_a"),
+                   "v", F.col("f").alias("fa"), "nxt")
+    b = cdf.select(F.col("axis").alias("axis_b"),
+                   F.col("label").alias("label_b"),
+                   F.col("v").alias("v_b"), F.col("f").alias("fb"))
+    seg = F.round(F.abs(F.col("fa") - F.col("fb"))
+                  * (F.col("nxt") - F.col("v")) * 1e9, 0) \
+        .cast("bigint")
+    pairs = (a.join(b, (F.col("axis") == F.col("axis_b"))
+                    & (F.col("v") == F.col("v_b"))
+                    & (F.col("label_a") < F.col("label_b")))
+             .where(F.col("nxt").isNotNull())
+             .withColumn("su", seg)
+             .groupBy("label_a", "label_b", "axis")
+             .agg(F.sum("su").alias("w_u")))
+    wide = (pairs.groupBy("label_a", "label_b")
+            .agg(F.max(F.when(F.col("axis") == 0, F.col("w_u")))
+                 .alias("w0"),
+                 F.max(F.when(F.col("axis") == 1, F.col("w_u")))
+                 .alias("w1")))
+    return (wide.select(
+        "label_a", "label_b",
+        F.round(F.col("w0") / 1e9, 6).alias("w1_axis0"),
+        F.round(F.col("w1") / 1e9, 6).alias("w1_axis1"),
+        F.round((F.col("w0") + F.col("w1")) / 2 / 1e9, 6)
+        .alias("sliced_w1"))
+        .orderBy("label_a", "label_b"))
+
+
+QUERIES["label_sliced_wasserstein"] = label_sliced_wasserstein
+ORACLES["label_sliced_wasserstein"] = """
+    WITH proj AS (
+        SELECT 0 AS axis, label, CAST(embedding[1] AS DOUBLE) AS v
+        FROM embeddings
+        UNION ALL
+        SELECT 1, label, CAST(embedding[2] AS DOUBLE) FROM embeddings
+    ), cnt AS (
+        SELECT axis, label, v, CAST(count(*) AS BIGINT) AS c
+        FROM proj GROUP BY 1, 2, 3
+    ), support AS (SELECT DISTINCT axis, v FROM cnt),
+    nlab AS (
+        SELECT axis, label, CAST(sum(c) AS BIGINT) AS n
+        FROM cnt GROUP BY 1, 2
+    ), grid AS (
+        SELECT s.axis, l.label, s.v, l.n, coalesce(x.c, 0) AS c
+        FROM nlab l JOIN support s USING (axis)
+        LEFT JOIN cnt x ON x.axis = s.axis AND x.label = l.label
+                       AND x.v = s.v
+    ), cdf AS (
+        SELECT axis, label, v,
+               sum(c) OVER (PARTITION BY axis, label ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) / CAST(n AS DOUBLE) AS f,
+               lead(v) OVER (PARTITION BY axis, label ORDER BY v)
+                   AS nxt
+        FROM grid
+    ), pairs AS (
+        SELECT a.label_a, a.label_b, a.axis,
+               CAST(sum(a.su) AS BIGINT) AS w_u
+        FROM (
+            SELECT x.axis, x.label AS label_a, y.label AS label_b,
+                   CAST(round(abs(x.f - y.f) * (x.nxt - x.v) * 1e9,
+                              0) AS BIGINT) AS su
+            FROM cdf x
+            JOIN cdf y ON y.axis = x.axis AND y.v = x.v
+                      AND x.label < y.label
+            WHERE x.nxt IS NOT NULL
+        ) a GROUP BY 1, 2, 3
+    )
+    SELECT label_a, label_b,
+           round(max(CASE WHEN axis = 0 THEN w_u END) / 1e9, 6)
+               AS w1_axis0,
+           round(max(CASE WHEN axis = 1 THEN w_u END) / 1e9, 6)
+               AS w1_axis1,
+           round((max(CASE WHEN axis = 0 THEN w_u END)
+                  + max(CASE WHEN axis = 1 THEN w_u END)) / 2 / 1e9,
+                 6) AS sliced_w1
+    FROM pairs GROUP BY 1, 2
+    ORDER BY label_a, label_b
+"""
