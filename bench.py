@@ -393,6 +393,7 @@ HEADLINE = [
     "interarrival_weibull_fit",
     "erlang_capacity_table",
     "label_sliced_wasserstein",
+    "basket_part_triples_apriori",
 ]
 
 

@@ -415,3 +415,141 @@ ORACLES["t_closeness_audit"] = f"""
     FROM diffs GROUP BY 1, 2 ORDER BY 1, 2
 """
 QUERIES["t_closeness_audit"] = t_closeness_audit
+
+
+_TRI_MIN_SUPPORT = 2
+_TOP_TRIPLES = 20
+
+
+def basket_part_triples_apriori(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Level-3 APRIORI frequent itemsets (Agrawal & Srikant 1994):
+    candidate part TRIPLES are generated only from frequent PAIRS
+    that share a prefix item (the apriori / anti-monotonicity
+    principle — every subset of a frequent set is frequent, so the
+    candidate join prunes before any counting), then counted against
+    the baskets and scored by 3-way lift support(abc)·N² /
+    (n_a·n_b·n_c).  Top-20 by lift — the level-wise mining step up
+    from `basket_part_pairs_lift`, demonstrating the candidate-
+    pruning discipline that keeps frequent-itemset mining from
+    going 2^items.
+
+    Exactness: all supports are exact integer basket counts; the
+    lift is one division of exact integer products (N² and the
+    margin product fit comfortably in doubles' exact-integer range
+    here; at open scale compute in DECIMAL).
+
+    Scale: the candidate join is frequent-pair × frequent-pair on
+    the shared first item (the textbook apriori join — never
+    baskets³); verification joins candidates to the basket relation
+    three times on (basket, item) keys."""
+    baskets = (load_table(spark, sf_dir, "lineitem")
+               .select("l_orderkey", "l_partkey").distinct())
+    n_baskets = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n_baskets"))
+    marg = baskets.groupBy(F.col("l_partkey").alias("pk")) \
+                  .agg(F.count(F.lit(1)).alias("n_pk"))
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    fpairs = (a.join(b, "l_orderkey")
+              .where(F.col("pa") < F.col("pb"))
+              .groupBy("pa", "pb")
+              .agg(F.count(F.lit(1)).alias("n_ab"))
+              .where(F.col("n_ab") >= _TRI_MIN_SUPPORT)
+              .localCheckpoint(eager=True))
+    # apriori join: (x,y) + (x,z) with y<z -> candidate (x,y,z),
+    # kept only if (y,z) is also frequent
+    cand = (fpairs.select(F.col("pa").alias("x"),
+                          F.col("pb").alias("y"))
+            .join(fpairs.select(F.col("pa").alias("x"),
+                                F.col("pb").alias("z")), "x")
+            .where(F.col("y") < F.col("z"))
+            .join(fpairs.select(F.col("pa").alias("y"),
+                                F.col("pb").alias("z")), ["y", "z"],
+                  "left_semi"))
+    bx = baskets.select("l_orderkey", F.col("l_partkey").alias("x"))
+    by = baskets.select("l_orderkey", F.col("l_partkey").alias("y"))
+    bz = baskets.select("l_orderkey", F.col("l_partkey").alias("z"))
+    counted = (cand.join(bx, "x").join(by, ["l_orderkey", "y"])
+               .join(bz, ["l_orderkey", "z"])
+               .groupBy("x", "y", "z")
+               .agg(F.count(F.lit(1)).alias("n_xyz"))
+               .where(F.col("n_xyz") >= _TRI_MIN_SUPPORT))
+    e = (counted
+         .join(F.broadcast(marg.select(F.col("pk").alias("x"),
+                                       F.col("n_pk").alias("n_x"))),
+               "x")
+         .join(F.broadcast(marg.select(F.col("pk").alias("y"),
+                                       F.col("n_pk").alias("n_y"))),
+               "y")
+         .join(F.broadcast(marg.select(F.col("pk").alias("z"),
+                                       F.col("n_pk").alias("n_z"))),
+               "z")
+         .crossJoin(F.broadcast(n_baskets))
+         .withColumn("lift", F.round(
+             F.col("n_xyz") * F.col("n_baskets").cast("double")
+             * F.col("n_baskets")
+             / (F.col("n_x").cast("double") * F.col("n_y")
+                * F.col("n_z")), 6)))
+    order = [F.col("lift").desc(), F.col("n_xyz").desc(),
+             F.col("x").asc(), F.col("y").asc(), F.col("z").asc()]
+    top = e.orderBy(*order).limit(_TOP_TRIPLES)
+    w = Window.orderBy(*order)
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "x", "y", "z", "n_xyz", "lift"))
+
+
+QUERIES["basket_part_triples_apriori"] = basket_part_triples_apriori
+ORACLES["basket_part_triples_apriori"] = f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), nb AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+        FROM baskets
+    ), marg AS (
+        SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n_pk
+        FROM baskets GROUP BY 1
+    ), fpairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {_TRI_MIN_SUPPORT}
+    ), cand AS (
+        SELECT p1.pa AS x, p1.pb AS y, p2.pb AS z
+        FROM fpairs p1
+        JOIN fpairs p2 ON p2.pa = p1.pa AND p2.pb > p1.pb
+        WHERE EXISTS (SELECT 1 FROM fpairs f
+                      WHERE f.pa = p1.pb AND f.pb = p2.pb)
+    ), counted AS (
+        SELECT c.x, c.y, c.z, CAST(count(*) AS BIGINT) AS n_xyz
+        FROM cand c
+        JOIN baskets bx ON bx.l_partkey = c.x
+        JOIN baskets by_ ON by_.l_orderkey = bx.l_orderkey
+                        AND by_.l_partkey = c.y
+        JOIN baskets bz ON bz.l_orderkey = bx.l_orderkey
+                       AND bz.l_partkey = c.z
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= {_TRI_MIN_SUPPORT}
+    )
+    SELECT CAST(row_number() OVER (
+               ORDER BY round(c.n_xyz * CAST(n.n_baskets AS DOUBLE)
+                              * n.n_baskets
+                              / (CAST(mx.n_pk AS DOUBLE) * my.n_pk
+                                 * mz.n_pk), 6) DESC,
+                        c.n_xyz DESC, c.x ASC, c.y ASC, c.z ASC)
+               AS INT) AS rank,
+           c.x, c.y, c.z, c.n_xyz,
+           round(c.n_xyz * CAST(n.n_baskets AS DOUBLE) * n.n_baskets
+                 / (CAST(mx.n_pk AS DOUBLE) * my.n_pk * mz.n_pk), 6)
+               AS lift
+    FROM counted c
+    JOIN marg mx ON mx.pk = c.x
+    JOIN marg my ON my.pk = c.y
+    JOIN marg mz ON mz.pk = c.z
+    CROSS JOIN nb n
+    QUALIFY rank <= {_TOP_TRIPLES}
+    ORDER BY rank
+"""

@@ -1951,3 +1951,49 @@ def test_sliced_w1_brute_force(spark, sf_dir):
         assert r.w1_axis0 >= 0 and r.w1_axis1 >= 0
     # identical distributions -> 0 (python identity check)
     assert emd(labels[0], labels[0]) == 0
+
+
+# ------------------------------------------------ apriori triples
+
+def test_apriori_triples_brute_force(spark, sf_dir):
+    """Triple supports replayed in python over raw baskets (no
+    candidate pruning — proving the pruned join LOSES nothing, the
+    apriori completeness property); lifts match; every reported
+    triple's three pairs are frequent."""
+    from qrapids_forecast_r_script_spark.operators.assoc_privacy \
+        import basket_part_triples_apriori
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = basket_part_triples_apriori(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").collect()
+    from collections import defaultdict
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    from itertools import combinations
+    marg = Counter()
+    pair = Counter()
+    tri = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for i in s:
+            marg[i] += 1
+        for p in combinations(s, 2):
+            pair[p] += 1
+        for t in combinations(s, 3):
+            tri[t] += 1
+    nb = len(baskets)
+    frequent_tri = {t: c for t, c in tri.items() if c >= 2}
+    exp = sorted(
+        ((round(c * nb * nb / (marg[t[0]] * marg[t[1]]
+                               * marg[t[2]]), 6), c) + t
+         for t, c in frequent_tri.items()),
+        key=lambda r: (-r[0], -r[1], r[2], r[3], r[4]))[:20]
+    assert len(got) == min(20, len(exp))
+    for r, e in zip(got, exp):
+        assert (r.x, r.y, r.z) == (e[2], e[3], e[4]), r.rank
+        assert r.n_xyz == e[1]
+        assert r.lift == pytest.approx(e[0], abs=2e-6)
+        assert pair[(r.x, r.y)] >= 2
+        assert pair[(r.x, r.z)] >= 2
+        assert pair[(r.y, r.z)] >= 2
