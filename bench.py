@@ -394,6 +394,7 @@ HEADLINE = [
     "erlang_capacity_table",
     "label_sliced_wasserstein",
     "basket_part_triples_apriori",
+    "huber_location_nations",
 ]
 
 

@@ -5476,3 +5476,142 @@ def _erlang_oracle_sql() -> str:
 
 
 ORACLES["erlang_capacity_table"] = _erlang_oracle_sql()
+
+
+_HUBER_C = 1.345   # 95%-efficiency tuning constant (Huber 1964)
+_HUBER_ITERS = 2
+
+
+def huber_location_nations(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """HUBER M-estimate of each nation's typical order value by two
+    unrolled IRLS iterations (Huber 1964; the c = 1.345 constant
+    gives 95% Gaussian efficiency) — the third point on the
+    robustness spectrum the repo already spans: the mean (0%
+    breakdown), the median/MAD monitors (50% but only 64%
+    efficient), and Huber in between — downweight outliers
+    smoothly instead of ignoring or capitulating to them.  Start at
+    the exact per-nation MEDIAN with scale = MAD·1.4826, then each
+    IRLS step reweights w_i = min(1, c·s/|y_i - mu|) and takes the
+    weighted mean.
+
+    Determinism: medians/MADs are exact order statistics on integer
+    cents; each step's weighted sums BIGINT-accumulate 1e-6-snapped
+    w and w·y terms, mu snaps at 1e-6 between steps — both engines
+    (and the python replay) walk the identical two steps.
+
+    Scale: two grouped passes over the scan per IRLS step against
+    broadcast per-nation scalars — the distributed-IRLS shape, steps
+    the knob."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"))
+    rows = (orders.join(F.broadcast(cust), "o_custkey")
+            .select("nationkey",
+                    (F.round(F.col("o_totalprice") * 100, 0)
+                     .cast("long") / 100).alias("y"))
+            .localCheckpoint(eager=True))
+    med = (rows.groupBy("nationkey")
+           .agg(F.expr("percentile(y, 0.5)").alias("mu0"),
+                F.count(F.lit(1)).alias("n")))
+    mad = (rows.join(F.broadcast(med.select("nationkey", "mu0")),
+                     "nationkey")
+           .select("nationkey",
+                   F.abs(F.col("y") - F.col("mu0")).alias("ad"))
+           .groupBy("nationkey")
+           .agg(F.expr("percentile(ad, 0.5)").alias("mad")))
+    state = (med.join(mad, "nationkey")
+             .select("nationkey", "n",
+                     F.round(F.col("mu0"), 6).alias("mu"),
+                     F.round(F.col("mad") * 1.4826, 6).alias("s")))
+    mu_start = state.select("nationkey",
+                            F.col("mu").alias("mu_start"))
+    for _ in range(_HUBER_ITERS):
+        j = rows.join(F.broadcast(state), "nationkey")
+        r_abs = F.abs(F.col("y") - F.col("mu"))
+        w = F.least(F.lit(1.0),
+                    F.lit(_HUBER_C) * F.col("s")
+                    / F.greatest(r_abs, F.lit(1e-9)))
+        agg = (j.withColumn("wu", F.round(w * 1e6, 0).cast("bigint"))
+               .withColumn("wyu", F.round(w * F.col("y") * 1e6, 0)
+                           .cast("bigint"))
+               .groupBy("nationkey")
+               .agg(F.sum("wu").alias("swu"),
+                    F.sum("wyu").alias("swyu")))
+        state = (state.join(agg, "nationkey")
+                 .select("nationkey", "n",
+                         F.round(F.col("swyu")
+                                 / F.col("swu").cast("double"), 6)
+                         .alias("mu"), "s"))
+    mean = (rows.groupBy("nationkey")
+            .agg(F.round(F.sum(F.round(F.col("y") * 100, 0)
+                               .cast("long")) / 100
+                         / F.count(F.lit(1)), 6).alias("raw_mean")))
+    return (state.join(F.broadcast(mu_start), "nationkey")
+            .join(F.broadcast(mean), "nationkey")
+            .select("nationkey", "n",
+                    F.col("mu_start").alias("median_start"),
+                    F.col("s").alias("scale_mad"),
+                    F.col("mu").alias("huber_mu"), "raw_mean")
+            .orderBy("nationkey"))
+
+
+QUERIES["huber_location_nations"] = huber_location_nations
+
+
+def _huber_step_sql(prev: str, it: int) -> str:
+    return f"""
+    agg{it} AS (
+        SELECT r.nationkey,
+               CAST(sum(CAST(round(least(1.0, {_HUBER_C} * p.s
+                        / greatest(abs(r.y - p.mu), 1e-9)) * 1e6, 0)
+                        AS BIGINT)) AS BIGINT) AS swu,
+               CAST(sum(CAST(round(least(1.0, {_HUBER_C} * p.s
+                        / greatest(abs(r.y - p.mu), 1e-9)) * r.y
+                        * 1e6, 0) AS BIGINT)) AS BIGINT) AS swyu
+        FROM rows_ r JOIN {prev} p USING (nationkey)
+        GROUP BY r.nationkey
+    ), st{it} AS (
+        SELECT p.nationkey, p.n,
+               round(a.swyu / CAST(a.swu AS DOUBLE), 6) AS mu, p.s
+        FROM {prev} p JOIN agg{it} a USING (nationkey)
+    )"""
+
+
+ORACLES["huber_location_nations"] = f"""
+    WITH rows_ AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) / 100.0
+                   AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), med AS (
+        SELECT nationkey, quantile_cont(y, 0.5) AS mu0,
+               CAST(count(*) AS BIGINT) AS n
+        FROM rows_ GROUP BY 1
+    ), mad AS (
+        SELECT r.nationkey,
+               quantile_cont(abs(r.y - m.mu0), 0.5) AS mad
+        FROM rows_ r JOIN med m USING (nationkey)
+        GROUP BY r.nationkey
+    ), st0 AS (
+        SELECT m.nationkey, m.n, round(m.mu0, 6) AS mu,
+               round(d.mad * 1.4826, 6) AS s
+        FROM med m JOIN mad d USING (nationkey)
+    ),
+    {_huber_step_sql("st0", 1).lstrip()},
+    {_huber_step_sql("st1", 2).lstrip()},
+    mean AS (
+        SELECT nationkey,
+               round(sum(CAST(round(y * 100, 0) AS BIGINT)) / 100.0
+                     / count(*), 6) AS raw_mean
+        FROM rows_ GROUP BY 1
+    )
+    SELECT s.nationkey, s.n,
+           s0.mu AS median_start, s.s AS scale_mad,
+           s.mu AS huber_mu, m.raw_mean
+    FROM st2 s
+    JOIN st0 s0 USING (nationkey)
+    JOIN mean m USING (nationkey)
+    ORDER BY s.nationkey
+"""

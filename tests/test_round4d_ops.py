@@ -1997,3 +1997,55 @@ def test_apriori_triples_brute_force(spark, sf_dir):
         assert pair[(r.x, r.y)] >= 2
         assert pair[(r.x, r.z)] >= 2
         assert pair[(r.y, r.z)] >= 2
+
+
+# ------------------------------------------------- Huber location
+
+def test_huber_irls_brute_force(spark, sf_dir):
+    """Both IRLS steps replayed in python from median/MAD starts;
+    on a synthetic contaminated sample the Huber estimate sits
+    between median and mean and closer to the clean center than
+    the mean."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import huber_location_nations
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = {r.nationkey: r
+           for r in huber_location_nations(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice").collect()
+    cust = {c.c_custkey: c.c_nationkey
+            for c in load_table(spark, sf_dir, "customer").collect()}
+    from collections import defaultdict
+    ys = defaultdict(list)
+    for o in orders:
+        ys[cust[o.o_custkey]].append(round(o.o_totalprice * 100)
+                                     / 100)
+    import numpy as np
+    for nk in sorted(ys)[:4]:
+        v = np.array(ys[nk])
+        mu = round(float(np.percentile(v, 50, method="linear")), 6)
+        mad = float(np.percentile(np.abs(v - mu), 50,
+                                  method="linear"))
+        s = round(mad * 1.4826, 6)
+        for _ in range(2):
+            w = np.minimum(1.0, 1.345 * s
+                           / np.maximum(np.abs(v - mu), 1e-9))
+            swu = np.round(w * 1e6).sum()
+            swyu = np.round(w * v * 1e6).sum()
+            mu = round(swyu / swu, 6)
+        r = got[nk]
+        assert r.huber_mu == pytest.approx(mu, abs=2e-5), nk
+        assert r.scale_mad == pytest.approx(s, abs=2e-6)
+    # synthetic contamination
+    clean = list(range(90, 111))          # center 100
+    data = clean + [100000] * 2
+    v = np.array(data, dtype=float)
+    mu = float(np.median(v))
+    s = float(np.median(np.abs(v - mu))) * 1.4826
+    for _ in range(2):
+        w = np.minimum(1.0, 1.345 * s
+                       / np.maximum(np.abs(v - mu), 1e-9))
+        mu = float((w * v).sum() / w.sum())
+    mean = v.mean()
+    assert abs(mu - 100) < abs(mean - 100)
+    assert min(np.median(v), mean) <= mu <= max(np.median(v), mean)
