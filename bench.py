@@ -395,6 +395,7 @@ HEADLINE = [
     "label_sliced_wasserstein",
     "basket_part_triples_apriori",
     "huber_location_nations",
+    "negbin_dispersion_fit",
 ]
 
 

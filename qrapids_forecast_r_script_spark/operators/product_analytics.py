@@ -5615,3 +5615,110 @@ ORACLES["huber_location_nations"] = f"""
     JOIN mean m USING (nationkey)
     ORDER BY s.nationkey
 """
+
+
+def negbin_dispersion_fit(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """NEGATIVE-BINOMIAL moment fit of per-user event counts by type
+    (Greenwood & Yule 1920; the accident-proneness model): method-
+    of-moments size r = m²/(v - m) and p = m/v from the exact mean
+    and variance of per-user counts, plus the dispersion INDEX v/m —
+    the overdispersion read that decides whether per-user traffic is
+    Poisson (v = m: one shared rate) or NB (v > m: heterogeneous
+    user rates), which changes every capacity and anomaly threshold
+    downstream.  Users with zero events of a type count as zeros
+    (the spine join — dropping them fakes underdispersion).
+
+    Exactness: counts are integers; mean/variance come from exact
+    BIGINT (n, sum, sum-of-squares); r and p are single-division
+    functions of those; v <= m emits NULL r/p (Poisson-or-under —
+    the honest boundary) rather than a negative size.
+
+    Scale: one (type, user) count + one user spine cross —
+    dimension × users bounded; one moment aggregate per type."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    cnt = (ev.groupBy("event_type", "user_id")
+           .agg(F.count(F.lit(1)).alias("c")))
+    spine = (types.crossJoin(users)
+             .join(cnt, ["event_type", "user_id"], "left")
+             .select("event_type",
+                     F.coalesce("c", F.lit(0)).cast("long")
+                     .alias("c")))
+    a = (spine.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("c").alias("s"),
+              F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+              .alias("ss")))
+    n = F.col("n").cast("double")
+    m = F.col("s").cast("double") / n
+    v = (F.col("ss").cast("double") - n * m * m) / (n - 1)
+    disp = v / m
+    r = F.when(v > m, m * m / (v - m))
+    p = F.when(v > m, m / v)
+    return (a.select("event_type", F.col("n").alias("n_users"),
+                     F.round(m, 6).alias("mean_count"),
+                     F.round(v, 6).alias("var_count"),
+                     F.round(disp, 6).alias("dispersion_index"),
+                     F.round(r, 6).alias("nb_size_r"),
+                     F.round(p, 6).alias("nb_prob_p"),
+                     (F.round(disp, 6) > 1.0).alias("overdispersed"))
+            .orderBy("event_type"))
+
+
+QUERIES["negbin_dispersion_fit"] = negbin_dispersion_fit
+ORACLES["negbin_dispersion_fit"] = """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (
+        SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), spine AS (
+        SELECT t.event_type, coalesce(c.c, 0) AS c
+        FROM types t CROSS JOIN users u
+        LEFT JOIN cnt c ON c.event_type = t.event_type
+                       AND c.user_id = u.user_id
+    ), a AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+        FROM spine GROUP BY 1
+    )
+    SELECT event_type, n AS n_users,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean_count,
+           round((CAST(ss AS DOUBLE)
+                  - n * (CAST(s AS DOUBLE) / n)
+                    * (CAST(s AS DOUBLE) / n)) / (n - 1), 6)
+               AS var_count,
+           round(((CAST(ss AS DOUBLE)
+                   - n * (CAST(s AS DOUBLE) / n)
+                     * (CAST(s AS DOUBLE) / n)) / (n - 1))
+                 / (CAST(s AS DOUBLE) / n), 6) AS dispersion_index,
+           round(CASE WHEN (CAST(ss AS DOUBLE)
+                            - n * (CAST(s AS DOUBLE) / n)
+                              * (CAST(s AS DOUBLE) / n)) / (n - 1)
+                           > CAST(s AS DOUBLE) / n
+                 THEN (CAST(s AS DOUBLE) / n)
+                      * (CAST(s AS DOUBLE) / n)
+                      / ((CAST(ss AS DOUBLE)
+                          - n * (CAST(s AS DOUBLE) / n)
+                            * (CAST(s AS DOUBLE) / n)) / (n - 1)
+                         - CAST(s AS DOUBLE) / n) END, 6)
+               AS nb_size_r,
+           round(CASE WHEN (CAST(ss AS DOUBLE)
+                            - n * (CAST(s AS DOUBLE) / n)
+                              * (CAST(s AS DOUBLE) / n)) / (n - 1)
+                           > CAST(s AS DOUBLE) / n
+                 THEN (CAST(s AS DOUBLE) / n)
+                      / ((CAST(ss AS DOUBLE)
+                          - n * (CAST(s AS DOUBLE) / n)
+                            * (CAST(s AS DOUBLE) / n)) / (n - 1))
+                 END, 6) AS nb_prob_p,
+           round(((CAST(ss AS DOUBLE)
+                   - n * (CAST(s AS DOUBLE) / n)
+                     * (CAST(s AS DOUBLE) / n)) / (n - 1))
+                 / (CAST(s AS DOUBLE) / n), 6) > 1.0
+               AS overdispersed
+    FROM a ORDER BY event_type
+"""

@@ -2049,3 +2049,37 @@ def test_huber_irls_brute_force(spark, sf_dir):
     mean = v.mean()
     assert abs(mu - 100) < abs(mean - 100)
     assert min(np.median(v), mean) <= mu <= max(np.median(v), mean)
+
+
+# -------------------------------------------- NB dispersion fit
+
+def test_negbin_moments_brute_force(spark, sf_dir):
+    """Moments replayed in python with the zero-inclusive spine; the
+    MoM identities r(1-p)/p = m and r(1-p)/p^2 = v hold for fitted
+    types; a synthetic Poisson-like sample gets NULL r."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import negbin_dispersion_fit
+    from qrapids_forecast_r_script_spark.sources import load_table
+    got = {r.event_type: r
+           for r in negbin_dispersion_fit(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id").collect()
+    users = {r.user_id for r in ev}
+    types = {r.event_type for r in ev}
+    cnt = Counter((r.event_type, r.user_id) for r in ev)
+    for t in types:
+        cs = [cnt.get((t, u), 0) for u in users]
+        n = len(cs)
+        m = sum(cs) / n
+        v = (sum(c * c for c in cs) - n * m * m) / (n - 1)
+        r = got[t]
+        assert r.n_users == n
+        assert r.mean_count == pytest.approx(m, abs=2e-6)
+        assert r.var_count == pytest.approx(v, rel=1e-6)
+        if v > m:
+            rr, pp = r.nb_size_r, r.nb_prob_p
+            assert rr * (1 - pp) / pp == pytest.approx(m, rel=1e-3)
+            assert rr * (1 - pp) / pp ** 2 == pytest.approx(v,
+                                                            rel=1e-3)
+        else:
+            assert r.nb_size_r is None
