@@ -396,6 +396,8 @@ HEADLINE = [
     "basket_part_triples_apriori",
     "huber_location_nations",
     "negbin_dispersion_fit",
+    "evt_gumbel_block_maxima",
+    "series_hurst_rs",
 ]
 
 

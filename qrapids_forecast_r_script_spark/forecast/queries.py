@@ -3319,3 +3319,159 @@ EVAL_ORACLES["series_spearman_matrix"] = f"""
                AS spearman_rho
     FROM j ORDER BY name_a, name_b
 """
+
+
+_RS_SIZES = (5, 10, 15)   # non-overlapping R/S window lengths
+
+
+def series_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST exponent per metric series by rescaled-range analysis
+    (Hurst 1951; Mandelbrot & Wallis 1969): split each series into
+    non-overlapping windows of 5/10/15 observations, compute each
+    window's R/S = (max - min of mean-adjusted cumulative sums) /
+    population sd, average per size, and take the log-log slope of
+    mean R/S on window length — H ~ 0.5 is memoryless, H > 0.5
+    long-range persistent (trends feed themselves), H < 0.5
+    anti-persistent (mean-reverting): the long-memory read that
+    decides whether the ARIMA d/drift assumptions upstream are even
+    the right model family, invisible to the lag-k ACF
+    (`series_acf` sees short memory only).
+
+    Determinism: values snap to the 1e-6 grid; within-window cumsums
+    are exact integer micro-units, R exact integers; each window's
+    R/S snaps at 1e-9 and BIGINT-averages per size; the final slope
+    is closed-form OLS on 3 points with literal ln(w) x-values.
+
+    Scale: one per-series pass per window size (windows partition by
+    (series, window_id) — no overlap, no quadratic work)."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    wo = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    seq = (metrics
+           .withColumn("t", F.row_number().over(wo) - 1)
+           .withColumn("vu", F.round(F.round("value", 6) * 1e6, 0)
+                       .cast("long")))
+    per_size = []
+    for wlen in _RS_SIZES:
+        s = (seq.withColumn("wid", (F.col("t") / wlen).cast("int"))
+             .withColumn("nw", F.count(F.lit(1)).over(
+                 Window.partitionBy("name", "index", "wid"))))
+        s = s.where(F.col("nw") == wlen)
+        wwin = Window.partitionBy("name", "index", "wid")
+        worder = wwin.orderBy("t")
+        wcum = worder.rowsBetween(Window.unboundedPreceding, 0)
+        s = (s.withColumn("mean_u",
+                          F.sum("vu").over(wwin)
+                          / F.lit(float(wlen)))
+             .withColumn("dev", F.col("vu") - F.col("mean_u"))
+             .withColumn("cum", F.sum("dev").over(wcum)))
+        agg = (s.groupBy("name", "index", "wid")
+               .agg((F.max("cum") - F.min("cum")).alias("r_u"),
+                    F.sqrt(F.sum(F.col("dev") * F.col("dev"))
+                           / F.lit(float(wlen))).alias("s_u")))
+        rs = (agg.where(F.col("s_u") > 0)
+              .withColumn("rs_u", F.round(F.col("r_u")
+                                          / F.col("s_u") * 1e9, 0)
+                          .cast("bigint"))
+              .groupBy("name", "index")
+              .agg(F.round(F.sum("rs_u")
+                           / F.count(F.lit(1)).cast("double") / 1e9,
+                           9).alias(f"rs"))
+              .withColumn("w", F.lit(wlen)))
+        per_size.append(rs)
+    allrs = per_size[0]
+    for p in per_size[1:]:
+        allrs = allrs.union(p)
+    x = F.log(F.col("w").cast("double"))
+    y = F.log("rs")
+    a = (allrs.groupBy("name", "index")
+         .agg(F.count(F.lit(1)).alias("k"),
+              F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+              F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+              F.max(F.when(F.col("w") == _RS_SIZES[0], F.col("rs")))
+              .alias("rs_w0"),
+              F.max(F.when(F.col("w") == _RS_SIZES[-1], F.col("rs")))
+              .alias("rs_wlast")))
+    k = F.col("k").cast("double")
+    hurst = ((k * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (k * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return (a.select("name", "index",
+                     F.round(F.col("rs_w0"), 6)
+                     .alias(f"rs_{_RS_SIZES[0]}"),
+                     F.round(F.col("rs_wlast"), 6)
+                     .alias(f"rs_{_RS_SIZES[-1]}"),
+                     F.round(hurst, 6).alias("hurst_h"))
+            .orderBy("name", "index"))
+
+
+EVAL_QUERIES["series_hurst_rs"] = series_hurst_rs
+
+
+def _hurst_size_sql(wlen: int) -> str:
+    return f"""
+        SELECT name, index, {wlen} AS w,
+               round(sum(rs_u) / CAST(count(*) AS DOUBLE) / 1e9, 9)
+                   AS rs
+        FROM (
+            SELECT name, index, wid,
+                   CAST(round((max(cum) - min(cum))
+                              / sqrt(sum(dev * dev) / {wlen}.0)
+                              * 1e9, 0) AS BIGINT) AS rs_u
+            FROM (
+                SELECT name, index, wid, dev,
+                       sum(dev) OVER (PARTITION BY name, index, wid
+                           ORDER BY t ROWS UNBOUNDED PRECEDING)
+                           AS cum
+                FROM (
+                    SELECT name, index, t,
+                           wid, vu - avg_u AS dev
+                    FROM (
+                        SELECT name, index, t, vu,
+                               CAST(t // {wlen} AS INT) AS wid,
+                               sum(vu) OVER (PARTITION BY name, index,
+                                   CAST(t // {wlen} AS INT))
+                                   / {wlen}.0 AS avg_u,
+                               count(*) OVER (PARTITION BY name,
+                                   index, CAST(t // {wlen} AS INT))
+                                   AS nw
+                        FROM base
+                    ) WHERE nw = {wlen}
+                )
+            )
+            GROUP BY name, index, wid
+            HAVING sum(dev * dev) > 0
+        )
+        GROUP BY name, index
+    """
+
+
+EVAL_ORACLES["series_hurst_rs"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    base AS (
+        SELECT name, index,
+               row_number() OVER (PARTITION BY name, index
+                                  ORDER BY evaluationDate) - 1 AS t,
+               CAST(round(round(value, 6) * 1e6, 0) AS BIGINT) AS vu
+        FROM m
+    ), allrs AS (
+        {" UNION ALL ".join(f"({_hurst_size_sql(w)})"
+                            for w in _RS_SIZES)}
+    ), a AS (
+        SELECT name, index, CAST(count(*) AS BIGINT) AS k,
+               sum(ln(CAST(w AS DOUBLE))) AS sx, sum(ln(rs)) AS sy,
+               sum(ln(CAST(w AS DOUBLE)) * ln(rs)) AS sxy,
+               sum(ln(CAST(w AS DOUBLE)) * ln(CAST(w AS DOUBLE)))
+                   AS sxx,
+               max(CASE WHEN w = {_RS_SIZES[0]} THEN rs END) AS rs0,
+               max(CASE WHEN w = {_RS_SIZES[-1]} THEN rs END)
+                   AS rslast
+        FROM allrs GROUP BY 1, 2
+    )
+    SELECT name, index,
+           round(rs0, 6) AS rs_{_RS_SIZES[0]},
+           round(rslast, 6) AS rs_{_RS_SIZES[-1]},
+           round((CAST(k AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(k AS DOUBLE) * sxx - sx * sx), 6)
+               AS hurst_h
+    FROM a ORDER BY name, index
+"""

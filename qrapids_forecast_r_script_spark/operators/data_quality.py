@@ -1931,3 +1931,112 @@ ORACLES["evt_gpd_tail_fit"] = f"""
                AS var_999
     FROM agg
 """
+
+
+_GUM_EULER = 0.5772156649015329   # Euler-Mascheroni literal
+_GUM_SQRT6_PI = 0.7796968012336293  # sqrt(6)/pi literal
+
+
+def evt_gumbel_block_maxima(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """GUMBEL fit of WEEKLY MAXIMUM order values by block maxima
+    (Fisher-Tippett 1928; Gumbel 1958) — the other classical EVT
+    route next to the peaks-over-threshold `evt_gpd_tail_fit`:
+    partition the order stream into ISO weeks, take each block's
+    max, and moment-fit the Gumbel location/scale (beta =
+    s·sqrt(6)/pi, mu = m - gamma·beta with the Euler-Mascheroni
+    literal).  Reported return levels: the 52-block (one-year) and
+    260-block (five-year) expected maxima mu - beta·ln(-ln(1-1/T))
+    — the "biggest order we should ever see in a year" planning
+    number, answered from a few hundred weekly maxima instead of
+    the raw stream.
+
+    Exactness: block maxima are exact integer cents (max of
+    integers); mean and variance of the blocks come from
+    BIGINT/128-bit sums; both constants are shared literals; the
+    return levels evaluate ln(-ln(.)) once each on a 1-row frame.
+
+    Scale: one scan to (week, max) — the only data-sized stage;
+    the fit is a |blocks|-row reduction."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    wk = F.date_trunc("week", F.col("o_orderdate")).cast("date")
+    blocks = (orders.select(wk.alias("week"), cents.alias("yc"))
+              .groupBy("week").agg(F.max("yc").alias("mx")))
+    a = blocks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("s"),
+        F.sum(F.col("mx").cast("decimal(38,0)") * F.col("mx"))
+        .alias("ss"))
+    n = F.col("n").cast("double")
+    m = F.col("s").cast("double") / n / 100
+    v = ((F.col("ss").cast("double") / 10000
+          - n * m * m) / (n - 1))
+    beta = F.sqrt(v) * F.lit(_GUM_SQRT6_PI)
+    mu = m - F.lit(_GUM_EULER) * beta
+
+    def rl(t):
+        return mu - beta * F.log(-F.log(F.lit(1.0 - 1.0 / t)))
+
+    return a.select(
+        F.col("n").alias("n_blocks"),
+        F.round(m, 6).alias("block_mean"),
+        F.round(F.sqrt(v), 6).alias("block_sd"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(rl(52.0), 6).alias("return_level_1y"),
+        F.round(rl(260.0), 6).alias("return_level_5y"))
+
+
+QUERIES["evt_gumbel_block_maxima"] = evt_gumbel_block_maxima
+ORACLES["evt_gumbel_block_maxima"] = f"""
+    WITH blocks AS (
+        SELECT date_trunc('week', o_orderdate) AS week,
+               CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS mx
+        FROM orders GROUP BY 1
+    ), a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(mx) AS BIGINT) AS s,
+               CAST(sum(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS ss
+        FROM blocks
+    )
+    SELECT n AS n_blocks,
+           round(CAST(s AS DOUBLE) / n / 100, 6) AS block_mean,
+           round(sqrt((CAST(ss AS DOUBLE) / 10000
+                       - n * (CAST(s AS DOUBLE) / n / 100)
+                         * (CAST(s AS DOUBLE) / n / 100)) / (n - 1)),
+                 6) AS block_sd,
+           round(CAST(s AS DOUBLE) / n / 100
+                 - {_GUM_EULER} * sqrt((CAST(ss AS DOUBLE) / 10000
+                       - n * (CAST(s AS DOUBLE) / n / 100)
+                         * (CAST(s AS DOUBLE) / n / 100)) / (n - 1))
+                   * {_GUM_SQRT6_PI}, 6) AS gumbel_mu,
+           round(sqrt((CAST(ss AS DOUBLE) / 10000
+                       - n * (CAST(s AS DOUBLE) / n / 100)
+                         * (CAST(s AS DOUBLE) / n / 100)) / (n - 1))
+                 * {_GUM_SQRT6_PI}, 6) AS gumbel_beta,
+           round((CAST(s AS DOUBLE) / n / 100
+                  - {_GUM_EULER} * sqrt((CAST(ss AS DOUBLE) / 10000
+                        - n * (CAST(s AS DOUBLE) / n / 100)
+                          * (CAST(s AS DOUBLE) / n / 100)) / (n - 1))
+                    * {_GUM_SQRT6_PI})
+                 - sqrt((CAST(ss AS DOUBLE) / 10000
+                         - n * (CAST(s AS DOUBLE) / n / 100)
+                           * (CAST(s AS DOUBLE) / n / 100)) / (n - 1))
+                   * {_GUM_SQRT6_PI}
+                   * ln(-ln(1.0 - 1.0 / 52.0)), 6)
+               AS return_level_1y,
+           round((CAST(s AS DOUBLE) / n / 100
+                  - {_GUM_EULER} * sqrt((CAST(ss AS DOUBLE) / 10000
+                        - n * (CAST(s AS DOUBLE) / n / 100)
+                          * (CAST(s AS DOUBLE) / n / 100)) / (n - 1))
+                    * {_GUM_SQRT6_PI})
+                 - sqrt((CAST(ss AS DOUBLE) / 10000
+                         - n * (CAST(s AS DOUBLE) / n / 100)
+                           * (CAST(s AS DOUBLE) / n / 100)) / (n - 1))
+                   * {_GUM_SQRT6_PI}
+                   * ln(-ln(1.0 - 1.0 / 260.0)), 6)
+               AS return_level_5y
+    FROM a
+"""

@@ -2083,3 +2083,63 @@ def test_negbin_moments_brute_force(spark, sf_dir):
                                                             rel=1e-3)
         else:
             assert r.nb_size_r is None
+
+
+# ------------------------------------------------ Gumbel + Hurst
+
+def test_gumbel_return_levels_order(spark, sf_dir):
+    """Return levels increase with horizon and exceed the block
+    mean; MoM identities replayed from the reported moments."""
+    from qrapids_forecast_r_script_spark.operators.data_quality \
+        import evt_gumbel_block_maxima
+    r = evt_gumbel_block_maxima(spark, sf_dir).collect()[0]
+    assert r.return_level_5y > r.return_level_1y > r.block_mean
+    beta = r.block_sd * math.sqrt(6) / math.pi
+    mu = r.block_mean - 0.5772156649015329 * beta
+    assert r.gumbel_beta == pytest.approx(beta, abs=2e-4)
+    assert r.gumbel_mu == pytest.approx(mu, abs=2e-4)
+    rl1 = mu - beta * math.log(-math.log(1 - 1 / 52))
+    assert r.return_level_1y == pytest.approx(rl1, abs=2e-3)
+
+
+def test_hurst_rs_classifies_synthetic(spark, sf_dir):
+    """The python R/S pipeline (same snapping) gives H ~ high on a
+    trending series and lower on an alternating one; the query's
+    H values are finite and the two reported mean R/S rise with
+    window length for every series."""
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        series_hurst_rs)
+    rows = series_hurst_rs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rs_15 > r.rs_5 > 0
+        assert -1.0 < r.hurst_h < 1.5
+
+    def hurst(vals):
+        import numpy as np
+        v = np.asarray(vals, dtype=float)
+        pts = []
+        for w in (5, 10, 15):
+            rss = []
+            for i in range(0, len(v) - w + 1, w):
+                seg = v[i:i + w]
+                dev = seg - seg.mean()
+                cum = np.cumsum(dev)
+                s = math.sqrt((dev * dev).mean())
+                if s > 0:
+                    rss.append((cum.max() - cum.min()) / s)
+            if rss:
+                pts.append((math.log(w),
+                            math.log(sum(rss) / len(rss))))
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        return (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    trend = [i + ((i * 2654435761) % 97) / 97 for i in range(60)]
+    alt = [(1 if i % 2 else -1) + ((i * 2654435761) % 97) / 970
+           for i in range(60)]
+    assert hurst(trend) > 0.8
+    assert hurst(alt) < 0.35
