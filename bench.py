@@ -398,6 +398,9 @@ HEADLINE = [
     "negbin_dispersion_fit",
     "evt_gumbel_block_maxima",
     "series_hurst_rs",
+    "series_cronbach_alpha",
+    "nb_average_precision",
+    "classifier_agreement_kappa",
 ]
 
 

@@ -3475,3 +3475,102 @@ EVAL_ORACLES["series_hurst_rs"] = f"""
                AS hurst_h
     FROM a ORDER BY name, index
 """
+
+
+def series_cronbach_alpha(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """CRONBACH'S ALPHA over the metric series panel (Cronbach 1951):
+    treat the k series as items measured on the same days, alpha =
+    k/(k-1) · (1 - sum(var_i)/var(total)) — the internal-consistency
+    read: alpha near 1 says the series co-move (one latent traffic
+    factor; a composite "site activity" index is meaningful), near 0
+    says they are independent signals and averaging them destroys
+    information.  The classical-reliability companion to the
+    Spearman matrix (pairwise) — one number for the whole panel.
+
+    Exactness: per-day values snap to the 1e-6 grid; per-series and
+    total-composite variances come from exact BIGINT/128-bit moment
+    sums over the aligned day spine; alpha is one expression of
+    those.
+
+    Scale: one pivot-free pass — per-series moments plus a per-day
+    total aggregate, both keyed by existing columns."""
+    metrics = _metrics(spark, sf_dir)
+    vals = metrics.select(
+        "name", "index", "evaluationDate",
+        F.round(F.round("value", 6) * 1e6, 0).cast("long").alias("vu"))
+    per = (vals.groupBy("name", "index")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("vu").alias("s"),
+                F.sum(F.col("vu").cast("decimal(38,0)") * F.col("vu"))
+                .alias("ss")))
+    nn = F.col("n").cast("double")
+    var_i = ((F.col("ss").cast("double") / 1e12
+              - nn * (F.col("s").cast("double") / 1e6 / nn)
+              * (F.col("s").cast("double") / 1e6 / nn)) / (nn - 1))
+    items = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.round(var_i * 1e6, 0).cast("bigint")).alias("sv_u"))
+    tot = (vals.groupBy("evaluationDate")
+           .agg(F.sum("vu").alias("tu"))
+           .agg(F.count(F.lit(1)).alias("nd"),
+                F.sum("tu").alias("st"),
+                F.sum(F.col("tu").cast("decimal(38,0)") * F.col("tu"))
+                .alias("stt")))
+    nd = F.col("nd").cast("double")
+    var_t = ((F.col("stt").cast("double") / 1e12
+              - nd * (F.col("st").cast("double") / 1e6 / nd)
+              * (F.col("st").cast("double") / 1e6 / nd)) / (nd - 1))
+    k = F.col("k").cast("double")
+    alpha = k / (k - 1) * (1 - (F.col("sv_u") / 1e6) / var_t)
+    return (items.crossJoin(F.broadcast(tot))
+            .select(F.col("k").alias("k_series"),
+                    F.col("nd").alias("n_days"),
+                    F.round(F.col("sv_u") / 1e6, 6)
+                    .alias("sum_item_var"),
+                    F.round(var_t, 6).alias("total_var"),
+                    F.round(alpha, 6).alias("cronbach_alpha")))
+
+
+EVAL_QUERIES["series_cronbach_alpha"] = series_cronbach_alpha
+EVAL_ORACLES["series_cronbach_alpha"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    vals AS (
+        SELECT name, index, evaluationDate,
+               CAST(round(round(value, 6) * 1e6, 0) AS BIGINT) AS vu
+        FROM m
+    ), per AS (
+        SELECT name, index, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(vu) AS BIGINT) AS s,
+               CAST(sum(CAST(vu AS HUGEINT) * vu) AS HUGEINT) AS ss
+        FROM vals GROUP BY 1, 2
+    ), items AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(round(((CAST(ss AS DOUBLE) / 1e12
+                    - n * (CAST(s AS DOUBLE) / 1e6 / n)
+                      * (CAST(s AS DOUBLE) / 1e6 / n)) / (n - 1))
+                    * 1e6, 0) AS BIGINT)) AS BIGINT) AS sv_u
+        FROM per
+    ), daily AS (
+        SELECT evaluationDate, CAST(sum(vu) AS BIGINT) AS tu
+        FROM vals GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(tu) AS BIGINT) AS st,
+               CAST(sum(CAST(tu AS HUGEINT) * tu) AS HUGEINT) AS stt
+        FROM daily
+    )
+    SELECT i.k AS k_series, t.nd AS n_days,
+           round(i.sv_u / 1e6, 6) AS sum_item_var,
+           round((CAST(t.stt AS DOUBLE) / 1e12
+                  - t.nd * (CAST(t.st AS DOUBLE) / 1e6 / t.nd)
+                    * (CAST(t.st AS DOUBLE) / 1e6 / t.nd))
+                 / (t.nd - 1), 6) AS total_var,
+           round(CAST(i.k AS DOUBLE) / (i.k - 1)
+                 * (1 - (i.sv_u / 1e6)
+                    / ((CAST(t.stt AS DOUBLE) / 1e12
+                        - t.nd * (CAST(t.st AS DOUBLE) / 1e6 / t.nd)
+                          * (CAST(t.st AS DOUBLE) / 1e6 / t.nd))
+                       / (t.nd - 1))), 6) AS cronbach_alpha
+    FROM items i CROSS JOIN tot t
+"""

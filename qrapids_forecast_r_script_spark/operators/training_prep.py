@@ -1982,3 +1982,149 @@ ORACLES["weak_label_model"] = """
     ) t CROSS JOIN ws w CROSS JOIN flips f
     ORDER BY t.labeling_fn
 """
+
+
+def nb_average_precision(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """AVERAGE PRECISION of the NB quality score against the teacher
+    label (the PR-curve area by the step-interpolation definition:
+    AP = sum over positives of precision-at-their-rank / n_pos) —
+    the ranking metric that, unlike `roc_auc_eval`'s ROC-AUC, does
+    not reward easy negatives: with 20% positives a classifier can
+    hold ROC-AUC ~0.9 while its precision at operating depth is
+    poor, and AP is the number that exposes it.  Ties in the score
+    are broken by doc_id on BOTH engines, making the ranking and
+    therefore the metric bit-deterministic (the documented
+    convention; group-tie averaging is the alternative at scale).
+
+    Exactness: prefix counts are exact integers via one rank window;
+    per-positive precision terms snap at 1e-9 and BIGINT-sum; one
+    division by the positive count.
+
+    Scale: one score ranking (TakeOrdered-class sort) + one window
+    prefix count — the ROC query's cost shape."""
+    from pyspark.sql.window import Window
+    scored = (nb_quality_classifier(spark, sf_dir)
+              .select("doc_id", "nb_score",
+                      (F.col("lang") == _NB_TARGET_LANG)
+                      .cast("int").alias("y")))
+    w = Window.orderBy(F.col("nb_score").desc(),
+                       F.col("doc_id").asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (scored
+              .withColumn("rank", F.row_number().over(w))
+              .withColumn("tp", F.sum("y").over(wc)))
+    terms = (ranked.where(F.col("y") == 1)
+             .withColumn("pu", F.round(
+                 F.col("tp") / F.col("rank").cast("double") * 1e9,
+                 0).cast("bigint")))
+    return (terms.agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.max("rank").alias("max_pos_rank"),
+        F.round(F.sum("pu") / F.count(F.lit(1)).cast("double") / 1e9,
+                6).alias("average_precision")))
+
+
+QUERIES["nb_average_precision"] = nb_average_precision
+ORACLES["nb_average_precision"] = f"""
+    WITH nb AS ({ORACLES["nb_quality_classifier"]}),
+    ranked AS (
+        SELECT doc_id, CAST(lang = '{_NB_TARGET_LANG}' AS INT) AS y,
+               row_number() OVER (ORDER BY nb_score DESC,
+                                  doc_id ASC) AS rank,
+               sum(CAST(lang = '{_NB_TARGET_LANG}' AS INT))
+                   OVER (ORDER BY nb_score DESC, doc_id ASC
+                         ROWS UNBOUNDED PRECEDING) AS tp
+        FROM nb
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pos,
+           CAST(max(rank) AS BIGINT) AS max_pos_rank,
+           round(sum(CAST(round(tp / CAST(rank AS DOUBLE) * 1e9, 0)
+                          AS BIGINT))
+                 / CAST(count(*) AS DOUBLE) / 1e9, 6)
+               AS average_precision
+    FROM ranked WHERE y = 1
+"""
+
+
+def classifier_agreement_kappa(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between the two independent English detectors
+    (Cohen 1960): the NB quality classifier's `predicted_target` vs
+    the character-trigram language classifier's top-1 = 'en' —
+    chance-corrected agreement kappa = (p_o - p_e)/(1 - p_e), the
+    inter-rater statistic raw agreement overstates whenever one
+    class dominates (two raters who both say "not en" 80% of the
+    time agree 68% by luck alone).  The model-governance read before
+    replacing one labeler with the other.
+
+    Exactness: the 2x2 agreement table is exact integer counts;
+    p_o and p_e are integer ratios; one division.
+
+    Scale: both classifiers are existing vocabulary-bounded chains;
+    the kappa is a 4-cell reduce off their doc-keyed join."""
+    nb = (nb_quality_classifier(spark, sf_dir)
+          .select("doc_id", F.col("predicted_target").alias("a")))
+    tri = (char_trigram_lang_classifier(spark, sf_dir)
+           .select("doc_id",
+                   (F.col("predicted_lang") == _NB_TARGET_LANG)
+                   .alias("b")))
+    cells = (nb.join(tri, "doc_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.count(F.when(F.col("a") & F.col("b"), 1))
+                  .alias("tt"),
+                  F.count(F.when(F.col("a") & ~F.col("b"), 1))
+                  .alias("tf"),
+                  F.count(F.when(~F.col("a") & F.col("b"), 1))
+                  .alias("ft"),
+                  F.count(F.when(~F.col("a") & ~F.col("b"), 1))
+                  .alias("ff")))
+    n = F.col("n").cast("double")
+    po = (F.col("tt") + F.col("ff")) / n
+    pe = ((F.col("tt") + F.col("tf")) * (F.col("tt") + F.col("ft"))
+          + (F.col("ft") + F.col("ff")) * (F.col("tf") + F.col("ff"))
+          ) / (n * n)
+    return cells.select(
+        "n", "tt", "tf", "ft", "ff",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (1 - pe), 6).alias("cohen_kappa"))
+
+
+QUERIES["classifier_agreement_kappa"] = classifier_agreement_kappa
+
+
+ORACLES["classifier_agreement_kappa"] = f"""
+    WITH nb AS ({ORACLES["nb_quality_classifier"]}),
+    tri AS ({ORACLES["char_trigram_lang_classifier"]}),
+    j AS (
+        SELECT n.doc_id,
+               CAST(n.predicted_target AS BOOLEAN) AS a,
+               t.predicted_lang = '{_NB_TARGET_LANG}' AS b
+        FROM nb n JOIN tri t USING (doc_id)
+    ), cells AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE a AND b) AS BIGINT) AS tt,
+               CAST(count(*) FILTER (WHERE a AND NOT b) AS BIGINT)
+                   AS tf,
+               CAST(count(*) FILTER (WHERE NOT a AND b) AS BIGINT)
+                   AS ft,
+               CAST(count(*) FILTER (WHERE NOT a AND NOT b)
+                    AS BIGINT) AS ff
+        FROM j
+    )
+    SELECT n, tt, tf, ft, ff,
+           round((tt + ff) / CAST(n AS DOUBLE), 6) AS p_observed,
+           round(((tt + tf) * CAST(tt + ft AS DOUBLE)
+                  + (ft + ff) * CAST(tf + ff AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * n), 6) AS p_expected,
+           round(((tt + ff) / CAST(n AS DOUBLE)
+                  - ((tt + tf) * CAST(tt + ft AS DOUBLE)
+                     + (ft + ff) * CAST(tf + ff AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1 - ((tt + tf) * CAST(tt + ft AS DOUBLE)
+                         + (ft + ff) * CAST(tf + ff AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * n)), 6)
+               AS cohen_kappa
+    FROM cells
+"""

@@ -2143,3 +2143,84 @@ def test_hurst_rs_classifies_synthetic(spark, sf_dir):
            for i in range(60)]
     assert hurst(trend) > 0.8
     assert hurst(alt) < 0.35
+
+
+# --------------------------------- alpha / AP / kappa eval trio
+
+def test_cronbach_alpha_identity(spark, sf_dir):
+    """Alpha replayed in python on the aligned panel; bounded above
+    by 1; equals the textbook k/(k-1)(1 - sum var / var total)."""
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        series_cronbach_alpha, _metrics)
+    r = series_cronbach_alpha(spark, sf_dir).collect()[0]
+    pdf = _metrics(spark, sf_dir).toPandas()
+    import numpy as np
+    piv = pdf.pivot_table(index="evaluationDate", columns="name",
+                          values="value", aggfunc="first")
+    piv = np.round(np.round(piv.to_numpy(float), 6) * 1e6) / 1e6
+    k = piv.shape[1]
+    sv = sum(piv[:, i].var(ddof=1) for i in range(k))
+    vt = piv.sum(axis=1).var(ddof=1)
+    alpha = k / (k - 1) * (1 - sv / vt)
+    assert r.cronbach_alpha == pytest.approx(alpha, abs=1e-4)
+    assert r.cronbach_alpha <= 1.0
+    assert r.k_series == k
+
+
+def test_average_precision_brute_force(spark, sf_dir):
+    """AP replayed in python with the identical tie-break; AP of a
+    perfect ranking is 1 and of positives-last is minimal (checked
+    on synthetic)."""
+    from qrapids_forecast_r_script_spark.operators.training_prep \
+        import nb_average_precision, nb_quality_classifier
+    r = nb_average_precision(spark, sf_dir).collect()[0]
+    rows = nb_quality_classifier(spark, sf_dir).select(
+        "doc_id", "nb_score", "lang").collect()
+    ranked = sorted(rows, key=lambda x: (-x.nb_score, x.doc_id))
+    tp = 0
+    su = 0
+    npos = 0
+    for i, x in enumerate(ranked, 1):
+        y = 1 if x.lang == "en" else 0
+        tp += y
+        if y:
+            npos += 1
+            su += round(tp / i * 1e9)
+    assert r.n_pos == npos
+    assert r.average_precision == pytest.approx(su / npos / 1e9,
+                                                abs=2e-6)
+
+    def ap(ys):
+        tp = s = np_ = 0
+        for i, y in enumerate(ys, 1):
+            tp += y
+            if y:
+                np_ += 1
+                s += tp / i
+        return s / np_
+
+    assert ap([1, 1, 1, 0, 0]) == 1.0
+    assert ap([0, 0, 0, 1, 1]) < 0.5
+
+
+def test_kappa_brute_force_and_chance_floor(spark, sf_dir):
+    """Kappa replayed from the reported 2x2 cells; kappa of
+    independent raters is ~0 on synthetic marginals; perfect
+    agreement gives 1."""
+    from qrapids_forecast_r_script_spark.operators.training_prep \
+        import classifier_agreement_kappa
+    r = classifier_agreement_kappa(spark, sf_dir).collect()[0]
+    n = r.n
+    po = (r.tt + r.ff) / n
+    pe = ((r.tt + r.tf) * (r.tt + r.ft)
+          + (r.ft + r.ff) * (r.tf + r.ff)) / (n * n)
+    assert r.p_observed == pytest.approx(po, abs=2e-6)
+    assert r.p_expected == pytest.approx(pe, abs=2e-6)
+    assert r.cohen_kappa == pytest.approx((po - pe) / (1 - pe),
+                                          abs=2e-5)
+    assert r.tt + r.tf + r.ft + r.ff == n
+    # perfect agreement
+    tt, ff = 30, 70
+    po2 = 1.0
+    pe2 = (tt * tt + ff * ff) / ((tt + ff) ** 2)
+    assert (po2 - pe2) / (1 - pe2) == pytest.approx(1.0)
