@@ -401,6 +401,9 @@ HEADLINE = [
     "series_cronbach_alpha",
     "nb_average_precision",
     "classifier_agreement_kappa",
+    "classifier_mcnemar_test",
+    "friedman_method_ranks",
+    "levene_variance_audit",
 ]
 
 

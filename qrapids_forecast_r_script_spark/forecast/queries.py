@@ -3574,3 +3574,111 @@ EVAL_ORACLES["series_cronbach_alpha"] = f"""
                        / (t.nd - 1))), 6) AS cronbach_alpha
     FROM items i CROSS JOIN tot t
 """
+
+
+_CHI2_3DF_5PCT = 7.814727903251179   # chi2_0.95(3) literal
+
+
+def friedman_method_ranks(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """FRIEDMAN rank test across the four closed-form forecasters on
+    the per-series holdout MAEs (Friedman 1937; the M-competition /
+    Demšar 2006 protocol for comparing methods over many datasets):
+    rank the methods WITHIN each series (average ranks on ties),
+    then chi²_F = 12n/(k(k+1)) Σ_j (R_j − (k+1)/2)² against the
+    literal chi²(3) 5% value — "do the methods differ at all",
+    asked the rank-based way that is immune to the per-series MAE
+    scale differences a pooled mean would drown in.  One row per
+    method with its mean rank; the statistic and verdict repeat per
+    row (the `meta_analysis_nations` layout).
+
+    Exactness: MAEs arrive 6dp-rounded from the backtest; within-
+    series average ranks are exact 2x-integers; every cross-series
+    reduction BIGINT-sums 2x-rank units; the statistic is one
+    expression of integer sums.
+
+    Scale: rides the shared backtest frame; one rank window per
+    series + one k-row reduce."""
+    from pyspark.sql.window import Window
+    bt = backtest_closed_forms(spark, sf_dir).select(
+        "name", "index", "method", "mae")
+    wr = Window.partitionBy("name", "index").orderBy("mae")
+    ranked = (bt
+              .withColumn("rmin", F.rank().over(wr))
+              .withColumn("cnt", F.count(F.lit(1)).over(
+                  Window.partitionBy("name", "index", "mae")))
+              .select("name", "index", "method",
+                      (2 * F.col("rmin") + F.col("cnt") - 1)
+                      .cast("long").alias("r2x")))
+    per_m = (ranked.groupBy("method")
+             .agg(F.count(F.lit(1)).alias("n_series"),
+                  F.sum("r2x").alias("sr2x")))
+    k = per_m.groupBy().agg(F.count(F.lit(1)).alias("k"),
+                            F.max("n_series").alias("n"))
+    j = per_m.crossJoin(F.broadcast(k))
+    mean_rank = F.col("sr2x") / 2.0 / F.col("n_series")
+    dev = mean_rank - (F.col("k") + 1) / 2.0
+    terms = j.select("method", "n_series",
+                     F.round(mean_rank, 6).alias("mean_rank"),
+                     F.round(dev * dev * 1e9, 0).cast("bigint")
+                     .alias("du"), "k", "n")
+    stat_tab = terms.groupBy("k", "n").agg(
+        F.sum("du").alias("sdu"))
+    kd = F.col("k").cast("double")
+    stat = (12.0 * F.col("n") / (kd * (kd + 1))
+            * (F.col("sdu") / 1e9))
+    meta = stat_tab.select(
+        F.round(stat, 6).alias("friedman_chi2"),
+        F.lit(_CHI2_3DF_5PCT).alias("chi2_crit_5pct"),
+        (F.round(stat, 6) > F.lit(_CHI2_3DF_5PCT))
+        .alias("methods_differ"))
+    return (terms.select("method", "n_series", "mean_rank")
+            .crossJoin(F.broadcast(meta))
+            .orderBy("method"))
+
+
+EVAL_QUERIES["friedman_method_ranks"] = friedman_method_ranks
+EVAL_ORACLES["friedman_method_ranks"] = f"""
+    WITH {_BT_PREDS_SQL},
+    maes AS (
+        SELECT name, index, method,
+               round(avg(abs(value - pred)), 6) AS mae
+        FROM preds WHERE pred IS NOT NULL
+        GROUP BY 1, 2, 3
+    ), ranked AS (
+        SELECT name, index, method,
+               CAST(2 * rank() OVER (PARTITION BY name, index
+                                     ORDER BY mae)
+                    + count(*) OVER (PARTITION BY name, index, mae)
+                    - 1 AS BIGINT) AS r2x
+        FROM maes
+    ), per_m AS (
+        SELECT method, CAST(count(*) AS BIGINT) AS n_series,
+               CAST(sum(r2x) AS BIGINT) AS sr2x
+        FROM ranked GROUP BY 1
+    ), kk AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(max(n_series) AS BIGINT) AS n
+        FROM per_m
+    ), terms AS (
+        SELECT p.method, p.n_series,
+               round(p.sr2x / 2.0 / p.n_series, 6) AS mean_rank,
+               CAST(round((p.sr2x / 2.0 / p.n_series
+                           - (x.k + 1) / 2.0)
+                          * (p.sr2x / 2.0 / p.n_series
+                             - (x.k + 1) / 2.0) * 1e9, 0)
+                    AS BIGINT) AS du,
+               x.k, x.n
+        FROM per_m p CROSS JOIN kk x
+    ), meta AS (
+        SELECT round(12.0 * n / (CAST(k AS DOUBLE) * (k + 1))
+                     * (sum(du) / 1e9), 6) AS friedman_chi2
+        FROM terms GROUP BY k, n
+    )
+    SELECT t.method, t.n_series, t.mean_rank,
+           m.friedman_chi2,
+           CAST({_CHI2_3DF_5PCT} AS DOUBLE) AS chi2_crit_5pct,
+           m.friedman_chi2 > {_CHI2_3DF_5PCT} AS methods_differ
+    FROM terms t CROSS JOIN meta m
+    ORDER BY t.method
+"""

@@ -5722,3 +5722,122 @@ ORACLES["negbin_dispersion_fit"] = """
                AS overdispersed
     FROM a ORDER BY event_type
 """
+
+
+def levene_variance_audit(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE (median-based Levene) test of variance
+    homogeneity across the 25 nations (Levene 1960; Brown &
+    Forsythe 1974) — the assumption check `anova_nation_values`
+    rests on: transform each order to its absolute deviation from
+    the NATION MEDIAN and run the one-way F on those deviations;
+    rejecting says the nations differ in SPREAD, which breaks the
+    pooled-variance reading of the ANOVA and redirects the analysis
+    to Welch-style per-stratum methods.  Same literal F(24, inf)
+    critical value as the ANOVA (the erf-free discipline).
+
+    Exactness: medians are exact order statistics on integer cents;
+    deviations are exact half-cent-grid values; the three sums of
+    squares come from snapped BIGINT/128-bit moments via the same
+    SSB/SSW decomposition (group s²/n terms snapped at 1e-2 — the
+    ANOVA lesson).
+
+    Scale: one scan + broadcast median join + 25-key moment
+    aggregate — the ANOVA cost shape, twice (median pass + moment
+    pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"))
+    rows = (orders.join(F.broadcast(cust), "o_custkey")
+            .select("nationkey",
+                    F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("long").alias("yc"))
+            .localCheckpoint(eager=True))
+    med = (rows.groupBy("nationkey")
+           .agg(F.expr("percentile(yc, 0.5)").alias("med")))
+    z = (rows.join(F.broadcast(med), "nationkey")
+         .select("nationkey",
+                 F.round(F.abs(F.col("yc") - F.col("med")), 1)
+                 .alias("z")))
+    per = (z.groupBy("nationkey")
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                F.sum(F.col("z").cast("decimal(38,1)")).alias("s"),
+                F.sum(F.col("z").cast("decimal(38,1)")
+                      * F.col("z").cast("decimal(38,1)"))
+                .alias("ss")))
+    gterm = F.round((F.col("s").cast("double") / 100)
+                    * (F.col("s").cast("double") / 100)
+                    / F.col("n").cast("double") * 100, 0) \
+        .cast("decimal(38,0)")
+    tot = per.agg(F.sum(F.col("n")).alias("nn"),
+                  F.sum("s").alias("st"), F.sum("ss").alias("sst"),
+                  F.count(F.lit(1)).alias("k"),
+                  (F.sum(gterm).cast("double") / 100).alias("grp"))
+    nn = F.col("nn").cast("double")
+    sst_ = (F.col("sst").cast("double") / 10000
+            - (F.col("st").cast("double") / 100)
+            * (F.col("st").cast("double") / 100) / nn)
+    ssb = (F.col("grp")
+           - (F.col("st").cast("double") / 100)
+           * (F.col("st").cast("double") / 100) / nn)
+    ssw = sst_ - ssb
+    k = F.col("k").cast("double")
+    w = (ssb / (k - 1)) / (ssw / (nn - k))
+    return tot.select(
+        F.col("k").cast("int").alias("k_groups"),
+        F.col("nn").cast("bigint").alias("n_total"),
+        F.round(w, 6).alias("bf_w_stat"),
+        F.lit(_ANOVA_F_CRIT_24).alias("f_crit_5pct"),
+        (F.round(w, 6) > F.lit(_ANOVA_F_CRIT_24))
+        .alias("variances_differ"))
+
+
+QUERIES["levene_variance_audit"] = levene_variance_audit
+ORACLES["levene_variance_audit"] = f"""
+    WITH rows_ AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS yc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), med AS (
+        SELECT nationkey, quantile_cont(yc, 0.5) AS med
+        FROM rows_ GROUP BY 1
+    ), z AS (
+        SELECT r.nationkey, round(abs(r.yc - m.med), 1) AS z
+        FROM rows_ r JOIN med m USING (nationkey)
+    ), per AS (
+        SELECT nationkey, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(z * 10 AS HUGEINT)) AS HUGEINT) AS s10,
+               CAST(sum(CAST(z * 10 AS HUGEINT)
+                        * CAST(z * 10 AS HUGEINT)) AS HUGEINT)
+                   AS ss100
+        FROM z GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn,
+               sum(CAST(s10 AS DOUBLE)) / 10 AS st_raw,
+               sum(CAST(ss100 AS DOUBLE)) / 100 AS sst_raw,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(round(
+                   ((CAST(s10 AS DOUBLE) / 10) / 100)
+                   * ((CAST(s10 AS DOUBLE) / 10) / 100)
+                   / CAST(n AS DOUBLE) * 100, 0) AS HUGEINT))
+                   AS DOUBLE) / 100 AS grp
+        FROM per
+    )
+    SELECT CAST(k AS INT) AS k_groups, CAST(nn AS BIGINT) AS n_total,
+           round(((grp - (st_raw / 100) * (st_raw / 100) / nn)
+                  / (k - 1))
+                 / (((sst_raw / 10000
+                      - (st_raw / 100) * (st_raw / 100) / nn)
+                     - (grp - (st_raw / 100) * (st_raw / 100) / nn))
+                    / (nn - k)), 6) AS bf_w_stat,
+           CAST({_ANOVA_F_CRIT_24} AS DOUBLE) AS f_crit_5pct,
+           round(((grp - (st_raw / 100) * (st_raw / 100) / nn)
+                  / (k - 1))
+                 / (((sst_raw / 10000
+                      - (st_raw / 100) * (st_raw / 100) / nn)
+                     - (grp - (st_raw / 100) * (st_raw / 100) / nn))
+                    / (nn - k)), 6) > {_ANOVA_F_CRIT_24}
+               AS variances_differ
+    FROM tot
+"""

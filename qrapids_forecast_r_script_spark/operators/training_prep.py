@@ -2128,3 +2128,89 @@ ORACLES["classifier_agreement_kappa"] = f"""
                AS cohen_kappa
     FROM cells
 """
+
+
+_CHI2_1DF_5PCT = 3.841458820694124   # chi2_0.95(1) literal
+
+
+def classifier_mcnemar_test(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """McNEMAR'S test between the NB quality classifier and the
+    char-trigram language classifier on the SAME documents (McNemar
+    1947; the paired-classifier comparison Dietterich 1998
+    recommends): only the DISCORDANT cells matter — b = NB right &
+    trigram wrong, c = the reverse — and the continuity-corrected
+    statistic (|b-c|-1)²/(b+c) against the literal chi²(1) 5% value
+    asks "is one classifier actually more accurate, beyond the
+    cases where they agree anyway" — the question raw accuracy
+    deltas answer wrongly on paired data (`classifier_agreement_
+    kappa` measures agreement; this measures DIFFERENCE).
+
+    Ground truth: the teacher label lang = 'en' (both classifiers
+    target it).  Exactness: all four cells are exact integer counts;
+    the statistic is one expression; the critical value is a shared
+    literal.
+
+    Scale: the doc-keyed join of two vocabulary-bounded chains + a
+    4-cell reduce."""
+    nb = (nb_quality_classifier(spark, sf_dir)
+          .select("doc_id",
+                  (F.col("predicted_target")
+                   == (F.col("lang") == _NB_TARGET_LANG))
+                  .alias("nb_right")))
+    tri = (char_trigram_lang_classifier(spark, sf_dir)
+           .select("doc_id",
+                   ((F.col("predicted_lang") == _NB_TARGET_LANG)
+                    == (F.col("lang") == _NB_TARGET_LANG))
+                   .alias("tri_right")))
+    cells = (nb.join(tri, "doc_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.count(F.when(F.col("nb_right")
+                                 & ~F.col("tri_right"), 1))
+                  .alias("b"),
+                  F.count(F.when(~F.col("nb_right")
+                                 & F.col("tri_right"), 1))
+                  .alias("c")))
+    bc = (F.col("b") + F.col("c")).cast("double")
+    stat = F.when(
+        bc > 0,
+        (F.abs(F.col("b") - F.col("c")) - 1)
+        * (F.abs(F.col("b") - F.col("c")) - 1) / bc)
+    return cells.select(
+        "n", "b", "c",
+        F.round(stat, 6).alias("mcnemar_stat"),
+        F.lit(_CHI2_1DF_5PCT).alias("chi2_crit_5pct"),
+        (F.round(stat, 6) > F.lit(_CHI2_1DF_5PCT))
+        .alias("accuracies_differ"))
+
+
+QUERIES["classifier_mcnemar_test"] = classifier_mcnemar_test
+ORACLES["classifier_mcnemar_test"] = f"""
+    WITH nb AS ({ORACLES["nb_quality_classifier"]}),
+    tri AS ({ORACLES["char_trigram_lang_classifier"]}),
+    j AS (
+        SELECT n.doc_id,
+               CAST(n.predicted_target AS BOOLEAN)
+                   = (n.lang = '{_NB_TARGET_LANG}') AS nb_right,
+               (t.predicted_lang = '{_NB_TARGET_LANG}')
+                   = (t.lang = '{_NB_TARGET_LANG}') AS tri_right
+        FROM nb n JOIN tri t USING (doc_id)
+    ), cells AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE nb_right
+                    AND NOT tri_right) AS BIGINT) AS b,
+               CAST(count(*) FILTER (WHERE NOT nb_right
+                    AND tri_right) AS BIGINT) AS c
+        FROM j
+    )
+    SELECT n, b, c,
+           round(CASE WHEN b + c > 0 THEN
+               (abs(b - c) - 1) * (abs(b - c) - 1)
+               / CAST(b + c AS DOUBLE) END, 6) AS mcnemar_stat,
+           CAST({_CHI2_1DF_5PCT} AS DOUBLE) AS chi2_crit_5pct,
+           round(CASE WHEN b + c > 0 THEN
+               (abs(b - c) - 1) * (abs(b - c) - 1)
+               / CAST(b + c AS DOUBLE) END, 6) > {_CHI2_1DF_5PCT}
+               AS accuracies_differ
+    FROM cells
+"""

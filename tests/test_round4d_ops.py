@@ -2224,3 +2224,87 @@ def test_kappa_brute_force_and_chance_floor(spark, sf_dir):
     po2 = 1.0
     pe2 = (tt * tt + ff * ff) / ((tt + ff) ** 2)
     assert (po2 - pe2) / (1 - pe2) == pytest.approx(1.0)
+
+
+# -------------------------- McNemar / Friedman / Brown-Forsythe
+
+def test_mcnemar_cells_and_synthetic(spark, sf_dir):
+    """Discordant cells consistent with the kappa query's join; the
+    continuity-corrected statistic replayed; b=c gives ~0 stat on
+    synthetic."""
+    from qrapids_forecast_r_script_spark.operators.training_prep \
+        import classifier_mcnemar_test
+    r = classifier_mcnemar_test(spark, sf_dir).collect()[0]
+    if r.b + r.c > 0:
+        exp = (abs(r.b - r.c) - 1) ** 2 / (r.b + r.c)
+        assert r.mcnemar_stat == pytest.approx(exp, abs=2e-6)
+        assert r.accuracies_differ == (round(exp, 6) > 3.841458820694124)
+    assert r.b + r.c <= r.n
+    b = c = 10
+    assert (abs(b - c) - 1) ** 2 / (b + c) == pytest.approx(0.05)
+
+
+def test_friedman_ranks_brute_force(spark, sf_dir):
+    """Mean ranks and the chi2 replayed in python from the backtest
+    MAEs; mean ranks average to (k+1)/2 exactly."""
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        friedman_method_ranks, backtest_closed_forms)
+    rows = friedman_method_ranks(spark, sf_dir).collect()
+    bt = backtest_closed_forms(spark, sf_dir).select(
+        "name", "index", "method", "mae").collect()
+    from collections import defaultdict
+    series = defaultdict(dict)
+    for r in bt:
+        series[(r.name, r["index"])][r.method] = r.mae
+    sr = Counter()
+    ns = Counter()
+    for maes in series.values():
+        vals = sorted(set(maes.values()))
+        for m, v in maes.items():
+            rmin = 1 + sum(1 for x in maes.values() if x < v)
+            cnt = sum(1 for x in maes.values() if x == v)
+            sr[m] += 2 * rmin + cnt - 1
+            ns[m] += 1
+    k = len(sr)
+    got = {r.method: r for r in rows}
+    for m in sr:
+        assert got[m].mean_rank == pytest.approx(
+            sr[m] / 2 / ns[m], abs=2e-6)
+    n = max(ns.values())
+    sdu = sum(round((sr[m] / 2 / ns[m] - (k + 1) / 2) ** 2 * 1e9)
+              for m in sr)
+    stat = 12 * n / (k * (k + 1)) * (sdu / 1e9)
+    assert rows[0].friedman_chi2 == pytest.approx(stat, abs=2e-5)
+    mean_of_means = sum(sr[m] / 2 / ns[m] for m in sr) / k
+    assert mean_of_means == pytest.approx((k + 1) / 2, abs=1e-9)
+
+
+def test_levene_brute_force(spark, sf_dir):
+    """W replayed in python via the deviation-ANOVA identity."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import levene_variance_audit
+    from qrapids_forecast_r_script_spark.sources import load_table
+    r = levene_variance_audit(spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice").collect()
+    cust = {c.c_custkey: c.c_nationkey
+            for c in load_table(spark, sf_dir, "customer").collect()}
+    import numpy as np
+    from collections import defaultdict
+    ys = defaultdict(list)
+    for o in orders:
+        ys[cust[o.o_custkey]].append(round(o.o_totalprice * 100))
+    zs = {}
+    for nk, v in ys.items():
+        med = float(np.percentile(v, 50, method="linear"))
+        zs[nk] = [round(abs(y - med), 1) / 100 for y in v]
+    allz = [z for v in zs.values() for z in v]
+    n = len(allz)
+    gm = sum(allz) / n
+    sst = sum((z - gm) ** 2 for z in allz)
+    ssb = sum(len(v) * (sum(v) / len(v) - gm) ** 2
+              for v in zs.values())
+    k = len(zs)
+    w = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
+    assert r.bf_w_stat == pytest.approx(w, rel=1e-4)
+    assert r.k_groups == k and r.n_total == n
