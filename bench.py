@@ -404,6 +404,9 @@ HEADLINE = [
     "classifier_mcnemar_test",
     "friedman_method_ranks",
     "levene_variance_audit",
+    "competing_risks_cif",
+    "retrieval_rbo_bm25_vs_ql",
+    "decision_stump_doclen",
 ]
 
 

@@ -5841,3 +5841,160 @@ ORACLES["levene_variance_audit"] = f"""
                AS variances_differ
     FROM tot
 """
+
+
+def competing_risks_cif(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """COMPETING-RISKS cumulative incidence functions (Aalen &
+    Johansen 1978; Kalbfleisch & Prentice's CIF): from each user's
+    first event, the first PURCHASE and the first ERROR compete —
+    whichever comes first removes the user from risk for the other —
+    and the naive per-cause Kaplan-Meier famously OVERSTATES each
+    cause (1-KM treats competing events as censoring; the CIFs
+    cannot sum above 1, pinned in tests).  CIF_k(t) = sum_{s<=t}
+    S(s-) * d_k(s)/n(s) with S the ALL-cause survival — the
+    estimator that answers "what fraction of users will convert
+    before they churn via an error", which no single-cause curve
+    can.
+
+    Per distinct day t: at-risk n(t), purchase/error events, both
+    CIFs and the all-cause survival.  Exactness: the KM discipline
+    of `user_survival_curve` — exact integer risk sets, per-step
+    terms snapped to 1e-9 and BIGINT-prefix-summed; S(s-) carried
+    as the exp of a snapped ln prefix (zero-risk steps guarded).
+
+    Scale: one user-keyed aggregate + day-grid windows (observation
+    span, not population)."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.min(F.to_date("ts")).alias("d0"),
+                  F.max(F.to_date("ts")).alias("d1"),
+                  F.min(F.when(F.col("event_type") == "purchase",
+                               F.to_date("ts"))).alias("p0"),
+                  F.min(F.when(F.col("event_type") == "error",
+                               F.to_date("ts"))).alias("e0")))
+    # first competing event; simultaneous-day ties resolve to
+    # purchase (documented), no event = censored at last day
+    cause = (F.when(F.col("p0").isNotNull()
+                    & (F.col("e0").isNull()
+                       | (F.col("p0") <= F.col("e0"))), F.lit(1))
+             .when(F.col("e0").isNotNull(), F.lit(2))
+             .otherwise(F.lit(0)))
+    tcol = (F.when(cause == 1, F.datediff("p0", "d0"))
+            .when(cause == 2, F.datediff("e0", "d0"))
+            .otherwise(F.datediff("d1", "d0"))).cast("bigint")
+    subj = users.select(tcol.alias("t"), cause.alias("cause"))
+    total = subj.agg(F.count(F.lit(1)).alias("n_total"))
+    per_t = (subj.groupBy("t")
+             .agg(F.count(F.lit(1)).alias("n_leaving"),
+                  F.count(F.when(F.col("cause") == 1, 1)).alias("d1"),
+                  F.count(F.when(F.col("cause") == 2, 1))
+                  .alias("d2")))
+    wprev = (Window.orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0)
+    ar = (per_t.crossJoin(F.broadcast(total))
+          .withColumn("n_at_risk",
+                      F.col("n_total")
+                      - F.coalesce(F.sum("n_leaving").over(wprev),
+                                   F.lit(0))))
+    dall = F.col("d1") + F.col("d2")
+    step_ln = F.when(
+        dall < F.col("n_at_risk"),
+        F.round(F.log(1.0 - dall / F.col("n_at_risk")), 9)) \
+        .otherwise(F.lit(None))
+    # a step that consumes the whole risk set drives S to EXACT zero
+    # (the km_curve dead-flag discipline) — ln(0) never evaluates
+    dead = F.when(dall >= F.col("n_at_risk"), 1).otherwise(0)
+    ar = (ar.withColumn("lnu", F.round(step_ln * 1e9, 0)
+                        .cast("bigint"))
+          .withColumn("dead", dead))
+    dead_prev = F.coalesce(F.max("dead").over(wprev), F.lit(0))
+    s_prev = F.when(dead_prev == 1, F.lit(0.0)).otherwise(
+        F.exp(F.coalesce(F.sum("lnu").over(wprev), F.lit(0)) / 1e9))
+    inc1 = F.round(s_prev * F.col("d1") / F.col("n_at_risk") * 1e9,
+                   0).cast("bigint")
+    inc2 = F.round(s_prev * F.col("d2") / F.col("n_at_risk") * 1e9,
+                   0).cast("bigint")
+    surv = F.when(F.max("dead").over(wcum) == 1, F.lit(0.0))         .otherwise(F.round(F.exp(
+            F.coalesce(F.sum("lnu").over(wcum), F.lit(0)) / 1e9), 6))
+    out = (ar.withColumn("i1", inc1).withColumn("i2", inc2)
+           .select("t", "n_at_risk", "d1", "d2",
+                   F.round(F.sum("i1").over(wcum) / 1e9, 6)
+                   .alias("cif_purchase"),
+                   F.round(F.sum("i2").over(wcum) / 1e9, 6)
+                   .alias("cif_error"),
+                   surv.alias("surv_all_cause")))
+    return out.orderBy("t")
+
+
+QUERIES["competing_risks_cif"] = competing_risks_cif
+ORACLES["competing_risks_cif"] = """
+    WITH users AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+               max(CAST(ts AS DATE)) AS d1,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS DATE) END) AS p0,
+               min(CASE WHEN event_type = 'error'
+                        THEN CAST(ts AS DATE) END) AS e0
+        FROM events GROUP BY user_id
+    ), subj AS (
+        SELECT CASE
+                 WHEN p0 IS NOT NULL AND (e0 IS NULL OR p0 <= e0)
+                     THEN datediff('day', d0, p0)
+                 WHEN e0 IS NOT NULL THEN datediff('day', d0, e0)
+                 ELSE datediff('day', d0, d1) END AS t,
+               CASE WHEN p0 IS NOT NULL
+                         AND (e0 IS NULL OR p0 <= e0) THEN 1
+                    WHEN e0 IS NOT NULL THEN 2 ELSE 0 END AS cause
+        FROM users
+    ), total AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+                 FROM subj),
+    per_t AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n_leaving,
+               CAST(count(*) FILTER (WHERE cause = 1) AS BIGINT)
+                   AS d1,
+               CAST(count(*) FILTER (WHERE cause = 2) AS BIGINT)
+                   AS d2
+        FROM subj GROUP BY t
+    ), ar AS (
+        SELECT p.*, x.n_total
+                    - coalesce(sum(p.n_leaving) OVER (ORDER BY p.t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS n_at_risk
+        FROM per_t p CROSS JOIN total x
+    ), staged AS (
+        SELECT *, CAST(round(CASE WHEN d1 + d2 < n_at_risk
+                   THEN ln(1.0 - (d1 + d2)
+                           / CAST(n_at_risk AS DOUBLE)) END * 1e9,
+                   0) AS BIGINT) AS lnu,
+               CASE WHEN d1 + d2 >= n_at_risk THEN 1 ELSE 0 END
+                   AS dead
+        FROM ar
+    ), inc AS (
+        SELECT *,
+               CASE WHEN coalesce(max(dead) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) = 1 THEN 0.0
+                    ELSE exp(coalesce(sum(lnu) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) / 1e9) END AS s_prev
+        FROM staged
+    )
+    SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d1, d2,
+           round(sum(CAST(round(s_prev * d1
+                 / CAST(n_at_risk AS DOUBLE) * 1e9, 0) AS BIGINT))
+                 OVER w / 1e9, 6) AS cif_purchase,
+           round(sum(CAST(round(s_prev * d2
+                 / CAST(n_at_risk AS DOUBLE) * 1e9, 0) AS BIGINT))
+                 OVER w / 1e9, 6) AS cif_error,
+           CASE WHEN max(dead) OVER w = 1 THEN 0.0
+                ELSE round(exp(coalesce(sum(lnu) OVER w, 0) / 1e9),
+                           6) END AS surv_all_cause
+    FROM inc
+    WINDOW w AS (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY t
+"""

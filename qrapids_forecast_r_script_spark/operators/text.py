@@ -1453,3 +1453,94 @@ ORACLES["textrank_keywords"] = f"""
     QUALIFY rank <= {_TR_TOP}
     ORDER BY rank
 """
+
+
+# truncated-RBO depth weights (1-p) p^(k-1) at p = 0.9, exact
+# python-precomputed literals shared verbatim by both engines
+_RBO_W = ((1, 0.1), (2, 0.09), (3, 0.081), (4, 0.0729),
+          (5, 0.06561), (6, 0.059049), (7, 0.0531441),
+          (8, 0.04782969), (9, 0.043046721), (10, 0.0387420489))
+
+
+def retrieval_rbo_bm25_vs_ql(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP between the BM25 and query-likelihood
+    top-10 lists per query (Webber, Moffat & Zobel 2010; truncated
+    prefix form at p = 0.9): RBO = sum_k (1-p) p^(k-1) |S_k∩T_k|/k
+    — the top-weighted similarity for INDEFINITE rankings that
+    Kendall/Spearman get wrong on truncated lists (disagreement at
+    rank 1 should cost more than at rank 10, and non-conjoint lists
+    are not a permutation at all).  The model-governance read before
+    swapping BM25 for the LM ranker: which queries do the two
+    models actually disagree on.
+
+    Exactness: prefix overlaps are exact integers from one rank
+    join; the depth weights are python-precomputed literals shared
+    verbatim by both engines (no in-engine pow); per-depth terms
+    snap at 1e-9 and BIGINT-sum.
+
+    Scale: both rankers are existing bounded chains; the RBO join is
+    (query x 10 x 10)-bounded."""
+    from pyspark.sql.window import Window
+    bm = bm25_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("doc"),
+        F.col("rank").alias("r_bm"))
+    ql = ql_dirichlet_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("doc"),
+        F.col("rank").alias("r_ql"))
+    both = bm.join(ql, ["query_id", "doc"])
+    depths = spark.createDataFrame(list(_RBO_W), ["k", "w"])
+    terms = (both.crossJoin(F.broadcast(depths))
+             .where((F.col("r_bm") <= F.col("k"))
+                    & (F.col("r_ql") <= F.col("k")))
+             .groupBy("query_id", "k", "w")
+             .agg(F.count(F.lit(1)).alias("ov")))
+    tu = F.round(F.col("w") * F.col("ov")
+                 / F.col("k").cast("double") * 1e9, 0).cast("bigint")
+    per_q = (terms.withColumn("tu", tu)
+             .groupBy("query_id")
+             .agg(F.round(F.sum("tu") / 1e9, 6).alias("rbo"),
+                  F.max(F.when(F.col("k") == 10, F.col("ov")))
+                  .alias("overlap_at_10")))
+    allq = bm.select("query_id").distinct()
+    return (allq.join(per_q, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("rbo", F.lit(0.0)).alias("rbo"),
+                    F.coalesce("overlap_at_10", F.lit(0))
+                    .cast("bigint").alias("overlap_at_10"))
+            .orderBy("query_id"))
+
+
+QUERIES["retrieval_rbo_bm25_vs_ql"] = retrieval_rbo_bm25_vs_ql
+ORACLES["retrieval_rbo_bm25_vs_ql"] = f"""
+    WITH bm AS (
+        SELECT query_id, neighbor_id AS doc, rank AS r_bm
+        FROM ({ORACLES["bm25_topk"]})
+    ), ql AS (
+        SELECT query_id, neighbor_id AS doc, rank AS r_ql
+        FROM ({ORACLES["ql_dirichlet_topk"]})
+    ), both_ AS (
+        SELECT * FROM bm JOIN ql USING (query_id, doc)
+    ), depths(k, w) AS (VALUES {", ".join(
+        f"({k}, CAST({w!r} AS DOUBLE))" for k, w in _RBO_W)}),
+    terms AS (
+        SELECT b.query_id, d.k, d.w,
+               CAST(count(*) AS BIGINT) AS ov
+        FROM both_ b CROSS JOIN depths d
+        WHERE b.r_bm <= d.k AND b.r_ql <= d.k
+        GROUP BY 1, 2, 3
+    ), per_q AS (
+        SELECT query_id,
+               round(sum(CAST(round(w * ov / CAST(k AS DOUBLE) * 1e9,
+                                    0) AS BIGINT)) / 1e9, 6) AS rbo,
+               max(CASE WHEN k = 10 THEN ov END) AS overlap_at_10
+        FROM terms GROUP BY 1
+    )
+    SELECT q.query_id,
+           coalesce(p.rbo, 0.0) AS rbo,
+           CAST(coalesce(p.overlap_at_10, 0) AS BIGINT)
+               AS overlap_at_10
+    FROM (SELECT DISTINCT query_id FROM bm) q
+    LEFT JOIN per_q p USING (query_id)
+    ORDER BY q.query_id
+"""

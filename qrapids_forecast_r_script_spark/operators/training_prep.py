@@ -2214,3 +2214,126 @@ ORACLES["classifier_mcnemar_test"] = f"""
                AS accuracies_differ
     FROM cells
 """
+
+
+def decision_stump_doclen(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """DECISION STUMP on document length for the English label
+    (Breiman et al. 1984's CART split search, depth 1): evaluate
+    EVERY candidate threshold (each distinct n_chars) by the
+    weighted Gini impurity of the induced split and keep the argmin
+    — the single tree-induction step, exactly, via one sort + prefix
+    counts instead of a per-threshold scan (the O(V·N) naive form
+    collapses to O(N log N) because prefix class counts determine
+    both sides' impurity).  Reported with the parent impurity and
+    the Gini GAIN — the feature-importance unit every forest sums.
+
+    Exactness: candidate impurities are rational functions of exact
+    prefix integer counts, snapped to 1e-9 for the argmin (ties →
+    smaller threshold); the chosen row's stats are re-derived from
+    the same integers.
+
+    Scale: one (value)-keyed count aggregate + one prefix window
+    over distinct values (value-bounded) — the histogram-split
+    strategy every distributed GBDT (XGBoost/LightGBM) uses."""
+    from pyspark.sql.window import Window
+    docs = load_table(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == _NB_TARGET_LANG).cast("int")
+        .alias("y"))
+    per_v = (docs.groupBy("n_chars")
+             .agg(F.count(F.lit(1)).alias("c"),
+                  F.sum("y").alias("cp")))
+    tot = per_v.agg(F.sum("c").alias("n"),
+                    F.sum("cp").alias("np"))
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0)
+    pre = (per_v
+           .withColumn("nl", F.sum("c").over(w))
+           .withColumn("npl", F.sum("cp").over(w))
+           .crossJoin(F.broadcast(tot))
+           .where(F.col("nl") < F.col("n")))
+    nl = F.col("nl").cast("double")
+    nr = (F.col("n") - F.col("nl")).cast("double")
+    pl = F.col("npl") / nl
+    pr = (F.col("np") - F.col("npl")) / nr
+    gini_l = 1 - pl * pl - (1 - pl) * (1 - pl)
+    gini_r = 1 - pr * pr - (1 - pr) * (1 - pr)
+    wg = F.round((nl * gini_l + nr * gini_r)
+                 / F.col("n").cast("double"), 9)
+    wpick = Window.orderBy(F.col("wg").asc(),
+                           F.col("n_chars").asc())
+    best = (pre.withColumn("wg", wg)
+            .withColumn("rn", F.row_number().over(wpick))
+            .where(F.col("rn") == 1))
+    pp = F.col("np") / F.col("n").cast("double")
+    parent = 1 - pp * pp - (1 - pp) * (1 - pp)
+    return best.select(
+        F.col("n_chars").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        (F.col("n") - F.col("nl")).alias("n_right"),
+        F.round(pl, 6).alias("p_en_left"),
+        F.round(pr, 6).alias("p_en_right"),
+        F.round(parent, 6).alias("gini_parent"),
+        F.round(F.col("wg"), 6).alias("gini_split"),
+        F.round(parent - F.col("wg"), 6).alias("gini_gain"))
+
+
+QUERIES["decision_stump_doclen"] = decision_stump_doclen
+ORACLES["decision_stump_doclen"] = f"""
+    WITH docs AS (
+        SELECT n_chars,
+               CAST(lang = '{_NB_TARGET_LANG}' AS INT) AS y
+        FROM documents
+    ), per_v AS (
+        SELECT n_chars, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(y) AS BIGINT) AS cp
+        FROM docs GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(cp) AS BIGINT) AS np FROM per_v
+    ), pre AS (
+        SELECT p.n_chars,
+               sum(p.c) OVER (ORDER BY p.n_chars
+                   ROWS UNBOUNDED PRECEDING) AS nl,
+               sum(p.cp) OVER (ORDER BY p.n_chars
+                   ROWS UNBOUNDED PRECEDING) AS npl,
+               t.n, t.np
+        FROM per_v p CROSS JOIN tot t
+        QUALIFY nl < t.n
+    ), scored AS (
+        SELECT *,
+               round((nl * (1 - (npl / CAST(nl AS DOUBLE))
+                              * (npl / CAST(nl AS DOUBLE))
+                            - (1 - npl / CAST(nl AS DOUBLE))
+                              * (1 - npl / CAST(nl AS DOUBLE)))
+                      + (n - nl)
+                        * (1 - ((np - npl)
+                                / CAST(n - nl AS DOUBLE))
+                             * ((np - npl)
+                                / CAST(n - nl AS DOUBLE))
+                           - (1 - (np - npl)
+                                  / CAST(n - nl AS DOUBLE))
+                             * (1 - (np - npl)
+                                    / CAST(n - nl AS DOUBLE))))
+                     / CAST(n AS DOUBLE), 9) AS wg
+        FROM pre
+    )
+    SELECT n_chars AS threshold,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(n - nl AS BIGINT) AS n_right,
+           round(npl / CAST(nl AS DOUBLE), 6) AS p_en_left,
+           round((np - npl) / CAST(n - nl AS DOUBLE), 6)
+               AS p_en_right,
+           round(1 - (np / CAST(n AS DOUBLE))
+                   * (np / CAST(n AS DOUBLE))
+                 - (1 - np / CAST(n AS DOUBLE))
+                   * (1 - np / CAST(n AS DOUBLE)), 6) AS gini_parent,
+           round(wg, 6) AS gini_split,
+           round((1 - (np / CAST(n AS DOUBLE))
+                    * (np / CAST(n AS DOUBLE))
+                  - (1 - np / CAST(n AS DOUBLE))
+                    * (1 - np / CAST(n AS DOUBLE))) - wg, 6)
+               AS gini_gain
+    FROM scored
+    QUALIFY row_number() OVER (ORDER BY wg ASC, n_chars ASC) = 1
+"""

@@ -2308,3 +2308,94 @@ def test_levene_brute_force(spark, sf_dir):
     w = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
     assert r.bf_w_stat == pytest.approx(w, rel=1e-4)
     assert r.k_groups == k and r.n_total == n
+
+
+# --------------------------- CIF / RBO / decision stump
+
+def test_cif_bounds_and_sum(spark, sf_dir):
+    """Both CIFs are nondecreasing; CIF_1 + CIF_2 + S_all = 1 at
+    every step (the Aalen-Johansen partition identity, to rounding);
+    each CIF stays below 1 - the other's final value + eps."""
+    from qrapids_forecast_r_script_spark.operators.product_analytics \
+        import competing_risks_cif
+    rows = sorted(competing_risks_cif(spark, sf_dir).collect(),
+                  key=lambda r: r.t)
+    prev1 = prev2 = 0.0
+    for r in rows:
+        assert r.cif_purchase >= prev1 - 1e-9
+        assert r.cif_error >= prev2 - 1e-9
+        prev1, prev2 = r.cif_purchase, r.cif_error
+        assert (r.cif_purchase + r.cif_error + r.surv_all_cause
+                == pytest.approx(1.0, abs=5e-4)), r.t
+    assert rows[-1].cif_purchase + rows[-1].cif_error <= 1 + 1e-6
+
+
+def test_rbo_identity_and_bounds(spark, sf_dir):
+    """RBO of a list with itself at the same weights is the full
+    weight sum (python identity); query values in [0, ~0.65] (the
+    truncated-weight ceiling); replay for one query."""
+    from qrapids_forecast_r_script_spark.operators.text import (
+        retrieval_rbo_bm25_vs_ql, bm25_topk, ql_dirichlet_topk,
+        _RBO_W)
+    rows = {r.query_id: r
+            for r in retrieval_rbo_bm25_vs_ql(spark, sf_dir)
+            .collect()}
+    ceiling = sum(w for _, w in _RBO_W)
+    for r in rows.values():
+        assert 0.0 <= r.rbo <= ceiling + 1e-9
+    bm = [(r.query_id, r.neighbor_id, r.rank)
+          for r in bm25_topk(spark, sf_dir).collect()]
+    ql = [(r.query_id, r.neighbor_id, r.rank)
+          for r in ql_dirichlet_topk(spark, sf_dir).collect()]
+    q0 = min(q for q, _, _ in bm)
+    sb = {d: k for q, d, k in bm if q == q0}
+    sq = {d: k for q, d, k in ql if q == q0}
+    su = 0
+    for k, w in _RBO_W:
+        ov = sum(1 for d in sb
+                 if sb[d] <= k and d in sq and sq[d] <= k)
+        su += round(w * ov / k * 1e9)
+    assert rows[q0].rbo == pytest.approx(su / 1e9, abs=2e-6)
+    # self-RBO = full weight mass
+    su_self = sum(round(w * k / k * 1e9) for k, w in _RBO_W) / 1e9
+    assert su_self == pytest.approx(ceiling, abs=1e-9)
+
+
+def test_decision_stump_brute_force(spark, sf_dir):
+    """The chosen threshold minimizes weighted Gini over an
+    exhaustive python sweep; gain is nonnegative."""
+    from qrapids_forecast_r_script_spark.operators.training_prep \
+        import decision_stump_doclen
+    from qrapids_forecast_r_script_spark.sources import load_table
+    r = decision_stump_doclen(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "n_chars", "lang").collect()
+    pts = sorted((d.n_chars, 1 if d.lang == "en" else 0)
+                 for d in docs)
+    n = len(pts)
+    npos = sum(y for _, y in pts)
+
+    def gini(p):
+        return 1 - p * p - (1 - p) * (1 - p)
+
+    best = None
+    nl = npl = 0
+    i = 0
+    vals = sorted({v for v, _ in pts})
+    from collections import Counter as C
+    cnt = C(v for v, _ in pts)
+    cpos = C(v for v, y in pts if y)
+    for v in vals:
+        nl += cnt[v]
+        npl += cpos.get(v, 0)
+        if nl >= n:
+            break
+        wg = round((nl * gini(npl / nl)
+                    + (n - nl) * gini((npos - npl) / (n - nl)))
+                   / n, 9)
+        if best is None or (wg, v) < best:
+            best = (wg, v)
+    assert r.threshold == best[1]
+    assert r.gini_split == pytest.approx(best[0], abs=2e-6)
+    assert r.gini_gain >= -1e-9
+    assert r.n_left + r.n_right == n
