@@ -5998,3 +5998,111 @@ ORACLES["competing_risks_cif"] = """
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY t
 """
+
+
+_SPRT_LIFT = 1.10     # H1: conversion = 1.10 x pooled rate
+_SPRT_BOUND = 2.9444389791664403   # ln((1-b)/a) = ln(19), a=b=0.05
+
+
+def ab_sprt_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD'S SPRT trace for the A/B purchase-conversion stream
+    (Wald 1945): the fully-sequential counterpart of the
+    group-sequential `ab_sequential_looks` — after EVERY day,
+    accumulate the binomial log-likelihood ratio of arm A's
+    conversions under H1 (pooled rate x 1.10) vs H0 (pooled rate)
+    and compare to the literal ln(19) boundaries (alpha = beta =
+    0.05): cross above = accept the lift, below -ln(19) = accept
+    the null, between = keep sampling — the optimal-stopping test
+    that ends experiments earliest at fixed error rates.  On this
+    md5 A/A-style split the trace should wander between the
+    boundaries (any early accept-H1 = a split bug).
+
+    Determinism: daily (users, conversions) are exact integers; the
+    two per-day log-LR coefficients are computed ONCE from the
+    pooled rate and snapped at 1e-9; daily increments snap at 1e-6
+    and BIGINT-prefix-sum; boundaries are shared literals.
+
+    Scale: one user-day aggregate + a day-grid window — observation
+    span, not population."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    daily = (ev.withColumn("arm", arm)
+             .where(F.col("arm") == 0)
+             .groupBy(F.to_date("ts").alias("day"))
+             .agg(F.count_distinct("user_id").alias("n"),
+                  F.count_distinct(
+                      F.when(F.col("event_type") == "purchase",
+                             F.col("user_id"))).alias("k")))
+    pooled = (ev.groupBy(F.to_date("ts").alias("day"), "user_id")
+              .agg(F.max(F.when(F.col("event_type") == "purchase",
+                                1).otherwise(0)).alias("conv"))
+              .agg((F.sum("conv") / F.count(F.lit(1))).alias("p0")))
+    j = daily.crossJoin(F.broadcast(pooled))
+    p0 = F.col("p0")
+    p1 = F.least(p0 * _SPRT_LIFT, F.lit(0.999999))
+    la = F.round(F.log(p1 / p0), 9)
+    lb = F.round(F.log((1 - p1) / (1 - p0)), 9)
+    inc = F.round((F.col("k") * la
+                   + (F.col("n") - F.col("k")) * lb) * 1e6, 0) \
+        .cast("bigint")
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0)
+    out = (j.withColumn("iu", inc)
+           .withColumn("llr", F.round(F.sum("iu").over(wcum) / 1e6,
+                                      6))
+           .select("day", "n", "k", "llr",
+                   F.lit(_SPRT_BOUND).alias("upper_bound"),
+                   F.lit(-_SPRT_BOUND).alias("lower_bound"),
+                   F.when(F.col("llr") >= _SPRT_BOUND,
+                          F.lit("accept_h1"))
+                   .when(F.col("llr") <= -_SPRT_BOUND,
+                         F.lit("accept_h0"))
+                   .otherwise(F.lit("continue")).alias("decision")))
+    return out.orderBy("day")
+
+
+QUERIES["ab_sprt_trace"] = ab_sprt_trace
+ORACLES["ab_sprt_trace"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+               CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                    THEN user_id END) AS BIGINT) AS k
+        FROM events
+        WHERE (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               ::BIGINT % 2) = 0
+        GROUP BY 1
+    ), ud AS (
+        SELECT CAST(ts AS DATE) AS day, user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END) AS conv
+        FROM events GROUP BY 1, 2
+    ), pooled AS (
+        SELECT sum(conv) / CAST(count(*) AS DOUBLE) AS p0 FROM ud
+    ), j AS (
+        SELECT d.*, p.p0,
+               round(ln(least(p.p0 * {_SPRT_LIFT}, 0.999999) / p.p0),
+                     9) AS la,
+               round(ln((1 - least(p.p0 * {_SPRT_LIFT}, 0.999999))
+                        / (1 - p.p0)), 9) AS lb
+        FROM daily d CROSS JOIN pooled p
+    )
+    SELECT day, n, k,
+           round(sum(CAST(round((k * la + (n - k) * lb) * 1e6, 0)
+                          AS BIGINT)) OVER w / 1e6, 6) AS llr,
+           CAST({_SPRT_BOUND} AS DOUBLE) AS upper_bound,
+           CAST({-_SPRT_BOUND} AS DOUBLE) AS lower_bound,
+           CASE WHEN round(sum(CAST(round((k * la + (n - k) * lb)
+                    * 1e6, 0) AS BIGINT)) OVER w / 1e6, 6)
+                    >= {_SPRT_BOUND} THEN 'accept_h1'
+                WHEN round(sum(CAST(round((k * la + (n - k) * lb)
+                    * 1e6, 0) AS BIGINT)) OVER w / 1e6, 6)
+                    <= {-_SPRT_BOUND} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM j
+    WINDOW w AS (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY day
+"""
