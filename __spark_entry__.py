@@ -28,127 +28,89 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
-# Round-4 driver window (the driver checks the first ~50 merged entries).
-# Signal allocation: rounds 1-3 proved 145 distinct queries (140
-# hash-green, 5 rows-only, 0 failures); 66 registered queries have never
-# had a driver row.  Round 4 front-loads (a) the three queries whose
-# RESULTS changed this round (constant-k knn anchors, the dp seed
-# column, the disjoint conformal calibration window), (b) the 8 model
-# fits that never got even a rows-only row plus the new all-method
-# backtest (one rows-only row each — then they rotate OUT per the r3
-# verdict), and (c) 38 never-checked oracled queries across the
-# retrieval / forecast-eval / graph / linkage / spectral /
-# training-prep / assoc-privacy / data-quality layers.  The remaining
-# never-checked oracled queries (~17 deferrals — profilers,
-# product-analytics tails, the stream-stream outer join, TWS — plus
-# round 4's twelve additions: events_ks_drift, bpe_encode_docs,
-# paragraph_dedup_rewrite, doc_novelty_scores, corpus_zipf_fit,
-# benford_first_digit_audit, char_trigram_lang_classifier,
-# rm3_query_expansion, doc_graph_link_prediction,
-# mixture_waterfill_budget, jl_projection_distortion, series_acf,
-# media_dhash_neardup, curriculum_order, forecast_croston_events,
-# hierarchical_forecast_coherence, doc_graph_kcore,
-# mmr_diversified_topk, chi_square_independence,
-# missing_value_imputation, doremi_domain_weights,
-# logrank_cohort_test, nb_calibration_curve,
-# conformal_coverage_backtest, series_leadlag_xcorr,
-# reciprocal_knn_pairs, readability_scores, incremental_join_view,
-# l_diversity_audit, interval_score_backtest, cart_abandonment_daily,
-# media_energy_segments, series_wavelet_energy, events_mad_outliers,
-# embedding_drift_centroids, source_dedup_rates,
-# session_pattern_match, tokenizer_fertility_by_lang,
-# user_erasure_audit, source_length_qq, funnel_latency_percentiles,
-# orders_yoy_growth, sql_api_revenue_report, rfm_quartile_segments,
-# ivf_nprobe_sweep, doc_embedding_coverage, dedup_cluster_sizes,
-# vocab_coverage_curve, event_interarrival_stats,
-# embedding_norm_audit, forecast_ses_events, parts_abc_pareto,
-# series_theilsen_trend, series_decomposition_strength,
-# doc_graph_eigencentrality, t_closeness_audit, column_stats_profile,
-# customer_revenue_gini, forecast_holt_events, cohort_ltv_matrix,
-# source_unigram_kl, lsh_precision_recall,
-# functional_dependency_audit, order_cycle_time_stats,
-# events_ewma_control_chart, doc_graph_degree_powerlaw,
-# ab_test_cuped, ab_srm_check, embedding_db_index,
-# prefix_filter_join, orders_cdc_apply, session_sequence_pairs,
-# duplicate_payment_audit, brand_concentration_hhi,
-# rake_keywords_top, plus the batch-9 additions: binary_quant_topk,
-# parts_skyline_frontier, ab_mannwhitney_test, ab_diff_in_diff,
-# doc_entropy_scores, feature_hash_vectors, hill_tail_index,
-# doc_graph_bfs_reachability, forecast_holtwinters_events,
-# revenue_bootstrap_ci, chao1_vocab_estimate,
-# embedding_alignment_uniformity, event_markov_stationary,
-# ucb1_replay_policy, doc_graph_modularity,
-# weighted_jaccard_pairs, doc_graph_closeness_sampled,
-# revenue_price_volume_bridge, events_trailing_distinct_types,
-# ab_sequential_looks, and the batch-16 additions: roc_auc_eval,
-# brier_decomposition, target_encoding_loo, negative_sampling_table,
-# doc_graph_shortest_paths, isotonic_calibration_map,
-# cumulative_gain_curve, ips_policy_value,
-# quantile_normalization_map, series_page_hinkley,
-# neyman_allocation_sample, simpson_slope_audit,
-# parts_running_balance, series_kendall_tau, ab_bh_fdr_nations,
-# dow_type_median_polish, and the batch 20-23 additions:
-# dedup_capture_recapture, markov_next_event_accuracy,
-# item_item_cf_topk, ql_dirichlet_topk, woe_information_value,
-# shapley_attribution, kneser_ney_bigram_logprob,
-# nelson_aalen_hazard, mh_pooled_odds_ratio,
-# james_stein_nation_means, ipf_raking_weights,
-# greedy_coverage_selection, als_rank2_factors,
-# series_analog_search, source_length_emd,
-# bradley_terry_strengths, hmm_forward_filter, doc_length_gmm,
-# textrank_keywords, consistent_hash_rebalance,
-# meta_analysis_nations, hmm_smoothed_posterior, nb_learning_curve,
-# ab_quantile_treatment_effects, ab_power_mde_table,
-# hmm_baum_welch_step, platt_scaling_fit, series_dickey_fuller,
-# mahalanobis_outliers, weak_label_model, event_time_circular_stats,
-# hmm_viterbi_path, dbscan_density_classes,
-# hedge_forecast_combination, newsvendor_stock_levels,
-# price_elasticity_ols, series_spearman_matrix, evt_gpd_tail_fit,
-# littles_law_audit, cf_holdout_lift, blocking_quality_metrics,
-# anova_nation_values) are the round-5 window.
+# Round-5 driver window (the driver checks the first ~50 merged entries).
+#
+# Verdict r4 item 1: spend the ENTIRE window on never-driver-checked
+# queries that carry an exact DuckDB oracle — 50/50 green-capable, zero
+# rows-only slots.  After r1-r4, 195 distinct queries have driver rows
+# (181 ever hash-green, 0 failures) and 191 registered+oracled queries
+# have never had one.  This window takes the first 50 of those 191 in
+# merged-registry order (deterministic, resumable next round: r6 takes
+# the next 50).  The 10 model fits had their one rows-only row in r4 and
+# are rotated OUT per the r3/r4 verdicts.  Verdict r4 item 2: net-new
+# query registration is FROZEN this round (delta ≤ +10, §2B gaps only)
+# until the never-checked backlog is under ~100.
+#
+# The round-4 window (knn_label_accuracy ... forecast_method_backtest)
+# and its 141-query deferral commentary are retired; the remaining
+# backlog after this window is the 141 queries listed by
+# `python3 -c "..."` over CORRECTNESS_r0*.json — regenerable, not
+# re-enumerated here.
 FRONT_WINDOW = [
-    # results/oracles changed this round — re-prove first
-    "knn_label_accuracy",          # constant-k md5-ordered anchor sample
-    "dp_noisy_counts",             # deterministic_seed column added
-    "conformal_snaive_intervals",  # calibration week now disjoint
-    # dedup/IR tail (round-2/3 additions, never driver-checked)
-    "ngram_containment_pairs", "contrastive_pairs", "minhash_calibration",
-    "incremental_dedup_batch",
-    # retrieval layer (lexical, hybrid, compressed, eval)
-    "bm25_topk", "hybrid_rrf_topk", "ann_multiprobe_topk", "ann_eval_ndcg",
-    "sq8_topk", "matryoshka_topk", "triplet_mining_embeddings",
+    # r4 verdict item 4 delivered: transformWithStateInPandas UN-GATED —
+    # ensure_protobuf() wires the host's vendored pure-python protobuf
+    # runtime into driver + workers at runtime, and the query scopes the
+    # RocksDB state-store provider it needs.  In-window for its first
+    # (and exactly-oracled) driver row.
+    "events_tws_running_totals",
+    # dedup / similarity / embeddings tail (never driver-checked)
+    "paragraph_dedup_rewrite",
+    "doc_novelty_scores",
+    "weighted_jaccard_pairs",
+    "dedup_capture_recapture",
+    "jl_projection_distortion",
+    "mmr_diversified_topk",
+    "reciprocal_knn_pairs",
+    "embedding_drift_centroids",
+    "ivf_nprobe_sweep",
+    "embedding_norm_audit",
+    "binary_quant_topk",
+    "embedding_alignment_uniformity",
+    "chunk_hash_embed_topk",
+    "proximity_search",
+    # lexical retrieval / text analysis
+    "rm3_query_expansion",
+    "readability_scores",
+    "vocab_coverage_curve",
+    "rake_keywords_top",
+    "ql_dirichlet_topk",
+    "textrank_keywords",
+    "retrieval_rbo_bm25_vs_ql",
+    # multimodal plumbing
+    "media_dhash_neardup",
+    "media_energy_segments",
+    # embeddings / pipeline patterns (SCD2, CDC, incremental views)
+    "embedding_db_index",
+    "orders_scd2_asof",
+    "incremental_agg_merge",
+    "incremental_join_view",
+    "user_erasure_audit",
+    "orders_cdc_apply",
+    "consistent_hash_rebalance",
     # product analytics / experimentation
-    "user_survival_curve", "ab_test_report",
-    # sources / curation / text-quality tails
-    "events_schema_evolution", "leakage_free_split",
-    "ccnet_perplexity_buckets", "source_drift_psi",
-    # forecast eval + series monitors
-    "ensemble_closed_forms", "rolling_origin_backtest",
-    "seasonal_residual_outliers", "series_changepoint_cusum",
-    "series_rolling_correlation", "series_trend_ols",
-    # graph / tokenizer / data-quality
-    "doc_graph_communities", "doc_graph_triangles", "bpe_merge_rules",
-    "fk_integrity_audit", "snapshot_table_diff",
-    # training prep
-    "nb_quality_classifier", "sequence_packing_examples",
-    "centroid_label_confusion",
-    # Python execution family (UDTF + cogrouped as-of)
-    "doc_chunks_udtf", "events_orders_asof_cogroup",
-    # association / privacy / spectral / linkage
-    "basket_part_pairs_lift", "k_anonymity_audit",
-    "embedding_pca_projection", "series_dominant_period",
-    "customer_entity_resolution",
-    # the 8 model fits that never had a driver row (rows-only by
-    # design: iterative numpy fits, not SQL-expressible) — one row
-    # each this round, then OUT of the window (r3 verdict item 5),
-    # plus the new all-method holdout backtest that keeps the whole
-    # fit layer visible in every future round it is in-window
-    "forecast_theta_events", "forecast_etsdamped_events",
-    "forecast_baggedets_events", "forecast_stl_events",
-    "forecast_nn_events", "forecast_prophet_events",
-    "forecast_arima_force_seasonality_events", "forecast_ets_user_series",
-    "forecast_method_backtest",
+    "event_transition_matrix",
+    "user_feature_table",
+    "session_transcripts",
+    "purchase_attribution_decay",
+    "logrank_cohort_test",
+    "cart_abandonment_daily",
+    "session_pattern_match",
+    "funnel_latency_percentiles",
+    "customer_revenue_gini",
+    "cohort_ltv_matrix",
+    "ab_test_cuped",
+    "ab_srm_check",
+    "session_sequence_pairs",
+    "ab_mannwhitney_test",
+    "ab_diff_in_diff",
+    "revenue_bootstrap_ci",
+    "event_markov_stationary",
+    "ucb1_replay_policy",
+    "ab_sequential_looks",
+    # (ips_policy_value was slot 50; it yields to events_tws_running_totals
+    # and leads the r6 backlog instead)
 ]
+
 
 
 def _registries():

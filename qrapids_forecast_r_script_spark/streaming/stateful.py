@@ -236,20 +236,125 @@ def events_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                outputMode="append",
                timeMode="None"))
     name = "events_tws_running_totals_sink"
-    _run_to_memory_sink(out, name, "append")
+    # transformWithState keeps one column family per state variable;
+    # the default HDFSBackedStateStoreProvider rejects that
+    # (multipleColumnFamiliesNotSupported), so the query needs RocksDB.
+    # The provider is read once at query START, so scope the override to
+    # the stream run and restore the session's prior value after.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key,
+                   "org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider")
+    try:
+        _run_to_memory_sink(out, name, "append")
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
     return spark.table(name)
 
 
-def tws_available() -> bool:
-    """transformWithStateInPandas drives its state server over protobuf;
-    this container ships no google.protobuf, so the v2 API is
-    implemented but can only run where the dependency exists.  Loud
-    capability probe, same pattern as the multimodal codec guard."""
+# Public protobuf runtimes vendored by commonly-installed tools, probed
+# ONLY when ``google.protobuf`` is not pip-installed.  The gcloud SDK's
+# appengine platform ships a verbatim, Apache-licensed pure-python
+# protobuf (6.32.0 on this container — modern enough for pyspark's
+# generated StateMessage_pb2, which wants runtime >= its 6.33 gencode
+# and accepts the one-minor gap once the upstream escape hatch
+# ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` is set; the proto uses
+# no 6.33-only features, so the cross-version guarantee holds).
+_PB_VENDOR_CANDIDATES = [
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+]
+_PB_ZIP = "/tmp/qrapids_pb/protobuf_runtime.zip"
+
+
+def _build_pb_zip(vendor_root: str) -> str:
+    """Package the vendored ``google/protobuf`` into an addPyFile-able
+    zip (with a pkgutil-style ``google/__init__.py`` — zipimport does
+    not resolve implicit namespace packages, observed r5)."""
+    import os
+    import zipfile
+
+    src = os.path.join(vendor_root, "google", "protobuf")
+    os.makedirs(os.path.dirname(_PB_ZIP), exist_ok=True)
+    if not os.path.exists(_PB_ZIP):
+        tmp = _PB_ZIP + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            z.writestr("google/__init__.py",
+                       "__path__ = __import__('pkgutil')"
+                       ".extend_path(__path__, __name__)\n")
+            for root, dirs, files in os.walk(src):
+                dirs[:] = [d for d in dirs if d != "__pycache__"]
+                for f in files:
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.join("google/protobuf",
+                                            os.path.relpath(p, src)))
+        os.replace(tmp, _PB_ZIP)
+    return _PB_ZIP
+
+
+def ensure_protobuf(spark: SparkSession | None = None) -> bool:
+    """Make ``google.protobuf`` importable on the driver AND on python
+    workers, or return False.
+
+    Order: (1) an installed google.protobuf wins (workers share the same
+    site-packages in local mode and ship it via the cluster image
+    otherwise); (2) a vendored pure-python runtime from
+    ``_PB_VENDOR_CANDIDATES`` is zipped and wired in at runtime —
+    driver-side via sys.path, worker-side via ``sc.addPyFile`` (worker
+    sys.path) + ``sc.environment`` (worker env for UDFs created after
+    this call, which carries the version-check escape hatch).  All
+    runtime-only: no files outside /tmp, nothing pip-installed."""
+    import os
+    import sys
+
     try:
         import google.protobuf.descriptor  # noqa: F401
-        return True
+        installed = True
     except ImportError:
-        return False
+        installed = False
+    if not installed:
+        vendor = next((c for c in _PB_VENDOR_CANDIDATES
+                       if os.path.isfile(os.path.join(
+                           c, "google", "protobuf", "runtime_version.py"))),
+                      None)
+        if vendor is None:
+            return False
+        zpath = _build_pb_zip(vendor)
+        os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+        if zpath not in sys.path:
+            sys.path.insert(0, zpath)
+        try:
+            import google.protobuf.descriptor  # noqa: F401
+        except ImportError:
+            return False
+    if spark is not None and not installed:
+        sc = spark.sparkContext
+        # regular task workers read python-includes off the socket
+        # protocol (worker_util.py), but the transformWithState DRIVER
+        # worker (StreamingPythonRunner) never receives includes — its
+        # sys.path comes from the PYTHONPATH in the PythonFunction's
+        # envVars, which is exactly ``sc.environment``.  Both channels
+        # are wired so every python process sees the runtime.
+        sc.addPyFile(_PB_ZIP)
+        sc.environment["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+        prior = sc.environment.get("PYTHONPATH", "")
+        if _PB_ZIP not in prior.split(os.pathsep):
+            sc.environment["PYTHONPATH"] = (
+                _PB_ZIP + os.pathsep + prior if prior else _PB_ZIP)
+    return True
+
+
+def tws_available(spark: SparkSession | None = None) -> bool:
+    """transformWithStateInPandas drives its state server over protobuf.
+    This container ships no pip-installed google.protobuf, but
+    ``ensure_protobuf`` can wire in a vendored public runtime when one
+    exists on the host (un-gated in r5); where neither exists the v2 API
+    stays implemented-but-gated.  Loud capability probe, same pattern as
+    the multimodal codec guard."""
+    return ensure_protobuf(spark)
 
 
 # Registered in a tail EXTRA block (merged after the driver's ~50-query
@@ -260,10 +365,11 @@ def tws_available() -> bool:
 # gate stays on EXECUTION only — the callable raises loudly when the
 # state server can't start.
 def _tws_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    if not tws_available():
+    if not tws_available(spark):
         raise RuntimeError(
             "transformWithStateInPandas needs google.protobuf for its "
-            "state server; not available in this container")
+            "state server; neither an installed nor a vendored runtime "
+            "was found on this container")
     return events_tws_running_totals(spark, sf_dir)
 
 

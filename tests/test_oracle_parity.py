@@ -27,7 +27,7 @@ def test_oracle_parity(spark, sf_dir, query_name):
     if query_name == "events_tws_running_totals":
         from qrapids_forecast_r_script_spark.streaming.stateful import (
             tws_available)
-        if not tws_available():
+        if not tws_available(spark):
             pytest.skip("transformWithStateInPandas needs google.protobuf "
                         "— registered unconditionally (window-allocation "
                         "invariance) but gated at execution")

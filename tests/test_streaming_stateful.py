@@ -119,7 +119,7 @@ def test_tws_running_totals_matches_window_cumsum(spark, sf_dir):
 
     from qrapids_forecast_r_script_spark.streaming.stateful import (
         events_tws_running_totals, tws_available)
-    if not tws_available():
+    if not tws_available(spark):
         pytest.skip("google.protobuf not available — TWS state server "
                     "cannot start in this container")
     from pyspark.sql import functions as F
