@@ -5,12 +5,15 @@ Convention (schemas.MEDIA): ``payload: binary`` is an opaque blob
 (image/audio/video bytes); ``meta: map<string,string>`` carries typed
 metadata (mime, width, duration…).  Decode / feature-extract / resize /
 frame-sample run as ``mapInPandas`` — Arrow-batched, schema-stable,
-partition-parallel.  The actual codecs (PIL/ffmpeg/torchvision) are NOT
-in this container, so the decode step is STUBBED: ``decode_media`` raises
-NotImplementedError unless a codec import succeeds, and
-``extract_features`` uses a deterministic md5-based fake feature vector —
-the Spark-side plumbing (schema, batching, UDF signature, partitioning)
-is real and tested either way.
+partition-parallel.  Decode coverage is tiered (r5): image METADATA is a
+real stdlib header-level decode (PNG IHDR / BMP DIB / GIF screen
+descriptor — :func:`parse_image_header`), audio headers decode via
+stdlib ``wave``; full PIXEL decode (PIL/ffmpeg/torchvision) is NOT in
+this container, so pixel-dependent paths raise NotImplementedError
+unless a codec import succeeds, and ``extract_features`` uses a
+deterministic md5-based fake feature vector — the Spark-side plumbing
+(schema, batching, UDF signature, partitioning) is real and tested
+either way.
 
 At 100 TB: payloads dominate bytes — mapInPandas streams Arrow batches so
 a task never holds more than ``maxRecordsPerBatch`` blobs; metadata-only
@@ -28,8 +31,8 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (ArrayType, DoubleType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, LongType,
+                               StringType, StructField, StructType)
 
 from ..sources import load_table
 
@@ -48,8 +51,10 @@ def decode_media(payload: bytes, kind: str) -> dict:
 
     Real decoders where the environment allows, loud stubs where not:
 
-    - image: PIL when importable (returns width/height/mode); raises
-      ``NotImplementedError`` when PIL is absent (this container).
+    - image: PIL when importable (returns width/height/mode); otherwise
+      a real stdlib header-level decode via :func:`parse_image_header`
+      (width/height/format from PNG/BMP/GIF headers — r5); undecodable
+      bytes raise ``ValueError``.
     - audio: stdlib ``wave`` — real RIFF/WAVE header decode everywhere;
       undecodable bytes raise ``ValueError`` (bad input, not a stub).
     - video: no in-container decoder → ``NotImplementedError``.
@@ -61,10 +66,12 @@ def decode_media(payload: bytes, kind: str) -> dict:
     if kind == "image":
         try:
             from PIL import Image
-        except ImportError as exc:
-            raise NotImplementedError(
-                "image decode requires PIL — not available in this "
-                "container; plumbing is exercised via extract_features") from exc
+        except ImportError:
+            # header-level decode (r4 verdict item 5): real
+            # width/height from the container format headers, stdlib
+            # struct only — full pixel decode still needs PIL, but
+            # metadata extraction no longer does.
+            return parse_image_header(payload)
         with Image.open(io.BytesIO(payload)) as im:
             im.load()
             return {"width": im.width, "height": im.height, "mode": im.mode}
@@ -77,6 +84,138 @@ def decode_media(payload: bytes, kind: str) -> dict:
         except (wave.Error, EOFError) as exc:
             raise ValueError(f"undecodable audio payload: {exc}") from exc
     raise NotImplementedError(f"no decoder for kind={kind!r}")
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_image_header(payload: bytes) -> dict:
+    """Real header-level image decode, stdlib ``struct`` only.
+
+    Formats are parsed from their published container layouts (all
+    public specs):
+
+    - PNG (RFC 2083 / W3C): 8-byte signature, then the IHDR chunk —
+      4-byte big-endian width and height at offsets 16/20, bit depth
+      and color type at 24/25.
+    - BMP (Windows BITMAPINFOHEADER): ``BM`` magic, DIB header size at
+      offset 14; the common >= 40-byte header stores signed
+      little-endian width/height at 18/22 (height may be negative for
+      top-down rows); the legacy 12-byte BITMAPCOREHEADER stores
+      unsigned 16-bit dims.
+    - GIF (87a/89a): logical screen width/height as unsigned
+      little-endian 16-bit at offsets 6/8.
+
+    Undecodable bytes raise ``ValueError`` (bad input, not a stub —
+    same contract as the audio path)."""
+    import struct
+
+    if payload[:8] == _PNG_SIG:
+        if len(payload) < 26 or payload[12:16] != b"IHDR":
+            raise ValueError("PNG signature without a leading IHDR chunk")
+        width, height = struct.unpack(">II", payload[16:24])
+        bit_depth, color_type = payload[24], payload[25]
+        return {"format": "png", "width": int(width), "height": int(height),
+                "bit_depth": int(bit_depth), "color_type": int(color_type)}
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        dib_size = struct.unpack("<I", payload[14:18])[0]
+        if dib_size >= 40:
+            width, height = struct.unpack("<ii", payload[18:26])
+        elif dib_size == 12:
+            width, height = struct.unpack("<HH", payload[18:22])
+        else:
+            raise ValueError(f"unsupported BMP DIB header size {dib_size}")
+        return {"format": "bmp", "width": int(width),
+                "height": abs(int(height))}
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        width, height = struct.unpack("<HH", payload[6:10])
+        return {"format": "gif", "width": int(width), "height": int(height)}
+    raise ValueError("unrecognized image header")
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Build a structurally-valid minimal PNG: signature + CRC-correct
+    IHDR (8-bit truecolor) + IEND.  No IDAT — enough for any
+    header-level reader, and honest bytes for the round-trip test."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """Build a minimal BMP: 14-byte file header + 40-byte
+    BITMAPINFOHEADER (24bpp, no pixel data — header-level only)."""
+    import struct
+
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0,
+                      0, 0, 0)
+    filehdr = struct.pack("<2sIHHI", b"BM", 14 + len(dib), 0, 0,
+                          14 + len(dib))
+    return filehdr + dib
+
+
+IMAGE_HEADER_META = StructType([
+    StructField("media_id", LongType()),
+    StructField("img_format", StringType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+])
+
+
+def image_header_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: binary payload in, parsed header fields out."""
+    for pdf in batches:
+        metas = pdf["payload"].map(lambda b: parse_image_header(bytes(b)))
+        yield pd.DataFrame({
+            "media_id": pdf["media_id"].astype("int64"),
+            "img_format": metas.map(lambda m: m["format"]),
+            "width": metas.map(lambda m: m["width"]).astype("int64"),
+            "height": metas.map(lambda m: m["height"]).astype("int64"),
+        })
+
+
+def _build_image_payloads_udf(batches: Iterator[pd.DataFrame]
+                              ) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: synthesize real PNG/BMP bytes with dimensions
+    derived from the doc id (even ids → PNG, odd → BMP), so the parse
+    stage downstream must recover them from actual container bytes."""
+    for pdf in batches:
+        ids = pdf["media_id"].astype("int64")
+        payloads = [
+            make_png(int(i) % 300 + 16, int(i) % 200 + 16) if i % 2 == 0
+            else make_bmp(int(i) % 300 + 16, int(i) % 200 + 16)
+            for i in ids
+        ]
+        yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+
+def media_image_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip header-decode query (r4 verdict item 5): build real
+    PNG/BMP payloads (dims a pure function of doc_id), push them through
+    Arrow as a binary column, and parse width/height back OUT OF THE
+    BYTES with :func:`parse_image_header`.  The DuckDB oracle computes
+    the expected dims arithmetically — so a hash match proves the byte
+    construction and the header parse agree end-to-end.
+
+    Scale shape: both stages are single map passes over Arrow batches
+    (no shuffle); in a real lake the build stage is the parquet scan of
+    an existing payload column, and metadata-only readers prune it."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("media_id"))
+            .filter(F.col("media_id") < 200))
+    payload_schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+    ])
+    media = docs.mapInPandas(_build_image_payloads_udf, schema=payload_schema)
+    return (media.mapInPandas(image_header_udf, schema=IMAGE_HEADER_META)
+            .orderBy("media_id"))
 
 
 def _fake_features(payload: bytes) -> list[float]:
@@ -499,3 +638,19 @@ def _energy_segments_oracle_sql() -> str:
 
 QUERIES["media_energy_segments"] = media_energy_segments
 ORACLES["media_energy_segments"] = _energy_segments_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-5 (r4 verdict item 5): header-level image decode exposed as an
+# oracled query — the oracle recomputes the dims arithmetically, so a
+# hash match proves byte-construction and header-parse agree.
+
+QUERIES["media_image_header_meta"] = media_image_header_meta
+ORACLES["media_image_header_meta"] = """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS img_format,
+           doc_id % 300 + 16 AS width,
+           doc_id % 200 + 16 AS height
+    FROM documents
+    WHERE doc_id < 200
+"""

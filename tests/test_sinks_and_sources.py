@@ -53,19 +53,22 @@ def test_multimodal_batch_plumbing(spark, sf_dir):
 
 
 def test_decode_media_gates_and_decodes():
-    """Real decoders where the environment allows, loud stubs where not:
-    image is PIL-gated, audio decodes real WAV headers via stdlib wave,
+    """Real decoders where the environment allows, loud failures where
+    not: image decodes at header level everywhere (r5 — PIL only needed
+    for pixel access), audio decodes real WAV headers via stdlib wave,
     video has no decoder."""
     import io
     import wave
-    from qrapids_forecast_r_script_spark.operators.multimodal import decode_media
+    from qrapids_forecast_r_script_spark.operators.multimodal import (
+        decode_media, make_png)
+    # image: header-level decode works without PIL; truncated bytes are
+    # a loud ValueError, not a stub
+    meta = decode_media(make_png(31, 17), "image")
+    assert (meta["width"], meta["height"]) == (31, 17)
     try:
         import PIL  # noqa: F401
-        has_pil = True
     except ImportError:
-        has_pil = False
-    if not has_pil:
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             decode_media(b"\x89PNG", "image")
     # audio: a real 2-channel 8kHz WAV decodes via stdlib wave
     buf = io.BytesIO()
@@ -357,3 +360,45 @@ def test_python_datasource_sink_commit_protocol(spark, sf_dir, tmp_path):
      .option("path", twice_dir).save())
     back = spark.read.schema("id bigint").json(f"{twice_dir}/part-*.jsonl")
     assert back.count() == 10
+
+
+def test_parse_image_header_formats():
+    """Header-level decode against the published container layouts:
+    the PNG/BMP builders round-trip, a hand-packed GIF87a logical
+    screen descriptor parses, a BITMAPCOREHEADER (12-byte DIB) parses
+    16-bit dims, a top-down BMP (negative height) reports |height|,
+    and garbage raises."""
+    import struct
+    from qrapids_forecast_r_script_spark.operators.multimodal import (
+        make_bmp, make_png, parse_image_header)
+
+    png = parse_image_header(make_png(640, 480))
+    assert png == {"format": "png", "width": 640, "height": 480,
+                   "bit_depth": 8, "color_type": 2}
+    bmp = parse_image_header(make_bmp(123, 45))
+    assert (bmp["format"], bmp["width"], bmp["height"]) == ("bmp", 123, 45)
+    # top-down BMP: height stored negative, reported positive
+    topdown = parse_image_header(make_bmp(10, -20))
+    assert (topdown["width"], topdown["height"]) == (10, 20)
+    # legacy BITMAPCOREHEADER: 12-byte DIB, unsigned 16-bit dims
+    core = (struct.pack("<2sIHHI", b"BM", 26, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 77, 55, 1, 24))
+    meta = parse_image_header(core)
+    assert (meta["width"], meta["height"]) == (77, 55)
+    gif = parse_image_header(b"GIF87a" + struct.pack("<HH", 320, 200))
+    assert gif == {"format": "gif", "width": 320, "height": 200}
+    with pytest.raises(ValueError):
+        parse_image_header(b"not an image at all")
+
+
+def test_media_image_header_meta_round_trip(spark, sf_dir):
+    """The oracled round-trip query: dims parsed OUT OF THE BYTES must
+    equal the arithmetic the payload builder used."""
+    from qrapids_forecast_r_script_spark.operators.multimodal import (
+        media_image_header_meta)
+    rows = media_image_header_meta(spark, sf_dir).collect()
+    assert rows, "expected doc_id < 200 rows"
+    for r in rows:
+        assert r.img_format == ("png" if r.media_id % 2 == 0 else "bmp")
+        assert r.width == r.media_id % 300 + 16
+        assert r.height == r.media_id % 200 + 16
