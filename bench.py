@@ -407,6 +407,11 @@ HEADLINE = [
     "competing_risks_cif",
     "retrieval_rbo_bm25_vs_ql",
     "decision_stump_doclen",
+    # round-5 capability un-gates: the v2 stateful streaming operator
+    # (transformWithStateInPandas + RocksDB state store, ~4 s readStream
+    # fixed cost) and the header-level image decode round-trip
+    "events_tws_running_totals",
+    "media_image_header_meta",
 ]
 
 
