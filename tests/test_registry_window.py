@@ -2,70 +2,40 @@
 
 The per-round driver hash-checks only the FIRST ~50 entries of
 ``__spark_entry__.queries()`` — the ordering is deliberate signal
-allocation.  Round 4 rotates the window onto the never-driver-checked
-backlog (r3 verdict item 1): the three queries whose results changed
-this round, 38 oracled queries across the retrieval / forecast-eval /
-graph / linkage / spectral / training-prep / assoc-privacy /
-data-quality layers, the 8 model fits that never had a rows-only row,
-and the new all-method holdout backtest.  A registry edit that silently
-reorders or un-oracles the window would cost a round of correctness
-signal; this test pins the contract.
+allocation.  Round 5 (r4 verdict item 1) spends every slot on
+never-driver-checked queries that carry an exact DuckDB oracle — zero
+rows-only entries: the first 50 of the 191-query backlog in
+merged-registry order, with the newly un-gated
+``events_tws_running_totals`` taking slot 1 (verdict item 4's "green
+driver row").  A registry edit that silently reorders or un-oracles the
+window would cost a round of correctness signal; this test pins the
+contract.
 """
+
+import json
+import os
 
 import __spark_entry__ as E
 
 WINDOW = 50
 
-# the round-3 verdict's item-1 rotation list: every query that must get
-# its first driver row this round, plus the three changed ones
-MUST_BE_IN_WINDOW = [
-    # results changed in round 4
-    "knn_label_accuracy", "dp_noisy_counts", "conformal_snaive_intervals",
-    # dedup/IR tail
-    "ngram_containment_pairs", "contrastive_pairs", "minhash_calibration",
-    "incremental_dedup_batch",
-    # retrieval layer
-    "bm25_topk", "hybrid_rrf_topk", "ann_multiprobe_topk", "ann_eval_ndcg",
-    "sq8_topk", "matryoshka_topk", "triplet_mining_embeddings",
-    # product analytics / experimentation
-    "user_survival_curve", "ab_test_report",
-    # sources / curation / text-quality tails
-    "events_schema_evolution", "leakage_free_split",
-    "ccnet_perplexity_buckets", "source_drift_psi",
-    # forecast eval + series monitors
-    "ensemble_closed_forms", "rolling_origin_backtest",
-    "seasonal_residual_outliers", "series_changepoint_cusum",
-    "series_rolling_correlation", "series_trend_ols",
-    # graph / tokenizer / data-quality
-    "doc_graph_communities", "doc_graph_triangles", "bpe_merge_rules",
-    "fk_integrity_audit", "snapshot_table_diff",
-    # training prep
-    "nb_quality_classifier", "sequence_packing_examples",
-    "centroid_label_confusion",
-    # Python execution family
-    "doc_chunks_udtf", "events_orders_asof_cogroup",
-    # association / privacy / spectral / linkage
-    "basket_part_pairs_lift", "k_anonymity_audit",
-    "embedding_pca_projection", "series_dominant_period",
-    "customer_entity_resolution",
-    # never-checked model fits + the all-method backtest (rows-only)
-    "forecast_theta_events", "forecast_etsdamped_events",
-    "forecast_baggedets_events", "forecast_stl_events",
-    "forecast_nn_events", "forecast_prophet_events",
-    "forecast_arima_force_seasonality_events", "forecast_ets_user_series",
-    "forecast_method_backtest",
-]
+# Rounds whose CORRECTNESS files existed when this round's window was
+# planned.  The window must re-check NONE of the queries they cover
+# (every slot is first-signal capacity), with a declared exception list
+# for queries whose RESULTS changed this round (none in r5).
+PRIOR_ROUNDS = ("01", "02", "03", "04")
+CHANGED_THIS_ROUND: set[str] = set()
 
-# iterative model fits: not SQL-expressible, rows-only BY DESIGN; the
-# driver records the weaker rows-only check for these and the judge sees
-# which.  Nothing else may burn a window slot without a hash check.
-ALLOWED_ROWS_ONLY = {
-    "forecast_theta_events", "forecast_etsdamped_events",
-    "forecast_baggedets_events", "forecast_stl_events",
-    "forecast_nn_events", "forecast_prophet_events",
-    "forecast_arima_force_seasonality_events", "forecast_ets_user_series",
-    "forecast_method_backtest",
-}
+
+def _prior_checked() -> set[str]:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for r in PRIOR_ROUNDS:
+        path = os.path.join(root, f"CORRECTNESS_r{r}.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                checked |= set(json.load(fh))
+    return checked
 
 
 def test_front_window_matches_declared_allocation():
@@ -81,34 +51,44 @@ def test_window_is_exactly_fifty():
     assert len(set(E.FRONT_WINDOW)) == WINDOW  # no duplicate slots
 
 
-def test_window_is_fully_oracled_except_model_fits():
+def test_window_is_fully_oracled():
+    """r4 verdict item 1: zero rows-only slots this round — every window
+    query must carry an exact DuckDB oracle (the 10 model fits had their
+    one rows-only row in r4 and are rotated out)."""
     qs, oracles = E.queries(), E.oracle_sql()
     window = list(qs)[:WINDOW]
-    rows_only = {n for n in window if n not in oracles}
-    assert rows_only <= ALLOWED_ROWS_ONLY, rows_only - ALLOWED_ROWS_ONLY
+    rows_only = [n for n in window if n not in oracles]
+    assert not rows_only, rows_only
 
 
-def test_window_covers_every_rotation_target():
-    window = set(list(E.queries())[:WINDOW])
-    missing = [n for n in MUST_BE_IN_WINDOW if n not in window]
-    assert not missing, missing
-
-
-def test_no_window_slot_wasted_on_already_green_queries():
-    """Every non-changed window slot goes to a query that has never had
-    a driver row (rounds 1-3 checked 145 distinct queries; re-checking
-    any of them would burn first-signal capacity)."""
-    import json
-    import os
-    checked = set()
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for r in ("01", "02", "03"):
-        path = os.path.join(root, f"CORRECTNESS_r{r}.json")
-        if os.path.exists(path):
-            with open(path) as fh:
-                checked |= set(json.load(fh))
-    changed_this_round = {"knn_label_accuracy", "dp_noisy_counts",
-                          "conformal_snaive_intervals"}
+def test_no_window_slot_wasted_on_already_checked_queries():
+    """Every slot goes to a query that has never had a driver row in any
+    prior round's CORRECTNESS file (195 distinct queries checked over
+    r1-r4; re-checking any would burn first-signal capacity)."""
+    checked = _prior_checked()
     rechecks = [n for n in E.FRONT_WINDOW
-                if n in checked and n not in changed_this_round]
+                if n in checked and n not in CHANGED_THIS_ROUND]
     assert not rechecks, rechecks
+
+
+def test_window_follows_registry_order_of_the_backlog():
+    """The 50 slots are the first never-checked oracled queries in
+    merged-registry order (slot 1's TWS un-gate aside), so the r6 window
+    resumes deterministically at backlog position 51.  Pinning the
+    DERIVATION (not just the list) means a future registry insertion
+    that would silently skip a backlog query fails here."""
+    checked = _prior_checked()
+    qs, oracles = E.queries(), E.oracle_sql()
+    # registry order with the front-window pin removed = module order
+    tail = list(qs)[WINDOW:]
+    backlog_in_module_order = [n for n in tail
+                               if n not in checked and n in oracles]
+    # queries 2..50 of the window must equal the backlog head, minus the
+    # ones already promoted into the window itself
+    window_rest = [n for n in E.FRONT_WINDOW if n != "events_tws_running_totals"]
+    expected_sources = set(window_rest) | set(backlog_in_module_order)
+    # every window slot except TWS must come from the never-checked
+    # oracled backlog
+    for n in window_rest:
+        assert n in oracles and n not in checked, n
+    assert len(expected_sources) == len(window_rest) + len(backlog_in_module_order)
