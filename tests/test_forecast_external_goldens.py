@@ -300,3 +300,78 @@ def test_auto_arima_airline_differencing_on_raw_series():
     published analyses — is pinned here."""
     assert ndiffs(_SERIES_G) == 1
     assert nsdiffs(_SERIES_G, 12) == 1
+
+
+def test_holt_winters_multiplicative_recursion_hand_derived():
+    """ETS(A,A,M) — additive error, multiplicative seasonality
+    (Hyndman et al. 2008, Table 2.1):
+
+        f_t = (l_{t-1} + b_{t-1}) * s_{t-m}
+        l_t = l_{t-1} + b_{t-1} + alpha * e_t / s_{t-m}
+        b_t = b_{t-1} + beta * e_t / s_{t-m}
+        s_t = s_{t-m} + gamma * e_t / (l_{t-1} + b_{t-1})
+
+    Hand derivation, m = 2, alpha = 0.5, beta = 0.1, gamma = 0.2,
+    l_0 = 10, b_0 = 1, s_0 = [1.1, 0.9], y = [14.3, 23.76] (chosen so
+    every division lands on clean decimals):
+
+        t=1: base = 11, f = 11*1.1 = 12.1,  e = 2.2
+             e/sea = 2, e/base = 0.2
+             l = 11 + 0.5*2 = 12,  b = 1 + 0.1*2 = 1.2,
+             s[0] = 1.1 + 0.2*0.2 = 1.14
+        t=2: base = 13.2, f = 13.2*0.9 = 11.88,  e = 11.88
+             e/sea = 13.2, e/base = 0.9
+             l = 13.2 + 6.6 = 19.8,  b = 1.2 + 1.32 = 2.52,
+             s[1] = 0.9 + 0.18 = 1.08
+
+    h-step forecasts (Table 2.1 forecast equation, slot cycling from
+    n % m = 0):
+        h=1: (19.8 + 2.52) * 1.14 = 25.4448
+        h=2: (19.8 + 5.04) * 1.08 = 26.8272
+        h=3: (19.8 + 7.56) * 1.14 = 31.1904"""
+    y = np.array([14.3, 23.76])
+    fitted, resid, state = _run_filter(
+        y, m=2, trend="A", seasonal="M", level0=10.0, trend0=1.0,
+        s0=np.array([1.1, 0.9]), alpha=0.5, beta=0.1, gamma=0.2, phi=1.0)
+    np.testing.assert_allclose(fitted, [12.1, 11.88], rtol=0, atol=1e-9)
+    lev, b, s = state
+    assert abs(lev - 19.8) < 1e-9
+    assert abs(b - 2.52) < 1e-9
+    np.testing.assert_allclose(s, [1.14, 1.08], rtol=0, atol=1e-9)
+    mean = _forecast_from_state(state, 2, "A", "M", 1.0, 3, offset=0)
+    np.testing.assert_allclose(mean, [25.4448, 26.8272, 31.1904],
+                               rtol=0, atol=1e-9)
+
+
+def test_damped_trend_recursion_hand_derived():
+    """ETS(A,Ad,N) — damped additive trend (Hyndman et al. 2008,
+    Table 2.1; FPP3 §8.2 "damped trend methods"):
+
+        f_t = l_{t-1} + phi * b_{t-1}
+        l_t = f_t + alpha * e_t
+        b_t = phi * b_{t-1} + beta * e_t
+
+    Hand derivation, phi = 0.5, alpha = 0.5, beta = 0.1, l_0 = 10,
+    b_0 = 2, y = [12, 12]:
+
+        t=1: f = 10 + 1 = 11,  e = 1
+             l = 11.5,  b = 0.5*2 + 0.1 = 1.1
+        t=2: f = 11.5 + 0.55 = 12.05,  e = -0.05
+             l = 12.05 - 0.025 = 12.025,  b = 0.55 - 0.005 = 0.545
+
+    h-step forecasts damp geometrically (FPP3 eq. 8.7):
+        yhat_{T+h} = l + (phi + phi^2 + ... + phi^h) * b
+        h=1: 12.025 + 0.5   * 0.545 = 12.2975
+        h=2: 12.025 + 0.75  * 0.545 = 12.43375
+        h=3: 12.025 + 0.875 * 0.545 = 12.501875"""
+    y = np.array([12.0, 12.0])
+    fitted, resid, state = _run_filter(
+        y, m=1, trend="Ad", seasonal="N", level0=10.0, trend0=2.0,
+        s0=np.zeros(1), alpha=0.5, beta=0.1, gamma=0.0, phi=0.5)
+    np.testing.assert_allclose(fitted, [11.0, 12.05], rtol=0, atol=1e-12)
+    lev, b, _ = state
+    assert abs(lev - 12.025) < 1e-12
+    assert abs(b - 0.545) < 1e-12
+    mean = _forecast_from_state(state, 1, "Ad", "N", 0.5, 3)
+    np.testing.assert_allclose(mean, [12.2975, 12.43375, 12.501875],
+                               rtol=0, atol=1e-12)
