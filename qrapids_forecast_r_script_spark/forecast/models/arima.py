@@ -11,6 +11,14 @@ numpy-only implementation choices:
   seasonal-strength heuristic (auto.arima's 'seas' measure).
 - ARMA coefficients by conditional-sum-of-squares (CSS) minimized with
   Nelder-Mead; model selection by AICc over the full grid.
+- the grid WINNER is then refit by EXACT Gaussian maximum likelihood
+  (r5): Harvey-form ARMA state space + Kalman filter with the exact
+  stationary initial covariance, concentrated over sigma^2 — the same
+  likelihood ``arima()``/``auto.arima(approximation=FALSE)`` maximize,
+  so reported coefficients carry ML (not CSS) parity with R.  Selection
+  stays CSS-AICc (one exact-ML pass per grid cell would dominate the
+  search; CSS and ML agree on ordering in all pinned cases, and the
+  published airline-model selection is asserted in the goldens).
 - search bounds max p=q=5, P=Q=2 with p+q+P+Q <= max_order=5 — exactly
   auto.arima's defaults for a non-stepwise search (max.order caps the
   total, so the exhaustive grid stays ~126 orders).
@@ -153,6 +161,117 @@ def _css_residuals(w, phi, theta, Phi, Theta, m, c):
         j += 1
     e = np.convolve(z, np.array(pi_w))[:n]
     return e, arpoly, mapoly
+
+
+def _stationary_cov(T: np.ndarray, RR: np.ndarray) -> np.ndarray:
+    """Stationary state covariance: the solution of P = T P T' + RR,
+    by the doubling iteration (P_k sums the first 2^k terms of
+    sum_j T^j RR T'^j; geometric convergence for stationary T).  O(r^3)
+    per step, ~60 steps max — far cheaper than the (I - T (x) T) vec
+    solve at seasonal state sizes (r up to ~26 at m=12)."""
+    A = T.copy()
+    P = RR.copy()
+    for _ in range(60):
+        P_next = P + A @ P @ A.T
+        A_next = A @ A
+        if not np.all(np.isfinite(P_next)):
+            return P
+        if np.max(np.abs(P_next - P)) < 1e-12:
+            return P_next
+        P, A = P_next, A_next
+    return P
+
+
+def _kalman_deviance(w, phi, theta, Phi, Theta, m, c):
+    """Exact Gaussian -2·log-likelihood (up to constants), concentrated
+    over sigma^2, of a (seasonal) ARMA on the differenced series ``w``:
+
+        dev = n·log(sigma2_hat) + sum_t log f_t,
+        sigma2_hat = (1/n)·sum_t v_t^2 / f_t
+
+    via the Harvey (1993, §3.3) ARMA(r) state-space form — state dim
+    r = max(p~, q~+1) over the EXPANDED polynomials, transition T with
+    the AR column + superdiagonal identity, R = (1, theta_1..theta_{r-1})',
+    observation Z = (1, 0..0), no measurement noise — filtered with the
+    EXACT stationary initial covariance (diffuse handling is not needed:
+    d and D have already been differenced out, and every candidate is
+    stationarity-guarded).  Returns (deviance, sigma2_hat)."""
+    arpoly, mapoly = _expand_polys(phi, theta, Phi, Theta, m)
+    pe, qe = len(arpoly) - 1, len(mapoly) - 1
+    r = max(pe, qe + 1)
+    phis = np.zeros(r)
+    phis[:pe] = -arpoly[1:]
+    R = np.zeros(r)
+    R[0] = 1.0
+    R[1:qe + 1] = mapoly[1:]
+    T = np.zeros((r, r))
+    T[:, 0] = phis
+    # superdiagonal identity: state j carries the j-step-ahead tail
+    for j in range(r - 1):
+        T[j, j + 1] = 1.0
+    # ``c`` is the AR-equation INTERCEPT (phi(B) w = c + theta(B) e —
+    # the CSS convention above), so the process mean to remove before
+    # filtering the zero-mean state space is mu = c / phi(1).
+    ar1 = float(np.sum(arpoly))
+    mu = c / ar1 if abs(ar1) > 1e-8 else 0.0
+    z = np.asarray(w, float) - mu
+    n = len(z)
+    if pe == 0 and qe == 0:
+        s2 = float(z @ z) / n if n else 1e-12
+        return (n * np.log(max(s2, 1e-300)), max(s2, 1e-300))
+    P = _stationary_cov(T, np.outer(R, R))
+    a = np.zeros(r)
+    ssq = 0.0
+    sumlogf = 0.0
+    for t in range(n):
+        f = P[0, 0]
+        if not np.isfinite(f) or f <= 1e-300:
+            return (1e12, 1e-12)
+        v = z[t] - a[0]
+        ssq += v * v / f
+        sumlogf += np.log(f)
+        # K = T P Z' / f  (Z picks column 0)
+        K = (T @ P[:, 0]) / f
+        a = T @ a + K * v
+        P = T @ P @ T.T + np.outer(R, R) - np.outer(K, K) * f
+    s2 = ssq / n if n else 1e-12
+    dev = n * np.log(max(s2, 1e-300)) + sumlogf
+    return (float(dev), float(max(s2, 1e-300)))
+
+
+def _ml_refine(w, m, p, q, P, Q, include_const, x_css):
+    """Refit the CSS grid winner by exact ML: Nelder-Mead on the
+    concentrated Kalman deviance, initialized at the CSS estimates.
+    Returns (x, sigma2, deviance); falls back to the CSS point when the
+    refit does not improve the exact deviance (the CSS point is always
+    evaluated under the SAME likelihood, so the comparison is fair)."""
+    k = p + q + P + Q
+
+    def split(x):
+        return (x[:p], x[p:p + q], x[p + q:p + q + P],
+                x[p + q + P:p + q + P + Q],
+                (x[-1] if include_const else 0.0))
+
+    def objective(x):
+        phi, theta, Phi_, Theta_, c = split(x)
+        if np.any(np.abs(x[:k]) > 5):
+            return 1e12
+        arpoly, mapoly = _expand_polys(phi, theta, Phi_, Theta_, m)
+        if not _roots_ok(arpoly) or not _roots_ok(mapoly):
+            return 1e12
+        dev, _ = _kalman_deviance(w, phi, theta, Phi_, Theta_, m, c)
+        return dev if np.isfinite(dev) else 1e12
+
+    dev_css = objective(x_css)
+    if dev_css >= 1e12:
+        return None
+    x_ml, dev_ml = nelder_mead(objective, np.asarray(x_css, float),
+                               max_iter=200 + 60 * k)
+    if not np.isfinite(dev_ml) or dev_ml >= dev_css:
+        x_ml, dev_ml = np.asarray(x_css, float), dev_css
+    phi, theta, Phi_, Theta_, c = split(x_ml)
+    _, s2 = _kalman_deviance(w, phi, theta, Phi_, Theta_, m, c)
+    return x_ml, s2, float(dev_ml)
 
 
 class ArimaModel:
@@ -366,6 +485,48 @@ def fit_arima(y: np.ndarray, frequency: int, force_seasonality: bool = False,
         if best is None or crit < best[0]:
             best = (crit, p, q, P, Q, xfit, sigma2)
     crit, p, q, P, Q, x, sigma2 = best
+    # Exact-ML refinement of the winner (r5): one Kalman-deviance
+    # Nelder-Mead from the CSS point.  Skipped for degenerate
+    # (numerically exact) fits, where sigma2 ~ 0 sends log(sigma2) to
+    # -inf and there is nothing to improve; guarded to never return a
+    # point worse than CSS under the exact likelihood.
+    k = p + q + P + Q
+    # Length cap on the exact-ML refit: the CSS-vs-ML estimate gap is
+    # the O(1) stationary-initialization term against an O(n)
+    # conditional sum, so it shrinks as O(1/n) — and the Kalman pass is
+    # an O(n·r^2) python loop per objective evaluation.  512 covers the
+    # reference's whole workload shape (daily metric series, n ~ 10^2,
+    # R:32) and the published small-sample cases (airline n=131) while
+    # keeping long-series fits (hybrid CV folds at n >= 1k) at CSS cost.
+    # R's auto.arima itself flips to its CSS approximation above n=150.
+    if k >= 1 and sigma2 > 1e-10 and len(x) and nw <= 512:
+        # Degeneracy guard: when the conditional (CSS) fit is already
+        # numerically EXACT past its startup terms — a deterministic
+        # series like 100*0.8^t — the data has measure zero under any
+        # stochastic ARMA and the exact likelihood is dominated by the
+        # stationary-initialization term log f_1 (which rewards pushing
+        # roots toward the unit circle, wrecking the forecasts).  Keep
+        # the CSS point there; refit by ML only on genuinely noisy fits.
+        phi0 = tuple(x[:p]); theta0 = tuple(x[p:p + q])
+        Phi0 = tuple(x[p + q:p + q + P])
+        Theta0 = tuple(x[p + q + P:p + q + P + Q])
+        c0 = float(x[-1]) if include_const else 0.0
+        e0, arp0, map0 = _css_residuals(w, phi0, theta0, Phi0, Theta0, m, c0)
+        s = min(nw - 1, (len(arp0) - 1) + (len(map0) - 1))
+        tail = e0[s:]
+        scale = float(w @ w) + 1e-300
+        # threshold 1e-8: a noisy fit's tail never drops below ~1e-1 of
+        # the series energy, while a numerically-exact fit sits at the
+        # optimizer's convergence floor (~5e-10 observed — Nelder-Mead
+        # stops at phi = 0.79998, not 0.8 exactly)
+        degenerate = (len(tail) == 0
+                      or float(tail @ tail) < 1e-8 * scale)
+        if not degenerate:
+            refined = _ml_refine(w, m, p, q, P, Q, include_const, x)
+            if refined is not None:
+                x, sigma2, dev_ml = refined
+                nx = k + (1 if include_const else 0)
+                crit = aicc(dev_ml, nx, nw)
     phi = tuple(x[:p]); theta = tuple(x[p:p + q])
     Phi = tuple(x[p + q:p + q + P]); Theta = tuple(x[p + q + P:p + q + P + Q])
     c = float(x[-1]) if include_const and len(x) else 0.0
