@@ -429,16 +429,24 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    skipped: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         samples = []
-        for _ in range(reps):
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            samples.append(time.time() - t0)
+        try:
+            for _ in range(reps):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                samples.append(time.time() - t0)
+        except Exception as exc:  # noqa: BLE001 — one capability-gated
+            # query (e.g. TWS on a host with no protobuf runtime) must
+            # not lose every other query's timing; record it and go on
+            skipped[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"bench: SKIP {name}: {skipped[name]}", file=sys.stderr)
+            continue
         timings[name] = round(statistics.median(samples), 3)
     total = round(sum(timings.values()), 3)
-    line = json.dumps({
+    payload = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
@@ -446,7 +454,10 @@ def main() -> None:
         "sf": float(sf),
         "reps": reps,
         "stat": "median",
-    })
+    }
+    if skipped:
+        payload["skipped"] = skipped
+    line = json.dumps(payload)
     print(line)
     # Persist the FULL line in-repo: the driver's BENCH_r{N}.json tail
     # truncates to 2000 chars, which destroyed cross-round per-query

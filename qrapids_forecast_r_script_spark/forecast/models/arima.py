@@ -252,6 +252,10 @@ def _ml_refine(w, m, p, q, P, Q, include_const, x_css):
                 x[p + q + P:p + q + P + Q],
                 (x[-1] if include_const else 0.0))
 
+    # memoize the best point's sigma2 as the filter computes it, so no
+    # extra O(n·r^2) Kalman pass is needed after the search (r5 review)
+    best = {"dev": np.inf, "s2": 1e-12}
+
     def objective(x):
         phi, theta, Phi_, Theta_, c = split(x)
         if np.any(np.abs(x[:k]) > 5):
@@ -259,18 +263,29 @@ def _ml_refine(w, m, p, q, P, Q, include_const, x_css):
         arpoly, mapoly = _expand_polys(phi, theta, Phi_, Theta_, m)
         if not _roots_ok(arpoly) or not _roots_ok(mapoly):
             return 1e12
-        dev, _ = _kalman_deviance(w, phi, theta, Phi_, Theta_, m, c)
-        return dev if np.isfinite(dev) else 1e12
+        dev, s2 = _kalman_deviance(w, phi, theta, Phi_, Theta_, m, c)
+        if not np.isfinite(dev):
+            return 1e12
+        if dev < best["dev"]:
+            best["dev"], best["s2"] = dev, s2
+        return dev
 
     dev_css = objective(x_css)
     if dev_css >= 1e12:
         return None
+    s2_css = best["s2"]
     x_ml, dev_ml = nelder_mead(objective, np.asarray(x_css, float),
                                max_iter=200 + 60 * k)
     if not np.isfinite(dev_ml) or dev_ml >= dev_css:
-        x_ml, dev_ml = np.asarray(x_css, float), dev_css
+        return np.asarray(x_css, float), s2_css, float(dev_css)
+    # dev_ml improved on dev_css, so the memo holds its sigma2 — unless
+    # Nelder-Mead's returned best differs from the memo's (it cannot:
+    # both track the minimum of the same evaluations), guarded anyway
     phi, theta, Phi_, Theta_, c = split(x_ml)
-    _, s2 = _kalman_deviance(w, phi, theta, Phi_, Theta_, m, c)
+    if abs(dev_ml - best["dev"]) > 1e-9:
+        _, s2 = _kalman_deviance(w, phi, theta, Phi_, Theta_, m, c)
+    else:
+        s2 = best["s2"]
     return x_ml, s2, float(dev_ml)
 
 

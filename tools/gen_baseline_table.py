@@ -34,8 +34,10 @@ def main() -> int:
         tag = re.search(r"r(\d+)", os.path.basename(f)).group(1)
         d = json.load(open(f))
         rounds.append((f"r{int(tag)}", d["queries"], d))
+    # name tiebreak: queries absent from the latest round all carry key
+    # 0.0, and bare set-iteration order would reshuffle them per process
     names = sorted({q for _, qs, _ in rounds for q in qs},
-                   key=lambda n: -rounds[-1][1].get(n, 0.0))
+                   key=lambda n: (-rounds[-1][1].get(n, 0.0), n))
     header = "| query | " + " | ".join(t for t, _, _ in rounds) + " |"
     sep = "|---" * (1 + len(rounds)) + "|"
     lines = [BEGIN, "",
