@@ -87,3 +87,43 @@ def test_croston_integer_scaling_identity(zs):
     assert num <= (1 << 22) * 10_000 * 24      # BIGINT-safe bound
     # exact: num / 2^(k-1) is a dyadic rational, l is the same value
     assert l == num / (1 << (k - 1))
+
+
+@given(w=st.integers(min_value=1, max_value=2 ** 31 - 1),
+       h=st.integers(min_value=1, max_value=2 ** 31 - 1))
+@settings(max_examples=200, deadline=None)
+def test_png_header_roundtrip_any_dims(w, h):
+    """parse_image_header inverts make_png over the full PNG dimension
+    domain (widths/heights are unsigned 31-bit per the PNG spec)."""
+    from qrapids_forecast_r_script_spark.operators.multimodal import (
+        make_png, parse_image_header)
+    meta = parse_image_header(make_png(w, h))
+    assert (meta["format"], meta["width"], meta["height"]) == ("png", w, h)
+
+
+@given(w=st.integers(min_value=1, max_value=2 ** 15 - 1),
+       h=st.integers(min_value=-(2 ** 15 - 1), max_value=2 ** 15 - 1).filter(lambda v: v != 0))
+@settings(max_examples=200, deadline=None)
+def test_bmp_header_roundtrip_any_dims(w, h):
+    """parse_image_header inverts make_bmp, including top-down rows
+    (negative stored height reports |height| — the BITMAPINFOHEADER
+    convention)."""
+    from qrapids_forecast_r_script_spark.operators.multimodal import (
+        make_bmp, parse_image_header)
+    meta = parse_image_header(make_bmp(w, h))
+    assert (meta["format"], meta["width"], meta["height"]) == ("bmp", w, abs(h))
+
+
+@given(payload=st.binary(max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_image_header_parser_total_on_garbage(payload):
+    """The parser is TOTAL over arbitrary bytes: it either returns a
+    well-formed meta dict or raises ValueError — never IndexError,
+    struct.error, or a silent wrong answer shape."""
+    from qrapids_forecast_r_script_spark.operators.multimodal import (
+        parse_image_header)
+    try:
+        meta = parse_image_header(bytes(payload))
+    except ValueError:
+        return
+    assert {"format", "width", "height"} <= set(meta)
