@@ -204,7 +204,28 @@ def _registries():
         raise KeyError(f"FRONT_WINDOW names not registered: {missing}")
     front = ({n: all_q[n] for n in FRONT_WINDOW},
              {n: all_o[n] for n in FRONT_WINDOW if n in all_o})
-    return [front, *blocks]
+    # Positions 51+ hedge a wider-than-50 driver cap: the REST of the
+    # never-driver-checked oracled backlog is pinned immediately behind
+    # the window, in module order, so any extra checked slot lands on a
+    # first-signal query instead of re-verifying an already-green one.
+    # (Derived from the committed CORRECTNESS files, so it is stable
+    # within a round and self-updates when a round lands new rows.)
+    import glob
+    import json
+    here = os.path.dirname(os.path.abspath(__file__))
+    checked: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                checked |= set(json.load(fh))
+        except (OSError, ValueError):
+            pass  # a malformed artifact must not break the registry
+    backlog_names = [n for n in all_q
+                     if n not in checked and n in all_o
+                     and n not in FRONT_WINDOW]
+    backlog = ({n: all_q[n] for n in backlog_names},
+               {n: all_o[n] for n in backlog_names})
+    return [front, backlog, *blocks]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -87,9 +87,10 @@ def test_window_follows_registry_order_of_the_backlog():
     registered_after_freeze = {"media_image_header_meta"}
     checked = _prior_checked()
     oracles = E.oracle_sql()
-    # module order = the merged blocks, front pin excluded
+    # module order = the merged blocks, BOTH pin blocks excluded (the
+    # front window at index 0 and the backlog hedge at index 1)
     module_order: dict[str, object] = {}
-    for qs_block, _ in E._registries()[1:]:
+    for qs_block, _ in E._registries()[2:]:
         module_order.update(qs_block)
     backlog = [n for n in module_order
                if n not in checked and n in oracles
@@ -100,3 +101,21 @@ def test_window_follows_registry_order_of_the_backlog():
     assert window_rest == backlog[:len(window_rest)], (
         "window slots 2..50 must be exactly the head of the "
         "never-checked oracled backlog in module order")
+
+
+def test_backlog_hedge_block_is_first_signal_in_order():
+    """Positions 51+ (the backlog hedge pinned behind the window) must
+    be exactly the never-checked oracled queries NOT in the window, in
+    module order — so a wider-than-50 driver cap only ever lands on
+    first-signal queries."""
+    checked = _prior_checked()
+    oracles = E.oracle_sql()
+    qs = list(E.queries())
+    module_order: dict[str, object] = {}
+    for qs_block, _ in E._registries()[2:]:
+        module_order.update(qs_block)
+    expected = [n for n in module_order
+                if n not in checked and n in oracles
+                and n not in E.FRONT_WINDOW]
+    got = qs[WINDOW:WINDOW + len(expected)]
+    assert got == expected
