@@ -450,6 +450,10 @@ def main() -> None:
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
+        # timed-query count is UNCONDITIONAL so a capability-skip that
+        # shrinks the suite is self-evident in the one-line metric
+        # instead of hiding behind an optional key (ADVICE r5)
+        "n_queries": len(timings),
         "queries": timings,
         "sf": float(sf),
         "reps": reps,

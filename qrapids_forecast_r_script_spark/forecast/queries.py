@@ -108,6 +108,27 @@ QUERIES = {
     "forecast_hybrid_events": _make("HYBRID"),
 }
 
+
+def forecast_hybrid_fanout_events(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """HYBRID via the (series × component × fold) fan-out
+    (``hybrid_fanout.py``) — same weights and bands as
+    ``forecast_hybrid_events``'s single-task path (asserted by
+    tests/test_hybrid_fanout.py), but the critical path is one fit per
+    task instead of ~30: the n ≳ 5k straggler fix measured in SCALE.md.
+    Rows-only (the model fits are iterative, not SQL-expressible), like
+    the other 10 reference methods."""
+    from .hybrid_fanout import hybrid_fanout_batch
+    out = hybrid_fanout_batch(spark, _metrics(spark, sf_dir),
+                              frequency=7, horizon=14)
+    cols = ["lower1", "lower2", "mean", "upper1", "upper2"]
+    return out.select(
+        "name", "index", "method", "step",
+        *[F.round(c, _ROUND).alias(c) for c in cols])
+
+
+QUERIES["forecast_hybrid_fanout_events"] = forecast_hybrid_fanout_events
+
 # ---------------------------------------------------------------------------
 # Oracles.  Shared scaffolding: the daily series per event_type with a
 # positional index, then per-method closed-form forecast math over a

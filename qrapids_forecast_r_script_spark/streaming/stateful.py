@@ -351,17 +351,29 @@ def ensure_protobuf(spark: SparkSession | None = None) -> bool:
             inserted = zpath not in sys.path
             if inserted:
                 sys.path.insert(0, zpath)
+            # modules the failed import may leave half-initialized in
+            # sys.modules — snapshot so rollback can purge exactly the
+            # ones this attempt created (ADVICE r5: a cached broken
+            # ``google``/``google.protobuf`` would shadow a clean
+            # ImportError on any later probe)
+            prior_google_mods = {m for m in sys.modules
+                                 if m == "google" or m.startswith("google.")}
             try:
                 import google.protobuf.descriptor  # noqa: F401
             except ImportError:
                 # roll back: a broken vendor tree must not leave the
-                # zip shadowing site-packages or the version check off
+                # zip shadowing site-packages, the version check off,
+                # or partially-initialized modules cached
                 if inserted:
                     sys.path.remove(zpath)
                 if prior_env is None:
                     os.environ.pop(env_key, None)
                 else:
                     os.environ[env_key] = prior_env
+                for m in [m for m in sys.modules
+                          if (m == "google" or m.startswith("google."))
+                          and m not in prior_google_mods]:
+                    del sys.modules[m]
                 return False
             _PB_SOURCE = "vendored"
     if spark is not None and _PB_SOURCE == "vendored":
@@ -374,7 +386,18 @@ def ensure_protobuf(spark: SparkSession | None = None) -> bool:
         # are wired so every python process sees the runtime; wiring is
         # idempotent per context (re-addPyFile of the same path is a
         # no-op, the env entries are checked before prepending).
-        zpath = _PB_ZIP_PATH
+        # Rebuild through _build_pb_zip rather than trusting the cached
+        # path: in a long-lived process whose temp dir was cleaned, the
+        # cached zip may have vanished and addPyFile would fail — the
+        # builder re-checks existence and re-zips if needed (ADVICE r5).
+        vendor = next(
+            (c for c in _PB_VENDOR_CANDIDATES
+             if os.path.isfile(os.path.join(
+                 c, "google", "protobuf", "runtime_version.py"))),
+            None)
+        if vendor is None:  # vendor tree gone since the probe
+            return False
+        zpath = _build_pb_zip(vendor)
         sc.addPyFile(zpath)
         sc.environment["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
         prior = sc.environment.get("PYTHONPATH", "")
