@@ -40,11 +40,22 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from .models.arima import arima_candidate_grid
 from .models.common import DEGENERATE_ERRORS
 from .models.hybrid import (_COMPONENTS, _component_forecast,
                             _component_point_forecast)
 
 _BANDS = ["mean", "lower1", "lower2", "upper1", "upper2"]
+
+# The ARIMA final fit is itself an exhaustive ~96-order grid and was
+# measured to BE the post-fan-out straggler (301 s of a 314 s wall at
+# n=10k, every other unit ≤ 10 s — SCALE.md).  So the 'a' final unit is
+# exploded one level deeper: one task per candidate order, indexed into
+# the seasonal SUPERSET grid (a non-seasonal series simply skips the
+# P/Q>0 indices — the surviving subsequence keeps the enumeration
+# order, so the (crit, index) argmin reproduces fit_arima's first-best
+# tie-break exactly).
+_ARIMA_GRID = arima_candidate_grid(seasonal=True)
 
 _UNIT_RESULT = T.StructType([
     T.StructField("name", T.StringType()),
@@ -52,18 +63,40 @@ _UNIT_RESULT = T.StructType([
     T.StructField("component", T.StringType()),
     # 'cv' (errs set) | 'cv_fail' (poisons the component's RMSE →
     # fallback weight, matching _cv_rmse's any-fold-fails → None) |
-    # 'final' (band arrays set); a final fit that degenerates emits
-    # nothing, dropping the component exactly like fit_hybrid does
+    # 'final' (band arrays set) | 'arima_cand' (one grid order's CSS
+    # fit: cand/crit/cand_x/cand_sigma2 set) | 'arima_short' (nw < 5 —
+    # the white-noise fallback marker); a final fit that degenerates
+    # emits nothing, dropping the component exactly like fit_hybrid does
     T.StructField("kind", T.StringType()),
     T.StructField("errs", T.ArrayType(T.DoubleType())),
     *[T.StructField(b, T.ArrayType(T.DoubleType())) for b in _BANDS],
+    T.StructField("cand", T.LongType()),
+    T.StructField("crit", T.DoubleType()),
+    T.StructField("cand_x", T.ArrayType(T.DoubleType())),
+    T.StructField("cand_sigma2", T.DoubleType()),
 ])
+
+
+def _assemble_series(metrics: DataFrame, cv_horizon: int) -> DataFrame:
+    """One row per (name, index): the stable-sorted, 10k-capped series
+    array plus n and the CV window — all JVM-side."""
+    h = int(cv_horizon)
+    return (metrics
+            .groupBy("name", "index")
+            .agg(F.slice(  # stable (date, value) sort + the 10k cap
+                 F.sort_array(F.collect_list(
+                     F.struct("evaluationDate", "value"))),
+                 1, 10_000).alias("pts"))
+            .withColumn("y", F.col("pts.value"))
+            .drop("pts")
+            .withColumn("n", F.size("y"))
+            .withColumn("window", F.col("n") - 2 * F.lit(h)))
 
 
 def _series_units(metrics: DataFrame, frequency: int, horizon: int,
                   cv_horizon: int) -> DataFrame:
-    """(name, index, component, origin, window, y) — one row per fit
-    unit, assembled and exploded entirely JVM-side.
+    """(name, index, component, origin, window, cand, y) — one row per
+    fit unit, assembled and exploded entirely JVM-side.
 
     origin = -1 marks the final full-series fit; CV origins mirror
     ``_cv_rmse``: window = n − 2·cvHorizon (R:326), one-step slide,
@@ -73,27 +106,29 @@ def _series_units(metrics: DataFrame, frequency: int, horizon: int,
     m = max(1, int(frequency))
     h = int(cv_horizon)
     letters = F.array(*[F.lit(c) for c in _COMPONENTS])
-    series = (metrics
-              .groupBy("name", "index")
-              .agg(F.slice(  # stable (date, value) sort + the 10k cap
-                   F.sort_array(F.collect_list(
-                       F.struct("evaluationDate", "value"))),
-                   1, 10_000).alias("pts"))
-              .withColumn("y", F.col("pts.value"))
-              .drop("pts")
-              .withColumn("n", F.size("y"))
-              .withColumn("window", F.col("n") - 2 * F.lit(h)))
+    series = _assemble_series(metrics, h)
     cv_ok = (F.col("window") >= F.greatest(F.lit(4), F.lit(m)))
     origins = F.when(
         cv_ok, F.sequence(F.greatest(F.col("window"),
                                      F.col("n") - F.lit(h) - 3),
                           F.col("n") - F.lit(h)))
+    # the 'a' (ARIMA) final unit fans out once more: one unit per
+    # candidate order of the superset grid; every other unit gets the
+    # whole-fit marker cand = -1
+    arima_final = (F.col("component") == "a") & (F.col("origin") == -1)
     return (series
             .withColumn("origin",
                         F.explode(F.concat(F.array(F.lit(-1)),
                                            F.coalesce(origins, F.array()))))
             .withColumn("component", F.explode(letters))
-            .select("name", "index", "component", "origin", "window", "y"))
+            .withColumn("cand",
+                        F.explode(F.when(arima_final,
+                                         F.sequence(F.lit(0),
+                                                    F.lit(len(_ARIMA_GRID)
+                                                          - 1)))
+                                  .otherwise(F.array(F.lit(-1)))))
+            .select("name", "index", "component", "origin", "window",
+                    "cand", "y"))
 
 
 def _run_units(frequency: int, horizon: int):
@@ -103,6 +138,17 @@ def _run_units(frequency: int, horizon: int):
     h = int(horizon)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .models.arima import arima_prep, fit_arima_candidate
+        prep_cache: dict[tuple, tuple] = {}
+
+        def prep_for(key, y):
+            # ~96 candidate units per series share one O(n) prep; cache
+            # per (series) within the batch so the differencing tests
+            # run once, not per unit
+            if key not in prep_cache:
+                prep_cache[key] = arima_prep(y, m)
+            return prep_cache[key]
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
@@ -110,8 +156,36 @@ def _run_units(frequency: int, horizon: int):
                 y = np.asarray(r.y, float)
                 base = {"name": r.name, "index": r.index,
                         "component": r.component, "errs": None,
+                        "cand": None, "crit": None, "cand_x": None,
+                        "cand_sigma2": None,
                         **{b: None for b in _BANDS}}
-                if r.origin < 0:  # final full-series fit
+                if r.origin < 0 and r.cand >= 0:  # one ARIMA grid order
+                    try:
+                        (_, _, seasonal, _, _, w, nw,
+                         include_const) = prep_for((r.name, r.index), y)
+                        p_, q_, P_, Q_ = _ARIMA_GRID[r.cand]
+                        if nw < 5:
+                            if r.cand == 0:  # exactly one short marker
+                                rows.append({**base, "kind": "arima_short",
+                                             "cand": -1})
+                            continue
+                        if not seasonal and (P_ or Q_):
+                            continue  # not in this series' grid
+                        fit = fit_arima_candidate(w, nw, m, include_const,
+                                                  p_, q_, P_, Q_)
+                    except DEGENERATE_ERRORS:
+                        # the sequential fit_arima would have thrown out
+                        # of the whole grid walk → poison the component
+                        rows.append({**base, "kind": "arima_fail"})
+                        continue
+                    if fit is None:
+                        continue  # order too long for the series
+                    crit, xfit, sigma2 = fit
+                    rows.append({**base, "kind": "arima_cand",
+                                 "cand": int(r.cand), "crit": float(crit),
+                                 "cand_x": [float(v) for v in xfit],
+                                 "cand_sigma2": float(sigma2)})
+                elif r.origin < 0:  # final full-series fit
                     try:
                         model = fit_fn(y, m)
                         bands = _component_forecast(model, h, r.component)
@@ -136,6 +210,45 @@ def _run_units(frequency: int, horizon: int):
     return fn
 
 
+def _finalize_arima(frequency: int, horizon: int):
+    """Second (tiny) Python stage: one row per series — rebuild the
+    winning candidate into an ArimaModel (exact-ML refinement included,
+    identical to the sequential path) and forecast it."""
+    m = max(1, int(frequency))
+    h = int(horizon)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .models.arima import (_arima_short_model, arima_prep,
+                                   finalize_arima_winner)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                y = np.asarray(r.y, float)
+                try:
+                    (y2, m2, _seasonal, d, D, w, nw,
+                     include_const) = arima_prep(y, m)
+                    if r.kind == "arima_short":
+                        model = _arima_short_model(y2, m2, d, D, w, nw)
+                    else:
+                        p_, q_, P_, Q_ = _ARIMA_GRID[r.cand]
+                        model = finalize_arima_winner(
+                            y2, m2, d, D, w, nw, include_const,
+                            p_, q_, P_, Q_, np.asarray(r.cand_x, float),
+                            float(r.cand_sigma2), float(r.crit))
+                    bands = _component_forecast(model, h, "a")
+                except DEGENERATE_ERRORS:
+                    continue  # drop 'a', like fit_hybrid
+                rows.append({"name": r.name, "index": r.index,
+                             "component": "a", "kind": "final",
+                             "errs": None, "cand": None, "crit": None,
+                             "cand_x": None, "cand_sigma2": None,
+                             **{b: [float(v) for v in bands[b]]
+                                for b in _BANDS}})
+            yield pd.DataFrame(rows, columns=[f.name for f in _UNIT_RESULT])
+
+    return fn
+
+
 def hybrid_fanout_components(spark: SparkSession, metrics: DataFrame,
                              frequency: int = 7, horizon: int = 14,
                              ) -> DataFrame:
@@ -144,7 +257,14 @@ def hybrid_fanout_components(spark: SparkSession, metrics: DataFrame,
     Weight reassembly mirrors ``fit_hybrid`` exactly: RMSE over the
     concatenated fold errors (horizonAverage=TRUE), weight ∝ 1/RMSE,
     components with no usable CV take the mean of the known inverses
-    (or an equal share when none is known), normalized per series."""
+    (or an equal share when none is known), normalized per series.
+
+    The ARIMA grid argmin is a JVM ``row_number`` over (crit, cand) —
+    (crit, index)-ascending reproduces fit_arima's first-strictly-best
+    walk — followed by a one-row-per-series finalize stage; a candidate
+    unit that raises a degenerate error poisons the whole component
+    ('arima_fail'), because the sequential fit would have thrown out of
+    fit_arima and dropped 'a' entirely."""
     units = _series_units(metrics, frequency, horizon, cv_horizon=horizon)
     try:
         width = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
@@ -154,14 +274,32 @@ def hybrid_fanout_components(spark: SparkSession, metrics: DataFrame,
                # user-specified repartition: exempt from AQE coalescing —
                # these tasks are CPU-bound numpy fits, not data-bound
                # (same measured rationale as forecast_batch)
-               .repartition(width, "name", "index", "component", "origin")
+               .repartition(width, "name", "index", "component", "origin",
+                            "cand")
                .mapInPandas(_run_units(frequency, horizon),
                             schema=_UNIT_RESULT))
-    finals = results.where(F.col("kind") == "final").drop("kind", "errs")
+    acand = results.where(F.col("kind").isin(
+        "arima_cand", "arima_short", "arima_fail"))
+    fail_series = (acand.where(F.col("kind") == "arima_fail")
+                   .select("name", "index").distinct())
+    wsel = (Window.partitionBy("name", "index")
+            .orderBy(F.asc_nulls_last("crit"), F.asc("cand")))
+    winner = (acand.where(F.col("kind") != "arima_fail")
+              .withColumn("rn", F.row_number().over(wsel))
+              .where(F.col("rn") == 1).drop("rn")
+              .join(fail_series, ["name", "index"], "left_anti")
+              .join(_assemble_series(metrics, horizon)
+                    .select("name", "index", "y"), ["name", "index"]))
+    arima_finals = winner.mapInPandas(_finalize_arima(frequency, horizon),
+                                      schema=_UNIT_RESULT)
+    finals = (results.where(F.col("kind") == "final")
+              .unionByName(arima_finals)
+              .drop("kind", "errs", "cand", "crit", "cand_x",
+                    "cand_sigma2"))
     # array_sort before the fold-sum: collect_list order is
     # partition-dependent and fp addition is not associative — sorting
     # pins the summation order so reruns hash identically
-    cv = (results.where(F.col("kind") != "final")
+    cv = (results.where(F.col("kind").isin("cv", "cv_fail"))
           .groupBy("name", "index", "component")
           .agg(F.sum(F.when(F.col("kind") == "cv_fail", 1)
                      .otherwise(0)).alias("fails"),

@@ -419,17 +419,13 @@ def _psi_weights(arpoly, mapoly, horizon):
     return psi
 
 
-def fit_arima(y: np.ndarray, frequency: int, force_seasonality: bool = False,
-              max_p: int = 5, max_q: int = 5, max_P: int = 2, max_Q: int = 2,
-              max_order: int = 5) -> ArimaModel:
-    """Exhaustive auto-ARIMA (stepwise=FALSE semantics, R:90).
-
-    Search bounds are auto.arima's own defaults — max.p=max.q=5,
-    max.P=max.Q=2, with ``max.order=5`` capping p+q+P+Q exactly as
-    auto.arima does for a non-stepwise search, so the grid is ~126
-    orders, not 6·6·3·3.  (Round 1 capped at 3/3/1/1; the widened grid
-    restores selection parity on long-memory series — see
-    ``test_arima_grid_reaches_high_orders``.)"""
+def arima_prep(y: np.ndarray, frequency: int,
+               force_seasonality: bool = False):
+    """Shared pre-grid state: differencing decisions + the differenced
+    series.  Split out of ``fit_arima`` (r6) so the order grid can be
+    fanned out across Spark tasks (``forecast/hybrid_fanout.py``) —
+    every candidate fit needs exactly this tuple and nothing else.
+    Returns ``(y, m, seasonal, d, D, w, nw, include_const)``."""
     y = np.asarray(y, float)
     n = len(y)
     m = max(1, int(frequency))
@@ -446,60 +442,111 @@ def fit_arima(y: np.ndarray, frequency: int, force_seasonality: bool = False,
     for _ in range(D):
         w = w[m:] - w[:-m]
     nw = len(w)
-    if nw < 5:
-        # too short: white-noise model
-        c = float(np.mean(w)) if nw else 0.0
-        sigma2 = float(np.var(w)) if nw > 1 else 1e-8
-        return ArimaModel(y, m, (0, d, 0), (0, D, 0), ((), (), (), ()), c,
-                          sigma2, np.inf, w - c, np.array([1.0]), np.array([1.0]))
     include_const = (d + D) < 2
-    best = None
+    return y, m, seasonal, d, D, w, nw, include_const
+
+
+def _arima_short_model(y, m, d, D, w, nw) -> "ArimaModel":
+    """nw < 5 white-noise fallback (too short to fit any order)."""
+    c = float(np.mean(w)) if nw else 0.0
+    sigma2 = float(np.var(w)) if nw > 1 else 1e-8
+    return ArimaModel(y, m, (0, d, 0), (0, D, 0), ((), (), (), ()), c,
+                      sigma2, np.inf, w - c, np.array([1.0]), np.array([1.0]))
+
+
+def arima_candidate_grid(seasonal: bool, max_p: int = 5, max_q: int = 5,
+                         max_P: int = 2, max_Q: int = 2,
+                         max_order: int = 5) -> list[tuple[int, int, int, int]]:
+    """The exhaustive (stepwise=FALSE) order grid, in the exact
+    enumeration order ``fit_arima`` walks it — candidate INDEX is the
+    tie-break, so the distributed argmin must share this ordering."""
     Ps = range(max_P + 1) if seasonal else [0]
     Qs = range(max_Q + 1) if seasonal else [0]
-    for p, q, P, Q in itertools.product(range(max_p + 1), range(max_q + 1), Ps, Qs):
-        if p + q + P + Q > max_order:
-            continue
-        if p + q + P + Q == 0 and not include_const:
-            # pure noise handled above via best=None fallback below
-            pass
-        k = p + q + P + Q
-        if nw <= k + 2:
-            continue
+    return [(p, q, P, Q)
+            for p, q, P, Q in itertools.product(
+                range(max_p + 1), range(max_q + 1), Ps, Qs)
+            if p + q + P + Q <= max_order]
 
-        def objective(x, p=p, q=q, P=P, Q=Q):
-            phi = x[:p]
-            theta = x[p:p + q]
-            Phi = x[p + q:p + q + P]
-            Theta = x[p + q + P:p + q + P + Q]
-            c = x[-1] if include_const else 0.0
-            if np.any(np.abs(phi) > 5) or np.any(np.abs(theta) > 5):
-                return 1e12
-            # stationarity/invertibility guard BEFORE the residual pass —
-            # avoids wasted work and float overflow on explosive params
-            arpoly, mapoly = _expand_polys(phi, theta, Phi, Theta, m)
-            if not _roots_ok(arpoly) or not _roots_ok(mapoly):
-                return 1e12
-            e, _, _ = _css_residuals(w, phi, theta, Phi, Theta, m, c)
-            sse = float(e @ e)
-            return sse if np.isfinite(sse) else 1e12
 
-        nx = k + (1 if include_const else 0)
-        if nx == 0:
-            e = w.copy()
-            sse = float(e @ e)
-            xfit = np.array([])
-        else:
-            x0 = np.concatenate([np.full(k, 0.1),
-                                 [np.mean(w)] if include_const else []])
-            xfit, sse = nelder_mead(objective, x0, max_iter=200 + 60 * k)
-        sigma2 = sse / nw if nw else 1e-8
-        if sigma2 <= 0:
-            sigma2 = 1e-12
-        ll = nw * np.log(sigma2)
-        crit = aicc(ll, nx, nw)
+def fit_arima_candidate(w: np.ndarray, nw: int, m: int, include_const: bool,
+                        p: int, q: int, P: int, Q: int):
+    """CSS fit of ONE candidate order — the unit of grid fan-out.
+    Returns ``(crit, xfit, sigma2)`` or None when the differenced
+    series is too short for the order.  Deterministic: same (w, order)
+    → bitwise-same result wherever it runs (seeded-free Nelder-Mead
+    from a fixed start), so the distributed grid reproduces the
+    sequential ``fit_arima`` argmin exactly."""
+    k = p + q + P + Q
+    if nw <= k + 2:
+        return None
+
+    def objective(x, p=p, q=q, P=P, Q=Q):
+        phi = x[:p]
+        theta = x[p:p + q]
+        Phi = x[p + q:p + q + P]
+        Theta = x[p + q + P:p + q + P + Q]
+        c = x[-1] if include_const else 0.0
+        if np.any(np.abs(phi) > 5) or np.any(np.abs(theta) > 5):
+            return 1e12
+        # stationarity/invertibility guard BEFORE the residual pass —
+        # avoids wasted work and float overflow on explosive params
+        arpoly, mapoly = _expand_polys(phi, theta, Phi, Theta, m)
+        if not _roots_ok(arpoly) or not _roots_ok(mapoly):
+            return 1e12
+        e, _, _ = _css_residuals(w, phi, theta, Phi, Theta, m, c)
+        sse = float(e @ e)
+        return sse if np.isfinite(sse) else 1e12
+
+    nx = k + (1 if include_const else 0)
+    if nx == 0:
+        e = w.copy()
+        sse = float(e @ e)
+        xfit = np.array([])
+    else:
+        x0 = np.concatenate([np.full(k, 0.1),
+                             [np.mean(w)] if include_const else []])
+        xfit, sse = nelder_mead(objective, x0, max_iter=200 + 60 * k)
+    sigma2 = sse / nw if nw else 1e-8
+    if sigma2 <= 0:
+        sigma2 = 1e-12
+    ll = nw * np.log(sigma2)
+    crit = aicc(ll, nx, nw)
+    return crit, xfit, sigma2
+
+
+def fit_arima(y: np.ndarray, frequency: int, force_seasonality: bool = False,
+              max_p: int = 5, max_q: int = 5, max_P: int = 2, max_Q: int = 2,
+              max_order: int = 5) -> ArimaModel:
+    """Exhaustive auto-ARIMA (stepwise=FALSE semantics, R:90).
+
+    Search bounds are auto.arima's own defaults — max.p=max.q=5,
+    max.P=max.Q=2, with ``max.order=5`` capping p+q+P+Q exactly as
+    auto.arima does for a non-stepwise search, so the grid is ~126
+    orders, not 6·6·3·3.  (Round 1 capped at 3/3/1/1; the widened grid
+    restores selection parity on long-memory series — see
+    ``test_arima_grid_reaches_high_orders``.)"""
+    y, m, seasonal, d, D, w, nw, include_const = arima_prep(
+        y, frequency, force_seasonality)
+    if nw < 5:
+        return _arima_short_model(y, m, d, D, w, nw)
+    best = None
+    for p, q, P, Q in arima_candidate_grid(seasonal, max_p, max_q,
+                                           max_P, max_Q, max_order):
+        fit = fit_arima_candidate(w, nw, m, include_const, p, q, P, Q)
+        if fit is None:
+            continue
+        crit, xfit, sigma2 = fit
         if best is None or crit < best[0]:
             best = (crit, p, q, P, Q, xfit, sigma2)
     crit, p, q, P, Q, x, sigma2 = best
+    return finalize_arima_winner(y, m, d, D, w, nw, include_const,
+                                 p, q, P, Q, x, sigma2, crit)
+
+
+def finalize_arima_winner(y, m, d, D, w, nw, include_const,
+                          p, q, P, Q, x, sigma2, crit) -> ArimaModel:
+    """Winner post-processing shared by the sequential and fanned-out
+    grid searches: exact-ML refinement + model construction."""
     # Exact-ML refinement of the winner (r5): one Kalman-deviance
     # Nelder-Mead from the CSS point.  Skipped for degenerate
     # (numerically exact) fits, where sigma2 ~ 0 sends log(sigma2) to

@@ -398,10 +398,16 @@ def pq_topk(spark: SparkSession, sf_dir: str, m: int = _PQ_M,
                .cast("long") * 128 + F.col("code_id"))
     # explicit partition count: AQE coalesces a column-only repartition
     # of these few (small) rows back to ONE partition, serializing the
-    # k-way candidate expansion that happens after it
+    # k-way candidate expansion that happens after it.  Width from conf,
+    # not sparkContext.defaultParallelism — Connect sessions expose no
+    # sparkContext, and this is the only query-path spot that touched it
+    # (tests/test_spark_connect.py pins the package Connect-clean).
+    try:
+        _width = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        _width = 32
     subs = (_subs(raw, "enc_id", "evec", "enorm")
-            .repartition(spark.sparkContext.defaultParallelism,
-                         F.col("enc_id")))
+            .repartition(_width, F.col("enc_id")))
 
     def _assign(src: DataFrame, cb: DataFrame) -> DataFrame:
         """Nearest-code id per (vector, subspace) against a broadcast

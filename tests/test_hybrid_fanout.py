@@ -76,6 +76,9 @@ def test_fanout_unit_explosion_shape(spark, metrics):
     from qrapids_forecast_r_script_spark.forecast.models.hybrid import (
         _COMPONENTS)
 
+    from qrapids_forecast_r_script_spark.forecast.hybrid_fanout import (
+        _ARIMA_GRID)
+
     units = _series_units(metrics, 7, 14, 14).toPandas()
     for (name, index), g in units.groupby(["name", "index"]):
         n = len(g.iloc[0]["y"])
@@ -83,7 +86,14 @@ def test_fanout_unit_explosion_shape(spark, metrics):
         window = n - 2 * h
         finals = g[g["origin"] < 0]
         assert set(finals["component"]) == set(_COMPONENTS)
+        # the ARIMA final is exploded one level deeper: one unit per
+        # candidate order of the superset grid; all other units carry
+        # the whole-fit marker cand = -1
+        a_finals = finals[finals["component"] == "a"]
+        assert sorted(a_finals["cand"]) == list(range(len(_ARIMA_GRID)))
+        assert (finals[finals["component"] != "a"]["cand"] == -1).all()
         cv = g[g["origin"] >= 0]
+        assert (cv["cand"] == -1).all()
         if window < max(4, 7):
             assert len(cv) == 0
         else:

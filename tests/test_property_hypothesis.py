@@ -127,3 +127,43 @@ def test_image_header_parser_total_on_garbage(payload):
     except ValueError:
         return
     assert {"format", "width", "height"} <= set(meta)
+
+
+@given(data=st.data(),
+       w=st.integers(min_value=1, max_value=12),
+       h=st.integers(min_value=1, max_value=10),
+       c=st.sampled_from([1, 2, 3, 4]))
+@settings(max_examples=120, deadline=None)
+def test_png_pixel_roundtrip_all_filters(data, w, h, c):
+    """decode_png_pixels inverts make_png_with_pixels for every channel
+    count and every W3C filter type (the encoder applies the spec's
+    FORWARD filter, the decoder the reconstruction — independent
+    directions, so equality is a two-sided check).  Mode names follow
+    PIL: L / LA / RGB / RGBA."""
+    import numpy as np
+    from qrapids_forecast_r_script_spark.operators.multimodal import (
+        decode_png_pixels, make_png_with_pixels)
+    px = np.array(data.draw(st.lists(
+        st.integers(min_value=0, max_value=255),
+        min_size=w * h * c, max_size=w * h * c)),
+        dtype=np.uint8).reshape(h, w, c)
+    filters = data.draw(st.lists(st.integers(min_value=0, max_value=4),
+                                 min_size=1, max_size=h))
+    payload = make_png_with_pixels(px, filters=filters)
+    gw, gh, mode, got = decode_png_pixels(payload)
+    assert (gw, gh) == (w, h)
+    assert mode == {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[c]
+    np.testing.assert_array_equal(got, px)
+
+
+@given(payload=st.binary(max_size=96))
+@settings(max_examples=300, deadline=None)
+def test_png_pixel_decoder_total_on_garbage(payload):
+    """decode_png_pixels is TOTAL over arbitrary bytes: ValueError or a
+    valid decode, never an unhandled exception type."""
+    from qrapids_forecast_r_script_spark.operators.multimodal import (
+        _PNG_SIG, decode_png_pixels)
+    try:
+        decode_png_pixels(_PNG_SIG + payload)
+    except ValueError:
+        pass
