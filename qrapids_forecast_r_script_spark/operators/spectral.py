@@ -169,7 +169,7 @@ _CEN_SQL = f"""
             FROM embeddings
         ), mu AS (
             SELECT pos, round(avg(v), {_DP}) AS mu FROM expl GROUP BY pos
-        ), cen AS (
+        ), cen AS MATERIALIZED (
             SELECT e.vec_id, e.label, e.pos, e.v - m.mu AS c
             FROM expl e JOIN mu m USING (pos)
         )
@@ -178,9 +178,16 @@ _CEN_SQL = f"""
 def _pca_oracle_sql(iters: int = _PCA_ITERS) -> str:
     """Generate the unrolled power-iteration oracle (the BPE
     `_round_sql` pattern: the loop writes the CTE chain the Spark side
-    builds as a plan loop)."""
+    builds as a plan loop).
+
+    ``cen`` and every ``proj{k}`` carry ``AS MATERIALIZED``: DuckDB
+    inlines CTEs by default, and each iteration references both ``cen``
+    and the previous projection, so an inlined 6-level chain re-executes
+    the whole pipeline a near-exponential number of times — measured
+    405 s at sf0.001 vs ~1 s materialized, identical results (pure
+    evaluation-strategy hint, W3C/DuckDB-documented syntax)."""
     ctes = [f"""
-        proj0 AS (
+        proj0 AS MATERIALIZED (
             SELECT vec_id, round(c, {_DP}) AS p FROM cen WHERE pos = 0
         )"""]
     for k in range(1, iters + 1):
@@ -192,7 +199,7 @@ def _pca_oracle_sql(iters: int = _PCA_ITERS) -> str:
         w{k} AS (
             SELECT pos, round(wr / nm, {_DP}) AS w
             FROM w{k}r CROSS JOIN n{k}
-        ), proj{k} AS (
+        ), proj{k} AS MATERIALIZED (
             SELECT vec_id, round(sum(c * w), {_DP}) AS p
             FROM cen JOIN w{k} USING (pos) GROUP BY vec_id
         )""")

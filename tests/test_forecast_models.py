@@ -38,6 +38,7 @@ def test_single_band_duplicated(method):
     np.testing.assert_array_equal(b["upper1"], b["upper2"])
 
 
+@pytest.mark.slow
 def test_forecast_deterministic():
     """Same seed key → identical simulated bands (stability across runs
     and partitionings — required for the driver's hash checks)."""

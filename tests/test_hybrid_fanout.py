@@ -21,6 +21,7 @@ def metrics(spark):
     return events_as_metrics(load_table(spark, SF_DIR, "events")).cache()
 
 
+@pytest.mark.slow
 def test_fanout_weights_equal_single_task(spark, metrics):
     """Per-(series, component) fan-out weights == fit_hybrid.weights.
     Exact equality is the point: same seeded fits, same fold errors,
@@ -46,6 +47,7 @@ def test_fanout_weights_equal_single_task(spark, metrics):
                 name, index, r.component, r.weight, want[r.component])
 
 
+@pytest.mark.slow
 def test_fanout_bands_equal_single_task_batch(spark, metrics):
     """hybrid_fanout_batch is a drop-in for forecast_batch(...,
     'HYBRID'): same rows, same method stamp, bands equal to the

@@ -8,6 +8,12 @@ import pytest
 
 from tests.oracle_compare import compare, duckdb_run
 
+# The whole module is the end-to-end driver pre-flight (every oracled
+# query vs DuckDB at sf0.001) — marked slow for the fast gate; the same
+# surface is covered per-change by tools/strict_audit.py at sf0.01 and
+# by the driver itself (pytest.ini documents the split).
+pytestmark = pytest.mark.slow
+
 
 def _registry():
     import __spark_entry__ as entry

@@ -2,11 +2,14 @@
 
 import math
 
+import pytest
+
 import numpy as np
 
 from pyspark.sql import functions as F
 
 
+@pytest.mark.slow
 def test_forecast_method_backtest_complete_and_bounded(spark, sf_dir):
     """The rows-only driver query must emit exactly series × methods
     rows, all finite, with rmse >= mae, and every method's holdout MAE
