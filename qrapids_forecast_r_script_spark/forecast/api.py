@@ -112,12 +112,9 @@ def forecast_batch(spark: SparkSession, metrics: DataFrame, method: str,
     # a real cluster fans out to its own core count.  Results are
     # partitioning-invariant (each group fits alone; hash checks are
     # order-insensitive).
-    try:
-        width = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
-    except (TypeError, ValueError):
-        width = 32
+    from ..session import shuffle_width
     return (metrics
-            .repartition(width, "name", "index")
+            .repartition(shuffle_width(spark), "name", "index")
             .groupBy("name", "index")
             .applyInPandas(apply_fn, schema=schemas.FORECAST))
 

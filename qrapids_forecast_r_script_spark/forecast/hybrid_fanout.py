@@ -63,10 +63,12 @@ _UNIT_RESULT = T.StructType([
     T.StructField("component", T.StringType()),
     # 'cv' (errs set) | 'cv_fail' (poisons the component's RMSE →
     # fallback weight, matching _cv_rmse's any-fold-fails → None) |
-    # 'final' (band arrays set) | 'arima_cand' (one grid order's CSS
-    # fit: cand/crit/cand_x/cand_sigma2 set) | 'arima_short' (nw < 5 —
-    # the white-noise fallback marker); a final fit that degenerates
-    # emits nothing, dropping the component exactly like fit_hybrid does
+    # 'final' (band arrays set) | 'final_fail' (post-fit forecast
+    # degenerated → the series gets NaN rows in the batch combine, like
+    # fit_and_forecast_pdf) | 'arima_cand' (one grid order's CSS fit:
+    # cand/crit/cand_x/cand_sigma2 set) | 'arima_short' (nw < 5 — the
+    # white-noise fallback marker); a final FIT that degenerates emits
+    # nothing, dropping the component exactly like fit_hybrid does
     T.StructField("kind", T.StringType()),
     T.StructField("errs", T.ArrayType(T.DoubleType())),
     *[T.StructField(b, T.ArrayType(T.DoubleType())) for b in _BANDS],
@@ -93,10 +95,13 @@ def _assemble_series(metrics: DataFrame, cv_horizon: int) -> DataFrame:
             .withColumn("window", F.col("n") - 2 * F.lit(h)))
 
 
-def _series_units(metrics: DataFrame, frequency: int, horizon: int,
-                  cv_horizon: int) -> DataFrame:
+def _series_units(metrics: DataFrame | None, frequency: int, horizon: int,
+                  cv_horizon: int, series: DataFrame | None = None,
+                  ) -> DataFrame:
     """(name, index, component, origin, window, cand, y) — one row per
-    fit unit, assembled and exploded entirely JVM-side.
+    fit unit, assembled and exploded entirely JVM-side.  Pass a
+    pre-assembled ``series`` frame to reuse one (checkpointed)
+    aggregation across the explosion and the winner re-join.
 
     origin = -1 marks the final full-series fit; CV origins mirror
     ``_cv_rmse``: window = n − 2·cvHorizon (R:326), one-step slide,
@@ -106,7 +111,8 @@ def _series_units(metrics: DataFrame, frequency: int, horizon: int,
     m = max(1, int(frequency))
     h = int(cv_horizon)
     letters = F.array(*[F.lit(c) for c in _COMPONENTS])
-    series = _assemble_series(metrics, h)
+    if series is None:
+        series = _assemble_series(metrics, h)
     cv_ok = (F.col("window") >= F.greatest(F.lit(4), F.lit(m)))
     origins = F.when(
         cv_ok, F.sequence(F.greatest(F.col("window"),
@@ -188,9 +194,17 @@ def _run_units(frequency: int, horizon: int):
                 elif r.origin < 0:  # final full-series fit
                     try:
                         model = fit_fn(y, m)
-                        bands = _component_forecast(model, h, r.component)
                     except DEGENERATE_ERRORS:
                         continue  # component dropped, like fit_hybrid
+                    try:
+                        bands = _component_forecast(model, h, r.component)
+                    except DEGENERATE_ERRORS:
+                        # post-fit forecast degenerate: the sequential
+                        # path NaNs the whole series
+                        # (fit_and_forecast_pdf) — emit the poison
+                        # marker so the batch combine does the same
+                        rows.append({**base, "kind": "final_fail"})
+                        continue
                     rows.append({**base, "kind": "final",
                                  **{b: [float(v) for v in bands[b]]
                                     for b in _BANDS}})
@@ -224,7 +238,12 @@ def _finalize_arima(frequency: int, horizon: int):
             rows = []
             for r in pdf.itertuples(index=False):
                 y = np.asarray(r.y, float)
-                try:
+                base = {"name": r.name, "index": r.index,
+                        "component": "a", "errs": None, "cand": None,
+                        "crit": None, "cand_x": None,
+                        "cand_sigma2": None,
+                        **{b: None for b in _BANDS}}
+                try:  # fit phase (inside fit_arima sequentially)
                     (y2, m2, _seasonal, d, D, w, nw,
                      include_const) = arima_prep(y, m)
                     if r.kind == "arima_short":
@@ -235,13 +254,14 @@ def _finalize_arima(frequency: int, horizon: int):
                             y2, m2, d, D, w, nw, include_const,
                             p_, q_, P_, Q_, np.asarray(r.cand_x, float),
                             float(r.cand_sigma2), float(r.crit))
-                    bands = _component_forecast(model, h, "a")
                 except DEGENERATE_ERRORS:
                     continue  # drop 'a', like fit_hybrid
-                rows.append({"name": r.name, "index": r.index,
-                             "component": "a", "kind": "final",
-                             "errs": None, "cand": None, "crit": None,
-                             "cand_x": None, "cand_sigma2": None,
+                try:  # forecast phase (sequentially NaNs the series)
+                    bands = _component_forecast(model, h, "a")
+                except DEGENERATE_ERRORS:
+                    rows.append({**base, "kind": "final_fail"})
+                    continue
+                rows.append({**base, "kind": "final",
                              **{b: [float(v) for v in bands[b]]
                                 for b in _BANDS}})
             yield pd.DataFrame(rows, columns=[f.name for f in _UNIT_RESULT])
@@ -265,11 +285,29 @@ def hybrid_fanout_components(spark: SparkSession, metrics: DataFrame,
     unit that raises a degenerate error poisons the whole component
     ('arima_fail'), because the sequential fit would have thrown out of
     fit_arima and dropped 'a' entirely."""
-    units = _series_units(metrics, frequency, horizon, cv_horizon=horizon)
-    try:
-        width = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
-    except (TypeError, ValueError):
-        width = 32
+    series = _assemble_series(metrics, horizon).localCheckpoint()
+    comp, _ = _components_from_series(spark, series, frequency, horizon)
+    return comp
+
+
+def _components_from_series(spark: SparkSession, series: DataFrame,
+                            frequency: int, horizon: int,
+                            ) -> tuple[DataFrame, DataFrame]:
+    """Core of the fan-out over a PRE-ASSEMBLED (and ideally
+    checkpointed) series frame — assembled once and reused for the unit
+    explosion AND the winner's y re-join, instead of re-running the
+    base-table aggregation twice (r6 review finding).
+
+    Returns ``(components, poisoned)``: the per-(series, component)
+    weight+band rows, and the (name, index) keys of series where a
+    component FORECAST degenerated after a successful fit — the
+    sequential path NaNs the whole series there
+    (``fit_and_forecast_pdf`` catches around fit+forecast together), so
+    ``hybrid_fanout_batch`` must too."""
+    units = _series_units(None, frequency, horizon, cv_horizon=horizon,
+                          series=series)
+    from ..session import shuffle_width
+    width = shuffle_width(spark)
     results = (units
                # ROUND-ROBIN repartition (no columns): units are
                # independent fits with no key-locality to preserve, and
@@ -298,12 +336,16 @@ def hybrid_fanout_components(spark: SparkSession, metrics: DataFrame,
               .withColumn("rn", F.row_number().over(wsel))
               .where(F.col("rn") == 1).drop("rn")
               .join(fail_series, ["name", "index"], "left_anti")
-              .join(_assemble_series(metrics, horizon)
-                    .select("name", "index", "y"), ["name", "index"]))
+              .join(series.select("name", "index", "y"), ["name", "index"]))
     arima_finals = winner.mapInPandas(_finalize_arima(frequency, horizon),
                                       schema=_UNIT_RESULT)
-    finals = (results.where(F.col("kind") == "final")
-              .unionByName(arima_finals)
+    all_finals = (results.where(F.col("kind").isin("final", "final_fail"))
+                  .unionByName(arima_finals))
+    # a post-fit FORECAST degenerate ('final_fail') NaNs the whole
+    # series in the sequential path — surface those keys to the caller
+    poisoned = (all_finals.where(F.col("kind") == "final_fail")
+                .select("name", "index").distinct())
+    finals = (all_finals.where(F.col("kind") == "final")
               .drop("kind", "errs", "cand", "crit", "cand_x",
                     "cand_sigma2"))
     # array_sort before the fold-sum: collect_list order is
@@ -325,30 +367,59 @@ def hybrid_fanout_components(spark: SparkSession, metrics: DataFrame,
                   / F.size("all_errs"))))
           .select("name", "index", "component", "rmse"))
     w = Window.partitionBy("name", "index")
-    return (finals
+    comp = (finals
             .join(cv, ["name", "index", "component"], "left")
-            .withColumn("inv", F.when(F.col("rmse") > 0,
+            # NaN guard (r6 review finding): Spark evaluates NaN > 0 as
+            # TRUE, so a NaN fold error (a fit that produced NaN
+            # forecasts without raising) would poison every weight in
+            # the series; the sequential `r and r > 0` sends NaN to the
+            # fallback — match it
+            .withColumn("inv", F.when((F.col("rmse") > 0)
+                                      & ~F.isnan("rmse"),
                                       1.0 / F.col("rmse")))
             .withColumn("inv", F.coalesce(
                 "inv", F.avg("inv").over(w), F.lit(1.0)))
             .withColumn("weight", F.col("inv") / F.sum("inv").over(w))
             .drop("inv", "rmse"))
+    return comp, poisoned
 
 
 def hybrid_fanout_batch(spark: SparkSession, metrics: DataFrame,
                         frequency: int = 7, horizon: int = 14) -> DataFrame:
     """Drop-in for ``forecast_batch(..., "HYBRID")`` output: the same
     (name, index, method, step, 5 bands) rows, combined with
-    PI.combination='mean' (R:340) as a JVM-side weighted sum."""
-    comp = hybrid_fanout_components(spark, metrics, frequency, horizon)
-    z = comp.select(
-        "name", "index", "component", "weight",
-        F.posexplode(F.arrays_zip(*_BANDS)).alias("pos", "v"))
-    return (z.groupBy("name", "index", F.col("pos").alias("step"))
-            .agg(*[F.sum(F.col("weight") * F.col(f"v.{b}")).alias(b)
-                   for b in _BANDS])
+    PI.combination='mean' (R:340) as a JVM-side weighted sum.
+
+    Degenerate-series parity (r6 review finding): the sequential path
+    emits `horizon` NaN-band rows both when NO component fits and when
+    any component's post-fit forecast degenerates
+    (``fit_and_forecast_pdf`` catches around the whole fit+forecast).
+    The fan-out therefore left-joins the combined bands back onto the
+    full series-key × step frame and fills the missing/poisoned series
+    with NaN rows instead of silently dropping them."""
+    h = int(horizon)
+    series = _assemble_series(metrics, h).localCheckpoint()
+    comp, poisoned = _components_from_series(spark, series, frequency, h)
+    z = (comp.join(poisoned, ["name", "index"], "left_anti")
+         .select("name", "index", "component", "weight",
+                 F.posexplode(F.arrays_zip(*_BANDS)).alias("pos", "v")))
+    # NaN band values (a component that forecast NaN without raising,
+    # e.g. NN on a 1-point series) arrive as NULL array elements — the
+    # Arrow pandas→Spark conversion nullifies NaN — and Spark's sum
+    # SKIPS nulls, which would silently drop that component from the
+    # mix where the sequential weighted sum NaN-poisons the series.
+    # Coalesce back to NaN so the arithmetic matches (r6 review).
+    nan = F.lit(float("nan"))
+    combined = (z.groupBy("name", "index", F.col("pos").alias("step"))
+                .agg(*[F.sum(F.col("weight")
+                             * F.coalesce(F.col(f"v.{b}"), nan)).alias(b)
+                       for b in _BANDS]))
+    full = (series.select("name", "index")
+            .withColumn("step",
+                        F.explode(F.sequence(F.lit(0), F.lit(h - 1)))))
+    return (full.join(combined, ["name", "index", "step"], "left")
             # the batch path stamps the REQUESTED method string
             # (fit_and_forecast_pdf), so the drop-in does too
             .select("name", "index", F.lit("HYBRID").alias("method"),
                     (F.col("step") + 1).cast("long").alias("step"),
-                    *_BANDS))
+                    *[F.coalesce(b, nan).alias(b) for b in _BANDS]))

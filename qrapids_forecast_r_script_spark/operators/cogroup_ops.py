@@ -50,10 +50,8 @@ def _cogroup_buckets(spark: SparkSession) -> int:
     pandas batches, and ``merge_asof(by=user)`` keys the logic on the
     user inside each batch — the oracle-parity test at any setting is
     the proof."""
-    try:
-        return max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
-    except (TypeError, ValueError):
-        return 32
+    from ..session import shuffle_width
+    return shuffle_width(spark)
 
 
 def _align(_key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:

@@ -72,11 +72,19 @@ def decode_media(payload: bytes, kind: str) -> dict:
             # PIL-free path (r5 verdict item 7): PNGs with pixel data
             # get a REAL stdlib pixel decode (zlib inflate + per-row
             # unfilter, decode_png_pixels) — same width/height/mode
-            # contract as the PIL branch; other formats (and IDAT-less
-            # PNGs) fall back to the header-level decode (r4 item 5).
+            # contract as the PIL branch.  A PNG the pixel decoder
+            # rejects (16-bit depth, Adam7, corrupt IDAT, …) falls back
+            # to the header-level decode rather than regressing inputs
+            # the pre-r6 header path handled (r6 review finding); other
+            # formats and IDAT-less PNGs go straight to the header
+            # path, and bytes neither path can read stay a loud
+            # ValueError.
             if payload[:8] == _PNG_SIG and b"IDAT" in payload[:1 << 16]:
-                w, h, mode, _ = decode_png_pixels(payload)
-                return {"width": w, "height": h, "mode": mode}
+                try:
+                    w, h, mode, _ = decode_png_pixels(payload)
+                    return {"width": w, "height": h, "mode": mode}
+                except ValueError:
+                    pass
             return parse_image_header(payload)
         with Image.open(io.BytesIO(payload)) as im:
             im.load()
@@ -206,6 +214,11 @@ def decode_png_pixels(payload: bytes, max_pixels: int = 4_000_000,
                          f"color_type={color_type}")
     if not idat:
         raise ValueError("PNG has no IDAT pixel data")
+    if width == 0 or height == 0:
+        # zero dims are spec-invalid AND would zero `expected` below,
+        # turning the capped inflate into an uncapped one (r6 review
+        # finding: the bomb guard must not be bypassable)
+        raise ValueError("PNG with zero width or height")
     if width * height > max_pixels:
         raise ValueError(f"PNG {width}x{height} exceeds the "
                          f"{max_pixels}-pixel decode budget")
@@ -213,9 +226,14 @@ def decode_png_pixels(payload: bytes, max_pixels: int = 4_000_000,
     stride = width * channels
     expected = (stride + 1) * height
     d = zlib.decompressobj()
-    raw = d.decompress(b"".join(idat), expected)
-    if len(raw) != expected or (d.decompress(b"", 1) or
-                                not d.eof and d.unconsumed_tail):
+    try:
+        raw = d.decompress(b"".join(idat), expected)
+        tail = d.decompress(b"", 1)
+    except zlib.error as exc:  # corrupt deflate stream = bad INPUT —
+        # the documented contract is ValueError, never a leaked
+        # zlib.error (r6 review finding)
+        raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
+    if len(raw) != expected or (tail or not d.eof and d.unconsumed_tail):
         raise ValueError("PNG pixel stream length mismatch")
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)

@@ -402,12 +402,9 @@ def pq_topk(spark: SparkSession, sf_dir: str, m: int = _PQ_M,
     # not sparkContext.defaultParallelism — Connect sessions expose no
     # sparkContext, and this is the only query-path spot that touched it
     # (tests/test_spark_connect.py pins the package Connect-clean).
-    try:
-        _width = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
-    except (TypeError, ValueError):
-        _width = 32
+    from ..session import shuffle_width
     subs = (_subs(raw, "enc_id", "evec", "enorm")
-            .repartition(_width, F.col("enc_id")))
+            .repartition(shuffle_width(spark), F.col("enc_id")))
 
     def _assign(src: DataFrame, cb: DataFrame) -> DataFrame:
         """Nearest-code id per (vector, subspace) against a broadcast

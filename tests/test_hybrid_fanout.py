@@ -104,3 +104,43 @@ def test_fanout_unit_explosion_shape(spark, metrics):
                 lambda s: sorted(s.tolist()))
             for comp, origins in per_comp.items():
                 assert origins == expect, (name, index, comp)
+
+
+def test_fanout_rowcount_parity_on_short_and_degenerate_series(spark):
+    """r6 review finding: the fan-out must never silently DROP a series
+    the sequential path emits (forecast_batch converts an all-degenerate
+    series to `horizon` NaN-band rows).  Build a frame with a 1-point,
+    a 2-point, and a constant series — whatever fits or fails, both
+    paths must return the same (name, index, step) key set, with NaN
+    exactly where the sequential path has NaN."""
+    import pandas as pd
+
+    from qrapids_forecast_r_script_spark.forecast.api import forecast_batch
+    from qrapids_forecast_r_script_spark.forecast.hybrid_fanout import (
+        hybrid_fanout_batch)
+
+    rows = []
+    rows.append(("one", "t", pd.Timestamp("2024-01-01").date(), 5.0))
+    for i in range(2):
+        rows.append(("two", "t", pd.Timestamp(f"2024-01-0{i+1}").date(),
+                     float(i)))
+    for i in range(40):
+        rows.append(("const", "t",
+                     (pd.Timestamp("2024-01-01")
+                      + pd.Timedelta(days=i)).date(), 7.0))
+    metrics = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["name", "index", "evaluationDate",
+                                    "value"]))
+    key = ["name", "index", "step"]
+    a = (forecast_batch(spark, metrics, "HYBRID", 7, 14)
+         .toPandas().sort_values(key).reset_index(drop=True))
+    b = (hybrid_fanout_batch(spark, metrics, 7, 14)
+         .toPandas().sort_values(key).reset_index(drop=True))
+    assert len(a) == len(b) == 3 * 14
+    assert (a[key].values == b[key].values).all()
+    for c in ["mean", "lower1", "upper2"]:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        nan_match = np.isnan(av) == np.isnan(bv)
+        assert nan_match.all(), (c, a[~nan_match], b[~nan_match])
+        both = ~np.isnan(av)
+        np.testing.assert_allclose(av[both], bv[both], rtol=0, atol=1e-9)
