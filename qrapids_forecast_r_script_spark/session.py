@@ -54,7 +54,8 @@ def get_spark(app_name: str = "qrapids-forecast-spark",
 
 def shuffle_width(spark: SparkSession, default: int = 32) -> int:
     """The session's shuffle-partition count as an explicit repartition
-    width (Connect-clean: conf, not sparkContext.defaultParallelism).
+    width (Connect-clean: read from conf, not from the classic
+    context's default-parallelism attribute).
 
     Used wherever a CPU-bound grouped/mapInPandas stage needs a
     user-specified repartition that AQE's size-based coalescing must
