@@ -73,7 +73,7 @@ def main() -> int:
     lines.append("| **suite total** | " + " | ".join(totals) + " |")
     if noisy:
         lines += ["", "† cold-start/contention noise at round close: the "
-                  "committed same-HEAD re-timing (`BENCH_LOCAL_rlocal."
+                  "committed quiet-host re-timing (`BENCH_LOCAL_rlocal."
                   "json`) measured " +
                   "; ".join(f"{n} = {v:.2f} s" for n, v in
                             sorted(noisy.items())) +
