@@ -129,6 +129,26 @@ def forecast_hybrid_fanout_events(spark: SparkSession,
 
 QUERIES["forecast_hybrid_fanout_events"] = forecast_hybrid_fanout_events
 
+
+def forecast_baggedets_fanout_events(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """BAGGEDETS via the per-replicate fan-out (``bagged_fanout.py``) —
+    the ensemble is exactly the one ``forecast_baggedets_events``'s
+    single-task path fits (the bootstrap is re-seeded per series, so
+    member r is bit-identical wherever it runs; asserted by
+    tests/test_bagged_fanout.py), but the critical path is ONE ETS fit
+    per task instead of 100.  Rows-only like the other model fits."""
+    from .bagged_fanout import bagged_fanout_batch
+    out = bagged_fanout_batch(spark, _metrics(spark, sf_dir),
+                              frequency=7, horizon=14)
+    cols = ["lower1", "lower2", "mean", "upper1", "upper2"]
+    return out.select(
+        "name", "index", "method", "step",
+        *[F.round(c, _ROUND).alias(c) for c in cols])
+
+
+QUERIES["forecast_baggedets_fanout_events"] = forecast_baggedets_fanout_events
+
 # ---------------------------------------------------------------------------
 # Oracles.  Shared scaffolding: the daily series per event_type with a
 # positional index, then per-method closed-form forecast math over a
