@@ -28,83 +28,101 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
-# Round-6 driver window (the driver checks the first ~50 merged entries).
+# Round-7 driver window (the driver checks the first ~50 merged entries).
 #
-# WINDOW POLICY (r5 verdict items 1 + 5): while the never-driver-checked
-# oracled backlog is ≥ 100, every slot is first-signal — the next 50
-# backlog queries in merged-registry module order, pre-flighted with
-# tools/strict_audit.py before the round closes.  Once the backlog drops
-# under 100 (expected after this round: 142 → 92), subsequent rounds
-# swap 2-3 slots per round to RE-verify previously-green high-risk
-# queries (streaming, recursive-CTE, stateful) so old greens don't go
-# stale as Spark/DuckDB versions move; the swapped-out backlog names
-# stay pinned at positions 51+ so a wider driver cap still reaches them.
-# Net-new registration stays FROZEN (delta ≤ +10/round) until the
-# backlog is under 100.
+# WINDOW POLICY (drain era, r5-r8): while a never-driver-checked oracled
+# backlog remains, the window is first-signal — the next backlog queries
+# in merged-registry module order, pre-flighted with
+# tools/strict_audit.py before the round closes.  The backlog dropped
+# under 100 after r6 (142 → 92), so starting THIS round 2-3 slots per
+# round are swapped to RE-verify previously-green high-risk queries
+# (streaming, recursive-CTE, stateful) so old greens don't go stale as
+# Spark/DuckDB versions move; the swapped-out backlog names stay pinned
+# at positions 51+ so a wider driver cap still reaches them.  Net-new
+# registration stays FROZEN (delta ≤ +10/round) until the backlog is 0.
 #
-# After r1-r5: 245 distinct queries have driver rows (231 ever
-# hash-green, 0 failures); 142 registered+oracled queries have never had
-# one.  This window is the first 50 of those 142 in merged-registry
-# order — exactly the positions-51..100 hedge block of the r5 registry,
-# promoted (head: media_image_header_meta, the one ≤+10 r5 registration,
-# then ips_policy_value, which yielded its r5 slot to
-# events_tws_running_totals).
+# ROTATION SCHEDULE (r9+, once the backlog is drained — expected end of
+# r8): the window becomes a rotating re-verification of the full oracled
+# registry in fixed priority tiers.  Tier 1 (every round, ~10 slots):
+# the drift-exposed surfaces — streaming (stream-stream joins, session
+# windows, dedup-within-watermark), stateful (applyInPandasWithState,
+# transformWithStateInPandas), and the recursive-CTE family (HMM/UCB1/
+# Markov recursions) — these touch Spark internals that move between
+# versions.  Tier 2 (~40 slots/round): the remaining registry in merged
+# order, wrapping modulo its size, so every oracled query is re-checked
+# at least once every ~8 rounds.  The rotation cursor is derived from
+# the committed CORRECTNESS_r*.json files (oldest-green-first), so it
+# self-advances without manual window edits.
+#
+# After r1-r6: 295 distinct queries have driver rows (281 latest-green,
+# 0 standing failures); 92 registered+oracled queries have never had
+# one.  This window = the first 47 of those 92 in merged-registry order
+# + `events_stream_stream_left_join` promoted from backlog position 79
+# (the most drift-exposed never-checked query: stream-stream outer join
+# with watermark eviction) + 2 RE-verify slots starting the rotation
+# (`events_tws_running_totals`: r5-green, transformWithStateInPandas via
+# vendored protobuf; `ucb1_replay_policy`: r5-green, the deepest
+# recursive-CTE query).  Displaced backlog names
+# (duplicate_payment_audit, hill_tail_index, simpson_slope_audit) stay
+# pinned at 51+.
 FRONT_WINDOW = [
-    # multimodal (r5's +1 registration, judge strict-audited 1/1)
-    "media_image_header_meta",
-    # product analytics / experimentation / inference tail
-    "ips_policy_value",
-    "ab_bh_fdr_nations",
-    "markov_next_event_accuracy",
-    "item_item_cf_topk",
-    "shapley_attribution",
-    "nelson_aalen_hazard",
-    "mh_pooled_odds_ratio",
-    "james_stein_nation_means",
-    "series_analog_search",
-    "bradley_terry_strengths",
-    "hmm_forward_filter",
-    "meta_analysis_nations",
-    "hmm_smoothed_posterior",
-    "ab_quantile_treatment_effects",
-    "ab_power_mde_table",
-    "hmm_baum_welch_step",
-    "event_time_circular_stats",
-    "hmm_viterbi_path",
-    "price_elasticity_ols",
-    "littles_law_audit",
-    "cf_holdout_lift",
-    "anova_nation_values",
-    "eb_urgent_share_shrinkage",
-    "interarrival_weibull_fit",
-    "erlang_capacity_table",
-    "huber_location_nations",
-    "negbin_dispersion_fit",
-    "levene_variance_audit",
-    "competing_risks_cif",
-    "ab_sprt_trace",
-    # curation / training-prep
-    "winsorized_doclen_stats",
-    "shard_packing_efficiency",
-    "epoch_shuffle_order",
-    "mixture_waterfill_budget",
-    "curriculum_order",
-    "doremi_domain_weights",
-    "quantile_normalization_map",
-    "neyman_allocation_sample",
-    "ipf_raking_weights",
-    "greedy_coverage_selection",
-    # corpus statistics / language modeling
-    "corpus_zipf_fit",
-    "source_unigram_kl",
-    "doc_entropy_scores",
-    "chao1_vocab_estimate",
-    "kneser_ney_bigram_logprob",
-    "doc_length_gmm",
-    "term_burstiness_topk",
-    # forecast eval head
-    "series_acf",
-    "forecast_croston_events",
+    # forecast eval / series-statistics tail (first-signal)
+    "hierarchical_forecast_coherence",
+    "conformal_coverage_backtest",
+    "series_leadlag_xcorr",
+    "interval_score_backtest",
+    "forecast_ses_events",
+    "series_theilsen_trend",
+    "series_decomposition_strength",
+    "forecast_holt_events",
+    "events_ewma_control_chart",
+    "forecast_holtwinters_events",
+    "series_page_hinkley",
+    "series_kendall_tau",
+    "series_dickey_fuller",
+    "hedge_forecast_combination",
+    "series_spearman_matrix",
+    "series_hurst_rs",
+    "series_cronbach_alpha",
+    "friedman_method_ranks",
+    # dedup tail (first-signal)
+    "source_dedup_rates",
+    "dedup_cluster_sizes",
+    "lsh_precision_recall",
+    "prefix_filter_join",
+    # document-graph family (first-signal)
+    "doc_graph_link_prediction",
+    "doc_graph_kcore",
+    "doc_graph_eigencentrality",
+    "doc_graph_degree_powerlaw",
+    "doc_graph_bfs_reachability",
+    "doc_graph_modularity",
+    "doc_graph_closeness_sampled",
+    "doc_graph_shortest_paths",
+    "doc_graph_assortativity",
+    # tokenization (first-signal)
+    "bpe_encode_docs",
+    "tokenizer_fertility_by_lang",
+    # data-quality / profiling (first-signal)
+    "join_key_skew_profile",
+    "corpus_diversity_stats",
+    "events_numeric_profile",
+    "events_contract_violations",
+    "events_ks_drift",
+    "benford_first_digit_audit",
+    "chi_square_independence",
+    "missing_value_imputation",
+    "events_mad_outliers",
+    "source_length_qq",
+    "doc_embedding_coverage",
+    "event_interarrival_stats",
+    "column_stats_profile",
+    "functional_dependency_audit",
+    # promoted from backlog position 79 (first-signal, drift-exposed)
+    "events_stream_stream_left_join",
+    # RE-verify rotation, round 1 of the post-drain policy (r5-green)
+    "events_tws_running_totals",
+    "ucb1_replay_policy",
 ]
 
 

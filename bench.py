@@ -462,11 +462,11 @@ def main() -> None:
     if skipped:
         payload["skipped"] = skipped
     line = json.dumps(payload)
-    print(line)
-    # Persist the FULL line in-repo: the driver's BENCH_r{N}.json tail
-    # truncates to 2000 chars, which destroyed cross-round per-query
-    # deltas (r3 verdict bench-hygiene ask).  Round number from
-    # $SPARK_GRAFT_ROUND when the driver sets it, else "local".
+    # Persist the FULL payload (incl. the ~8 kB per-query map) in-repo:
+    # the driver's BENCH_r{N}.json tail truncates to 2000 chars, which
+    # destroyed cross-round per-query deltas (r3 verdict bench-hygiene
+    # ask).  Round number from $SPARK_GRAFT_ROUND when the driver sets
+    # it, else "local".
     rnd = os.environ.get("SPARK_GRAFT_ROUND", "local")
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        f"BENCH_LOCAL_r{rnd}.json")
@@ -475,6 +475,25 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError:
         pass  # a read-only checkout must not fail the bench
+    # stdout contract (r6 verdict item 2): the FINAL stdout line must be
+    # a compact headline JSON that fits the driver's 2000-char tail so
+    # its "parsed" field stops being null; the full per-query map lives
+    # only in the BENCH_LOCAL_* artifact above.  The driver schema wants
+    # a "queries" key, so keep the slowest entries up to a hard ~1500
+    # char budget instead of dropping the key entirely.
+    headline = {k: v for k, v in payload.items() if k != "queries"}
+    if skipped:  # keep the compact line compact: count, not the map
+        headline["skipped"] = len(skipped)
+    headline["queries"] = {}
+    headline["queries_truncated_to_slowest"] = 0
+    for qname, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
+        headline["queries"][qname] = secs
+        headline["queries_truncated_to_slowest"] = len(headline["queries"])
+        if len(json.dumps(headline)) > 1500:
+            del headline["queries"][qname]
+            headline["queries_truncated_to_slowest"] = len(headline["queries"])
+            break
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -70,8 +70,10 @@ class Engine:
                             force_seasonality)
 
     def forecast_all(self, method: str, frequency: int = 7,
-                     horizon: int = 14) -> DataFrame:
-        """Batch mode: every (name, index) series in one grouped-UDF job."""
+                     horizon: int = 14, fanout: str = "auto") -> DataFrame:
+        """Batch mode: every (name, index) series in one grouped-UDF job.
+        HYBRID/BAGGEDETS auto-dispatch to their straggler fan-outs above
+        ``forecast.api.FANOUT_POINT_THRESHOLD`` points (SCALE.md)."""
         from .forecast.api import forecast_batch
         return forecast_batch(self.spark, self.metrics, method, frequency,
-                              horizon)
+                              horizon, fanout=fanout)

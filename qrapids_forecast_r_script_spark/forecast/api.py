@@ -86,17 +86,55 @@ def fit_and_forecast_pdf(pdf: pd.DataFrame, method: str, frequency: int,
     return forecast_rows(name, index, method, bands)
 
 
+# Series-length threshold where the HYBRID/BAGGEDETS fan-outs beat the
+# single-task-per-series fit (SCALE.md "fan-out dispatch"): below ~5k
+# points a whole fit is seconds and the fan-out's extra shuffles+
+# checkpoint dominate; above it the single task becomes the stage-
+# straggler the fan-outs exist to kill (359 s / 567 s at the 10k cap).
+FANOUT_POINT_THRESHOLD = 5_000
+
+
 def forecast_batch(spark: SparkSession, metrics: DataFrame, method: str,
-                   frequency: int = 7, horizon: int = 14) -> DataFrame:
+                   frequency: int = 7, horizon: int = 14,
+                   fanout: str = "auto") -> DataFrame:
     """Every (name, index) series in one job.
 
     Scale notes: one shuffle (hash partition by series key); each task
     fits exactly one series (≤10k points — bounded memory by the
     reference's own cap, R:28); skewed numbers of series per executor are
     handled by AQE partition coalescing.
+
+    ``fanout`` controls the HYBRID/BAGGEDETS straggler dispatch
+    (r6 verdict item 4 — the 100×-scale path is the DEFAULT path):
+
+    - ``"auto"``: one cheap JVM count-per-series aggregation decides —
+      if the longest series (post the reference's 10k cap, R:28) has
+      ≥ ``FANOUT_POINT_THRESHOLD`` points, route through
+      ``hybrid_fanout_batch`` / ``bagged_fanout_batch`` (exact-parity
+      drop-ins, tests/test_*_fanout.py); else the single-task-per-
+      series fit below, whose whole fit at small n is cheaper than the
+      fan-out's extra shuffles.
+    - ``"always"`` / ``"never"``: force one path (tests, debugging).
+
+    Methods without a fan-out (everything but HYBRID/BAGGEDETS) ignore
+    the flag: their single-series fits are not stage stragglers.
     """
     method_u = method.upper()
     freq, hor = int(frequency), int(horizon)
+    if fanout not in ("auto", "always", "never"):
+        raise ValueError(f"fanout must be auto|always|never, got {fanout!r}")
+    if method_u in ("HYBRID", "BAGGEDETS") and fanout != "never":
+        use_fanout = fanout == "always"
+        if fanout == "auto":
+            longest = (metrics.groupBy("name", "index").count()
+                       .agg(F.max("count")).first()[0])
+            use_fanout = (longest or 0) >= FANOUT_POINT_THRESHOLD
+        if use_fanout:
+            if method_u == "HYBRID":
+                from .hybrid_fanout import hybrid_fanout_batch
+                return hybrid_fanout_batch(spark, metrics, freq, hor)
+            from .bagged_fanout import bagged_fanout_batch
+            return bagged_fanout_batch(spark, metrics, freq, hor)
 
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return fit_and_forecast_pdf(pdf, method_u, freq, hor)

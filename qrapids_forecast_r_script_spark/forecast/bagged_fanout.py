@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from .. import schemas
 from .hybrid_fanout import _assemble_series
 from .models.common import DEGENERATE_ERRORS
 
@@ -55,10 +56,20 @@ def _run_members(frequency: int, horizon: int, num: int):
     h = int(horizon)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import OrderedDict
+
         from .models.bagged import mbb_bootstrap
         from .models.common import seeded_rng
         from .models.ets import fit_ets
-        reps_cache: dict[tuple, list] = {}
+        # Bounded LRU, NOT an unbounded per-partition dict (ADVICE r6):
+        # a full replicate list is ~num×n×8 bytes (~8 MB at 10k points),
+        # and the cache lives for the whole partition — unbounded it
+        # retains one list per distinct series the partition ever sees,
+        # an executor OOM with many series.  repartitionByRange keeps
+        # each series' reps contiguous, so 2 entries cover the seam
+        # between adjacent series; a miss only re-runs the cheap
+        # STL+block-resample generation, never a fit.
+        reps_cache: OrderedDict[tuple, list] = OrderedDict()
 
         def replicates(key, y):
             if key not in reps_cache:
@@ -67,6 +78,9 @@ def _run_members(frequency: int, horizon: int, num: int):
                 # fit_bagged_ets, which seeds (*seed_key, "mbb")
                 rng = seeded_rng(key[0], key[1], "BAGGEDETS", "mbb")
                 reps_cache[key] = mbb_bootstrap(y, m, num, rng)
+                while len(reps_cache) > 2:
+                    reps_cache.popitem(last=False)
+            reps_cache.move_to_end(key)
             return reps_cache[key]
 
         for pdf in batches:
@@ -102,8 +116,14 @@ def bagged_fanout_batch(spark: SparkSession, metrics: DataFrame,
              .withColumn("rep", F.explode(F.sequence(F.lit(0),
                                                      F.lit(num - 1))))
              .select("name", "index", "rep", "y"))
+    # Range spread, not round-robin (ADVICE r6): every series has
+    # exactly `num` reps, so ranges of (name, index, rep) are balanced
+    # AND each partition sees a contiguous rep-chunk of few distinct
+    # series — the bounded replicate cache in _run_members then hits on
+    # almost every row instead of regenerating per interleaved row.
     members = (units
-               .repartition(shuffle_width(spark))  # round-robin spread
+               .repartitionByRange(shuffle_width(spark),
+                                   "name", "index", "rep")
                .mapInPandas(_run_members(frequency, h, num),
                             schema=_REP_RESULT)
                .localCheckpoint())  # two consumers (fail scan + combine)
@@ -134,9 +154,12 @@ def bagged_fanout_batch(spark: SparkSession, metrics: DataFrame,
     return (full.join(combined, ["name", "index", "step"], "left")
             .select("name", "index",
                     F.lit("BAGGEDETS").alias("method"),
-                    (F.col("step") + 1).cast("long").alias("step"),
+                    (F.col("step") + 1).cast("int").alias("step"),
                     F.coalesce("lower", nan).alias("lower1"),
                     F.coalesce("lower", nan).alias("lower2"),
                     F.coalesce("mean", nan).alias("mean"),
                     F.coalesce("upper", nan).alias("upper1"),
-                    F.coalesce("upper", nan).alias("upper2")))
+                    F.coalesce("upper", nan).alias("upper2"))
+            # .to() aligns type AND nullability with the grouped-UDF
+            # path so the fanout="auto" dispatch is schema-invisible
+            .to(schemas.FORECAST))

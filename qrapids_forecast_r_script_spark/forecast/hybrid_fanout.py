@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from .. import schemas
 from .models.arima import arima_candidate_grid
 from .models.common import DEGENERATE_ERRORS
 from .models.hybrid import (_COMPONENTS, _component_forecast,
@@ -144,15 +145,26 @@ def _run_units(frequency: int, horizon: int):
     h = int(horizon)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import OrderedDict
+
         from .models.arima import arima_prep, fit_arima_candidate
-        prep_cache: dict[tuple, tuple] = {}
+        # Bounded LRU (ADVICE r6): the cache persists across ALL batches
+        # of the partition (not per-batch), and an arima_prep tuple
+        # holds full y/w arrays (~160 KB at 10k points) — unbounded it
+        # grows with every distinct series the partition touches.  Two
+        # entries cover the seam between adjacent series under the
+        # fan-out's partitioning; a miss re-runs one O(n) prep.
+        prep_cache: OrderedDict[tuple, tuple] = OrderedDict()
 
         def prep_for(key, y):
             # ~96 candidate units per series share one O(n) prep; cache
-            # per (series) within the batch so the differencing tests
-            # run once, not per unit
+            # so the differencing tests run once per series run, not
+            # per unit
             if key not in prep_cache:
                 prep_cache[key] = arima_prep(y, m)
+                while len(prep_cache) > 2:
+                    prep_cache.popitem(last=False)
+            prep_cache.move_to_end(key)
             return prep_cache[key]
 
         for pdf in batches:
@@ -421,5 +433,8 @@ def hybrid_fanout_batch(spark: SparkSession, metrics: DataFrame,
             # the batch path stamps the REQUESTED method string
             # (fit_and_forecast_pdf), so the drop-in does too
             .select("name", "index", F.lit("HYBRID").alias("method"),
-                    (F.col("step") + 1).cast("long").alias("step"),
-                    *[F.coalesce(b, nan).alias(b) for b in _BANDS]))
+                    (F.col("step") + 1).cast("int").alias("step"),
+                    *[F.coalesce(b, nan).alias(b) for b in _BANDS])
+            # .to() aligns type AND nullability with the grouped-UDF
+            # path so the fanout="auto" dispatch is schema-invisible
+            .to(schemas.FORECAST))

@@ -73,13 +73,17 @@ def decode_media(payload: bytes, kind: str) -> dict:
             # get a REAL stdlib pixel decode (zlib inflate + per-row
             # unfilter, decode_png_pixels) — same width/height/mode
             # contract as the PIL branch.  A PNG the pixel decoder
-            # rejects (16-bit depth, Adam7, corrupt IDAT, …) falls back
-            # to the header-level decode rather than regressing inputs
-            # the pre-r6 header path handled (r6 review finding); other
-            # formats and IDAT-less PNGs go straight to the header
+            # rejects (16-bit depth, Adam7, corrupt IDAT, no IDAT at
+            # all, …) falls back to the header-level decode rather than
+            # regressing inputs the pre-r6 header path handled (r6
+            # review finding); other formats go straight to the header
             # path, and bytes neither path can read stay a loud
-            # ValueError.
-            if payload[:8] == _PNG_SIG and b"IDAT" in payload[:1 << 16]:
+            # ValueError.  Any PNG attempts the pixel path — a bounded
+            # substring probe for IDAT would silently demote valid PNGs
+            # whose IDAT sits past the probe window behind large
+            # ancillary chunks (ICC profiles, text) to header-only
+            # meta (ADVICE r6).
+            if payload[:8] == _PNG_SIG:
                 try:
                     w, h, mode, _ = decode_png_pixels(payload)
                     return {"width": w, "height": h, "mode": mode}
@@ -245,19 +249,38 @@ def decode_png_pixels(payload: bytes, max_pixels: int = 4_000_000,
             recon = cur
         elif ftype == 2:        # Up — fully vectorized
             recon = (cur + prev) & 0xFF
-        elif ftype in (1, 3, 4):
-            recon = cur.copy()
-            for x in range(stride):
-                a = recon[x - bpp] if x >= bpp else 0
-                if ftype == 1:      # Sub
-                    recon[x] = (cur[x] + a) & 0xFF
-                elif ftype == 3:    # Average
-                    recon[x] = (cur[x] + (a + prev[x]) // 2) & 0xFF
-                else:               # Paeth
-                    c0 = prev[x - bpp] if x >= bpp else 0
-                    recon[x] = (cur[x]
-                                + _paeth(int(a), int(prev[x]), int(c0))
-                                ) & 0xFF
+        elif ftype == 1:        # Sub — also fully vectorized (ADVICE
+            # r6): recon[x] = cur[x] + recon[x-bpp] (mod 256) is a
+            # prefix sum over each of the bpp interleaved lanes, and
+            # mod distributes over +, so cumsum then mask once.
+            recon = (np.cumsum(cur.reshape(width, bpp), axis=0)
+                     & 0xFF).reshape(stride)
+        elif ftype in (3, 4):   # Average/Paeth — true sequential
+            # dependency along x (floor-div / branchy predictor), no
+            # closed form; but plain-int list loops beat per-element
+            # numpy indexing ~10× (ADVICE r6: the old loop was tens of
+            # seconds per image at the 4M-pixel budget).
+            c_l, p_l = cur.tolist(), prev.tolist()
+            rec = [0] * stride
+            if ftype == 3:      # Average
+                for x in range(stride):
+                    a = rec[x - bpp] if x >= bpp else 0
+                    rec[x] = (c_l[x] + ((a + p_l[x]) >> 1)) & 0xFF
+            else:               # Paeth (predictor inlined from _paeth)
+                for x in range(stride):
+                    a = rec[x - bpp] if x >= bpp else 0
+                    b = p_l[x]
+                    c0 = p_l[x - bpp] if x >= bpp else 0
+                    pa_s, pb_s = b - c0, a - c0
+                    pc = pa_s + pb_s
+                    pa = -pa_s if pa_s < 0 else pa_s
+                    pb = -pb_s if pb_s < 0 else pb_s
+                    if pc < 0:
+                        pc = -pc
+                    pred = (a if pa <= pb and pa <= pc
+                            else (b if pb <= pc else c0))
+                    rec[x] = (c_l[x] + pred) & 0xFF
+            recon = np.asarray(rec, dtype=np.int64)
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[r] = recon

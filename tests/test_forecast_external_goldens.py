@@ -531,3 +531,75 @@ def test_prophet_map_recovers_noiseless_piecewise_weekly_series():
     # quirk 2 (R:381-382): single band duplicated into both pairs
     np.testing.assert_array_equal(fc["lower1"], fc["lower2"])
     np.testing.assert_array_equal(fc["upper1"], fc["upper2"])
+
+
+def test_prophet_map_noisy_series_tolerance_golden():
+    """Prophet MAP golden with OBSERVATION NOISE (r6 verdict item 6):
+    the noiseless golden above pins the analytically-known sigma->0
+    limit; this one pins behavior where the L1(Stan)-vs-L2(ridge) prior
+    difference actually matters.
+
+    The container has no `prophet`/Stan to record a side-by-side run
+    against (the documented M10 fidelity boundary), so the tolerance
+    bands are derived from estimation theory rather than a recorded
+    Stan trace, and a second layer pins the CURRENT fit's outputs as
+    regression constants so any fidelity drift in the MAP skeleton
+    (optimizer, EB fixed point, scaling) is caught even inside the
+    analytic bands:
+
+    - layer 1 (correctness vs truth): same generating process as the
+      noiseless golden + seeded N(0,1) noise, n=140.  OLS theory gives
+      SE(slope) ~ sigma*sqrt(12/n^3) per segment ~ 0.04/day on 80-point
+      segments, SE(Fourier coef) = sigma*sqrt(2/n) ~ 0.12, so 3-sigma
+      bands: slope +-0.12, total slope change +-0.2, coefs +-0.35.
+      With noise the near-collinear hinge design spreads the -0.75
+      break over a wider grid window than the noiseless case (an L1
+      prior would concentrate it more — exactly the documented
+      L1-vs-L2 deviation), so the localization assertion weakens to
+      "the break mass is negative everywhere it leaks and sums to
+      ~-0.75 overall".
+    - layer 2 (drift regression): constants recorded from this
+      implementation at r7 (numpy lstsq path, EB lambda fixed point);
+      atol 1e-3 tolerates BLAS reassociation across hosts while
+      catching any real model change.
+    """
+    from qrapids_forecast_r_script_spark.forecast.models.prophet_like import (
+        fit_prophet_like)
+
+    t = np.arange(140.0)
+    g = 10 + 0.5 * np.minimum(t, 60) - 0.25 * np.maximum(t - 60, 0)
+    s = 2 * np.sin(2 * np.pi * t / 7) + 1 * np.cos(4 * np.pi * t / 7)
+    rng = np.random.default_rng(20260815)
+    y = g + s + rng.standard_normal(140)
+    m = fit_prophet_like(t, y)
+
+    assert m.season_spec == [(7.0, 3)]
+    # --- layer 1: analytic tolerance bands vs the generating truth ---
+    slope = m.k * m.y_scale / m.t_scale
+    delta_sum = float(np.sum(m.deltas * m.y_scale / m.t_scale))
+    assert abs(m.b0 * m.y_scale - 10.0) < 0.5
+    assert abs(slope - 0.5) < 0.12
+    assert abs(delta_sum - (-0.75)) < 0.2
+    np.testing.assert_allclose(m.coef * m.y_scale, [2, 0, 0, 1, 0, 0],
+                               atol=0.35)
+    h = np.arange(140.0, 147.0)
+    truth = (10 + 0.5 * 60 - 0.25 * (h - 60)
+             + 2 * np.sin(2 * np.pi * h / 7)
+             + 1 * np.cos(4 * np.pi * h / 7))
+    fc = m.forecast(7)
+    np.testing.assert_allclose(fc["mean"], truth, atol=1.0)
+    np.testing.assert_array_equal(fc["lower1"], fc["lower2"])
+    np.testing.assert_array_equal(fc["upper1"], fc["upper2"])
+    # --- layer 2: pinned regression constants (recorded r7) ---
+    np.testing.assert_allclose(m.b0 * m.y_scale, 9.935589, atol=1e-3)
+    np.testing.assert_allclose(slope, 0.543668, atol=1e-3)
+    np.testing.assert_allclose(delta_sum, -0.805126, atol=1e-3)
+    np.testing.assert_allclose(
+        m.coef * m.y_scale,
+        [2.256284, -0.162145, 0.006889, 1.031122, -0.079457, -0.032836],
+        atol=1e-3)
+    np.testing.assert_allclose(
+        fc["mean"],
+        [21.104612, 21.442331, 21.091003, 21.176503, 19.122817,
+         15.788937, 16.662495],
+        atol=1e-3)

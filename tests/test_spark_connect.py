@@ -69,10 +69,17 @@ def test_connect_roundtrip_when_available(sf_dir):
              .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '4')}]")
              .appName("qrapids-connect-roundtrip")
              .getOrCreate())
+    # ADVICE r6: with grpcio present, getOrCreate() may hand back the
+    # suite's already-running CLASSIC conftest session (an existing
+    # session ignores spark.api.mode), and the finally-stop below would
+    # tear down the shared fixture and break the rest of the suite.
+    # Only proceed — and only ever stop — a session we can PROVE is a
+    # Connect one; otherwise skip without touching it.
+    if not spark.__class__.__module__.startswith("pyspark.sql.connect"):
+        pytest.skip("getOrCreate returned the existing classic session; "
+                    "cannot start an in-process Connect server here "
+                    "without tearing it down")
     try:
-        # a Connect session has no sparkContext — prove we got one
-        assert not hasattr(spark, "sparkContext") or \
-            spark.__class__.__module__.startswith("pyspark.sql.connect")
         df = E.queries()["part_filter_projection"](spark, sf_dir)
         assert df.count() >= 0
     finally:
