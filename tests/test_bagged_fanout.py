@@ -73,3 +73,39 @@ def test_bagged_fanout_rowcount_on_short_series(spark):
         assert (np.isnan(av) == np.isnan(bv)).all(), (c, av, bv)
         ok = ~np.isnan(av)
         np.testing.assert_allclose(av[ok], bv[ok], rtol=0, atol=1e-9)
+
+
+def test_run_members_bounded_cache_interleaved_series():
+    """ADVICE r6: the per-partition replicate cache is bounded (LRU 2).
+    Feed the worker function a WORST-CASE interleaved batch — rows
+    alternate between 4 distinct series so nearly every row evicts —
+    and assert the member forecasts still exactly equal a direct
+    regenerate-and-fit per row.  Correctness must be cache-invariant;
+    only regeneration count may differ."""
+    import pandas as pd
+
+    from qrapids_forecast_r_script_spark.forecast.bagged_fanout import (
+        _run_members)
+    from qrapids_forecast_r_script_spark.forecast.models.bagged import (
+        mbb_bootstrap)
+    from qrapids_forecast_r_script_spark.forecast.models.common import (
+        seeded_rng)
+    from qrapids_forecast_r_script_spark.forecast.models.ets import fit_ets
+
+    rng = np.random.default_rng(11)
+    series = {f"s{j}": (20 + np.arange(40.0)
+                        + 3 * np.sin(np.arange(40) / 3.0)
+                        + rng.normal(0, 0.3, 40)) for j in range(4)}
+    rows = [{"name": n, "index": "t", "rep": r,
+             "y": series[n].tolist()}
+            for r in range(3) for n in series]  # interleaved on purpose
+    pdf = pd.DataFrame(rows)
+    fn = _run_members(frequency=7, horizon=5, num=3)
+    out = pd.concat(list(fn(iter([pdf]))), ignore_index=True)
+    assert (out["kind"] == "member").all()
+    assert len(out) == len(rows)
+    for row in out.itertuples(index=False):
+        reps = mbb_bootstrap(np.asarray(series[row.name], float), 7, 3,
+                             seeded_rng(row.name, "t", "BAGGEDETS", "mbb"))
+        want = fit_ets(reps[row.rep], 7, damped=None).point_forecast(5)
+        np.testing.assert_allclose(row.points, want, rtol=0, atol=0)

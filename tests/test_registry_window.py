@@ -2,13 +2,16 @@
 
 The per-round driver hash-checks only the FIRST ~50 entries of
 ``__spark_entry__.queries()`` — the ordering is deliberate signal
-allocation.  Round 6 (r5 verdict item 1) spends every slot on
-never-driver-checked queries that carry an exact DuckDB oracle — zero
-rows-only entries: the next 50 of the 142-query backlog in
-merged-registry module order (head ``media_image_header_meta``, then
-``ips_policy_value``).  A registry edit that silently reorders or
-un-oracles the window would cost a round of correctness signal; this
-test pins the contract.
+allocation.  Round 7 (r6 verdict item 1) starts the post-drain
+RE-VERIFY rotation: 47 first-signal slots (the head of the 92-query
+never-driver-checked oracled backlog in merged-registry module order)
++ 1 first-signal PROMOTION (`events_stream_stream_left_join`, pulled
+forward from backlog position 79 as the most drift-exposed
+never-checked query) + 2 re-verify slots for previously-green
+high-risk queries (`events_tws_running_totals` r5-green stateful TWS,
+`ucb1_replay_policy` r5-green recursive-CTE).  A registry edit that
+silently reorders, un-oracles, or re-allocates the window would cost
+a round of correctness signal; this test pins the contract.
 
 Checked-set derivation (ADVICE r5, low #1): the tests used to hardcode
 the prior-round list while ``_registries()`` derives its hedge from a
@@ -31,8 +34,12 @@ WINDOW = 50
 # round (or later) contain the window's own driver rows once the driver
 # runs, so the planning-time checked-set must exclude them; the hedge
 # in _registries() deliberately includes them (it self-updates).
-CURRENT_ROUND = 6
-CHANGED_THIS_ROUND: set[str] = set()
+CURRENT_ROUND = 7
+# r7 window-policy slots that are NOT first-signal-in-order, each with
+# its documented reason (__spark_entry__.py window comment):
+RE_VERIFY_SLOTS = {"events_tws_running_totals", "ucb1_replay_policy"}
+PROMOTED_SLOTS = {"events_stream_stream_left_join"}
+N_FIRST_SIGNAL_IN_ORDER = WINDOW - len(RE_VERIFY_SLOTS) - len(PROMOTED_SLOTS)
 
 
 def _checked(max_round: int | None = None) -> set[str]:
@@ -67,34 +74,46 @@ def test_window_is_exactly_fifty():
 
 
 def test_window_is_fully_oracled():
-    """r5 verdict item 1: zero rows-only slots this round — every window
-    query must carry an exact DuckDB oracle."""
+    """Every window query must carry an exact DuckDB oracle — zero
+    rows-only slots (standing policy since r5 verdict item 1)."""
     qs, oracles = E.queries(), E.oracle_sql()
     window = list(qs)[:WINDOW]
     rows_only = [n for n in window if n not in oracles]
     assert not rows_only, rows_only
 
 
-def test_no_window_slot_wasted_on_already_checked_queries():
-    """Every slot goes to a query that has never had a driver row in any
-    prior round's CORRECTNESS file (245 distinct queries checked over
-    r1-r5; re-checking any would burn first-signal capacity).  Uses the
-    planning-time checked-set (rounds < CURRENT_ROUND) so the window's
-    own rows landing in CORRECTNESS_r06 don't self-flag."""
+def test_first_signal_slots_never_had_a_driver_row():
+    """Every slot OUTSIDE the declared re-verify set goes to a query
+    that has never had a driver row in any prior round's CORRECTNESS
+    file (295 distinct queries checked over r1-r6; an undeclared
+    re-check would burn first-signal capacity).  Uses the planning-time
+    checked-set (rounds < CURRENT_ROUND) so the window's own rows
+    landing in CORRECTNESS_r07 don't self-flag."""
     checked = _checked(max_round=CURRENT_ROUND)
     rechecks = [n for n in E.FRONT_WINDOW
-                if n in checked and n not in CHANGED_THIS_ROUND]
+                if n in checked and n not in RE_VERIFY_SLOTS]
     assert not rechecks, rechecks
 
 
+def test_re_verify_slots_are_actually_previously_green():
+    """The rotation slots must RE-verify — each declared re-verify
+    query needs a prior-round driver row; spending a rotation slot on
+    a never-checked query would mislabel first-signal as re-verify."""
+    checked = _checked(max_round=CURRENT_ROUND)
+    not_prior = [n for n in RE_VERIFY_SLOTS if n not in checked]
+    assert not not_prior, not_prior
+    assert RE_VERIFY_SLOTS <= set(E.FRONT_WINDOW)
+
+
 def test_window_follows_registry_order_of_the_backlog():
-    """The 50 slots are the first never-checked oracled queries in
-    MODULE-REGISTRY order, so the r7 window resumes deterministically at
-    backlog position 51.  The derivation is recomputed here from the
-    module blocks WITHOUT the front-window pin — a registry insertion
-    that would silently skip a backlog query changes the recomputed head
-    and fails this test."""
-    # queries registered AFTER the r6 window was frozen (freeze budget
+    """The first-signal slots are the head of the never-checked oracled
+    backlog in MODULE-REGISTRY order — 47 in-order + the declared
+    promotion — so r8 resumes deterministically at the displaced names.
+    The derivation is recomputed here from the module blocks WITHOUT
+    the front-window pin — a registry insertion that would silently
+    skip a backlog query changes the recomputed head and fails this
+    test."""
+    # queries registered AFTER the r7 window was frozen (freeze budget
     # ≤ +10; each oracled addition must be listed here or this fails —
     # rows-only additions don't enter the oracled backlog)
     registered_after_freeze: set[str] = set()
@@ -108,9 +127,17 @@ def test_window_follows_registry_order_of_the_backlog():
     backlog = [n for n in module_order
                if n not in checked and n in oracles
                and n not in registered_after_freeze]
-    assert E.FRONT_WINDOW == backlog[:WINDOW], (
-        "window must be exactly the head of the never-checked oracled "
-        "backlog in module order")
+    first_signal = [n for n in E.FRONT_WINDOW if n not in RE_VERIFY_SLOTS]
+    # 47 in backlog order, then the promotion (which must itself be a
+    # backlog member, just out of order)
+    assert first_signal[:N_FIRST_SIGNAL_IN_ORDER] == \
+        backlog[:N_FIRST_SIGNAL_IN_ORDER], (
+        "first-signal slots must be exactly the head of the "
+        "never-checked oracled backlog in module order")
+    assert first_signal[N_FIRST_SIGNAL_IN_ORDER:] == \
+        sorted(PROMOTED_SLOTS), "promotion slots changed"
+    assert PROMOTED_SLOTS <= set(backlog), (
+        "a promoted slot must be a never-checked oracled backlog query")
 
 
 def test_backlog_hedge_block_is_first_signal_in_order():
