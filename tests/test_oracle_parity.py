@@ -15,6 +15,14 @@ on a SEQUENTIAL path: events_tws_running_totals scopes a global
 state-store conf around its run and micro-batch checkpoints are
 touchy under concurrent session use — correctness of the gate beats
 wall time there.
+
+Temp-view safety under threading (audited r7): every recursive-CTE
+query registers a UNIQUE ``qr_*`` view name; the only shared names
+(``orders``, ``customer`` in relational_more, the table names in
+sources/registry) are always re-registered with IDENTICAL content for
+a given sf_dir, so a concurrent createOrReplaceTempView is a no-op
+replace.  A new query that registers a shared view name with
+DIFFERENT content must go on the sequential path.
 """
 
 from concurrent.futures import ThreadPoolExecutor
