@@ -478,22 +478,30 @@ def main() -> None:
     # stdout contract (r6 verdict item 2): the FINAL stdout line must be
     # a compact headline JSON that fits the driver's 2000-char tail so
     # its "parsed" field stops being null; the full per-query map lives
-    # only in the BENCH_LOCAL_* artifact above.  The driver schema wants
-    # a "queries" key, so keep the slowest entries up to a hard ~1500
-    # char budget instead of dropping the key entirely.
+    # only in the BENCH_LOCAL_* artifact above.
+    print(headline_line(payload))
+
+
+def headline_line(payload: dict, char_budget: int = 1500) -> str:
+    """The compact final-stdout JSON line (unit-tested contract,
+    tests/test_bench_contract.py): everything in ``payload`` except
+    the full per-query map — the driver schema wants a "queries" key,
+    so keep the SLOWEST entries up to a hard ``char_budget`` instead
+    of dropping the key entirely; "skipped" collapses to a count."""
     headline = {k: v for k, v in payload.items() if k != "queries"}
-    if skipped:  # keep the compact line compact: count, not the map
-        headline["skipped"] = len(skipped)
+    if "skipped" in headline:  # keep the compact line compact
+        headline["skipped"] = len(headline["skipped"])
     headline["queries"] = {}
     headline["queries_truncated_to_slowest"] = 0
-    for qname, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
+    for qname, secs in sorted(payload.get("queries", {}).items(),
+                              key=lambda kv: -kv[1]):
         headline["queries"][qname] = secs
         headline["queries_truncated_to_slowest"] = len(headline["queries"])
-        if len(json.dumps(headline)) > 1500:
+        if len(json.dumps(headline)) > char_budget:
             del headline["queries"][qname]
             headline["queries_truncated_to_slowest"] = len(headline["queries"])
             break
-    print(json.dumps(headline))
+    return json.dumps(headline)
 
 
 if __name__ == "__main__":
