@@ -3723,3 +3723,419 @@ EVAL_ORACLES["friedman_method_ranks"] = f"""
     FROM terms t CROSS JOIN meta m
     ORDER BY t.method
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: the four missing forecast-EVALUATION surfaces around
+# the reference's method registry (R:6-14) — scaled accuracy (MASE),
+# method-comparison significance (Diebold-Mariano), and the two formal
+# Box-Jenkins identification reads (Ljung-Box portmanteau, PACF) that sit
+# next to `series_acf` exactly where the reference's auto.arima grid
+# (R:84-95) consumes them.
+
+def forecast_mase_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE — Mean Absolute Scaled Error (Hyndman & Koehler 2006, the
+    M4-competition headline metric) for the four closed-form
+    forecasters on the 7-point holdout: MAE scaled by the IN-SAMPLE
+    seasonal-naive MAE over the training slice, so scores are
+    comparable ACROSS series of different magnitudes — the number the
+    plain MAE/RMSE table (`backtest_closed_forms`) cannot give, and
+    the standard way a forecasting service aggregates accuracy over
+    its whole series portfolio.  MASE < 1 = better than repeating
+    last week.
+
+    Exactness: mae and scale are each 6dp-rounded averages (the
+    established backtest discipline); the ratio divides the two
+    ROUNDED values and re-rounds, so the beats flag can never flip
+    on float noise.  A zero scale (constant-weekly train) yields
+    NULL MASE on both engines (nullif).
+
+    Scale shape: rides the shared holdout-preds frame plus ONE extra
+    per-series train aggregate — both keyed by the series key;
+    nothing new shuffles."""
+    from pyspark.sql.window import Window
+
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    wall = Window.partitionBy("name", "index")
+    t = (metrics
+         .withColumn("t", F.row_number().over(w) - 1)
+         .withColumn("n", F.count(F.lit(1)).over(wall))
+         .withColumn("lag7", F.lag("value", 7).over(w)))
+    scale = (t.where((F.col("t") < F.col("n") - 7)
+                     & F.col("lag7").isNotNull())
+             .groupBy("name", "index")
+             .agg(F.round(F.avg(F.abs(F.col("value") - F.col("lag7"))),
+                          _ROUND).alias("scale")))
+    preds = _holdout_preds(spark, sf_dir)
+    err = F.abs(F.col("value") - F.col("pred"))
+    sc = (preds.groupBy("name", "index", "method")
+          .agg(F.count(err).alias("n_scored"),
+               F.round(F.avg(err), _ROUND).alias("mae")))
+    mase = F.round(F.col("mae") / F.nullif(F.col("scale"), F.lit(0.0)),
+                   _ROUND)
+    return (sc.join(scale, ["name", "index"])
+            .select("name", "index", "method", "n_scored", "mae",
+                    F.col("scale").alias("snaive_insample_mae"),
+                    mase.alias("mase"),
+                    (mase < 1.0).alias("beats_snaive_insample"))
+            .orderBy("name", "index", "method"))
+
+
+EVAL_QUERIES["forecast_mase_scores"] = forecast_mase_scores
+EVAL_ORACLES["forecast_mase_scores"] = f"""
+    WITH {_BT_PREDS_SQL},
+    scale AS (
+        SELECT name, index,
+               round(avg(abs(value - lag7)), {_ROUND}) AS scale
+        FROM t WHERE t < n - 7 AND lag7 IS NOT NULL
+        GROUP BY 1, 2
+    ), sc AS (
+        SELECT name, index, method,
+               CAST(count(abs(value - pred)) AS BIGINT) AS n_scored,
+               round(avg(abs(value - pred)), {_ROUND}) AS mae
+        FROM preds GROUP BY 1, 2, 3
+    )
+    SELECT s.name, s.index, s.method, s.n_scored, s.mae,
+           c.scale AS snaive_insample_mae,
+           round(s.mae / nullif(c.scale, 0.0), {_ROUND}) AS mase,
+           round(s.mae / nullif(c.scale, 0.0), {_ROUND}) < 1.0
+               AS beats_snaive_insample
+    FROM sc s JOIN scale c USING (name, index)
+    ORDER BY s.name, s.index, s.method
+"""
+
+
+def forecast_dm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIEBOLD-MARIANO test (Diebold & Mariano 1995) of NAIVE vs
+    SNAIVE on the holdout: is the accuracy difference between two
+    forecasting methods statistically significant, or noise?  The
+    question every "method A beat method B by 3%" table silently
+    skips — and the inferential companion of `friedman_method_ranks`
+    (omnibus over all methods) for the head-to-head case.
+
+    Per series: loss differential d_t = e_NAIVE² − e_SNAIVE² over the
+    holdout points where both predict, DM = d̄ / sqrt(Var(d)/h)
+    against ±1.96 (the classic statistic; no HAC correction —
+    documented small-sample caveat at h = 7).  Positive DM ⇒ SNAIVE
+    has smaller loss.
+
+    Exactness: d_t snaps to the 1e-6 BIGINT grid (first pass), the
+    variance uses SECOND-pass centered deviations snapped at 1e-3 and
+    squared through 128-bit sums (the `series_cronbach_alpha` moment
+    idiom) — every aggregate is exact integer arithmetic under any
+    partitioning; Var(d)=0 degenerates to NULL DM on both engines.
+
+    Scale shape: two aggregates over the series key riding the shared
+    holdout frame; nothing quadratic."""
+    preds = _holdout_preds(spark, sf_dir)
+    n_ = (preds.where(F.col("method") == "NAIVE")
+          .select("name", "index", "h", "value",
+                  F.col("pred").alias("pn")))
+    s_ = (preds.where(F.col("method") == "SNAIVE")
+          .select("name", "index", "h", F.col("pred").alias("ps")))
+    en = F.col("value") - F.col("pn")
+    es = F.col("value") - F.col("ps")
+    dd = (n_.join(s_, ["name", "index", "h"])
+          .where(F.col("pn").isNotNull() & F.col("ps").isNotNull())
+          .select("name", "index",
+                  F.round((en * en - es * es) * 1e6, 0).cast("bigint")
+                  .alias("d6")))
+    a1 = (dd.groupBy("name", "index")
+          .agg(F.count(F.lit(1)).alias("n_points"),
+               F.sum("d6").alias("sd6")))
+    dev = F.col("d6") / 1e6 - F.col("sd6") / 1e6 / F.col("n_points")
+    dev3 = F.round(dev * 1e3, 0).cast("decimal(19,0)")
+    a2 = (dd.join(a1, ["name", "index"])
+          .select("name", "index", "n_points", "sd6",
+                  (dev3 * dev3).alias("dv"))
+          .groupBy("name", "index", "n_points", "sd6")
+          .agg(F.sum("dv").alias("sdv")))
+    nn = F.col("n_points").cast("double")
+    dbar = F.col("sd6") / 1e6 / nn
+    s2 = F.col("sdv").cast("double") / 1e6 / nn
+    dm = F.round(dbar / F.sqrt(F.nullif(s2, F.lit(0.0)) / nn), _ROUND)
+    return (a2.select(
+        "name", "index", "n_points",
+        F.round(dbar, _ROUND).alias("mean_loss_diff"),
+        dm.alias("dm_stat"),
+        F.lit(1.96).alias("z_crit_5pct"),
+        (F.abs(dm) > 1.96).alias("significant"),
+        F.when(dm.isNull() | (dm == 0.0), "TIE")
+        .when(dm > 0.0, "SNAIVE").otherwise("NAIVE")
+        .alias("lower_loss_method"))
+        .orderBy("name", "index"))
+
+
+EVAL_QUERIES["forecast_dm_test"] = forecast_dm_test
+EVAL_ORACLES["forecast_dm_test"] = f"""
+    WITH {_BT_PREDS_SQL},
+    dd AS (
+        SELECT n.name, n.index,
+               CAST(round(((n.value - n.pred) * (n.value - n.pred)
+                           - (n.value - s.pred) * (n.value - s.pred))
+                          * 1e6, 0) AS BIGINT) AS d6
+        FROM (SELECT * FROM preds WHERE method = 'NAIVE') n
+        JOIN (SELECT * FROM preds WHERE method = 'SNAIVE') s
+          USING (name, index, h)
+        WHERE n.pred IS NOT NULL AND s.pred IS NOT NULL
+    ), a1 AS (
+        SELECT name, index, CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(d6) AS BIGINT) AS sd6
+        FROM dd GROUP BY 1, 2
+    ), a2 AS (
+        SELECT d.name, d.index, a.n_points, a.sd6,
+               CAST(sum(CAST(round((d.d6 / 1e6
+                        - a.sd6 / 1e6 / a.n_points) * 1e3, 0)
+                        AS HUGEINT)
+                    * CAST(round((d.d6 / 1e6
+                        - a.sd6 / 1e6 / a.n_points) * 1e3, 0)
+                        AS HUGEINT)) AS HUGEINT) AS sdv
+        FROM dd d JOIN a1 a USING (name, index)
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT name, index, n_points,
+           round(sd6 / 1e6 / CAST(n_points AS DOUBLE), {_ROUND})
+               AS mean_loss_diff,
+           round((sd6 / 1e6 / CAST(n_points AS DOUBLE))
+                 / sqrt(nullif(CAST(sdv AS DOUBLE) / 1e6
+                               / CAST(n_points AS DOUBLE), 0.0)
+                        / CAST(n_points AS DOUBLE)), {_ROUND})
+               AS dm_stat,
+           CAST(1.96 AS DOUBLE) AS z_crit_5pct,
+           abs(round((sd6 / 1e6 / CAST(n_points AS DOUBLE))
+                 / sqrt(nullif(CAST(sdv AS DOUBLE) / 1e6
+                               / CAST(n_points AS DOUBLE), 0.0)
+                        / CAST(n_points AS DOUBLE)), {_ROUND})) > 1.96
+               AS significant,
+           CASE WHEN round((sd6 / 1e6 / CAST(n_points AS DOUBLE))
+                 / sqrt(nullif(CAST(sdv AS DOUBLE) / 1e6
+                               / CAST(n_points AS DOUBLE), 0.0)
+                        / CAST(n_points AS DOUBLE)), {_ROUND}) IS NULL
+                     OR round((sd6 / 1e6 / CAST(n_points AS DOUBLE))
+                 / sqrt(nullif(CAST(sdv AS DOUBLE) / 1e6
+                               / CAST(n_points AS DOUBLE), 0.0)
+                        / CAST(n_points AS DOUBLE)), {_ROUND}) = 0.0
+                THEN 'TIE'
+                WHEN round((sd6 / 1e6 / CAST(n_points AS DOUBLE))
+                 / sqrt(nullif(CAST(sdv AS DOUBLE) / 1e6
+                               / CAST(n_points AS DOUBLE), 0.0)
+                        / CAST(n_points AS DOUBLE)), {_ROUND}) > 0.0
+                THEN 'SNAIVE' ELSE 'NAIVE' END AS lower_loss_method
+    FROM a2 ORDER BY name, index
+"""
+
+
+_LB_LAGS = 7
+_CHI2_7DF_5PCT = 14.067140449340169   # chi2_0.95(7) literal
+
+
+def _acf_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series wide row (name, index, n_points, r1..r7) of
+    6dp-rounded autocorrelations — the shared input of
+    `series_ljung_box` and `series_pacf`, computed exactly the way
+    `series_acf` computes them (same lag windows, same centered-
+    product aggregate, same rounding boundary)."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    means = (metrics.groupBy("name", "index")
+             .agg(F.avg("value").alias("mu"),
+                  F.count(F.lit(1)).alias("n_points")))
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    lagged = metrics.select(
+        "name", "index", "value",
+        *[F.lag("value", k).over(w).alias(f"lag{k}")
+          for k in range(1, _LB_LAGS + 1)])
+    cen = lagged.join(F.broadcast(means), ["name", "index"])
+    d0 = F.col("value") - F.col("mu")
+    aggs = [F.sum(d0 * d0).alias("c0"),
+            F.max("n_points").alias("n_points")]
+    for k in range(1, _LB_LAGS + 1):
+        dk = F.col(f"lag{k}") - F.col("mu")
+        aggs.append(F.sum(F.when(F.col(f"lag{k}").isNotNull(),
+                                 d0 * dk)).alias(f"c{k}"))
+    a = cen.groupBy("name", "index").agg(*aggs)
+    return a.select(
+        "name", "index", "n_points",
+        *[F.round(F.col(f"c{k}") / F.nullif(F.col("c0"), F.lit(0.0)),
+                  _ROUND).alias(f"r{k}")
+          for k in range(1, _LB_LAGS + 1)])
+
+
+_ACF_WIDE_SQL = f"""m AS ({_METRICS_EVENTS}),
+    means AS (
+        SELECT name, index, avg(value) AS mu, count(*) AS n_points
+        FROM m GROUP BY 1, 2
+    ), lagged AS (
+        SELECT name, index, value,
+               {", ".join(f"lag(value, {k}) OVER w AS lag{k}"
+                          for k in range(1, _LB_LAGS + 1))}
+        FROM m WINDOW w AS (PARTITION BY name, index
+                            ORDER BY evaluationDate)
+    ), acfa AS (
+        SELECT l.name, l.index,
+               CAST(max(ms.n_points) AS BIGINT) AS n_points,
+               sum((l.value - ms.mu) * (l.value - ms.mu)) AS c0,
+               {", ".join(
+                   f"sum(CASE WHEN l.lag{k} IS NOT NULL THEN "
+                   f"(l.value - ms.mu) * (l.lag{k} - ms.mu) END) AS c{k}"
+                   for k in range(1, _LB_LAGS + 1))}
+        FROM lagged l JOIN means ms USING (name, index)
+        GROUP BY 1, 2
+    ), wide AS (
+        SELECT name, index, n_points,
+               {", ".join(f"round(c{k} / nullif(c0, 0.0), 6) AS r{k}"
+                          for k in range(1, _LB_LAGS + 1))}
+        FROM acfa
+    )"""
+
+
+def series_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX portmanteau test per metric series (Ljung & Box
+    1978): Q = n(n+2) Σ_{{k=1..7}} ρ̂_k²/(n−k) against the literal
+    χ²(7) 5% value — the FORMAL "is this white noise" verdict that
+    `series_acf`'s per-lag band eyeballs one lag at a time (the
+    joint test controls the family-wise error the 7 individual
+    bands do not).  This is the residual-diagnostic the Box-Jenkins
+    loop runs after every ARIMA fit (R:84-95) before accepting an
+    order, and the pre-fit screen that says whether a series needs a
+    model at all.
+
+    Exactness: ρ̂_k arrive 6dp-rounded exactly as `series_acf`
+    computes them; each summand snaps to the 1e-9 BIGINT grid so the
+    7-term sum is exact integer arithmetic; Q is then ONE fixed
+    expression of that sum.  Degenerate series (zero variance)
+    yield NULL Q on both engines.
+
+    Scale: same per-series lag windows + one aggregate as the ACF —
+    nothing beyond the series-key shuffle."""
+    wide = _acf_wide(spark, sf_dir)
+    nn = F.col("n_points").cast("double")
+    terms = None
+    for k in range(1, _LB_LAGS + 1):
+        tk = F.round(F.col(f"r{k}") * F.col(f"r{k}")
+                     / F.nullif(nn - F.lit(float(k)), F.lit(0.0))
+                     * 1e9, 0).cast("bigint")
+        terms = tk if terms is None else terms + tk
+    q = F.round(nn * (F.col("n_points") + 2) * (terms / F.lit(1e9)),
+                _ROUND)
+    return (wide.select(
+        "name", "index", "n_points",
+        F.lit(_LB_LAGS).alias("lags"),
+        q.alias("q_stat"),
+        F.lit(_CHI2_7DF_5PCT).alias("chi2_crit_5pct"),
+        (q > F.lit(_CHI2_7DF_5PCT)).alias("reject_white_noise"))
+        .orderBy("name", "index"))
+
+
+EVAL_QUERIES["series_ljung_box"] = series_ljung_box
+_LB_TERMS_SQL = " + ".join(
+    f"CAST(round(r{k} * r{k} / nullif(CAST(n_points AS DOUBLE) - {k}.0,"
+    f" 0.0) * 1e9, 0) AS BIGINT)"
+    for k in range(1, _LB_LAGS + 1))
+EVAL_ORACLES["series_ljung_box"] = f"""
+    WITH {_ACF_WIDE_SQL}
+    SELECT name, index, n_points, CAST({_LB_LAGS} AS INT) AS lags,
+           round(CAST(n_points AS DOUBLE) * (n_points + 2)
+                 * (({_LB_TERMS_SQL}) / 1e9), {_ROUND}) AS q_stat,
+           CAST({_CHI2_7DF_5PCT!r} AS DOUBLE) AS chi2_crit_5pct,
+           round(CAST(n_points AS DOUBLE) * (n_points + 2)
+                 * (({_LB_TERMS_SQL}) / 1e9), {_ROUND})
+               > {_CHI2_7DF_5PCT!r} AS reject_white_noise
+    FROM wide ORDER BY name, index
+"""
+
+
+def series_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL autocorrelation function at lags 1..7 per metric
+    series via the DURBIN-LEVINSON recursion (Durbin 1960) — the
+    OTHER half of Box-Jenkins identification: the ACF reads off the
+    MA order (cuts off after q), the PACF reads off the AR order
+    (cuts off after p).  Together with `series_acf` this is the
+    complete order-selection diagnostic pair behind the reference's
+    auto.arima grid (R:84-95).
+
+    Durbin-Levinson unrolled to depth 7: φ_kk = (ρ_k − Σ_j φ_{{k−1,j}}
+    ρ_{{k−j}}) / (1 − Σ_j φ_{{k−1,j}} ρ_j), φ_kj = φ_{{k−1,j}} −
+    φ_kk φ_{{k−1,k−j}}.  Exactness: the input ρ̂ are 6dp-rounded
+    (identical to `series_acf`), every φ snaps to 1e-9 between
+    levels, and both engines evaluate the SAME fixed expression tree
+    left-to-right — the unrolled-recursion discipline of the kmeans/
+    PageRank/platt operators.  A degenerate level (unit denominator
+    hits 0, or NULL ρ̂ from a zero-variance series) propagates NULL
+    through the remaining levels on both engines.
+
+    Scale: the recursion depth is the constant 7 — per series this
+    is 28 scalar expressions over one wide row; cost stays the ACF's
+    series-key shuffle."""
+    wide = _acf_wide(spark, sf_dir)
+    cur = wide.withColumn("p1_1", F.round(F.col("r1"), 9))
+    for k in range(2, _LB_LAGS + 1):
+        num = None
+        den = None
+        for j in range(1, k):
+            nt = F.col(f"p{k-1}_{j}") * F.col(f"r{k-j}")
+            dt = F.col(f"p{k-1}_{j}") * F.col(f"r{j}")
+            num = nt if num is None else num + nt
+            den = dt if den is None else den + dt
+        pkk = F.round((F.col(f"r{k}") - num)
+                      / F.nullif(F.lit(1.0) - den, F.lit(0.0)), 9)
+        cur = cur.withColumn(f"p{k}_{k}", pkk)
+        for j in range(1, k):
+            cur = cur.withColumn(
+                f"p{k}_{j}",
+                F.round(F.col(f"p{k-1}_{j}")
+                        - F.col(f"p{k}_{k}") * F.col(f"p{k-1}_{k-j}"),
+                        9))
+    stack_args = ", ".join(f"{k}L, round(p{k}_{k}, {_ROUND})"
+                           for k in range(1, _LB_LAGS + 1))
+    long = cur.select(
+        "name", "n_points",
+        F.expr(f"stack({_LB_LAGS}, {stack_args}) AS (lag, pacf)"))
+    band = F.round(F.lit(1.96)
+                   / F.sqrt(F.col("n_points").cast("double")), _ROUND)
+    return (long
+            .withColumn("wn_band", band)
+            .withColumn("significant", F.abs("pacf") > F.col("wn_band"))
+            .select("name", "lag", "n_points", "pacf", "wn_band",
+                    "significant")
+            .orderBy("name", "lag"))
+
+
+def _pacf_levels_sql() -> str:
+    """Chained CTEs lv1..lv7 replaying the Durbin-Levinson unroll with
+    the exact expression shapes of the Spark side."""
+    ctes = ["lv1 AS (SELECT *, round(r1, 9) AS p1_1 FROM wide)"]
+    prev = "lv1"
+    for k in range(2, _LB_LAGS + 1):
+        num = " + ".join(f"p{k-1}_{j} * r{k-j}" for j in range(1, k))
+        den = " + ".join(f"p{k-1}_{j} * r{j}" for j in range(1, k))
+        ctes.append(
+            f"lv{k}a AS (SELECT *, round((r{k} - ({num}))"
+            f" / nullif(1.0 - ({den}), 0.0), 9) AS p{k}_{k}"
+            f" FROM {prev})")
+        upd = ", ".join(
+            f"round(p{k-1}_{j} - p{k}_{k} * p{k-1}_{k-j}, 9)"
+            f" AS p{k}_{j}" for j in range(1, k))
+        ctes.append(f"lv{k} AS (SELECT *, {upd} FROM lv{k}a)")
+        prev = f"lv{k}"
+    return ",\n    ".join(ctes)
+
+
+EVAL_QUERIES["series_pacf"] = series_pacf
+EVAL_ORACLES["series_pacf"] = f"""
+    WITH {_ACF_WIDE_SQL},
+    {_pacf_levels_sql()},
+    long AS (
+        {" UNION ALL ".join(
+            f"SELECT name, CAST({k} AS BIGINT) AS lag, n_points, "
+            f"round(p{k}_{k}, {_ROUND}) AS pacf FROM lv{_LB_LAGS}"
+            for k in range(1, _LB_LAGS + 1))}
+    )
+    SELECT name, lag, n_points, pacf,
+           round(1.96 / sqrt(CAST(n_points AS DOUBLE)), {_ROUND})
+               AS wn_band,
+           abs(pacf) > round(1.96 / sqrt(CAST(n_points AS DOUBLE)),
+                             {_ROUND}) AS significant
+    FROM long ORDER BY name, lag
+"""

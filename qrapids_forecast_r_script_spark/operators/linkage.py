@@ -209,3 +209,87 @@ ORACLES["blocking_quality_metrics"] = f"""
                AS pairs_completeness
     FROM c1 CROSS JOIN c2 CROSS JOIN na CROSS JOIN nb
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7: phonetic blocking keys — the third classical blocking family
+# next to the suffix blocking above and the dedup layer's LSH banding.
+
+def phonetic_token_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHONETIC blocking-key audit over the corpus vocabulary: group
+    the distinct alphabetic tokens of `documents` by their American
+    SOUNDEX code (Russell 1918/1922; the blocking key of Fellegi-
+    Sunter-era record linkage and still Christen 2012's first-listed
+    standard blocking scheme) and emit every code holding ≥ 2 distinct
+    tokens — the candidate sets a phonetic-blocked linkage or
+    spelling-variant expansion would compare, with per-code token and
+    occurrence counts sizing each block before the quadratic compare
+    step (the `join_key_skew_profile` read, phonetically keyed).
+
+    Spark side: the BUILT-IN `soundex` (JVM whole-stage codegen, no
+    UDF).  The oracle replays the exact algorithm relationally —
+    translate letters to digit codes (H/W→9), drop the 9s (the H/W
+    rule: consonants separated only by H or W collapse), collapse
+    adjacent duplicate digits, drop the first code unless the word
+    starts with H/W, strip the vowel 0s, pad to 4 — pinned against
+    Spark's output over the full corpus vocabulary plus the NARA
+    golden words in tests.
+
+    Scale: one token explode (map-side), one vocabulary-bounded
+    distinct-token aggregate, one code-keyed regroup — block sizes,
+    never candidate pairs, leave the query."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+            .where(F.col("tok").rlike("^[A-Za-z]+$")))
+    per_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("occ"))
+    coded = per_tok.select(F.soundex(F.upper("tok")).alias("code"),
+                           "tok", "occ")
+    return (coded.groupBy("code")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("occ").alias("n_occurrences"),
+                 F.array_join(F.array_sort(F.collect_list("tok")), ",")
+                 .alias("tokens"))
+            .where(F.col("n_tokens") >= 2)
+            .orderBy("code"))
+
+
+QUERIES["phonetic_token_groups"] = phonetic_token_groups
+
+# American Soundex letter→code table: vowels (AEIOUY)→0, H/W→9 (the
+# removable non-separators), consonant classes 1-6.
+_SOUNDEX_TR = "01230129022455012623019202"
+# collapse runs of each digit (RE2 has no backreferences)
+_SOUNDEX_COLLAPSE = "s1"
+for _d in "0123456":
+    _SOUNDEX_COLLAPSE = (f"regexp_replace({_SOUNDEX_COLLAPSE}, "
+                         f"'{_d}{_d}+', '{_d}', 'g')")
+
+ORACLES["phonetic_token_groups"] = f"""
+    WITH toks AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS occ FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+        WHERE regexp_full_match(tok, '[A-Za-z]+')
+        GROUP BY tok
+    ), up AS (
+        SELECT tok, occ, upper(tok) AS u FROM toks
+    ), c1 AS (
+        SELECT tok, occ, u,
+               replace(translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                 '{_SOUNDEX_TR}'), '9', '') AS s1
+        FROM up
+    ), c2 AS (
+        SELECT tok, occ, u, {_SOUNDEX_COLLAPSE} AS s2 FROM c1
+    ), c3 AS (
+        SELECT tok, occ,
+               substr(u, 1, 1)
+               || substr(replace(CASE WHEN substr(u, 1, 1) IN ('H', 'W')
+                                      THEN s2 ELSE substr(s2, 2) END,
+                                 '0', '') || '000', 1, 3) AS code
+        FROM c2
+    )
+    SELECT code, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(occ) AS BIGINT) AS n_occurrences,
+           string_agg(tok, ',' ORDER BY tok) AS tokens
+    FROM c3 GROUP BY code HAVING count(*) >= 2 ORDER BY code
+"""

@@ -1,0 +1,240 @@
+"""Invariant tests for the round-7 forecast-evaluation additions
+(`forecast/queries.py`): MASE, the Diebold-Mariano test, Ljung-Box,
+and the Durbin-Levinson PACF — each re-derived independently in
+numpy from the raw metric series and compared against the Spark
+output (the oracle parity gate covers the SQL twin; these pin the
+math itself)."""
+
+import numpy as np
+
+from qrapids_forecast_r_script_spark.forecast.queries import (
+    _LB_LAGS,
+    forecast_dm_test,
+    forecast_mase_scores,
+    series_ljung_box,
+    series_pacf,
+)
+from qrapids_forecast_r_script_spark.sources import load_table
+from qrapids_forecast_r_script_spark.sources.registry import events_as_metrics
+
+
+def _series(spark, sf_dir):
+    by = {}
+    for r in events_as_metrics(load_table(spark, sf_dir, "events")) \
+            .collect():
+        by.setdefault(r.name, []).append((r.evaluationDate, r.value))
+    for pts in by.values():
+        pts.sort()
+    return {k: np.array([v for _, v in pts]) for k, pts in by.items()}
+
+
+def _closed_form_preds(y):
+    """Holdout predictions for the four closed forms, mirroring
+    `_holdout_preds` (train = y[:-7], holdout = y[-7:])."""
+    train, hold = y[:-7], y[-7:]
+    n_train = len(train)
+    preds = {
+        "MEAN": np.full(7, train.mean()),
+        "NAIVE": np.full(7, train[-1]),
+        "SNAIVE": y[-14:-7] if len(y) >= 14 else np.full(7, np.nan),
+        "DRIFT": (train[-1]
+                  + np.arange(1, 8) * (train[-1] - train[0])
+                  / (n_train - 1)) if n_train > 1
+                 else np.full(7, np.nan),
+    }
+    return hold, preds
+
+
+def test_mase_matches_numpy(spark, sf_dir):
+    by = _series(spark, sf_dir)
+    rows = {(r.name, r.method): r
+            for r in forecast_mase_scores(spark, sf_dir).collect()}
+    assert {n for n, _ in rows} == set(by)
+    for name, y in by.items():
+        train = y[:-7]
+        diffs = np.abs(train[7:] - train[:-7])
+        assert diffs.size, name
+        scale = round(float(diffs.mean()), 6)
+        hold, preds = _closed_form_preds(y)
+        for method, p in preds.items():
+            r = rows[(name, method)]
+            errs = np.abs(hold - p)
+            errs = errs[~np.isnan(errs)]
+            assert r.n_scored == len(errs)
+            mae = round(float(errs.mean()), 6) if len(errs) else None
+            if mae is None:
+                assert r.mase is None
+                continue
+            assert abs(r.mae - mae) < 1e-6, (name, method)
+            assert abs(r.snaive_insample_mae - scale) < 1e-6
+            expect = round(mae / scale, 6) if scale else None
+            if expect is None:
+                assert r.mase is None
+            else:
+                assert abs(r.mase - expect) < 1e-6
+                assert r.beats_snaive_insample == (expect < 1.0)
+
+
+def test_dm_test_matches_numpy_and_sign_convention(spark, sf_dir):
+    by = _series(spark, sf_dir)
+    rows = {r.name: r for r in forecast_dm_test(spark, sf_dir).collect()}
+    # only series where both NAIVE and SNAIVE predict appear
+    for name, y in by.items():
+        if len(y) < 14:
+            assert name not in rows
+            continue
+        r = rows[name]
+        hold, preds = _closed_form_preds(y)
+        d = (hold - preds["NAIVE"]) ** 2 - (hold - preds["SNAIVE"]) ** 2
+        assert r.n_points == 7
+        dbar = d.mean()
+        s2 = ((d - dbar) ** 2).mean()
+        # the operator snaps d at 1e-6 and deviations at 1e-3 — allow
+        # the grid slack on the reconstructed statistic
+        assert abs(r.mean_loss_diff - dbar) < 1e-5, name
+        if s2 == 0:
+            assert r.dm_stat is None
+            assert r.lower_loss_method == "TIE"
+            continue
+        dm = dbar / np.sqrt(s2 / 7)
+        assert abs(r.dm_stat - dm) < 1e-3, (name, r.dm_stat, dm)
+        assert r.significant == (abs(r.dm_stat) > 1.96)
+        if r.dm_stat > 0:
+            assert r.lower_loss_method == "SNAIVE"
+        elif r.dm_stat < 0:
+            assert r.lower_loss_method == "NAIVE"
+
+
+def _acf(y, k):
+    mu = y.mean()
+    d = y - mu
+    return round(float((d[k:] * d[:-k]).sum() / (d * d).sum()), 6)
+
+
+def test_ljung_box_matches_numpy(spark, sf_dir):
+    by = _series(spark, sf_dir)
+    rows = {r.name: r for r in series_ljung_box(spark, sf_dir).collect()}
+    assert set(rows) == set(by)
+    for name, y in by.items():
+        r = rows[name]
+        n = len(y)
+        assert r.n_points == n and r.lags == _LB_LAGS
+        q = n * (n + 2) * sum(_acf(y, k) ** 2 / (n - k)
+                              for k in range(1, _LB_LAGS + 1))
+        assert abs(r.q_stat - q) < 1e-4, (name, r.q_stat, q)
+        assert r.reject_white_noise == (r.q_stat > r.chi2_crit_5pct)
+
+
+def test_ljung_box_white_noise_accepts(spark):
+    """A seeded iid series must NOT reject white noise; a strongly
+    autocorrelated one must."""
+    rng = np.random.RandomState(7)
+    import pandas as pd
+    days = pd.date_range("2024-01-01", periods=120)
+    wn = rng.normal(0, 1, 120)
+    ar = np.cumsum(rng.normal(0, 1, 120))  # random walk: massive ACF
+    pdf = pd.concat([
+        pd.DataFrame({"name": "wn", "index": "t", "evaluationDate": days,
+                      "value": np.round(wn, 6)}),
+        pd.DataFrame({"name": "ar", "index": "t", "evaluationDate": days,
+                      "value": np.round(ar, 6)}),
+    ])
+    sdf = spark.createDataFrame(pdf)
+    import qrapids_forecast_r_script_spark.forecast.queries as fq
+    orig = fq._metrics
+    fq._metrics = lambda s, d: sdf.select(
+        "name", "index",
+        sdf.evaluationDate.cast("date").alias("evaluationDate"), "value")
+    try:
+        out = {r.name: r for r in series_ljung_box(spark, "unused")
+               .collect()}
+    finally:
+        fq._metrics = orig
+    assert not out["wn"].reject_white_noise
+    assert out["ar"].reject_white_noise
+
+
+def test_pacf_matches_yule_walker_solve(spark, sf_dir):
+    """Durbin-Levinson output must equal the direct Yule-Walker
+    Toeplitz solve at every lag — the textbook equivalence that
+    proves the unrolled recursion."""
+    by = _series(spark, sf_dir)
+    rows = {}
+    for r in series_pacf(spark, sf_dir).collect():
+        rows.setdefault(r.name, {})[r.lag] = r
+    assert set(rows) == set(by)
+    for name, y in by.items():
+        rho = np.array([1.0] + [_acf(y, k)
+                                for k in range(1, _LB_LAGS + 1)])
+        for k in range(1, _LB_LAGS + 1):
+            toep = np.array([[rho[abs(i - j)] for j in range(k)]
+                             for i in range(k)])
+            phi = np.linalg.solve(toep, rho[1:k + 1])
+            r = rows[name][k]
+            assert abs(r.pacf - phi[-1]) < 1e-5, (name, k)
+            assert r.significant == (abs(r.pacf) > r.wn_band)
+    # lag 1: PACF == ACF by definition
+    for name, y in by.items():
+        assert abs(rows[name][1].pacf - _acf(y, 1)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# phonetic_token_groups: the oracle's relational soundex must replay
+# Spark's built-in exactly — over the NARA golden words AND the whole
+# corpus vocabulary (the surface the driver hash actually covers).
+
+_NARA_GOLDENS = {
+    "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+    "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+    "Honeyman": "H555", "Lloyd": "L300", "Washington": "W252",
+    "Lee": "L000", "Gutierrez": "G362", "Jackson": "J250",
+    # H/W-first edges: the kept-following-consonant rule
+    "WB": "W100", "HB": "H100", "WH": "W000", "Hough": "H200",
+    "Wachs": "W200",   # C-H-S: the H/W rule bridges the 2-9-2 run
+    "Schmit": "S530", "Exzzle": "E240",
+}
+
+
+def _duckdb_soundex(words):
+    import duckdb
+    from qrapids_forecast_r_script_spark.operators.linkage import (
+        _SOUNDEX_COLLAPSE, _SOUNDEX_TR)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w(tok VARCHAR)")
+    con.executemany("INSERT INTO w VALUES (?)", [(t,) for t in words])
+    rows = con.sql(f"""
+        WITH up AS (SELECT tok, upper(tok) AS u FROM w),
+        c1 AS (SELECT tok, u,
+                      replace(translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                        '{_SOUNDEX_TR}'), '9', '') AS s1
+               FROM up),
+        c2 AS (SELECT tok, u, {_SOUNDEX_COLLAPSE} AS s2 FROM c1)
+        SELECT tok,
+               substr(u, 1, 1)
+               || substr(replace(CASE WHEN substr(u, 1, 1) IN ('H', 'W')
+                                      THEN s2 ELSE substr(s2, 2) END,
+                                 '0', '') || '000', 1, 3)
+        FROM c2
+    """).fetchall()
+    return dict(rows)
+
+
+def test_sql_soundex_matches_nara_goldens():
+    got = _duckdb_soundex(list(_NARA_GOLDENS))
+    assert got == _NARA_GOLDENS
+
+
+def test_sql_soundex_matches_spark_over_corpus_vocab(spark, sf_dir):
+    from pyspark.sql import functions as F
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = [r.tok for r in
+             docs.select(F.explode(F.split("text", " ")).alias("tok"))
+             .where(F.col("tok").rlike("^[A-Za-z]+$"))
+             .distinct().collect()]
+    assert vocab
+    sdf = spark.createDataFrame([(t,) for t in vocab], "tok string")
+    spark_codes = {r.tok: r.code for r in
+                   sdf.select("tok", F.soundex(F.upper("tok"))
+                              .alias("code")).collect()}
+    sql_codes = _duckdb_soundex(vocab)
+    assert spark_codes == sql_codes
