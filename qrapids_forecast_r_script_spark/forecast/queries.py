@@ -4139,3 +4139,162 @@ EVAL_ORACLES["series_pacf"] = f"""
                              {_ROUND}) AS significant
     FROM long ORDER BY name, lag
 """
+
+
+def granger_lag1_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-1 GRANGER-causality screen (Granger 1969): does yesterday's
+    value of each metric series improve the prediction of today's
+    PURCHASE series beyond what yesterday's purchases already say?
+    The FORMAL follow-up to `series_leadlag_xcorr`'s raw
+    cross-correlation peaks — a negative-lag xcorr peak can be pure
+    co-trending; the Granger read conditions on the target's own
+    history, which is exactly the transfer-term admission test for
+    the forecast models (R:84-95).
+
+    Single-restriction case, so the F-test reduces to the PARTIAL
+    correlation of purchase_t with metric_{t−1} controlling
+    purchase_{t−1} (Granger's VAR(1) one-regressor restriction):
+    r_p = (r_yx − r_yz·r_xz)/√((1−r_yz²)(1−r_xz²)), tested with the
+    Fisher z statistic z = atanh(r_p)·√(n−4) against ±1.96 (the
+    standard one-control partial-correlation test).
+
+    Exactness: all three series legs snap to the 1e-3 BIGINT grid
+    (the `series_leadlag_xcorr` magnitude analysis), the three
+    pairwise correlations come from ONE exact-integer aggregate and
+    round at 6dp, and r_p / z are fixed expressions of the rounded
+    values (atanh spelled as 0.5·ln((1+r)/(1−r)) on both engines);
+    |r_p| ≥ 1 and n ≤ 4 degenerate to NULL on both.
+
+    Scale: one broadcast of the daily purchase frame (date-keyed,
+    tiny after its own aggregate), one date-shifted equi-join, one
+    per-series aggregate — the lead-lag plan minus the lag fan-out."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    gu = lambda c: F.round(F.round(c, 6) * _XC_GRID, 0).cast("long")  # noqa: E731
+    wr = Window.partitionBy("index").orderBy("evaluationDate")
+    ref = (metrics.where(F.col("name") == _XC_REF)
+           .select("index", "evaluationDate", gu(F.col("value")).alias("y"))
+           .withColumn("ylag", F.lag("y", 1).over(wr))
+           .where(F.col("ylag").isNotNull())
+           .select(F.col("evaluationDate").alias("ref_date"), "y", "ylag"))
+    x = (metrics.where(F.col("name") != _XC_REF)
+         .select("name", gu(F.col("value")).alias("xlag"),
+                 F.date_add("evaluationDate", 1).alias("ref_date")))
+    pairs = x.join(F.broadcast(ref), "ref_date")
+    a = (pairs.groupBy("name")
+         .agg(F.count(F.lit(1)).alias("n_points"),
+              F.sum("y").alias("sy"), F.sum("ylag").alias("sz"),
+              F.sum("xlag").alias("sx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"),
+              F.sum(F.col("ylag") * F.col("ylag")).alias("szz"),
+              F.sum(F.col("xlag") * F.col("xlag")).alias("sxx"),
+              F.sum(F.col("y") * F.col("xlag")).alias("syx"),
+              F.sum(F.col("y") * F.col("ylag")).alias("syz"),
+              F.sum(F.col("xlag") * F.col("ylag")).alias("sxz")))
+    n = F.col("n_points").cast("double")
+
+    def _corr(spq, sp, sq, spp, sqq):
+        cov = (F.col(spq).cast("double") / n
+               - (F.col(sp).cast("double") / n)
+               * (F.col(sq).cast("double") / n))
+        vp = (F.col(spp).cast("double") / n
+              - (F.col(sp).cast("double") / n)
+              * (F.col(sp).cast("double") / n))
+        vq = (F.col(sqq).cast("double") / n
+              - (F.col(sq).cast("double") / n)
+              * (F.col(sq).cast("double") / n))
+        return F.round(cov / F.nullif(F.sqrt(vp * vq), F.lit(0.0)), 6)
+
+    c = a.select(
+        "name", "n_points",
+        _corr("syx", "sy", "sx", "syy", "sxx").alias("r_yx"),
+        _corr("syz", "sy", "sz", "syy", "szz").alias("r_yz"),
+        _corr("sxz", "sx", "sz", "sxx", "szz").alias("r_xz"))
+    rp = F.round(
+        (F.col("r_yx") - F.col("r_yz") * F.col("r_xz"))
+        / F.nullif(F.sqrt((1.0 - F.col("r_yz") * F.col("r_yz"))
+                          * (1.0 - F.col("r_xz") * F.col("r_xz"))),
+                   F.lit(0.0)), 6)
+    scored = c.withColumn("r_partial", rp)
+    z = F.round(F.lit(0.5)
+                * F.log((1.0 + F.col("r_partial"))
+                        / (1.0 - F.col("r_partial")))
+                * F.sqrt(F.col("n_points").cast("double") - 4.0), _ROUND)
+    zg = F.when((F.abs(F.col("r_partial")) < 1.0)
+                & (F.col("n_points") > 4), z)
+    return (scored.select(
+        "name", "n_points", "r_yx", "r_yz", "r_xz", "r_partial",
+        zg.alias("fisher_z"),
+        F.lit(1.96).alias("z_crit_5pct"),
+        (F.abs(zg) > 1.96).alias("granger_causes_purchases"))
+        .orderBy("name"))
+
+
+EVAL_QUERIES["granger_lag1_purchases"] = granger_lag1_purchases
+
+
+def _corr_sql(spq: str, sp: str, sq: str, spp: str, sqq: str) -> str:
+    n = "CAST(n_points AS DOUBLE)"
+    return (f"round((CAST({spq} AS DOUBLE) / {n}"
+            f" - (CAST({sp} AS DOUBLE) / {n})"
+            f" * (CAST({sq} AS DOUBLE) / {n}))"
+            f" / nullif(sqrt((CAST({spp} AS DOUBLE) / {n}"
+            f" - (CAST({sp} AS DOUBLE) / {n})"
+            f" * (CAST({sp} AS DOUBLE) / {n}))"
+            f" * (CAST({sqq} AS DOUBLE) / {n}"
+            f" - (CAST({sq} AS DOUBLE) / {n})"
+            f" * (CAST({sq} AS DOUBLE) / {n}))), 0.0), 6)")
+
+
+_GRANGER_Z_SQL = """round(0.5 * ln((1.0 + r_partial) / (1.0 - r_partial))
+                 * sqrt(CAST(n_points AS DOUBLE) - 4.0), 6)"""
+
+EVAL_ORACLES["granger_lag1_purchases"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    ref0 AS (
+        SELECT evaluationDate,
+               CAST(round(round(value, 6) * {_XC_GRID}, 0) AS BIGINT)
+                   AS y
+        FROM m WHERE name = '{_XC_REF}'
+    ), ref AS (
+        SELECT evaluationDate AS ref_date, y,
+               lag(y, 1) OVER (ORDER BY evaluationDate) AS ylag
+        FROM ref0 QUALIFY ylag IS NOT NULL
+    ), x AS (
+        SELECT name,
+               CAST(round(round(value, 6) * {_XC_GRID}, 0) AS BIGINT)
+                   AS xlag,
+               evaluationDate + 1 AS ref_date
+        FROM m WHERE name != '{_XC_REF}'
+    ), a AS (
+        SELECT x.name, CAST(count(*) AS BIGINT) AS n_points,
+               sum(r.y) AS sy, sum(r.ylag) AS sz, sum(x.xlag) AS sx,
+               sum(r.y * r.y) AS syy, sum(r.ylag * r.ylag) AS szz,
+               sum(x.xlag * x.xlag) AS sxx,
+               sum(r.y * x.xlag) AS syx, sum(r.y * r.ylag) AS syz,
+               sum(x.xlag * r.ylag) AS sxz
+        FROM x JOIN ref r USING (ref_date)
+        GROUP BY 1
+    ), c AS (
+        SELECT name, n_points,
+               {_corr_sql("syx", "sy", "sx", "syy", "sxx")} AS r_yx,
+               {_corr_sql("syz", "sy", "sz", "syy", "szz")} AS r_yz,
+               {_corr_sql("sxz", "sx", "sz", "sxx", "szz")} AS r_xz
+        FROM a
+    ), p AS (
+        SELECT *,
+               round((r_yx - r_yz * r_xz)
+                     / nullif(sqrt((1.0 - r_yz * r_yz)
+                                   * (1.0 - r_xz * r_xz)), 0.0), 6)
+                   AS r_partial
+        FROM c
+    )
+    SELECT name, n_points, r_yx, r_yz, r_xz, r_partial,
+           CASE WHEN abs(r_partial) < 1.0 AND n_points > 4
+                THEN {_GRANGER_Z_SQL} END AS fisher_z,
+           CAST(1.96 AS DOUBLE) AS z_crit_5pct,
+           abs(CASE WHEN abs(r_partial) < 1.0 AND n_points > 4
+                    THEN {_GRANGER_Z_SQL} END) > 1.96
+               AS granger_causes_purchases
+    FROM p ORDER BY name
+"""

@@ -2468,3 +2468,71 @@ ORACLES["embedding_alignment_uniformity"] = f"""
            round(ln(avg(round(exp(-2.0 * d2), 9))), 6) AS uniformity
     FROM pairs
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7: MRR — the third leg of the retrieval-eval triad next to
+# NDCG@k (`ann_eval_ndcg`) and average precision (`nb_average_precision`).
+
+def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEAN RECIPROCAL RANK of the PQ index against the exact
+    brute-force ranking (Voorhees 1999, the TREC-QA metric): for each
+    query the single "right answer" is the exact cosine top-1
+    neighbor, RR = 1/position of that item in the ANN list (0 if the
+    index misses it entirely — the standard cutoff convention), MRR =
+    the mean over queries.  NDCG grades the whole list; MRR isolates
+    the first-relevant-hit experience a lookup UI lives on — indexes
+    with equal NDCG can differ sharply here.  Output: one row per
+    query (target, found rank, RR) with the corpus MRR and hit rate
+    repeated per row (the `meta_analysis_nations` layout).
+
+    Exactness: RR is one IEEE division of small integers snapped at
+    1e-9; the corpus mean BIGINT-sums those units.  Scale: two
+    already-bounded k·Q frames joined on (query, target) — eval cost
+    is independent of corpus size beyond running the inputs."""
+    bf1 = (cosine_topk_bruteforce(spark, sf_dir)
+           .where(F.col("rank") == 1)
+           .select("query_id", F.col("neighbor_id").alias("target_id")))
+    ann = pq_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("target_id"),
+        F.col("rank").cast("int").alias("ann_rank"))
+    per = (bf1.join(ann, ["query_id", "target_id"], "left")
+           .select("query_id", "target_id", "ann_rank",
+                   F.round(F.coalesce(1.0 / F.col("ann_rank"),
+                                      F.lit(0.0)), 9).alias("rr")))
+    g = per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.count("ann_rank").alias("n_hits"),
+        F.round(F.sum(F.round(F.col("rr") * 1e9, 0).cast("bigint"))
+                / 1e9 / F.count(F.lit(1)), 6).alias("mrr"))
+    return per.crossJoin(F.broadcast(g)).orderBy("query_id")
+
+
+QUERIES["retrieval_mrr_eval"] = retrieval_mrr_eval
+ORACLES["retrieval_mrr_eval"] = """
+    WITH bf1 AS (
+        SELECT query_id, neighbor_id AS target_id
+        FROM ({bf_sql}) __bf WHERE rank = 1
+    ), ann AS (
+        SELECT query_id, neighbor_id AS target_id,
+               CAST(rank AS INTEGER) AS ann_rank
+        FROM ({ann_sql}) __ann
+    ), per AS (
+        SELECT b.query_id, b.target_id, a.ann_rank,
+               round(coalesce(1.0 / a.ann_rank, 0.0), 9) AS rr
+        FROM bf1 b
+        LEFT JOIN ann a ON a.query_id = b.query_id
+                       AND a.target_id = b.target_id
+    ), g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(count(ann_rank) AS BIGINT) AS n_hits,
+               round(sum(CAST(round(rr * 1e9, 0) AS BIGINT))
+                     / 1e9 / count(*), 6) AS mrr
+        FROM per
+    )
+    SELECT p.query_id, p.target_id, p.ann_rank, p.rr,
+           g.n_queries, g.n_hits, g.mrr
+    FROM per p CROSS JOIN g
+    ORDER BY p.query_id
+""".format(bf_sql=ORACLES["cosine_topk_bruteforce"],
+           ann_sql=ORACLES["pq_topk"])

@@ -238,3 +238,108 @@ def test_sql_soundex_matches_spark_over_corpus_vocab(spark, sf_dir):
                               .alias("code")).collect()}
     sql_codes = _duckdb_soundex(vocab)
     assert spark_codes == sql_codes
+
+
+# ---------------------------------------------------------------------------
+# granger_lag1_purchases + retrieval_mrr_eval
+
+def _pearson(a, b):
+    a = a - a.mean()
+    b = b - b.mean()
+    den = np.sqrt((a * a).mean() * (b * b).mean())
+    return float((a * b).mean() / den) if den else None
+
+
+def test_granger_matches_numpy_partial_corr(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        _XC_REF, granger_lag1_purchases)
+    by = {}
+    for r in events_as_metrics(load_table(spark, sf_dir, "events")) \
+            .collect():
+        by.setdefault(r.name, {})[r.evaluationDate] = r.value
+    rows = {r.name: r
+            for r in granger_lag1_purchases(spark, sf_dir).collect()}
+    assert set(rows) == set(by) - {_XC_REF}
+    import datetime
+    ref = by[_XC_REF]
+    ref_days = sorted(ref)
+    for name, r in rows.items():
+        ys, zs, xs = [], [], []
+        for i in range(1, len(ref_days)):
+            d, dprev = ref_days[i], ref_days[i - 1]
+            xd = d - datetime.timedelta(days=1)
+            if xd in by[name]:
+                ys.append(ref[d])
+                zs.append(ref[dprev])
+                xs.append(by[name][xd])
+        y, z, x = map(np.array, (ys, zs, xs))
+        assert r.n_points == len(y), name
+        r_yx, r_yz, r_xz = (_pearson(y, x), _pearson(y, z),
+                            _pearson(x, z))
+        assert abs(r.r_yx - r_yx) < 1e-5
+        assert abs(r.r_yz - r_yz) < 1e-5
+        assert abs(r.r_xz - r_xz) < 1e-5
+        rp = ((r_yx - r_yz * r_xz)
+              / np.sqrt((1 - r_yz ** 2) * (1 - r_xz ** 2)))
+        assert abs(r.r_partial - rp) < 1e-4, name
+        zstat = np.arctanh(rp) * np.sqrt(len(y) - 4)
+        assert abs(r.fisher_z - zstat) < 1e-3, name
+        assert r.granger_causes_purchases == (abs(r.fisher_z) > 1.96)
+
+
+def test_granger_detects_planted_lag1_signal(spark):
+    """A metric that IS yesterday's driver of the target must flag; an
+    independent-noise metric must not."""
+    import pandas as pd
+    import qrapids_forecast_r_script_spark.forecast.queries as fq
+    rng = np.random.RandomState(11)
+    n = 200
+    days = pd.date_range("2024-01-01", periods=n)
+    driver = rng.normal(0, 1, n)
+    noise = rng.normal(0, 1, n)
+    # purchase_t = 0.9 * driver_{t-1} + small noise
+    purchase = np.zeros(n)
+    purchase[1:] = 0.9 * driver[:-1] + 0.1 * rng.normal(0, 1, n - 1)
+    frames = []
+    for nm, v in [("purchase", purchase), ("driver", driver),
+                  ("noise", noise)]:
+        frames.append(pd.DataFrame(
+            {"name": nm, "index": "t", "evaluationDate": days,
+             "value": np.round(v, 6)}))
+    sdf = spark.createDataFrame(pd.concat(frames))
+    orig = fq._metrics
+    fq._metrics = lambda s, d: sdf.select(
+        "name", "index",
+        sdf.evaluationDate.cast("date").alias("evaluationDate"), "value")
+    try:
+        out = {r.name: r
+               for r in fq.granger_lag1_purchases(spark, "unused")
+               .collect()}
+    finally:
+        fq._metrics = orig
+    assert out["driver"].granger_causes_purchases
+    assert not out["noise"].granger_causes_purchases
+
+
+def test_mrr_internal_consistency(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.similarity import (
+        cosine_topk_bruteforce, retrieval_mrr_eval)
+    rows = retrieval_mrr_eval(spark, sf_dir).collect()
+    assert rows
+    bf1 = {r.query_id: r.neighbor_id
+           for r in cosine_topk_bruteforce(spark, sf_dir).collect()
+           if r.rank == 1}
+    rrs = []
+    for r in rows:
+        assert r.target_id == bf1[r.query_id]
+        if r.ann_rank is None:
+            assert r.rr == 0.0
+        else:
+            assert abs(r.rr - 1.0 / r.ann_rank) < 1e-9
+        rrs.append(r.rr)
+        assert r.n_queries == len(rows)
+    mrr = round(sum(round(v * 1e9) for v in rrs) / 1e9 / len(rows), 6)
+    assert abs(rows[0].mrr - mrr) < 1e-9
+    assert rows[0].n_hits == sum(1 for r in rows if r.ann_rank is not None)
+    # the PQ index finds the exact top-1 early for most queries
+    assert rows[0].mrr > 0.5
