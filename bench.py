@@ -412,6 +412,15 @@ HEADLINE = [
     # fixed cost) and the header-level image decode round-trip
     "events_tws_running_totals",
     "media_image_header_meta",
+    # round 7: forecast-eval completions (MASE / DM / Ljung-Box / PACF /
+    # Granger), phonetic blocking, MRR retrieval eval
+    "forecast_mase_scores",
+    "forecast_dm_test",
+    "series_ljung_box",
+    "series_pacf",
+    "granger_lag1_purchases",
+    "phonetic_token_groups",
+    "retrieval_mrr_eval",
 ]
 
 
