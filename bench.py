@@ -421,6 +421,7 @@ HEADLINE = [
     "granger_lag1_purchases",
     "phonetic_token_groups",
     "retrieval_mrr_eval",
+    "kruskal_wallis_values",
 ]
 
 

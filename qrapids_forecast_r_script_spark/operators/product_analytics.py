@@ -6106,3 +6106,141 @@ ORACLES["ab_sprt_trace"] = f"""
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 7: Kruskal-Wallis — the rank-based (distribution-free) twin of
+# `anova_nation_values`, completing the nonparametric ladder next to
+# ab_mannwhitney_test (2 groups) and friedman_method_ranks (paired).
+
+_KW_CHI2_CRIT_24 = 36.41502850180731   # chi2_0.95(24) literal
+
+
+def kruskal_wallis_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H test of order value across the 25 customer
+    nations (Kruskal & Wallis 1952): the rank-ANOVA that stays valid
+    when order values are as skewed as money always is — the
+    k-group generalization of `ab_mannwhitney_test` and the
+    unpaired sibling of `friedman_method_ranks`, asked on exactly
+    `anova_nation_values`' data so the parametric and rank verdicts
+    sit side by side.  H = 12/(N(N+1)) Σ R_i²/n_i − 3(N+1), with
+    the standard tie correction 1 − Σ(t³−t)/(N³−N); verdict vs the
+    literal χ²(24) 5% value.
+
+    RANKS WITHOUT A ROW SORT: average ranks are computed per
+    DISTINCT cent value — r̄(v) in exact 2x-integer units is
+    2·(#rows below v) + t_v + 1 from a prefix sum over the distinct-
+    value spine (the `events_ks_drift`/`decision_stump_doclen`
+    idiom; the window touches |distinct values| rows, never N).
+    Per-nation rank sums are Σ n_iv·r̄2x(v) in 128-bit integers;
+    R_i²/n_i terms snap to the 1e-2 grid and integer-sum (the
+    `anova_nation_values` gterm discipline — a 25-term double sum is
+    order-sensitive in its last ulp).  Everything downstream of the
+    exact integer sums is one fixed expression.
+
+    Scale: one orders scan + broadcast customer join, one value-
+    keyed aggregate, one (nation, value) aggregate joined back on
+    the value key, a 25-row reduce.  The distinct-value window is
+    the documented small-table shortcut — at 100 TB the prefix sum
+    runs as the two-pass distributed prefix (`token_shard_packing`)
+    over value-range partitions."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"))
+    from pyspark.sql.window import Window
+    rows = (orders.join(F.broadcast(cust), "o_custkey")
+            .select("nationkey",
+                    F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("long").alias("yc")))
+    vals = rows.groupBy("yc").agg(F.count(F.lit(1)).alias("t"))
+    wv = Window.orderBy("yc").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (vals.withColumn("cum", F.sum("t").over(wv))
+              .select("yc",
+                      (2 * (F.col("cum") - F.col("t"))
+                       + F.col("t") + 1).alias("r2x")))
+    nat = rows.groupBy("nationkey", "yc").agg(
+        F.count(F.lit(1)).alias("niv"))
+    per = (nat.join(ranked, "yc")
+           .groupBy("nationkey")
+           .agg(F.sum("niv").alias("n_i"),
+                F.sum(F.col("niv").cast("decimal(38,0)")
+                      * F.col("r2x")).alias("sr2")))
+    term = F.round((F.col("sr2").cast("double") / 2)
+                   * (F.col("sr2").cast("double") / 2)
+                   / F.col("n_i").cast("double") * 100, 0) \
+        .cast("decimal(38,0)")
+    ties = vals.agg(
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")
+              * F.col("t") - F.col("t")).alias("tsum"))
+    tot = (per.agg(F.sum("n_i").alias("nn"),
+                   F.count(F.lit(1)).alias("k"),
+                   (F.sum(term).cast("double") / 100).alias("s_terms"))
+           .crossJoin(F.broadcast(ties)))
+    nn = F.col("nn").cast("double")
+    h = 12.0 / (nn * (nn + 1)) * F.col("s_terms") - 3.0 * (nn + 1)
+    corr = F.round(1.0 - F.col("tsum").cast("double")
+                   / (nn * nn * nn - nn), 9)
+    hc = F.round(h / F.nullif(corr, F.lit(0.0)), 6)
+    return tot.select(
+        F.col("k").cast("int").alias("k_groups"),
+        F.col("nn").alias("n_total"),
+        F.round(h, 6).alias("h_stat"),
+        corr.alias("tie_correction"),
+        hc.alias("h_stat_corrected"),
+        F.lit(_KW_CHI2_CRIT_24).alias("chi2_crit_5pct"),
+        (hc > F.lit(_KW_CHI2_CRIT_24)).alias("reject_homogeneity"))
+
+
+QUERIES["kruskal_wallis_values"] = kruskal_wallis_values
+_KW_H_SQL = """(12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1))
+                * s_terms - 3.0 * (CAST(nn AS DOUBLE) + 1))"""
+_KW_CORR_SQL = """round(1.0 - CAST(tsum AS DOUBLE)
+                  / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                     * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)), 9)"""
+ORACLES["kruskal_wallis_values"] = f"""
+    WITH rows_ AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS yc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), vals AS (
+        SELECT yc, CAST(count(*) AS BIGINT) AS t
+        FROM rows_ GROUP BY 1
+    ), ranked AS (
+        SELECT yc,
+               2 * (sum(t) OVER (ORDER BY yc
+                                 ROWS UNBOUNDED PRECEDING) - t)
+               + t + 1 AS r2x
+        FROM vals
+    ), nat AS (
+        SELECT nationkey, yc, CAST(count(*) AS BIGINT) AS niv
+        FROM rows_ GROUP BY 1, 2
+    ), per AS (
+        SELECT n.nationkey, CAST(sum(n.niv) AS BIGINT) AS n_i,
+               CAST(sum(CAST(n.niv AS HUGEINT) * r.r2x) AS HUGEINT)
+                   AS sr2
+        FROM nat n JOIN ranked r USING (yc)
+        GROUP BY 1
+    ), ties AS (
+        SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+                   AS tsum
+        FROM vals
+    ), tot AS (
+        SELECT CAST(sum(n_i) AS BIGINT) AS nn,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(round((CAST(sr2 AS DOUBLE) / 2)
+                        * (CAST(sr2 AS DOUBLE) / 2)
+                        / CAST(n_i AS DOUBLE) * 100, 0) AS HUGEINT))
+                    AS DOUBLE) / 100 AS s_terms
+        FROM per
+    )
+    SELECT CAST(k AS INT) AS k_groups, nn AS n_total,
+           round({_KW_H_SQL}, 6) AS h_stat,
+           {_KW_CORR_SQL} AS tie_correction,
+           round({_KW_H_SQL} / nullif({_KW_CORR_SQL}, 0.0), 6)
+               AS h_stat_corrected,
+           CAST({_KW_CHI2_CRIT_24!r} AS DOUBLE) AS chi2_crit_5pct,
+           round({_KW_H_SQL} / nullif({_KW_CORR_SQL}, 0.0), 6)
+               > {_KW_CHI2_CRIT_24!r} AS reject_homogeneity
+    FROM tot CROSS JOIN ties
+"""

@@ -117,11 +117,12 @@ def test_window_follows_registry_order_of_the_backlog():
     # ≤ +10; each oracled addition must be listed here or this fails —
     # rows-only additions don't enter the oracled backlog)
     registered_after_freeze: set[str] = {
-        # round-7 second-half additions (+7 of the ≤ +10 budget):
-        # forecast-eval completions, phonetic blocking, MRR eval
+        # round-7 second-half additions (+8 of the ≤ +10 budget):
+        # forecast-eval completions, phonetic blocking, MRR eval,
+        # Kruskal-Wallis
         "forecast_mase_scores", "forecast_dm_test", "series_ljung_box",
         "series_pacf", "granger_lag1_purchases", "phonetic_token_groups",
-        "retrieval_mrr_eval",
+        "retrieval_mrr_eval", "kruskal_wallis_values",
     }
     checked = _checked(max_round=CURRENT_ROUND)
     oracles = E.oracle_sql()

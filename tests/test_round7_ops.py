@@ -343,3 +343,50 @@ def test_mrr_internal_consistency(spark, sf_dir):
     assert rows[0].n_hits == sum(1 for r in rows if r.ann_rank is not None)
     # the PQ index finds the exact top-1 early for most queries
     assert rows[0].mrr > 0.5
+
+
+def test_kruskal_wallis_matches_numpy(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.operators.product_analytics import (
+        _KW_CHI2_CRIT_24, kruskal_wallis_values)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice").collect()
+    cust = {r.c_custkey: r.c_nationkey
+            for r in load_table(spark, sf_dir, "customer").collect()}
+    by = {}
+    allv = []
+    for r in orders:
+        yc = round(float(r.o_totalprice) * 100)
+        by.setdefault(cust[r.o_custkey], []).append(yc)
+        allv.append(yc)
+    # average ranks via numpy (1-based, ties averaged)
+    import collections
+    allv = np.array(allv)
+    order = np.argsort(allv, kind="mergesort")
+    ranks = np.empty(len(allv))
+    sorted_v = allv[order]
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    rank_of = {}
+    for v, rk in zip(allv, ranks):
+        rank_of.setdefault(v, rk)
+    n = len(allv)
+    s = sum((sum(rank_of[v] for v in vs)) ** 2 / len(vs)
+            for vs in by.values())
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    cnt = collections.Counter(allv)
+    t = sum(c ** 3 - c for c in cnt.values())
+    corr = 1.0 - t / (n ** 3 - n)
+    row = kruskal_wallis_values(spark, sf_dir).collect()[0]
+    assert row.k_groups == len(by)
+    assert row.n_total == n
+    assert abs(row.h_stat - h) < 1e-4, (row.h_stat, h)
+    assert abs(row.tie_correction - corr) < 1e-9
+    assert abs(row.h_stat_corrected - h / corr) < 1e-4
+    assert 0 < row.tie_correction <= 1
+    assert row.reject_homogeneity == (
+        row.h_stat_corrected > _KW_CHI2_CRIT_24)
