@@ -41,8 +41,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # at positions 51+ so a wider driver cap still reaches them.  Net-new
 # registration stays FROZEN (delta ≤ +10/round) until the backlog is 0.
 #
-# ROTATION SCHEDULE (r9+, once the backlog is drained — expected end of
-# r8): the window becomes a rotating re-verification of the full oracled
+# r7 second half registered +8 new oracled queries (forecast_mase_scores,
+# forecast_dm_test, series_ljung_box, series_pacf, granger_lag1_purchases,
+# phonetic_token_groups, retrieval_mrr_eval, kruskal_wallis_values — each
+# strict-audited on registration), so the never-checked backlog entering
+# r8 is 52: the r8 window takes the first ~47 in module order + 2-3
+# re-verify slots, and the ~5 spill drains in r9's first slots before the
+# rotation below takes over.
+#
+# ROTATION SCHEDULE (r9+, once the backlog is drained — expected start of
+# r9): the window becomes a rotating re-verification of the full oracled
 # registry in fixed priority tiers.  Tier 1 (every round, ~10 slots):
 # the drift-exposed surfaces — streaming (stream-stream joins, session
 # windows, dedup-within-watermark), stateful (applyInPandasWithState,

@@ -206,7 +206,17 @@ def python_datasource_sink_roundtrip(spark: SparkSession,
     commit → _SUCCESS), are read back as JSON lines with an explicit
     schema, and re-emitted — the oracle computes the same aggregate from
     the original events table, so a hash match proves the two-phase
-    commit delivered every row exactly once with full value fidelity."""
+    commit delivered every row exactly once with full value fidelity.
+
+    Thread caveat (found r7): classic Spark resolves Python data
+    sources on the WRITE path through the JVM's thread-local active
+    session (no default-session fallback), so ``.save()`` must run on
+    a thread whose JVM peer has the session active — in practice the
+    main driver thread.  From a pool worker thread the save raises
+    DATA_SOURCE_NOT_FOUND even after ``register``; the READ path
+    (``python_datasource_scan``) resolves fine from any thread.  The
+    oracle-parity gate runs this query on its sequential path for
+    that reason."""
     import shutil
 
     from pyspark.sql import functions as F
