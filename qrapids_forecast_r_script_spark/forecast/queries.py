@@ -273,19 +273,29 @@ ORACLES = {k: ORACLES[k] for k in (
     "forecast_naive_events")}
 
 
-def _holdout_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(name, index, method, h, value, pred) for the 7-point holdout of
-    every events-derived series under all four closed forms — shared by
-    :func:`backtest_closed_forms` and :func:`ensemble_closed_forms`."""
+def _indexed_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared per-series time scaffold: every metric row plus its
+    0-based position ``t``, series length ``n``, and seasonal lag
+    ``lag7`` — the ONE definition of the holdout geometry used by
+    :func:`_holdout_preds`, :func:`rolling_origin_backtest`, and
+    :func:`forecast_mase_scores` (a diverging copy of this frame would
+    silently desync a scorer from the preds it scores)."""
     from pyspark.sql.window import Window
 
     metrics = _metrics(spark, sf_dir)
     w = Window.partitionBy("name", "index").orderBy("evaluationDate")
     wall = Window.partitionBy("name", "index")
-    t = (metrics
-         .withColumn("t", F.row_number().over(w) - 1)
-         .withColumn("n", F.count(F.lit(1)).over(wall))
-         .withColumn("lag7", F.lag("value", 7).over(w)))
+    return (metrics
+            .withColumn("t", F.row_number().over(w) - 1)
+            .withColumn("n", F.count(F.lit(1)).over(wall))
+            .withColumn("lag7", F.lag("value", 7).over(w)))
+
+
+def _holdout_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(name, index, method, h, value, pred) for the 7-point holdout of
+    every events-derived series under all four closed forms — shared by
+    :func:`backtest_closed_forms` and :func:`ensemble_closed_forms`."""
+    t = _indexed_series(spark, sf_dir)
     train = (t.where(F.col("t") < F.col("n") - 7)
              .groupBy("name", "index")
              .agg(F.avg("value").alias("mean_v"),
@@ -382,15 +392,7 @@ def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     three passes over events.  Folds with under 8 training points drop
     (both engines, same predicate).  Scale: everything keys on
     (series, fold); the fold fan-out is the constant 3."""
-    from pyspark.sql.window import Window
-
-    metrics = _metrics(spark, sf_dir)
-    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
-    wall = Window.partitionBy("name", "index")
-    t = (metrics
-         .withColumn("t", F.row_number().over(w) - 1)
-         .withColumn("n", F.count(F.lit(1)).over(wall))
-         .withColumn("lag7", F.lag("value", 7).over(w)))
+    t = _indexed_series(spark, sf_dir)
     folds = (spark.range(1, _RO_FOLDS + 1)
              .select(F.col("id").cast("int").alias("fold")))
     tf = (t.crossJoin(F.broadcast(folds))
@@ -1113,19 +1115,16 @@ EVAL_ORACLES["conformal_snaive_intervals"] = f"""
 
 _ACF_MAX_LAG = 7
 
+_LB_LAGS = 7
+_CHI2_7DF_5PCT = 14.067140449340169   # chi2_0.95(7) literal
 
-def series_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ACF at lags 1..7 per metric series, with the ±1.96/√n white-
-    noise band and a significance flag per lag (the Box-Jenkins
-    identification read: MA(q) cuts off after lag q, AR decays;
-    lag-7 spikes confirm the weekly seasonality the reference hard-
-    codes).
 
-    Same closed-form-from-raw-sums shape as `series_trend_ols`: one
-    lag-window pass per series, one aggregate of centered products,
-    6dp rounding at the ratio boundary, zero-variance nullif guard.
-    At 100 TB the cost is the forecast layer's per-series shuffle —
-    lags are per-series windows, the mean join a tiny broadcast."""
+def _acf_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series wide row (name, index, n_points, r1..r7) of
+    6dp-rounded autocorrelations — the shared input of
+    `series_ljung_box` and `series_pacf`, computed exactly the way
+    `series_acf` computes them (same lag windows, same centered-
+    product aggregate, same rounding boundary)."""
     from pyspark.sql.window import Window
     metrics = _metrics(spark, sf_dir)
     means = (metrics.groupBy("name", "index")
@@ -1135,20 +1134,72 @@ def series_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lagged = metrics.select(
         "name", "index", "value",
         *[F.lag("value", k).over(w).alias(f"lag{k}")
-          for k in range(1, _ACF_MAX_LAG + 1)])
+          for k in range(1, _LB_LAGS + 1)])
     cen = lagged.join(F.broadcast(means), ["name", "index"])
     d0 = F.col("value") - F.col("mu")
-    aggs = [F.sum(d0 * d0).alias("c0"), F.max("n_points").alias("n_points")]
-    for k in range(1, _ACF_MAX_LAG + 1):
+    aggs = [F.sum(d0 * d0).alias("c0"),
+            F.max("n_points").alias("n_points")]
+    for k in range(1, _LB_LAGS + 1):
         dk = F.col(f"lag{k}") - F.col("mu")
         aggs.append(F.sum(F.when(F.col(f"lag{k}").isNotNull(),
                                  d0 * dk)).alias(f"c{k}"))
     a = cen.groupBy("name", "index").agg(*aggs)
-    acf_cols = ", ".join(
-        f"{k}L, round(c{k} / nullif(c0, 0.0d), 6)"
-        for k in range(1, _ACF_MAX_LAG + 1))
-    long = a.select(
+    return a.select(
         "name", "index", "n_points",
+        *[F.round(F.col(f"c{k}") / F.nullif(F.col("c0"), F.lit(0.0)),
+                  _ROUND).alias(f"r{k}")
+          for k in range(1, _LB_LAGS + 1)])
+
+
+_ACF_WIDE_SQL = f"""m AS ({_METRICS_EVENTS}),
+    means AS (
+        SELECT name, index, avg(value) AS mu, count(*) AS n_points
+        FROM m GROUP BY 1, 2
+    ), lagged AS (
+        SELECT name, index, value,
+               {", ".join(f"lag(value, {k}) OVER w AS lag{k}"
+                          for k in range(1, _LB_LAGS + 1))}
+        FROM m WINDOW w AS (PARTITION BY name, index
+                            ORDER BY evaluationDate)
+    ), acfa AS (
+        SELECT l.name, l.index,
+               CAST(max(ms.n_points) AS BIGINT) AS n_points,
+               sum((l.value - ms.mu) * (l.value - ms.mu)) AS c0,
+               {", ".join(
+                   f"sum(CASE WHEN l.lag{k} IS NOT NULL THEN "
+                   f"(l.value - ms.mu) * (l.lag{k} - ms.mu) END) AS c{k}"
+                   for k in range(1, _LB_LAGS + 1))}
+        FROM lagged l JOIN means ms USING (name, index)
+        GROUP BY 1, 2
+    ), wide AS (
+        SELECT name, index, n_points,
+               {", ".join(f"round(c{k} / nullif(c0, 0.0), 6) AS r{k}"
+                          for k in range(1, _LB_LAGS + 1))}
+        FROM acfa
+    )"""
+
+
+
+
+def series_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1..7 per metric series, with the ±1.96/√n white-
+    noise band and a significance flag per lag (the Box-Jenkins
+    identification read: MA(q) cuts off after lag q, AR decays;
+    lag-7 spikes confirm the weekly seasonality the reference hard-
+    codes).
+
+    Built on the shared :func:`_acf_wide` aggregate (r7 refactor —
+    one definition of the lag windows / centered products / rounding
+    boundary now feeds ACF, Ljung-Box, and PACF).  Same closed-form-
+    from-raw-sums shape as `series_trend_ols`: one lag-window pass
+    per series, one aggregate of centered products, 6dp rounding at
+    the ratio boundary, zero-variance nullif guard.  At 100 TB the
+    cost is the forecast layer's per-series shuffle — lags are
+    per-series windows, the mean join a tiny broadcast."""
+    wide = _acf_wide(spark, sf_dir)
+    acf_cols = ", ".join(f"{k}L, r{k}" for k in range(1, _ACF_MAX_LAG + 1))
+    long = wide.select(
+        "name", "n_points",
         F.expr(f"stack({_ACF_MAX_LAG}, {acf_cols}) AS (lag, acf)"))
     band = F.round(F.lit(1.96) / F.sqrt(F.col("n_points").cast("double")),
                    6)
@@ -1163,29 +1214,11 @@ def series_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ACF_KS = list(range(1, _ACF_MAX_LAG + 1))
 EVAL_QUERIES["series_acf"] = series_acf
 EVAL_ORACLES["series_acf"] = f"""
-    WITH m AS ({_METRICS_EVENTS}),
-    means AS (
-        SELECT name, index, avg(value) AS mu, count(*) AS n_points
-        FROM m GROUP BY 1, 2
-    ), lagged AS (
-        SELECT name, index, value,
-               {", ".join(f"lag(value, {k}) OVER w AS lag{k}"
-                          for k in _ACF_KS)}
-        FROM m WINDOW w AS (PARTITION BY name, index
-                            ORDER BY evaluationDate)
-    ), a AS (
-        SELECT l.name, l.index, max(ms.n_points) AS n_points,
-               sum((l.value - ms.mu) * (l.value - ms.mu)) AS c0,
-               {", ".join(
-                   f"sum(CASE WHEN l.lag{k} IS NOT NULL THEN "
-                   f"(l.value - ms.mu) * (l.lag{k} - ms.mu) END) AS c{k}"
-                   for k in _ACF_KS)}
-        FROM lagged l JOIN means ms USING (name, index)
-        GROUP BY 1, 2
-    ), long AS (
+    WITH {_ACF_WIDE_SQL},
+    long AS (
         {" UNION ALL ".join(
             f"SELECT name, CAST({k} AS BIGINT) AS lag, n_points, "
-            f"round(c{k} / nullif(c0, 0.0), 6) AS acf FROM a"
+            f"r{k} AS acf FROM wide"
             for k in _ACF_KS)}
     )
     SELECT name, lag, CAST(n_points AS BIGINT) AS n_points, acf,
@@ -3753,15 +3786,7 @@ def forecast_mase_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: rides the shared holdout-preds frame plus ONE extra
     per-series train aggregate — both keyed by the series key;
     nothing new shuffles."""
-    from pyspark.sql.window import Window
-
-    metrics = _metrics(spark, sf_dir)
-    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
-    wall = Window.partitionBy("name", "index")
-    t = (metrics
-         .withColumn("t", F.row_number().over(w) - 1)
-         .withColumn("n", F.count(F.lit(1)).over(wall))
-         .withColumn("lag7", F.lag("value", 7).over(w)))
+    t = _indexed_series(spark, sf_dir)
     scale = (t.where((F.col("t") < F.col("n") - 7)
                      & F.col("lag7").isNotNull())
              .groupBy("name", "index")
@@ -3893,101 +3918,25 @@ EVAL_ORACLES["forecast_dm_test"] = f"""
                         AS HUGEINT)) AS HUGEINT) AS sdv
         FROM dd d JOIN a1 a USING (name, index)
         GROUP BY 1, 2, 3, 4
-    )
-    SELECT name, index, n_points,
-           round(sd6 / 1e6 / CAST(n_points AS DOUBLE), {_ROUND})
-               AS mean_loss_diff,
-           round((sd6 / 1e6 / CAST(n_points AS DOUBLE))
-                 / sqrt(nullif(CAST(sdv AS DOUBLE) / 1e6
-                               / CAST(n_points AS DOUBLE), 0.0)
-                        / CAST(n_points AS DOUBLE)), {_ROUND})
-               AS dm_stat,
-           CAST(1.96 AS DOUBLE) AS z_crit_5pct,
-           abs(round((sd6 / 1e6 / CAST(n_points AS DOUBLE))
-                 / sqrt(nullif(CAST(sdv AS DOUBLE) / 1e6
-                               / CAST(n_points AS DOUBLE), 0.0)
-                        / CAST(n_points AS DOUBLE)), {_ROUND})) > 1.96
-               AS significant,
-           CASE WHEN round((sd6 / 1e6 / CAST(n_points AS DOUBLE))
-                 / sqrt(nullif(CAST(sdv AS DOUBLE) / 1e6
-                               / CAST(n_points AS DOUBLE), 0.0)
-                        / CAST(n_points AS DOUBLE)), {_ROUND}) IS NULL
-                     OR round((sd6 / 1e6 / CAST(n_points AS DOUBLE))
-                 / sqrt(nullif(CAST(sdv AS DOUBLE) / 1e6
-                               / CAST(n_points AS DOUBLE), 0.0)
-                        / CAST(n_points AS DOUBLE)), {_ROUND}) = 0.0
-                THEN 'TIE'
-                WHEN round((sd6 / 1e6 / CAST(n_points AS DOUBLE))
-                 / sqrt(nullif(CAST(sdv AS DOUBLE) / 1e6
-                               / CAST(n_points AS DOUBLE), 0.0)
-                        / CAST(n_points AS DOUBLE)), {_ROUND}) > 0.0
-                THEN 'SNAIVE' ELSE 'NAIVE' END AS lower_loss_method
-    FROM a2 ORDER BY name, index
-"""
-
-
-_LB_LAGS = 7
-_CHI2_7DF_5PCT = 14.067140449340169   # chi2_0.95(7) literal
-
-
-def _acf_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-series wide row (name, index, n_points, r1..r7) of
-    6dp-rounded autocorrelations — the shared input of
-    `series_ljung_box` and `series_pacf`, computed exactly the way
-    `series_acf` computes them (same lag windows, same centered-
-    product aggregate, same rounding boundary)."""
-    from pyspark.sql.window import Window
-    metrics = _metrics(spark, sf_dir)
-    means = (metrics.groupBy("name", "index")
-             .agg(F.avg("value").alias("mu"),
-                  F.count(F.lit(1)).alias("n_points")))
-    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
-    lagged = metrics.select(
-        "name", "index", "value",
-        *[F.lag("value", k).over(w).alias(f"lag{k}")
-          for k in range(1, _LB_LAGS + 1)])
-    cen = lagged.join(F.broadcast(means), ["name", "index"])
-    d0 = F.col("value") - F.col("mu")
-    aggs = [F.sum(d0 * d0).alias("c0"),
-            F.max("n_points").alias("n_points")]
-    for k in range(1, _LB_LAGS + 1):
-        dk = F.col(f"lag{k}") - F.col("mu")
-        aggs.append(F.sum(F.when(F.col(f"lag{k}").isNotNull(),
-                                 d0 * dk)).alias(f"c{k}"))
-    a = cen.groupBy("name", "index").agg(*aggs)
-    return a.select(
-        "name", "index", "n_points",
-        *[F.round(F.col(f"c{k}") / F.nullif(F.col("c0"), F.lit(0.0)),
-                  _ROUND).alias(f"r{k}")
-          for k in range(1, _LB_LAGS + 1)])
-
-
-_ACF_WIDE_SQL = f"""m AS ({_METRICS_EVENTS}),
-    means AS (
-        SELECT name, index, avg(value) AS mu, count(*) AS n_points
-        FROM m GROUP BY 1, 2
-    ), lagged AS (
-        SELECT name, index, value,
-               {", ".join(f"lag(value, {k}) OVER w AS lag{k}"
-                          for k in range(1, _LB_LAGS + 1))}
-        FROM m WINDOW w AS (PARTITION BY name, index
-                            ORDER BY evaluationDate)
-    ), acfa AS (
-        SELECT l.name, l.index,
-               CAST(max(ms.n_points) AS BIGINT) AS n_points,
-               sum((l.value - ms.mu) * (l.value - ms.mu)) AS c0,
-               {", ".join(
-                   f"sum(CASE WHEN l.lag{k} IS NOT NULL THEN "
-                   f"(l.value - ms.mu) * (l.lag{k} - ms.mu) END) AS c{k}"
-                   for k in range(1, _LB_LAGS + 1))}
-        FROM lagged l JOIN means ms USING (name, index)
-        GROUP BY 1, 2
-    ), wide AS (
+    ), dm AS (
         SELECT name, index, n_points,
-               {", ".join(f"round(c{k} / nullif(c0, 0.0), 6) AS r{k}"
-                          for k in range(1, _LB_LAGS + 1))}
-        FROM acfa
-    )"""
+               round(sd6 / 1e6 / CAST(n_points AS DOUBLE), {_ROUND})
+                   AS mean_loss_diff,
+               round((sd6 / 1e6 / CAST(n_points AS DOUBLE))
+                     / sqrt(nullif(CAST(sdv AS DOUBLE) / 1e6
+                                   / CAST(n_points AS DOUBLE), 0.0)
+                            / CAST(n_points AS DOUBLE)), {_ROUND})
+                   AS dm_stat
+        FROM a2
+    )
+    SELECT name, index, n_points, mean_loss_diff, dm_stat,
+           CAST(1.96 AS DOUBLE) AS z_crit_5pct,
+           abs(dm_stat) > 1.96 AS significant,
+           CASE WHEN dm_stat IS NULL OR dm_stat = 0.0 THEN 'TIE'
+                WHEN dm_stat > 0.0 THEN 'SNAIVE'
+                ELSE 'NAIVE' END AS lower_loss_method
+    FROM dm ORDER BY name, index
+"""
 
 
 def series_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5029,7 +5029,41 @@ ORACLES["cf_holdout_lift"] = f"""
 """
 
 
-_ANOVA_F_CRIT_24 = 1.5173   # F_0.95(24, inf) = chi2_0.95(24)/24 literal
+# chi2_0.95(df) literals for df = 1..24 (computed offline by bisection on
+# the regularized incomplete gamma; matches standard tables to 1e-12) —
+# lets k-group tests pick the critical value for the df the DATA yields
+# instead of assuming all 25 nations are present (r7 review finding: at
+# a tiny SF a missing nation made the df-24 literal silently wrong).
+_CHI2_95 = {
+    1: 3.8414588206941396, 2: 5.991464547107983, 3: 7.814727903251171,
+    4: 9.487729036781161, 5: 11.070497693516344, 6: 12.591587243743916,
+    7: 14.067140449340144, 8: 15.507313055865506, 9: 16.918977604620487,
+    10: 18.307038053275, 11: 19.675137572682516, 12: 21.026069817483112,
+    13: 22.36203249482672, 14: 23.684791304840637, 15: 24.99579013972877,
+    16: 26.29622760486434, 17: 27.58711163827539, 18: 28.86929943039258,
+    19: 30.143527205646137, 20: 31.410432844230684, 21: 32.67057334091727,
+    22: 33.924438471443864, 23: 35.172461626908245, 24: 36.41502850180731,
+}
+
+
+def _chi2_crit_expr(kcol):
+    """Spark CASE over the k-groups column: chi2_0.95(k-1), NULL if the
+    df falls outside the table (k < 2 or k > 25)."""
+    expr = None
+    for df, crit in _CHI2_95.items():
+        cond = kcol == (df + 1)
+        expr = F.when(cond, F.lit(crit)) if expr is None             else expr.when(cond, F.lit(crit))
+    return expr
+
+
+def _chi2_crit_sql(kcol: str) -> str:
+    # the e0 suffix forces DuckDB to parse each literal as DOUBLE —
+    # a plain decimal literal becomes DECIMAL and loses the last digits
+    whens = " ".join(f"WHEN {df + 1} THEN {crit!r}e0"
+                     for df, crit in _CHI2_95.items())
+    return f"(CASE {kcol} {whens} END)"
+
+
 
 
 def anova_nation_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5087,8 +5121,10 @@ def anova_nation_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ssb, 2).alias("ss_between"),
         F.round(ssw, 2).alias("ss_within"),
         F.round(fstat, 6).alias("f_stat"),
-        F.lit(_ANOVA_F_CRIT_24).alias("f_crit_5pct"),
-        (F.round(fstat, 6) > F.lit(_ANOVA_F_CRIT_24))
+        (_chi2_crit_expr(F.col("k"))
+         / (F.col("k").cast("double") - 1.0)).alias("f_crit_5pct"),
+        (F.round(fstat, 6) > _chi2_crit_expr(F.col("k"))
+         / (F.col("k").cast("double") - 1.0))
         .alias("reject_equal_means"))
 
 
@@ -5132,7 +5168,7 @@ ORACLES["anova_nation_values"] = f"""
                      - (grp - (CAST(st AS DOUBLE) / 100)
                         * (CAST(st AS DOUBLE) / 100) / nn))
                     / (nn - k)), 6) AS f_stat,
-           CAST({_ANOVA_F_CRIT_24} AS DOUBLE) AS f_crit_5pct,
+           ({_chi2_crit_sql("k")} / (CAST(k AS DOUBLE) - 1.0)) AS f_crit_5pct,
            round(((grp - (CAST(st AS DOUBLE) / 100)
                    * (CAST(st AS DOUBLE) / 100) / nn) / (k - 1))
                  / (((CAST(sst AS DOUBLE) / 10000
@@ -5140,7 +5176,7 @@ ORACLES["anova_nation_values"] = f"""
                         * (CAST(st AS DOUBLE) / 100) / nn)
                      - (grp - (CAST(st AS DOUBLE) / 100)
                         * (CAST(st AS DOUBLE) / 100) / nn))
-                    / (nn - k)), 6) > {_ANOVA_F_CRIT_24}
+                    / (nn - k)), 6) > ({_chi2_crit_sql("k")} / (CAST(k AS DOUBLE) - 1.0))
                AS reject_equal_means
     FROM tot
 """
@@ -5788,8 +5824,10 @@ def levene_variance_audit(spark: SparkSession,
         F.col("k").cast("int").alias("k_groups"),
         F.col("nn").cast("bigint").alias("n_total"),
         F.round(w, 6).alias("bf_w_stat"),
-        F.lit(_ANOVA_F_CRIT_24).alias("f_crit_5pct"),
-        (F.round(w, 6) > F.lit(_ANOVA_F_CRIT_24))
+        (_chi2_crit_expr(F.col("k"))
+         / (F.col("k").cast("double") - 1.0)).alias("f_crit_5pct"),
+        (F.round(w, 6) > _chi2_crit_expr(F.col("k"))
+         / (F.col("k").cast("double") - 1.0))
         .alias("variances_differ"))
 
 
@@ -5831,13 +5869,13 @@ ORACLES["levene_variance_audit"] = f"""
                       - (st_raw / 100) * (st_raw / 100) / nn)
                      - (grp - (st_raw / 100) * (st_raw / 100) / nn))
                     / (nn - k)), 6) AS bf_w_stat,
-           CAST({_ANOVA_F_CRIT_24} AS DOUBLE) AS f_crit_5pct,
+           ({_chi2_crit_sql("k")} / (CAST(k AS DOUBLE) - 1.0)) AS f_crit_5pct,
            round(((grp - (st_raw / 100) * (st_raw / 100) / nn)
                   / (k - 1))
                  / (((sst_raw / 10000
                       - (st_raw / 100) * (st_raw / 100) / nn)
                      - (grp - (st_raw / 100) * (st_raw / 100) / nn))
-                    / (nn - k)), 6) > {_ANOVA_F_CRIT_24}
+                    / (nn - k)), 6) > ({_chi2_crit_sql("k")} / (CAST(k AS DOUBLE) - 1.0))
                AS variances_differ
     FROM tot
 """
@@ -6113,9 +6151,6 @@ ORACLES["ab_sprt_trace"] = f"""
 # `anova_nation_values`, completing the nonparametric ladder next to
 # ab_mannwhitney_test (2 groups) and friedman_method_ranks (paired).
 
-_KW_CHI2_CRIT_24 = 36.41502850180731   # chi2_0.95(24) literal
-
-
 def kruskal_wallis_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KRUSKAL-WALLIS H test of order value across the 25 customer
     nations (Kruskal & Wallis 1952): the rank-ANOVA that stays valid
@@ -6125,7 +6160,8 @@ def kruskal_wallis_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     `anova_nation_values`' data so the parametric and rank verdicts
     sit side by side.  H = 12/(N(N+1)) Σ R_i²/n_i − 3(N+1), with
     the standard tie correction 1 − Σ(t³−t)/(N³−N); verdict vs the
-    literal χ²(24) 5% value.
+    χ²(k−1) 5% literal picked from the shared quantile table for the
+    group count the data actually yields (25 nations ⇒ df 24).
 
     RANKS WITHOUT A ROW SORT: average ranks are computed per
     DISTINCT cent value — r̄(v) in exact 2x-integer units is
@@ -6153,14 +6189,17 @@ def kruskal_wallis_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("nationkey",
                     F.round(F.col("o_totalprice") * 100, 0)
                     .cast("long").alias("yc")))
-    vals = rows.groupBy("yc").agg(F.count(F.lit(1)).alias("t"))
+    # ONE pass over the joined frame: the distinct-value tie counts are
+    # the nation-marginals of the (nation, value) aggregate (r7 review
+    # finding — a separate rows.groupBy(yc) re-ran the scan + join)
+    nat = rows.groupBy("nationkey", "yc").agg(
+        F.count(F.lit(1)).alias("niv")).localCheckpoint(eager=True)
+    vals = nat.groupBy("yc").agg(F.sum("niv").alias("t"))
     wv = Window.orderBy("yc").rowsBetween(Window.unboundedPreceding, 0)
     ranked = (vals.withColumn("cum", F.sum("t").over(wv))
               .select("yc",
                       (2 * (F.col("cum") - F.col("t"))
                        + F.col("t") + 1).alias("r2x")))
-    nat = rows.groupBy("nationkey", "yc").agg(
-        F.count(F.lit(1)).alias("niv"))
     per = (nat.join(ranked, "yc")
            .groupBy("nationkey")
            .agg(F.sum("niv").alias("n_i"),
@@ -6182,14 +6221,15 @@ def kruskal_wallis_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = F.round(1.0 - F.col("tsum").cast("double")
                    / (nn * nn * nn - nn), 9)
     hc = F.round(h / F.nullif(corr, F.lit(0.0)), 6)
+    crit = _chi2_crit_expr(F.col("k"))
     return tot.select(
         F.col("k").cast("int").alias("k_groups"),
         F.col("nn").alias("n_total"),
         F.round(h, 6).alias("h_stat"),
         corr.alias("tie_correction"),
         hc.alias("h_stat_corrected"),
-        F.lit(_KW_CHI2_CRIT_24).alias("chi2_crit_5pct"),
-        (hc > F.lit(_KW_CHI2_CRIT_24)).alias("reject_homogeneity"))
+        crit.alias("chi2_crit_5pct"),
+        (hc > crit).alias("reject_homogeneity"))
 
 
 QUERIES["kruskal_wallis_values"] = kruskal_wallis_values
@@ -6203,18 +6243,18 @@ ORACLES["kruskal_wallis_values"] = f"""
         SELECT c.c_nationkey AS nationkey,
                CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS yc
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), nat AS (
+        SELECT nationkey, yc, CAST(count(*) AS BIGINT) AS niv
+        FROM rows_ GROUP BY 1, 2
     ), vals AS (
-        SELECT yc, CAST(count(*) AS BIGINT) AS t
-        FROM rows_ GROUP BY 1
+        SELECT yc, CAST(sum(niv) AS BIGINT) AS t
+        FROM nat GROUP BY 1
     ), ranked AS (
         SELECT yc,
                2 * (sum(t) OVER (ORDER BY yc
                                  ROWS UNBOUNDED PRECEDING) - t)
                + t + 1 AS r2x
         FROM vals
-    ), nat AS (
-        SELECT nationkey, yc, CAST(count(*) AS BIGINT) AS niv
-        FROM rows_ GROUP BY 1, 2
     ), per AS (
         SELECT n.nationkey, CAST(sum(n.niv) AS BIGINT) AS n_i,
                CAST(sum(CAST(n.niv AS HUGEINT) * r.r2x) AS HUGEINT)
@@ -6239,8 +6279,8 @@ ORACLES["kruskal_wallis_values"] = f"""
            {_KW_CORR_SQL} AS tie_correction,
            round({_KW_H_SQL} / nullif({_KW_CORR_SQL}, 0.0), 6)
                AS h_stat_corrected,
-           CAST({_KW_CHI2_CRIT_24!r} AS DOUBLE) AS chi2_crit_5pct,
+           {_chi2_crit_sql("k")} AS chi2_crit_5pct,
            round({_KW_H_SQL} / nullif({_KW_CORR_SQL}, 0.0), 6)
-               > {_KW_CHI2_CRIT_24!r} AS reject_homogeneity
+               > {_chi2_crit_sql("k")} AS reject_homogeneity
     FROM tot CROSS JOIN ties
 """

@@ -347,7 +347,7 @@ def test_mrr_internal_consistency(spark, sf_dir):
 
 def test_kruskal_wallis_matches_numpy(spark, sf_dir):
     from qrapids_forecast_r_script_spark.operators.product_analytics import (
-        _KW_CHI2_CRIT_24, kruskal_wallis_values)
+        _CHI2_95, kruskal_wallis_values)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice").collect()
     cust = {r.c_custkey: r.c_nationkey
@@ -388,5 +388,7 @@ def test_kruskal_wallis_matches_numpy(spark, sf_dir):
     assert abs(row.tie_correction - corr) < 1e-9
     assert abs(row.h_stat_corrected - h / corr) < 1e-4
     assert 0 < row.tie_correction <= 1
+    # crit follows the data's df: k groups -> chi2_0.95(k-1)
+    assert row.chi2_crit_5pct == _CHI2_95[row.k_groups - 1]
     assert row.reject_homogeneity == (
-        row.h_stat_corrected > _KW_CHI2_CRIT_24)
+        row.h_stat_corrected > row.chi2_crit_5pct)
