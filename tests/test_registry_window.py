@@ -165,3 +165,60 @@ def test_backlog_hedge_block_is_first_signal_in_order():
                 and n not in E.FRONT_WINDOW]
     got = qs[WINDOW:WINDOW + len(expected)]
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# tools/rotation_window.py — the self-advancing cursor (r6 verdict item 5)
+
+
+def test_rotation_tool_drain_era_matches_pinned_first_signal():
+    """While a backlog remains, the tool's first-signal block must equal
+    the pinned window's in-order slots — the tool IS the derivation the
+    manual window was built from, so they cannot disagree."""
+    from tools.rotation_window import derive_window
+    res = derive_window(cap=WINDOW, n_reverify=3)
+    assert res["era"] == "drain"
+    assert len(res["window"]) == WINDOW
+    n = WINDOW - 3
+    first_signal = [x for x in E.FRONT_WINDOW
+                    if x not in RE_VERIFY_SLOTS and x not in PROMOTED_SLOTS]
+    assert res["window"][:len(first_signal)] == first_signal
+    # re-verify slots: previously-green tier-1 names, oldest-green-first
+    checked = _checked(max_round=None)
+    for name in res["window"][n:]:
+        assert name in checked, "re-verify slot must already be green"
+
+
+def test_rotation_tool_rotation_era_tiers(tmp_path):
+    """Once every oracled query has a driver row, the tool flips to the
+    rotation era: tier-1 (streaming/stateful/recursive-CTE) fills the
+    first ~10 slots, the rest is oldest-green-first, and the cursor
+    advances as newer CORRECTNESS files land."""
+    import json as _json
+
+    from tools.rotation_window import derive_window
+
+    oracles = E.oracle_sql()
+    row = {"rows_match": True, "schema_match": True, "hash_match": True,
+           "spark_rows": 1, "oracle_rows": 1, "err": None}
+    # round 1: everything green; round 2: a specific tier-2 slice
+    # re-greened — those names must drop to the window's tail
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        _json.dumps({n: row for n in oracles}))
+    regreened = sorted(oracles)[:60]
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        _json.dumps({n: row for n in regreened}))
+    res = derive_window(cap=WINDOW, n_reverify=3, repo=str(tmp_path))
+    assert res["era"] == "rotation"
+    assert res["backlog_size"] == 0
+    assert len(res["window"]) == WINDOW
+    tier1 = res["window"][:10]
+    from tools.rotation_window import RECURSIVE_CTE, _streaming_names
+    tier1_pool = set(_streaming_names()) | set(RECURSIVE_CTE)
+    assert set(tier1) <= tier1_pool
+    # tier 2 is oldest-green-first: r2-regreened names may appear only
+    # after every r1-only name has been consumed — with 300+ r1-only
+    # names and a 40-slot tier 2, none should appear at all
+    tier2 = res["window"][10:]
+    assert not (set(tier2) & set(regreened)), (
+        "recently-re-greened queries must sort behind older greens")

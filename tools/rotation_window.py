@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Derive the next driver FRONT_WINDOW from the committed artifacts.
+
+This is the self-advancing cursor the window policy in
+``__spark_entry__.py`` promises for the rotation era (r9+), usable from
+r8 onward:
+
+* **Drain era** (never-driver-checked oracled backlog non-empty): the
+  window is first-signal — the next ``cap - n_reverify`` backlog names
+  in merged-registry order, followed by ``n_reverify`` re-verify slots
+  drawn from Tier-1 (drift-exposed) greens, oldest-green-first.
+* **Rotation era** (backlog empty): Tier 1 fills ~10 slots with the
+  drift-exposed surfaces (streaming, stateful, recursive-CTE — the
+  queries that touch Spark internals that move between versions),
+  oldest-green-first; Tier 2 fills the rest with the remaining oracled
+  registry oldest-green-first, ties broken by merged-registry order, so
+  every query is re-checked at least once every ~ceil(N/40) rounds.
+
+"Oldest-green-first" = ascending by the LAST round that produced a
+driver row for the query (never-checked counts as round 0); the round
+number comes from the ``CORRECTNESS_r{N}.json`` filenames, so landing a
+new artifact advances the cursor with no manual edits.
+
+Usage::
+
+    python tools/rotation_window.py [--cap 50] [--reverify 3]
+
+Prints a ready-to-paste ``FRONT_WINDOW = [...]`` block plus a summary
+to stderr.  Pure stdlib + the repo's own registry; no Spark session is
+started (queries are never executed, only named).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+# Tier-1 drift-exposed surfaces.  Streaming/stateful names are derived
+# from their modules; the recursive-CTE family (driver-side unrolled /
+# localCheckpointed recursions over Spark state) is pinned by name —
+# there is no shared engine helper to introspect.
+RECURSIVE_CTE = [
+    "ucb1_replay_policy",
+    "hmm_forward_filter",
+    "hmm_smoothed_posterior",
+    "hmm_baum_welch_step",
+    "hmm_viterbi_path",
+]
+
+
+def _streaming_names() -> list[str]:
+    from qrapids_forecast_r_script_spark.streaming import queries as sq
+    from qrapids_forecast_r_script_spark.streaming import stateful
+    names: list[str] = []
+    for reg in (sq.QUERIES, sq.EXTRA_QUERIES, stateful.QUERIES,
+                stateful.EXTRA_QUERIES):
+        names.extend(reg)
+    return names
+
+
+def last_checked_round(repo: str = HERE) -> dict[str, int]:
+    """query name -> highest round with a driver row (missing = never)."""
+    seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            seen[name] = max(seen.get(name, 0), rnd)
+    return seen
+
+
+def derive_window(cap: int = 50, n_reverify: int = 3,
+                  repo: str = HERE) -> dict:
+    import __spark_entry__ as E
+
+    all_q = list(E.queries())
+    all_o = E.oracle_sql()
+    oracled = [n for n in all_q if n in all_o]
+    seen = last_checked_round(repo)
+    order = {n: i for i, n in enumerate(all_q)}
+
+    backlog = [n for n in oracled if n not in seen]
+    tier1_all = [n for n in (_streaming_names() + RECURSIVE_CTE)
+                 if n in all_o]
+    # oldest-green-first within each pool; merged order breaks ties
+    green_key = lambda n: (seen.get(n, 0), order[n])
+
+    if backlog:
+        first_signal = backlog[:max(0, cap - n_reverify)]
+        pool = sorted((n for n in tier1_all if n in seen), key=green_key)
+        reverify = [n for n in pool if n not in first_signal][:n_reverify]
+        window = first_signal + reverify
+        era = "drain"
+    else:
+        tier1 = sorted(tier1_all, key=green_key)[:10]
+        rest = sorted((n for n in oracled if n not in tier1), key=green_key)
+        window = tier1 + rest[:max(0, cap - len(tier1))]
+        era = "rotation"
+
+    return {"era": era, "window": window, "backlog_size": len(backlog),
+            "n_oracled": len(oracled), "n_tier1": len(tier1_all)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cap", type=int, default=50)
+    ap.add_argument("--reverify", type=int, default=3)
+    args = ap.parse_args()
+    res = derive_window(args.cap, args.reverify)
+    print(f"# era={res['era']} backlog={res['backlog_size']} "
+          f"oracled={res['n_oracled']} tier1={res['n_tier1']}",
+          file=sys.stderr)
+    print("FRONT_WINDOW = [")
+    for n in res["window"]:
+        print(f'    "{n}",')
+    print("]")
+
+
+if __name__ == "__main__":
+    main()
