@@ -41,13 +41,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # at positions 51+ so a wider driver cap still reaches them.  Net-new
 # registration stays FROZEN (delta ≤ +10/round) until the backlog is 0.
 #
-# r7 second half registered +8 new oracled queries (forecast_mase_scores,
-# forecast_dm_test, series_ljung_box, series_pacf, granger_lag1_purchases,
-# phonetic_token_groups, retrieval_mrr_eval, kruskal_wallis_values — each
-# strict-audited on registration), so the never-checked backlog entering
-# r8 is 52: the r8 window takes the first ~47 in module order + 2-3
-# re-verify slots, and the ~5 spill drains in r9's first slots before the
-# rotation below takes over.
+# r7 second half registered +10 new oracled queries — the freeze cap
+# exactly (forecast_mase_scores, forecast_dm_test, series_ljung_box,
+# series_pacf, granger_lag1_purchases, phonetic_token_groups,
+# retrieval_mrr_eval, kruskal_wallis_values, series_kpss_test,
+# series_ndiffs_nsdiffs — each strict-audited on registration), so the
+# never-checked backlog entering r8 is 54: the r8 window takes the first
+# ~47 in module order + 3 re-verify slots, and the ~7 spill drains in
+# r9's first slots before the rotation below takes over.  From r8 the
+# window itself comes out of tools/rotation_window.py (the derivation is
+# pinned against this round's window in test_registry_window.py).
 #
 # ROTATION SCHEDULE (r9+, once the backlog is drained — expected start of
 # r9): the window becomes a rotating re-verification of the full oracled

@@ -422,6 +422,10 @@ HEADLINE = [
     "phonetic_token_groups",
     "retrieval_mrr_eval",
     "kruskal_wallis_values",
+    # round 7 cont.: KPSS stationarity + the auto.arima differencing
+    # decision (ndiffs/nsdiffs)
+    "series_kpss_test",
+    "series_ndiffs_nsdiffs",
 ]
 
 

@@ -4247,3 +4247,258 @@ EVAL_ORACLES["granger_lag1_purchases"] = f"""
                AS granger_causes_purchases
     FROM p ORDER BY name
 """
+
+
+# ---------------------------------------------------------------------------
+# KPSS stationarity + the auto.arima differencing-order decision
+# (r7 cont.).  forecast::auto.arima — the engine behind the reference's
+# ARIMA method (TimeSeriesFunctions_GPL_0.5.1.R:84-95) — picks d by
+# repeated KPSS tests (ndiffs, Kwiatkowski et al. 1992) and D by the
+# STL seasonal-strength rule (nsdiffs measure "seas", Wang,
+# Smith-Miles & Hyndman 2006: F_S >= 0.64 -> D=1); the reference's
+# ARIMA_FORCE_SEASONALITY branch (R:87-88) overrides exactly that D
+# decision to 1.  `series_dickey_fuller` asks the mirrored unit-root
+# question; this pair replays the decision auto.arima actually makes.
+#
+# Exactness: with values on the 1e-6 micro-grid and residuals scaled
+# by m (e_t = m*x_t - sum(x), exact BIGINT), the KPSS statistic
+#   eta = sum(S_t^2)/m^2 / lrv,  lrv = (1/m)(g0 + 2*sum_j w_j g_j),
+#   w_j = 1 - j/(l+1)  (Bartlett)
+# collapses to ONE IEEE division of exact integers:
+#   eta = (l+1)*sum(Stilde^2) / (m * ((l+1)*g0t + 2*sum_j (l+1-j)*g_jt))
+# where Stilde/g*t are the scaled partial sums / autocovariance
+# numerators (128-bit).  The lag truncation l = floor(4*(m/100)^(1/4))
+# (urca lags="short") is resolved in EXACT integer arithmetic via
+# 25*l^4 <= 64*m — no libm pow on either engine, so the truncation can
+# never flip on a last-ulp difference (the data-dependent-critical-
+# value lesson).  Crit 0.463 = the 5% level-stationarity point, a
+# shared literal.
+#
+# Scale: one lag-window pass + one grouped aggregate per difference
+# order — everything partitions by (name, index); the lag fan-out is
+# the constant _KPSS_MAXLAG, independent of series count.
+
+_KPSS_MAXLAG = 12
+_KPSS_CRIT = "0.463"
+
+
+def _kpss_lag_trunc_when(mcol):
+    """l = floor(4*(m/100)^0.25) clamped to [0, min(m-1, maxlag)] as an
+    exact integer cascade: l >= j  <=>  25*j^4 <= 64*m."""
+    expr = F.lit(0).cast("long")
+    for j in range(1, _KPSS_MAXLAG + 1):
+        expr = F.when(F.lit(25 * j ** 4) <= F.lit(64) * mcol,
+                      F.lit(j).cast("long")).otherwise(expr)
+    return F.least(expr, mcol - 1)
+
+
+def _kpss_eta_frame(spark: SparkSession, sf_dir: str, diff: int) -> DataFrame:
+    """(name, index, m, lag_trunc, eta) for the KPSS level test on the
+    series differenced ``diff`` times (diff in {0, 1})."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    wo = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    vu = F.round(F.round("value", 6) * 1e6, 0).cast("long")
+    seq = metrics.select("name", "index", "evaluationDate",
+                         vu.alias("vu"))
+    if diff == 1:
+        seq = (seq.withColumn("xp", F.lag("vu").over(wo))
+               .where(F.col("xp").isNotNull())
+               .select("name", "index", "evaluationDate",
+                       (F.col("vu") - F.col("xp")).alias("x")))
+    else:
+        seq = seq.select("name", "index", "evaluationDate",
+                         F.col("vu").alias("x"))
+    ws = Window.partitionBy("name", "index")
+    e = (seq
+         .withColumn("m", F.count(F.lit(1)).over(ws))
+         .withColumn("sx", F.sum("x").over(ws))
+         .select("name", "index", "evaluationDate", "m",
+                 (F.col("m") * F.col("x") - F.col("sx")).alias("e")))
+    wc = wo.rowsBetween(Window.unboundedPreceding, 0)
+    z = e.select(
+        "name", "index", "m", "e",
+        F.sum("e").over(wc).alias("s"),
+        *[F.lag("e", j).over(wo).alias(f"e{j}")
+          for j in range(1, _KPSS_MAXLAG + 1)])
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    zero38 = F.lit(0).cast("decimal(38,0)")
+    agg = (z.groupBy("name", "index", "m")
+           .agg(F.sum(dec("s") * F.col("s")).alias("a2"),
+                F.sum(dec("e") * F.col("e")).alias("b0"),
+                *[F.coalesce(F.sum(dec("e") * F.col(f"e{j}")), zero38)
+                  .alias(f"b{j}") for j in range(1, _KPSS_MAXLAG + 1)]))
+    lcol = _kpss_lag_trunc_when(F.col("m"))
+    agg = agg.withColumn("l", lcol)
+    dprime = (F.col("l") + 1).cast("decimal(38,0)") * F.col("b0")
+    for j in range(1, _KPSS_MAXLAG + 1):
+        wj = (F.when(F.col("l") >= j, F.col("l") + 1 - j)
+              .otherwise(F.lit(0))).cast("decimal(38,0)")
+        dprime = dprime + F.lit(2).cast("decimal(38,0)") * wj * F.col(f"b{j}")
+    agg = agg.withColumn("dprime", dprime)
+    num = ((F.col("l") + 1).cast("decimal(38,0)") * F.col("a2")) \
+        .cast("double")
+    den = F.col("m").cast("double") * F.col("dprime").cast("double")
+    eta = F.when(F.col("dprime") != 0, F.round(num / den, 6))
+    return agg.select("name", "index",
+                      F.col("m").cast("long").alias("m"),
+                      F.col("l").alias("lag_trunc"),
+                      eta.alias("eta"))
+
+
+def series_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test per metric series (Kwiatkowski,
+    Phillips, Schmidt & Shin 1992; urca lags="short" Bartlett window)
+    — the test forecast::ndiffs runs to pick d inside the reference's
+    auto.arima call (R:84-95), with stationarity as the NULL (the
+    mirror of `series_dickey_fuller`'s unit-root null; the two
+    disagreeing flags a borderline series).  eta > 0.463 rejects
+    level stationarity at 5%.  Constant series have a zero long-run
+    variance -> eta NULL -> stationary (a constant is stationary)."""
+    k = _kpss_eta_frame(spark, sf_dir, 0)
+    stat = (F.when(F.col("eta").isNull(), F.lit(True))
+            .otherwise(F.col("eta") <= float(_KPSS_CRIT)))
+    return (k.select("name", "index", F.col("m").alias("n_obs"),
+                     "lag_trunc", F.col("eta").alias("kpss_eta"),
+                     F.lit(float(_KPSS_CRIT)).alias("crit_5pct"),
+                     stat.alias("stationary"))
+            .orderBy("name", "index"))
+
+
+def series_ndiffs_nsdiffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto.arima differencing-order DECISION per series: d =
+    forecast::ndiffs (repeated KPSS at 5%, max 2) and D =
+    forecast::nsdiffs measure "seas" (STL seasonal strength >= 0.64,
+    max 1 — the exact decision R:87-88's ARIMA_FORCE_SEASONALITY
+    overrides to D=1).  Joins the two KPSS passes with the
+    `series_decomposition_strength` seasonal feature, so the full
+    (d, D) starting point of the reference's ARIMA grid is one
+    queryable row per series."""
+    crit = float(_KPSS_CRIT)
+    lvl = (_kpss_eta_frame(spark, sf_dir, 0)
+           .select("name", "index", F.col("eta").alias("kpss_level")))
+    d1 = (_kpss_eta_frame(spark, sf_dir, 1)
+          .select("name", "index", F.col("eta").alias("kpss_diff1")))
+    seas = (series_decomposition_strength(spark, sf_dir)
+            .select("name", "index", "seasonal_strength"))
+    j = lvl.join(d1, ["name", "index"]).join(seas, ["name", "index"])
+    lvl_stat = (F.col("kpss_level").isNull()
+                | (F.col("kpss_level") <= crit))
+    d1_stat = (F.col("kpss_diff1").isNull()
+               | (F.col("kpss_diff1") <= crit))
+    ndiffs = (F.when(lvl_stat, 0).when(d1_stat, 1).otherwise(2)
+              .cast("long"))
+    nsdiffs = (F.when(F.col("seasonal_strength") >= 0.64, 1).otherwise(0)
+               .cast("long"))
+    return (j.select("name", "index", "kpss_level", "kpss_diff1",
+                     ndiffs.alias("ndiffs"), "seasonal_strength",
+                     nsdiffs.alias("nsdiffs"))
+            .orderBy("name", "index"))
+
+
+EVAL_QUERIES["series_kpss_test"] = series_kpss_test
+EVAL_QUERIES["series_ndiffs_nsdiffs"] = series_ndiffs_nsdiffs
+
+
+def _kpss_sql_chain(tag: str, diff: int) -> str:
+    """CTE chain computing k{tag}(name, index, m, l, eta) from the
+    shared kser(name, index, t, vu) base — the SQL mirror of
+    `_kpss_eta_frame` (identical integer arithmetic, HUGEINT sums)."""
+    maxlag = _KPSS_MAXLAG
+    if diff == 1:
+        x_cte = f"""x{tag} AS (
+        SELECT name, index, t, x FROM (
+            SELECT name, index, t,
+                   vu - lag(vu) OVER (PARTITION BY name, index
+                                      ORDER BY t) AS x
+            FROM kser)
+        WHERE x IS NOT NULL
+    )"""
+    else:
+        x_cte = f"""x{tag} AS (
+        SELECT name, index, t, vu AS x FROM kser
+    )"""
+    lag_cols = ",\n               ".join(
+        f"lag(e, {j}) OVER wz AS e{j}" for j in range(1, maxlag + 1))
+    prods = ",\n               ".join(
+        f"COALESCE(sum(CAST(e AS HUGEINT) * e{j}), 0) AS b{j}"
+        for j in range(1, maxlag + 1))
+    # exact integer lag truncation: l >= j <=> 25*j^4 <= 64*m
+    l_expr = "CAST(0 AS BIGINT)"
+    for j in range(1, maxlag + 1):
+        l_expr = (f"CASE WHEN {25 * j ** 4} <= 64 * m "
+                  f"THEN CAST({j} AS BIGINT) ELSE {l_expr} END")
+    wterms = " + ".join(
+        f"2 * CAST(CASE WHEN l >= {j} THEN l + 1 - {j} ELSE 0 END "
+        f"AS HUGEINT) * b{j}" for j in range(1, maxlag + 1))
+    return f"""{x_cte}, e{tag} AS (
+        SELECT name, index, t, m, CAST(m AS BIGINT) * x - sx AS e
+        FROM (SELECT *, count(*) OVER ws AS m, sum(x) OVER ws AS sx
+              FROM x{tag}
+              WINDOW ws AS (PARTITION BY name, index))
+    ), z{tag} AS (
+        SELECT name, index, m, e,
+               sum(e) OVER (PARTITION BY name, index ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS s,
+               {lag_cols}
+        FROM e{tag}
+        WINDOW wz AS (PARTITION BY name, index ORDER BY t)
+    ), a{tag} AS (
+        SELECT name, index, m,
+               sum(CAST(s AS HUGEINT) * s) AS a2,
+               sum(CAST(e AS HUGEINT) * e) AS b0,
+               {prods}
+        FROM z{tag} GROUP BY 1, 2, 3
+    ), k{tag} AS (
+        SELECT name, index, m, l,
+               CASE WHEN dprime <> 0 THEN
+                   round(CAST(CAST(l + 1 AS HUGEINT) * a2 AS DOUBLE)
+                         / (CAST(m AS DOUBLE) * CAST(dprime AS DOUBLE)),
+                         6)
+               END AS eta
+        FROM (SELECT *, CAST(l + 1 AS HUGEINT) * b0 + {wterms} AS dprime
+              FROM (SELECT *, least({l_expr}, m - 1) AS l FROM a{tag}))
+    )"""
+
+
+_KPSS_BASE = f"""
+    WITH mk AS ({_METRICS_EVENTS}),
+    kser AS (
+        SELECT name, index,
+               row_number() OVER (PARTITION BY name, index
+                                  ORDER BY evaluationDate) AS t,
+               CAST(round(round(value, 6) * 1e6, 0) AS BIGINT) AS vu
+        FROM mk
+    )"""
+
+
+EVAL_ORACLES["series_kpss_test"] = f"""{_KPSS_BASE},
+    {_kpss_sql_chain("lv", 0)}
+    SELECT name, index, m AS n_obs, l AS lag_trunc, eta AS kpss_eta,
+           CAST({_KPSS_CRIT} AS DOUBLE) AS crit_5pct,
+           CASE WHEN eta IS NULL THEN TRUE
+                ELSE eta <= {_KPSS_CRIT} END AS stationary
+    FROM klv ORDER BY name, index
+"""
+
+
+EVAL_ORACLES["series_ndiffs_nsdiffs"] = f"""{_KPSS_BASE},
+    {_kpss_sql_chain("lv", 0)},
+    {_kpss_sql_chain("d1", 1)},
+    seasx AS (
+        SELECT name, index, seasonal_strength
+        FROM ({{decomp_oracle}})
+    )
+    SELECT k0.name, k0.index,
+           k0.eta AS kpss_level, k1.eta AS kpss_diff1,
+           CAST(CASE WHEN k0.eta IS NULL OR k0.eta <= {_KPSS_CRIT} THEN 0
+                     WHEN k1.eta IS NULL OR k1.eta <= {_KPSS_CRIT} THEN 1
+                     ELSE 2 END AS BIGINT) AS ndiffs,
+           s.seasonal_strength,
+           CAST(CASE WHEN s.seasonal_strength >= 0.64 THEN 1
+                     ELSE 0 END AS BIGINT) AS nsdiffs
+    FROM klv k0
+    JOIN kd1 k1 ON k0.name = k1.name AND k0.index = k1.index
+    JOIN seasx s ON k0.name = s.name AND k0.index = s.index
+    ORDER BY k0.name, k0.index
+""".format(decomp_oracle=EVAL_ORACLES["series_decomposition_strength"])

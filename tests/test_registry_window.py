@@ -117,13 +117,15 @@ def test_window_follows_registry_order_of_the_backlog():
     # ≤ +10; each oracled addition must be listed here or this fails —
     # rows-only additions don't enter the oracled backlog)
     registered_after_freeze: set[str] = {
-        # round-7 second-half additions (+8 of the ≤ +10 budget):
+        # round-7 second-half additions (the full ≤ +10 budget):
         # forecast-eval completions, phonetic blocking, MRR eval,
-        # Kruskal-Wallis
+        # Kruskal-Wallis, KPSS + the auto.arima differencing decision
         "forecast_mase_scores", "forecast_dm_test", "series_ljung_box",
         "series_pacf", "granger_lag1_purchases", "phonetic_token_groups",
         "retrieval_mrr_eval", "kruskal_wallis_values",
+        "series_kpss_test", "series_ndiffs_nsdiffs",
     }
+    assert len(registered_after_freeze) <= 10, "freeze budget exceeded"
     checked = _checked(max_round=CURRENT_ROUND)
     oracles = E.oracle_sql()
     # module order = the merged blocks, BOTH pin blocks excluded (the

@@ -392,3 +392,148 @@ def test_kruskal_wallis_matches_numpy(spark, sf_dir):
     assert row.chi2_crit_5pct == _CHI2_95[row.k_groups - 1]
     assert row.reject_homogeneity == (
         row.h_stat_corrected > row.chi2_crit_5pct)
+
+
+# ---------------------------------------------------------------------------
+# KPSS stationarity + the ndiffs/nsdiffs decision (r7 cont.)
+
+
+def _numpy_kpss(y, maxlag=12):
+    """Textbook float KPSS (level, Bartlett, urca lags='short') on the
+    6dp-snapped series — the independent recomputation of the exact
+    integer-ratio form the query computes."""
+    y = np.round(np.asarray(y, float), 6)
+    m = len(y)
+    e = y - y.mean()
+    s = np.cumsum(e)
+    lag = min(int(np.floor(4.0 * (m / 100.0) ** 0.25)), m - 1, maxlag)
+    lrv = float(e @ e)
+    for j in range(1, lag + 1):
+        lrv += 2.0 * (1.0 - j / (lag + 1.0)) * float(e[j:] @ e[:-j])
+    if lrv == 0:
+        return lag, None
+    return lag, float((s @ s) / m ** 2 / (lrv / m))
+
+
+def test_kpss_matches_numpy(spark, sf_dir):
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        series_kpss_test)
+    by = _series(spark, sf_dir)
+    rows = {r.name: r for r in series_kpss_test(spark, sf_dir).collect()}
+    assert set(rows) == set(by)
+    for name, y in by.items():
+        lag, eta = _numpy_kpss(y)
+        r = rows[name]
+        assert r.lag_trunc == lag, name
+        assert r.n_obs == len(y), name
+        if eta is None:
+            assert r.kpss_eta is None, name
+        else:
+            assert abs(r.kpss_eta - eta) < 2e-6, (name, r.kpss_eta, eta)
+        assert r.stationary == (eta is None or round(eta, 6) <= 0.463)
+
+
+def test_kpss_flags_random_walk_not_white_noise(spark):
+    """Plant the two textbook cases: white noise must accept level
+    stationarity, a random walk must reject it (that rejection is what
+    makes ndiffs difference the series)."""
+    import pandas as pd
+    import qrapids_forecast_r_script_spark.forecast.queries as fq
+    rng = np.random.RandomState(7)
+    n = 400
+    days = pd.date_range("2024-01-01", periods=n)
+    wn = rng.normal(0, 1, n)
+    rw = np.cumsum(rng.normal(0, 1, n)) + 100
+    frames = [pd.DataFrame({"name": nm, "index": "t",
+                            "evaluationDate": days,
+                            "value": np.round(v, 6)})
+              for nm, v in [("wn", wn), ("rw", rw)]]
+    sdf = spark.createDataFrame(pd.concat(frames))
+    orig = fq._metrics
+    fq._metrics = lambda s, d: sdf.select(
+        "name", "index",
+        sdf.evaluationDate.cast("date").alias("evaluationDate"), "value")
+    try:
+        out = {r.name: r
+               for r in fq.series_kpss_test(spark, "unused").collect()}
+        dec = {r.name: r
+               for r in fq.series_ndiffs_nsdiffs(spark, "unused")
+               .collect()}
+    finally:
+        fq._metrics = orig
+    assert out["wn"].stationary
+    assert not out["rw"].stationary
+    # ndiffs: the random walk needs exactly one difference, the white
+    # noise none
+    assert dec["wn"].ndiffs == 0
+    assert dec["rw"].ndiffs == 1
+
+
+def test_kpss_lag_trunc_integer_cascade_is_exact():
+    """25*l^4 <= 64*m is exactly floor(4*(m/100)^(1/4)) — the integer
+    form can never flip on a libm last-ulp difference."""
+    for m in range(1, 25001):
+        exact = 0
+        for j in range(1, 13):
+            if 25 * j ** 4 <= 64 * m:
+                exact = j
+        exact = min(exact, m - 1)
+        flt = min(int(np.floor(4.0 * (m / 100.0) ** 0.25)), m - 1, 12)
+        assert exact == flt, m
+
+
+def test_ndiffs_nsdiffs_row_consistency(spark, sf_dir):
+    """The decision columns must be the documented functions of the
+    component statistics, and the components must equal the standalone
+    `series_kpss_test` / `series_decomposition_strength` outputs."""
+    from qrapids_forecast_r_script_spark.forecast.queries import (
+        series_decomposition_strength, series_kpss_test,
+        series_ndiffs_nsdiffs)
+    dec = {r.name: r
+           for r in series_ndiffs_nsdiffs(spark, sf_dir).collect()}
+    lvl = {r.name: r for r in series_kpss_test(spark, sf_dir).collect()}
+    seas = {r.name: r
+            for r in series_decomposition_strength(spark, sf_dir)
+            .collect()}
+    assert dec
+    for name, r in dec.items():
+        assert r.kpss_level == lvl[name].kpss_eta
+        assert r.seasonal_strength == seas[name].seasonal_strength
+        exp_nd = (0 if r.kpss_level is None or r.kpss_level <= 0.463
+                  else (1 if r.kpss_diff1 is None
+                        or r.kpss_diff1 <= 0.463 else 2))
+        assert r.ndiffs == exp_nd
+        assert r.nsdiffs == (
+            1 if r.seasonal_strength is not None
+            and r.seasonal_strength >= 0.64 else 0)
+
+
+def test_kpss_degenerate_series_edges(spark):
+    """Constant series: zero long-run variance -> eta NULL -> stationary
+    (a constant IS stationary), ndiffs 0.  Two-point series: the d=1
+    pass has one observation (e == 0) -> NULL as well; no crash, no
+    spurious differencing."""
+    import pandas as pd
+    import qrapids_forecast_r_script_spark.forecast.queries as fq
+    days = pd.date_range("2024-01-01", periods=50)
+    frames = [
+        pd.DataFrame({"name": "const", "index": "t",
+                      "evaluationDate": days,
+                      "value": np.full(50, 42.5)}),
+        pd.DataFrame({"name": "two", "index": "t",
+                      "evaluationDate": days[:2],
+                      "value": np.array([1.0, 2.0])}),
+    ]
+    sdf = spark.createDataFrame(pd.concat(frames))
+    orig = fq._metrics
+    fq._metrics = lambda s, d: sdf.select(
+        "name", "index",
+        sdf.evaluationDate.cast("date").alias("evaluationDate"), "value")
+    try:
+        out = {r.name: r
+               for r in fq.series_kpss_test(spark, "unused").collect()}
+    finally:
+        fq._metrics = orig
+    assert out["const"].kpss_eta is None
+    assert out["const"].stationary
+    assert out["two"].n_obs == 2
