@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
@@ -55,6 +56,23 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(sf_dir))
 
 
+@contextmanager
+def _scoped_stream_shuffle(spark: SparkSession):
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a local
+    availableNow replay (SPARK_GRAFT_STREAM_SHUFFLE, default 4) — see
+    the state-store-sizing note on :func:`_run_to_memory_sink`.  Safe
+    because every caller runs streaming queries sequentially and the
+    query pins the partition count into its own fresh checkpoint at
+    start."""
+    parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _run_to_memory_sink(df: DataFrame, name: str, output_mode: str,
                         timeout_s: float = 300) -> None:
     """availableNow replay into a memory sink, raising on timeout.
@@ -64,21 +82,40 @@ def _run_to_memory_sink(df: DataFrame, name: str, output_mode: str,
     that surfaces later as a baffling oracle mismatch.  Fail loudly
     instead; transient host contention (see BASELINE.md) makes this a
     real path, not a theoretical one.
+
+    State-store sizing: each stateful operator keeps ONE state store per
+    shuffle partition (a stream-stream join keeps four per side), and
+    every micro-batch pays a per-store load/commit round-trip — so the
+    partition count is state-store COUNT, not parallelism, for a
+    single-file availableNow replay whose state fits in a handful of
+    stores.  At the session default of 32, the left-outer join spends
+    8-30 s (high variance) on ~384 store commits; at 4 it runs ~3.5 s
+    with identical output (19 772 rows either way — stream content is
+    partition-count-invariant).  On a real cluster the right number is
+    sized to cores × state volume, so it stays a knob
+    (SPARK_GRAFT_STREAM_SHUFFLE, default 4) rather than a constant.
+    The conf is scoped-and-restored: stateful queries capture the
+    partition count from the session at START (it is then pinned in the
+    checkpoint), and every caller here runs streaming queries
+    sequentially (the parity gate routes streaming to its sequential
+    path; bench is sequential), so the temporary session mutation
+    cannot race another thread's query plan.
     """
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (df.writeStream
-             .format("memory")
-             .queryName(name)
-             .outputMode(output_mode)
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True)
-             .start())
-        finished = q.awaitTermination(timeout_s)
-        if not finished:
-            q.stop()
-            raise TimeoutError(
-                f"streaming query {name!r} did not finish within "
-                f"{timeout_s}s — refusing to return a partial sink")
+    with _scoped_stream_shuffle(df.sparkSession):
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (df.writeStream
+                 .format("memory")
+                 .queryName(name)
+                 .outputMode(output_mode)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True)
+                 .start())
+            finished = q.awaitTermination(timeout_s)
+            if not finished:
+                q.stop()
+                raise TimeoutError(
+                    f"streaming query {name!r} did not finish within "
+                    f"{timeout_s}s — refusing to return a partial sink")
 
 
 def _tumbling_agg(df: DataFrame) -> DataFrame:
@@ -377,7 +414,7 @@ def events_stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = events_stream(spark, sf_dir).select(
         "user_id", "event_type", "ts", "value", "event_id")
-    with tempfile.TemporaryDirectory() as ckpt:
+    with _scoped_stream_shuffle(spark), tempfile.TemporaryDirectory() as ckpt:
         q = (stream.writeStream
              .foreachBatch(_merge)
              .option("checkpointLocation", ckpt)
@@ -478,7 +515,7 @@ def events_stream_trending_upsert(spark: SparkSession,
                       F.col("w.end").alias("window_end"),
                       "user_id", "n_events"))
     import tempfile as _tf
-    with _tf.TemporaryDirectory() as ckpt:
+    with _scoped_stream_shuffle(spark), _tf.TemporaryDirectory() as ckpt:
         q = (counts.writeStream
              .foreachBatch(_merge)
              .outputMode("update")
