@@ -4292,38 +4292,59 @@ def _kpss_lag_trunc_when(mcol):
     return F.least(expr, mcol - 1)
 
 
-def _kpss_eta_frame(spark: SparkSession, sf_dir: str, diff: int) -> DataFrame:
-    """(name, index, m, lag_trunc, eta) for the KPSS level test on the
-    series differenced ``diff`` times (diff in {0, 1})."""
+def _kpss_x_union(spark: SparkSession, sf_dir: str,
+                  diffs: tuple) -> DataFrame:
+    """(name, index, dd, evaluationDate, x): the micro-grid series at
+    each requested difference order, union-tagged by ``dd`` so every
+    requested order rides ONE scan / window / aggregate pass."""
     from pyspark.sql.window import Window
     metrics = _metrics(spark, sf_dir)
     wo = Window.partitionBy("name", "index").orderBy("evaluationDate")
     vu = F.round(F.round("value", 6) * 1e6, 0).cast("long")
     seq = metrics.select("name", "index", "evaluationDate",
                          vu.alias("vu"))
-    if diff == 1:
-        seq = (seq.withColumn("xp", F.lag("vu").over(wo))
-               .where(F.col("xp").isNotNull())
-               .select("name", "index", "evaluationDate",
-                       (F.col("vu") - F.col("xp")).alias("x")))
-    else:
-        seq = seq.select("name", "index", "evaluationDate",
-                         F.col("vu").alias("x"))
-    ws = Window.partitionBy("name", "index")
-    e = (seq
+    parts = []
+    for d in diffs:
+        if d == 1:
+            parts.append(
+                seq.withColumn("xp", F.lag("vu").over(wo))
+                .where(F.col("xp").isNotNull())
+                .select("name", "index", F.lit(1).alias("dd"),
+                        "evaluationDate",
+                        (F.col("vu") - F.col("xp")).alias("x")))
+        else:
+            parts.append(
+                seq.select("name", "index", F.lit(0).alias("dd"),
+                           "evaluationDate", F.col("vu").alias("x")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _kpss_eta_from_x(x: DataFrame) -> DataFrame:
+    """(name, index, dd, m, lag_trunc, eta) from a ``_kpss_x_union``
+    frame — one window chain + one grouped aggregate, partitioned by
+    (name, index, dd) so multiple difference orders compute in the
+    same pass."""
+    from pyspark.sql.window import Window
+    keys = ["name", "index", "dd"]
+    wo = Window.partitionBy(*keys).orderBy("evaluationDate")
+    ws = Window.partitionBy(*keys)
+    e = (x
          .withColumn("m", F.count(F.lit(1)).over(ws))
          .withColumn("sx", F.sum("x").over(ws))
-         .select("name", "index", "evaluationDate", "m",
+         .select(*keys, "evaluationDate", "m",
                  (F.col("m") * F.col("x") - F.col("sx")).alias("e")))
     wc = wo.rowsBetween(Window.unboundedPreceding, 0)
     z = e.select(
-        "name", "index", "m", "e",
+        *keys, "m", "e",
         F.sum("e").over(wc).alias("s"),
         *[F.lag("e", j).over(wo).alias(f"e{j}")
           for j in range(1, _KPSS_MAXLAG + 1)])
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     zero38 = F.lit(0).cast("decimal(38,0)")
-    agg = (z.groupBy("name", "index", "m")
+    agg = (z.groupBy(*keys, "m")
            .agg(F.sum(dec("s") * F.col("s")).alias("a2"),
                 F.sum(dec("e") * F.col("e")).alias("b0"),
                 *[F.coalesce(F.sum(dec("e") * F.col(f"e{j}")), zero38)
@@ -4340,10 +4361,17 @@ def _kpss_eta_frame(spark: SparkSession, sf_dir: str, diff: int) -> DataFrame:
         .cast("double")
     den = F.col("m").cast("double") * F.col("dprime").cast("double")
     eta = F.when(F.col("dprime") != 0, F.round(num / den, 6))
-    return agg.select("name", "index",
+    return agg.select(*keys,
                       F.col("m").cast("long").alias("m"),
                       F.col("l").alias("lag_trunc"),
                       eta.alias("eta"))
+
+
+def _kpss_eta_frame(spark: SparkSession, sf_dir: str, diff: int) -> DataFrame:
+    """(name, index, m, lag_trunc, eta) for the KPSS level test on the
+    series differenced ``diff`` times (diff in {0, 1})."""
+    return (_kpss_eta_from_x(_kpss_x_union(spark, sf_dir, (diff,)))
+            .drop("dd"))
 
 
 def series_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4373,15 +4401,23 @@ def series_ndiffs_nsdiffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     overrides to D=1).  Joins the two KPSS passes with the
     `series_decomposition_strength` seasonal feature, so the full
     (d, D) starting point of the reference's ARIMA grid is one
-    queryable row per series."""
+    queryable row per series.
+
+    Plan shape: BOTH KPSS passes ride one union-tagged scan / window
+    chain / aggregate partitioned by (name, index, dd) — one shuffle
+    for the pair instead of two independent passes — then pivot to
+    (kpss_level, kpss_diff1) columns and broadcast-join the
+    decomposition-strength feature."""
     crit = float(_KPSS_CRIT)
-    lvl = (_kpss_eta_frame(spark, sf_dir, 0)
-           .select("name", "index", F.col("eta").alias("kpss_level")))
-    d1 = (_kpss_eta_frame(spark, sf_dir, 1)
-          .select("name", "index", F.col("eta").alias("kpss_diff1")))
+    both = _kpss_eta_from_x(_kpss_x_union(spark, sf_dir, (0, 1)))
+    wide = (both.groupBy("name", "index")
+            .agg(F.max(F.when(F.col("dd") == 0, F.col("eta")))
+                 .alias("kpss_level"),
+                 F.max(F.when(F.col("dd") == 1, F.col("eta")))
+                 .alias("kpss_diff1")))
     seas = (series_decomposition_strength(spark, sf_dir)
             .select("name", "index", "seasonal_strength"))
-    j = lvl.join(d1, ["name", "index"]).join(seas, ["name", "index"])
+    j = wide.join(seas, ["name", "index"])
     lvl_stat = (F.col("kpss_level").isNull()
                 | (F.col("kpss_level") <= crit))
     d1_stat = (F.col("kpss_diff1").isNull()
