@@ -4337,15 +4337,20 @@ def _kpss_eta_from_x(x: DataFrame) -> DataFrame:
          .select(*keys, "evaluationDate", "m",
                  (F.col("m") * F.col("x") - F.col("sx")).alias("e")))
     wc = wo.rowsBetween(Window.unboundedPreceding, 0)
+    # the partial sums accumulate in decimal(38,0), NOT long: S_t grows
+    # like n^2 * sigma * 1e6 and overflows int64 well before the
+    # aggregate sums do (DuckDB's window sum promotes to HUGEINT on its
+    # own — without this cast the two engines would diverge exactly at
+    # the scale the docstring claims is safe)
     z = e.select(
         *keys, "m", "e",
-        F.sum("e").over(wc).alias("s"),
+        F.sum(F.col("e").cast("decimal(38,0)")).over(wc).alias("s"),
         *[F.lag("e", j).over(wo).alias(f"e{j}")
           for j in range(1, _KPSS_MAXLAG + 1)])
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     zero38 = F.lit(0).cast("decimal(38,0)")
     agg = (z.groupBy(*keys, "m")
-           .agg(F.sum(dec("s") * F.col("s")).alias("a2"),
+           .agg(F.sum(F.col("s") * F.col("s")).alias("a2"),
                 F.sum(dec("e") * F.col("e")).alias("b0"),
                 *[F.coalesce(F.sum(dec("e") * F.col(f"e{j}")), zero38)
                   .alias(f"b{j}") for j in range(1, _KPSS_MAXLAG + 1)]))

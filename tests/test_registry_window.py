@@ -224,3 +224,29 @@ def test_rotation_tool_rotation_era_tiers(tmp_path):
     tier2 = res["window"][10:]
     assert not (set(tier2) & set(regreened)), (
         "recently-re-greened queries must sort behind older greens")
+
+
+def test_rotation_tool_drain_backfills_transition_round(tmp_path):
+    """When the backlog is smaller than the window, the drain era must
+    backfill the remaining slots with rotation-ordered greens instead
+    of emitting a short window (the r9 transition round)."""
+    import json as _json
+
+    from tools.rotation_window import derive_window
+
+    oracles = E.oracle_sql()
+    row = {"rows_match": True, "schema_match": True, "hash_match": True,
+           "spark_rows": 1, "oracle_rows": 1, "err": None}
+    names = list(oracles)
+    # everything green except 7 stragglers
+    leftover = names[-7:]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        _json.dumps({n: row for n in names if n not in leftover}))
+    res = derive_window(cap=WINDOW, n_reverify=3, repo=str(tmp_path))
+    assert res["era"] == "drain"
+    assert res["backlog_size"] == 7
+    assert len(res["window"]) == WINDOW
+    assert res["window"][:7] == [n for n in list(E.queries())
+                                 if n in set(leftover)][:7] or \
+        set(res["window"][:7]) == set(leftover)
+    assert len(set(res["window"])) == WINDOW  # no duplicates

@@ -5,6 +5,8 @@ numpy from the raw metric series and compared against the Spark
 output (the oracle parity gate covers the SQL twin; these pin the
 math itself)."""
 
+from contextlib import contextmanager
+
 import numpy as np
 
 from qrapids_forecast_r_script_spark.forecast.queries import (
@@ -26,6 +28,23 @@ def _series(spark, sf_dir):
     for pts in by.values():
         pts.sort()
     return {k: np.array([v for _, v in pts]) for k, pts in by.items()}
+
+
+@contextmanager
+def _planted_metrics(spark, pdf):
+    """Route ``fq._metrics`` at a synthetic (name, index,
+    evaluationDate, value) pandas frame for the duration of the block —
+    the shared plant-a-series scaffold (was copy-pasted per test)."""
+    import qrapids_forecast_r_script_spark.forecast.queries as fq
+    sdf = spark.createDataFrame(pdf)
+    orig = fq._metrics
+    fq._metrics = lambda s, d: sdf.select(
+        "name", "index",
+        sdf.evaluationDate.cast("date").alias("evaluationDate"), "value")
+    try:
+        yield
+    finally:
+        fq._metrics = orig
 
 
 def _closed_form_preds(y):
@@ -139,17 +158,9 @@ def test_ljung_box_white_noise_accepts(spark):
         pd.DataFrame({"name": "ar", "index": "t", "evaluationDate": days,
                       "value": np.round(ar, 6)}),
     ])
-    sdf = spark.createDataFrame(pdf)
-    import qrapids_forecast_r_script_spark.forecast.queries as fq
-    orig = fq._metrics
-    fq._metrics = lambda s, d: sdf.select(
-        "name", "index",
-        sdf.evaluationDate.cast("date").alias("evaluationDate"), "value")
-    try:
+    with _planted_metrics(spark, pdf):
         out = {r.name: r for r in series_ljung_box(spark, "unused")
                .collect()}
-    finally:
-        fq._metrics = orig
     assert not out["wn"].reject_white_noise
     assert out["ar"].reject_white_noise
 
@@ -306,17 +317,10 @@ def test_granger_detects_planted_lag1_signal(spark):
         frames.append(pd.DataFrame(
             {"name": nm, "index": "t", "evaluationDate": days,
              "value": np.round(v, 6)}))
-    sdf = spark.createDataFrame(pd.concat(frames))
-    orig = fq._metrics
-    fq._metrics = lambda s, d: sdf.select(
-        "name", "index",
-        sdf.evaluationDate.cast("date").alias("evaluationDate"), "value")
-    try:
+    with _planted_metrics(spark, pd.concat(frames)):
         out = {r.name: r
                for r in fq.granger_lag1_purchases(spark, "unused")
                .collect()}
-    finally:
-        fq._metrics = orig
     assert out["driver"].granger_causes_purchases
     assert not out["noise"].granger_causes_purchases
 
@@ -428,9 +432,15 @@ def test_kpss_matches_numpy(spark, sf_dir):
         assert r.n_obs == len(y), name
         if eta is None:
             assert r.kpss_eta is None, name
+            assert r.stationary
         else:
             assert abs(r.kpss_eta - eta) < 2e-6, (name, r.kpss_eta, eta)
-        assert r.stationary == (eta is None or round(eta, 6) <= 0.463)
+            # the verdict is a function of the ENGINE's exact eta; only
+            # recheck it against the float recomputation away from the
+            # critical value, where the 2e-6 slack cannot flip the sign
+            if abs(eta - 0.463) > 3e-6:
+                assert r.stationary == (eta <= 0.463), name
+            assert r.stationary == (r.kpss_eta <= 0.463), name
 
 
 def test_kpss_flags_random_walk_not_white_noise(spark):
@@ -448,19 +458,12 @@ def test_kpss_flags_random_walk_not_white_noise(spark):
                             "evaluationDate": days,
                             "value": np.round(v, 6)})
               for nm, v in [("wn", wn), ("rw", rw)]]
-    sdf = spark.createDataFrame(pd.concat(frames))
-    orig = fq._metrics
-    fq._metrics = lambda s, d: sdf.select(
-        "name", "index",
-        sdf.evaluationDate.cast("date").alias("evaluationDate"), "value")
-    try:
+    with _planted_metrics(spark, pd.concat(frames)):
         out = {r.name: r
                for r in fq.series_kpss_test(spark, "unused").collect()}
         dec = {r.name: r
                for r in fq.series_ndiffs_nsdiffs(spark, "unused")
                .collect()}
-    finally:
-        fq._metrics = orig
     assert out["wn"].stationary
     assert not out["rw"].stationary
     # ndiffs: the random walk needs exactly one difference, the white
@@ -524,16 +527,33 @@ def test_kpss_degenerate_series_edges(spark):
                       "evaluationDate": days[:2],
                       "value": np.array([1.0, 2.0])}),
     ]
-    sdf = spark.createDataFrame(pd.concat(frames))
-    orig = fq._metrics
-    fq._metrics = lambda s, d: sdf.select(
-        "name", "index",
-        sdf.evaluationDate.cast("date").alias("evaluationDate"), "value")
-    try:
+    with _planted_metrics(spark, pd.concat(frames)):
         out = {r.name: r
                for r in fq.series_kpss_test(spark, "unused").collect()}
-    finally:
-        fq._metrics = orig
     assert out["const"].kpss_eta is None
     assert out["const"].stationary
     assert out["two"].n_obs == 2
+
+
+def test_kpss_large_magnitude_series_stays_exact(spark):
+    """Partial sums at large magnitude: an n=1000 random walk with
+    series-sd ~3e4 (inside the documented sigma*n^2.5 <= 1e13
+    headroom, sigma = sd of the SERIES) produces S-tilde far beyond
+    int64 — the decimal(38,0) accumulation must keep the engine
+    finite and equal to the numpy recomputation."""
+    import pandas as pd
+    rng = np.random.RandomState(3)
+    n = 1000
+    days = pd.date_range("2019-01-01", periods=n)
+    rw = np.cumsum(rng.normal(0, 1e3, n))
+    pdf = pd.DataFrame({"name": "big", "index": "t",
+                        "evaluationDate": days,
+                        "value": np.round(rw, 6)})
+    with _planted_metrics(spark, pdf):
+        import qrapids_forecast_r_script_spark.forecast.queries as fq
+        r = fq.series_kpss_test(spark, "unused").collect()[0]
+    lag, eta = _numpy_kpss(rw)
+    assert r.lag_trunc == lag
+    assert r.kpss_eta is not None and np.isfinite(r.kpss_eta)
+    assert abs(r.kpss_eta - eta) < max(2e-6, abs(eta) * 1e-9)
+    assert not r.stationary  # a random walk is not level-stationary

@@ -104,9 +104,16 @@ def derive_window(cap: int = 50, n_reverify: int = 3,
         pool = sorted((n for n in tier1_all if n in seen), key=green_key)
         reverify = [n for n in pool if n not in first_signal][:n_reverify]
         window = first_signal + reverify
+        # transition round: a nearly-drained backlog must not waste
+        # verification slots — backfill the remainder with the
+        # rotation-era ordering (oldest-green-first over the rest)
+        if len(window) < cap:
+            rest = sorted((n for n in oracled if n not in window),
+                          key=green_key)
+            window += rest[:cap - len(window)]
         era = "drain"
     else:
-        tier1 = sorted(tier1_all, key=green_key)[:10]
+        tier1 = sorted(tier1_all, key=green_key)[:min(10, cap)]
         rest = sorted((n for n in oracled if n not in tier1), key=green_key)
         window = tier1 + rest[:max(0, cap - len(tier1))]
         era = "rotation"
