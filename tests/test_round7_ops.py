@@ -557,3 +557,26 @@ def test_kpss_large_magnitude_series_stays_exact(spark):
     assert r.kpss_eta is not None and np.isfinite(r.kpss_eta)
     assert abs(r.kpss_eta - eta) < max(2e-6, abs(eta) * 1e-9)
     assert not r.stationary  # a random walk is not level-stationary
+
+
+def test_kpss_shift_invariance_is_bit_exact(spark):
+    """eta is location-invariant in exact arithmetic: e_t = m*x_t -
+    sum(x) cancels any constant shift ON the micro-grid, so
+    eta(y + c) must equal eta(y) BIT-exactly (not within tolerance) —
+    the invariant the scaled-residual construction exists to give."""
+    import pandas as pd
+    rng = np.random.RandomState(17)
+    n = 300
+    days = pd.date_range("2023-01-01", periods=n)
+    base = np.round(np.cumsum(rng.normal(0, 3, n)) + rng.normal(0, 5, n), 6)
+    frames = [pd.DataFrame({"name": f"s{c}", "index": "t",
+                            "evaluationDate": days,
+                            "value": base + c})
+              for c in (0, 1000, -250)]
+    with _planted_metrics(spark, pd.concat(frames)):
+        import qrapids_forecast_r_script_spark.forecast.queries as fq
+        out = {r.name: r
+               for r in fq.series_kpss_test(spark, "unused").collect()}
+    assert out["s0"].kpss_eta == out["s1000"].kpss_eta
+    assert out["s0"].kpss_eta == out["s-250"].kpss_eta
+    assert out["s0"].lag_trunc == out["s1000"].lag_trunc
