@@ -250,3 +250,35 @@ def test_rotation_tool_drain_backfills_transition_round(tmp_path):
                                  if n in set(leftover)][:7] or \
         set(res["window"][:7]) == set(leftover)
     assert len(set(res["window"])) == WINDOW  # no duplicates
+
+
+def test_rotation_tool_r8_handoff_preview(tmp_path):
+    """Simulate this round's driver run landing (every FRONT_WINDOW name
+    green in a synthetic CORRECTNESS_r07) on top of the real r1-r6
+    artifacts: the derived r8 window must be 50 slots — the head of the
+    54-query remaining backlog first, re-verify slots green — i.e. the
+    exact handoff the window-policy comment documents."""
+    import json as _json
+    import shutil
+
+    from tools.rotation_window import derive_window
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        shutil.copy(p, tmp_path)
+    row = {"rows_match": True, "schema_match": True, "hash_match": True,
+           "spark_rows": 1, "oracle_rows": 1, "err": None}
+    (tmp_path / "CORRECTNESS_r07.json").write_text(
+        _json.dumps({n: row for n in E.FRONT_WINDOW}))
+    res = derive_window(cap=WINDOW, n_reverify=3, repo=str(tmp_path))
+    assert res["era"] == "drain"
+    assert res["backlog_size"] == 54, res["backlog_size"]
+    assert len(res["window"]) == WINDOW
+    # first-signal head: never-checked, in merged order
+    checked = _checked(max_round=None) | set(E.FRONT_WINDOW)
+    first = res["window"][:WINDOW - 3]
+    assert all(n not in checked for n in first[:res["backlog_size"] - 7]
+               ), "r8 first-signal slots must be never-checked"
+    # every slot is either backlog or a previously-green re-verify
+    oracles = E.oracle_sql()
+    assert all(n in oracles for n in res["window"])
