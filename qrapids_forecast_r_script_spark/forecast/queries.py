@@ -4331,28 +4331,39 @@ def _kpss_eta_from_x(x: DataFrame) -> DataFrame:
     keys = ["name", "index", "dd"]
     wo = Window.partitionBy(*keys).orderBy("evaluationDate")
     ws = Window.partitionBy(*keys)
+    # Magnitude discipline (review r7): eta is location-invariant in
+    # exact arithmetic (e_t = m*x_t - sum(x) cancels any constant
+    # shift — pinned bit-exactly by test), so shift each group by its
+    # MIN first: intermediates then scale with the series RANGE, not
+    # its mean, killing the int64 wrap a high-mean series would hit in
+    # m*x.  The residual e accumulates in decimal(38,0) (m*xs can't
+    # overflow it: xs fits int64, m <= ~1e5), mirroring DuckDB's
+    # HUGEINT arithmetic on the same shifted values.
     e = (x
+         .withColumn("xs", F.col("x") - F.min("x").over(ws))
          .withColumn("m", F.count(F.lit(1)).over(ws))
-         .withColumn("sx", F.sum("x").over(ws))
+         .withColumn("sx", F.sum("xs").over(ws))
          .select(*keys, "evaluationDate", "m",
-                 (F.col("m") * F.col("x") - F.col("sx")).alias("e")))
+                 (F.col("m").cast("decimal(38,0)") * F.col("xs")
+                  - F.col("sx")).alias("e")))
     wc = wo.rowsBetween(Window.unboundedPreceding, 0)
-    # the partial sums accumulate in decimal(38,0), NOT long: S_t grows
-    # like n^2 * sigma * 1e6 and overflows int64 well before the
-    # aggregate sums do (DuckDB's window sum promotes to HUGEINT on its
-    # own — without this cast the two engines would diverge exactly at
-    # the scale the docstring claims is safe)
+    # S_t grows like n^2 * sigma * 1e6 — far beyond int64; it stays in
+    # decimal(38,0).  Past ~1e38 non-ANSI Spark NULLs the overflowed
+    # window rows while DuckDB raises out-of-range: the s_null guard
+    # below turns that into a NULL eta, so Spark can never emit a
+    # plausible wrong number from a silently shortened sum.
     z = e.select(
         *keys, "m", "e",
-        F.sum(F.col("e").cast("decimal(38,0)")).over(wc).alias("s"),
+        F.sum("e").over(wc).alias("s"),
         *[F.lag("e", j).over(wo).alias(f"e{j}")
           for j in range(1, _KPSS_MAXLAG + 1)])
-    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     zero38 = F.lit(0).cast("decimal(38,0)")
     agg = (z.groupBy(*keys, "m")
            .agg(F.sum(F.col("s") * F.col("s")).alias("a2"),
-                F.sum(dec("e") * F.col("e")).alias("b0"),
-                *[F.coalesce(F.sum(dec("e") * F.col(f"e{j}")), zero38)
+                F.sum(F.col("e") * F.col("e")).alias("b0"),
+                F.sum(F.when(F.col("s").isNull(), 1).otherwise(0))
+                .alias("s_null"),
+                *[F.coalesce(F.sum(F.col("e") * F.col(f"e{j}")), zero38)
                   .alias(f"b{j}") for j in range(1, _KPSS_MAXLAG + 1)]))
     lcol = _kpss_lag_trunc_when(F.col("m"))
     agg = agg.withColumn("l", lcol)
@@ -4365,7 +4376,8 @@ def _kpss_eta_from_x(x: DataFrame) -> DataFrame:
     num = ((F.col("l") + 1).cast("decimal(38,0)") * F.col("a2")) \
         .cast("double")
     den = F.col("m").cast("double") * F.col("dprime").cast("double")
-    eta = F.when(F.col("dprime") != 0, F.round(num / den, 6))
+    eta = F.when((F.col("dprime") != 0) & (F.col("s_null") == 0),
+                 F.round(num / den, 6))
     return agg.select(*keys,
                       F.col("m").cast("long").alias("m"),
                       F.col("l").alias("lag_trunc"),
@@ -4473,9 +4485,14 @@ def _kpss_sql_chain(tag: str, diff: int) -> str:
         f"2 * CAST(CASE WHEN l >= {j} THEN l + 1 - {j} ELSE 0 END "
         f"AS HUGEINT) * b{j}" for j in range(1, maxlag + 1))
     return f"""{x_cte}, e{tag} AS (
-        SELECT name, index, t, m, CAST(m AS BIGINT) * x - sx AS e
-        FROM (SELECT *, count(*) OVER ws AS m, sum(x) OVER ws AS sx
-              FROM x{tag}
+        -- min-shifted (location-invariant in exact arithmetic) so
+        -- intermediates scale with the series RANGE, not its mean;
+        -- HUGEINT e mirrors the Spark side's decimal(38,0)
+        SELECT name, index, t, m, CAST(m AS HUGEINT) * xs - sx AS e
+        FROM (SELECT *, count(*) OVER ws AS m, sum(xs) OVER ws AS sx
+              FROM (SELECT *, x - min(x) OVER wm AS xs
+                    FROM x{tag}
+                    WINDOW wm AS (PARTITION BY name, index))
               WINDOW ws AS (PARTITION BY name, index))
     ), z{tag} AS (
         SELECT name, index, m, e,

@@ -64,9 +64,12 @@ def _scoped_stream_shuffle(spark: SparkSession):
     because every caller runs streaming queries sequentially and the
     query pins the partition count into its own fresh checkpoint at
     start."""
-    parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4")
+    # int() at read time: a malformed knob must fail HERE, not as an
+    # opaque planner error deep inside the streaming query (the
+    # session.py SPARK_GRAFT_SHUFFLE precedent)
+    parts = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
         yield
     finally:

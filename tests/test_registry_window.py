@@ -254,10 +254,13 @@ def test_rotation_tool_drain_backfills_transition_round(tmp_path):
 
 def test_rotation_tool_r8_handoff_preview(tmp_path):
     """Simulate this round's driver run landing (every FRONT_WINDOW name
-    green in a synthetic CORRECTNESS_r07) on top of the real r1-r6
-    artifacts: the derived r8 window must be 50 slots — the head of the
-    54-query remaining backlog first, re-verify slots green — i.e. the
-    exact handoff the window-policy comment documents."""
+    green in a synthetic next-round artifact) on top of the real
+    committed artifacts: the derived next window must be 50 slots, the
+    head of the remaining never-checked backlog first, re-verify slots
+    previously green — the exact handoff the window-policy comment
+    documents.  Expectations derive from the SAME artifact set the tool
+    reads (no hard-coded backlog count), so real future artifacts or
+    registrations can't break this test spuriously."""
     import json as _json
     import shutil
 
@@ -268,17 +271,25 @@ def test_rotation_tool_r8_handoff_preview(tmp_path):
         shutil.copy(p, tmp_path)
     row = {"rows_match": True, "schema_match": True, "hash_match": True,
            "spark_rows": 1, "oracle_rows": 1, "err": None}
-    (tmp_path / "CORRECTNESS_r07.json").write_text(
+    (tmp_path / "CORRECTNESS_r99.json").write_text(
         _json.dumps({n: row for n in E.FRONT_WINDOW}))
-    res = derive_window(cap=WINDOW, n_reverify=3, repo=str(tmp_path))
-    assert res["era"] == "drain"
-    assert res["backlog_size"] == 54, res["backlog_size"]
-    assert len(res["window"]) == WINDOW
-    # first-signal head: never-checked, in merged order
-    checked = _checked(max_round=None) | set(E.FRONT_WINDOW)
-    first = res["window"][:WINDOW - 3]
-    assert all(n not in checked for n in first[:res["backlog_size"] - 7]
-               ), "r8 first-signal slots must be never-checked"
-    # every slot is either backlog or a previously-green re-verify
+    # expected checked-set == exactly what the tmp artifacts contain
+    checked: set[str] = set()
+    for p in glob.glob(os.path.join(str(tmp_path), "CORRECTNESS_r*.json")):
+        with open(p) as fh:
+            checked |= set(_json.load(fh))
     oracles = E.oracle_sql()
+    expected_backlog = [n for n in E.queries()
+                        if n in oracles and n not in checked]
+    res = derive_window(cap=WINDOW, n_reverify=3, repo=str(tmp_path))
+    assert res["era"] == ("drain" if expected_backlog else "rotation")
+    assert res["backlog_size"] == len(expected_backlog)
+    assert len(res["window"]) == WINDOW
+    n_first = min(len(expected_backlog), WINDOW - 3)
+    assert res["window"][:n_first] == expected_backlog[:n_first], (
+        "next window must open with the never-checked backlog head")
+    # every slot past the backlog head is a previously-green re-verify
+    for name in res["window"][n_first:]:
+        assert name in checked, name
     assert all(n in oracles for n in res["window"])
+    assert len(set(res["window"])) == WINDOW

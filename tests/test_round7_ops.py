@@ -580,3 +580,27 @@ def test_kpss_shift_invariance_is_bit_exact(spark):
     assert out["s0"].kpss_eta == out["s1000"].kpss_eta
     assert out["s0"].kpss_eta == out["s-250"].kpss_eta
     assert out["s0"].lag_trunc == out["s1000"].lag_trunc
+
+
+def test_kpss_high_mean_series_stays_exact(spark):
+    """A huge constant offset (sensor-style mean 1e10, modest sigma)
+    must cost nothing: the min-shift makes intermediates scale with
+    the series RANGE, so the engine result still matches the numpy
+    recomputation instead of wrapping int64 in m*x."""
+    import pandas as pd
+    rng = np.random.RandomState(5)
+    n = 1000
+    days = pd.date_range("2019-01-01", periods=n)
+    y = 1e10 + rng.normal(0, 50, n)
+    pdf = pd.DataFrame({"name": "hi", "index": "t",
+                        "evaluationDate": days,
+                        "value": np.round(y, 6)})
+    with _planted_metrics(spark, pdf):
+        import qrapids_forecast_r_script_spark.forecast.queries as fq
+        r = fq.series_kpss_test(spark, "unused").collect()[0]
+    lag, eta = _numpy_kpss(y)
+    assert r.lag_trunc == lag
+    assert r.kpss_eta is not None and np.isfinite(r.kpss_eta)
+    assert abs(r.kpss_eta - eta) < max(2e-6, abs(eta) * 1e-9), \
+        (r.kpss_eta, eta)
+    assert r.stationary  # iid noise around a constant is stationary

@@ -99,6 +99,7 @@ def derive_window(cap: int = 50, n_reverify: int = 3,
     # oldest-green-first within each pool; merged order breaks ties
     green_key = lambda n: (seen.get(n, 0), order[n])
 
+    n_reverify = min(n_reverify, cap)
     if backlog:
         first_signal = backlog[:max(0, cap - n_reverify)]
         pool = sorted((n for n in tier1_all if n in seen), key=green_key)
