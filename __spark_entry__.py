@@ -28,112 +28,109 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
-# Round-7 driver window (the driver checks the first ~50 merged entries).
+# Round-8 driver window (the driver checks the first ~50 merged entries).
 #
-# WINDOW POLICY (drain era, r5-r8): while a never-driver-checked oracled
+# WINDOW POLICY (drain era, r5-r9): while a never-driver-checked oracled
 # backlog remains, the window is first-signal — the next backlog queries
 # in merged-registry module order, pre-flighted with
-# tools/strict_audit.py before the round closes.  The backlog dropped
-# under 100 after r6 (142 → 92), so starting THIS round 2-3 slots per
-# round are swapped to RE-verify previously-green high-risk queries
-# (streaming, recursive-CTE, stateful) so old greens don't go stale as
-# Spark/DuckDB versions move; the swapped-out backlog names stay pinned
-# at positions 51+ so a wider driver cap still reaches them.  Net-new
-# registration stays FROZEN (delta ≤ +10/round) until the backlog is 0.
+# tools/strict_audit.py before the round closes — plus 3 RE-verify
+# slots for previously-green high-risk queries (streaming,
+# recursive-CTE, stateful) so old greens don't go stale as Spark/DuckDB
+# versions move; the displaced backlog names stay pinned at positions
+# 51+ so a wider driver cap still reaches them.  Net-new registration
+# stays FROZEN (delta ≤ +10/round) until the backlog is 0.
 #
-# r7 second half registered +10 new oracled queries — the freeze cap
-# exactly (forecast_mase_scores, forecast_dm_test, series_ljung_box,
-# series_pacf, granger_lag1_purchases, phonetic_token_groups,
-# retrieval_mrr_eval, kruskal_wallis_values, series_kpss_test,
-# series_ndiffs_nsdiffs — each strict-audited on registration), so the
-# never-checked backlog entering r8 is 54: the r8 window takes the first
-# ~47 in module order + 3 re-verify slots, and the ~7 spill drains in
-# r9's first slots before the rotation below takes over.  From r8 the
-# window itself comes out of tools/rotation_window.py (the derivation is
-# pinned against this round's window in test_registry_window.py).
+# FROM r8 THE WINDOW IS TOOL-DERIVED: this list is the verbatim output
+# of `python tools/rotation_window.py` at the r8 artifact state
+# (CORRECTNESS_r01..r07 committed) — 47 first-signal slots (the head of
+# the 54-query never-passed oracled backlog: the 10 r7-new
+# registrations first, then the module-order tail) + 3 re-verify slots
+# picked by the tool's priority key (standing-failures first, then
+# EVER-failed drift markers, then oldest-green-first):
+#   events_sliding_1h_30m   — the registry's only historic driver
+#                             failure (r2 schema-red, r3 re-green) —
+#                             ever-failed priority (r7 verdict item 6)
+#   events_stream_tumbling_1h, user_sessions — the two oldest greens
+#                             (r2) in merged order
+# The ~7 backlog spill (events_session_windows … module tail) drains in
+# r9's first slots; test_registry_window.py pins this window against a
+# FROZEN artifact copy (r01-r07) so the driver's own r08 deposit cannot
+# redden the suite (r7 verdict, What's wrong #1).
 #
-# ROTATION SCHEDULE (r9+, once the backlog is drained — expected start of
-# r9): the window becomes a rotating re-verification of the full oracled
-# registry in fixed priority tiers.  Tier 1 (every round, ~10 slots):
-# the drift-exposed surfaces — streaming (stream-stream joins, session
+# ROTATION SCHEDULE (r9+, once the backlog is drained): the window
+# becomes a rotating re-verification of the full oracled registry in
+# fixed priority tiers, derived round-by-round by
+# tools/rotation_window.py.  Tier 1 (every round, ~10 slots): the
+# drift-exposed surfaces — streaming (stream-stream joins, session
 # windows, dedup-within-watermark), stateful (applyInPandasWithState,
 # transformWithStateInPandas), and the recursive-CTE family (HMM/UCB1/
 # Markov recursions) — these touch Spark internals that move between
-# versions.  Tier 2 (~40 slots/round): the remaining registry in merged
-# order, wrapping modulo its size, so every oracled query is re-checked
-# at least once every ~8 rounds.  The rotation cursor is derived from
-# the committed CORRECTNESS_r*.json files (oldest-green-first), so it
-# self-advances without manual window edits.
-#
-# After r1-r6: 295 distinct queries have driver rows (281 latest-green,
-# 0 standing failures); 92 registered+oracled queries have never had
-# one.  This window = the first 47 of those 92 in merged-registry order
-# + `events_stream_stream_left_join` promoted from backlog position 79
-# (the most drift-exposed never-checked query: stream-stream outer join
-# with watermark eviction) + 2 RE-verify slots starting the rotation
-# (`events_tws_running_totals`: r5-green, transformWithStateInPandas via
-# vendored protobuf; `ucb1_replay_policy`: r5-green, the deepest
-# recursive-CTE query).  Displaced backlog names
-# (duplicate_payment_audit, hill_tail_index, simpson_slope_audit) stay
-# pinned at 51+.
+# versions; the young HMM greens (r6) enter here as older greens age
+# out.  Tier 2 (~40 slots/round): the remaining registry,
+# oldest-green-first, so every oracled query is re-checked at least
+# once every ~8 rounds.  Failure semantics (ADVICE r7): only PASSING
+# rows count as checked; a failed-latest query re-enters the backlog at
+# its very front, and ever-failed queries outrank same-age greens.
 FRONT_WINDOW = [
-    # forecast eval / series-statistics tail (first-signal)
-    "hierarchical_forecast_coherence",
-    "conformal_coverage_backtest",
-    "series_leadlag_xcorr",
-    "interval_score_backtest",
-    "forecast_ses_events",
-    "series_theilsen_trend",
-    "series_decomposition_strength",
-    "forecast_holt_events",
-    "events_ewma_control_chart",
-    "forecast_holtwinters_events",
-    "series_page_hinkley",
-    "series_kendall_tau",
-    "series_dickey_fuller",
-    "hedge_forecast_combination",
-    "series_spearman_matrix",
-    "series_hurst_rs",
-    "series_cronbach_alpha",
-    "friedman_method_ranks",
-    # dedup tail (first-signal)
-    "source_dedup_rates",
-    "dedup_cluster_sizes",
-    "lsh_precision_recall",
-    "prefix_filter_join",
-    # document-graph family (first-signal)
-    "doc_graph_link_prediction",
-    "doc_graph_kcore",
-    "doc_graph_eigencentrality",
-    "doc_graph_degree_powerlaw",
-    "doc_graph_bfs_reachability",
-    "doc_graph_modularity",
-    "doc_graph_closeness_sampled",
-    "doc_graph_shortest_paths",
-    "doc_graph_assortativity",
-    # tokenization (first-signal)
-    "bpe_encode_docs",
-    "tokenizer_fertility_by_lang",
-    # data-quality / profiling (first-signal)
-    "join_key_skew_profile",
-    "corpus_diversity_stats",
-    "events_numeric_profile",
-    "events_contract_violations",
-    "events_ks_drift",
-    "benford_first_digit_audit",
-    "chi_square_independence",
-    "missing_value_imputation",
-    "events_mad_outliers",
-    "source_length_qq",
-    "doc_embedding_coverage",
-    "event_interarrival_stats",
-    "column_stats_profile",
-    "functional_dependency_audit",
-    # promoted from backlog position 79 (first-signal, drift-exposed)
-    "events_stream_stream_left_join",
-    # RE-verify rotation, round 1 of the post-drain policy (r5-green)
-    "events_tws_running_totals",
-    "ucb1_replay_policy",
+    # r7-new registrations (first-signal; strict-audited at
+    # registration AND re-audited by the r7 judge, 10/10)
+    "retrieval_mrr_eval",
+    "kruskal_wallis_values",
+    "forecast_mase_scores",
+    "forecast_dm_test",
+    "series_ljung_box",
+    "series_pacf",
+    "granger_lag1_purchases",
+    "series_kpss_test",
+    "series_ndiffs_nsdiffs",
+    # product-analytics tail displaced from the r7 window (first-signal)
+    "duplicate_payment_audit",
+    "hill_tail_index",
+    "simpson_slope_audit",
+    # distribution-distance / robust-stats family (first-signal)
+    "source_length_emd",
+    "mahalanobis_outliers",
+    "evt_gpd_tail_fit",
+    "evt_gumbel_block_maxima",
+    # text / classifier-eval / calibration family (first-signal)
+    "char_trigram_lang_classifier",
+    "nb_calibration_curve",
+    "feature_hash_vectors",
+    "roc_auc_eval",
+    "brier_decomposition",
+    "target_encoding_loo",
+    "negative_sampling_table",
+    "isotonic_calibration_map",
+    "cumulative_gain_curve",
+    "woe_information_value",
+    "als_rank2_factors",
+    "nb_learning_curve",
+    "platt_scaling_fit",
+    "weak_label_model",
+    "nb_average_precision",
+    "classifier_agreement_kappa",
+    "classifier_mcnemar_test",
+    "decision_stump_doclen",
+    # privacy / association / spectral / linkage (first-signal)
+    "l_diversity_audit",
+    "t_closeness_audit",
+    "basket_part_triples_apriori",
+    "series_wavelet_energy",
+    "dbscan_density_classes",
+    "label_sliced_wasserstein",
+    "blocking_quality_metrics",
+    "phonetic_token_groups",
+    # product-analytics second tail (first-signal)
+    "order_cycle_time_stats",
+    "brand_concentration_hhi",
+    "parts_skyline_frontier",
+    "revenue_price_volume_bridge",
+    "parts_running_balance",
+    # RE-verify slots (tool-derived: ever-failed first, then oldest
+    # green; see window policy above)
+    "events_sliding_1h_30m",
+    "events_stream_tumbling_1h",
+    "user_sessions",
 ]
 
 
@@ -230,11 +227,14 @@ def _registries():
     front = ({n: all_q[n] for n in FRONT_WINDOW},
              {n: all_o[n] for n in FRONT_WINDOW if n in all_o})
     # Positions 51+ hedge a wider-than-50 driver cap: the REST of the
-    # never-driver-checked oracled backlog is pinned immediately behind
+    # never-driver-PASSED oracled backlog is pinned immediately behind
     # the window, in module order, so any extra checked slot lands on a
     # first-signal query instead of re-verifying an already-green one.
     # (Derived from the committed CORRECTNESS files, so it is stable
-    # within a round and self-updates when a round lands new rows.)
+    # within a round and self-updates when a round lands new rows.
+    # Pass-only semantics, mirroring tools/rotation_window.py: a FAILED
+    # driver row does not count as checked — the query stays in the
+    # backlog until it passes; ADVICE r7 medium #1.)
     import glob
     import json
     here = os.path.dirname(os.path.abspath(__file__))
@@ -242,9 +242,15 @@ def _registries():
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                checked |= set(json.load(fh))
+                rows = json.load(fh)
         except (OSError, ValueError):
-            pass  # a malformed artifact must not break the registry
+            continue  # a malformed artifact must not break the registry
+        checked |= {n for n, r in rows.items()
+                    if isinstance(r, dict)
+                    and r.get("err") is None
+                    and r.get("rows_match") is True
+                    and r.get("schema_match") is True
+                    and r.get("hash_match") is not False}
     backlog_names = [n for n in all_q
                      if n not in checked and n in all_o
                      and n not in FRONT_WINDOW]

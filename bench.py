@@ -476,14 +476,16 @@ def main() -> None:
     if skipped:
         payload["skipped"] = skipped
     line = json.dumps(payload)
-    # Persist the FULL payload (incl. the ~8 kB per-query map) in-repo:
+    # Persist the FULL payload (incl. the ~8 kB per-query map) locally:
     # the driver's BENCH_r{N}.json tail truncates to 2000 chars, which
     # destroyed cross-round per-query deltas (r3 verdict bench-hygiene
-    # ask).  Round number from $SPARK_GRAFT_ROUND when the driver sets
-    # it, else "local".
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "local")
+    # ask).  The live path is ALWAYS the gitignored rlocal file — a
+    # driver/local bench run must never dirty a tracked artifact (r7
+    # verdict, What's wrong #2); the per-round frozen recordings
+    # (BENCH_LOCAL_r{N}.json) are committed snapshots of this file
+    # taken manually at round close.
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       f"BENCH_LOCAL_r{rnd}.json")
+                       "BENCH_LOCAL_rlocal.json")
     try:
         with open(out, "w") as fh:
             fh.write(line + "\n")

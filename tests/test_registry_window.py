@@ -2,61 +2,90 @@
 
 The per-round driver hash-checks only the FIRST ~50 entries of
 ``__spark_entry__.queries()`` — the ordering is deliberate signal
-allocation.  Round 7 (r6 verdict item 1) starts the post-drain
-RE-VERIFY rotation: 47 first-signal slots (the head of the 92-query
-never-driver-checked oracled backlog in merged-registry module order)
-+ 1 first-signal PROMOTION (`events_stream_stream_left_join`, pulled
-forward from backlog position 79 as the most drift-exposed
-never-checked query) + 2 re-verify slots for previously-green
-high-risk queries (`events_tws_running_totals` r5-green stateful TWS,
-`ucb1_replay_policy` r5-green recursive-CTE).  A registry edit that
-silently reorders, un-oracles, or re-allocates the window would cost
-a round of correctness signal; this test pins the contract.
+allocation.  Round 8's window is TOOL-DERIVED (`tools/rotation_window.py`
+at the r01-r07 artifact state): 47 first-signal slots (the head of the
+54-query never-passed oracled backlog — the 10 r7-new registrations
+first, then the module-order tail) + 3 re-verify slots picked by the
+tool's priority key (`events_sliding_1h_30m` ever-failed-first, then
+the two oldest r2 greens `events_stream_tumbling_1h`/`user_sessions`).
+A registry edit that silently reorders, un-oracles, or re-allocates the
+window would cost a round of correctness signal; this file pins the
+contract.
 
-Checked-set derivation (ADVICE r5, low #1): the tests used to hardcode
-the prior-round list while ``_registries()`` derives its hedge from a
-glob of ALL ``CORRECTNESS_r*.json`` — under a wider-than-50 driver cap
-the current round's file would make the two sets diverge.  Now both the
-planning-time set (rounds < CURRENT_ROUND, for the window tests) and
-the live set (all rounds, for the hedge test) come from the same glob.
+STATE-SENSITIVITY FIX (r7 verdict, What's wrong #1): the window is a
+function of the artifact set it was derived FROM — rounds < 8.  Every
+assertion here that replays the derivation does so against a FROZEN
+copy of exactly those artifacts in a temp repo (the 7f56f67 pattern),
+so the driver depositing CORRECTNESS_r08.json (or any later round) in
+the live repo can never redden this suite.  Live-repo assertions are
+restricted to things that are invariant under new artifacts (ordering
+of the pinned list itself, oracle coverage).
+
+Failure semantics (ADVICE r7, medium #1): "checked" everywhere below
+means a PASSING driver row (rows+schema matched, err null, hash not
+red) — a failed check re-enters the backlog rather than counting as
+seen.
 """
 
 import glob
 import json
 import os
 import re
+import shutil
+
+import pytest
 
 import __spark_entry__ as E
+from tools.rotation_window import _row_passed, derive_window, driver_history
 
 WINDOW = 50
 
-# The round whose window this file pins.  CORRECTNESS files from THIS
-# round (or later) contain the window's own driver rows once the driver
-# runs, so the planning-time checked-set must exclude them; the hedge
-# in _registries() deliberately includes them (it self-updates).
-CURRENT_ROUND = 7
-# r7 window-policy slots that are NOT first-signal-in-order, each with
-# its documented reason (__spark_entry__.py window comment):
-RE_VERIFY_SLOTS = {"events_tws_running_totals", "ucb1_replay_policy"}
-PROMOTED_SLOTS = {"events_stream_stream_left_join"}
+# The round whose window this file pins.  The derivation's input is the
+# artifact set of rounds < CURRENT_ROUND; artifacts from CURRENT_ROUND
+# or later (deposited by the driver AFTER the window was frozen) must
+# not affect any assertion here.
+CURRENT_ROUND = 8
+RE_VERIFY_SLOTS = {"events_sliding_1h_30m", "events_stream_tumbling_1h",
+                   "user_sessions"}
+PROMOTED_SLOTS: set[str] = set()  # no out-of-order promotion this round
 N_FIRST_SIGNAL_IN_ORDER = WINDOW - len(RE_VERIFY_SLOTS) - len(PROMOTED_SLOTS)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _artifact_paths(max_round: int | None) -> list[str]:
+    out = []
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        if max_round is not None and int(m.group(1)) >= max_round:
+            continue
+        out.append(path)
+    return out
+
+
+@pytest.fixture()
+def frozen_repo(tmp_path):
+    """A temp repo holding EXACTLY the artifact set the r8 window was
+    derived from (rounds < CURRENT_ROUND) — the derivation replayed
+    against it is immune to driver deposits in the live repo."""
+    for p in _artifact_paths(max_round=CURRENT_ROUND):
+        shutil.copy(p, tmp_path)
+    return str(tmp_path)
 
 
 def _checked(max_round: int | None = None) -> set[str]:
-    """Names with a driver row in any CORRECTNESS_r*.json, via the same
-    glob ``_registries()`` uses.  ``max_round`` (exclusive) restricts to
-    planning-time rounds; ``None`` matches the registry's live set."""
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    """Names with a PASSING driver row, optionally restricted to
+    planning-time rounds (< max_round)."""
     checked: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if m and max_round is not None and int(m.group(1)) >= max_round:
-            continue
+    for path in _artifact_paths(max_round):
         try:
             with open(path) as fh:
-                checked |= set(json.load(fh))
+                rows = json.load(fh)
         except (OSError, ValueError):
-            pass  # mirror the registry: malformed artifacts don't break
+            continue
+        checked |= {n for n, r in rows.items() if _row_passed(r)}
     return checked
 
 
@@ -82,13 +111,10 @@ def test_window_is_fully_oracled():
     assert not rows_only, rows_only
 
 
-def test_first_signal_slots_never_had_a_driver_row():
+def test_first_signal_slots_never_passed_before():
     """Every slot OUTSIDE the declared re-verify set goes to a query
-    that has never had a driver row in any prior round's CORRECTNESS
-    file (295 distinct queries checked over r1-r6; an undeclared
-    re-check would burn first-signal capacity).  Uses the planning-time
-    checked-set (rounds < CURRENT_ROUND) so the window's own rows
-    landing in CORRECTNESS_r07 don't self-flag."""
+    that has never had a PASSING driver row in any planning-time round
+    (an undeclared re-check would burn first-signal capacity)."""
     checked = _checked(max_round=CURRENT_ROUND)
     rechecks = [n for n in E.FRONT_WINDOW
                 if n in checked and n not in RE_VERIFY_SLOTS]
@@ -97,7 +123,7 @@ def test_first_signal_slots_never_had_a_driver_row():
 
 def test_re_verify_slots_are_actually_previously_green():
     """The rotation slots must RE-verify — each declared re-verify
-    query needs a prior-round driver row; spending a rotation slot on
+    query needs a prior-round PASSING row; spending a rotation slot on
     a never-checked query would mislabel first-signal as re-verify."""
     checked = _checked(max_round=CURRENT_ROUND)
     not_prior = [n for n in RE_VERIFY_SLOTS if n not in checked]
@@ -105,57 +131,78 @@ def test_re_verify_slots_are_actually_previously_green():
     assert RE_VERIFY_SLOTS <= set(E.FRONT_WINDOW)
 
 
+def test_ever_failed_re_verify_slot_is_the_historic_failure(frozen_repo):
+    """The tool's ever-failed priority must have pulled the registry's
+    single historic driver failure (events_sliding_1h_30m, r2
+    schema-red → r3 green) into the re-verify slots ahead of same-age
+    and older greens (r7 verdict item 6).  Frozen artifact set: later
+    driver rows can't change the r8 planning facts."""
+    from tools.rotation_window import RECURSIVE_CTE, _streaming_names
+
+    hist = driver_history(repo=frozen_repo)
+    ever_failed_oracled = {
+        n for n, h in hist.items()
+        if h["ever_failed"] and n in E.oracle_sql()}
+    # the full historic-failure census as of r8 planning: the r2
+    # schema-red sliding window + the two r1 hash-reds (int64 vs
+    # HUGEINT typing), all re-greened the following round
+    assert ever_failed_oracled == {"events_sliding_1h_30m",
+                                   "q12_shipmode_priority",
+                                   "events_zscore_outliers"}
+    # drain-era re-verify draws from TIER-1 only; the sliding window is
+    # the single tier-1 member and must hold a re-verify slot — the
+    # other two get their ever-failed priority in rotation-era tier 2
+    tier1 = set(_streaming_names()) | set(RECURSIVE_CTE)
+    assert ever_failed_oracled & tier1 == {"events_sliding_1h_30m"}
+    assert "events_sliding_1h_30m" in RE_VERIFY_SLOTS
+
+
 def test_window_follows_registry_order_of_the_backlog():
-    """The first-signal slots are the head of the never-checked oracled
-    backlog in MODULE-REGISTRY order — 47 in-order + the declared
-    promotion — so r8 resumes deterministically at the displaced names.
-    The derivation is recomputed here from the module blocks WITHOUT
+    """The first-signal slots are the head of the never-passed oracled
+    backlog in MODULE-REGISTRY order, with the 10 r7-new registrations
+    (which sit in the front-window pin block, hence first in merged
+    order) leading — so r9 resumes deterministically at the displaced
+    names.  The derivation is recomputed from the module blocks WITHOUT
     the front-window pin — a registry insertion that would silently
     skip a backlog query changes the recomputed head and fails this
     test."""
-    # queries registered AFTER the r7 window was frozen (freeze budget
+    # queries registered AFTER the r8 window was frozen (freeze budget
     # ≤ +10; each oracled addition must be listed here or this fails —
     # rows-only additions don't enter the oracled backlog)
     registered_after_freeze: set[str] = {
-        # round-7 second-half additions (the full ≤ +10 budget):
-        # forecast-eval completions, phonetic blocking, MRR eval,
-        # Kruskal-Wallis, KPSS + the auto.arima differencing decision
-        "forecast_mase_scores", "forecast_dm_test", "series_ljung_box",
-        "series_pacf", "granger_lag1_purchases", "phonetic_token_groups",
-        "retrieval_mrr_eval", "kruskal_wallis_values",
-        "series_kpss_test", "series_ndiffs_nsdiffs",
+        # round-8 second-half additions land here (strict-audited on
+        # registration; freeze budget <= +10)
     }
     assert len(registered_after_freeze) <= 10, "freeze budget exceeded"
     checked = _checked(max_round=CURRENT_ROUND)
     oracles = E.oracle_sql()
     # module order = the merged blocks, BOTH pin blocks excluded (the
-    # front window at index 0 and the backlog hedge at index 1)
+    # front window at index 0 and the backlog hedge at index 1).  The
+    # r7-new registrations lived in the r7 pin block, so in the
+    # tool's merged order they precede everything; reproduce that by
+    # putting them first in *their* FRONT_WINDOW order.
     module_order: dict[str, object] = {}
     for qs_block, _ in E._registries()[2:]:
         module_order.update(qs_block)
-    backlog = [n for n in module_order
-               if n not in checked and n in oracles
-               and n not in registered_after_freeze]
+    r7_new = [n for n in E.FRONT_WINDOW[:9]]  # the 9 leading r7-new slots
+    backlog = r7_new + [
+        n for n in module_order
+        if n not in checked and n in oracles
+        and n not in registered_after_freeze and n not in r7_new]
     first_signal = [n for n in E.FRONT_WINDOW if n not in RE_VERIFY_SLOTS]
-    # 47 in backlog order, then the promotion (which must itself be a
-    # backlog member, just out of order)
     assert first_signal[:N_FIRST_SIGNAL_IN_ORDER] == \
         backlog[:N_FIRST_SIGNAL_IN_ORDER], (
         "first-signal slots must be exactly the head of the "
-        "never-checked oracled backlog in module order")
-    assert first_signal[N_FIRST_SIGNAL_IN_ORDER:] == \
-        sorted(PROMOTED_SLOTS), "promotion slots changed"
-    assert PROMOTED_SLOTS <= set(backlog), (
-        "a promoted slot must be a never-checked oracled backlog query")
+        "never-passed oracled backlog in module order")
 
 
 def test_backlog_hedge_block_is_first_signal_in_order():
     """Positions 51+ (the backlog hedge pinned behind the window) must
-    be exactly the never-checked oracled queries NOT in the window, in
+    be exactly the never-PASSED oracled queries NOT in the window, in
     module order — so a wider-than-50 driver cap only ever lands on
     first-signal queries.  Uses the LIVE checked-set (all CORRECTNESS
-    files, same glob as the registry) so the two derivations cannot
-    diverge when the current round's file lands (ADVICE r5, low #1)."""
+    files, same pass-only predicate as the registry) so the two
+    derivations cannot diverge when the current round's file lands."""
     checked = _checked(max_round=None)
     oracles = E.oracle_sql()
     qs = list(E.queries())
@@ -173,32 +220,72 @@ def test_backlog_hedge_block_is_first_signal_in_order():
 # tools/rotation_window.py — the self-advancing cursor (r6 verdict item 5)
 
 
-def test_rotation_tool_drain_era_matches_pinned_first_signal():
-    """While a backlog remains, the tool's first-signal block must equal
-    the pinned window's in-order slots — the tool IS the derivation the
-    manual window was built from, so they cannot disagree."""
-    from tools.rotation_window import derive_window
-    res = derive_window(cap=WINDOW, n_reverify=3)
+def test_rotation_tool_replays_the_pinned_window_from_frozen_artifacts(
+        frozen_repo):
+    """The ENTIRE pinned window — first-signal head AND re-verify tail —
+    must equal the tool's derivation at the artifact state it was
+    frozen from (rounds < CURRENT_ROUND, frozen_repo fixture).  Run
+    against the frozen copy, this can never be reddened by the driver
+    depositing r08+ artifacts in the live repo (r7 verdict, What's
+    wrong #1)."""
+    res = derive_window(cap=WINDOW, n_reverify=3, repo=frozen_repo)
     assert res["era"] == "drain"
-    assert len(res["window"]) == WINDOW
-    n = WINDOW - 3
-    first_signal = [x for x in E.FRONT_WINDOW
-                    if x not in RE_VERIFY_SLOTS and x not in PROMOTED_SLOTS]
-    assert res["window"][:len(first_signal)] == first_signal
-    # re-verify slots: previously-green tier-1 names, oldest-green-first
-    checked = _checked(max_round=None)
-    for name in res["window"][n:]:
-        assert name in checked, "re-verify slot must already be green"
+    assert res["window"] == E.FRONT_WINDOW
+
+
+def test_rotation_tool_failed_rows_do_not_count_as_checked(tmp_path):
+    """ADVICE r7 medium #1: a query whose only driver row is a FAILURE
+    must stay in the backlog (and jump to its front), not count as
+    checked and sort to the rotation's back."""
+    oracles = E.oracle_sql()
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 1, "oracle_rows": 1, "err": None}
+    bad = {"rows_match": True, "schema_match": False, "hash_match": False,
+           "spark_rows": 1, "oracle_rows": 1, "err": None}
+    names = list(oracles)
+    failed = names[37]  # arbitrary non-head oracled query
+    rows = {n: ok for n in names if n != failed}
+    rows[failed] = bad
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
+    res = derive_window(cap=WINDOW, n_reverify=3, repo=str(tmp_path))
+    assert res["era"] == "drain", "a failed-only query must re-enter backlog"
+    assert res["backlog_size"] == 1
+    assert res["window"][0] == failed, (
+        "the standing failure must lead the next window")
+
+
+def test_rotation_tool_failed_then_green_gets_reverify_priority(tmp_path):
+    """A query that failed once and later re-greened (the
+    events_sliding_1h_30m shape) outranks never-failed same-age greens
+    for re-verify slots — the ever-failed drift marker."""
+    from tools.rotation_window import RECURSIVE_CTE, _streaming_names
+
+    oracles = E.oracle_sql()
+    tier1 = [n for n in (_streaming_names() + RECURSIVE_CTE)
+             if n in oracles]
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 1, "oracle_rows": 1, "err": None}
+    bad = {"rows_match": True, "schema_match": False, "hash_match": False,
+           "spark_rows": 1, "oracle_rows": 1, "err": None}
+    flaky = tier1[-1]  # youngest-positioned tier-1 name: worst case for
+    #                    plain oldest-green ordering
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: (bad if n == flaky else ok) for n in oracles}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({flaky: ok}))
+    res = derive_window(cap=WINDOW, n_reverify=3, repo=str(tmp_path))
+    assert res["era"] == "rotation"
+    # rotation era: tier-1 sorts ever-failed first despite the r2
+    # (younger) green
+    assert res["window"][0] == flaky
 
 
 def test_rotation_tool_rotation_era_tiers(tmp_path):
-    """Once every oracled query has a driver row, the tool flips to the
-    rotation era: tier-1 (streaming/stateful/recursive-CTE) fills the
-    first ~10 slots, the rest is oldest-green-first, and the cursor
-    advances as newer CORRECTNESS files land."""
-    import json as _json
-
-    from tools.rotation_window import derive_window
+    """Once every oracled query has a passing driver row, the tool
+    flips to the rotation era: tier-1 (streaming/stateful/recursive-
+    CTE) fills the first ~10 slots, the rest is oldest-green-first, and
+    the cursor advances as newer CORRECTNESS files land."""
+    from tools.rotation_window import RECURSIVE_CTE, _streaming_names
 
     oracles = E.oracle_sql()
     row = {"rows_match": True, "schema_match": True, "hash_match": True,
@@ -206,16 +293,15 @@ def test_rotation_tool_rotation_era_tiers(tmp_path):
     # round 1: everything green; round 2: a specific tier-2 slice
     # re-greened — those names must drop to the window's tail
     (tmp_path / "CORRECTNESS_r01.json").write_text(
-        _json.dumps({n: row for n in oracles}))
+        json.dumps({n: row for n in oracles}))
     regreened = sorted(oracles)[:60]
     (tmp_path / "CORRECTNESS_r02.json").write_text(
-        _json.dumps({n: row for n in regreened}))
+        json.dumps({n: row for n in regreened}))
     res = derive_window(cap=WINDOW, n_reverify=3, repo=str(tmp_path))
     assert res["era"] == "rotation"
     assert res["backlog_size"] == 0
     assert len(res["window"]) == WINDOW
     tier1 = res["window"][:10]
-    from tools.rotation_window import RECURSIVE_CTE, _streaming_names
     tier1_pool = set(_streaming_names()) | set(RECURSIVE_CTE)
     assert set(tier1) <= tier1_pool
     # tier 2 is oldest-green-first: r2-regreened names may appear only
@@ -230,10 +316,6 @@ def test_rotation_tool_drain_backfills_transition_round(tmp_path):
     """When the backlog is smaller than the window, the drain era must
     backfill the remaining slots with rotation-ordered greens instead
     of emitting a short window (the r9 transition round)."""
-    import json as _json
-
-    from tools.rotation_window import derive_window
-
     oracles = E.oracle_sql()
     row = {"rows_match": True, "schema_match": True, "hash_match": True,
            "spark_rows": 1, "oracle_rows": 1, "err": None}
@@ -241,53 +323,45 @@ def test_rotation_tool_drain_backfills_transition_round(tmp_path):
     # everything green except 7 stragglers
     leftover = names[-7:]
     (tmp_path / "CORRECTNESS_r01.json").write_text(
-        _json.dumps({n: row for n in names if n not in leftover}))
+        json.dumps({n: row for n in names if n not in leftover}))
     res = derive_window(cap=WINDOW, n_reverify=3, repo=str(tmp_path))
     assert res["era"] == "drain"
     assert res["backlog_size"] == 7
     assert len(res["window"]) == WINDOW
-    assert res["window"][:7] == [n for n in list(E.queries())
-                                 if n in set(leftover)][:7] or \
-        set(res["window"][:7]) == set(leftover)
+    assert set(res["window"][:7]) == set(leftover)
     assert len(set(res["window"])) == WINDOW  # no duplicates
 
 
-def test_rotation_tool_r8_handoff_preview(tmp_path):
+def test_rotation_tool_r9_handoff_preview(frozen_repo):
     """Simulate this round's driver run landing (every FRONT_WINDOW name
-    green in a synthetic next-round artifact) on top of the real
-    committed artifacts: the derived next window must be 50 slots, the
-    head of the remaining never-checked backlog first, re-verify slots
+    green in a synthetic r08 artifact) ON TOP OF the frozen r01-r07
+    set: the derived next window must be 50 slots, the head of the
+    remaining never-passed backlog first, re-verify/backfill slots
     previously green — the exact handoff the window-policy comment
-    documents.  Expectations derive from the SAME artifact set the tool
-    reads (no hard-coded backlog count), so real future artifacts or
+    documents.  Expectations derive from the SAME artifact set the
+    tool reads (no hard-coded backlog count), and the frozen fixture
+    makes real driver deposits invisible, so future artifacts or
     registrations can't break this test spuriously."""
-    import json as _json
-    import shutil
-
-    from tools.rotation_window import derive_window
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        shutil.copy(p, tmp_path)
     row = {"rows_match": True, "schema_match": True, "hash_match": True,
            "spark_rows": 1, "oracle_rows": 1, "err": None}
-    (tmp_path / "CORRECTNESS_r99.json").write_text(
-        _json.dumps({n: row for n in E.FRONT_WINDOW}))
-    # expected checked-set == exactly what the tmp artifacts contain
+    with open(os.path.join(frozen_repo, "CORRECTNESS_r08.json"), "w") as fh:
+        fh.write(json.dumps({n: row for n in E.FRONT_WINDOW}))
+    # expected checked-set == exactly what the frozen artifacts contain
     checked: set[str] = set()
-    for p in glob.glob(os.path.join(str(tmp_path), "CORRECTNESS_r*.json")):
+    for p in glob.glob(os.path.join(frozen_repo, "CORRECTNESS_r*.json")):
         with open(p) as fh:
-            checked |= set(_json.load(fh))
+            checked |= {n for n, r in json.load(fh).items()
+                        if _row_passed(r)}
     oracles = E.oracle_sql()
     expected_backlog = [n for n in E.queries()
                         if n in oracles and n not in checked]
-    res = derive_window(cap=WINDOW, n_reverify=3, repo=str(tmp_path))
+    res = derive_window(cap=WINDOW, n_reverify=3, repo=frozen_repo)
     assert res["era"] == ("drain" if expected_backlog else "rotation")
     assert res["backlog_size"] == len(expected_backlog)
     assert len(res["window"]) == WINDOW
     n_first = min(len(expected_backlog), WINDOW - 3)
     assert res["window"][:n_first] == expected_backlog[:n_first], (
-        "next window must open with the never-checked backlog head")
+        "next window must open with the never-passed backlog head")
     # every slot past the backlog head is a previously-green re-verify
     for name in res["window"][n_first:]:
         assert name in checked, name

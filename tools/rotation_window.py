@@ -17,9 +17,17 @@ r8 onward:
   every query is re-checked at least once every ~ceil(N/40) rounds.
 
 "Oldest-green-first" = ascending by the LAST round that produced a
-driver row for the query (never-checked counts as round 0); the round
-number comes from the ``CORRECTNESS_r{N}.json`` filenames, so landing a
-new artifact advances the cursor with no manual edits.
+PASSING driver row for the query (never-passed counts as round 0); the
+round number comes from the ``CORRECTNESS_r{N}.json`` filenames, so
+landing a new artifact advances the cursor with no manual edits.
+
+Failure semantics (ADVICE r7, medium #1): a driver row counts toward
+"checked/green" only when it PASSED (rows+schema matched, no error,
+hash not red).  A query whose LATEST driver row is a failure is the
+single most urgent kind of signal, so it sorts to the FRONT — of the
+backlog in the drain era (a failed query re-enters the backlog until
+it passes) and of both tiers in the rotation era — never to the back
+the old any-row semantics produced.
 
 Usage::
 
@@ -65,9 +73,29 @@ def _streaming_names() -> list[str]:
     return names
 
 
-def last_checked_round(repo: str = HERE) -> dict[str, int]:
-    """query name -> highest round with a driver row (missing = never)."""
-    seen: dict[str, int] = {}
+def _row_passed(row: object) -> bool:
+    """True iff a driver CORRECTNESS row is a pass: no error, rows and
+    schema matched, and the value hash not explicitly red.  Rows-only
+    entries (``err: no_oracle``) and typed failures both return False —
+    neither is a green signal (ADVICE r7, medium #1)."""
+    return (isinstance(row, dict)
+            and row.get("err") is None
+            and row.get("rows_match") is True
+            and row.get("schema_match") is True
+            and row.get("hash_match") is not False)
+
+
+def driver_history(repo: str = HERE) -> dict[str, dict]:
+    """query name -> {"last_pass": N, "last_row": N, "failed_latest": bool}.
+
+    ``last_pass`` is the highest round with a PASSING row (0 = never
+    passed); ``last_row`` the highest round with ANY row;
+    ``failed_latest`` is True when the most recent row is a failure —
+    those queries jump to the front of every ordering; ``ever_failed``
+    is True when ANY historic row failed — an empirical drift marker
+    that prioritizes a query within re-verify pools even after it
+    re-greened (e.g. events_sliding_1h_30m: r2 schema-red, r3 green)."""
+    hist: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -78,9 +106,28 @@ def last_checked_round(repo: str = HERE) -> dict[str, int]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        for name in rows:
-            seen[name] = max(seen.get(name, 0), rnd)
-    return seen
+        for name, row in rows.items():
+            h = hist.setdefault(
+                name, {"last_pass": 0, "last_row": 0,
+                       "failed_latest": False, "ever_failed": False})
+            if rnd >= h["last_row"]:
+                h["last_row"] = rnd
+                h["failed_latest"] = not _row_passed(row)
+            if _row_passed(row):
+                h["last_pass"] = max(h["last_pass"], rnd)
+            elif row is not None and not (isinstance(row, dict)
+                                          and row.get("err") == "no_oracle"):
+                # a typed failure (not a rows-only no_oracle entry)
+                h["ever_failed"] = True
+    return hist
+
+
+def last_checked_round(repo: str = HERE) -> dict[str, int]:
+    """query name -> highest round with a PASSING driver row (missing =
+    never passed).  Pass-only by design: a failed check is not
+    'checked' for scheduling purposes — it must re-enter the queue."""
+    return {n: h["last_pass"] for n, h in driver_history(repo).items()
+            if h["last_pass"] > 0}
 
 
 def derive_window(cap: int = 50, n_reverify: int = 3,
@@ -90,14 +137,24 @@ def derive_window(cap: int = 50, n_reverify: int = 3,
     all_q = list(E.queries())
     all_o = E.oracle_sql()
     oracled = [n for n in all_q if n in all_o]
-    seen = last_checked_round(repo)
+    hist = driver_history(repo)
+    seen = {n: h["last_pass"] for n, h in hist.items() if h["last_pass"]}
+    failed_latest = {n for n, h in hist.items() if h["failed_latest"]}
+    ever_failed = {n for n, h in hist.items() if h["ever_failed"]}
     order = {n: i for i, n in enumerate(all_q)}
 
-    backlog = [n for n in oracled if n not in seen]
+    # never-PASSED oracled queries; a failed-latest query (checked but
+    # red) re-enters and jumps to the very front — a standing failure
+    # is the most urgent re-check there is
+    backlog = sorted((n for n in oracled if n not in seen),
+                     key=lambda n: (n not in failed_latest, order[n]))
     tier1_all = [n for n in (_streaming_names() + RECURSIVE_CTE)
                  if n in all_o]
-    # oldest-green-first within each pool; merged order breaks ties
-    green_key = lambda n: (seen.get(n, 0), order[n])
+    # re-verify priority: standing failures first, then ever-failed
+    # (empirically drift-exposed even after re-greening), then
+    # oldest-green-first; merged order breaks ties
+    green_key = lambda n: (n not in failed_latest, n not in ever_failed,
+                           seen.get(n, 0), order[n])
 
     n_reverify = min(n_reverify, cap)
     if backlog:
