@@ -4277,6 +4277,14 @@ EVAL_ORACLES["granger_lag1_purchases"] = f"""
 # Scale: one lag-window pass + one grouped aggregate per difference
 # order — everything partitions by (name, index); the lag fan-out is
 # the constant _KPSS_MAXLAG, independent of series count.
+#
+# _KPSS_MAXLAG caps the lag truncation at 12, which deviates from the
+# urca lags="short" formula for m >= 11157 (floor(4*(m/100)^0.25)
+# reaches 13 there): BOTH engines and the numpy test oracle apply the
+# same cap, so parity holds, but a >=11157-point series computes a
+# 12-lag Bartlett window where R would use 13+ (ADVICE r7 low #4 —
+# documented deviation; raise _KPSS_MAXLAG to widen, the lag fan-out
+# cost is linear in it).
 
 _KPSS_MAXLAG = 12
 _KPSS_CRIT = "0.463"
@@ -4348,10 +4356,15 @@ def _kpss_eta_from_x(x: DataFrame) -> DataFrame:
                   - F.col("sx")).alias("e")))
     wc = wo.rowsBetween(Window.unboundedPreceding, 0)
     # S_t grows like n^2 * sigma * 1e6 — far beyond int64; it stays in
-    # decimal(38,0).  Past ~1e38 non-ANSI Spark NULLs the overflowed
-    # window rows while DuckDB raises out-of-range: the s_null guard
-    # below turns that into a NULL eta, so Spark can never emit a
-    # plausible wrong number from a silently shortened sum.
+    # decimal(38,0).  Overflow discipline (ADVICE r7 medium #2/#3):
+    # the session PINS spark.sql.ansi.enabled=true (session.py), so a
+    # decimal(38,0) overflow RAISES — exactly like DuckDB's HUGEINT
+    # out-of-range on the mirrored oracle — instead of NULLing rows
+    # into a silently shortened (plausible but wrong) sum.  Both
+    # engines therefore fail loud on a magnitude the arithmetic can't
+    # represent, and a NULL eta below has exactly ONE meaning: zero
+    # long-run variance (dprime == 0 — constant or, after
+    # differencing, deterministic-linear series).
     z = e.select(
         *keys, "m", "e",
         F.sum("e").over(wc).alias("s"),
@@ -4361,8 +4374,6 @@ def _kpss_eta_from_x(x: DataFrame) -> DataFrame:
     agg = (z.groupBy(*keys, "m")
            .agg(F.sum(F.col("s") * F.col("s")).alias("a2"),
                 F.sum(F.col("e") * F.col("e")).alias("b0"),
-                F.sum(F.when(F.col("s").isNull(), 1).otherwise(0))
-                .alias("s_null"),
                 *[F.coalesce(F.sum(F.col("e") * F.col(f"e{j}")), zero38)
                   .alias(f"b{j}") for j in range(1, _KPSS_MAXLAG + 1)]))
     lcol = _kpss_lag_trunc_when(F.col("m"))
@@ -4376,8 +4387,7 @@ def _kpss_eta_from_x(x: DataFrame) -> DataFrame:
     num = ((F.col("l") + 1).cast("decimal(38,0)") * F.col("a2")) \
         .cast("double")
     den = F.col("m").cast("double") * F.col("dprime").cast("double")
-    eta = F.when((F.col("dprime") != 0) & (F.col("s_null") == 0),
-                 F.round(num / den, 6))
+    eta = F.when(F.col("dprime") != 0, F.round(num / den, 6))
     return agg.select(*keys,
                       F.col("m").cast("long").alias("m"),
                       F.col("l").alias("lag_trunc"),
@@ -4399,7 +4409,10 @@ def series_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror of `series_dickey_fuller`'s unit-root null; the two
     disagreeing flags a borderline series).  eta > 0.463 rejects
     level stationarity at 5%.  Constant series have a zero long-run
-    variance -> eta NULL -> stationary (a constant is stationary)."""
+    variance -> eta NULL -> stationary (a constant is stationary);
+    with ANSI pinned in the session, NULL eta can ONLY mean that —
+    an overflow raises loudly on both engines instead of folding
+    into this branch (ADVICE r7 medium #3)."""
     k = _kpss_eta_frame(spark, sf_dir, 0)
     stat = (F.when(F.col("eta").isNull(), F.lit(True))
             .otherwise(F.col("eta") <= float(_KPSS_CRIT)))
@@ -4424,7 +4437,14 @@ def series_ndiffs_nsdiffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain / aggregate partitioned by (name, index, dd) — one shuffle
     for the pair instead of two independent passes — then pivot to
     (kpss_level, kpss_diff1) columns and broadcast-join the
-    decomposition-strength feature."""
+    decomposition-strength feature.
+
+    Coverage: the seasonal-strength feature needs >= 7 observations
+    (no interior MA points below that), so it is LEFT-joined —
+    shorter series keep their KPSS d-decision with seasonal_strength
+    NULL and nsdiffs 0 (forecast::nsdiffs also returns 0 when the
+    seasonal fit is unavailable); an inner join silently dropped
+    those rows (ADVICE r7 low #5)."""
     crit = float(_KPSS_CRIT)
     both = _kpss_eta_from_x(_kpss_x_union(spark, sf_dir, (0, 1)))
     wide = (both.groupBy("name", "index")
@@ -4434,7 +4454,7 @@ def series_ndiffs_nsdiffs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("kpss_diff1")))
     seas = (series_decomposition_strength(spark, sf_dir)
             .select("name", "index", "seasonal_strength"))
-    j = wide.join(seas, ["name", "index"])
+    j = wide.join(seas, ["name", "index"], "left")
     lvl_stat = (F.col("kpss_level").isNull()
                 | (F.col("kpss_level") <= crit))
     d1_stat = (F.col("kpss_diff1").isNull()
@@ -4557,6 +4577,6 @@ EVAL_ORACLES["series_ndiffs_nsdiffs"] = f"""{_KPSS_BASE},
                      ELSE 0 END AS BIGINT) AS nsdiffs
     FROM klv k0
     JOIN kd1 k1 ON k0.name = k1.name AND k0.index = k1.index
-    JOIN seasx s ON k0.name = s.name AND k0.index = s.index
+    LEFT JOIN seasx s ON k0.name = s.name AND k0.index = s.index
     ORDER BY k0.name, k0.index
 """.format(decomp_oracle=EVAL_ORACLES["series_decomposition_strength"])

@@ -37,6 +37,15 @@ def get_spark(app_name: str = "qrapids-forecast-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Pin ANSI mode explicitly (it is the Spark 4.x default, so this
+        # changes nothing at runtime — it makes the overflow contract
+        # part of the session spec): arithmetic overflow RAISES instead
+        # of silently NULLing, which the exact-integer statistics
+        # (KPSS/ndiffs decimal(38,0) chains, the BIGINT micro-grids)
+        # rely on to fail loud — mirroring DuckDB's HUGEINT
+        # out-of-range error — rather than emit a plausible wrong
+        # number from a silently shortened sum (ADVICE r7 medium #2).
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

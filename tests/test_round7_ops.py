@@ -535,6 +535,35 @@ def test_kpss_degenerate_series_edges(spark):
     assert out["two"].n_obs == 2
 
 
+def test_ndiffs_covers_short_series_with_null_seasonal(spark):
+    """A series shorter than 7 points has no decomposition-strength row
+    (no interior MA points), but its KPSS d-decision is computable —
+    the LEFT join must keep it with seasonal_strength NULL and
+    nsdiffs 0 (ADVICE r7 low #5; forecast::nsdiffs also returns 0
+    when the seasonal fit is unavailable)."""
+    import pandas as pd
+    import qrapids_forecast_r_script_spark.forecast.queries as fq
+    days = pd.date_range("2024-01-01", periods=60)
+    rng = np.random.RandomState(11)
+    frames = [
+        pd.DataFrame({"name": "short", "index": "t",
+                      "evaluationDate": days[:5],
+                      "value": np.round(rng.normal(10, 1, 5), 6)}),
+        pd.DataFrame({"name": "long", "index": "t",
+                      "evaluationDate": days,
+                      "value": np.round(rng.normal(10, 1, 60), 6)}),
+    ]
+    with _planted_metrics(spark, pd.concat(frames)):
+        dec = {r.name: r
+               for r in fq.series_ndiffs_nsdiffs(spark, "unused")
+               .collect()}
+    assert "short" in dec, "m<7 series must not be dropped"
+    assert dec["short"].seasonal_strength is None
+    assert dec["short"].nsdiffs == 0
+    assert dec["short"].ndiffs is not None
+    assert dec["long"].seasonal_strength is not None
+
+
 def test_kpss_large_magnitude_series_stays_exact(spark):
     """Partial sums at large magnitude: an n=1000 random walk with
     series-sd ~3e4 (inside the documented sigma*n^2.5 <= 1e13
