@@ -603,3 +603,148 @@ def test_prophet_map_noisy_series_tolerance_golden():
         [21.104612, 21.442331, 21.091003, 21.176503, 19.122817,
          15.788937, 16.662495],
         atol=1e-3)
+
+
+def test_prophet_ridge_vs_exact_l1_map_divergence_bound():
+    """MEASURED Stan-MAP divergence bound for M10 (r7 verdict item 5).
+
+    Stan's `prophet` fit (R:371) with default settings is the MAP of a
+    known CONVEX posterior: Gaussian likelihood on the max-abs-scaled
+    series, Laplace(0, tau=0.05) prior on the changepoint deltas,
+    Normal(0, 10) on the Fourier coefficients, Normal(0, 5) on (k, m),
+    half-Normal(0, 0.5) on sigma_obs.  The container has no Stan, but
+    the optimum of that objective is solver-independent — so this test
+    computes it EXACTLY (FISTA proximal gradient on the coefficient
+    block, golden-section profile over sigma; convex, so the optimum
+    is unique up to solver tolerance) on the same noisy fixture as the
+    regression golden, and pins the measured divergence of the shipped
+    ridge MAP from it.  That turns M10's "partial (fidelity)" into a
+    quantified deviation class instead of a label:
+
+        quantity (data scale)        ridge-vs-exact-MAP   bound pinned
+        intercept                    0.045                < 0.08
+        base slope (/day)            0.0341               < 0.06
+        total slope change (/day)    0.0548               < 0.10
+        Fourier coefs (max abs)      0.0129               < 0.03
+        7-step forecast mean (max)   0.409  (~2% of level) < 0.6
+
+    Caveats documented with the bound: the exact optimum here shares
+    our changepoint grid (evenly spaced over the first 80% — Prophet's
+    own placement on evenly-spaced daily data is the same up to index
+    rounding), and Stan's L-BFGS would land on this same optimum only
+    up to its own convergence tolerance.  The L1 prior's sparsity is
+    visible in the optimum (5 of 25 deltas non-zero) — the structural
+    difference the ridge skeleton cannot reproduce, which is why the
+    per-delta vectors are NOT compared, only the identifiable
+    functionals above."""
+    from qrapids_forecast_r_script_spark.forecast.models.prophet_like import (
+        fit_prophet_like)
+
+    t = np.arange(140.0)
+    g = 10 + 0.5 * np.minimum(t, 60) - 0.25 * np.maximum(t - 60, 0)
+    s = 2 * np.sin(2 * np.pi * t / 7) + 1 * np.cos(4 * np.pi * t / 7)
+    rng = np.random.default_rng(20260815)
+    y = g + s + rng.standard_normal(140)
+    m = fit_prophet_like(t, y)
+
+    # same scaled design the fit used
+    n = len(y)
+    ys = y / m.y_scale
+    t_norm = (t - t[0]) / m.t_scale
+    cols = [np.ones(n), t_norm]
+    for cp in m.changepoints:
+        cols.append(np.clip(t_norm - cp, 0, None))
+    for period, order_ in m.season_spec:
+        for i in range(1, order_ + 1):
+            arg = 2 * np.pi * i * t / period
+            cols.append(np.sin(arg))
+            cols.append(np.cos(arg))
+    A = np.column_stack(cols)
+    ncp = len(m.changepoints)
+    idx_delta = slice(2, 2 + ncp)
+    idx_beta = slice(2 + ncp, A.shape[1])
+    TAU_CP, TAU_S, TAU_KM = 0.05, 10.0, 5.0  # Prophet default priors
+
+    def solve_b(sigma2, b_start):
+        # FISTA: smooth part = likelihood + L2 priors; prox = L1 on deltas
+        L = (np.linalg.eigvalsh(A.T @ A).max() / sigma2
+             + 1.0 / TAU_S ** 2 + 1.0 / TAU_KM ** 2)
+        b = b_start.copy()
+        z = b.copy()
+        tk = 1.0
+        for _ in range(20000):
+            grad = A.T @ (A @ z - ys) / sigma2
+            grad[0] += z[0] / TAU_KM ** 2
+            grad[1] += z[1] / TAU_KM ** 2
+            grad[idx_beta] += z[idx_beta] / TAU_S ** 2
+            w = z - grad / L
+            thr = 1.0 / (TAU_CP * L)
+            w[idx_delta] = np.sign(w[idx_delta]) * np.maximum(
+                np.abs(w[idx_delta]) - thr, 0)
+            tk1 = (1 + np.sqrt(1 + 4 * tk * tk)) / 2
+            z = w + (tk - 1) / tk1 * (w - b)
+            if np.max(np.abs(w - b)) < 1e-12:
+                return w
+            b, tk = w, tk1
+        return b
+
+    def neglogpost_sigma(sigma, b):
+        r = ys - A @ b
+        return (n * np.log(sigma) + (r @ r) / (2 * sigma ** 2)
+                + sigma ** 2 / (2 * 0.25))
+
+    b = np.zeros(A.shape[1])
+    sigma = 0.1
+    for _ in range(60):
+        b = solve_b(sigma ** 2, b)
+        lo, hi = 1e-4, 1.0
+        for _ in range(200):  # golden-section profile over sigma
+            m1, m2 = lo + (hi - lo) * 0.382, lo + (hi - lo) * 0.618
+            if neglogpost_sigma(m1, b) < neglogpost_sigma(m2, b):
+                hi = m2
+            else:
+                lo = m1
+        new_sigma = (lo + hi) / 2
+        if abs(new_sigma - sigma) < 1e-10:
+            sigma = new_sigma
+            break
+        sigma = new_sigma
+
+    ysc, tsc = m.y_scale, m.t_scale
+    # exact-MAP regression pins (the optimum is ours to cite: unique
+    # convex optimum, so these constants ARE the Stan MAP up to 1e-6)
+    np.testing.assert_allclose(sigma, 0.0225029, atol=1e-5)
+    np.testing.assert_allclose(b[1] * ysc / tsc, 0.509561, atol=1e-4)
+    np.testing.assert_allclose(float(np.sum(b[idx_delta])) * ysc / tsc,
+                               -0.750309, atol=1e-4)
+    assert int(np.sum(np.abs(b[idx_delta]) > 1e-9)) == 5  # L1 sparsity
+
+    # measured divergence of the shipped ridge MAP from the exact MAP
+    d_intercept = abs(m.b0 * ysc - b[0] * ysc)
+    d_slope = abs(m.k * ysc / tsc - b[1] * ysc / tsc)
+    d_dsum = abs(float(np.sum(m.deltas)) * ysc / tsc
+                 - float(np.sum(b[idx_delta])) * ysc / tsc)
+    d_coef = float(np.max(np.abs((m.coef - b[idx_beta]) * ysc)))
+    h = np.arange(140.0, 147.0)
+    t_h = (h - t[0]) / tsc
+    trend_l1 = b[0] + b[1] * t_h
+    for cp, d in zip(m.changepoints, b[idx_delta]):
+        trend_l1 = trend_l1 + d * np.clip(t_h - cp, 0, None)
+    Xh = []
+    for period, order_ in m.season_spec:
+        for i in range(1, order_ + 1):
+            arg = 2 * np.pi * i * h / period
+            Xh.append(np.sin(arg))
+            Xh.append(np.cos(arg))
+    mean_l1 = (trend_l1 + np.column_stack(Xh) @ b[idx_beta]) * ysc
+    d_fc = float(np.max(np.abs(m.forecast(7)["mean"] - mean_l1)))
+
+    # pinned measured values (r8) + the documented bounds
+    np.testing.assert_allclose(d_slope, 0.034107, atol=5e-4)
+    np.testing.assert_allclose(d_dsum, 0.054816, atol=5e-4)
+    np.testing.assert_allclose(d_fc, 0.409168, atol=5e-3)
+    assert d_intercept < 0.08
+    assert d_slope < 0.06
+    assert d_dsum < 0.10
+    assert d_coef < 0.03
+    assert d_fc < 0.6
