@@ -426,6 +426,21 @@ HEADLINE = [
     # decision (ndiffs/nsdiffs)
     "series_kpss_test",
     "series_ndiffs_nsdiffs",
+    # round 8: residual diagnostics (JB normality, runs test), the
+    # nonparametric change/shift pair (Pettitt, WoW Wilcoxon), partial
+    # correlations, Theil's U2, Guerrero's Box-Cox lambda (the
+    # BAGGEDETS R:205 decision replay), Welch's t, Hellinger drift,
+    # and the temporal split-leakage audit
+    "jarque_bera_normality",
+    "residual_runs_test",
+    "wilcoxon_signed_rank_wow",
+    "pettitt_change_test",
+    "partial_corr_controls",
+    "theil_u2_backtest",
+    "boxcox_guerrero_lambda",
+    "ab_welch_ttest",
+    "hellinger_source_drift",
+    "split_leakage_audit",
 ]
 
 

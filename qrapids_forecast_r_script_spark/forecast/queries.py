@@ -4580,3 +4580,708 @@ EVAL_ORACLES["series_ndiffs_nsdiffs"] = f"""{_KPSS_BASE},
     LEFT JOIN seasx s ON k0.name = s.name AND k0.index = s.index
     ORDER BY k0.name, k0.index
 """.format(decomp_oracle=EVAL_ORACLES["series_decomposition_strength"])
+
+
+# ---------------------------------------------------------------------------
+# Round-8 second-half registrations (freeze budget <= +10): residual
+# diagnostics, nonparametric change/shift tests, and the Box-Cox lambda
+# decision — each the relational replay of a decision the reference's
+# model stack makes internally, exactly DuckDB-oracled.
+
+
+def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per metric series (Jarque & Bera
+    1980): JB = n/6 * (S^2 + (K-3)^2/4) from the sample skewness S =
+    m3/m2^1.5 and kurtosis K = m4/m2^2.  The Gaussian-residual
+    assumption underlies every interval band the reference emits
+    (R:97-102 ships mean +/- z*sd pairs); JB is the standard check of
+    that assumption, complementing the rank-based `residual_runs_test`
+    (independence) next door.
+
+    Exactness: central moments from ONE pass of raw power sums around
+    the per-series mean (two-stage: mean first, then centered powers —
+    the numerically honest form), rounded at 6dp on both engines.
+
+    Scale: two grouped aggregates per series, no window, no shuffle
+    beyond the (name, index) hash — the numeric-profile cost shape."""
+    metrics = _metrics(spark, sf_dir)
+    mu = metrics.groupBy("name", "index").agg(F.avg("value").alias("mu"))
+    j = metrics.join(F.broadcast(mu), ["name", "index"])
+    d = F.col("value") - F.col("mu")
+    a = (j.groupBy("name", "index")
+         .agg(F.count(F.lit(1)).alias("n_obs"),
+              F.avg(d * d).alias("m2"),
+              F.avg(d * d * d).alias("m3"),
+              F.avg(d * d * d * d).alias("m4")))
+    s = F.col("m3") / F.nullif(F.pow(F.col("m2"), 1.5), F.lit(0.0))
+    k = F.col("m4") / F.nullif(F.col("m2") * F.col("m2"), F.lit(0.0))
+    jb = F.col("n_obs") / 6.0 * (s * s + (k - 3.0) * (k - 3.0) / 4.0)
+    return (a.select("name", "index", "n_obs",
+                     F.round(s, 6).alias("skewness"),
+                     F.round(k, 6).alias("kurtosis"),
+                     F.round(jb, 6).alias("jb_stat"),
+                     # 5% chi2(2) critical value, a shared literal
+                     (jb > 5.991464547107979).alias("reject_normal"))
+            .orderBy("name", "index"))
+
+
+EVAL_QUERIES["jarque_bera_normality"] = jarque_bera_normality
+EVAL_ORACLES["jarque_bera_normality"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    mu AS (SELECT name, index, avg(value) AS mu
+           FROM m GROUP BY 1, 2),
+    a AS (
+        SELECT m.name, m.index, count(*) AS n_obs,
+               avg((value - mu) * (value - mu)) AS m2,
+               avg((value - mu) * (value - mu) * (value - mu)) AS m3,
+               avg((value - mu) * (value - mu) * (value - mu)
+                   * (value - mu)) AS m4
+        FROM m JOIN mu USING (name, index) GROUP BY 1, 2
+    )
+    SELECT name, index, n_obs,
+           round(m3 / nullif(pow(m2, 1.5), 0), 6) AS skewness,
+           round(m4 / nullif(m2 * m2, 0), 6) AS kurtosis,
+           round(n_obs / 6.0 * (pow(m3 / nullif(pow(m2, 1.5), 0), 2)
+                 + pow(m4 / nullif(m2 * m2, 0) - 3.0, 2) / 4.0), 6)
+               AS jb_stat,
+           n_obs / 6.0 * (pow(m3 / nullif(pow(m2, 1.5), 0), 2)
+                 + pow(m4 / nullif(m2 * m2, 0) - 3.0, 2) / 4.0)
+               > 5.991464547107979 AS reject_normal
+    FROM a ORDER BY name, index
+"""
+
+
+def residual_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per metric series: are the
+    above/below-median signs randomly ordered?  A trending or
+    oscillating series fails (too few / too many runs), flagging
+    autocorrelation the interval bands of R:97-102 would understate —
+    the sign-based complement of `series_ljung_box`'s
+    correlation-based read.
+
+    Exactness: the median is the shared type-7 interpolated percentile
+    (Spark `percentile` == DuckDB `quantile_cont` on identical
+    6dp-rounded doubles, the `conformal_snaive_intervals` pairing);
+    values equal to the median are dropped (the classical convention);
+    runs/n1/n2 are exact integers and only the final z is floating,
+    rounded at 6dp.
+
+    Scale: one percentile aggregate + one lag window + one grouped
+    aggregate, all partitioned by (name, index)."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    med = (metrics.groupBy("name", "index")
+           .agg(F.percentile("value", F.lit(0.5)).alias("med")))
+    signs = (metrics.join(F.broadcast(med), ["name", "index"])
+             .where(F.col("value") != F.col("med"))
+             .select("name", "index", "evaluationDate",
+                     (F.col("value") > F.col("med")).alias("up")))
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    seq = signs.withColumn("prev", F.lag("up").over(w))
+    a = (seq.groupBy("name", "index")
+         .agg(F.sum(F.when(F.col("up"), 1).otherwise(0)).alias("n1"),
+              F.sum(F.when(F.col("up"), 0).otherwise(1)).alias("n2"),
+              (F.lit(1) + F.sum(F.when(
+                  F.col("prev").isNotNull()
+                  & (F.col("prev") != F.col("up")), 1).otherwise(0)))
+              .alias("runs")))
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nn = n1 + n2
+    mean_r = 1 + 2 * n1 * n2 / nn
+    var_r = (2 * n1 * n2 * (2 * n1 * n2 - nn)
+             / (nn * nn * (nn - 1)))
+    z = (F.col("runs") - mean_r) / F.nullif(F.sqrt(var_r), F.lit(0.0))
+    return (a.where((F.col("n1") > 0) & (F.col("n2") > 0))
+            .select("name", "index", "n1", "n2", "runs",
+                    F.round(mean_r, 6).alias("mean_runs"),
+                    F.round(z, 6).alias("z"),
+                    (F.abs(z) > 1.959963984540054).alias("nonrandom"))
+            .orderBy("name", "index"))
+
+
+EVAL_QUERIES["residual_runs_test"] = residual_runs_test
+EVAL_ORACLES["residual_runs_test"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    med AS (SELECT name, index, quantile_cont(value, 0.5) AS med
+            FROM m GROUP BY 1, 2),
+    signs AS (
+        SELECT m.name, m.index, evaluationDate, value > med AS up
+        FROM m JOIN med USING (name, index)
+        WHERE value <> med
+    ), seq AS (
+        SELECT *, lag(up) OVER (PARTITION BY name, index
+                                ORDER BY evaluationDate) AS prev
+        FROM signs
+    ), a AS (
+        SELECT name, index,
+               CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+               CAST(1 + sum(CASE WHEN prev IS NOT NULL AND prev <> up
+                            THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        FROM seq GROUP BY 1, 2
+    )
+    SELECT name, index, n1, n2, runs,
+           round(1 + 2.0 * n1 * n2 / (n1 + n2), 6) AS mean_runs,
+           round((runs - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / nullif(sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                          / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                             * (n1 + n2 - 1))), 0), 6) AS z,
+           abs((runs - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / nullif(sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                          / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                             * (n1 + n2 - 1))), 0))
+               > 1.959963984540054 AS nonrandom
+    FROM a WHERE n1 > 0 AND n2 > 0
+    ORDER BY name, index
+"""
+
+
+def wilcoxon_signed_rank_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on WEEK-OVER-WEEK changes per metric
+    series (d_t = y_t - y_{t-7}): the paired nonparametric sibling of
+    `forecast_dm_test` — is the weekly level shift systematic or
+    symmetric noise?  Zero differences are dropped and ties rank-
+    averaged, with the classic tie-corrected normal approximation
+    (sigma^2 = n(n+1)(2n+1)/24 - sum(t^3-t)/48, R `wilcox.test`).
+
+    Exactness: d is a difference of 6dp-rounded doubles (exact); ranks
+    use the tier trick (`ab_mannwhitney_test`) — DISTINCT |d| tiers,
+    one ordered pass per series, half-integer rank arithmetic held as
+    2*rank BIGINTs so W+ is exact before the one float division.
+
+    Scale: tier cardinality is value-bounded; two windows + two
+    grouped aggregates, all partitioned by (name, index)."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    d = (metrics.withColumn("lag7", F.lag("value", 7).over(w))
+         .where(F.col("lag7").isNotNull()
+                & (F.col("value") != F.col("lag7")))
+         .select("name", "index",
+                 (F.col("value") - F.col("lag7")).alias("d")))
+    tiers = (d.groupBy("name", "index", F.abs("d").alias("ad"))
+             .agg(F.count(F.lit(1)).alias("t"),
+                  F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+                  .alias("t_pos")))
+    wt = (Window.partitionBy("name", "index").orderBy("ad")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = (tiers.withColumn(
+        "cum_before", F.coalesce(F.sum("t").over(wt),
+                                 F.lit(0).cast("long")))
+        # 2*avg_rank = 2*cum_before + t + 1: exact integer
+        .withColumn("rank2", 2 * F.col("cum_before") + F.col("t") + 1))
+    a = (ranked.groupBy("name", "index")
+         .agg(F.sum("t").alias("n_pairs"),
+              F.sum(F.col("t_pos") * F.col("rank2")).alias("w2_plus"),
+              F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+              .alias("tie_sum")))
+    n = F.col("n_pairs").cast("double")
+    w_plus = F.col("w2_plus").cast("double") / 2
+    mean_w = n * (n + 1) / 4
+    var_w = (n * (n + 1) * (2 * n + 1) / 24
+             - F.col("tie_sum").cast("double") / 48)
+    z = (w_plus - mean_w) / F.nullif(F.sqrt(var_w), F.lit(0.0))
+    return (a.select("name", "index", "n_pairs",
+                     F.round(w_plus, 1).alias("w_plus"),
+                     F.round(mean_w, 1).alias("mean_w"),
+                     "tie_sum",
+                     F.round(z, 6).alias("z"),
+                     (F.abs(z) > 1.959963984540054).alias("significant"))
+            .orderBy("name", "index"))
+
+
+EVAL_QUERIES["wilcoxon_signed_rank_wow"] = wilcoxon_signed_rank_wow
+EVAL_ORACLES["wilcoxon_signed_rank_wow"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    d AS (
+        SELECT name, index, value - lag7 AS d
+        FROM (SELECT *, lag(value, 7) OVER (PARTITION BY name, index
+                        ORDER BY evaluationDate) AS lag7 FROM m)
+        WHERE lag7 IS NOT NULL AND value <> lag7
+    ), tiers AS (
+        SELECT name, index, abs(d) AS ad, count(*) AS t,
+               CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS t_pos
+        FROM d GROUP BY 1, 2, 3
+    ), ranked AS (
+        SELECT *,
+               2 * coalesce(sum(t) OVER (PARTITION BY name, index
+                     ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) + t + 1 AS rank2
+        FROM tiers
+    ), a AS (
+        SELECT name, index, CAST(sum(t) AS BIGINT) AS n_pairs,
+               CAST(sum(t_pos * rank2) AS BIGINT) AS w2_plus,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT name, index, n_pairs,
+           round(w2_plus / 2.0, 1) AS w_plus,
+           round(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4, 1) AS mean_w,
+           tie_sum,
+           round((w2_plus / 2.0
+                  - CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4)
+                 / nullif(sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1)
+                               * (2.0 * n_pairs + 1) / 24
+                               - tie_sum / 48.0), 0), 6) AS z,
+           abs((w2_plus / 2.0
+                  - CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4)
+                 / nullif(sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1)
+                               * (2.0 * n_pairs + 1) / 24
+                               - tie_sum / 48.0), 0))
+               > 1.959963984540054 AS significant
+    FROM a ORDER BY name, index
+"""
+
+
+def pettitt_change_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt's nonparametric change-point test per metric series
+    (Pettitt 1979): K = max_t |U_t|, U_t = 2*S_t - t*(n+1) with S_t
+    the cumulative sum of tie-averaged ranks — the rank-based (outlier-
+    robust) sibling of `series_changepoint_cusum`, locating a single
+    level shift with the approximate significance p ~ 2*exp(-6K^2 /
+    (n^3 + n^2)).
+
+    Exactness: ranks via the tier trick held as 2*rank BIGINTs, so
+    U_t = cumsum(rank2) - t*(n+1) is EXACT integer arithmetic; the
+    change point is the deterministic (max |U|, min t) row; only the
+    final p-value is floating, rounded at 6dp.
+
+    Scale: one tier pass + one join-back + one ordered cumulative
+    window + one deterministic top-1 per series — all partitioned by
+    (name, index)."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    tiers = (metrics.groupBy("name", "index", "value")
+             .agg(F.count(F.lit(1)).alias("t")))
+    wt = (Window.partitionBy("name", "index").orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = (tiers.withColumn(
+        "cum_before", F.coalesce(F.sum("t").over(wt),
+                                 F.lit(0).cast("long")))
+        .withColumn("rank2", 2 * F.col("cum_before") + F.col("t") + 1)
+        .select("name", "index", "value", "rank2"))
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    seq = (metrics.join(ranked, ["name", "index", "value"])
+           .withColumn("tpos", F.row_number().over(w).cast("long"))
+           .withColumn("n", F.count(F.lit(1)).over(
+               Window.partitionBy("name", "index")))
+           .withColumn("u",
+                       F.sum("rank2").over(wc)
+                       - F.col("tpos") * (F.col("n") + 1)))
+    cand = seq.where(F.col("tpos") < F.col("n"))
+    pick = Window.partitionBy("name", "index").orderBy(
+        F.abs("u").desc(), F.col("tpos").asc())
+    top = (cand.withColumn("rn", F.row_number().over(pick))
+           .where(F.col("rn") == 1))
+    n = F.col("n").cast("double")
+    k = F.abs(F.col("u")).cast("double")
+    p = F.least(F.lit(1.0), 2 * F.exp(-6 * k * k / (n * n * n + n * n)))
+    return (top.select("name", "index", F.col("n").alias("n_obs"),
+                       F.abs(F.col("u")).alias("k_stat"),
+                       F.col("tpos").alias("change_t"),
+                       F.col("evaluationDate").alias("change_date"),
+                       F.round(p, 6).alias("p_approx"),
+                       (p < 0.05).alias("significant"))
+            .orderBy("name", "index"))
+
+
+EVAL_QUERIES["pettitt_change_test"] = pettitt_change_test
+EVAL_ORACLES["pettitt_change_test"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    tiers AS (
+        SELECT name, index, value, count(*) AS t
+        FROM m GROUP BY 1, 2, 3
+    ), ranked AS (
+        SELECT name, index, value,
+               2 * coalesce(sum(t) OVER (PARTITION BY name, index
+                     ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) + t + 1 AS rank2
+        FROM tiers
+    ), seq AS (
+        SELECT m.name, m.index, m.evaluationDate,
+               CAST(row_number() OVER w AS BIGINT) AS tpos,
+               count(*) OVER (PARTITION BY m.name, m.index) AS n,
+               sum(rank2) OVER (PARTITION BY m.name, m.index
+                   ORDER BY m.evaluationDate
+                   ROWS UNBOUNDED PRECEDING)
+                   - CAST(row_number() OVER w AS BIGINT)
+                     * (count(*) OVER (PARTITION BY m.name, m.index) + 1)
+                   AS u
+        FROM m JOIN ranked USING (name, index, value)
+        WINDOW w AS (PARTITION BY m.name, m.index
+                     ORDER BY m.evaluationDate)
+    ), top AS (
+        SELECT *, row_number() OVER (PARTITION BY name, index
+                    ORDER BY abs(u) DESC, tpos ASC) AS rn
+        FROM seq WHERE tpos < n
+    )
+    SELECT name, index, n AS n_obs,
+           CAST(abs(u) AS BIGINT) AS k_stat,
+           tpos AS change_t,
+           evaluationDate AS change_date,
+           round(least(1.0, 2 * exp(-6.0 * abs(u) * abs(u)
+                 / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))),
+                 6) AS p_approx,
+           least(1.0, 2 * exp(-6.0 * abs(u) * abs(u)
+                 / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)))
+               < 0.05 AS significant
+    FROM top WHERE rn = 1
+    ORDER BY name, index
+"""
+
+
+def partial_corr_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlations between the daily event-type
+    series: for every pair (x, y) and every control z, r_xy.z =
+    (r_xy - r_xz*r_yz) / sqrt((1-r_xz^2)(1-r_yz^2)) — does the x~y
+    co-movement survive holding z fixed?  The classic confounder
+    screen over `series_spearman_matrix`'s raw associations (a shared
+    daily-traffic driver inflates every pairwise correlation; the
+    partials show which links are direct).
+
+    Exactness: Pearson r from raw power sums on COMPLETE days only
+    (every series present — one shared support, so all pairwise r use
+    the same n), the `series_trend_ols` discipline; the partial-corr
+    formula is a fixed double expression of three r's, rounded 6dp.
+
+    Scale: the pivot is day-cardinality; pairs/triples are
+    type-cardinality (k^3 rows for k event types) — dimension-sized
+    after one scan."""
+    metrics = _metrics(spark, sf_dir)
+    # complete days = days carrying every series; the type count rides
+    # the plan as a broadcast scalar (no driver-side action)
+    kt = metrics.agg(F.countDistinct("name").alias("k"))
+    days = (metrics.groupBy("evaluationDate")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .crossJoin(F.broadcast(kt))
+            .where(F.col("cnt") == F.col("k"))
+            .select("evaluationDate"))
+    m = metrics.join(F.broadcast(days), "evaluationDate")
+    pairs = (m.alias("a").join(
+        m.alias("b"),
+        (F.col("a.evaluationDate") == F.col("b.evaluationDate"))
+        & (F.col("a.name") < F.col("b.name")))
+        .groupBy(F.col("a.name").alias("x"), F.col("b.name").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("a.value").alias("sx"),
+             F.sum("b.value").alias("sy"),
+             F.sum(F.col("a.value") * F.col("b.value")).alias("sxy"),
+             F.sum(F.col("a.value") * F.col("a.value")).alias("sxx"),
+             F.sum(F.col("b.value") * F.col("b.value")).alias("syy")))
+    n = F.col("n").cast("double")
+    r = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / F.nullif(F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                           * (n * F.col("syy")
+                              - F.col("sy") * F.col("sy"))),
+                    F.lit(0.0)))
+    rr = pairs.select("x", "y", r.alias("r")).cache()
+    names = metrics.select(F.col("name").alias("z")).distinct()
+    tri = (rr.select("x", "y", F.col("r").alias("r_xy"))
+           .crossJoin(F.broadcast(names))
+           .where((F.col("z") != F.col("x")) & (F.col("z") != F.col("y"))))
+
+    def _lk(col_a, col_b, alias):
+        c = rr.select(
+            F.least("x", "y").alias("la"),
+            F.greatest("x", "y").alias("lb"),
+            F.col("r").alias(alias))
+        return tri.join(
+            c, (F.least(col_a, col_b) == c["la"])
+            & (F.greatest(col_a, col_b) == c["lb"]))
+
+    tri = _lk(F.col("x"), F.col("z"), "r_xz").drop("la", "lb")
+    tri = (tri.join(
+        rr.select(F.least("x", "y").alias("la"),
+                  F.greatest("x", "y").alias("lb"),
+                  F.col("r").alias("r_yz")),
+        (F.least(F.col("y"), F.col("z")) == F.col("la"))
+        & (F.greatest(F.col("y"), F.col("z")) == F.col("lb")))
+        .drop("la", "lb"))
+    pc = ((F.col("r_xy") - F.col("r_xz") * F.col("r_yz"))
+          / F.nullif(F.sqrt((1 - F.col("r_xz") * F.col("r_xz"))
+                            * (1 - F.col("r_yz") * F.col("r_yz"))),
+                     F.lit(0.0)))
+    return (tri.select("x", "y", "z",
+                       F.round("r_xy", 6).alias("r_xy"),
+                       F.round(pc, 6).alias("r_xy_given_z"),
+                       F.round(F.abs(F.round("r_xy", 6))
+                               - F.abs(F.round(pc, 6)), 6)
+                       .alias("attenuation"))
+            .orderBy("x", "y", "z"))
+
+
+EVAL_QUERIES["partial_corr_controls"] = partial_corr_controls
+EVAL_ORACLES["partial_corr_controls"] = f"""
+    WITH m0 AS ({_METRICS_EVENTS}),
+    kt AS (SELECT count(DISTINCT name) AS k FROM m0),
+    days AS (
+        SELECT evaluationDate FROM m0, kt
+        GROUP BY evaluationDate, k HAVING count(*) = any_value(k)
+    ), m AS (
+        SELECT m0.* FROM m0 JOIN days USING (evaluationDate)
+    ), pairs AS (
+        SELECT a.name AS x, b.name AS y, count(*) AS n,
+               sum(a.value) AS sx, sum(b.value) AS sy,
+               sum(a.value * b.value) AS sxy,
+               sum(a.value * a.value) AS sxx,
+               sum(b.value * b.value) AS syy
+        FROM m a JOIN m b ON a.evaluationDate = b.evaluationDate
+                         AND a.name < b.name
+        GROUP BY 1, 2
+    ), rr AS (
+        SELECT x, y,
+               (n * sxy - sx * sy)
+               / nullif(sqrt((n * sxx - sx * sx)
+                             * (n * syy - sy * sy)), 0) AS r
+        FROM pairs
+    ), tri AS (
+        SELECT rr.x, rr.y, z.name AS z, rr.r AS r_xy
+        FROM rr CROSS JOIN (SELECT DISTINCT name FROM m0) z(name)
+        WHERE z.name <> rr.x AND z.name <> rr.y
+    ), j1 AS (
+        SELECT tri.*, c.r AS r_xz
+        FROM tri JOIN rr c
+          ON least(tri.x, tri.z) = c.x AND greatest(tri.x, tri.z) = c.y
+    ), j2 AS (
+        SELECT j1.*, c.r AS r_yz
+        FROM j1 JOIN rr c
+          ON least(j1.y, j1.z) = c.x AND greatest(j1.y, j1.z) = c.y
+    )
+    SELECT x, y, z, round(r_xy, 6) AS r_xy,
+           round((r_xy - r_xz * r_yz)
+                 / nullif(sqrt((1 - r_xz * r_xz)
+                               * (1 - r_yz * r_yz)), 0), 6)
+               AS r_xy_given_z,
+           round(abs(round(r_xy, 6))
+                 - abs(round((r_xy - r_xz * r_yz)
+                       / nullif(sqrt((1 - r_xz * r_xz)
+                                     * (1 - r_yz * r_yz)), 0), 6)), 6)
+               AS attenuation
+    FROM j2 ORDER BY x, y, z
+"""
+
+
+def theil_u2_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U2 on the last-week holdout for the four closed-form
+    forecasters (the `backtest_closed_forms` frame): U2 = sqrt(
+    sum(((pred_t - y_t)/y_{t-1})^2) / sum(((y_t - y_{t-1})/y_{t-1})^2) )
+    — relative-change RMSE against the no-change forecast, the scale-
+    free skill score that complements `forecast_mase_scores` (MASE
+    normalizes by in-sample naive MAE; U2 by out-of-sample no-change
+    error: U2 < 1 = beats the random walk).
+
+    Exactness: same split discipline as the backtest oracles (train
+    t < n-7, holdout the final week); y_prev is the one-step lag over
+    the FULL sequence so h=1 divides by the last train value; zero
+    y_prev rows are excluded on both sides before the two sums.
+
+    Scale: one lag window + the four-way union + one grouped
+    aggregate per (series, method)."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    seq = (metrics
+           .withColumn("t", F.row_number().over(w) - 1)
+           .withColumn("n", F.count(F.lit(1)).over(
+               Window.partitionBy("name", "index")))
+           .withColumn("lag7", F.lag("value", 7).over(w))
+           .withColumn("y_prev", F.lag("value", 1).over(w)))
+    train = (seq.where(F.col("t") < F.col("n") - 7)
+             .groupBy("name", "index")
+             .agg(F.avg("value").alias("mean_v"),
+                  F.count(F.lit(1)).alias("n_train"),
+                  F.max_by("value", "t").alias("last_v"),
+                  F.min_by("value", "t").alias("first_v")))
+    hold = (seq.where(F.col("t") >= F.col("n") - 7)
+            .withColumn("h", F.col("t") - (F.col("n") - 7) + 1)
+            .join(F.broadcast(train), ["name", "index"]))
+    # one explode fan-out instead of a 4-way union: the union form
+    # re-evaluated the window/train chain per branch (11 shuffles
+    # measured); this rides one pass (the oracle keeps the UNION ALL —
+    # identical rows either way)
+    mp = F.explode(F.array(
+        F.struct(F.lit("MEAN").alias("method"),
+                 F.col("mean_v").alias("pred")),
+        F.struct(F.lit("NAIVE").alias("method"),
+                 F.col("last_v").alias("pred")),
+        F.struct(F.lit("SNAIVE").alias("method"),
+                 F.col("lag7").alias("pred")),
+        F.struct(F.lit("DRIFT").alias("method"),
+                 (F.col("last_v") + F.col("h")
+                  * (F.col("last_v") - F.col("first_v"))
+                  / F.nullif(F.col("n_train") - 1, F.lit(0)))
+                 .alias("pred"))))
+    preds = (hold.select("name", "index", "value", "y_prev",
+                         mp.alias("mp"))
+             .select("name", "index", F.col("mp.method").alias("method"),
+                     "value", "y_prev", F.col("mp.pred").alias("pred"))
+             .where(F.col("y_prev") != 0))
+    fe = (F.col("pred") - F.col("value")) / F.col("y_prev")
+    ne = (F.col("value") - F.col("y_prev")) / F.col("y_prev")
+    a = (preds.groupBy("name", "index", "method")
+         .agg(F.count(F.lit(1)).alias("n_holdout"),
+              F.sum(fe * fe).alias("sf"),
+              F.sum(ne * ne).alias("sn")))
+    u2 = F.sqrt(F.col("sf") / F.nullif(F.col("sn"), F.lit(0.0)))
+    return (a.select("name", "index", "method", "n_holdout",
+                     F.round(u2, 6).alias("theil_u2"),
+                     (u2 < 1.0).alias("beats_random_walk"))
+            .orderBy("name", "index", "method"))
+
+
+EVAL_QUERIES["theil_u2_backtest"] = theil_u2_backtest
+EVAL_ORACLES["theil_u2_backtest"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    t AS (
+        SELECT name, index, value,
+               row_number() OVER w - 1 AS t,
+               count(*) OVER (PARTITION BY name, index) AS n,
+               lag(value, 7) OVER w AS lag7,
+               lag(value, 1) OVER w AS y_prev
+        FROM m
+        WINDOW w AS (PARTITION BY name, index ORDER BY evaluationDate)
+    ), train AS (
+        SELECT name, index, avg(value) AS mean_v, count(*) AS n_train,
+               arg_max(value, t) AS last_v, arg_min(value, t) AS first_v
+        FROM t WHERE t < n - 7 GROUP BY 1, 2
+    ), holdout AS (
+        SELECT *, t - (n - 7) + 1 AS h FROM t WHERE t >= n - 7
+    ), preds AS (
+        SELECT h.name, h.index, 'MEAN' AS method, h.value, h.y_prev,
+               tr.mean_v AS pred
+        FROM holdout h JOIN train tr USING (name, index)
+        UNION ALL
+        SELECT h.name, h.index, 'NAIVE', h.value, h.y_prev, tr.last_v
+        FROM holdout h JOIN train tr USING (name, index)
+        UNION ALL
+        SELECT h.name, h.index, 'SNAIVE', h.value, h.y_prev, h.lag7
+        FROM holdout h JOIN train tr USING (name, index)
+        UNION ALL
+        SELECT h.name, h.index, 'DRIFT', h.value, h.y_prev,
+               tr.last_v + h.h * (tr.last_v - tr.first_v)
+                   / nullif(tr.n_train - 1, 0)
+        FROM holdout h JOIN train tr USING (name, index)
+    ), a AS (
+        SELECT name, index, method, count(*) AS n_holdout,
+               sum(((pred - value) / y_prev) * ((pred - value) / y_prev))
+                   AS sf,
+               sum(((value - y_prev) / y_prev)
+                   * ((value - y_prev) / y_prev)) AS sn
+        FROM preds WHERE y_prev <> 0 GROUP BY 1, 2, 3
+    )
+    SELECT name, index, method, n_holdout,
+           round(sqrt(sf / nullif(sn, 0)), 6) AS theil_u2,
+           sqrt(sf / nullif(sn, 0)) < 1.0 AS beats_random_walk
+    FROM a ORDER BY name, index, method
+"""
+
+
+def boxcox_guerrero_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guerrero's Box-Cox lambda selection per metric series (Guerrero
+    1993) — the EXACT decision `forecast::BoxCox.lambda` makes inside
+    the reference's BAGGEDETS path (R:205: bld.mbb.bootstrap Box-Cox-
+    transforms the series before STL + moving-block bootstrap), here
+    replayed relationally like the KPSS/ndiffs replay of auto.arima's
+    d-decision: split the last floor(n/7)*7 observations into
+    length-7 blocks (the series frequency, R's x.mat), per-block mean
+    m_h and sd s_h, and pick the lambda in [-1, 2] minimizing the
+    coefficient of variation of s_h / m_h^(1-lambda).
+
+    Deviation from R: forecast optimizes lambda continuously
+    (optimize()); this searches the 0.1 grid over the same [-1, 2]
+    range (31 literal candidates), so lambda is the grid point nearest
+    R's optimum.  Positive block means required (Box-Cox domain);
+    series failing that are excluded, like BoxCox.lambda's x > 0
+    requirement.
+
+    Exactness: block stats are grouped aggregates of 6dp-rounded
+    values; the lambda argmin compares 6dp-ROUNDED CVs (ties -> the
+    smaller lambda) so a last-ulp pow() divergence between engines
+    cannot flip the winner off-grid.
+
+    Scale: blocks are series-length-bounded, the grid is a 31-row
+    literal broadcast — cost is one grouped aggregate + a bounded
+    fan-out, partitioned by (name, index)."""
+    from pyspark.sql.window import Window
+    metrics = _metrics(spark, sf_dir)
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    seq = (metrics
+           .withColumn("t", F.row_number().over(w) - 1)
+           .withColumn("n", F.count(F.lit(1)).over(
+               Window.partitionBy("name", "index"))))
+    nyr = F.floor(F.col("n") / 7)
+    blocks = (seq.where(F.col("t") >= F.col("n") - nyr * 7)
+              .withColumn("blk", F.floor(
+                  (F.col("t") - (F.col("n") - nyr * 7)) / 7))
+              .groupBy("name", "index", "blk")
+              .agg(F.avg("value").alias("bm"),
+                   F.stddev_samp("value").alias("bs")))
+    ok = (blocks.groupBy("name", "index")
+          .agg(F.count(F.lit(1)).alias("n_blocks"),
+               F.min("bm").alias("min_bm"))
+          .where((F.col("n_blocks") >= 2) & (F.col("min_bm") > 0))
+          .select("name", "index", "n_blocks"))
+    grid = spark.range(-10, 21).select(
+        (F.col("id") / 10.0).alias("lam"))
+    rat = (blocks.join(ok, ["name", "index"])
+           .crossJoin(F.broadcast(grid))
+           .select("name", "index", "n_blocks", "lam",
+                   (F.col("bs") / F.pow(F.col("bm"), 1.0 - F.col("lam")))
+                   .alias("ratio")))
+    cv = (rat.groupBy("name", "index", "n_blocks", "lam")
+          .agg(F.round(F.stddev_samp("ratio")
+                       / F.nullif(F.avg("ratio"), F.lit(0.0)), 6)
+               .alias("cv")))
+    best = (cv.groupBy("name", "index")
+            .agg(F.min("cv").alias("min_cv")))
+    return (cv.join(best, ["name", "index"])
+            .where(F.col("cv") == F.col("min_cv"))
+            .groupBy("name", "index", "n_blocks", "min_cv")
+            .agg(F.min("lam").alias("lambda_guerrero"))
+            .select("name", "index", "n_blocks", "lambda_guerrero",
+                    F.col("min_cv").alias("cv"))
+            .orderBy("name", "index"))
+
+
+EVAL_QUERIES["boxcox_guerrero_lambda"] = boxcox_guerrero_lambda
+EVAL_ORACLES["boxcox_guerrero_lambda"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    seq AS (
+        SELECT name, index, value,
+               row_number() OVER (PARTITION BY name, index
+                                  ORDER BY evaluationDate) - 1 AS t,
+               count(*) OVER (PARTITION BY name, index) AS n
+        FROM m
+    ), blocks AS (
+        SELECT name, index,
+               CAST(floor((t - (n - floor(n / 7) * 7)) / 7) AS BIGINT)
+                   AS blk,
+               avg(value) AS bm, stddev_samp(value) AS bs
+        FROM seq WHERE t >= n - floor(n / 7) * 7
+        GROUP BY 1, 2, 3
+    ), ok AS (
+        SELECT name, index, count(*) AS n_blocks
+        FROM blocks GROUP BY 1, 2
+        HAVING count(*) >= 2 AND min(bm) > 0
+    ), grid AS (
+        SELECT i / 10.0 AS lam FROM generate_series(-10, 20) AS g(i)
+    ), cv AS (
+        SELECT b.name, b.index, ok.n_blocks, lam,
+               round(stddev_samp(bs / pow(bm, 1.0 - lam))
+                     / nullif(avg(bs / pow(bm, 1.0 - lam)), 0), 6) AS cv
+        FROM blocks b JOIN ok USING (name, index) CROSS JOIN grid
+        GROUP BY 1, 2, 3, 4
+    ), best AS (
+        SELECT name, index, min(cv) AS min_cv FROM cv GROUP BY 1, 2
+    )
+    SELECT cv.name, cv.index, cv.n_blocks,
+           min(lam) AS lambda_guerrero,
+           any_value(min_cv) AS cv
+    FROM cv JOIN best USING (name, index)
+    WHERE cv.cv = best.min_cv
+    GROUP BY 1, 2, 3
+    ORDER BY name, index
+"""

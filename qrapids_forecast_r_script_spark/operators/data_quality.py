@@ -2040,3 +2040,67 @@ ORACLES["evt_gumbel_block_maxima"] = f"""
                AS return_level_5y
     FROM a
 """
+
+
+def hellinger_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance between each source's doc-length pmf and the
+    pooled corpus pmf: H = sqrt(1 - BC), BC = sum_v sqrt(p_s(v)*p(v))
+    on the merged n_chars support — the bounded [0,1] distribution-
+    shift metric that completes the suite next to `source_length_emd`
+    (real units, unbounded) and `events_ks_drift` (sup-norm): H is the
+    one that upper-bounds total-variation (TV <= H*sqrt(2)) and feeds
+    sampling-budget math directly.
+
+    Exactness: both pmfs are integer-count ratios (the EMD counting
+    discipline); BC is a sum of sqrt of rational products, rounded 6dp
+    after the one grouped sum.
+
+    Scale: one scan to (source, n_chars) counts; the per-source grid
+    is dimension-sized (sources x distinct lengths); at 100 TB the
+    support is histogram-binned first, like the PSI/EMD path."""
+    docs = load_table(spark, sf_dir, "documents")
+    sc = (docs.groupBy("source", "n_chars")
+          .agg(F.count(F.lit(1)).alias("c")))
+    srcn = sc.groupBy("source").agg(F.sum("c").alias("n_src"))
+    pool = sc.groupBy("n_chars").agg(F.sum("c").alias("cp"))
+    tot = sc.agg(F.sum("c").alias("n_all"))
+    j = (sc.join(F.broadcast(srcn), "source")
+         .join(F.broadcast(pool), "n_chars")
+         .crossJoin(F.broadcast(tot)))
+    bc_term = F.sqrt((F.col("c").cast("double") / F.col("n_src"))
+                     * (F.col("cp").cast("double") / F.col("n_all")))
+    a = (j.groupBy("source", "n_src")
+         .agg(F.sum(bc_term).alias("bc")))
+    h = F.sqrt(F.greatest(F.lit(0.0), 1.0 - F.col("bc")))
+    return (a.select("source", F.col("n_src").alias("n_docs"),
+                     F.round("bc", 6).alias("bhattacharyya_coef"),
+                     F.round(h, 6).alias("hellinger"),
+                     F.round(h * F.sqrt(F.lit(2.0)), 6).alias("tv_upper"))
+            .orderBy("source"))
+
+
+QUERIES["hellinger_source_drift"] = hellinger_source_drift
+ORACLES["hellinger_source_drift"] = """
+    WITH sc AS (
+        SELECT source, n_chars, count(*) AS c
+        FROM documents GROUP BY 1, 2
+    ), srcn AS (
+        SELECT source, sum(c) AS n_src FROM sc GROUP BY 1
+    ), pool AS (
+        SELECT n_chars, sum(c) AS cp FROM sc GROUP BY 1
+    ), tot AS (SELECT sum(c) AS n_all FROM sc),
+    a AS (
+        SELECT sc.source, any_value(n_src) AS n_src,
+               sum(sqrt((CAST(c AS DOUBLE) / n_src)
+                        * (CAST(cp AS DOUBLE) / n_all))) AS bc
+        FROM sc JOIN srcn USING (source)
+                JOIN pool USING (n_chars)
+                CROSS JOIN tot
+        GROUP BY 1
+    )
+    SELECT source, CAST(n_src AS BIGINT) AS n_docs,
+           round(bc, 6) AS bhattacharyya_coef,
+           round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger,
+           round(sqrt(greatest(0.0, 1.0 - bc)) * sqrt(2.0), 6) AS tv_upper
+    FROM a ORDER BY source
+"""

@@ -6284,3 +6284,111 @@ ORACLES["kruskal_wallis_values"] = f"""
                > {_chi2_crit_sql("k")} AS reject_homogeneity
     FROM tot CROSS JOIN ties
 """
+
+
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on per-user purchase revenue
+    between the two hash arms — the PARAMETRIC sibling of
+    `ab_mannwhitney_test` (same deterministic A/A split, same exact
+    integer-cent metric): t = (mean_a - mean_b) / sqrt(va/na + vb/nb)
+    with the Welch-Satterthwaite df.  Experimentation platforms report
+    the pair: the t-test for its power on near-normal metrics, the
+    rank test for whale-robustness; an A/A split must come back
+    not-significant on BOTH (and does).
+
+    Exactness: per-arm moments from exact BIGINT cent sums (sum and
+    sum-of-squares as int128/HUGEINT — order-proof); only the final t
+    and df are floating, rounded at 6dp.
+
+    Scale: one user-grain aggregate + one 2-row arm aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    users = (ev.groupBy("user_id")
+             .agg(F.coalesce(
+                 F.sum(F.when(F.col("event_type") == "purchase",
+                              F.round(F.col("value") * 100, 0)
+                              .cast("long"))), F.lit(0).cast("long"))
+                 .alias("cents"))
+             .withColumn("arm", arm))
+    c = F.col("cents").cast("decimal(38,0)")
+    a = (users.groupBy("arm")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(c).alias("s"),
+              F.sum(c * c).alias("ss")))
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    # sample variance from exact sums: (ss - s^2/n) / (n-1)
+    var = ((F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / n)
+           / (n - 1))
+    per = a.select("arm", "n", mean.alias("m"), var.alias("v"))
+    wide = (per.groupBy()
+            .agg(F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+                 F.max(F.when(F.col("arm") == 0, F.col("m"))).alias("m_a"),
+                 F.max(F.when(F.col("arm") == 0, F.col("v"))).alias("v_a"),
+                 F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+                 F.max(F.when(F.col("arm") == 1, F.col("m"))).alias("m_b"),
+                 F.max(F.when(F.col("arm") == 1, F.col("v"))).alias("v_b")))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    se2 = F.col("v_a") / na + F.col("v_b") / nb
+    t = (F.col("m_a") - F.col("m_b")) / F.nullif(F.sqrt(se2), F.lit(0.0))
+    df = (se2 * se2
+          / F.nullif((F.col("v_a") / na) * (F.col("v_a") / na) / (na - 1)
+                     + (F.col("v_b") / nb) * (F.col("v_b") / nb)
+                     / (nb - 1), F.lit(0.0)))
+    return wide.select(
+        "n_a", "n_b",
+        F.round("m_a", 6).alias("mean_cents_a"),
+        F.round("m_b", 6).alias("mean_cents_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"),
+        # df is in the hundreds here; the normal critical value is the
+        # standard large-df approximation (t_crit(300) ~ 1.9679)
+        (F.abs(t) > _AB_Z_CRIT).alias("significant"))
+
+
+QUERIES["ab_welch_ttest"] = ab_welch_ttest
+ORACLES["ab_welch_ttest"] = f"""
+    WITH users AS (
+        SELECT user_id,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100, 0) AS BIGINT)
+                            END), 0) AS cents,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    ::BIGINT % 2) AS arm
+        FROM events GROUP BY user_id
+    ), a AS (
+        SELECT arm, count(*) AS n,
+               sum(CAST(cents AS HUGEINT)) AS s,
+               sum(CAST(cents AS HUGEINT) * cents) AS ss
+        FROM users GROUP BY arm
+    ), per AS (
+        SELECT arm, n, CAST(s AS DOUBLE) / n AS m,
+               (CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+               / (n - 1) AS v
+        FROM a
+    ), wide AS (
+        SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+               max(CASE WHEN arm = 0 THEN m END) AS m_a,
+               max(CASE WHEN arm = 0 THEN v END) AS v_a,
+               max(CASE WHEN arm = 1 THEN n END) AS n_b,
+               max(CASE WHEN arm = 1 THEN m END) AS m_b,
+               max(CASE WHEN arm = 1 THEN v END) AS v_b
+        FROM per
+    )
+    SELECT n_a, n_b,
+           round(m_a, 6) AS mean_cents_a,
+           round(m_b, 6) AS mean_cents_b,
+           round((m_a - m_b) / nullif(sqrt(v_a / n_a + v_b / n_b), 0), 6)
+               AS t_stat,
+           round(pow(v_a / n_a + v_b / n_b, 2)
+                 / nullif((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                          + (v_b / n_b) * (v_b / n_b) / (n_b - 1), 0), 6)
+               AS welch_df,
+           abs((m_a - m_b) / nullif(sqrt(v_a / n_a + v_b / n_b), 0))
+               > {_AB_Z_CRIT} AS significant
+    FROM wide
+"""

@@ -2337,3 +2337,89 @@ ORACLES["decision_stump_doclen"] = f"""
     FROM scored
     QUALIFY row_number() OVER (ORDER BY wg ASC, n_chars ASC) = 1
 """
+
+
+_SPLIT_CUTOFF = "2024-01-22"   # 70/30 time split over the events month
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/validation split leakage audit: split events at
+    a date cutoff (train < cutoff <= val) and measure, per event_type,
+    how much of the validation slice belongs to entities the model
+    already saw — the leakage read a time-split eval pipeline needs
+    BEFORE trusting its metrics (a user active on both sides makes
+    val partially in-distribution; dedup/decontamination handles
+    content overlap, this handles ENTITY overlap).
+
+    Emits per event_type: train/val user counts, users on both sides,
+    the leaked-user fraction of val users, and the fraction of val
+    EVENTS from seen users — the two rates diverge exactly when heavy
+    users straddle the cutoff.
+
+    Exactness: pure conditional counts off one user-grain aggregate.
+    Scale: one scan -> (event_type, user) flags, one grouped count —
+    no window, no join; the cutoff is a partition-prunable predicate
+    on a date-partitioned layout."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_SPLIT_CUTOFF).cast("date")
+    per_user = (ev.groupBy("event_type", "user_id")
+                .agg(F.sum(F.when(F.to_date("ts") < cut, 1)
+                           .otherwise(0)).alias("n_train_ev"),
+                     F.sum(F.when(F.to_date("ts") >= cut, 1)
+                           .otherwise(0)).alias("n_val_ev")))
+    a = (per_user.groupBy("event_type")
+         .agg(F.sum(F.when(F.col("n_train_ev") > 0, 1).otherwise(0))
+              .alias("train_users"),
+              F.sum(F.when(F.col("n_val_ev") > 0, 1).otherwise(0))
+              .alias("val_users"),
+              F.sum(F.when((F.col("n_train_ev") > 0)
+                           & (F.col("n_val_ev") > 0), 1).otherwise(0))
+              .alias("leaked_users"),
+              F.sum("n_val_ev").alias("val_events"),
+              F.sum(F.when(F.col("n_train_ev") > 0,
+                           F.col("n_val_ev")).otherwise(0))
+              .alias("val_events_seen")))
+    return (a.select(
+        "event_type", "train_users", "val_users", "leaked_users",
+        F.round(F.col("leaked_users")
+                / F.nullif(F.col("val_users").cast("double"),
+                           F.lit(0.0)), 6).alias("leaked_user_frac"),
+        "val_events",
+        F.round(F.col("val_events_seen")
+                / F.nullif(F.col("val_events").cast("double"),
+                           F.lit(0.0)), 6).alias("val_event_seen_frac"))
+        .orderBy("event_type"))
+
+
+QUERIES["split_leakage_audit"] = split_leakage_audit
+ORACLES["split_leakage_audit"] = f"""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               sum(CASE WHEN CAST(ts AS DATE) < DATE '{_SPLIT_CUTOFF}'
+                        THEN 1 ELSE 0 END) AS n_train_ev,
+               sum(CASE WHEN CAST(ts AS DATE) >= DATE '{_SPLIT_CUTOFF}'
+                        THEN 1 ELSE 0 END) AS n_val_ev
+        FROM events GROUP BY 1, 2
+    ), a AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN n_train_ev > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS train_users,
+               CAST(sum(CASE WHEN n_val_ev > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS val_users,
+               CAST(sum(CASE WHEN n_train_ev > 0 AND n_val_ev > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS leaked_users,
+               CAST(sum(n_val_ev) AS BIGINT) AS val_events,
+               CAST(sum(CASE WHEN n_train_ev > 0 THEN n_val_ev ELSE 0 END)
+                    AS BIGINT) AS val_events_seen
+        FROM per_user GROUP BY 1
+    )
+    SELECT event_type, train_users, val_users, leaked_users,
+           round(leaked_users
+                 / nullif(CAST(val_users AS DOUBLE), 0), 6)
+               AS leaked_user_frac,
+           val_events,
+           round(val_events_seen
+                 / nullif(CAST(val_events AS DOUBLE), 0), 6)
+               AS val_event_seen_frac
+    FROM a ORDER BY event_type
+"""

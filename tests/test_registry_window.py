@@ -170,8 +170,16 @@ def test_window_follows_registry_order_of_the_backlog():
     # ≤ +10; each oracled addition must be listed here or this fails —
     # rows-only additions don't enter the oracled backlog)
     registered_after_freeze: set[str] = {
-        # round-8 second-half additions land here (strict-audited on
-        # registration; freeze budget <= +10)
+        # round-8 second-half additions (the full <= +10 budget, each
+        # strict-audited on registration): residual diagnostics +
+        # nonparametric change tests + the Box-Cox lambda decision
+        # replay, the parametric A/B sibling, distribution drift, and
+        # the temporal split-leakage audit
+        "jarque_bera_normality", "residual_runs_test",
+        "wilcoxon_signed_rank_wow", "pettitt_change_test",
+        "partial_corr_controls", "theil_u2_backtest",
+        "boxcox_guerrero_lambda", "ab_welch_ttest",
+        "hellinger_source_drift", "split_leakage_audit",
     }
     assert len(registered_after_freeze) <= 10, "freeze budget exceeded"
     checked = _checked(max_round=CURRENT_ROUND)
