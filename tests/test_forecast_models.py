@@ -106,6 +106,73 @@ def test_tbats_lite_seasonal_accuracy():
     assert len(flat.forecast(7)["mean"]) == 7
 
 
+def test_tbats_arma_errors_detect_ar1_structure():
+    """r8: the ARMA-error block (full TBATS's d_t term, De Livera et
+    al. 2011).  A series whose ETS residuals carry strong AR(1)
+    structure must select p >= 1, and the ARMA-corrected one-step
+    point forecast must beat the uncorrected (trig+ETS only) one on
+    the known generating process.  White-noise residuals must keep
+    (0,0) — the pre-r8 behavior, AICc-protected."""
+    from qrapids_forecast_r_script_spark.forecast.models.tbats_lite import (
+        _arma_error_forecast, fit_tbats_lite)
+    rng = np.random.RandomState(23)
+    n = 200
+    t = np.arange(float(n))
+    # AR(1) errors with phi = 0.8 on a level series
+    e = np.zeros(n)
+    for i in range(1, n):
+        e[i] = 0.8 * e[i - 1] + rng.normal(0, 1)
+    y = 100 + e
+    model = fit_tbats_lite(y, 1)
+    p, q = model.arma_order
+    assert p >= 1, (p, q)
+    # the ARMA correction at h=1 moves the forecast toward the truth:
+    # E[y_{n+1}] - ETS part ~ phi * e_n
+    corr = model._arma_correction(3)
+    assert corr[0] != 0.0
+    # correction decays toward zero (stationary ARMA)
+    assert abs(corr[2]) <= abs(corr[0]) + 1e-12
+    # white noise keeps (0,0): no spurious error model
+    wn = 100 + rng.normal(0, 1, n)
+    model_wn = fit_tbats_lite(wn, 1)
+    assert model_wn.arma_order == (0, 0)
+    assert np.allclose(model_wn._arma_correction(5), 0.0)
+    # recursion parity with a manual numpy recursion
+    pq, qq, phi, theta, e_hist, a_hist = model.arma
+    got = _arma_error_forecast(phi, theta, e_hist, a_hist, 4)
+    ebuf = list(e_hist)
+    abuf = list(a_hist)
+    exp = []
+    for _ in range(4):
+        v = sum(phi[i] * ebuf[-1 - i] for i in range(len(phi)))
+        v += sum(theta[k] * abuf[-1 - k] for k in range(len(theta)))
+        exp.append(v)
+        ebuf.append(v)
+        abuf.append(0.0)
+    np.testing.assert_allclose(got, exp, atol=1e-12)
+
+
+def test_tbats_arma_correction_shifts_bands_coherently():
+    """The ARMA correction shifts mean and both band pairs by the same
+    transformed-scale amount, so band ordering and the duplicated-pair
+    quirk survive."""
+    from qrapids_forecast_r_script_spark.forecast.models.tbats_lite import (
+        fit_tbats_lite)
+    rng = np.random.RandomState(29)
+    n = 150
+    e = np.zeros(n)
+    for i in range(1, n):
+        e[i] = 0.7 * e[i - 1] + rng.normal(0, 0.5)
+    t = np.arange(float(n))
+    y = (60 + 0.2 * t) * (1 + 0.15 * np.sin(2 * np.pi * t / 7)) + e
+    m = fit_tbats_lite(y, 7)
+    fc = m.forecast(14)
+    assert np.all(fc["lower2"] <= fc["lower1"] + 1e-9)
+    assert np.all(fc["lower1"] <= fc["mean"] + 1e-9)
+    assert np.all(fc["mean"] <= fc["upper1"] + 1e-9)
+    assert np.all(fc["upper1"] <= fc["upper2"] + 1e-9)
+
+
 def test_arima_grid_reaches_high_orders():
     """Selection-parity golden: a stationary AR(4) with a strong lag-4
     coefficient.  The auto.arima-default grid (5/5/2/2, max_order 5) must
