@@ -23,23 +23,43 @@ from .ets import fit_ets
 from .stl import stl_decompose
 
 
-def _boxcox_lambda(y: np.ndarray) -> float:
-    """Guerrero-style lambda in [0, 1]: minimize the coefficient of
-    variation of subseries means^(1-lambda)-scaled sds (grid search)."""
+def _boxcox_lambda(y: np.ndarray, m: int = 2,
+                   lower: float = 0.0, upper: float = 1.0) -> float:
+    """Guerrero's Box-Cox lambda (Guerrero 1993), the R-faithful
+    blocking (r8 alignment with the relational replay
+    `boxcox_guerrero_lambda`): split the LAST floor(n/period)*period
+    observations into length-``period`` blocks (period = max(2, m),
+    forecast:::guerrero's x.mat), per-block mean/sd, and pick the
+    grid lambda in [lower, upper] minimizing the coefficient of
+    variation of sd_h / mean_h^(1-lambda).  The [0, 1] default range
+    is exactly `bld.mbb.bootstrap`'s BoxCox.lambda(x, lower=0,
+    upper=1) restriction (the BAGGEDETS path, R:205); the 0.1 grid
+    (vs R's continuous optimize()) is the documented deviation,
+    shared with the oracled query so engine and query return the
+    SAME decision (pinned by test).  Ties break to the smaller
+    lambda, matching the query's rounded-CV argmin."""
     if np.any(y <= 0):
         return 1.0
     n = len(y)
-    size = max(2, n // 10)
-    groups = [y[i:i + size] for i in range(0, n - size + 1, size)]
-    means = np.array([g.mean() for g in groups])
-    sds = np.array([g.std(ddof=1) for g in groups])
+    period = max(2, int(m))
+    nyr = n // period
+    if nyr < 2:
+        return 1.0
+    tail = y[n - nyr * period:]
+    blocks = tail.reshape(nyr, period)
+    means = blocks.mean(axis=1)
+    sds = blocks.std(axis=1, ddof=1)
+    if np.any(means <= 0):
+        return 1.0
     best_lam, best_cv = 1.0, np.inf
-    for lam in np.linspace(0.0, 1.0, 21):
+    n_steps = int(round((upper - lower) / 0.1))
+    for i in range(n_steps + 1):
+        lam = lower + i * 0.1
         ratio = sds / np.power(means, 1.0 - lam)
         mu = ratio.mean()
         if mu <= 0:
             continue
-        cv = ratio.std(ddof=1) / mu
+        cv = round(float(ratio.std(ddof=1) / mu), 6)
         if np.isfinite(cv) and cv < best_cv:
             best_lam, best_cv = lam, cv
     return float(best_lam)
@@ -63,7 +83,7 @@ def mbb_bootstrap(y: np.ndarray, m: int, num: int,
     the remainder → reconstruct → inverse Box-Cox.  First replicate is the
     original series (R behavior)."""
     n = len(y)
-    lam = _boxcox_lambda(y)
+    lam = _boxcox_lambda(y, m)
     z = _boxcox(y, lam) if np.all(y > 0) else y.astype(float)
     use_bc = np.all(y > 0)
     if m > 1 and n >= 2 * m:

@@ -181,7 +181,7 @@ def fit_tbats_lite(y: np.ndarray, frequency: int) -> TbatsLiteModel:
     if n < 4:
         raise ValueError("series too short for TBATS-lite")
     use_bc = bool(np.all(y > 0))
-    lam = _boxcox_lambda(y) if use_bc else 1.0
+    lam = _boxcox_lambda(y, m) if use_bc else 1.0
     z = _boxcox(y, lam) if use_bc else y.astype(float)
     # trig seasonality needs two full cycles to be identified
     k = min(_MAX_HARMONICS, (m - 1) // 2) if (m > 1 and n >= 2 * m) else 0

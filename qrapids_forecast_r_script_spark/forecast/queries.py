@@ -5190,12 +5190,18 @@ def boxcox_guerrero_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_h and sd s_h, and pick the lambda in [-1, 2] minimizing the
     coefficient of variation of s_h / m_h^(1-lambda).
 
+    Two decisions per series: ``lambda_guerrero`` over BoxCox.lambda's
+    default [-1, 2] range, and ``lambda_bagged`` over the [0, 1]
+    restriction `bld.mbb.bootstrap` actually passes (lower=0, upper=1)
+    — the latter is the SAME rule the engine's own BAGGEDETS/TBATS
+    path computes (`models/bagged.py::_boxcox_lambda`, r8-aligned;
+    equality pinned by test_round8_ops).
+
     Deviation from R: forecast optimizes lambda continuously
-    (optimize()); this searches the 0.1 grid over the same [-1, 2]
-    range (31 literal candidates), so lambda is the grid point nearest
-    R's optimum.  Positive block means required (Box-Cox domain);
-    series failing that are excluded, like BoxCox.lambda's x > 0
-    requirement.
+    (optimize()); this searches the 0.1 grid over the same ranges, so
+    lambda is the grid point nearest R's optimum.  Positive block
+    means required (Box-Cox domain); series failing that are
+    excluded, like BoxCox.lambda's x > 0 requirement.
 
     Exactness: block stats are grouped aggregates of 6dp-rounded
     values; the lambda argmin compares 6dp-ROUNDED CVs (ties -> the
@@ -5235,14 +5241,18 @@ def boxcox_guerrero_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.round(F.stddev_samp("ratio")
                        / F.nullif(F.avg("ratio"), F.lit(0.0)), 6)
                .alias("cv")))
+    in01 = (F.col("lam") >= 0.0) & (F.col("lam") <= 1.0)
     best = (cv.groupBy("name", "index")
-            .agg(F.min("cv").alias("min_cv")))
+            .agg(F.min("cv").alias("min_cv"),
+                 F.min(F.when(in01, F.col("cv"))).alias("min_cv01")))
     return (cv.join(best, ["name", "index"])
-            .where(F.col("cv") == F.col("min_cv"))
-            .groupBy("name", "index", "n_blocks", "min_cv")
-            .agg(F.min("lam").alias("lambda_guerrero"))
+            .groupBy("name", "index", "n_blocks", "min_cv", "min_cv01")
+            .agg(F.min(F.when(F.col("cv") == F.col("min_cv"),
+                              F.col("lam"))).alias("lambda_guerrero"),
+                 F.min(F.when(in01 & (F.col("cv") == F.col("min_cv01")),
+                              F.col("lam"))).alias("lambda_bagged"))
             .select("name", "index", "n_blocks", "lambda_guerrero",
-                    F.col("min_cv").alias("cv"))
+                    F.col("min_cv").alias("cv"), "lambda_bagged")
             .orderBy("name", "index"))
 
 
@@ -5275,13 +5285,19 @@ EVAL_ORACLES["boxcox_guerrero_lambda"] = f"""
         FROM blocks b JOIN ok USING (name, index) CROSS JOIN grid
         GROUP BY 1, 2, 3, 4
     ), best AS (
-        SELECT name, index, min(cv) AS min_cv FROM cv GROUP BY 1, 2
+        SELECT name, index, min(cv) AS min_cv,
+               min(CASE WHEN lam >= 0.0 AND lam <= 1.0 THEN cv END)
+                   AS min_cv01
+        FROM cv GROUP BY 1, 2
     )
     SELECT cv.name, cv.index, cv.n_blocks,
-           min(lam) AS lambda_guerrero,
-           any_value(min_cv) AS cv
+           min(CASE WHEN cv.cv = best.min_cv THEN lam END)
+               AS lambda_guerrero,
+           any_value(min_cv) AS cv,
+           min(CASE WHEN lam >= 0.0 AND lam <= 1.0
+                    AND cv.cv = best.min_cv01 THEN lam END)
+               AS lambda_bagged
     FROM cv JOIN best USING (name, index)
-    WHERE cv.cv = best.min_cv
     GROUP BY 1, 2, 3
     ORDER BY name, index
 """

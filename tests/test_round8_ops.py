@@ -269,3 +269,34 @@ def test_split_leakage_matches_pandas(spark, sf_dir):
         seen_ev = int(g[g.is_val & g.user_id.isin(train_u)].shape[0])
         assert r.val_events == val_ev
         assert abs(r.val_event_seen_frac - seen_ev / val_ev) < 2e-6
+
+
+def test_guerrero_query_matches_engine_bagged_lambda(spark):
+    """The query's lambda_bagged column (the [0,1]-restricted
+    bld.mbb.bootstrap decision) must equal the engine's own
+    `models/bagged.py::_boxcox_lambda(y, 7)` — the r8 alignment that
+    makes the relational replay literally the decision BAGGEDETS/TBATS
+    executes (same blocking, same 0.1 grid, same rounded-CV
+    smaller-lambda tie-break)."""
+    import qrapids_forecast_r_script_spark.forecast.queries as fq
+    from qrapids_forecast_r_script_spark.forecast.models.bagged import (
+        _boxcox_lambda)
+    rng = np.random.RandomState(31)
+    n = 140
+    t = np.arange(n)
+    series = {
+        "mult": np.exp(0.02 * t) * (1 + rng.normal(0, 0.05, n)) * 50,
+        "add": 100 + 0.1 * t + rng.normal(0, 2.0, n),
+        "seasonal": (40 + 0.2 * t)
+        * (1 + 0.3 * np.sin(2 * np.pi * t / 7)) + rng.normal(0, 1, n),
+    }
+    frames = [_frame(k, v) for k, v in series.items()]
+    with _planted_metrics(spark, pd.concat(frames)):
+        out = {r.name: r for r in
+               fq.boxcox_guerrero_lambda(spark, "unused").collect()}
+    for name, y in series.items():
+        eng = _boxcox_lambda(np.round(y, 6), 7)
+        assert abs(out[name].lambda_bagged - eng) < 1e-9, (
+            name, out[name].lambda_bagged, eng)
+        # the unrestricted decision can only be <= as constrained-good
+        assert out[name].lambda_guerrero is not None
