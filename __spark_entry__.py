@@ -43,8 +43,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # FROM r8 THE WINDOW IS TOOL-DERIVED: this list is the verbatim output
 # of `python tools/rotation_window.py` at the r8 artifact state
 # (CORRECTNESS_r01..r07 committed) — 47 first-signal slots (the head of
-# the 54-query never-passed oracled backlog: the 10 r7-new
-# registrations first, then the module-order tail) + 3 re-verify slots
+# the 54-query never-passed oracled backlog: 9 of the 10 r7-new
+# registrations lead — the 10th, phonetic_token_groups, sits at its
+# module-order position 42 — then the module-order tail) + 3 re-verify
+# slots
 # picked by the tool's priority key (standing-failures first, then
 # EVER-failed drift markers, then oldest-green-first):
 #   events_sliding_1h_30m   — the registry's only historic driver
@@ -231,26 +233,17 @@ def _registries():
     # the window, in module order, so any extra checked slot lands on a
     # first-signal query instead of re-verifying an already-green one.
     # (Derived from the committed CORRECTNESS files, so it is stable
-    # within a round and self-updates when a round lands new rows.
-    # Pass-only semantics, mirroring tools/rotation_window.py: a FAILED
-    # driver row does not count as checked — the query stays in the
-    # backlog until it passes; ADVICE r7 medium #1.)
-    import glob
-    import json
+    # within a round and self-updates when a round lands new rows.)
+    # The checked-set semantics are the rotation tool's, via its OWN
+    # driver_history (one implementation, ADVICE r7 medium #1 + r8
+    # review): a query counts as checked only when it has a PASSING
+    # row AND its latest row is not a failure — a standing regression
+    # re-enters the backlog here exactly as it does in the tool.
+    from tools.rotation_window import driver_history
     here = os.path.dirname(os.path.abspath(__file__))
-    checked: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as fh:
-                rows = json.load(fh)
-        except (OSError, ValueError):
-            continue  # a malformed artifact must not break the registry
-        checked |= {n for n, r in rows.items()
-                    if isinstance(r, dict)
-                    and r.get("err") is None
-                    and r.get("rows_match") is True
-                    and r.get("schema_match") is True
-                    and r.get("hash_match") is not False}
+    hist = driver_history(repo=here)
+    checked: set[str] = {n for n, h in hist.items()
+                         if h["last_pass"] > 0 and not h["failed_latest"]}
     backlog_names = [n for n in all_q
                      if n not in checked and n in all_o
                      and n not in FRONT_WINDOW]

@@ -4331,10 +4331,12 @@ def _kpss_x_union(spark: SparkSession, sf_dir: str,
 
 
 def _kpss_eta_from_x(x: DataFrame) -> DataFrame:
-    """(name, index, dd, m, lag_trunc, eta) from a ``_kpss_x_union``
-    frame — one window chain + one grouped aggregate, partitioned by
-    (name, index, dd) so multiple difference orders compute in the
-    same pass."""
+    """(name, index, dd, m, lag_trunc, eta, overflow) from a
+    ``_kpss_x_union`` frame — one window chain + one grouped
+    aggregate, partitioned by (name, index, dd) so multiple
+    difference orders compute in the same pass.  ``overflow`` is True
+    when any decimal(38,0) intermediate silently NULLed (reachable
+    only on a NON-ANSI session; see the discipline note below)."""
     from pyspark.sql.window import Window
     keys = ["name", "index", "dd"]
     wo = Window.partitionBy(*keys).orderBy("evaluationDate")
@@ -4356,15 +4358,26 @@ def _kpss_eta_from_x(x: DataFrame) -> DataFrame:
                   - F.col("sx")).alias("e")))
     wc = wo.rowsBetween(Window.unboundedPreceding, 0)
     # S_t grows like n^2 * sigma * 1e6 — far beyond int64; it stays in
-    # decimal(38,0).  Overflow discipline (ADVICE r7 medium #2/#3):
-    # the session PINS spark.sql.ansi.enabled=true (session.py), so a
-    # decimal(38,0) overflow RAISES — exactly like DuckDB's HUGEINT
-    # out-of-range on the mirrored oracle — instead of NULLing rows
-    # into a silently shortened (plausible but wrong) sum.  Both
-    # engines therefore fail loud on a magnitude the arithmetic can't
-    # represent, and a NULL eta below has exactly ONE meaning: zero
-    # long-run variance (dprime == 0 — constant or, after
-    # differencing, deterministic-linear series).
+    # decimal(38,0).  Overflow discipline (ADVICE r7 medium #2/#3 +
+    # r8 review): on the engine's OWN sessions spark.sql.ansi.enabled
+    # is pinned true (session.py), so a decimal(38,0) overflow RAISES
+    # — exactly like DuckDB's HUGEINT out-of-range on the mirrored
+    # oracle — and the guard below is dead code.  But queries() run on
+    # a CALLER-supplied session too; if that session disabled ANSI,
+    # Spark NULLs the overflowed rows instead, and a sum over them is
+    # silently shortened (plausible but wrong).  The per-row guard
+    # counts every such NULLed intermediate — the running sum s, the
+    # products s*s / e*e / e*e_j — and the per-lag counts c{j} expose
+    # a b{j} aggregate that nulled by SUM overflow (products fine,
+    # total past 1e38) rather than by an all-null short series.  Any
+    # hit => overflow=True => eta NULL and (downstream) stationary /
+    # ndiffs NULL, never the constant-series TRUE branch.
+    prod_bad = (F.col("s").isNull()
+                | (F.col("s") * F.col("s")).isNull()
+                | (F.col("e") * F.col("e")).isNull())
+    for j in range(1, _KPSS_MAXLAG + 1):
+        prod_bad = prod_bad | (F.col(f"e{j}").isNotNull()
+                               & (F.col("e") * F.col(f"e{j}")).isNull())
     z = e.select(
         *keys, "m", "e",
         F.sum("e").over(wc).alias("s"),
@@ -4374,24 +4387,36 @@ def _kpss_eta_from_x(x: DataFrame) -> DataFrame:
     agg = (z.groupBy(*keys, "m")
            .agg(F.sum(F.col("s") * F.col("s")).alias("a2"),
                 F.sum(F.col("e") * F.col("e")).alias("b0"),
-                *[F.coalesce(F.sum(F.col("e") * F.col(f"e{j}")), zero38)
-                  .alias(f"b{j}") for j in range(1, _KPSS_MAXLAG + 1)]))
+                F.sum(F.when(prod_bad, 1).otherwise(0)).alias("g"),
+                *[c for j in range(1, _KPSS_MAXLAG + 1)
+                  for c in (F.sum(F.col("e") * F.col(f"e{j}"))
+                            .alias(f"b{j}"),
+                            F.count(F.col(f"e{j}")).alias(f"c{j}"))]))
     lcol = _kpss_lag_trunc_when(F.col("m"))
     agg = agg.withColumn("l", lcol)
     dprime = (F.col("l") + 1).cast("decimal(38,0)") * F.col("b0")
+    overflow = (F.col("g") > 0) | F.col("a2").isNull() \
+        | F.col("b0").isNull()
     for j in range(1, _KPSS_MAXLAG + 1):
         wj = (F.when(F.col("l") >= j, F.col("l") + 1 - j)
               .otherwise(F.lit(0))).cast("decimal(38,0)")
-        dprime = dprime + F.lit(2).cast("decimal(38,0)") * wj * F.col(f"b{j}")
-    agg = agg.withColumn("dprime", dprime)
+        dprime = dprime + F.lit(2).cast("decimal(38,0)") * wj \
+            * F.coalesce(F.col(f"b{j}"), zero38)
+        # b_j null with non-null inputs = the sum itself overflowed
+        overflow = overflow | ((F.col(f"c{j}") > 0)
+                               & F.col(f"b{j}").isNull())
+    agg = (agg.withColumn("dprime", dprime)
+           .withColumn("overflow", overflow))
     num = ((F.col("l") + 1).cast("decimal(38,0)") * F.col("a2")) \
         .cast("double")
     den = F.col("m").cast("double") * F.col("dprime").cast("double")
-    eta = F.when(F.col("dprime") != 0, F.round(num / den, 6))
+    eta = F.when(~F.col("overflow") & (F.col("dprime") != 0),
+                 F.round(num / den, 6))
     return agg.select(*keys,
                       F.col("m").cast("long").alias("m"),
                       F.col("l").alias("lag_trunc"),
-                      eta.alias("eta"))
+                      eta.alias("eta"),
+                      F.col("overflow"))
 
 
 def _kpss_eta_frame(spark: SparkSession, sf_dir: str, diff: int) -> DataFrame:
@@ -4409,12 +4434,18 @@ def series_kpss_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror of `series_dickey_fuller`'s unit-root null; the two
     disagreeing flags a borderline series).  eta > 0.463 rejects
     level stationarity at 5%.  Constant series have a zero long-run
-    variance -> eta NULL -> stationary (a constant is stationary);
-    with ANSI pinned in the session, NULL eta can ONLY mean that —
-    an overflow raises loudly on both engines instead of folding
-    into this branch (ADVICE r7 medium #3)."""
+    variance -> eta NULL -> stationary (a constant is stationary).
+
+    Overflow contract (ADVICE r7 medium #3 + r8 review): on the
+    engine's own sessions (ANSI pinned) and on DuckDB an overflow
+    RAISES; on a caller-supplied NON-ANSI session the guard in
+    `_kpss_eta_from_x` detects the silently-NULLed intermediates and
+    this query emits stationary NULL (and eta NULL) for the affected
+    series — overflow can never fold into the constant-series TRUE
+    branch."""
     k = _kpss_eta_frame(spark, sf_dir, 0)
-    stat = (F.when(F.col("eta").isNull(), F.lit(True))
+    stat = (F.when(F.col("overflow"), F.lit(None).cast("boolean"))
+            .when(F.col("eta").isNull(), F.lit(True))
             .otherwise(F.col("eta") <= float(_KPSS_CRIT)))
     return (k.select("name", "index", F.col("m").alias("n_obs"),
                      "lag_trunc", F.col("eta").alias("kpss_eta"),
@@ -4451,7 +4482,10 @@ def series_ndiffs_nsdiffs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max(F.when(F.col("dd") == 0, F.col("eta")))
                  .alias("kpss_level"),
                  F.max(F.when(F.col("dd") == 1, F.col("eta")))
-                 .alias("kpss_diff1")))
+                 .alias("kpss_diff1"),
+                 # non-ANSI-session overflow on EITHER pass voids the
+                 # d-decision (ndiffs NULL, never a spurious 0)
+                 F.max(F.col("overflow")).alias("ovf")))
     seas = (series_decomposition_strength(spark, sf_dir)
             .select("name", "index", "seasonal_strength"))
     j = wide.join(seas, ["name", "index"], "left")
@@ -4459,7 +4493,8 @@ def series_ndiffs_nsdiffs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | (F.col("kpss_level") <= crit))
     d1_stat = (F.col("kpss_diff1").isNull()
                | (F.col("kpss_diff1") <= crit))
-    ndiffs = (F.when(lvl_stat, 0).when(d1_stat, 1).otherwise(2)
+    ndiffs = (F.when(F.col("ovf"), F.lit(None))
+              .when(lvl_stat, 0).when(d1_stat, 1).otherwise(2)
               .cast("long"))
     nsdiffs = (F.when(F.col("seasonal_strength") >= 0.64, 1).otherwise(0)
                .cast("long"))
@@ -4977,29 +5012,26 @@ def partial_corr_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * (n * F.col("syy")
                               - F.col("sy") * F.col("sy"))),
                     F.lit(0.0)))
-    rr = pairs.select("x", "y", r.alias("r")).cache()
+    rr = pairs.select("x", "y", r.alias("r"))
     names = metrics.select(F.col("name").alias("z")).distinct()
     tri = (rr.select("x", "y", F.col("r").alias("r_xy"))
            .crossJoin(F.broadcast(names))
            .where((F.col("z") != F.col("x")) & (F.col("z") != F.col("y"))))
 
-    def _lk(col_a, col_b, alias):
+    def _pair_lookup(df, col_a, col_b, alias):
+        # rr holds each unordered pair once under (x < y); canonicalize
+        # the probe side with least/greatest to match
         c = rr.select(
             F.least("x", "y").alias("la"),
             F.greatest("x", "y").alias("lb"),
             F.col("r").alias(alias))
-        return tri.join(
-            c, (F.least(col_a, col_b) == c["la"])
-            & (F.greatest(col_a, col_b) == c["lb"]))
+        return (df.join(F.broadcast(c),
+                        (F.least(col_a, col_b) == c["la"])
+                        & (F.greatest(col_a, col_b) == c["lb"]))
+                .drop("la", "lb"))
 
-    tri = _lk(F.col("x"), F.col("z"), "r_xz").drop("la", "lb")
-    tri = (tri.join(
-        rr.select(F.least("x", "y").alias("la"),
-                  F.greatest("x", "y").alias("lb"),
-                  F.col("r").alias("r_yz")),
-        (F.least(F.col("y"), F.col("z")) == F.col("la"))
-        & (F.greatest(F.col("y"), F.col("z")) == F.col("lb")))
-        .drop("la", "lb"))
+    tri = _pair_lookup(tri, F.col("x"), F.col("z"), "r_xz")
+    tri = _pair_lookup(tri, F.col("y"), F.col("z"), "r_yz")
     pc = ((F.col("r_xy") - F.col("r_xz") * F.col("r_yz"))
           / F.nullif(F.sqrt((1 - F.col("r_xz") * F.col("r_xz"))
                             * (1 - F.col("r_yz") * F.col("r_yz"))),
@@ -5245,12 +5277,19 @@ def boxcox_guerrero_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = (cv.groupBy("name", "index")
             .agg(F.min("cv").alias("min_cv"),
                  F.min(F.when(in01, F.col("cv"))).alias("min_cv01")))
+    # constant series: every block sd is 0, every CV NULL -> both
+    # lambdas default to 1.0 (no transform), matching the engine's
+    # _boxcox_lambda fallback (r8 review finding)
     return (cv.join(best, ["name", "index"])
             .groupBy("name", "index", "n_blocks", "min_cv", "min_cv01")
-            .agg(F.min(F.when(F.col("cv") == F.col("min_cv"),
-                              F.col("lam"))).alias("lambda_guerrero"),
-                 F.min(F.when(in01 & (F.col("cv") == F.col("min_cv01")),
-                              F.col("lam"))).alias("lambda_bagged"))
+            .agg(F.coalesce(
+                F.min(F.when(F.col("cv") == F.col("min_cv"),
+                             F.col("lam"))), F.lit(1.0))
+                .alias("lambda_guerrero"),
+                 F.coalesce(
+                F.min(F.when(in01 & (F.col("cv") == F.col("min_cv01")),
+                             F.col("lam"))), F.lit(1.0))
+                .alias("lambda_bagged"))
             .select("name", "index", "n_blocks", "lambda_guerrero",
                     F.col("min_cv").alias("cv"), "lambda_bagged")
             .orderBy("name", "index"))
@@ -5291,12 +5330,12 @@ EVAL_ORACLES["boxcox_guerrero_lambda"] = f"""
         FROM cv GROUP BY 1, 2
     )
     SELECT cv.name, cv.index, cv.n_blocks,
-           min(CASE WHEN cv.cv = best.min_cv THEN lam END)
-               AS lambda_guerrero,
+           coalesce(min(CASE WHEN cv.cv = best.min_cv THEN lam END),
+                    1.0) AS lambda_guerrero,
            any_value(min_cv) AS cv,
-           min(CASE WHEN lam >= 0.0 AND lam <= 1.0
-                    AND cv.cv = best.min_cv01 THEN lam END)
-               AS lambda_bagged
+           coalesce(min(CASE WHEN lam >= 0.0 AND lam <= 1.0
+                    AND cv.cv = best.min_cv01 THEN lam END),
+                    1.0) AS lambda_bagged
     FROM cv JOIN best USING (name, index)
     GROUP BY 1, 2, 3
     ORDER BY name, index

@@ -4,8 +4,9 @@ The per-round driver hash-checks only the FIRST ~50 entries of
 ``__spark_entry__.queries()`` — the ordering is deliberate signal
 allocation.  Round 8's window is TOOL-DERIVED (`tools/rotation_window.py`
 at the r01-r07 artifact state): 47 first-signal slots (the head of the
-54-query never-passed oracled backlog — the 10 r7-new registrations
-first, then the module-order tail) + 3 re-verify slots picked by the
+54-query never-passed oracled backlog — 9 of the 10 r7-new
+registrations first (phonetic_token_groups sits at its module-order
+slot 42), then the module-order tail) + 3 re-verify slots picked by the
 tool's priority key (`events_sliding_1h_30m` ever-failed-first, then
 the two oldest r2 greens `events_stream_tumbling_1h`/`user_sessions`).
 A registry edit that silently reorders, un-oracles, or re-allocates the
@@ -159,7 +160,8 @@ def test_ever_failed_re_verify_slot_is_the_historic_failure(frozen_repo):
 
 def test_window_follows_registry_order_of_the_backlog():
     """The first-signal slots are the head of the never-passed oracled
-    backlog in MODULE-REGISTRY order, with the 10 r7-new registrations
+    backlog in MODULE-REGISTRY order, with 9 of the 10 r7-new
+    registrations
     (which sit in the front-window pin block, hence first in merged
     order) leading — so r9 resumes deterministically at the displaced
     names.  The derivation is recomputed from the module blocks WITHOUT
@@ -206,12 +208,16 @@ def test_window_follows_registry_order_of_the_backlog():
 
 def test_backlog_hedge_block_is_first_signal_in_order():
     """Positions 51+ (the backlog hedge pinned behind the window) must
-    be exactly the never-PASSED oracled queries NOT in the window, in
-    module order — so a wider-than-50 driver cap only ever lands on
-    first-signal queries.  Uses the LIVE checked-set (all CORRECTNESS
-    files, same pass-only predicate as the registry) so the two
-    derivations cannot diverge when the current round's file lands."""
-    checked = _checked(max_round=None)
+    be exactly the not-currently-green oracled queries NOT in the
+    window, in module order — so a wider-than-50 driver cap only ever
+    lands on first-signal (or standing-regression) queries.  Uses the
+    SAME live derivation as the registry (driver_history: passed at
+    least once AND latest row not a failure) so the two can never
+    diverge when the current round's file lands — including a file
+    recording a regression."""
+    hist = driver_history(repo=ROOT)
+    checked = {n for n, h in hist.items()
+               if h["last_pass"] > 0 and not h["failed_latest"]}
     oracles = E.oracle_sql()
     qs = list(E.queries())
     module_order: dict[str, object] = {}
@@ -260,6 +266,51 @@ def test_rotation_tool_failed_rows_do_not_count_as_checked(tmp_path):
     assert res["backlog_size"] == 1
     assert res["window"][0] == failed, (
         "the standing failure must lead the next window")
+
+
+def test_rotation_tool_green_then_failed_reenters_backlog_front(tmp_path):
+    """r8 review finding: a query that PASSED in an earlier round and
+    FAILED in its latest row is a standing regression — it must
+    re-enter the backlog at its very front (not sit out the drain era
+    because the tier-1-only re-verify pool can't reach it)."""
+    oracles = E.oracle_sql()
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 1, "oracle_rows": 1, "err": None}
+    bad = {"rows_match": True, "schema_match": True, "hash_match": False,
+           "spark_rows": 1, "oracle_rows": 1, "err": None}
+    names = list(oracles)
+    regressed = "q1_pricing_summary"  # r1-green, non-tier1 — the
+    #                                   reviewer's simulated case
+    assert regressed in oracles
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: ok for n in names}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({regressed: bad}))
+    res = derive_window(cap=WINDOW, n_reverify=3, repo=str(tmp_path))
+    assert res["era"] == "drain"
+    assert res["backlog_size"] == 1
+    assert res["window"][0] == regressed
+
+
+def test_registry_hedge_includes_standing_regressions(tmp_path,
+                                                      monkeypatch):
+    """The _registries() hedge shares the tool's checked-set: a
+    malformed artifact is skipped, and (by the shared driver_history)
+    a pass-then-fail query is NOT checked.  Smoke the malformed-shape
+    guard directly: a bare-list artifact must not break queries()."""
+    import importlib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in _artifact_paths(max_round=None):
+        shutil.copy(p, tmp_path)
+    (tmp_path / "CORRECTNESS_r97.json").write_text(
+        json.dumps(["a", "bare", "list"]))
+    from tools.rotation_window import driver_history as dh
+    hist = dh(repo=str(tmp_path))
+    assert "a" not in hist  # list artifact skipped, no crash
+    # and the registry's own glob tolerates it too (same guard)
+    monkeypatch.chdir(root)
+    assert len(E.queries()) >= 400  # registry still builds
 
 
 def test_rotation_tool_failed_then_green_gets_reverify_priority(tmp_path):

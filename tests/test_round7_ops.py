@@ -633,3 +633,50 @@ def test_kpss_high_mean_series_stays_exact(spark):
     assert abs(r.kpss_eta - eta) < max(2e-6, abs(eta) * 1e-9), \
         (r.kpss_eta, eta)
     assert r.stationary  # iid noise around a constant is stationary
+
+
+def test_kpss_non_ansi_overflow_fails_distinguishably(spark):
+    """r8 review: queries() may run on a CALLER session with ANSI
+    disabled, where decimal(38,0) overflow silently NULLs instead of
+    raising.  The reinstated guard must turn that into stationary
+    NULL / eta NULL — never the constant-series TRUE branch, never a
+    plausible wrong eta.  A normal-magnitude series on the same
+    non-ANSI session stays exact (guard quiescent)."""
+    import pandas as pd
+    import qrapids_forecast_r_script_spark.forecast.queries as fq
+    rng = np.random.RandomState(41)
+    n = 2000
+    days = pd.date_range("2015-01-01", periods=n)
+    # random walk at ~1e12 scale: vu ~ 1e18 fits int64, the S_t
+    # partial sums blow past sqrt(1e38) so s*s overflows decimal(38,0)
+    big = np.round(1e12 + np.cumsum(rng.normal(0, 1e9, n)), 6)
+    ok = np.round(100 + np.cumsum(rng.normal(0, 1, n)), 6)
+    frames = [
+        pd.DataFrame({"name": "big", "index": "t",
+                      "evaluationDate": days, "value": big}),
+        pd.DataFrame({"name": "ok", "index": "t",
+                      "evaluationDate": days, "value": ok}),
+    ]
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        with _planted_metrics(spark, pd.concat(frames)):
+            out = {r.name: r
+                   for r in fq.series_kpss_test(spark, "unused")
+                   .collect()}
+            dec = {r.name: r
+                   for r in fq.series_ndiffs_nsdiffs(spark, "unused")
+                   .collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert out["big"].kpss_eta is None
+    assert out["big"].stationary is None, (
+        "overflow must not fold into the constant-series TRUE branch")
+    assert dec["big"].ndiffs is None, (
+        "an overflowed KPSS pass must void the d-decision")
+    # the guard is quiescent on sane magnitudes: same session, exact
+    # result (a random walk rejects level stationarity)
+    lag, eta = _numpy_kpss(ok)
+    assert out["ok"].stationary is False
+    assert abs(out["ok"].kpss_eta - eta) < max(2e-6, abs(eta) * 1e-9)
+    assert dec["ok"].ndiffs == 1

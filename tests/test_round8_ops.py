@@ -123,7 +123,6 @@ def test_pettitt_matches_numpy_bruteforce(spark):
     with _planted_metrics(spark, _frame("s", y)):
         r = fq.pettitt_change_test(spark, "unused").collect()[0]
     n = len(y)
-    order = np.argsort(np.argsort(y, kind="mergesort"), kind="mergesort")
     # tie-average ranks
     ranks = pd.Series(y).rank(method="average").to_numpy()
     u = 2 * np.cumsum(ranks) - (np.arange(1, n + 1)) * (n + 1)
@@ -289,6 +288,9 @@ def test_guerrero_query_matches_engine_bagged_lambda(spark):
         "add": 100 + 0.1 * t + rng.normal(0, 2.0, n),
         "seasonal": (40 + 0.2 * t)
         * (1 + 0.3 * np.sin(2 * np.pi * t / 7)) + rng.normal(0, 1, n),
+        # degenerate: every block sd is 0, every CV NULL -> both sides
+        # must fall back to lambda 1.0 (r8 review finding)
+        "const": np.full(n, 42.5),
     }
     frames = [_frame(k, v) for k, v in series.items()]
     with _planted_metrics(spark, pd.concat(frames)):

@@ -106,6 +106,8 @@ def driver_history(repo: str = HERE) -> dict[str, dict]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            continue  # malformed (e.g. a bare list) must not break us
         for name, row in rows.items():
             h = hist.setdefault(
                 name, {"last_pass": 0, "last_row": 0,
@@ -143,10 +145,14 @@ def derive_window(cap: int = 50, n_reverify: int = 3,
     ever_failed = {n for n, h in hist.items() if h["ever_failed"]}
     order = {n: i for i, n in enumerate(all_q)}
 
-    # never-PASSED oracled queries; a failed-latest query (checked but
-    # red) re-enters and jumps to the very front — a standing failure
-    # is the most urgent re-check there is
-    backlog = sorted((n for n in oracled if n not in seen),
+    # backlog = never-PASSED oracled queries PLUS any query whose
+    # LATEST row is a failure — even one that passed in an earlier
+    # round (a standing regression must re-enter the queue, not wait
+    # out the drain era in a tier-1-only re-verify pool); failures
+    # jump to the very front — a standing failure is the most urgent
+    # re-check there is
+    backlog = sorted((n for n in oracled
+                      if n not in seen or n in failed_latest),
                      key=lambda n: (n not in failed_latest, order[n]))
     tier1_all = [n for n in (_streaming_names() + RECURSIVE_CTE)
                  if n in all_o]
