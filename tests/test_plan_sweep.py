@@ -19,10 +19,12 @@ physical plan checked for the two shapes that are never acceptable at
   conf).
 
 A regression that introduces either shape anywhere in the 400+ query
-registry fails here by name.  Marked slow (~3-4 min: one planning pass
-per query; streaming/recursive entries execute their fixed-cost
-micro-batches during construction).
+registry fails here by name.  Marked slow; planned through an 8-thread
+pool (the sharded-oracle-gate pattern — Catalyst planning and the few
+construction-time micro-batch jobs schedule concurrently), ~1 min.
 """
+
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
@@ -37,16 +39,21 @@ ALLOWED_BATCH_EVAL = {"doc_chunks_udtf"}
 def test_registry_wide_no_cartesian_no_row_python(spark):
     sf_dir = "/root/testdata/sf0.001"
     cart, batch, errs = [], [], []
-    for name, fn in E.queries().items():
+
+    def _check(item):
+        name, fn = item
         try:
             plan = executed_plan(fn(spark, sf_dir))
         except Exception as ex:  # noqa: BLE001 — collected, asserted below
             errs.append((name, f"{type(ex).__name__}: {str(ex)[:120]}"))
-            continue
+            return
         if "CartesianProduct" in plan:
             cart.append(name)
         if "BatchEvalPython" in plan and name not in ALLOWED_BATCH_EVAL:
             batch.append(name)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(_check, E.queries().items()))
     assert not errs, errs
     assert not cart, f"cartesian products: {cart}"
     assert not batch, f"row-at-a-time Python in hot path: {batch}"
