@@ -28,111 +28,100 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
-# Round-8 driver window (the driver checks the first ~50 merged entries).
+# Round-9 driver window (the driver checks the first ~50 merged entries).
 #
 # WINDOW POLICY (drain era, r5-r9): while a never-driver-checked oracled
 # backlog remains, the window is first-signal — the next backlog queries
-# in merged-registry module order, pre-flighted with
-# tools/strict_audit.py before the round closes — plus 3 RE-verify
-# slots for previously-green high-risk queries (streaming,
-# recursive-CTE, stateful) so old greens don't go stale as Spark/DuckDB
+# in merged-registry order, pre-flighted with tools/strict_audit.py
+# before the round closes — plus RE-verify slots for previously-green
+# high-risk queries so old greens don't go stale as Spark/DuckDB
 # versions move; the displaced backlog names stay pinned at positions
 # 51+ so a wider driver cap still reaches them.  Net-new registration
 # stays FROZEN (delta ≤ +10/round) until the backlog is 0.
 #
-# FROM r8 THE WINDOW IS TOOL-DERIVED: this list is the verbatim output
-# of `python tools/rotation_window.py` at the r8 artifact state
-# (CORRECTNESS_r01..r07 committed) — 47 first-signal slots (the head of
-# the 54-query never-passed oracled backlog: 9 of the 10 r7-new
-# registrations lead — the 10th, phonetic_token_groups, sits at its
-# module-order position 42 — then the module-order tail) + 3 re-verify
-# slots
-# picked by the tool's priority key (standing-failures first, then
-# EVER-failed drift markers, then oldest-green-first):
-#   events_sliding_1h_30m   — the registry's only historic driver
-#                             failure (r2 schema-red, r3 re-green) —
-#                             ever-failed priority (r7 verdict item 6)
-#   events_stream_tumbling_1h, user_sessions — the two oldest greens
-#                             (r2) in merged order
-# The ~7 backlog spill (events_session_windows … module tail) drains in
-# r9's first slots; test_registry_window.py pins this window against a
-# FROZEN artifact copy (r01-r07) so the driver's own r08 deposit cannot
-# redden the suite (r7 verdict, What's wrong #1).
+# THE WINDOW IS TOOL-DERIVED (since r8): this list is the verbatim
+# output of `python tools/rotation_window.py` at the r9 artifact state
+# (CORRECTNESS_r01..r08 committed) — the 17-query remainder of the
+# never-passed oracled backlog leads (the 10 r8-new registrations in
+# merged order, ab_welch_ttest … split_leakage_audit, then the 7-query
+# r8 window spill, dow_type_median_polish … events_trailing_distinct_
+# types), followed by 3 tier-1 re-verify slots
+# (events_sliding_1h_30m — the registry's single historic tier-1
+# failure, ever-failed priority — then the two oldest tier-1 greens)
+# and, because the backlog no longer fills the cap, 30 TRANSITION
+# slots backfilled with the rotation-era ordering: standing-failures
+# first (none), then ever-failed drift markers (q12_shipmode_priority,
+# events_zscore_outliers — the two r1 hash-reds), then
+# oldest-green-first over the whole oracled registry (the r1-r2
+# classics).  This is the LAST drain-era round: a green r9 artifact
+# empties the backlog and r10's derivation flips to era="rotation"
+# (tier-1 drift-exposed surfaces ~10 slots + tier-2 oldest-green wrap;
+# the r9-close simulation in test_registry_window.py pins that
+# handoff).  test_registry_window.py replays THIS window against a
+# FROZEN artifact copy (r01-r08) so the driver's own r09 deposit cannot
+# redden the suite (the r7 What's-wrong #1 pattern).
 #
-# ROTATION SCHEDULE (r9+, once the backlog is drained): the window
-# becomes a rotating re-verification of the full oracled registry in
-# fixed priority tiers, derived round-by-round by
-# tools/rotation_window.py.  Tier 1 (every round, ~10 slots): the
-# drift-exposed surfaces — streaming (stream-stream joins, session
-# windows, dedup-within-watermark), stateful (applyInPandasWithState,
-# transformWithStateInPandas), and the recursive-CTE family (HMM/UCB1/
-# Markov recursions) — these touch Spark internals that move between
-# versions; the young HMM greens (r6) enter here as older greens age
-# out.  Tier 2 (~40 slots/round): the remaining registry,
-# oldest-green-first, so every oracled query is re-checked at least
-# once every ~8 rounds.  Failure semantics (ADVICE r7): only PASSING
-# rows count as checked; a failed-latest query re-enters the backlog at
-# its very front, and ever-failed queries outrank same-age greens.
+# Failure semantics (ADVICE r7): only PASSING rows count as checked; a
+# failed-latest query re-enters the backlog at its very front, and
+# ever-failed queries outrank same-age greens in every re-verify pool.
 FRONT_WINDOW = [
-    # r7-new registrations (first-signal; strict-audited at
-    # registration AND re-audited by the r7 judge, 10/10)
-    "retrieval_mrr_eval",
-    "kruskal_wallis_values",
-    "forecast_mase_scores",
-    "forecast_dm_test",
-    "series_ljung_box",
-    "series_pacf",
-    "granger_lag1_purchases",
-    "series_kpss_test",
-    "series_ndiffs_nsdiffs",
-    # product-analytics tail displaced from the r7 window (first-signal)
-    "duplicate_payment_audit",
-    "hill_tail_index",
-    "simpson_slope_audit",
-    # distribution-distance / robust-stats family (first-signal)
-    "source_length_emd",
-    "mahalanobis_outliers",
-    "evt_gpd_tail_fit",
-    "evt_gumbel_block_maxima",
-    # text / classifier-eval / calibration family (first-signal)
-    "char_trigram_lang_classifier",
-    "nb_calibration_curve",
-    "feature_hash_vectors",
-    "roc_auc_eval",
-    "brier_decomposition",
-    "target_encoding_loo",
-    "negative_sampling_table",
-    "isotonic_calibration_map",
-    "cumulative_gain_curve",
-    "woe_information_value",
-    "als_rank2_factors",
-    "nb_learning_curve",
-    "platt_scaling_fit",
-    "weak_label_model",
-    "nb_average_precision",
-    "classifier_agreement_kappa",
-    "classifier_mcnemar_test",
-    "decision_stump_doclen",
-    # privacy / association / spectral / linkage (first-signal)
-    "l_diversity_audit",
-    "t_closeness_audit",
-    "basket_part_triples_apriori",
-    "series_wavelet_energy",
-    "dbscan_density_classes",
-    "label_sliced_wasserstein",
-    "blocking_quality_metrics",
-    "phonetic_token_groups",
-    # product-analytics second tail (first-signal)
-    "order_cycle_time_stats",
-    "brand_concentration_hhi",
-    "parts_skyline_frontier",
-    "revenue_price_volume_bridge",
-    "parts_running_balance",
-    # RE-verify slots (tool-derived: ever-failed first, then oldest
-    # green; see window policy above)
+    # --- first-signal: the 10 r8-new registrations (strict-audited at
+    # registration AND pre-certified by the r8 judge, 17/17)
+    "ab_welch_ttest",
+    "jarque_bera_normality",
+    "residual_runs_test",
+    "wilcoxon_signed_rank_wow",
+    "pettitt_change_test",
+    "partial_corr_controls",
+    "theil_u2_backtest",
+    "boxcox_guerrero_lambda",
+    "hellinger_source_drift",
+    "split_leakage_audit",
+    # --- first-signal: the 7-query r8 window spill (module-order tail
+    # of the original backlog)
+    "dow_type_median_polish",
+    "newsvendor_stock_levels",
+    "orders_yoy_growth",
+    "sql_api_revenue_report",
+    "rfm_quartile_segments",
+    "parts_abc_pareto",
+    "events_trailing_distinct_types",
+    # --- tier-1 re-verify (ever-failed first, then oldest tier-1 green)
     "events_sliding_1h_30m",
-    "events_stream_tumbling_1h",
-    "user_sessions",
+    "events_session_windows",
+    "events_stream_dedup_hourly",
+    # --- transition backfill (rotation-era ordering: ever-failed drift
+    # markers first, then oldest-green-first over the oracled registry)
+    "q12_shipmode_priority",
+    "events_zscore_outliers",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "top_customers_per_segment",
+    "orders_rollup",
+    "orders_cube",
+    "customers_with_orders",
+    "customers_without_orders",
+    "nations_customers_minus_suppliers",
+    "nations_customers_and_suppliers",
+    "part_filter_projection",
+    "scrubbed_customer_keys",
+    "orders_by_month",
+    "events_json_props",
+    "events_daily_rolling",
+    "events_asof_last_error",
+    "distinct_users_per_type",
+    "series_positional_index",
+    "search_element_scan",
+    "q4_order_priority",
+    "q14_promo_effect",
+    "q6_revenue_delta",
+    "customers_above_nation_avg",
+    "order_rank_windows",
+    "snaive_backtest_mae",
+    "orders_grouping_sets",
+    "user_series_gapfill",
+    "events_pivot_daily",
 ]
 
 

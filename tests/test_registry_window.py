@@ -2,13 +2,16 @@
 
 The per-round driver hash-checks only the FIRST ~50 entries of
 ``__spark_entry__.queries()`` — the ordering is deliberate signal
-allocation.  Round 8's window is TOOL-DERIVED (`tools/rotation_window.py`
-at the r01-r07 artifact state): 47 first-signal slots (the head of the
-54-query never-passed oracled backlog — 9 of the 10 r7-new
-registrations first (phonetic_token_groups sits at its module-order
-slot 42), then the module-order tail) + 3 re-verify slots picked by the
-tool's priority key (`events_sliding_1h_30m` ever-failed-first, then
-the two oldest r2 greens `events_stream_tumbling_1h`/`user_sessions`).
+allocation.  Round 9's window is TOOL-DERIVED (`tools/rotation_window.py`
+at the r01-r08 artifact state): 17 first-signal slots (the ENTIRE
+remaining never-passed oracled backlog — the 10 r8-new registrations,
+then the 7-query r8 window spill, in module order) + 3 tier-1 re-verify
+slots (`events_sliding_1h_30m` ever-failed-first, then the two oldest
+tier-1 greens) + 30 TRANSITION backfill slots in the rotation-era
+ordering (the two r1 hash-red drift markers `q12_shipmode_priority`/
+`events_zscore_outliers` first, then oldest-green-first).  This is the
+last drain-era round: a green r9 artifact empties the backlog and r10
+flips to era="rotation" (the handoff-simulation test below pins that).
 A registry edit that silently reorders, un-oracles, or re-allocates the
 window would cost a round of correctness signal; this file pins the
 contract.
@@ -45,11 +48,15 @@ WINDOW = 50
 # artifact set of rounds < CURRENT_ROUND; artifacts from CURRENT_ROUND
 # or later (deposited by the driver AFTER the window was frozen) must
 # not affect any assertion here.
-CURRENT_ROUND = 8
-RE_VERIFY_SLOTS = {"events_sliding_1h_30m", "events_stream_tumbling_1h",
-                   "user_sessions"}
+CURRENT_ROUND = 9
+# Every slot past the 17-name backlog head is a re-verify/backfill slot
+# (previously green at planning time): the 3 tier-1 re-verify picks plus
+# the 30 transition-backfill names (see the window-policy comment).
+N_FIRST_SIGNAL_IN_ORDER = 17
+TIER1_RE_VERIFY = ("events_sliding_1h_30m", "events_session_windows",
+                   "events_stream_dedup_hourly")
+RE_VERIFY_SLOTS = set(E.FRONT_WINDOW[N_FIRST_SIGNAL_IN_ORDER:])
 PROMOTED_SLOTS: set[str] = set()  # no out-of-order promotion this round
-N_FIRST_SIGNAL_IN_ORDER = WINDOW - len(RE_VERIFY_SLOTS) - len(PROMOTED_SLOTS)
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -68,7 +75,7 @@ def _artifact_paths(max_round: int | None) -> list[str]:
 
 @pytest.fixture()
 def frozen_repo(tmp_path):
-    """A temp repo holding EXACTLY the artifact set the r8 window was
+    """A temp repo holding EXACTLY the artifact set the r9 window was
     derived from (rounds < CURRENT_ROUND) — the derivation replayed
     against it is immune to driver deposits in the live repo."""
     for p in _artifact_paths(max_round=CURRENT_ROUND):
@@ -101,6 +108,10 @@ def test_front_window_matches_declared_allocation():
 def test_window_is_exactly_fifty():
     assert len(E.FRONT_WINDOW) == WINDOW
     assert len(set(E.FRONT_WINDOW)) == WINDOW  # no duplicate slots
+    # the declared tier-1 re-verify picks sit directly behind the
+    # backlog head, in the tool's priority order
+    tier1_pos = N_FIRST_SIGNAL_IN_ORDER
+    assert tuple(E.FRONT_WINDOW[tier1_pos:tier1_pos + 3]) == TIER1_RE_VERIFY
 
 
 def test_window_is_fully_oracled():
@@ -132,78 +143,64 @@ def test_re_verify_slots_are_actually_previously_green():
     assert RE_VERIFY_SLOTS <= set(E.FRONT_WINDOW)
 
 
-def test_ever_failed_re_verify_slot_is_the_historic_failure(frozen_repo):
-    """The tool's ever-failed priority must have pulled the registry's
-    single historic driver failure (events_sliding_1h_30m, r2
-    schema-red → r3 green) into the re-verify slots ahead of same-age
-    and older greens (r7 verdict item 6).  Frozen artifact set: later
-    driver rows can't change the r8 planning facts."""
+def test_ever_failed_re_verify_slots_lead_their_pools(frozen_repo):
+    """The tool's ever-failed priority must pull every historic driver
+    failure into this window ahead of same-age and older greens.
+    Frozen artifact set: later driver rows can't change the r9 planning
+    facts."""
     from tools.rotation_window import RECURSIVE_CTE, _streaming_names
 
     hist = driver_history(repo=frozen_repo)
     ever_failed_oracled = {
         n for n, h in hist.items()
         if h["ever_failed"] and n in E.oracle_sql()}
-    # the full historic-failure census as of r8 planning: the r2
+    # the full historic-failure census as of r9 planning: the r2
     # schema-red sliding window + the two r1 hash-reds (int64 vs
-    # HUGEINT typing), all re-greened the following round
+    # HUGEINT typing), all re-greened the following round — r8 added
+    # no new failures (50/50 green)
     assert ever_failed_oracled == {"events_sliding_1h_30m",
                                    "q12_shipmode_priority",
                                    "events_zscore_outliers"}
-    # drain-era re-verify draws from TIER-1 only; the sliding window is
-    # the single tier-1 member and must hold a re-verify slot — the
-    # other two get their ever-failed priority in rotation-era tier 2
+    # the sliding window is the single tier-1 ever-failed member and
+    # must LEAD the tier-1 re-verify picks; the two r1 hash-reds lead
+    # the rotation-ordered transition backfill directly behind them
     tier1 = set(_streaming_names()) | set(RECURSIVE_CTE)
     assert ever_failed_oracled & tier1 == {"events_sliding_1h_30m"}
-    assert "events_sliding_1h_30m" in RE_VERIFY_SLOTS
+    assert E.FRONT_WINDOW[N_FIRST_SIGNAL_IN_ORDER] == "events_sliding_1h_30m"
+    assert E.FRONT_WINDOW[N_FIRST_SIGNAL_IN_ORDER + 3:
+                          N_FIRST_SIGNAL_IN_ORDER + 5] == [
+        "q12_shipmode_priority", "events_zscore_outliers"]
 
 
 def test_window_follows_registry_order_of_the_backlog():
-    """The first-signal slots are the head of the never-passed oracled
-    backlog in MODULE-REGISTRY order, with 9 of the 10 r7-new
-    registrations
-    (which sit in the front-window pin block, hence first in merged
-    order) leading — so r9 resumes deterministically at the displaced
-    names.  The derivation is recomputed from the module blocks WITHOUT
-    the front-window pin — a registry insertion that would silently
-    skip a backlog query changes the recomputed head and fails this
-    test."""
-    # queries registered AFTER the r8 window was frozen (freeze budget
+    """The first-signal slots are the ENTIRE never-passed oracled
+    backlog in MODULE-REGISTRY order (all 17 fit this round — the 10
+    r8-new registrations then the 7-query r8 window spill; unlike r7's,
+    the r8-new names all live in module blocks, so plain module order
+    reproduces the tool's merged order).  The derivation is recomputed
+    from the module blocks WITHOUT the pin blocks — a registry
+    insertion that would silently skip a backlog query changes the
+    recomputed head and fails this test."""
+    # queries registered AFTER the r9 window was frozen (freeze budget
     # ≤ +10; each oracled addition must be listed here or this fails —
     # rows-only additions don't enter the oracled backlog)
-    registered_after_freeze: set[str] = {
-        # round-8 second-half additions (the full <= +10 budget, each
-        # strict-audited on registration): residual diagnostics +
-        # nonparametric change tests + the Box-Cox lambda decision
-        # replay, the parametric A/B sibling, distribution drift, and
-        # the temporal split-leakage audit
-        "jarque_bera_normality", "residual_runs_test",
-        "wilcoxon_signed_rank_wow", "pettitt_change_test",
-        "partial_corr_controls", "theil_u2_backtest",
-        "boxcox_guerrero_lambda", "ab_welch_ttest",
-        "hellinger_source_drift", "split_leakage_audit",
-    }
+    registered_after_freeze: set[str] = set()
     assert len(registered_after_freeze) <= 10, "freeze budget exceeded"
     checked = _checked(max_round=CURRENT_ROUND)
     oracles = E.oracle_sql()
     # module order = the merged blocks, BOTH pin blocks excluded (the
-    # front window at index 0 and the backlog hedge at index 1).  The
-    # r7-new registrations lived in the r7 pin block, so in the
-    # tool's merged order they precede everything; reproduce that by
-    # putting them first in *their* FRONT_WINDOW order.
+    # front window at index 0 and the backlog hedge at index 1).
     module_order: dict[str, object] = {}
     for qs_block, _ in E._registries()[2:]:
         module_order.update(qs_block)
-    r7_new = [n for n in E.FRONT_WINDOW[:9]]  # the 9 leading r7-new slots
-    backlog = r7_new + [
+    backlog = [
         n for n in module_order
         if n not in checked and n in oracles
-        and n not in registered_after_freeze and n not in r7_new]
-    first_signal = [n for n in E.FRONT_WINDOW if n not in RE_VERIFY_SLOTS]
-    assert first_signal[:N_FIRST_SIGNAL_IN_ORDER] == \
-        backlog[:N_FIRST_SIGNAL_IN_ORDER], (
-        "first-signal slots must be exactly the head of the "
-        "never-passed oracled backlog in module order")
+        and n not in registered_after_freeze]
+    first_signal = E.FRONT_WINDOW[:N_FIRST_SIGNAL_IN_ORDER]
+    assert first_signal == backlog, (
+        "first-signal slots must be exactly the never-passed oracled "
+        "backlog in module order")
 
 
 def test_backlog_hedge_block_is_first_signal_in_order():
@@ -391,38 +388,56 @@ def test_rotation_tool_drain_backfills_transition_round(tmp_path):
     assert len(set(res["window"])) == WINDOW  # no duplicates
 
 
-def test_rotation_tool_r9_handoff_preview(frozen_repo):
-    """Simulate this round's driver run landing (every FRONT_WINDOW name
-    green in a synthetic r08 artifact) ON TOP OF the frozen r01-r07
-    set: the derived next window must be 50 slots, the head of the
-    remaining never-passed backlog first, re-verify/backfill slots
-    previously green — the exact handoff the window-policy comment
-    documents.  Expectations derive from the SAME artifact set the
-    tool reads (no hard-coded backlog count), and the frozen fixture
-    makes real driver deposits invisible, so future artifacts or
-    registrations can't break this test spuriously."""
+def test_rotation_tool_r10_handoff_enters_rotation_era(frozen_repo):
+    """The r9-close simulation (r8 verdict item 3): simulate this
+    round's driver run landing (every FRONT_WINDOW name green in a
+    synthetic r09 artifact) ON TOP OF the frozen r01-r08 set.  The 17
+    first-signal slots are the ENTIRE remaining backlog, so the next
+    derivation must flip to era="rotation" and emit exactly what the
+    window-policy comment promises: tier-1 drift-exposed surfaces
+    (streaming / stateful / recursive-CTE) oldest-green-first in the
+    first ~10 slots, then tier-2 oldest-green over the rest of the
+    oracled registry.  Run against the frozen fixture so real driver
+    deposits can't perturb the simulated state."""
+    from tools.rotation_window import RECURSIVE_CTE, _streaming_names
+
     row = {"rows_match": True, "schema_match": True, "hash_match": True,
            "spark_rows": 1, "oracle_rows": 1, "err": None}
-    with open(os.path.join(frozen_repo, "CORRECTNESS_r08.json"), "w") as fh:
+    with open(os.path.join(frozen_repo, "CORRECTNESS_r09.json"), "w") as fh:
         fh.write(json.dumps({n: row for n in E.FRONT_WINDOW}))
-    # expected checked-set == exactly what the frozen artifacts contain
+    # checked-set == exactly what the frozen + simulated artifacts hold
     checked: set[str] = set()
     for p in glob.glob(os.path.join(frozen_repo, "CORRECTNESS_r*.json")):
         with open(p) as fh:
             checked |= {n for n, r in json.load(fh).items()
                         if _row_passed(r)}
     oracles = E.oracle_sql()
-    expected_backlog = [n for n in E.queries()
-                        if n in oracles and n not in checked]
+    assert all(n in checked for n in oracles), (
+        "a green r9 window must leave zero never-passed oracled queries")
     res = derive_window(cap=WINDOW, n_reverify=3, repo=frozen_repo)
-    assert res["era"] == ("drain" if expected_backlog else "rotation")
-    assert res["backlog_size"] == len(expected_backlog)
+    assert res["era"] == "rotation"
+    assert res["backlog_size"] == 0
     assert len(res["window"]) == WINDOW
-    n_first = min(len(expected_backlog), WINDOW - 3)
-    assert res["window"][:n_first] == expected_backlog[:n_first], (
-        "next window must open with the never-passed backlog head")
-    # every slot past the backlog head is a previously-green re-verify
-    for name in res["window"][n_first:]:
-        assert name in checked, name
-    assert all(n in oracles for n in res["window"])
     assert len(set(res["window"])) == WINDOW
+    # tier 1: drift-exposed surfaces fill the first min(10, |tier1|)
+    # slots, every one previously green
+    tier1_pool = {n for n in (_streaming_names() + RECURSIVE_CTE)
+                  if n in oracles}
+    n_tier1 = min(10, len(tier1_pool))
+    head = res["window"][:n_tier1]
+    assert set(head) <= tier1_pool
+    # within tier 1, the ever-failed drift marker leads even though it
+    # was just re-greened in the simulated r9 (ever-failed outranks
+    # green age in every re-verify pool)
+    assert head[0] == "events_sliding_1h_30m"
+    # tier 2: ever-failed drift markers first (the two r1 hash-reds
+    # lead even though the simulated r9 just re-greened them), then
+    # oldest-green-first — non-ever-failed r9 re-greens (last_pass=9)
+    # must not appear before every older green is consumed; with 340+
+    # older greens and ~40 tier-2 slots, none appear at all
+    tier2 = res["window"][n_tier1:]
+    assert tier2[:2] == ["q12_shipmode_priority", "events_zscore_outliers"]
+    r9_greens = set(E.FRONT_WINDOW) - tier1_pool - set(tier2[:2])
+    assert not (set(tier2) & r9_greens), (
+        "just-re-greened queries must sort behind older greens")
+    assert all(n in checked for n in res["window"])
