@@ -942,20 +942,25 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties at the cutpoints resolve by the ntile contract (both engines
     compute ntile over the same total order (n_tokens, doc_id), so the
     stage assignment is exact).  At 100 TB: one map-side token count,
-    one global sort for ntile — replaced at scale by broadcast
-    approximate cutpoints (the winsorize pattern) — and the position
-    window keyed by nothing heavier than the final order."""
+    then BOTH global orderings run distributed (r9,
+    ``operators.ranked``): the stage terciles via ``exact_ntile`` and
+    the curriculum position via ``global_rank`` — two parallel range
+    exchanges, no single-task window over doc grain."""
+    from qrapids_forecast_r_script_spark.operators.ranked import (
+        exact_ntile, global_rank)
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens"),
         F.md5(F.concat(F.lit("curr"), F.col("doc_id").cast("string")))
         .alias("shuf"))
-    wstage = Window.orderBy("n_tokens", "doc_id")
-    staged = sized.withColumn("stage", F.ntile(_CURR_STAGES).over(wstage))
-    wpos = Window.orderBy("stage", "shuf", "doc_id")
-    return (staged
-            .withColumn("position", F.row_number().over(wpos))
-            .select("doc_id", "n_tokens", "stage", "position")
+    staged = exact_ntile(sized, _CURR_STAGES,
+                         [F.col("n_tokens"), F.col("doc_id")], "stage")
+    positioned = global_rank(
+        staged, [F.col("stage"), F.col("shuf"), F.col("doc_id")],
+        rank_col="position")
+    return (positioned
+            .select("doc_id", "n_tokens", "stage",
+                    F.col("position").cast("int").alias("position"))
             .orderBy("position"))
 
 
@@ -1133,18 +1138,20 @@ def quantile_normalization_map(spark: SparkSession,
     doc_id) — total orders, so bucket membership is integer-exact —
     and every mean is one division of BIGINT sums.
 
-    Scale: two doc-count ntile windows (one per source — partitioned,
-    parallel; one global — the same single-order window every exact
-    quantile op in this repo pays, with the documented bucket-
-    decomposition path if the corpus outgrows it) and one
-    (source × 20)-row join; the map itself is broadcast-sized."""
+    Scale: the per-source ventiles stay a partitioned (parallel)
+    window; the pooled ventiles run through the distributed exact
+    ntile (``operators.ranked.exact_ntile``, r9 — replacing the
+    doc-grain single-task global window) and one (source × 20)-row
+    join; the map itself is broadcast-sized."""
     from pyspark.sql.window import Window
+
+    from qrapids_forecast_r_script_spark.operators.ranked import exact_ntile
     docs = load_table(spark, sf_dir, "documents") \
         .select("doc_id", "source", "n_chars")
     wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    wall = Window.orderBy("n_chars", "doc_id")
-    binned = (docs.withColumn("bucket", F.ntile(_QN_BINS).over(wsrc))
-              .withColumn("gbucket", F.ntile(_QN_BINS).over(wall)))
+    binned = exact_ntile(
+        docs.withColumn("bucket", F.ntile(_QN_BINS).over(wsrc)),
+        _QN_BINS, [F.col("n_chars"), F.col("doc_id")], "gbucket")
     ref = (binned.groupBy("gbucket")
            .agg(F.sum("n_chars").alias("gs"),
                 F.count(F.lit(1)).alias("gn"))

@@ -682,14 +682,17 @@ def doc_graph_degree_powerlaw(spark: SparkSession,
     before the sum (the PMI/PSI libm discipline), so the statistic is
     exact under any aggregation order.  Also reports edge share of
     the top decile of nodes by degree — the hub-concentration
-    companion number.  Cost: the degree aggregate plus one bounded
-    ntile window over nodes."""
+    companion number.  Cost: the degree aggregate plus the
+    distributed exact decile (``operators.ranked.exact_ntile``, r9 —
+    replacing a node-grain single-task global window)."""
+    from qrapids_forecast_r_script_spark.operators.ranked import exact_ntile
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sym = (pairs.select(F.col("doc_a").alias("doc_id"))
            .unionAll(pairs.select(F.col("doc_b").alias("doc_id"))))
     deg = sym.groupBy("doc_id").agg(F.count(F.lit(1)).alias("d"))
-    w = Window.orderBy(F.col("d").desc(), F.col("doc_id").asc())
-    ranked = deg.withColumn("dec", F.ntile(10).over(w))
+    ranked = exact_ntile(deg, 10,
+                         [F.col("d").desc(), F.col("doc_id").asc()],
+                         "dec")
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum("d").alias("deg_sum"),

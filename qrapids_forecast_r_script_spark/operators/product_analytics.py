@@ -996,18 +996,18 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT (≤ ~6e16 at sf0.1 — exact through sf10, where the same
     closed form would move to DECIMAL(38)); the two final ratios are
     single double divisions of identical integers on both engines.
-    Scale: one customer-keyed aggregate, one global sort for ranks
-    (the one unavoidable total order — at 100 TB this is the classic
-    two-pass distributed rank: per-partition sort + offset prefix
-    sum, exactly how `token_shard_packing` already does it), and a
-    3-scalar reduce."""
-    from pyspark.sql.window import Window
+    Scale: one customer-keyed aggregate, then the DISTRIBUTED exact
+    rank (``operators.ranked.global_rank``, r9 — per-partition sort +
+    offset prefix sum, the two-pass form this docstring used to only
+    promise), and a 3-scalar reduce."""
+    from qrapids_forecast_r_script_spark.operators.ranked import global_rank
     orders = load_table(spark, sf_dir, "orders")
     rev = (orders.groupBy("o_custkey")
            .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
                       .cast("long")).alias("rev_cents")))
-    w = Window.orderBy(F.col("rev_cents").asc(), F.col("o_custkey").asc())
-    ranked = rev.withColumn("i", F.row_number().over(w).cast("long"))
+    ranked = global_rank(
+        rev, [F.col("rev_cents").asc(), F.col("o_custkey").asc()],
+        rank_col="i")
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("rev_cents").alias("st"),

@@ -1,0 +1,144 @@
+"""Distributed exact ranking / ntile — the two-pass quantile-boundary
+swap for the global-ntile family (r8 verdict, What's wrong #1).
+
+``F.ntile(n).over(Window.orderBy(...))`` is exact and oracle-friendly,
+but Spark plans an empty-partition window as ``Exchange
+SinglePartition`` + one window task: the whole input serializes through
+one core.  Fine over a bounded aggregate; a scale-killer over
+row-grain inputs (customer-grain RFM, document-grain calibration
+deciles) at 100 TB.
+
+:func:`exact_ntile` is the drop-in replacement built from the same
+primitive as ``curation.token_shard_packing``'s distributed prefix sum:
+
+1. ``repartitionByRange`` on the composite order key — a PARALLEL range
+   exchange (deterministic boundaries: the underlying RangePartitioner
+   samples with fixed per-partition seeds);
+2. per-partition row counts → exclusive prefix over the partition-count
+   table (a window over ``#partitions`` rows — bounded by config, not
+   data) → broadcast back;
+3. ``row_number`` within each physical partition (``Window.partitionBy
+   (spark_partition_id())`` — embarrassingly parallel) + the broadcast
+   offset = the exact global rank;
+4. the closed-form ntile bucket from (rank, N): with ``q = N div n``
+   and ``rem = N mod n``, SQL ntile gives the first ``rem`` buckets
+   ``q+1`` rows and the rest ``q`` — all-integer arithmetic, so the
+   assignment is bit-identical to the single-task window the oracle
+   runs.
+
+Exactness requires the order key to be a TOTAL order (callers append a
+unique tiebreak column, the registry-wide discipline) — equal keys
+could otherwise straddle a range boundary and the per-partition
+row_number would break ties by physical placement.
+
+The helper's own bounded global window (step 2) is recognizable in
+plans by its grouping key ``__rb_pid`` — the plan sweep's global-window
+census treats it as the documented benign form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["PID", "global_rank", "global_cumsum", "exact_ntile"]
+
+# marker column names: the plan-census allowlist keys on PID
+PID = "__rb_pid"
+_CNT = "__rb_cnt"
+_OFF = "__rb_off"
+_LOCAL = "__rb_local"
+_TOT = "__rb_n"
+
+
+def global_rank(df: DataFrame, order_cols: list[Column],
+                rank_col: str = "__rb_rank",
+                keep_total: bool = False) -> DataFrame:
+    """``row_number() OVER (ORDER BY order_cols)`` without the
+    single-partition exchange: exact 1-based global rank via range
+    repartition + per-partition counts + broadcast offsets (the
+    zipWithIndex decomposition).  Appends ``rank_col`` (and, with
+    ``keep_total``, ``__rb_n`` — the total row count
+    :func:`exact_ntile` needs for closed-form bucket assignment);
+    ``order_cols`` must be a total order."""
+    ranged = (df.repartitionByRange(*order_cols)
+              .withColumn(PID, F.spark_partition_id()))
+    counts = ranged.groupBy(PID).agg(F.count(F.lit(1)).alias(_CNT))
+    woff = (Window.orderBy(PID)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        PID,
+        F.coalesce(F.sum(_CNT).over(woff), F.lit(0)).alias(_OFF),
+        F.sum(_CNT).over(
+            Window.orderBy(PID).rowsBetween(Window.unboundedPreceding,
+                                            Window.unboundedFollowing))
+         .alias(_TOT))
+    wlocal = Window.partitionBy(PID).orderBy(*order_cols)
+    out = (ranged
+           .withColumn(_LOCAL, F.row_number().over(wlocal))
+           .join(F.broadcast(offsets), PID)
+           .withColumn(rank_col, (F.col(_OFF) + F.col(_LOCAL))
+                       .cast("long"))
+           .drop(PID, _CNT, _OFF, _LOCAL))
+    return out if keep_total else out.drop(_TOT)
+
+
+def global_cumsum(df: DataFrame, order_cols: list[Column],
+                  value_col: str, out_col: str) -> DataFrame:
+    """``sum(value) OVER (ORDER BY order_cols ROWS BETWEEN UNBOUNDED
+    PRECEDING AND CURRENT ROW)`` without the single-partition exchange
+    — the same decomposition as :func:`global_rank` with per-partition
+    VALUE totals as the broadcast offsets (the running-share primitive
+    behind Pareto/Lorenz cumulative reads).  ``order_cols`` must be a
+    total order; the value column's type is preserved (BIGINT stays
+    BIGINT — callers keep the exact-integer discipline)."""
+    ranged = (df.repartitionByRange(*order_cols)
+              .withColumn(PID, F.spark_partition_id()))
+    totals = ranged.groupBy(PID).agg(F.sum(value_col).alias(_CNT))
+    woff = (Window.orderBy(PID)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        PID,
+        F.coalesce(F.sum(_CNT).over(woff),
+                   F.lit(0).cast("long")).alias(_OFF))
+    wlocal = (Window.partitionBy(PID).orderBy(*order_cols)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ranged
+            .withColumn("__rb_within", F.sum(value_col).over(wlocal))
+            .join(F.broadcast(offsets), PID)
+            .withColumn(out_col, F.col(_OFF) + F.col("__rb_within"))
+            .drop(PID, _CNT, _OFF, "__rb_within"))
+
+
+def exact_ntile(df: DataFrame, n: int, order_cols: list[Column],
+                out_col: str) -> DataFrame:
+    """``ntile(n) OVER (ORDER BY order_cols)`` with the SQL bucket-size
+    rule (first ``N mod n`` buckets one row larger), computed from the
+    distributed global rank — no single-task window over the input.
+
+    Output column type matches Spark's ntile (int).  The input columns
+    pass through unchanged; ``order_cols`` must include a unique
+    tiebreak so the assignment is partitioning-proof.
+
+    All-integer arithmetic (``div``, never ``/``): a float quotient
+    rounding up across an integer boundary would flip a bucket edge at
+    scale.  ``ceil(a/b)`` is ``(a + b - 1) div b``; the ``greatest(q,1)``
+    guard keeps ANSI mode from raising on the never-taken else branch
+    when ``N < n`` (then every rank sits in the first-``rem`` region)."""
+    rank = "__rb_rank"
+    ranked = (global_rank(df, order_cols, rank_col=rank, keep_total=True)
+              .withColumn("__rb_q", F.expr(f"{_TOT} div {int(n)}"))
+              .withColumn("__rb_big", (F.col(_TOT) % int(n))
+                          .cast("long")))
+    cut = F.col("__rb_big") * (F.col("__rb_q") + F.lit(1))
+    bucket = F.when(
+        F.col(rank) <= cut,
+        F.expr(f"({rank} + __rb_q) div (__rb_q + 1)"),
+    ).otherwise(
+        F.col("__rb_big")
+        + F.expr(f"({rank} - __rb_big * (__rb_q + 1) + __rb_q - 1)"
+                 " div greatest(__rb_q, 1L)"))
+    return (ranked
+            .withColumn(out_col, bucket.cast("int"))
+            .drop(rank, _TOT, "__rb_q", "__rb_big"))

@@ -609,10 +609,12 @@ def rfm_quartile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (feature, custkey) is a total order, so quartile assignment can
     never flip across engines or partitionings; averages are integer
     micro-ratios.  Scale: one customer-keyed aggregate + three
-    global ntile windows (at 100 TB: the two-pass quantile-boundary
-    broadcast swap, the winsorized-stats precedent) + one tiny grid
+    DISTRIBUTED exact-ntile passes (``operators.ranked.exact_ntile``,
+    r9: the two-pass rank decomposition — range exchange +
+    per-partition counts + broadcast offsets — replacing the three
+    single-task customer-grain global windows) + one tiny grid
     aggregate."""
-    from pyspark.sql.window import Window
+    from qrapids_forecast_r_script_spark.operators.ranked import exact_ntile
     orders = load_table(spark, sf_dir, "orders")
     maxd = orders.agg(F.max("o_orderdate").alias("maxd"))
     per = (orders.groupBy("o_custkey")
@@ -625,13 +627,16 @@ def rfm_quartile_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.datediff("maxd", "last_order").cast("long")
                    .alias("recency_days"),
                    "frequency", "monetary_cents"))
-    wr = Window.orderBy("recency_days", "o_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    wm = Window.orderBy(F.col("monetary_cents").desc(),
-                        F.col("o_custkey"))
-    scored = (per.withColumn("r_q", F.ntile(4).over(wr))
-              .withColumn("f_q", F.ntile(4).over(wf))
-              .withColumn("m_q", F.ntile(4).over(wm)))
+    scored = exact_ntile(per, 4,
+                         [F.col("recency_days"), F.col("o_custkey")],
+                         "r_q")
+    scored = exact_ntile(scored, 4,
+                         [F.col("frequency").desc(), F.col("o_custkey")],
+                         "f_q")
+    scored = exact_ntile(scored, 4,
+                         [F.col("monetary_cents").desc(),
+                          F.col("o_custkey")],
+                         "m_q")
     return (scored.groupBy("r_q", "f_q", "m_q")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.round(F.sum("monetary_cents").cast("double")
@@ -685,9 +690,12 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: revenue in exact BIGINT cents; the cumulative sum runs
     over a (revenue DESC, partkey ASC) total order; class boundaries
     compare single-division exact ratios against literal thresholds.
-    Scale: one part-keyed aggregate with map-side combine + one rank
-    window over |parts| rows + a 3-row aggregate."""
-    from pyspark.sql.window import Window
+    Scale: one part-keyed aggregate with map-side combine + the
+    distributed running total (``operators.ranked.global_cumsum``, r9
+    — replacing the part-grain single-task global window) + a 3-row
+    aggregate."""
+    from qrapids_forecast_r_script_spark.operators.ranked import (
+        global_cumsum)
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice")
                     * (1 - F.col("l_discount")) * 100, 0).cast("long")
@@ -695,10 +703,10 @@ def parts_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum(cents).alias("rev_cents")))
     tot = per.agg(F.sum("rev_cents").alias("total_cents"),
                   F.count(F.lit(1)).alias("n_parts_total"))
-    w = (Window.orderBy(F.col("rev_cents").desc(),
-                        F.col("l_partkey").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ranked = (per.withColumn("cum_cents", F.sum("rev_cents").over(w))
+    ranked = (global_cumsum(per,
+                            [F.col("rev_cents").desc(),
+                             F.col("l_partkey").asc()],
+                            "rev_cents", "cum_cents")
               .crossJoin(F.broadcast(tot)))
     share = (F.col("cum_cents").cast("double")
              / F.col("total_cents").cast("double"))

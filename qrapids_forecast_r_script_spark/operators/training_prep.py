@@ -519,9 +519,11 @@ def nb_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-decile probability sums are snapped-sigmoid BIGINT micro-units
     (the exp-drift discipline); positive rates are integer ratios.
 
-    Scale: rides the NB scoring chain; the binning is one window over
-    doc-count rows and one 10-row aggregate."""
-    from pyspark.sql.window import Window
+    Scale: rides the NB scoring chain; the binning is the distributed
+    exact ntile (``operators.ranked.exact_ntile``, r9 — range exchange
+    + per-partition counts + broadcast offsets, replacing the
+    single-task doc-grain global window) and one 10-row aggregate."""
+    from qrapids_forecast_r_script_spark.operators.ranked import exact_ntile
     nb = nb_quality_classifier(spark, sf_dir)
     su = F.round(F.col("nb_score") * 1_000_000, 0).cast("long")
     scored = nb.select(
@@ -533,8 +535,8 @@ def nb_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     / F.lit(1_000_000.0)))))
     scored = scored.withColumn(
         "pu", F.round(prob * 1_000_000, 0).cast("long"))
-    w = Window.orderBy("su", "doc_id")
-    binned = scored.withColumn("decile", F.ntile(_CAL_BINS).over(w))
+    binned = exact_ntile(scored, _CAL_BINS,
+                         [F.col("su"), F.col("doc_id")], "decile")
     g = (binned.groupBy("decile")
          .agg(F.count(F.lit(1)).alias("n_docs"),
               F.sum("pu").alias("spu"),
@@ -761,8 +763,11 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     as BIGINT over the 10 ntile bins, so the cross-engine comparison
     never sums raw doubles.
 
-    Scale: rides the NB chain + one doc-count window (the ntile) +
-    one 10-row aggregate — the reliability diagram's exact envelope."""
+    Scale: rides the NB chain + the distributed exact ntile
+    (``operators.ranked.exact_ntile``, r9 — replacing the single-task
+    doc-grain global window) + one 10-row aggregate — the reliability
+    diagram's exact envelope."""
+    from qrapids_forecast_r_script_spark.operators.ranked import exact_ntile
     nb = nb_quality_classifier(spark, sf_dir)
     su = F.round(F.col("nb_score") * 1_000_000, 0).cast("long")
     prob = (F.lit(1.0)
@@ -773,8 +778,8 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == _NB_TARGET_LANG).cast("long").alias("y"),
         su.alias("su"))
         .withColumn("pu", F.round(prob * 1_000_000, 0).cast("long")))
-    w = Window.orderBy("su", "doc_id")
-    binned = scored.withColumn("bin", F.ntile(_CAL_BINS).over(w))
+    binned = exact_ntile(scored, _CAL_BINS,
+                         [F.col("su"), F.col("doc_id")], "bin")
     per_bin = (binned.groupBy("bin")
                .agg(F.count(F.lit(1)).alias("n_k"),
                     F.sum("pu").alias("sp_k"),
@@ -1076,17 +1081,21 @@ def isotonic_calibration_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation, so both engines agree to the bit before the final
     6dp rounding.
 
-    Scale: rides the NB chain + the doc-count ntile window; the PAV
-    itself is K²-row work on broadcast-sized aggregates — the
-    recalibration map ships to serving as a 10-row lookup."""
+    Scale: rides the NB chain + the distributed exact ntile
+    (``operators.ranked.exact_ntile``, r9 — replacing the single-task
+    doc-grain global window); the PAV itself is K²-row work on
+    broadcast-sized aggregates — the recalibration map ships to
+    serving as a 10-row lookup."""
+    from qrapids_forecast_r_script_spark.operators.ranked import exact_ntile
     nb = nb_quality_classifier(spark, sf_dir)
     su = F.round(F.col("nb_score") * 1_000_000, 0).cast("long")
-    w = Window.orderBy("su", "doc_id")
-    binned = (nb.select(
-        "doc_id",
-        (F.col("lang") == _NB_TARGET_LANG).cast("long").alias("y"),
-        su.alias("su"))
-        .withColumn("bin", F.ntile(_CAL_BINS).over(w)))
+    binned = exact_ntile(
+        nb.select(
+            "doc_id",
+            (F.col("lang") == _NB_TARGET_LANG).cast("long").alias("y"),
+            su.alias("su")),
+        _CAL_BINS,
+        [F.col("su"), F.col("doc_id")], "bin")
     per = (binned.groupBy("bin")
            .agg(F.count(F.lit(1)).alias("n_k"), F.sum("y").alias("sy_k")))
     wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
@@ -1175,16 +1184,20 @@ def cumulative_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (descending, doc_id tiebreak); capture and lift are single
     divisions of cumulative BIGINT counts, rounded at 6dp.
 
-    Scale: the NB chain + one doc-count window + a 10-row cumulative
-    window — same envelope as the calibration curve."""
+    Scale: the NB chain + the distributed exact ntile
+    (``operators.ranked.exact_ntile``, r9 — replacing the single-task
+    doc-grain global window) + a 10-row cumulative window — same
+    envelope as the calibration curve."""
+    from qrapids_forecast_r_script_spark.operators.ranked import exact_ntile
     nb = nb_quality_classifier(spark, sf_dir)
     su = F.round(F.col("nb_score") * 1_000_000, 0).cast("long")
-    w = Window.orderBy(F.col("su").desc(), F.col("doc_id"))
-    binned = (nb.select(
-        "doc_id",
-        (F.col("lang") == _NB_TARGET_LANG).cast("long").alias("y"),
-        su.alias("su"))
-        .withColumn("decile", F.ntile(_CAL_BINS).over(w)))
+    binned = exact_ntile(
+        nb.select(
+            "doc_id",
+            (F.col("lang") == _NB_TARGET_LANG).cast("long").alias("y"),
+            su.alias("su")),
+        _CAL_BINS,
+        [F.col("su").desc(), F.col("doc_id")], "decile")
     per = (binned.groupBy("decile")
            .agg(F.count(F.lit(1)).alias("n_k"), F.sum("y").alias("pos_k")))
     wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding,

@@ -11,9 +11,11 @@ tests/test_plan_shapes.py and the PLANS.md report generator).
 """
 
 from .introspect import (
+    benign_global_windows,
     broadcast_join_count,
     exchange_count,
     executed_plan,
+    global_windows,
     has_cartesian,
     plan_report,
     pushed_filters,
@@ -33,5 +35,7 @@ __all__ = [
     "wholestage_codegen_count",
     "python_eval_count",
     "has_cartesian",
+    "global_windows",
+    "benign_global_windows",
     "plan_report",
 ]

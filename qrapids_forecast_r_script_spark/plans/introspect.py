@@ -90,6 +90,58 @@ def has_cartesian(df: DataFrame, plan: str | None = None) -> bool:
     return "CartesianProduct" in plan
 
 
+def global_windows(df: DataFrame) -> list[dict]:
+    """Every UNPARTITIONED Window in the optimized logical plan.
+
+    An empty-partition window plans as ``Exchange SinglePartition`` +
+    one task over the whole input — the scale-killer shape when the
+    input is row-grain (r8 verdict, What's wrong #1).  Walks the JVM
+    plan tree (string-matching ``windowspecdefinition`` can't separate
+    partition from order expressions) and reports, per hit:
+
+    - ``order``: the window's order spec;
+    - ``child``: the child node class (``Aggregate``, ``Project``, ...);
+    - ``grouping``: the child's grouping expressions when it is an
+      Aggregate — ``operators.ranked``'s bounded partition-count window
+      shows its ``__rb_pid`` marker here, which the plan sweep's census
+      treats as the documented benign form.
+
+    Only the main query tree is walked (no subquery descent) — every
+    registry window lives in the main tree.
+    """
+    out: list[dict] = []
+
+    def _walk(node) -> None:
+        if (node.getClass().getSimpleName() == "Window"
+                and node.partitionSpec().isEmpty()):
+            child = node.child()
+            grouping = ""
+            if child.getClass().getSimpleName() == "Aggregate":
+                grouping = child.groupingExpressions().mkString(", ")
+            out.append({
+                "order": node.orderSpec().mkString(", "),
+                "child": child.getClass().getSimpleName(),
+                "grouping": grouping,
+            })
+        kids = node.children()
+        for i in range(kids.length()):
+            _walk(kids.apply(i))
+
+    _walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
+def benign_global_windows(df: DataFrame,
+                          hits: list[dict] | None = None) -> bool:
+    """True when every unpartitioned window in the plan is the
+    documented bounded form: the ranked-bucket helper's
+    partition-count prefix (grouping carries the ``__rb_pid`` marker).
+    Row-grain global windows and other aggregate-grain ones return
+    False — callers decide via the census allowlist."""
+    hits = global_windows(df) if hits is None else hits
+    return all("__rb_pid" in h["grouping"] for h in hits)
+
+
 def plan_report(df: DataFrame) -> dict:
     """One-line structural summary of a query's physical plan."""
     plan = executed_plan(df)
