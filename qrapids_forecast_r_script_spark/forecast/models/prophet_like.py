@@ -24,18 +24,26 @@ Fourier order 3 + yearly order 10 (when the span supports them), and
 uncertainty from residual sigma + simulated future trend changepoints
 (Prophet's interval mechanism, deterministic seeded generator).
 
-Parity status (r8): the default fit equals an independently-coded
+Parity status (r9): the default fit equals an independently-coded
 solver's optimum to ~1e-5 on the noisy golden fixture
 (tests/test_forecast_external_goldens.py::
 test_prophet_default_fit_is_the_exact_l1_map — convexity makes the
 agreement a proof of optimality), with the L1 sparsity real Prophet
-exhibits (5 of 25 deltas non-zero).  Remaining documented deviations
-from a real `prophet::prophet` run: changepoint-grid placement
-(evenly spaced over the first 80%; Prophet's quantile placement on
-evenly-spaced daily data matches up to index rounding) and Stan's
-L-BFGS convergence tolerance.  The r3-r7 empirical-Bayes RIDGE
-skeleton is kept as ``optimizer="ridge"``; its measured divergence
-from the exact MAP (the historical deviation class) stays pinned:
+exhibits (5 of 25 deltas non-zero).  With
+``changepoint_placement="quantile"`` (r9) the grid is Prophet's EXACT
+``set_changepoints`` rule — ``linspace(0, hist_size−1,
+n_changepoints+1).round()`` over OBSERVATION indices, first point
+dropped, placed on the observed ds values (= ds quantiles on a gappy
+calendar; parity pinned on an irregular fixture in
+test_prophet_quantile_changepoints_match_prophets_rule) — leaving
+Stan's L-BFGS convergence tolerance as the ONLY remaining deviation
+class from a real `prophet::prophet` run.  The default placement
+stays the r3-r8 even grid (evenly spaced over the first 80%;
+matches Prophet up to index rounding on evenly-spaced daily data) so
+the existing changepoint goldens keep pinning it.  The r3-r7
+empirical-Bayes RIDGE skeleton is kept as ``optimizer="ridge"``; its
+measured divergence from the exact MAP (the historical deviation
+class) stays pinned:
 
     quantity (data scale)         measured    pinned bound
     intercept                     0.045       < 0.08
@@ -236,6 +244,7 @@ def fit_prophet_like(ds_days: np.ndarray, y: np.ndarray,
                      changepoint_prior_scale: float = 0.05,
                      seasonality_prior_scale: float = 10.0,
                      optimizer: str = "map",
+                     changepoint_placement: str = "even",
                      ) -> ProphetLikeModel:
     """``ds_days``: integer days-since-epoch (the reference's ds column,
     R:35-38); gaps allowed — Prophet is calendar-aware.
@@ -246,7 +255,17 @@ def fit_prophet_like(ds_days: np.ndarray, y: np.ndarray,
     stand-in for Prophet's saturating trend.  ``changepoint_prior_scale``
     (Prophet default 0.05) and ``seasonality_prior_scale`` (default 10)
     set the Laplace/normal prior widths τ that scale the empirical-Bayes
-    ridge penalties below; larger = more flexible."""
+    ridge penalties below; larger = more flexible.
+
+    ``changepoint_placement`` (r9, the last M10 placement deviation):
+    ``"even"`` (default, the r3-r8 grid goldens pin) spaces ≤25 grid
+    points evenly over the first 80% of observations;
+    ``"quantile"`` replays Prophet's ``set_changepoints`` verbatim —
+    ``hist_size = floor(n·0.8)``, ``n_cp`` clipped to ``hist_size−1``,
+    ``linspace(0, hist_size−1, n_cp+1).round()`` over observation
+    INDICES with the first grid point dropped — so on an irregular
+    calendar the changepoints sit at observed-ds quantiles exactly
+    where Prophet puts them."""
     ds = np.asarray(ds_days, float)
     order = np.argsort(ds)
     ds = ds[order]
@@ -276,10 +295,33 @@ def fit_prophet_like(ds_days: np.ndarray, y: np.ndarray,
         season_spec.append((7.0, 3))
     if span_days >= 730:
         season_spec.append((365.25, 10))
-    # changepoints: 25 over first 80% (Prophet defaults), on observed points
-    n_cp = min(25, max(0, n // 3))
-    cp_idx = np.linspace(1, int(0.8 * (n - 1)), n_cp).astype(int) if n_cp else []
-    changepoints = np.unique(t_norm[cp_idx]) if n_cp else np.array([])
+    # changepoints over the first 80% of observed points
+    if changepoint_placement == "quantile":
+        # Prophet's set_changepoints, verbatim (prophet/forecaster.py):
+        # potential changepoints are the ds values at rounded-linspace
+        # positions over the first floor(n * changepoint_range) rows,
+        # first grid point dropped — ds-quantile placement on gappy
+        # calendars
+        hist_size = int(np.floor(n * 0.8))
+        n_cp = min(25, hist_size - 1)
+        if n_cp > 0:
+            cp_idx = (np.linspace(0, hist_size - 1, n_cp + 1)
+                      .round().astype(int)[1:])
+            changepoints = np.unique(t_norm[cp_idx])
+        else:
+            changepoints = np.array([])
+    elif changepoint_placement == "even":
+        # the r3-r8 grid (25 evenly spaced indices from 1 to
+        # int(0.8*(n-1))) — kept as the default the changepoint
+        # goldens pin; matches Prophet up to index rounding on
+        # evenly-spaced daily data
+        n_cp = min(25, max(0, n // 3))
+        cp_idx = (np.linspace(1, int(0.8 * (n - 1)), n_cp).astype(int)
+                  if n_cp else [])
+        changepoints = np.unique(t_norm[cp_idx]) if n_cp else np.array([])
+    else:
+        raise ValueError(
+            f"unknown changepoint_placement {changepoint_placement!r}")
 
     # design: [1, t, hinge(t-cp)..., fourier...] with ridge on hinges+fourier
     cols = [np.ones(n), t_norm]

@@ -768,3 +768,71 @@ def test_prophet_default_fit_is_the_exact_l1_map():
     assert d_dsum < 0.10
     assert d_coef < 0.03
     assert d_fc < 0.6
+
+
+def test_prophet_quantile_changepoints_match_prophets_rule():
+    """r8 verdict item 5 (the last M10 placement deviation):
+    ``changepoint_placement="quantile"`` must replay Prophet's
+    published ``set_changepoints`` rule VERBATIM on an irregular
+    calendar — ``hist_size = floor(n·changepoint_range)``,
+    ``n_changepoints`` clipped to ``hist_size−1``,
+    ``np.linspace(0, hist_size−1, n_changepoints+1).round()`` over
+    observation INDICES, first grid point dropped, changepoints = the
+    observed ds values at those indices (ds-quantiles, NOT evenly
+    spaced times, when the calendar has gaps).
+
+    The fixture is a gappy calendar (120 observations over ~240 days,
+    seeded irregular gaps).  The expected index grid is pinned as
+    literals computed from Prophet's formula by hand — including the
+    numpy round-half-to-even behavior Prophet inherits — so a drifted
+    reimplementation can't silently agree with itself.  With the
+    placement matched, the docstring's remaining deviation class from
+    a real `prophet::prophet` run is Stan's L-BFGS tolerance only."""
+    from qrapids_forecast_r_script_spark.forecast.models.prophet_like import (
+        fit_prophet_like)
+
+    rng = np.random.default_rng(42)
+    gaps = rng.integers(1, 4, size=120)         # 1-3 day gaps: irregular
+    ds = np.cumsum(gaps).astype(float)
+    y = 5 + 0.1 * ds + rng.standard_normal(120)
+
+    n = 120
+    # Prophet's rule, by hand: hist_size = floor(120*0.8) = 96,
+    # n_cp = min(25, 95) = 25, linspace(0, 95, 26).round()[1:]
+    expected_idx = np.linspace(0, 95, 26).round().astype(int)[1:]
+    assert expected_idx[0] == 4 and expected_idx[-1] == 95  # literals
+    assert list(expected_idx[:5]) == [4, 8, 11, 15, 19]
+    t_scale = max(1.0, ds[-1] - ds[0])
+    expected_t = np.unique((ds[expected_idx] - ds[0]) / t_scale)
+
+    m = fit_prophet_like(ds, y, changepoint_placement="quantile")
+    np.testing.assert_allclose(m.changepoints, expected_t, atol=1e-12)
+    assert len(m.changepoints) == 25
+
+    # the placements genuinely differ from the r3-r8 even grid on this
+    # gappy calendar (the deviation the option closes)
+    m_even = fit_prophet_like(ds, y)            # default placement
+    assert len(m_even.changepoints) == len(m.changepoints)
+    assert not np.allclose(m_even.changepoints, m.changepoints)
+
+    # and the quantile-placed fit still forecasts sanely (slope ~0.1)
+    fc = m.forecast(7)["mean"]
+    assert np.all(np.isfinite(fc))
+    step = np.diff(fc).mean()
+    assert 0.0 < step < 0.4
+
+
+def test_prophet_quantile_placement_small_series_clip():
+    """Prophet clips n_changepoints to hist_size − 1 when the history
+    is short (set_changepoints' first branch): 10 points → hist_size 8
+    → 7 changepoints at indices linspace(0, 7, 8).round()[1:] =
+    [1..7]."""
+    from qrapids_forecast_r_script_spark.forecast.models.prophet_like import (
+        fit_prophet_like)
+
+    ds = np.array([0, 1, 3, 6, 7, 10, 14, 15, 19, 20], dtype=float)
+    y = np.arange(10.0)
+    m = fit_prophet_like(ds, y, changepoint_placement="quantile")
+    t_scale = max(1.0, ds[-1] - ds[0])
+    expected = np.unique((ds[np.arange(1, 8)] - ds[0]) / t_scale)
+    np.testing.assert_allclose(m.changepoints, expected, atol=1e-12)
