@@ -6,12 +6,29 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
-The headline set covers every engine layer: TPC-H-style relational
-(scan/agg/join/window/as-of), the forecast core (batch ETS over all
-series + an oracle-checked closed form), dedup (exact + MinHash-LSH),
-similarity (brute-force cosine top-k), text analysis, and streaming
-(sessionization + a real readStream micro-batch).  Each runs to
-completion (count) with AQE on.
+COVERAGE RULE (r9, verdict item 6 — so a regression in an unbenched
+family can't hide): the suite is the FULL ``queries()`` registry minus
+two named exclusion sets, both pinned below:
+
+- ``EXCLUDED_ITERATIVE_FITS`` — the 12 applyInPandas model-fit queries
+  (ARIMA/NN/BAGGEDETS/PROPHET/HYBRID/THETA/STL/ETSDAMPED + the two
+  fan-out twins + the all-method backtest).  At sf0.1 these are
+  minutes-scale numerical fitting jobs; their numerics are pinned by
+  the golden/parity pytest suite and the fit LAYER's plan cost is
+  benched through the kept representatives ``forecast_ets_events`` /
+  ``forecast_ets_user_series`` (same applyInPandas envelope).
+- ``EXCLUDED_PAIR_SCANS`` — the 2 raw all-shingle-pair dedup forms
+  (>15 s each at sf0.1 by design: they materialize the un-banded
+  pair set as the oracle baseline for LSH recall).  Their scale path
+  ``minhash_lsh_pairs`` IS benched.
+
+Everything else runs: the ``HEADLINE`` list keeps the historical
+(r1-r8) ordering for cross-round per-query comparability, and every
+remaining registry query is appended in registry order.  Totals from
+r9 on are therefore not comparable to ≤r8 totals; per-query medians on
+shared queries (the BASELINE.md basis) remain the comparison unit.
+
+Each query runs to completion (count) with AQE on.
 
 Per-query timings are the MEDIAN over ``$SPARK_GRAFT_BENCH_REPS`` runs
 (default 3) — BASELINE.md documents ~1.8x host-contention spread on
@@ -443,6 +460,26 @@ HEADLINE = [
     "split_leakage_audit",
 ]
 
+# the two exclusion sets the coverage rule names (module docstring);
+# every other registry query is benched
+EXCLUDED_ITERATIVE_FITS = {
+    "forecast_arima_events", "forecast_arima_force_seasonality_events",
+    "forecast_nn_events", "forecast_baggedets_events",
+    "forecast_prophet_events", "forecast_hybrid_events",
+    "forecast_theta_events", "forecast_stl_events",
+    "forecast_etsdamped_events", "forecast_hybrid_fanout_events",
+    "forecast_baggedets_fanout_events", "forecast_method_backtest",
+}
+EXCLUDED_PAIR_SCANS = {"ngram_jaccard_pairs", "ngram_containment_pairs"}
+
+
+def run_list(qs: dict) -> list[str]:
+    """The benched set: HEADLINE in its historical order (cross-round
+    per-query comparability), then every other registry query in
+    registry order, minus the two pinned exclusion sets."""
+    skip = set(HEADLINE) | EXCLUDED_ITERATIVE_FITS | EXCLUDED_PAIR_SCANS
+    return list(HEADLINE) + [n for n in qs if n not in skip]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -459,7 +496,7 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     skipped: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in run_list(qs):
         fn = qs[name]
         samples = []
         try:

@@ -63,3 +63,32 @@ def test_skipped_collapses_to_count_and_full_map_never_leaks():
     assert d["skipped"] == 4  # count, not the error map
     assert "SomeError" not in line
     assert len(line) < 2000
+
+
+def test_every_registry_query_is_benched_or_pinned_excluded():
+    """Coverage rule (r9, BASELINE.md "Bench coverage rule"): the bench
+    runs the FULL registry minus the two pinned exclusion sets — no
+    silently unbenched query may exist, and the exclusion sets must
+    name real registry queries (a rename can't quietly widen them)."""
+    import __spark_entry__ as E
+    from bench import (
+        EXCLUDED_ITERATIVE_FITS,
+        EXCLUDED_PAIR_SCANS,
+        HEADLINE,
+        run_list,
+    )
+
+    qs = E.queries()
+    benched = run_list(qs)
+    assert len(benched) == len(set(benched))          # no double-timing
+    missing = [n for n in HEADLINE if n not in qs]
+    assert not missing, missing
+    covered = set(benched) | EXCLUDED_ITERATIVE_FITS | EXCLUDED_PAIR_SCANS
+    unbenched = [n for n in qs if n not in covered]
+    assert not unbenched, f"silently unbenched: {unbenched}"
+    stale = (EXCLUDED_ITERATIVE_FITS | EXCLUDED_PAIR_SCANS) - set(qs)
+    assert not stale, f"exclusion names not in registry: {stale}"
+    # the exclusions keep their benched representatives
+    assert "forecast_ets_events" in benched
+    assert "forecast_ets_user_series" in benched
+    assert "minhash_lsh_pairs" in benched
