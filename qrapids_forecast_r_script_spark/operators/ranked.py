@@ -13,18 +13,45 @@ primitive as ``curation.token_shard_packing``'s distributed prefix sum:
 
 1. ``repartitionByRange`` on the composite order key — a PARALLEL range
    exchange (deterministic boundaries: the underlying RangePartitioner
-   samples with fixed per-partition seeds);
-2. per-partition row counts → exclusive prefix over the partition-count
-   table (a window over ``#partitions`` rows — bounded by config, not
-   data) → broadcast back;
-3. ``row_number`` within each physical partition (``Window.partitionBy
-   (spark_partition_id())`` — embarrassingly parallel) + the broadcast
-   offset = the exact global rank;
+   samples with fixed per-partition seeds) — then
+   ``sortWithinPartitions`` (partition-local sort, no exchange);
+2. ``monotonically_increasing_id`` over the sorted layout: Spark's
+   contract makes the low 33 bits a CONSECUTIVE per-partition record
+   counter, so ``mid − min(mid) + 1`` within a partition IS the local
+   row index — no ``Window.partitionBy(pid)`` and therefore no second
+   full-data ``hash(pid)`` exchange (the first-cut form paid one;
+   measured 2-6× at bench SF for zero benefit.  Equality with
+   ``row_number`` stays property-pinned in tests/test_ranked.py);
+3. per-partition (count, min-mid) — ONE map-side-combined aggregate
+   shuffling ``#partitions`` rows — exclusive prefix over that tiny
+   table (a window over config-bounded rows), broadcast back, joined
+   on partition id;
 4. the closed-form ntile bucket from (rank, N): with ``q = N div n``
    and ``rem = N mod n``, SQL ntile gives the first ``rem`` buckets
    ``q+1`` rows and the rest ``q`` — all-integer arithmetic, so the
    assignment is bit-identical to the single-task window the oracle
    runs.
+
+Net cost per use: the offsets pass and the main pass each compute the
+range exchange — MEASURED (Spark 4.1, AQE on): identical
+``repartitionByRange`` exchanges are NOT deduped by exchange reuse
+(0 ``ReusedExchange`` even on a minimal self-join repro), so the input
+is scanned and range-shuffled twice.  That is still strictly better
+at scale than the first-cut ``Window.partitionBy(pid)`` form (which
+ADDED a full-data ``hash(pid)`` exchange on top) and categorically
+better than the single-task global window.  A caller whose input is
+expensive to recompute can pre-materialize it
+(``df.localCheckpoint()``) before calling — the ucb1 precedent; the
+routed registry call sites are aggregated grains (customers, parts,
+per-doc counts) where the double pass is noise.  Locally the helper
+costs ~0.5 s of fixed stage-scheduling overhead per use vs the
+single-task window — the documented price of removing the
+serialization point (BASELINE.md r9 note).
+
+(:func:`global_cumsum` keeps the partition-local window form: a
+running VALUE sum cannot be recovered from record numbers, and its
+call sites run over aggregated grain where the extra exchange is
+noise.)
 
 Exactness requires the order key to be a TOTAL order (callers append a
 unique tiebreak column, the registry-wide discipline) — equal keys
@@ -48,7 +75,8 @@ __all__ = ["PID", "global_rank", "global_cumsum", "exact_ntile"]
 PID = "__rb_pid"
 _CNT = "__rb_cnt"
 _OFF = "__rb_off"
-_LOCAL = "__rb_local"
+_MID = "__rb_mid"
+_MID0 = "__rb_mid0"
 _TOT = "__rb_n"
 
 
@@ -57,30 +85,32 @@ def global_rank(df: DataFrame, order_cols: list[Column],
                 keep_total: bool = False) -> DataFrame:
     """``row_number() OVER (ORDER BY order_cols)`` without the
     single-partition exchange: exact 1-based global rank via range
-    repartition + per-partition counts + broadcast offsets (the
-    zipWithIndex decomposition).  Appends ``rank_col`` (and, with
-    ``keep_total``, ``__rb_n`` — the total row count
-    :func:`exact_ntile` needs for closed-form bucket assignment);
-    ``order_cols`` must be a total order."""
+    repartition + sorted-layout record ids + broadcast offsets (the
+    zipWithIndex decomposition — see the module docstring).  Appends
+    ``rank_col`` (and, with ``keep_total``, ``__rb_n`` — the total row
+    count :func:`exact_ntile` needs for closed-form bucket
+    assignment); ``order_cols`` must be a total order."""
     ranged = (df.repartitionByRange(*order_cols)
+              .sortWithinPartitions(*order_cols)
+              .withColumn(_MID, F.monotonically_increasing_id())
               .withColumn(PID, F.spark_partition_id()))
-    counts = ranged.groupBy(PID).agg(F.count(F.lit(1)).alias(_CNT))
+    counts = ranged.groupBy(PID).agg(F.count(F.lit(1)).alias(_CNT),
+                                     F.min(_MID).alias(_MID0))
     woff = (Window.orderBy(PID)
             .rowsBetween(Window.unboundedPreceding, -1))
     offsets = counts.select(
-        PID,
+        PID, _MID0,
         F.coalesce(F.sum(_CNT).over(woff), F.lit(0)).alias(_OFF),
         F.sum(_CNT).over(
             Window.orderBy(PID).rowsBetween(Window.unboundedPreceding,
                                             Window.unboundedFollowing))
          .alias(_TOT))
-    wlocal = Window.partitionBy(PID).orderBy(*order_cols)
     out = (ranged
-           .withColumn(_LOCAL, F.row_number().over(wlocal))
            .join(F.broadcast(offsets), PID)
-           .withColumn(rank_col, (F.col(_OFF) + F.col(_LOCAL))
+           .withColumn(rank_col,
+                       (F.col(_OFF) + (F.col(_MID) - F.col(_MID0)) + 1)
                        .cast("long"))
-           .drop(PID, _CNT, _OFF, _LOCAL))
+           .drop(PID, _CNT, _OFF, _MID, _MID0))
     return out if keep_total else out.drop(_TOT)
 
 
