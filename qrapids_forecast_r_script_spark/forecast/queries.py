@@ -5340,3 +5340,188 @@ EVAL_ORACLES["boxcox_guerrero_lambda"] = f"""
     GROUP BY 1, 2, 3
     ORDER BY name, index
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-9 series diagnostics: Mann-Kendall trend, turning-point
+# randomness — the nonparametric complements of the r7-r8 test family.
+
+
+def series_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per metric series (Mann 1945 / Kendall
+    1975): S = Σ_{i<j} sign(y_j − y_i), the rank-based monotone-trend
+    verdict that pairs with `series_theilsen_trend` (Sen's slope is
+    literally the MK-associated estimator) the way `residual_runs_test`
+    pairs with `series_ljung_box`.  Tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18 over the
+    tie groups g, continuity-corrected z, 5% two-sided verdict.
+
+    Exactness: S and every variance term are EXACT INTEGERS (sign
+    comparisons on the 6dp-rounded metric values agree across engines;
+    the tie census is integer counts), so the only IEEE ops are one
+    sqrt and one division — same on both engines — then a 6dp round.
+
+    Scale: the pairwise self-join is the Theil-Sen envelope (equi-keyed
+    per series, bounded by the 10k source cap); the tie census is one
+    grouped aggregate.  Cites R:84-95: MK is the trend screen upstream
+    of auto.arima's d decision (`series_ndiffs_nsdiffs`)."""
+    metrics = _metrics(spark, sf_dir)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    seq = (metrics
+           .withColumn("t", F.row_number().over(w).cast("long"))
+           .select("name", "index", "t",
+                   F.col("value").cast("double").alias("y")))
+    a = seq.select("name", "index", F.col("t").alias("ta"),
+                   F.col("y").alias("ya"))
+    b = seq.select("name", "index", F.col("t").alias("tb"),
+                   F.col("y").alias("yb"))
+    s = (a.join(b, ["name", "index"])
+         .where(F.col("ta") < F.col("tb"))
+         .groupBy("name", "index")
+         .agg(F.sum(F.signum(F.col("yb") - F.col("ya")).cast("long"))
+              .alias("s_stat")))
+    n = seq.groupBy("name", "index").agg(F.count(F.lit(1)).alias("n_obs"))
+    ties = (seq.groupBy("name", "index", "y")
+            .agg(F.count(F.lit(1)).alias("tg"))
+            .where(F.col("tg") > 1)
+            .groupBy("name", "index")
+            .agg(F.sum(F.col("tg") * (F.col("tg") - 1)
+                       * (2 * F.col("tg") + 5)).alias("tie_term")))
+    j = (s.join(n, ["name", "index"])
+         .join(ties, ["name", "index"], "left")
+         .withColumn("tie_term", F.coalesce("tie_term", F.lit(0))))
+    var_s = ((F.col("n_obs") * (F.col("n_obs") - 1)
+              * (2 * F.col("n_obs") + 5) - F.col("tie_term"))
+             / F.lit(18.0))
+    z = (F.when(F.col("s_stat") > 0,
+                (F.col("s_stat") - 1) / F.sqrt(var_s))
+         .when(F.col("s_stat") < 0,
+               (F.col("s_stat") + 1) / F.sqrt(var_s))
+         .otherwise(F.lit(0.0)))
+    return (j.select("name", "index", "n_obs", "s_stat",
+                     F.round(var_s, 6).alias("var_s"),
+                     F.round(z, 6).alias("z_stat"),
+                     (F.abs(z) > 1.959964).alias("trend_detected"))
+            .orderBy("name", "index"))
+
+
+EVAL_QUERIES["series_mann_kendall"] = series_mann_kendall
+EVAL_ORACLES["series_mann_kendall"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    seq AS (
+        SELECT name, index,
+               CAST(row_number() OVER (PARTITION BY name, index
+                                       ORDER BY evaluationDate)
+                    AS BIGINT) AS t,
+               CAST(value AS DOUBLE) AS y
+        FROM m
+    ), s AS (
+        SELECT a.name, a.index,
+               CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT)
+                   AS s_stat
+        FROM seq a JOIN seq b
+          ON a.name = b.name AND a.index = b.index AND a.t < b.t
+        GROUP BY 1, 2
+    ), n AS (
+        SELECT name, index, CAST(count(*) AS BIGINT) AS n_obs
+        FROM seq GROUP BY 1, 2
+    ), ties AS (
+        SELECT name, index,
+               CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT)
+                   AS tie_term
+        FROM (SELECT name, index, y, count(*) AS tg
+              FROM seq GROUP BY 1, 2, 3 HAVING count(*) > 1)
+        GROUP BY 1, 2
+    ), j AS (
+        SELECT s.name, s.index, n.n_obs, s.s_stat,
+               coalesce(t.tie_term, 0) AS tie_term
+        FROM s JOIN n USING (name, index)
+        LEFT JOIN ties t USING (name, index)
+    )
+    SELECT name, index, n_obs, s_stat,
+           round((n_obs * (n_obs - 1) * (2 * n_obs + 5) - tie_term)
+                 / 18.0, 6) AS var_s,
+           round(CASE WHEN s_stat > 0 THEN (s_stat - 1)
+                      / sqrt((n_obs * (n_obs - 1) * (2 * n_obs + 5)
+                              - tie_term) / 18.0)
+                      WHEN s_stat < 0 THEN (s_stat + 1)
+                      / sqrt((n_obs * (n_obs - 1) * (2 * n_obs + 5)
+                              - tie_term) / 18.0)
+                      ELSE 0.0 END, 6) AS z_stat,
+           abs(CASE WHEN s_stat > 0 THEN (s_stat - 1)
+                    / sqrt((n_obs * (n_obs - 1) * (2 * n_obs + 5)
+                            - tie_term) / 18.0)
+                    WHEN s_stat < 0 THEN (s_stat + 1)
+                    / sqrt((n_obs * (n_obs - 1) * (2 * n_obs + 5)
+                            - tie_term) / 18.0)
+                    ELSE 0.0 END) > 1.959964 AS trend_detected
+    FROM j ORDER BY name, index
+"""
+
+
+def series_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall turning-point randomness test per metric series: count
+    local extrema T (a point where consecutive diffs change STRICT
+    sign); under i.i.d. randomness E[T] = 2(n−2)/3 and
+    Var(T) = (16n − 29)/90 (Kendall & Stuart), z-verdict at 5%.  Too
+    FEW turning points = trend/level shifts (the MK/Pettitt reads);
+    too MANY = negative lag-1 correlation (over-differencing — the
+    check against an auto.arima d overshoot, R:84-95).
+
+    Exactness: T is an exact integer (strict-sign product on the
+    6dp-rounded values — plateaus produce a zero product and do not
+    count, the documented convention); E and Var are integer ratios;
+    one sqrt + one division + 6dp round.
+
+    Scale: two lag windows per series + one grouped aggregate — the
+    runs-test envelope."""
+    metrics = _metrics(spark, sf_dir)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    seq = (metrics
+           .withColumn("d_prev",
+                       F.col("value") - F.lag("value", 1).over(w))
+           .withColumn("d_next",
+                       F.lead("value", 1).over(w) - F.col("value")))
+    agg = (seq.groupBy("name", "index")
+           .agg(F.count(F.lit(1)).alias("n_obs"),
+                F.sum(F.when((F.col("d_prev") * F.col("d_next"))
+                             < 0, 1).otherwise(0)).alias("t_count")))
+    e_t = 2.0 * (F.col("n_obs") - 2) / F.lit(3.0)
+    v_t = (16.0 * F.col("n_obs") - 29) / F.lit(90.0)
+    z = (F.col("t_count") - e_t) / F.sqrt(v_t)
+    return (agg.select("name", "index", "n_obs", "t_count",
+                       F.round(e_t, 6).alias("expected_t"),
+                       F.round(z, 6).alias("z_stat"),
+                       (F.abs(z) > 1.959964).alias("nonrandom"))
+            .orderBy("name", "index"))
+
+
+EVAL_QUERIES["series_turning_points"] = series_turning_points
+EVAL_ORACLES["series_turning_points"] = f"""
+    WITH m AS ({_METRICS_EVENTS}),
+    seq AS (
+        SELECT name, index,
+               value - lag(value) OVER (PARTITION BY name, index
+                                        ORDER BY evaluationDate)
+                   AS d_prev,
+               lead(value) OVER (PARTITION BY name, index
+                                 ORDER BY evaluationDate) - value
+                   AS d_next
+        FROM m
+    ), agg AS (
+        SELECT name, index, CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(CASE WHEN d_prev * d_next < 0 THEN 1 ELSE 0
+                        END) AS BIGINT) AS t_count
+        FROM seq GROUP BY 1, 2
+    )
+    SELECT name, index, n_obs, t_count,
+           round(2.0 * (n_obs - 2) / 3.0, 6) AS expected_t,
+           round((t_count - 2.0 * (n_obs - 2) / 3.0)
+                 / sqrt((16.0 * n_obs - 29) / 90.0), 6) AS z_stat,
+           abs((t_count - 2.0 * (n_obs - 2) / 3.0)
+               / sqrt((16.0 * n_obs - 29) / 90.0)) > 1.959964
+               AS nonrandom
+    FROM agg ORDER BY name, index
+"""

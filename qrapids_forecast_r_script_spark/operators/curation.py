@@ -1505,3 +1505,134 @@ ORACLES["greedy_coverage_selection"] = """
                 AS BIGINT) AS cum_coverage
     FROM allp ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-9: Heaps'-law vocabulary growth (the Chao1 estimate's dynamic
+# sibling — same question, "is more data still buying vocabulary?").
+
+
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(N) ≈ K·N^β of vocabulary growth: walk the
+    corpus in doc_id order, track the running token count N and the
+    running distinct-type count V (a type counts at its FIRST
+    occurrence), and fit ln V = ln K + β·ln N by OLS over the per-doc
+    checkpoints.  β ≈ 0.4-0.6 is natural text; β collapsing toward 0
+    says vocabulary has saturated (more crawl buys repetition — the
+    dynamic confirmation of a small `vocab_chao1_richness` gap), and β
+    near 1 says near-disjoint shards (OCR noise / ID-like tokens).
+
+    r9 construction: the running totals are TWO
+    `operators.ranked.global_cumsum` passes over doc grain (first-
+    occurrence counts come from one token aggregate — min doc_id per
+    type — so no per-token window exists anywhere); the OLS rides the
+    zipf-fit discipline — both lns snapped to 1e-6 BIGINT micro-units,
+    every OLS sum accumulated in DECIMAL(38,0)/HUGEINT exact integer
+    arithmetic, one double division at the end.
+
+    Scale: one token aggregate (vocabulary-bounded), one doc-grain
+    aggregate, two distributed prefix sums, a 5-sum reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    first = (docs.select("doc_id",
+                         F.explode(F.split("text", " ")).alias("tok"))
+             .groupBy("tok").agg(F.min("doc_id").alias("fdoc"))
+             .groupBy("fdoc").agg(F.count(F.lit(1)).alias("n_new")))
+    per_doc = (sized.join(first,
+                          sized.doc_id == first.fdoc, "left")
+               .select("doc_id", "n_tokens",
+                       F.coalesce("n_new", F.lit(0).cast("long"))
+                       .alias("n_new")))
+    from qrapids_forecast_r_script_spark.operators.ranked import (
+        global_cumsum)
+    cum = global_cumsum(per_doc, [F.col("doc_id")],
+                        "n_tokens", "cum_tokens")
+    cum = global_cumsum(cum, [F.col("doc_id")], "n_new", "cum_types")
+    pts = (cum.where((F.col("cum_tokens") > 0)
+                     & (F.col("cum_types") > 0))
+           .select(F.round(F.log(F.col("cum_tokens").cast("double"))
+                           * 1e6, 0).cast("long").alias("xu"),
+                   F.round(F.log(F.col("cum_types").cast("double"))
+                           * 1e6, 0).cast("long").alias("yu")))
+    dec = "decimal(38,0)"
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("xu").cast(dec)).alias("sx"),
+        F.sum(F.col("yu").cast(dec)).alias("sy"),
+        F.sum((F.col("xu") * F.col("xu")).cast(dec)).alias("sxx"),
+        F.sum((F.col("xu") * F.col("yu")).cast(dec)).alias("sxy"),
+        F.sum((F.col("yu") * F.col("yu")).cast(dec)).alias("syy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    beta = num.cast("double") / denx.cast("double")
+    icept_u = ((F.col("sy").cast("double")
+                - beta * F.col("sx").cast("double"))
+               / F.col("n").cast("double"))
+    r2 = (num.cast("double") * num.cast("double")
+          / (denx.cast("double") * deny.cast("double")))
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp(icept_u / 1e6), 4).alias("heaps_k"),
+        F.round(r2, 6).alias("r_squared"))
+
+
+QUERIES["corpus_heaps_law"] = corpus_heaps_law
+ORACLES["corpus_heaps_law"] = """
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), first AS (
+        SELECT fdoc, CAST(count(*) AS BIGINT) AS n_new
+        FROM (SELECT min(doc_id) AS fdoc
+              FROM (SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY tok)
+        GROUP BY fdoc
+    ), per_doc AS (
+        SELECT s.doc_id, s.n_tokens, coalesce(f.n_new, 0) AS n_new
+        FROM sized s LEFT JOIN first f ON s.doc_id = f.fdoc
+    ), cum AS (
+        SELECT doc_id,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens,
+               sum(n_new) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_types
+        FROM per_doc
+    ), pts AS (
+        SELECT CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1e6, 0)
+                    AS BIGINT) AS xu,
+               CAST(round(ln(CAST(cum_types AS DOUBLE)) * 1e6, 0)
+                    AS BIGINT) AS yu
+        FROM cum WHERE cum_tokens > 0 AND cum_types > 0
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(xu AS HUGEINT)) AS sx,
+               sum(CAST(yu AS HUGEINT)) AS sy,
+               sum(CAST(xu AS HUGEINT) * xu) AS sxx,
+               sum(CAST(xu AS HUGEINT) * yu) AS sxy,
+               sum(CAST(yu AS HUGEINT) * yu) AS syy
+        FROM pts
+    )
+    SELECT n AS n_docs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta,
+           round(exp((CAST(sy AS DOUBLE)
+                      - CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE)) / n / 1e6), 4)
+               AS heaps_k,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS r_squared
+    FROM s
+"""

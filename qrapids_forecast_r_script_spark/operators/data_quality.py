@@ -2104,3 +2104,82 @@ ORACLES["hellinger_source_drift"] = """
            round(sqrt(greatest(0.0, 1.0 - bc)) * sqrt(2.0), 6) AS tv_upper
     FROM a ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-9: DKW distribution-free ECDF confidence band.
+
+_DKW_ALPHA_TERM = 3.6888794541139363  # ln(2/0.05), 95% two-sided band
+
+
+def events_dkw_ecdf_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dvoretzky-Kiefer-Wolfowitz 95% confidence band on each event
+    type's value ECDF, evaluated at the nine exact deciles: ε =
+    sqrt(ln(2/α) / (2n)) bounds sup|F̂ − F| with NO distributional
+    assumption (Massart's tight constant), so [p − ε, p + ε] at the
+    p-th empirical decile is a guaranteed envelope for the true CDF.
+    The sample-size-aware companion of `events_ks_drift`: KS says
+    whether two windows differ; this band says how much of that
+    movement mere sampling noise can explain at each type's own n —
+    the calibration a drift-alert threshold should come from.
+
+    Exactness: deciles are the type-7 interpolated percentile (Spark
+    `percentile` == DuckDB `quantile_cont` on identical doubles, the
+    established pairing, rounded 4dp); ε is one sqrt of a ratio of
+    exact integers, rounded 6dp.
+
+    Scale: one per-type exact-percentile aggregate (per-group sort,
+    fine at type cardinality; the `approx_percentile` twin is the
+    documented 100 TB swap) — the MAD audit's envelope."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = [i / 10.0 for i in range(1, 10)]
+    per = (ev.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                *[F.round(F.percentile("value", F.lit(p)), 4)
+                  .alias(f"d{i}") for i, p in enumerate(grid, 1)]))
+    eps = F.sqrt(F.lit(_DKW_ALPHA_TERM)
+                 / (2.0 * F.col("n_events").cast("double")))
+    melted = per.select(
+        "event_type", "n_events",
+        F.round(eps, 6).alias("dkw_eps"),
+        F.explode(F.array(*[
+            F.struct(F.lit(p).alias("p"),
+                     F.col(f"d{i}").alias("value_at_p"))
+            for i, p in enumerate(grid, 1)])).alias("pt"))
+    return (melted.select(
+        "event_type", "n_events",
+        F.col("pt.p").alias("p"),
+        F.col("pt.value_at_p").alias("value_at_p"),
+        "dkw_eps",
+        F.round(F.greatest(F.col("pt.p") - F.col("dkw_eps"),
+                           F.lit(0.0)), 6).alias("cdf_lower"),
+        F.round(F.least(F.col("pt.p") + F.col("dkw_eps"),
+                        F.lit(1.0)), 6).alias("cdf_upper"))
+        .orderBy("event_type", "p"))
+
+
+QUERIES["events_dkw_ecdf_band"] = events_dkw_ecdf_band
+ORACLES["events_dkw_ecdf_band"] = f"""
+    WITH per AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               {", ".join(
+                   f"round(quantile_cont(value, {i / 10.0}), 4) AS d{i}"
+                   for i in range(1, 10))}
+        FROM events GROUP BY event_type
+    ), melted AS (
+        SELECT event_type, n_events,
+               round(sqrt({_DKW_ALPHA_TERM}
+                          / (2.0 * CAST(n_events AS DOUBLE))), 6)
+                   AS dkw_eps,
+               CAST(unnest([{", ".join(f"{i / 10.0}"
+                                       for i in range(1, 10))}])
+                    AS DOUBLE) AS p,
+               unnest([{", ".join(f"d{i}" for i in range(1, 10))}])
+                   AS value_at_p
+        FROM per
+    )
+    SELECT event_type, n_events, p, value_at_p, dkw_eps,
+           round(greatest(p - dkw_eps, 0.0), 6) AS cdf_lower,
+           round(least(p + dkw_eps, 1.0), 6) AS cdf_upper
+    FROM melted ORDER BY event_type, p
+"""

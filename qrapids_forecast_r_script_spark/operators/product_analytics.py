@@ -6392,3 +6392,310 @@ ORACLES["ab_welch_ttest"] = f"""
                > {_AB_Z_CRIT} AS significant
     FROM wide
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-9: effect size + exact randomization inference for the A/B layer.
+
+
+def ab_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta effect size between the two hash arms on per-user
+    purchase cents (Cliff 1993): δ = (#(a>b) − #(a<b)) / (n_a·n_b) —
+    the ordinal companion every significance test in this layer needs,
+    because with enough users `ab_mannwhitney_test` flags differences
+    too small to matter.  Computed from the SAME tie-averaged rank
+    construction via the U identity δ = 2·U_a/(n_a·n_b) − 1 (midranks
+    give ties the ½ credit Cliff's definition assigns), with the
+    Romano et al. 2006 magnitude bands (0.147 / 0.33 / 0.474).
+
+    Exactness: cents are exact integers, tier ranks exact half-integer
+    arithmetic (the Mann-Whitney pairing); δ is one division of
+    exactly-agreed quantities, rounded 6dp.  A/A calibration: on the
+    hash split δ must come back ~0 / negligible (and does).
+
+    Scale: identical to `ab_mannwhitney_test` — value-tier aggregates
+    (value cardinality, not user cardinality), one tiny ordered pass,
+    one-row output."""
+    from pyspark.sql.window import Window
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    users = (ev.groupBy("user_id")
+             .agg(F.coalesce(
+                 F.sum(F.when(F.col("event_type") == "purchase",
+                              F.round(F.col("value") * 100, 0)
+                              .cast("long"))), F.lit(0).cast("long"))
+                 .alias("cents"))
+             .withColumn("arm", arm))
+    tiers = (users.groupBy("cents")
+             .agg(F.count(F.lit(1)).alias("t"),
+                  F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+                  .alias("t_a")))
+    w = (Window.orderBy("cents")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = (tiers
+              .withColumn("cum_before",
+                          F.coalesce(F.sum("t").over(w),
+                                     F.lit(0).cast("long")))
+              .withColumn("avg_rank",
+                          F.col("cum_before")
+                          + (F.col("t") + 1) / F.lit(2.0)))
+    agg = ranked.agg(
+        F.sum("t_a").alias("n_a"),
+        F.sum(F.col("t") - F.col("t_a")).alias("n_b"),
+        F.sum(F.col("t_a") * F.col("avg_rank")).alias("r_a"))
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    u_a = F.col("r_a") - n_a * (n_a + 1) / 2
+    delta = 2.0 * u_a / (n_a * n_b) - 1.0
+    mag = (F.when(F.abs(delta) < 0.147, F.lit("negligible"))
+           .when(F.abs(delta) < 0.33, F.lit("small"))
+           .when(F.abs(delta) < 0.474, F.lit("medium"))
+           .otherwise(F.lit("large")))
+    return agg.select(
+        "n_a", "n_b",
+        F.round(u_a, 1).alias("u_a"),
+        F.round(delta, 6).alias("cliffs_delta"),
+        mag.alias("magnitude"))
+
+
+QUERIES["ab_cliffs_delta"] = ab_cliffs_delta
+ORACLES["ab_cliffs_delta"] = """
+    WITH users AS (
+        SELECT user_id,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100, 0) AS BIGINT)
+                            END), 0) AS cents,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    ::BIGINT % 2) AS arm
+        FROM events GROUP BY user_id
+    ), tiers AS (
+        SELECT cents, count(*) AS t,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS t_a
+        FROM users GROUP BY cents
+    ), ranked AS (
+        SELECT *,
+               coalesce(sum(t) OVER (ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0)
+                   + (t + 1) / CAST(2 AS DOUBLE) AS avg_rank
+        FROM tiers
+    ), agg AS (
+        SELECT CAST(sum(t_a) AS BIGINT) AS n_a,
+               CAST(sum(t - t_a) AS BIGINT) AS n_b,
+               sum(t_a * avg_rank) AS r_a
+        FROM ranked
+    )
+    SELECT n_a, n_b,
+           round(r_a - CAST(n_a AS DOUBLE) * (n_a + 1) / 2, 1) AS u_a,
+           round(2.0 * (r_a - CAST(n_a AS DOUBLE) * (n_a + 1) / 2)
+                 / (CAST(n_a AS DOUBLE) * n_b) - 1.0, 6)
+               AS cliffs_delta,
+           CASE WHEN abs(2.0 * (r_a - CAST(n_a AS DOUBLE) * (n_a + 1)
+                         / 2) / (CAST(n_a AS DOUBLE) * n_b) - 1.0)
+                     < 0.147 THEN 'negligible'
+                WHEN abs(2.0 * (r_a - CAST(n_a AS DOUBLE) * (n_a + 1)
+                         / 2) / (CAST(n_a AS DOUBLE) * n_b) - 1.0)
+                     < 0.33 THEN 'small'
+                WHEN abs(2.0 * (r_a - CAST(n_a AS DOUBLE) * (n_a + 1)
+                         / 2) / (CAST(n_a AS DOUBLE) * n_b) - 1.0)
+                     < 0.474 THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM agg
+"""
+
+
+_PERM_B = 200    # sign-flip replicates (deterministic, md5-seeded)
+
+
+def ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher randomization test on the arm revenue difference — the
+    assumption-free gold standard behind the z/t/U approximations in
+    this layer: per day, the two arms' purchase-cents totals form an
+    exchangeable pair under H0, so the null distribution comes from
+    SIGN-FLIPPING the daily differences.  B = 200 deterministic
+    replicates (flip day d in replicate b iff the md5(b‖d) bit is set —
+    the dp_noisy_counts replayability idiom: auditable and exactly
+    oracled; a production platform would draw flips from a CSPRNG),
+    p = (1 + #{|T_b| ≥ |T_obs|}) / (B + 1) — the add-one form that
+    keeps the test exact-level.
+
+    Exactness: EVERYTHING is integer — daily cents, differences, every
+    replicate statistic T_b (a ± sum of integers), and the comparison
+    |T_b| ≥ |T_obs| — so the p-value is an exact rational; no float
+    enters until the final display rounds.
+
+    Scale: one (day, arm) aggregate over purchases, then a bounded
+    days × B replicate grid (≤ ~365·200 rows at any SF — the
+    revenue_bootstrap_ci envelope), one grouped sum per replicate,
+    one-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy(F.to_date("ts").alias("d"))
+             .agg(F.sum(F.when(arm == 0,
+                               F.round(F.col("value") * 100, 0)
+                               .cast("long")).otherwise(0))
+                  .alias("a_c"),
+                  F.sum(F.when(arm == 1,
+                               F.round(F.col("value") * 100, 0)
+                               .cast("long")).otherwise(0))
+                  .alias("b_c"))
+             .select("d", (F.col("a_c") - F.col("b_c")).alias("diff_c")))
+    obs = daily.agg(F.sum("diff_c").alias("t_obs"),
+                    F.count(F.lit(1)).alias("n_days"))
+    grid = daily.select(
+        "d", "diff_c",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("b"))
+    flip = (F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.col("b").cast("string"),
+                          F.col("d").cast("string"))), 1, 8),
+        16, 10).cast("bigint") % 2)
+    reps = (grid
+            .select("b", F.when(flip == 1, -F.col("diff_c"))
+                    .otherwise(F.col("diff_c")).alias("sd"))
+            .groupBy("b").agg(F.sum("sd").alias("t_b")))
+    hits = (reps.crossJoin(F.broadcast(obs))
+            .agg(F.max("n_days").alias("n_days"),
+                 F.max("t_obs").alias("t_obs_c"),
+                 F.sum(F.when(F.abs(F.col("t_b"))
+                              >= F.abs(F.col("t_obs")), 1)
+                       .otherwise(0)).alias("n_ge")))
+    p = (F.col("n_ge") + 1).cast("double") / F.lit(float(_PERM_B + 1))
+    return hits.select(
+        "n_days",
+        F.round(F.col("t_obs_c").cast("double") / 100, 2)
+        .alias("obs_diff"),
+        F.col("n_ge"),
+        F.round(p, 6).alias("p_value"),
+        (p < 0.05).alias("significant"))
+
+
+QUERIES["ab_permutation_test"] = ab_permutation_test
+ORACLES["ab_permutation_test"] = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CASE WHEN (('0x' || substr(md5(CAST(user_id
+                        AS VARCHAR)), 1, 8))::BIGINT % 2) = 0
+                    THEN CAST(round(value * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT)
+               - CAST(sum(CASE WHEN (('0x' || substr(md5(CAST(user_id
+                        AS VARCHAR)), 1, 8))::BIGINT % 2) = 1
+                    THEN CAST(round(value * 100, 0) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS diff_c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), obs AS (
+        SELECT CAST(sum(diff_c) AS BIGINT) AS t_obs,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily
+    ), grid AS (
+        SELECT d, diff_c,
+               unnest(generate_series(0, {_PERM_B - 1})) AS b
+        FROM daily
+    ), reps AS (
+        SELECT b, CAST(sum(CASE WHEN (('0x' || substr(md5(
+                       CAST(b AS VARCHAR) || '|' || CAST(d AS VARCHAR)),
+                       1, 8))::BIGINT % 2) = 1
+                   THEN -diff_c ELSE diff_c END) AS BIGINT) AS t_b
+        FROM grid GROUP BY b
+    )
+    SELECT o.n_days,
+           round(CAST(o.t_obs AS DOUBLE) / 100, 2) AS obs_diff,
+           CAST(sum(CASE WHEN abs(r.t_b) >= abs(o.t_obs)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+           round((sum(CASE WHEN abs(r.t_b) >= abs(o.t_obs)
+                      THEN 1 ELSE 0 END) + 1)
+                 / CAST({_PERM_B + 1} AS DOUBLE), 6) AS p_value,
+           (sum(CASE WHEN abs(r.t_b) >= abs(o.t_obs)
+                THEN 1 ELSE 0 END) + 1)
+               / CAST({_PERM_B + 1} AS DOUBLE) < 0.05 AS significant
+    FROM reps r CROSS JOIN obs o
+    GROUP BY o.n_days, o.t_obs
+"""
+
+
+_LORENZ_BINS = 20
+
+
+def customer_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve behind `customer_revenue_gini`'s one-number
+    summary: customers sorted by revenue ascending, cut into 20 exact
+    ventiles, each row reporting the CUMULATIVE population share vs
+    the cumulative revenue share — the table a pricing/risk review
+    actually plots ("the bottom 60% of customers carry 31% of
+    revenue"), and the input to any concentration threshold policy.
+
+    r9 construction: the ventile cut is `operators.ranked.exact_ntile`
+    over (rev_cents, custkey) — the distributed two-pass rank, no
+    customer-grain single-task window anywhere — then a 20-row
+    cumulative window over the ventile aggregate (bounded by the
+    constant, not the data).
+
+    Exactness: revenue in exact BIGINT cents; ventile membership is
+    the SQL ntile contract on a total order; shares are single
+    divisions of exact integer cumulative sums, rounded 6dp."""
+    from qrapids_forecast_r_script_spark.operators.ranked import exact_ntile
+    from pyspark.sql.window import Window
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                      .cast("long")).alias("rev_cents")))
+    binned = exact_ntile(rev, _LORENZ_BINS,
+                         [F.col("rev_cents").asc(),
+                          F.col("o_custkey").asc()],
+                         "ventile")
+    per = (binned.groupBy("ventile")
+           .agg(F.count(F.lit(1)).alias("n_customers"),
+                F.sum("rev_cents").alias("cents")))
+    wc = (Window.orderBy("ventile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = (Window.orderBy("ventile")
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    cum = (per
+           .withColumn("cum_n", F.sum("n_customers").over(wc))
+           .withColumn("cum_c", F.sum("cents").over(wc))
+           .withColumn("tot_n", F.sum("n_customers").over(wt))
+           .withColumn("tot_c", F.sum("cents").over(wt)))
+    return (cum.select(
+        "ventile", "n_customers",
+        F.round(F.col("cum_n").cast("double")
+                / F.col("tot_n").cast("double"), 6)
+        .alias("cum_pop_share"),
+        F.round(F.col("cum_c").cast("double")
+                / F.col("tot_c").cast("double"), 6)
+        .alias("cum_rev_share"))
+        .orderBy("ventile"))
+
+
+QUERIES["customer_lorenz_curve"] = customer_lorenz_curve
+ORACLES["customer_lorenz_curve"] = f"""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    ), binned AS (
+        SELECT rev_cents,
+               CAST(ntile({_LORENZ_BINS}) OVER (
+                   ORDER BY rev_cents ASC, o_custkey ASC) AS INTEGER)
+                   AS ventile
+        FROM rev
+    ), per AS (
+        SELECT ventile, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(rev_cents) AS BIGINT) AS cents
+        FROM binned GROUP BY 1
+    )
+    SELECT ventile, n_customers,
+           round(CAST(sum(n_customers) OVER (ORDER BY ventile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE)
+                 / sum(n_customers) OVER (), 6) AS cum_pop_share,
+           round(CAST(sum(cents) OVER (ORDER BY ventile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE)
+                 / sum(cents) OVER (), 6) AS cum_rev_share
+    FROM per ORDER BY ventile
+"""

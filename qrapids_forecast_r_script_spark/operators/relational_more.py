@@ -828,3 +828,84 @@ ORACLES["events_trailing_distinct_types"] = f"""
                AS n_types_30m
     FROM events e
 """
+
+
+_PRICE_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def orders_exact_price_quantiles(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """EXACT type-7 quantiles of order price over the full fact table
+    — the distributed order-statistic read (r9): where
+    `value_percentiles_by_type` pays Spark's built-in `percentile`
+    (exact but single-task per group at this grain) and the
+    `approx_percentile` twin trades error for scale, this form gets
+    EXACT quantiles scalably from `operators.ranked.global_rank`: rank
+    every order once (range exchange + offsets, no single-task
+    window), keep only the ≤2 boundary rows per requested quantile via
+    a 5-row broadcast grid, and interpolate x_⌊h⌋ + (h−⌊h⌋)(x_⌈h⌉ −
+    x_⌊h⌋) with h = (N−1)q + 1.
+
+    Exactness: cents are exact BIGINT; ranks are exact integers; both
+    engines evaluate the identical interpolation expression on the
+    identical boundary integers (the oracle reproduces the
+    construction rather than calling quantile_cont, so no
+    engine-internal interpolation variance enters), rounded 2dp.
+
+    Scale: one ranking pass over orders + a 5-literal broadcast
+    nested-loop filter + a 5-row aggregate.  The 100 TB plan is
+    IDENTICAL — no per-group serialization point anywhere."""
+    from qrapids_forecast_r_script_spark.operators.ranked import global_rank
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (orders.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"), "o_orderkey"))
+    ranked = global_rank(cents,
+                         [F.col("cents"), F.col("o_orderkey")],
+                         rank_col="r", keep_total=True)
+    qgrid = spark.createDataFrame([(q,) for q in _PRICE_QS], "q double")
+    h = (F.col("__rb_n") - 1) * F.col("q") + 1
+    hits = (ranked.join(
+        F.broadcast(qgrid),
+        (F.col("r") == F.floor(h)) | (F.col("r") == F.ceil(h))))
+    agg = (hits.groupBy("q")
+           .agg(F.max(F.when(F.col("r") == F.floor(h), F.col("cents")))
+                .alias("lo"),
+                F.max(F.when(F.col("r") == F.ceil(h), F.col("cents")))
+                .alias("hi"),
+                F.max(h - F.floor(h)).alias("frac")))
+    val = (F.col("lo")
+           + F.col("frac") * (F.col("hi") - F.col("lo"))) / 100.0
+    return (agg.select("q", F.round(val, 2).alias("price_quantile"))
+            .orderBy("q"))
+
+
+QUERIES["orders_exact_price_quantiles"] = orders_exact_price_quantiles
+ORACLES["orders_exact_price_quantiles"] = f"""
+    WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ), ranked AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents, o_orderkey)
+                    AS BIGINT) AS r,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM cents
+    ), qgrid AS (
+        SELECT CAST(unnest([{", ".join(str(q) for q in _PRICE_QS)}])
+                    AS DOUBLE) AS q
+    ), hits AS (
+        SELECT g.q, r.r, r.cents, (r.n - 1) * g.q + 1 AS h
+        FROM ranked r JOIN qgrid g
+          ON r.r = floor((r.n - 1) * g.q + 1)
+          OR r.r = ceil((r.n - 1) * g.q + 1)
+    )
+    SELECT q,
+           round((max(CASE WHEN r = floor(h) THEN cents END)
+                  + max(h - floor(h))
+                    * (max(CASE WHEN r = ceil(h) THEN cents END)
+                       - max(CASE WHEN r = floor(h) THEN cents END)))
+                 / 100.0, 2) AS price_quantile
+    FROM hits GROUP BY q ORDER BY q
+"""

@@ -607,3 +607,125 @@ ORACLES["label_sliced_wasserstein"] = """
     FROM pairs GROUP BY 1, 2
     ORDER BY label_a, label_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-9: spectral entropy — the forecastability feature.
+
+
+def series_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy per metric series (the feasts/
+    hyndman `feat_spectral` read): Shannon entropy of the periodogram
+    power shares over the candidate periods 2..14, divided by ln(K) so
+    0 = one pure tone (maximally forecastable) and 1 = white-noise-flat
+    spectrum.  The method-routing feature that complements
+    `series_dominant_period` (WHICH period dominates) and
+    `series_decomposition_strength` (time-domain strength): low entropy
+    says TRUST the seasonal methods (SNAIVE/STL R:243-251), high
+    entropy says the spectrum is spread and MEAN/ETS-level fits are the
+    honest choice.
+
+    Exactness: the periodogram rides the dominant-period construction
+    (terms snapped at 6dp pre-sum, power at 2dp); power is then held as
+    exact integer CENTIUNITS so the per-series total is order-free;
+    each −p·ln(p) term is snapped to 1e-6 BIGINT micro-units before the
+    (integer) entropy sum — the PMI/PSI cross-libm ln discipline.
+
+    Scale: one grouped periodogram aggregate (13 candidate rows per
+    series) + one 13-row-per-series entropy aggregate — the
+    dominant-period envelope exactly."""
+    series = events_as_metrics(load_table(spark, sf_dir, "events"))
+    t0 = series.groupBy("name").agg(F.min("evaluationDate").alias("d0"))
+    pts = (series.join(F.broadcast(t0), "name")
+           .select("name",
+                   F.datediff("evaluationDate", "d0")
+                    .cast("double").alias("t"),
+                   "value"))
+    cand = pts.select(
+        "name", "t", "value",
+        F.explode(F.sequence(F.lit(_P_MIN), F.lit(_P_MAX))).alias("p"))
+    ang = 2.0 * math.pi * F.col("t") / F.col("p")
+    per = (cand
+           .select("name", "p",
+                   F.round(F.col("value") * F.cos(ang), _DP).alias("tc"),
+                   F.round(F.col("value") * F.sin(ang), _DP).alias("ts"))
+           .groupBy("name", "p")
+           .agg(F.count(F.lit(1)).alias("n_days"),
+                F.sum("tc").alias("sc"), F.sum("ts").alias("ss")))
+    pw = per.select(
+        "name", "p", "n_days",
+        F.round(F.round(F.col("sc") * F.col("sc")
+                        + F.col("ss") * F.col("ss"), _POWER_DP)
+                * 100, 0).cast("long").alias("pw_c"))
+    tot = (pw.groupBy("name")
+           .agg(F.max("n_days").alias("n_days"),
+                F.count(F.lit(1)).alias("k_cand"),
+                F.sum("pw_c").alias("tot_c")))
+    share = F.col("pw_c").cast("double") / F.col("tot_c").cast("double")
+    term_u = F.when(
+        F.col("pw_c") > 0,
+        F.round(-share * F.log(share) * 1e6, 0).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    h = (pw.select("name", "pw_c").join(F.broadcast(tot), "name")
+         .groupBy("name")
+         .agg(F.max("n_days").alias("n_days"),
+              F.max("k_cand").alias("k_cand"),
+              F.sum(term_u).alias("h_u")))
+    ent = F.col("h_u").cast("double") / 1e6
+    ent_norm = ent / F.log(F.col("k_cand").cast("double"))
+    return (h.select("name", "n_days",
+                     F.round(ent, 6).alias("entropy"),
+                     F.round(ent_norm, 6).alias("entropy_norm"),
+                     F.round(1.0 - ent_norm, 6).alias("forecastability"))
+            .orderBy("name"))
+
+
+QUERIES["series_spectral_entropy"] = series_spectral_entropy
+ORACLES["series_spectral_entropy"] = f"""
+    WITH series AS (
+        SELECT event_type AS name, CAST(ts AS DATE) AS d,
+               round(sum(value), 6) AS value
+        FROM events GROUP BY 1, 2
+    ), t0 AS (
+        SELECT name, min(d) AS d0 FROM series GROUP BY name
+    ), pts AS (
+        SELECT s.name,
+               CAST(date_diff('day', t.d0, s.d) AS DOUBLE) AS t,
+               s.value
+        FROM series s JOIN t0 t USING (name)
+    ), cand AS (
+        SELECT name, t, value, unnest(generate_series(
+                   {_P_MIN}, {_P_MAX})) AS p
+        FROM pts
+    ), per AS (
+        SELECT name, p, count(*) AS n_days,
+               sum(round(value * cos(2 * pi() * t / p), {_DP})) AS sc,
+               sum(round(value * sin(2 * pi() * t / p), {_DP})) AS ss
+        FROM cand GROUP BY name, p
+    ), pw AS (
+        SELECT name, p, n_days,
+               CAST(round(round(sc * sc + ss * ss, {_POWER_DP}) * 100,
+                          0) AS BIGINT) AS pw_c
+        FROM per
+    ), tot AS (
+        SELECT name, max(n_days) AS n_days,
+               CAST(count(*) AS BIGINT) AS k_cand,
+               CAST(sum(pw_c) AS BIGINT) AS tot_c
+        FROM pw GROUP BY name
+    ), h AS (
+        SELECT pw.name, max(t.n_days) AS n_days,
+               max(t.k_cand) AS k_cand,
+               CAST(sum(CASE WHEN pw.pw_c > 0 THEN CAST(round(
+                   -(CAST(pw.pw_c AS DOUBLE) / t.tot_c)
+                   * ln(CAST(pw.pw_c AS DOUBLE) / t.tot_c) * 1e6, 0)
+                   AS BIGINT) ELSE 0 END) AS BIGINT) AS h_u
+        FROM pw JOIN tot t USING (name) GROUP BY pw.name
+    )
+    SELECT name, n_days,
+           round(h_u / 1e6, 6) AS entropy,
+           round(h_u / 1e6 / ln(CAST(k_cand AS DOUBLE)), 6)
+               AS entropy_norm,
+           round(1.0 - h_u / 1e6 / ln(CAST(k_cand AS DOUBLE)), 6)
+               AS forecastability
+    FROM h ORDER BY name
+"""

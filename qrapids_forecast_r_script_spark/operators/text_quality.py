@@ -1201,3 +1201,74 @@ ORACLES["term_burstiness_topk"] = f"""
     QUALIFY rank <= {_BURST_TOP}
     ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-9: vocabulary richness estimation (Chao1 + Good-Turing).
+
+
+def vocab_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much vocabulary has the crawl NOT seen yet?  Chao1 species-
+    richness estimate (Chao 1984, the bias-corrected form
+    V + n1(n1−1)/(2(n2+1))) plus the Good-Turing unseen-probability
+    mass P0 = n1/N — both computed from the frequency SPECTRUM
+    (singleton and doubleton type counts).  The curation read behind
+    "is more crawling still buying vocabulary?": a large Chao1 gap and
+    a fat P0 say the corpus undersamples its domain (more data will
+    keep finding new types — the Heaps-law growth
+    `corpus_heaps_law` fits directly); near-zero says vocabulary has
+    saturated and further crawl budget buys only repetition.
+
+    Exactness: every input (V, n1, n2, N) is an exact integer from two
+    grouped aggregates; the estimates are single divisions rounded
+    6dp.  Scale: one token aggregate (map-side combined, vocabulary-
+    bounded output) + one spectrum aggregate over type counts —
+    nothing heavier than the Zipf fit next door."""
+    docs = load_table(spark, sf_dir, "documents")
+    types = (docs.select(F.explode(F.split("text", " ")).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+    spec = types.agg(
+        F.count(F.lit(1)).alias("v_types"),
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0)).alias("n2"))
+    # the unseen-term is computed ONCE and added — (v + x) − v in IEEE
+    # is not x, so deriving the term by subtraction would drift from
+    # the oracle's direct form
+    unseen = (F.col("n1").cast("double") * (F.col("n1") - 1)
+              / (2.0 * (F.col("n2") + 1)))
+    p0 = F.col("n1").cast("double") / F.col("n_tokens").cast("double")
+    return spec.select(
+        "v_types", "n_tokens", "n1", "n2",
+        F.round(F.col("v_types") + unseen, 6).alias("chao1_richness"),
+        F.round(unseen, 6).alias("unseen_types_est"),
+        F.round(p0, 6).alias("gt_unseen_mass"),
+        F.round(1.0 - p0, 6).alias("gt_coverage"))
+
+
+QUERIES["vocab_chao1_richness"] = vocab_chao1_richness
+ORACLES["vocab_chao1_richness"] = """
+    WITH types AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY tok
+    ), spec AS (
+        SELECT CAST(count(*) AS BIGINT) AS v_types,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2
+        FROM types
+    )
+    SELECT v_types, n_tokens, n1, n2,
+           round(v_types + CAST(n1 AS DOUBLE) * (n1 - 1)
+                 / (2.0 * (n2 + 1)), 6) AS chao1_richness,
+           round(CAST(n1 AS DOUBLE) * (n1 - 1) / (2.0 * (n2 + 1)), 6)
+               AS unseen_types_est,
+           round(CAST(n1 AS DOUBLE) / n_tokens, 6) AS gt_unseen_mass,
+           round(1.0 - CAST(n1 AS DOUBLE) / n_tokens, 6)
+               AS gt_coverage
+    FROM spec
+"""

@@ -64,6 +64,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "term_burstiness_topk", "textrank_keywords", "weighted_sample_docs",
     "decision_stump_doclen",
     # --- fixed-grid / value-bounded aggregates
+    "ab_cliffs_delta", "customer_lorenz_curve",
     "ab_mannwhitney_test", "benford_first_digit_audit",
     "cumulative_gain_curve", "granger_lag1_purchases",
     "kruskal_wallis_values", "parts_skyline_frontier",
