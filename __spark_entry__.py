@@ -41,16 +41,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # THE WINDOW IS TOOL-DERIVED (since r8): this list is the verbatim
 # output of `python tools/rotation_window.py` at the r9 artifact state
-# (CORRECTNESS_r01..r08 committed) — the 17-query remainder of the
-# never-passed oracled backlog leads (the 10 r8-new registrations in
-# merged order, ab_welch_ttest … split_leakage_audit, then the 7-query
-# r8 window spill, dow_type_median_polish … events_trailing_distinct_
-# types), followed by 3 tier-1 re-verify slots
-# (events_sliding_1h_30m — the registry's single historic tier-1
-# failure, ever-failed priority — then the two oldest tier-1 greens)
-# and, because the backlog no longer fills the cap, 30 TRANSITION
-# slots backfilled with the rotation-era ordering: standing-failures
-# first (none), then ever-failed drift markers (q12_shipmode_priority,
+# (CORRECTNESS_r01..r08 committed, the 10 r9 registrations in the
+# registry) — the 27-query never-passed oracled backlog leads (the 10
+# r8-new registrations in merged order, ab_welch_ttest …
+# split_leakage_audit, then the 7-query r8 window spill,
+# dow_type_median_polish … events_trailing_distinct_types, then the 10
+# r9 registrations, ab_cliffs_delta … orders_exact_price_quantiles),
+# followed by 3 tier-1 re-verify slots (events_sliding_1h_30m — the
+# registry's single historic tier-1 failure, ever-failed priority —
+# then the two oldest tier-1 greens) and, because the backlog no
+# longer fills the cap, 20 TRANSITION slots backfilled with the
+# rotation-era ordering: standing-failures first (none), then
+# ever-failed drift markers (q12_shipmode_priority,
 # events_zscore_outliers — the two r1 hash-reds), then
 # oldest-green-first over the whole oracled registry (the r1-r2
 # classics).  This is the LAST drain-era round: a green r9 artifact
@@ -86,6 +88,20 @@ FRONT_WINDOW = [
     "rfm_quartile_segments",
     "parts_abc_pareto",
     "events_trailing_distinct_types",
+    # --- first-signal: the 10 r9 registrations (the full <= +10 freeze
+    # budget, each strict-audited at registration; they joined the
+    # never-checked backlog when registered, so per the r8 precedent the
+    # window was re-derived with them in merged-registry order)
+    "ab_cliffs_delta",
+    "ab_permutation_test",
+    "customer_lorenz_curve",
+    "corpus_heaps_law",
+    "vocab_chao1_richness",
+    "series_mann_kendall",
+    "series_turning_points",
+    "events_dkw_ecdf_band",
+    "series_spectral_entropy",
+    "orders_exact_price_quantiles",
     # --- tier-1 re-verify (ever-failed first, then oldest tier-1 green)
     "events_sliding_1h_30m",
     "events_session_windows",
@@ -112,16 +128,6 @@ FRONT_WINDOW = [
     "events_asof_last_error",
     "distinct_users_per_type",
     "series_positional_index",
-    "search_element_scan",
-    "q4_order_priority",
-    "q14_promo_effect",
-    "q6_revenue_delta",
-    "customers_above_nation_avg",
-    "order_rank_windows",
-    "snaive_backtest_mae",
-    "orders_grouping_sets",
-    "user_series_gapfill",
-    "events_pivot_daily",
 ]
 
 

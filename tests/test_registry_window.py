@@ -3,11 +3,13 @@
 The per-round driver hash-checks only the FIRST ~50 entries of
 ``__spark_entry__.queries()`` — the ordering is deliberate signal
 allocation.  Round 9's window is TOOL-DERIVED (`tools/rotation_window.py`
-at the r01-r08 artifact state): 17 first-signal slots (the ENTIRE
-remaining never-passed oracled backlog — the 10 r8-new registrations,
-then the 7-query r8 window spill, in module order) + 3 tier-1 re-verify
-slots (`events_sliding_1h_30m` ever-failed-first, then the two oldest
-tier-1 greens) + 30 TRANSITION backfill slots in the rotation-era
+at the r01-r08 artifact state, re-run after the 10 r9 registrations
+landed — the r8 precedent: register first, THEN freeze): 27
+first-signal slots (the ENTIRE never-passed oracled backlog — the 10
+r8-new registrations, then the 7-query r8 window spill, then the 10 r9
+registrations, in module order) + 3 tier-1 re-verify slots
+(`events_sliding_1h_30m` ever-failed-first, then the two oldest tier-1
+greens) + 20 TRANSITION backfill slots in the rotation-era
 ordering (the two r1 hash-red drift markers `q12_shipmode_priority`/
 `events_zscore_outliers` first, then oldest-green-first).  This is the
 last drain-era round: a green r9 artifact empties the backlog and r10
@@ -49,10 +51,10 @@ WINDOW = 50
 # or later (deposited by the driver AFTER the window was frozen) must
 # not affect any assertion here.
 CURRENT_ROUND = 9
-# Every slot past the 17-name backlog head is a re-verify/backfill slot
+# Every slot past the 27-name backlog head is a re-verify/backfill slot
 # (previously green at planning time): the 3 tier-1 re-verify picks plus
-# the 30 transition-backfill names (see the window-policy comment).
-N_FIRST_SIGNAL_IN_ORDER = 17
+# the 20 transition-backfill names (see the window-policy comment).
+N_FIRST_SIGNAL_IN_ORDER = 27
 TIER1_RE_VERIFY = ("events_sliding_1h_30m", "events_session_windows",
                    "events_stream_dedup_hourly")
 RE_VERIFY_SLOTS = set(E.FRONT_WINDOW[N_FIRST_SIGNAL_IN_ORDER:])
@@ -174,18 +176,28 @@ def test_ever_failed_re_verify_slots_lead_their_pools(frozen_repo):
 
 def test_window_follows_registry_order_of_the_backlog():
     """The first-signal slots are the ENTIRE never-passed oracled
-    backlog in MODULE-REGISTRY order (all 17 fit this round — the 10
-    r8-new registrations then the 7-query r8 window spill; unlike r7's,
-    the r8-new names all live in module blocks, so plain module order
-    reproduces the tool's merged order).  The derivation is recomputed
-    from the module blocks WITHOUT the pin blocks — a registry
-    insertion that would silently skip a backlog query changes the
-    recomputed head and fails this test."""
-    # queries registered AFTER the r9 window was frozen (freeze budget
-    # ≤ +10; each oracled addition must be listed here or this fails —
-    # rows-only additions don't enter the oracled backlog)
-    registered_after_freeze: set[str] = set()
-    assert len(registered_after_freeze) <= 10, "freeze budget exceeded"
+    backlog in MODULE-REGISTRY order (all 27 fit this round — the 10
+    r8-new registrations, the 7-query r8 window spill, then the 10 r9
+    registrations; the r9 names were registered BEFORE the window was
+    frozen, the r8 precedent, so they take first-signal slots and a
+    green r9 empties the backlog completely).  The derivation is
+    recomputed from the module blocks WITHOUT the pin blocks — a
+    registry insertion that would silently skip a backlog query changes
+    the recomputed head and fails this test."""
+    # round-9 additions (the full <= +10 budget, each strict-audited on
+    # registration AND inside the frozen window): nonparametric trend +
+    # randomness diagnostics, the forecastability entropy feature, A/B
+    # effect size + exact randomization inference, the distributed-
+    # order-statistic showcases (exact quantiles, Lorenz curve),
+    # vocabulary richness + growth, and the DKW ECDF band
+    r9_additions = {
+        "series_mann_kendall", "series_turning_points",
+        "series_spectral_entropy", "ab_cliffs_delta",
+        "ab_permutation_test", "orders_exact_price_quantiles",
+        "customer_lorenz_curve", "vocab_chao1_richness",
+        "corpus_heaps_law", "events_dkw_ecdf_band",
+    }
+    assert len(r9_additions) <= 10, "freeze budget exceeded"
     checked = _checked(max_round=CURRENT_ROUND)
     oracles = E.oracle_sql()
     # module order = the merged blocks, BOTH pin blocks excluded (the
@@ -193,14 +205,20 @@ def test_window_follows_registry_order_of_the_backlog():
     module_order: dict[str, object] = {}
     for qs_block, _ in E._registries()[2:]:
         module_order.update(qs_block)
-    backlog = [
-        n for n in module_order
-        if n not in checked and n in oracles
-        and n not in registered_after_freeze]
+    backlog = [n for n in module_order
+               if n not in checked and n in oracles]
+    # the tool's merged order respects the pin block that existed when
+    # it ran, so the backlog comes out COHORT-ordered: the carried r8
+    # names (pinned at the head at derivation time) in module order,
+    # then the r9 registrations in module order — the exact order r10's
+    # derivation will also see, since the new pin block now encodes it
+    expected = ([n for n in backlog if n not in r9_additions]
+                + [n for n in backlog if n in r9_additions])
     first_signal = E.FRONT_WINDOW[:N_FIRST_SIGNAL_IN_ORDER]
-    assert first_signal == backlog, (
+    assert first_signal == expected, (
         "first-signal slots must be exactly the never-passed oracled "
-        "backlog in module order")
+        "backlog, cohort-ordered (carried r8 backlog then r9 "
+        "additions, module order within each cohort)")
 
 
 def test_backlog_hedge_block_is_first_signal_in_order():
