@@ -409,7 +409,7 @@ def test_rotation_tool_drain_backfills_transition_round(tmp_path):
 def test_rotation_tool_r10_handoff_enters_rotation_era(frozen_repo):
     """The r9-close simulation (r8 verdict item 3): simulate this
     round's driver run landing (every FRONT_WINDOW name green in a
-    synthetic r09 artifact) ON TOP OF the frozen r01-r08 set.  The 17
+    synthetic r09 artifact) ON TOP OF the frozen r01-r08 set.  The 27
     first-signal slots are the ENTIRE remaining backlog, so the next
     derivation must flip to era="rotation" and emit exactly what the
     window-policy comment promises: tier-1 drift-exposed surfaces
