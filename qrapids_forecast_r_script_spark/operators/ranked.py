@@ -32,26 +32,38 @@ primitive as ``curation.token_shard_packing``'s distributed prefix sum:
    assignment is bit-identical to the single-task window the oracle
    runs.
 
-Net cost per use: the offsets pass and the main pass each compute the
-range exchange — MEASURED (Spark 4.1, AQE on): identical
+Net cost per use: the ranged layout is materialized ONCE by a lazy
+``localCheckpoint`` (the ucb1 precedent) and the offsets pass and main
+pass both read the checkpointed blocks.  The checkpoint exists because
+of two MEASURED Spark 4.1 facts (AQE on): (a) identical
 ``repartitionByRange`` exchanges are NOT deduped by exchange reuse
-(0 ``ReusedExchange`` even on a minimal self-join repro), so the input
-is scanned and range-shuffled twice.  That is still strictly better
-at scale than the first-cut ``Window.partitionBy(pid)`` form (which
-ADDED a full-data ``hash(pid)`` exchange on top) and categorically
-better than the single-task global window.  A caller whose input is
-expensive to recompute can pre-materialize it
-(``df.localCheckpoint()``) before calling — the ucb1 precedent; the
-routed registry call sites are aggregated grains (customers, parts,
-per-doc counts) where the double pass is noise.  Locally the helper
-costs ~0.5 s of fixed stage-scheduling overhead per use vs the
-single-task window — the documented price of removing the
-serialization point (BASELINE.md r9 note).
+(0 ``ReusedExchange`` even on a minimal self-join repro), and (b) a
+range repartition costs a RangePartitioner SAMPLING job over its input
+on top of the shuffle itself — so without the cut, each helper call
+recomputes its input ~3× and CHAINED calls (RFM's three ntile cuts,
+Heaps' two cumsums) recompute the base aggregate ~3^k times.
+MEASURED on the 3-chain (rfm_quartile_segments, sf0.1): 38 Spark jobs
+without the cut vs 22 with it; local WALL time is statistically
+indistinguishable (medians 2.7 vs 3.5 s inside the host's 2-5 s rep
+spread — each recomputed job is a sub-100 ms aggregate here), but at
+fact-grain scale every one of those 16 extra jobs is a full re-read,
+so the cut is what survives the 100× test.  With it the cost is
+linear and local: one pass of the input (sampling) + one range shuffle
++ one block write, then every consumer — including the next chained
+helper — reads bounded checkpointed blocks.  The lineage truncation
+also freezes the record-id column, making the rank immune to
+non-deterministic recomputation by construction.  This is still strictly better at
+scale than the first-cut ``Window.partitionBy(pid)`` form (which paid
+a full-data ``hash(pid)`` exchange per call) and categorically better
+than the single-task global window.  Locally the helper costs ~0.5 s
+of fixed stage-scheduling overhead per use vs the single-task window —
+the documented price of removing the serialization point (BASELINE.md
+r9 note).
 
 (:func:`global_cumsum` keeps the partition-local window form: a
 running VALUE sum cannot be recovered from record numbers, and its
-call sites run over aggregated grain where the extra exchange is
-noise.)
+call sites run over aggregated grain where that window is cheap; it
+takes the same checkpoint cut, so chained cumsums are linear too.)
 
 Exactness requires the order key to be a TOTAL order (callers append a
 unique tiebreak column, the registry-wide discipline) — equal keys
@@ -80,6 +92,16 @@ _MID0 = "__rb_mid0"
 _TOT = "__rb_n"
 
 
+def _materialize(ranged: DataFrame) -> DataFrame:
+    """Cut lineage at the ranged layout with a LAZY localCheckpoint:
+    materialized on first action, then the offsets pass, the main pass,
+    and any CHAINED helper call read the stored blocks instead of
+    recomputing the input through the sampling job + range shuffle
+    (module docstring, measured facts a/b).  Lazy so that pure
+    plan-inspection (the registry sweep) never runs a job."""
+    return ranged.localCheckpoint(eager=False)
+
+
 def global_rank(df: DataFrame, order_cols: list[Column],
                 rank_col: str = "__rb_rank",
                 keep_total: bool = False) -> DataFrame:
@@ -90,10 +112,11 @@ def global_rank(df: DataFrame, order_cols: list[Column],
     ``rank_col`` (and, with ``keep_total``, ``__rb_n`` — the total row
     count :func:`exact_ntile` needs for closed-form bucket
     assignment); ``order_cols`` must be a total order."""
-    ranged = (df.repartitionByRange(*order_cols)
-              .sortWithinPartitions(*order_cols)
-              .withColumn(_MID, F.monotonically_increasing_id())
-              .withColumn(PID, F.spark_partition_id()))
+    ranged = _materialize(
+        df.repartitionByRange(*order_cols)
+          .sortWithinPartitions(*order_cols)
+          .withColumn(_MID, F.monotonically_increasing_id())
+          .withColumn(PID, F.spark_partition_id()))
     counts = ranged.groupBy(PID).agg(F.count(F.lit(1)).alias(_CNT),
                                      F.min(_MID).alias(_MID0))
     woff = (Window.orderBy(PID)
@@ -123,8 +146,9 @@ def global_cumsum(df: DataFrame, order_cols: list[Column],
     behind Pareto/Lorenz cumulative reads).  ``order_cols`` must be a
     total order; the value column's type is preserved (BIGINT stays
     BIGINT — callers keep the exact-integer discipline)."""
-    ranged = (df.repartitionByRange(*order_cols)
-              .withColumn(PID, F.spark_partition_id()))
+    ranged = _materialize(
+        df.repartitionByRange(*order_cols)
+          .withColumn(PID, F.spark_partition_id()))
     totals = ranged.groupBy(PID).agg(F.sum(value_col).alias(_CNT))
     woff = (Window.orderBy(PID)
             .rowsBetween(Window.unboundedPreceding, -1))

@@ -115,8 +115,13 @@ ROUTED = [
     "quantile_normalization_map",   # doc-grain pooled-ventile ntile
     "parts_abc_pareto",             # part-grain running total
     "customer_revenue_gini",        # customer-grain rank
+    # r9 additions built on the helpers from day one
+    "customer_lorenz_curve",        # customer-grain exact ventile cut
+    "orders_exact_price_quantiles",  # order-grain exact type-7 rank
 ]
-BOUNDED_GRAIN_MARKERS = ("decile",)   # _CAL_BINS-row aggregates
+# bounded-by-a-constant aggregate grains (the surviving global windows
+# run over _CAL_BINS/_LORENZ_BINS rows, not data grain)
+BOUNDED_GRAIN_MARKERS = ("decile", "ventile")
 
 
 @pytest.mark.parametrize("name", ROUTED)
