@@ -477,7 +477,13 @@ def run_list(qs: dict) -> list[str]:
     """The benched set: HEADLINE in its historical order (cross-round
     per-query comparability), then every other registry query in
     registry order, minus the two pinned exclusion sets."""
-    skip = set(HEADLINE) | EXCLUDED_ITERATIVE_FITS | EXCLUDED_PAIR_SCANS
+    excluded = EXCLUDED_ITERATIVE_FITS | EXCLUDED_PAIR_SCANS
+    # HEADLINE precedes the exclusion filter, so a name in both would
+    # silently defeat its pin — fail loud instead
+    clash = set(HEADLINE) & excluded
+    if clash:
+        raise ValueError(f"HEADLINE and exclusion sets overlap: {clash}")
+    skip = set(HEADLINE) | excluded
     return list(HEADLINE) + [n for n in qs if n not in skip]
 
 

@@ -307,7 +307,14 @@ def fit_prophet_like(ds_days: np.ndarray, y: np.ndarray,
         if n_cp > 0:
             cp_idx = (np.linspace(0, hist_size - 1, n_cp + 1)
                       .round().astype(int)[1:])
-            changepoints = np.unique(t_norm[cp_idx])
+            # NO np.unique here: Prophet keeps whatever ds values the
+            # rounded linspace lands on — with duplicate ds in the
+            # history that means a duplicated hinge column, and the
+            # verbatim replay must reproduce it (the MAP posterior is
+            # still convex; the fit is unique in fitted values).  The
+            # linspace indices themselves are distinct because
+            # n_cp <= hist_size - 1 keeps the spacing >= 1.
+            changepoints = t_norm[cp_idx]
         else:
             changepoints = np.array([])
     elif changepoint_placement == "even":

@@ -5487,7 +5487,12 @@ def series_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (seq.groupBy("name", "index")
            .agg(F.count(F.lit(1)).alias("n_obs"),
                 F.sum(F.when((F.col("d_prev") * F.col("d_next"))
-                             < 0, 1).otherwise(0)).alias("t_count")))
+                             < 0, 1).otherwise(0)).alias("t_count"))
+           # the statistic needs an interior point: for n < 3 both
+           # E[T] and Var(T) leave their domain (Var < 0 at n = 1 —
+           # sqrt would be NaN here but an ERROR in DuckDB, a
+           # cross-engine divergence on degenerate series)
+           .where(F.col("n_obs") >= 3))
     e_t = 2.0 * (F.col("n_obs") - 2) / F.lit(3.0)
     v_t = (16.0 * F.col("n_obs") - 29) / F.lit(90.0)
     z = (F.col("t_count") - e_t) / F.sqrt(v_t)
@@ -5515,6 +5520,7 @@ EVAL_ORACLES["series_turning_points"] = f"""
                CAST(sum(CASE WHEN d_prev * d_next < 0 THEN 1 ELSE 0
                         END) AS BIGINT) AS t_count
         FROM seq GROUP BY 1, 2
+        HAVING count(*) >= 3
     )
     SELECT name, index, n_obs, t_count,
            round(2.0 * (n_obs - 2) / 3.0, 6) AS expected_t,

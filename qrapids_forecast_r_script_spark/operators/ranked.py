@@ -93,12 +93,18 @@ _TOT = "__rb_n"
 
 
 def _materialize(ranged: DataFrame) -> DataFrame:
-    """Cut lineage at the ranged layout with a LAZY localCheckpoint:
-    materialized on first action, then the offsets pass, the main pass,
-    and any CHAINED helper call read the stored blocks instead of
-    recomputing the input through the sampling job + range shuffle
-    (module docstring, measured facts a/b).  Lazy so that pure
-    plan-inspection (the registry sweep) never runs a job."""
+    """Cut lineage at the ranged layout with a lazy localCheckpoint:
+    the offsets pass, the main pass, and any CHAINED helper call read
+    the stored blocks instead of recomputing the input through the
+    sampling job + range shuffle (module docstring, measured facts
+    a/b).  MEASURED caveat: under AQE, ``localCheckpoint(eager=False)``
+    still runs the upstream SHUFFLE stages at DataFrame-construction
+    time (AdaptiveSparkPlanExec materializes query stages inside
+    ``toRdd``; only the final result stage stays deferred) — so even
+    pure plan inspection of a routed query executes its small input
+    pipeline.  The registry sweep neutralizes the cut entirely
+    (identity-patches localCheckpoint) so the census sees full
+    lineage."""
     return ranged.localCheckpoint(eager=False)
 
 

@@ -27,6 +27,7 @@ conversion happens in the worker; the generator yields plain tuples.
 from __future__ import annotations
 
 import os
+import threading
 
 from collections.abc import Iterator
 
@@ -170,12 +171,20 @@ class JsonlDirSink(DataSource):
         return JsonlDirWriter(self.options, overwrite)
 
 
+_REGISTER_LOCK = threading.Lock()
+
+
 def register(spark: SparkSession) -> None:
-    """Idempotent per-session registration."""
-    if not getattr(spark, "_qrapids_pyds_registered", False):
-        spark.dataSource.register(SyntheticMetricsDataSource)
-        spark.dataSource.register(JsonlDirSink)
-        spark._qrapids_pyds_registered = True
+    """Idempotent per-session registration — thread-safe: concurrent
+    query construction (the plan sweep's 8-thread pool, the oracle
+    gate's shards) can race two first-callers past the flag check, so
+    the flag sits behind a lock (a bare check-then-register raced to
+    a DATA_SOURCE_ALREADY_EXISTS AnalysisException, r9 review)."""
+    with _REGISTER_LOCK:
+        if not getattr(spark, "_qrapids_pyds_registered", False):
+            spark.dataSource.register(SyntheticMetricsDataSource)
+            spark.dataSource.register(JsonlDirSink)
+            spark._qrapids_pyds_registered = True
 
 
 _N_DAYS = 365

@@ -88,6 +88,11 @@ def test_every_registry_query_is_benched_or_pinned_excluded():
     assert not unbenched, f"silently unbenched: {unbenched}"
     stale = (EXCLUDED_ITERATIVE_FITS | EXCLUDED_PAIR_SCANS) - set(qs)
     assert not stale, f"exclusion names not in registry: {stale}"
+    # HEADLINE has precedence over the exclusion filter in run_list, so
+    # an overlap would silently defeat a pin — must stay disjoint (and
+    # run_list itself raises on it)
+    clash = set(HEADLINE) & (EXCLUDED_ITERATIVE_FITS | EXCLUDED_PAIR_SCANS)
+    assert not clash, f"HEADLINE defeats an exclusion pin: {clash}"
     # the exclusions keep their benched representatives
     assert "forecast_ets_events" in benched
     assert "forecast_ets_user_series" in benched
