@@ -32,38 +32,36 @@ primitive as ``curation.token_shard_packing``'s distributed prefix sum:
    assignment is bit-identical to the single-task window the oracle
    runs.
 
-Net cost per use: the ranged layout is materialized ONCE by a lazy
-``localCheckpoint`` (the ucb1 precedent) and the offsets pass and main
-pass both read the checkpointed blocks.  The checkpoint exists because
-of two MEASURED Spark 4.1 facts (AQE on): (a) identical
+Net cost per use: the ranged layout is ``persist``-ed and the offsets
+pass and main pass both read the cache.  The cut exists because of two
+MEASURED Spark 4.1 facts (AQE on): (a) identical
 ``repartitionByRange`` exchanges are NOT deduped by exchange reuse
 (0 ``ReusedExchange`` even on a minimal self-join repro), and (b) a
 range repartition costs a RangePartitioner SAMPLING job over its input
-on top of the shuffle itself — so without the cut, each helper call
-recomputes its input ~3× and CHAINED calls (RFM's three ntile cuts,
-Heaps' two cumsums) recompute the base aggregate ~3^k times.
-MEASURED on the 3-chain (rfm_quartile_segments, sf0.1): 38 Spark jobs
-without the cut vs 22 with it; local WALL time is statistically
-indistinguishable (medians 2.7 vs 3.5 s inside the host's 2-5 s rep
-spread — each recomputed job is a sub-100 ms aggregate here), but at
-fact-grain scale every one of those 16 extra jobs is a full re-read,
-so the cut is what survives the 100× test.  With it the cost is
-linear and local: one pass of the input (sampling) + one range shuffle
-+ one block write, then every consumer — including the next chained
-helper — reads bounded checkpointed blocks.  The lineage truncation
-also freezes the record-id column, making the rank immune to
-non-deterministic recomputation by construction.  This is still strictly better at
-scale than the first-cut ``Window.partitionBy(pid)`` form (which paid
-a full-data ``hash(pid)`` exchange per call) and categorically better
-than the single-task global window.  Locally the helper costs ~0.5 s
-of fixed stage-scheduling overhead per use vs the single-task window —
+on top of the shuffle itself — so uncut, each helper call recomputes
+its input ~3× and CHAINED calls (RFM's three ntile cuts, Heaps' two
+cumsums) recompute the base aggregate ~3^k times (38 Spark jobs per
+run on the 3-chain, measured at sf0.1; each extra job is a full
+re-read at fact-grain scale).  ``persist`` beats the obvious
+``localCheckpoint`` cut on both measured axes — see
+:func:`_materialize` — and keeps the plan census fully sighted.  With
+it the cost is linear: one pass of the input (sampling) + one range
+shuffle + one cache write, then every consumer — including the next
+chained helper — reads cached blocks (7 jobs/run on the 3-chain).
+Recompute after cache eviction is SAFE by construction (fixed sampling
+seeds + a total order key reproduce identical partition contents and
+record ids).  This is still strictly better at scale than the
+first-cut ``Window.partitionBy(pid)`` form (which paid a full-data
+``hash(pid)`` exchange per call) and categorically better than the
+single-task global window.  Locally the helper costs ~0.3-0.5 s of
+fixed stage-scheduling overhead per use vs the single-task window —
 the documented price of removing the serialization point (BASELINE.md
 r9 note).
 
 (:func:`global_cumsum` keeps the partition-local window form: a
 running VALUE sum cannot be recovered from record numbers, and its
 call sites run over aggregated grain where that window is cheap; it
-takes the same checkpoint cut, so chained cumsums are linear too.)
+takes the same persist cut, so chained cumsums are linear too.)
 
 Exactness requires the order key to be a TOTAL order (callers append a
 unique tiebreak column, the registry-wide discipline) — equal keys
@@ -93,19 +91,28 @@ _TOT = "__rb_n"
 
 
 def _materialize(ranged: DataFrame) -> DataFrame:
-    """Cut lineage at the ranged layout with a lazy localCheckpoint:
-    the offsets pass, the main pass, and any CHAINED helper call read
-    the stored blocks instead of recomputing the input through the
-    sampling job + range shuffle (module docstring, measured facts
-    a/b).  MEASURED caveat: under AQE, ``localCheckpoint(eager=False)``
-    still runs the upstream SHUFFLE stages at DataFrame-construction
-    time (AdaptiveSparkPlanExec materializes query stages inside
-    ``toRdd``; only the final result stage stays deferred) — so even
-    pure plan inspection of a routed query executes its small input
-    pipeline.  The registry sweep neutralizes the cut entirely
-    (identity-patches localCheckpoint) so the census sees full
-    lineage."""
-    return ranged.localCheckpoint(eager=False)
+    """Stop the ranged layout from being recomputed by ``persist``
+    (MEMORY_AND_DISK): the offsets pass populates the cache, the main
+    pass and any CHAINED helper call read it (module docstring,
+    measured facts a/b).
+
+    Why persist and not localCheckpoint (both were MEASURED on the
+    3-chained-ntile query, warm session, sf0.1): under AQE a
+    localCheckpoint executes its upstream shuffle stages SYNCHRONOUSLY
+    at DataFrame-construction time, so k chained helpers serialize k
+    blocking materializations into every construction — 17 jobs/run,
+    1.32 s median — while persist defers everything to the action and
+    Spark's CacheManager matches by logical-plan equality, so even
+    RE-constructions of the same query hit the cache: 7 jobs/run,
+    0.84 s (uncut: 38 jobs).  persist also keeps the full lineage
+    visible (InMemoryRelation wraps the child plan) and recompute
+    after block eviction is SAFE here by construction: the range
+    partitioner samples with fixed seeds and the order key is total,
+    so an evicted partition recomputes to the identical sorted content
+    and the identical record-id counter.  Cache entries outlive the
+    query until evicted (storage-memory LRU) — self-limiting, and the
+    right trade for a layout every consumer re-reads."""
+    return ranged.persist()
 
 
 def global_rank(df: DataFrame, order_cols: list[Column],

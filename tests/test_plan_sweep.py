@@ -88,18 +88,22 @@ def test_registry_wide_no_cartesian_no_row_python(spark, monkeypatch):
     sf_dir = "/root/testdata/sf0.001"
     cart, batch, gw, errs = [], [], [], []
 
-    # Neutralize every lineage cut for the duration of the sweep: a
-    # localCheckpoint replaces its upstream tree with a LogicalRDD at
-    # construction, so anything above it — including a new fact-grain
-    # global window, a cartesian, or a row-Python UDF — would be
-    # INVISIBLE to the census (review finding, r9).  With the identity
-    # patch the sweep sees full lineage for all ~60 checkpoint sites
-    # (ranked helpers, dedup CC, the recursive-CTE family); the
+    # Neutralize every lineage/plan cut for the duration of the sweep:
+    # a localCheckpoint replaces its upstream tree with a LogicalRDD at
+    # construction (and a persist wraps it in an InMemoryRelation the
+    # walker does not descend), so anything above either — including a
+    # new fact-grain global window, a cartesian, or a row-Python UDF —
+    # would be INVISIBLE to the census (review finding, r9).  With the
+    # identity patches the sweep sees full lineage for all ~60 cut
+    # sites (ranked helpers, dedup CC, the recursive-CTE family); the
     # iterative constructions this slows run over sf0.001 inputs, so
     # the extra recompute stays in the noise.
     from pyspark.sql import DataFrame
     monkeypatch.setattr(DataFrame, "localCheckpoint",
                         lambda self, eager=True: self)
+    monkeypatch.setattr(DataFrame, "persist",
+                        lambda self, *a, **k: self)
+    monkeypatch.setattr(DataFrame, "cache", lambda self: self)
 
     def _check(item):
         name, fn = item
