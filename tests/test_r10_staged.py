@@ -1,0 +1,115 @@
+"""Round-10 staged operators (operators/r10_staged.py): Spark<->DuckDB
+parity, independent brute-force replays of each statistic, and the
+registration freeze pin — these names must NOT be in the live registry
+until r10 spends its net-new budget on them."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from qrapids_forecast_r_script_spark.operators import r10_staged
+from tests.oracle_compare import compare, duckdb_run
+
+STAGED = ["events_cvm_drift", "balance_conversion_catrend",
+          "bleu_neardup_pairs"]
+
+
+def test_staged_names_not_registered():
+    """The r9 net-new registration budget is spent; the staged names
+    must stay OUT of the live registry (and the staged dicts must be
+    complete and consistent) until r10 registers them."""
+    import __spark_entry__ as entry
+    live = entry.queries()
+    for name in STAGED:
+        assert name not in live, f"{name} registered early — freeze cap"
+    assert sorted(r10_staged.QUERIES) == sorted(STAGED)
+    assert sorted(r10_staged.ORACLES) == sorted(STAGED)
+
+
+@pytest.mark.parametrize("name", STAGED)
+def test_staged_oracle_parity(spark, sf_dir, name):
+    """Driver-style compare of each staged query vs its DuckDB oracle."""
+    got = r10_staged.QUERIES[name](spark, sf_dir)
+    want = duckdb_run(r10_staged.ORACLES[name], sf_dir)
+    problems = compare(got, want)
+    assert not problems, problems
+
+
+def test_cvm_matches_bruteforce(spark, sf_dir):
+    """The engine's integer-numerator CvM equals the definitional
+    pooled-ECDF form T = NM/(N+M)^2 * sum_pooled (F_N - G_M)^2."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    day = ev["ts"].dt.normalize()
+    early = day < (day.min() + pd.Timedelta(days=15))
+    got = {r["event_type"]: r
+           for r in r10_staged.events_cvm_drift(spark, sf_dir).collect()}
+    for etype, grp in ev.groupby("event_type"):
+        a = np.sort(grp.loc[early[grp.index], "value"].to_numpy())
+        b = np.sort(grp.loc[~early[grp.index], "value"].to_numpy())
+        n, m = len(a), len(b)
+        pooled = np.concatenate([a, b])
+        fa = np.searchsorted(a, pooled, side="right") / n
+        fb = np.searchsorted(b, pooled, side="right") / m
+        t = n * m / (n + m) ** 2 * float(((fa - fb) ** 2).sum())
+        row = got[etype]
+        assert row["n_early"] == n and row["n_late"] == m
+        assert abs(row["cvm_t"] - t) < 2e-6, (etype, row["cvm_t"], t)
+        assert row["drift_detected"] == (row["cvm_t"] > row["cvm_crit"])
+
+
+def test_catrend_z_is_sqrt_n_times_corr(spark, sf_dir):
+    """Cochran-Armitage z == sqrt(N) * Pearson corr(score, outcome) —
+    the subject-level identity, re-derived independently in numpy."""
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    yc = (orders["o_totalprice"] * 100).round().astype("int64")
+    mu = yc.sum() / len(yc)
+    conv = set(orders.loc[yc > mu, "o_custkey"])
+    balcents = (cust["c_acctbal"] * 100).round().astype("int64")
+    dose = np.floor(balcents.to_numpy() / 100000.0).astype(int)
+    y = cust["c_custkey"].isin(conv).to_numpy().astype(int)
+    z_ref = math.sqrt(len(y)) * float(np.corrcoef(dose, y)[0, 1])
+
+    rows = r10_staged.balance_conversion_catrend(spark, sf_dir).collect()
+    assert len(rows) == len(set(dose))
+    z_got = rows[0]["ca_z"]
+    assert all(r["ca_z"] == z_got for r in rows)
+    assert abs(z_got - z_ref) < 5e-6, (z_got, z_ref)
+    assert rows[0]["trend_detected"] == (abs(z_got) > 1.96)
+    per = {d: (int((dose == d).sum()), int(y[dose == d].sum()))
+           for d in set(dose)}
+    for r in rows:
+        n_k, r_k = per[r["dose"]]
+        assert (r["n_customers"], r["n_converted"]) == (n_k, r_k)
+
+
+def test_bleu_matches_bruteforce(spark, sf_dir):
+    """Every emitted pair's clipped precisions, brevity penalty, and
+    BLEU-2 match a Counter-based python replay; bounds hold."""
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    rows = r10_staged.bleu_neardup_pairs(spark, sf_dir).collect()
+    assert rows, "LSH candidate pairs expected at test SF"
+    for r in rows:
+        a = texts[r["doc_a"]].split(" ")
+        b = texts[r["doc_b"]].split(" ")
+        assert (r["len_a"], r["len_b"]) == (len(a), len(b))
+        c1, r1 = Counter(a), Counter(b)
+        m1 = sum(min(c, r1[g]) for g, c in c1.items())
+        big_a = [f"{x} {y}" for x, y in zip(a, a[1:])]
+        big_b = [f"{x} {y}" for x, y in zip(b, b[1:])]
+        c2, r2 = Counter(big_a), Counter(big_b)
+        m2 = sum(min(c, r2[g]) for g, c in c2.items())
+        assert (r["match_1"], r["match_2"]) == (m1, m2)
+        p1 = m1 / len(a)
+        p2 = m2 / (len(a) - 1) if len(a) > 1 else 0.0
+        bp = 1.0 if len(a) > len(b) else math.exp(1.0 - len(b) / len(a))
+        bleu = (bp * math.sqrt(p1 * p2)
+                if m1 > 0 and m2 > 0 and len(a) > 1 else 0.0)
+        assert abs(r["p1"] - p1) < 1e-6
+        assert abs(r["p2"] - p2) < 1e-6
+        assert abs(r["bleu2"] - bleu) < 2e-6
+        assert 0.0 <= r["bleu2"] <= 1.0 + 1e-9
