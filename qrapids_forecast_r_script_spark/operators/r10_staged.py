@@ -9,7 +9,7 @@ registration per the standing policy.  ``tests/test_r10_staged.py``
 already pins Spark<->DuckDB parity, a brute-force python replay of each
 statistic, and the fact that these names are NOT in the live registry.
 
-Three operator classes the 419-query registry still lacks:
+Operator classes the 419-query registry still lacks:
 
 - ``events_cvm_drift`` — the two-sample Cramér-von Mises drift test
   (Anderson 1962), the INTEGRATED-distance sibling of the max-distance
@@ -29,6 +29,17 @@ Three operator classes the 419-query registry still lacks:
   MT-eval metric applied as a dedup-audit lens (est_jaccard estimates
   set overlap; BLEU weighs repeated-token multiplicity and length
   asymmetry the set view discards).
+- ``embedding_mmd2_drift`` — quadratic-kernel Maximum Mean Discrepancy
+  (Gretton et al. 2012) between the deterministic embedding snapshot
+  halves, collapsed to the Frobenius distance of mean second-moment
+  matrices so no pairwise kernel sum ever materializes: the
+  SHAPE-sensitive drift monitor next to the mean-only
+  `embedding_drift_centroids`.
+- ``events_kuiper_tod_drift`` — the Kuiper two-sample test (Kuiper
+  1960) on the time-of-day distribution: the rotation-invariant KS
+  variant whose sensitivity does not die at the midnight wrap-around,
+  i.e. the CORRECT drift test for circular hour-of-day data (the
+  `circular_stats` lesson applied to monitoring).
 
 Scale shapes: CvM is the `events_ks_drift` plan verbatim (one grouped
 count by (type, value), per-type running sums over the DISTINCT value
@@ -290,10 +301,167 @@ def bleu_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_a", "doc_b"))
 
 
+# MMD drift: 1e-5 coordinate snap — chosen so the worst-case 128-bit
+# sums stay inside decimal(38,0)/HUGEINT (entry <= n·1e10, cross term
+# <= n·m·1e20·d² ≈ 4e35 at sf0.1); the statistic is DEFINED on the
+# snapped coordinates, identically on both engines.
+_MMD_GRID = 100000
+# drift_share flag threshold — like `embedding_drift_centroids`, a
+# per-corpus knob to be calibrated on an A/A split of one snapshot.
+_MMD_SHARE_MAX = 0.05
+
+
+def embedding_mmd2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label quadratic-kernel MMD² between the two deterministic
+    embedding snapshot halves (Gretton et al. 2012, Maximum Mean
+    Discrepancy; vec_id-parity halves per the
+    `embedding_drift_centroids` convention).  With kernel
+    k(x,y) = (x·y)², the biased MMD² collapses to the Frobenius
+    distance of the mean SECOND-MOMENT matrices:
+
+        MMD² = || Σxxᵀ/n − Σyyᵀ/m ||²_F
+
+    — so the pairwise-kernel double sum never materializes: one
+    d²-entry moment matrix per (label, half) (exact BIGINT sums of
+    1e-5-snapped coordinate products), then a d²-row comparison.  This
+    is the SHAPE-sensitive drift monitor: a re-encode that rotates or
+    re-scales the space moves second moments while centroids (the mean
+    monitor) can stay put.  `drift_share` = MMD² normalized by
+    ||M_A||² + ||M_B||² is an exact ratio of 128-bit integers.
+
+    Scale: the self-join fan-out is d² rows per vector (d=64) but
+    map-side partial aggregation collapses the shuffle to d² rows per
+    partition; everything downstream is (labels × d²), broadcast-tiny.
+    Labels with an empty half are omitted (no second snapshot to
+    compare)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = (emb.select(
+        "vec_id", "label", (F.col("vec_id") % 2).alias("snap"),
+        F.posexplode("embedding").alias("d", "v_raw"))
+        .select("vec_id", "label", "snap", "d",
+                F.round(F.col("v_raw").cast("double") * _MMD_GRID, 0)
+                .cast("long").alias("xv")))
+    right = expl.select("vec_id", F.col("d").alias("d2"),
+                        F.col("xv").alias("xv2"))
+    smat = (expl.join(right, "vec_id")
+            .groupBy("label", "snap", "d", "d2")
+            .agg(F.sum(F.col("xv") * F.col("xv2")).alias("s")))
+    a = (smat.where(F.col("snap") == 0)
+         .select("label", "d", "d2", F.col("s").alias("sa")))
+    b = (smat.where(F.col("snap") == 1)
+         .select("label", "d", "d2", F.col("s").alias("sb")))
+    counts = (emb.groupBy("label")
+              .agg(F.count(F.when(F.col("vec_id") % 2 == 0, 1))
+                   .alias("n_a"),
+                   F.count(F.when(F.col("vec_id") % 2 == 1, 1))
+                   .alias("n_b")))
+    j = (a.join(b, ["label", "d", "d2"])
+         .join(F.broadcast(counts), "label"))
+    diff = (F.col("n_b").cast("decimal(38,0)") * F.col("sa")
+            - F.col("n_a").cast("decimal(38,0)") * F.col("sb"))
+    per = (j.groupBy("label")
+           .agg(F.max("n_a").alias("n_a"),
+                F.max("n_b").alias("n_b"),
+                F.sum(diff * diff).alias("num"),
+                F.sum(F.col("sa").cast("decimal(38,0)") * F.col("sa"))
+                .alias("sa2"),
+                F.sum(F.col("sb").cast("decimal(38,0)") * F.col("sb"))
+                .alias("sb2")))
+    na2 = F.col("n_a").cast("double") * F.col("n_a")
+    nb2 = F.col("n_b").cast("double") * F.col("n_b")
+    mmd2 = (F.col("num").cast("double")
+            / (na2 * nb2 * float(_MMD_GRID) ** 4))
+    den = (F.col("n_b").cast("decimal(38,0)") * F.col("n_b")
+           * F.col("sa2")
+           + F.col("n_a").cast("decimal(38,0)") * F.col("n_a")
+           * F.col("sb2"))
+    share = F.col("num").cast("double") / den.cast("double")
+    return (per
+            .withColumn("mmd2", F.round(mmd2, 9))
+            .withColumn("drift_share", F.round(share, 9))
+            .withColumn("drifted",
+                        F.col("drift_share") > F.lit(_MMD_SHARE_MAX))
+            .select("label", "n_a", "n_b", "mmd2", "drift_share",
+                    "drifted")
+            .orderBy("label"))
+
+
+# Kuiper asymptotic 5% point of V*sqrt(Ne) (Stephens 1970, Table 1) —
+# the KS _KS_COEF sibling for the rotation-invariant statistic.
+_KUIPER_COEF = 1.747
+
+
+def events_kuiper_tod_drift(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Kuiper two-sample drift test of the TIME-OF-DAY distribution per
+    event type, first ``_KS_SPLIT_DAYS`` days vs the rest (Kuiper 1960):
+    V = D⁺ + D⁻, the sum of the largest positive and largest negative
+    ECDF gaps.  Unlike KS, V is invariant under rotation of the circle
+    — a shift ACROSS midnight that splits its KS gap into two half-size
+    gaps at the wrap-around keeps its full Kuiper gap, which is exactly
+    the failure mode of hour-of-day monitoring (the
+    `circular_stats` midnight-not-noon lesson applied to drift).
+    Verdict at the Stephens large-sample 5% point
+    V > 1.747·sqrt((n+m)/(n·m)).
+
+    Exactness: the observable is the integer second-of-day; D⁺ and D⁻
+    are maxima of the SIGNED integer numerator M·cume − N·cuml over the
+    distinct-value grid, so V = (max⁺ + max⁻)/(N·M) is one division of
+    exact integers.  Same plan as `events_ks_drift` (grouped count on
+    the distinct grid, per-type running sums, one aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    mind = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    tod = (F.hour("ts") * 3600 + F.minute("ts") * 60
+           + F.second("ts"))
+    sided = (ev.crossJoin(F.broadcast(mind))
+             .select("event_type", tod.alias("tod"),
+                     (F.to_date("ts")
+                      < F.date_add(F.col("d0"), _KS_SPLIT_DAYS))
+                     .alias("early")))
+    counts = (sided.groupBy("event_type", "tod")
+              .agg(F.sum(F.when(F.col("early"), 1).otherwise(0))
+                   .alias("ce"),
+                   F.sum(F.when(~F.col("early"), 1).otherwise(0))
+                   .alias("cl")))
+    wv = (Window.partitionBy("event_type").orderBy("tod")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("event_type")
+    cum = (counts
+           .withColumn("cume", F.sum("ce").over(wv))
+           .withColumn("cuml", F.sum("cl").over(wv))
+           .withColumn("ne", F.sum("ce").over(wt))
+           .withColumn("nl", F.sum("cl").over(wt)))
+    signed = (F.col("nl").cast("decimal(38,0)") * F.col("cume")
+              - F.col("ne").cast("decimal(38,0)") * F.col("cuml"))
+    agg = (cum.groupBy("event_type")
+           .agg(F.max("ne").alias("n_early"),
+                F.max("nl").alias("n_late"),
+                F.greatest(F.max(signed), F.lit(0).cast("decimal(38,0)"))
+                .alias("dpos"),
+                F.greatest(F.max(-signed), F.lit(0).cast("decimal(38,0)"))
+                .alias("dneg")))
+    v = ((F.col("dpos") + F.col("dneg")).cast("double")
+         / (F.col("n_early").cast("double") * F.col("n_late")))
+    crit = F.round(F.lit(_KUIPER_COEF)
+                   * F.sqrt((F.col("n_early") + F.col("n_late"))
+                            / (F.col("n_early").cast("double")
+                               * F.col("n_late"))), 6)
+    return (agg
+            .withColumn("kuiper_v", F.round(v, 6))
+            .withColumn("kuiper_crit", crit)
+            .withColumn("drift_detected",
+                        F.col("kuiper_v") > F.col("kuiper_crit"))
+            .select("event_type", "n_early", "n_late", "kuiper_v",
+                    "kuiper_crit", "drift_detected")
+            .orderBy("event_type"))
+
+
 QUERIES = {
     "events_cvm_drift": events_cvm_drift,
     "balance_conversion_catrend": balance_conversion_catrend,
     "bleu_neardup_pairs": bleu_neardup_pairs,
+    "embedding_mmd2_drift": embedding_mmd2_drift,
+    "events_kuiper_tod_drift": events_kuiper_tod_drift,
 }
 
 ORACLES = {
@@ -396,6 +564,105 @@ ORACLES = {
                abs(s.ca_z) > 1.96 AS trend_detected
         FROM per p CROSS JOIN stats s
         ORDER BY p.dose
+    """,
+    "embedding_mmd2_drift": f"""
+        WITH expl AS (
+            SELECT vec_id, label, vec_id % 2 AS snap,
+                   generate_subscripts(embedding, 1) AS d,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                              * {_MMD_GRID}) AS BIGINT) AS xv
+            FROM embeddings
+        ), smat AS (
+            SELECT a.label, a.snap, a.d, b.d AS d2,
+                   sum(a.xv * b.xv) AS s
+            FROM expl a JOIN expl b ON a.vec_id = b.vec_id
+            GROUP BY 1, 2, 3, 4
+        ), counts AS (
+            SELECT label,
+                   count(*) FILTER (vec_id % 2 = 0) AS n_a,
+                   count(*) FILTER (vec_id % 2 = 1) AS n_b
+            FROM embeddings GROUP BY 1
+        ), j AS (
+            SELECT a.label, c.n_a, c.n_b,
+                   CAST(c.n_b AS HUGEINT) * a.s
+                       - CAST(c.n_a AS HUGEINT) * b.s AS diff,
+                   CAST(a.s AS HUGEINT) AS sa,
+                   CAST(b.s AS HUGEINT) AS sb
+            FROM smat a
+            JOIN smat b ON a.label = b.label AND a.d = b.d
+                       AND a.d2 = b.d2 AND a.snap = 0 AND b.snap = 1
+            JOIN counts c ON c.label = a.label
+        ), per AS (
+            SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
+                   sum(diff * diff) AS num,
+                   sum(sa * sa) AS sa2, sum(sb * sb) AS sb2
+            FROM j GROUP BY 1
+        )
+        SELECT label,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               round(CAST(num AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * n_a * n_b * n_b
+                        * {float(_MMD_GRID) ** 4!r}), 9) AS mmd2,
+               round(CAST(num AS DOUBLE)
+                     / CAST(CAST(n_b AS HUGEINT) * n_b * sa2
+                            + CAST(n_a AS HUGEINT) * n_a * sb2
+                            AS DOUBLE), 9) AS drift_share,
+               round(CAST(num AS DOUBLE)
+                     / CAST(CAST(n_b AS HUGEINT) * n_b * sa2
+                            + CAST(n_a AS HUGEINT) * n_a * sb2
+                            AS DOUBLE), 9) > {_MMD_SHARE_MAX} AS drifted
+        FROM per ORDER BY label
+    """,
+    "events_kuiper_tod_drift": f"""
+        WITH d0 AS (
+            SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+        ), sided AS (
+            SELECT event_type,
+                   extract('hour' FROM ts) * 3600
+                   + extract('minute' FROM ts) * 60
+                   + extract('second' FROM ts) AS tod,
+                   CAST(ts AS DATE) < d0 + {_KS_SPLIT_DAYS} AS early
+            FROM events CROSS JOIN d0
+        ), counts AS (
+            SELECT event_type, tod,
+                   sum(CASE WHEN early THEN 1 ELSE 0 END) AS ce,
+                   sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS cl
+            FROM sided GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type,
+                   sum(ce) OVER w AS cume,
+                   sum(cl) OVER w AS cuml,
+                   sum(ce) OVER t AS ne,
+                   sum(cl) OVER t AS nl
+            FROM counts
+            WINDOW w AS (PARTITION BY event_type ORDER BY tod
+                         ROWS UNBOUNDED PRECEDING),
+                   t AS (PARTITION BY event_type)
+        ), agg AS (
+            SELECT event_type,
+                   CAST(max(ne) AS BIGINT) AS n_early,
+                   CAST(max(nl) AS BIGINT) AS n_late,
+                   greatest(max(CAST(nl AS HUGEINT) * cume
+                                - CAST(ne AS HUGEINT) * cuml),
+                            CAST(0 AS HUGEINT)) AS dpos,
+                   greatest(max(CAST(ne AS HUGEINT) * cuml
+                                - CAST(nl AS HUGEINT) * cume),
+                            CAST(0 AS HUGEINT)) AS dneg
+            FROM cum GROUP BY 1
+        )
+        SELECT event_type, n_early, n_late,
+               round(CAST(dpos + dneg AS DOUBLE)
+                     / (CAST(n_early AS DOUBLE) * n_late), 6)
+                   AS kuiper_v,
+               round({_KUIPER_COEF} * sqrt((n_early + n_late)
+                     / (CAST(n_early AS DOUBLE) * n_late)), 6)
+                   AS kuiper_crit,
+               round(CAST(dpos + dneg AS DOUBLE)
+                     / (CAST(n_early AS DOUBLE) * n_late), 6)
+                   > round({_KUIPER_COEF} * sqrt((n_early + n_late)
+                     / (CAST(n_early AS DOUBLE) * n_late)), 6)
+                   AS drift_detected
+        FROM agg ORDER BY event_type
     """,
     "bleu_neardup_pairs": _SIG_CTE + f"""
         , bands AS ({_BANDS_UNION}),

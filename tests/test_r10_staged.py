@@ -14,7 +14,8 @@ from qrapids_forecast_r_script_spark.operators import r10_staged
 from tests.oracle_compare import compare, duckdb_run
 
 STAGED = ["events_cvm_drift", "balance_conversion_catrend",
-          "bleu_neardup_pairs"]
+          "bleu_neardup_pairs", "embedding_mmd2_drift",
+          "events_kuiper_tod_drift"]
 
 
 def test_staged_names_not_registered():
@@ -84,6 +85,67 @@ def test_catrend_z_is_sqrt_n_times_corr(spark, sf_dir):
     for r in rows:
         n_k, r_k = per[r["dose"]]
         assert (r["n_customers"], r["n_converted"]) == (n_k, r_k)
+
+
+def test_mmd2_matches_bruteforce(spark, sf_dir):
+    """The moment-matrix collapse equals the definitional biased MMD²
+    with k(x,y) = (x·y)² — numpy computes BOTH forms per label on the
+    snapped coordinates and checks them against the engine."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    got = {r["label"]: r
+           for r in r10_staged.embedding_mmd2_drift(spark, sf_dir)
+           .collect()}
+    for label, grp in emb.groupby("label"):
+        x = np.vstack(grp["embedding"].to_numpy()).astype("float64")
+        xs = np.round(x * 100000.0) / 100000.0  # the snapped coords
+        half = (grp["vec_id"].to_numpy() % 2) == 0
+        a, b = xs[half], xs[~half]
+        if not len(a) or not len(b):
+            assert label not in got
+            continue
+        ka = (a @ a.T) ** 2
+        kb = (b @ b.T) ** 2
+        kab = (a @ b.T) ** 2
+        mmd_def = (ka.mean() + kb.mean() - 2 * kab.mean())
+        ma = (a.T @ a) / len(a)
+        mb = (b.T @ b) / len(b)
+        mmd_mom = float(((ma - mb) ** 2).sum())
+        assert abs(mmd_def - mmd_mom) < 1e-12
+        row = got[label]
+        assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+        assert abs(row["mmd2"] - mmd_mom) < 2e-9
+        share = mmd_mom / float((ma ** 2).sum() + (mb ** 2).sum())
+        assert abs(row["drift_share"] - share) < 2e-9
+        assert row["drifted"] == (row["drift_share"] > 0.05)
+
+
+def test_kuiper_matches_bruteforce_and_dominates_ks(spark, sf_dir):
+    """Kuiper V equals the brute-force D⁺ + D⁻ over second-of-day
+    ECDFs, and V >= the KS max-|gap| on the same split (D⁺+D⁻ >=
+    max(D⁺, D⁻) always)."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    day = ev["ts"].dt.normalize()
+    early = day < (day.min() + pd.Timedelta(days=15))
+    tod = (ev["ts"].dt.hour * 3600 + ev["ts"].dt.minute * 60
+           + ev["ts"].dt.second).to_numpy()
+    got = {r["event_type"]: r
+           for r in r10_staged.events_kuiper_tod_drift(spark, sf_dir)
+           .collect()}
+    for etype, grp in ev.groupby("event_type"):
+        a = np.sort(tod[grp.index[early[grp.index]]])
+        b = np.sort(tod[grp.index[~early[grp.index]]])
+        n, m = len(a), len(b)
+        grid = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(a, grid, side="right") / n
+        fb = np.searchsorted(b, grid, side="right") / m
+        dpos = max(float((fa - fb).max()), 0.0)
+        dneg = max(float((fb - fa).max()), 0.0)
+        row = got[etype]
+        assert (row["n_early"], row["n_late"]) == (n, m)
+        assert abs(row["kuiper_v"] - (dpos + dneg)) < 2e-6
+        assert row["kuiper_v"] >= max(dpos, dneg) - 2e-6
+        assert row["drift_detected"] == (row["kuiper_v"]
+                                         > row["kuiper_crit"])
 
 
 def test_bleu_matches_bruteforce(spark, sf_dir):
