@@ -40,6 +40,16 @@ Operator classes the 419-query registry still lacks:
   variant whose sensitivity does not die at the midnight wrap-around,
   i.e. the CORRECT drift test for circular hour-of-day data (the
   `circular_stats` lesson applied to monitoring).
+- ``ab_ratio_metric_delta`` — the delta-method readout for RATIO
+  metrics under cluster (user-level) randomization (Deng, Knoblich &
+  Lu 2018): the one standard A/B analysis the family still lacked —
+  per-event metrics whose unit of analysis differs from the unit of
+  randomization, where the naive per-event variance is simply wrong.
+- ``retrieval_rbo_eval`` — Rank-Biased Overlap (Webber, Moffat &
+  Zobel 2010) of the PQ index's top-k against the exact top-k: the
+  top-weighted list-similarity designed for indefinite rankings,
+  answering "does the ANN index show the same first page" next to
+  NDCG/AP/MRR.
 
 Scale shapes: CvM is the `events_ks_drift` plan verbatim (one grouped
 count by (type, value), per-type running sums over the DISTINCT value
@@ -456,12 +466,179 @@ def events_kuiper_tod_drift(spark: SparkSession,
             .orderBy("event_type"))
 
 
+def ab_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method A/B readout for a RATIO metric — average value per
+    EVENT under USER-level randomization (Deng, Knoblich & Lu 2018,
+    "Applying the Delta Method in Metric Analytics"): the metric
+    R = ΣY_u/ΣN_u is a ratio of per-user sums, so the naive
+    per-event variance is wrong (events within a user correlate); the
+    delta method gives Var(R) ≈ (s_Y² − 2R·s_YN + R²·s_N²)/(K·n̄²)
+    from per-user moments.  The md5 50/50 user split and the A/A
+    calibration property follow `ab_test_report`; this completes the
+    A/B family's one missing standard readout (proportion z, CUPED,
+    SRM, log-rank, permutation, MW, DiD, power — and now ratio
+    metrics).
+
+    Exactness: value in exact milli-units; per-arm K, ΣY, ΣN, ΣY²,
+    ΣN², ΣYN are exact 128-bit integer sums, and the delta bracket
+    collapses (multiply through by ΣN²) to the all-integer
+
+        B = SN²(K·SYY − SY²) − 2·SY·SN(K·SYN − SY·SN)
+            + SY²(K·SNN − SN²),   Var(R) = B/((K−1)·SN⁴)
+
+    so R and Var(R) are single divisions of exact integers and z is
+    order-proof.  (B fits decimal(38,0) through sf0.1 with milli
+    units; a larger deployment drops to centi units, same plan.)
+    Scale: one per-user aggregate (the only wide stage), then a 2-row
+    arm table."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 8), 16, 10).cast("bigint") % 2)
+    mv = F.round(F.col("value") * 1000, 0).cast("long")
+    users = (ev.select("user_id", mv.alias("mv"))
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_u"),
+                  F.sum("mv").alias("y_u"))
+             .withColumn("arm", arm))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    arms = (users.groupBy("arm")
+            .agg(F.count(F.lit(1)).alias("k"),
+                 F.sum("y_u").alias("sy"),
+                 F.sum("n_u").alias("sn"),
+                 F.sum(d("y_u") * F.col("y_u")).alias("syy"),
+                 F.sum(d("n_u") * F.col("n_u")).alias("snn"),
+                 F.sum(d("y_u") * F.col("n_u")).alias("syn")))
+    b = (d("sn") * F.col("sn") * (d("k") * F.col("syy")
+                                  - d("sy") * F.col("sy"))
+         - F.lit(2).cast("decimal(38,0)") * F.col("sy") * F.col("sn")
+         * (d("k") * F.col("syn") - d("sy") * F.col("sn"))
+         + d("sy") * F.col("sy") * (d("k") * F.col("snn")
+                                    - d("sn") * F.col("sn")))
+    snd = F.col("sn").cast("double")
+    var_r = (b.cast("double")
+             / ((F.col("k") - 1).cast("double")
+                * snd * snd * snd * snd))
+    stats = (arms
+             .withColumn("ratio_milli", F.col("sy") / F.col("sn"))
+             .withColumn("var_milli", var_r))
+    wide = stats.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("ratio_milli")))
+        .alias("rc"),
+        F.max(F.when(F.col("arm") == 1, F.col("ratio_milli")))
+        .alias("rt"),
+        F.max(F.when(F.col("arm") == 0, F.col("var_milli")))
+        .alias("vc"),
+        F.max(F.when(F.col("arm") == 1, F.col("var_milli")))
+        .alias("vt"))
+    z = F.when((F.col("vc") + F.col("vt")) > 0,
+               F.round((F.col("rt") - F.col("rc"))
+                       / F.sqrt(F.col("vc") + F.col("vt")), 6))
+    wz = (wide.withColumn("delta_z", z)
+          .withColumn("significant", F.abs(F.col("delta_z")) > 1.96)
+          .select("delta_z", "significant"))
+    return (stats
+            .select("arm",
+                    F.col("k").cast("bigint").alias("n_users"),
+                    F.col("sn").cast("bigint").alias("n_events"),
+                    F.col("sy").cast("bigint").alias("sum_value_milli"),
+                    F.round(F.col("ratio_milli") / 1000.0, 6)
+                    .alias("ratio_per_event"),
+                    F.round(F.sqrt(F.col("var_milli")) / 1000.0, 9)
+                    .alias("se_ratio"))
+            .crossJoin(F.broadcast(wz))
+            .orderBy("arm"))
+
+
+# RBO parameters (Webber, Moffat & Zobel 2010): persistence p = 0.9,
+# depth = the shared _TOP_K of the ranking chains.  The geometric
+# weights (1-p)p^(d-1) and the extrapolation weight p^K are PRECOMPUTED
+# python literals inlined on both engines; each depth's contribution is
+# snapped to integer 1e-9 units pre-sum (the BM25 per-term discipline)
+# so the per-query sum is order-proof.
+_RBO_P = 0.9
+_RBO_K = 10  # = similarity._TOP_K, asserted in tests
+_RBO_W = {depth: 1e9 * (1.0 - _RBO_P) * _RBO_P ** (depth - 1)
+          for depth in range(1, _RBO_K + 1)}
+_RBO_EXT_W = 1e9 * _RBO_P ** _RBO_K
+
+
+def retrieval_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap of the PQ index's top-k list against the
+    exact cosine top-k, per query (Webber, Moffat & Zobel 2010 — the
+    IR-standard similarity for INDEFINITE rankings): with A_d the
+    fraction of the top-d prefixes two lists share,
+
+        RBO_ext = (1−p)·Σ_{d=1..k} p^(d-1)·A_d + p^k·A_k
+
+    (eq. 30's truncated-prefix extrapolation).  Kendall/Spearman treat
+    every position equally and need conjoint lists; RBO is top-weighted
+    (p = 0.9 ≈ the searcher who scans ~10 results) and handles
+    non-overlapping tails — so it answers "does the ANN index SHOW the
+    same first page", completing the eval family next to NDCG (graded
+    gain), AP and MRR (single-relevant).
+
+    Exactness: prefix overlaps c_d are exact integer counts off one
+    (query, id) join of the two bounded k·Q frames; each depth's
+    weighted term round(L_d·c_d/d) is snapped to integer 1e-9 units
+    before the per-query sum.  Scale: eval cost is corpus-independent
+    beyond running the two input chains (the `retrieval_mrr_eval`
+    envelope); the depth spine is a 10-row broadcast."""
+    from .similarity import cosine_topk_bruteforce, pq_topk
+
+    bf = (cosine_topk_bruteforce(spark, sf_dir)
+          .select("query_id", F.col("neighbor_id").alias("id"),
+                  F.col("rank").alias("ra")))
+    ann = (pq_topk(spark, sf_dir)
+           .select("query_id", F.col("neighbor_id").alias("id"),
+                   F.col("rank").alias("rb")))
+    common = (bf.join(ann, ["query_id", "id"])
+              .select("query_id",
+                      F.greatest("ra", "rb").alias("dmin")))
+    depths = (spark.range(1, _RBO_K + 1)
+              .select(F.col("id").cast("int").alias("d")))
+    grid = (bf.select("query_id").distinct()
+            .crossJoin(F.broadcast(depths)))
+    cd = (grid.join(common, "query_id", "left")
+          .withColumn("hit",
+                      F.when(F.col("dmin") <= F.col("d"), 1)
+                      .otherwise(0))
+          .groupBy("query_id", "d")
+          .agg(F.sum("hit").alias("c")))
+    wmap = F.create_map(*[F.lit(v) for kv in _RBO_W.items()
+                          for v in kv])
+    base = F.round(F.element_at(wmap, F.col("d")) * F.col("c")
+                   / F.col("d"), 0).cast("bigint")
+    ext = F.when(F.col("d") == _RBO_K,
+                 F.round(F.lit(_RBO_EXT_W) * F.col("c")
+                         / F.col("d"), 0).cast("bigint")) \
+        .otherwise(F.lit(0).cast("bigint"))
+    per = (cd.withColumn("m", base + ext)
+           .groupBy("query_id")
+           .agg(F.sum("m").alias("micro"),
+                F.max(F.when(F.col("d") == _RBO_K, F.col("c")))
+                .alias("overlap_at_k")))
+    g = per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.sum("micro") / 1e9 / F.count(F.lit(1)), 6)
+        .alias("mean_rbo"))
+    return (per
+            .withColumn("rbo_ext", F.round(F.col("micro") / 1e9, 9))
+            .select("query_id",
+                    F.col("overlap_at_k").cast("bigint")
+                    .alias("overlap_at_k"),
+                    "rbo_ext")
+            .crossJoin(F.broadcast(g))
+            .orderBy("query_id"))
+
+
 QUERIES = {
     "events_cvm_drift": events_cvm_drift,
     "balance_conversion_catrend": balance_conversion_catrend,
     "bleu_neardup_pairs": bleu_neardup_pairs,
     "embedding_mmd2_drift": embedding_mmd2_drift,
     "events_kuiper_tod_drift": events_kuiper_tod_drift,
+    "ab_ratio_metric_delta": ab_ratio_metric_delta,
+    "retrieval_rbo_eval": retrieval_rbo_eval,
 }
 
 ORACLES = {
@@ -664,6 +841,60 @@ ORACLES = {
                    AS drift_detected
         FROM agg ORDER BY event_type
     """,
+    "ab_ratio_metric_delta": f"""
+        WITH users AS (
+            SELECT user_id,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 2 AS arm,
+                   count(*) AS n_u,
+                   sum(CAST(round(value * 1000) AS BIGINT)) AS y_u
+            FROM events GROUP BY 1
+        ), arms AS (
+            SELECT arm, count(*) AS k,
+                   sum(y_u) AS sy, sum(n_u) AS sn,
+                   sum(CAST(y_u AS HUGEINT) * y_u) AS syy,
+                   sum(CAST(n_u AS HUGEINT) * n_u) AS snn,
+                   sum(CAST(y_u AS HUGEINT) * n_u) AS syn
+            FROM users GROUP BY 1
+        ), stats AS (
+            SELECT arm, k, sy, sn,
+                   sy / CAST(sn AS DOUBLE) AS ratio_milli,
+                   CAST(CAST(sn AS HUGEINT) * sn
+                            * (CAST(k AS HUGEINT) * syy
+                               - CAST(sy AS HUGEINT) * sy)
+                        - CAST(2 AS HUGEINT) * sy * sn
+                            * (CAST(k AS HUGEINT) * syn
+                               - CAST(sy AS HUGEINT) * sn)
+                        + CAST(sy AS HUGEINT) * sy
+                            * (CAST(k AS HUGEINT) * snn
+                               - CAST(sn AS HUGEINT) * sn)
+                        AS DOUBLE)
+                   / ((k - 1) * CAST(sn AS DOUBLE) * sn * sn * sn)
+                       AS var_milli
+            FROM arms
+        ), wide AS (
+            SELECT max(CASE WHEN arm = 0 THEN ratio_milli END) AS rc,
+                   max(CASE WHEN arm = 1 THEN ratio_milli END) AS rt,
+                   max(CASE WHEN arm = 0 THEN var_milli END) AS vc,
+                   max(CASE WHEN arm = 1 THEN var_milli END) AS vt
+            FROM stats
+        ), wz AS (
+            SELECT CASE WHEN vc + vt > 0
+                        THEN round((rt - rc) / sqrt(vc + vt), 6)
+                   END AS delta_z
+            FROM wide
+        )
+        SELECT s.arm,
+               CAST(s.k AS BIGINT) AS n_users,
+               CAST(s.sn AS BIGINT) AS n_events,
+               CAST(s.sy AS BIGINT) AS sum_value_milli,
+               round(s.ratio_milli / 1000.0, 6) AS ratio_per_event,
+               round(sqrt(s.var_milli) / 1000.0, 9) AS se_ratio,
+               w.delta_z,
+               abs(w.delta_z) > 1.96 AS significant
+        FROM stats s CROSS JOIN wz w
+        ORDER BY s.arm
+    """,
     "bleu_neardup_pairs": _SIG_CTE + f"""
         , bands AS ({_BANDS_UNION}),
         pairs AS (
@@ -739,3 +970,67 @@ ORACLES = {
         FROM joined ORDER BY doc_a, doc_b
     """,
 }
+
+_RBO_W_CASE = " ".join(f"WHEN {depth} THEN {w!r}"
+                       for depth, w in _RBO_W.items())
+
+
+def _rbo_oracle() -> str:
+    # Deferred import so the module never holds a second reference to
+    # similarity's ORACLES at import time (same lazy style as the
+    # query function's chain imports).
+    from .similarity import ORACLES as _sim
+
+    return """
+        WITH bf AS (
+            SELECT query_id, neighbor_id AS id, rank AS ra
+            FROM ({bf_sql}) __bf
+        ), ann AS (
+            SELECT query_id, neighbor_id AS id, rank AS rb
+            FROM ({ann_sql}) __ann
+        ), common AS (
+            SELECT b.query_id, greatest(b.ra, a.rb) AS dmin
+            FROM bf b
+            JOIN ann a ON a.query_id = b.query_id AND a.id = b.id
+        ), depths AS (
+            SELECT unnest(generate_series(1, {k})) AS d
+        ), grid AS (
+            SELECT q.query_id, dd.d
+            FROM (SELECT DISTINCT query_id FROM bf) q
+            CROSS JOIN depths dd
+        ), cd AS (
+            SELECT g.query_id, g.d,
+                   sum(CASE WHEN c.dmin <= g.d THEN 1 ELSE 0 END) AS c
+            FROM grid g
+            LEFT JOIN common c ON c.query_id = g.query_id
+            GROUP BY 1, 2
+        ), terms AS (
+            SELECT query_id, d, c,
+                   CAST(round((CASE d {wcase} END) * c / d, 0)
+                        AS BIGINT)
+                   + CASE WHEN d = {k}
+                          THEN CAST(round({extw!r} * c / d, 0)
+                                    AS BIGINT)
+                          ELSE 0 END AS m
+            FROM cd
+        ), per AS (
+            SELECT query_id, sum(m) AS micro,
+                   max(CASE WHEN d = {k} THEN c END) AS overlap_at_k
+            FROM terms GROUP BY 1
+        ), g2 AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   round(sum(micro) / 1e9 / count(*), 6) AS mean_rbo
+            FROM per
+        )
+        SELECT p.query_id,
+               CAST(p.overlap_at_k AS BIGINT) AS overlap_at_k,
+               round(p.micro / 1e9, 9) AS rbo_ext,
+               g2.n_queries, g2.mean_rbo
+        FROM per p CROSS JOIN g2
+        ORDER BY p.query_id
+    """.format(bf_sql=_sim["cosine_topk_bruteforce"],
+               ann_sql=_sim["pq_topk"],
+               k=_RBO_K, wcase=_RBO_W_CASE, extw=_RBO_EXT_W)
+
+
+ORACLES["retrieval_rbo_eval"] = _rbo_oracle()

@@ -15,7 +15,8 @@ from tests.oracle_compare import compare, duckdb_run
 
 STAGED = ["events_cvm_drift", "balance_conversion_catrend",
           "bleu_neardup_pairs", "embedding_mmd2_drift",
-          "events_kuiper_tod_drift"]
+          "events_kuiper_tod_drift", "ab_ratio_metric_delta",
+          "retrieval_rbo_eval"]
 
 
 def test_staged_names_not_registered():
@@ -146,6 +147,91 @@ def test_kuiper_matches_bruteforce_and_dominates_ks(spark, sf_dir):
         assert row["kuiper_v"] >= max(dpos, dneg) - 2e-6
         assert row["drift_detected"] == (row["kuiper_v"]
                                          > row["kuiper_crit"])
+
+
+def test_ratio_delta_matches_definitional_covariances(spark, sf_dir):
+    """The all-integer delta bracket equals the textbook delta-method
+    variance from np.cov per-user moments; the md5 A/A split must come
+    back not-significant (both arms sample the same traffic)."""
+    import hashlib
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    per_user = (ev.assign(mv=(ev["value"] * 1000).round().astype("int64"))
+                .groupby("user_id")
+                .agg(n_u=("mv", "size"), y_u=("mv", "sum"))
+                .reset_index())
+    arm = per_user["user_id"].map(
+        lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+        % 2)
+    ref = {}
+    for a in (0, 1):
+        g = per_user[arm == a]
+        k = len(g)
+        y, n = g["y_u"].to_numpy(float), g["n_u"].to_numpy(float)
+        r = y.sum() / n.sum()
+        cov = np.cov(y, n, ddof=1)
+        var = (cov[0, 0] - 2 * r * cov[0, 1] + r * r * cov[1, 1]) \
+            / (k * n.mean() ** 2)
+        ref[a] = (k, int(n.sum()), int(g["y_u"].sum()), r, var)
+    rows = {r["arm"]: r
+            for r in r10_staged.ab_ratio_metric_delta(spark, sf_dir)
+            .collect()}
+    for a in (0, 1):
+        k, sn, sy, r, var = ref[a]
+        row = rows[a]
+        assert (row["n_users"], row["n_events"],
+                row["sum_value_milli"]) == (k, sn, sy)
+        assert abs(row["ratio_per_event"] - r / 1000.0) < 2e-6
+        assert abs(row["se_ratio"] - math.sqrt(var) / 1000.0) < 1e-7
+    z_ref = (ref[1][3] - ref[0][3]) / math.sqrt(ref[0][4] + ref[1][4])
+    assert abs(rows[0]["delta_z"] - z_ref) < 1e-4
+    assert rows[0]["significant"] == (abs(rows[0]["delta_z"]) > 1.96)
+    # A/A calibration: same traffic on both arms -> no significance
+    assert not rows[0]["significant"]
+
+
+def test_rbo_matches_bruteforce_and_identity(spark, sf_dir):
+    """Per-query RBO_EXT equals the pure-python Webber eq.30 replay on
+    the two ranking chains' own outputs; the formula gives exactly 1
+    on identical lists; values stay in [0, 1]."""
+    from qrapids_forecast_r_script_spark.operators import similarity
+
+    assert r10_staged._RBO_K == similarity._TOP_K
+    p, k = r10_staged._RBO_P, r10_staged._RBO_K
+
+    def rbo_ext(list_a, list_b):
+        tot = 0.0
+        for d in range(1, k + 1):
+            a_d = len(set(list_a[:d]) & set(list_b[:d])) / d
+            tot += (1 - p) * p ** (d - 1) * a_d
+        a_k = len(set(list_a[:k]) & set(list_b[:k])) / k
+        return tot + p ** k * a_k
+
+    ident = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    assert abs(rbo_ext(ident, ident) - 1.0) < 1e-12
+
+    def ranking(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], {})[r["rank"]] = \
+                r["neighbor_id"]
+        return {q: [d[i] for i in sorted(d)] for q, d in out.items()}
+
+    bf = ranking(similarity.cosine_topk_bruteforce(spark, sf_dir))
+    ann = ranking(similarity.pq_topk(spark, sf_dir))
+    rows = {r["query_id"]: r
+            for r in r10_staged.retrieval_rbo_eval(spark, sf_dir)
+            .collect()}
+    assert sorted(rows) == sorted(bf)
+    micros = []
+    for q, row in rows.items():
+        ref = rbo_ext(bf[q], ann.get(q, []))
+        assert 0.0 <= row["rbo_ext"] <= 1.0 + 1e-9
+        assert abs(row["rbo_ext"] - ref) < 2e-8, (q, row["rbo_ext"], ref)
+        assert row["overlap_at_k"] == len(set(bf[q]) & set(ann.get(q, [])))
+        micros.append(round(row["rbo_ext"] * 1e9))
+    assert abs(rows[min(rows)]["mean_rbo"]
+               - round(sum(micros) / 1e9 / len(micros), 6)) < 2e-6
 
 
 def test_bleu_matches_bruteforce(spark, sf_dir):
