@@ -50,6 +50,19 @@ Operator classes the 419-query registry still lacks:
   top-weighted list-similarity designed for indefinite rankings,
   answering "does the ANN index show the same first page" next to
   NDCG/AP/MRR.
+- ``balance_stump_split`` — the LightGBM/XGBoost histogram split
+  finder (Ke et al. 2017; Chen & Guestrin 2016): 256 all-integer
+  fixed-width bins, per-bin label counts, Gini-gain scan on the
+  bounded grid — the supervised WHERE-to-cut-a-continuous-feature
+  primitive the categorical WoE/IV screen doesn't cover, and the
+  at-scale answer to split finding (never a fact-grain sort).
+
+(An Anderson-Darling two-sample variant was considered and dropped:
+its Scholz-Stephens normalization needs the O(N) harmonic-sum spine
+per group for sigma_N — implementable, but the KS/CvM/Kuiper trio
+already spans max-gap / integrated / circular sensitivity, and a
+Moore-Lewis cross-entropy selector was dropped as a near-duplicate of
+the registered `dsir_importance`.)
 
 Scale shapes: CvM is the `events_ks_drift` plan verbatim (one grouped
 count by (type, value), per-type running sums over the DISTINCT value
@@ -631,6 +644,111 @@ def retrieval_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id"))
 
 
+# Histogram split finder: 256 fixed-width bins (the LightGBM default
+# max_bin), all-integer bin assignment and boundaries.
+_STUMP_BINS = 256
+
+
+def balance_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based decision-stump split finder on account balance
+    vs the high-value-conversion target — the LightGBM/XGBoost-approx
+    split-finding primitive (Ke et al. 2017 §2.1; Chen & Guestrin 2016
+    §3.2) that makes tree training feasible at scale: instead of
+    sorting the raw feature (a fact-grain global sort), bin it into
+    {bins} fixed-width integer bins, aggregate per-bin label counts
+    (one keyed shuffle, map-side combinable), and scan the BOUNDED
+    bin grid for the Gini-gain-maximizing threshold.  This is the
+    supervised-discretization read `woe_information_value` (fixed
+    categorical) and `nb_calibration_curve` (score deciles) don't
+    cover: WHERE to cut a continuous feature.
+
+    Exactness: bin ids and cent boundaries are pure integer arithmetic
+    (``div``, no floats anywhere near a boundary); per-candidate Gini
+    gain is three single divisions of exact integers, snapped 1e-9;
+    the best split is picked by (snapped gain, lowest bin) — a total
+    order on exact values.  Prefix counts use a bin×bin self-join on
+    the ≤{bins}-row grid rather than an unpartitioned window, so the
+    plan stays window-free.  Scale: the only corpus-sized stages are
+    the converter aggregate and the per-bin count; everything after is
+    grid-sized."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice")
+    yc = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    priced = orders.select("o_custkey", yc.alias("yc"))
+    mean = priced.agg((F.sum("yc") / F.count(F.lit(1))).alias("mu"))
+    conv = (priced.crossJoin(F.broadcast(mean))
+            .where(F.col("yc") > F.col("mu"))
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct()
+            .withColumn("y", F.lit(1)))
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    labeled = (cust.join(conv, "c_custkey", "left")
+               .select(cents.alias("cents"),
+                       F.coalesce(F.col("y"), F.lit(0)).alias("y")))
+    rng = labeled.agg(F.min("cents").alias("mn"),
+                      F.max("cents").alias("mx"))
+    binned = (labeled.crossJoin(F.broadcast(rng))
+              .withColumn("bin", F.expr(
+                  f"((cents - mn) * {_STUMP_BINS}) div (mx - mn + 1)"))
+              .withColumn("w", F.col("mx") - F.col("mn") + 1))
+    grid = (binned.groupBy("bin", "w", "mn")
+            .agg(F.count(F.lit(1)).alias("n_b"),
+                 F.sum("y").alias("p_b")))
+    lhs = grid.select(F.col("bin").alias("b2"),
+                      F.col("n_b").alias("n2"),
+                      F.col("p_b").alias("p2"))
+    pref = (grid.join(F.broadcast(lhs), F.col("b2") <= F.col("bin"))
+            .groupBy("bin", "w", "mn")
+            .agg(F.sum("n2").alias("n_left"),
+                 F.sum("p2").alias("pos_left")))
+    parent = grid.agg(F.sum("n_b").alias("n_tot"),
+                      F.sum("p_b").alias("p_tot"))
+    cand = (pref.crossJoin(F.broadcast(parent))
+            .withColumn("n_right", F.col("n_tot") - F.col("n_left"))
+            .withColumn("pos_right", F.col("p_tot") - F.col("pos_left"))
+            .where((F.col("n_left") > 0) & (F.col("n_right") > 0)))
+
+    def wgini(n, p):
+        # divisor null-guarded so ANSI mode stays safe even if Catalyst
+        # evaluates the projection speculatively around the n>0 filter
+        q = n - p
+        return n.cast("double") - (p.cast("double") * p
+                                   + q.cast("double") * q) \
+            / F.when(n > 0, n)
+
+    gain = F.round(
+        wgini(F.col("n_tot"), F.col("p_tot"))
+        - wgini(F.col("n_left"), F.col("pos_left"))
+        - wgini(F.col("n_right"), F.col("pos_right")), 9)
+    cand = (cand.withColumn("gini_gain", gain)
+            .withColumn("split_at_cents", F.expr(
+                f"mn + (w * (bin + 1) + {_STUMP_BINS - 1}) "
+                f"div {_STUMP_BINS} - 1")))
+    best = cand.agg(F.max("gini_gain").alias("bg"))
+    bestbin = (cand.join(F.broadcast(best),
+                         F.col("gini_gain") == F.col("bg"))
+               .agg(F.min("bin").alias("bb"),
+                    F.max("bg").alias("bg")))
+    return (cand.crossJoin(F.broadcast(bestbin))
+            .withColumn("is_best",
+                        (F.col("gini_gain") == F.col("bg"))
+                        & (F.col("bin") == F.col("bb")))
+            .select(F.col("bin").cast("int").alias("bin"),
+                    "split_at_cents",
+                    F.col("n_left").cast("bigint").alias("n_left"),
+                    F.col("pos_left").cast("bigint").alias("pos_left"),
+                    F.col("n_right").cast("bigint").alias("n_right"),
+                    F.col("pos_right").cast("bigint").alias("pos_right"),
+                    "gini_gain", "is_best")
+            .orderBy("bin"))
+
+
+balance_stump_split.__doc__ = balance_stump_split.__doc__.format(
+    bins=_STUMP_BINS)
+
+
 QUERIES = {
     "events_cvm_drift": events_cvm_drift,
     "balance_conversion_catrend": balance_conversion_catrend,
@@ -639,6 +757,7 @@ QUERIES = {
     "events_kuiper_tod_drift": events_kuiper_tod_drift,
     "ab_ratio_metric_delta": ab_ratio_metric_delta,
     "retrieval_rbo_eval": retrieval_rbo_eval,
+    "balance_stump_split": balance_stump_split,
 }
 
 ORACLES = {
@@ -840,6 +959,80 @@ ORACLES = {
                      / (CAST(n_early AS DOUBLE) * n_late)), 6)
                    AS drift_detected
         FROM agg ORDER BY event_type
+    """,
+    "balance_stump_split": f"""
+        WITH priced AS (
+            SELECT o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+            FROM orders
+        ), mu AS (
+            SELECT sum(yc) / CAST(count(*) AS DOUBLE) AS mu FROM priced
+        ), conv AS (
+            SELECT DISTINCT o_custkey AS c_custkey
+            FROM priced CROSS JOIN mu WHERE yc > mu
+        ), labeled AS (
+            SELECT CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents,
+                   CASE WHEN v.c_custkey IS NULL THEN 0 ELSE 1 END AS y
+            FROM customer c LEFT JOIN conv v ON c.c_custkey = v.c_custkey
+        ), rng AS (
+            SELECT min(cents) AS mn, max(cents) AS mx,
+                   max(cents) - min(cents) + 1 AS w
+            FROM labeled
+        ), grid AS (
+            SELECT ((cents - mn) * {_STUMP_BINS}) // w AS bin,
+                   max(w) AS w, max(mn) AS mn,
+                   count(*) AS n_b, sum(y) AS p_b
+            FROM labeled CROSS JOIN rng GROUP BY 1
+        ), pref AS (
+            SELECT g.bin, max(g.w) AS w, max(g.mn) AS mn,
+                   sum(l.n_b) AS n_left, sum(l.p_b) AS pos_left
+            FROM grid g JOIN grid l ON l.bin <= g.bin
+            GROUP BY 1
+        ), parent AS (
+            SELECT sum(n_b) AS n_tot, sum(p_b) AS p_tot FROM grid
+        ), cand AS (
+            SELECT p.bin, p.w, p.mn, p.n_left, p.pos_left,
+                   t.n_tot - p.n_left AS n_right,
+                   t.p_tot - p.pos_left AS pos_right,
+                   t.n_tot, t.p_tot
+            FROM pref p CROSS JOIN parent t
+            WHERE p.n_left > 0 AND t.n_tot - p.n_left > 0
+        ), scored AS (
+            SELECT bin,
+                   mn + (w * (bin + 1) + {_STUMP_BINS - 1})
+                       // {_STUMP_BINS} - 1 AS split_at_cents,
+                   n_left, pos_left, n_right, pos_right,
+                   round(
+                     (CAST(n_tot AS DOUBLE)
+                      - (CAST(p_tot AS DOUBLE) * p_tot
+                         + CAST(n_tot - p_tot AS DOUBLE)
+                           * (n_tot - p_tot)) / n_tot)
+                     - (CAST(n_left AS DOUBLE)
+                        - (CAST(pos_left AS DOUBLE) * pos_left
+                           + CAST(n_left - pos_left AS DOUBLE)
+                             * (n_left - pos_left)) / n_left)
+                     - (CAST(n_right AS DOUBLE)
+                        - (CAST(pos_right AS DOUBLE) * pos_right
+                           + CAST(n_right - pos_right AS DOUBLE)
+                             * (n_right - pos_right)) / n_right),
+                     9) AS gini_gain
+            FROM cand
+        ), best AS (
+            SELECT max(gini_gain) AS bg FROM scored
+        ), bestbin AS (
+            SELECT min(s.bin) AS bb, max(b.bg) AS bg
+            FROM scored s JOIN best b ON s.gini_gain = b.bg
+        )
+        SELECT CAST(s.bin AS INTEGER) AS bin,
+               s.split_at_cents,
+               CAST(s.n_left AS BIGINT) AS n_left,
+               CAST(s.pos_left AS BIGINT) AS pos_left,
+               CAST(s.n_right AS BIGINT) AS n_right,
+               CAST(s.pos_right AS BIGINT) AS pos_right,
+               s.gini_gain,
+               s.gini_gain = b.bg AND s.bin = b.bb AS is_best
+        FROM scored s CROSS JOIN bestbin b
+        ORDER BY s.bin
     """,
     "ab_ratio_metric_delta": f"""
         WITH users AS (

@@ -16,7 +16,7 @@ from tests.oracle_compare import compare, duckdb_run
 STAGED = ["events_cvm_drift", "balance_conversion_catrend",
           "bleu_neardup_pairs", "embedding_mmd2_drift",
           "events_kuiper_tod_drift", "ab_ratio_metric_delta",
-          "retrieval_rbo_eval"]
+          "retrieval_rbo_eval", "balance_stump_split"]
 
 
 def test_staged_names_not_registered():
@@ -232,6 +232,51 @@ def test_rbo_matches_bruteforce_and_identity(spark, sf_dir):
         micros.append(round(row["rbo_ext"] * 1e9))
     assert abs(rows[min(rows)]["mean_rbo"]
                - round(sum(micros) / 1e9 / len(micros), 6)) < 2e-6
+
+
+def test_stump_split_matches_bruteforce(spark, sf_dir):
+    """Per-candidate Gini gains equal an independent pandas replay of
+    the 256-bin histogram; is_best marks the (max gain, lowest bin)
+    argmax; and each bin's split_at_cents is a TRUE boundary — every
+    left-bin customer sits at or below it, every right-bin customer
+    above it."""
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    yc = (orders["o_totalprice"] * 100).round().astype("int64")
+    conv = set(orders.loc[yc > yc.sum() / len(yc), "o_custkey"])
+    cents = (cust["c_acctbal"] * 100).round().astype("int64").to_numpy()
+    y = cust["c_custkey"].isin(conv).to_numpy().astype(int)
+    mn, mx = int(cents.min()), int(cents.max())
+    w = mx - mn + 1
+    bins = (cents - mn) * 256 // w
+    n_tot, p_tot = len(y), int(y.sum())
+
+    def g(n, p):
+        return n - (p * p + (n - p) * (n - p)) / n
+
+    rows = r10_staged.balance_stump_split(spark, sf_dir).collect()
+    assert rows
+    best_seen = []
+    for r in rows:
+        left = bins <= r["bin"]
+        nl, pl = int(left.sum()), int(y[left].sum())
+        assert (r["n_left"], r["pos_left"]) == (nl, pl)
+        assert (r["n_right"], r["pos_right"]) == (n_tot - nl,
+                                                  p_tot - pl)
+        gain = (g(n_tot, p_tot) - g(nl, pl)
+                - g(n_tot - nl, p_tot - pl))
+        assert abs(r["gini_gain"] - gain) < 2e-9
+        assert cents[left].max() <= r["split_at_cents"]
+        if nl < n_tot:
+            assert cents[~left].min() > r["split_at_cents"]
+        if r["is_best"]:
+            best_seen.append(r)
+    assert len(best_seen) == 1
+    top = max(rows, key=lambda r: (r["gini_gain"], -r["bin"]))
+    assert best_seen[0]["gini_gain"] == top["gini_gain"]
+    assert (best_seen[0]["bin"]
+            == min(r["bin"] for r in rows
+                   if r["gini_gain"] == top["gini_gain"]))
 
 
 def test_bleu_matches_bruteforce(spark, sf_dir):
