@@ -56,6 +56,17 @@ Operator classes the 419-query registry still lacks:
   bounded grid — the supervised WHERE-to-cut-a-continuous-feature
   primitive the categorical WoE/IV screen doesn't cover, and the
   at-scale answer to split finding (never a fact-grain sort).
+- ``user_type_cochran_q`` — Cochran's Q (Cochran 1950): the
+  matched-blocks equal-rates test across the k event types' HIGH-VALUE
+  adoption, conditioning on each user's breadth — the k-treatment
+  generalization of the registered McNemar, and the matched-design
+  question `chi_square_independence` (independent draws) cannot ask.
+- ``spend_trend_jonckheere`` — the Jonckheere-Terpstra ordered-
+  alternative trend test (Terpstra 1952; Jonckheere 1954) of customer
+  spend across ordered balance doses: the continuous-outcome sibling
+  of the Cochran-Armitage proportions trend and the ordered upgrade of
+  Kruskal-Wallis, with exact-integer 2J off dose/value-partitioned
+  prefix grids and the tie-corrected Hollander-Wolfe null moments.
 
 (An Anderson-Darling two-sample variant was considered and dropped:
 its Scholz-Stephens normalization needs the O(N) harmonic-sum spine
@@ -749,6 +760,201 @@ balance_stump_split.__doc__ = balance_stump_split.__doc__.format(
     bins=_STUMP_BINS)
 
 
+# Upper 5% chi-square points for df 1..9, inlined literals (the
+# Benjamini-Hochberg inverse-normal precedent: no in-engine
+# distribution math); Cochran's Q has df = #treatments - 1.
+_CHI2_05 = {1: 3.841459, 2: 5.991465, 3: 7.814728, 4: 9.487729,
+            5: 11.070498, 6: 12.591587, 7: 14.067140, 8: 15.507313,
+            9: 16.918978}
+
+# High-value event threshold — the `ab_test_report` conversion literal;
+# plain presence saturates (every user fires every type at any SF), so
+# the matched-blocks question is asked of HIGH-VALUE adoption, where
+# per-user breadth actually varies.
+_HV_EVENT_VALUE = 200
+
+
+def user_type_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) of whether the k event TYPES
+    have equal per-user HIGH-VALUE adoption rates, treating each user
+    as a matched block: X_ij = 1 iff user i ever fired type j with
+    value > 200 (the `ab_test_report` conversion literal — plain
+    presence saturates at every SF; users with NO high-value events
+    drop out, which leaves Q exactly unchanged: an all-zero block adds
+    0 to every G_j, ΣL and ΣL²),
+
+        Q = (k−1)·(k·ΣG_j² − (ΣG_j)²) / (k·ΣL_i − ΣL_i²)
+
+    with G_j the per-type user counts and L_i the per-user type
+    counts.  The existing `chi_square_independence` treats EVENTS as
+    independent draws; Q asks the matched-design question — the same
+    users are behind every type, and Q conditions on each user's
+    overall breadth, which is exactly what a funnel/feature-adoption
+    comparison needs (McNemar is its k=2 special case, already
+    registered).  Verdict vs the χ²(k−1) 5% literal table.
+
+    Exactness: numerator and denominator are single exact-integer
+    expressions off two bounded aggregates (per-type totals, per-user
+    totals); Q is ONE division.  Scale: one (user,type) distinct
+    aggregate (map-side combinable) then dimension-sized tables."""
+    ev = load_table(spark, sf_dir, "events")
+    present = (ev.where(F.col("value") > _HV_EVENT_VALUE)
+               .select("user_id", "event_type").distinct())
+    g = (present.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("g_j")))
+    l_u = (present.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("l_i")))
+    gt = g.agg(F.count(F.lit(1)).alias("k"),
+               F.sum("g_j").alias("sg"),
+               F.sum(F.col("g_j").cast("decimal(38,0)") * F.col("g_j"))
+               .alias("sg2"))
+    lt = l_u.agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("l_i").alias("sl"),
+                 F.sum(F.col("l_i").cast("decimal(38,0)") * F.col("l_i"))
+                 .alias("sl2"))
+    crit_map = F.create_map(*[F.lit(v) for kv in _CHI2_05.items()
+                              for v in kv])
+    num = ((F.col("k") - 1).cast("decimal(38,0)")
+           * (F.col("k").cast("decimal(38,0)") * F.col("sg2")
+              - F.col("sg").cast("decimal(38,0)") * F.col("sg")))
+    den = (F.col("k").cast("decimal(38,0)") * F.col("sl")
+           - F.col("sl2"))
+    stats = (gt.crossJoin(F.broadcast(lt))
+             .withColumn("q_stat",
+                         F.when(den > 0,
+                                F.round(num.cast("double")
+                                        / den.cast("double"), 6)))
+             .withColumn("df", (F.col("k") - 1).cast("int"))
+             .withColumn("chi2_crit",
+                         F.element_at(crit_map, F.col("df")))
+             .withColumn("significant",
+                         F.col("q_stat") > F.col("chi2_crit"))
+             .select(F.col("k").cast("int").alias("k_types"),
+                     F.col("n_users").cast("bigint").alias("n_users"),
+                     "q_stat", "df", "chi2_crit", "significant"))
+    share = F.round(F.col("g_j") / F.col("n_users"), 6)
+    return (g.crossJoin(F.broadcast(stats))
+            .select("event_type",
+                    F.col("g_j").cast("bigint").alias("n_users_with"),
+                    share.alias("adoption_share"),
+                    "k_types", "n_users", "q_stat", "df", "chi2_crit",
+                    "significant")
+            .orderBy("event_type"))
+
+
+def spend_trend_jonckheere(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test (Terpstra
+    1952; Jonckheere 1954) of customer TOTAL SPEND across the ordered
+    account-balance buckets: J = Σ_{k<l} U_kl, the sum of pairwise
+    Mann-Whitney counts between every lower/higher dose pair (ties
+    counted half).  This is the CONTINUOUS-outcome sibling of
+    `balance_conversion_catrend` (which needs a binary outcome) and
+    the ordered-alternative upgrade of `kruskal_wallis` (which tests
+    "any difference", not "a monotone trend in dose order") — the
+    dose-response read for skewed, outlier-heavy outcomes like spend,
+    where rank methods keep their power and OLS-style trends break.
+
+    Exactness: 2J is an exact integer — per (dose, value) tier the
+    contribution c·(2·A + B) uses A = count in lower doses strictly
+    below the value and B = tied count in lower doses, both exact
+    prefix sums over the dose×distinct-value grid (windows PARTITIONED
+    by dose and by value — never global).  The tie-corrected null
+    moments (Hollander & Wolfe §6.2: E[J] = (N² − Σn_k²)/4 and the
+    three-term variance with pooled tie groups t) are single
+    divisions of exact 128-bit integer products.  Scale: the grid is
+    (#doses × distinct values) — a bounded small multiple of the
+    customer grain with key-partitioned windows; everything after is
+    dose-sized."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice")
+    yc = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.sum(yc).alias("spend"))
+             .withColumnRenamed("o_custkey", "c_custkey"))
+    balcents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    dosed = (cust.join(spend, "c_custkey", "left")
+             .select(F.floor(balcents / F.lit(float(_CA_DOSE_CENTS)))
+                     .cast("int").alias("dose"),
+                     F.coalesce(F.col("spend"), F.lit(0))
+                     .alias("spend")))
+    tiers = (dosed.groupBy("dose", "spend")
+             .agg(F.count(F.lit(1)).alias("c")))
+    vspine = tiers.select("spend").distinct()
+    doses = tiers.select("dose").distinct()
+    gt = (vspine.crossJoin(F.broadcast(doses))
+          .join(tiers, ["dose", "spend"], "left")
+          .withColumn("c", F.coalesce(F.col("c"), F.lit(0))))
+    wv = (Window.partitionBy("dose").orderBy("spend")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wg = (Window.partitionBy("spend").orderBy("dose")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    gt = (gt.withColumn("cumlt", F.coalesce(F.sum("c").over(wv),
+                                            F.lit(0)))
+          .withColumn("a_low", F.coalesce(F.sum("cumlt").over(wg),
+                                          F.lit(0)))
+          .withColumn("b_tie", F.coalesce(F.sum("c").over(wg),
+                                          F.lit(0))))
+    jsum = gt.agg(F.sum(F.col("c").cast("decimal(38,0)")
+                        * (2 * F.col("a_low") + F.col("b_tie")))
+                  .alias("two_j"))
+    n = F.col("n_k")
+    gstats = (dosed.groupBy("dose")
+              .agg(F.count(F.lit(1)).alias("n_k"))
+              .agg(F.sum("n_k").alias("nn"),
+                   F.sum(n.cast("decimal(38,0)") * n).alias("sn2"),
+                   F.sum(n.cast("decimal(38,0)") * (n - 1))
+                   .alias("sn21"),
+                   F.sum(n.cast("decimal(38,0)") * (n - 1) * (n - 2))
+                   .alias("sn321"),
+                   F.sum(n.cast("decimal(38,0)") * (n - 1)
+                         * (2 * n + 5)).alias("sn25")))
+    t = F.col("t_v")
+    tstats = (dosed.groupBy("spend")
+              .agg(F.count(F.lit(1)).alias("t_v"))
+              .agg(F.sum(t.cast("decimal(38,0)") * (t - 1))
+                   .alias("st21"),
+                   F.sum(t.cast("decimal(38,0)") * (t - 1) * (t - 2))
+                   .alias("st321"),
+                   F.sum(t.cast("decimal(38,0)") * (t - 1)
+                         * (2 * t + 5)).alias("st25")))
+    nd = F.col("nn").cast("double")
+    term1 = ((F.col("nn").cast("decimal(38,0)") * (F.col("nn") - 1)
+              * (2 * F.col("nn") + 5)
+              - F.col("sn25") - F.col("st25")).cast("double") / 72.0)
+    term2 = ((F.col("sn321") * F.col("st321")).cast("double")
+             / (36.0 * nd * (nd - 1) * (nd - 2)))
+    term3 = ((F.col("sn21") * F.col("st21")).cast("double")
+             / (8.0 * nd * (nd - 1)))
+    var_j = term1 + term2 + term3
+    e4 = (F.col("nn").cast("decimal(38,0)") * F.col("nn")
+          - F.col("sn2"))
+    z = F.when(var_j > 0,
+               F.round((F.col("two_j").cast("double") / 2.0
+                        - e4.cast("double") / 4.0)
+                       / F.sqrt(var_j), 6))
+    stats = (jsum.crossJoin(F.broadcast(gstats))
+             .crossJoin(F.broadcast(tstats))
+             .withColumn("jt_z", z)
+             .withColumn("trend_detected", F.abs(F.col("jt_z")) > 1.96)
+             .select(F.col("two_j").cast("bigint").alias("two_j"),
+                     F.col("nn").cast("bigint").alias("n_total"),
+                     "jt_z", "trend_detected"))
+    per = (dosed.groupBy("dose")
+           .agg(F.count(F.lit(1)).alias("n_customers"),
+                F.sum("spend").alias("total_spend_cents")))
+    return (per.crossJoin(F.broadcast(stats))
+            .select("dose",
+                    F.col("n_customers").cast("bigint")
+                    .alias("n_customers"),
+                    F.col("total_spend_cents").cast("bigint")
+                    .alias("total_spend_cents"),
+                    "two_j", "n_total", "jt_z", "trend_detected")
+            .orderBy("dose"))
+
+
 QUERIES = {
     "events_cvm_drift": events_cvm_drift,
     "balance_conversion_catrend": balance_conversion_catrend,
@@ -758,6 +964,8 @@ QUERIES = {
     "ab_ratio_metric_delta": ab_ratio_metric_delta,
     "retrieval_rbo_eval": retrieval_rbo_eval,
     "balance_stump_split": balance_stump_split,
+    "user_type_cochran_q": user_type_cochran_q,
+    "spend_trend_jonckheere": spend_trend_jonckheere,
 }
 
 ORACLES = {
@@ -960,6 +1168,149 @@ ORACLES = {
                    AS drift_detected
         FROM agg ORDER BY event_type
     """,
+    "spend_trend_jonckheere": f"""
+        WITH spend AS (
+            SELECT o_custkey AS c_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS spend
+            FROM orders GROUP BY 1
+        ), dosed AS (
+            SELECT CAST(floor(CAST(round(c.c_acctbal * 100) AS BIGINT)
+                              / {float(_CA_DOSE_CENTS)}) AS INT) AS dose,
+                   coalesce(s.spend, 0) AS spend
+            FROM customer c LEFT JOIN spend s ON c.c_custkey = s.c_custkey
+        ), tiers AS (
+            SELECT dose, spend, count(*) AS c
+            FROM dosed GROUP BY 1, 2
+        ), grid AS (
+            SELECT d.dose, v.spend, coalesce(t.c, 0) AS c
+            FROM (SELECT DISTINCT dose FROM tiers) d
+            CROSS JOIN (SELECT DISTINCT spend FROM tiers) v
+            LEFT JOIN tiers t ON t.dose = d.dose AND t.spend = v.spend
+        ), pref AS (
+            SELECT dose, spend, c,
+                   coalesce(sum(c) OVER (
+                       PARTITION BY dose ORDER BY spend
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cumlt
+            FROM grid
+        ), ab AS (
+            SELECT dose, spend, c,
+                   coalesce(sum(cumlt) OVER (
+                       PARTITION BY spend ORDER BY dose
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS a_low,
+                   coalesce(sum(c) OVER (
+                       PARTITION BY spend ORDER BY dose
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS b_tie
+            FROM pref
+        ), jsum AS (
+            SELECT sum(CAST(c AS HUGEINT) * (2 * a_low + b_tie))
+                       AS two_j
+            FROM ab
+        ), gstats AS (
+            SELECT sum(n_k) AS nn,
+                   sum(CAST(n_k AS HUGEINT) * n_k) AS sn2,
+                   sum(CAST(n_k AS HUGEINT) * (n_k - 1)) AS sn21,
+                   sum(CAST(n_k AS HUGEINT) * (n_k - 1) * (n_k - 2))
+                       AS sn321,
+                   sum(CAST(n_k AS HUGEINT) * (n_k - 1)
+                       * (2 * n_k + 5)) AS sn25
+            FROM (SELECT dose, count(*) AS n_k FROM dosed GROUP BY 1)
+        ), tstats AS (
+            SELECT sum(CAST(t_v AS HUGEINT) * (t_v - 1)) AS st21,
+                   sum(CAST(t_v AS HUGEINT) * (t_v - 1) * (t_v - 2))
+                       AS st321,
+                   sum(CAST(t_v AS HUGEINT) * (t_v - 1)
+                       * (2 * t_v + 5)) AS st25
+            FROM (SELECT spend, count(*) AS t_v FROM dosed GROUP BY 1)
+        ), stats AS (
+            SELECT CAST(j.two_j AS BIGINT) AS two_j,
+                   CAST(g.nn AS BIGINT) AS n_total,
+                   CASE WHEN
+                        CAST(CAST(g.nn AS HUGEINT) * (g.nn - 1)
+                             * (2 * g.nn + 5)
+                             - g.sn25 - t.st25 AS DOUBLE) / 72.0
+                        + CAST(g.sn321 * t.st321 AS DOUBLE)
+                          / (36.0 * CAST(g.nn AS DOUBLE) * (g.nn - 1)
+                             * (g.nn - 2))
+                        + CAST(g.sn21 * t.st21 AS DOUBLE)
+                          / (8.0 * CAST(g.nn AS DOUBLE) * (g.nn - 1))
+                        > 0
+                   THEN round(
+                        (CAST(j.two_j AS DOUBLE) / 2.0
+                         - CAST(CAST(g.nn AS HUGEINT) * g.nn - g.sn2
+                                AS DOUBLE) / 4.0)
+                        / sqrt(
+                          CAST(CAST(g.nn AS HUGEINT) * (g.nn - 1)
+                               * (2 * g.nn + 5)
+                               - g.sn25 - t.st25 AS DOUBLE) / 72.0
+                          + CAST(g.sn321 * t.st321 AS DOUBLE)
+                            / (36.0 * CAST(g.nn AS DOUBLE)
+                               * (g.nn - 1) * (g.nn - 2))
+                          + CAST(g.sn21 * t.st21 AS DOUBLE)
+                            / (8.0 * CAST(g.nn AS DOUBLE)
+                               * (g.nn - 1))), 6)
+                   END AS jt_z
+            FROM jsum j CROSS JOIN gstats g CROSS JOIN tstats t
+        )
+        SELECT p.dose,
+               CAST(p.n_customers AS BIGINT) AS n_customers,
+               CAST(p.total_spend_cents AS BIGINT)
+                   AS total_spend_cents,
+               s.two_j, s.n_total, s.jt_z,
+               abs(s.jt_z) > 1.96 AS trend_detected
+        FROM (SELECT dose, count(*) AS n_customers,
+                     sum(spend) AS total_spend_cents
+              FROM dosed GROUP BY 1) p
+        CROSS JOIN stats s
+        ORDER BY p.dose
+    """,
+    "user_type_cochran_q": """
+        WITH present AS (
+            SELECT DISTINCT user_id, event_type FROM events
+            WHERE value > {hv}
+        ), g AS (
+            SELECT event_type, count(*) AS g_j FROM present GROUP BY 1
+        ), l_u AS (
+            SELECT user_id, count(*) AS l_i FROM present GROUP BY 1
+        ), gt AS (
+            SELECT count(*) AS k, sum(g_j) AS sg,
+                   sum(CAST(g_j AS HUGEINT) * g_j) AS sg2
+            FROM g
+        ), lt AS (
+            SELECT count(*) AS n_users, sum(l_i) AS sl,
+                   sum(CAST(l_i AS HUGEINT) * l_i) AS sl2
+            FROM l_u
+        ), stats AS (
+            SELECT CAST(k AS INTEGER) AS k_types,
+                   CAST(n_users AS BIGINT) AS n_users,
+                   CASE WHEN CAST(k AS HUGEINT) * sl - sl2 > 0
+                        THEN round(
+                            CAST(CAST(k - 1 AS HUGEINT)
+                                 * (CAST(k AS HUGEINT) * sg2
+                                    - CAST(sg AS HUGEINT) * sg)
+                                 AS DOUBLE)
+                            / CAST(CAST(k AS HUGEINT) * sl - sl2
+                                   AS DOUBLE), 6)
+                   END AS q_stat,
+                   CAST(k - 1 AS INTEGER) AS df,
+                   CAST(CASE k - 1 {chi2_case} END AS DOUBLE)
+                       AS chi2_crit
+            FROM gt CROSS JOIN lt
+        )
+        SELECT p.event_type,
+               CAST(p.g_j AS BIGINT) AS n_users_with,
+               round(p.g_j / CAST(s.n_users AS DOUBLE), 6)
+                   AS adoption_share,
+               s.k_types, s.n_users, s.q_stat, s.df, s.chi2_crit,
+               s.q_stat > s.chi2_crit AS significant
+        FROM g p CROSS JOIN stats s
+        ORDER BY p.event_type
+    """.format(chi2_case=" ".join(
+        f"WHEN {df} THEN {v}" for df, v in _CHI2_05.items()),
+               hv=_HV_EVENT_VALUE),
     "balance_stump_split": f"""
         WITH priced AS (
             SELECT o_custkey,

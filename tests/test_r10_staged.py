@@ -16,7 +16,8 @@ from tests.oracle_compare import compare, duckdb_run
 STAGED = ["events_cvm_drift", "balance_conversion_catrend",
           "bleu_neardup_pairs", "embedding_mmd2_drift",
           "events_kuiper_tod_drift", "ab_ratio_metric_delta",
-          "retrieval_rbo_eval", "balance_stump_split"]
+          "retrieval_rbo_eval", "balance_stump_split",
+          "user_type_cochran_q", "spend_trend_jonckheere"]
 
 
 def test_staged_names_not_registered():
@@ -277,6 +278,78 @@ def test_stump_split_matches_bruteforce(spark, sf_dir):
     assert (best_seen[0]["bin"]
             == min(r["bin"] for r in rows
                    if r["gini_gain"] == top["gini_gain"]))
+
+
+def test_cochran_q_matches_bruteforce(spark, sf_dir):
+    """Q equals the definitional k(k-1)·Σ(G_j - Ḡ)²/(kΣL - ΣL²) on the
+    explicit user×type presence matrix built in pandas."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    x = (ev[ev["value"] > 200].assign(one=1)
+         .pivot_table(index="user_id", columns="event_type",
+                      values="one", aggfunc="max", fill_value=0))
+    k = x.shape[1]
+    gj = x.sum(axis=0).to_numpy(float)
+    li = x.sum(axis=1).to_numpy(float)
+    q_ref = (k * (k - 1) * float(((gj - gj.mean()) ** 2).sum())
+             / (k * li.sum() - float((li ** 2).sum())))
+    rows = r10_staged.user_type_cochran_q(spark, sf_dir).collect()
+    assert len(rows) == k
+    r0 = rows[0]
+    assert (r0["k_types"], r0["n_users"]) == (k, x.shape[0])
+    assert r0["df"] == k - 1
+    assert abs(r0["q_stat"] - q_ref) < 2e-6, (r0["q_stat"], q_ref)
+    assert r0["significant"] == (r0["q_stat"] > r0["chi2_crit"])
+    byt = {r["event_type"]: r["n_users_with"] for r in rows}
+    for etype, cnt in x.sum(axis=0).items():
+        assert byt[etype] == cnt
+
+
+def test_jonckheere_matches_bruteforce(spark, sf_dir):
+    """2J equals the O(n²) definitional pairwise count over ordered
+    group pairs (ties half); the tie-corrected null moments match a
+    python recompute of Hollander & Wolfe §6.2; z ties out."""
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    yc = (orders["o_totalprice"] * 100).round().astype("int64")
+    spend_by = orders.assign(yc=yc).groupby("o_custkey")["yc"].sum()
+    balcents = (cust["c_acctbal"] * 100).round().astype("int64")
+    dose = np.floor(balcents.to_numpy() / 100000.0).astype(int)
+    spend = cust["c_custkey"].map(spend_by).fillna(0).astype("int64") \
+        .to_numpy()
+    groups = sorted(set(dose))
+    two_j = 0
+    for i, gk in enumerate(groups):
+        xk = spend[dose == gk]
+        for gl in groups[i + 1:]:
+            xl = spend[dose == gl]
+            lt = (xk[:, None] < xl[None, :]).sum()
+            eq = (xk[:, None] == xl[None, :]).sum()
+            two_j += 2 * int(lt) + int(eq)
+    n_tot = len(spend)
+    nk = np.array([(dose == gg).sum() for gg in groups], dtype="int64")
+    tv = pd.Series(spend).value_counts().to_numpy().astype("int64")
+    e4 = n_tot * n_tot - int((nk * nk).sum())
+    var = (float(n_tot * (n_tot - 1) * (2 * n_tot + 5)
+                 - (nk * (nk - 1) * (2 * nk + 5)).sum()
+                 - (tv * (tv - 1) * (2 * tv + 5)).sum()) / 72.0
+           + float((nk * (nk - 1) * (nk - 2)).sum())
+           * float((tv * (tv - 1) * (tv - 2)).sum())
+           / (36.0 * n_tot * (n_tot - 1) * (n_tot - 2))
+           + float((nk * (nk - 1)).sum()) * float((tv * (tv - 1)).sum())
+           / (8.0 * n_tot * (n_tot - 1)))
+    z_ref = (two_j / 2.0 - e4 / 4.0) / math.sqrt(var)
+    rows = r10_staged.spend_trend_jonckheere(spark, sf_dir).collect()
+    assert len(rows) == len(groups)
+    r0 = rows[0]
+    assert r0["two_j"] == two_j
+    assert r0["n_total"] == n_tot
+    assert abs(r0["jt_z"] - z_ref) < 2e-6, (r0["jt_z"], z_ref)
+    assert r0["trend_detected"] == (abs(r0["jt_z"]) > 1.96)
+    per = {g: ((dose == g).sum(), int(spend[dose == g].sum()))
+           for g in groups}
+    for r in rows:
+        nn, ts = per[r["dose"]]
+        assert (r["n_customers"], r["total_spend_cents"]) == (nn, ts)
 
 
 def test_bleu_matches_bruteforce(spark, sf_dir):
