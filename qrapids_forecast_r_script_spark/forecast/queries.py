@@ -304,7 +304,10 @@ def _holdout_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.min_by("value", "t").alias("first_v")))
     holdout = (t.where(F.col("t") >= F.col("n") - 7)
                .withColumn("h", F.col("t") - (F.col("n") - 7) + 1))
-    joined = holdout.join(train, ["name", "index"])
+    # r9 (guide §2.4): the four method branches below each re-ran this
+    # join (and the whole indexed-series chain under it) — one
+    # series×7-row cut keeps the scaffold single-run per query
+    joined = holdout.join(train, ["name", "index"]).localCheckpoint()
 
     def _one(method: str, pred) -> DataFrame:
         return joined.select("name", "index",
@@ -338,7 +341,13 @@ def backtest_closed_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 4-way union of constant-width predictions, one final aggregation —
     everything keyed by the series key, nothing quadratic.
     """
-    preds = _holdout_preds(spark, sf_dir)
+    return _backtest_from_preds(_holdout_preds(spark, sf_dir))
+
+
+def _backtest_from_preds(preds: DataFrame) -> DataFrame:
+    """Per-(series, method) MAE/RMSE off a ``_holdout_preds`` frame —
+    shared so :func:`ensemble_closed_forms` can score its OWN preds
+    frame instead of rebuilding the whole scaffold a second time."""
     err = F.col("value") - F.col("pred")
     return (preds.groupBy("name", "index", "method")
             .agg(F.count(F.lit(1)).alias("n_holdout"),
@@ -360,6 +369,8 @@ def ensemble_closed_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines); comparisons use the ROUNDED maes so the win flag
     cannot flip on float noise.  Scale: everything re-aggregates the
     shared holdout-preds frame on its own series key."""
+    # r9 (guide §2.4): one preds frame for BOTH the ensemble score and
+    # the best-single table (was two full scaffold rebuilds)
     preds = _holdout_preds(spark, sf_dir)
     per_point = (preds.groupBy("name", "index", "h")
                  .agg(F.max("value").alias("value"),
@@ -369,7 +380,7 @@ def ensemble_closed_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.round(F.avg(F.abs(err)), _ROUND).alias("ens_mae"),
                 F.round(F.sqrt(F.avg(err * err)), _ROUND)
                 .alias("ens_rmse")))
-    best = (backtest_closed_forms(spark, sf_dir)
+    best = (_backtest_from_preds(preds)
             .groupBy("name", "index")
             .agg(F.min("mae").alias("best_single_mae")))
     return (ens.join(best, ["name", "index"])
@@ -3192,10 +3203,13 @@ def hedge_forecast_combination(spark: SparkSession,
     lu = F.round(loss * 1e9, 0).cast("bigint")
     wprev = (Window.partitionBy("name", "index", "method")
              .orderBy("h").rowsBetween(Window.unboundedPreceding, -1))
+    # r9 (guide §2.4): staged feeds the per-day combination AND the
+    # per-method loss table — one series×7×4-row cut
     staged = (preds.withColumn("lu", lu)
               .withColumn("lcum_u",
                           F.coalesce(F.sum("lu").over(wprev),
-                                     F.lit(0).cast("bigint"))))
+                                     F.lit(0).cast("bigint")))
+              .localCheckpoint())
     w = F.round(F.exp(-F.lit(_HEDGE_ETA) * F.col("lcum_u") / 1e9), 9)
     perh = (staged.withColumn("w", w)
             .groupBy("name", "index", "h")
@@ -3684,9 +3698,12 @@ def friedman_method_ranks(spark: SparkSession,
               .select("name", "index", "method",
                       (2 * F.col("rmin") + F.col("cnt") - 1)
                       .cast("long").alias("r2x")))
+    # r9 (guide §2.4): per_m feeds the k-row reduce and the terms join —
+    # one 4-row cut so the backtest + rank chain runs once
     per_m = (ranked.groupBy("method")
              .agg(F.count(F.lit(1)).alias("n_series"),
-                  F.sum("r2x").alias("sr2x")))
+                  F.sum("r2x").alias("sr2x"))
+             .localCheckpoint())
     k = per_m.groupBy().agg(F.count(F.lit(1)).alias("k"),
                             F.max("n_series").alias("n"))
     j = per_m.crossJoin(F.broadcast(k))
@@ -3861,11 +3878,14 @@ def forecast_dm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("name", "index", "h", F.col("pred").alias("ps")))
     en = F.col("value") - F.col("pn")
     es = F.col("value") - F.col("ps")
+    # r9 (guide §2.4): dd feeds the first-pass aggregate AND the
+    # second-pass centered join — one series×7-row cut
     dd = (n_.join(s_, ["name", "index", "h"])
           .where(F.col("pn").isNotNull() & F.col("ps").isNotNull())
           .select("name", "index",
                   F.round((en * en - es * es) * 1e6, 0).cast("bigint")
-                  .alias("d6")))
+                  .alias("d6"))
+          .localCheckpoint())
     a1 = (dd.groupBy("name", "index")
           .agg(F.count(F.lit(1)).alias("n_points"),
                F.sum("d6").alias("sd6")))
@@ -4311,6 +4331,10 @@ def _kpss_x_union(spark: SparkSession, sf_dir: str,
     vu = F.round(F.round("value", 6) * 1e6, 0).cast("long")
     seq = metrics.select("name", "index", "evaluationDate",
                          vu.alias("vu"))
+    if len(diffs) > 1:
+        # r9 (guide §2.4): with several requested orders the union
+        # re-ran the metric chain once per branch — one cut
+        seq = seq.localCheckpoint()
     parts = []
     for d in diffs:
         if d == 1:
@@ -4994,7 +5018,11 @@ def partial_corr_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(kt))
             .where(F.col("cnt") == F.col("k"))
             .select("evaluationDate"))
-    m = metrics.join(F.broadcast(days), "evaluationDate")
+    # r9 (guide §2.4): m feeds both self-join sides and rr three
+    # consumers (the triple base + two lookup broadcasts) — two small
+    # cuts keep the metric chain single-run
+    m = (metrics.join(F.broadcast(days), "evaluationDate")
+         .localCheckpoint())
     pairs = (m.alias("a").join(
         m.alias("b"),
         (F.col("a.evaluationDate") == F.col("b.evaluationDate"))
@@ -5012,7 +5040,7 @@ def partial_corr_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * (n * F.col("syy")
                               - F.col("sy") * F.col("sy"))),
                     F.lit(0.0)))
-    rr = pairs.select("x", "y", r.alias("r"))
+    rr = pairs.select("x", "y", r.alias("r")).localCheckpoint()
     names = metrics.select(F.col("name").alias("z")).distinct()
     tri = (rr.select("x", "y", F.col("r").alias("r_xy"))
            .crossJoin(F.broadcast(names))

@@ -56,8 +56,12 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact in both engines; the one division is a ratio of exact
     integers, correctly rounded identically), so the 6dp grid is
     drift-free."""
+    # r9 (guide §2.4): the distinct basket relation feeds the count,
+    # the margins and every join side — one cut so the fact distinct
+    # runs once per query
     baskets = (load_table(spark, sf_dir, "lineitem")
-               .select("l_orderkey", "l_partkey").distinct())
+               .select("l_orderkey", "l_partkey").distinct()
+               .localCheckpoint())
     n_baskets = baskets.agg(
         F.count_distinct("l_orderkey").alias("n_baskets"))
     marg = baskets.groupBy(F.col("l_partkey").alias("pk")) \
@@ -443,8 +447,12 @@ def basket_part_triples_apriori(spark: SparkSession,
     the shared first item (the textbook apriori join — never
     baskets³); verification joins candidates to the basket relation
     three times on (basket, item) keys."""
+    # r9 (guide §2.4): the distinct basket relation feeds the count,
+    # the margins and every join side — one cut so the fact distinct
+    # runs once per query
     baskets = (load_table(spark, sf_dir, "lineitem")
-               .select("l_orderkey", "l_partkey").distinct())
+               .select("l_orderkey", "l_partkey").distinct()
+               .localCheckpoint())
     n_baskets = baskets.agg(
         F.count_distinct("l_orderkey").alias("n_baskets"))
     marg = baskets.groupBy(F.col("l_partkey").alias("pk")) \

@@ -114,6 +114,13 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = []
     for r in range(1, _BPE_ROUNDS + 1):
         syms, rule = _bpe_round(syms, r)
+        # r9 (guide §2.4): each round references its input symbol table
+        # twice (pair-count/top broadcast + the merge rewrite), so the
+        # uncut round chain re-executed earlier rounds ~2^k times —
+        # one vocab-bounded cut per round keeps it linear (the last
+        # round's table feeds nothing here, so no cut after it)
+        if r < _BPE_ROUNDS:
+            syms = syms.localCheckpoint()
         rules.append(rule)
     out = rules[0]
     for r in rules[1:]:
@@ -220,6 +227,9 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     syms = syms0
     for r in range(1, _BPE_ROUNDS + 1):
         syms, _ = _bpe_round(syms, r)
+        # r9: same per-round cut as bpe_merge_rules (see its comment)
+        if r < _BPE_ROUNDS:
+            syms = syms.localCheckpoint()
     tok = syms.groupBy("word").agg(F.count(F.lit(1)).alias("n_tok_w"))
     enc = (word_doc
            .join(F.broadcast(chars), "word")

@@ -1428,12 +1428,20 @@ def greedy_coverage_selection(spark: SparkSession,
     ever pairwise."""
     from .dedup import shingle_table
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, distinct=True)
+    # r9 (guide §2.4): sh is referenced twice per greedy round (the
+    # marginal-gain pool + the new-coverage extraction) — uncut, the
+    # corpus tokenize chain re-ran ~2K times; likewise ``covered``
+    # feeds both the next pool's anti-join and the next union.  One
+    # cut for sh + one per-round cut for the (broadcast-sized)
+    # covered set keep the round chain linear.
+    sh = shingle_table(docs, distinct=True).localCheckpoint()
     picks = []
     covered = None
     for r in range(1, _COV_K + 1):
         pool = sh if covered is None else sh.join(
-            covered, "shingle", "left_anti")
+            # broadcast hint: the checkpointed covered set has no size
+            # stats (≤ r docs' shingles — the pre-cut plan broadcast it)
+            F.broadcast(covered), "shingle", "left_anti")
         if picks:
             excl = picks[0][1]
             for _, d in picks[1:]:
@@ -1450,8 +1458,8 @@ def greedy_coverage_selection(spark: SparkSession,
         picks.append((pick, pick.select("doc_id")))
         newcov = sh.join(F.broadcast(pick.select("doc_id")), "doc_id") \
             .select("shingle").distinct()
-        covered = newcov if covered is None else \
-            covered.union(newcov).distinct()
+        covered = (newcov if covered is None else
+                   covered.union(newcov).distinct()).localCheckpoint()
     out = picks[0][0]
     for p, _ in picks[1:]:
         out = out.union(p)

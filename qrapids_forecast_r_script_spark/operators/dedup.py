@@ -276,9 +276,21 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: 4 bands × 4 rows; docs sharing a band
     signature become candidates; est. Jaccard = matching minhash fraction.
     Fully deterministic → oracled in SQL.  At scale: the self-join is on
-    (band_id, band_sig) buckets only."""
+    (band_id, band_sig) buckets only.
+
+    r9 optimization (guide §2.4): the signature chain (scan → shingle
+    explode → md5 → 16 min-aggregates) is ``localCheckpoint``-ed before
+    the band self-join — Spark does not reuse it across the join's
+    broadcast-build and streamed sides (0 ``ReusedExchange`` measured),
+    so uncut the chain executed once per side and again per downstream
+    reference (~18 consumers re-derive this table).  ``n_matching`` is
+    also computed BEFORE the pair dedup so the dropDuplicates aggregate
+    shuffles (doc_a, doc_b, n_matching) instead of two 16-long sig
+    arrays per candidate (§2.3, shuffle fewer bytes); the count is
+    functionally determined by the pair, so the surviving rows are
+    identical."""
     docs = load_table(spark, sf_dir, "documents")
-    with_sig = _minhash_sig_table(docs)
+    with_sig = _minhash_sig_table(docs).localCheckpoint()
     bands = with_sig.select(
         "doc_id", "sig",
         F.explode(F.array(*[
@@ -290,20 +302,27 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sig", "band.band_id", "band.band_sig")
     a = bands.alias("a")
     b = bands.alias("b")
-    pairs = (a.join(b, ["band_id", "band_sig"])
+    match_cnt = F.aggregate(
+        F.zip_with(F.col("a.sig"), F.col("b.sig"),
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    # explicit broadcast: the checkpointed band table is a LogicalRDD
+    # with no size statistics, so the pre-cut auto-broadcast would
+    # otherwise degrade to a sort-merge join until AQE re-plans it
+    pairs = (a.join(F.broadcast(b), ["band_id", "band_sig"])
              .where(F.col("a.doc_id") < F.col("b.doc_id"))
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"),
-                     F.col("a.sig").alias("sig_a"),
-                     F.col("b.sig").alias("sig_b"))
+                     match_cnt.alias("n_matching"))
              .dropDuplicates(["doc_a", "doc_b"]))
-    match_cnt = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0), lambda acc, v: acc + v)
+    # second cut: the ~18 downstream consumers (graph family, cluster
+    # family, eval queries) reference this pair list 2-4× each inside
+    # their own plans — materializing it once here removes the band
+    # join re-execution from every one of them
     return (pairs
-            .withColumn("n_matching", match_cnt)
             .withColumn("est_jaccard", F.round(F.col("n_matching") / _N_HASH, 6))
-            .select("doc_a", "doc_b", "n_matching", "est_jaccard"))
+            .select("doc_a", "doc_b", "n_matching", "est_jaccard")
+            .localCheckpoint())
 
 
 # Cross-snapshot incremental dedup: docs with doc_id % 5 == 4 stand in
@@ -392,16 +411,19 @@ def _label_prop(edges: DataFrame, max_iter: int) -> tuple[DataFrame, bool]:
     """
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("cluster_id", F.col("doc_id"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     changed = 0
     for _ in range(max_iter):
         nb = (edges.join(labels, edges.dst == labels.doc_id)
               .groupBy("src").agg(F.min("cluster_id").alias("nb_min")))
         # one materialization per round: the convergence count and the
-        # next label frame both derive from it without a second job
+        # next label frame both derive from it without a second job.
+        # r9: LAZY checkpoint — the count() right below is the round's
+        # one action and materializes it, so each round schedules one
+        # job, not an eager-checkpoint job plus the count
         joined = (labels.join(nb, labels.doc_id == nb.src, "left")
                   .select(labels.doc_id, "cluster_id", "nb_min")
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         changed = joined.where(F.col("nb_min") < F.col("cluster_id")).count()
         labels = joined.select(
             "doc_id",
@@ -481,6 +503,11 @@ def cluster_edges(docs: DataFrame, pairs: DataFrame,
     the large-star/small-star algorithm, which is round-bounded by
     O(log² n) independent of diameter.
     """
+    # r9 (guide §2.4): cut the pair list BEFORE the symmetric union —
+    # uncut, the union's two branches each re-ran the full candidate
+    # chain (MinHash band join here; the 36-projection embedding chain
+    # for semantic_dedup_keep) into the eager edges checkpoint below
+    pairs = pairs.localCheckpoint()
     edges = (pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),
                                  F.col("doc_a").alias("dst"))))
@@ -900,6 +927,14 @@ def part_name_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("p_name").alias("name_a"), "p_brand")
     b = parts.select(F.col("p_partkey").alias("key_b"),
                      F.col("p_name").alias("name_b"), "p_brand")
+    # r9 note (guide §1): the "obvious" refinements were MEASURED and
+    # rejected — the threshold form ``levenshtein(a, b, 8)`` ran ~2×
+    # SLOWER than the unbounded DP on this name distribution (warm A/B
+    # 18.1 s vs 9.1 s at sf0.1: most same-brand pairs pass the ≤ 8 cut,
+    # so the banded DP's early-exit never fires and its bookkeeping is
+    # pure overhead), and the |len(a)−len(b)| > 8 pre-filter prunes ~0%
+    # (names draw from a fixed word vocabulary, lengths cluster).  The
+    # unbounded form stays.
     return (a.join(b, "p_brand")
             .where(F.col("key_a") < F.col("key_b"))
             .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
@@ -1466,13 +1501,17 @@ def lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("in_p", F.lit(1))
             .localCheckpoint(eager=True))
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs, distinct=True)
+    # r9 (guide §2.4): sh feeds the dictionary AND the id join, dic is
+    # executed by its own count() and again by the join — two cuts so
+    # the tokenize/distinct chains run once each
+    sh = shingle_table(docs, distinct=True).localCheckpoint()
     # vocabulary-bounded dictionary (the bm25 idf-broadcast premise);
     # V is a bounded driver scalar (the graph.py node-count precedent)
     from pyspark.sql.window import Window
     dic = (sh.select("shingle").distinct()
            .withColumn("sid", F.row_number().over(
-               Window.orderBy("shingle")) - 1))
+               Window.orderBy("shingle")) - 1)
+           .localCheckpoint())
     v = dic.count()
     nwords = (v + 63) // 64
     ids = sh.join(F.broadcast(dic), "shingle").select("doc_id", "sid")
@@ -1498,11 +1537,16 @@ def lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bb = bm.select(F.col("doc_id").alias("doc_b"),
                    F.col("n_sh").alias("n_b"),
                    F.col("bits").alias("bits_b"))
-    n_common = F.aggregate(
-        F.zip_with("bits_a", "bits_b",
-                   lambda x, y: F.bit_count(x.bitwiseAND(y))
-                   .cast("long")),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # r9 (guide §4.1): the popcount over the ~n²/2 broadcast pair
+    # product was an interpreted aggregate(zip_with(...)) — the query's
+    # hot loop (~12.5M pairs × nwords lambda evaluations at sf0.1).
+    # Unrolled as ONE F.expr over the construction-time-known word
+    # count it whole-stage-codegens; integer addition is associative,
+    # so the sum is exactly equal term-for-term.
+    n_common = F.expr(
+        "CAST(0 AS BIGINT) + " + " + ".join(
+            f"CAST(bit_count(bits_a[{i}] & bits_b[{i}]) AS BIGINT)"
+            for i in range(nwords)))
     # length filter (Arasu 2006): J >= tau forces
     # tau*max(n_a,n_b) <= min(n_a,n_b) — at tau=1/2, sizes within 2x;
     # pairs failing it can be neither truth nor true positives, so
@@ -1645,7 +1689,11 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("doc_id",
                   F.concat_ws(" ", "tok", "t1", "t2", "t3")
                   .alias("shingle"))
-          .distinct())
+          .distinct()
+          # r9 (guide §2.4): sh feeds counts, df, the ranked prefix AND
+          # the verify arrays (4 uncut re-runs of the tokenize + lead
+          # window + distinct chain; 16 parquet scans planned) — one cut
+          .localCheckpoint())
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = (Window.partitionBy("doc_id")
@@ -1653,8 +1701,9 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (sh.join(df, "shingle")
               .withColumn("rn", F.row_number().over(w))
               .join(F.broadcast(counts), "doc_id"))
-    prefix = ranked.where(
-        F.col("rn") <= F.expr("n_sh div 2") + 1)
+    prefix = (ranked.where(F.col("rn") <= F.expr("n_sh div 2") + 1)
+              # second cut: both sides of the candidate self-join
+              .localCheckpoint())
     pa = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
     pb = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
     cand = (pa.join(pb, "shingle")
@@ -1756,10 +1805,13 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc totals ride the shared tokenize scan."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # r9 (guide §2.4): cnt feeds the totals and both join sides — one
+    # cut so the tokenize + count chain runs once, not 3×
     cnt = (docs.select("doc_id",
                        F.explode(F.split("text", " ")).alias("token"))
            .groupBy("doc_id", "token")
-           .agg(F.count(F.lit(1)).alias("c")))
+           .agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint())
     tots = (cnt.groupBy("doc_id")
             .agg(F.sum("c").alias("tot"),
                  F.count(F.lit(1)).alias("nd")))
@@ -1861,7 +1913,11 @@ def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: rides both banded-LSH chains (each bucket-bounded, never
     all-pairs); the overlap join is pair-list-sized."""
     mh = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sh = simhash_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # r9 (guide §2.4): the SimHash capture feeds its own count AND the
+    # overlap join — one cut; the MinHash side is already materialized
+    # inside minhash_lsh_pairs
+    sh = (simhash_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+          .localCheckpoint())
     n1 = mh.agg(F.count(F.lit(1)).alias("n_minhash"))
     n2 = sh.agg(F.count(F.lit(1)).alias("n_simhash"))
     m = (mh.join(sh, ["doc_a", "doc_b"])

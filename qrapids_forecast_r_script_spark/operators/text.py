@@ -264,9 +264,14 @@ def chunk_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.lit(1)).otherwise(F.lit(-1)).alias("sgn"))
               .groupBy("doc_id", "chunk_id", "dim")
               .agg(F.sum("sgn").alias("w"))
-              .where(F.col("w") != 0))
+              .where(F.col("w") != 0)
+              # r9 (guide §2.4): sparse feeds norms, the query side and
+              # the dot join; norms both norm sides — two cuts so the
+              # chunk + hash chain runs once
+              .localCheckpoint())
     norms = (sparse.groupBy("doc_id", "chunk_id")
-             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")))
+             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+             .localCheckpoint())
     qids = (chunks.where(F.col("chunk_id") == 0)
             .select("doc_id").orderBy("doc_id").limit(_HE_QUERIES))
     qside = (sparse.join(qids, "doc_id")
@@ -281,7 +286,7 @@ def chunk_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("doc_id") != F.col("q_doc"))
             .groupBy("q_doc", "doc_id", "chunk_id")
             .agg(F.sum(F.col("w") * F.col("qw")).alias("dot")))
-    sim = (dots.join(norms, ["doc_id", "chunk_id"])
+    sim = (dots.join(F.broadcast(norms), ["doc_id", "chunk_id"])
            .join(F.broadcast(qnorms), "q_doc")
            .select("q_doc", "doc_id", "chunk_id",
                    F.round(F.col("dot") / (F.col("norm") * F.col("qnorm")),
@@ -384,8 +389,13 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = docs.select("doc_id", F.explode(F.split("text", " "))
                        .alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # r9 (guide §2.4): tf feeds the df table, the query terms and the
+    # scoring join (3 uncut tokenize re-runs); dl feeds the length join
+    # and the avgdl broadcast — two cuts
+    tf = (toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint())
+    dl = (toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+          .localCheckpoint())
     avgdl = dl.agg(F.avg("dl").alias("avgdl"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qterms = (tf.where(F.col("doc_id") < _BM25_N_QUERIES)
@@ -399,7 +409,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))), 6)
     scored = (tf.join(F.broadcast(qterms), "term")
               .where(F.col("query_id") != F.col("doc_id"))
-              .join(dl, "doc_id")
+              # explicit broadcast: the checkpointed dl has no size
+              # stats (doc-grain small — the pre-cut plan broadcast it)
+              .join(F.broadcast(dl), "doc_id")
               .join(F.broadcast(df_), "term")
               .crossJoin(F.broadcast(nd))
               .crossJoin(F.broadcast(avgdl))
@@ -794,8 +806,15 @@ def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     avgdl = dl.agg(F.avg("dl").alias("avgdl"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # r9 (guide §2.4): ``qterms`` is referenced three times (stage-1
+    # broadcast, the RM1 anti-join, the expanded-query union) and each
+    # uncut reference re-ran the corpus tokenize + groupBy chain (28
+    # parquet scans planned).  It and the other bounded feedback frames
+    # below (fb: Q·5 rows, exp_terms: Q·10, eq: Q·(10+|q|)) take
+    # localCheckpoint cuts, so each stage's chain runs once.
     qterms = (tf.where(F.col("doc_id") < _BM25_N_QUERIES)
-              .select(F.col("doc_id").alias("query_id"), "term"))
+              .select(F.col("doc_id").alias("query_id"), "term")
+              .localCheckpoint())
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     contrib6 = F.round(
@@ -819,7 +838,8 @@ def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("score6"), F.asc("doc_id"))
     fb = (s1.withColumn("rn", F.row_number().over(w1))
-          .where(F.col("rn") <= _RM3_FB_DOCS))
+          .where(F.col("rn") <= _RM3_FB_DOCS)
+          .localCheckpoint())
     fbsum = fb.groupBy("query_id").agg(F.sum("score6").alias("sum6"))
     # P(d|q) in micro-units — one rounded division per feedback doc
     pd6 = (fb.join(F.broadcast(fbsum), "query_id")
@@ -838,7 +858,8 @@ def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = Window.partitionBy("query_id").orderBy(
         F.desc("w12"), F.asc("term"))
     exp_terms = (rm1.withColumn("rn", F.row_number().over(w2))
-                 .where(F.col("rn") <= _RM3_FB_TERMS))
+                 .where(F.col("rn") <= _RM3_FB_TERMS)
+                 .localCheckpoint())
     expsum = exp_terms.groupBy("query_id").agg(F.sum("w12").alias("ws12"))
     # expanded weighted query: λ on originals, (1−λ)·ŵ on expansions
     eq = (exp_terms.join(F.broadcast(expsum), "query_id")
@@ -848,7 +869,8 @@ def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("bigint").alias("qw6"))
           .unionByName(qterms.select(
               "query_id", "term",
-              F.lit(_RM3_LAMBDA6).cast("bigint").alias("qw6"))))
+              F.lit(_RM3_LAMBDA6).cast("bigint").alias("qw6")))
+          .localCheckpoint())
     nq = (eq.groupBy("query_id")
           .agg(F.sum(F.when(F.col("qw6") == _RM3_LAMBDA6, 1).otherwise(0))
                .alias("n_query_terms"),
@@ -1378,9 +1400,15 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("b").alias("dst"), "c")
              .union(pairs.select(F.col("b").alias("src"),
                                  F.col("a").alias("dst"), "c"))
-             .groupBy("src", "dst").agg(F.sum("c").alias("wt")))
+             .groupBy("src", "dst").agg(F.sum("c").alias("wt"))
+             # r9 (guide §2.4): edges feed the degree table and every
+             # sweep's contribution join; nodes and the per-sweep score
+             # frame are each referenced twice per sweep — vocab-grain
+             # cuts keep the unroll linear (the doc_graph_pagerank fix)
+             .localCheckpoint())
     wdeg = edges.groupBy("src").agg(F.sum("wt").alias("wdeg"))
-    nodes = wdeg.select(F.col("src").alias("word"), "wdeg")
+    nodes = (wdeg.select(F.col("src").alias("word"), "wdeg")
+             .localCheckpoint())
     s = nodes.select("word", F.lit(1.0).alias("s"))
     for _ in range(_TR_ITERS):
         sj = (s.join(nodes.select(F.col("word"), "wdeg"), "word")
@@ -1482,9 +1510,11 @@ def retrieval_rbo_bm25_vs_ql(spark: SparkSession,
     Scale: both rankers are existing bounded chains; the RBO join is
     (query x 10 x 10)-bounded."""
     from pyspark.sql.window import Window
+    # r9 (guide §2.4): the BM25 list feeds the overlap join AND the
+    # all-queries frame — one k·Q-row cut
     bm = bm25_topk(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("doc"),
-        F.col("rank").alias("r_bm"))
+        F.col("rank").alias("r_bm")).localCheckpoint()
     ql = ql_dirichlet_topk(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("doc"),
         F.col("rank").alias("r_ql"))

@@ -1555,6 +1555,12 @@ def nb_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .curation import _hash_pct
     docs = load_table(spark, sf_dir, "documents")
     bucket = _hash_pct(F.col("doc_id"))
+    # r9 measurement note (guide §1): the "obvious" cut — checkpoint
+    # the token stream once + each slice's vocab count table — was
+    # A/B-measured 1.37× SLOWER (med-of-3 × 3 alternations: 1.69 s →
+    # 2.32 s): materializing the doc×token stream costs more than the
+    # re-tokenizes it saves, and the per-slice count cuts serialize
+    # three extra jobs.  The uncut lazy form stays.
     toks_all = docs.select(
         "doc_id", "lang", bucket.alias("bkt"),
         (F.col("lang") == _NB_TARGET_LANG).alias("is_pos"),
