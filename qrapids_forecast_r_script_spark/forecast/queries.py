@@ -1389,10 +1389,15 @@ def hierarchical_forecast_coherence(spark: SparkSession, sf_dir: str
     leaf-name dimension, equi-joins back on (name, date) — the share
     table and date bounds are broadcast scalars; nothing quadratic."""
     ev = load_table(spark, sf_dir, "events")
+    # r9 (guide §2.4): cut the (type × day) leaf aggregate — total /
+    # shares / names / leaf_rows all reference it (and total is itself
+    # read three more times), so the uncut plan re-ran the events
+    # scan+aggregate 28 times for a dimension-sized output
     leaf = (ev.groupBy(F.col("event_type").alias("name"),
                        F.to_date("ts").alias("d"))
             .agg(F.round(F.round(F.sum("value"), 6) * _HF_U, 0)
-                 .cast("long").alias("vu")))
+                 .cast("long").alias("vu"))
+            .localCheckpoint())
     total = leaf.groupBy("d").agg(F.sum("vu").alias("vu"))
     maxd = total.agg(F.max("d").alias("maxd"))
     th = total.agg(F.sum("vu").alias("th"))
@@ -2926,10 +2931,15 @@ def series_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = (metrics.where(F.col("name") == "purchase")
            .select(F.col("evaluationDate").alias("day"),
                    F.col("value").alias("ry")))
+    # r9 (guide §2.4): cut the aligned (series × day) frame — the pair
+    # split a/b, the two tie tables and the day count each reference
+    # it, so the uncut plan re-ran the metrics aggregate (events scan)
+    # 20 times for a ~(series × month-days)-row frame
     ali = (metrics.join(F.broadcast(ref),
                         metrics.evaluationDate == ref.day)
            .select("name", "evaluationDate",
-                   F.col("value").alias("x"), F.col("ry").alias("y")))
+                   F.col("value").alias("x"), F.col("ry").alias("y"))
+           .localCheckpoint())
     a = ali.select("name", F.col("evaluationDate").alias("d1"),
                    F.col("x").alias("x1"), F.col("y").alias("y1"))
     b = ali.select("name", F.col("evaluationDate").alias("d2"),

@@ -307,11 +307,16 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = (orders.groupBy("o_custkey")
              .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0)
                         .cast("long")).alias("spend_cents")))
+    # r9 (guide §2.4): cut the customer-grain bucket frame — the global
+    # histogram, the cell sizes and the per-cell buckets each reference
+    # it, so the uncut plan re-ran the orders spend aggregate + customer
+    # join 3 times (and glob's tot branch doubled one of them)
     rows = (cust.join(spend,
                       cust["c_custkey"] == spend["o_custkey"], "left")
             .select("c_nationkey", "c_mktsegment",
                     F.floor(F.coalesce("spend_cents", F.lit(0))
-                            / _SPEND_BUCKET_CENTS).alias("spend_bucket")))
+                            / _SPEND_BUCKET_CENTS).alias("spend_bucket"))
+            .localCheckpoint())
     wg = Window.orderBy("spend_bucket")
     glob = (rows.groupBy("spend_bucket")
             .agg(F.count(F.lit(1)).alias("gcnt"))

@@ -251,12 +251,15 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str,
     ev_sh = F.broadcast(_doc_shingles(
         docs.join(F.broadcast(eval_ids), "doc_id"), n)
         .select("shingle").distinct())
+    # r9 (guide §2.4): cut the contaminated-position set — the token
+    # anti-join and the removed-count aggregate each reference it, so
+    # the uncut plan re-ran the shingle+eval-set chain per consumer
     covered = (starts.join(ev_sh, "shingle")
                .select("doc_id",
                        F.explode(F.sequence(
                            F.col("pos"),
                            F.col("pos") + F.lit(n - 1))).alias("pos"))
-               .distinct())
+               .distinct().localCheckpoint())
     kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
     cleaned = (kept.groupBy("doc_id")
                .agg(F.concat_ws(" ", F.transform(
@@ -1026,10 +1029,15 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("source", "n_tokens",
                       F.round(F.round("avg_neg_logprob", 6) * _DRM_U, 0)
                       .cast("long").alias("su")))
+    # r9 (guide §2.4): cut at the #sources-row aggregate — the totals
+    # agg and the crossJoin below each replanned the whole unigram-LM
+    # chain (explode + vocab join), and the weighted/norm pair doubled
+    # it again: 32 planned scans for a #sources-row output
     per_src = (scored.groupBy("source")
                .agg(F.count(F.lit(1)).alias("n_docs"),
                     F.sum("n_tokens").alias("n_tokens"),
-                    F.sum("su").alias("sum_su")))
+                    F.sum("su").alias("sum_su"))
+               .localCheckpoint())
     tot = per_src.agg(F.sum("n_tokens").alias("tok_total"),
                       F.sum("sum_su").alias("su_total"),
                       F.sum("n_docs").alias("docs_total"))

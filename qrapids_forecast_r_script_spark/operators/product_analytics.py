@@ -1902,9 +1902,13 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str
              .groupBy(F.col("event_type").alias("from_type"), "to_type")
              .agg(F.count(F.lit(1)).alias("n")))
     wp = Window.partitionBy("from_type")
+    # r9 (guide §2.4): cut the K×K transition matrix — states and each
+    # unrolled power iteration reference it, so the uncut plan re-ran
+    # the sessionize+lead chain per reference (16 planned scans) for a
+    # type-cardinality-sized output
     pmat = trans.withColumn(
         "p", F.col("n") / F.sum("n").over(wp)).select(
-        "from_type", "to_type", "p")
+        "from_type", "to_type", "p").localCheckpoint()
     states = pmat.select(F.col("from_type").alias("state")).distinct()
     k = states.agg(F.count(F.lit(1)).alias("k"))
     pi = (states.crossJoin(F.broadcast(k))
@@ -2854,7 +2858,12 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.aggregate("bits", F.lit(0),
                              lambda acc, b: acc.bitwiseOR(b)),
                  F.lit(0)).alias("mask")))
-    cnt = umask.groupBy("mask").agg(F.count(F.lit(1)).alias("c"))
+    # r9 (guide §2.4): cut at the ≤16-row mask histogram — v is read
+    # twice (coalition grid + the v(S+i) self-join), so the uncut plan
+    # re-ran the two events passes behind the mask aggregate per
+    # reference for a 16-row output
+    cnt = (umask.groupBy("mask").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint())
     coal = spark.range(16).select(F.col("id").cast("int").alias("s"))
     v = (coal.crossJoin(F.broadcast(cnt))
          .where(F.col("mask").bitwiseAND(F.col("s")) == F.col("mask"))
@@ -3171,10 +3180,14 @@ def james_stein_nation_means(spark: SparkSession,
             .select("nationkey",
                     F.round(F.col("o_totalprice") * 100, 0)
                     .cast("decimal(38,0)").alias("yc")))
+    # r9 (guide §2.4): cut at the 25-nation moment table — the gl / su
+    # / stot / out chain references its parent twice per stage, so the
+    # uncut plan re-ran the orders⋈customer moment aggregate 2^k times
     per = (rows.groupBy("nationkey")
            .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
                 F.sum("yc").alias("s"),
-                F.sum(F.col("yc") * F.col("yc")).alias("ss")))
+                F.sum(F.col("yc") * F.col("yc")).alias("ss"))
+           .localCheckpoint())
     mean_u = F.round(F.col("s").cast("double")
                      / F.col("n").cast("double") / 100 * 1e6, 0) \
         .cast("bigint")
@@ -5469,7 +5482,11 @@ def erlang_capacity_table(spark: SparkSession,
         F.min("st").alias("t0"), F.max("en").alias("t1"))
     a_expr = (F.col("dur_us")
               / (F.col("t1") - F.col("t0")).cast("double"))
-    loads = base.select(F.round(a_expr, 9).alias("a"))
+    # r9 (guide §2.4): cut the ONE-ROW offered-load frame — the 10-way
+    # union below replans it per branch, so the uncut plan re-ran the
+    # whole sessionize chain 10 times (20 planned scans) for 10 rows
+    # of scalar arithmetic
+    loads = base.select(F.round(a_expr, 9).alias("a")).localCheckpoint()
     rows = []
     prev = F.lit(1.0)
     for c in range(1, _ERLANG_MAX_C + 1):

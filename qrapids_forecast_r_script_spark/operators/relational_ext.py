@@ -713,9 +713,13 @@ def dow_type_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid-sized groupBy+broadcast-join rounds — free at any corpus
     size."""
     ev = load_table(spark, sf_dir, "events")
+    # r9 (guide §2.4): cut the 35-cell grid — each polish stage below
+    # references its predecessor twice (median agg + join back), so the
+    # uncut plan re-ran the events scan+aggregate 2^5 = 32 times
     cells = (ev.groupBy(F.dayofweek("ts").alias("dow"),
                         F.col("event_type"))
-             .agg(F.round(F.avg("value"), 6).alias("cell")))
+             .agg(F.round(F.avg("value"), 6).alias("cell"))
+             .localCheckpoint())
     med = lambda c: F.expr(f"percentile({c}, 0.5D)")  # noqa: E731
 
     rm1 = cells.groupBy("dow").agg(F.round(med("cell"), 6).alias("rm1"))
@@ -812,12 +816,17 @@ def newsvendor_stock_levels(spark: SparkSession,
     tot = (dd.groupBy("pk").agg(F.sum("q").alias("tq"))
            .orderBy(F.col("tq").desc(), F.col("pk").asc())
            .limit(_NV_PARTS))
+    # r9 (guide §2.4): cut the (10 parts × days) demand spine — the
+    # quantile pass and the shortage/leftover expectation pass each
+    # reference it (and qtl is read twice more), so the uncut plan
+    # re-ran the lineitem scan+top-k chain 18 times for ~1.8k rows
     spine = (tot.crossJoin(
         F.broadcast(li.select(F.col("l_shipdate").alias("day"))
                     .distinct()))
         .join(dd, ["pk", "day"], "left")
         .select("pk", "tq", "day",
-                F.coalesce("q", F.lit(0)).cast("long").alias("q")))
+                F.coalesce("q", F.lit(0)).cast("long").alias("q"))
+        .localCheckpoint())
     frac = _NV_CU / (_NV_CU + _NV_CO)
     qtl = (spine.groupBy("pk", "tq")
            .agg(F.expr(f"percentile(q, {frac!r})").alias("stock"),

@@ -778,17 +778,26 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                            1, 8), 16, 10).cast("long")
         % _ERASE_MOD == 0)
         .select("c_custkey").localCheckpoint())
+    # r9 (guide §2.4): cut the dead-order key set too — the orders AND
+    # lineitem audits each semi-join against it, so uncut the
+    # orders⋈erased chain replanned per consumer
     dead_orders = (orders.join(
         erased.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
-        .select("o_orderkey"))
+        .select("o_orderkey").localCheckpoint())
 
     def audit(name: str, df: DataFrame, dead: DataFrame,
               key: str) -> DataFrame:
-        before = df.groupBy().agg(F.count(F.lit(1)).alias("rows_before"))
-        gone = (df.join(dead.withColumnRenamed(dead.columns[0], key),
-                        key, "left_semi")
-                .groupBy().agg(F.count(F.lit(1)).alias("rows_erased")))
-        return (before.crossJoin(gone)
+        # r9 (guide §2.4): ONE scan per table — before-count and
+        # erased-count were two separate passes (a plain count + a
+        # semi-join count); a left join against the key set (key-unique
+        # by construction: both cohorts project primary keys) marks
+        # erased rows so one conditional aggregate yields both counts
+        marked = (dead.withColumnRenamed(dead.columns[0], key)
+                  .withColumn("__dead", F.lit(1)))
+        both = (df.select(key).join(F.broadcast(marked), key, "left")
+                .groupBy().agg(F.count(F.lit(1)).alias("rows_before"),
+                               F.count("__dead").alias("rows_erased")))
+        return (both
                 .select(F.lit(name).alias("table_name"),
                         "rows_before", "rows_erased",
                         (F.col("rows_before") - F.col("rows_erased"))

@@ -514,8 +514,13 @@ def label_sliced_wasserstein(spark: SparkSession,
                        F.element_at("embedding", ax + 1)
                        .cast("double").alias("v"))
         proj = p if proj is None else proj.union(p)
+    # r9 (guide §2.4): cut the (axis, label, value) count table —
+    # support / nlab / grid each reference it, so the uncut plan ran
+    # the two-axis embeddings union+aggregate chain 24 times for a
+    # support-grid-sized output (the cdf a/b split doubles it again)
     cnt = (proj.groupBy("axis", "label", "v")
-           .agg(F.count(F.lit(1)).alias("c")))
+           .agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint())
     support = cnt.select("axis", "v").distinct()
     nlab = cnt.groupBy("axis", "label").agg(F.sum("c").alias("n"))
     grid = (nlab.join(support, "axis")

@@ -296,11 +296,16 @@ def source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the band assignment can't flip."""
     docs = load_table(spark, sf_dir, "documents")
     rng = docs.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    # r9 (guide §2.4): cut the binned (source, bin) doc frame — the
+    # per-source and corpus histograms each reference it (and their
+    # totals double each branch), so the uncut plan scanned documents
+    # (and re-ran the min/max agg) 4 times over
     binned = (docs.crossJoin(F.broadcast(rng))
               .select("source",
                       F.expr(f"least({_PSI_BINS - 1}, "
                              f"((n_chars - mn) * {_PSI_BINS}) "
-                             f"div (mx - mn + 1))").alias("bin")))
+                             f"div (mx - mn + 1))").alias("bin"))
+              .localCheckpoint())
     per_src = binned.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("c"))
     src_tot = per_src.groupBy("source").agg(F.sum("c").alias("tot"))

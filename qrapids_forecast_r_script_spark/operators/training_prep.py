@@ -535,6 +535,11 @@ def nb_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     / F.lit(1_000_000.0)))))
     scored = scored.withColumn(
         "pu", F.round(prob * 1_000_000, 0).cast("long"))
+    # r9 (guide §2.4): cut the doc-grain scored frame before the ranged
+    # ntile — repartitionByRange costs a RangePartitioner SAMPLING job
+    # over its input on top of the shuffle itself (the operators.ranked
+    # measured fact), so uncut the whole NB scoring chain ran twice
+    scored = scored.localCheckpoint()
     binned = exact_ntile(scored, _CAL_BINS,
                          [F.col("su"), F.col("doc_id")], "decile")
     g = (binned.groupBy("decile")
@@ -1292,9 +1297,14 @@ def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = (rows.crossJoin(F.broadcast(mean))
            .select("nationkey",
                    (F.col("yc") > F.col("mu")).alias("is_good")))
+    # r9 (guide §2.4): cut at the 25-nation count table — tot/scored and
+    # iv_tot/final each reference their parent twice, so the uncut plan
+    # re-ran the orders⋈customer chain (with its own mean double-scan)
+    # 2^3 times for a 25-row output
     per = (lab.groupBy("nationkey")
            .agg(F.count(F.when(F.col("is_good"), 1)).alias("good"),
-                F.count(F.when(~F.col("is_good"), 1)).alias("bad")))
+                F.count(F.when(~F.col("is_good"), 1)).alias("bad"))
+           .localCheckpoint())
     tot = per.agg(F.sum("good").alias("g"), F.sum("bad").alias("b"))
     pg = (F.col("good") + _WOE_K) / (F.col("g") + 2 * _WOE_K)
     pb = (F.col("bad") + _WOE_K) / (F.col("b") + 2 * _WOE_K)

@@ -96,3 +96,40 @@ def test_backtest_from_preds_matches_public_query(spark, sf_dir):
     public = backtest_closed_forms(spark, sf_dir)
     helper = _backtest_from_preds(_holdout_preds(spark, sf_dir))
     assert _rows(public) == _rows(helper)
+
+
+def test_user_erasure_one_scan_audit_equals_two_pass(spark, sf_dir):
+    """user_erasure_audit now derives rows_before and rows_erased from
+    ONE scan per table (left join against the unique dead-key set + a
+    conditional aggregate); it must equal the original two-pass form
+    (plain count + left-semi count) on every audited table."""
+    from qrapids_forecast_r_script_spark.operators.scale_patterns import (
+        user_erasure_audit)
+    from qrapids_forecast_r_script_spark.sources.registry import load_table
+
+    new = {r["table_name"]: (r["rows_before"], r["rows_erased"])
+           for r in user_erasure_audit(spark, sf_dir).collect()}
+
+    cust = load_table(spark, sf_dir, "customer")
+    erased = (cust.where(
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")),
+                           1, 8), 16, 10).cast("long") % 50 == 0)
+        .select("c_custkey"))
+    dead_orders = (load_table(spark, sf_dir, "orders")
+                   .join(erased.withColumnRenamed("c_custkey",
+                                                  "o_custkey"),
+                         "o_custkey")
+                   .select("o_orderkey"))
+    two_pass = {}
+    for name, df, dead, key in [
+            ("customer", cust, erased, "c_custkey"),
+            ("orders", load_table(spark, sf_dir, "orders"),
+             dead_orders, "o_orderkey"),
+            ("lineitem", load_table(spark, sf_dir, "lineitem"),
+             dead_orders, "l_orderkey"),
+            ("events", load_table(spark, sf_dir, "events"),
+             erased, "user_id")]:
+        gone = df.join(dead.withColumnRenamed(dead.columns[0], key),
+                       key, "left_semi").count()
+        two_pass[name] = (df.count(), gone)
+    assert new == two_pass
