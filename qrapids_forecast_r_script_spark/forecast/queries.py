@@ -2078,6 +2078,11 @@ def series_decomposition_strength(spark: SparkSession, sf_dir: str
     half = (_DEC_P - 1) // 2
     w7 = (Window.partitionBy("name", "index").orderBy("t")
           .rowsBetween(-half, half))
+    # r9 (guide §2.4): cut the interior frame — seas_raw/seas and the
+    # rows join each reference it (and their consumers double again),
+    # so the uncut plan re-ran the metrics aggregate + two window
+    # chains ~2^k times: 16 planned scans for a (series × days)-grain
+    # frame (series_ndiffs_nsdiffs inherits the same cut via its join)
     interior = (seq
                 .withColumn("s7", F.sum("ym").over(w7))
                 .withColumn("c7", F.count(F.lit(1)).over(w7))
@@ -2086,7 +2091,8 @@ def series_decomposition_strength(spark: SparkSession, sf_dir: str
                                           / F.lit(float(_DEC_P)), 0)
                             .cast("long"))
                 .withColumn("dm", F.col("ym") - F.col("tm"))
-                .withColumn("dow", F.col("t") % _DEC_P))
+                .withColumn("dow", F.col("t") % _DEC_P)
+                .localCheckpoint())
     seas_raw = (interior.groupBy("name", "index", "dow")
                 .agg(F.round(F.sum("dm").cast("double")
                              / F.count(F.lit(1)).cast("double"), 0)

@@ -1320,9 +1320,15 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("t_lang")))
     msrc = (docs.groupBy("source")
             .agg(F.count(F.lit(1)).alias("t_src")))
+    # r9 (guide §2.4): cut the (langs × sources) grid at each sweep
+    # boundary — every sweep step references cur twice (margin agg +
+    # join back), so the uncut plan grew ~3^(2·sweeps): 192 planned
+    # parquet scans / 5.7k plan lines for a grid-sized frame (the
+    # bradley_terry / pagerank iteration-boundary idiom)
     cur = (cells.join(F.broadcast(mlang), "lang")
            .join(F.broadcast(msrc), "source")
-           .withColumn("w", F.lit(1.0)))
+           .withColumn("w", F.lit(1.0))
+           .localCheckpoint())
     for _ in range(_IPF_SWEEPS):
         rm = (cur.withColumn("wn", F.round(F.col("w") * F.col("n")
                                            * 1e6, 0).cast("bigint"))
@@ -1337,7 +1343,8 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = (cur.join(F.broadcast(cm), "source")
                .withColumn("w", F.col("w") * F.col("t_src")
                            / (F.col("csum") / 1e6))
-               .drop("csum"))
+               .drop("csum")
+               .localCheckpoint())
     fin = (cur.withColumn("wn", F.round(F.col("w") * F.col("n") * 1e6,
                                         0).cast("bigint")))
     rm2 = fin.groupBy("lang").agg(F.sum("wn").alias("rsum2"))

@@ -290,11 +290,16 @@ def series_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
     metrics = events_as_metrics(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("name", "index").orderBy("evaluationDate")
+    # r9 (guide §2.4): cut the indexed-series frame — each of the
+    # level branches below references it (and the share join reads the
+    # level union twice), so the uncut plan re-ran the metrics
+    # aggregate + row_number window once per level: 12 planned scans
+    # for a (series × days)-grain frame
     pts = metrics.select(
         "name", "index",
         (F.row_number().over(w) - 1).alias("t"),
         F.round(F.round("value", 6) * _HW_GRID, 0).cast("long")
-        .alias("vu"))
+        .alias("vu")).localCheckpoint()
     per_level = []
     for lv in range(1, _HW_LEVELS + 1):
         blk = 1 << lv
