@@ -35,6 +35,23 @@ Per-query timings are the MEDIAN over ``$SPARK_GRAFT_BENCH_REPS`` runs
 single runs, so medians are the comparable number across rounds.  The
 first rep of each query doubles as its warm-up; the headline total is
 the sum of medians.
+
+MEASUREMENT-HYGIENE FIX (r10, VERDICT r9 items 3+4 — documented in
+OPTIMIZATION_r10.md): before each rep's timer starts, the harness
+releases every materialized intermediate left by PREVIOUS invocations
+(``qrapids_forecast_r_script_spark.lineage.release_stale``: unpersist
+stale RDD blocks + clear the SQL cache).  r9 ran 405 queries x 3 reps
+in one JVM with ~135 ``localCheckpoint()``/``persist()`` sites and no
+release anywhere, so (a) dead blocks accumulated for the whole run —
+the driver's late-suite untouched queries regressed 1.5-3x at 32
+cores — and (b) reps 2-3 of any ``persist()``-using query served rep
+1's still-live SQL-cache entry (plan-equality match) and measured a
+cache read instead of computing from parquet.  The release runs
+OUTSIDE the timed window (it is bookkeeping for prior queries, like
+the JVM warm-up); the recompute it forces lands INSIDE rep 2/3's
+window, making medians strictly more honest.  Timing methodology —
+median over reps of construct+count, same run list, same scale — is
+unchanged, so per-query cross-round comparisons remain valid.
 """
 
 from __future__ import annotations
@@ -491,6 +508,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     import __spark_entry__ as entrymod
+    from qrapids_forecast_r_script_spark.lineage import release_stale
     from qrapids_forecast_r_script_spark.session import get_spark
 
     spark = get_spark("qrapids-bench")
@@ -507,6 +525,11 @@ def main() -> None:
         samples = []
         try:
             for _ in range(reps):
+                # hygiene boundary (module docstring): drop the previous
+                # invocation's materialized blocks + SQL-cache entries
+                # BEFORE the timer, so this rep computes from parquet
+                # and pays nothing for prior queries' leftovers
+                release_stale(spark)
                 t0 = time.time()
                 fn(spark, sf_dir).count()
                 samples.append(time.time() - t0)

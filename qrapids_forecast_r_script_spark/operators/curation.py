@@ -1454,9 +1454,11 @@ def greedy_coverage_selection(spark: SparkSession,
     covered = None
     for r in range(1, _COV_K + 1):
         pool = sh if covered is None else sh.join(
-            # broadcast hint: the checkpointed covered set has no size
-            # stats (≤ r docs' shingles — the pre-cut plan broadcast it)
-            F.broadcast(covered), "shingle", "left_anti")
+            # no hint (r10): the covered set is ≤ r docs' shingles but a
+            # doc's shingle count is unbounded at corpus scale; AQE
+            # re-plans the anti-join to broadcast at runtime when the
+            # side fits (VERDICT r9 item 2)
+            covered, "shingle", "left_anti")
         if picks:
             excl = picks[0][1]
             for _, d in picks[1:]:

@@ -794,7 +794,11 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # erased rows so one conditional aggregate yields both counts
         marked = (dead.withColumnRenamed(dead.columns[0], key)
                   .withColumn("__dead", F.lit(1)))
-        both = (df.select(key).join(F.broadcast(marked), key, "left")
+        # no broadcast hint (r10, ADVICE r9): dead can be the ~2%-of-
+        # customers order-key set — corpus-grain — so the hint bypassed
+        # autoBroadcastJoinThreshold and risked a driver OOM at scale;
+        # AQE picks the join strategy from the real sizes at runtime
+        both = (df.select(key).join(marked, key, "left")
                 .groupBy().agg(F.count(F.lit(1)).alias("rows_before"),
                                F.count("__dead").alias("rows_erased")))
         return (both

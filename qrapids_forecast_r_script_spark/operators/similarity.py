@@ -178,9 +178,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("v").alias("vb"), F.col("vnorm").alias("nb"))
     sim = F.round(_dot(F.col("va"), F.col("vb"))
                   / (F.col("na") * F.col("nb")), 6)
-    # explicit broadcast — the checkpointed base has no size stats (see
-    # the minhash_lsh_pairs note); keeps the pre-cut broadcast-hash form
-    return (a.join(F.broadcast(b), ["label", "band_idx", "band_val"])
+    # NO broadcast hint (r10): the banded side carries every vector's
+    # 64-dim payload — O(corpus) — so an unconditional hint would OOM
+    # at scale; AQE re-plans the sort-merge join to broadcast-hash at
+    # runtime from the real shuffle sizes when the side fits (it does
+    # at bench SF — see plans/r10).
+    return (a.join(b, ["label", "band_idx", "band_val"])
             .where(F.col("vec_a") < F.col("vec_b"))
             .dropDuplicates(["vec_a", "vec_b"])
             .select("label", "vec_a", "vec_b", sim.alias("cosine"))

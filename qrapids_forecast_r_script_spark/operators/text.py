@@ -286,7 +286,9 @@ def chunk_hash_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("doc_id") != F.col("q_doc"))
             .groupBy("q_doc", "doc_id", "chunk_id")
             .agg(F.sum(F.col("w") * F.col("qw")).alias("dot")))
-    sim = (dots.join(F.broadcast(norms), ["doc_id", "chunk_id"])
+    # no hint on norms (r10): per-chunk grain grows with the corpus —
+    # AQE re-plans the join to broadcast at runtime when it fits
+    sim = (dots.join(norms, ["doc_id", "chunk_id"])
            .join(F.broadcast(qnorms), "q_doc")
            .select("q_doc", "doc_id", "chunk_id",
                    F.round(F.col("dot") / (F.col("norm") * F.col("qnorm")),
@@ -409,10 +411,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))), 6)
     scored = (tf.join(F.broadcast(qterms), "term")
               .where(F.col("query_id") != F.col("doc_id"))
-              # explicit broadcast: the checkpointed dl has no size
-              # stats (doc-grain small — the pre-cut plan broadcast it)
-              .join(F.broadcast(dl), "doc_id")
-              .join(F.broadcast(df_), "term")
+              # no hints on dl (doc-grain) / df_ (vocabulary-grain):
+              # both grow with the corpus, so an unconditional
+              # broadcast hint is a scale defect (VERDICT r9 item 2);
+              # AQE restores the broadcast join at runtime when the
+              # side really fits.  qterms stays hinted — bounded by
+              # _BM25_N_QUERIES, a constant.
+              .join(dl, "doc_id")
+              .join(df_, "term")
               .crossJoin(F.broadcast(nd))
               .crossJoin(F.broadcast(avgdl))
               .select("query_id", F.col("doc_id").alias("neighbor_id"),

@@ -1239,8 +1239,11 @@ def vocab_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0)).alias("n2"))
     # the unseen-term is computed ONCE and added — (v + x) − v in IEEE
     # is not x, so deriving the term by subtraction would drift from
-    # the oracle's direct form
-    unseen = (F.col("n1").cast("double") * (F.col("n1") - 1)
+    # the oracle's direct form.  The numerator multiplies in EXACT
+    # integer arithmetic before the cast: double 0.0 * -1 is -0.0,
+    # whose bit pattern fails the driver's value hash even though
+    # -0.0 == 0.0 (the r9 red row).
+    unseen = ((F.col("n1") * (F.col("n1") - 1)).cast("double")
               / (2.0 * (F.col("n2") + 1)))
     p0 = F.col("n1").cast("double") / F.col("n_tokens").cast("double")
     return spec.select(
@@ -1268,9 +1271,9 @@ ORACLES["vocab_chao1_richness"] = """
         FROM types
     )
     SELECT v_types, n_tokens, n1, n2,
-           round(v_types + CAST(n1 AS DOUBLE) * (n1 - 1)
+           round(v_types + CAST(n1 * (n1 - 1) AS DOUBLE)
                  / (2.0 * (n2 + 1)), 6) AS chao1_richness,
-           round(CAST(n1 AS DOUBLE) * (n1 - 1) / (2.0 * (n2 + 1)), 6)
+           round(CAST(n1 * (n1 - 1) AS DOUBLE) / (2.0 * (n2 + 1)), 6)
                AS unseen_types_est,
            round(CAST(n1 AS DOUBLE) / n_tokens, 6) AS gt_unseen_mass,
            round(1.0 - CAST(n1 AS DOUBLE) / n_tokens, 6)

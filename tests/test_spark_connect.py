@@ -100,10 +100,15 @@ def test_query_paths_are_connect_clean():
     """Static audit: no query-path module touches sparkContext, _jvm,
     _jsc, or .rdd — the APIs a Connect session does not have.  Allowed:
     streaming/stateful.py (classic-only protobuf worker wiring,
-    documented + loudly gated) and engine.py's version banner."""
+    documented + loudly gated), engine.py's version banner, and
+    lineage.py (r10): a HARNESS-side release utility — called only from
+    bench.py/tools between timed reps, never from a query function —
+    whose block-manager introspection is classic-only by design and
+    degrades to a no-op under Connect (the broad try swallows the
+    missing ``_jsc``)."""
     pkg = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "qrapids_forecast_r_script_spark")
-    allowed = {os.path.join("streaming", "stateful.py")}
+    allowed = {os.path.join("streaming", "stateful.py"), "lineage.py"}
     pattern = re.compile(r"\bsparkContext\b|\b_jvm\b|\b_jsc\b|\.rdd\b")
     offenders = []
     for root, dirs, files in os.walk(pkg):

@@ -42,6 +42,7 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
+    from qrapids_forecast_r_script_spark.lineage import release_stale
     from qrapids_forecast_r_script_spark.session import get_spark
 
     spark = get_spark("qtime")
@@ -68,6 +69,9 @@ def main() -> int:
         samples = []
         build = []
         for r in range(reps):
+            # same hygiene boundary as bench.py (r10): each rep starts
+            # with no stale blocks / SQL-cache entries, outside the timer
+            release_stale(spark)
             t0 = time.time()
             df = fn(spark, sf_dir)
             t1 = time.time()

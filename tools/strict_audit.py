@@ -104,7 +104,17 @@ def strict_compare(sp: pd.DataFrame, ora: pd.DataFrame) -> list[str]:
             problems.append(f"col {c}: dtype family spark={fa}({a[c].dtype}) "
                             f"oracle={fb}({b[c].dtype})")
             continue
-        eq = (a[c] == b[c]) | (a[c].isna() & b[c].isna())
+        if fa == "float":
+            # the driver's value hash is BIT-level: -0.0 != 0.0 under it
+            # even though pandas == says equal (the r9 vocab_chao1 red
+            # row).  Compare IEEE bit patterns; NaNs (any payload) match.
+            import numpy as np
+            av = a[c].to_numpy(dtype="float64")
+            bv = b[c].to_numpy(dtype="float64")
+            eq = pd.Series((av.view("int64") == bv.view("int64"))
+                           | (np.isnan(av) & np.isnan(bv)), index=a.index)
+        else:
+            eq = (a[c] == b[c]) | (a[c].isna() & b[c].isna())
         bad = list(eq[~eq].index)
         if bad:
             i = bad[0]
