@@ -2621,32 +2621,41 @@ def forecast_holtwinters_events(spark: SparkSession, sf_dir: str
         F.transform("ys", lambda y: y - l0).alias("sarr"))
     obs = seq.select("name", "index", "t",
                      (F.col("vu").cast("double") / 1e6).alias("y"))
-    # checkpoint the static inputs ONCE — each recursion level
-    # re-evaluates referenced plans (the ucb1/doc_graph_bfs lesson),
-    # so the per-series window chain re-ran per observation level
-    init.localCheckpoint(eager=True) \
-        .createOrReplaceTempView("qr_hw_init")
-    obs.localCheckpoint(eager=True) \
-        .createOrReplaceTempView("qr_hw_obs")
+    # r10 _REC_ARRAY_STATE (operators/product_analytics.py module
+    # note): each series' observation string rides in the recursion
+    # state (yarr), so the body is JOIN-FREE and every level folds to
+    # a driver-evaluated LocalRelation — zero scheduled jobs per
+    # observation (the old per-level join cost ~5 single-task jobs /
+    # level).  The shared seq chain is checkpointed ONCE; init and the
+    # per-series arrays both derive from it inside the single anchor
+    # job.  Per-step arithmetic is unchanged — bit-identical state.
+    seq = seq.localCheckpoint()
+    init.createOrReplaceTempView("qr_hw_init")
+    obs.createOrReplaceTempView("qr_hw_obs")
+    oy = "element_at(w.yarr, CAST(w.t + 1 AS INT))"
     return spark.sql(f"""
-        WITH RECURSIVE walk(name, index, t, l, b, sarr, sse) AS (
-            SELECT name, index, CAST({_HW_M} AS INT) AS t, l, b, sarr,
+        WITH RECURSIVE walk(name, index, t, yarr, l, b, sarr, sse) AS (
+            SELECT i.name, i.index, CAST({_HW_M} AS INT) AS t,
+                   y.yarr, i.l, i.b, i.sarr,
                    CAST(0 AS DOUBLE) AS sse
-            FROM qr_hw_init
+            FROM qr_hw_init i
+            JOIN (SELECT name, index,
+                         transform(array_sort(collect_list(
+                             struct(t, y))), x -> x.y) AS yarr
+                  FROM qr_hw_obs GROUP BY name, index) y
+              ON y.name = i.name AND y.index = i.index
             UNION ALL
-            SELECT w.name, w.index, w.t + 1,
-                   0.5D * (o.y - element_at(w.sarr, 1))
+            SELECT w.name, w.index, w.t + 1, w.yarr,
+                   0.5D * ({oy} - element_at(w.sarr, 1))
                        + 0.5D * (w.l + w.b),
-                   0.5D * ((0.5D * (o.y - element_at(w.sarr, 1))
+                   0.5D * ((0.5D * ({oy} - element_at(w.sarr, 1))
                             + 0.5D * (w.l + w.b)) - w.l) + 0.5D * w.b,
                    concat(slice(w.sarr, 2, {_HW_M - 1}),
-                          array(0.5D * (o.y - w.l - w.b)
+                          array(0.5D * ({oy} - w.l - w.b)
                                 + 0.5D * element_at(w.sarr, 1))),
-                   w.sse + (o.y - (w.l + w.b + element_at(w.sarr, 1)))
-                         * (o.y - (w.l + w.b + element_at(w.sarr, 1)))
-            FROM walk w JOIN qr_hw_obs o
-              ON o.name = w.name AND o.index = w.index
-             AND o.t = w.t + 1
+                   w.sse + ({oy} - (w.l + w.b + element_at(w.sarr, 1)))
+                         * ({oy} - (w.l + w.b + element_at(w.sarr, 1)))
+            FROM walk w WHERE w.t < size(w.yarr)
         ),
         fin AS (
             SELECT * FROM (

@@ -939,6 +939,18 @@ def part_name_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pure overhead), and the |len(a)−len(b)| > 8 pre-filter prunes ~0%
     # (names draw from a fixed word vocabulary, lengths cluster).  The
     # unbounded form stays.
+    #
+    # r10 (guide §2.6 + §1.1): the planner broadcast-joins b (part is
+    # under the threshold at bench SF), which leaves the STREAMED side
+    # = the one-file parquet scan — a single task computed every
+    # levenshtein DP (measured: the whole 7.6 s standalone cost was one
+    # task; 8-vs-32-core ratio 1.09).  An explicit keyed repartition of
+    # the streamed side spreads the O(pairs · len²) refine across the
+    # session's shuffle width (user-specified counts are exempt from
+    # AQE coalescing); it shuffles only the parts table — bounded —
+    # and changes nothing about the candidate set or join strategy.
+    from ..session import shuffle_width
+    a = a.repartition(shuffle_width(spark), F.col("key_a"))
     return (a.join(b, "p_brand")
             .where(F.col("key_a") < F.col("key_b"))
             .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))

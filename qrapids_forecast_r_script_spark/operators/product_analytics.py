@@ -12,7 +12,7 @@ tiny.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources import load_table
 
@@ -2040,23 +2040,25 @@ def ucb1_replay_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (kk.crossJoin(warm)
             .select("k", "s",
                     F.transform("s", lambda x: F.lit(1)).alias("n")))
-    idxl = arms.agg(F.array_sort(F.collect_list("a")).alias("idx"))
-    # checkpoint every static input ONCE: each recursion level
-    # re-evaluates referenced plans, so the rewards aggregate (an
-    # events scan) re-ran per day without this (12.9 s -> ~1 s sf0.1)
+    # checkpoint the static inputs ONCE (the rewards aggregate is an
+    # events scan; arms feeds the final join); r10 _REC_ARRAY_STATE
+    # (module note): the recursion body is now JOIN-FREE — the whole
+    # (day x arm) reward grid rides in the recursion state as an
+    # array-of-arrays, so every level folds to a driver-evaluated
+    # LocalRelation (the old form paid ~5 scheduled jobs per day)
     base.localCheckpoint(eager=True) \
         .createOrReplaceTempView("qr_ucb_base")
     rewards.localCheckpoint(eager=True) \
         .createOrReplaceTempView("qr_ucb_rewards")
     arms.localCheckpoint(eager=True) \
         .createOrReplaceTempView("qr_ucb_arms")
-    idxl.localCheckpoint(eager=True) \
-        .createOrReplaceTempView("qr_ucb_idx")
     ucb = ("zip_with(w.sarr, w.narr, (s, n) -> "
            "round(s / n + sqrt(2.0D * ln(CAST(w.t AS DOUBLE)) / n), 9))")
+    ch = f"array_position({ucb}, array_max({ucb}))"
     return spark.sql(f"""
-        WITH RECURSIVE walk(t, narr, sarr, chosen, reward) AS (
+        WITH RECURSIVE walk(t, rmat, narr, sarr, chosen, reward) AS (
             SELECT b.k AS t,
+                   r.rmat,
                    -- CASE wrapper: force containsNull=true so the
                    -- anchor array type merges with zip_with's output
                    transform(b.n, x -> CASE WHEN b.k > 0 THEN x END)
@@ -2066,18 +2068,32 @@ def ucb1_replay_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(NULL AS BIGINT) AS chosen,
                    CAST(NULL AS DOUBLE) AS reward
             FROM qr_ucb_base b
+            CROSS JOIN (
+                SELECT transform(array_sort(collect_list(
+                           struct(t, rarr))), x -> x.rarr) AS rmat
+                FROM (SELECT t,
+                             transform(array_sort(collect_list(
+                                 struct(a, r))), x -> x.r) AS rarr
+                      FROM qr_ucb_rewards GROUP BY t)
+            ) r
             UNION ALL
-            SELECT w.t + 1,
-                   zip_with(w.narr, i.idx, (n, ii) ->
-                       n + CASE WHEN ii = rr.a THEN 1 ELSE 0 END),
-                   zip_with(w.sarr, i.idx, (s, ii) ->
-                       s + CASE WHEN ii = rr.a THEN rr.r ELSE 0.0D END),
-                   rr.a, rr.r
-            FROM walk w
-            CROSS JOIN qr_ucb_idx i
-            JOIN qr_ucb_rewards rr
-              ON rr.t = w.t + 1
-             AND rr.a = array_position({ucb}, array_max({ucb}))
+            SELECT s.t + 1,
+                   s.rmat,
+                   zip_with(s.narr, sequence(1, size(s.narr)),
+                       (n, ii) ->
+                       n + CASE WHEN ii = s.ch THEN 1 ELSE 0 END),
+                   zip_with(s.sarr, sequence(1, size(s.sarr)),
+                       (x, ii) ->
+                       x + CASE WHEN ii = s.ch THEN s.rv ELSE 0.0D END),
+                   s.ch, s.rv
+            FROM (
+                SELECT w.t, w.rmat, w.narr, w.sarr,
+                       {ch} AS ch,
+                       element_at(
+                           element_at(w.rmat, CAST(w.t + 1 AS INT)),
+                           CAST({ch} AS INT)) AS rv
+                FROM walk w WHERE w.t < size(w.rmat)
+            ) s
         )
         SELECT w.t, ar.event_type AS chosen_arm,
                round(w.reward, 6) AS reward,
@@ -3573,6 +3589,31 @@ ORACLES["bradley_terry_strengths"] = """
 _HMM_A = (0.8, 0.2, 0.3, 0.7)   # A00 A01 A10 A11
 _HMM_E1 = (0.3, 0.7)            # P(high | calm), P(high | busy)
 
+# r10 (guide §2.4 + §1 measurement, "_REC_ARRAY_STATE"): Spark's
+# recursive-CTE engine (UnionLoopExec) runs every iteration as its own
+# mini-query.  When the iteration body contains a JOIN, each level
+# costs ~5 single-task jobs (broadcast build + collect + materialize)
+# ≈ 0.12-0.15 s of pure scheduling floor on this class of host — a
+# 30-observation walk is ~4 s of floor.  But UnionLoopExec has a fast
+# path: an anchor of ≤ spark.sql.cteRecursionAnchorRowsLimitToConvert
+# ToLocalRelation (default 100) rows becomes a LocalRelation, and any
+# iteration whose optimized plan folds back to a LocalRelation
+# (ConvertToLocalRelation: Project/Filter over LocalRelation) is
+# evaluated ON THE DRIVER with ZERO scheduled jobs.  So the sequential
+# recursions below carry their whole observation string IN the
+# recursion state as an array (element_at(oarr, t+1) instead of a
+# per-level join against the obs table): the recursion body is pure
+# Project+Filter, every level folds, and the walk costs no jobs at
+# all.  The per-step arithmetic is unchanged — interpreted and
+# codegen'd expression evaluation are the same Java arithmetic — so
+# results stay bit-identical to the join-form walk the DuckDB oracles
+# still run.  State size is O(series length) per frontier row, the
+# explicit trade (the join form remains the right shape for
+# unbounded-length series; these walks are day-grid-bounded).
+_OARR = "oarr"
+_OARR_AGG = ("transform(array_sort(collect_list(struct(t, o))),"
+             " x -> x.o)")
+
 
 def hmm_forward_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD-ALGORITHM filtering of a 2-state (calm/busy) hidden
@@ -3596,12 +3637,21 @@ def hmm_forward_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one events scan to the day grid; the recursion state is
     two doubles + one BIGINT per series — depth = days, parallelism
-    = series count (here 1; partitioned by series key at scale)."""
+    = series count (here 1; partitioned by series key at scale).
+
+    r10 (guide §2.4 + §1, the ``_REC_ARRAY_STATE`` note): the
+    recursion body is JOIN-FREE — the whole observation string rides
+    in the recursion state as an array and each level reads
+    ``element_at(oarr, t + 1)``.  Spark's UnionLoopExec then folds
+    every iteration to a driver-evaluated LocalRelation (zero
+    scheduled jobs per level, vs ~5 single-task jobs per level for
+    the join form — the measured 0.12-0.15 s/level scheduling floor).
+    The per-step arithmetic is UNCHANGED, so every row is
+    bit-identical to the join-form walk the DuckDB oracle runs."""
     ev = load_table(spark, sf_dir, "events")
     daily = (ev.where(F.col("event_type") == "purchase")
              .groupBy(F.to_date("ts").alias("day"))
              .agg(F.count(F.lit(1)).alias("c")))
-    from pyspark.sql.window import Window
     med = daily.agg(F.expr("percentile(c, 0.5)").alias("med"))
     obs = (daily.crossJoin(F.broadcast(med))
            .select(F.row_number().over(Window.orderBy("day"))
@@ -3610,38 +3660,41 @@ def hmm_forward_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs.localCheckpoint(eager=True).createOrReplaceTempView("qr_hmm_obs")
     a00, a01, a10, a11 = _HMM_A
     e0, e1 = _HMM_E1
-    b0 = f"CASE o.o WHEN 1 THEN {e0}D ELSE {1 - e0}D END"
-    b1 = f"CASE o.o WHEN 1 THEN {e1}D ELSE {1 - e1}D END"
+    ob0 = (f"CASE element_at({_OARR}, 1) WHEN 1 THEN {e0}D"
+           f" ELSE {1 - e0}D END")
+    ob1 = (f"CASE element_at({_OARR}, 1) WHEN 1 THEN {e1}D"
+           f" ELSE {1 - e1}D END")
+    o = f"element_at(w.oarr, CAST(w.t + 1 AS INT))"
+    b0 = f"CASE {o} WHEN 1 THEN {e0}D ELSE {1 - e0}D END"
+    b1 = f"CASE {o} WHEN 1 THEN {e1}D ELSE {1 - e1}D END"
+    n0 = f"(w.a0 * {a00}D + w.a1 * {a10}D) * {b0}"
+    n1 = f"(w.a0 * {a01}D + w.a1 * {a11}D) * {b1}"
     return spark.sql(f"""
-        WITH RECURSIVE walk(t, day, o, a0, a1, llu) AS (
-            SELECT o.t, o.day, o.o,
-                   round(0.5D * {b0}
-                         / (0.5D * {b0} + 0.5D * {b1}), 9) AS a0,
-                   round(0.5D * {b1}
-                         / (0.5D * {b0} + 0.5D * {b1}), 9) AS a1,
-                   CAST(round(ln(0.5D * {b0} + 0.5D * {b1}) * 1e6, 0)
+        WITH RECURSIVE walk(t, oarr, a0, a1, llu) AS (
+            SELECT 1 AS t, {_OARR} AS oarr,
+                   round(0.5D * {ob0}
+                         / (0.5D * {ob0} + 0.5D * {ob1}), 9) AS a0,
+                   round(0.5D * {ob1}
+                         / (0.5D * {ob0} + 0.5D * {ob1}), 9) AS a1,
+                   CAST(round(ln(0.5D * {ob0} + 0.5D * {ob1}) * 1e6, 0)
                         AS BIGINT) AS llu
-            FROM qr_hmm_obs o WHERE o.t = 1
+            FROM (SELECT {_OARR_AGG} AS {_OARR}
+                  FROM qr_hmm_obs) s
+            WHERE size({_OARR}) >= 1
             UNION ALL
-            SELECT o.t, o.day, o.o,
-                   round((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
-                         / ((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
-                            + (w.a0 * {a01}D + w.a1 * {a11}D) * {b1}),
-                         9),
-                   round((w.a0 * {a01}D + w.a1 * {a11}D) * {b1}
-                         / ((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
-                            + (w.a0 * {a01}D + w.a1 * {a11}D) * {b1}),
-                         9),
-                   w.llu + CAST(round(ln(
-                       (w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
-                       + (w.a0 * {a01}D + w.a1 * {a11}D) * {b1})
-                       * 1e6, 0) AS BIGINT)
-            FROM walk w JOIN qr_hmm_obs o ON o.t = w.t + 1
+            SELECT w.t + 1, w.oarr,
+                   round({n0} / ({n0} + {n1}), 9),
+                   round({n1} / ({n0} + {n1}), 9),
+                   w.llu + CAST(round(ln({n0} + {n1}) * 1e6, 0)
+                                AS BIGINT)
+            FROM walk w WHERE w.t < size(w.oarr)
         )
-        SELECT CAST(t AS BIGINT) AS t, day, CAST(o AS INT) AS obs_high,
-               round(a1, 6) AS p_busy,
-               round(llu / 1e6, 6) AS loglik
-        FROM walk ORDER BY t
+        SELECT CAST(w.t AS BIGINT) AS t, ob.day,
+               CAST(ob.o AS INT) AS obs_high,
+               round(w.a1, 6) AS p_busy,
+               round(w.llu / 1e6, 6) AS loglik
+        FROM walk w JOIN qr_hmm_obs ob ON ob.t = w.t
+        ORDER BY t
     """)
 
 
@@ -3903,32 +3956,40 @@ def hmm_smoothed_posterior(spark: SparkSession,
     daily = (ev.where(F.col("event_type") == "purchase")
              .groupBy(F.to_date("ts").alias("day"))
              .agg(F.count(F.lit(1)).alias("c")))
-    from pyspark.sql.window import Window
     med = daily.agg(F.expr("percentile(c, 0.5)").alias("med"))
-    nn = daily.agg(F.count(F.lit(1)).alias("nd"))
-    obs = (daily.crossJoin(F.broadcast(med)).crossJoin(F.broadcast(nn))
+    obs = (daily.crossJoin(F.broadcast(med))
            .select(F.row_number().over(Window.orderBy("day"))
-                   .alias("t"), "day", "nd",
+                   .alias("t"), "day",
                    (F.col("c") > F.col("med")).cast("int").alias("o")))
-    obs = obs.withColumn("rt", F.col("nd") - F.col("t") + 1)
     obs.localCheckpoint(eager=True).createOrReplaceTempView(
         "qr_hmm2_obs")
     a00, a01, a10, a11 = _HMM_A
     e0, e1 = _HMM_E1
-    b0 = f"CASE o.o WHEN 1 THEN {e0}D ELSE {1 - e0}D END"
-    b1 = f"CASE o.o WHEN 1 THEN {e1}D ELSE {1 - e1}D END"
+    # r10 _REC_ARRAY_STATE (module note): both walks carry the obs
+    # string in state — join-free bodies, zero jobs per level; the
+    # backward walk runs on t DESCENDING (its old rt index is t
+    # re-expressed: rt = size(oarr) - t + 1), same sequential order
+    fo = "element_at(w.oarr, CAST(w.t + 1 AS INT))"
+    b0 = f"CASE {fo} WHEN 1 THEN {e0}D ELSE {1 - e0}D END"
+    b1 = f"CASE {fo} WHEN 1 THEN {e1}D ELSE {1 - e1}D END"
+    ob0 = (f"CASE element_at({_OARR}, 1) WHEN 1 THEN {e0}D"
+           f" ELSE {1 - e0}D END")
+    ob1 = (f"CASE element_at({_OARR}, 1) WHEN 1 THEN {e1}D"
+           f" ELSE {1 - e1}D END")
     wb0 = f"CASE w.o WHEN 1 THEN {e0}D ELSE {1 - e0}D END"
     wb1 = f"CASE w.o WHEN 1 THEN {e1}D ELSE {1 - e1}D END"
     return spark.sql(f"""
-        WITH RECURSIVE fwd(t, o, a0, a1) AS (
-            SELECT o.t, o.o,
-                   round(0.5D * {b0}
-                         / (0.5D * {b0} + 0.5D * {b1}), 9),
-                   round(0.5D * {b1}
-                         / (0.5D * {b0} + 0.5D * {b1}), 9)
-            FROM qr_hmm2_obs o WHERE o.t = 1
+        WITH RECURSIVE fwd(t, oarr, a0, a1) AS (
+            SELECT 1 AS t, {_OARR},
+                   round(0.5D * {ob0}
+                         / (0.5D * {ob0} + 0.5D * {ob1}), 9),
+                   round(0.5D * {ob1}
+                         / (0.5D * {ob0} + 0.5D * {ob1}), 9)
+            FROM (SELECT {_OARR_AGG} AS {_OARR}
+                  FROM qr_hmm2_obs) s
+            WHERE size({_OARR}) >= 1
             UNION ALL
-            SELECT o.t, o.o,
+            SELECT w.t + 1, w.oarr,
                    round((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
                          / ((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
                             + (w.a0 * {a01}D + w.a1 * {a11}D) * {b1}),
@@ -3937,18 +3998,22 @@ def hmm_smoothed_posterior(spark: SparkSession,
                          / ((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
                             + (w.a0 * {a01}D + w.a1 * {a11}D) * {b1}),
                          9)
-            FROM fwd w JOIN qr_hmm2_obs o ON o.t = w.t + 1
+            FROM fwd w WHERE w.t < size(w.oarr)
         ),
-        bwd(rt, t, o, v0, v1) AS (
-            SELECT o.rt, o.t, o.o,
+        bwd(t, oarr, o, v0, v1) AS (
+            SELECT size({_OARR}) AS t, {_OARR},
+                   element_at({_OARR}, size({_OARR})) AS o,
                    CAST(0.5D AS DOUBLE), CAST(0.5D AS DOUBLE)
-            FROM qr_hmm2_obs o WHERE o.rt = 1
+            FROM (SELECT {_OARR_AGG} AS {_OARR}
+                  FROM qr_hmm2_obs) s
+            WHERE size({_OARR}) >= 1
             UNION ALL
             -- the backward step conditions on the NEXT day's
             -- observation, which is the PREVIOUS level's own row —
             -- hence B() reads w.o (carried in the recursion state),
-            -- never the newly joined row's o
-            SELECT o.rt, o.t, o.o,
+            -- never the newly reached observation
+            SELECT w.t - 1, w.oarr,
+                   element_at(w.oarr, CAST(w.t - 1 AS INT)),
                    round(({a00}D * {wb0} * w.v0
                           + {a01}D * {wb1} * w.v1)
                          / (({a00}D * {wb0} * w.v0
@@ -3961,7 +4026,7 @@ def hmm_smoothed_posterior(spark: SparkSession,
                              + {a01}D * {wb1} * w.v1)
                             + ({a10}D * {wb0} * w.v0
                                + {a11}D * {wb1} * w.v1)), 9)
-            FROM bwd w JOIN qr_hmm2_obs o ON o.rt = w.rt + 1
+            FROM bwd w WHERE w.t > 1
         )
         SELECT CAST(f.t AS BIGINT) AS t, ob.day,
                CAST(ob.o AS INT) AS obs_high,
@@ -4230,33 +4295,41 @@ def hmm_baum_welch_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (ev.where(F.col("event_type") == "purchase")
              .groupBy(F.to_date("ts").alias("day"))
              .agg(F.count(F.lit(1)).alias("c")))
-    from pyspark.sql.window import Window
     med = daily.agg(F.expr("percentile(c, 0.5)").alias("med"))
-    nn = daily.agg(F.count(F.lit(1)).alias("nd"))
-    obs = (daily.crossJoin(F.broadcast(med)).crossJoin(F.broadcast(nn))
+    obs = (daily.crossJoin(F.broadcast(med))
            .select(F.row_number().over(Window.orderBy("day"))
-                   .alias("t"), "nd",
+                   .alias("t"),
                    (F.col("c") > F.col("med")).cast("int").alias("o")))
-    obs = obs.withColumn("rt", F.col("nd") - F.col("t") + 1)
     obs.localCheckpoint(eager=True).createOrReplaceTempView(
         "qr_hmm3_obs")
     a00, a01, a10, a11 = _HMM_A
     e0, e1 = _HMM_E1
-    b0 = f"CASE o.o WHEN 1 THEN {e0}D ELSE {1 - e0}D END"
-    b1 = f"CASE o.o WHEN 1 THEN {e1}D ELSE {1 - e1}D END"
+    # r10 _REC_ARRAY_STATE (module note): join-free walk bodies — the
+    # obs string rides in state; fwd additionally carries its own o so
+    # the xi join below stays unchanged
+    fo = "element_at(w.oarr, CAST(w.t + 1 AS INT))"
+    b0 = f"CASE {fo} WHEN 1 THEN {e0}D ELSE {1 - e0}D END"
+    b1 = f"CASE {fo} WHEN 1 THEN {e1}D ELSE {1 - e1}D END"
+    ob0 = (f"CASE element_at({_OARR}, 1) WHEN 1 THEN {e0}D"
+           f" ELSE {1 - e0}D END")
+    ob1 = (f"CASE element_at({_OARR}, 1) WHEN 1 THEN {e1}D"
+           f" ELSE {1 - e1}D END")
     wb0 = f"CASE w.o WHEN 1 THEN {e0}D ELSE {1 - e0}D END"
     wb1 = f"CASE w.o WHEN 1 THEN {e1}D ELSE {1 - e1}D END"
     # un-normalized xi components; normalized per t below
     return spark.sql(f"""
-        WITH RECURSIVE fwd(t, o, a0, a1) AS (
-            SELECT o.t, o.o,
-                   round(0.5D * {b0}
-                         / (0.5D * {b0} + 0.5D * {b1}), 9),
-                   round(0.5D * {b1}
-                         / (0.5D * {b0} + 0.5D * {b1}), 9)
-            FROM qr_hmm3_obs o WHERE o.t = 1
+        WITH RECURSIVE fwd(t, oarr, o, a0, a1) AS (
+            SELECT 1 AS t, {_OARR},
+                   element_at({_OARR}, 1) AS o,
+                   round(0.5D * {ob0}
+                         / (0.5D * {ob0} + 0.5D * {ob1}), 9),
+                   round(0.5D * {ob1}
+                         / (0.5D * {ob0} + 0.5D * {ob1}), 9)
+            FROM (SELECT {_OARR_AGG} AS {_OARR}
+                  FROM qr_hmm3_obs) s
+            WHERE size({_OARR}) >= 1
             UNION ALL
-            SELECT o.t, o.o,
+            SELECT w.t + 1, w.oarr, {fo} AS o,
                    round((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
                          / ((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
                             + (w.a0 * {a01}D + w.a1 * {a11}D) * {b1}),
@@ -4265,14 +4338,18 @@ def hmm_baum_welch_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / ((w.a0 * {a00}D + w.a1 * {a10}D) * {b0}
                             + (w.a0 * {a01}D + w.a1 * {a11}D) * {b1}),
                          9)
-            FROM fwd w JOIN qr_hmm3_obs o ON o.t = w.t + 1
+            FROM fwd w WHERE w.t < size(w.oarr)
         ),
-        bwd(rt, t, o, v0, v1) AS (
-            SELECT o.rt, o.t, o.o,
+        bwd(t, oarr, o, v0, v1) AS (
+            SELECT size({_OARR}) AS t, {_OARR},
+                   element_at({_OARR}, size({_OARR})) AS o,
                    CAST(0.5D AS DOUBLE), CAST(0.5D AS DOUBLE)
-            FROM qr_hmm3_obs o WHERE o.rt = 1
+            FROM (SELECT {_OARR_AGG} AS {_OARR}
+                  FROM qr_hmm3_obs) s
+            WHERE size({_OARR}) >= 1
             UNION ALL
-            SELECT o.rt, o.t, o.o,
+            SELECT w.t - 1, w.oarr,
+                   element_at(w.oarr, CAST(w.t - 1 AS INT)),
                    round(({a00}D * {wb0} * w.v0
                           + {a01}D * {wb1} * w.v1)
                          / (({a00}D * {wb0} * w.v0
@@ -4285,7 +4362,7 @@ def hmm_baum_welch_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                              + {a01}D * {wb1} * w.v1)
                             + ({a10}D * {wb0} * w.v0
                                + {a11}D * {wb1} * w.v1)), 9)
-            FROM bwd w JOIN qr_hmm3_obs o ON o.rt = w.rt + 1
+            FROM bwd w WHERE w.t > 1
         ),
         amat(i, j, a) AS (
             SELECT 0, 0, {a00}D UNION ALL SELECT 0, 1, {a01}D
@@ -4573,29 +4650,39 @@ def hmm_viterbi_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qr_hmm4_obs")
     a00, a01, a10, a11 = _HMM_A
     e0, e1 = _HMM_E1
-    b0 = f"CASE o.o WHEN 1 THEN {e0}D ELSE {1 - e0}D END"
-    b1 = f"CASE o.o WHEN 1 THEN {e1}D ELSE {1 - e1}D END"
+    # r10 _REC_ARRAY_STATE (see module note): the obs string rides in
+    # the recursion state, the body is join-free, every level folds to
+    # a driver-evaluated LocalRelation — identical per-step arithmetic
+    o = "element_at(w.oarr, CAST(w.t + 1 AS INT))"
+    b0 = f"CASE {o} WHEN 1 THEN {e0}D ELSE {1 - e0}D END"
+    b1 = f"CASE {o} WHEN 1 THEN {e1}D ELSE {1 - e1}D END"
+    ob0 = (f"CASE element_at({_OARR}, 1) WHEN 1 THEN {e0}D"
+           f" ELSE {1 - e0}D END")
+    ob1 = (f"CASE element_at({_OARR}, 1) WHEN 1 THEN {e1}D"
+           f" ELSE {1 - e1}D END")
     # candidate scores into state j: from 0 = w.d0*A0j, from 1 = w.d1*A1j
     in0 = f"greatest(w.d0 * {a00}D, w.d1 * {a10}D) * {b0}"
     in1 = f"greatest(w.d0 * {a01}D, w.d1 * {a11}D) * {b1}"
     return spark.sql(f"""
-        WITH RECURSIVE vit(t, d0, d1, p0, p1) AS (
-            SELECT o.t,
-                   round(0.5D * {b0}
-                         / (0.5D * {b0} + 0.5D * {b1}), 9),
-                   round(0.5D * {b1}
-                         / (0.5D * {b0} + 0.5D * {b1}), 9),
+        WITH RECURSIVE vit(t, oarr, d0, d1, p0, p1) AS (
+            SELECT 1 AS t, {_OARR},
+                   round(0.5D * {ob0}
+                         / (0.5D * {ob0} + 0.5D * {ob1}), 9),
+                   round(0.5D * {ob1}
+                         / (0.5D * {ob0} + 0.5D * {ob1}), 9),
                    array(0), array(1)
-            FROM qr_hmm4_obs o WHERE o.t = 1
+            FROM (SELECT {_OARR_AGG} AS {_OARR}
+                  FROM qr_hmm4_obs) s
+            WHERE size({_OARR}) >= 1
             UNION ALL
-            SELECT o.t,
+            SELECT w.t + 1, w.oarr,
                    round({in0} / ({in0} + {in1}), 9),
                    round({in1} / ({in0} + {in1}), 9),
                    concat(CASE WHEN w.d0 * {a00}D >= w.d1 * {a10}D
                                THEN w.p0 ELSE w.p1 END, array(0)),
                    concat(CASE WHEN w.d0 * {a01}D >= w.d1 * {a11}D
                                THEN w.p0 ELSE w.p1 END, array(1))
-            FROM vit w JOIN qr_hmm4_obs o ON o.t = w.t + 1
+            FROM vit w WHERE w.t < size(w.oarr)
         ),
         fin AS (
             SELECT CASE WHEN d0 >= d1 THEN p0 ELSE p1 END AS path
