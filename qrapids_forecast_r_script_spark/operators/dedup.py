@@ -1570,9 +1570,16 @@ def lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   (i % 64).cast("int")))))
                   .alias("bits"))
           .localCheckpoint(eager=True))
-    ba = bm.select(F.col("doc_id").alias("doc_a"),
-                   F.col("n_sh").alias("n_a"),
-                   F.col("bits").alias("bits_a"))
+    # r10 (guide §2.6): the checkpointed bitmap frame inherits the
+    # AQE-coalesced (single-partition at bench SF) layout of the
+    # groupBy above it, so the ~12.5M-pair popcount stream below ran
+    # in ONE task; one bounded keyed repartition of the streamed side
+    # spreads it across the shuffle width (the pq_topk precedent)
+    from ..session import shuffle_width
+    ba = (bm.repartition(shuffle_width(spark), F.col("doc_id"))
+          .select(F.col("doc_id").alias("doc_a"),
+                  F.col("n_sh").alias("n_a"),
+                  F.col("bits").alias("bits_a")))
     bb = bm.select(F.col("doc_id").alias("doc_b"),
                    F.col("n_sh").alias("n_b"),
                    F.col("bits").alias("bits_b"))

@@ -98,8 +98,14 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("vec_id").alias("query_id"),
                        _as_double("embedding").alias("qvec"))
                .withColumn("qnorm", _norm(F.col("qvec"))))
+    # r10 (guide §2.6/§8): spread the Q·N interpreted cosine stream —
+    # the scan of a single-row-group local file is ONE task, so the
+    # whole crossJoin compute serialized (the knn_label_accuracy
+    # finding); bounded keyed repartition, the pq_topk precedent
+    from ..session import shuffle_width
     corpus = (emb.select(F.col("vec_id").alias("neighbor_id"),
                          _as_double("embedding").alias("nvec"))
+              .repartition(shuffle_width(spark), F.col("neighbor_id"))
               .withColumn("nnorm", _norm(F.col("nvec"))))
     sim = F.round(_dot(F.col("qvec"), F.col("nvec"))
                   / (F.col("qnorm") * F.col("nnorm")), 6)
@@ -162,6 +168,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join side (no exchange reuse across the join, measured), and
     # the projections/dot are the unrolled codegen forms (_proj_expr /
     # _dot_expr — bit-identical fold order, see their docstrings).
+    # r10 note (guide §1): a pre-checkpoint repartition of this base
+    # was A/B-measured SLOWER (4.5 s vs 3.5 s median) — the projections
+    # are unrolled codegen (cheap per row), so spreading the scan's
+    # single partition only added a shuffle + 32-task scheduling to a
+    # sub-second stage.  Contrast knn/ivf, whose interpreted HOF dot
+    # streams DID win from the same repartition.
     base = (emb.select("vec_id", "label",
                        _as_double("embedding").alias("v"))
             .withColumn("vnorm", _norm(F.col("v")))
@@ -247,7 +259,13 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str,
     sweep: every vector ranked against the fixed k=32 hash-sampled
     centroids — (vec_id, vec, vnorm, centroid_id, csim, rn)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # r10 (guide §2.6/§8): spread the N·k interpreted assignment argmin
+    # — the single-row-group scan is ONE task (the knn finding); the
+    # keyed repartition is bounded and the rn window shuffles by vec_id
+    # right after anyway
+    from ..session import shuffle_width
     vecs = (emb.select("vec_id", _as_double("embedding").alias("vec"))
+            .repartition(shuffle_width(spark), F.col("vec_id"))
             .withColumn("vnorm", _norm(F.col("vec"))))
     cents = (vecs
              .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")),
@@ -588,8 +606,13 @@ def ivf_kmeans_topk(spark: SparkSession, sf_dir: str, k: int = _IVF_K,
     emb = load_table(spark, sf_dir, "embeddings")
     # one materialization: every Lloyd pass + the final assignment reuse
     # the normed vectors instead of re-scanning parquet and re-walking
-    # the 64-dim norm fold per pass
+    # the 64-dim norm fold per pass.  r10 (guide §2.6): repartition
+    # BEFORE the checkpoint so the materialized blocks — and every
+    # Lloyd pass's N·k interpreted argmin over them — are spread across
+    # the shuffle width instead of the scan's single partition
+    from ..session import shuffle_width
     vecs = (emb.select("vec_id", _as_double("embedding").alias("vec"))
+            .repartition(shuffle_width(spark), F.col("vec_id"))
             .withColumn("vnorm", _norm(F.col("vec")))
             .localCheckpoint())
     cents = (vecs
@@ -1060,8 +1083,16 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     k·200 rows aggregated on the anchor then the label key."""
     emb = load_table(spark, sf_dir, "embeddings")
     labels = emb.select("vec_id", "label")
+    # r10 (guide §2.6/§8): the 200·N interpreted cosine stream runs in
+    # the SCAN's partitions — a single-row-group local file is ONE task
+    # (measured: the whole 4 s standalone cost was one task at 32
+    # cores).  One bounded keyed repartition of the corpus side spreads
+    # it across the shuffle width; a real 100 TB input arrives already
+    # split, where this is one narrow pass (the pq_topk precedent).
+    from ..session import shuffle_width
     corpus = (emb.select(F.col("vec_id").alias("neighbor_id"),
                          _as_double("embedding").alias("nvec"))
+              .repartition(shuffle_width(spark), F.col("neighbor_id"))
               .withColumn("nnorm", _norm(F.col("nvec"))))
     anchors = (emb
                .orderBy(F.md5(F.col("vec_id").cast("string")),
