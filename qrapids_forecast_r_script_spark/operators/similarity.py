@@ -500,10 +500,16 @@ def pq_topk(spark: SparkSession, sf_dir: str, m: int = _PQ_M,
     # already live on the normalized scale.  Empty cells drop out on
     # both sides alike.  localCheckpoint: the sampled subvectors feed
     # both the assign and the mean pass.
+    # r10 (guide §2.6): the TakeOrdered limit collapses the training
+    # sample to one partition, so the 1M-candidate interpreted assign
+    # argmin below ran single-task; bounded keyed repartition before
+    # the checkpoint (the knn/_ivf_assigned finding)
     tsubs = (_subs(
         raw.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")),
                     F.col("vec_id")).limit(_PQ_TRAIN),
-        "enc_id", "evec", "enorm").localCheckpoint())
+        "enc_id", "evec", "enorm")
+        .repartition(shuffle_width(spark), F.col("enc_id"))
+        .localCheckpoint())
     assign0 = _assign(tsubs, cb_df).withColumnRenamed("vec_id", "enc_id")
     cellvals = (tsubs.join(assign0, ["enc_id", "sub_idx"])
                 .select("sub_idx", "code_id", "enorm",
