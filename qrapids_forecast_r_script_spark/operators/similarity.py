@@ -195,11 +195,17 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at scale; AQE re-plans the sort-merge join to broadcast-hash at
     # runtime from the real shuffle sizes when the side fits (it does
     # at bench SF — see plans/r10).
+    # r10 (guide §2.3, the minhash n_matching precedent): score and
+    # threshold BEFORE the pair dedup, so the dedup exchange carries
+    # (label, ids, cosine) scalars instead of two 64-dim arrays —
+    # duplicate candidate rows (same pair via several bands) have
+    # identical vectors, hence identical cosine, so the kept row is
+    # the same whichever survives
     return (a.join(b, ["label", "band_idx", "band_val"])
             .where(F.col("vec_a") < F.col("vec_b"))
-            .dropDuplicates(["vec_a", "vec_b"])
             .select("label", "vec_a", "vec_b", sim.alias("cosine"))
-            .where(F.col("cosine") >= _ND_THRESHOLD))
+            .where(F.col("cosine") >= _ND_THRESHOLD)
+            .dropDuplicates(["vec_a", "vec_b"]))
 
 
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
